@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-oriented defaults.
+  *
+  * Tuned for local[N] testing but configured the way a 1000-executor job
+  * would be: AQE on (runtime coalescing + skew-join splitting), explicit
+  * broadcast threshold, UTC session time.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft", cpus: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // ns-precision parquet timestamps (events.ts) must not error out.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+  def getOrCreate(appName: String = "graft", cpus: Int = 32): SparkSession = {
+    val spark = builder(appName, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

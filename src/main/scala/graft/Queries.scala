@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Central registry: query name → plan builder, and the matching DuckDB
+  * oracle SQL. Column names AND types are aligned pairwise (the driver
+  * hash-compares after sorting columns by name) — see SURVEY.md §5.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val relational: Map[String, Q] = Map(
+    "q1_agg" -> (Relational.q1Agg _),
+    "q2_topk" -> (Relational.q2TopK _),
+    "q3_join" -> (Relational.q3Join _),
+    "q4_multijoin" -> (Relational.q4MultiJoin _),
+    "q5_window" -> (Relational.q5Window _),
+    "q6_distinct" -> (Relational.q6Distinct _),
+    "q7_semijoin" -> (Relational.q7SemiJoin _),
+    "q8_union_evolve" -> (Relational.q8UnionEvolve _),
+    "q9_approx" -> (Relational.q9Approx _),
+    "q10_rollup" -> (Relational.q10Rollup _)
+  )
+
+  val relationalOracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 2) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
+    "q3_join" ->
+      """SELECT c_mktsegment,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS line_cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_multijoin" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'AMERICA')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q5_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(row_number() OVER w AS INT) AS rn,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS run_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q6_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "q7_semijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q8_union_evolve" ->
+      """SELECT c_custkey AS entity_key, c_name AS name, c_nationkey AS nationkey,
+        |       c_acctbal AS acctbal, c_mktsegment AS mktsegment, 'customer' AS kind
+        |FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_nationkey, s_acctbal, CAST(NULL AS VARCHAR), 'supplier'
+        |FROM supplier
+        |ORDER BY kind, entity_key""".stripMargin,
+    "q10_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin
+  )
+
+  def all: Map[String, Q] = relational
+  def allOracle: Map[String, String] = relationalOracle
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational core: the query engine behind the reference's `scan` surface
+  * (ref: /root/reference/ice/src/main/java/com/altinity/ice/cli/internal/cmd/Scan.java:44).
+  *
+  * Plans are fully declarative DataFrame ops: Catalyst pushes filters and
+  * projections into the parquet scan, dimension sides are explicitly
+  * broadcast, and aggregations do map-side partial aggregation before the
+  * single shuffle on the group keys. All outputs carry a deterministic
+  * ORDER BY so results are stable under any parallelism.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan-filter → partial agg → final agg. One shuffle on
+    * (returnflag, linestatus); ~6 groups, so exchange traffic is tiny.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-k with deterministic tie-break — a global sort-limit that Spark
+    * executes as per-partition TakeOrdered + driver merge (no full sort).
+    */
+  def q2TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+
+  /** Fact ⋈ dim with the dim side explicitly broadcast: lineitem never
+    * shuffles for the join, only for the final small aggregation.
+    */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    lineitem
+      .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q5 shape: snowflake multi-join region⋈nation⋈customer⋈orders⋈
+    * lineitem. All dims broadcast — the 100 TB fact table is touched once,
+    * no fact-side join shuffle at all.
+    */
+  def q4MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name").isin("ASIA", "AMERICA"))
+    val nation = Tables.nation(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val dims = customer
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    lineitem
+      .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Window functions: rank + running total per customer. Single shuffle on
+    * the partition key; window order carries a tie-break so the running sum
+    * is deterministic.
+    */
+  def q5Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("run_spend"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Exact distinct counts — expands to partial-distinct aggregation so the
+    * shuffle carries only distinct keys per partition.
+    */
+  def q6Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS). Both sides reduced before the
+    * join; semi/anti avoid row duplication entirely.
+    */
+  def q7SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val bigSpenders = orders.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+    val openOrders = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    customer
+      .join(bigSpenders, col("c_custkey") === bigSpenders("o_custkey"), "left_semi")
+      .join(openOrders, col("c_custkey") === openOrders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Schema-evolved union-by-name: missing columns become NULL — the
+    * DataFrame equivalent of the reference's schema evolution on insert
+    * (ref: cli/internal/iceberg/SchemaEvolution.java).
+    */
+  def q8UnionEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir).select(
+      col("c_custkey").as("entity_key"), col("c_name").as("name"),
+      col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("mktsegment"), lit("customer").as("kind"))
+    val supplier = Tables.supplier(spark, dir).select(
+      col("s_suppkey").as("entity_key"), col("s_name").as("name"),
+      col("s_nationkey").as("nationkey"), col("s_acctbal").as("acctbal"),
+      lit("supplier").as("kind"))
+    customer.unionByName(supplier, allowMissingColumns = true)
+      .orderBy(col("kind"), col("entity_key"))
+  }
+
+  /** Sketch aggregates: HLL distinct + approximate quantiles. No exact
+    * oracle by design (rows-only check); the point is fixed-size state at
+    * any scale.
+    */
+  def q9Approx(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+
+  /** Multi-level aggregation via ROLLUP — one pass, grouping-set expansion
+    * handled by Catalyst.
+    */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("rf"), col("ls"))
+}

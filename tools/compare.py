@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: read Verify output
+parquet, run the oracle SQL in DuckDB over the same testdata tables, and
+compare (columns sorted by name, rows sorted, values hashed with float
+tolerance-free equality — i.e. the strictest plausible interpretation)."""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return repr(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(x.split("/")[-1] for x in glob.glob(f"{out_dir}/*") if not x.endswith(".json"))
+    n_pass = n_fail = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: NO OUTPUT"); n_fail += 1; continue
+        got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        got_cols = got_rel.columns
+        got = canon(got_rel.fetchall(), got_cols)
+        if name not in oracle:
+            print(f"{name}: rows-only ({len(got)} rows) {'OK' if got else 'EMPTY!'}")
+            if not got: n_fail += 1
+            else: n_pass += 1
+            continue
+        try:
+            exp_rel = con.sql(oracle[name])
+            exp_cols = exp_rel.columns
+            exp = canon(exp_rel.fetchall(), exp_cols)
+        except Exception as e:
+            print(f"{name}: ORACLE ERROR: {e}"); n_fail += 1; continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"{name}: SCHEMA MISMATCH spark={sorted(got_cols)} duck={sorted(exp_cols)}")
+            n_fail += 1; continue
+        if got == exp:
+            print(f"{name}: PASS ({len(got)} rows)"); n_pass += 1
+        else:
+            print(f"{name}: VALUE MISMATCH ({len(got)} vs {len(exp)} rows)")
+            for g, e in zip(got, exp):
+                if g != e:
+                    print(f"   first diff:\n   spark={g}\n   duck ={e}")
+                    break
+            else:
+                if len(got) != len(exp):
+                    only_g = [r for r in got if r not in exp][:2]
+                    only_e = [r for r in exp if r not in got][:2]
+                    print(f"   spark-only={only_g}\n   duck-only ={only_e}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
