@@ -1,0 +1,17 @@
+package graft
+
+/** Dev tool: print the formatted physical plan for one or more registered
+  * queries. Usage: runMain graft.Explain <sfDir> <query...>
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSeq else Queries.all.keys.toSeq.sorted
+    val spark = GraftSession.getOrCreate("graft-explain", cpus = 4)
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      Queries.all(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

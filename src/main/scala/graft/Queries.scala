@@ -95,6 +95,138 @@ object Queries {
         |ORDER BY rf, ls""".stripMargin
   )
 
-  def all: Map[String, Q] = relational
-  def allOracle: Map[String, String] = relationalOracle
+  val llm: Map[String, Q] = Map(
+    "x1_langid" -> (TextAnalysis.langIdQuery _),
+    "x2_quality" -> (TextAnalysis.qualityQuery _),
+    "x3_tokens" -> (TextAnalysis.tokensQuery _),
+    "x4_fingerprint" -> (TextAnalysis.fingerprintQuery _),
+    "d1_exact_dedup" -> (Dedup.exactDedup _),
+    "d2_minhash_sig" -> (Dedup.minhashSigQuery _),
+    "d3_minhash_lsh" -> (Dedup.minhashLshPairs _),
+    "d4_simhash" -> (Dedup.simhash _),
+    "d5_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "d6_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
+    "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d))
+  )
+
+  /** Shared DuckDB CTE: tokenization identical to TextFunctions.tokens. */
+  private val tokCte =
+    """tok AS (SELECT doc_id, source, text,
+      |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  /** Shared DuckDB CTE chain for minhash signatures (mirrors
+    * TextFunctions.shingles/minhash over 3-word shingles, 4 salts).
+    */
+  private val sigCte =
+    s"""$tokCte,
+       |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+       |  THEN list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+       |  ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
+       |sig AS (SELECT doc_id,
+       |  list_min(list_transform(shingles, s -> md5('0:' || s))) AS sig_0,
+       |  list_min(list_transform(shingles, s -> md5('1:' || s))) AS sig_1,
+       |  list_min(list_transform(shingles, s -> md5('2:' || s))) AS sig_2,
+       |  list_min(list_transform(shingles, s -> md5('3:' || s))) AS sig_3
+       |  FROM sh)""".stripMargin
+
+  val llmOracle: Map[String, String] = Map(
+    "x1_langid" ->
+      s"""WITH $tokCte,
+         |sc AS (SELECT doc_id, text,
+         |  len(list_intersect(list_distinct(t), ['the','a','an','and','of','to','is','in','that','it'])) AS s_en,
+         |  len(list_intersect(list_distinct(t), ['der','die','das','und','ist','nicht','ein','zu','mit','sich'])) AS s_de,
+         |  len(list_intersect(list_distinct(t), ['el','los','las','una','es','que','por','con','para','su'])) AS s_es,
+         |  len(list_intersect(list_distinct(t), ['le','les','des','et','est','une','dans','pour','qui','sur'])) AS s_fr
+         | FROM tok)
+         |SELECT doc_id,
+         | CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |      WHEN s_es >= s_fr THEN 'es'
+         |      ELSE 'fr' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "x2_quality" ->
+      s"""WITH $tokCte,
+         |m AS (SELECT doc_id, text, list_distinct(t) AS ts,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS ws_tokens FROM tok)
+         |SELECT doc_id,
+         | CAST(length(text) AS INT) AS n_chars_m,
+         | ws_tokens,
+         | round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |   / nullif(CAST(ws_tokens AS DOUBLE), 0), 3) AS avg_word_len,
+         | round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |   / nullif(CAST(length(text) AS DOUBLE), 0), 4) AS punct_ratio,
+         | round(CAST(len(list_intersect(ts, ['the','a','an','and','of','to','is','in','that','it'])) AS DOUBLE)
+         |   / nullif(CAST(len(ts) AS DOUBLE), 0), 4) AS stop_ratio,
+         | (ws_tokens BETWEEN 5 AND 10000
+         |   AND round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |     / nullif(CAST(ws_tokens AS DOUBLE), 0), 3) BETWEEN 2 AND 12) AS quality_ok
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "x3_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens,
+        | CAST(length(text) AS INT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x4_fingerprint" ->
+      """SELECT doc_id, substr(md5(text), 1, 16) AS fp,
+        | substr(md5(substr(text, 1, 64)), 1, 16) AS fp_head
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "d2_minhash_sig" ->
+      s"""WITH $sigCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH $sigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
+         |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
+         |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
+         |  SELECT doc_id, 3, sig_3 FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d5_ngram_jaccard" ->
+      s"""WITH $tokCte,
+         |ts AS (SELECT doc_id, source, list_distinct(t) AS t FROM tok)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 4) AS jaccard
+         |FROM ts a JOIN ts b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d6_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_dot_product(a.v, b.v)
+        |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "s1_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT * FROM e WHERE vec_id >= 5),
+        |s AS (SELECT q_id, c.vec_id AS neighbor_id,
+        |  list_dot_product(qv, v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score
+        | FROM c CROSS JOIN q),
+        |r AS (SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT) AS rank,
+        |  score FROM s)
+        |SELECT q_id, neighbor_id, rank, round(score, 4) AS score
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  )
+
+  def all: Map[String, Q] = relational ++ llm
+  def allOracle: Map[String, String] = relationalOracle ++ llmOracle
 }

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaccard similarity |A∩B| / |A∪B| of two string-array columns whose
+  * elements are already distinct (e.g. TextFunctions.tokenSet output).
+  *
+  * One hash-set build + one probe pass per pair at JVM speed; the
+  * `array_intersect`/`array_union` composition allocates two result arrays
+  * per pair and walks the expression tree — ~50× slower in pairwise joins.
+  */
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"jaccard_sim needs array<string>, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Jaccard.sim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Jaccard.sim($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared kernel for interpreted eval + generated code. */
+object Jaccard {
+  def sim(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    var j = 0
+    while (j < nb) { if (set.contains(b.getUTF8String(j))) inter += 1; j += 1 }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+}
+
+object SetFunctions {
+  /** Codegen'd Jaccard similarity of two distinct-element string arrays. */
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

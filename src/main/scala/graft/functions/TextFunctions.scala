@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for corpus processing, built exclusively from codegen'd
+  * built-in functions (no UDFs) so they stay inside whole-stage codegen and
+  * are exactly reproducible in the DuckDB oracle.
+  *
+  * Hashing is md5-based: a min-wise family over lexicographic order of hex
+  * digests, which any engine reproduces bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric word tokens (empty strings filtered). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), x => x =!= "")
+
+  /** Distinct token set (for Jaccard-style set similarity). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Sliding word n-gram shingles; documents shorter than n collapse to a
+    * single whole-document shingle. Backed by the codegen'd
+    * [[WordShingles]] expression (see TextExpressions.scala).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    TextExpressions.wordShingles(toks, n)
+
+  /** MinHash signature k: lexicographic min over salted md5 digests of the
+    * shingle set. Computed map-side; fixed-size state regardless of doc
+    * length.
+    */
+  def minhash(shingleCol: Column, k: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$k:"), s))))
+
+  /** Whitespace-token count (standard "word count"). */
+  def wsTokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish token estimate: letter runs, single digits, punctuation marks —
+    * the shape of a GPT-2-style pre-tokenizer.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"))
+
+  /** Stopword-hit score for language ID: distinct-token overlap with a
+    * per-language marker list.
+    */
+  def stopwordScore(tokSet: Column, words: Seq[String]): Column =
+    size(array_intersect(tokSet, typedLit(words)))
+
+  val enStop = Seq("the", "a", "an", "and", "of", "to", "is", "in", "that", "it")
+  val deStop = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "sich")
+  val esStop = Seq("el", "los", "las", "una", "es", "que", "por", "con", "para", "su")
+  val frStop = Seq("le", "les", "des", "et", "est", "une", "dans", "pour", "qui", "sur")
+
+  /** CJK character count (Han block) — the zh signal. */
+  def cjkCount(text: Column): Column = regexp_count(text, lit("[\\u4e00-\\u9fff]"))
+
+  /** Heuristic language ID: CJK density wins outright, else stopword-score
+    * argmax with deterministic tie order en > de > es > fr.
+    */
+  def langId(text: Column): Column = {
+    val ts = tokenSet(text)
+    val (en, de, es, fr) = (
+      stopwordScore(ts, enStop), stopwordScore(ts, deStop),
+      stopwordScore(ts, esStop), stopwordScore(ts, frStop))
+    when(cjkCount(text) > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** 64-bit document fingerprint as hex (md5 prefix — portable + uniform). */
+  def fingerprint(text: Column): Column = substring(md5(text), 1, 16)
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication suite for corpus curation: exact, MinHash+LSH, n-gram
+  * Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant reduces to ONE equi-shuffle on a compact key
+  * (content hash / LSH band key / blocking key) before any pairwise work, so
+  * candidate generation is O(collisions), never O(n²). Signatures are
+  * computed map-side from built-ins (stay in whole-stage codegen).
+  */
+object Dedup {
+
+  val NumHashes = 4
+
+  /** d1: exact dedup — md5 content hash, keep the smallest doc_id. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_cnt"))
+      .orderBy(col("h"))
+
+  /** MinHash signatures over 3-word shingles.
+    *
+    * Shingles are exploded into rows so the salted md5 + min-aggregation run
+    * inside whole-stage codegen — the interpreted higher-order-function form
+    * (`array_min(transform(...))`) is ~75× slower. Partial min aggregation
+    * makes the shuffle one row per doc regardless of doc length.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(
+      col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+    val aggs = (0 until NumHashes).map(k =>
+      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"sig_$k"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** d2: the signature table itself. */
+  def minhashSigQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** d3: LSH candidate pairs — docs sharing any band (band = one signature
+    * here). Explode to (band, sig) then a single equi-join on the band key:
+    * shuffle volume is rows × bands, join output only true collisions.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(Tables.documents(spark, dir))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until NumHashes).map(k => col(s"sig_$k")): _*)).as(Seq("band", "sig")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d5: n-gram Jaccard verification on blocked candidate pairs (blocking
+    * key = source). |A∩B| / |A∪B| over distinct unigram sets.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokenSet(col("text")).as("t"))
+    val a = tok.as("a")
+    val b = tok.as("b")
+    // Codegen'd set kernel: |A∩B| / (|A|+|B|-|A∩B|) — integer-identical to
+    // the oracle's len(list_intersect)/len(list_distinct(list_concat)).
+    val jac = graft.functions.SetFunctions.jaccardSim(col("a.t"), col("b.t"))
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .where(jac >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(jac, 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d6: embedding-cosine near-dup pairs within a blocking key (label).
+    *
+    * Norms are precomputed map-side (once per vector, not once per pair) and
+    * the pairwise dot product is the codegen'd [[graft.functions.DotProduct]]
+    * expression — the arithmetic (dot / (na*nb), sequential sums) matches the
+    * DuckDB oracle bit-for-bit.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, dot, norm}
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = e.as("a")
+    val b = e.as("b")
+    val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .where(cos >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cos, 4).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** d4: 60-bit SimHash over per-token md5-derived hashes. Token hashes are
+    * materialized once into an array column; the 60 per-bit signed sums then
+    * reuse it. Verified by unit spec + rows-only check (bit arithmetic has
+    * no clean SQL oracle).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val withHashes = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        transform(tokens(col("text")),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("hs"))
+    val sim = (0 until 60).map { bit =>
+      val signedSum = aggregate(col("hs"), lit(0),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(signedSum > 0, lit(1L << bit)).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+    withHashes.select(col("doc_id"), sim.as("simhash60")).orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-pairs: hamming distance ≤ maxDist, candidates blocked by
+    * 4-way band split of the fingerprint (docs agreeing on any 15-bit band).
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 8): DataFrame = {
+    val sh = simhash(spark, dir)
+    val bands = sh.select(col("doc_id"), col("simhash60"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash60"), i * 15).bitwiseAND(lit(0x7fffL))): _*))
+        .as(Seq("band", "key")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val dist = bit_count(col("a.simhash60").bitwiseXOR(col("b.simhash60")))
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .where(dist <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        dist.as("hamming"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{asDouble, dot, norm}
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * - Brute force: broadcast the (small) query set against the corpus — one
+  *   scan, no shuffle on the corpus side, window top-k per query.
+  * - LSH: random-hyperplane signatures bucket the corpus so the join is an
+  *   equi-join on (bucket); at 100 TB candidate count is O(bucket size ×
+  *   queries), not O(n).
+  *
+  * Norms are precomputed per vector; the pairwise score is the codegen'd
+  * [[graft.functions.DotProduct]] — per-pair cost is one fused loop.
+  */
+object Similarity {
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  private def topK(candidates: DataFrame, queries: DataFrame, joinCols: Seq[String], k: Int): DataFrame = {
+    val cos = dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    val joined =
+      if (joinCols.isEmpty) candidates.join(broadcast(queries))
+      else candidates.join(broadcast(queries), joinCols)
+    joined
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), cos.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"), round(col("score"), 4).as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s1: exact top-k neighbors for query vectors (vec_id < 5) over the rest
+    * of the corpus. Deterministic order: score desc, neighbor id asc.
+    */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    topK(e.filter(col("vec_id") >= 5), queries, Seq.empty, k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * md5-derived uniform in [-0.5, 0.5). Computed once on the driver —
+    * hyperplanes are constants, not per-row expressions.
+    */
+  private def hyperplane(b: Int, dims: Int): Array[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { d =>
+      val hex = digest.digest(s"$b:$d".getBytes("UTF-8"))
+        .take(3).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0 - 0.5
+    }.toArray
+  }
+
+  /** Random-hyperplane LSH signature: sign bits of dot products with
+    * `nBits` hyperplanes, each a literal array so the per-vector cost is
+    * nBits codegen'd dot products.
+    */
+  def lshBucket(spark: SparkSession, dir: String, nBits: Int = 8, dims: Int = 64): DataFrame = {
+    val e = vectors(spark, dir)
+    val bucket = (0 until nBits).map { b =>
+      val h = typedLit(hyperplane(b, dims))
+      when(dot(col("v"), h) >= 0, lit(1L << b)).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+    e.select(col("vec_id"), col("label"), col("v"), col("nrm"), bucket.as("bucket"))
+  }
+
+  /** s2: LSH-bucketed ANN — candidates share the query's bucket; exact
+    * cosine re-rank inside the bucket only.
+    */
+  def lshAnn(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val bucketed = lshBucket(spark, dir)
+    val queries = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("bucket"))
+    topK(bucketed.filter(col("vec_id") >= 5), queries, Seq("bucket"), k)
+  }
+}

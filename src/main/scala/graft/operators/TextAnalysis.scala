@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: language ID, quality
+  * scoring, token counting, fingerprinting. All single-pass, map-only plans
+  * (no shuffle except the final presentation sort) — at 100 TB these run at
+  * scan speed.
+  */
+object TextAnalysis {
+
+  /** x1: heuristic language identification. */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** x2: quality scoring — length, word-shape, stopword signals + gate. */
+  def qualityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val ws = wsTokenCount(col("text"))
+    val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    val awl = round(alphaChars.cast("double") / nullif(ws.cast("double"), lit(0.0)), 3)
+    val stopHits = stopwordScore(tokenSet(col("text")), enStop)
+    val distinctToks = size(tokenSet(col("text")))
+    d.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      ws.as("ws_tokens"),
+      awl.as("avg_word_len"),
+      round(regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+        nullif(length(col("text")).cast("double"), lit(0.0)), 4).as("punct_ratio"),
+      round(stopHits.cast("double") / nullif(distinctToks.cast("double"), lit(0.0)), 4)
+        .as("stop_ratio"),
+      (ws.between(5, 10000) && awl.between(2.0, 12.0)).as("quality_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x3: token counting — whitespace words + BPE-ish estimate. */
+  def tokensQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        bpeTokenCount(col("text")).as("bpe_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy(col("doc_id"))
+
+  /** x4: document fingerprints (full doc + head-64 prefix fingerprint). */
+  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        fingerprint(substring(col("text"), 1, 64)).as("fp_head"))
+      .orderBy(col("doc_id"))
+}

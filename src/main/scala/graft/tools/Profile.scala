@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft._
+import graft.operators._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** Scratch micro-profiler for operator variants. */
+object Profile {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.getOrCreate("graft-profile", cpus = 8)
+    import spark.implicits._
+
+    time("warmup")(Tables.documents(spark, dir).count())
+    time("d2 sigs only")(Dedup.minhashSigQuery(spark, dir).count())
+    val sigs = Dedup.minhashSignatures(Tables.documents(spark, dir))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(k => col(s"sig_$k")): _*)).as(Seq("band", "sig")))
+    time("bands explode only")(bands.count())
+    time("d3 full")(Dedup.minhashLshPairs(spark, dir).count())
+    val cached = bands.persist()
+    time("bands cached")(cached.count())
+    val a = cached.as("a"); val b = cached.as("b")
+    time("d3 join on cached")(
+      a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count())
+
+    time("d6 full")(Dedup.embeddingNearDup(spark, dir).count())
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withNorm = e.withColumn("norm",
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))).persist()
+    time("d6 norms cached")(withNorm.count())
+    val ea = withNorm.as("a"); val eb = withNorm.as("b")
+    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (p, q) => p * q), lit(0.0), (s, x) => s + x)
+    time("d6 join w/ precomputed norms")(
+      ea.join(eb, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .where(dot / (col("a.norm") * col("b.norm")) >= 0.35).count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-test", cpus = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("simhash is deterministic and 60-bit bounded") {
+    val rows = Dedup.simhash(spark, dir).collect()
+    assert(rows.length > 0)
+    assert(rows.forall { r =>
+      val v = r.getLong(1); v >= 0 && v < (1L << 60)
+    })
+    val again = Dedup.simhash(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("simhash pairs have hamming distance within bound") {
+    val pairs = Dedup.simhashPairs(spark, dir, maxDist = 8).collect()
+    assert(pairs.forall(r => r.getInt(2) <= 8), "hamming bound respected")
+  }
+
+  test("lsh ann results are a subset-quality approximation of brute force") {
+    val exact = Similarity.cosineTopK(spark, dir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshAnn(spark, dir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(approx.nonEmpty, "lsh ann returns candidates")
+    // Every LSH result must be a genuine candidate (same bucket ⊆ corpus);
+    // recall vs brute force should be nonzero on 500 vectors.
+    val recall = approx.count(exact.contains).toDouble / exact.size
+    assert(recall > 0.0, s"recall=$recall")
+  }
+
+  test("approx sketches land within configured error of exact") {
+    val row = Relational.q9Approx(spark, dir).collect()(0)
+    val exact = Relational.q6Distinct(spark, dir).collect()(0)
+    val approxParts = row.getLong(0).toDouble
+    val exactParts = exact.getLong(0).toDouble
+    assert(math.abs(approxParts - exactParts) / exactParts < 0.05)
+  }
+
+  test("minhash lsh candidates include high-shingle-jaccard pairs (recall sanity)") {
+    // Recall must be measured in minhash's own similarity space: Jaccard
+    // over the 3-word shingle sets it sketches (NOT unigram Jaccard — the
+    // corpus' word-permutation near-dups are invisible to shingles, by
+    // design). P[collision | s=0.9, 4 one-row bands] = 1-(1-s)^4 ≈ 0.9999.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val sh = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("s"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("double")
+    val union = size(array_union(col("a.s"), col("b.s"))).cast("double")
+    val nearDups = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .where(inter / union >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cand = Dedup.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (nearDups.nonEmpty) {
+      val recall = nearDups.count(cand.contains).toDouble / nearDups.length
+      assert(recall >= 0.9, s"minhash recall on >=0.9-shingle-jaccard pairs: $recall")
+    }
+  }
+}
