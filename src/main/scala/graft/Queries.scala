@@ -227,6 +227,44 @@ object Queries {
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   )
 
-  def all: Map[String, Q] = relational ++ llm
-  def allOracle: Map[String, String] = relationalOracle ++ llmOracle
+  val tableMeta: Map[String, Q] = Map(
+    "t1_partition_values" -> (TableMeta.partitionValues _),
+    "t2_bucket_transform" -> (TableMeta.bucketTransform _),
+    "t3_list_partitions" -> (TableMeta.listPartitions _),
+    "t4_describe_stats" -> (TableMeta.describeStats _),
+    "t5_delete_predicate" -> (TableMeta.deleteSurvivors _),
+    "t6_sorted_scan" -> (TableMeta.sortedScan _)
+  )
+
+  val tableMetaOracle: Map[String, String] = Map(
+    "t1_partition_values" ->
+      """SELECT CAST(year(l_shipdate) - 1970 AS INT) AS p_year,
+        | CAST((year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS INT) AS p_month,
+        | CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS INT) AS p_day,
+        | l_partkey - (l_partkey % 100) AS p_part_trunc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "t3_list_partitions" ->
+      """SELECT CAST(year(l_shipdate) - 1970 AS INT) AS p_year, l_returnflag,
+        | count(*) AS record_count, count(DISTINCT l_orderkey) AS order_count
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t4_describe_stats" ->
+      """SELECT count(*) AS row_cnt,
+        | min(l_orderkey) AS orderkey_min, max(l_orderkey) AS orderkey_max,
+        | CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_nulls,
+        | round(min(l_quantity), 2) AS qty_min, round(max(l_quantity), 2) AS qty_max,
+        | min(l_returnflag) AS flag_min, max(l_returnflag) AS flag_max,
+        | CAST(min(l_shipdate) AS DATE) AS ship_min, CAST(max(l_shipdate) AS DATE) AS ship_max
+        |FROM lineitem""".stripMargin,
+    "t5_delete_predicate" ->
+      """SELECT count(*) AS remaining, round(sum(l_quantity), 2) AS remaining_qty
+        |FROM lineitem
+        |WHERE NOT ((year(l_shipdate) - 1970 = 26) OR (l_quantity > 45))""".stripMargin,
+    "t6_sorted_scan" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+        |FROM lineitem ORDER BY ship_date, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+  )
+
+  def all: Map[String, Q] = relational ++ llm ++ tableMeta
+  def allOracle: Map[String, String] = relationalOracle ++ llmOracle ++ tableMetaOracle
 }

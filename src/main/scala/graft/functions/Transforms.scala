@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg partition transforms, Spark-native.
+  *
+  * Semantics follow the Iceberg table spec (reference behavior:
+  * /root/reference/ice/src/main/java/com/altinity/ice/cli/internal/iceberg/Partitioning.java:86-140):
+  *   - year/month/day/hour: time units since 1970-01-01 as INT
+  *   - truncate[W]: value - (value mod W) for ints, substring for strings
+  *   - bucket[N]: (murmur3_x86_32(bytes(v)) & Int.MaxValue) % N with the
+  *     spec's byte layouts (long little-endian for int/long/date/ts,
+  *     UTF-8 for string), seed 0
+  *
+  * year/month/day/hour/truncate compose from built-ins (codegen'd, and
+  * reproducible in any SQL oracle); bucket is a custom codegen'd
+  * expression with its own murmur3 kernel verified against the spec's
+  * test vectors (Iceberg spec, Appendix B).
+  */
+object Transforms {
+
+  /** Years since 1970, as Iceberg's `year` transform. */
+  def yearT(ts: Column): Column = (year(ts) - 1970).as("p_year")
+
+  /** Months since 1970-01. */
+  def monthT(ts: Column): Column = ((year(ts) - 1970) * 12 + month(ts) - 1).as("p_month")
+
+  /** Days since epoch. */
+  def dayT(ts: Column): Column = datediff(to_date(ts), to_date(lit("1970-01-01"))).as("p_day")
+
+  /** Hours since epoch. */
+  def hourT(ts: Column): Column =
+    floor(unix_timestamp(ts) / 3600).cast("int").as("p_hour")
+
+  /** Truncate: ints to multiple-of-width, strings to prefix. */
+  def truncateT(c: Column, width: Int, isString: Boolean = false): Column =
+    if (isString) substring(c, 1, width)
+    else c - pmod(c, lit(width))
+
+  /** Iceberg bucket transform as a Column. */
+  def bucketT(c: Column, n: Int): Column =
+    ColumnBridge.column(IcebergBucket(ColumnBridge.expression(c), n))
+}
+
+/** murmur3_x86_32 (public MurmurHash3 algorithm, Austin Appleby) with the
+  * Iceberg spec's byte layouts. Own implementation so tail-byte handling is
+  * exactly the reference algorithm, independent of Spark's internal variant.
+  */
+object IcebergHash {
+
+  private def mixK1(k1In: Int): Int = {
+    var k1 = k1In
+    k1 *= 0xcc9e2d51
+    k1 = Integer.rotateLeft(k1, 15)
+    k1 * 0x1b873593
+  }
+
+  private def mixH1(h1In: Int, k1: Int): Int = {
+    var h1 = h1In ^ k1
+    h1 = Integer.rotateLeft(h1, 13)
+    h1 * 5 + 0xe6546b64
+  }
+
+  private def fmix(h1In: Int, length: Int): Int = {
+    var h1 = h1In ^ length
+    h1 ^= h1 >>> 16
+    h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35
+    h1 ^ (h1 >>> 16)
+  }
+
+  /** murmur3_x86_32 of the 8 little-endian bytes of v, seed 0 — the spec's
+    * hash for int/long/date/time/timestamp.
+    */
+  def hashLong(v: Long): Int = {
+    val lo = (v & 0xffffffffL).toInt
+    val hi = ((v >>> 32) & 0xffffffffL).toInt
+    var h1 = mixH1(0, mixK1(lo))
+    h1 = mixH1(h1, mixK1(hi))
+    fmix(h1, 8)
+  }
+
+  /** murmur3_x86_32 over arbitrary bytes (UTF-8 strings, binary), seed 0. */
+  def hashBytes(data: Array[Byte]): Int = {
+    val len = data.length
+    val nblocks = len / 4
+    var h1 = 0
+    var i = 0
+    while (i < nblocks) {
+      val base = i * 4
+      val k1 = (data(base) & 0xff) | ((data(base + 1) & 0xff) << 8) |
+        ((data(base + 2) & 0xff) << 16) | ((data(base + 3) & 0xff) << 24)
+      h1 = mixH1(h1, mixK1(k1))
+      i += 1
+    }
+    var k1 = 0
+    val tailStart = nblocks * 4
+    (len & 3) match {
+      case 3 =>
+        k1 ^= (data(tailStart + 2) & 0xff) << 16
+        k1 ^= (data(tailStart + 1) & 0xff) << 8
+        k1 ^= data(tailStart) & 0xff
+      case 2 =>
+        k1 ^= (data(tailStart + 1) & 0xff) << 8
+        k1 ^= data(tailStart) & 0xff
+      case 1 =>
+        k1 ^= data(tailStart) & 0xff
+      case _ =>
+    }
+    if ((len & 3) != 0) h1 ^= mixK1(k1)
+    fmix(h1, len)
+  }
+
+  def bucket(hash: Int, n: Int): Int = (hash & Integer.MAX_VALUE) % n
+
+  def bucketLong(v: Long, n: Int): Int = bucket(hashLong(v), n)
+  def bucketString(s: UTF8String, n: Int): Int = bucket(hashBytes(s.getBytes), n)
+  def bucketBinary(b: Array[Byte], n: Int): Int = bucket(hashBytes(b), n)
+}
+
+/** bucket[N] as a codegen'd unary expression over int/long/date/timestamp/
+  * string/binary columns.
+  */
+case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case IntegerType | LongType | DateType | TimestampType | StringType | BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"bucket[] unsupported for $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case IntegerType => IcebergHash.bucketLong(input.asInstanceOf[Int].toLong, n)
+    case DateType => IcebergHash.bucketLong(input.asInstanceOf[Int].toLong, n)
+    case LongType | TimestampType => IcebergHash.bucketLong(input.asInstanceOf[Long], n)
+    case StringType => IcebergHash.bucketString(input.asInstanceOf[UTF8String], n)
+    case BinaryType => IcebergHash.bucketBinary(input.asInstanceOf[Array[Byte]], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => child.dataType match {
+      case IntegerType | DateType => s"graft.functions.IcebergHash.bucketLong((long) $c, $n)"
+      case LongType | TimestampType => s"graft.functions.IcebergHash.bucketLong($c, $n)"
+      case StringType => s"graft.functions.IcebergHash.bucketString($c, $n)"
+      case BinaryType => s"graft.functions.IcebergHash.bucketBinary($c, $n)"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

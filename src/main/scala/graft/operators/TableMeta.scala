@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Transforms._
+import graft.sources.Tables
+
+/** The reference's metadata/introspection surface as distributed queries:
+  * partition transforms, partition listing, column stats, predicate delete,
+  * sorted scan (refs: cmd/ListPartitions.java, cmd/DescribeParquet.java,
+  * cmd/Delete.java, internal/iceberg/Sorting.java).
+  *
+  * At catalog level these run against manifest metadata (see
+  * graft.catalog.IceCatalog); expressed over raw tables they are the
+  * fallback path — and the oracle-checkable definition of the semantics.
+  */
+object TableMeta {
+
+  /** t1: Iceberg time/truncate transforms as partition values, with counts.
+    * This is exactly the partition layout ice computes on insert
+    * (Partitioning.java:86).
+    */
+  def partitionValues(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(
+        yearT(col("l_shipdate")),
+        monthT(col("l_shipdate")),
+        dayT(col("l_shipdate")),
+        truncateT(col("l_partkey"), 100).as("p_part_trunc"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("p_year"), col("p_month"), col("p_day"), col("p_part_trunc"))
+
+  /** t2: bucket[N] transform distribution (custom murmur3 expression — no
+    * SQL oracle; kernel is spec-vector tested).
+    */
+  def bucketTransform(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(
+        bucketT(col("l_orderkey"), 16).as("b_orderkey"),
+        bucketT(col("l_returnflag"), 4).as("b_flag"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("b_orderkey"), col("b_flag"))
+
+  /** t3: partition listing — (partition value → record count), the
+    * distributed ListPartitions.
+    */
+  def listPartitions(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(yearT(col("l_shipdate")), col("l_returnflag"))
+      .agg(count(lit(1)).as("record_count"),
+        countDistinct(col("l_orderkey")).as("order_count"))
+      .orderBy(col("p_year"), col("l_returnflag"))
+
+  /** t4: per-column stats — min/max/null-count/row-count, the distributed
+    * Describe/DescribeParquet summary.
+    */
+  def describeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("row_cnt"),
+        min(col("l_orderkey")).as("orderkey_min"),
+        max(col("l_orderkey")).as("orderkey_max"),
+        sum(col("l_orderkey").isNull.cast("long")).as("orderkey_nulls"),
+        round(min(col("l_quantity")), 2).as("qty_min"),
+        round(max(col("l_quantity")), 2).as("qty_max"),
+        min(col("l_returnflag")).as("flag_min"),
+        max(col("l_returnflag")).as("flag_max"),
+        to_date(min(col("l_shipdate"))).as("ship_min"),
+        to_date(max(col("l_shipdate"))).as("ship_max"))
+
+  /** t5: predicate delete → surviving rows (the engine path that
+    * IceCatalog.delete uses for copy-on-write rewrite; Delete.java:41).
+    * Predicate: partition year(l_shipdate) ∈ {1996} OR quantity > 45.
+    */
+  def deleteSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val deletePred = (yearT(col("l_shipdate")) === lit(26)) || (col("l_quantity") > 45)
+    Tables.lineitem(spark, dir)
+      .filter(!deletePred)
+      .agg(count(lit(1)).as("remaining"),
+        round(sum(col("l_quantity")), 2).as("remaining_qty"))
+  }
+
+  /** t6: sort-order scan — deterministic multi-column sort + projection
+    * (Sorting.java semantics; at insert time this is sortWithinPartitions).
+    */
+  def sortedScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_date"),
+        col("l_quantity"))
+      .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.IcebergHash
+
+/** Iceberg spec Appendix B "32-bit Hash Requirements" test vectors —
+  * published expected values for murmur3_x86_32 with the spec byte layouts.
+  */
+class TransformsSpec extends AnyFunSuite {
+
+  test("hashLong matches spec vectors for int/long 34") {
+    assert(IcebergHash.hashLong(34L) == 2017239379)
+  }
+
+  test("hashBytes matches spec vector for string 'iceberg'") {
+    assert(IcebergHash.hashBytes("iceberg".getBytes("UTF-8")) == 1210000089)
+  }
+
+  test("hashLong matches spec vector for date 2017-11-16 (17486 days)") {
+    assert(IcebergHash.hashLong(17486L) == -653330422)
+  }
+
+  test("hashLong matches spec vector for timestamp 2017-11-16T22:31:08 in micros") {
+    assert(IcebergHash.hashLong(1510871468000000L) == -2047944441)
+  }
+
+  test("bucket is non-negative mod n") {
+    (1 to 100).foreach { v =>
+      val b = IcebergHash.bucketLong(v.toLong, 16)
+      assert(b >= 0 && b < 16)
+    }
+  }
+}
