@@ -233,7 +233,9 @@ object Queries {
     "t3_list_partitions" -> (TableMeta.listPartitions _),
     "t4_describe_stats" -> (TableMeta.describeStats _),
     "t5_delete_predicate" -> (TableMeta.deleteSurvivors _),
-    "t6_sorted_scan" -> (TableMeta.sortedScan _)
+    "t6_sorted_scan" -> (TableMeta.sortedScan _),
+    "t7_files" -> (CatalogOps.filesQuery _),
+    "t8_time_travel" -> (CatalogOps.timeTravelQuery _)
   )
 
   val tableMetaOracle: Map[String, String] = Map(
@@ -262,7 +264,15 @@ object Queries {
         |WHERE NOT ((year(l_shipdate) - 1970 = 26) OR (l_quantity > 45))""".stripMargin,
     "t6_sorted_scan" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, l_quantity
-        |FROM lineitem ORDER BY ship_date, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+        |FROM lineitem ORDER BY ship_date, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "t7_files" ->
+      """SELECT CAST(year(l_shipdate) - 1970 AS INT) AS p_year, count(*) AS record_count
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t8_time_travel" ->
+      """SELECT count(*) AS rows_v1,
+        | CAST(count(*) FILTER (WHERE NOT (year(l_shipdate) - 1970 = 26)) AS BIGINT)
+        |   AS rows_after_delete
+        |FROM lineitem""".stripMargin
   )
 
   def all: Map[String, Q] = relational ++ llm ++ tableMeta

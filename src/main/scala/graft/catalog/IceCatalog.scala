@@ -1,0 +1,484 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.functions.Transforms
+
+/** Spark-native lakehouse table format with the reference's catalog
+  * semantics (Altinity/ice + Iceberg REST catalog surface, re-expressed):
+  * namespaces, tables, snapshot log with atomic commits, partition-transform
+  * layouts, in-partition sort orders, skip-duplicate inserts, file-level
+  * predicate delete (copy-on-write), time travel, schema evolution, and
+  * manifest column stats used for scan-time file pruning.
+  *
+  * Layout (all metadata driver-side JSON, O(files) — data stays distributed):
+  * {{{
+  *   root/<ns>/<table>/
+  *     metadata/v<N>.json       table metadata incl. full snapshot log
+  *     metadata/version-hint.txt
+  *     data/<commit-uuid>/...   parquet, hive-style partition dirs
+  * }}}
+  *
+  * Commits are optimistic: v<N+1>.json is created with an atomic
+  * create-new; a concurrent writer losing the race re-reads and retries.
+  * (Reference behavior: cmd/Insert.java:110, cmd/Delete.java:41,
+  * cmd/CreateTable.java, ice-rest-catalog's etcd commit protocol.)
+  */
+object IceCatalog {
+
+  case class PartitionField(column: String, transform: String, name: String)
+  case class SortField(column: String, desc: Boolean = false, nullsFirst: Boolean = false)
+  case class ColStats(min: String, max: String, nullCount: Long)
+  case class DataFileMeta(
+      path: String,
+      rowCount: Long,
+      bytes: Long,
+      partition: Map[String, String],
+      stats: Map[String, ColStats])
+  case class Snapshot(
+      id: Long,
+      parentId: Long,
+      timestampMs: Long,
+      operation: String,
+      files: Seq[DataFileMeta],
+      sourceFiles: Seq[String])
+  case class TableMeta(
+      name: String,
+      schemaJson: String,
+      partitionSpec: Seq[PartitionField],
+      sortOrder: Seq[SortField],
+      snapshots: Seq[Snapshot],
+      currentSnapshotId: Long) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    def current: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
+    def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
+  }
+
+  /** Partition predicate ops — mirrors the reference Delete.PartitionFilter
+    * (Delete.java:129-137).
+    */
+  sealed trait Op
+  object Op {
+    case object Eq extends Op; case object Lt extends Op; case object Gt extends Op
+    case object Le extends Op; case object Ge extends Op
+  }
+  case class PartitionFilter(name: String, op: Op, values: Seq[String])
+
+  case class InsertOptions(
+      skipDuplicates: Boolean = false,
+      forceDuplicates: Boolean = false,
+      noCommit: Boolean = false)
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+}
+
+class IceCatalog(spark: SparkSession, root: String) {
+  import IceCatalog._
+
+  private def rootPath: Path = Paths.get(root)
+
+  // ---- namespaces -------------------------------------------------------
+
+  def createNamespace(ns: String): Unit = Files.createDirectories(rootPath.resolve(ns))
+
+  def listNamespaces(): Seq[String] =
+    if (!Files.isDirectory(rootPath)) Seq.empty
+    else Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  def dropNamespace(ns: String): Unit = {
+    val p = rootPath.resolve(ns)
+    require(listTables(ns).isEmpty, s"namespace $ns is not empty")
+    if (Files.isDirectory(p)) Files.delete(p)
+  }
+
+  // ---- tables -----------------------------------------------------------
+
+  private def tableDir(ident: String): Path = {
+    val parts = ident.split('.')
+    require(parts.length == 2, s"table identifier must be ns.table, got $ident")
+    rootPath.resolve(parts(0)).resolve(parts(1))
+  }
+
+  def listTables(ns: String): Seq[String] = {
+    val p = rootPath.resolve(ns)
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .filter(d => Files.isDirectory(d.resolve("metadata")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def tableExists(ident: String): Boolean =
+    Files.isDirectory(tableDir(ident).resolve("metadata"))
+
+  def createTable(
+      ident: String,
+      schema: StructType,
+      partitionSpec: Seq[PartitionField] = Seq.empty,
+      sortOrder: Seq[SortField] = Seq.empty): Unit = {
+    require(!tableExists(ident), s"table $ident already exists")
+    val dir = tableDir(ident)
+    Files.createDirectories(dir.resolve("metadata"))
+    Files.createDirectories(dir.resolve("data"))
+    val meta = TableMeta(ident, schema.json, partitionSpec, sortOrder,
+      snapshots = Seq.empty, currentSnapshotId = -1L)
+    writeVersion(dir, 1, meta)
+  }
+
+  def dropTable(ident: String, purge: Boolean = true): Unit = {
+    val dir = tableDir(ident)
+    if (Files.isDirectory(dir)) {
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  def loadMeta(ident: String): TableMeta = {
+    val dir = tableDir(ident)
+    val v = currentVersion(dir)
+    require(v > 0, s"table $ident does not exist")
+    mapper.readValue(dir.resolve("metadata").resolve(s"v$v.json").toFile, classOf[TableMeta])
+  }
+
+  private def currentVersion(dir: Path): Int = {
+    val hint = dir.resolve("metadata").resolve("version-hint.txt")
+    if (Files.exists(hint)) Files.readString(hint).trim.toInt else 0
+  }
+
+  private def writeVersion(dir: Path, version: Int, meta: TableMeta): Unit = {
+    val target = dir.resolve("metadata").resolve(s"v$version.json")
+    val tmp = dir.resolve("metadata").resolve(s".v$version.json.tmp")
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    // CREATE_NEW on the final name = the optimistic lock (fails if a
+    // concurrent writer committed this version first).
+    try Files.move(tmp, target)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      Files.delete(tmp)
+      throw new IllegalStateException(s"commit conflict on v$version", e)
+    }
+    Files.writeString(dir.resolve("metadata").resolve("version-hint.txt"), version.toString)
+  }
+
+  private def commit(ident: String, f: TableMeta => TableMeta, retries: Int = 3): TableMeta = {
+    val dir = tableDir(ident)
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(dir)
+      val meta = loadMeta(ident)
+      val updated = f(meta)
+      try {
+        writeVersion(dir, v + 1, updated)
+        return updated
+      } catch {
+        case e: IllegalStateException if attempt < retries => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  // ---- insert -----------------------------------------------------------
+
+  /** Column expression for one partition field. */
+  private def transformCol(f: PartitionField, schema: StructType): Column = {
+    val c = col(f.column)
+    val bucketRe = "bucket\\[(\\d+)\\]".r
+    val truncRe = "truncate\\[(\\d+)\\]".r
+    f.transform.toLowerCase match {
+      case "identity" | "" => c
+      case "year" => Transforms.yearT(c)
+      case "month" => Transforms.monthT(c)
+      case "day" => Transforms.dayT(c)
+      case "hour" => Transforms.hourT(c)
+      case bucketRe(n) => Transforms.bucketT(c, n.toInt)
+      case truncRe(w) =>
+        val isString = schema(f.column).dataType.typeName == "string"
+        Transforms.truncateT(c, w.toInt, isString)
+      case other => throw new IllegalArgumentException(s"unknown transform $other")
+    }
+  }
+
+  /** Insert a DataFrame as one new snapshot.
+    *
+    * Distributed write path: derive partition-value columns from the spec,
+    * hash-repartition on them (one shuffle — co-locates each partition's
+    * rows), sort within partitions by the table sort order, write hive-style
+    * partition dirs under a fresh commit UUID. Per-file stats are gathered
+    * with one distributed pass over the new files, grouped by file name.
+    *
+    * skip/forceDuplicates match `ice insert` flags: duplicate = source file
+    * already recorded in any snapshot (Insert.java:110-240); noCommit writes
+    * data but skips the metadata commit (`--no-commit`).
+    */
+  def insert(ident: String, df: DataFrame, options: InsertOptions = InsertOptions()): TableMeta = {
+    val meta = loadMeta(ident)
+    val schema = meta.schema
+    val known = meta.snapshots.flatMap(_.sourceFiles).toSet
+    val incoming = df.inputFiles.toSeq.sorted
+    val dupes = incoming.filter(known.contains)
+    val toInsert =
+      if (options.forceDuplicates || dupes.isEmpty) df
+      else if (options.skipDuplicates) {
+        if (dupes.toSet == incoming.toSet) return meta
+        df.filter(!input_file_name().isin(dupes: _*))
+      } else throw new IllegalStateException(
+        s"duplicate source files (use skipDuplicates or forceDuplicates): ${dupes.take(3)}")
+
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = tableDir(ident).resolve("data").resolve(commitId)
+    val partNames = meta.partitionSpec.map(_.name)
+    val withParts = meta.partitionSpec.foldLeft(toInsert) { (d, f) =>
+      d.withColumn(f.name, transformCol(f, schema))
+    }
+    val sortCols = partNames.map(col) ++ meta.sortOrder.map { s =>
+      val c = col(s.column)
+      (s.desc, s.nullsFirst) match {
+        case (false, false) => c.asc_nulls_last
+        case (false, true) => c.asc_nulls_first
+        case (true, false) => c.desc_nulls_last
+        case (true, true) => c.desc_nulls_first
+      }
+    }
+    val arranged =
+      if (partNames.nonEmpty)
+        withParts.repartition(partNames.map(col): _*).sortWithinPartitions(sortCols: _*)
+      else if (sortCols.nonEmpty) withParts.sortWithinPartitions(sortCols: _*)
+      else withParts
+    val writer = arranged.write.mode("append")
+    (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
+      .parquet(dataDir.toString)
+
+    val files = collectFileMeta(dataDir.toString, schema, partNames)
+    if (options.noCommit) return meta
+    commit(ident, m => {
+      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(), "append",
+        (m.current.map(_.files).getOrElse(Seq.empty)) ++ files,
+        (m.snapshots.flatMap(_.sourceFiles).distinct ++ incoming).distinct)
+      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
+    })
+  }
+
+  /** One distributed pass over freshly written files: per-file row counts +
+    * min/max/null stats for scalar columns (the manifest entries Iceberg
+    * reads from parquet footers).
+    */
+  private def collectFileMeta(
+      dataDir: String, schema: StructType, partNames: Seq[String]): Seq[DataFileMeta] = {
+    val fresh = spark.read.parquet(dataDir)
+    val statCols = schema.fields.filter(f => f.dataType.typeName match {
+      case "integer" | "long" | "double" | "float" | "string" | "date" | "timestamp" => true
+      case _ => false
+    }).map(_.name).filter(fresh.columns.contains)
+    val aggs = count(lit(1)).as("__rows") +:
+      statCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__min__$c"),
+        max(col(c)).cast("string").as(s"__max__$c"),
+        sum(col(c).isNull.cast("long")).as(s"__nulls__$c")))
+    val grouped = fresh
+      .groupBy(input_file_name().as("__file") +: partNames.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    grouped.map { r =>
+      val path = r.getAs[String]("__file")
+      val partition = partNames.map(p => p -> Option(r.getAs[Any](p)).map(_.toString).orNull).toMap
+      val stats = statCols.map { c =>
+        c -> ColStats(r.getAs[String](s"__min__$c"), r.getAs[String](s"__max__$c"),
+          r.getAs[Long](s"__nulls__$c"))
+      }.toMap
+      val size = try Files.size(Paths.get(new java.net.URI(path).getPath)) catch { case _: Exception => 0L }
+      DataFileMeta(path, r.getAs[Long]("__rows"), size, partition, stats)
+    }.toSeq
+  }
+
+  // ---- scan / time travel ----------------------------------------------
+
+  /** Evaluate a partition filter against one file's manifest entry —
+    * driver-side pruning over O(files) metadata, before any scan.
+    */
+  private def matches(file: DataFileMeta, f: PartitionFilter, meta: TableMeta): Boolean = {
+    val v = file.partition.getOrElse(f.name,
+      // fall back to column stats range when not a partition column
+      return f.op match {
+        case Op.Eq => file.stats.get(f.name).forall { s =>
+          f.values.exists(x => cmpStr(s.min, x) <= 0 && cmpStr(x, s.max) <= 0) }
+        case Op.Lt => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(s.min, x) < 0))
+        case Op.Gt => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(x, s.max) < 0))
+        case Op.Le => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(s.min, x) <= 0))
+        case Op.Ge => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(x, s.max) <= 0))
+      })
+    if (v == null) return false
+    f.op match {
+      case Op.Eq => f.values.exists(x => cmpStr(v, x) == 0)
+      case Op.Lt => f.values.exists(x => cmpStr(v, x) < 0)
+      case Op.Gt => f.values.exists(x => cmpStr(v, x) > 0)
+      case Op.Le => f.values.exists(x => cmpStr(v, x) <= 0)
+      case Op.Ge => f.values.exists(x => cmpStr(v, x) >= 0)
+    }
+  }
+
+  /** Numeric compare when both parse, else lexicographic. */
+  private def cmpStr(a: String, b: String): Int = {
+    if (a == null || b == null) return 0
+    (a.toDoubleOption, b.toDoubleOption) match {
+      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+      case _ => a.compareTo(b)
+    }
+  }
+
+  /** Scan with manifest pruning: partition filters cut files driver-side
+    * (partition values exact, stats ranges conservative), the same filters
+    * are re-applied as Spark predicates for row-level exactness, and schema
+    * evolution is handled by reading with the current schema.
+    */
+  def scan(
+      ident: String,
+      filters: Seq[PartitionFilter] = Seq.empty,
+      asOfSnapshot: Option[Long] = None): DataFrame = {
+    val meta = loadMeta(ident)
+    val snap = asOfSnapshot match {
+      case Some(id) => meta.snapshot(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id"))
+      case None => meta.current.getOrElse(return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema))
+    }
+    val files = snap.files.filter(f => filters.forall(matches(f, _, meta)))
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    val base = spark.read.schema(withPartitionCols(meta)).parquet(files.map(_.path): _*)
+    filters.foldLeft(base)((d, f) => d.filter(filterToColumn(d, f, meta)))
+      .select(meta.schema.fieldNames.map(col): _*)
+  }
+
+  /** Current schema + derivable partition columns (so identity-partition
+    * values pruned from hive paths are still selectable).
+    */
+  private def withPartitionCols(meta: TableMeta): StructType = meta.schema
+
+  private def filterToColumn(df: DataFrame, f: PartitionFilter, meta: TableMeta): Column = {
+    // Recompute the partition transform over the source column when the
+    // filter names a partition field; otherwise filter the raw column.
+    val expr = meta.partitionSpec.find(_.name == f.name) match {
+      case Some(pf) if df.columns.contains(pf.column) => transformCol(pf, meta.schema)
+      case _ => col(f.name)
+    }
+    val vals = f.values
+    f.op match {
+      case Op.Eq => vals.map(v => expr === v).reduce(_ || _)
+      case Op.Lt => vals.map(v => expr < v).reduce(_ || _)
+      case Op.Gt => vals.map(v => expr > v).reduce(_ || _)
+      case Op.Le => vals.map(v => expr <= v).reduce(_ || _)
+      case Op.Ge => vals.map(v => expr >= v).reduce(_ || _)
+    }
+  }
+
+  // ---- delete -----------------------------------------------------------
+
+  /** File-level predicate delete, reference semantics (Delete.java:41):
+    * drop every file whose partition/stats range matches; `dryRun` lists,
+    * `purge` also unlinks. Returns files that were (or would be) dropped.
+    */
+  def delete(
+      ident: String,
+      filters: Seq[PartitionFilter],
+      dryRun: Boolean = false,
+      purge: Boolean = false): Seq[String] = {
+    val meta = loadMeta(ident)
+    val cur = meta.current.getOrElse(return Seq.empty)
+    val (drop, keep) = cur.files.partition(f => filters.forall(matches(f, _, meta)))
+    if (drop.isEmpty || dryRun) return drop.map(_.path)
+    commit(ident, m => {
+      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
+        "delete", keep, m.snapshots.flatMap(_.sourceFiles).distinct)
+      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
+    })
+    if (purge) drop.foreach(f =>
+      try Files.deleteIfExists(Paths.get(new java.net.URI(f.path).getPath))
+      catch { case _: Exception => })
+    drop.map(_.path)
+  }
+
+  /** Row-level delete via copy-on-write: rewrite only the files whose range
+    * intersects the predicate; untouched files carry over. One distributed
+    * rewrite of the affected fraction, never the whole table.
+    */
+  def deleteWhere(ident: String, predicate: Column): TableMeta = {
+    val meta = loadMeta(ident)
+    val cur = meta.current.getOrElse(return meta)
+    val affected = spark.read.schema(meta.schema).parquet(cur.files.map(_.path): _*)
+      .filter(predicate)
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) return meta
+    val (rewrite, keep) = cur.files.partition(f => affected.contains(f.path))
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = tableDir(ident).resolve("data").resolve(commitId)
+    spark.read.schema(meta.schema).parquet(rewrite.map(_.path): _*)
+      .filter(!predicate)
+      .write.parquet(dataDir.toString)
+    val newFiles =
+      if (Files.isDirectory(dataDir)) collectFileMeta(dataDir.toString, meta.schema, Seq.empty)
+      else Seq.empty
+    commit(ident, m => {
+      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
+        "overwrite", keep ++ newFiles, m.snapshots.flatMap(_.sourceFiles).distinct)
+      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
+    })
+  }
+
+  // ---- introspection (Describe*/List*/Files commands) -------------------
+
+  def listSnapshots(ident: String): Seq[Snapshot] = loadMeta(ident).snapshots
+
+  def listPartitions(ident: String): Seq[(Map[String, String], Long, Int)] = {
+    val meta = loadMeta(ident)
+    meta.current.map(_.files.groupBy(_.partition).map { case (p, fs) =>
+      (p, fs.map(_.rowCount).sum, fs.size)
+    }.toSeq.sortBy(_._1.toString)).getOrElse(Seq.empty)
+  }
+
+  def files(ident: String): Seq[DataFileMeta] =
+    loadMeta(ident).current.map(_.files).getOrElse(Seq.empty)
+
+  /** Add a nullable column (AlterTable.java semantics); existing files are
+    * untouched — reads project the new schema with nulls.
+    */
+  def addColumn(ident: String, name: String, dataType: DataType): TableMeta =
+    commit(ident, m => {
+      val s = m.schema
+      require(!s.fieldNames.contains(name), s"column $name exists")
+      m.copy(schemaJson = s.add(name, dataType, nullable = true).json)
+    })
+
+  /** Export all table metadata as one JSON blob (CatalogExport.java). */
+  def exportCatalog(): String = {
+    val tables = for {
+      ns <- listNamespaces(); t <- listTables(ns)
+    } yield loadMeta(s"$ns.$t")
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(tables)
+  }
+
+  /** Import previously exported metadata into this catalog root
+    * (CatalogImport.java) — tables are recreated at v1 with their snapshot
+    * history; data files are referenced in place.
+    */
+  def importCatalog(json: String): Unit = {
+    val metas = mapper.readValue(json, classOf[Array[TableMeta]])
+    metas.foreach { m =>
+      val Array(ns, _) = m.name.split('.')
+      createNamespace(ns)
+      if (!tableExists(m.name)) {
+        val dir = tableDir(m.name)
+        Files.createDirectories(dir.resolve("metadata"))
+        Files.createDirectories(dir.resolve("data"))
+        writeVersion(dir, 1, m)
+      }
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.IceCatalog
+import graft.catalog.IceCatalog._
+import graft.sources.Tables
+
+/** End-to-end catalog exercises registered as oracle-checked queries: a
+  * real table is created in a scratch catalog, data flows through the
+  * partitioned insert path, and the answer comes back from MANIFEST
+  * metadata / snapshot scans — so the oracle cross-checks the whole
+  * write→commit→read pipeline against the raw data.
+  */
+object CatalogOps {
+
+  private def scratch(spark: SparkSession, dir: String, tag: String): (IceCatalog, String) = {
+    val root = Files.createTempDirectory(s"graft_$tag").toString
+    val cat = new IceCatalog(spark, root)
+    val li = Tables.lineitem(spark, dir)
+    cat.createNamespace("v")
+    cat.createTable("v.li", li.schema,
+      partitionSpec = Seq(PartitionField("l_shipdate", "year", "p_year")),
+      sortOrder = Seq(SortField("l_orderkey")))
+    cat.insert("v.li", li)
+    (cat, "v.li")
+  }
+
+  private def cleanup(cat: IceCatalog, ident: String): Unit =
+    try cat.dropTable(ident) catch { case _: Exception => }
+
+  /** t7: per-partition record counts read from the manifest (Files.java /
+    * ListPartitions.java) — zero data scan at answer time; the oracle
+    * recomputes from raw rows.
+    */
+  def filesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, ident) = scratch(spark, dir, "t7")
+    val parts = cat.listPartitions(ident).map { case (p, rows, files) =>
+      (p("p_year").toInt, rows, files)
+    }
+    cleanup(cat, ident)
+    import spark.implicits._
+    parts.toDF("p_year", "record_count", "file_count")
+      .select(col("p_year"), col("record_count"))
+      .orderBy(col("p_year"))
+  }
+
+  /** t8: snapshot isolation — row counts at the pre-delete snapshot vs
+    * after a partition delete, answered via time travel.
+    */
+  def timeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, ident) = scratch(spark, dir, "t8")
+    val v1 = cat.loadMeta(ident).currentSnapshotId
+    cat.delete(ident, Seq(PartitionFilter("p_year", Op.Eq, Seq("26"))))
+    val rowsV1 = cat.scan(ident, asOfSnapshot = Some(v1)).count()
+    val rowsAfter = cat.scan(ident).count()
+    cleanup(cat, ident)
+    import spark.implicits._
+    Seq((rowsV1, rowsAfter)).toDF("rows_v1", "rows_after_delete")
+  }
+}

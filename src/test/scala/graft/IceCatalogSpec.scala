@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IceCatalog
+import graft.catalog.IceCatalog._
+
+class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-catalog-test", cpus = 4)
+  lazy val root: String = Files.createTempDirectory("icecat").toString
+  lazy val cat = new IceCatalog(spark, root)
+
+  override def afterAll(): Unit = spark.stop()
+
+  def lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+
+  test("namespace + table lifecycle") {
+    cat.createNamespace("ns1")
+    assert(cat.listNamespaces() == Seq("ns1"))
+    cat.createTable("ns1.li", lineitem.schema,
+      partitionSpec = Seq(PartitionField("l_shipdate", "year", "p_year")),
+      sortOrder = Seq(SortField("l_orderkey")))
+    assert(cat.listTables("ns1") == Seq("li"))
+    assert(cat.loadMeta("ns1.li").schema == lineitem.schema)
+  }
+
+  test("insert writes partitioned+sorted snapshot with stats") {
+    cat.insert("ns1.li", lineitem)
+    val meta = cat.loadMeta("ns1.li")
+    assert(meta.snapshots.length == 1)
+    val snap = meta.current.get
+    assert(snap.operation == "append")
+    assert(snap.files.map(_.rowCount).sum == lineitem.count())
+    // partition values recorded per file
+    assert(snap.files.forall(_.partition.contains("p_year")))
+    // stats present and sane
+    val f = snap.files.head
+    assert(f.stats("l_orderkey").min.toDouble <= f.stats("l_orderkey").max.toDouble)
+    // full scan returns everything in the declared schema
+    assert(cat.scan("ns1.li").count() == lineitem.count())
+    assert(cat.scan("ns1.li").schema.fieldNames.toSeq == lineitem.schema.fieldNames.toSeq)
+  }
+
+  test("skip-duplicates makes reinsert a no-op; plain reinsert fails") {
+    val before = cat.loadMeta("ns1.li")
+    intercept[IllegalStateException] { cat.insert("ns1.li", lineitem) }
+    cat.insert("ns1.li", lineitem, InsertOptions(skipDuplicates = true))
+    assert(cat.loadMeta("ns1.li").currentSnapshotId == before.currentSnapshotId)
+  }
+
+  test("scan with partition filter prunes files") {
+    val all = cat.files("ns1.li")
+    val filters = Seq(PartitionFilter("p_year", Op.Eq, Seq("26")))
+    val expected = lineitem.filter(year(col("l_shipdate")) === 1996).count()
+    assert(cat.scan("ns1.li", filters).count() == expected)
+    // pruning really happened: fewer files read than exist
+    val matching = all.count(_.partition("p_year") == "26")
+    assert(matching < all.size)
+  }
+
+  test("listPartitions aggregates manifest, no scan") {
+    val parts = cat.listPartitions("ns1.li")
+    assert(parts.map(_._2).sum == lineitem.count())
+    assert(parts.forall(_._1.contains("p_year")))
+  }
+
+  test("file-level delete by partition predicate + time travel") {
+    val before = cat.loadMeta("ns1.li").currentSnapshotId
+    val preview = cat.delete("ns1.li", Seq(PartitionFilter("p_year", Op.Eq, Seq("26"))), dryRun = true)
+    assert(preview.nonEmpty)
+    val dropped = cat.delete("ns1.li", Seq(PartitionFilter("p_year", Op.Eq, Seq("26"))))
+    assert(dropped.toSet == preview.toSet)
+    val expected = lineitem.filter(year(col("l_shipdate")) =!= 1996).count()
+    assert(cat.scan("ns1.li").count() == expected)
+    // time travel back to pre-delete snapshot
+    assert(cat.scan("ns1.li", asOfSnapshot = Some(before)).count() == lineitem.count())
+    assert(cat.listSnapshots("ns1.li").last.operation == "delete")
+  }
+
+  test("row-level copy-on-write delete rewrites only affected files") {
+    val filesBefore = cat.files("ns1.li").map(_.path).toSet
+    // predicate confined to one partition's files: only p_year=29 rewrites
+    cat.deleteWhere("ns1.li", year(col("l_shipdate")) === 1999 && col("l_quantity") > 45)
+    val after = cat.scan("ns1.li")
+    assert(after.filter(year(col("l_shipdate")) === 1999 && col("l_quantity") > 45).count() == 0)
+    assert(after.filter(col("l_quantity") > 45).count() > 0, "other years untouched")
+    val filesAfter = cat.files("ns1.li").map(_.path).toSet
+    assert(filesBefore.intersect(filesAfter).nonEmpty, "untouched files carried over")
+    assert(filesAfter != filesBefore, "affected files rewritten")
+  }
+
+  test("schema evolution: add column, old files read as null") {
+    cat.addColumn("ns1.li", "l_comment", StringType)
+    val df = cat.scan("ns1.li")
+    assert(df.schema.fieldNames.contains("l_comment"))
+    assert(df.filter(col("l_comment").isNotNull).count() == 0)
+  }
+
+  test("catalog export/import round-trip") {
+    val json = cat.exportCatalog()
+    val root2 = Files.createTempDirectory("icecat2").toString
+    val cat2 = new IceCatalog(spark, root2)
+    cat2.importCatalog(json)
+    assert(cat2.listTables("ns1") == Seq("li"))
+    assert(cat2.scan("ns1.li").count() == cat.scan("ns1.li").count())
+  }
+
+  test("unpartitioned unsorted table works too") {
+    cat.createTable("ns1.plain", lineitem.schema)
+    cat.insert("ns1.plain", lineitem.limit(100))
+    assert(cat.scan("ns1.plain").count() == 100)
+    cat.dropTable("ns1.plain")
+    assert(cat.listTables("ns1") == Seq("li"))
+  }
+}
