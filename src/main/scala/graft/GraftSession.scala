@@ -22,8 +22,6 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-      // ns-precision parquet timestamps (events.ts) must not error out.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
 
   def getOrCreate(appName: String = "graft", cpus: Int = 32): SparkSession = {
     val spark = builder(appName, cpus).getOrCreate()

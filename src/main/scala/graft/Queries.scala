@@ -275,6 +275,35 @@ object Queries {
         |FROM lineitem""".stripMargin
   )
 
-  def all: Map[String, Q] = relational ++ llm ++ tableMeta
-  def allOracle: Map[String, String] = relationalOracle ++ llmOracle ++ tableMetaOracle
+  val streaming: Map[String, Q] = Map(
+    "e1_window_agg" -> (graft.streaming.Streams.windowAggBatch _),
+    "e2_sessionize" -> (graft.streaming.Streams.sessionizeBatch _)
+  )
+
+  val streamingOracle: Map[String, String] = Map(
+    "e1_window_agg" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e2_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM t)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        | max(us) - min(us) AS duration_us,
+        | min(us) // 3600000000 AS start_hour
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+  )
+
+  def all: Map[String, Q] = relational ++ llm ++ tableMeta ++ streaming
+  def allOracle: Map[String, String] =
+    relationalOracle ++ llmOracle ++ tableMetaOracle ++ streamingOracle
 }

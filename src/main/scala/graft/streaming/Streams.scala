@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.catalog.IceCatalog
+import graft.catalog.IceCatalog.InsertOptions
+import graft.sources.Tables
+
+/** Streaming surface: the reference's continuous ingestion (InsertWatch.java
+  * — watch a directory, insert new files as they land) re-expressed as
+  * Structured Streaming, plus watermarked event-time analytics on the
+  * events stream.
+  *
+  * All event-time arithmetic is exact integer microseconds (unix_micros /
+  * epoch_us) so batch results reproduce bit-identically in the oracle.
+  */
+object Streams {
+
+  val MicrosPerHour = 3600000000L
+  val SessionGapMicros = 1800000000L // 30 min
+
+  // ---- continuous ingestion (InsertWatch) -------------------------------
+
+  /** Watch `watchDir` for new parquet files and append them to an
+    * IceCatalog table. File-source tracking + manifest source-file dedup
+    * give end-to-end exactly-once; `maxFilesPerTrigger` bounds batch size
+    * at scale.
+    */
+  def watchAndIngest(
+      spark: SparkSession,
+      cat: IceCatalog,
+      ident: String,
+      watchDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val schema = cat.loadMeta(ident).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(watchDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cat.insert(ident, batch, InsertOptions(skipDuplicates = true)): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  // ---- event-time analytics (streaming form) ----------------------------
+
+  /** Watermarked tumbling-window counts — the streaming twin of
+    * [[windowAggBatch]]. State is bounded by the watermark horizon.
+    */
+  def windowedCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Gap-based session windows per user (built-in session_window state
+    * merging; watermark bounds state).
+    */
+  def sessionWindowsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  // ---- batch equivalents (oracle-checked) -------------------------------
+
+  /** e1: tumbling 1-hour windows over the events table. */
+  def windowAggBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        expr(s"unix_micros(ts) div $MicrosPerHour").as("hour_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+
+  /** e2: 30-minute-gap sessionization per user, batch form (lag + running
+    * sum); the streaming twin is [[sessionWindowsStream]].
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), us.as("us"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > SessionGapMicros, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        expr(s"min(us) div $MicrosPerHour").as("start_hour"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+}

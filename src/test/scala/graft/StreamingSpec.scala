@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IceCatalog
+import graft.catalog.IceCatalog._
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-streaming-test", cpus = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("watchAndIngest picks up files dropped into the watch dir exactly once") {
+    import spark.implicits._
+    val watch = Files.createTempDirectory("watch").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new IceCatalog(spark, root)
+
+    val batch1 = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
+    cat.createNamespace("s")
+    cat.createTable("s.t", batch1.schema)
+
+    batch1.coalesce(1).write.parquet(s"$watch/f1")
+    Streams.watchAndIngest(spark, cat, "s.t", s"$watch/*/", ckpt).awaitTermination()
+    assert(cat.scan("s.t").count() == 2)
+
+    // second drop: only the new file lands; re-run is incremental
+    Seq((3L, "c", 3.5)).toDF("id", "k", "v").coalesce(1).write.parquet(s"$watch/f2")
+    Streams.watchAndIngest(spark, cat, "s.t", s"$watch/*/", ckpt).awaitTermination()
+    assert(cat.scan("s.t").count() == 3)
+    assert(cat.listSnapshots("s.t").length == 2)
+  }
+
+  test("windowed counts over a memory stream honor event-time windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedCountsStream(df)
+      .writeStream.format("memory").queryName("win").outputMode("complete").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("win")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00", "view", 1L, 3.0)))
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = Streams.sessionWindowsStream(df)
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+      (Timestamp.valueOf("2024-01-01 10:10:00"), 7L), // same session (10 min gap)
+      (Timestamp.valueOf("2024-01-01 12:00:00"), 7L)) // new session
+    q.processAllAvailable()
+    val sessions = spark.table("sess").select("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    q.stop()
+    assert(sessions == Seq((7L, 1L), (7L, 2L)))
+  }
+}
