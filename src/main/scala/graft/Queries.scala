@@ -107,8 +107,20 @@ object Queries {
     "d5_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d6_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
-    "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d))
+    "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
+    "m1_binary_meta" -> (Multimodal.binaryMeta _),
+    "m2_feature_stub" -> (Multimodal.featureQuery _)
   )
+
+  private val m1Oracle: (String, String) = "m1_binary_meta" ->
+    """SELECT doc_id,
+      | octet_length(encode(text)) AS n_bytes,
+      | md5(text) AS content_hash,
+      | hex(encode(substring(text, 1, 4))) AS magic_hex,
+      | CASE WHEN ascii(text) % 3 = 0 THEN 'image'
+      |      WHEN ascii(text) % 3 = 1 THEN 'audio'
+      |      ELSE 'video' END AS modality
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Shared DuckDB CTE: tokenization identical to TextFunctions.tokens. */
   private val tokCte =
@@ -224,7 +236,8 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT) AS rank,
         |  score FROM s)
         |SELECT q_id, neighbor_id, rank, round(score, 4) AS score
-        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    m1Oracle
   )
 
   val tableMeta: Map[String, Q] = Map(

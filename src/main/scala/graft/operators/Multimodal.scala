@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal column handling: media as opaque `binary` columns with typed
+  * metadata, plus decode/feature-extract plumbing.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB (md5-derived features) — but the
+  * Spark-side plumbing is real and tested: binary schema, batched
+  * mapPartitions (the shape a vectorized decoder needs), fixed-size feature
+  * output, and partition-parallel execution with no driver collection.
+  */
+object Multimodal {
+
+  /** m1: typed metadata over a binary media column — size, content hash,
+    * magic-prefix sniffing, modality routing. All codegen'd built-ins.
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .select(
+        col("doc_id"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
+        md5(col("media")).as("content_hash"),
+        hex(substring(col("media"), 1, 4)).as("magic_hex"),
+        when(ascii(col("media").cast("string")) % 3 === 0, "image")
+          .when(ascii(col("media").cast("string")) % 3 === 1, "audio")
+          .otherwise("video").as("modality"))
+      .orderBy(col("doc_id"))
+
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class MediaFeatures(
+      doc_id: Long, width: Int, height: Int, ok: Boolean, features: Array[Float])
+
+  val DecodeBatchSize = 64
+  val FeatureDim = 8
+
+  /** STUB decoder — stands in for a real image/audio codec. Deterministic:
+    * md5 of the payload drives fake dimensions + an 8-float feature vector.
+    * Swap this single function for a real codec (JNI/javacv) and everything
+    * downstream keeps its schema and batching.
+    */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val width = 64 + (d(0) & 0x7f)
+    val height = 64 + (d(1) & 0x7f)
+    val feats = Array.tabulate(FeatureDim)(i => (d(i + 2) & 0xff) / 255.0f)
+    (width, height, feats)
+  }
+
+  /** m2: batched decode/feature-extraction over binary media. Batches of
+    * `DecodeBatchSize` mirror how a vectorized decoder amortizes setup; the
+    * operator is a pure partition-parallel map — at 100 TB it scales with
+    * input splits, no shuffle at all.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        // one "decoder context" per batch (stub: nothing to init)
+        batch.iterator.map { r =>
+          val (w, h, f) = stubDecode(r.media)
+          MediaFeatures(r.doc_id, w, h, ok = true, f)
+        }
+      }
+    }
+  }
+
+  /** m2 as a registered query: text bytes as the stand-in payload. */
+  def featureQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+    extractFeatures(media)
+      .select(col("doc_id"), col("width"), col("height"),
+        round(element_at(col("features"), 1), 4).as("f0"),
+        round(element_at(col("features"), 2), 4).as("f1"))
+      .orderBy(col("doc_id"))
+  }
+}

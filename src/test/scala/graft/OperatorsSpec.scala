@@ -40,6 +40,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall > 0.0, s"recall=$recall")
   }
 
+  test("multimodal feature extraction is deterministic with fixed shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val media = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.features.length == Multimodal.FeatureDim))
+    assert(feats.forall(f => f.width >= 64 && f.height >= 64 && f.ok))
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.sortBy(_.doc_id).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.doc_id).map(_.features.toSeq).toSeq)
+  }
+
   test("approx sketches land within configured error of exact") {
     val row = Relational.q9Approx(spark, dir).collect()(0)
     val exact = Relational.q6Distinct(spark, dir).collect()(0)
