@@ -100,6 +100,7 @@ object Queries {
     "x2_quality" -> (TextAnalysis.qualityQuery _),
     "x3_tokens" -> (TextAnalysis.tokensQuery _),
     "x4_fingerprint" -> (TextAnalysis.fingerprintQuery _),
+    "x5_vocab" -> (TextAnalysis.vocabQuery _),
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_minhash_sig" -> (Dedup.minhashSigQuery _),
     "d3_minhash_lsh" -> (Dedup.minhashLshPairs _),
@@ -186,6 +187,11 @@ object Queries {
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp,
         | substr(md5(substr(text, 1, 64)), 1, 16) AS fp_head
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x5_vocab" ->
+      s"""WITH $tokCte,
+         |u AS (SELECT unnest(list_distinct(t)) AS token FROM tok)
+         |SELECT token, count(*) AS df FROM u
+         |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

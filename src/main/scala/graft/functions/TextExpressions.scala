@@ -68,8 +68,59 @@ object Ngrams {
   }
 }
 
+/** 60-bit SimHash over an array of 60-bit token hashes, one pass: per bit,
+  * sign of Σ(±1); bit set iff the signed count is positive. The composed
+  * 60-aggregate Column equivalent walks the expression tree 60× per doc.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"simhash60 needs array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernel.simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashKernel.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashKernel {
+  def simhash60(hashes: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 object TextExpressions {
   /** Column wrapper for [[WordShingles]]. */
   def wordShingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
+
+  /** Column wrapper for [[SimHash60]]. */
+  def simHash60(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(tokenHashes)))
 }

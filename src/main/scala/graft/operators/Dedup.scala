@@ -67,11 +67,11 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
     val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), tokenSet(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), sort_array(tokenSet(col("text"))).as("t"))
     val a = tok.as("a")
     val b = tok.as("b")
-    // Codegen'd set kernel: |A∩B| / (|A|+|B|-|A∩B|) — integer-identical to
-    // the oracle's len(list_intersect)/len(list_distinct(list_concat)).
+    // Codegen'd sorted-merge set kernel: |A∩B| / (|A|+|B|-|A∩B|) —
+    // integer-identical to the oracle's list_intersect/list_distinct sizes.
     val jac = graft.functions.SetFunctions.jaccardSim(col("a.t"), col("b.t"))
     a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .where(jac >= threshold)
@@ -112,12 +112,10 @@ object Dedup {
       .select(col("doc_id"),
         transform(tokens(col("text")),
           t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("hs"))
-    val sim = (0 until 60).map { bit =>
-      val signedSum = aggregate(col("hs"), lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(signedSum > 0, lit(1L << bit)).otherwise(0L)
-    }.reduce((x, y) => x.bitwiseOR(y))
-    withHashes.select(col("doc_id"), sim.as("simhash60")).orderBy(col("doc_id"))
+    withHashes
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.simHash60(col("hs")).as("simhash60"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-pairs: hamming distance ≤ maxDist, candidates blocked by

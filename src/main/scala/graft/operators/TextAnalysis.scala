@@ -50,6 +50,18 @@ object TextAnalysis {
         length(col("text")).as("n_chars_m"))
       .orderBy(col("doc_id"))
 
+  /** x5: corpus vocabulary — document frequency of distinct tokens (the
+    * aggregation behind stopword discovery / idf weighting). Explode +
+    * count is one shuffle with map-side partial aggregation.
+    */
+  def vocabQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokenSet(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(20)
+
   /** x4: document fingerprints (full doc + head-64 prefix fingerprint). */
   def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
