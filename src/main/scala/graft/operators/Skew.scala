@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter group keys.
+  *
+  * AQE's skew-join splitting covers joins; for aggregations whose key
+  * distribution is pathological (one key = 30% of a 100 TB table), a salted
+  * two-stage aggregation bounds any single task's input: stage 1 reduces
+  * (key, salt) partial groups — shuffle fan-out is `salts`× wider but each
+  * partition is 1/salts the size — stage 2 merges the `salts` partials per
+  * key (tiny).
+  */
+object Skew {
+
+  /** Salted equivalent of `df.groupBy(keys).agg(sum(value), count(*))`. */
+  def saltedSumCount(
+      df: DataFrame, keys: Seq[Column], value: Column, salts: Int = 16): DataFrame = {
+    val stage1 = df
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
+    stage1
+      .groupBy(keys: _*)
+      .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("cnt"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet footer introspection — the reference's `describe-parquet`
+  * (cmd/DescribeParquet.java:66-230): file summary, per-row-group and
+  * per-column-chunk metadata as DataFrames. Footer reads are O(footer),
+  * never data; for a directory of files the listing is distributed by
+  * file via the driver's executor pool if needed (here: sequential, the
+  * driver-side metadata path).
+  */
+object ParquetMeta {
+
+  case class RowGroupInfo(
+      file: String, rowGroup: Int, rowCount: Long,
+      compressedBytes: Long, uncompressedBytes: Long)
+
+  case class ColumnChunkInfo(
+      file: String, rowGroup: Int, column: String, primitiveType: String,
+      encodings: String, compressedBytes: Long, nullCount: Long,
+      minValue: String, maxValue: String)
+
+  private def footer(path: String) = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), new Configuration()))
+    try reader.getFooter finally reader.close()
+  }
+
+  /** Summary per row group. */
+  def rowGroups(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val meta = footer(path)
+    meta.getBlocks.asScala.zipWithIndex.map { case (b, i) =>
+      RowGroupInfo(path, i, b.getRowCount, b.getCompressedSize, b.getTotalByteSize)
+    }.toSeq.toDF()
+  }
+
+  /** Column-chunk detail incl. footer statistics. */
+  def columnChunks(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val meta = footer(path)
+    meta.getBlocks.asScala.zipWithIndex.flatMap { case (b, i) =>
+      b.getColumns.asScala.map { c =>
+        val st = c.getStatistics
+        ColumnChunkInfo(
+          path, i, c.getPath.toDotString, c.getPrimitiveType.getPrimitiveTypeName.toString,
+          c.getEncodings.asScala.map(_.toString).toSeq.sorted.mkString(","),
+          c.getTotalSize,
+          if (st != null && st.isNumNullsSet) st.getNumNulls else -1L,
+          if (st != null && st.hasNonNullValue) String.valueOf(st.genericGetMin) else null,
+          if (st != null && st.hasNonNullValue) String.valueOf(st.genericGetMax) else null)
+      }
+    }.toSeq.toDF()
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.IcebergHash
+import graft.operators.Skew
+import graft.sources.{ParquetMeta, Tables}
+
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = {
+    val s = GraftSession.getOrCreate("graft-ext-test", cpus = 4)
+    GraftExtensions.register(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("custom expressions are callable from SQL after registration") {
+    val r = spark.sql(
+      """SELECT
+        |  iceberg_bucket(16, 34L) AS b,
+        |  jaccard_sim(array('a','b','c'), array('b','c','d')) AS j,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  word_shingles(array('x','y','z'), 2) AS sh,
+        |  simhash60(array(5L)) AS s
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == IcebergHash.bucketLong(34L, 16))
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)
+    assert(r.getDouble(2) == 11.0)
+    assert(r.getSeq[String](3) == Seq("x y", "y z"))
+    assert(r.getLong(4) == 5L)
+  }
+
+  test("sql bucket matches Column-API bucket on real data") {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("li_ext")
+    val viaSql = spark.sql(
+      "SELECT sum(iceberg_bucket(16, l_orderkey)) FROM li_ext").collect()(0).getLong(0)
+    val viaCol = Tables.lineitem(spark, dir)
+      .agg(sum(graft.functions.Transforms.bucketT(col("l_orderkey"), 16)))
+      .collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("parquet footer introspection reports row groups and column stats") {
+    val path = s"$dir/lineitem.parquet"
+    val rg = ParquetMeta.rowGroups(spark, path).collect()
+    assert(rg.nonEmpty)
+    assert(rg.map(_.getAs[Long]("rowCount")).sum == Tables.lineitem(spark, dir).count())
+    val cc = ParquetMeta.columnChunks(spark, path)
+    val flagStats = cc.filter(col("column") === "l_returnflag").collect()
+    assert(flagStats.nonEmpty)
+    assert(flagStats.forall(_.getAs[String]("primitiveType") == "BINARY"))
+  }
+
+  test("salted aggregation equals plain groupBy") {
+    val li = Tables.lineitem(spark, dir)
+    val salted = Skew.saltedSumCount(li, Seq(col("l_returnflag")), col("l_quantity"))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2)))
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")), count(lit(1)))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+}
