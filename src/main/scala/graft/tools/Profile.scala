@@ -15,7 +15,7 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = GraftSession.getOrCreate("graft-profile", cpus = 8)
+    val spark = GraftSession.getOrCreate("graft-profile", cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     import spark.implicits._
 
     time("warmup")(Tables.documents(spark, dir).count())
