@@ -109,6 +109,7 @@ object Queries {
     "d6_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
+    "s3_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
     "m2_feature_stub" -> (Multimodal.featureQuery _)
   )

@@ -84,4 +84,71 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("bucket"))
     topK(bucketed.filter(col("vec_id") >= 5), queries, Seq("bucket"), k)
   }
+
+  // ---- IVF (coarse-quantized) ANN --------------------------------------
+
+  /** Unit-normalized view (cosine distance == -dot on unit vectors). */
+  private def unitVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.normalize
+    vectors(spark, dir).withColumn("vn", normalize(col("v")))
+  }
+
+  /** -cosine distances to each centroid as an array column. */
+  private def centroidDists(centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
+    array(centroids.map(c => -dot(col("vn"), typedLit(c.toSeq))): _*)
+
+  /** Nearest-centroid id (0-based argmin; deterministic first-min tie). */
+  private def argminAssign(centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val d = centroidDists(centroids)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** Distributed Lloyd iterations: assignment is `nlist` codegen'd dots per
+    * row (broadcast literal centroids); the update is one explode +
+    * partial-agg mean per dimension — the standard scalable k-means shape
+    * (centroid state is nlist×dims on the driver, data never collected).
+    */
+  def kmeansCentroids(
+      unitVecs: DataFrame, nlist: Int, dims: Int, iters: Int = 2): Array[Array[Double]] = {
+    var centroids = unitVecs.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vn")).collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val means = unitVecs
+        .select(argminAssign(centroids).as("c"), posexplode(col("vn")).as(Seq("pos", "x")))
+        .groupBy(col("c"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = Array.tabulate(nlist)(i => centroids(i).clone())
+      means.foreach(r => next(r.getAs[Int]("c"))(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+      // re-normalize so -dot stays a cosine ordering
+      centroids = next.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+    }
+    centroids
+  }
+
+  /** s3: IVF ANN — k-means coarse quantizer over the corpus; queries probe
+    * their `nprobe` nearest cells and re-rank exactly inside them. At scale
+    * the candidate join is an equi-join on cell id: work is
+    * O(queries × nprobe × cell size), independent of corpus size.
+    */
+  def ivfAnn(
+      spark: SparkSession, dir: String,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
+    val e = unitVectors(spark, dir)
+    val candidates = e.filter(col("vec_id") >= 5)
+    val centroids = kmeansCentroids(candidates, nlist, dims)
+    val assigned = candidates.withColumn("cell", argminAssign(centroids))
+    // query probe list: nprobe nearest cells by (dist, idx) struct sort
+    val d = centroidDists(centroids)
+    val probes = transform(
+      slice(array_sort(transform(sequence(lit(0), lit(nlist - 1)),
+        i => struct(element_at(d, i + 1).as("dist"), i.as("idx")))), 1, nprobe),
+      s => s.getField("idx"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(probes).as("cell"))
+    topK(assigned, queries, Seq("cell"), k)
+  }
 }

@@ -40,6 +40,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall > 0.0, s"recall=$recall")
   }
 
+  test("ivf ann recall against brute force is reasonable at nprobe=4/16") {
+    val exact = Similarity.cosineTopK(spark, dir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfAnn(spark, dir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.nonEmpty)
+    assert(ivf.toSet.subsetOf(
+      Similarity.cosineTopK(spark, dir, k = 500).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet), "ivf returns real corpus vectors")
+    val recall = ivf.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"ivf recall: $recall")
+  }
+
   test("multimodal feature extraction is deterministic with fixed shape") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
