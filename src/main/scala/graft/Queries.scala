@@ -138,12 +138,13 @@ object Queries {
        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
        |  THEN list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
        |  ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
+       |hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hl FROM sh),
        |sig AS (SELECT doc_id,
-       |  list_min(list_transform(shingles, s -> md5('0:' || s))) AS sig_0,
-       |  list_min(list_transform(shingles, s -> md5('1:' || s))) AS sig_1,
-       |  list_min(list_transform(shingles, s -> md5('2:' || s))) AS sig_2,
-       |  list_min(list_transform(shingles, s -> md5('3:' || s))) AS sig_3
-       |  FROM sh)""".stripMargin
+       |  list_min(hl) AS sig_0,
+       |  list_min(list_transform(hl, h -> substr(h, 9) || substr(h, 1, 8))) AS sig_1,
+       |  list_min(list_transform(hl, h -> substr(h, 17) || substr(h, 1, 16))) AS sig_2,
+       |  list_min(list_transform(hl, h -> substr(h, 25) || substr(h, 1, 24))) AS sig_3
+       |  FROM hs)""".stripMargin
 
   val llmOracle: Map[String, String] = Map(
     "x1_langid" ->

@@ -27,16 +27,24 @@ object Dedup {
 
   /** MinHash signatures over 3-word shingles.
     *
-    * Shingles are exploded into rows so the salted md5 + min-aggregation run
-    * inside whole-stage codegen — the interpreted higher-order-function form
-    * (`array_min(transform(...))`) is ~75× slower. Partial min aggregation
-    * makes the shuffle one row per doc regardless of doc length.
+    * Shingles are exploded into rows so hashing + min-aggregation run inside
+    * whole-stage codegen — the interpreted higher-order-function form
+    * (`array_min(transform(...))`) is ~75× slower. Each shingle is digested
+    * ONCE; the k min-wise variants are hex rotations of that digest (cheap
+    * substring concats, distinct lexicographic orderings). Partial min
+    * aggregation makes the shuffle one row per doc regardless of length.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = docs.select(
-      col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
-    val aggs = (0 until NumHashes).map(k =>
-      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"sig_$k"))
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    val aggs = (0 until NumHashes).map { k =>
+      val off = k * 8
+      val rotated =
+        if (off == 0) col("h")
+        else concat(substring(col("h"), off + 1, 32 - off), substring(col("h"), 1, off))
+      min(rotated).as(s"sig_$k")
+    }
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -66,13 +74,19 @@ object Dedup {
     * key = source). |A∩B| / |A∪B| over distinct unigram sets.
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    // Token sets pre-hashed to sorted 60-bit longs via the codegen'd
+    // explode→md5→collect_set path: the pairwise kernel then merges longs,
+    // not strings. Set sizes (and so Jaccard) are integer-identical to the
+    // oracle's string-set computation barring ~2⁻⁶⁰ hash collisions.
     val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), sort_array(tokenSet(col("text"))).as("t"))
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sort_array(collect_set(col("h"))).as("t"))
     val a = tok.as("a")
     val b = tok.as("b")
-    // Codegen'd sorted-merge set kernel: |A∩B| / (|A|+|B|-|A∩B|) —
-    // integer-identical to the oracle's list_intersect/list_distinct sizes.
-    val jac = graft.functions.SetFunctions.jaccardSim(col("a.t"), col("b.t"))
+    val jac = graft.functions.SetFunctions.jaccardSimLong(col("a.t"), col("b.t"))
     a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .where(jac >= threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
