@@ -446,6 +446,66 @@ class IceCatalog(spark: SparkSession, root: String) {
   def files(ident: String): Seq[DataFileMeta] =
     loadMeta(ident).current.map(_.files).getOrElse(Seq.empty)
 
+  /** Sortedness check over a table or DataFrame — the reference's
+    * sort-order verification (Sorting.java SortCheckResult): counts
+    * adjacent-row order violations per partition under the table's sort
+    * order. 0 violations ⇒ sorted. One window pass, no collect.
+    */
+  def checkSorted(ident: String): Long = {
+    val meta = loadMeta(ident)
+    require(meta.sortOrder.nonEmpty, s"table $ident has no sort order")
+    val cur = meta.current.getOrElse(return 0L)
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.schema(meta.schema).parquet(cur.files.map(_.path): _*)
+      .withColumn("__file", input_file_name())
+    val orderCols = meta.sortOrder.map { s =>
+      val c = col(s.column)
+      (s.desc, s.nullsFirst) match {
+        case (false, false) => c.asc_nulls_last
+        case (false, true) => c.asc_nulls_first
+        case (true, false) => c.desc_nulls_last
+        case (true, true) => c.desc_nulls_first
+      }
+    }
+    // A file is sorted iff its row sequence equals the sorted sequence;
+    // compare each row's sort key with the lag under the declared order.
+    val w = Window.partitionBy(col("__file")).orderBy(orderCols: _*)
+    val natural = Window.partitionBy(col("__file"))
+      .orderBy(monotonically_increasing_id())
+    val keyed = df.withColumn("__rank", row_number().over(w))
+      .withColumn("__pos", row_number().over(natural))
+    keyed.filter(col("__rank") =!= col("__pos")).count()
+  }
+
+  /** Compaction: rewrite the current snapshot's files into ~targetFileMB
+    * outputs per partition (snapshot op "replace"). Metadata-only planning;
+    * one distributed rewrite of the selected partitions.
+    */
+  def compact(ident: String, targetFileMB: Int = 512): TableMeta = {
+    val meta = loadMeta(ident)
+    val cur = meta.current.getOrElse(return meta)
+    if (cur.files.isEmpty) return meta
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = tableDir(ident).resolve("data").resolve(commitId)
+    val partNames = meta.partitionSpec.map(_.name)
+    val totalBytes = cur.files.map(_.bytes).sum.max(1L)
+    val nOut = math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt)
+    val df = spark.read.schema(meta.schema).parquet(cur.files.map(_.path): _*)
+    val arranged = meta.partitionSpec.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, transformCol(f, meta.schema))
+    }.coalesce(nOut)
+    val writer = arranged.write.mode("append")
+    (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
+      .parquet(dataDir.toString)
+    val files = collectFileMeta(dataDir.toString, meta.schema, partNames)
+    commit(ident, m => {
+      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
+        "replace", files, m.snapshots.flatMap(_.sourceFiles).distinct)
+      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
+    })
+  }
+
   /** Add a nullable column (AlterTable.java semantics); existing files are
     * untouched — reads project the new schema with nulls.
     */

@@ -104,6 +104,19 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(col("l_comment").isNotNull).count() == 0)
   }
 
+  test("checkSorted reports zero violations for sorted inserts") {
+    assert(cat.checkSorted("ns1.li") == 0L)
+  }
+
+  test("compaction rewrites into fewer files, same rows") {
+    val rowsBefore = cat.scan("ns1.li").count()
+    val filesBefore = cat.files("ns1.li").size
+    cat.compact("ns1.li")
+    assert(cat.scan("ns1.li").count() == rowsBefore)
+    assert(cat.files("ns1.li").size <= filesBefore)
+    assert(cat.listSnapshots("ns1.li").last.operation == "replace")
+  }
+
   test("catalog export/import round-trip") {
     val json = cat.exportCatalog()
     val root2 = Files.createTempDirectory("icecat2").toString
