@@ -22,7 +22,9 @@ object Queries {
     "q7_semijoin" -> (Relational.q7SemiJoin _),
     "q8_union_evolve" -> (Relational.q8UnionEvolve _),
     "q9_approx" -> (Relational.q9Approx _),
-    "q10_rollup" -> (Relational.q10Rollup _)
+    "q10_rollup" -> (Relational.q10Rollup _),
+    "q11_pivot" -> (Relational.q11Pivot _),
+    "p1_pipeline" -> (Pipeline.curate _)
   )
 
   val relationalOracle: Map[String, String] = Map(
@@ -92,7 +94,14 @@ object Queries {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY rf, ls""".stripMargin
+        |ORDER BY rf, ls""".stripMargin,
+    "q11_pivot" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p,
+        | count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 
   val llm: Map[String, Q] = Map(
@@ -245,7 +254,40 @@ object Queries {
         |  score FROM s)
         |SELECT q_id, neighbor_id, rank, round(score, 4) AS score
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
-    m1Oracle
+    m1Oracle,
+    "p1_pipeline" ->
+      s"""WITH $sigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
+         |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
+         |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
+         |  SELECT doc_id, 3, sig_3 FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |q AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS ws_tokens
+         |  FROM documents),
+         |quality AS (
+         |  SELECT * FROM q
+         |  WHERE ws_tokens BETWEEN 5 AND 10000
+         |    AND round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / nullif(CAST(ws_tokens AS DOUBLE), 0), 3) BETWEEN 2 AND 12),
+         |keepers AS (
+         |  SELECT * FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM quality)
+         |  WHERE doc_id = keeper),
+         |dropped AS (
+         |  SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+         |  WHERE p.doc_a IN (SELECT doc_id FROM keepers)),
+         |cleaned AS (
+         |  SELECT * FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(CAST(ws_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+         | min(doc_id) AS first_doc
+         |FROM cleaned GROUP BY source ORDER BY source""".stripMargin
   )
 
   val tableMeta: Map[String, Q] = Map(

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** The flagship composition: a full corpus-curation pass in one declarative
+  * plan — quality gate → exact dedup → MinHash-LSH near-dedup → per-source
+  * stats. This is the chain an LLM training-data pipeline runs over 100 TB;
+  * every stage is one of the already-verified operators, fused by Catalyst
+  * into scan → map-side signatures → two compact-key shuffles.
+  */
+object Pipeline {
+
+  /** p1: surviving-corpus statistics after the three-stage cleaning.
+    *
+    * Near-dedup survivor rule (deterministic, no connected components): a
+    * doc is dropped iff it is the larger id of any LSH candidate pair whose
+    * smaller id also survived the earlier stages.
+    */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ws = wsTokenCount(col("text"))
+    val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    val awl = round(alphaChars.cast("double") / nullif(ws.cast("double"), lit(0.0)), 3)
+
+    // stage 1: quality gate
+    val quality = docs
+      .withColumn("ws_tokens", ws)
+      .filter(col("ws_tokens").between(5, 10000) && awl.between(2.0, 12.0))
+
+    // stage 2: exact dedup — keep min doc_id per content hash
+    val keepers = quality
+      .withColumn("h", md5(col("text")))
+      .withColumn("keep", col("doc_id") === min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("keep"))
+      .drop("h", "keep")
+
+    // stage 3: near-dedup — drop the larger side of every candidate pair
+    val pairs = Dedup.minhashLshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val survivorsA = keepers.select(col("doc_id")).as("ka")
+    val dropIds = pairs.as("p")
+      .join(survivorsA, col("p.doc_a") === col("ka.doc_id"), "left_semi")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val cleaned = keepers.join(dropIds, Seq("doc_id"), "left_anti")
+
+    cleaned
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens").cast("long")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+}

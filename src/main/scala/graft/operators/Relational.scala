@@ -153,6 +153,20 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
 
+  /** q11: pivot-style conditional aggregation (one pass, no join). */
+  def q11Pivot(spark: SparkSession, dir: String): DataFrame = {
+    def bucket(status: String) =
+      round(sum(when(col("o_orderstatus") === status, col("o_totalprice")).otherwise(0.0)), 2)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bucket("F").as("total_f"),
+        bucket("O").as("total_o"),
+        bucket("P").as("total_p"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Multi-level aggregation via ROLLUP — one pass, grouping-set expansion
     * handled by Catalyst.
     */
