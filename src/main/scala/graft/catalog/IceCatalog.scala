@@ -516,6 +516,50 @@ class IceCatalog(spark: SparkSession, root: String) {
       m.copy(schemaJson = s.add(name, dataType, nullable = true).json)
     })
 
+  // ---- maintenance (ice-rest-catalog/internal/maintenance/*) ------------
+
+  /** Expire old snapshots (SnapshotCleanup.java:30-45 semantics): drop
+    * snapshots older than `maxAgeHours`, always retaining the most recent
+    * `retainLast` and the current snapshot. Returns expired snapshot ids.
+    */
+  def expireSnapshots(
+      ident: String,
+      maxAgeHours: Long = 0,
+      retainLast: Int = 1,
+      dryRun: Boolean = false): Seq[Long] = {
+    val meta = loadMeta(ident)
+    val cutoff =
+      if (maxAgeHours > 0) System.currentTimeMillis() - maxAgeHours * 3600 * 1000L
+      else Long.MaxValue
+    val byAge = meta.snapshots.sortBy(-_.timestampMs)
+    val protectedIds = (byAge.take(math.max(retainLast, 1)).map(_.id) :+
+      meta.currentSnapshotId).toSet
+    val expired = meta.snapshots
+      .filter(s => !protectedIds.contains(s.id) && s.timestampMs < cutoff)
+      .map(_.id)
+    if (expired.isEmpty || dryRun) return expired
+    commit(ident, m => m.copy(snapshots = m.snapshots.filterNot(s => expired.contains(s.id))))
+    expired
+  }
+
+  /** Delete data files under the table's directory that no remaining
+    * snapshot references (OrphanCleanup semantics). Returns removed paths.
+    */
+  def cleanOrphans(ident: String, dryRun: Boolean = false): Seq[String] = {
+    val meta = loadMeta(ident)
+    val referenced = meta.snapshots.flatMap(_.files.map(f =>
+      Paths.get(new java.net.URI(f.path).getPath).normalize.toString)).toSet
+    val dataDir = tableDir(ident).resolve("data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val orphans = Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(_.normalize.toString)
+      .filterNot(referenced.contains)
+      .toSeq
+    if (!dryRun) orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans
+  }
+
   /** Export all table metadata as one JSON blob (CatalogExport.java). */
   def exportCatalog(): String = {
     val tables = for {

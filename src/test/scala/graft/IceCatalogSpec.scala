@@ -117,6 +117,22 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.listSnapshots("ns1.li").last.operation == "replace")
   }
 
+  test("snapshot expiry retains recent + current; orphan cleanup removes dead files") {
+    val before = cat.listSnapshots("ns1.li").map(_.id)
+    assert(before.length >= 3)
+    val expired = cat.expireSnapshots("ns1.li", maxAgeHours = 0, retainLast = 1)
+    val after = cat.listSnapshots("ns1.li").map(_.id)
+    assert(after.contains(cat.loadMeta("ns1.li").currentSnapshotId))
+    assert(after.length == before.length - expired.length)
+    // rows still served correctly from the surviving current snapshot
+    val rows = cat.scan("ns1.li").count()
+    val orphans = cat.cleanOrphans("ns1.li")
+    assert(cat.scan("ns1.li").count() == rows, "referenced files untouched")
+    // every removed path is truly unreferenced
+    val referenced = cat.listSnapshots("ns1.li").flatMap(_.files.map(_.path)).toSet
+    assert(orphans.forall(p => !referenced.exists(_.endsWith(p.split('/').last))))
+  }
+
   test("catalog export/import round-trip") {
     val json = cat.exportCatalog()
     val root2 = Files.createTempDirectory("icecat2").toString
