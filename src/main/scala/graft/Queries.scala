@@ -340,7 +340,8 @@ object Queries {
 
   val streaming: Map[String, Q] = Map(
     "e1_window_agg" -> (graft.streaming.Streams.windowAggBatch _),
-    "e2_sessionize" -> (graft.streaming.Streams.sessionizeBatch _)
+    "e2_sessionize" -> (graft.streaming.Streams.sessionizeBatch _),
+    "e3_funnel" -> (graft.streaming.Streams.funnelBatch _)
   )
 
   val streamingOracle: Map[String, String] = Map(
@@ -363,7 +364,23 @@ object Queries {
         |SELECT user_id, sess_id, count(*) AS n_events,
         | max(us) - min(us) AS duration_us,
         | min(us) // 3600000000 AS start_hour
-        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+    "e3_funnel" ->
+      """WITH c AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_click
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT DISTINCT c.user_id, 1 AS cv
+        |  FROM c JOIN p ON p.user_id = c.user_id
+        |   AND p.pus >= c.first_click AND p.pus <= c.first_click + 3600000000)
+        |SELECT c.first_click // 86400000000 AS day_bucket,
+        | count(*) AS n_clickers,
+        | CAST(coalesce(sum(conv.cv), 0) AS BIGINT) AS n_converted
+        |FROM c LEFT JOIN conv ON c.user_id = conv.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   def all: Map[String, Q] = relational ++ llm ++ tableMeta ++ streaming

@@ -82,6 +82,30 @@ object Streams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
 
+  /** e3: conversion funnel — users whose first click is followed by a
+    * purchase within one hour, bucketed by the day of the first click.
+    * Both stages reduce before the join (one row per user on the click
+    * side), so the funnel join is user-keyed and skew-bounded.
+    */
+  def funnelBatch(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val us = unix_micros(col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(us).as("first_click"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), us.as("pus"))
+    val converted = clicks.join(purchases, Seq("user_id"))
+      .filter(col("pus") >= col("first_click") &&
+        col("pus") <= col("first_click") + MicrosPerHour)
+      .select(col("user_id")).distinct()
+      .withColumn("cv", lit(1))
+    clicks.join(converted, Seq("user_id"), "left")
+      .groupBy(expr("first_click div 86400000000").as("day_bucket"))
+      .agg(count(lit(1)).as("n_clickers"),
+        coalesce(sum(col("cv")), lit(0)).cast("long").as("n_converted"))
+      .orderBy(col("day_bucket"))
+  }
+
   /** e2: 30-minute-gap sessionization per user, batch form (lag + running
     * sum); the streaming twin is [[sessionWindowsStream]].
     */
