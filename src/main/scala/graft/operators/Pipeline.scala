@@ -46,7 +46,7 @@ object Pipeline {
     val dropIds = pairs.as("p")
       .join(survivorsA, col("p.doc_a") === col("ka.doc_id"), "left_semi")
       .select(col("doc_b").as("doc_id")).distinct()
-    val cleaned = keepers.join(dropIds, Seq("doc_id"), "left_anti")
+    val cleaned = keepers.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
 
     cleaned
       .groupBy(col("source"))
