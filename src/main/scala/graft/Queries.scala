@@ -24,7 +24,9 @@ object Queries {
     "q9_approx" -> (Relational.q9Approx _),
     "q10_rollup" -> (Relational.q10Rollup _),
     "q11_pivot" -> (Relational.q11Pivot _),
-    "p1_pipeline" -> (Pipeline.curate _)
+    "q12_histogram" -> (Relational.q12Histogram _),
+    "p1_pipeline" -> (Pipeline.curate _),
+    "s4_dim_stats" -> (Similarity.dimStats _)
   )
 
   val relationalOracle: Map[String, String] = Map(
@@ -101,7 +103,17 @@ object Queries {
         | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
         | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p,
         | count(*) AS cnt
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) AS INT) AS bucket,
+        | count(*) AS cnt, round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s4_dim_stats" ->
+      """SELECT CAST(i AS INT) AS dim,
+        | round(avg(embedding[i]), 4) AS mean,
+        | round(stddev_pop(embedding[i]), 4) AS std
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY i ORDER BY dim""".stripMargin
   )
 
   val llm: Map[String, Q] = Map(

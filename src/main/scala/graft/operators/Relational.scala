@@ -167,6 +167,15 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q12: value histogram (distribution monitoring) — fixed-width buckets
+    * by floor division, one aggregation pass.
+    */
+  def q12Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(floor(col("l_extendedprice") / 10000).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"), round(avg(col("l_extendedprice")), 2).as("avg_price"))
+      .orderBy(col("bucket"))
+
   /** Multi-level aggregation via ROLLUP — one pass, grouping-set expansion
     * handled by Catalyst.
     */

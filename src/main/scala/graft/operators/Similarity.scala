@@ -85,6 +85,20 @@ object Similarity {
     topK(bucketed.filter(col("vec_id") >= 5), queries, Seq("bucket"), k)
   }
 
+  /** s4: per-dimension embedding statistics (mean/std — the normalization
+    * constants a feature pipeline computes before indexing). One explode +
+    * partial-agg pass; output is dims rows regardless of corpus size.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x"))
+      .groupBy(col("dim"))
+      .agg(
+        round(avg(col("x")), 4).as("mean"),
+        round(stddev_pop(col("x")), 4).as("std"))
+      .orderBy(col("dim"))
+
   // ---- IVF (coarse-quantized) ANN --------------------------------------
 
   /** Unit-normalized view (cosine distance == -dot on unit vectors). */

@@ -1,0 +1,85 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{IcebergHash, Jaccard, Ngrams, SimHashKernel}
+
+/** Randomized checks of the codegen kernels against naive reference
+  * implementations (seeded, 500 cases each) — the kernels run billions of
+  * times per job, so randomized edge coverage matters.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val rnd = new Random(42)
+
+  private def utf8Array(xs: Seq[String]) =
+    new GenericArrayData(xs.map(x => UTF8String.fromString(x): Any).toArray)
+
+  private def longArray(xs: Seq[Long]) =
+    new GenericArrayData(xs.map(x => x: Any).toArray)
+
+  private def randWords(n: Int): Seq[String] =
+    Seq.fill(n)(Random.alphanumeric.take(1 + rnd.nextInt(6)).mkString.toLowerCase)
+
+  test("Jaccard.sim equals set-math reference on sorted distinct arrays") {
+    (1 to 500).foreach { _ =>
+      val a = randWords(rnd.nextInt(30)).distinct.sorted
+      val b = randWords(rnd.nextInt(30)).distinct.sorted
+      val got = Jaccard.sim(utf8Array(a), utf8Array(b))
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val expected = if (union == 0) 0.0 else inter.toDouble / union
+      assert(got == expected, s"a=$a b=$b")
+    }
+  }
+
+  test("Jaccard.simLong equals set-math reference on sorted distinct longs") {
+    (1 to 500).foreach { _ =>
+      val a0 = Set.fill(rnd.nextInt(30))(rnd.nextLong(1000)) // collisions likely
+      val b0 = Set.fill(rnd.nextInt(30))(rnd.nextLong(1000))
+      val got = Jaccard.simLong(longArray(a0.toSeq.sorted), longArray(b0.toSeq.sorted))
+      val union = a0.union(b0).size
+      val expected = if (union == 0) 0.0 else a0.intersect(b0).size.toDouble / union
+      assert(got == expected)
+    }
+  }
+
+  test("Ngrams.shingle matches naive sliding windows") {
+    (0 to 60).foreach { n =>
+      val tokens = randWords(n)
+      val got = Ngrams.shingle(utf8Array(tokens), 3)
+      val seq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+      val expected =
+        if (tokens.length >= 3) tokens.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(tokens.mkString(" "))
+      assert(seq == expected, s"n=$n")
+    }
+  }
+
+  test("IcebergHash.bucket is always in [0, n)") {
+    (1 to 500).foreach { _ =>
+      val b1 = IcebergHash.bucketLong(rnd.nextLong(), 16)
+      val b2 = IcebergHash.bucketString(
+        UTF8String.fromString(randWords(3).mkString(" ")), 7)
+      assert(b1 >= 0 && b1 < 16)
+      assert(b2 >= 0 && b2 < 7)
+    }
+  }
+
+  test("SimHash is deterministic, 60-bit bounded, identity on single hash") {
+    (1 to 200).foreach { _ =>
+      val hs = Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong() & ((1L << 60) - 1))
+      val a = SimHashKernel.simhash60(longArray(hs))
+      assert(a == SimHashKernel.simhash60(longArray(hs)))
+      assert(a >= 0 && a < (1L << 60))
+    }
+    (1 to 100).foreach { _ =>
+      val h = rnd.nextLong() & ((1L << 60) - 1)
+      assert(SimHashKernel.simhash60(longArray(Seq(h))) == h)
+    }
+  }
+}
