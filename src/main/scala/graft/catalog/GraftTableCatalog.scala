@@ -1,0 +1,155 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.IceCatalog.PartitionField
+
+/** Spark SQL (DataSource V2) catalog plugin over [[IceCatalog]]:
+  *
+  * {{{
+  *   spark.conf: spark.sql.catalog.graft = graft.catalog.GraftTableCatalog
+  *               spark.sql.catalog.graft.root = /path/to/catalog
+  *   spark.sql("CREATE TABLE graft.ns.t (id BIGINT, ts TIMESTAMP) PARTITIONED BY (years(ts))")
+  *   spark.sql("SELECT * FROM graft.ns.t WHERE ...")
+  * }}}
+  *
+  * Reads resolve the table's CURRENT snapshot file list from the manifest
+  * and serve it through Spark's native parquet V2 table — so vectorized
+  * reading, filter pushdown, and column pruning all apply. Writes go
+  * through the IceCatalog API (snapshot commits need the manifest
+  * protocol, not a blind file sink).
+  */
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def ice: IceCatalog = new IceCatalog(spark, root)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(s"spark.sql.catalog.$name.root is required"))
+  }
+
+  override def name(): String = catalogName
+
+  private def identString(ident: Identifier): String = {
+    require(ident.namespace().length == 1, s"expected ns.table, got $ident")
+    s"${ident.namespace()(0)}.${ident.name()}"
+  }
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.length == 1)
+    ice.listTables(namespace(0)).map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val id = identString(ident)
+    if (!ice.tableExists(id))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(ident.namespace()(0), ident.name()))
+    val meta = ice.loadMeta(id)
+    val paths = meta.current.map(_.files.map(_.path)).getOrElse(Seq.empty)
+    ParquetTable(
+      id, spark, CaseInsensitiveStringMap.empty(), paths.toSeq,
+      Some(meta.schema), classOf[ParquetFileFormat])
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val spec = partitions.toSeq.map { t =>
+      val col = t.references().head.fieldNames().mkString(".")
+      t.name() match {
+        case "identity" => PartitionField(col, "identity", col)
+        case "years" => PartitionField(col, "year", "p_year")
+        case "months" => PartitionField(col, "month", "p_month")
+        case "days" => PartitionField(col, "day", "p_day")
+        case "hours" => PartitionField(col, "hour", "p_hour")
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: V2Literal[_] => l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException("bucket needs a count"))
+          PartitionField(col, s"bucket[$n]", s"p_bucket_$col")
+        case other => throw new UnsupportedOperationException(s"transform $other")
+      }
+    }
+    val id = identString(ident)
+    ice.createNamespace(ident.namespace()(0))
+    ice.createTable(id, schema, spec)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val id = identString(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1, "nested adds unsupported")
+        ice.addColumn(id, add.fieldNames()(0), add.dataType())
+      case other => throw new UnsupportedOperationException(s"alter $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val id = identString(ident)
+    val existed = ice.tableExists(id)
+    if (existed) ice.dropTable(id)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename")
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    ice.listNamespaces().map(ns => Array(ns)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && ice.listNamespaces().contains(namespace(0))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace.toSeq)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1)
+    ice.createNamespace(namespace(0))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    require(namespace.length == 1)
+    val existed = namespaceExists(namespace)
+    if (existed) {
+      if (cascade) ice.listTables(namespace(0)).foreach(t => ice.dropTable(s"${namespace(0)}.$t"))
+      ice.dropNamespace(namespace(0))
+    }
+    existed
+  }
+}

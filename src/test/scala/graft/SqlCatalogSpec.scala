@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IceCatalog
+import graft.catalog.IceCatalog._
+
+/** The DataSource V2 catalog plugin end to end: DDL + SELECT through plain
+  * spark.sql over IceCatalog tables.
+  */
+class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val root: String = Files.createTempDirectory("sqlcat").toString
+  lazy val spark: SparkSession = GraftSession.builder("graft-sql-catalog", cpus = 4)
+    .config("spark.sql.catalog.graft", "graft.catalog.GraftTableCatalog")
+    .config("spark.sql.catalog.graft.root", root)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("SELECT over an API-written table via SQL identifier") {
+    spark.sparkContext.setLogLevel("WARN")
+    val cat = new IceCatalog(spark, root)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    cat.createNamespace("ns1")
+    cat.createTable("ns1.li", li.schema,
+      partitionSpec = Seq(PartitionField("l_shipdate", "year", "p_year")))
+    cat.insert("ns1.li", li)
+
+    assert(spark.sql("SELECT count(*) FROM graft.ns1.li").collect()(0).getLong(0) == li.count())
+    // pushdown-friendly: filters + projection through the native parquet scan
+    val agg = spark.sql(
+      """SELECT l_returnflag, count(*) AS n FROM graft.ns1.li
+        |WHERE l_quantity > 25 GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    val expected = li.filter(col("l_quantity") > 25)
+      .groupBy("l_returnflag").count().orderBy("l_returnflag").collect()
+    assert(agg.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      expected.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("CREATE TABLE ... PARTITIONED BY DDL creates an IceCatalog table") {
+    spark.sql(
+      """CREATE TABLE graft.ns2.t (id BIGINT, label STRING, ts TIMESTAMP)
+        |PARTITIONED BY (years(ts), bucket(8, id))""".stripMargin)
+    val cat = new IceCatalog(spark, root)
+    val meta = cat.loadMeta("ns2.t")
+    assert(meta.partitionSpec.map(_.transform) == Seq("year", "bucket[8]"))
+    assert(spark.sql("SHOW TABLES IN graft.ns2").collect().map(_.getString(1)).contains("t"))
+    // empty table scans cleanly
+    assert(spark.sql("SELECT * FROM graft.ns2.t").count() == 0)
+    spark.sql("DROP TABLE graft.ns2.t")
+    assert(!cat.tableExists("ns2.t"))
+  }
+
+  test("reads see only the current snapshot after a delete") {
+    val cat = new IceCatalog(spark, root)
+    cat.delete("ns1.li", Seq(PartitionFilter("p_year", Op.Eq, Seq("26"))))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val expected = li.filter(year(col("l_shipdate")) =!= 1996).count()
+    assert(spark.sql("SELECT count(*) FROM graft.ns1.li").collect()(0).getLong(0) == expected)
+  }
+}
