@@ -57,13 +57,34 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     ice.listTables(namespace(0)).map(Identifier.of(namespace, _)).toArray
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+
+  /** SQL `VERSION AS OF <snapshot-id>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, Some(version.toLong))
+
+  /** SQL `TIMESTAMP AS OF` — newest snapshot at or before the timestamp. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val id = identString(ident)
+    val tsMs = timestampMicros / 1000
+    val snap = ice.loadMeta(id).snapshots
+      .filter(_.timestampMs <= tsMs).sortBy(_.timestampMs).lastOption
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot of $id at or before $tsMs"))
+    tableAt(ident, Some(snap.id))
+  }
+
+  private def tableAt(ident: Identifier, asOf: Option[Long]): Table = {
     val id = identString(ident)
     if (!ice.tableExists(id))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(ident.namespace()(0), ident.name()))
     val meta = ice.loadMeta(id)
-    val paths = meta.current.map(_.files.map(_.path)).getOrElse(Seq.empty)
+    val snap = asOf match {
+      case Some(v) => meta.snapshot(v).orElse(
+        throw new IllegalArgumentException(s"no snapshot $v in $id"))
+      case None => meta.current
+    }
+    val paths = snap.map(_.files.map(_.path)).getOrElse(Seq.empty)
     ParquetTable(
       id, spark, CaseInsensitiveStringMap.empty(), paths.toSeq,
       Some(meta.schema), classOf[ParquetFileFormat])

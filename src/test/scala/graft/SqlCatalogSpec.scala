@@ -58,11 +58,14 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cat.tableExists("ns2.t"))
   }
 
-  test("reads see only the current snapshot after a delete") {
+  test("reads see only the current snapshot after a delete; VERSION AS OF travels back") {
     val cat = new IceCatalog(spark, root)
+    val v1 = cat.loadMeta("ns1.li").currentSnapshotId
     cat.delete("ns1.li", Seq(PartitionFilter("p_year", Op.Eq, Seq("26"))))
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val expected = li.filter(year(col("l_shipdate")) =!= 1996).count()
     assert(spark.sql("SELECT count(*) FROM graft.ns1.li").collect()(0).getLong(0) == expected)
+    assert(spark.sql(s"SELECT count(*) FROM graft.ns1.li VERSION AS OF $v1")
+      .collect()(0).getLong(0) == li.count())
   }
 }
