@@ -229,11 +229,26 @@ class IceCatalog(spark: SparkSession, root: String) {
       } else throw new IllegalStateException(
         s"duplicate source files (use skipDuplicates or forceDuplicates): ${dupes.take(3)}")
 
+    val files = writeArranged(ident, toInsert, meta)
+    if (options.noCommit) return meta
+    commit(ident, m => {
+      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(), "append",
+        (m.current.map(_.files).getOrElse(Seq.empty)) ++ files,
+        (m.snapshots.flatMap(_.sourceFiles).distinct ++ incoming).distinct)
+      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
+    })
+  }
+
+  /** Partition-transform + in-partition-sort write of `df` under a fresh
+    * commit dir; returns the new files' manifest entries.
+    */
+  private def writeArranged(ident: String, df: DataFrame, meta: TableMeta): Seq[DataFileMeta] = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = tableDir(ident).resolve("data").resolve(commitId)
     val partNames = meta.partitionSpec.map(_.name)
-    val withParts = meta.partitionSpec.foldLeft(toInsert) { (d, f) =>
-      d.withColumn(f.name, transformCol(f, schema))
+    val withParts = meta.partitionSpec.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, transformCol(f, meta.schema))
     }
     val sortCols = partNames.map(col) ++ meta.sortOrder.map { s =>
       val c = col(s.column)
@@ -252,14 +267,36 @@ class IceCatalog(spark: SparkSession, root: String) {
     val writer = arranged.write.mode("append")
     (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
       .parquet(dataDir.toString)
+    collectFileMeta(dataDir.toString, meta.schema, partNames)
+  }
 
-    val files = collectFileMeta(dataDir.toString, schema, partNames)
-    if (options.noCommit) return meta
+  /** Keyed upsert (MERGE semantics): rows in `df` replace existing rows
+    * with the same key; unmatched rows append. Copy-on-write: only files
+    * containing a matching key are rewritten (anti-join against the
+    * broadcast key set), everything else carries over; one snapshot commit.
+    */
+  def upsert(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    val meta = loadMeta(ident)
+    val cur = meta.current.getOrElse {
+      return insert(ident, df)
+    }
+    val keys = df.select(keyCols.map(col): _*).distinct()
+    val existing = spark.read.schema(meta.schema).parquet(cur.files.map(_.path): _*)
+    val affected = existing
+      .join(broadcast(keys), keyCols, "left_semi")
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0)).toSet
+    val (rewrite, keep) = cur.files.partition(f => affected.contains(f.path))
+    val survivors =
+      if (rewrite.isEmpty) None
+      else Some(spark.read.schema(meta.schema).parquet(rewrite.map(_.path): _*)
+        .join(broadcast(keys), keyCols, "left_anti"))
+    val rewritten = survivors.map(writeArranged(ident, _, meta)).getOrElse(Seq.empty)
+    val appended = writeArranged(ident, df.select(meta.schema.fieldNames.map(col): _*), meta)
     commit(ident, m => {
       val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(), "append",
-        (m.current.map(_.files).getOrElse(Seq.empty)) ++ files,
-        (m.snapshots.flatMap(_.sourceFiles).distinct ++ incoming).distinct)
+      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
+        "overwrite", keep ++ rewritten ++ appended, m.snapshots.flatMap(_.sourceFiles).distinct)
       m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
     })
   }

@@ -142,6 +142,17 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat2.scan("ns1.li").count() == cat.scan("ns1.li").count())
   }
 
+  test("upsert replaces matched keys and appends new ones (copy-on-write)") {
+    import spark.implicits._
+    cat.createTable("ns1.kv", Seq((1L, "a")).toDF("k", "v").schema)
+    cat.insert("ns1.kv", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    cat.upsert("ns1.kv", Seq((2L, "B2"), (9L, "new")).toDF("k", "v"), Seq("k"))
+    val rows = cat.scan("ns1.kv").as[(Long, String)].collect().sorted.toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    assert(cat.listSnapshots("ns1.kv").last.operation == "overwrite")
+    cat.dropTable("ns1.kv")
+  }
+
   test("unpartitioned unsorted table works too") {
     cat.createTable("ns1.plain", lineitem.schema)
     cat.insert("ns1.plain", lineitem.limit(100))
