@@ -71,6 +71,15 @@ object Streams {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming exact dedup: one output row per content key, with state
+    * bounded by the watermark horizon (the streaming twin of
+    * Dedup.exactDedup for continuous ingestion).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail :+ "ts": _*)
+
   // ---- batch equivalents (oracle-checked) -------------------------------
 
   /** e1: tumbling 1-hour windows over the events table. */

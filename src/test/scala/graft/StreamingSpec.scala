@@ -62,6 +62,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-01 11:00:00", "view", 1L, 3.0)))
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "k")
+    val q = Streams.dedupStream(df, Seq("k")).drop("ts")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "a"), // dup, same ts
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "b"))
+    q.processAllAvailable()
+    val keys = spark.table("dedup").collect().map(_.getString(0)).toSeq.sorted
+    q.stop()
+    assert(keys == Seq("a", "b"))
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
