@@ -321,6 +321,13 @@ object Queries {
         | l_partkey - (l_partkey % 100) AS p_part_trunc,
         | count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "t2_bucket_transform" -> {
+      import graft.functions.Murmur3Sql._
+      s"""SELECT ${bucket(hashLong("l_orderkey"), 16)} AS b_orderkey,
+         | ${bucket(hashOneByte("ascii(l_returnflag)"), 4)} AS b_flag,
+         | count(*) AS cnt
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "t3_list_partitions" ->
       """SELECT CAST(year(l_shipdate) - 1970 AS INT) AS p_year, l_returnflag,
         | count(*) AS record_count, count(DISTINCT l_orderkey) AS order_count

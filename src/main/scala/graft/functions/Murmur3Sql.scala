@@ -1,0 +1,51 @@
+package graft.functions
+
+/** Generates DuckDB SQL that reproduces murmur3_x86_32 (Iceberg bucket
+  * hash) in pure modular arithmetic — 32-bit wrapping via `% 2^32` with
+  * HUGEINT intermediates, rotation as multiply+divide, `xor()` built-in.
+  * This lets the bucket transform be oracle-checked end to end instead of
+  * rows-only (values verified against [[IcebergHash]] and the Iceberg
+  * spec's test vectors).
+  */
+object Murmur3Sql {
+
+  private def rotl(x: String, r: Int): String =
+    s"((($x) * ${1L << r}) % 4294967296 + (($x) // ${1L << (32 - r)}))"
+
+  private def mul32(x: String, c: Long): String =
+    s"CAST((CAST(($x) AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
+
+  private def mixK1(k: String): String =
+    mul32(rotl(mul32(k, 0xcc9e2d51L), 15), 0x1b873593L)
+
+  private def mixH1(h: String, k: String): String =
+    s"((${mul32(rotl(s"xor(($h), ($k))", 13), 5L)} + 3864292196) % 4294967296)"
+
+  private def fmix(h0: String, len: Int): String = {
+    var h = s"xor(($h0), $len)"
+    h = s"xor(($h), ($h) // 65536)"
+    h = mul32(h, 0x85ebca6bL)
+    h = s"xor(($h), ($h) // 8192)"
+    h = mul32(h, 0xc2b2ae35L)
+    s"xor(($h), ($h) // 65536)"
+  }
+
+  /** murmur3_x86_32 of a non-negative BIGINT column's 8 little-endian
+    * bytes (the Iceberg long/int/date/timestamp layout).
+    */
+  def hashLong(col: String): String = {
+    val lo = s"(($col) % 4294967296)"
+    val hi = s"((($col) // 4294967296) % 4294967296)"
+    fmix(mixH1(mixH1("0", mixK1(lo)), mixK1(hi)), 8)
+  }
+
+  /** murmur3_x86_32 of a single-byte string (tail-only path) given its
+    * byte value expression, e.g. `ascii(col)` for ASCII data.
+    */
+  def hashOneByte(byteExpr: String): String =
+    fmix(s"xor(0, ${mixK1(byteExpr)})", 1)
+
+  /** Iceberg bucket: (hash & Int.MaxValue) % n. */
+  def bucket(hashExpr: String, n: Int): String =
+    s"CAST((($hashExpr) % 2147483648) % $n AS INT)"
+}
