@@ -145,6 +145,24 @@ object Queries {
       |      ELSE 'video' END AS modality
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** DuckDB SQL for d4: per-token 60-bit hash from md5 hex by positional
+    * digit sums (16^14·15 terms fit BIGINT), then a per-bit majority vote —
+    * byte-identical to the SimHash60 kernel.
+    */
+  private def simhashOracle: String = {
+    val hex15 = (0 until 15).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1) * ${math.pow(16, 14 - i).toLong}"
+    ).mkString(" + ")
+    val bits = (0 until 60).map(b =>
+      s"(CASE WHEN 2 * list_sum(list_transform(hs, v -> (v // ${1L << b}) % 2)) > len(hs) THEN ${1L << b} ELSE 0 END)"
+    ).mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |hs AS (SELECT doc_id, list_transform(t, w -> $hex15) AS hs FROM tok)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash60 FROM hs ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared DuckDB CTE: tokenization identical to TextFunctions.tokens. */
   private val tokCte =
     """tok AS (SELECT doc_id, source, text,
@@ -221,6 +239,7 @@ object Queries {
     "d2_minhash_sig" ->
       s"""WITH $sigCte
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "d4_simhash" -> simhashOracle,
     "d3_minhash_lsh" ->
       s"""WITH $sigCte,
          |bands AS (
