@@ -163,6 +163,33 @@ object Queries {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash60 FROM hs ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB SQL for s2: the same md5-derived hyperplanes are embedded as
+    * double literals (shortest round-trip repr ⇒ identical doubles), bucket
+    * bits from dot-product signs, then the bucket-equi-join top-k exactly
+    * as the Spark plan computes it.
+    */
+  private def lshAnnOracle: String = {
+    val planes = (0 until 8).map(b => Similarity.hyperplane(b, 64))
+    val bucketExpr = planes.zipWithIndex.map { case (p, b) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id < 5),
+       |c AS (SELECT * FROM bk WHERE vec_id >= 5),
+       |s AS (SELECT q_id, c.vec_id AS neighbor_id,
+       |  list_dot_product(qv, v)
+       |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score
+       | FROM c JOIN q ON c.bucket = q.bucket),
+       |r AS (SELECT q_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT) AS rank,
+       |  score FROM s)
+       |SELECT q_id, neighbor_id, rank, round(score, 4) AS score
+       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Shared DuckDB CTE: tokenization identical to TextFunctions.tokens. */
   private val tokCte =
     """tok AS (SELECT doc_id, source, text,
@@ -240,6 +267,7 @@ object Queries {
       s"""WITH $sigCte
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
     "d4_simhash" -> simhashOracle,
+    "s2_lsh_ann" -> lshAnnOracle,
     "d3_minhash_lsh" ->
       s"""WITH $sigCte,
          |bands AS (

@@ -53,7 +53,7 @@ object Similarity {
     * md5-derived uniform in [-0.5, 0.5). Computed once on the driver —
     * hyperplanes are constants, not per-row expressions.
     */
-  private def hyperplane(b: Int, dims: Int): Array[Double] = {
+  private[graft] def hyperplane(b: Int, dims: Int): Array[Double] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     (0 until dims).map { d =>
       val hex = digest.digest(s"$b:$d".getBytes("UTF-8"))
