@@ -26,6 +26,7 @@ object GraftSession {
   def getOrCreate(appName: String = "graft", cpus: Int = 32): SparkSession = {
     val spark = builder(appName, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // custom expressions usable from SQL
     spark
   }
 }

@@ -483,6 +483,28 @@ class IceCatalog(spark: SparkSession, root: String) {
   def files(ident: String): Seq[DataFileMeta] =
     loadMeta(ident).current.map(_.files).getOrElse(Seq.empty)
 
+  /** Table description as a DataFrame (the `describe` command surface):
+    * one row per column with partition/sort roles, plus table-level rows
+    * for snapshot count, current snapshot, file and row totals.
+    */
+  def describeTable(ident: String): DataFrame = {
+    val meta = loadMeta(ident)
+    val partBy = meta.partitionSpec.map(f => f.column -> f.transform).toMap
+    val sortBy = meta.sortOrder.map(_.column).toSet
+    val cols = meta.schema.fields.map { f =>
+      (f.name, f.dataType.simpleString, f.nullable.toString,
+        partBy.get(f.name).map(t => s"partition:$t").getOrElse("") +
+          (if (sortBy.contains(f.name)) " sort" else ""))
+    }.toSeq
+    val totals = Seq(
+      ("# snapshots", meta.snapshots.length.toString, "", ""),
+      ("# current-snapshot", meta.currentSnapshotId.toString, "", ""),
+      ("# files", meta.current.map(_.files.size).getOrElse(0).toString, "", ""),
+      ("# rows", meta.current.map(_.files.map(_.rowCount).sum).getOrElse(0L).toString, "", ""))
+    import spark.implicits._
+    (cols ++ totals).toDF("name", "value", "nullable", "roles")
+  }
+
   /** Sortedness check over a table or DataFrame — the reference's
     * sort-order verification (Sorting.java SortCheckResult): counts
     * adjacent-row order violations per partition under the table's sort

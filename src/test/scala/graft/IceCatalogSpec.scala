@@ -133,6 +133,14 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphans.forall(p => !referenced.exists(_.endsWith(p.split('/').last))))
   }
 
+  test("describeTable reports columns, roles, and snapshot totals") {
+    val d = cat.describeTable("ns1.li").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(3))).toMap
+    assert(d("l_shipdate")._2.startsWith("partition:year"))
+    assert(d("l_orderkey")._2.contains("sort"))
+    assert(d("# rows")._1.toLong == cat.scan("ns1.li").count())
+  }
+
   test("catalog export/import round-trip") {
     val json = cat.exportCatalog()
     val root2 = Files.createTempDirectory("icecat2").toString
