@@ -29,6 +29,25 @@ import graft.catalog.IceCatalog.PartitionField
   * through the IceCatalog API (snapshot commits need the manifest
   * protocol, not a blind file sink).
   */
+/** Read-only facade over the snapshot-resolved parquet table. ParquetTable
+  * itself supports DSv2 batch writes, which would let `INSERT INTO graft...`
+  * drop files on disk WITHOUT a manifest/snapshot commit (unmanifested,
+  * invisible data). Exposing only read capabilities makes the analyzer
+  * reject writes; mutations must use the IceCatalog API
+  * (insert/upsert/deleteWhere), which run the commit protocol.
+  */
+private class ReadOnlySnapshotTable(delegate: ParquetTable)
+    extends Table with SupportsRead {
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): util.Map[String, String] = delegate.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap) =
+    delegate.newScanBuilder(options)
+}
+
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -85,9 +104,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       case None => meta.current
     }
     val paths = snap.map(_.files.map(_.path)).getOrElse(Seq.empty)
-    ParquetTable(
+    new ReadOnlySnapshotTable(ParquetTable(
       id, spark, CaseInsensitiveStringMap.empty(), paths.toSeq,
-      Some(meta.schema), classOf[ParquetFileFormat])
+      Some(meta.schema), classOf[ParquetFileFormat]))
   }
 
   override def createTable(

@@ -165,12 +165,30 @@ class IceCatalog(spark: SparkSession, root: String) {
     Files.writeString(dir.resolve("metadata").resolve("version-hint.txt"), version.toString)
   }
 
-  private def commit(ident: String, f: TableMeta => TableMeta, retries: Int = 3): TableMeta = {
+  /** Optimistic commit. `basedOn` carries the snapshot id an operation
+    * planned its file lists against (upsert/delete/compact compute keep/
+    * rewrite sets from a snapshot read before the commit): if a concurrent
+    * writer advanced the table past that snapshot, retrying with the stale
+    * lists would silently drop the other writer's files, so we refuse and
+    * make the caller re-plan. Append-only lambdas (insert) recompute from
+    * the fresh metadata and may retry freely with `basedOn = None`.
+    */
+  private[graft] def commit(
+      ident: String,
+      f: TableMeta => TableMeta,
+      basedOn: Option[Long] = None,
+      retries: Int = 3): TableMeta = {
     val dir = tableDir(ident)
     var attempt = 0
     while (true) {
       val v = currentVersion(dir)
       val meta = loadMeta(ident)
+      basedOn.foreach { id =>
+        if (meta.currentSnapshotId != id)
+          throw new java.util.ConcurrentModificationException(
+            s"table $ident advanced from snapshot $id to ${meta.currentSnapshotId} " +
+              "during commit; re-read and re-plan the operation")
+      }
       val updated = f(meta)
       try {
         writeVersion(dir, v + 1, updated)
@@ -240,17 +258,33 @@ class IceCatalog(spark: SparkSession, root: String) {
     })
   }
 
-  /** Partition-transform + in-partition-sort write of `df` under a fresh
-    * commit dir; returns the new files' manifest entries.
+  /** Hive directory name for one partition field. Identity transforms get a
+    * derived `__p_<col>` dir name so `partitionBy` strips only the derived
+    * copy and the source column stays IN the data files — otherwise every
+    * explicit-file-path read (scan, SQL catalog, rewrite) would see NULLs
+    * for identity-partitioned columns (Spark does no hive discovery on leaf
+    * paths). Manifest partition maps still use the spec's `name`.
     */
-  private def writeArranged(ident: String, df: DataFrame, meta: TableMeta): Seq[DataFileMeta] = {
+  private def partDirName(f: PartitionField): String =
+    if (f.transform.toLowerCase == "identity" || f.transform.isEmpty) s"__p_${f.column}"
+    else f.name
+
+  /** Partition-transform + in-partition-sort write of `df` under a fresh
+    * commit dir; returns the new files' manifest entries. `coalesceTo`
+    * bounds output file count (compaction).
+    */
+  private def writeArranged(
+      ident: String,
+      df: DataFrame,
+      meta: TableMeta,
+      coalesceTo: Option[Int] = None): Seq[DataFileMeta] = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = tableDir(ident).resolve("data").resolve(commitId)
-    val partNames = meta.partitionSpec.map(_.name)
+    val dirNames = meta.partitionSpec.map(partDirName)
     val withParts = meta.partitionSpec.foldLeft(df) { (d, f) =>
-      d.withColumn(f.name, transformCol(f, meta.schema))
+      d.withColumn(partDirName(f), transformCol(f, meta.schema))
     }
-    val sortCols = partNames.map(col) ++ meta.sortOrder.map { s =>
+    val sortCols = dirNames.map(col) ++ meta.sortOrder.map { s =>
       val c = col(s.column)
       (s.desc, s.nullsFirst) match {
         case (false, false) => c.asc_nulls_last
@@ -260,14 +294,20 @@ class IceCatalog(spark: SparkSession, root: String) {
       }
     }
     val arranged =
-      if (partNames.nonEmpty)
-        withParts.repartition(partNames.map(col): _*).sortWithinPartitions(sortCols: _*)
-      else if (sortCols.nonEmpty) withParts.sortWithinPartitions(sortCols: _*)
-      else withParts
+      if (dirNames.nonEmpty) {
+        val re = coalesceTo match {
+          case Some(n) => withParts.repartition(n, dirNames.map(col): _*)
+          case None => withParts.repartition(dirNames.map(col): _*)
+        }
+        re.sortWithinPartitions(sortCols: _*)
+      } else {
+        val base = coalesceTo.map(withParts.coalesce).getOrElse(withParts)
+        if (sortCols.nonEmpty) base.sortWithinPartitions(sortCols: _*) else base
+      }
     val writer = arranged.write.mode("append")
-    (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
+    (if (dirNames.nonEmpty) writer.partitionBy(dirNames: _*) else writer)
       .parquet(dataDir.toString)
-    collectFileMeta(dataDir.toString, meta.schema, partNames)
+    collectFileMeta(dataDir.toString, meta.schema, meta.partitionSpec)
   }
 
   /** Keyed upsert (MERGE semantics): rows in `df` replace existing rows
@@ -298,7 +338,7 @@ class IceCatalog(spark: SparkSession, root: String) {
       val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
         "overwrite", keep ++ rewritten ++ appended, m.snapshots.flatMap(_.sourceFiles).distinct)
       m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    })
+    }, basedOn = Some(meta.currentSnapshotId))
   }
 
   /** One distributed pass over freshly written files: per-file row counts +
@@ -306,8 +346,13 @@ class IceCatalog(spark: SparkSession, root: String) {
     * reads from parquet footers).
     */
   private def collectFileMeta(
-      dataDir: String, schema: StructType, partNames: Seq[String]): Seq[DataFileMeta] = {
+      dataDir: String, schema: StructType, spec: Seq[PartitionField]): Seq[DataFileMeta] = {
+    val wrote = Files.isDirectory(Paths.get(dataDir)) &&
+      Files.walk(Paths.get(dataDir)).iterator().asScala
+        .exists(p => p.getFileName.toString.endsWith(".parquet"))
+    if (!wrote) return Seq.empty // e.g. a rewrite whose every row was deleted
     val fresh = spark.read.parquet(dataDir)
+    val dirNames = spec.map(partDirName)
     val statCols = schema.fields.filter(f => f.dataType.typeName match {
       case "integer" | "long" | "double" | "float" | "string" | "date" | "timestamp" => true
       case _ => false
@@ -318,12 +363,13 @@ class IceCatalog(spark: SparkSession, root: String) {
         max(col(c)).cast("string").as(s"__max__$c"),
         sum(col(c).isNull.cast("long")).as(s"__nulls__$c")))
     val grouped = fresh
-      .groupBy(input_file_name().as("__file") +: partNames.map(col): _*)
+      .groupBy(input_file_name().as("__file") +: dirNames.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     grouped.map { r =>
       val path = r.getAs[String]("__file")
-      val partition = partNames.map(p => p -> Option(r.getAs[Any](p)).map(_.toString).orNull).toMap
+      val partition = spec.map(f =>
+        f.name -> Option(r.getAs[Any](partDirName(f))).map(_.toString).orNull).toMap
       val stats = statCols.map { c =>
         c -> ColStats(r.getAs[String](s"__min__$c"), r.getAs[String](s"__max__$c"),
           r.getAs[Long](s"__nulls__$c"))
@@ -387,15 +433,13 @@ class IceCatalog(spark: SparkSession, root: String) {
     val files = snap.files.filter(f => filters.forall(matches(f, _, meta)))
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    val base = spark.read.schema(withPartitionCols(meta)).parquet(files.map(_.path): _*)
+    // Data files always carry the full table schema (identity partitions are
+    // written under derived __p_* dir names, see partDirName), so explicit
+    // leaf-path reads need no hive partition discovery.
+    val base = spark.read.schema(meta.schema).parquet(files.map(_.path): _*)
     filters.foldLeft(base)((d, f) => d.filter(filterToColumn(d, f, meta)))
       .select(meta.schema.fieldNames.map(col): _*)
   }
-
-  /** Current schema + derivable partition columns (so identity-partition
-    * values pruned from hive paths are still selectable).
-    */
-  private def withPartitionCols(meta: TableMeta): StructType = meta.schema
 
   private def filterToColumn(df: DataFrame, f: PartitionFilter, meta: TableMeta): Column = {
     // Recompute the partition transform over the source column when the
@@ -434,7 +478,7 @@ class IceCatalog(spark: SparkSession, root: String) {
       val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
         "delete", keep, m.snapshots.flatMap(_.sourceFiles).distinct)
       m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    })
+    }, basedOn = Some(meta.currentSnapshotId))
     if (purge) drop.foreach(f =>
       try Files.deleteIfExists(Paths.get(new java.net.URI(f.path).getPath))
       catch { case _: Exception => })
@@ -453,20 +497,18 @@ class IceCatalog(spark: SparkSession, root: String) {
       .select(input_file_name().as("f")).distinct().collect().map(_.getString(0)).toSet
     if (affected.isEmpty) return meta
     val (rewrite, keep) = cur.files.partition(f => affected.contains(f.path))
-    val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val dataDir = tableDir(ident).resolve("data").resolve(commitId)
-    spark.read.schema(meta.schema).parquet(rewrite.map(_.path): _*)
-      .filter(!predicate)
-      .write.parquet(dataDir.toString)
-    val newFiles =
-      if (Files.isDirectory(dataDir)) collectFileMeta(dataDir.toString, meta.schema, Seq.empty)
-      else Seq.empty
+    // SQL DELETE semantics: only rows where the predicate is TRUE go; rows
+    // where it evaluates to NULL (e.g. a null in a predicate column) stay.
+    // A bare .filter(!predicate) would silently drop them.
+    val survivors = spark.read.schema(meta.schema).parquet(rewrite.map(_.path): _*)
+      .filter(not(coalesce(predicate, lit(false))))
+    val newFiles = writeArranged(ident, survivors, meta)
     commit(ident, m => {
       val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
       val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
         "overwrite", keep ++ newFiles, m.snapshots.flatMap(_.sourceFiles).distinct)
       m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    })
+    }, basedOn = Some(meta.currentSnapshotId))
   }
 
   // ---- introspection (Describe*/List*/Files commands) -------------------
@@ -544,25 +586,16 @@ class IceCatalog(spark: SparkSession, root: String) {
     val meta = loadMeta(ident)
     val cur = meta.current.getOrElse(return meta)
     if (cur.files.isEmpty) return meta
-    val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val dataDir = tableDir(ident).resolve("data").resolve(commitId)
-    val partNames = meta.partitionSpec.map(_.name)
     val totalBytes = cur.files.map(_.bytes).sum.max(1L)
     val nOut = math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt)
     val df = spark.read.schema(meta.schema).parquet(cur.files.map(_.path): _*)
-    val arranged = meta.partitionSpec.foldLeft(df) { (d, f) =>
-      d.withColumn(f.name, transformCol(f, meta.schema))
-    }.coalesce(nOut)
-    val writer = arranged.write.mode("append")
-    (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
-      .parquet(dataDir.toString)
-    val files = collectFileMeta(dataDir.toString, meta.schema, partNames)
+    val files = writeArranged(ident, df, meta, coalesceTo = Some(nOut))
     commit(ident, m => {
       val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
       val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
         "replace", files, m.snapshots.flatMap(_.sourceFiles).distinct)
       m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    })
+    }, basedOn = Some(meta.currentSnapshotId))
   }
 
   /** Add a nullable column (AlterTable.java semantics); existing files are

@@ -73,12 +73,15 @@ object Streams {
 
   /** Streaming exact dedup: one output row per content key, with state
     * bounded by the watermark horizon (the streaming twin of
-    * Dedup.exactDedup for continuous ingestion).
+    * Dedup.exactDedup for continuous ingestion). The event-time column is
+    * deliberately NOT part of the key — duplicates of the same content key
+    * arriving at different timestamps must still collapse; the watermark
+    * alone bounds the dedup state.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail :+ "ts": _*)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   // ---- batch equivalents (oracle-checked) -------------------------------
 

@@ -161,6 +161,55 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("ns1.kv")
   }
 
+  test("deleteWhere keeps rows where the predicate evaluates to NULL") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, Some(50.0)), (3L, None)).toDF("k", "v")
+    cat.createTable("ns1.nullable", df.schema)
+    cat.insert("ns1.nullable", df)
+    // v > 10 is NULL for k=3 — SQL DELETE must not touch that row
+    cat.deleteWhere("ns1.nullable", col("v") > 10)
+    val rows = cat.scan("ns1.nullable").select("k").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 3L), "NULL-predicate row must survive the rewrite")
+    cat.dropTable("ns1.nullable")
+  }
+
+  test("identity-partitioned column round-trips (values, pruning, rewrite)") {
+    import spark.implicits._
+    val df = Seq((1L, "us", 1.0), (2L, "eu", 2.0), (3L, "us", 3.0), (4L, "ap", 4.0))
+      .toDF("id", "region", "score")
+    cat.createTable("ns1.ident", df.schema,
+      partitionSpec = Seq(PartitionField("region", "identity", "region")))
+    cat.insert("ns1.ident", df)
+    // the identity column must come back with real values, not NULLs
+    val back = cat.scan("ns1.ident").select("id", "region").as[(Long, String)]
+      .collect().toMap
+    assert(back == Map(1L -> "us", 2L -> "eu", 3L -> "us", 4L -> "ap"))
+    // manifest partition values recorded under the spec name → file pruning
+    val parts = cat.listPartitions("ns1.ident").map { case (p, n, _) => p("region") -> n }.toMap
+    assert(parts == Map("us" -> 2L, "eu" -> 1L, "ap" -> 1L))
+    assert(cat.scan("ns1.ident", Seq(PartitionFilter("region", Op.Eq, Seq("us"))))
+      .select("region").as[String].collect().toSeq == Seq("us", "us"))
+    // copy-on-write rewrite keeps the identity values too
+    cat.deleteWhere("ns1.ident", col("id") === 3L)
+    val after = cat.scan("ns1.ident").select("region").as[String].collect().sorted.toSeq
+    assert(after == Seq("ap", "eu", "us"))
+    cat.dropTable("ns1.ident")
+  }
+
+  test("a commit planned against a superseded snapshot is rejected, not lost") {
+    import spark.implicits._
+    cat.createTable("ns1.race", Seq((1L, "a")).toDF("k", "v").schema)
+    cat.insert("ns1.race", Seq((1L, "a")).toDF("k", "v"))
+    val planned = cat.loadMeta("ns1.race").currentSnapshotId
+    // concurrent writer advances the table after our plan was computed
+    cat.insert("ns1.race", Seq((2L, "b")).toDF("k", "v"),
+      InsertOptions(forceDuplicates = true))
+    intercept[java.util.ConcurrentModificationException] {
+      cat.commit("ns1.race", identity, basedOn = Some(planned))
+    }
+    cat.dropTable("ns1.race")
+  }
+
   test("unpartitioned unsorted table works too") {
     cat.createTable("ns1.plain", lineitem.schema)
     cat.insert("ns1.plain", lineitem.limit(100))

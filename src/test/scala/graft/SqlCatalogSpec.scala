@@ -58,6 +58,27 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cat.tableExists("ns2.t"))
   }
 
+  test("SQL INSERT INTO is rejected — writes must use the IceCatalog commit protocol") {
+    spark.sql("CREATE TABLE graft.ns3.kv (k BIGINT, v STRING)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.ns3.kv VALUES (1, 'a')")
+    }
+    // no unmanifested data landed: the table still reads empty
+    assert(spark.sql("SELECT * FROM graft.ns3.kv").count() == 0)
+    spark.sql("DROP TABLE graft.ns3.kv")
+  }
+
+  test("identity-partitioned values are visible through SQL reads") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.ns3.idp (id BIGINT, region STRING) PARTITIONED BY (region)")
+    cat.insert("ns3.idp", Seq((1L, "us"), (2L, "eu")).toDF("id", "region"))
+    val rows = spark.sql("SELECT id, region FROM graft.ns3.idp ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "us"), (2L, "eu")))
+    spark.sql("DROP TABLE graft.ns3.idp")
+  }
+
   test("reads see only the current snapshot after a delete; VERSION AS OF travels back") {
     val cat = new IceCatalog(spark, root)
     val v1 = cat.loadMeta("ns1.li").currentSnapshotId

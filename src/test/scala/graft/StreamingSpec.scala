@@ -72,6 +72,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     mem.addData(
       (Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
       (Timestamp.valueOf("2024-01-01 10:00:00"), "a"), // dup, same ts
+      (Timestamp.valueOf("2024-01-01 10:15:00"), "a"), // dup, DIFFERENT ts — must still collapse
       (Timestamp.valueOf("2024-01-01 10:20:00"), "b"))
     q.processAllAvailable()
     val keys = spark.table("dedup").collect().map(_.getString(0)).toSeq.sorted
