@@ -25,6 +25,9 @@ object Queries {
     "q10_rollup" -> (Relational.q10Rollup _),
     "q11_pivot" -> (Relational.q11Pivot _),
     "q12_histogram" -> (Relational.q12Histogram _),
+    "q13_grouping_sets" -> (Relational.q13GroupingSets _),
+    "a1_asof_join" -> (Joins.asofJoin _),
+    "a2_range_join" -> (Joins.rangeJoin _),
     "p1_pipeline" -> (Pipeline.curate _),
     "s4_dim_stats" -> (Similarity.dimStats _)
   )
@@ -108,6 +111,35 @@ object Queries {
       """SELECT CAST(floor(l_extendedprice / 10000) AS INT) AS bucket,
         | count(*) AS cnt, round(avg(l_extendedprice), 2) AS avg_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "a1_asof_join" ->
+      """WITH u AS (
+        |  SELECT epoch_us(ts) AS us, event_id, user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS) OVER win AS click_id,
+        |    last_value(CASE WHEN is_p = 0 THEN us END IGNORE NULLS) OVER win AS click_us
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, is_p, event_id
+        |                 ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+        |  click_id, us - click_us AS gap_us
+        |FROM w WHERE is_p = 1 ORDER BY purchase_id""".stripMargin,
+    "a2_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, c.user_id, pus - cus AS gap_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND pus >= cus AND pus <= cus + 3600000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "s4_dim_stats" ->
       """SELECT CAST(i AS INT) AS dim,
         | round(avg(embedding[i]), 4) AS mean,
@@ -131,6 +163,10 @@ object Queries {
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
     "s3_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
+    "d7_decontaminate" -> (Dedup.decontaminate _),
+    "x6_scrub" -> (TextAnalysis.scrubQuery _),
+    "x7_tfidf" -> (TextAnalysis.tfidfQuery _),
+    "r1_sample" -> (Sampling.stratifiedSample _),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
     "m2_feature_stub" -> (Multimodal.featureQuery _)
   )
@@ -313,6 +349,57 @@ object Queries {
         |  score FROM s)
         |SELECT q_id, neighbor_id, rank, round(score, 4) AS score
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "d7_decontaminate" ->
+      s"""WITH $tokCte,
+         |sh AS (SELECT doc_id, source, CASE WHEN len(t) >= 8
+         |  THEN list_transform(range(1, len(t) - 6),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))
+         |  ELSE [array_to_string(t, ' ')] END AS gs FROM tok),
+         |g AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM sh),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+         |contam AS (SELECT DISTINCT doc_id FROM g
+         |  WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM bench))
+         |SELECT source, count(*) AS n_train,
+         | CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM contam)) AS BIGINT)
+         |   AS n_contaminated,
+         | CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS BIGINT)
+         |   AS n_clean
+         |FROM tok WHERE doc_id % 20 <> 0 GROUP BY source ORDER BY source""".stripMargin,
+    "x6_scrub" -> {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val url = """https?://[^\s]+"""
+      val num = """\b[0-9]{6,}\b"""
+      val scrubbed = s"trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"text, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'), '$num', '<NUM>', 'g'), " +
+        s"'\\s+', ' ', 'g'))"
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$url')) AS INT) AS n_urls,
+         | CAST(len(regexp_extract_all(text, '$num')) AS INT) AS n_longnums,
+         | CAST(length($scrubbed) AS INT) AS scrub_chars,
+         | substr(md5($scrubbed), 1, 16) AS scrub_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "x7_tfidf" ->
+      s"""WITH $tokCte,
+         |tfc AS (SELECT source, unnest(t) AS token FROM tok),
+         |tf AS (SELECT source, token, count(*) AS tf FROM tfc GROUP BY 1, 2),
+         |dfc AS (SELECT token, count(*) AS df FROM
+         |  (SELECT doc_id, unnest(list_distinct(t)) AS token FROM tok) GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT source, token,
+         |  CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+         |  FROM tf JOIN dfc USING (token) CROSS JOIN n),
+         |r AS (SELECT source, token, tfidf,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, token ASC) AS INT)
+         |    AS rank FROM sc)
+         |SELECT source, rank, token, round(tfidf, 4) AS tfidf
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "r1_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |  < (CASE WHEN source = 'src0' THEN '8' ELSE '4' END)
+        |ORDER BY doc_id""".stripMargin,
     m1Oracle,
     "p1_pipeline" ->
       s"""WITH $sigCte,
@@ -357,7 +444,8 @@ object Queries {
     "t5_delete_predicate" -> (TableMeta.deleteSurvivors _),
     "t6_sorted_scan" -> (TableMeta.sortedScan _),
     "t7_files" -> (CatalogOps.filesQuery _),
-    "t8_time_travel" -> (CatalogOps.timeTravelQuery _)
+    "t8_time_travel" -> (CatalogOps.timeTravelQuery _),
+    "t9_merge_upsert" -> (CatalogOps.mergeUpsertQuery _)
   )
 
   val tableMetaOracle: Map[String, String] = Map(
@@ -401,13 +489,20 @@ object Queries {
       """SELECT count(*) AS rows_v1,
         | CAST(count(*) FILTER (WHERE NOT (year(l_shipdate) - 1970 = 26)) AS BIGINT)
         |   AS rows_after_delete
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "t9_merge_upsert" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(round(CASE WHEN o_orderkey % 8 = 0
+        |   THEN o_totalprice * 2 ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+        |   AS total_cents
+        |FROM orders""".stripMargin
   )
 
   val streaming: Map[String, Q] = Map(
     "e1_window_agg" -> (graft.streaming.Streams.windowAggBatch _),
     "e2_sessionize" -> (graft.streaming.Streams.sessionizeBatch _),
-    "e3_funnel" -> (graft.streaming.Streams.funnelBatch _)
+    "e3_funnel" -> (graft.streaming.Streams.funnelBatch _),
+    "e4_retention" -> (graft.streaming.Streams.retentionBatch _)
   )
 
   val streamingOracle: Map[String, String] = Map(
@@ -446,7 +541,14 @@ object Queries {
         | count(*) AS n_clickers,
         | CAST(coalesce(sum(conv.cv), 0) AS BIGINT) AS n_converted
         |FROM c LEFT JOIN conv ON c.user_id = conv.user_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e4_retention" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts)) // 86400000000 AS cohort_day
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events)
+        |SELECT cohort_day, d - cohort_day AS day_offset, count(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   def all: Map[String, Q] = relational ++ llm ++ tableMeta ++ streaming

@@ -322,10 +322,14 @@ class IceCatalog(spark: SparkSession, root: String) {
       return insert(ident, df)
     }
     val keys = df.select(keyCols.map(col): _*).distinct()
+    // Bind input_file_name() to the table scan BEFORE the join: if `df` is
+    // itself file-backed the joined plan has two file sources and Spark
+    // (rightly) refuses to pick one (MULTI_SOURCES_UNSUPPORTED).
     val existing = spark.read.schema(meta.schema).parquet(cur.files.map(_.path): _*)
+      .withColumn("__file", input_file_name())
     val affected = existing
       .join(broadcast(keys), keyCols, "left_semi")
-      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0)).toSet
+      .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
     val (rewrite, keep) = cur.files.partition(f => affected.contains(f.path))
     val survivors =
       if (rewrite.isEmpty) None

@@ -48,6 +48,33 @@ object CatalogOps {
       .orderBy(col("p_year"))
   }
 
+  /** t9: keyed MERGE/upsert end-to-end — a table seeded with 3/4 of orders
+    * takes one upsert that UPDATES every o_orderkey % 8 == 0 row (price
+    * doubled) and INSERTS the missing quarter; the scanned result must equal
+    * the oracle's direct CASE computation over raw orders. Exercises the
+    * copy-on-write rewrite + append + snapshot-commit pipeline.
+    */
+  def mergeUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val root = Files.createTempDirectory("graft_t9").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("v")
+    cat.createTable("v.ord", orders.schema, sortOrder = Seq(SortField("o_orderkey")))
+    cat.insert("v.ord", orders.filter(col("o_orderkey") % 4 =!= 3))
+    val updates = orders.filter(col("o_orderkey") % 8 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = orders.filter(col("o_orderkey") % 4 === 3)
+    cat.upsert("v.ord", updates.unionByName(inserts), Seq("o_orderkey"))
+    // exact integer-cents total: immune to float summation-order differences
+    val out = cat.scan("v.ord")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .collect()(0)
+    cleanup(cat, "v.ord")
+    import spark.implicits._
+    Seq((out.getLong(0), out.getLong(1))).toDF("n_rows", "total_cents")
+  }
+
   /** t8: snapshot isolation — row counts at the pre-delete snapshot vs
     * after a partition delete, answered via time travel.
     */

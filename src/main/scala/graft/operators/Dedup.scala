@@ -132,6 +132,32 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d7: benchmark decontamination — training docs sharing any 8-word
+    * shingle with a held-out benchmark set (doc_id % 20 == 0) are flagged.
+    * The overlap test is one equi-shuffle on the shingle hash (semi-join
+    * against the distinct benchmark shingle set, which broadcasts when
+    * small); per-source summary of train/contaminated/clean counts.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+    val grams = docs
+      .select(col("doc_id"), explode(array_distinct(shingles(col("t"), 8))).as("g"))
+    val benchGrams = grams.filter(col("doc_id") % 20 === 0).select(col("g")).distinct()
+    val contaminated = grams.filter(col("doc_id") % 20 =!= 0)
+      .join(benchGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    docs.filter(col("doc_id") % 20 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_train"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"),
+        (count(lit(1)) - coalesce(sum(col("hit")), lit(0L))).as("n_clean"))
+      .orderBy(col("source"))
+  }
+
   /** SimHash near-pairs: hamming distance ≤ maxDist, candidates blocked by
     * 4-way band split of the fingerprint (docs agreeing on any 15-bit band).
     */

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Temporal join operators Spark lacks as primitives, composed from
+  * shuffle-minimal building blocks (the reference's event data is consumed
+  * through scans — cmd/Scan.java:44 — so these extend its query surface the
+  * way a feature-store / training-pipeline user needs).
+  *
+  * Scale design:
+  *  - The as-of join is the union-sort formulation: ONE shuffle on the
+  *    equi-key (user_id), then a per-partition ordered sweep via a window
+  *    `last(..., ignoreNulls)` — never a range cross-product. This is the
+  *    same plan shape a dedicated as-of physical operator would produce,
+  *    but it stays inside Catalyst (AQE, codegen, skew handling all apply).
+  *  - The range join bounds the candidate space with the equi-key first
+  *    (user_id), so the range predicate is a residual filter on a hash
+  *    join, not a banded nested loop over the whole table.
+  */
+object Joins {
+
+  private val MicrosPerHour = 3600000000L
+
+  /** a1: as-of join — for each purchase, the most recent click by the same
+    * user at-or-before the purchase time (ties on timestamp: clicks sort
+    * before purchases, larger event_id wins among same-µs clicks).
+    * Purchases with no preceding click keep NULLs (left as-of join).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        unix_micros(col("ts")).as("us"),
+        col("event_id"), col("user_id"),
+        (col("event_type") === "purchase").cast("int").as("is_p"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("click_id",
+        last(when(col("is_p") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when(col("is_p") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"), col("click_id"),
+        (col("us") - col("click_us")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** a2: interval/range join — all (click, purchase) pairs of the same user
+    * with the purchase inside [click, click + 1h]. Equi-join on user_id
+    * carries the shuffle; the time-range predicate is a residual filter.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val us = unix_micros(col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), us.as("cus"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), us.as("pus"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pus") >= col("cus") && col("pus") <= col("cus") + MicrosPerHour)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("pus") - col("cus")).as("gap_us"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+}

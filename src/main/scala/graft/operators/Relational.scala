@@ -176,6 +176,21 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(avg(col("l_extendedprice")), 2).as("avg_price"))
       .orderBy(col("bucket"))
 
+  /** q13: arbitrary GROUPING SETS — per-flag totals, per-status totals, and
+    * the grand total in ONE pass (rollup can't express the (ls)-only set).
+    */
+  def q13GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("rf"), col("ls"))
+
   /** Multi-level aggregation via ROLLUP — one pass, grouping-set expansion
     * handled by Catalyst.
     */

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic sampling for corpus curation. Hash-based acceptance makes
+  * the sample a pure per-row predicate: map-only, reproducible across runs,
+  * engines and cluster sizes (unlike `df.sample`, whose output depends on
+  * partitioning), and pushdown-friendly.
+  */
+object Sampling {
+
+  /** r1: stratified sample — per-source acceptance rates driven by the first
+    * hex digit of md5(doc_id): src0 keeps 8/16 of its docs, every other
+    * source 4/16. The md5-of-key family is the same portable hash family the
+    * dedup/minhash suite uses, so any engine reproduces the exact sample.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val digit = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val cut = when(col("source") === "src0", lit("8")).otherwise(lit("4"))
+    Tables.documents(spark, dir)
+      .filter(digit < cut)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+}

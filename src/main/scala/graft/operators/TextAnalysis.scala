@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -61,6 +62,62 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token").asc)
       .limit(20)
+
+  /** x6: PII scrubbing — emails, URLs and long digit runs are redacted to
+    * typed placeholder tokens, whitespace is normalized, and per-doc hit
+    * counts reported. Map-only (scan-speed at 100 TB); the scrubbed text is
+    * witnessed by its fingerprint so the oracle verifies the actual rewrite.
+    */
+  def scrubQuery(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val longNum = "\\b[0-9]{6,}\\b"
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), email, "<EMAIL>"),
+        url, "<URL>"),
+      longNum, "<NUM>")
+    val normalized = trim(regexp_replace(scrubbed, "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_emails"),
+        regexp_count(col("text"), lit(url)).as("n_urls"),
+        regexp_count(col("text"), lit(longNum)).as("n_longnums"),
+        length(normalized).as("scrub_chars"),
+        fingerprint(normalized).as("scrub_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x7: TF-IDF keyword extraction — top-5 terms per source by
+    * tf(source, term) · ln(N_docs / df(term)). Term and doc frequencies are
+    * two partial-aggregated shuffles on the token; the df side is tiny
+    * (vocabulary-sized) and broadcasts into the scoring join.
+    */
+  def tfidfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(col("doc_id"), explode(tokenSet(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("source")).orderBy(col("tfidf").desc, col("token").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("token"), round(col("tfidf"), 4).as("tfidf"))
+      .orderBy(col("source"), col("rank"))
+  }
 
   /** x4: document fingerprints (full doc + head-64 prefix fingerprint). */
   def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =

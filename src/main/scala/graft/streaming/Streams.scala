@@ -118,6 +118,23 @@ object Streams {
       .orderBy(col("day_bucket"))
   }
 
+  /** e4: cohort retention — users grouped by first-activity day; for each
+    * (cohort day, day offset) the count of cohort users active that day.
+    * Two reductions (per-user first day, distinct user-days) happen before
+    * the join, so the join input is one row per user/user-day — skew-bounded
+    * and broadcast-able when the cohort table is small.
+    */
+  def retentionBatch(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val events = Tables.events(spark, dir)
+    val cohorts = events.groupBy(col("user_id")).agg(min(day).as("cohort_day"))
+    val active = events.select(col("user_id"), day.as("d")).distinct()
+    active.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** e2: 30-minute-gap sessionization per user, batch form (lag + running
     * sum); the streaming twin is [[sessionWindowsStream]].
     */
