@@ -20,6 +20,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // size-targeted coalescing (not max-parallelism): fewer, right-sized
+      // tasks — the recommended setting at scale, and it cuts per-task
+      // dispatch overhead that dominates small-SF runs
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
 

@@ -82,7 +82,18 @@ object IceCatalog {
 class IceCatalog(spark: SparkSession, root: String) {
   import IceCatalog._
 
+  // manifest stats come from parquet footers: INT64-µs timestamps carry
+  // usable min/max statistics, INT96 (legacy default) does not
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   private def rootPath: Path = Paths.get(root)
+
+  /** Filesystem path for comparing manifest entries with
+    * `input_file_name()` output — the two render the same file with
+    * different URI spellings (`file:///x` vs `file:/x`).
+    */
+  private def fsPath(s: String): String =
+    try new java.net.URI(s).getPath catch { case _: Exception => s }
 
   // ---- namespaces -------------------------------------------------------
 
@@ -329,8 +340,8 @@ class IceCatalog(spark: SparkSession, root: String) {
       .withColumn("__file", input_file_name())
     val affected = existing
       .join(broadcast(keys), keyCols, "left_semi")
-      .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
-    val (rewrite, keep) = cur.files.partition(f => affected.contains(f.path))
+      .select(col("__file")).distinct().collect().map(r => fsPath(r.getString(0))).toSet
+    val (rewrite, keep) = cur.files.partition(f => affected.contains(fsPath(f.path)))
     val survivors =
       if (rewrite.isEmpty) None
       else Some(spark.read.schema(meta.schema).parquet(rewrite.map(_.path): _*)
@@ -345,42 +356,126 @@ class IceCatalog(spark: SparkSession, root: String) {
     }, basedOn = Some(meta.currentSnapshotId))
   }
 
-  /** One distributed pass over freshly written files: per-file row counts +
-    * min/max/null stats for scalar columns (the manifest entries Iceberg
-    * reads from parquet footers).
+  /** Manifest entries for freshly written files, read from the parquet
+    * FOOTERS on the driver (row counts + per-column min/max/null stats) —
+    * exactly how Iceberg builds manifests. O(files) footer reads, ZERO
+    * distributed scan: an insert touches the data once (the write itself).
+    * Partition values are parsed from the hive-style directory layout.
+    * Columns whose footer stats are unusable (e.g. dropped oversized binary
+    * stats) are simply omitted — scan pruning treats absent stats
+    * conservatively.
     */
   private def collectFileMeta(
       dataDir: String, schema: StructType, spec: Seq[PartitionField]): Seq[DataFileMeta] = {
-    val wrote = Files.isDirectory(Paths.get(dataDir)) &&
-      Files.walk(Paths.get(dataDir)).iterator().asScala
-        .exists(p => p.getFileName.toString.endsWith(".parquet"))
-    if (!wrote) return Seq.empty // e.g. a rewrite whose every row was deleted
-    val fresh = spark.read.parquet(dataDir)
-    val dirNames = spec.map(partDirName)
-    val statCols = schema.fields.filter(f => f.dataType.typeName match {
-      case "integer" | "long" | "double" | "float" | "string" | "date" | "timestamp" => true
-      case _ => false
-    }).map(_.name).filter(fresh.columns.contains)
-    val aggs = count(lit(1)).as("__rows") +:
-      statCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"__min__$c"),
-        max(col(c)).cast("string").as(s"__max__$c"),
-        sum(col(c).isNull.cast("long")).as(s"__nulls__$c")))
-    val grouped = fresh
-      .groupBy(input_file_name().as("__file") +: dirNames.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    grouped.map { r =>
-      val path = r.getAs[String]("__file")
-      val partition = spec.map(f =>
-        f.name -> Option(r.getAs[Any](partDirName(f))).map(_.toString).orNull).toMap
-      val stats = statCols.map { c =>
-        c -> ColStats(r.getAs[String](s"__min__$c"), r.getAs[String](s"__max__$c"),
-          r.getAs[Long](s"__nulls__$c"))
+    val base = Paths.get(dataDir)
+    if (!Files.isDirectory(base)) return Seq.empty // rewrite that deleted every row
+    val parquetFiles = Files.walk(base).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val sparkType = schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    parquetFiles.map { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri),
+          spark.sessionState.newHadoopConf()))
+      val footer = try reader.getFooter finally reader.close()
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      val chunksByCol = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+      val stats = chunksByCol.flatMap { case (name, chunks) =>
+        sparkType.get(name).flatMap(t => mergeFooterStats(t, chunks)).map(name -> _)
+      }
+      DataFileMeta(p.toUri.toString, rowCount, Files.size(p),
+        partitionFromPath(base, p, spec), stats)
+    }
+  }
+
+  /** Fold one column's per-row-group footer statistics into a manifest
+    * ColStats entry; None when any chunk's stats are unusable.
+    */
+  private def mergeFooterStats(
+      sparkTypeName: String,
+      chunks: Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]): Option[ColStats] = {
+    val sts = chunks.map(c => (c.getStatistics, c.getValueCount))
+    // unusable: missing stats object, unknown null count, or a chunk with
+    // non-null values whose min/max were dropped (e.g. oversized binary)
+    if (sts.exists { case (s, n) =>
+        s == null || !s.isNumNullsSet || (!s.hasNonNullValue && s.getNumNulls < n) })
+      return None
+    val nulls = sts.map(_._1.getNumNulls).sum
+    val withValues = sts.map(_._1).filter(_.hasNonNullValue)
+    if (withValues.isEmpty) return Some(ColStats(null, null, nulls)) // all-null file
+    def minMax[T](f: Any => T)(implicit ord: Ordering[T]): (T, T) =
+      (withValues.map(s => f(s.genericGetMin)).min, withValues.map(s => f(s.genericGetMax)).max)
+    val (minStr, maxStr) = try sparkTypeName match {
+      case "integer" =>
+        val (lo, hi) = minMax(_.asInstanceOf[Number].intValue); (lo.toString, hi.toString)
+      case "long" =>
+        val (lo, hi) = minMax(_.asInstanceOf[Number].longValue); (lo.toString, hi.toString)
+      case "double" =>
+        val (lo, hi) = minMax(_.asInstanceOf[Number].doubleValue); (lo.toString, hi.toString)
+      case "float" =>
+        val (lo, hi) = minMax(_.asInstanceOf[Number].floatValue); (lo.toString, hi.toString)
+      case "string" =>
+        val (lo, hi) = minMax(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+        (lo, hi)
+      case "date" =>
+        val (lo, hi) = minMax(_.asInstanceOf[Number].intValue)
+        (java.time.LocalDate.ofEpochDay(lo.toLong).toString,
+          java.time.LocalDate.ofEpochDay(hi.toLong).toString)
+      case "timestamp" =>
+        val (lo, hi) = minMax(_.asInstanceOf[Number].longValue)
+        (microsToString(lo), microsToString(hi))
+      case _ => return None
+    } catch {
+      // unexpected physical layout (e.g. legacy INT96 timestamps): no stats
+      case _: Exception => return None
+    }
+    Some(ColStats(minStr, maxStr, nulls))
+  }
+
+  /** Epoch-µs → the string Spark's `cast(ts AS string)` produces under a
+    * UTC session (fraction trimmed; the catalog assumes UTC sessions, the
+    * project-wide default).
+    */
+  private def microsToString(micros: Long): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val t = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+    val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d" +
+      f" ${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+    if (frac == 0L) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
+  /** Partition values from the hive-style directory layout of one data
+    * file (minimal percent-decoding; __HIVE_DEFAULT_PARTITION__ → null),
+    * keyed by the SPEC name (manifests speak spec names, dirs may use the
+    * derived __p_* form — see partDirName).
+    */
+  private def partitionFromPath(
+      base: Path, file: Path, spec: Seq[PartitionField]): Map[String, String] = {
+    if (spec.isEmpty) return Map.empty
+    val dirVals = base.relativize(file).iterator().asScala.map(_.toString)
+      .filter(_.contains('=')).map { seg =>
+        val (k, v) = seg.splitAt(seg.indexOf('='))
+        k -> hiveUnescape(v.drop(1))
       }.toMap
-      val size = try Files.size(Paths.get(new java.net.URI(path).getPath)) catch { case _: Exception => 0L }
-      DataFileMeta(path, r.getAs[Long]("__rows"), size, partition, stats)
-    }.toSeq
+    spec.map { f =>
+      val raw = dirVals.getOrElse(partDirName(f), null)
+      f.name -> (if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
+    }.toMap
+  }
+
+  private def hiveUnescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   // ---- scan / time travel ----------------------------------------------
@@ -498,9 +593,10 @@ class IceCatalog(spark: SparkSession, root: String) {
     val cur = meta.current.getOrElse(return meta)
     val affected = spark.read.schema(meta.schema).parquet(cur.files.map(_.path): _*)
       .filter(predicate)
-      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0)).toSet
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(r => fsPath(r.getString(0))).toSet
     if (affected.isEmpty) return meta
-    val (rewrite, keep) = cur.files.partition(f => affected.contains(f.path))
+    val (rewrite, keep) = cur.files.partition(f => affected.contains(fsPath(f.path)))
     // SQL DELETE semantics: only rows where the predicate is TRUE go; rows
     // where it evaluates to NULL (e.g. a null in a predicate column) stay.
     // A bare .filter(!predicate) would silently drop them.

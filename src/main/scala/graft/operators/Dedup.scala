@@ -87,7 +87,14 @@ object Dedup {
     val a = tok.as("a")
     val b = tok.as("b")
     val jac = graft.functions.SetFunctions.jaccardSimLong(col("a.t"), col("b.t"))
-    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+    // lossless size bound: J(A,B) ≤ min/max, so pairs failing
+    // min ≥ threshold·max can't pass — pruned BEFORE the O(|A|+|B|)
+    // set-merge kernel runs (results identical, oracle unchanged)
+    val sizeBound =
+      least(size(col("a.t")), size(col("b.t"))).cast("double") >=
+        lit(threshold) * greatest(size(col("a.t")), size(col("b.t"))).cast("double")
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+        sizeBound)
       .where(jac >= threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(jac, 4).as("jaccard"))

@@ -151,7 +151,9 @@ object Similarity {
       spark: SparkSession, dir: String,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
     val e = unitVectors(spark, dir)
-    val candidates = e.filter(col("vec_id") >= 5)
+    // cached: k-means makes iters+1 passes and the final assignment one
+    // more — without this every pass re-reads and re-normalizes the corpus
+    val candidates = e.filter(col("vec_id") >= 5).persist()
     val centroids = kmeansCentroids(candidates, nlist, dims)
     val assigned = candidates.withColumn("cell", argminAssign(centroids))
     // query probe list: nprobe nearest cells by (dist, idx) struct sort
