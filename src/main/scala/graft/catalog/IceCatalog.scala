@@ -41,7 +41,11 @@ object IceCatalog {
       rowCount: Long,
       bytes: Long,
       partition: Map[String, String],
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats],
+      // index into TableMeta.schemaLog = the schema this file was written
+      // with (Iceberg data files record their schema-id the same way);
+      // missing in pre-evolution manifests → 0 = the creation schema.
+      schemaId: Int = 0)
   case class Snapshot(
       id: Long,
       parentId: Long,
@@ -49,13 +53,24 @@ object IceCatalog {
       operation: String,
       files: Seq[DataFileMeta],
       sourceFiles: Seq[String])
+  /** One historical schema: its Spark JSON plus one stable field id per
+    * field (parallel seq). Ids never change across rename/retype; new
+    * columns get fresh ids; dropped ids are never reused — exactly
+    * Iceberg's field-id model, which is what makes rename/drop/widen
+    * metadata-only operations safe against old data files.
+    */
+  case class SchemaVersion(schemaJson: String, fieldIds: Seq[Int])
   case class TableMeta(
       name: String,
       schemaJson: String,
       partitionSpec: Seq[PartitionField],
       sortOrder: Seq[SortField],
       snapshots: Seq[Snapshot],
-      currentSnapshotId: Long) {
+      currentSnapshotId: Long,
+      fieldIds: Seq[Int] = null,
+      lastFieldId: Int = 0,
+      schemaLog: Seq[SchemaVersion] = null,
+      properties: Map[String, String] = null) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def current: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
     def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
@@ -138,8 +153,12 @@ class IceCatalog(spark: SparkSession, root: String) {
     val dir = tableDir(ident)
     Files.createDirectories(dir.resolve("metadata"))
     Files.createDirectories(dir.resolve("data"))
+    val ids = schema.fields.indices.toSeq
     val meta = TableMeta(ident, schema.json, partitionSpec, sortOrder,
-      snapshots = Seq.empty, currentSnapshotId = -1L)
+      snapshots = Seq.empty, currentSnapshotId = -1L,
+      fieldIds = ids, lastFieldId = ids.foldLeft(0)(math.max),
+      schemaLog = Seq(SchemaVersion(schema.json, ids)),
+      properties = Map.empty)
     writeVersion(dir, 1, meta)
   }
 
@@ -154,7 +173,24 @@ class IceCatalog(spark: SparkSession, root: String) {
     val dir = tableDir(ident)
     val v = currentVersion(dir)
     require(v > 0, s"table $ident does not exist")
-    mapper.readValue(dir.resolve("metadata").resolve(s"v$v.json").toFile, classOf[TableMeta])
+    normalize(mapper.readValue(
+      dir.resolve("metadata").resolve(s"v$v.json").toFile, classOf[TableMeta]))
+  }
+
+  /** Fill in evolution fields absent from pre-evolution metadata JSON:
+    * field ids default to ordinal, the schema log to a single entry (the
+    * current schema — consistent with every file's default schemaId 0).
+    */
+  private def normalize(m: TableMeta): TableMeta = {
+    val ids =
+      if (m.fieldIds == null || m.fieldIds.isEmpty) m.schema.fields.indices.toSeq
+      else m.fieldIds
+    val last = if (m.lastFieldId > 0) m.lastFieldId else ids.foldLeft(0)(math.max)
+    val log =
+      if (m.schemaLog == null || m.schemaLog.isEmpty) Seq(SchemaVersion(m.schemaJson, ids))
+      else m.schemaLog
+    val props = if (m.properties == null) Map.empty[String, String] else m.properties
+    m.copy(fieldIds = ids, lastFieldId = last, schemaLog = log, properties = props)
   }
 
   private def currentVersion(dir: Path): Int = {
@@ -318,7 +354,81 @@ class IceCatalog(spark: SparkSession, root: String) {
     val writer = arranged.write.mode("append")
     (if (dirNames.nonEmpty) writer.partitionBy(dirNames: _*) else writer)
       .parquet(dataDir.toString)
-    collectFileMeta(dataDir.toString, meta.schema, meta.partitionSpec)
+    collectFileMeta(dataDir.toString, meta.schema, meta.partitionSpec,
+      schemaId = meta.schemaLog.length - 1)
+  }
+
+  /** No-copy insert (`ice insert --no-copy`, Insert.java:469-524): register
+    * existing parquet files in the table by reference — a metadata-only
+    * commit, no data is read or rewritten. This is the 100 TB ingestion
+    * path: adding a petabyte of already-laid-out parquet costs O(files)
+    * footer reads on the driver.
+    *
+    * Reference constraints preserved: files outside the table location are
+    * rejected unless `forceOutsideLocation` (`--force-no-copy`,
+    * Insert.java:510-515); with a partitioned spec, every file must hold
+    * exactly ONE partition value (Insert.java:486-489) — verified with one
+    * column-pruned scan of just the partition source columns (skipped
+    * entirely for unpartitioned tables); duplicate registration follows the
+    * same skip/force flags as `insert`.
+    */
+  def addFiles(
+      ident: String,
+      paths: Seq[String],
+      forceOutsideLocation: Boolean = false,
+      options: InsertOptions = InsertOptions()): TableMeta = {
+    val meta = loadMeta(ident)
+    val tblDir = tableDir(ident).toAbsolutePath.normalize
+    val norm = paths.map(p => Paths.get(p).toAbsolutePath.normalize)
+    norm.foreach { p =>
+      require(Files.isRegularFile(p), s"no such file: $p")
+      require(forceOutsideLocation || p.startsWith(tblDir),
+        s"$p: cannot be added without copy (file is outside the table location " +
+          "and forceOutsideLocation isn't set)")
+    }
+    val known = meta.snapshots.flatMap(_.sourceFiles).map(fsPath).toSet
+    val dupes = norm.filter(p => known.contains(fsPath(p.toUri.toString)))
+    val toAdd =
+      if (options.forceDuplicates || dupes.isEmpty) norm
+      else if (options.skipDuplicates) norm.filterNot(dupes.contains)
+      else throw new IllegalStateException(
+        s"duplicate source files (use skipDuplicates or forceDuplicates): ${dupes.take(3)}")
+    if (toAdd.isEmpty) return meta
+
+    // Partition value per file: one pruned scan of the transform source
+    // columns only; a file spanning >1 value is an error (Insert.java:489).
+    val partByFile: Map[String, Map[String, String]] =
+      if (meta.partitionSpec.isEmpty) Map.empty.withDefaultValue(Map.empty)
+      else {
+        val src = spark.read.schema(meta.schema).parquet(toAdd.map(_.toString): _*)
+        val tCols = meta.partitionSpec.map(f =>
+          transformCol(f, meta.schema).cast("string").as(f.name))
+        val rows = src.select(input_file_name().as("__file") +: tCols: _*)
+          .distinct().collect()
+        val grouped = rows.groupBy(r => fsPath(r.getString(0)))
+        grouped.foreach { case (f, vs) =>
+          require(vs.length == 1,
+            s"$f: in no-copy mode, each file must contain data for only one partition value")
+        }
+        grouped.map { case (f, vs) =>
+          f -> meta.partitionSpec.zipWithIndex.map { case (pf, i) =>
+            pf.name -> vs.head.getString(i + 1)
+          }.toMap
+        }
+      }
+    val newFiles = toAdd.map { p =>
+      footerMeta(p, meta.schema, meta.schemaLog.length - 1,
+        partByFile(fsPath(p.toUri.toString)))
+    }
+    if (options.noCommit) return meta
+    val added = toAdd.map(_.toUri.toString)
+    commit(ident, m => {
+      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(), "append",
+        (m.current.map(_.files).getOrElse(Seq.empty)) ++ newFiles,
+        (m.snapshots.flatMap(_.sourceFiles) ++ added).distinct)
+      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
+    })
   }
 
   /** Keyed upsert (MERGE semantics): rows in `df` replace existing rows
@@ -336,7 +446,7 @@ class IceCatalog(spark: SparkSession, root: String) {
     // Bind input_file_name() to the table scan BEFORE the join: if `df` is
     // itself file-backed the joined plan has two file sources and Spark
     // (rightly) refuses to pick one (MULTI_SOURCES_UNSUPPORTED).
-    val existing = spark.read.schema(meta.schema).parquet(cur.files.map(_.path): _*)
+    val existing = readFiles(meta, cur.files)
       .withColumn("__file", input_file_name())
     val affected = existing
       .join(broadcast(keys), keyCols, "left_semi")
@@ -344,7 +454,7 @@ class IceCatalog(spark: SparkSession, root: String) {
     val (rewrite, keep) = cur.files.partition(f => affected.contains(fsPath(f.path)))
     val survivors =
       if (rewrite.isEmpty) None
-      else Some(spark.read.schema(meta.schema).parquet(rewrite.map(_.path): _*)
+      else Some(readFiles(meta, rewrite)
         .join(broadcast(keys), keyCols, "left_anti"))
     val rewritten = survivors.map(writeArranged(ident, _, meta)).getOrElse(Seq.empty)
     val appended = writeArranged(ident, df.select(meta.schema.fieldNames.map(col): _*), meta)
@@ -366,28 +476,36 @@ class IceCatalog(spark: SparkSession, root: String) {
     * conservatively.
     */
   private def collectFileMeta(
-      dataDir: String, schema: StructType, spec: Seq[PartitionField]): Seq[DataFileMeta] = {
+      dataDir: String, schema: StructType, spec: Seq[PartitionField],
+      schemaId: Int): Seq[DataFileMeta] = {
     val base = Paths.get(dataDir)
     if (!Files.isDirectory(base)) return Seq.empty // rewrite that deleted every row
     val parquetFiles = Files.walk(base).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    parquetFiles.map(p =>
+      footerMeta(p, schema, schemaId, partitionFromPath(base, p, spec)))
+  }
+
+  /** One file's manifest entry from its parquet footer (row count, size,
+    * per-column stats) — O(1) driver-side footer read, no scan.
+    */
+  private def footerMeta(
+      p: Path, schema: StructType, schemaId: Int,
+      partition: Map[String, String]): DataFileMeta = {
     val sparkType = schema.fields.map(f => f.name -> f.dataType.typeName).toMap
-    parquetFiles.map { p =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.toUri),
-          spark.sessionState.newHadoopConf()))
-      val footer = try reader.getFooter finally reader.close()
-      val blocks = footer.getBlocks.asScala.toSeq
-      val rowCount = blocks.map(_.getRowCount).sum
-      val chunksByCol = blocks.flatMap(_.getColumns.asScala)
-        .groupBy(_.getPath.toDotString)
-      val stats = chunksByCol.flatMap { case (name, chunks) =>
-        sparkType.get(name).flatMap(t => mergeFooterStats(t, chunks)).map(name -> _)
-      }
-      DataFileMeta(p.toUri.toString, rowCount, Files.size(p),
-        partitionFromPath(base, p, spec), stats)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        spark.sessionState.newHadoopConf()))
+    val footer = try reader.getFooter finally reader.close()
+    val blocks = footer.getBlocks.asScala.toSeq
+    val rowCount = blocks.map(_.getRowCount).sum
+    val chunksByCol = blocks.flatMap(_.getColumns.asScala)
+      .groupBy(_.getPath.toDotString)
+    val stats = chunksByCol.flatMap { case (name, chunks) =>
+      sparkType.get(name).flatMap(t => mergeFooterStats(t, chunks)).map(name -> _)
     }
+    DataFileMeta(p.toUri.toString, rowCount, Files.size(p), partition, stats, schemaId)
   }
 
   /** Fold one column's per-row-group footer statistics into a manifest
@@ -480,6 +598,39 @@ class IceCatalog(spark: SparkSession, root: String) {
 
   // ---- scan / time travel ----------------------------------------------
 
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Read a file set under the CURRENT schema, resolving columns by field
+    * id (Iceberg read semantics): files are grouped by the schema they were
+    * written with; within each group every current field is located by id
+    * in the written schema — renamed columns read their written name, type-
+    * widened columns cast up, columns added later read NULL, dropped
+    * columns are simply not projected. One parquet relation per historical
+    * schema (usually exactly one), unioned by position after projection.
+    */
+  private def readFiles(meta: TableMeta, files: Seq[DataFileMeta]): DataFrame = {
+    val cur = meta.schema
+    if (files.isEmpty) return emptyDf(cur)
+    val groups = files.groupBy(f => math.min(f.schemaId, meta.schemaLog.length - 1))
+    val parts = groups.toSeq.sortBy(_._1).map { case (sid, fs) =>
+      val written = meta.schemaLog(sid)
+      val ws = DataType.fromJson(written.schemaJson).asInstanceOf[StructType]
+      val byId = written.fieldIds.zip(ws.fields).toMap
+      val base = spark.read.schema(ws).parquet(fs.map(_.path): _*)
+      val projection = cur.fields.zip(meta.fieldIds).map { case (f, id) =>
+        byId.get(id) match {
+          case Some(wf) =>
+            val c = col(s"`${wf.name}`")
+            (if (wf.dataType == f.dataType) c else c.cast(f.dataType)).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toSeq
+      base.select(projection: _*)
+    }
+    parts.reduce(_ union _)
+  }
+
   /** Evaluate a partition filter against one file's manifest entry —
     * driver-side pruning over O(files) metadata, before any scan.
     */
@@ -526,16 +677,15 @@ class IceCatalog(spark: SparkSession, root: String) {
     val snap = asOfSnapshot match {
       case Some(id) => meta.snapshot(id).getOrElse(
         throw new IllegalArgumentException(s"no snapshot $id"))
-      case None => meta.current.getOrElse(return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema))
+      case None => meta.current.getOrElse(return emptyDf(meta.schema))
     }
     val files = snap.files.filter(f => filters.forall(matches(f, _, meta)))
-    if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    if (files.isEmpty) return emptyDf(meta.schema)
     // Data files always carry the full table schema (identity partitions are
     // written under derived __p_* dir names, see partDirName), so explicit
-    // leaf-path reads need no hive partition discovery.
-    val base = spark.read.schema(meta.schema).parquet(files.map(_.path): _*)
+    // leaf-path reads need no hive partition discovery. Field-id resolution
+    // handles files written under earlier schema versions.
+    val base = readFiles(meta, files)
     filters.foldLeft(base)((d, f) => d.filter(filterToColumn(d, f, meta)))
       .select(meta.schema.fieldNames.map(col): _*)
   }
@@ -591,7 +741,7 @@ class IceCatalog(spark: SparkSession, root: String) {
   def deleteWhere(ident: String, predicate: Column): TableMeta = {
     val meta = loadMeta(ident)
     val cur = meta.current.getOrElse(return meta)
-    val affected = spark.read.schema(meta.schema).parquet(cur.files.map(_.path): _*)
+    val affected = readFiles(meta, cur.files)
       .filter(predicate)
       .select(input_file_name().as("f")).distinct().collect()
       .map(r => fsPath(r.getString(0))).toSet
@@ -600,7 +750,7 @@ class IceCatalog(spark: SparkSession, root: String) {
     // SQL DELETE semantics: only rows where the predicate is TRUE go; rows
     // where it evaluates to NULL (e.g. a null in a predicate column) stay.
     // A bare .filter(!predicate) would silently drop them.
-    val survivors = spark.read.schema(meta.schema).parquet(rewrite.map(_.path): _*)
+    val survivors = readFiles(meta, rewrite)
       .filter(not(coalesce(predicate, lit(false))))
     val newFiles = writeArranged(ident, survivors, meta)
     commit(ident, m => {
@@ -657,7 +807,7 @@ class IceCatalog(spark: SparkSession, root: String) {
     require(meta.sortOrder.nonEmpty, s"table $ident has no sort order")
     val cur = meta.current.getOrElse(return 0L)
     import org.apache.spark.sql.expressions.Window
-    val df = spark.read.schema(meta.schema).parquet(cur.files.map(_.path): _*)
+    val df = readFiles(meta, cur.files)
       .withColumn("__file", input_file_name())
     val orderCols = meta.sortOrder.map { s =>
       val c = col(s.column)
@@ -688,7 +838,7 @@ class IceCatalog(spark: SparkSession, root: String) {
     if (cur.files.isEmpty) return meta
     val totalBytes = cur.files.map(_.bytes).sum.max(1L)
     val nOut = math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt)
-    val df = spark.read.schema(meta.schema).parquet(cur.files.map(_.path): _*)
+    val df = readFiles(meta, cur.files)
     val files = writeArranged(ident, df, meta, coalesceTo = Some(nOut))
     commit(ident, m => {
       val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
@@ -698,15 +848,113 @@ class IceCatalog(spark: SparkSession, root: String) {
     }, basedOn = Some(meta.currentSnapshotId))
   }
 
-  /** Add a nullable column (AlterTable.java semantics); existing files are
+  // ---- schema evolution (AlterTable.java:44-51 update surface) ----------
+
+  /** Commit a schema change: the new schema is appended to the schema log
+    * so files written earlier keep resolving by field id (readFiles).
+    */
+  private def evolve(ident: String)(
+      f: (StructType, Seq[Int], Int) => (StructType, Seq[Int], Int)): TableMeta =
+    commit(ident, m => {
+      val (ns, ids, last) = f(m.schema, m.fieldIds, m.lastFieldId)
+      m.copy(schemaJson = ns.json, fieldIds = ids, lastFieldId = last,
+        schemaLog = m.schemaLog :+ SchemaVersion(ns.json, ids))
+    })
+
+  /** Add a nullable column (AlterTable.AddColumn); existing files are
     * untouched — reads project the new schema with nulls.
     */
   def addColumn(ident: String, name: String, dataType: DataType): TableMeta =
+    evolve(ident) { (s, ids, last) =>
+      require(!s.fieldNames.contains(name), s"column $name exists")
+      (s.add(name, dataType, nullable = true), ids :+ (last + 1), last + 1)
+    }
+
+  /** Rename a column (AlterTable.RenameColumn) — metadata-only; old files
+    * keep their written name, resolved back by field id on read.
+    */
+  def renameColumn(ident: String, from: String, to: String): TableMeta =
     commit(ident, m => {
       val s = m.schema
-      require(!s.fieldNames.contains(name), s"column $name exists")
-      m.copy(schemaJson = s.add(name, dataType, nullable = true).json)
+      require(s.fieldNames.contains(from), s"no column $from")
+      require(!s.fieldNames.contains(to), s"column $to exists")
+      val ns = StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      // partition/sort specs track source columns by name — follow the rename
+      m.copy(schemaJson = ns.json,
+        schemaLog = m.schemaLog :+ SchemaVersion(ns.json, m.fieldIds),
+        partitionSpec = m.partitionSpec.map(p =>
+          if (p.column == from) p.copy(column = to) else p),
+        sortOrder = m.sortOrder.map(so =>
+          if (so.column == from) so.copy(column = to) else so))
     })
+
+  /** Drop a column (AlterTable.DropColumn) — metadata-only; the data stays
+    * in old files but is never projected again; its field id is retired.
+    */
+  def dropColumn(ident: String, name: String): TableMeta =
+    commit(ident, m => {
+      val s = m.schema
+      require(s.fieldNames.contains(name), s"no column $name")
+      require(!m.partitionSpec.exists(_.column == name),
+        s"column $name is a partition source")
+      require(!m.sortOrder.exists(_.column == name), s"column $name is a sort column")
+      val keep = s.fields.zip(m.fieldIds).filterNot(_._1.name == name)
+      val ns = StructType(keep.map(_._1))
+      m.copy(schemaJson = ns.json, fieldIds = keep.map(_._2),
+        schemaLog = m.schemaLog :+ SchemaVersion(ns.json, keep.map(_._2)))
+    })
+
+  /** Widen a column's type (AlterTable.AlterColumn): int→long/double/float,
+    * float→double, date→timestamp are safe promotions; old files cast up on
+    * read by field id.
+    */
+  def alterColumn(ident: String, name: String, newType: DataType): TableMeta =
+    evolve(ident) { (s, ids, last) =>
+      val idx = s.fieldNames.indexOf(name)
+      require(idx >= 0, s"no column $name")
+      val old = s.fields(idx).dataType
+      val widen = Set(
+        ("integer", "long"), ("integer", "double"), ("integer", "float"),
+        ("long", "double"), ("float", "double"), ("date", "timestamp"))
+      require(old == newType || widen((old.typeName, newType.typeName)),
+        s"cannot alter $name: ${old.typeName} -> ${newType.typeName} is not a widening")
+      val fields = s.fields.updated(idx, s.fields(idx).copy(dataType = newType))
+      (StructType(fields), ids, last)
+    }
+
+  /** Set/overwrite a table property (AlterTable.SetTblProperty). */
+  def setProperty(ident: String, key: String, value: String): TableMeta =
+    commit(ident, m => m.copy(properties = m.properties + (key -> value)))
+
+  /** Drop a partition field (AlterTable.DropPartitionField) — future writes
+    * stop partitioning on it; existing files keep their layout and manifest
+    * partition values (spec evolution, not a rewrite).
+    */
+  def dropPartitionField(ident: String, name: String): TableMeta =
+    commit(ident, m => {
+      require(m.partitionSpec.exists(_.name == name), s"no partition field $name")
+      m.copy(partitionSpec = m.partitionSpec.filterNot(_.name == name))
+    })
+
+  /** Rename a table within its namespace (AlterTable.RenameTo): move the
+    * directory and rewrite manifest paths under the new location.
+    */
+  def renameTable(ident: String, newIdent: String): TableMeta = {
+    require(tableExists(ident), s"table $ident does not exist")
+    require(!tableExists(newIdent), s"table $newIdent already exists")
+    val from = tableDir(ident)
+    val to = tableDir(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+    val fromUri = from.toUri.toString
+    val toUri = to.toUri.toString
+    def mv(p: String): String = if (p.startsWith(fromUri)) toUri + p.drop(fromUri.length) else p
+    commit(newIdent, m => m.copy(
+      name = newIdent,
+      snapshots = m.snapshots.map(s => s.copy(
+        files = s.files.map(f => f.copy(path = mv(f.path))),
+        sourceFiles = s.sourceFiles.map(mv)))))
+  }
 
   // ---- maintenance (ice-rest-catalog/internal/maintenance/*) ------------
 

@@ -1,0 +1,212 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IceCatalog
+import graft.catalog.IceCatalog._
+
+/** Schema evolution (AlterTable.java:44-51 surface) and no-copy file
+  * registration (Insert.java:469-524) — metadata-only operations whose
+  * correctness depends on field-id resolution against old data files.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-evolve-test", cpus = 4)
+  lazy val root: String = Files.createTempDirectory("iceevolve").toString
+  lazy val cat = new IceCatalog(spark, root)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("rename column: old files resolve by field id, new writes use new name") {
+    import spark.implicits._
+    cat.createNamespace("ev")
+    cat.createTable("ev.r", Seq((1L, "a")).toDF("id", "val").schema)
+    cat.insert("ev.r", Seq((1L, "a"), (2L, "b")).toDF("id", "val"))
+    cat.renameColumn("ev.r", "val", "payload")
+    // old file readable under the new name
+    assert(cat.scan("ev.r").columns.toSeq == Seq("id", "payload"))
+    assert(cat.scan("ev.r").orderBy("id").select("payload").as[String].collect()
+      .toSeq == Seq("a", "b"))
+    // a write after the rename mixes with the old file transparently
+    cat.insert("ev.r", Seq((3L, "c")).toDF("id", "payload"))
+    assert(cat.scan("ev.r").orderBy("id").select("payload").as[String].collect()
+      .toSeq == Seq("a", "b", "c"))
+    // rewrite path (deleteWhere) also resolves old files
+    cat.deleteWhere("ev.r", col("id") === 2L)
+    assert(cat.scan("ev.r").orderBy("id").select("payload").as[String].collect()
+      .toSeq == Seq("a", "c"))
+  }
+
+  test("rename column follows partition spec and sort order") {
+    import spark.implicits._
+    cat.createTable("ev.rp", Seq((1L, "x")).toDF("id", "grp").schema,
+      partitionSpec = Seq(PartitionField("grp", "identity", "p_grp")),
+      sortOrder = Seq(SortField("id")))
+    cat.insert("ev.rp", Seq((1L, "x"), (2L, "y")).toDF("id", "grp"))
+    cat.renameColumn("ev.rp", "grp", "bucket_name")
+    val m = cat.loadMeta("ev.rp")
+    assert(m.partitionSpec.head.column == "bucket_name")
+    // new writes partition on the renamed source column
+    cat.insert("ev.rp", Seq((3L, "z")).toDF("id", "bucket_name"))
+    assert(cat.scan("ev.rp").orderBy("id").select("bucket_name").as[String]
+      .collect().toSeq == Seq("x", "y", "z"))
+    assert(cat.listPartitions("ev.rp").map(_._2).sum == 3)
+  }
+
+  test("drop column: data no longer projected, partition/sort columns protected") {
+    import spark.implicits._
+    cat.createTable("ev.d", Seq((1L, "a", 1.5)).toDF("id", "tag", "score").schema)
+    cat.insert("ev.d", Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "tag", "score"))
+    cat.dropColumn("ev.d", "tag")
+    assert(cat.scan("ev.d").columns.toSeq == Seq("id", "score"))
+    assert(cat.scan("ev.d").count() == 2)
+    // add a fresh column with the SAME name: must come back NULL for old
+    // rows (new field id), not resurrect the dropped data — the Iceberg
+    // field-id guarantee
+    cat.addColumn("ev.d", "tag", StringType)
+    val tags = cat.scan("ev.d").select("tag").collect().map(_.get(0)).toSeq
+    assert(tags == Seq(null, null))
+    intercept[IllegalArgumentException] {
+      cat.createTable("ev.dp", Seq((1L, "x")).toDF("id", "g").schema,
+        partitionSpec = Seq(PartitionField("g", "identity", "p_g")))
+      cat.dropColumn("ev.dp", "g")
+    }
+  }
+
+  test("alter column widens int->long and float->double; old files cast on read") {
+    import spark.implicits._
+    cat.createTable("ev.w", StructType(Seq(
+      StructField("id", IntegerType), StructField("score", FloatType))))
+    cat.insert("ev.w", Seq((1, 1.5f), (2, 2.5f)).toDF("id", "score"))
+    cat.alterColumn("ev.w", "id", LongType)
+    cat.alterColumn("ev.w", "score", DoubleType)
+    val df = cat.scan("ev.w")
+    assert(df.schema("id").dataType == LongType)
+    assert(df.schema("score").dataType == DoubleType)
+    assert(df.orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+    // narrowing is refused
+    intercept[IllegalArgumentException] { cat.alterColumn("ev.w", "id", IntegerType) }
+    // and new long-range data coexists with old int-written files
+    cat.insert("ev.w", Seq((5000000000L, 9.25)).toDF("id", "score"))
+    assert(cat.scan("ev.w").agg(max("id")).as[Long].head() == 5000000000L)
+  }
+
+  test("table properties round-trip") {
+    import spark.implicits._
+    cat.createTable("ev.p", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.setProperty("ev.p", "owner", "graft")
+    cat.setProperty("ev.p", "retention.hours", "168")
+    cat.setProperty("ev.p", "owner", "ice")
+    val props = cat.loadMeta("ev.p").properties
+    assert(props == Map("owner" -> "ice", "retention.hours" -> "168"))
+  }
+
+  test("drop partition field: spec evolves, old files keep their layout") {
+    import spark.implicits._
+    cat.createTable("ev.spec", Seq((1L, "x")).toDF("id", "g").schema,
+      partitionSpec = Seq(PartitionField("g", "identity", "p_g")))
+    cat.insert("ev.spec", Seq((1L, "x"), (2L, "y")).toDF("id", "g"))
+    cat.dropPartitionField("ev.spec", "p_g")
+    assert(cat.loadMeta("ev.spec").partitionSpec.isEmpty)
+    cat.insert("ev.spec", Seq((3L, "z")).toDF("id", "g"))
+    assert(cat.scan("ev.spec").count() == 3)
+    // old files still carry their partition values in the manifest
+    val withVals = cat.files("ev.spec").count(_.partition.contains("p_g"))
+    assert(withVals >= 2)
+  }
+
+  test("rename table moves data and rewrites manifest paths") {
+    import spark.implicits._
+    cat.createTable("ev.old", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.insert("ev.old", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    cat.renameTable("ev.old", "ev.renamed")
+    assert(!cat.tableExists("ev.old"))
+    assert(cat.scan("ev.renamed").count() == 2)
+    assert(cat.files("ev.renamed").forall(_.path.contains("renamed")))
+    // still writable after rename
+    cat.insert("ev.renamed", Seq((3L, "c")).toDF("id", "v"))
+    assert(cat.scan("ev.renamed").count() == 3)
+  }
+
+  test("no-copy addFiles registers external parquet metadata-only") {
+    import spark.implicits._
+    val ext = Files.createTempDirectory("extdata").toString
+    Seq((1L, "x", "2024-01-01"), (2L, "x", "2024-01-02"))
+      .toDF("id", "src", "d").withColumn("d", to_date(col("d")))
+      .coalesce(1).write.parquet(s"$ext/batch1")
+    val parquet = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(ext)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    cat.createTable("ev.nc", StructType(Seq(
+      StructField("id", LongType), StructField("src", StringType),
+      StructField("d", DateType))))
+
+    // outside the table location → refused without force
+    intercept[IllegalArgumentException] {
+      cat.addFiles("ev.nc", parquet.map(_.toString))
+    }
+    val m = cat.addFiles("ev.nc", parquet.map(_.toString), forceOutsideLocation = true)
+    assert(m.current.get.files.map(_.rowCount).sum == 2)
+    assert(cat.scan("ev.nc").count() == 2)
+    // the data was never copied: registered path IS the external path
+    assert(cat.files("ev.nc").forall(_.path.contains("extdata")))
+    // stats came from the footer → pruning works on them
+    val pruned = cat.scan("ev.nc", Seq(PartitionFilter("id", Op.Ge, Seq("10"))))
+    assert(pruned.count() == 0)
+
+    // duplicate registration follows the insert flags
+    intercept[IllegalStateException] {
+      cat.addFiles("ev.nc", parquet.map(_.toString), forceOutsideLocation = true)
+    }
+    val m2 = cat.addFiles("ev.nc", parquet.map(_.toString),
+      forceOutsideLocation = true, options = InsertOptions(skipDuplicates = true))
+    assert(m2.current.get.files.map(_.rowCount).sum == 2)
+  }
+
+  test("no-copy addFiles enforces one partition value per file") {
+    import spark.implicits._
+    val ext = Files.createTempDirectory("extdata2").toString
+    // one file spanning two partition values of src
+    Seq((1L, "a"), (2L, "b")).toDF("id", "src").coalesce(1)
+      .write.parquet(s"$ext/mixed")
+    val parquet = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(ext)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    cat.createTable("ev.nc2", StructType(Seq(
+      StructField("id", LongType), StructField("src", StringType))),
+      partitionSpec = Seq(PartitionField("src", "identity", "p_src")))
+    val e = intercept[IllegalArgumentException] {
+      cat.addFiles("ev.nc2", parquet.map(_.toString), forceOutsideLocation = true)
+    }
+    assert(e.getMessage.contains("only one partition value"))
+
+    // per-partition files register fine and land in the right partitions
+    val ext2 = Files.createTempDirectory("extdata3").toString
+    Seq((1L, "a")).toDF("id", "src").coalesce(1).write.parquet(s"$ext2/pa")
+    Seq((2L, "b")).toDF("id", "src").coalesce(1).write.parquet(s"$ext2/pb")
+    val ok = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(ext2)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    cat.addFiles("ev.nc2", ok.map(_.toString), forceOutsideLocation = true)
+    val parts = cat.listPartitions("ev.nc2").map { case (p, rows, _) =>
+      p("p_src") -> rows
+    }.toMap
+    assert(parts == Map("a" -> 1L, "b" -> 1L))
+    // partition pruning over no-copy files
+    assert(cat.scan("ev.nc2", Seq(PartitionFilter("p_src", Op.Eq, Seq("a"))))
+      .count() == 1)
+  }
+}
