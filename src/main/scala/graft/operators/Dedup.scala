@@ -53,19 +53,28 @@ object Dedup {
     minhashSignatures(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   /** d3: LSH candidate pairs — docs sharing any band (band = one signature
-    * here). Explode to (band, sig) then a single equi-join on the band key:
-    * shuffle volume is rows × bands, join output only true collisions.
+    * here). Explode to (band, sig), group into buckets, and emit the i<j
+    * pairs within each bucket. One shuffle on the compact (band, sig) key
+    * and the signatures are computed ONCE — the naive self-join formulation
+    * plans the whole signature subtree twice and shuffles both sides.
+    * Bucket pair expansion is quadratic in bucket size by definition of
+    * LSH (those are exactly the candidates); at 100 TB a bucket-size cap
+    * (count + filter) bounds worst-case skew the same way it would here.
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(Tables.documents(spark, dir))
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until NumHashes).map(k => col(s"sig_$k")): _*)).as(Seq("band", "sig")))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val buckets = bands
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val combos = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("a"), y.as("b")))))
+    buckets
+      .select(explode(combos).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }

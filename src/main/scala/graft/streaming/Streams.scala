@@ -102,19 +102,22 @@ object Streams {
   def funnelBatch(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
     val us = unix_micros(col("ts"))
-    val clicks = events.filter(col("event_type") === "click")
-      .groupBy(col("user_id")).agg(min(us).as("first_click"))
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), us.as("pus"))
-    val converted = clicks.join(purchases, Seq("user_id"))
-      .filter(col("pus") >= col("first_click") &&
-        col("pus") <= col("first_click") + MicrosPerHour)
-      .select(col("user_id")).distinct()
-      .withColumn("cv", lit(1))
-    clicks.join(converted, Seq("user_id"), "left")
+    // ONE scan + one user-keyed shuffle: first click and the purchase-time
+    // list are gathered in the same aggregation; the within-the-hour test
+    // is then a per-row array scan (per-user purchase counts are small and
+    // skew-bounded). The join formulation scans events three times.
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "click", us)).as("first_click"),
+        collect_list(when(col("event_type") === "purchase", us)).as("purch"))
+      .filter(col("first_click").isNotNull)
+    val converted = exists(col("purch"), p =>
+      p >= col("first_click") && p <= col("first_click") + MicrosPerHour)
+    perUser
       .groupBy(expr("first_click div 86400000000").as("day_bucket"))
       .agg(count(lit(1)).as("n_clickers"),
-        coalesce(sum(col("cv")), lit(0)).cast("long").as("n_converted"))
+        sum(when(converted, 1L).otherwise(0L)).as("n_converted"))
       .orderBy(col("day_bucket"))
   }
 
