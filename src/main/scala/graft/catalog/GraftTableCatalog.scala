@@ -36,12 +36,13 @@ import graft.catalog.IceCatalog.PartitionField
   * reject writes; mutations must use the IceCatalog API
   * (insert/upsert/deleteWhere), which run the commit protocol.
   */
-private class ReadOnlySnapshotTable(delegate: ParquetTable)
+private class ReadOnlySnapshotTable(
+    delegate: ParquetTable, tableProps: Map[String, String])
     extends Table with SupportsRead {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def partitioning(): Array[Transform] = delegate.partitioning()
-  override def properties(): util.Map[String, String] = delegate.properties()
+  override def properties(): util.Map[String, String] = tableProps.asJava
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
@@ -103,10 +104,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalArgumentException(s"no snapshot $v in $id"))
       case None => meta.current
     }
-    val paths = snap.map(_.files.map(_.path)).getOrElse(Seq.empty)
+    val files = snap.map(_.files).getOrElse(Seq.empty)
+    // If any file predates the current schema version, serve an id-annotated
+    // read schema: Spark's parquet reader then resolves columns by field id
+    // (renames/widenings read correctly). Identical-schema snapshots keep
+    // the plain name-resolved path (works for id-less no-copy files too).
+    val evolved = meta.schemaLog.length > 1 && files.exists(f =>
+      meta.schemaLog(math.min(f.schemaId, meta.schemaLog.length - 1))
+        .schemaJson != meta.schemaJson)
+    val readSchema = if (evolved) ice.idAnnotatedSchema(meta) else meta.schema
     new ReadOnlySnapshotTable(ParquetTable(
-      id, spark, CaseInsensitiveStringMap.empty(), paths.toSeq,
-      Some(meta.schema), classOf[ParquetFileFormat]))
+      id, spark, CaseInsensitiveStringMap.empty(), files.map(_.path).toSeq,
+      Some(readSchema), classOf[ParquetFileFormat]), meta.properties)
   }
 
   override def createTable(
@@ -136,12 +145,27 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** SQL ALTER TABLE surface → IceCatalog schema evolution (field-id
+    * based, metadata-only): ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE
+    * (widening), SET/UNSET TBLPROPERTIES.
+    */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val id = identString(ident)
+    def one(names: Array[String]): String = {
+      require(names.length == 1, "nested columns unsupported")
+      names(0)
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1, "nested adds unsupported")
-        ice.addColumn(id, add.fieldNames()(0), add.dataType())
+        ice.addColumn(id, one(add.fieldNames()), add.dataType())
+      case rn: TableChange.RenameColumn =>
+        ice.renameColumn(id, one(rn.fieldNames()), rn.newName())
+      case del: TableChange.DeleteColumn =>
+        ice.dropColumn(id, one(del.fieldNames()))
+      case ut: TableChange.UpdateColumnType =>
+        ice.alterColumn(id, one(ut.fieldNames()), ut.newDataType())
+      case sp: TableChange.SetProperty =>
+        ice.setProperty(id, sp.property(), sp.value())
       case other => throw new UnsupportedOperationException(s"alter $other")
     }
     loadTable(ident)
@@ -155,7 +179,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename")
+    ice.renameTable(identString(oldIdent), identString(newIdent))
 
   // ---- namespaces ----
 

@@ -100,6 +100,11 @@ class IceCatalog(spark: SparkSession, root: String) {
   // manifest stats come from parquet footers: INT64-µs timestamps carry
   // usable min/max statistics, INT96 (legacy default) does not
   spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  // resolve parquet columns by field id WHEN the read schema carries ids
+  // (only schemas this catalog annotates do) — Spark's native mechanism
+  // for rename/drop-safe reads, the same one Iceberg's Spark integration
+  // uses. Name-based resolution everywhere else is unaffected.
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
   private def rootPath: Path = Paths.get(root)
 
@@ -328,7 +333,16 @@ class IceCatalog(spark: SparkSession, root: String) {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = tableDir(ident).resolve("data").resolve(commitId)
     val dirNames = meta.partitionSpec.map(partDirName)
-    val withParts = meta.partitionSpec.foldLeft(df) { (d, f) =>
+    // stamp each data column with its stable field id: Spark's parquet
+    // writer (fieldId.write.enabled, on by default) embeds them in the
+    // file schema, making every file self-describing for id-based reads
+    val annotated = df.select(meta.schema.fields.zip(meta.fieldIds).map {
+      case (f, id) =>
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", id).build()
+        col(s"`${f.name}`").as(f.name, md)
+    }.toSeq: _*)
+    val withParts = meta.partitionSpec.foldLeft(annotated) { (d, f) =>
       d.withColumn(partDirName(f), transformCol(f, meta.schema))
     }
     val sortCols = dirNames.map(col) ++ meta.sortOrder.map { s =>
@@ -600,6 +614,17 @@ class IceCatalog(spark: SparkSession, root: String) {
 
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** The current schema annotated with parquet.field.id metadata — handing
+    * this to any Spark parquet scan (fieldId.read.enabled) makes column
+    * resolution id-based, so renamed/retyped columns read correctly from
+    * files written under earlier schema versions.
+    */
+  def idAnnotatedSchema(meta: TableMeta): StructType = StructType(
+    meta.schema.fields.zip(meta.fieldIds).map { case (f, id) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", id).build())
+    })
 
   /** Read a file set under the CURRENT schema, resolving columns by field
     * id (Iceberg read semantics): files are grouped by the schema they were

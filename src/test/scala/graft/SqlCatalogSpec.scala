@@ -89,4 +89,48 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT count(*) FROM graft.ns1.li VERSION AS OF $v1")
       .collect()(0).getLong(0) == li.count())
   }
+
+  test("ALTER TABLE DDL: add, rename, widen, drop, properties") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.ns4.a (id INT, v STRING)")
+    cat.insert("ns4.a", Seq((1, "x"), (2, "y")).toDF("id", "v"))
+
+    // rename: files written pre-rename resolve by parquet field id
+    spark.sql("ALTER TABLE graft.ns4.a RENAME COLUMN v TO payload")
+    assert(spark.sql("SELECT payload FROM graft.ns4.a ORDER BY id")
+      .as[String].collect().toSeq == Seq("x", "y"))
+
+    // widen int -> bigint; old int32 files cast up in the scan
+    spark.sql("ALTER TABLE graft.ns4.a ALTER COLUMN id TYPE BIGINT")
+    cat.insert("ns4.a", Seq((5000000000L, "z")).toDF("id", "payload"))
+    assert(spark.sql("SELECT max(id) FROM graft.ns4.a").as[Long].head() == 5000000000L)
+
+    // add column: old rows read NULL
+    spark.sql("ALTER TABLE graft.ns4.a ADD COLUMN score DOUBLE")
+    assert(spark.sql("SELECT count(*) FROM graft.ns4.a WHERE score IS NULL")
+      .as[Long].head() == 3L)
+
+    // drop column: gone from SQL reads
+    spark.sql("ALTER TABLE graft.ns4.a DROP COLUMN score")
+    assert(!spark.table("graft.ns4.a").columns.contains("score"))
+
+    spark.sql("ALTER TABLE graft.ns4.a SET TBLPROPERTIES ('retention.hours' = '168')")
+    assert(cat.loadMeta("ns4.a").properties("retention.hours") == "168")
+
+    // mixed-schema scan: both pre- and post-evolution files in one query
+    val all = spark.sql("SELECT id, payload FROM graft.ns4.a ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(all == Seq((1L, "x"), (2L, "y"), (5000000000L, "z")))
+  }
+
+  test("ALTER TABLE RENAME TO moves the table") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.ns4.r1 (id BIGINT, v STRING)")
+    cat.insert("ns4.r1", Seq((1L, "a")).toDF("id", "v"))
+    spark.sql("ALTER TABLE graft.ns4.r1 RENAME TO ns4.r2")
+    assert(spark.sql("SELECT count(*) FROM graft.ns4.r2").as[Long].head() == 1L)
+    intercept[Exception] { spark.sql("SELECT * FROM graft.ns4.r1").collect() }
+  }
 }
