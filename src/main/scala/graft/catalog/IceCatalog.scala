@@ -800,6 +800,28 @@ class IceCatalog(spark: SparkSession, root: String) {
   def files(ident: String): Seq[DataFileMeta] =
     loadMeta(ident).current.map(_.files).getOrElse(Seq.empty)
 
+  /** Metadata-only row count (optionally partition-filtered / time-traveled):
+    * the manifest's per-file row counts answer `count(*)` with ZERO data
+    * scan — the same shortcut Iceberg's planner takes. Partition filters
+    * must be exact (partition values, not stats ranges) for the count to be
+    * exact, so this refuses stats-only filter columns.
+    */
+  def countRows(
+      ident: String,
+      filters: Seq[PartitionFilter] = Seq.empty,
+      asOfSnapshot: Option[Long] = None): Long = {
+    val meta = loadMeta(ident)
+    filters.foreach(f => require(
+      meta.partitionSpec.exists(_.name == f.name),
+      s"${f.name} is not a partition field — metadata count would be approximate"))
+    val snap = asOfSnapshot match {
+      case Some(id) => meta.snapshot(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id"))
+      case None => meta.current.getOrElse(return 0L)
+    }
+    snap.files.filter(f => filters.forall(matches(f, _, meta))).map(_.rowCount).sum
+  }
+
   /** Table description as a DataFrame (the `describe` command surface):
     * one row per column with partition/sort roles, plus table-level rows
     * for snapshot count, current snapshot, file and row totals.
@@ -865,6 +887,97 @@ class IceCatalog(spark: SparkSession, root: String) {
     val nOut = math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt)
     val df = readFiles(meta, cur.files)
     val files = writeArranged(ident, df, meta, coalesceTo = Some(nOut))
+    commit(ident, m => {
+      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
+        "replace", files, m.snapshots.flatMap(_.sourceFiles).distinct)
+      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
+    }, basedOn = Some(meta.currentSnapshotId))
+  }
+
+  /** Z-order compaction: rewrite the current snapshot clustered on the
+    * interleaved bit pattern of `zorderBy` columns, so per-file min/max
+    * ranges become selective on EVERY listed dimension and stats-based
+    * pruning works for multi-column predicates — the standard lakehouse
+    * data-layout optimization (Delta OPTIMIZE ZORDER BY / Iceberg
+    * rewrite with zorder strategy).
+    *
+    * Scale path: each column is binned by ~16 approx-quantile boundaries
+    * (one lightweight stats pass, boundaries broadcast as literals), bins
+    * are bit-interleaved map-side with built-in integer ops, and the only
+    * shuffle is one range-repartition on the z-value. No window functions,
+    * no global sort.
+    */
+  def zorderCompact(
+      ident: String, zorderBy: Seq[String], targetFileMB: Int = 512,
+      outputFiles: Option[Int] = None): TableMeta = {
+    require(zorderBy.nonEmpty, "zorderCompact needs at least one column")
+    val meta = loadMeta(ident)
+    val cur = meta.current.getOrElse(return meta)
+    if (cur.files.isEmpty) return meta
+    zorderBy.foreach(c => require(meta.schema.fieldNames.contains(c), s"no column $c"))
+    val df = readFiles(meta, cur.files)
+
+    // numeric view of a z column (dates/timestamps via their epoch value)
+    def asNum(c: String): Column = meta.schema(c).dataType.typeName match {
+      case "date" => col(c).cast("timestamp").cast("double")
+      case "timestamp" => col(c).cast("double")
+      case "integer" | "long" | "double" | "float" | "short" | "byte" =>
+        col(c).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"zorder column $c has unsupported type $other")
+    }
+    val bitsPerCol = 4 // 16 quantile bins per dimension
+    val nBins = 1 << bitsPerCol
+    val quantiles = (1 until nBins).map(_.toDouble / nBins).toArray
+    // boundary sampling: one approxQuantile pass over just the z columns
+    val bounds = df.select(zorderBy.map(c => asNum(c).as(c)): _*).stat
+      .approxQuantile(zorderBy.toArray, quantiles, 0.01)
+
+    // bin = #boundaries <= x (aggregate over a 15-literal array: codegen'd,
+    // map-side, no shuffle); nulls sort into bin 0
+    def binCol(c: String, bs: Array[Double]): Column = {
+      val arr = array(bs.toSeq.map(lit): _*)
+      aggregate(arr, lit(0),
+        (acc, b) => when(asNum(c).isNotNull && asNum(c) >= b, acc + 1).otherwise(acc))
+    }
+    // interleave: z = sum over bit b, col i of bit(bin_i, b) << (b*k + i)
+    val k = zorderBy.length
+    val zBits = for {
+      b <- 0 until bitsPerCol
+      (c, i) <- zorderBy.zipWithIndex
+    } yield shiftleft(
+      shiftright(binCol(c, bounds(i)), b).bitwiseAND(lit(1)), b * k + i)
+    val zval = zBits.reduce((a, x) => a.bitwiseOR(x))
+
+    val totalBytes = cur.files.map(_.bytes).sum.max(1L)
+    val nOut = outputFiles.getOrElse(
+      math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt))
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = tableDir(ident).resolve("data").resolve(commitId)
+    val annotated = df.select(meta.schema.fields.zip(meta.fieldIds).map {
+      case (f, id) =>
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", id).build()
+        col(s"`${f.name}`").as(f.name, md)
+    }.toSeq: _*)
+    // hive-partitioned tables keep their dir layout; z-clustering applies
+    // within the range-partitioned output (dir cols lead the range key so
+    // same-partition rows co-locate)
+    val dirNames = meta.partitionSpec.map(partDirName)
+    val withParts = meta.partitionSpec.foldLeft(annotated) { (d, f) =>
+      d.withColumn(partDirName(f), transformCol(f, meta.schema))
+    }
+    val arranged = withParts
+      .withColumn("__z", zval)
+      .repartitionByRange(nOut, dirNames.map(col) :+ col("__z"): _*)
+      .sortWithinPartitions(dirNames.map(col) :+ col("__z"): _*)
+      .drop("__z")
+    val writer = arranged.write.mode("append")
+    (if (dirNames.nonEmpty) writer.partitionBy(dirNames: _*) else writer)
+      .parquet(dataDir.toString)
+    val files = collectFileMeta(dataDir.toString, meta.schema, meta.partitionSpec,
+      schemaId = meta.schemaLog.length - 1)
     commit(ident, m => {
       val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
       val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),

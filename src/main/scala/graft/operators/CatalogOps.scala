@@ -82,8 +82,11 @@ object CatalogOps {
     val (cat, ident) = scratch(spark, dir, "t8")
     val v1 = cat.loadMeta(ident).currentSnapshotId
     cat.delete(ident, Seq(PartitionFilter("p_year", Op.Eq, Seq("26"))))
-    val rowsV1 = cat.scan(ident, asOfSnapshot = Some(v1)).count()
-    val rowsAfter = cat.scan(ident).count()
+    // counts come from the MANIFEST (metadata-only, like Iceberg's planner
+    // shortcut for count(*)) — the oracle recomputes them from raw data,
+    // cross-checking manifest row accounting end to end
+    val rowsV1 = cat.countRows(ident, asOfSnapshot = Some(v1))
+    val rowsAfter = cat.countRows(ident)
     cleanup(cat, ident)
     import spark.implicits._
     Seq((rowsV1, rowsAfter)).toDF("rows_v1", "rows_after_delete")

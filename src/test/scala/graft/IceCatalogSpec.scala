@@ -210,6 +210,46 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("ns1.race")
   }
 
+  test("zorder compaction clusters files on every listed dimension") {
+    // lineitem scattered across 8 random files: before z-ordering, every
+    // file's (l_partkey, l_suppkey) range spans ~the whole domain, so a
+    // 2-D range predicate prunes nothing; after zorderCompact both
+    // dimensions become selective per file.
+    val li = lineitem.repartition(8)
+    cat.createTable("ns1.z", li.schema)
+    try {
+      cat.insert("ns1.z", li)
+      val expected = cat.scan("ns1.z")
+        .filter(col("l_partkey") <= 50 && col("l_suppkey") <= 5).count()
+
+      def prunedCount(): Int = cat.scan("ns1.z",
+        Seq(PartitionFilter("l_partkey", Op.Le, Seq("50")),
+          PartitionFilter("l_suppkey", Op.Le, Seq("5")))).inputFiles.length
+
+      cat.zorderCompact("ns1.z", Seq("l_partkey", "l_suppkey"),
+        outputFiles = Some(6))
+      val total = cat.files("ns1.z").length
+      val after = prunedCount()
+      assert(total > 2, s"compaction should still produce several files, got $total")
+      assert(after < total,
+        s"z-clustered stats should prune the 2-D corner query ($after of $total files)")
+      // rows unchanged, query answers unchanged
+      assert(cat.countRows("ns1.z") == lineitem.count())
+      assert(cat.scan("ns1.z")
+        .filter(col("l_partkey") <= 50 && col("l_suppkey") <= 5).count() == expected)
+    } finally cat.dropTable("ns1.z")
+  }
+
+  test("metadata-only countRows matches scan counts incl. partition filters") {
+    assert(cat.countRows("ns1.li") == cat.scan("ns1.li").count())
+    val f = Seq(PartitionFilter("p_year", Op.Eq, Seq("25")))
+    assert(cat.countRows("ns1.li", f) == cat.scan("ns1.li", f).count())
+    // stats-only columns are refused (would be approximate)
+    intercept[IllegalArgumentException] {
+      cat.countRows("ns1.li", Seq(PartitionFilter("l_orderkey", Op.Le, Seq("10"))))
+    }
+  }
+
   test("unpartitioned unsorted table works too") {
     cat.createTable("ns1.plain", lineitem.schema)
     cat.insert("ns1.plain", lineitem.limit(100))
