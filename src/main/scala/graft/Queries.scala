@@ -164,6 +164,7 @@ object Queries {
     "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
     "s3_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
     "d7_decontaminate" -> (Dedup.decontaminate _),
+    "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "x6_scrub" -> (TextAnalysis.scrubQuery _),
     "x7_tfidf" -> (TextAnalysis.tfidfQuery _),
     "r1_sample" -> (Sampling.stratifiedSample _),
@@ -315,6 +316,25 @@ object Queries {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "d8_dedup_clusters" ->
+      s"""WITH RECURSIVE $sigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
+         |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
+         |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
+         |  SELECT doc_id, 3, sig_3 FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |r(n, m) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT r.n, e.b FROM r JOIN e ON r.m = e.a)
+         |SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n
+         |ORDER BY doc_id""".stripMargin,
     "d5_ngram_jaccard" ->
       s"""WITH $tokCte,
          |ts AS (SELECT doc_id, source, list_distinct(t) AS t FROM tok)

@@ -89,7 +89,11 @@ object IceCatalog {
   case class InsertOptions(
       skipDuplicates: Boolean = false,
       forceDuplicates: Boolean = false,
-      noCommit: Boolean = false)
+      noCommit: Boolean = false,
+      // union-by-name schema evolution on insert (SchemaEvolution.java):
+      // columns new to the table are ADDED (nullable, fresh field id),
+      // table columns missing from the input are filled with NULL
+      evolveSchema: Boolean = false)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 }
@@ -285,8 +289,23 @@ class IceCatalog(spark: SparkSession, root: String) {
     * already recorded in any snapshot (Insert.java:110-240); noCommit writes
     * data but skips the metadata commit (`--no-commit`).
     */
-  def insert(ident: String, df: DataFrame, options: InsertOptions = InsertOptions()): TableMeta = {
-    val meta = loadMeta(ident)
+  def insert(ident: String, df0: DataFrame, options: InsertOptions = InsertOptions()): TableMeta = {
+    var meta = loadMeta(ident)
+    val df =
+      if (!options.evolveSchema) df0
+      else {
+        // union-by-name evolution: add new input columns to the table
+        // (nullable), fill table columns absent from the input with NULL
+        val tableCols = meta.schema.fieldNames.toSet
+        df0.schema.fields.filterNot(f => tableCols.contains(f.name)).foreach { f =>
+          meta = addColumn(ident, f.name, f.dataType)
+        }
+        val inCols = df0.columns.toSet
+        meta.schema.fields.map { f =>
+          if (inCols.contains(f.name)) col(s"`${f.name}`")
+          else lit(null).cast(f.dataType).as(f.name)
+        } match { case cols => df0.select(cols.toSeq: _*) }
+      }
     val schema = meta.schema
     val known = meta.snapshots.flatMap(_.sourceFiles).toSet
     val incoming = df.inputFiles.toSeq.sorted

@@ -79,6 +79,43 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d8: duplicate CLUSTERS from the LSH candidate pairs — connected
+    * components by iterative min-label propagation: every doc's label
+    * starts as its own id and each round takes the min over its neighbors,
+    * converging in O(component diameter) rounds (near-dup components are
+    * short chains). Each round is one equi-join + partial-min aggregation;
+    * `localCheckpoint` truncates lineage so iteration N doesn't replan
+    * rounds 1..N-1. This is the GraphX-free distributed CC pattern; at
+    * extreme graph sizes the same loop upgrades to large-star/small-star.
+    * The DuckDB oracle recomputes the closure with a recursive CTE.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.withColumnRenamed("cluster_id", "old")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"),
+          col("old"))
+        .localCheckpoint()
+      converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next.drop("old")
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $iter rounds")
+    labels.orderBy(col("doc_id"))
+  }
+
   /** d5: n-gram Jaccard verification on blocked candidate pairs (blocking
     * key = source). |A∩B| / |A∪B| over distinct unigram sets.
     */

@@ -135,6 +135,25 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.scan("ev.renamed").count() == 3)
   }
 
+  test("insert with evolveSchema does union-by-name evolution") {
+    import spark.implicits._
+    cat.createTable("ev.ue", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.insert("ev.ue", Seq((1L, "a")).toDF("id", "v"))
+    // new column `score` appears, `v` is absent from the input
+    cat.insert("ev.ue", Seq((2L, 9.5)).toDF("id", "score"),
+      IceCatalog.InsertOptions(evolveSchema = true))
+    val out = cat.scan("ev.ue").orderBy("id")
+      .select("id", "v", "score").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(out == Seq(
+      (1L, Some("a"), None), // old file: score resolves NULL via field id
+      (2L, None, Some(9.5))))
+    // strict mode still rejects shape drift
+    intercept[Exception] {
+      cat.insert("ev.ue", Seq((3L, true)).toDF("id", "flag"))
+    }
+  }
+
   test("no-copy addFiles registers external parquet metadata-only") {
     import spark.implicits._
     val ext = Files.createTempDirectory("extdata").toString
