@@ -421,6 +421,21 @@ object Queries {
         |  < (CASE WHEN source = 'src0' THEN '8' ELSE '4' END)
         |ORDER BY doc_id""".stripMargin,
     m1Oracle,
+    // m2's decoder is a deterministic md5-derived stub, so the whole decode
+    // path (dims + first two feature floats) replays in pure SQL: hex-pair
+    // -> byte via digit positions, then the same %128 / /255 arithmetic.
+    "m2_feature_stub" -> {
+      def byteAt(i: Int) = // 1-based hex char positions 2i+1, 2i+2
+        s"((strpos('0123456789abcdef', substr(h, ${2 * i + 1}, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substr(h, ${2 * i + 2}, 1)) - 1)"
+      s"""WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents)
+         |SELECT doc_id,
+         | CAST(64 + ${byteAt(0)} % 128 AS INT) AS width,
+         | CAST(64 + ${byteAt(1)} % 128 AS INT) AS height,
+         | round(CAST(${byteAt(2)} AS DOUBLE) / 255.0, 4) AS f0,
+         | round(CAST(${byteAt(3)} AS DOUBLE) / 255.0, 4) AS f1
+         |FROM hx ORDER BY doc_id""".stripMargin
+    },
     "p1_pipeline" ->
       s"""WITH $sigCte,
          |bands AS (

@@ -78,8 +78,10 @@ object Multimodal {
       .as[MediaRow]
     extractFeatures(media)
       .select(col("doc_id"), col("width"), col("height"),
-        round(element_at(col("features"), 1), 4).as("f0"),
-        round(element_at(col("features"), 2), 4).as("f1"))
+        // widen to double BEFORE rounding: round(float) keeps FloatType,
+        // whose repr would never hash-match the oracle's double
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+        round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
       .orderBy(col("doc_id"))
   }
 }
