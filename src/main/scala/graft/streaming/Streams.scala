@@ -51,6 +51,44 @@ object Streams {
       .start()
   }
 
+  /** Continuous keyed MERGE (CDC-style ingestion): watch `watchDir` and
+    * UPSERT each micro-batch into the table by `keyCols` — new keys append,
+    * existing keys are replaced via the catalog's copy-on-write rewrite.
+    * Within a batch the row with the highest `versionCol` wins per key
+    * (ties broken deterministically by the remaining columns), so replayed
+    * or compacted CDC feeds converge to the same table state.
+    */
+  def watchAndMerge(
+      spark: SparkSession,
+      cat: IceCatalog,
+      ident: String,
+      watchDir: String,
+      checkpoint: String,
+      keyCols: Seq[String],
+      versionCol: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val schema = cat.loadMeta(ident).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(watchDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val others = schema.fieldNames.filterNot(n =>
+          keyCols.contains(n) || n == versionCol).map(n => col(n).desc).toSeq
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(versionCol).desc +: others: _*)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        cat.upsert(ident, latest, keyCols): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   // ---- event-time analytics (streaming form) ----------------------------
 
   /** Watermarked tumbling-window counts — the streaming twin of

@@ -41,6 +41,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.listSnapshots("s.t").length == 2)
   }
 
+  test("watchAndMerge upserts CDC batches by key, highest version wins") {
+    import spark.implicits._
+    val watch = Files.createTempDirectory("watchm").toString
+    val ckpt = Files.createTempDirectory("ckptm").toString
+    val root = Files.createTempDirectory("catm").toString
+    val cat = new IceCatalog(spark, root)
+
+    val seed = Seq((1L, 1L, "v1"), (2L, 1L, "orig")).toDF("id", "ver", "val")
+    cat.createNamespace("s")
+    cat.createTable("s.m", seed.schema)
+    cat.insert("s.m", seed)
+
+    // CDC drop: update id=2 (two versions in ONE batch — later must win),
+    // insert id=3
+    Seq((2L, 2L, "mid"), (2L, 3L, "new"), (3L, 1L, "ins"))
+      .toDF("id", "ver", "val").coalesce(1).write.parquet(s"$watch/c1")
+    Streams.watchAndMerge(spark, cat, "s.m", s"$watch/*/", ckpt,
+      keyCols = Seq("id"), versionCol = "ver").awaitTermination()
+
+    val state = cat.scan("s.m").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(state == Seq((1L, 1L, "v1"), (2L, 3L, "new"), (3L, 1L, "ins")))
+
+    // replaying the same files is a no-op (file-source checkpoint)
+    Streams.watchAndMerge(spark, cat, "s.m", s"$watch/*/", ckpt,
+      keyCols = Seq("id"), versionCol = "ver").awaitTermination()
+    assert(cat.scan("s.m").count() == 3)
+  }
+
   test("windowed counts over a memory stream honor event-time windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
