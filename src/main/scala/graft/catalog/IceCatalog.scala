@@ -809,6 +809,57 @@ class IceCatalog(spark: SparkSession, root: String) {
 
   def listSnapshots(ident: String): Seq[Snapshot] = loadMeta(ident).snapshots
 
+  /** Newest snapshot at or before `timestampMs` (the API twin of SQL
+    * `TIMESTAMP AS OF`).
+    */
+  def snapshotAsOfTime(ident: String, timestampMs: Long): Option[Snapshot] =
+    loadMeta(ident).snapshots
+      .filter(_.timestampMs <= timestampMs).sortBy(_.timestampMs).lastOption
+
+  /** Roll the table back to an earlier snapshot: a NEW snapshot is
+    * committed whose file list equals the target's (history is preserved,
+    * like Iceberg's rollback — not a destructive rewind).
+    */
+  def rollbackTo(ident: String, snapshotId: Long): TableMeta = {
+    val meta = loadMeta(ident)
+    val target = meta.snapshot(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    commit(ident, m => {
+      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
+        "rollback", target.files, m.snapshots.flatMap(_.sourceFiles).distinct)
+      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
+    }, basedOn = Some(meta.currentSnapshotId))
+  }
+
+  /** One-stop metadata report (DescribeMetadata.java options SUMMARY /
+    * SCHEMA / SNAPSHOTS / MANIFESTS): section-tagged key/value rows.
+    */
+  def describeMetadata(ident: String): DataFrame = {
+    val meta = loadMeta(ident)
+    val cur = meta.current
+    val summary = Seq(
+      ("summary", "table", meta.name),
+      ("summary", "current-snapshot-id", meta.currentSnapshotId.toString),
+      ("summary", "total-snapshots", meta.snapshots.length.toString),
+      ("summary", "total-files", cur.map(_.files.size).getOrElse(0).toString),
+      ("summary", "total-rows",
+        cur.map(_.files.map(_.rowCount).sum).getOrElse(0L).toString),
+      ("summary", "total-bytes",
+        cur.map(_.files.map(_.bytes).sum).getOrElse(0L).toString),
+      ("summary", "schema-versions", meta.schemaLog.length.toString),
+      ("summary", "last-field-id", meta.lastFieldId.toString))
+    val schema = meta.schema.fields.zip(meta.fieldIds).map { case (f, id) =>
+      ("schema", s"$id:${f.name}", f.dataType.simpleString)
+    }.toSeq
+    val snaps = meta.snapshots.map(s =>
+      ("snapshots", s.id.toString, s"${s.operation} files=${s.files.size} " +
+        s"rows=${s.files.map(_.rowCount).sum} parent=${s.parentId}"))
+    val props = meta.properties.toSeq.sorted.map { case (k, v) => ("properties", k, v) }
+    import spark.implicits._
+    (summary ++ schema ++ snaps ++ props).toDF("section", "key", "value")
+  }
+
   def listPartitions(ident: String): Seq[(Map[String, String], Long, Int)] = {
     val meta = loadMeta(ident)
     meta.current.map(_.files.groupBy(_.partition).map { case (p, fs) =>

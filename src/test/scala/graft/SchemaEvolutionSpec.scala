@@ -191,6 +191,43 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.current.get.files.map(_.rowCount).sum == 2)
   }
 
+  test("rollback restores an earlier snapshot's files without erasing history") {
+    import spark.implicits._
+    cat.createTable("ev.rb", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.insert("ev.rb", Seq((1L, "a")).toDF("id", "v"))
+    val v1 = cat.loadMeta("ev.rb").currentSnapshotId
+    cat.insert("ev.rb", Seq((2L, "b")).toDF("id", "v"))
+    cat.deleteWhere("ev.rb", col("id") === 1L)
+    assert(cat.scan("ev.rb").count() == 1)
+
+    cat.rollbackTo("ev.rb", v1)
+    assert(cat.scan("ev.rb").orderBy("id").select("id").as[Long].collect()
+      .toSeq == Seq(1L))
+    // history preserved: rollback is a new snapshot, not a rewind
+    val ops = cat.listSnapshots("ev.rb").map(_.operation)
+    assert(ops.count(_ == "rollback") == 1 && ops.length == 4)
+    // time-based lookup resolves to the latest snapshot at that moment
+    val now = cat.snapshotAsOfTime("ev.rb", System.currentTimeMillis()).get
+    assert(now.id == cat.loadMeta("ev.rb").currentSnapshotId)
+  }
+
+  test("describeMetadata reports summary, schema ids, snapshots, properties") {
+    import spark.implicits._
+    cat.createTable("ev.dm", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.insert("ev.dm", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    cat.renameColumn("ev.dm", "v", "payload")
+    cat.setProperty("ev.dm", "pipeline", "curation")
+    val d = cat.describeMetadata("ev.dm").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def sec(s: String) = d.filter(_._1 == s)
+    val summary = sec("summary").map(t => t._2 -> t._3).toMap
+    assert(summary("total-rows") == "2")
+    assert(summary("schema-versions") == "2")
+    assert(sec("schema").map(_._2).toSeq == Seq("0:id", "1:payload"))
+    assert(sec("snapshots").length == 1)
+    assert(sec("properties").toSeq == Seq(("properties", "pipeline", "curation")))
+  }
+
   test("no-copy addFiles enforces one partition value per file") {
     import spark.implicits._
     val ext = Files.createTempDirectory("extdata2").toString
