@@ -166,6 +166,7 @@ object Queries {
     "d7_decontaminate" -> (Dedup.decontaminate _),
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "x6_scrub" -> (TextAnalysis.scrubQuery _),
+    "x8_repetition" -> (TextAnalysis.repetitionQuery _),
     "x7_tfidf" -> (TextAnalysis.tfidfQuery _),
     "r1_sample" -> (Sampling.stratifiedSample _),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
@@ -316,6 +317,29 @@ object Queries {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x8_repetition" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+         |  FROM documents),
+         |bg AS (SELECT doc_id, t, len(t) AS n,
+         |  CASE WHEN len(t) >= 2
+         |    THEN list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))
+         |    ELSE [] END AS bgs FROM tok),
+         |cnt AS (SELECT doc_id, unnest(bgs) AS g FROM bg),
+         |hist AS (SELECT doc_id, g, count(*) AS c FROM cnt GROUP BY 1, 2),
+         |top AS (SELECT doc_id, g, c,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+         |  FROM hist)
+         |SELECT b.doc_id AS doc_id,
+         | CAST(b.n AS BIGINT) AS n_tokens,
+         | round(1.0 - CAST(len(list_distinct(b.t)) AS DOUBLE)
+         |   / CAST(b.n AS DOUBLE), 4) AS dup_word_frac,
+         | round(1.0 - CAST(len(list_distinct(b.bgs)) AS DOUBLE)
+         |   / CAST(len(b.bgs) AS DOUBLE), 4) AS dup_bigram_frac,
+         | t.g AS top_bigram,
+         | round(CAST(t.c AS DOUBLE) / CAST(len(b.bgs) AS DOUBLE), 4) AS top_bigram_frac
+         |FROM bg b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+         |ORDER BY 1""".stripMargin,
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE $sigCte,
          |bands AS (

@@ -20,6 +20,41 @@ object TextAnalysis {
       .select(col("doc_id"), langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
+  /** x8: Gopher-style repetition signals (MassiveText filtering rules):
+    * duplicate-word fraction, duplicate-bigram fraction, and the most
+    * frequent bigram with its occurrence fraction. One scan; the only
+    * shuffle carries (doc_id, bigram) counts — at 100 TB the per-doc
+    * bigram histogram is bounded by document length, never corpus size.
+    */
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("bgs",
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+    val top = base
+      .select(col("doc_id"), explode(col("bgs")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("g").as("top_bigram"), col("c").as("top_c"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+          size(col("t")).cast("double"), 4).as("dup_word_frac"),
+        round(lit(1.0) - size(array_distinct(col("bgs"))).cast("double") /
+          size(col("bgs")).cast("double"), 4).as("dup_bigram_frac"),
+        col("top_bigram"),
+        round(col("top_c").cast("double") / size(col("bgs")).cast("double"), 4)
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x2: quality scoring — length, word-shape, stopword signals + gate. */
   def qualityQuery(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
