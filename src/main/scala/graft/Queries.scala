@@ -169,6 +169,7 @@ object Queries {
     "x8_repetition" -> (TextAnalysis.repetitionQuery _),
     "x7_tfidf" -> (TextAnalysis.tfidfQuery _),
     "r1_sample" -> (Sampling.stratifiedSample _),
+    "r2_pack" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
     "m2_feature_stub" -> (Multimodal.featureQuery _)
   )
@@ -317,6 +318,17 @@ object Queries {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "r2_pack" ->
+      """WITH n AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS before
+        |  FROM n)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(before // 2048 AS BIGINT) AS pack_id,
+        | CAST(before % 2048 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "x8_repetition" ->
       s"""WITH tok AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t

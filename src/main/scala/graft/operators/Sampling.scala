@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -23,6 +24,27 @@ object Sampling {
     Tables.documents(spark, dir)
       .filter(digit < cut)
       .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** r2: sequence packing — GPT-style concat-then-chunk assignment of
+    * documents into fixed `windowTokens` training sequences. Each source
+    * shard packs independently (the window cumsum is partitioned by
+    * source), so at 100 TB packing parallelizes across shards instead of
+    * serializing on one global running sum; a doc's pack id and offset are
+    * pure functions of the tokens before it within its shard.
+    */
+  def packSequences(
+      spark: SparkSession, dir: String, windowTokens: Int = 2048): DataFrame = {
+    val nTok = graft.functions.TextFunctions.wsTokenCount(col("text")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+      .withColumn("before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"before div $windowTokens").as("pack_id"),
+        (col("before") % windowTokens).as("pack_offset"))
       .orderBy(col("doc_id"))
   }
 }
