@@ -140,6 +140,28 @@ object Queries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND pus >= cus AND pus <= cus + 3600000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "s5_quantize" -> {
+      // shared expression shapes (identical association/order to the Spark
+      // side): code_i = round((x_i - mn_i)/(mx_i - mn_i)*255), decoded_i
+      // back through the int code
+      def x(i: String) = s"CAST(embedding[$i] AS DOUBLE)"
+      def codeOf(i: String) =
+        s"CAST(round((${x(i)} - mns[$i]) / (mxs[$i] - mns[$i]) * 255.0) AS INT)"
+      def decOf(i: String) =
+        s"(${codeOf(i)} / 255.0 * (mxs[$i] - mns[$i]) + mns[$i])"
+      val cs = (1 to 4).map(i => s"${codeOf(i.toString)} AS c${i - 1}").mkString(",\n ")
+      s"""WITH dims AS (
+         |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY i),
+         |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims)
+         |SELECT vec_id,
+         | $cs,
+         | round(list_sum(list_transform(range(1, 65), i ->
+         |   (${x("i")} - ${decOf("i")}) * (${x("i")} - ${decOf("i")})))
+         |   / 64.0, 9) AS mse
+         |FROM embeddings, mm ORDER BY vec_id""".stripMargin
+    },
     "s4_dim_stats" ->
       """SELECT CAST(i AS INT) AS dim,
         | round(avg(embedding[i]), 4) AS mean,
@@ -163,6 +185,7 @@ object Queries {
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
     "s3_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
+    "s5_quantize" -> (Similarity.quantize _),
     "d7_decontaminate" -> (Dedup.decontaminate _),
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "x6_scrub" -> (TextAnalysis.scrubQuery _),

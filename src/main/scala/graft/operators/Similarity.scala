@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,40 @@ object Similarity {
         round(avg(col("x")), 4).as("mean"),
         round(stddev_pop(col("x")), 4).as("std"))
       .orderBy(col("dim"))
+
+  /** s5: int8 scalar quantization — per-dimension affine codes
+    * (x−min)/(max−min)·255, the compression step before ANN indexing at
+    * scale (4× smaller than float32, 8× than float64). Per-dim min/max is
+    * one partial-agg pass collected to a dims-sized driver array and
+    * broadcast back as literals; encoding is then map-only. Reports the
+    * first four codes and the per-vector reconstruction MSE.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val mins = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val maxs = typedLit(stats.map(_.getDouble(2)).toSeq)
+    def mn(i: Column) = element_at(mins, i)
+    def mx(i: Column) = element_at(maxs, i)
+    def code(i: Column) = // i is 1-based
+      round((element_at(col("v"), i) - mn(i)) / (mx(i) - mn(i)) * 255.0).cast("int")
+    def decoded(i: Column) =
+      code(i).cast("double") / 255.0 * (mx(i) - mn(i)) + mn(i)
+    val mse = aggregate(
+      sequence(lit(1), size(col("v"))), lit(0.0),
+      (acc, i) => acc +
+        (element_at(col("v"), i) - decoded(i)) * (element_at(col("v"), i) - decoded(i))) /
+      size(col("v")).cast("double")
+    e.select(
+      col("vec_id"),
+      code(lit(1)).as("c0"), code(lit(2)).as("c1"),
+      code(lit(3)).as("c2"), code(lit(4)).as("c3"),
+      round(mse, 9).as("mse"))
+      .orderBy(col("vec_id"))
+  }
 
   // ---- IVF (coarse-quantized) ANN --------------------------------------
 
