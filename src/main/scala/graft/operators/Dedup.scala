@@ -91,10 +91,13 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // the edge/label tables are tiny relative to the corpus (collision
+    // pairs only) — a handful of partitions keeps each iteration's task
+    // dispatch cost flat; at larger edge counts this coalesce simply drops out
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst").coalesce(4).localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+      .withColumn("cluster_id", col("doc_id")).coalesce(4).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -107,7 +110,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"),
           col("old"))
-        .localCheckpoint()
+        .coalesce(4).localCheckpoint()
       converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
       labels = next.drop("old")
       iter += 1
