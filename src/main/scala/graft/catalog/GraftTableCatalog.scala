@@ -4,11 +4,13 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
+import org.apache.spark.sql.connector.expressions.{FieldReference, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -37,8 +39,9 @@ import graft.catalog.IceCatalog.PartitionField
   * (insert/upsert/deleteWhere), which run the commit protocol.
   */
 private class ReadOnlySnapshotTable(
-    delegate: ParquetTable, tableProps: Map[String, String])
-    extends Table with SupportsRead {
+    delegate: ParquetTable, tableProps: Map[String, String],
+    ice: IceCatalog, ident: String)
+    extends Table with SupportsRead with SupportsDeleteV2 {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def partitioning(): Array[Transform] = delegate.partitioning()
@@ -47,6 +50,85 @@ private class ReadOnlySnapshotTable(
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
     delegate.newScanBuilder(options)
+
+  /** SQL `DELETE FROM graft.ns.t WHERE ...` → the catalog's copy-on-write
+    * deleteWhere (Delete.java semantics through the commit protocol).
+    * Supported predicate shapes: comparisons / null tests on top-level
+    * columns combined with AND/OR/NOT; anything else is refused via
+    * canDeleteWhere so the analyzer errors instead of deleting wrongly.
+    */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(PredicateToColumn.convert(_).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val cols = predicates.map(p => PredicateToColumn.convert(p).getOrElse(
+      throw new UnsupportedOperationException(s"cannot convert predicate $p")))
+    // no predicates = delete everything
+    val pred = cols.reduceOption(_ && _).getOrElse(lit(true))
+    ice.deleteWhere(ident, pred): Unit
+  }
+
+  override def truncateTable(): Boolean = {
+    ice.deleteWhere(ident, lit(true))
+    true
+  }
+}
+
+/** Minimal DSv2 Predicate → Column translation for the DELETE path. */
+private object PredicateToColumn {
+  private def scalaValue(v: Any): Option[Any] = v match {
+    case null => Some(null)
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case n @ (_: Int | _: Long | _: Double | _: Float | _: Short |
+              _: Byte | _: Boolean) => Some(n)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+    case _ => None // dates/timestamps/binary: internal reprs, refuse safely
+  }
+
+  private def operand(e: org.apache.spark.sql.connector.expressions.Expression): Option[Column] =
+    e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(col(r.fieldNames()(0)))
+      case l: V2Literal[_] => scalaValue(l.value()).map(lit)
+      case _ => None
+    }
+
+  def convert(p: Predicate): Option[Column] = {
+    val kids = p.children()
+    def bin(f: (Column, Column) => Column): Option[Column] =
+      for { a <- operand(kids(0)); b <- operand(kids(1)) } yield f(a, b)
+    p.name() match {
+      case "=" => bin(_ === _)
+      case "<>" => bin(_ =!= _)
+      case "<" => bin(_ < _)
+      case "<=" => bin(_ <= _)
+      case ">" => bin(_ > _)
+      case ">=" => bin(_ >= _)
+      case "IS_NULL" => operand(kids(0)).map(_.isNull)
+      case "IS_NOT_NULL" => operand(kids(0)).map(_.isNotNull)
+      case "ALWAYS_TRUE" => Some(lit(true))
+      case "ALWAYS_FALSE" => Some(lit(false))
+      case "AND" => for {
+        a <- convert(kids(0).asInstanceOf[Predicate])
+        b <- convert(kids(1).asInstanceOf[Predicate])
+      } yield a && b
+      case "OR" => for {
+        a <- convert(kids(0).asInstanceOf[Predicate])
+        b <- convert(kids(1).asInstanceOf[Predicate])
+      } yield a || b
+      case "NOT" => convert(kids(0).asInstanceOf[Predicate]).map(not)
+      case "IN" =>
+        val vals = kids.drop(1).toSeq.map {
+          case l: V2Literal[_] => scalaValue(l.value())
+          case _ => None
+        }
+        for {
+          c <- operand(kids(0))
+          if vals.forall(_.isDefined)
+        } yield c.isin(vals.flatten: _*)
+      case _ => None
+    }
+  }
 }
 
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
@@ -115,7 +197,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     val readSchema = if (evolved) ice.idAnnotatedSchema(meta) else meta.schema
     new ReadOnlySnapshotTable(ParquetTable(
       id, spark, CaseInsensitiveStringMap.empty(), files.map(_.path).toSeq,
-      Some(readSchema), classOf[ParquetFileFormat]), meta.properties)
+      Some(readSchema), classOf[ParquetFileFormat]), meta.properties, ice, id)
   }
 
   override def createTable(
@@ -136,6 +218,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
             case l: V2Literal[_] => l.value().toString.toInt
           }.getOrElse(throw new IllegalArgumentException("bucket needs a count"))
           PartitionField(col, s"bucket[$n]", s"p_bucket_$col")
+        case "truncate" =>
+          val w = t.arguments().collectFirst {
+            case l: V2Literal[_] => l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException("truncate needs a width"))
+          PartitionField(col, s"truncate[$w]", s"p_trunc_$col")
         case other => throw new UnsupportedOperationException(s"transform $other")
       }
     }

@@ -124,6 +124,40 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all == Seq((1L, "x"), (2L, "y"), (5000000000L, "z")))
   }
 
+  test("DELETE FROM runs copy-on-write deletes through the commit protocol") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.ns5.d (id BIGINT, grp STRING, v DOUBLE)")
+    cat.insert("ns5.d", Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, null, 4.0))
+      .toDF("id", "grp", "v"))
+
+    spark.sql("DELETE FROM graft.ns5.d WHERE grp = 'a' AND v >= 2.0")
+    assert(spark.sql("SELECT id FROM graft.ns5.d ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L, 4L))
+    // NULL-predicate rows survive (SQL DELETE semantics)
+    spark.sql("DELETE FROM graft.ns5.d WHERE grp = 'b'")
+    assert(spark.sql("SELECT id FROM graft.ns5.d ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 4L))
+    spark.sql("DELETE FROM graft.ns5.d WHERE grp IS NULL")
+    assert(spark.sql("SELECT id FROM graft.ns5.d ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L))
+    // each delete is a snapshot commit -> time travel still sees history
+    assert(cat.listSnapshots("ns5.d").length == 4)
+  }
+
+  test("CREATE TABLE with truncate transform partitions by prefix") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql(
+      "CREATE TABLE graft.ns5.tr (id BIGINT, code STRING) PARTITIONED BY (truncate(2, code))")
+    cat.insert("ns5.tr", Seq((1L, "aaX"), (2L, "aaY"), (3L, "bbZ")).toDF("id", "code"))
+    val parts = cat.listPartitions("ns5.tr").map { case (p, rows, _) =>
+      p("p_trunc_code") -> rows
+    }.toMap
+    assert(parts == Map("aa" -> 2L, "bb" -> 1L))
+  }
+
   test("ALTER TABLE RENAME TO moves the table") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
