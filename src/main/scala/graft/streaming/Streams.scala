@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -108,6 +108,57 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
+
+  // carries the watermarked TimestampType column itself — projecting it
+  // away (e.g. to pre-derived micros) severs the watermark from the
+  // stateful operator and Spark rejects the event-time timeout
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start_us: Long, last_us: Long, n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Custom-state sessionizer via flatMapGroupsWithState — the shape to
+    * reach for when session semantics outgrow the built-in session_window
+    * (per-session enrichment, custom close conditions, side outputs).
+    * State per user is one (start, last, count) record; an event-time
+    * timeout closes idle sessions when the watermark passes the gap, so
+    * state is bounded by active users, not history.
+    */
+  def sessionizeCustom(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start_us, s.last_us, s.n))
+          } else {
+            val sorted = rows.map(e => e.ts.getTime * 1000L).toSeq.sorted
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { us =>
+              cur match {
+                case Some(s) if us - s.last_us <= SessionGapMicros =>
+                  cur = Some(s.copy(last_us = us, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.start_us, s.last_us, s.n)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes the gap after the last event
+              state.setTimeoutTimestamp(s.last_us / 1000 + SessionGapMicros / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Streaming exact dedup: one output row per content key, with state
     * bounded by the watermark horizon (the streaming twin of

@@ -91,6 +91,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-01 11:00:00", "view", 1L, 3.0)))
   }
 
+  test("custom-state sessionizer closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[Streams.SessionEvent]
+    val q = Streams.sessionizeCustom(events)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+
+    // user 7: two events 5 min apart (one session), then a 40-min gap
+    // (new session); user 8: single event
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 7L),
+      (Timestamp.valueOf("2024-01-01 10:45:00"), 7L),
+      (Timestamp.valueOf("2024-01-01 10:06:00"), 8L))
+    q.processAllAvailable()
+    // the 40-min gap closed user 7's first session inline
+    val inline = spark.table("sess").as[Streams.SessionOut].collect()
+    assert(inline.toSeq == Seq(Streams.SessionOut(7L,
+      Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000,
+      Timestamp.valueOf("2024-01-01 10:05:00").getTime * 1000, 2L)))
+
+    // advance the watermark far past the gap: timeouts flush the rest
+    mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 9L))
+    q.processAllAvailable()
+    val all = spark.table("sess").as[Streams.SessionOut].collect()
+      .map(s => (s.user_id, s.n_events)).sorted.toSeq
+    assert(all == Seq((7L, 2L), (7L, 1L), (8L, 1L)).sorted)
+    q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
