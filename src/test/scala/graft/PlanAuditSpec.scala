@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit: the scale properties SURVEY §4 promises are
+  * asserted here against the real optimized plans, so a regression that
+  * silently de-broadcasts a join, loses filter pushdown, or widens a scan
+  * fails the build — results staying correct wouldn't catch that.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-plan-audit", cpus = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q1 filter pushes into the parquet scan and aggregates map-side") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "ship-date filter must reach the scan")
+    // partial + final aggregation = map-side combine before the shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("q3 dimension joins broadcast instead of shuffling the fact side") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "no fact-fact shuffle join expected")
+  }
+
+  test("q4 five-way join keeps every dimension broadcast") {
+    val p = plan("q4_multijoin")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("x3 scan prunes to exactly the referenced columns") {
+    val p = plan("x3_tokens")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("source"),
+      "untouched columns must not be read")
+  }
+
+  test("s1 brute-force ANN broadcasts the query side, never the corpus") {
+    val p = plan("s1_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("s2 LSH ANN joins on the bucket equi-key") {
+    val p = plan("s2_lsh_ann")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(p.contains("bucket"), "join must key on the LSH bucket")
+  }
+
+  test("d1 exact dedup is one shuffle on the content hash") {
+    val p = plan("d1_exact_dedup")
+    // formatted output lists each node twice (tree + detail): count ids.
+    // partial agg -> exchange -> final agg -> sort exchange; nothing more
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.size <= 2, s"unexpected extra shuffles: $exchanges")
+  }
+
+  test("p1 pipeline anti-join broadcasts the drop list") {
+    val p = plan("p1_pipeline")
+    assert(p.contains("BroadcastHashJoin") &&
+      (p.contains("LeftAnti") || p.contains("left_anti")))
+  }
+
+  test("whole-stage codegen covers the custom kernels") {
+    // executedPlan marks codegen stages with "*(n)" — but only once AQE
+    // has finalized the plan, so execute first
+    Seq("t2_bucket_transform", "d2_minhash_sig", "d6_embed_neardup").foreach { q =>
+      val df = Queries.all(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q fell out of whole-stage codegen")
+    }
+  }
+}
