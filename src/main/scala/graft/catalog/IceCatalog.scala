@@ -233,7 +233,7 @@ class IceCatalog(spark: SparkSession, root: String) {
       ident: String,
       f: TableMeta => TableMeta,
       basedOn: Option[Long] = None,
-      retries: Int = 3): TableMeta = {
+      retries: Int = 8): TableMeta = {
     val dir = tableDir(ident)
     var attempt = 0
     while (true) {
@@ -250,7 +250,11 @@ class IceCatalog(spark: SparkSession, root: String) {
         writeVersion(dir, v + 1, updated)
         return updated
       } catch {
-        case e: IllegalStateException if attempt < retries => attempt += 1
+        case e: IllegalStateException if attempt < retries =>
+          attempt += 1
+          // linear backoff de-synchronizes racing committers; the commit
+          // lambda itself is cheap to recompute (metadata-only)
+          Thread.sleep(attempt * 20L)
       }
     }
     sys.error("unreachable")
