@@ -596,7 +596,8 @@ object Queries {
     "e1_window_agg" -> (graft.streaming.Streams.windowAggBatch _),
     "e2_sessionize" -> (graft.streaming.Streams.sessionizeBatch _),
     "e3_funnel" -> (graft.streaming.Streams.funnelBatch _),
-    "e4_retention" -> (graft.streaming.Streams.retentionBatch _)
+    "e4_retention" -> (graft.streaming.Streams.retentionBatch _),
+    "e5_rate_anomaly" -> (graft.streaming.Streams.rateAnomaly _)
   )
 
   val streamingOracle: Map[String, String] = Map(
@@ -636,6 +637,20 @@ object Queries {
         | CAST(coalesce(sum(conv.cv), 0) AS BIGINT) AS n_converted
         |FROM c LEFT JOIN conv ON c.user_id = conv.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e5_rate_anomaly" -> {
+      // mean/var from exact integer sums so doubles reproduce bit-for-bit
+      val mean = "(CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))"
+      val z = s"((CAST(n AS DOUBLE) - $mean) / " +
+        s"sqrt(CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE) - $mean * $mean))"
+      s"""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+         |  count(*) AS n FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, sum(n) AS s1, sum(n * n) AS s2, count(*) AS cnt
+         |  FROM h GROUP BY 1)
+         |SELECT hour_bucket, event_type, CAST(n AS BIGINT) AS n,
+         | round($z, 4) AS z,
+         | abs($z) > 2.0 AS is_anomaly
+         |FROM h JOIN s USING (event_type) ORDER BY 1, 2""".stripMargin
+    },
     "e4_retention" ->
       """WITH f AS (SELECT user_id, min(epoch_us(ts)) // 86400000000 AS cohort_day
         |           FROM events GROUP BY user_id),

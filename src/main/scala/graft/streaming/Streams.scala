@@ -210,6 +210,34 @@ object Streams {
       .orderBy(col("day_bucket"))
   }
 
+  /** e5: event-rate anomaly detection — hourly counts per event type
+    * scored against that type's own distribution (z-score from exact
+    * integer sums, so the result is engine-reproducible). The stats table
+    * is one row per event type and broadcasts; this is the shape of a
+    * data-quality monitor over a 100 TB event archive: two aggregations,
+    * both map-side combining.
+    */
+  def rateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(
+        expr(s"unix_micros(ts) div $MicrosPerHour").as("hour_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type")).agg(
+      sum(col("n")).as("s1"),
+      sum(col("n") * col("n")).as("s2"),
+      count(lit(1)).as("cnt"))
+    val mean = col("s1").cast("double") / col("cnt").cast("double")
+    val variance = col("s2").cast("double") / col("cnt").cast("double") - mean * mean
+    val z = (col("n").cast("double") - mean) / sqrt(variance)
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .select(
+        col("hour_bucket"), col("event_type"), col("n"),
+        round(z, 4).as("z"),
+        (abs(z) > 2.0).as("is_anomaly"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+
   /** e4: cohort retention — users grouped by first-activity day; for each
     * (cohort day, day offset) the count of cohort users active that day.
     * Two reductions (per-user first day, distinct user-days) happen before
