@@ -191,6 +191,45 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.current.get.files.map(_.rowCount).sum == 2)
   }
 
+  test("zorder compaction preserves hive partition layout and values") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i => (i.toLong, i % 7, i % 11, if (i % 2 == 0) "a" else "b"))
+    val df = rows.toDF("id", "x", "y", "grp")
+    cat.createTable("ev.zp", df.schema,
+      partitionSpec = Seq(PartitionField("grp", "identity", "p_grp")))
+    cat.insert("ev.zp", df)
+    cat.zorderCompact("ev.zp", Seq("x", "y"), outputFiles = Some(4))
+    // partition values survive the rewrite and pruning still works
+    val parts = cat.listPartitions("ev.zp").map { case (p, n, _) => p("p_grp") -> n }.toMap
+    assert(parts == Map("a" -> 200L, "b" -> 200L))
+    assert(cat.scan("ev.zp", Seq(PartitionFilter("p_grp", Op.Eq, Seq("a"))))
+      .count() == 200)
+    assert(cat.scan("ev.zp").agg(sum(col("id"))).as[Long].head() ==
+      rows.map(_._1).sum)
+  }
+
+  test("no-copy addFiles derives transform partition values (year)") {
+    import spark.implicits._
+    val ext = Files.createTempDirectory("extyear").toString
+    Seq((1L, "2023-05-01"), (2L, "2023-11-30")).toDF("id", "d")
+      .withColumn("d", to_date(col("d"))).coalesce(1).write.parquet(s"$ext/y23")
+    Seq((3L, "2024-02-02")).toDF("id", "d")
+      .withColumn("d", to_date(col("d"))).coalesce(1).write.parquet(s"$ext/y24")
+    val parquet = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(ext)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.map(_.toString)
+    }
+    cat.createTable("ev.ny", StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType))),
+      partitionSpec = Seq(PartitionField("d", "year", "p_year")))
+    cat.addFiles("ev.ny", parquet, forceOutsideLocation = true)
+    val parts = cat.listPartitions("ev.ny").map { case (p, n, _) => p("p_year") -> n }.toMap
+    assert(parts == Map("53" -> 2L, "54" -> 1L)) // years since 1970
+    assert(cat.scan("ev.ny", Seq(PartitionFilter("p_year", Op.Eq, Seq("54"))))
+      .count() == 1)
+  }
+
   test("rollback restores an earlier snapshot's files without erasing history") {
     import spark.implicits._
     cat.createTable("ev.rb", Seq((1L, "a")).toDF("id", "v").schema)
