@@ -164,7 +164,7 @@ object Queries {
     },
     "s4_dim_stats" ->
       """SELECT CAST(i AS INT) AS dim,
-        | round(avg(embedding[i]), 4) AS mean,
+        | round(avg(embedding[i]), 4) + 0.0 AS mean,
         | round(stddev_pop(embedding[i]), 4) AS std
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY i ORDER BY dim""".stripMargin
@@ -248,7 +248,7 @@ object Queries {
        |r AS (SELECT q_id, neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT) AS rank,
        |  score FROM s)
-       |SELECT q_id, neighbor_id, rank, round(score, 4) AS score
+       |SELECT q_id, neighbor_id, rank, round(score, 4) + 0.0 AS score
        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
@@ -426,7 +426,7 @@ object Queries {
         |r AS (SELECT q_id, neighbor_id,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT) AS rank,
         |  score FROM s)
-        |SELECT q_id, neighbor_id, rank, round(score, 4) AS score
+        |SELECT q_id, neighbor_id, rank, round(score, 4) + 0.0 AS score
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "d7_decontaminate" ->
       s"""WITH $tokCte,

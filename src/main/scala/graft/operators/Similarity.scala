@@ -35,7 +35,10 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), cos.as("score"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("rank"), round(col("score"), 4).as("score"))
+      // + 0.0 normalizes IEEE signed zero: a tiny negative cosine rounds
+      // to -0.0 in one engine and +0.0 in the other
+      .select(col("q_id"), col("neighbor_id"), col("rank"),
+        (round(col("score"), 4) + lit(0.0)).as("score"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -95,7 +98,7 @@ object Similarity {
       .select((col("pos") + 1).as("dim"), col("x"))
       .groupBy(col("dim"))
       .agg(
-        round(avg(col("x")), 4).as("mean"),
+        (round(avg(col("x")), 4) + lit(0.0)).as("mean"), // +0.0: signed-zero norm
         round(stddev_pop(col("x")), 4).as("std"))
       .orderBy(col("dim"))
 
