@@ -647,7 +647,7 @@ object Queries {
          |s AS (SELECT event_type, sum(n) AS s1, sum(n * n) AS s2, count(*) AS cnt
          |  FROM h GROUP BY 1)
          |SELECT hour_bucket, event_type, CAST(n AS BIGINT) AS n,
-         | round($z, 4) AS z,
+         | round($z, 4) + 0.0 AS z,
          | abs($z) > 2.0 AS is_anomaly
          |FROM h JOIN s USING (event_type) ORDER BY 1, 2""".stripMargin
     },

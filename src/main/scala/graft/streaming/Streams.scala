@@ -233,7 +233,7 @@ object Streams {
     hourly.join(broadcast(stats), Seq("event_type"))
       .select(
         col("hour_bucket"), col("event_type"), col("n"),
-        round(z, 4).as("z"),
+        (round(z, 4) + lit(0.0)).as("z"), // +0.0: signed-zero normalization
         (abs(z) > 2.0).as("is_anomaly"))
       .orderBy(col("hour_bucket"), col("event_type"))
   }
