@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.catalog.IceCatalog
 import graft.catalog.IceCatalog.InsertOptions
+import graft.operators.Dedup
 import graft.sources.Tables
 
 /** Streaming surface: the reference's continuous ingestion (InsertWatch.java
@@ -158,6 +159,31 @@ object Streams {
             closed.result().iterator
           }
       }
+  }
+
+  /** Streaming NEAR-duplicate dedup: the MinHash signature vector is the
+    * dedup key, so texts with (near-)identical shingle sets collapse even
+    * when their bytes differ — the streaming twin of the batch MinHash
+    * suite. Signatures are computed per-row with array expressions (no
+    * explode/aggregation, so the plan stays a legal streaming map before
+    * dropDuplicatesWithinWatermark); state is bounded by the watermark.
+    */
+  def nearDupDedupStream(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val hashed = transform(shingles(tokens(col("text")), 3), s => md5(s))
+    val sigCols = (0 until Dedup.NumHashes).map { k =>
+      val off = k * 8
+      val rotated =
+        if (off == 0) hashed
+        else transform(hashed, h =>
+          concat(substring(h, off + 1, 32 - off), substring(h, 1, off)))
+      array_min(rotated).as(s"sig_$k")
+    }
+    docs.select(col("*") +: sigCols: _*)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(
+        "sig_0", (1 until Dedup.NumHashes).map(k => s"sig_$k"): _*)
+      .drop((0 until Dedup.NumHashes).map(k => s"sig_$k"): _*)
   }
 
   /** Streaming exact dedup: one output row per content key, with state

@@ -143,6 +143,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys == Seq("a", "b"))
   }
 
+  test("streaming near-dup dedup collapses same-signature texts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.nearDupDedupStream(docs)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 10:10:00")
+    mem.addData(
+      (t0, 1L, "the quick brown fox jumps over the lazy dog"),
+      // same token stream, different punctuation/case -> same shingles
+      (t1, 2L, "The QUICK  brown fox jumps over the lazy dog!"),
+      (t0, 3L, "an entirely different document about spark catalogs"))
+    q.processAllAvailable()
+    val kept = spark.table("neardup").as[Long].collect().sorted.toSeq
+    assert(kept.length == 2 && kept.contains(3L))
+    q.stop()
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
