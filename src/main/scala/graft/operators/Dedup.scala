@@ -96,8 +96,12 @@ object Dedup {
     // dispatch cost flat; at larger edge counts this coalesce simply drops out
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").coalesce(4).localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).coalesce(4).localCheckpoint()
+    // seed with min(self, min neighbor): the first propagation round is
+    // folded into label construction, shaving one join+materialize cycle
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nb"))
+      .select(col("doc_id"), least(col("doc_id"), col("nb")).as("cluster_id"))
+      .coalesce(4).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
