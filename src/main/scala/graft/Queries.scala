@@ -186,6 +186,7 @@ object Queries {
     "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
     "s3_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
     "s5_quantize" -> (Similarity.quantize _),
+    "s6_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
     "d7_decontaminate" -> (Dedup.decontaminate _),
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "x6_scrub" -> (TextAnalysis.scrubQuery _),

@@ -136,6 +136,79 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** s6: product quantization — the billion-scale ANN compression: the
+    * vector splits into `m` subvectors, each quantized against its own
+    * k-centroid codebook (k-means per subspace), so a 64-dim float64
+    * vector becomes m small codes (here 4 bytes, 128× smaller) while
+    * distances remain computable from codebook lookup tables.
+    *
+    * Scale shape: codebooks are m·k·(dims/m) driver-side doubles trained
+    * with the same distributed Lloyd pass as IVF (assignment = k codegen'd
+    * dot products per row, update = one partial-agg mean); encoding is
+    * map-only with codebooks broadcast as literals. Output: per-vector
+    * codes + reconstruction MSE (16 bits/vector here vs s5's 512 — far
+    * smaller and necessarily lossier; the spec asserts it still beats the
+    * one-centroid baseline, i.e. the corpus variance).
+    */
+  def pqCodes(
+      spark: SparkSession, dir: String,
+      m: Int = 4, k: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, "m must divide dims")
+    val subDims = dims / m
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+    // one codebook per subspace, trained on the subvector slice with
+    // plain L2 Lloyd (NOT the spherical variant IVF uses — PQ centroids
+    // must stay unnormalized means or reconstruction error suffers)
+    def lloydL2(data: DataFrame, iters: Int): Array[Array[Double]] = {
+      var cs = data.orderBy(col("vec_id")).limit(k)
+        .select(col("vn")).collect().map(_.getSeq[Double](0).toArray)
+      def assign(c: Array[Array[Double]]): Column = {
+        val scores = array(c.map(cc =>
+          lit(cc.map(x => x * x).sum / 2) - dot(col("vn"), typedLit(cc.toSeq))): _*)
+        (array_position(scores, array_min(scores)) - 1).cast("int")
+      }
+      for (_ <- 0 until iters) {
+        val means = data
+          .select(assign(cs).as("c"), posexplode(col("vn")).as(Seq("pos", "x")))
+          .groupBy(col("c"), col("pos")).agg(avg(col("x")).as("mu"))
+          .collect()
+        val next = Array.tabulate(k)(i => cs(i).clone())
+        means.foreach(r => next(r.getAs[Int]("c"))(r.getAs[Int]("pos")) = r.getAs[Double]("mu"))
+        cs = next
+      }
+      cs
+    }
+    val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { j =>
+      val sub = e.select(col("vec_id"), slice(col("v"), j * subDims + 1, subDims).as("vn"))
+      lloydL2(sub, iters = 2)
+    }
+    // L2 argmin per subspace: |x-c|² ranks as |c|²/2 - x·c (|x|² constant
+    // per row) — k codegen'd dot products against literal centroids
+    def codeCol(j: Int): Column = {
+      val sub = slice(col("v"), j * subDims + 1, subDims)
+      val scores = array(codebooks(j).map { c =>
+        lit(c.map(x => x * x).sum / 2) - dot(sub, typedLit(c.toSeq))
+      }: _*)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    def decodedCol(j: Int): Column = {
+      // decoded subvector via element lookup in the literal codebook matrix
+      val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
+      element_at(cb, codeCol(j) + 1)
+    }
+    val decoded = flatten(array((0 until m).map(decodedCol): _*))
+    val mse = aggregate(
+      zip_with(col("v"), decoded, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x) / size(col("v")).cast("double")
+    e.select(
+      col("vec_id") +:
+        (0 until m).map(j => codeCol(j).as(s"pq_$j")) :+
+        round(mse, 9).as("mse"): _*)
+      .orderBy(col("vec_id"))
+  }
+
   // ---- IVF (coarse-quantized) ANN --------------------------------------
 
   /** Unit-normalized view (cosine distance == -dot on unit vectors). */

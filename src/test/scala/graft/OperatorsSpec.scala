@@ -53,6 +53,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"ivf recall: $recall")
   }
 
+  test("PQ codes are bounded, deterministic, and beat the one-centroid baseline") {
+    import org.apache.spark.sql.functions._
+    val pq = graft.operators.Similarity.pqCodes(spark, dir).cache()
+    val codeCols = (0 until 4).map(j => col(s"pq_$j"))
+    // codes live in [0, 16)
+    val bad = pq.filter(codeCols.map(c => c < 0 || c >= 16).reduce(_ || _)).count()
+    assert(bad == 0)
+    // reconstruction beats quantizing everything to the corpus mean:
+    // avg per-vector MSE < mean per-dimension variance
+    val varr = graft.operators.Similarity.dimStats(spark, dir)
+      .agg(avg(col("std") * col("std"))).head().getDouble(0)
+    val pqMse = pq.agg(avg(col("mse"))).head().getDouble(0)
+    assert(pqMse < varr, s"pq mse $pqMse should beat variance baseline $varr")
+    // deterministic: second run returns identical codes
+    val again = graft.operators.Similarity.pqCodes(spark, dir)
+    assert(pq.unpersist().except(again).isEmpty)
+  }
+
   test("multimodal feature extraction is deterministic with fixed shape") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
