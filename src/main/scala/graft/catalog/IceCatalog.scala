@@ -203,18 +203,35 @@ class IceCatalog(spark: SparkSession, root: String) {
   }
 
   private def currentVersion(dir: Path): Int = {
-    val hint = dir.resolve("metadata").resolve("version-hint.txt")
-    if (Files.exists(hint)) Files.readString(hint).trim.toInt else 0
+    val metaDir = dir.resolve("metadata")
+    val hint = metaDir.resolve("version-hint.txt")
+    var v = if (Files.exists(hint)) Files.readString(hint).trim.toInt else 0
+    // The hint is ADVISORY (written after the atomic version-file rename):
+    // a committer may be descheduled between the two, so probe forward for
+    // newer committed versions — otherwise concurrent writers spin on a
+    // stale hint until it updates. Same recovery Iceberg's file-based
+    // commit protocol uses.
+    while (Files.exists(metaDir.resolve(s"v${v + 1}.json"))) v += 1
+    v
   }
 
   private def writeVersion(dir: Path, version: Int, meta: TableMeta): Unit = {
     val target = dir.resolve("metadata").resolve(s"v$version.json")
-    val tmp = dir.resolve("metadata").resolve(s".v$version.json.tmp")
+    // tmp name must be unique PER WRITER: racing committers sharing one
+    // tmp path would have the loser's rename fail with NoSuchFile (its
+    // tmp consumed by the winner) instead of a clean conflict
+    val tmp = dir.resolve("metadata").resolve(
+      s".v$version.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
-    // CREATE_NEW on the final name = the optimistic lock (fails if a
-    // concurrent writer committed this version first).
-    try Files.move(tmp, target)
-    catch { case e: java.nio.file.FileAlreadyExistsException =>
+    // Atomic create-new via link(2): the optimistic lock. Files.move is
+    // NOT safe here — it stats the target and then rename(2)s, and rename
+    // silently REPLACES an existing file, so two racing committers could
+    // both "win" the same version (silent lost update). link() fails
+    // atomically if the target exists.
+    try {
+      Files.createLink(target, tmp)
+      Files.delete(tmp)
+    } catch { case e: java.nio.file.FileAlreadyExistsException =>
       Files.delete(tmp)
       throw new IllegalStateException(s"commit conflict on v$version", e)
     }

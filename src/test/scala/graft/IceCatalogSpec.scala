@@ -257,7 +257,7 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     import scala.concurrent.ExecutionContext.Implicits.global
     cat.createTable("ns1.cc", Seq((1L, "x")).toDF("id", "w").schema)
     try {
-      val writers = (1 to 3).map { i =>
+      val writers = (1 to 5).map { i =>
         Future {
           cat.insert("ns1.cc", Seq((i.toLong, s"w$i")).toDF("id", "w"),
             InsertOptions(forceDuplicates = true))
@@ -265,9 +265,9 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       Await.result(Future.sequence(writers), 120.seconds)
       // every writer's snapshot committed; the final state contains all rows
-      assert(cat.listSnapshots("ns1.cc").length == 3)
+      assert(cat.listSnapshots("ns1.cc").length == 5)
       assert(cat.scan("ns1.cc").orderBy("id").select("w").as[String].collect()
-        .toSeq == Seq("w1", "w2", "w3"))
+        .toSeq == Seq("w1", "w2", "w3", "w4", "w5"))
     } finally cat.dropTable("ns1.cc")
   }
 
