@@ -230,6 +230,28 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 1)
   }
 
+  test("no-copy files without parquet field ids survive a later rename") {
+    import spark.implicits._
+    val ext = Files.createTempDirectory("extrename").toString
+    // plain Spark write: no parquet.field.id metadata in the file
+    Seq((1L, "hello")).toDF("id", "msg").coalesce(1).write.parquet(s"$ext/b")
+    val parquet = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(ext)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.map(_.toString)
+    }
+    cat.createTable("ev.ncr", StructType(Seq(
+      StructField("id", LongType), StructField("msg", StringType))))
+    cat.addFiles("ev.ncr", parquet, forceOutsideLocation = true)
+    cat.renameColumn("ev.ncr", "msg", "payload")
+    // catalog-written file AFTER the rename coexists with the id-less one
+    cat.insert("ev.ncr", Seq((2L, "world")).toDF("id", "payload"))
+    // API read resolves the id-less file through its registration-time
+    // schema (name-based within its schema-log group), renamed on top
+    assert(cat.scan("ev.ncr").orderBy("id").select("payload").as[String]
+      .collect().toSeq == Seq("hello", "world"))
+  }
+
   test("rollback restores an earlier snapshot's files without erasing history") {
     import spark.implicits._
     cat.createTable("ev.rb", Seq((1L, "a")).toDF("id", "v").schema)
