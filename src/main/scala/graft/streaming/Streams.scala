@@ -264,6 +264,36 @@ object Streams {
       .orderBy(col("hour_bucket"), col("event_type"))
   }
 
+  /** Per-type rate statistics from a batch history pass — the training
+    * half of the streaming anomaly monitor.
+    */
+  def rateStats(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(
+        expr(s"unix_micros(ts) div $MicrosPerHour").as("hour_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hourly.groupBy(col("event_type")).agg(
+      avg(col("n").cast("double")).as("mean"),
+      stddev_pop(col("n").cast("double")).as("std"))
+  }
+
+  /** Streaming twin of e5: watermarked hourly counts per event type,
+    * z-scored against batch-trained [[rateStats]] via a stream-static
+    * broadcast join. Windows emit once the watermark closes them; state
+    * is bounded by the watermark horizon, the stats side is a handful of
+    * rows broadcast to every executor.
+    */
+  def rateAnomalyStream(events: DataFrame, stats: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(stats), Seq("event_type"))
+      .select(
+        col("window.start").as("hour_start"), col("event_type"), col("n"),
+        round((col("n").cast("double") - col("mean")) / col("std"), 4).as("z"))
+
   /** e4: cohort retention — users grouped by first-activity day; for each
     * (cohort day, day offset) the count of cohort users active that day.
     * Two reductions (per-user first day, distinct user-days) happen before

@@ -143,6 +143,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys == Seq("a", "b"))
   }
 
+  test("streaming rate anomaly z-scores closed windows against batch stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stats = Seq(("click", 2.0, 1.0)).toDF("event_type", "mean", "std")
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val q = Streams.rateAnomalyStream(events, stats)
+      .writeStream.format("memory").queryName("rate").outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 10:40:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 11:30:00"), "click"))
+    q.processAllAvailable()
+    // advance the watermark far enough to close both windows
+    mem.addData((Timestamp.valueOf("2024-01-01 15:00:00"), "click"))
+    q.processAllAvailable()
+    val out = spark.table("rate")
+      .select("hour_start", "n", "z").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("2024-01-01 10:00:00.0", 3L, 1.0),   // (3-2)/1
+      ("2024-01-01 11:00:00.0", 1L, -1.0))) // (1-2)/1
+    q.stop()
+  }
+
   test("streaming near-dup dedup collapses same-signature texts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
