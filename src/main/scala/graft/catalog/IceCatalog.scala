@@ -737,7 +737,8 @@ class IceCatalog(spark: SparkSession, root: String) {
   def scan(
       ident: String,
       filters: Seq[PartitionFilter] = Seq.empty,
-      asOfSnapshot: Option[Long] = None): DataFrame = {
+      asOfSnapshot: Option[Long] = None,
+      limit: Option[Int] = None): DataFrame = {
     val meta = loadMeta(ident)
     val snap = asOfSnapshot match {
       case Some(id) => meta.snapshot(id).getOrElse(
@@ -751,8 +752,11 @@ class IceCatalog(spark: SparkSession, root: String) {
     // leaf-path reads need no hive partition discovery. Field-id resolution
     // handles files written under earlier schema versions.
     val base = readFiles(meta, files)
-    filters.foldLeft(base)((d, f) => d.filter(filterToColumn(d, f, meta)))
+    val filtered = filters.foldLeft(base)((d, f) => d.filter(filterToColumn(d, f, meta)))
       .select(meta.schema.fieldNames.map(col): _*)
+    // Scan.java:44-66 limit semantics; Spark plans CollectLimit, stopping
+    // the scan early rather than materializing everything first
+    limit.map(filtered.limit).getOrElse(filtered)
   }
 
   private def filterToColumn(df: DataFrame, f: PartitionFilter, meta: TableMeta): Column = {

@@ -275,6 +275,8 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.createTable("ns1.plain", lineitem.schema)
     cat.insert("ns1.plain", lineitem.limit(100))
     assert(cat.scan("ns1.plain").count() == 100)
+    // Scan.java limit semantics
+    assert(cat.scan("ns1.plain", limit = Some(7)).count() == 7)
     cat.dropTable("ns1.plain")
     assert(cat.listTables("ns1") == Seq("li"))
   }
