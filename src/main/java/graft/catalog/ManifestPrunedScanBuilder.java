@@ -1,0 +1,76 @@
+package graft.catalog;
+
+import org.apache.spark.sql.catalyst.expressions.Expression;
+import org.apache.spark.sql.connector.expressions.filter.Predicate;
+import org.apache.spark.sql.connector.read.Scan;
+import org.apache.spark.sql.connector.read.ScanBuilder;
+import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns;
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters;
+import org.apache.spark.sql.types.StructType;
+
+/**
+ * Scan builder for catalog SQL reads that prunes the snapshot's FILE LIST
+ * against manifest partition values / column stats before the parquet scan
+ * is built — the SQL-path twin of {@code IceCatalog.scan} pruning. At
+ * many-file scale this is the difference between reading every footer and
+ * reading only the matching files' footers.
+ *
+ * <p>Implemented in Java deliberately: Spark hands file sources their
+ * filters through {@code SupportsPushDownCatalystFilters}, which is
+ * {@code private[sql]} at the Scala level but public in bytecode; javac
+ * (unlike scalac) can implement and invoke it. The heavy lifting
+ * (manifest matching, table construction) lives in Scala
+ * ({@code ManifestPrune}); this class only carries builder state across
+ * the pushdown handshake.
+ */
+public final class ManifestPrunedScanBuilder
+    implements ScanBuilder, SupportsPushDownCatalystFilters, SupportsPushDownRequiredColumns {
+
+  private final Object ctx; // graft.catalog.ManifestPrune.Ctx
+  private scala.collection.immutable.Seq<Expression> filters = null;
+  private StructType required = null;
+
+  public ManifestPrunedScanBuilder(Object ctx) {
+    this.ctx = ctx;
+  }
+
+  @Override
+  public scala.collection.immutable.Seq<Expression> pushFilters(
+      scala.collection.immutable.Seq<Expression> dataFilters) {
+    this.filters = dataFilters;
+    // everything stays a post-scan filter too (same contract the built-in
+    // file scan builders use: parquet pushdown is advisory)
+    return dataFilters;
+  }
+
+  @Override
+  public Predicate[] pushedFilters() {
+    return new Predicate[0];
+  }
+
+  @Override
+  public void pruneColumns(StructType requiredSchema) {
+    this.required = requiredSchema;
+  }
+
+  @Override
+  public Scan build() {
+    return ManifestPrune.buildScan(ctx, filters, required);
+  }
+
+  /** Push catalyst filters + pruned columns into the INNER (parquet)
+   * builder and build it — must live in Java for the same access-check
+   * reason as above. */
+  static Scan finish(
+      ScanBuilder inner,
+      scala.collection.immutable.Seq<Expression> filters,
+      StructType required) {
+    if (filters != null && inner instanceof SupportsPushDownCatalystFilters) {
+      ((SupportsPushDownCatalystFilters) inner).pushFilters(filters);
+    }
+    if (required != null && inner instanceof SupportsPushDownRequiredColumns) {
+      ((SupportsPushDownRequiredColumns) inner).pruneColumns(required);
+    }
+    return inner.build();
+  }
+}

@@ -40,7 +40,9 @@ import graft.catalog.IceCatalog.PartitionField
   */
 private class ReadOnlySnapshotTable(
     delegate: ParquetTable, tableProps: Map[String, String],
-    ice: IceCatalog, ident: String)
+    ice: IceCatalog, ident: String,
+    meta: IceCatalog.TableMeta, files: Seq[IceCatalog.DataFileMeta],
+    mkTable: Seq[String] => ParquetTable)
     extends Table with SupportsRead with SupportsDeleteV2 {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -49,7 +51,7 @@ private class ReadOnlySnapshotTable(
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
-    delegate.newScanBuilder(options)
+    new ManifestPrunedScanBuilder(ManifestPrune.Ctx(meta, files, mkTable, options))
 
   /** SQL `DELETE FROM graft.ns.t WHERE ...` → the catalog's copy-on-write
     * deleteWhere (Delete.java semantics through the commit protocol).
@@ -195,9 +197,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       meta.schemaLog(math.min(f.schemaId, meta.schemaLog.length - 1))
         .schemaJson != meta.schemaJson)
     val readSchema = if (evolved) ice.idAnnotatedSchema(meta) else meta.schema
-    new ReadOnlySnapshotTable(ParquetTable(
-      id, spark, CaseInsensitiveStringMap.empty(), files.map(_.path).toSeq,
-      Some(readSchema), classOf[ParquetFileFormat]), meta.properties, ice, id)
+    val mkTable = (paths: Seq[String]) => ParquetTable(
+      id, spark, CaseInsensitiveStringMap.empty(), paths,
+      Some(readSchema), classOf[ParquetFileFormat])
+    new ReadOnlySnapshotTable(mkTable(files.map(_.path).toSeq),
+      meta.properties, ice, id, meta, files.toSeq, mkTable)
   }
 
   override def createTable(

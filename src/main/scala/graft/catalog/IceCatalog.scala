@@ -96,6 +96,56 @@ object IceCatalog {
       evolveSchema: Boolean = false)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  /** Evaluate a partition filter against one file's manifest entry —
+    * driver-side pruning over O(files) metadata, before any scan. Partition
+    * values match exactly; for non-partition columns the column-stats range
+    * is used conservatively (absent stats keep the file).
+    */
+  private[graft] def fileMatches(
+      file: DataFileMeta, f: PartitionFilter, meta: TableMeta): Boolean = {
+    val v = file.partition.getOrElse(f.name,
+      // fall back to column stats range when not a partition column
+      return f.op match {
+        case Op.Eq => file.stats.get(f.name).forall { s =>
+          f.values.exists(x => cmpStr(s.min, x) <= 0 && cmpStr(x, s.max) <= 0) }
+        case Op.Lt => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(s.min, x) < 0))
+        case Op.Gt => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(x, s.max) < 0))
+        case Op.Le => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(s.min, x) <= 0))
+        case Op.Ge => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(x, s.max) <= 0))
+      })
+    if (v == null) return false
+    f.op match {
+      case Op.Eq => f.values.exists(x => cmpStr(v, x) == 0)
+      case Op.Lt => f.values.exists(x => cmpStr(v, x) < 0)
+      case Op.Gt => f.values.exists(x => cmpStr(v, x) > 0)
+      case Op.Le => f.values.exists(x => cmpStr(v, x) <= 0)
+      case Op.Ge => f.values.exists(x => cmpStr(v, x) >= 0)
+    }
+  }
+
+  /** Numeric compare when both parse, else lexicographic. */
+  private[graft] def cmpStr(a: String, b: String): Int = {
+    if (a == null || b == null) return 0
+    (a.toDoubleOption, b.toDoubleOption) match {
+      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+      case _ => a.compareTo(b)
+    }
+  }
+
+  /** Epoch-µs → the string Spark's `cast(ts AS string)` produces under a
+    * UTC session (fraction trimmed; the catalog assumes UTC sessions, the
+    * project-wide default).
+    */
+  private[graft] def microsToString(micros: Long): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val t = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+    val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d" +
+      f" ${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+    if (frac == 0L) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
 }
 
 class IceCatalog(spark: SparkSession, root: String) {
@@ -606,20 +656,6 @@ class IceCatalog(spark: SparkSession, root: String) {
     Some(ColStats(minStr, maxStr, nulls))
   }
 
-  /** Epoch-µs → the string Spark's `cast(ts AS string)` produces under a
-    * UTC session (fraction trimmed; the catalog assumes UTC sessions, the
-    * project-wide default).
-    */
-  private def microsToString(micros: Long): String = {
-    val secs = Math.floorDiv(micros, 1000000L)
-    val frac = Math.floorMod(micros, 1000000L)
-    val t = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
-    val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d" +
-      f" ${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
-    if (frac == 0L) base
-    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
-  }
-
   /** Partition values from the hive-style directory layout of one data
     * file (minimal percent-decoding; __HIVE_DEFAULT_PARTITION__ → null),
     * keyed by the SPEC name (manifests speak spec names, dirs may use the
@@ -696,38 +732,8 @@ class IceCatalog(spark: SparkSession, root: String) {
     parts.reduce(_ union _)
   }
 
-  /** Evaluate a partition filter against one file's manifest entry —
-    * driver-side pruning over O(files) metadata, before any scan.
-    */
-  private def matches(file: DataFileMeta, f: PartitionFilter, meta: TableMeta): Boolean = {
-    val v = file.partition.getOrElse(f.name,
-      // fall back to column stats range when not a partition column
-      return f.op match {
-        case Op.Eq => file.stats.get(f.name).forall { s =>
-          f.values.exists(x => cmpStr(s.min, x) <= 0 && cmpStr(x, s.max) <= 0) }
-        case Op.Lt => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(s.min, x) < 0))
-        case Op.Gt => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(x, s.max) < 0))
-        case Op.Le => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(s.min, x) <= 0))
-        case Op.Ge => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(x, s.max) <= 0))
-      })
-    if (v == null) return false
-    f.op match {
-      case Op.Eq => f.values.exists(x => cmpStr(v, x) == 0)
-      case Op.Lt => f.values.exists(x => cmpStr(v, x) < 0)
-      case Op.Gt => f.values.exists(x => cmpStr(v, x) > 0)
-      case Op.Le => f.values.exists(x => cmpStr(v, x) <= 0)
-      case Op.Ge => f.values.exists(x => cmpStr(v, x) >= 0)
-    }
-  }
-
-  /** Numeric compare when both parse, else lexicographic. */
-  private def cmpStr(a: String, b: String): Int = {
-    if (a == null || b == null) return 0
-    (a.toDoubleOption, b.toDoubleOption) match {
-      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
-      case _ => a.compareTo(b)
-    }
-  }
+  private def matches(file: DataFileMeta, f: PartitionFilter, meta: TableMeta): Boolean =
+    IceCatalog.fileMatches(file, f, meta)
 
   /** Scan with manifest pruning: partition filters cut files driver-side
     * (partition values exact, stats ranges conservative), the same filters

@@ -1,0 +1,87 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.IceCatalog._
+
+/** Manifest-side logic behind [[ManifestPrunedScanBuilder]]: translate the
+  * pushed catalyst predicates into conservative manifest filters, cut the
+  * snapshot's file list, and build the parquet scan over the survivors.
+  * Unrecognized predicate shapes simply contribute no constraint (never
+  * wrong, just unpruned) — correctness rests on the manifest ranges, and
+  * the full predicate is still evaluated post-scan.
+  */
+object ManifestPrune {
+
+  final case class Ctx(
+      meta: TableMeta,
+      files: Seq[DataFileMeta],
+      mkTable: Seq[String] => ParquetTable,
+      options: CaseInsensitiveStringMap)
+
+  def buildScan(
+      ctxAny: Object,
+      filters: scala.collection.immutable.Seq[Expression],
+      required: StructType): Scan = {
+    val ctx = ctxAny.asInstanceOf[Ctx]
+    val pfs =
+      if (filters == null) Seq.empty
+      else filters.flatMap(toPartitionFilters)
+    val keep = ctx.files.filter(f => pfs.forall(IceCatalog.fileMatches(f, _, ctx.meta)))
+    val inner = ctx.mkTable(keep.map(_.path)).newScanBuilder(ctx.options)
+    ManifestPrunedScanBuilder.finish(inner, filters, required)
+  }
+
+  /** Catalyst → manifest filter translation (conservative subset). */
+  private def toPartitionFilters(e: Expression): Seq[PartitionFilter] = e match {
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      statStr(l).map(s => PartitionFilter(a.name, Op.Eq, Seq(s))).toSeq
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      statStr(l).map(s => PartitionFilter(a.name, Op.Eq, Seq(s))).toSeq
+    case LessThan(a: AttributeReference, l: Literal) =>
+      statStr(l).map(s => PartitionFilter(a.name, Op.Lt, Seq(s))).toSeq
+    case LessThan(l: Literal, a: AttributeReference) =>
+      statStr(l).map(s => PartitionFilter(a.name, Op.Gt, Seq(s))).toSeq
+    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      statStr(l).map(s => PartitionFilter(a.name, Op.Le, Seq(s))).toSeq
+    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+      statStr(l).map(s => PartitionFilter(a.name, Op.Ge, Seq(s))).toSeq
+    case GreaterThan(a: AttributeReference, l: Literal) =>
+      statStr(l).map(s => PartitionFilter(a.name, Op.Gt, Seq(s))).toSeq
+    case GreaterThan(l: Literal, a: AttributeReference) =>
+      statStr(l).map(s => PartitionFilter(a.name, Op.Lt, Seq(s))).toSeq
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      statStr(l).map(s => PartitionFilter(a.name, Op.Ge, Seq(s))).toSeq
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      statStr(l).map(s => PartitionFilter(a.name, Op.Le, Seq(s))).toSeq
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      val ss = vs.map(v => statStr(v.asInstanceOf[Literal]))
+      if (ss.forall(_.isDefined)) Seq(PartitionFilter(a.name, Op.Eq, ss.flatten))
+      else Seq.empty
+    case And(l, r) => toPartitionFilters(l) ++ toPartitionFilters(r)
+    case IsNotNull(_) => Seq.empty // no range constraint
+    case _ => Seq.empty
+  }
+
+  /** Literal → the string family manifest stats use (mergeFooterStats):
+    * numbers via toString, dates ISO, timestamps via the shared µs
+    * formatter. Unknown types translate to no constraint.
+    */
+  private def statStr(l: Literal): Option[String] = {
+    if (l.value == null) return None
+    l.dataType match {
+      case StringType => Some(l.value.toString)
+      case IntegerType | LongType | ShortType | ByteType | DoubleType | FloatType =>
+        Some(l.value.toString)
+      case DateType =>
+        Some(java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong).toString)
+      case TimestampType =>
+        Some(IceCatalog.microsToString(l.value.asInstanceOf[Long]))
+      case _ => None
+    }
+  }
+}

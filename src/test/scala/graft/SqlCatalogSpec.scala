@@ -158,6 +158,35 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts == Map("aa" -> 2L, "bb" -> 1L))
   }
 
+  test("SQL scans prune the file list via manifest stats before reading") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql(
+      "CREATE TABLE graft.ns6.pr (id BIGINT, ts TIMESTAMP, v DOUBLE) PARTITIONED BY (years(ts))")
+    val rows = (1 to 300).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"${2020 + i % 3}-03-01 00:00:00"), i * 1.5))
+    cat.insert("ns6.pr", rows.toDF("id", "ts", "v"))
+    val total = cat.files("ns6.pr").length
+    assert(total >= 3, s"expected one file per year partition, got $total")
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.head
+
+    val pruned = spark.sql(
+      "SELECT id FROM graft.ns6.pr WHERE ts >= TIMESTAMP '2022-01-01 00:00:00'")
+    assert(scannedFiles(pruned) < total,
+      s"manifest stats should cut the file list (${scannedFiles(pruned)} of $total)")
+    // results identical to the unpruned predicate evaluation
+    assert(pruned.count() == rows.count(_._2.after(
+      java.sql.Timestamp.valueOf("2021-12-31 23:59:59"))))
+    // a non-selective query still reads everything
+    assert(scannedFiles(spark.sql("SELECT id FROM graft.ns6.pr")) == total)
+  }
+
   test("ALTER TABLE RENAME TO moves the table") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
