@@ -180,6 +180,11 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT id FROM graft.ns6.pr WHERE ts >= TIMESTAMP '2022-01-01 00:00:00'")
     assert(scannedFiles(pruned) < total,
       s"manifest stats should cut the file list (${scannedFiles(pruned)} of $total)")
+    // parquet row-group predicate pushdown survives the pruning shim
+    val formatted = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [IsNotNull(ts)"),
+      "parquet-level pushdown must remain active")
     // results identical to the unpruned predicate evaluation
     assert(pruned.count() == rows.count(_._2.after(
       java.sql.Timestamp.valueOf("2021-12-31 23:59:59"))))
