@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // INT64-µs parquet timestamps (not legacy INT96): footers carry
+      // usable min/max stats, and the V2 parquet scan builder can convert
+      // timestamp predicates into parquet-level filters (INT96 can't take
+      // pushdown). Session-level by design — this is the project's session
+      // factory, the explicit place for engine-wide parquet behavior.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   def getOrCreate(appName: String = "graft", cpus: Int = 32): SparkSession = {
     val spark = builder(appName, cpus).getOrCreate()

@@ -639,10 +639,12 @@ object Queries {
         |FROM c LEFT JOIN conv ON c.user_id = conv.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e5_rate_anomaly" -> {
-      // mean/var from exact integer sums so doubles reproduce bit-for-bit
+      // mean/var from exact integer sums so doubles reproduce bit-for-bit;
+      // zero-variance guard mirrors the Spark side (z := 0, never 0/0=NaN)
       val mean = "(CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))"
-      val z = s"((CAST(n AS DOUBLE) - $mean) / " +
-        s"sqrt(CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE) - $mean * $mean))"
+      val vr = s"(CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE) - $mean * $mean)"
+      val z = s"(CASE WHEN $vr > 0 THEN ((CAST(n AS DOUBLE) - $mean) / sqrt($vr)) " +
+        "ELSE 0.0 END)"
       s"""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
          |  count(*) AS n FROM events GROUP BY 1, 2),
          |s AS (SELECT event_type, sum(n) AS s1, sum(n * n) AS s2, count(*) AS cnt

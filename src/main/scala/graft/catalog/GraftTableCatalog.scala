@@ -145,6 +145,21 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     catalogName = name
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(s"spark.sql.catalog.$name.root is required"))
+    // Resolve parquet columns by field id WHEN the read schema carries ids
+    // (only schemas this catalog annotates do) — Spark's native mechanism
+    // for rename/drop-safe reads, the same one Iceberg's Spark integration
+    // uses. SQL reads are lazy, so this cannot be scoped per-operation; it
+    // is set HERE (the user explicitly plugged this catalog into the
+    // session) rather than as a hidden IceCatalog constructor side effect.
+    // Name-based resolution of id-less read schemas is unaffected.
+    SparkSession.active.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // INT64-µs timestamps: the V2 parquet scan builder converts the read
+    // schema under THIS conf to decide which predicates become parquet
+    // filters — INT96 (the default) takes none, losing timestamp pushdown
+    // on every catalog SQL read. GraftSession sets it too; this covers
+    // sessions that plug the catalog in without the session factory.
+    SparkSession.active.conf.set(
+      "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
   }
 
   override def name(): String = catalogName

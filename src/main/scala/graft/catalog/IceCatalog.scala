@@ -100,31 +100,76 @@ object IceCatalog {
   /** Evaluate a partition filter against one file's manifest entry —
     * driver-side pruning over O(files) metadata, before any scan. Partition
     * values match exactly; for non-partition columns the column-stats range
-    * is used conservatively (absent stats keep the file).
+    * is used conservatively (absent stats keep the file). Comparison
+    * semantics follow the COLUMN TYPE resolved from the table schema: a
+    * STRING column's footer min/max are byte-lexicographic, so comparing
+    * them numerically (e.g. min='100', max='99', filter c='5') would prune
+    * files that actually contain matching rows.
     */
   private[graft] def fileMatches(
       file: DataFileMeta, f: PartitionFilter, meta: TableMeta): Boolean = {
+    val dt = filterColumnType(f.name, meta)
+    def cmp(a: String, b: String): Int = cmpTyped(a, b, dt)
     val v = file.partition.getOrElse(f.name,
       // fall back to column stats range when not a partition column
       return f.op match {
         case Op.Eq => file.stats.get(f.name).forall { s =>
-          f.values.exists(x => cmpStr(s.min, x) <= 0 && cmpStr(x, s.max) <= 0) }
-        case Op.Lt => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(s.min, x) < 0))
-        case Op.Gt => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(x, s.max) < 0))
-        case Op.Le => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(s.min, x) <= 0))
-        case Op.Ge => file.stats.get(f.name).forall(s => f.values.exists(x => cmpStr(x, s.max) <= 0))
+          f.values.exists(x => cmp(s.min, x) <= 0 && cmp(x, s.max) <= 0) }
+        case Op.Lt => file.stats.get(f.name).forall(s => f.values.exists(x => cmp(s.min, x) < 0))
+        case Op.Gt => file.stats.get(f.name).forall(s => f.values.exists(x => cmp(x, s.max) < 0))
+        case Op.Le => file.stats.get(f.name).forall(s => f.values.exists(x => cmp(s.min, x) <= 0))
+        case Op.Ge => file.stats.get(f.name).forall(s => f.values.exists(x => cmp(x, s.max) <= 0))
       })
     if (v == null) return false
     f.op match {
-      case Op.Eq => f.values.exists(x => cmpStr(v, x) == 0)
-      case Op.Lt => f.values.exists(x => cmpStr(v, x) < 0)
-      case Op.Gt => f.values.exists(x => cmpStr(v, x) > 0)
-      case Op.Le => f.values.exists(x => cmpStr(v, x) <= 0)
-      case Op.Ge => f.values.exists(x => cmpStr(v, x) >= 0)
+      case Op.Eq => f.values.exists(x => cmp(v, x) == 0)
+      case Op.Lt => f.values.exists(x => cmp(v, x) < 0)
+      case Op.Gt => f.values.exists(x => cmp(v, x) > 0)
+      case Op.Le => f.values.exists(x => cmp(v, x) <= 0)
+      case Op.Ge => f.values.exists(x => cmp(v, x) >= 0)
     }
   }
 
-  /** Numeric compare when both parse, else lexicographic. */
+  /** The DataType governing comparisons for filter column `name`: for a
+    * partition field, the transform RESULT type (year/month/day/hour/bucket
+    * produce ints; identity/truncate keep the source column's type);
+    * otherwise the schema type of the named column. None when unresolvable.
+    */
+  private[graft] def filterColumnType(
+      name: String, meta: TableMeta): Option[DataType] = {
+    import org.apache.spark.sql.types.IntegerType
+    meta.partitionSpec.find(_.name == name) match {
+      case Some(pf) =>
+        val src = meta.schema.fields.find(_.name == pf.column).map(_.dataType)
+        val t = pf.transform.toLowerCase
+        if (t == "identity" || t.isEmpty || t.startsWith("truncate")) src
+        else Some(IntegerType) // year / month / day / hour / bucket[N]
+      case None => meta.schema.fields.find(_.name == name).map(_.dataType)
+    }
+  }
+
+  /** Type-aware manifest-value comparison. Numeric columns compare as exact
+    * decimals (doubles lose precision past 2^53, so BigDecimal); everything
+    * else — strings, but also dates (ISO) and timestamps (the fixed-width
+    * µs format with trailing zeros trimmed), whose string forms order
+    * chronologically under it — compares lexicographically, matching the
+    * byte order parquet footers use for string min/max. Unknown columns
+    * fall back to the parse-if-numeric heuristic.
+    */
+  private[graft] def cmpTyped(a: String, b: String, dt: Option[DataType]): Int = {
+    if (a == null || b == null) return 0
+    dt match {
+      case Some(_: org.apache.spark.sql.types.NumericType) =>
+        try new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+        catch { case _: NumberFormatException => a.compareTo(b) }
+      case Some(_) => a.compareTo(b)
+      case None => cmpStr(a, b)
+    }
+  }
+
+  /** Numeric compare when both parse, else lexicographic — the legacy
+    * heuristic, kept only for columns absent from the schema.
+    */
   private[graft] def cmpStr(a: String, b: String): Int = {
     if (a == null || b == null) return 0
     (a.toDoubleOption, b.toDoubleOption) match {
@@ -151,14 +196,28 @@ object IceCatalog {
 class IceCatalog(spark: SparkSession, root: String) {
   import IceCatalog._
 
-  // manifest stats come from parquet footers: INT64-µs timestamps carry
-  // usable min/max statistics, INT96 (legacy default) does not
-  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-  // resolve parquet columns by field id WHEN the read schema carries ids
-  // (only schemas this catalog annotates do) — Spark's native mechanism
-  // for rename/drop-safe reads, the same one Iceberg's Spark integration
-  // uses. Name-based resolution everywhere else is unaffected.
-  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+  /** Run `body` with session confs set, restoring prior values after: the
+    * catalog must not permanently mutate shared-session parquet behavior
+    * (an earlier revision set these in the constructor, silently changing
+    * how UNRELATED parquet work in the same session read/wrote files).
+    * Catalog writes are eager actions, so the scoped window covers them.
+    */
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Scoped write conf: INT64-µs timestamps carry usable footer min/max
+    * statistics (INT96, the legacy default, does not), which manifest
+    * stats are built from.
+    */
+  private def withWriteConf[T](body: => T): T =
+    withConf("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")(body)
 
   private def rootPath: Path = Paths.get(root)
 
@@ -232,8 +291,31 @@ class IceCatalog(spark: SparkSession, root: String) {
     val dir = tableDir(ident)
     val v = currentVersion(dir)
     require(v > 0, s"table $ident does not exist")
-    normalize(mapper.readValue(
+    val m = normalize(mapper.readValue(
       dir.resolve("metadata").resolve(s"v$v.json").toFile, classOf[TableMeta]))
+    // Rename crash-recovery: if the directory was moved (renameTable) but
+    // the path-rewrite commit never landed, the metadata still speaks the
+    // OLD directory's name and file URIs — a broken table. Detect via the
+    // recorded name and repair in memory exactly as the rename commit
+    // would; the next commit persists the repaired form. O(1) check, the
+    // rewrite only runs in the crashed-rename state.
+    if (m.name != ident) repairRenamed(m, ident) else m
+  }
+
+  /** Rewrite metadata whose recorded name/paths predate a directory move. */
+  private def repairRenamed(m: TableMeta, ident: String): TableMeta = {
+    def uriOf(p: Path): String = {
+      val u = p.toUri.toString
+      if (u.endsWith("/")) u.dropRight(1) else u
+    }
+    val oldUri = uriOf(tableDir(m.name))
+    val newUri = uriOf(tableDir(ident))
+    def mv(p: String): String =
+      if (p != null && p.startsWith(oldUri + "/")) newUri + p.drop(oldUri.length) else p
+    m.copy(name = ident,
+      snapshots = m.snapshots.map(s => s.copy(
+        files = s.files.map(f => f.copy(path = mv(f.path))),
+        sourceFiles = s.sourceFiles.map(mv))))
   }
 
   /** Fill in evolution fields absent from pre-evolution metadata JSON:
@@ -455,9 +537,11 @@ class IceCatalog(spark: SparkSession, root: String) {
         val base = coalesceTo.map(withParts.coalesce).getOrElse(withParts)
         if (sortCols.nonEmpty) base.sortWithinPartitions(sortCols: _*) else base
       }
-    val writer = arranged.write.mode("append")
-    (if (dirNames.nonEmpty) writer.partitionBy(dirNames: _*) else writer)
-      .parquet(dataDir.toString)
+    withWriteConf {
+      val writer = arranged.write.mode("append")
+      (if (dirNames.nonEmpty) writer.partitionBy(dirNames: _*) else writer)
+        .parquet(dataDir.toString)
+    }
     collectFileMeta(dataDir.toString, meta.schema, meta.partitionSpec,
       schemaId = meta.schemaLog.length - 1)
   }
@@ -1074,9 +1158,11 @@ class IceCatalog(spark: SparkSession, root: String) {
       .repartitionByRange(nOut, dirNames.map(col) :+ col("__z"): _*)
       .sortWithinPartitions(dirNames.map(col) :+ col("__z"): _*)
       .drop("__z")
-    val writer = arranged.write.mode("append")
-    (if (dirNames.nonEmpty) writer.partitionBy(dirNames: _*) else writer)
-      .parquet(dataDir.toString)
+    withWriteConf {
+      val writer = arranged.write.mode("append")
+      (if (dirNames.nonEmpty) writer.partitionBy(dirNames: _*) else writer)
+        .parquet(dataDir.toString)
+    }
     val files = collectFileMeta(dataDir.toString, meta.schema, meta.partitionSpec,
       schemaId = meta.schemaLog.length - 1)
     commit(ident, m => {
@@ -1176,7 +1262,11 @@ class IceCatalog(spark: SparkSession, root: String) {
     })
 
   /** Rename a table within its namespace (AlterTable.RenameTo): move the
-    * directory and rewrite manifest paths under the new location.
+    * directory, then commit the path rewrite under the new location. The
+    * move itself cannot be part of the optimistic-commit protocol, so a
+    * crash between the move and the commit is healed by loadMeta's
+    * [[repairRenamed]] path — readers and the commit below both see the
+    * repaired metadata, never dangling old-location URIs.
     */
   def renameTable(ident: String, newIdent: String): TableMeta = {
     require(tableExists(ident), s"table $ident does not exist")
@@ -1185,14 +1275,8 @@ class IceCatalog(spark: SparkSession, root: String) {
     val to = tableDir(newIdent)
     Files.createDirectories(to.getParent)
     Files.move(from, to)
-    val fromUri = from.toUri.toString
-    val toUri = to.toUri.toString
-    def mv(p: String): String = if (p.startsWith(fromUri)) toUri + p.drop(fromUri.length) else p
-    commit(newIdent, m => m.copy(
-      name = newIdent,
-      snapshots = m.snapshots.map(s => s.copy(
-        files = s.files.map(f => f.copy(path = mv(f.path))),
-        sourceFiles = s.sourceFiles.map(mv)))))
+    // loadMeta already serves the repaired (renamed) metadata; persist it
+    commit(newIdent, identity)
   }
 
   // ---- maintenance (ice-rest-catalog/internal/maintenance/*) ------------

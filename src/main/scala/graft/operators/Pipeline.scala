@@ -43,10 +43,14 @@ object Pipeline {
     val pairs = Dedup.minhashLshPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
     val survivorsA = keepers.select(col("doc_id")).as("ka")
+    // NO broadcast hint on the drop list: it is data-dependent (scales with
+    // the corpus duplication rate — billions of ids on a boilerplate-heavy
+    // 100 TB crawl), so a hint would pin a driver-OOM plan. A plain
+    // left_anti equi-join lets AQE broadcast when the list is actually small.
     val dropIds = pairs.as("p")
       .join(survivorsA, col("p.doc_a") === col("ka.doc_id"), "left_semi")
       .select(col("doc_b").as("doc_id")).distinct()
-    val cleaned = keepers.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    val cleaned = keepers.join(dropIds, Seq("doc_id"), "left_anti")
 
     cleaned
       .groupBy(col("source"))

@@ -42,15 +42,19 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(25)
 
-  /** Fact ⋈ dim with the dim side explicitly broadcast: lineitem never
-    * shuffles for the join, only for the final small aggregation.
+  /** Fact ⋈ fact ⋈ dim: only the TRUE dimension (customer) is
+    * hint-broadcast. orders is a fact table that grows with scale factor —
+    * a broadcast hint on it is a 100 TB scale-killer (driver/executor OOM),
+    * so orders⋈lineitem is left to the planner: a shuffle join at scale,
+    * and AQE still converts it to a broadcast join at small SF where orders
+    * fits the threshold. Either way lineitem aggregates map-side first.
     */
   def q3Join(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.customer(spark, dir)
     val orders = Tables.orders(spark, dir)
     val lineitem = Tables.lineitem(spark, dir)
     lineitem
-      .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
@@ -62,8 +66,11 @@ object Relational {
   }
 
   /** TPC-H Q5 shape: snowflake multi-join region⋈nation⋈customer⋈orders⋈
-    * lineitem. All dims broadcast — the 100 TB fact table is touched once,
-    * no fact-side join shuffle at all.
+    * lineitem. The dim chain (customer⋈nation⋈region, reduced to two
+    * columns) is hint-broadcast; the fact⋈fact join lineitem⋈orders is NOT
+    * — orders grows with SF, so it stays a planner-chosen join (shuffle at
+    * scale, AQE-broadcast at small SF). The fact table shuffles at most
+    * once, on its compact join key.
     */
   def q4MultiJoin(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).filter(col("r_name").isin("ASIA", "AMERICA"))
@@ -76,7 +83,7 @@ object Relational {
       .join(region, col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("n_name"))
     lineitem
-      .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))

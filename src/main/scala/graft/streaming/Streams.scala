@@ -255,7 +255,12 @@ object Streams {
       count(lit(1)).as("cnt"))
     val mean = col("s1").cast("double") / col("cnt").cast("double")
     val variance = col("s2").cast("double") / col("cnt").cast("double") - mean * mean
-    val z = (col("n").cast("double") - mean) / sqrt(variance)
+    // zero-variance guard: a type with constant hourly counts (or a single
+    // bucket) would yield z = 0/0 = NaN, and NaN ordering differs across
+    // engines (Spark's abs(NaN) > 2 is false, DuckDB sorts NaN above all) —
+    // define z = 0 there, mirrored in the oracle SQL
+    val z = when(variance > 0.0,
+      (col("n").cast("double") - mean) / sqrt(variance)).otherwise(lit(0.0))
     hourly.join(broadcast(stats), Seq("event_type"))
       .select(
         col("hour_bucket"), col("event_type"), col("n"),
@@ -292,7 +297,9 @@ object Streams {
       .join(broadcast(stats), Seq("event_type"))
       .select(
         col("window.start").as("hour_start"), col("event_type"), col("n"),
-        round((col("n").cast("double") - col("mean")) / col("std"), 4).as("z"))
+        round(when(col("std") > 0.0,
+          (col("n").cast("double") - col("mean")) / col("std"))
+          .otherwise(lit(0.0)), 4).as("z")) // zero-variance guard, as in e5
 
   /** e4: cohort retention — users grouped by first-activity day; for each
     * (cohort day, day offset) the count of cohort users active that day.

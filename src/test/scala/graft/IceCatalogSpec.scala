@@ -280,4 +280,52 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("ns1.plain")
     assert(cat.listTables("ns1") == Seq("li"))
   }
+
+  test("string-column stats prune lexicographically, never numerically") {
+    import spark.implicits._
+    // footer min/max for a STRING column are byte-lexicographic: for
+    // {"100","99","5"} min="100", max="99". A numeric interpretation
+    // ("is 5 in [100,99]?") prunes the file even though it CONTAINS "5".
+    val df = Seq((1L, "100"), (2L, "99"), (3L, "5")).toDF("id", "c").coalesce(1)
+    cat.createTable("ns1.strstat", df.schema)
+    cat.insert("ns1.strstat", df)
+    val eq = cat.scan("ns1.strstat", Seq(PartitionFilter("c", Op.Eq, Seq("5"))))
+    assert(eq.count() == 1, "file with '5' must not be stat-pruned")
+    // string > is lexicographic in Spark too: both "5" and "99" exceed "100"
+    val gt = cat.scan("ns1.strstat", Seq(PartitionFilter("c", Op.Gt, Seq("100"))))
+    assert(gt.select("c").as[String].collect().sorted.toSeq == Seq("5", "99"))
+    // numeric columns still compare numerically (exactly, past 2^53)
+    val lt = cat.scan("ns1.strstat", Seq(PartitionFilter("id", Op.Lt, Seq("3"))))
+    assert(lt.count() == 2)
+    assert(IceCatalog.cmpTyped("100", "99", Some(StringType)) < 0,
+      "string compare is lexicographic: '100' < '99'")
+    assert(IceCatalog.cmpTyped("100", "99",
+      Some(org.apache.spark.sql.types.LongType)) > 0,
+      "numeric compare: 100 > 99")
+    assert(IceCatalog.cmpTyped("9007199254740993", "9007199254740992",
+      Some(org.apache.spark.sql.types.LongType)) > 0,
+      "longs past 2^53 must compare exactly, not as doubles")
+    cat.dropTable("ns1.strstat")
+  }
+
+  test("crashed rename (dir moved, commit lost) self-heals on load") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    cat.createTable("ns1.mvsrc", df.schema)
+    cat.insert("ns1.mvsrc", df)
+    // simulate renameTable dying between Files.move and commit: move the
+    // directory by hand, leaving metadata speaking the OLD name and URIs
+    val p = java.nio.file.Paths.get(root)
+    Files.move(p.resolve("ns1").resolve("mvsrc"), p.resolve("ns1").resolve("mvdst"))
+    val healed = cat.loadMeta("ns1.mvdst")
+    assert(healed.name == "ns1.mvdst")
+    assert(healed.current.get.files.forall(_.path.contains("/mvdst/")),
+      "manifest paths must be repaired to the moved location")
+    assert(cat.scan("ns1.mvdst").count() == 2)
+    // the next commit persists the repaired metadata
+    cat.insert("ns1.mvdst", Seq((3L, "c")).toDF("k", "v"))
+    val persisted = cat.loadMeta("ns1.mvdst")
+    assert(persisted.name == "ns1.mvdst" && cat.scan("ns1.mvdst").count() == 3)
+    cat.dropTable("ns1.mvdst")
+  }
 }

@@ -29,16 +29,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
-  test("q3 dimension joins broadcast instead of shuffling the fact side") {
-    val p = plan("q3_join")
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"), "no fact-fact shuffle join expected")
+  /** Broadcast-HINT audit: a hint pins the plan at EVERY scale, so fact
+    * tables (lineitem/orders — they grow with SF) must never be hinted;
+    * only true dims may. Shuffle joins on the fact side are fine — AQE
+    * re-broadcasts them at small SF anyway, without pinning an OOM plan
+    * at 100 TB. Checked on the analyzed plan, where ResolvedHint nodes
+    * still exist.
+    */
+  private def broadcastHintOutputs(name: String): Seq[Seq[String]] =
+    Queries.all(name)(spark, dir).queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child.output.map(_.name)
+    }
+
+  private def assertNoFactHint(name: String): Unit =
+    broadcastHintOutputs(name).foreach { out =>
+      assert(!out.exists(c => c.startsWith("l_") || c.startsWith("o_")),
+        s"$name: fact-table columns $out under a broadcast hint — " +
+          "hints must only pin dimension sides")
+    }
+
+  test("q3 broadcasts only the customer dim; orders is never hint-broadcast") {
+    assertNoFactHint("q3_join")
+    assert(broadcastHintOutputs("q3_join").nonEmpty, "customer dim should be hinted")
+    // at this SF the planner may broadcast everything (fine — that's AQE's
+    // call, not a pinned hint); the dim join itself must be a broadcast join
+    assert(plan("q3_join").contains("BroadcastHashJoin"))
   }
 
-  test("q4 five-way join keeps every dimension broadcast") {
-    val p = plan("q4_multijoin")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
-    assert(!p.contains("SortMergeJoin"))
+  test("q4 broadcasts only the dim chain; the fact join is planner-chosen") {
+    assertNoFactHint("q4_multijoin")
+    assert(broadcastHintOutputs("q4_multijoin").nonEmpty, "dim chain should be hinted")
+    assert(plan("q4_multijoin").contains("BroadcastHashJoin"))
   }
 
   test("x3 scan prunes to exactly the referenced columns") {
@@ -68,10 +90,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges.size <= 2, s"unexpected extra shuffles: $exchanges")
   }
 
-  test("p1 pipeline anti-join broadcasts the drop list") {
+  test("p1 pipeline drop-list anti-join carries no broadcast hint") {
+    // the drop list is data-dependent (scales with corpus duplication), so
+    // the plan must not pin a broadcast — AQE decides from runtime size
+    assert(broadcastHintOutputs("p1_pipeline").isEmpty,
+      "p1 must not hint-broadcast the data-dependent drop list")
     val p = plan("p1_pipeline")
-    assert(p.contains("BroadcastHashJoin") &&
-      (p.contains("LeftAnti") || p.contains("left_anti")))
+    assert(p.contains("LeftAnti") || p.contains("left_anti"))
   }
 
   test("whole-stage codegen covers the custom kernels") {
