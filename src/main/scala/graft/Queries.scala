@@ -275,6 +275,25 @@ object Queries {
        |  list_min(list_transform(hl, h -> substr(h, 25) || substr(h, 1, 24))) AS sig_3
        |  FROM hs)""".stripMargin
 
+  /** Shared LSH candidate-pair CTE (follows `sigCte`): band explosion,
+    * bucket-size cap mirroring [[graft.operators.Dedup.MaxLshBucket]] (the
+    * Spark side's degenerate-bucket guard — identical results at any
+    * corpus shape), then the i<j pairs.
+    */
+  private val lshPairsCte =
+    s"""bands AS (
+       |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
+       |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
+       |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
+       |  SELECT doc_id, 3, sig_3 FROM sig),
+       |bsz AS (SELECT band, sig, count(*) AS n FROM bands GROUP BY 1, 2),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, sig)
+       |         WHERE bsz.n BETWEEN 2 AND ${graft.operators.Dedup.MaxLshBucket}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
   val llmOracle: Map[String, String] = Map(
     "x1_langid" ->
       s"""WITH $tokCte,
@@ -333,15 +352,8 @@ object Queries {
     "s2_lsh_ann" -> lshAnnOracle,
     "d3_minhash_lsh" ->
       s"""WITH $sigCte,
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
-         |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
-         |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
-         |  SELECT doc_id, 3, sig_3 FROM sig)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |$lshPairsCte
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
     "r2_pack" ->
       """WITH n AS (SELECT doc_id, source,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
@@ -378,15 +390,7 @@ object Queries {
          |ORDER BY 1""".stripMargin,
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE $sigCte,
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
-         |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
-         |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
-         |  SELECT doc_id, 3, sig_3 FROM sig),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |$lshPairsCte,
          |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
          |      UNION SELECT doc_b, doc_a FROM pairs),
          |r(n, m) AS (
@@ -498,15 +502,7 @@ object Queries {
     },
     "p1_pipeline" ->
       s"""WITH $sigCte,
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
-         |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
-         |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
-         |  SELECT doc_id, 3, sig_3 FROM sig),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |$lshPairsCte,
          |q AS (
          |  SELECT doc_id, source, text,
          |    CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS ws_tokens

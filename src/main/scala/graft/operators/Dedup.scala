@@ -52,23 +52,41 @@ object Dedup {
   def minhashSigQuery(spark: SparkSession, dir: String): DataFrame =
     minhashSignatures(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
-  /** d3: LSH candidate pairs — docs sharing any band (band = one signature
-    * here). Explode to (band, sig), group into buckets, and emit the i<j
-    * pairs within each bucket. One shuffle on the compact (band, sig) key
-    * and the signatures are computed ONCE — the naive self-join formulation
-    * plans the whole signature subtree twice and shuffles both sides.
-    * Bucket pair expansion is quadratic in bucket size by definition of
-    * LSH (those are exactly the candidates); at 100 TB a bucket-size cap
-    * (count + filter) bounds worst-case skew the same way it would here.
+  /** LSH bucket-size cap: buckets above this size are DROPPED before pair
+    * expansion. Pair output within a bucket is quadratic by definition of
+    * LSH, so one degenerate bucket (boilerplate-heavy corpus: empty docs,
+    * license headers) turns candidate generation O(b²). A mega-bucket also
+    * carries no signal — everything in it is trivially near-identical; the
+    * standard treatment at scale is to cap, count, and report. The DuckDB
+    * oracle applies the same cap, so results match at every corpus shape.
     */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(Tables.documents(spark, dir))
-    val bands = sigs.select(col("doc_id"),
+  val MaxLshBucket = 1000
+
+  /** d3: LSH candidate pairs — docs sharing any band (band = one signature
+    * here). Explode to (band, sig), count bucket sizes with a window over
+    * the same key (ONE shuffle, reused by the following groupBy — and the
+    * window buffer spills, so even a degenerate bucket can't OOM the way a
+    * collect_list of it would), drop buckets outside [2, maxBucket], then
+    * collect the survivors and emit the i<j pairs. Signatures are computed
+    * ONCE — the naive self-join formulation plans the whole signature
+    * subtree twice and shuffles both sides.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsOf(minhashSignatures(Tables.documents(spark, dir)), MaxLshBucket)
+
+  private def lshBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       posexplode(array((0 until NumHashes).map(k => col(s"sig_$k")): _*)).as(Seq("band", "sig")))
+
+  private[graft] def minhashLshPairsOf(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = lshBands(sigs)
+    val w = Window.partitionBy(col("band"), col("sig"))
     val buckets = bands
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz").between(2, maxBucket))
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
     val combos = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))),
         y => struct(x.as("a"), y.as("b")))))
@@ -79,29 +97,71 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** d8: duplicate CLUSTERS from the LSH candidate pairs — connected
-    * components by iterative min-label propagation: every doc's label
-    * starts as its own id and each round takes the min over its neighbors,
-    * converging in O(component diameter) rounds (near-dup components are
-    * short chains). Each round is one equi-join + partial-min aggregation;
-    * `localCheckpoint` truncates lineage so iteration N doesn't replan
-    * rounds 1..N-1. This is the GraphX-free distributed CC pattern; at
-    * extreme graph sizes the same loop upgrades to large-star/small-star.
-    * The DuckDB oracle recomputes the closure with a recursive CTE.
+  /** Observability companion to the cap: the buckets d3 dropped, with
+    * their sizes — the number a 100 TB run reports alongside its pair
+    * count so capped skew is visible, not silent.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    // the edge/label tables are tiny relative to the corpus (collision
-    // pairs only) — a handful of partitions keeps each iteration's task
-    // dispatch cost flat; at larger edge counts this coalesce simply drops out
+  def lshDroppedBuckets(sigs: DataFrame, maxBucket: Int = MaxLshBucket): DataFrame =
+    lshBands(sigs)
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+      .orderBy(col("band"), col("sig"))
+
+  /** Edges per partition for the iterative CC loops: enough to amortize
+    * task dispatch, small enough to iterate in memory.
+    */
+  private val EdgesPerPartition = 250000L
+
+  /** Edge count above which d8 switches from min-label propagation
+    * (O(diameter) rounds — right for collision-sized near-dup graphs) to
+    * large-star/small-star contraction (O(log² n) rounds regardless of
+    * diameter or degree — the 100 TB graph path).
+    */
+  private[graft] val StarThreshold = 20000000L
+
+  /** d8: duplicate CLUSTERS from the LSH candidate pairs — distributed
+    * connected components. The DuckDB oracle recomputes the closure with a
+    * recursive CTE (min-over-reachable is algorithm-independent, so either
+    * execution strategy below hash-matches it).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** (doc_id, cluster_id = component-minimum id) for every endpoint of
+    * `pairs`. Partition count adapts to the materialized edge count
+    * (collision-sized graphs run on a few partitions to keep per-round
+    * dispatch flat; big graphs spread out), and the algorithm switches to
+    * star contraction past [[StarThreshold]] edges.
+    */
+  def connectedComponents(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.toDF("doc_a", "doc_b").localCheckpoint()
+    val nEdges = pairs.count()
+    val nPart = math.max(1,
+      ((2 * nEdges + EdgesPerPartition - 1) / EdgesPerPartition).toInt)
+    val labels =
+      if (nEdges > StarThreshold) starComponents(pairs, nPart)
+      else labelPropagation(pairs, nPart)
+    labels.orderBy(col("doc_id"))
+  }
+
+  /** Iterative min-label propagation: every doc's label starts as its own
+    * id and each round takes the min over its neighbors, converging in
+    * O(component diameter) rounds (near-dup components are short chains).
+    * Each round is one equi-join + partial-min aggregation;
+    * `localCheckpoint` truncates lineage so iteration N doesn't replan
+    * rounds 1..N-1.
+    */
+  private[graft] def labelPropagation(pairs: DataFrame, nPart: Int): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").coalesce(4).localCheckpoint()
+      .toDF("src", "dst").coalesce(nPart).localCheckpoint()
     // seed with min(self, min neighbor): the first propagation round is
     // folded into label construction, shaving one join+materialize cycle
     var labels = edges.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nb"))
       .select(col("doc_id"), least(col("doc_id"), col("nb")).as("cluster_id"))
-      .coalesce(4).localCheckpoint()
+      .coalesce(nPart).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -114,13 +174,64 @@ object Dedup {
         .select(col("doc_id"),
           least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"),
           col("old"))
-        .coalesce(4).localCheckpoint()
+        .coalesce(nPart).localCheckpoint()
       converged = next.filter(col("cluster_id") =!= col("old")).isEmpty
       labels = next.drop("old")
       iter += 1
     }
     require(converged, s"label propagation did not converge in $iter rounds")
-    labels.orderBy(col("doc_id"))
+    labels
+  }
+
+  /** Connected components by alternating large-star/small-star rounds
+    * (the two-operation MapReduce CC algorithm: each round hangs nodes
+    * off their neighborhood minimum, halving tree heights), converging in
+    * O(log² n) rounds independent of component diameter or degree — the
+    * path for boilerplate-heavy graphs where a chain- or hub-shaped
+    * component would make per-hop propagation crawl. Every round is two
+    * groupBy-min passes + equi-joins over the edge list; lineage is
+    * truncated per round.
+    */
+  private[graft] def starComponents(pairs: DataFrame, nPart: Int): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .coalesce(nPart).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 64) {
+      // large-star: each node u attaches its strictly-LARGER neighbors to
+      // the minimum of its full neighborhood (∪ itself)
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("nb"))
+        .select(col("u"), least(col("u"), col("nb")).as("m"))
+      val ls = nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint()
+      // small-star: each node u attaches its SMALLER neighbors (and
+      // itself) to the minimum of that smaller neighborhood
+      val sNbrs = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val joined = sNbrs.join(
+        sNbrs.groupBy(col("u")).agg(min(col("v")).as("m")), Seq("u"))
+      val ss = joined.select(col("v").as("hi"), col("m").as("lo"))
+        .union(joined.select(col("u").as("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .coalesce(nPart).localCheckpoint()
+      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      edges = ss
+      iter += 1
+    }
+    require(converged, s"star contraction did not converge in $iter rounds")
+    // fixpoint = disjoint stars: every edge points a member at its root
+    val members = edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+    val roots = edges.select(col("lo").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    members.union(roots)
   }
 
   /** d5: n-gram Jaccard verification on blocked candidate pairs (blocking

@@ -117,4 +117,64 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(recall >= 0.9, s"minhash recall on >=0.9-shingle-jaccard pairs: $recall")
     }
   }
+
+  test("LSH bucket-size cap bounds pair output on a degenerate mega-bucket") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 100 docs sharing one signature (a boilerplate mega-bucket: 4,950
+    // pairs/band uncapped) + 3 docs sharing another (legitimate bucket)
+    val sigs = ((1 to 100).map(i => (i.toLong, "dup", "dup", "dup", "dup")) ++
+      (201 to 203).map(i => (i.toLong, s"u$i", s"u$i", "shared", s"u$i")))
+      .toDF("doc_id", "sig_0", "sig_1", "sig_2", "sig_3")
+    val capped = Dedup.minhashLshPairsOf(sigs, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the mega-bucket contributes NOTHING; the small bucket's 3 pairs stay
+    assert(capped.toSet == Set((201L, 202L), (201L, 203L), (202L, 203L)),
+      s"got ${capped.toSeq}")
+    // and the drop is REPORTED, not silent: 4 bands × one 100-doc bucket
+    val dropped = Dedup.lshDroppedBuckets(sigs, maxBucket = 50).collect()
+    assert(dropped.length == 4 && dropped.forall(_.getLong(2) == 100L))
+    // with the cap above the bucket size, all pairs come back
+    val uncapped = Dedup.minhashLshPairsOf(sigs, maxBucket = 1000).count()
+    assert(uncapped == 100L * 99 / 2 + 3)
+  }
+
+  test("star contraction matches union-find on high-diameter/high-degree graphs") {
+    import spark.implicits._
+    // driver-side union-find oracle
+    def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    // chain of diameter 120 (defeats per-hop propagation), a 60-spoke hub,
+    // and pseudo-random edges over a third vertex set — all in one graph
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val hub = (1L to 60L).map(i => (500L, 500L + i))
+    val rand = (0 until 80).map { i =>
+      val a = 1000L + (i * 37) % 97; val b = 1000L + (i * 61 + 13) % 97
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2)
+    val all = chain ++ hub ++ rand
+    val expected = ufComponents(all)
+    val pairs = all.toDF("doc_a", "doc_b")
+    val starRows = Dedup.starComponents(pairs, nPart = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(starRows.length == starRows.map(_._1).distinct.length,
+      "every endpoint labeled exactly once (no duplicate doc_id rows)")
+    val star = starRows.toMap
+    assert(star.keySet == expected.keySet, "label set covers every endpoint")
+    assert(star == expected, "star CC must equal union-find components")
+    // the default path agrees on a propagation-friendly subgraph
+    val lp = Dedup.labelPropagation(hub.toDF("doc_a", "doc_b"), nPart = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == ufComponents(hub))
+  }
 }
