@@ -1,0 +1,122 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+import graft.functions.IcebergHash
+
+/** V2 catalog functions mirroring the Iceberg partition transforms
+  * (Partitioning.java:86-140 semantics, same as
+  * [[graft.functions.Transforms]]). Exposed through
+  * [[GraftTableCatalog]]'s FunctionCatalog so Spark can resolve the
+  * transforms a key-grouped scan reports — the handshake behind
+  * storage-partitioned joins: two tables bucketed with the SAME canonical
+  * function on the same key join with zero Exchange. `produceResult` is
+  * implemented for real (not a resolution stub) because partially-
+  * clustered storage-partitioned joins evaluate the transform at runtime.
+  */
+object GraftFunctions {
+
+  val names: Seq[String] = Seq("bucket", "truncate", "years", "months", "days", "hours")
+
+  def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
+    case "bucket" => Some(BucketUnbound)
+    case "truncate" => Some(TruncateUnbound)
+    case "years" | "months" | "days" | "hours" => Some(TimeUnitUnbound(name.toLowerCase))
+    case _ => None
+  }
+
+  private def utcDateTime(micros: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), 0, java.time.ZoneOffset.UTC)
+
+  /** bucket(n, col): murmur3 over the Iceberg spec byte layouts. */
+  private object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String = "bucket(n, col): Iceberg murmur3 bucket"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2, "bucket(numBuckets, col)")
+      val colType = inputType.fields(1).dataType
+      require(Seq(IntegerType, LongType, DateType, TimestampType, StringType, BinaryType)
+        .contains(colType), s"bucket[] unsupported for $colType")
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, colType)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "bucket"
+        override def canonicalName(): String = "graft.bucket"
+        override def isResultNullable: Boolean = false
+        override def produceResult(input: InternalRow): Integer = {
+          val n = input.getInt(0)
+          colType match {
+            case IntegerType | DateType => IcebergHash.bucketLong(input.getInt(1).toLong, n)
+            case LongType | TimestampType => IcebergHash.bucketLong(input.getLong(1), n)
+            case StringType => IcebergHash.bucketString(input.getUTF8String(1), n)
+            case BinaryType => IcebergHash.bucketBinary(input.getBinary(1), n)
+          }
+        }
+      }
+    }
+  }
+
+  /** truncate(w, col): multiple-of-width for ints, prefix for strings. */
+  private object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String = "truncate(w, col): Iceberg truncate transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2, "truncate(width, col)")
+      val colType = inputType.fields(1).dataType
+      require(Seq(IntegerType, LongType, StringType).contains(colType),
+        s"truncate[] unsupported for $colType")
+      new ScalarFunction[Any] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, colType)
+        override def resultType(): DataType = colType
+        override def name(): String = "truncate"
+        override def canonicalName(): String = "graft.truncate"
+        override def produceResult(input: InternalRow): Any = {
+          val w = input.getInt(0)
+          colType match {
+            case IntegerType => val v = input.getInt(1); v - Math.floorMod(v, w)
+            case LongType => val v = input.getLong(1); v - Math.floorMod(v, w.toLong)
+            case StringType =>
+              val s = input.getUTF8String(1)
+              s.substringSQL(1, w)
+          }
+        }
+      }
+    }
+  }
+
+  /** years/months/days/hours(ts|date): time units since 1970 as INT, under
+    * the project-wide UTC session assumption.
+    */
+  private case class TimeUnitUnbound(unit: String) extends UnboundFunction {
+    override def name(): String = unit
+    override def description(): String = s"$unit(ts): time units since 1970"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1, s"$unit(col)")
+      val colType = inputType.fields(0).dataType
+      require(colType == TimestampType || colType == DateType,
+        s"$unit() unsupported for $colType")
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = Array(colType)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = unit
+        override def canonicalName(): String = s"graft.$unit"
+        override def produceResult(input: InternalRow): Integer = {
+          val micros: Long = colType match {
+            case DateType => input.getInt(0).toLong * 86400000000L
+            case _ => input.getLong(0)
+          }
+          unit match {
+            case "years" => utcDateTime(micros).getYear - 1970
+            case "months" =>
+              val t = utcDateTime(micros); (t.getYear - 1970) * 12 + t.getMonthValue - 1
+            case "days" => Math.floorDiv(micros, 86400000000L).toInt
+            case "hours" => Math.floorDiv(micros, 3600000000L).toInt
+          }
+        }
+      }
+    }
+  }
+}

@@ -31,27 +31,62 @@ import graft.catalog.IceCatalog.PartitionField
   * through the IceCatalog API (snapshot commits need the manifest
   * protocol, not a blind file sink).
   */
-/** Read-only facade over the snapshot-resolved parquet table. ParquetTable
-  * itself supports DSv2 batch writes, which would let `INSERT INTO graft...`
-  * drop files on disk WITHOUT a manifest/snapshot commit (unmanifested,
-  * invisible data). Exposing only read capabilities makes the analyzer
-  * reject writes; mutations must use the IceCatalog API
-  * (insert/upsert/deleteWhere), which run the commit protocol.
+/** Snapshot-resolved facade over the native parquet table. ParquetTable
+  * itself supports DSv2 batch writes as a blind file sink, which would let
+  * `INSERT INTO graft...` drop files on disk WITHOUT a manifest/snapshot
+  * commit (unmanifested, invisible data) — so that path is never exposed.
+  * Instead, writes go through a V1Write fallback whose InsertableRelation
+  * routes the incoming DataFrame into `IceCatalog.insert`/`overwrite`:
+  * the SAME partition-arrange, in-partition-sort, footer-manifest and
+  * optimistic-snapshot-commit path the API uses (Insert.java:110
+  * semantics). There is no way for a SQL write to land unmanifested.
+  * Time-traveled tables (`VERSION/TIMESTAMP AS OF`) stay read-only.
   */
-private class ReadOnlySnapshotTable(
+private class GraftSnapshotTable(
     delegate: ParquetTable, tableProps: Map[String, String],
     ice: IceCatalog, ident: String,
     meta: IceCatalog.TableMeta, files: Seq[IceCatalog.DataFileMeta],
-    mkTable: Seq[String] => ParquetTable)
-    extends Table with SupportsRead with SupportsDeleteV2 {
+    mkTable: Seq[String] => ParquetTable, timeTraveled: Boolean)
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
-  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def partitioning(): Array[Transform] = StoragePartitioning.v2Partitioning(meta)
   override def properties(): util.Map[String, String] = tableProps.asJava
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    (if (timeTraveled) Set(TableCapability.BATCH_READ)
+     else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+       TableCapability.TRUNCATE)).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
     new ManifestPrunedScanBuilder(ManifestPrune.Ctx(meta, files, mkTable, options))
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!timeTraveled, s"cannot write to a time-traveled snapshot of $ident")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              // the analyzer already reordered/cast the query output to the
+              // table schema positionally; re-label to the table's names
+              val aligned = data.toDF(ice.loadMeta(ident).schema.fieldNames: _*)
+              if (overwrite) ice.overwrite(ident, aligned)
+              // SQL INSERT appends rows regardless of their source files
+              // (self-inserts are legal), so duplicate-source detection —
+              // an ice-CLI ingestion concept — is bypassed
+              else ice.insert(ident, aligned,
+                IceCatalog.InsertOptions(forceDuplicates = true))
+              (): Unit
+            }
+        }
+    }
+  }
 
   /** SQL `DELETE FROM graft.ns.t WHERE ...` → the catalog's copy-on-write
     * deleteWhere (Delete.java semantics through the commit protocol).
@@ -133,7 +168,8 @@ private object PredicateToColumn {
   }
 }
 
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -215,8 +251,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     val mkTable = (paths: Seq[String]) => ParquetTable(
       id, spark, CaseInsensitiveStringMap.empty(), paths,
       Some(readSchema), classOf[ParquetFileFormat])
-    new ReadOnlySnapshotTable(mkTable(files.map(_.path).toSeq),
-      meta.properties, ice, id, meta, files.toSeq, mkTable)
+    new GraftSnapshotTable(mkTable(files.map(_.path).toSeq),
+      meta.properties, ice, id, meta, files.toSeq, mkTable,
+      timeTraveled = asOf.isDefined)
   }
 
   override def createTable(
@@ -286,6 +323,20 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     ice.renameTable(identString(oldIdent), identString(newIdent))
+
+  // ---- functions (the Iceberg-transform function catalog behind
+  //      storage-partitioned joins; see GraftFunctions) ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+
+  override def functionExists(ident: Identifier): Boolean =
+    GraftFunctions.load(ident.name()).isDefined
 
   // ---- namespaces ----
 

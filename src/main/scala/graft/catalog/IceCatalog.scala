@@ -619,6 +619,22 @@ class IceCatalog(spark: SparkSession, root: String) {
     })
   }
 
+  /** Replace the table's entire contents with `df` in ONE snapshot commit
+    * (SQL `INSERT OVERWRITE` semantics) — unlike truncate-then-insert,
+    * readers never observe the empty intermediate state, and a crash
+    * mid-operation leaves the previous snapshot current.
+    */
+  def overwrite(ident: String, df: DataFrame): TableMeta = {
+    val meta = loadMeta(ident)
+    val files = writeArranged(ident, df.select(meta.schema.fieldNames.map(col): _*), meta)
+    commit(ident, m => {
+      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
+        "overwrite", files, m.snapshots.flatMap(_.sourceFiles).distinct)
+      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
+    }, basedOn = Some(meta.currentSnapshotId))
+  }
+
   /** Keyed upsert (MERGE semantics): rows in `df` replace existing rows
     * with the same key; unmatched rows append. Copy-on-write: only files
     * containing a matching key are rewritten (anti-join against the

@@ -33,7 +33,10 @@ object ManifestPrune {
       else filters.flatMap(toPartitionFilters)
     val keep = ctx.files.filter(f => pfs.forall(IceCatalog.fileMatches(f, _, ctx.meta)))
     val inner = ctx.mkTable(keep.map(_.path)).newScanBuilder(ctx.options)
-    ManifestPrunedScanBuilder.finish(inner, filters, required)
+    val scan = ManifestPrunedScanBuilder.finish(inner, filters, required)
+    // storage-partitioned joins: report key-grouped partitioning from the
+    // manifest's partition values when eligible (no-op otherwise)
+    StoragePartitioning.maybeWrap(ctx.meta, keep, scan)
   }
 
   /** Catalyst → manifest filter translation (conservative subset). */

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -58,13 +60,42 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cat.tableExists("ns2.t"))
   }
 
-  test("SQL INSERT INTO is rejected — writes must use the IceCatalog commit protocol") {
+  test("SQL INSERT INTO lands through the commit protocol, fully manifested") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
     spark.sql("CREATE TABLE graft.ns3.kv (k BIGINT, v STRING)")
-    val e = intercept[Exception] {
-      spark.sql("INSERT INTO graft.ns3.kv VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.ns3.kv VALUES (1, 'a'), (2, 'b')")
+    // visible via SQL and the API, with a real snapshot + manifest entries
+    assert(spark.sql("SELECT * FROM graft.ns3.kv").count() == 2)
+    val m1 = cat.loadMeta("ns3.kv")
+    assert(m1.snapshots.length == 1 && m1.current.get.operation == "append")
+    assert(m1.current.get.files.nonEmpty &&
+      m1.current.get.files.map(_.rowCount).sum == 2,
+      "manifest entries must carry footer row counts")
+    // second INSERT appends a NEW snapshot (self-duplicates legal in SQL)
+    spark.sql("INSERT INTO graft.ns3.kv SELECT k + 10, v FROM graft.ns3.kv")
+    val m2 = cat.loadMeta("ns3.kv")
+    assert(m2.snapshots.length == 2 &&
+      spark.sql("SELECT * FROM graft.ns3.kv").count() == 4)
+    // INSERT OVERWRITE replaces contents in ONE snapshot
+    spark.sql("INSERT OVERWRITE graft.ns3.kv VALUES (9, 'z')")
+    val m3 = cat.loadMeta("ns3.kv")
+    assert(m3.snapshots.length == 3 && m3.current.get.operation == "overwrite")
+    assert(spark.sql("SELECT k FROM graft.ns3.kv").as[Long].collect().toSeq == Seq(9L))
+    // NOTHING lands unmanifested: every parquet under data/ that current
+    // or historical snapshots could reference is accounted for — and the
+    // current snapshot's files all exist in the manifest-tracked set
+    val dataDir = java.nio.file.Paths.get(root, "ns3", "kv", "data")
+    val onDisk = java.nio.file.Files.walk(dataDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toUri.toString).toSet
+    val manifested = m3.snapshots.flatMap(_.files.map(_.path)).toSet
+    assert(onDisk == manifested,
+      s"unmanifested files on disk: ${onDisk -- manifested}")
+    // time-traveled snapshots stay read-only
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.ns3.kv VERSION AS OF ${m1.currentSnapshotId} VALUES (0, 'x')")
     }
-    // no unmanifested data landed: the table still reads empty
-    assert(spark.sql("SELECT * FROM graft.ns3.kv").count() == 0)
     spark.sql("DROP TABLE graft.ns3.kv")
   }
 
@@ -190,6 +221,39 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.sql.Timestamp.valueOf("2021-12-31 23:59:59"))))
     // a non-selective query still reads everything
     assert(scannedFiles(spark.sql("SELECT id FROM graft.ns6.pr")) == total)
+  }
+
+  test("storage-partitioned join: same-bucketed tables join with zero Exchange") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql(
+      "CREATE TABLE graft.ns7.fact (id BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, id))")
+    spark.sql(
+      "CREATE TABLE graft.ns7.dim (id BIGINT, name STRING) PARTITIONED BY (bucket(4, id))")
+    cat.insert("ns7.fact", (1L to 200L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    cat.insert("ns7.dim", (1L to 200L).map(i => (i, s"n$i")).toDF("id", "name"))
+    val prior = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT f.id, f.v, d.name FROM graft.ns7.fact f
+          |JOIN graft.ns7.dim d ON f.id = d.id""".stripMargin)
+      assert(joined.count() == 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"same-bucketed tables must join shuffle-free, got:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      // correctness of the co-located join
+      val row = joined.filter(col("id") === 7L).collect()
+      assert(row.length == 1 && row(0).getString(2) == "n7")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql("DROP TABLE graft.ns7.fact")
+    spark.sql("DROP TABLE graft.ns7.dim")
   }
 
   test("ALTER TABLE RENAME TO moves the table") {
