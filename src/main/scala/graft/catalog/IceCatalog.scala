@@ -97,6 +97,51 @@ object IceCatalog {
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
+  /** Parsed-metadata cache keyed by (catalog root, table, version):
+    * version files are immutable once published, so a (table, version)
+    * pair can be cached forever — repeated scans/commits stop re-reading
+    * and re-parsing the metadata JSON. Bounded by wholesale clear (the
+    * entries are tiny; the bound only guards runaway version churn).
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), TableMeta]()
+  private val MetaCacheMax = 4096
+  /** Count of actual JSON parses — observability for the cache spec. */
+  private[graft] val metaParses = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def cacheLookup(key: (String, String, Int)): TableMeta =
+    metaCache.get(key)
+  private[graft] def cachePut(key: (String, String, Int), m: TableMeta): Unit = {
+    if (metaCache.size > MetaCacheMax) metaCache.clear()
+    metaCache.put(key, m)
+  }
+  private[graft] def cacheInvalidate(root: String, ident: String): Unit = {
+    val it = metaCache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 == root && k._2 == ident) it.remove()
+    }
+  }
+
+  /** Run `f` over `items` on a bounded thread pool, preserving order —
+    * driver-side metadata work (parquet footer reads) is storage-latency
+    * bound, so PB-scale no-copy registration shouldn't serialize on file
+    * count. Failures propagate with their original exception.
+    */
+  private[graft] def inParallel[A, B](items: Seq[A], maxThreads: Int = 16)(f: A => B): Seq[B] = {
+    if (items.lengthCompare(2) < 0) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxThreads, items.length))
+    try {
+      val futures = items.map(a =>
+        pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+      futures.map { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   /** Evaluate a partition filter against one file's manifest entry —
     * driver-side pruning over O(files) metadata, before any scan. Partition
     * values match exactly; for non-partition columns the column-stats range
@@ -285,13 +330,22 @@ class IceCatalog(spark: SparkSession, root: String) {
     if (Files.isDirectory(dir)) {
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
+    // a later table of the same name restarts at v1 — stale entries would
+    // serve the dropped table's metadata
+    IceCatalog.cacheInvalidate(root, ident)
   }
 
   def loadMeta(ident: String): TableMeta = {
     val dir = tableDir(ident)
     val v = currentVersion(dir)
     require(v > 0, s"table $ident does not exist")
-    val m = normalize(mapper.readValue(
+    // version files are immutable once published → (root, table, version)
+    // caches forever; repeated scans stop re-reading the metadata JSON
+    val key = (root, ident, v)
+    val cached = IceCatalog.cacheLookup(key)
+    if (cached != null) return cached
+    IceCatalog.metaParses.incrementAndGet()
+    val parsed = normalize(mapper.readValue(
       dir.resolve("metadata").resolve(s"v$v.json").toFile, classOf[TableMeta]))
     // Rename crash-recovery: if the directory was moved (renameTable) but
     // the path-rewrite commit never landed, the metadata still speaks the
@@ -299,7 +353,9 @@ class IceCatalog(spark: SparkSession, root: String) {
     // recorded name and repair in memory exactly as the rename commit
     // would; the next commit persists the repaired form. O(1) check, the
     // rewrite only runs in the crashed-rename state.
-    if (m.name != ident) repairRenamed(m, ident) else m
+    val m = if (parsed.name != ident) repairRenamed(parsed, ident) else parsed
+    IceCatalog.cachePut(key, m)
+    m
   }
 
   /** Rewrite metadata whose recorded name/paths predate a directory move. */
@@ -370,7 +426,55 @@ class IceCatalog(spark: SparkSession, root: String) {
     Files.writeString(dir.resolve("metadata").resolve("version-hint.txt"), version.toString)
   }
 
-  /** Optimistic commit. `basedOn` carries the snapshot id an operation
+  // ---- commit lock (ice-rest-catalog's etcd CommitLock semantics,
+  //      re-expressed on the filesystem: atomic create-new acquisition,
+  //      lease expiry so a crashed holder's lock is stealable) ----
+
+  private def lockFile(dir: Path): Path = dir.resolve("metadata").resolve("commit.lock")
+
+  /** Acquire the table's commit lock; returns the holder token. The lock
+    * file carries "expiryMillis:token" — holders crash-safe via lease
+    * expiry (a lock past its lease is stolen), release is token-checked
+    * so an expired holder can't delete its successor's lock.
+    */
+  private def acquireLock(
+      dir: Path, leaseMs: Long = 60000L, timeoutMs: Long = 120000L): String = {
+    val lock = lockFile(dir)
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (true) {
+      try {
+        Files.write(lock, s"${System.currentTimeMillis() + leaseMs}:$token".getBytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        return token
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try Files.readString(lock).trim.split(':')(0).toLongOption
+              .exists(_ < System.currentTimeMillis())
+            catch { case _: Exception => true } // vanished/corrupt: retry
+          if (stale) Files.deleteIfExists(lock)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(s"commit lock timeout on $lock")
+          else Thread.sleep(5)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def releaseLock(dir: Path, token: String): Unit = {
+    val lock = lockFile(dir)
+    try {
+      if (Files.readString(lock).trim.endsWith(s":$token")) Files.deleteIfExists(lock)
+    } catch { case _: Exception => } // already stolen/cleaned — nothing to release
+  }
+
+  /** Optimistic commit, serialized per table by the lease lock (ordered
+    * waiting instead of conflict-retry storms under contention; the
+    * create-new version publish below stays as the correctness backstop —
+    * e.g. against a committer whose expired lock was stolen).
+    *
+    * `basedOn` carries the snapshot id an operation
     * planned its file lists against (upsert/delete/compact compute keep/
     * rewrite sets from a snapshot read before the commit): if a concurrent
     * writer advanced the table past that snapshot, retrying with the stale
@@ -384,6 +488,17 @@ class IceCatalog(spark: SparkSession, root: String) {
       basedOn: Option[Long] = None,
       retries: Int = 8): TableMeta = {
     val dir = tableDir(ident)
+    val token = acquireLock(dir)
+    try commitLocked(dir, ident, f, basedOn, retries)
+    finally releaseLock(dir, token)
+  }
+
+  private def commitLocked(
+      dir: Path,
+      ident: String,
+      f: TableMeta => TableMeta,
+      basedOn: Option[Long],
+      retries: Int): TableMeta = {
     var attempt = 0
     while (true) {
       val v = currentVersion(dir)
@@ -407,6 +522,47 @@ class IceCatalog(spark: SparkSession, root: String) {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** Atomic multi-table commit (pipeline atomicity across tables): every
+    * table's commit lock is acquired — in sorted order, so concurrent
+    * groups can't deadlock — then all update lambdas run (phase 1:
+    * validate/plan; any failure here publishes NOTHING), then every next
+    * version is published under the still-held locks (phase 2: conflicts
+    * impossible). An I/O failure mid-publish is compensated by unlinking
+    * the versions already created and restoring their hints before the
+    * locks release. Returns the updated metadata in the caller's order.
+    */
+  def commitGroup(ops: Seq[(String, TableMeta => TableMeta)]): Seq[TableMeta] = {
+    require(ops.map(_._1).distinct.length == ops.length, "duplicate table in commit group")
+    val sorted = ops.sortBy(_._1)
+    val locks = sorted.map { case (ident, _) =>
+      val dir = tableDir(ident); (dir, acquireLock(dir))
+    }
+    val published = scala.collection.mutable.ListBuffer[(String, Path, Int)]()
+    try {
+      try {
+        val updated = sorted.map { case (ident, f) => (ident, f(loadMeta(ident))) }
+        val byIdent = updated.map { case (ident, meta) =>
+          val dir = tableDir(ident)
+          val v = currentVersion(dir)
+          writeVersion(dir, v + 1, meta)
+          published += ((ident, dir, v))
+          ident -> meta
+        }.toMap
+        ops.map { case (ident, _) => byIdent(ident) }
+      } catch {
+        case e: Throwable =>
+          published.foreach { case (ident, dir, prevV) =>
+            Files.deleteIfExists(dir.resolve("metadata").resolve(s"v${prevV + 1}.json"))
+            Files.writeString(
+              dir.resolve("metadata").resolve("version-hint.txt"), prevV.toString)
+            // a concurrent reader may have cached the now-unlinked version
+            IceCatalog.cacheInvalidate(root, ident)
+          }
+          throw e
+      }
+    } finally locks.reverse.foreach { case (dir, token) => releaseLock(dir, token) }
   }
 
   // ---- insert -----------------------------------------------------------
@@ -604,7 +760,9 @@ class IceCatalog(spark: SparkSession, root: String) {
           }.toMap
         }
       }
-    val newFiles = toAdd.map { p =>
+    // PB-scale no-copy registration = O(files) footer reads; parallelize
+    // so it is bounded by storage latency, not file count
+    val newFiles = inParallel(toAdd) { p =>
       footerMeta(p, meta.schema, meta.schemaLog.length - 1,
         partByFile(fsPath(p.toUri.toString)))
     }
@@ -686,7 +844,9 @@ class IceCatalog(spark: SparkSession, root: String) {
     if (!Files.isDirectory(base)) return Seq.empty // rewrite that deleted every row
     val parquetFiles = Files.walk(base).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-    parquetFiles.map(p =>
+    // footer reads are independent and storage-latency bound — a fresh
+    // commit's manifest build shouldn't serialize on file count
+    inParallel(parquetFiles)(p =>
       footerMeta(p, schema, schemaId, partitionFromPath(base, p, spec)))
   }
 
@@ -1291,6 +1451,8 @@ class IceCatalog(spark: SparkSession, root: String) {
     val to = tableDir(newIdent)
     Files.createDirectories(to.getParent)
     Files.move(from, to)
+    // a later table reusing the old name restarts at v1 — drop its entries
+    IceCatalog.cacheInvalidate(root, ident)
     // loadMeta already serves the repaired (renamed) metadata; persist it
     commit(newIdent, identity)
   }

@@ -308,6 +308,63 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("ns1.strstat")
   }
 
+  test("repeated reads serve the manifest from cache — no JSON re-parse") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    cat.createTable("ns1.mc", df.schema)
+    cat.insert("ns1.mc", df)
+    cat.scan("ns1.mc").count() // warm the (table, version) entry
+    val before = IceCatalog.metaParses.get()
+    cat.scan("ns1.mc").count()
+    cat.loadMeta("ns1.mc")
+    cat.listPartitions("ns1.mc")
+    assert(IceCatalog.metaParses.get() == before,
+      "same-version reads must not re-read the metadata JSON")
+    // a new commit is a new version: parsed once, then cached again
+    cat.insert("ns1.mc", Seq((3L, "c")).toDF("k", "v"))
+    cat.scan("ns1.mc").count()
+    val after = IceCatalog.metaParses.get()
+    cat.scan("ns1.mc").count()
+    assert(IceCatalog.metaParses.get() == after)
+    // drop invalidates: a same-name table doesn't serve stale metadata
+    cat.dropTable("ns1.mc")
+    cat.createTable("ns1.mc", df.schema)
+    cat.insert("ns1.mc", Seq((9L, "z")).toDF("k", "v"))
+    assert(cat.scan("ns1.mc").count() == 1)
+    cat.dropTable("ns1.mc")
+  }
+
+  test("commitGroup publishes two tables atomically or not at all") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    cat.createTable("ns1.g1", df.schema)
+    cat.createTable("ns1.g2", df.schema)
+    cat.insert("ns1.g1", df)
+    cat.insert("ns1.g2", df)
+    // happy path: both tables advance in one group
+    val out = cat.commitGroup(Seq(
+      "ns1.g1" -> ((m: TableMeta) => m.copy(properties = m.properties + ("stage" -> "done"))),
+      "ns1.g2" -> ((m: TableMeta) => m.copy(properties = m.properties + ("stage" -> "done")))))
+    assert(out.forall(_.properties("stage") == "done"))
+    assert(cat.loadMeta("ns1.g1").properties("stage") == "done")
+    assert(cat.loadMeta("ns1.g2").properties("stage") == "done")
+    // failure in ANY lambda publishes NOTHING (validate-then-publish)
+    val v1 = cat.loadMeta("ns1.g1")
+    intercept[RuntimeException] {
+      cat.commitGroup(Seq(
+        "ns1.g1" -> ((m: TableMeta) => m.copy(properties = m.properties + ("x" -> "1"))),
+        "ns1.g2" -> ((_: TableMeta) => sys.error("planning failed"))))
+    }
+    val v1After = cat.loadMeta("ns1.g1")
+    assert(!v1After.properties.contains("x") &&
+      v1After.properties == v1.properties,
+      "first table must be untouched when the group fails")
+    // the tables stay fully usable afterwards (locks released, versions clean)
+    cat.insert("ns1.g1", Seq((2L, "b")).toDF("k", "v"))
+    assert(cat.scan("ns1.g1").count() == 2)
+    cat.dropTable("ns1.g1"); cat.dropTable("ns1.g2")
+  }
+
   test("crashed rename (dir moved, commit lost) self-heals on load") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
