@@ -46,7 +46,8 @@ private class GraftSnapshotTable(
     delegate: ParquetTable, tableProps: Map[String, String],
     ice: IceCatalog, ident: String,
     meta: IceCatalog.TableMeta, files: Seq[IceCatalog.DataFileMeta],
-    mkTable: Seq[String] => ParquetTable, timeTraveled: Boolean)
+    mkTable: (Seq[String], StructType) => ParquetTable,
+    readSchema: StructType, idResolved: Boolean, timeTraveled: Boolean)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -57,7 +58,8 @@ private class GraftSnapshotTable(
      else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
        TableCapability.TRUNCATE)).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
-    new ManifestPrunedScanBuilder(ManifestPrune.Ctx(meta, files, mkTable, options))
+    new ManifestPrunedScanBuilder(
+      ManifestPrune.Ctx(meta, files, mkTable, options, readSchema, idResolved))
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -243,17 +245,19 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     // If any file predates the current schema version, serve an id-annotated
     // read schema: Spark's parquet reader then resolves columns by field id
     // (renames/widenings read correctly). Identical-schema snapshots keep
-    // the plain name-resolved path (works for id-less no-copy files too).
+    // the plain name-resolved path. Id-less no-copy files in an EVOLVED
+    // table can't resolve by id — ManifestPrune reads those name-based per
+    // registration schema and unions them in (see its Scaladoc).
     val evolved = meta.schemaLog.length > 1 && files.exists(f =>
       meta.schemaLog(math.min(f.schemaId, meta.schemaLog.length - 1))
         .schemaJson != meta.schemaJson)
     val readSchema = if (evolved) ice.idAnnotatedSchema(meta) else meta.schema
-    val mkTable = (paths: Seq[String]) => ParquetTable(
+    val mkTable = (paths: Seq[String], schema: StructType) => ParquetTable(
       id, spark, CaseInsensitiveStringMap.empty(), paths,
-      Some(readSchema), classOf[ParquetFileFormat])
-    new GraftSnapshotTable(mkTable(files.map(_.path).toSeq),
+      Some(schema), classOf[ParquetFileFormat])
+    new GraftSnapshotTable(mkTable(files.map(_.path).toSeq, readSchema),
       meta.properties, ice, id, meta, files.toSeq, mkTable,
-      timeTraveled = asOf.isDefined)
+      readSchema, idResolved = evolved, timeTraveled = asOf.isDefined)
   }
 
   override def createTable(

@@ -45,7 +45,14 @@ object IceCatalog {
       // index into TableMeta.schemaLog = the schema this file was written
       // with (Iceberg data files record their schema-id the same way);
       // missing in pre-evolution manifests → 0 = the creation schema.
-      schemaId: Int = 0)
+      schemaId: Int = 0,
+      // whether the file's parquet schema carries field ids on every column.
+      // Catalog-written files do; externally-written no-copy files usually
+      // don't, and after schema evolution those must be read name-based
+      // under their registration schema (id-based resolution would return
+      // nulls/errors for them). Default true matches pre-flag manifests,
+      // whose files were overwhelmingly catalog-written.
+      hasFieldIds: Boolean = true)
   case class Snapshot(
       id: Long,
       parentId: Long,
@@ -869,7 +876,10 @@ class IceCatalog(spark: SparkSession, root: String) {
     val stats = chunksByCol.flatMap { case (name, chunks) =>
       sparkType.get(name).flatMap(t => mergeFooterStats(t, chunks)).map(name -> _)
     }
-    DataFileMeta(p.toUri.toString, rowCount, Files.size(p), partition, stats, schemaId)
+    val schemaFields = footer.getFileMetaData.getSchema.getFields.asScala
+    val hasIds = schemaFields.nonEmpty && schemaFields.forall(_.getId != null)
+    DataFileMeta(p.toUri.toString, rowCount, Files.size(p), partition, stats, schemaId,
+      hasFieldIds = hasIds)
   }
 
   /** Fold one column's per-row-group footer statistics into a manifest

@@ -1,7 +1,8 @@
 package graft.catalog
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -14,14 +15,29 @@ import graft.catalog.IceCatalog._
   * Unrecognized predicate shapes simply contribute no constraint (never
   * wrong, just unpruned) — correctness rests on the manifest ranges, and
   * the full predicate is still evaluated post-scan.
+  *
+  * When the table's schema has EVOLVED and the snapshot contains id-less
+  * files (externally-written parquet registered via no-copy `addFiles` —
+  * no `parquet.field.id` attributes), one id-annotated read schema cannot
+  * serve them: Spark's id-based resolution returns errors/nulls for files
+  * without ids. Those files are read NAME-BASED under their registration
+  * schema instead — per schema-log group, with written field names at the
+  * CURRENT schema's positions and (possibly widened) types — and the
+  * groups union positionally with the id-resolved scan, all inside one
+  * DSv2 scan. Mirrors the API path's `readFiles` grouping.
   */
 object ManifestPrune {
 
   final case class Ctx(
       meta: TableMeta,
       files: Seq[DataFileMeta],
-      mkTable: Seq[String] => ParquetTable,
-      options: CaseInsensitiveStringMap)
+      mkTable: (Seq[String], StructType) => ParquetTable,
+      options: CaseInsensitiveStringMap,
+      // the single-scan read schema (id-annotated iff idResolved)
+      readSchema: StructType,
+      // true when files written under OLD schema versions exist, so the
+      // default scan resolves columns by field id
+      idResolved: Boolean)
 
   def buildScan(
       ctxAny: Object,
@@ -32,11 +48,81 @@ object ManifestPrune {
       if (filters == null) Seq.empty
       else filters.flatMap(toPartitionFilters)
     val keep = ctx.files.filter(f => pfs.forall(IceCatalog.fileMatches(f, _, ctx.meta)))
-    val inner = ctx.mkTable(keep.map(_.path)).newScanBuilder(ctx.options)
-    val scan = ManifestPrunedScanBuilder.finish(inner, filters, required)
-    // storage-partitioned joins: report key-grouped partitioning from the
-    // manifest's partition values when eligible (no-op otherwise)
-    StoragePartitioning.maybeWrap(ctx.meta, keep, scan)
+    val rawFiles = keep.filterNot(_.hasFieldIds)
+    if (!ctx.idResolved || rawFiles.isEmpty) {
+      // fast path: one parquet scan (id-annotated only when needed)
+      val inner = ctx.mkTable(keep.map(_.path), ctx.readSchema).newScanBuilder(ctx.options)
+      val scan = ManifestPrunedScanBuilder.finish(inner, filters, required)
+      // storage-partitioned joins: report key-grouped partitioning from
+      // the manifest's partition values when eligible (no-op otherwise)
+      return StoragePartitioning.maybeWrap(ctx.meta, keep, scan)
+    }
+
+    // grouped path: id files resolve by field id; id-less files read
+    // name-based per registration schema. (Key-grouped reporting is
+    // skipped here — a mixed-population scan is already the rare case.)
+    val meta = ctx.meta
+    val reqNames =
+      if (required == null) meta.schema.fieldNames.toSeq else required.fieldNames.toSeq
+    val reqFields = reqNames.map(n => meta.schema(n))
+    val idFiles = keep.filter(_.hasFieldIds)
+    val scans = Seq.newBuilder[Scan]
+    if (idFiles.nonEmpty) {
+      val b = ctx.mkTable(idFiles.map(_.path), ctx.readSchema).newScanBuilder(ctx.options)
+      scans += ManifestPrunedScanBuilder.finish(b, filters, required)
+    }
+    rawFiles.groupBy(f => math.min(f.schemaId, meta.schemaLog.length - 1))
+      .toSeq.sortBy(_._1).foreach { case (sid, fs) =>
+        val (view, rename, present) = groupView(meta, sid)
+        val gRequired = StructType(reqFields.map(f =>
+          StructField(rename.getOrElse(f.name, f.name), f.dataType, nullable = true)))
+        val gFilters =
+          if (filters == null) null
+          else filters.filter(_.references.forall(a => present.contains(a.name)))
+            .map(_.transform {
+              case a: AttributeReference if rename.contains(a.name) =>
+                a.withName(rename(a.name))
+            })
+        val b = ctx.mkTable(fs.map(_.path), view).newScanBuilder(ctx.options)
+        scans += ManifestPrunedScanBuilder.finish(b, gFilters, gRequired)
+      }
+    val all = scans.result()
+    val outSchema =
+      if (required != null) required
+      else StructType(reqFields.map(f => f.copy(nullable = true)))
+    // always wrapped — even a single name-based group must REPORT the
+    // current-name schema (Spark maps scan output back to the relation's
+    // attributes by name), while its inner read schema speaks written names
+    new PositionalUnionScan(all, outSchema)
+  }
+
+  /** The current schema viewed through schema-log entry `sid` for
+    * NAME-based reads: every current field keeps its position and
+    * (possibly widened) type but takes the name it was WRITTEN with;
+    * fields that postdate the group keep their current name (absent from
+    * the files → read as null). Returns (view, rename current→written,
+    * current names present in the written schema). Rejects the
+    * pathological rename pattern that would alias two view fields to one
+    * written name.
+    */
+  private def groupView(
+      meta: TableMeta, sid: Int): (StructType, Map[String, String], Set[String]) = {
+    val written = meta.schemaLog(sid)
+    val ws = DataType.fromJson(written.schemaJson).asInstanceOf[StructType]
+    val byId = written.fieldIds.zip(ws.fields).toMap
+    val resolved = meta.schema.fields.zip(meta.fieldIds).map { case (f, id) =>
+      byId.get(id) match {
+        case Some(wf) => (StructField(wf.name, f.dataType, nullable = true), f.name, true)
+        case None => (StructField(f.name, f.dataType, nullable = true), f.name, false)
+      }
+    }
+    val names = resolved.map(_._1.name)
+    require(names.distinct.length == names.length,
+      s"cannot read id-less files of schema version $sid name-based: " +
+        s"rename pattern aliases two columns to one written name (${names.mkString(", ")})")
+    (StructType(resolved.map(_._1)),
+      resolved.collect { case (wf, cur, true) if wf.name != cur => cur -> wf.name }.toMap,
+      resolved.collect { case (_, cur, true) => cur }.toSet)
   }
 
   /** Catalyst → manifest filter translation (conservative subset). */
@@ -86,5 +172,48 @@ object ManifestPrune {
         Some(IceCatalog.microsToString(l.value.asInstanceOf[Long]))
       case _ => None
     }
+  }
+}
+
+/** Positional union of homogeneous scans: every part emits rows whose
+  * columns sit at the SAME positions with the SAME types (names may
+  * differ — InternalRow/ColumnarBatch are positional), so concatenating
+  * their input partitions yields one scan with the reported schema.
+  */
+private class PositionalUnionScan(parts: Seq[Scan], outSchema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = outSchema
+  override def description(): String =
+    parts.map(_.description()).mkString("union(", ", ", ")")
+  override def toBatch: Batch = this
+  private lazy val batches = parts.map(_.toBatch)
+  private lazy val partitions: Array[InputPartition] =
+    batches.zipWithIndex.flatMap { case (b, i) =>
+      b.planInputPartitions().map(p => SourceTaggedPartition(i, p): InputPartition)
+    }.toArray
+  override def planInputPartitions(): Array[InputPartition] = partitions
+  override def createReaderFactory(): PartitionReaderFactory =
+    SourceDispatchingReaderFactory(batches.map(_.createReaderFactory()))
+}
+
+private case class SourceTaggedPartition(src: Int, inner: InputPartition)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+private case class SourceDispatchingReaderFactory(inners: Seq[PartitionReaderFactory])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case SourceTaggedPartition(i, inner) => inners(i).createReader(inner)
+    case other => throw new IllegalStateException(s"unexpected partition $other")
+  }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
+    case SourceTaggedPartition(i, inner) => inners(i).createColumnarReader(inner)
+    case other => throw new IllegalStateException(s"unexpected partition $other")
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case SourceTaggedPartition(i, inner) => inners(i).supportColumnarReads(inner)
+    case other => false
   }
 }

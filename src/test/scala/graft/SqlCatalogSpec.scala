@@ -223,6 +223,38 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scannedFiles(spark.sql("SELECT id FROM graft.ns6.pr")) == total)
   }
 
+  test("SQL reads id-less no-copy files correctly after schema evolution") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    val ext = Files.createTempDirectory("sqlext").toString
+    // plain Spark write: no parquet.field.id metadata in the file
+    Seq((1, "hello"), (2, "bonjour")).toDF("id", "msg").coalesce(1)
+      .write.parquet(s"$ext/b")
+    val parquet = Files.walk(java.nio.file.Paths.get(ext)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.map(_.toString)
+    spark.sql("CREATE TABLE graft.ns8.nc (id INT, msg STRING)")
+    cat.addFiles("ns8.nc", parquet, forceOutsideLocation = true)
+    spark.sql("ALTER TABLE graft.ns8.nc RENAME COLUMN msg TO payload")
+    spark.sql("ALTER TABLE graft.ns8.nc ALTER COLUMN id TYPE BIGINT")
+    // catalog-written (id-carrying) rows coexist with the id-less file
+    cat.insert("ns8.nc", Seq((3L, "world")).toDF("id", "payload"))
+    // the id-less file reads name-based under its registration schema
+    // (written name "msg" → current "payload", int32 id widened to long);
+    // the catalog-written file resolves by field id — one SQL scan serves both
+    val rows = spark.sql("SELECT id, payload FROM graft.ns8.nc ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "hello"), (2L, "bonjour"), (3L, "world")), s"got $rows")
+    // filters on the RENAMED column evaluate correctly over both groups
+    val one = spark.sql("SELECT id FROM graft.ns8.nc WHERE payload = 'bonjour'")
+      .as[Long].collect().toSeq
+    assert(one == Seq(2L))
+    // a column added after registration reads NULL from every file
+    spark.sql("ALTER TABLE graft.ns8.nc ADD COLUMN score DOUBLE")
+    val scores = spark.sql("SELECT id, score FROM graft.ns8.nc ORDER BY id").collect()
+    assert(scores.length == 3 && scores.forall(_.isNullAt(1)))
+    spark.sql("DROP TABLE graft.ns8.nc")
+  }
+
   test("storage-partitioned join: same-bucketed tables join with zero Exchange") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
