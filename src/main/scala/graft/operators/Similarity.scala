@@ -81,8 +81,8 @@ object Similarity {
   /** s2: LSH-bucketed ANN — candidates share the query's bucket; exact
     * cosine re-rank inside the bucket only.
     */
-  def lshAnn(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val bucketed = lshBucket(spark, dir)
+  def lshAnn(spark: SparkSession, dir: String, k: Int = 10, nBits: Int = 8): DataFrame = {
+    val bucketed = lshBucket(spark, dir, nBits)
     val queries = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("bucket"))
     topK(bucketed.filter(col("vec_id") >= 5), queries, Seq("bucket"), k)

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Pins the ANN recall/cost tradeoff table published in SURVEY §6
+  * (sf0.01: 5,000 64-d embeddings, 5 queries, k=10). Floors carry margin
+  * for the last-ulp nondeterminism of distributed float aggregation in
+  * k-means (the reason s3/s6 are rows-only in the oracle gate).
+  */
+class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.01"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-ann-recall", cpus = 8)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val exact: Set[(Long, Long)] =
+    Similarity.cosineTopK(spark, dir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recall(pairs: Array[(Long, Long)]): Double =
+    pairs.count(exact.contains).toDouble / exact.size
+
+  test("s2 LSH: candidate volume and recall fall together as nBits grows") {
+    val byBits = Seq(4, 8, 12).map { b =>
+      val r = Similarity.lshAnn(spark, dir, k = 10, nBits = b).collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      b -> r
+    }.toMap
+    // SURVEY §6: nBits=4 → recall ≈ 0.20, nBits=8 → ≈ 0 on these
+    // near-angular-uniform synthetic vectors (the hard case for
+    // single-probe hyperplane LSH — exactly why the scale path pairs
+    // LSH with nprobe-style multi-probing or IVF)
+    assert(recall(byBits(4)) >= 0.1, s"nBits=4 recall ${recall(byBits(4))}")
+    assert(recall(byBits(4)) >= recall(byBits(8)))
+    // cost proxy: candidate pairs shrink with bucket count
+    assert(byBits(4).length > byBits(8).length &&
+      byBits(8).length > byBits(12).length,
+      s"candidate volumes ${byBits.view.mapValues(_.length).toMap}")
+  }
+
+  test("s3 IVF: recall climbs with nprobe at linear candidate cost") {
+    val byProbe = Seq(1, 4, 8).map { np =>
+      np -> Similarity.ivfAnn(spark, dir, k = 10, nlist = 16, nprobe = np)
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+    }.toMap
+    // SURVEY §6: 0.14 / 0.48 / 0.74 measured; floors with margin
+    assert(recall(byProbe(1)) >= 0.05, s"nprobe=1 ${recall(byProbe(1))}")
+    assert(recall(byProbe(4)) >= 0.30, s"nprobe=4 ${recall(byProbe(4))}")
+    assert(recall(byProbe(8)) >= 0.55, s"nprobe=8 ${recall(byProbe(8))}")
+    assert(recall(byProbe(8)) >= recall(byProbe(1)))
+  }
+
+  test("s6 PQ: reconstruction MSE improves with code budget") {
+    def meanMse(m: Int, k: Int): Double = {
+      import spark.implicits._
+      Similarity.pqCodes(spark, dir, m = m, k = k)
+        .agg(avg(col("mse"))).as[Double].head()
+    }
+    val m4k16 = meanMse(4, 16)
+    val m8k16 = meanMse(8, 16)
+    // SURVEY §6: 0.0116 (m=4,k=16) and 0.0090 (m=8,k=16) measured
+    assert(m4k16 <= 0.02, s"m=4 k=16 MSE $m4k16")
+    assert(m8k16 <= 0.015, s"m=8 k=16 MSE $m8k16")
+    // doubling subspaces (code bytes) must not make reconstruction worse
+    assert(m8k16 <= m4k16 * 1.05, s"m8k16=$m8k16 vs m4k16=$m4k16")
+  }
+}
