@@ -184,6 +184,7 @@ object Queries {
     "d6_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
+    "s7_multiprobe_ann" -> ((s: SparkSession, d: String) => Similarity.multiprobeLshAnn(s, d)),
     "s3_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
     "s5_quantize" -> (Similarity.quantize _),
     "s6_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
@@ -241,6 +242,34 @@ object Queries {
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
        |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id < 5),
+       |c AS (SELECT * FROM bk WHERE vec_id >= 5),
+       |s AS (SELECT q_id, c.vec_id AS neighbor_id,
+       |  list_dot_product(qv, v)
+       |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score
+       | FROM c JOIN q ON c.bucket = q.bucket),
+       |r AS (SELECT q_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT) AS rank,
+       |  score FROM s)
+       |SELECT q_id, neighbor_id, rank, round(score, 4) + 0.0 AS score
+       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** DuckDB SQL for s7: the s2 pipeline with Hamming-1 probe expansion —
+    * each query also searches every bucket one sign-bit flip away.
+    */
+  private def multiprobeLshOracle: String = {
+    val planes = (0 until 8).map(b => Similarity.hyperplane(b, 64))
+    val bucketExpr = planes.zipWithIndex.map { case (p, b) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val masks = (Seq(0L) ++ (0 until 8).map(b => 1L << b)).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id < 5),
+       |q AS (SELECT q_id, qv, xor(bucket, m) AS bucket
+       |      FROM q0, unnest($masks) AS t(m)),
        |c AS (SELECT * FROM bk WHERE vec_id >= 5),
        |s AS (SELECT q_id, c.vec_id AS neighbor_id,
        |  list_dot_product(qv, v)
@@ -350,6 +379,7 @@ object Queries {
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
     "d4_simhash" -> simhashOracle,
     "s2_lsh_ann" -> lshAnnOracle,
+    "s7_multiprobe_ann" -> multiprobeLshOracle,
     "d3_minhash_lsh" ->
       s"""WITH $sigCte,
          |$lshPairsCte

@@ -88,6 +88,25 @@ object Similarity {
     topK(bucketed.filter(col("vec_id") >= 5), queries, Seq("bucket"), k)
   }
 
+  /** s7: MULTI-PROBE LSH ANN — each query probes its own bucket plus every
+    * Hamming-1 neighbor (one sign-bit flip ≈ crossing the hyperplane the
+    * vector sits closest to). This is the standard fix for single-probe
+    * recall collapse on near-uniform corpora (SURVEY §6: recall 0.00 at
+    * nBits=8 single-probe): candidate cost rises only (nBits+1)× — still
+    * a bucket equi-join, still O(candidates), corpus never rescanned —
+    * while recall recovers most of the brute-force result. Probe buckets
+    * are distinct by construction, so no candidate dedup is needed.
+    */
+  def multiprobeLshAnn(
+      spark: SparkSession, dir: String, k: Int = 10, nBits: Int = 8): DataFrame = {
+    val bucketed = lshBucket(spark, dir, nBits)
+    val masks = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
+    val queries = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    topK(bucketed.filter(col("vec_id") >= 5), queries, Seq("bucket"), k)
+  }
+
   /** s4: per-dimension embedding statistics (mean/std — the normalization
     * constants a feature pipeline computes before indexing). One explode +
     * partial-agg pass; output is dims rows regardless of corpus size.

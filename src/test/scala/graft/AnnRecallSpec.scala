@@ -44,6 +44,20 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"candidate volumes ${byBits.view.mapValues(_.length).toMap}")
   }
 
+  test("s7 multi-probe recovers the recall single-probe LSH loses") {
+    val single = Similarity.lshAnn(spark, dir, k = 10, nBits = 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val multi = Similarity.multiprobeLshAnn(spark, dir, k = 10, nBits = 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    info(f"single-probe recall=${recall(single)}%.3f multi-probe recall=${recall(multi)}%.3f")
+    // SURVEY §6: Hamming-1 probing lifts nBits=8 recall 0.00 → 0.10 at 9×
+    // the (tiny) single-probe candidate cost; still far below IVF — the
+    // documented conclusion that IVF is the right path on uniform corpora
+    assert(recall(multi) >= recall(single),
+      s"multi ${recall(multi)} vs single ${recall(single)}")
+    assert(recall(multi) >= 0.05, s"multi-probe recall ${recall(multi)}")
+  }
+
   test("s3 IVF: recall climbs with nprobe at linear candidate cost") {
     val byProbe = Seq(1, 4, 8).map { np =>
       np -> Similarity.ivfAnn(spark, dir, k = 10, nlist = 16, nprobe = np)
