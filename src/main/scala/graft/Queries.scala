@@ -566,7 +566,8 @@ object Queries {
     "t6_sorted_scan" -> (TableMeta.sortedScan _),
     "t7_files" -> (CatalogOps.filesQuery _),
     "t8_time_travel" -> (CatalogOps.timeTravelQuery _),
-    "t9_merge_upsert" -> (CatalogOps.mergeUpsertQuery _)
+    "t9_merge_upsert" -> (CatalogOps.mergeUpsertQuery _),
+    "t10_rowgroups" -> (graft.sources.ParquetMeta.rowGroupsQuery _)
   )
 
   val tableMetaOracle: Map[String, String] = Map(
@@ -616,7 +617,15 @@ object Queries {
         | CAST(sum(CAST(round(CASE WHEN o_orderkey % 8 = 0
         |   THEN o_totalprice * 2 ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
         |   AS total_cents
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    // __SF_DIR__ is substituted with the actual data dir by Verify at dump
+    // time — parquet_metadata() needs a literal path, not a view.
+    "t10_rowgroups" ->
+      """SELECT row_group_id, row_group_num_rows, column_id, path_in_schema,
+        | num_values, stats_null_count, total_compressed_size,
+        | total_uncompressed_size
+        |FROM parquet_metadata('__SF_DIR__/lineitem.parquet')
+        |ORDER BY row_group_id, column_id""".stripMargin
   )
 
   val streaming: Map[String, Q] = Map(

@@ -41,6 +41,30 @@ object ParquetMeta {
     }.toSeq.toDF()
   }
 
+  /** t10: row-group/column-chunk introspection of a table file, shaped to
+    * hash-match DuckDB's `parquet_metadata()` (the oracle) column-for-column
+    * (cmd/DescribeParquet.java:66-230 prints the same footer fields). All
+    * values come straight from the footer — no data pages are read.
+    */
+  case class ChunkMeta(
+      row_group_id: Long, row_group_num_rows: Long, column_id: Long,
+      path_in_schema: String, num_values: Long, stats_null_count: Option[Long],
+      total_compressed_size: Long, total_uncompressed_size: Long)
+
+  def rowGroupsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val meta = footer(s"$dir/lineitem.parquet")
+    meta.getBlocks.asScala.zipWithIndex.flatMap { case (b, g) =>
+      b.getColumns.asScala.zipWithIndex.map { case (c, i) =>
+        val st = c.getStatistics
+        ChunkMeta(g.toLong, b.getRowCount, i.toLong, c.getPath.toDotString,
+          c.getValueCount,
+          if (st != null && st.isNumNullsSet) Some(st.getNumNulls) else None,
+          c.getTotalSize, c.getTotalUncompressedSize)
+      }
+    }.toSeq.toDF().orderBy("row_group_id", "column_id")
+  }
+
   /** Column-chunk detail incl. footer statistics. */
   def columnChunks(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
