@@ -53,13 +53,35 @@ object IceCatalog {
       // nulls/errors for them). Default true matches pre-flag manifests,
       // whose files were overwhelmingly catalog-written.
       hasFieldIds: Boolean = true)
+  /** Pointer to one immutable manifest segment file plus its summary —
+    * enough for snapshot-level accounting without opening the segment.
+    */
+  case class ManifestRef(name: String, fileCount: Long, rowCount: Long, bytes: Long)
+  /** Content of one per-snapshot manifest-list file: the segment refs
+    * making up the snapshot's file set, plus the cumulative chain of
+    * source-file segments (duplicate-ingest detection).
+    */
+  case class ManifestList(manifests: Seq[ManifestRef], sourceSegments: Seq[String])
+  /** A snapshot. ON DISK (r4+ format) it carries only `manifestList` — the
+    * name of an immutable ml-*.json under metadata/manifests holding
+    * segment refs — so a commit writes O(delta) manifest bytes, never the
+    * full file list (Iceberg's manifest-list model; the reference gets the
+    * same behavior from the Iceberg SDK, see ice's no-rewrite append in
+    * Insert.java). IN MEMORY loadMeta hydrates `files` / `sourceFiles`
+    * from the (forever-cached, immutable) segments so every consumer keeps
+    * its flat view. Pre-r4 metadata carries `files`/`sourceFiles` inline
+    * and is migrated to segments by the next commit.
+    */
   case class Snapshot(
       id: Long,
       parentId: Long,
       timestampMs: Long,
       operation: String,
-      files: Seq[DataFileMeta],
-      sourceFiles: Seq[String])
+      files: Seq[DataFileMeta] = null,
+      sourceFiles: Seq[String] = null,
+      manifests: Seq[ManifestRef] = null,
+      sourceSegments: Seq[String] = null,
+      manifestList: String = null)
   /** One historical schema: its Spark JSON plus one stable field id per
     * field (parallel seq). Ids never change across rename/retype; new
     * columns get fresh ids; dropped ids are never reused — exactly
@@ -123,30 +145,60 @@ object IceCatalog {
     metaCache.put(key, m)
   }
   private[graft] def cacheInvalidate(root: String, ident: String): Unit = {
-    val it = metaCache.keySet.iterator()
-    while (it.hasNext) {
-      val k = it.next()
-      if (k._1 == root && k._2 == ident) it.remove()
+    Seq(metaCache.keySet, segCache.keySet, srcSegCache.keySet).foreach { ks =>
+      val it = ks.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == root && k._2 == ident) it.remove()
+      }
     }
   }
 
-  /** Run `f` over `items` on a bounded thread pool, preserving order —
+  /** Manifest segment caches: segment files are immutable once written
+    * (fresh uuid name per write), so entries cache forever — hydrating a
+    * table's snapshot history re-reads each unique segment once, and
+    * snapshots sharing segments share the cached instances.
+    */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Seq[DataFileMeta]]()
+  private val srcSegCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Seq[String]]()
+  /** Count of actual segment-file parses — observability for cache specs. */
+  private[graft] val segmentParses = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Shared bounded pool for driver-side metadata IO (parquet footers,
+    * manifest segments): lazily created once, daemon threads — repeated
+    * metadata operations shouldn't each spin up and tear down a pool.
+    */
+  private lazy val ioPool = java.util.concurrent.Executors.newFixedThreadPool(
+    16,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-meta-io-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    })
+
+  /** Run `f` over `items` on the shared bounded pool, preserving order —
     * driver-side metadata work (parquet footer reads) is storage-latency
     * bound, so PB-scale no-copy registration shouldn't serialize on file
-    * count. Failures propagate with their original exception.
+    * count. Failures propagate with their original exception and CANCEL
+    * the remaining queued work (fail fast, not run-to-completion).
     */
-  private[graft] def inParallel[A, B](items: Seq[A], maxThreads: Int = 16)(f: A => B): Seq[B] = {
+  private[graft] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.lengthCompare(2) < 0) return items.map(f)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(maxThreads, items.length))
-    try {
-      val futures = items.map(a =>
-        pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
-      futures.map { fut =>
-        try fut.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      }
-    } finally pool.shutdown()
+    val futures = items.map(a =>
+      ioPool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+    try futures.map { fut =>
+      try fut.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    } catch {
+      case e: Throwable =>
+        futures.foreach(_.cancel(true))
+        throw e
+    }
   }
 
   /** Evaluate a partition filter against one file's manifest entry —
@@ -280,6 +332,123 @@ class IceCatalog(spark: SparkSession, root: String) {
   private def fsPath(s: String): String =
     try new java.net.URI(s).getPath catch { case _: Exception => s }
 
+  // ---- manifest segments (incremental metadata) --------------------------
+  //
+  // metadata/manifests/ holds three kinds of immutable JSON files:
+  //   seg-*.json  Seq[DataFileMeta]   one segment of the file manifest
+  //   src-*.json  Seq[String]         source files first seen by one commit
+  //   ml-*.json   ManifestList        one snapshot's segment refs
+  // A commit writes only NEW segments (the appended/rewritten files) plus
+  // one small manifest list; untouched segments carry over by reference.
+  // This is what keeps the commit path O(delta) instead of O(table): a
+  // 1-row streaming append to a 200k-file table writes one 1-entry segment,
+  // not a tens-of-MB manifest rewrite.
+
+  private def manifestsDir(ident: String): Path =
+    tableDir(ident).resolve("metadata").resolve("manifests")
+
+  private def freshName(prefix: String): String =
+    s"$prefix-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
+
+  private def writeManifestJson(ident: String, prefix: String, json: String): String = {
+    val name = freshName(prefix)
+    val p = manifestsDir(ident).resolve(name)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, json)
+    name
+  }
+
+  private def writeSegment(ident: String, files: Seq[DataFileMeta]): ManifestRef = {
+    val name = writeManifestJson(ident, "seg", mapper.writeValueAsString(files))
+    IceCatalog.segCache.put((root, ident, name), files)
+    ManifestRef(name, files.length, files.map(_.rowCount).sum, files.map(_.bytes).sum)
+  }
+
+  private def readSegment(ident: String, name: String): Seq[DataFileMeta] = {
+    val key = (root, ident, name)
+    val cached = IceCatalog.segCache.get(key)
+    if (cached != null) return cached
+    IceCatalog.segmentParses.incrementAndGet()
+    val fs = mapper.readValue(
+      manifestsDir(ident).resolve(name).toFile, classOf[Array[DataFileMeta]]).toSeq
+    IceCatalog.segCache.put(key, fs)
+    fs
+  }
+
+  private def writeSourceSegment(ident: String, sources: Seq[String]): String = {
+    val name = writeManifestJson(ident, "src", mapper.writeValueAsString(sources))
+    IceCatalog.srcSegCache.put((root, ident, name), sources)
+    name
+  }
+
+  private def readSourceSegment(ident: String, name: String): Seq[String] = {
+    val key = (root, ident, name)
+    val cached = IceCatalog.srcSegCache.get(key)
+    if (cached != null) return cached
+    val ss = mapper.readValue(
+      manifestsDir(ident).resolve(name).toFile, classOf[Array[String]]).toSeq
+    IceCatalog.srcSegCache.put(key, ss)
+    ss
+  }
+
+  private def writeManifestListFile(ident: String, ml: ManifestList): String =
+    writeManifestJson(ident, "ml", mapper.writeValueAsString(ml))
+
+  private def readManifestListFile(ident: String, name: String): ManifestList =
+    mapper.readValue(manifestsDir(ident).resolve(name).toFile, classOf[ManifestList])
+
+  /** In-memory view: resolve every segment-form snapshot's manifest list
+    * and fill the flat `files` / `sourceFiles` the rest of the engine
+    * consumes. Segments are immutable → cached forever → snapshots sharing
+    * segments share the hydrated instances (an append chain costs O(unique
+    * segments) parses, not O(snapshots × files)).
+    */
+  private def hydrate(ident: String, m: TableMeta): TableMeta = {
+    if (m.snapshots.forall(_.manifestList == null)) return m
+    m.copy(snapshots = m.snapshots.map { s =>
+      if (s.manifestList == null) s
+      else {
+        val ml = readManifestListFile(ident, s.manifestList)
+        s.copy(
+          files = ml.manifests.flatMap(r => readSegment(ident, r.name)),
+          sourceFiles = ml.sourceSegments.flatMap(n => readSourceSegment(ident, n)),
+          manifests = ml.manifests,
+          sourceSegments = ml.sourceSegments)
+      }
+    })
+  }
+
+  /** Serialized form: strip hydrated file lists, publishing manifest-list
+    * files for snapshots that don't have one yet. A snapshot carrying only
+    * inline `files` (pre-r4 metadata, an imported catalog, or a repaired
+    * rename whose data paths changed) gets its full list re-segmented HERE
+    * — the one-time O(table) migration; every delta-built snapshot
+    * (appendSnapshot) already carries its refs and writes only the list.
+    */
+  private def dehydrate(meta: TableMeta): TableMeta = {
+    val ident = meta.name
+    meta.copy(snapshots = meta.snapshots.map { s =>
+      if (s.manifestList != null)
+        s.copy(files = null, sourceFiles = null, manifests = null, sourceSegments = null)
+      else if (s.manifests != null) {
+        val ml = writeManifestListFile(ident,
+          ManifestList(s.manifests, Option(s.sourceSegments).getOrElse(Seq.empty)))
+        s.copy(files = null, sourceFiles = null, manifests = null, sourceSegments = null,
+          manifestList = ml)
+      } else if (s.files != null) {
+        val refs =
+          if (s.files.isEmpty) Seq.empty else Seq(writeSegment(ident, s.files))
+        val srcs = Option(s.sourceFiles).getOrElse(Seq.empty) match {
+          case Seq() => Seq.empty
+          case src => Seq(writeSourceSegment(ident, src))
+        }
+        val ml = writeManifestListFile(ident, ManifestList(refs, srcs))
+        s.copy(files = null, sourceFiles = null, manifests = null, sourceSegments = null,
+          manifestList = ml)
+      } else s
+    })
+  }
+
   // ---- namespaces -------------------------------------------------------
 
   def createNamespace(ns: String): Unit = Files.createDirectories(rootPath.resolve(ns))
@@ -352,8 +521,8 @@ class IceCatalog(spark: SparkSession, root: String) {
     val cached = IceCatalog.cacheLookup(key)
     if (cached != null) return cached
     IceCatalog.metaParses.incrementAndGet()
-    val parsed = normalize(mapper.readValue(
-      dir.resolve("metadata").resolve(s"v$v.json").toFile, classOf[TableMeta]))
+    val parsed = hydrate(ident, normalize(mapper.readValue(
+      dir.resolve("metadata").resolve(s"v$v.json").toFile, classOf[TableMeta])))
     // Rename crash-recovery: if the directory was moved (renameTable) but
     // the path-rewrite commit never landed, the metadata still speaks the
     // OLD directory's name and file URIs — a broken table. Detect via the
@@ -375,10 +544,13 @@ class IceCatalog(spark: SparkSession, root: String) {
     val newUri = uriOf(tableDir(ident))
     def mv(p: String): String =
       if (p != null && p.startsWith(oldUri + "/")) newUri + p.drop(oldUri.length) else p
+    // refs are cleared: the repaired paths no longer match the old-location
+    // segments, so the next commit re-segments via dehydrate's inline path
     m.copy(name = ident,
       snapshots = m.snapshots.map(s => s.copy(
         files = s.files.map(f => f.copy(path = mv(f.path))),
-        sourceFiles = s.sourceFiles.map(mv))))
+        sourceFiles = s.sourceFiles.map(mv),
+        manifests = null, sourceSegments = null, manifestList = null)))
   }
 
   /** Fill in evolution fields absent from pre-evolution metadata JSON:
@@ -397,20 +569,39 @@ class IceCatalog(spark: SparkSession, root: String) {
     m.copy(fieldIds = ids, lastFieldId = last, schemaLog = log, properties = props)
   }
 
-  private def currentVersion(dir: Path): Int = {
+  private def burnMarker(metaDir: Path, v: Int): Path = metaDir.resolve(s"v$v.burned")
+
+  /** Highest version SLOT ever used — published or burned. The hint is
+    * ADVISORY (written after the atomic version-file publish): a committer
+    * may be descheduled between the two, so probe forward for newer slots —
+    * otherwise concurrent writers spin on a stale hint until it updates.
+    * Same recovery Iceberg's file-based commit protocol uses.
+    */
+  private def probeTop(dir: Path): Int = {
     val metaDir = dir.resolve("metadata")
     val hint = metaDir.resolve("version-hint.txt")
     var v = if (Files.exists(hint)) Files.readString(hint).trim.toInt else 0
-    // The hint is ADVISORY (written after the atomic version-file rename):
-    // a committer may be descheduled between the two, so probe forward for
-    // newer committed versions — otherwise concurrent writers spin on a
-    // stale hint until it updates. Same recovery Iceberg's file-based
-    // commit protocol uses.
-    while (Files.exists(metaDir.resolve(s"v${v + 1}.json"))) v += 1
+    while (Files.exists(metaDir.resolve(s"v${v + 1}.json")) ||
+      Files.exists(burnMarker(metaDir, v + 1))) v += 1
     v
   }
 
-  private def writeVersion(dir: Path, version: Int, meta: TableMeta): Unit = {
+  /** Latest READABLE version: walks down past burned slots. A rolled-back
+    * group commit BURNS its version number instead of freeing it for reuse
+    * — version files must stay immutable once published, which the forever
+    * metaCache and any cross-process reader that probed forward mid-group
+    * rely on; republishing the same number with different content would
+    * poison those caches permanently.
+    */
+  private def currentVersion(dir: Path): Int = {
+    val metaDir = dir.resolve("metadata")
+    var v = probeTop(dir)
+    while (v > 0 && !Files.exists(metaDir.resolve(s"v$v.json"))) v -= 1
+    v
+  }
+
+  private def writeVersion(dir: Path, version: Int, meta0: TableMeta): Unit = {
+    val meta = dehydrate(meta0)
     val target = dir.resolve("metadata").resolve(s"v$version.json")
     // tmp name must be unique PER WRITER: racing committers sharing one
     // tmp path would have the loser's rename fail with NoSuchFile (its
@@ -459,14 +650,45 @@ class IceCatalog(spark: SparkSession, root: String) {
           val stale =
             try Files.readString(lock).trim.split(':')(0).toLongOption
               .exists(_ < System.currentTimeMillis())
-            catch { case _: Exception => true } // vanished/corrupt: retry
-          if (stale) Files.deleteIfExists(lock)
+            catch {
+              case _: java.nio.file.NoSuchFileException => false // vanished: retry create
+              case _: Exception => true // corrupt: stealable
+            }
+          if (stale) stealStaleLock(lock)
           else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(s"commit lock timeout on $lock")
           else Thread.sleep(5)
       }
     }
     sys.error("unreachable")
+  }
+
+  /** Steal an expired lock ATOMICALLY: rename it to a unique grave name —
+    * rename(2) is atomic, so of N waiters that all observed the stale
+    * lease exactly ONE wins the steal — then re-verify the grave still
+    * holds an expired lease. A fresh lease in the grave means the lock was
+    * released and re-acquired between our read and our rename; it is put
+    * back, not stolen. (A bare delete-if-stale lets two waiters both
+    * "steal": the faster one deletes + recreates, the slower one then
+    * deletes the FRESH lock — two concurrent exclusive holders.)
+    */
+  private def stealStaleLock(lock: Path): Unit = {
+    val grave = lock.resolveSibling(
+      s"${lock.getFileName}.grave.${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      Files.move(lock, grave)
+      val content = try Files.readString(grave).trim catch { case _: Exception => "" }
+      val expired = content.split(':')(0).toLongOption
+        .forall(_ < System.currentTimeMillis()) // unparseable/corrupt counts as expired
+      if (expired) Files.deleteIfExists(grave)
+      else {
+        // displaced a live holder — restore; if a third party created a new
+        // lock meanwhile, theirs stands (release stays token-checked, and
+        // version publish remains the create-new correctness backstop)
+        try Files.move(grave, lock)
+        catch { case _: Exception => Files.deleteIfExists(grave) }
+      }
+    } catch { case _: Exception => } // lost the steal race — loop and retry
   }
 
   private def releaseLock(dir: Path, token: String): Unit = {
@@ -508,7 +730,9 @@ class IceCatalog(spark: SparkSession, root: String) {
       retries: Int): TableMeta = {
     var attempt = 0
     while (true) {
-      val v = currentVersion(dir)
+      // next slot comes from probeTop, not currentVersion: burned slots
+      // (rolled-back group commits) are never republished
+      val v = probeTop(dir)
       val meta = loadMeta(ident)
       basedOn.foreach { id =>
         if (meta.currentSnapshotId != id)
@@ -519,7 +743,10 @@ class IceCatalog(spark: SparkSession, root: String) {
       val updated = f(meta)
       try {
         writeVersion(dir, v + 1, updated)
-        return updated
+        // re-load the published form: fresh snapshots now carry their
+        // manifest-list link (and the hydrated view), and the parse warms
+        // the (table, version) cache for every subsequent reader
+        return loadMeta(ident)
       } catch {
         case e: IllegalStateException if attempt < retries =>
           attempt += 1
@@ -552,24 +779,122 @@ class IceCatalog(spark: SparkSession, root: String) {
         val updated = sorted.map { case (ident, f) => (ident, f(loadMeta(ident))) }
         val byIdent = updated.map { case (ident, meta) =>
           val dir = tableDir(ident)
-          val v = currentVersion(dir)
+          val v = probeTop(dir)
           writeVersion(dir, v + 1, meta)
           published += ((ident, dir, v))
-          ident -> meta
+          ident -> loadMeta(ident)
         }.toMap
         ops.map { case (ident, _) => byIdent(ident) }
       } catch {
         case e: Throwable =>
           published.foreach { case (ident, dir, prevV) =>
-            Files.deleteIfExists(dir.resolve("metadata").resolve(s"v${prevV + 1}.json"))
-            Files.writeString(
-              dir.resolve("metadata").resolve("version-hint.txt"), prevV.toString)
+            val metaDir = dir.resolve("metadata")
+            // Burn the slot FIRST, then unlink: the version number is never
+            // reused (probeTop skips it), so a reader that cached the
+            // rolled-back v{N+1} mid-group can never be served a DIFFERENT
+            // v{N+1} later — version files stay immutable once published.
+            Files.writeString(burnMarker(metaDir, prevV + 1), "rolled-back")
+            Files.deleteIfExists(metaDir.resolve(s"v${prevV + 1}.json"))
+            Files.writeString(metaDir.resolve("version-hint.txt"), prevV.toString)
             // a concurrent reader may have cached the now-unlinked version
             IceCatalog.cacheInvalidate(root, ident)
           }
           throw e
       }
     } finally locks.reverse.foreach { case (dir, token) => releaseLock(dir, token) }
+  }
+
+  // ---- delta snapshot construction ---------------------------------------
+
+  /** The delta one commit applies to the current snapshot's file set:
+    * `drop` names parent files to remove (fs-normalized paths), `add` is
+    * fresh manifest entries, `replaceAll` discards every parent segment,
+    * `reuseRefs` adopts an existing snapshot's segments verbatim
+    * (rollback). Only the delta is written to disk.
+    */
+  private case class SnapDelta(
+      op: String,
+      drop: Set[String] = Set.empty,
+      add: Seq[DataFileMeta] = Seq.empty,
+      addSources: Seq[String] = Seq.empty,
+      replaceAll: Boolean = false,
+      reuseRefs: Seq[ManifestRef] = null)
+
+  /** Snapshot-appending commit, delta-expressed — the only way file lists
+    * change. Write cost per commit: one segment holding (touched-segment
+    * survivors + added files), one source segment of genuinely new
+    * sources, one manifest list — never the full file set.
+    */
+  private def commitSnap(ident: String, basedOn: Option[Long] = None)(
+      mkDelta: TableMeta => SnapDelta): TableMeta =
+    commit(ident, m => appendSnapshot(m, mkDelta(m)), basedOn)
+
+  private def appendSnapshot(m: TableMeta, d: SnapDelta): TableMeta = {
+    val ident = m.name
+    val parent = m.current
+    // Split the parent's segments against the drop set: untouched segments
+    // carry over by REFERENCE; survivors of touched segments re-segment
+    // together with the added files. A legacy (inline) parent re-segments
+    // wholesale — its one-time migration to the incremental format.
+    val (keepRefs, carried): (Seq[ManifestRef], Seq[DataFileMeta]) =
+      if (d.reuseRefs != null) (d.reuseRefs, Seq.empty)
+      else parent match {
+        case None => (Seq.empty, Seq.empty)
+        case Some(_) if d.replaceAll => (Seq.empty, Seq.empty)
+        case Some(p) if p.manifests != null =>
+          if (d.drop.isEmpty) (p.manifests, Seq.empty)
+          else {
+            val (touched, untouched) = p.manifests.partition(r =>
+              readSegment(ident, r.name).exists(f => d.drop(fsPath(f.path))))
+            (untouched,
+              touched.flatMap(r => readSegment(ident, r.name))
+                .filterNot(f => d.drop(fsPath(f.path))))
+          }
+        case Some(p) =>
+          (Seq.empty, p.files.filterNot(f => d.drop(fsPath(f.path))))
+      }
+    val allNew = carried ++ d.add
+    val refs = mergeSmallSegments(ident,
+      keepRefs ++ (if (allNew.nonEmpty) Seq(writeSegment(ident, allNew)) else Seq.empty),
+      m.properties)
+    // cumulative source chain = parent's segments + one segment of the
+    // genuinely new sources (duplicate-ingest detection never forgets)
+    val parentSrcSegs: Seq[String] = parent match {
+      case None => Seq.empty
+      case Some(p) if p.sourceSegments != null => p.sourceSegments
+      case Some(p) => Option(p.sourceFiles).getOrElse(Seq.empty) match {
+        case Seq() => Seq.empty
+        case src => Seq(writeSourceSegment(ident, src)) // legacy: segment once
+      }
+    }
+    val known = parent.flatMap(p => Option(p.sourceFiles)).getOrElse(Seq.empty).toSet
+    val newSrc = d.addSources.distinct.filterNot(known)
+    val srcSegs =
+      if (newSrc.isEmpty) parentSrcSegs
+      else parentSrcSegs :+ writeSourceSegment(ident, newSrc)
+    val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(), d.op,
+      files = refs.flatMap(r => readSegment(ident, r.name)),
+      sourceFiles = srcSegs.flatMap(n => readSourceSegment(ident, n)),
+      manifests = refs, sourceSegments = srcSegs)
+    m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
+  }
+
+  /** Bound the segment count: past `manifest.max-segments` (default 64),
+    * merge the SMALLEST segments into one. Write cost = the merged
+    * entries only; merging smallest-first keeps total rewrite work
+    * O(log)-amortized per file over a table's life — a long streaming
+    * append chain never accumulates unbounded tiny segments, and never
+    * pays a full-manifest rewrite either.
+    */
+  private def mergeSmallSegments(
+      ident: String, refs: Seq[ManifestRef], props: Map[String, String]): Seq[ManifestRef] = {
+    val maxSegs = Option(props).flatMap(_.get("manifest.max-segments"))
+      .flatMap(_.toIntOption).getOrElse(64)
+    if (refs.length <= maxSegs) return refs
+    val sorted = refs.sortBy(_.fileCount)
+    val (small, rest) = sorted.splitAt(refs.length - maxSegs + 1)
+    rest :+ writeSegment(ident, small.flatMap(r => readSegment(ident, r.name)))
   }
 
   // ---- insert -----------------------------------------------------------
@@ -636,13 +961,7 @@ class IceCatalog(spark: SparkSession, root: String) {
 
     val files = writeArranged(ident, toInsert, meta)
     if (options.noCommit) return meta
-    commit(ident, m => {
-      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(), "append",
-        (m.current.map(_.files).getOrElse(Seq.empty)) ++ files,
-        (m.snapshots.flatMap(_.sourceFiles).distinct ++ incoming).distinct)
-      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    })
+    commitSnap(ident)(_ => SnapDelta("append", add = files, addSources = incoming))
   }
 
   /** Hive directory name for one partition field. Identity transforms get a
@@ -775,13 +1094,7 @@ class IceCatalog(spark: SparkSession, root: String) {
     }
     if (options.noCommit) return meta
     val added = toAdd.map(_.toUri.toString)
-    commit(ident, m => {
-      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(), "append",
-        (m.current.map(_.files).getOrElse(Seq.empty)) ++ newFiles,
-        (m.snapshots.flatMap(_.sourceFiles) ++ added).distinct)
-      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    })
+    commitSnap(ident)(_ => SnapDelta("append", add = newFiles, addSources = added))
   }
 
   /** Replace the table's entire contents with `df` in ONE snapshot commit
@@ -792,12 +1105,8 @@ class IceCatalog(spark: SparkSession, root: String) {
   def overwrite(ident: String, df: DataFrame): TableMeta = {
     val meta = loadMeta(ident)
     val files = writeArranged(ident, df.select(meta.schema.fieldNames.map(col): _*), meta)
-    commit(ident, m => {
-      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
-        "overwrite", files, m.snapshots.flatMap(_.sourceFiles).distinct)
-      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    }, basedOn = Some(meta.currentSnapshotId))
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("overwrite", add = files, replaceAll = true))
   }
 
   /** Keyed upsert (MERGE semantics): rows in `df` replace existing rows
@@ -820,19 +1129,15 @@ class IceCatalog(spark: SparkSession, root: String) {
     val affected = existing
       .join(broadcast(keys), keyCols, "left_semi")
       .select(col("__file")).distinct().collect().map(r => fsPath(r.getString(0))).toSet
-    val (rewrite, keep) = cur.files.partition(f => affected.contains(fsPath(f.path)))
+    val (rewrite, _) = cur.files.partition(f => affected.contains(fsPath(f.path)))
     val survivors =
       if (rewrite.isEmpty) None
       else Some(readFiles(meta, rewrite)
         .join(broadcast(keys), keyCols, "left_anti"))
     val rewritten = survivors.map(writeArranged(ident, _, meta)).getOrElse(Seq.empty)
     val appended = writeArranged(ident, df.select(meta.schema.fieldNames.map(col): _*), meta)
-    commit(ident, m => {
-      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
-        "overwrite", keep ++ rewritten ++ appended, m.snapshots.flatMap(_.sourceFiles).distinct)
-      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    }, basedOn = Some(meta.currentSnapshotId))
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("overwrite", drop = affected, add = rewritten ++ appended))
   }
 
   /** Manifest entries for freshly written files, read from the parquet
@@ -860,15 +1165,28 @@ class IceCatalog(spark: SparkSession, root: String) {
   /** One file's manifest entry from its parquet footer (row count, size,
     * per-column stats) — O(1) driver-side footer read, no scan.
     */
-  private def footerMeta(
-      p: Path, schema: StructType, schemaId: Int,
-      partition: Map[String, String]): DataFileMeta = {
-    val sparkType = schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+  /** One parquet footer, driver-side — O(1) IO, no scan. */
+  private[graft] def readFooter(
+      p: Path): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri),
         spark.sessionState.newHadoopConf()))
-    val footer = try reader.getFooter finally reader.close()
+    try reader.getFooter finally reader.close()
+  }
+
+  /** Whether every column of a footer's schema carries a field id. */
+  private def footerHasFieldIds(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): Boolean = {
+    val fields = footer.getFileMetaData.getSchema.getFields.asScala
+    fields.nonEmpty && fields.forall(_.getId != null)
+  }
+
+  private def footerMeta(
+      p: Path, schema: StructType, schemaId: Int,
+      partition: Map[String, String]): DataFileMeta = {
+    val sparkType = schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    val footer = readFooter(p)
     val blocks = footer.getBlocks.asScala.toSeq
     val rowCount = blocks.map(_.getRowCount).sum
     val chunksByCol = blocks.flatMap(_.getColumns.asScala)
@@ -876,10 +1194,8 @@ class IceCatalog(spark: SparkSession, root: String) {
     val stats = chunksByCol.flatMap { case (name, chunks) =>
       sparkType.get(name).flatMap(t => mergeFooterStats(t, chunks)).map(name -> _)
     }
-    val schemaFields = footer.getFileMetaData.getSchema.getFields.asScala
-    val hasIds = schemaFields.nonEmpty && schemaFields.forall(_.getId != null)
     DataFileMeta(p.toUri.toString, rowCount, Files.size(p), partition, stats, schemaId,
-      hasFieldIds = hasIds)
+      hasFieldIds = footerHasFieldIds(footer))
   }
 
   /** Fold one column's per-row-group footer statistics into a manifest
@@ -1065,14 +1381,11 @@ class IceCatalog(spark: SparkSession, root: String) {
       purge: Boolean = false): Seq[String] = {
     val meta = loadMeta(ident)
     val cur = meta.current.getOrElse(return Seq.empty)
-    val (drop, keep) = cur.files.partition(f => filters.forall(matches(f, _, meta)))
+    val (drop, _) = cur.files.partition(f => filters.forall(matches(f, _, meta)))
     if (drop.isEmpty || dryRun) return drop.map(_.path)
-    commit(ident, m => {
-      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
-        "delete", keep, m.snapshots.flatMap(_.sourceFiles).distinct)
-      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    }, basedOn = Some(meta.currentSnapshotId))
+    val dropPaths = drop.map(f => fsPath(f.path)).toSet
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("delete", drop = dropPaths))
     if (purge) drop.foreach(f =>
       try Files.deleteIfExists(Paths.get(new java.net.URI(f.path).getPath))
       catch { case _: Exception => })
@@ -1091,19 +1404,15 @@ class IceCatalog(spark: SparkSession, root: String) {
       .select(input_file_name().as("f")).distinct().collect()
       .map(r => fsPath(r.getString(0))).toSet
     if (affected.isEmpty) return meta
-    val (rewrite, keep) = cur.files.partition(f => affected.contains(fsPath(f.path)))
+    val (rewrite, _) = cur.files.partition(f => affected.contains(fsPath(f.path)))
     // SQL DELETE semantics: only rows where the predicate is TRUE go; rows
     // where it evaluates to NULL (e.g. a null in a predicate column) stay.
     // A bare .filter(!predicate) would silently drop them.
     val survivors = readFiles(meta, rewrite)
       .filter(not(coalesce(predicate, lit(false))))
     val newFiles = writeArranged(ident, survivors, meta)
-    commit(ident, m => {
-      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
-        "overwrite", keep ++ newFiles, m.snapshots.flatMap(_.sourceFiles).distinct)
-      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    }, basedOn = Some(meta.currentSnapshotId))
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("overwrite", drop = affected, add = newFiles))
   }
 
   // ---- introspection (Describe*/List*/Files commands) -------------------
@@ -1123,14 +1432,14 @@ class IceCatalog(spark: SparkSession, root: String) {
     */
   def rollbackTo(ident: String, snapshotId: Long): TableMeta = {
     val meta = loadMeta(ident)
-    val target = meta.snapshot(snapshotId).getOrElse(
-      throw new IllegalArgumentException(s"no snapshot $snapshotId"))
-    commit(ident, m => {
-      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
-        "rollback", target.files, m.snapshots.flatMap(_.sourceFiles).distinct)
-      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    }, basedOn = Some(meta.currentSnapshotId))
+    require(meta.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId")
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId)) { m =>
+      val target = m.snapshot(snapshotId).get
+      // adopt the target's segments by reference (zero manifest rewrite);
+      // a legacy inline target re-segments its list once
+      if (target.manifests != null) SnapDelta("rollback", reuseRefs = target.manifests)
+      else SnapDelta("rollback", add = target.files, replaceAll = true)
+    }
   }
 
   /** One-stop metadata report (DescribeMetadata.java options SUMMARY /
@@ -1258,12 +1567,8 @@ class IceCatalog(spark: SparkSession, root: String) {
     val nOut = math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt)
     val df = readFiles(meta, cur.files)
     val files = writeArranged(ident, df, meta, coalesceTo = Some(nOut))
-    commit(ident, m => {
-      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
-        "replace", files, m.snapshots.flatMap(_.sourceFiles).distinct)
-      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    }, basedOn = Some(meta.currentSnapshotId))
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("replace", add = files, replaceAll = true))
   }
 
   /** Z-order compaction: rewrite the current snapshot clustered on the
@@ -1351,12 +1656,8 @@ class IceCatalog(spark: SparkSession, root: String) {
     }
     val files = collectFileMeta(dataDir.toString, meta.schema, meta.partitionSpec,
       schemaId = meta.schemaLog.length - 1)
-    commit(ident, m => {
-      val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-      val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(),
-        "replace", files, m.snapshots.flatMap(_.sourceFiles).distinct)
-      m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
-    }, basedOn = Some(meta.currentSnapshotId))
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("replace", add = files, replaceAll = true))
   }
 
   // ---- schema evolution (AlterTable.java:44-51 update surface) ----------
@@ -1495,8 +1796,17 @@ class IceCatalog(spark: SparkSession, root: String) {
 
   /** Delete data files under the table's directory that no remaining
     * snapshot references (OrphanCleanup semantics). Returns removed paths.
+    * Also garbage-collects manifest JSONs (segments / source segments /
+    * manifest lists) unreachable from every retained snapshot — expired
+    * snapshots, merged-away segments, rolled-back group commits — subject
+    * to `manifestGraceMs`: a freshly written manifest may belong to an
+    * in-flight commit that hasn't published its version yet, so only
+    * files older than the grace window are collected.
     */
-  def cleanOrphans(ident: String, dryRun: Boolean = false): Seq[String] = {
+  def cleanOrphans(
+      ident: String,
+      dryRun: Boolean = false,
+      manifestGraceMs: Long = 3600 * 1000L): Seq[String] = {
     val meta = loadMeta(ident)
     val referenced = meta.snapshots.flatMap(_.files.map(f =>
       Paths.get(new java.net.URI(f.path).getPath).normalize.toString)).toSet
@@ -1507,15 +1817,62 @@ class IceCatalog(spark: SparkSession, root: String) {
       .map(_.normalize.toString)
       .filterNot(referenced.contains)
       .toSeq
-    if (!dryRun) orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    if (!dryRun) {
+      orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      val mDir = manifestsDir(ident)
+      if (Files.isDirectory(mDir)) {
+        val live = meta.snapshots.flatMap(s =>
+          Option(s.manifestList).toSeq ++
+            Option(s.manifests).map(_.map(_.name)).getOrElse(Seq.empty) ++
+            Option(s.sourceSegments).getOrElse(Seq.empty)).toSet
+        val cutoff = System.currentTimeMillis() - manifestGraceMs
+        Files.list(mDir).iterator().asScala
+          .filter(p => !live.contains(p.getFileName.toString) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
     orphans
   }
 
-  /** Export all table metadata as one JSON blob (CatalogExport.java). */
+  /** Maintenance: re-probe the `hasFieldIds` flag from every current data
+    * file's footer and commit corrected manifest entries. Pre-flag
+    * manifest entries (r3 and earlier) deserialized with the default
+    * `true`, so an id-less no-copy file registered BEFORE the flag existed
+    * would take the id-resolved scan path after a schema evolution and
+    * read all-null via SQL — this pass heals such tables in place (one
+    * bounded-parallel footer sweep, one metadata-only commit). Returns the
+    * number of corrected entries.
+    */
+  def backfillFieldIdFlags(ident: String): Int = {
+    val meta = loadMeta(ident)
+    val cur = meta.current.getOrElse(return 0)
+    if (cur.files.isEmpty) return 0
+    val flags = inParallel(cur.files) { f =>
+      f.path -> footerHasFieldIds(readFooter(Paths.get(new java.net.URI(f.path).getPath)))
+    }.toMap
+    val wrong = cur.files.filter(f => f.hasFieldIds != flags(f.path))
+    if (wrong.isEmpty) return 0
+    val wrongPaths = wrong.map(f => fsPath(f.path)).toSet
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("replace", drop = wrongPaths,
+        add = wrong.map(f => f.copy(hasFieldIds = flags(f.path)))))
+    wrong.length
+  }
+
+  /** Export all table metadata as one JSON blob (CatalogExport.java).
+    * Snapshots are emitted INLINE (manifest refs stripped): the blob is
+    * self-contained and importable into a catalog root that has no
+    * segment files — importCatalog's writeVersion re-segments them there.
+    */
   def exportCatalog(): String = {
     val tables = for {
       ns <- listNamespaces(); t <- listTables(ns)
-    } yield loadMeta(s"$ns.$t")
+    } yield {
+      val m = loadMeta(s"$ns.$t")
+      m.copy(snapshots = m.snapshots.map(_.copy(
+        manifests = null, sourceSegments = null, manifestList = null)))
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(tables)
   }
 

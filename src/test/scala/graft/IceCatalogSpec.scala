@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
@@ -363,6 +365,114 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.insert("ns1.g1", Seq((2L, "b")).toDF("k", "v"))
     assert(cat.scan("ns1.g1").count() == 2)
     cat.dropTable("ns1.g1"); cat.dropTable("ns1.g2")
+  }
+
+  test("append to a many-file table writes O(appended) manifest bytes") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(128)
+    cat.createTable("ns1.inc", df.schema)
+    cat.insert("ns1.inc", df)
+    assert(cat.files("ns1.inc").length >= 100, "need a many-file table")
+    val mDir = java.nio.file.Paths.get(root, "ns1", "inc", "metadata", "manifests")
+    def manifestSizes: Map[String, Long] = {
+      val s = Files.list(mDir)
+      try s.iterator().asScala.map(p => p.getFileName.toString -> Files.size(p)).toMap
+      finally s.close()
+    }
+    val before = manifestSizes
+    val fullManifestBytes = before.filter(_._1.startsWith("seg-")).values.sum
+    cat.insert("ns1.inc", Seq((999999L, "x")).toDF("k", "v").coalesce(1))
+    val delta = manifestSizes -- before.keySet
+    val deltaBytes = delta.values.sum
+    assert(deltaBytes > 0 && deltaBytes * 5 < fullManifestBytes,
+      s"append wrote $deltaBytes manifest bytes against a $fullManifestBytes-byte " +
+        "manifest — the commit path must be O(delta), not O(table)")
+    // the version file itself carries pointers, never inline file entries
+    val metaDir = java.nio.file.Paths.get(root, "ns1", "inc", "metadata")
+    val vJson = Files.readString(metaDir.resolve(
+      s"v${Files.readString(metaDir.resolve("version-hint.txt")).trim}.json"))
+    assert(!vJson.contains("\"rowCount\""), "v.json must not embed the file manifest")
+    // contents intact across the format
+    assert(cat.scan("ns1.inc").count() == 4001)
+    cat.dropTable("ns1.inc")
+  }
+
+  test("a rolled-back group commit burns its version slot — never republished") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    cat.createTable("ns1.b1", df.schema)
+    cat.createTable("ns1.b2", df.schema)
+    cat.insert("ns1.b1", df)
+    cat.insert("ns1.b2", df)
+    val meta1 = java.nio.file.Paths.get(root, "ns1", "b1", "metadata")
+    val vBefore = Files.readString(meta1.resolve("version-hint.txt")).trim.toInt
+    // b1 publishes first (sorted order); b2's publish then fails because its
+    // own lambda sabotaged the metadata dir — phase-2 IO failure → rollback
+    intercept[Exception] {
+      cat.commitGroup(Seq(
+        "ns1.b1" -> ((m: TableMeta) => m.copy(properties = m.properties + ("x" -> "1"))),
+        "ns1.b2" -> ((m: TableMeta) => {
+          val d = java.nio.file.Paths.get(root, "ns1", "b2", "metadata")
+          Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          m
+        })))
+    }
+    val burned = vBefore + 1
+    assert(Files.exists(meta1.resolve(s"v$burned.burned")) &&
+      !Files.exists(meta1.resolve(s"v$burned.json")),
+      "rolled-back version must be burned, not freed for reuse")
+    assert(!cat.loadMeta("ns1.b1").properties.contains("x"))
+    // the next commit lands PAST the burned slot: a reader that cached the
+    // rolled-back v can never be served different content under that number
+    cat.insert("ns1.b1", Seq((2L, "b")).toDF("k", "v"))
+    assert(Files.exists(meta1.resolve(s"v${burned + 1}.json")) &&
+      !Files.exists(meta1.resolve(s"v$burned.json")))
+    assert(cat.scan("ns1.b1").count() == 2)
+    cat.dropTable("ns1.b1"); cat.dropTable("ns1.b2")
+  }
+
+  test("backfillFieldIdFlags heals pre-flag id-less no-copy entries") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    cat.createTable("ns1.bf", df.schema)
+    val ext = Files.createTempDirectory("bfext")
+    df.coalesce(1).write.mode("overwrite").parquet(ext.toString)
+    val pf = {
+      val s = Files.walk(ext)
+      try s.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    cat.addFiles("ns1.bf", Seq(pf.toString), forceOutsideLocation = true)
+    assert(cat.files("ns1.bf").forall(!_.hasFieldIds), "plain Spark files carry no ids")
+    // simulate a PRE-FLAG manifest (r3 and earlier): the flag deserialized
+    // to the old default `true` — doctor the segment to that state
+    val segDir = java.nio.file.Paths.get(root, "ns1", "bf", "metadata", "manifests")
+    val s = Files.list(segDir)
+    try s.iterator().asScala.filter(_.getFileName.toString.startsWith("seg-")).foreach { p =>
+      Files.writeString(p,
+        Files.readString(p).replace("\"hasFieldIds\":false", "\"hasFieldIds\":true"))
+    } finally s.close()
+    IceCatalog.cacheInvalidate(root, "ns1.bf")
+    assert(cat.files("ns1.bf").forall(_.hasFieldIds), "doctored state in place")
+    assert(cat.backfillFieldIdFlags("ns1.bf") == 1)
+    assert(cat.files("ns1.bf").forall(!_.hasFieldIds),
+      "footer probe must correct the stale flag")
+    assert(cat.backfillFieldIdFlags("ns1.bf") == 0, "idempotent")
+    cat.dropTable("ns1.bf")
+  }
+
+  test("an expired commit lease is stolen, not waited out") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    cat.createTable("ns1.lk", df.schema)
+    cat.insert("ns1.lk", df)
+    // a crashed holder: lease expired long ago
+    val lock = java.nio.file.Paths.get(root, "ns1", "lk", "metadata", "commit.lock")
+    Files.writeString(lock, s"${System.currentTimeMillis() - 60000}:dead-holder")
+    cat.insert("ns1.lk", Seq((2L, "b")).toDF("k", "v")) // must not time out
+    assert(cat.scan("ns1.lk").count() == 2)
+    assert(!Files.exists(lock), "stolen + released")
+    cat.dropTable("ns1.lk")
   }
 
   test("crashed rename (dir moved, commit lost) self-heals on load") {
