@@ -26,6 +26,7 @@ object Queries {
     "q11_pivot" -> (Relational.q11Pivot _),
     "q12_histogram" -> (Relational.q12Histogram _),
     "q13_grouping_sets" -> (Relational.q13GroupingSets _),
+    "q14_skew_agg" -> (Skew.q14SkewAgg _),
     "a1_asof_join" -> (Joins.asofJoin _),
     "a2_range_join" -> (Joins.rangeJoin _),
     "p1_pipeline" -> (Pipeline.curate _),
@@ -116,6 +117,11 @@ object Queries {
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin,
+    "q14_skew_agg" ->
+      """SELECT CASE WHEN l_orderkey % 10 < 7 THEN 'HOT'
+        |            ELSE 'k' || CAST(CAST(l_orderkey % 97 AS INT) AS VARCHAR) END AS skew_key,
+        | round(sum(l_quantity), 2) AS sum_value, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY skew_key""".stripMargin,
     "a1_asof_join" ->
       """WITH u AS (
         |  SELECT epoch_us(ts) AS us, event_id, user_id,

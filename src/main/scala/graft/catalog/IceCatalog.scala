@@ -297,7 +297,7 @@ object IceCatalog {
   }
 }
 
-class IceCatalog(spark: SparkSession, root: String) {
+class IceCatalog(private[graft] val spark: SparkSession, root: String) {
   import IceCatalog._
 
   /** Run `body` with session confs set, restoring prior values after: the

@@ -198,6 +198,18 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
       .coalesce(nPart).localCheckpoint()
+    // (count, xor-of-edge-hashes) fingerprint: order-independent,
+    // overflow-free, computed in ONE narrow agg over the checkpointed
+    // edges. Unequal fingerprints prove the round changed something, so
+    // the O(E) `except` confirmation only runs on the candidate final
+    // round instead of every round (~25% fewer wide ops per round).
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L)).as("chk")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edgesFp = fingerprint(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < 64) {
@@ -222,8 +234,10 @@ object Dedup {
         .union(joined.select(col("u").as("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
         .coalesce(nPart).localCheckpoint()
-      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      val ssFp = fingerprint(ss)
+      converged = ssFp == edgesFp && ss.except(edges).isEmpty
       edges = ss
+      edgesFp = ssFp
       iter += 1
     }
     require(converged, s"star contraction did not converge in $iter rounds")

@@ -25,4 +25,21 @@ object Skew {
       .groupBy(keys: _*)
       .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("cnt"))
   }
+
+  /** q14_skew_agg: salted aggregation over a deliberately pathological key
+    * distribution — ~70% of lineitem rows collapse onto one 'HOT' key, the
+    * worst case for a plain hash aggregate (one reducer owns 70% of a
+    * 100 TB table). The salted two-stage plan bounds every task at
+    * 1/salts of the hot key instead.
+    */
+  def q14SkewAgg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .withColumn("skew_key",
+        when(pmod(col("l_orderkey"), lit(10)) < 7, lit("HOT"))
+          .otherwise(concat(lit("k"),
+            pmod(col("l_orderkey"), lit(97)).cast("int").cast("string"))))
+    saltedSumCount(li, Seq(col("skew_key")), col("l_quantity"))
+      .select(col("skew_key"), round(col("sum_value"), 2).as("sum_value"), col("cnt"))
+      .orderBy("skew_key")
+  }
 }

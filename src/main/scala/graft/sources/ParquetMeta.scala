@@ -8,12 +8,15 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.catalog.IceCatalog
+
 /** Parquet footer introspection — the reference's `describe-parquet`
   * (cmd/DescribeParquet.java:66-230): file summary, per-row-group and
   * per-column-chunk metadata as DataFrames. Footer reads are O(footer),
-  * never data; for a directory of files the listing is distributed by
-  * file via the driver's executor pool if needed (here: sequential, the
-  * driver-side metadata path).
+  * never data. Multi-file forms fan the footer reads out on the shared
+  * bounded metadata-IO pool ([[IceCatalog.inParallel]]) — the same path
+  * no-copy registration uses — so describing a many-thousand-file table
+  * is storage-latency bound, not file-count bound.
   */
 object ParquetMeta {
 
@@ -26,19 +29,36 @@ object ParquetMeta {
       encodings: String, compressedBytes: Long, nullCount: Long,
       minValue: String, maxValue: String)
 
+  /** Thread names that performed footer reads — observability for the
+    * parallel-read spec (same pattern as IceCatalog.segmentParses).
+    */
+  private[graft] val footerThreads =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def footer(path: String) = {
+    footerThreads.add(Thread.currentThread().getName)
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), new Configuration()))
     try reader.getFooter finally reader.close()
   }
 
+  /** Footers for many files, read on the shared bounded pool in input
+    * order. One slow object-store round-trip per file, 16 in flight.
+    */
+  private def footers(paths: Seq[String]) = IceCatalog.inParallel(paths)(footer)
+
   /** Summary per row group. */
-  def rowGroups(spark: SparkSession, path: String): DataFrame = {
+  def rowGroups(spark: SparkSession, path: String): DataFrame =
+    rowGroupsOf(spark, Seq(path))
+
+  /** Row-group summary over many files (parallel footer reads). */
+  def rowGroupsOf(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    val meta = footer(path)
-    meta.getBlocks.asScala.zipWithIndex.map { case (b, i) =>
-      RowGroupInfo(path, i, b.getRowCount, b.getCompressedSize, b.getTotalByteSize)
-    }.toSeq.toDF()
+    paths.zip(footers(paths)).flatMap { case (path, meta) =>
+      meta.getBlocks.asScala.zipWithIndex.map { case (b, i) =>
+        RowGroupInfo(path, i, b.getRowCount, b.getCompressedSize, b.getTotalByteSize)
+      }
+    }.toDF()
   }
 
   /** t10: row-group/column-chunk introspection of a table file, shaped to
@@ -66,20 +86,36 @@ object ParquetMeta {
   }
 
   /** Column-chunk detail incl. footer statistics. */
-  def columnChunks(spark: SparkSession, path: String): DataFrame = {
+  def columnChunks(spark: SparkSession, path: String): DataFrame =
+    columnChunksOf(spark, Seq(path))
+
+  /** Column-chunk detail over many files (parallel footer reads). */
+  def columnChunksOf(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    val meta = footer(path)
-    meta.getBlocks.asScala.zipWithIndex.flatMap { case (b, i) =>
-      b.getColumns.asScala.map { c =>
-        val st = c.getStatistics
-        ColumnChunkInfo(
-          path, i, c.getPath.toDotString, c.getPrimitiveType.getPrimitiveTypeName.toString,
-          c.getEncodings.asScala.map(_.toString).toSeq.sorted.mkString(","),
-          c.getTotalSize,
-          if (st != null && st.isNumNullsSet) st.getNumNulls else -1L,
-          if (st != null && st.hasNonNullValue) String.valueOf(st.genericGetMin) else null,
-          if (st != null && st.hasNonNullValue) String.valueOf(st.genericGetMax) else null)
+    paths.zip(footers(paths)).flatMap { case (path, meta) =>
+      meta.getBlocks.asScala.zipWithIndex.flatMap { case (b, i) =>
+        b.getColumns.asScala.map { c =>
+          val st = c.getStatistics
+          ColumnChunkInfo(
+            path, i, c.getPath.toDotString, c.getPrimitiveType.getPrimitiveTypeName.toString,
+            c.getEncodings.asScala.map(_.toString).toSeq.sorted.mkString(","),
+            c.getTotalSize,
+            if (st != null && st.isNumNullsSet) st.getNumNulls else -1L,
+            if (st != null && st.hasNonNullValue) String.valueOf(st.genericGetMin) else null,
+            if (st != null && st.hasNonNullValue) String.valueOf(st.genericGetMax) else null)
+        }
       }
-    }.toSeq.toDF()
+    }.toDF()
   }
+
+  /** Directory-level `describe-parquet` over a CATALOG TABLE: every live
+    * data file of the current snapshot, resolved through the manifest (so
+    * deleted/rewritten files never appear), footers read in parallel.
+    */
+  def describeTable(catalog: IceCatalog, ident: String): DataFrame =
+    columnChunksOf(catalog.spark, catalog.files(ident).map(_.path))
+
+  /** Row-group summary for a catalog table, through the manifest. */
+  def describeTableRowGroups(catalog: IceCatalog, ident: String): DataFrame =
+    rowGroupsOf(catalog.spark, catalog.files(ident).map(_.path))
 }

@@ -283,6 +283,27 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.listTables("ns1") == Seq("li"))
   }
 
+  test("describeTable reads many footers in parallel through the manifest") {
+    import graft.sources.ParquetMeta
+    val df = spark.range(0, 2000).selectExpr("id", "id * 2 AS v")
+    cat.createTable("ns1.manyfiles", df.schema)
+    // 20 separate inserts -> >= 20 data files in the current snapshot
+    (0 until 20).foreach { i =>
+      cat.insert("ns1.manyfiles",
+        df.filter(col("id") % 20 === i).coalesce(1),
+        InsertOptions(forceDuplicates = true))
+    }
+    assert(cat.files("ns1.manyfiles").size >= 20)
+    ParquetMeta.footerThreads.clear()
+    val rg = ParquetMeta.describeTableRowGroups(cat, "ns1.manyfiles")
+    assert(rg.agg(sum("rowCount")).head().getLong(0) == 2000L)
+    val cc = ParquetMeta.describeTable(cat, "ns1.manyfiles")
+    assert(cc.select("file").distinct().count() == cat.files("ns1.manyfiles").size)
+    assert(ParquetMeta.footerThreads.asScala.count(_.startsWith("graft-meta-io")) > 1,
+      "many-file describe must fan footer reads over the shared IO pool")
+    cat.dropTable("ns1.manyfiles")
+  }
+
   test("string-column stats prune lexicographically, never numerically") {
     import spark.implicits._
     // footer min/max for a STRING column are byte-lexicographic: for

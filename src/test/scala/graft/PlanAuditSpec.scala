@@ -99,6 +99,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti") || p.contains("left_anti"))
   }
 
+  test("q14 salted skew agg plans two aggregation stages keyed on (key, salt)") {
+    val p = plan("q14_skew_agg")
+    // stage 1 groups by (skew_key, __salt), stage 2 by skew_key; each stage
+    // is partial+final, so the physical plan carries >= 4 HashAggregates —
+    // the shape that bounds any single task at 1/salts of the hot key
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "salted two-stage aggregation must plan two HashAggregate pairs")
+    assert(p.contains("__salt"), "stage 1 must group by the salt column")
+  }
+
   test("whole-stage codegen covers the custom kernels") {
     // executedPlan marks codegen stages with "*(n)" — but only once AQE
     // has finalized the plan, so execute first
