@@ -1806,14 +1806,22 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
   def cleanOrphans(
       ident: String,
       dryRun: Boolean = false,
-      manifestGraceMs: Long = 3600 * 1000L): Seq[String] = {
+      manifestGraceMs: Long = 3600 * 1000L,
+      olderThanMillis: Long = 0): Seq[String] = {
     val meta = loadMeta(ident)
     val referenced = meta.snapshots.flatMap(_.files.map(f =>
       Paths.get(new java.net.URI(f.path).getPath).normalize.toString)).toSet
     val dataDir = tableDir(ident).resolve("data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
+    // age gate (OrphanCleanup.java:126-133): a just-written file may belong
+    // to an insert that hasn't committed yet — only files older than the
+    // retention window are orphan candidates
+    val ageCutoff =
+      if (olderThanMillis > 0) System.currentTimeMillis() - olderThanMillis
+      else Long.MaxValue
     val orphans = Files.walk(dataDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < ageCutoff)
       .map(_.normalize.toString)
       .filterNot(referenced.contains)
       .toSeq
@@ -1833,6 +1841,31 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       }
     }
     orphans
+  }
+
+  /** Manifest compaction (maintenance/ManifestCompaction.java semantics —
+    * Iceberg's rewriteManifests): merge the current snapshot's smallest
+    * manifest segments down to `maxSegments` in one METADATA-ONLY commit.
+    * Data files are untouched; a long append chain's many tiny segments
+    * collapse so subsequent planning reads O(maxSegments) manifest files.
+    */
+  def compactManifests(ident: String, maxSegments: Int = 1): TableMeta = {
+    require(maxSegments >= 1, "maxSegments must be >= 1")
+    val meta = loadMeta(ident)
+    val cur = meta.current.getOrElse(return meta)
+    val refs0 = Option(cur.manifests).getOrElse(Seq.empty)
+    if (refs0.nonEmpty && refs0.length <= maxSegments) return meta
+    val newRefs =
+      if (refs0.isEmpty) {
+        if (cur.files.isEmpty) return meta
+        Seq(writeSegment(ident, cur.files)) // legacy inline snapshot: segment once
+      } else {
+        val sorted = refs0.sortBy(_.fileCount)
+        val (small, rest) = sorted.splitAt(refs0.length - maxSegments + 1)
+        rest :+ writeSegment(ident, small.flatMap(r => readSegment(ident, r.name)))
+      }
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("rewrite-manifests", reuseRefs = newRefs))
   }
 
   /** Maintenance: re-probe the `hasFieldIds` flag from every current data

@@ -1,0 +1,183 @@
+package graft.catalog
+
+import java.util.concurrent.{Executors, ScheduledFuture, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
+
+/** Policy-driven catalog maintenance — the reference's scheduled runner
+  * (ice-rest-catalog/internal/maintenance/MaintenanceScheduler.java,
+  * MaintenanceRunner.java) re-expressed Spark-side. The reference drives
+  * one catalog-wide MaintenanceConfig (config/MaintenanceConfig.java, with
+  * a "TODO: per-table maintenance config" at config/Config.java:53); here
+  * each table opts in and tunes thresholds through TABLE PROPERTIES
+  * layered over catalog-level defaults, so one runner serves tables with
+  * different retention contracts:
+  *
+  *   maintenance.jobs                    comma list of: snapshot_cleanup,
+  *                                       data_compaction, orphan_cleanup,
+  *                                       manifest_compaction
+  *   maintenance.expire.ttl-hours        snapshot TTL (0 = expire all
+  *                                       non-retained; default 120 = 5 days,
+  *                                       MaintenanceConfig.java:59)
+  *   maintenance.expire.min-snapshots    always retain last N (default 1)
+  *   maintenance.compact.target-file-mb  compaction target (default 512)
+  *   maintenance.compact.min-input-files small files needed to trigger
+  *                                       (default 5)
+  *   maintenance.orphan.retention-days   orphan age before delete
+  *                                       (default 3; OrphanCleanup age gate)
+  *   maintenance.manifest.max-segments   segment-count target (default 8)
+  *   maintenance.dry-run                 report without applying
+  *
+  * A table with no `maintenance.jobs` property (and no catalog default)
+  * is never touched — maintenance is opt-in, like the reference's empty
+  * schedule disabling it.
+  */
+object Maintenance {
+
+  val JobSnapshotCleanup = "snapshot_cleanup"
+  val JobDataCompaction = "data_compaction"
+  val JobOrphanCleanup = "orphan_cleanup"
+  val JobManifestCompaction = "manifest_compaction"
+  val AllJobs: Set[String] =
+    Set(JobSnapshotCleanup, JobDataCompaction, JobOrphanCleanup, JobManifestCompaction)
+
+  /** Effective thresholds for one table (MaintenanceConfig.java defaults). */
+  case class Policy(
+      jobs: Set[String] = Set.empty,
+      ttlHours: Long = 120,
+      minSnapshots: Int = 1,
+      targetFileMB: Int = 512,
+      minInputFiles: Int = 5,
+      orphanRetentionDays: Int = 3,
+      maxManifestSegments: Int = 8,
+      dryRun: Boolean = false)
+
+  /** Table properties override catalog defaults key by key. */
+  def resolvePolicy(props: Map[String, String], defaults: Policy): Policy = {
+    val p = Option(props).getOrElse(Map.empty)
+    def str(k: String): Option[String] = p.get(k).map(_.trim).filter(_.nonEmpty)
+    val jobs = str("maintenance.jobs") match {
+      case Some(s) => s.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+      case None => defaults.jobs
+    }
+    val unknown = jobs.diff(AllJobs)
+    require(unknown.isEmpty, s"unknown maintenance jobs: ${unknown.mkString(", ")}")
+    Policy(
+      jobs = jobs,
+      ttlHours = str("maintenance.expire.ttl-hours").map(_.toLong)
+        .getOrElse(defaults.ttlHours),
+      minSnapshots = str("maintenance.expire.min-snapshots").map(_.toInt)
+        .getOrElse(defaults.minSnapshots),
+      targetFileMB = str("maintenance.compact.target-file-mb").map(_.toInt)
+        .getOrElse(defaults.targetFileMB),
+      minInputFiles = str("maintenance.compact.min-input-files").map(_.toInt)
+        .getOrElse(defaults.minInputFiles),
+      orphanRetentionDays = str("maintenance.orphan.retention-days").map(_.toInt)
+        .getOrElse(defaults.orphanRetentionDays),
+      maxManifestSegments = str("maintenance.manifest.max-segments").map(_.toInt)
+        .getOrElse(defaults.maxManifestSegments),
+      dryRun = str("maintenance.dry-run").map(_.toBoolean).getOrElse(defaults.dryRun))
+  }
+
+  /** One job's outcome on one table; `detail` is human-readable counts. */
+  case class Report(table: String, job: String, detail: String, error: Option[String] = None)
+
+  /** Applies each table's resolved policy. Per-table failures are isolated
+    * (reported, not thrown) — one broken table must not starve the rest of
+    * the catalog of maintenance, matching MaintenanceScheduler.java:100-102
+    * catching per-run exceptions.
+    */
+  class Runner(cat: IceCatalog, defaults: Policy = Policy()) {
+
+    def run(): Seq[Report] =
+      for {
+        ns <- cat.listNamespaces()
+        t <- cat.listTables(ns)
+        r <- runTable(s"$ns.$t")
+      } yield r
+
+    def runTable(ident: String): Seq[Report] = {
+      val policy =
+        try resolvePolicy(cat.loadMeta(ident).properties, defaults)
+        catch {
+          case e: Exception =>
+            return Seq(Report(ident, "resolve", "", Some(e.toString)))
+        }
+      // fixed job order: expire first (fewer live snapshots for the orphan
+      // walk), then data/manifest compaction, then orphan GC of whatever
+      // the preceding jobs unreferenced
+      Seq(JobSnapshotCleanup, JobDataCompaction, JobManifestCompaction, JobOrphanCleanup)
+        .filter(policy.jobs.contains)
+        .map(job =>
+          try perform(ident, job, policy)
+          catch { case e: Exception => Report(ident, job, "", Some(e.toString)) })
+    }
+
+    private def perform(ident: String, job: String, p: Policy): Report = job match {
+      case JobSnapshotCleanup =>
+        val expired = cat.expireSnapshots(
+          ident, maxAgeHours = p.ttlHours, retainLast = p.minSnapshots, dryRun = p.dryRun)
+        Report(ident, job, s"expired=${expired.length}")
+      case JobDataCompaction =>
+        // trigger only when enough sub-target files accumulated
+        // (DataCompaction.java minInputFiles); the rewrite itself is the
+        // catalog's distributed compact()
+        val small = cat.files(ident).count(_.bytes < (p.targetFileMB.toLong << 20))
+        if (small >= p.minInputFiles && !p.dryRun) {
+          val before = cat.files(ident).length
+          cat.compact(ident, p.targetFileMB)
+          Report(ident, job, s"files=$before->${cat.files(ident).length}")
+        } else Report(ident, job, s"skipped smallFiles=$small need=${p.minInputFiles}")
+      case JobManifestCompaction =>
+        def segCount: Int = cat.loadMeta(ident).current
+          .flatMap(s => Option(s.manifests)).map(_.length).getOrElse(0)
+        val before = segCount
+        if (before > p.maxManifestSegments && !p.dryRun) {
+          cat.compactManifests(ident, p.maxManifestSegments)
+          Report(ident, job, s"segments=$before->$segCount")
+        } else Report(ident, job, s"skipped segments=$before max=${p.maxManifestSegments}")
+      case JobOrphanCleanup =>
+        val removed = cat.cleanOrphans(ident, dryRun = p.dryRun,
+          olderThanMillis = p.orphanRetentionDays.toLong * 24 * 3600 * 1000)
+        Report(ident, job, s"removed=${removed.length}")
+    }
+  }
+
+  /** Fixed-interval scheduler (MaintenanceScheduler.java): one daemon
+    * thread, at most one run in flight — a run that overlaps the next
+    * tick is skipped, not queued (isMaintenanceMode semantics at
+    * MaintenanceScheduler.java:86-90). `lastReports` exposes the most
+    * recent run's outcome for observability.
+    */
+  class Scheduler(runner: Runner, intervalMs: Long) {
+    private val running = new AtomicBoolean(false)
+    private val inFlight = new AtomicBoolean(false)
+    val lastReports = new AtomicReference[Seq[Report]](Seq.empty)
+    val runsCompleted = new java.util.concurrent.atomic.AtomicLong(0)
+    private val executor = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-maintenance")
+      t.setDaemon(true)
+      t
+    }
+    private var task: ScheduledFuture[_] = _
+
+    def start(): Unit = synchronized {
+      if (!running.compareAndSet(false, true)) return
+      task = executor.scheduleWithFixedDelay(
+        () =>
+          if (inFlight.compareAndSet(false, true)) {
+            try {
+              lastReports.set(runner.run())
+              runsCompleted.incrementAndGet()
+            } catch { case _: Exception => () } // next tick retries
+            finally inFlight.set(false)
+          },
+        intervalMs, intervalMs, TimeUnit.MILLISECONDS)
+    }
+
+    def stop(): Unit = synchronized {
+      if (!running.compareAndSet(true, false)) return
+      if (task != null) task.cancel(false)
+      executor.shutdown()
+    }
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{IceCatalog, Maintenance}
+import graft.catalog.IceCatalog._
+import graft.catalog.Maintenance._
+
+/** Policy-driven maintenance: jobs fire from TABLE PROPERTIES via the
+  * runner — never from manual calls — and tables without a policy are
+  * untouched.
+  */
+class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-maint-test", cpus = 4)
+  lazy val root: String = Files.createTempDirectory("maintcat").toString
+  lazy val cat = new IceCatalog(spark, root)
+  lazy val runner = new Runner(cat)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def mkTable(name: String, inserts: Int = 3): Unit = {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    cat.createTable(name, df.schema)
+    (1 to inserts).foreach(_ =>
+      cat.insert(name, df, InsertOptions(forceDuplicates = true)))
+  }
+
+  test("expire.ttl property drives snapshot expiry through the runner") {
+    mkTable("m1.ttl", inserts = 4)
+    mkTable("m1.nopolicy", inserts = 4)
+    cat.setProperty("m1.ttl", "maintenance.jobs", "snapshot_cleanup")
+    // ttl-hours=0 = everything past the retained window is expired
+    cat.setProperty("m1.ttl", "maintenance.expire.ttl-hours", "0")
+    cat.setProperty("m1.ttl", "maintenance.expire.min-snapshots", "2")
+    val reports = runner.run()
+    assert(cat.listSnapshots("m1.ttl").length == 2,
+      "runner must expire snapshots down to min-snapshots")
+    assert(cat.listSnapshots("m1.nopolicy").length == 4,
+      "a table with no maintenance.jobs property is never touched")
+    val r = reports.find(r => r.table == "m1.ttl" && r.job == "snapshot_cleanup").get
+    assert(r.detail == "expired=2" && r.error.isEmpty)
+    assert(!reports.exists(_.table == "m1.nopolicy"))
+  }
+
+  test("data compaction triggers on min-input-files of sub-target files") {
+    mkTable("m1.comp", inserts = 6) // 6 tiny files, each far below 512 MB
+    cat.setProperty("m1.comp", "maintenance.jobs", "data_compaction")
+    val rowsBefore = cat.scan("m1.comp").count()
+    val filesBefore = cat.files("m1.comp").length
+    assert(filesBefore >= 5)
+    runner.run()
+    assert(cat.files("m1.comp").length < filesBefore)
+    assert(cat.scan("m1.comp").count() == rowsBefore)
+    // below the (per-table overridden) min-input-files threshold nothing happens
+    mkTable("m1.comp2", inserts = 2)
+    cat.setProperty("m1.comp2", "maintenance.jobs", "data_compaction")
+    cat.setProperty("m1.comp2", "maintenance.compact.min-input-files", "100")
+    val before2 = cat.files("m1.comp2").length
+    val rep = runner.run().find(r => r.table == "m1.comp2").get
+    assert(cat.files("m1.comp2").length == before2 && rep.detail.startsWith("skipped"))
+  }
+
+  test("orphan cleanup respects the retention-days age gate") {
+    mkTable("m1.orph", inserts = 1)
+    cat.setProperty("m1.orph", "maintenance.jobs", "orphan_cleanup")
+    val dataDir = Paths.get(root, "m1", "orph", "data")
+    val stray = dataDir.resolve("stray.parquet")
+    Files.write(stray, Array[Byte](1, 2, 3))
+    // default retention = 3 days: a fresh stray file survives
+    runner.run()
+    assert(Files.exists(stray), "fresh file inside retention window must survive")
+    // retention 0 days = delete any unreferenced file now
+    cat.setProperty("m1.orph", "maintenance.orphan.retention-days", "0")
+    val rep = runner.run().find(r => r.table == "m1.orph").get
+    assert(!Files.exists(stray) && rep.detail == "removed=1")
+    assert(cat.scan("m1.orph").count() == 10, "live data files must survive")
+  }
+
+  test("manifest compaction merges a long append chain's segments") {
+    import spark.implicits._
+    val df = (1 to 4).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    cat.createTable("m1.seg", df.schema)
+    (1 to 6).foreach(_ => cat.insert("m1.seg", df, InsertOptions(forceDuplicates = true)))
+    def segs: Int = cat.loadMeta("m1.seg").current
+      .flatMap(s => Option(s.manifests)).map(_.length).getOrElse(0)
+    assert(segs == 6, "each append adds one segment")
+    cat.setProperty("m1.seg", "maintenance.jobs", "manifest_compaction")
+    cat.setProperty("m1.seg", "maintenance.manifest.max-segments", "2")
+    runner.run()
+    assert(segs <= 2, "runner must merge segments down to the property bound")
+    assert(cat.scan("m1.seg").count() == 24, "metadata-only: rows unchanged")
+  }
+
+  test("dry-run reports but does not apply") {
+    mkTable("m1.dry", inserts = 3)
+    cat.setProperty("m1.dry", "maintenance.jobs", "snapshot_cleanup")
+    cat.setProperty("m1.dry", "maintenance.expire.ttl-hours", "0")
+    cat.setProperty("m1.dry", "maintenance.dry-run", "true")
+    val rep = runner.run().find(r => r.table == "m1.dry").get
+    assert(rep.detail == "expired=2")
+    assert(cat.listSnapshots("m1.dry").length == 3, "dry run must not expire")
+  }
+
+  test("a broken table is reported and does not starve the rest") {
+    mkTable("m1.bad", inserts = 1)
+    cat.setProperty("m1.bad", "maintenance.jobs", "no_such_job")
+    mkTable("m1.good", inserts = 3)
+    cat.setProperty("m1.good", "maintenance.jobs", "snapshot_cleanup")
+    cat.setProperty("m1.good", "maintenance.expire.ttl-hours", "0")
+    val reports = runner.run()
+    assert(reports.exists(r => r.table == "m1.bad" && r.error.nonEmpty))
+    assert(cat.listSnapshots("m1.good").length == 1,
+      "healthy tables still get maintained")
+  }
+
+  test("scheduler runs the policy on an interval, one run in flight") {
+    mkTable("m1.sched", inserts = 4)
+    cat.setProperty("m1.sched", "maintenance.jobs", "snapshot_cleanup")
+    cat.setProperty("m1.sched", "maintenance.expire.ttl-hours", "0")
+    val sched = new Scheduler(runner, intervalMs = 150)
+    sched.start()
+    val deadline = System.currentTimeMillis() + 30000
+    while (sched.runsCompleted.get() < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    sched.stop()
+    assert(sched.runsCompleted.get() >= 2, "scheduler must keep firing")
+    assert(cat.listSnapshots("m1.sched").length == 1,
+      "TTL applied by the scheduled runner, not a manual call")
+    assert(sched.lastReports.get().nonEmpty)
+  }
+}
