@@ -1,0 +1,344 @@
+package graft.catalog
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.MissingNode
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.catalog.IceCatalog._
+
+/** HTTP facade over [[IceCatalog]] — the reference's REST catalog server
+  * (ice-rest-catalog/internal/rest/RESTCatalogHandler.java routing per
+  * Route.java, bearer auth per RESTCatalogAuthorizationHandler.java),
+  * re-expressed over the Spark-native commit protocol. Routes follow the
+  * Iceberg REST layout so the wire surface is familiar:
+  *
+  *   GET    /v1/config
+  *   GET    /v1/namespaces                     list
+  *   POST   /v1/namespaces                     create {"namespace":["ns"]}
+  *   GET/HEAD/DELETE /v1/namespaces/{ns}
+  *   GET    /v1/namespaces/{ns}/tables         list
+  *   POST   /v1/namespaces/{ns}/tables         create {"name","schema",...}
+  *   GET/HEAD/DELETE /v1/namespaces/{ns}/tables/{t}
+  *   POST   /v1/namespaces/{ns}/tables/{t}     commit {requirements,updates}
+  *   POST   /v1/namespaces/{ns}/tables/{t}/metrics   accepted, discarded
+  *   POST   /v1/tables/rename                  {"source","destination"}
+  *   POST   /v1/transactions/commit            multi-table group commit
+  *
+  * Commits route through the catalog's lease-locked optimistic protocol, so
+  * concurrent external committers serialize exactly like local ones; the
+  * multi-table transaction maps onto [[IceCatalog.commitGroup]] (all tables
+  * publish or none). Auth: `Authorization: Bearer <token>` checked in
+  * constant time; read-only tokens may only GET/HEAD (403 otherwise);
+  * without a matching token the request is 401 unless anonymous access is
+  * enabled. Errors return the REST error envelope
+  * `{"error":{"message","type","code"}}`.
+  */
+object RestServer {
+
+  /** One bearer credential (config/Config.Token semantics): `readOnly`
+    * restricts the session to GET/HEAD.
+    */
+  case class Token(value: String, name: String = "", readOnly: Boolean = false)
+
+  private case class Session(name: String, readOnly: Boolean)
+
+  class Server(
+      cat: IceCatalog,
+      port: Int = 0,
+      tokens: Seq[Token] = Seq.empty,
+      allowAnonymous: Boolean = false) {
+
+    private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+    private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // small pool: handlers do driver-side metadata IO only
+    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "graft-rest")
+      t.setDaemon(true)
+      t
+    }))
+    http.createContext("/", (ex: HttpExchange) => handle(ex))
+
+    def start(): Server = { http.start(); this }
+    def stop(): Unit = http.stop(0)
+    def boundPort: Int = http.getAddress.getPort
+    def url: String = s"http://127.0.0.1:$boundPort"
+
+    // ---- auth ------------------------------------------------------------
+
+    /** Constant-time token match (RESTCatalogAuthorizationHandler.java:49-57). */
+    private def authenticate(ex: HttpExchange): Option[Session] = {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      if (auth.toLowerCase.startsWith("bearer ")) {
+        val provided = auth.substring("bearer ".length).getBytes(StandardCharsets.UTF_8)
+        tokens.find(t =>
+          java.security.MessageDigest.isEqual(provided,
+            t.value.getBytes(StandardCharsets.UTF_8)))
+          .map(t => Session(t.name, t.readOnly))
+      } else if (allowAnonymous) Some(Session("anonymous", readOnly = false))
+      else None
+    }
+
+    // ---- dispatch --------------------------------------------------------
+
+    private def handle(ex: HttpExchange): Unit =
+      try {
+        val method = ex.getRequestMethod.toUpperCase
+        authenticate(ex) match {
+          case None =>
+            sendError(ex, 401, "NotAuthorizedException", "Unauthorized")
+          case Some(s) if s.readOnly && method != "GET" && method != "HEAD" =>
+            sendError(ex, 403, "NotAuthorizedException", s"$method not allowed")
+          case Some(_) =>
+            route(ex, method, ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toList)
+        }
+      } catch {
+        case e: NoSuchElementException =>
+          sendError(ex, 404, "NoSuchObjectException", e.getMessage)
+        case e: IllegalStateException =>
+          // optimistic-commit conflicts surface as 409 so clients retry
+          sendError(ex, 409, "CommitFailedException", e.getMessage)
+        case e: IllegalArgumentException =>
+          sendError(ex, 400, "BadRequestException", e.getMessage)
+        case e: Exception =>
+          sendError(ex, 500, "InternalServerError", e.toString)
+      } finally ex.close()
+
+    private def route(ex: HttpExchange, method: String, path: List[String]): Unit =
+      (method, path) match {
+        case ("GET", List("v1", "config")) =>
+          sendJson(ex, 200, Map("defaults" -> Map.empty, "overrides" -> Map.empty))
+
+        case ("GET", List("v1", "namespaces")) =>
+          sendJson(ex, 200, Map("namespaces" -> cat.listNamespaces().map(Seq(_))))
+        case ("POST", List("v1", "namespaces")) =>
+          val ns = nsOf(body(ex))
+          cat.createNamespace(ns)
+          sendJson(ex, 200, Map("namespace" -> Seq(ns), "properties" -> Map.empty))
+        case ("HEAD", List("v1", "namespaces", ns)) =>
+          send(ex, if (cat.listNamespaces().contains(ns)) 204 else 404, Array.empty)
+        case ("GET", List("v1", "namespaces", ns)) =>
+          requireNs(ns)
+          sendJson(ex, 200, Map("namespace" -> Seq(ns), "properties" -> Map.empty))
+        case ("DELETE", List("v1", "namespaces", ns)) =>
+          requireNs(ns)
+          cat.dropNamespace(ns)
+          send(ex, 204, Array.empty)
+
+        case ("GET", List("v1", "namespaces", ns, "tables")) =>
+          requireNs(ns)
+          sendJson(ex, 200, Map("identifiers" -> cat.listTables(ns).map(t =>
+            Map("namespace" -> Seq(ns), "name" -> t))))
+        case ("POST", List("v1", "namespaces", ns, "tables")) =>
+          requireNs(ns)
+          val req = body(ex)
+          val name = str(req, "name")
+          val schema = parseSchema(str(req, "schema"))
+          val pspec = arr(req, "partition-spec").map(f =>
+            PartitionField(text(f, "column"), textOr(f, "transform", "identity"),
+              textOr(f, "name", text(f, "column"))))
+          val sort = arr(req, "sort-order").map(f =>
+            SortField(text(f, "column"), f.path("desc").asBoolean(false)))
+          cat.createTable(s"$ns.$name", schema, pspec, sort)
+          sendJson(ex, 200, tableResponse(s"$ns.$name"))
+
+        case ("HEAD", List("v1", "namespaces", ns, "tables", t)) =>
+          send(ex, if (cat.tableExists(s"$ns.$t")) 204 else 404, Array.empty)
+        case ("GET", List("v1", "namespaces", ns, "tables", t)) =>
+          requireTable(s"$ns.$t")
+          sendJson(ex, 200, tableResponse(s"$ns.$t"))
+        case ("DELETE", List("v1", "namespaces", ns, "tables", t)) =>
+          requireTable(s"$ns.$t")
+          cat.dropTable(s"$ns.$t")
+          send(ex, 204, Array.empty)
+        case ("POST", List("v1", "namespaces", ns, "tables", t)) =>
+          requireTable(s"$ns.$t")
+          commitTable(s"$ns.$t", body(ex))
+          sendJson(ex, 200, tableResponse(s"$ns.$t"))
+
+        case ("POST", List("v1", "namespaces", ns, "tables", t, "metrics")) =>
+          requireTable(s"$ns.$t")
+          send(ex, 204, Array.empty) // accepted and discarded, like the reference
+        case ("POST", List("v1", "tables", "rename")) =>
+          val req = body(ex)
+          val src = str(req, "source")
+          requireTable(src)
+          cat.renameTable(src, str(req, "destination"))
+          send(ex, 204, Array.empty)
+
+        case ("POST", List("v1", "transactions", "commit")) =>
+          commitTransaction(body(ex))
+          send(ex, 204, Array.empty)
+
+        case _ =>
+          sendError(ex, 404, "NoSuchRouteException", s"$method /${path.mkString("/")}")
+      }
+
+    // ---- commit handling -------------------------------------------------
+
+    /** Single-table commit: verify requirements, then apply updates through
+      * the catalog's lease-locked protocol. `append-files` registers
+      * already-written parquet in place (the external-committer path: write
+      * data, then commit metadata); `set-properties` mutates properties.
+      */
+    private def commitTable(ident: String, req: JsonNode): Unit = {
+      checkRequirements(ident, req)
+      arr(req, "updates").foreach { u =>
+        textOr(u, "action", "") match {
+          case "append-files" =>
+            val paths = u.path("paths").elements().asScala.map(_.asText()).toSeq
+            require(paths.nonEmpty, "append-files needs paths")
+            cat.addFiles(ident, paths,
+              forceOutsideLocation = u.path("force-outside-location").asBoolean(false))
+          case "set-properties" =>
+            val props = u.path("properties")
+            require(props.isObject, "set-properties needs properties")
+            props.properties().asScala.foreach(e =>
+              cat.setProperty(ident, e.getKey, e.getValue.asText()))
+          case other =>
+            throw new IllegalArgumentException(s"unsupported update action: $other")
+        }
+      }
+    }
+
+    /** Multi-table transaction → [[IceCatalog.commitGroup]]: every listed
+      * table's property updates publish atomically (all or none — the
+      * group's lease locks and slot burning do the work).
+      */
+    private def commitTransaction(req: JsonNode): Unit = {
+      val changes = arr(req, "table-changes")
+      require(changes.nonEmpty, "transaction needs table-changes")
+      val ops: Seq[(String, TableMeta => TableMeta)] = changes.map { ch =>
+        val ident = text(ch, "identifier")
+        requireTable(ident)
+        checkRequirements(ident, ch)
+        val props: Map[String, String] = arr(ch, "updates").flatMap { u =>
+          textOr(u, "action", "") match {
+            case "set-properties" =>
+              val p = u.path("properties")
+              require(p.isObject, "set-properties needs properties")
+              p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
+            case other => throw new IllegalArgumentException(
+              s"transactions support set-properties only, got: $other")
+          }
+        }.toMap
+        ident -> ((m: TableMeta) => m.copy(properties = m.properties ++ props))
+      }
+      cat.commitGroup(ops)
+    }
+
+    /** `assert-current-snapshot-id` requirement: reject (409) a commit
+      * planned against a superseded snapshot, like UpdateTableRequest's
+      * requirement list.
+      */
+    private def checkRequirements(ident: String, req: JsonNode): Unit =
+      arr(req, "requirements").foreach { r =>
+        text(r, "type") match {
+          case "assert-current-snapshot-id" =>
+            val expected = r.path("snapshot-id").asLong()
+            val actual = cat.loadMeta(ident).currentSnapshotId
+            if (actual != expected) throw new IllegalStateException(
+              s"requirement failed: current snapshot id $actual != $expected")
+          case other =>
+            throw new IllegalArgumentException(s"unsupported requirement: $other")
+        }
+      }
+
+    // ---- responses -------------------------------------------------------
+
+    /** LoadTableResponse shape: metadata summary, not raw internals. */
+    private def tableResponse(ident: String): Map[String, Any] = {
+      val m = cat.loadMeta(ident)
+      Map(
+        "metadata" -> Map(
+          "table" -> m.name,
+          "schema" -> m.schema.json,
+          "partition-spec" -> m.partitionSpec.map(f =>
+            Map("column" -> f.column, "transform" -> f.transform, "name" -> f.name)),
+          "sort-order" -> m.sortOrder.map(f =>
+            Map("column" -> f.column, "desc" -> f.desc)),
+          "properties" -> m.properties,
+          "current-snapshot-id" -> m.currentSnapshotId,
+          "snapshots" -> m.snapshots.map(s => Map(
+            "snapshot-id" -> s.id,
+            "parent-snapshot-id" -> s.parentId,
+            "timestamp-ms" -> s.timestampMs,
+            "operation" -> s.operation,
+            "file-count" -> Option(s.files).map(_.length).getOrElse(0),
+            "row-count" -> Option(s.files).map(_.map(_.rowCount).sum).getOrElse(0L)))))
+    }
+
+    // ---- plumbing --------------------------------------------------------
+
+    private def body(ex: HttpExchange): JsonNode = {
+      val bytes = ex.getRequestBody.readAllBytes()
+      if (bytes.isEmpty) MissingNode.getInstance()
+      else mapper.readTree(bytes)
+    }
+
+    private def nsOf(req: JsonNode): String = {
+      val n = req.path("namespace")
+      if (n.isArray && n.size() > 0)
+        n.elements().asScala.map(_.asText()).mkString(".")
+      else if (n.isTextual && n.asText().nonEmpty) n.asText()
+      else throw new IllegalArgumentException("namespace required")
+    }
+
+    private def str(req: JsonNode, key: String): String = {
+      val v = req.path(key).asText("")
+      if (v.isEmpty) throw new IllegalArgumentException(s"$key required")
+      v
+    }
+
+    private def text(n: JsonNode, key: String): String = str(n, key)
+
+    private def textOr(n: JsonNode, key: String, default: String): String = {
+      val v = n.path(key).asText("")
+      if (v.isEmpty) default else v
+    }
+
+    private def arr(n: JsonNode, key: String): Seq[JsonNode] = {
+      val a = n.path(key)
+      if (a.isArray) a.elements().asScala.toSeq else Seq.empty
+    }
+
+    /** Schema as Spark JSON (leading '{') or DDL ("id BIGINT, v STRING"). */
+    private def parseSchema(s: String): StructType =
+      if (s.trim.startsWith("{")) DataType.fromJson(s).asInstanceOf[StructType]
+      else StructType.fromDDL(s)
+
+    private def requireNs(ns: String): Unit =
+      if (!cat.listNamespaces().contains(ns))
+        throw new NoSuchElementException(s"no such namespace: $ns")
+
+    private def requireTable(ident: String): Unit =
+      if (!cat.tableExists(ident))
+        throw new NoSuchElementException(s"no such table: $ident")
+
+    private def sendJson(ex: HttpExchange, code: Int, payload: Any): Unit =
+      send(ex, code, mapper.writeValueAsBytes(payload), json = true)
+
+    private def sendError(ex: HttpExchange, code: Int, tpe: String, msg: String): Unit =
+      sendJson(ex, code, Map("error" ->
+        Map("message" -> Option(msg).getOrElse(""), "type" -> tpe, "code" -> code)))
+
+    private def send(
+        ex: HttpExchange, code: Int, bytes: Array[Byte], json: Boolean = false): Unit = {
+      if (json) ex.getResponseHeaders.set("Content-Type", "application/json")
+      // HEAD/204 responses carry no body (sendResponseHeaders contract)
+      if (bytes.isEmpty || ex.getRequestMethod.equalsIgnoreCase("HEAD") || code == 204) {
+        ex.sendResponseHeaders(code, -1)
+      } else {
+        ex.sendResponseHeaders(code, bytes.length)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    }
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{IceCatalog, RestServer}
+import graft.catalog.RestServer.Token
+
+/** Drives the catalog end-to-end over real HTTP: lifecycle, bearer auth,
+  * commit requirements, concurrent committers through the lease locks, and
+  * atomic multi-table transactions.
+  */
+class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-rest-test", cpus = 4)
+  lazy val root: String = Files.createTempDirectory("restcat").toString
+  lazy val cat = new IceCatalog(spark, root)
+  lazy val server = new RestServer.Server(cat,
+    tokens = Seq(Token("rw-secret", "writer"), Token("ro-secret", "reader", readOnly = true))
+  ).start()
+
+  private val client = HttpClient.newHttpClient()
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def afterAll(): Unit = {
+    server.stop()
+    spark.stop()
+  }
+
+  private def req(
+      method: String, path: String, body: String = null,
+      token: String = "rw-secret"): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"${server.url}$path"))
+    if (token != null) b.header("Authorization", s"Bearer $token")
+    val withBody = method match {
+      case "GET" => b.GET()
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case "DELETE" => b.DELETE()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("{}")))
+    }
+    client.send(withBody.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def json(r: HttpResponse[String]) = om.readTree(r.body)
+
+  test("namespace and table lifecycle over HTTP") {
+    assert(req("POST", "/v1/namespaces", """{"namespace":["web"]}""").statusCode() == 200)
+    assert(req("HEAD", "/v1/namespaces/web").statusCode() == 204)
+    assert(req("HEAD", "/v1/namespaces/nope").statusCode() == 404)
+
+    val create = req("POST", "/v1/namespaces/web/tables",
+      """{"name":"hits","schema":"id BIGINT, url STRING",
+        | "sort-order":[{"column":"id"}]}""".stripMargin)
+    assert(create.statusCode() == 200)
+    assert(json(create).path("metadata").path("current-snapshot-id").asLong() == -1L)
+
+    val list = req("GET", "/v1/namespaces/web/tables")
+    assert(json(list).path("identifiers").get(0).path("name").asText() == "hits")
+    assert(req("HEAD", "/v1/namespaces/web/tables/hits").statusCode() == 204)
+    assert(req("GET", "/v1/namespaces/web/tables/zzz").statusCode() == 404)
+  }
+
+  test("external committer: write parquet, commit append-files, load sees it") {
+    import spark.implicits._
+    val staging = Files.createTempDirectory("staging")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "url").coalesce(1)
+      .write.parquet(s"$staging/batch1")
+    val file = Files.list(java.nio.file.Paths.get(s"$staging/batch1"))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+
+    val commit = req("POST", "/v1/namespaces/web/tables/hits",
+      s"""{"updates":[{"action":"append-files","paths":["$file"],
+          | "force-outside-location":true}]}""".stripMargin)
+    assert(commit.statusCode() == 200)
+    val meta = json(commit).path("metadata")
+    assert(meta.path("current-snapshot-id").asLong() == 1L)
+    assert(meta.path("snapshots").get(0).path("row-count").asLong() == 2L)
+    // the committed data is readable through the catalog scan path
+    assert(cat.scan("web.hits").count() == 2)
+  }
+
+  test("bearer auth: missing 401, wrong 401, read-only 403 on writes") {
+    assert(req("GET", "/v1/namespaces", token = null).statusCode() == 401)
+    assert(req("GET", "/v1/namespaces", token = "bad").statusCode() == 401)
+    val ro = req("POST", "/v1/namespaces", """{"namespace":["x"]}""", token = "ro-secret")
+    assert(ro.statusCode() == 403)
+    assert(json(ro).path("error").path("type").asText() == "NotAuthorizedException")
+    assert(req("GET", "/v1/namespaces/web/tables", token = "ro-secret").statusCode() == 200)
+  }
+
+  test("assert-current-snapshot-id requirement rejects a stale commit with 409") {
+    val stale = req("POST", "/v1/namespaces/web/tables/hits",
+      """{"requirements":[{"type":"assert-current-snapshot-id","snapshot-id":99}],
+        | "updates":[{"action":"set-properties","properties":{"k":"v"}}]}""".stripMargin)
+    assert(stale.statusCode() == 409)
+    val ok = req("POST", "/v1/namespaces/web/tables/hits",
+      """{"requirements":[{"type":"assert-current-snapshot-id","snapshot-id":1}],
+        | "updates":[{"action":"set-properties","properties":{"k":"v"}}]}""".stripMargin)
+    assert(ok.statusCode() == 200)
+    assert(json(ok).path("metadata").path("properties").path("k").asText() == "v")
+  }
+
+  test("two concurrent committers both land through the lease-locked protocol") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    req("POST", "/v1/namespaces/web/tables",
+      """{"name":"cc","schema":"id BIGINT, url STRING"}""")
+    val staging = Files.createTempDirectory("ccstage")
+    val files = (1 to 2).map { i =>
+      Seq((i.toLong, s"u$i")).toDF("id", "url").coalesce(1)
+        .write.parquet(s"$staging/b$i")
+      Files.list(java.nio.file.Paths.get(s"$staging/b$i"))
+        .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    }
+    val posts = files.map(f => Future {
+      req("POST", "/v1/namespaces/web/tables/cc",
+        s"""{"updates":[{"action":"append-files","paths":["$f"],
+            | "force-outside-location":true}]}""".stripMargin)
+    })
+    val results = Await.result(Future.sequence(posts), 120.seconds)
+    assert(results.forall(_.statusCode() == 200),
+      s"both committers must succeed, got ${results.map(_.statusCode())}")
+    assert(cat.listSnapshots("web.cc").length == 2)
+    assert(cat.scan("web.cc").count() == 2)
+  }
+
+  test("multi-table transaction commits atomically, or not at all") {
+    req("POST", "/v1/namespaces/web/tables", """{"name":"t1","schema":"id BIGINT"}""")
+    req("POST", "/v1/namespaces/web/tables", """{"name":"t2","schema":"id BIGINT"}""")
+    val ok = req("POST", "/v1/transactions/commit",
+      """{"table-changes":[
+        | {"identifier":"web.t1","updates":[{"action":"set-properties","properties":{"a":"1"}}]},
+        | {"identifier":"web.t2","updates":[{"action":"set-properties","properties":{"b":"2"}}]}
+        |]}""".stripMargin)
+    assert(ok.statusCode() == 204)
+    assert(cat.loadMeta("web.t1").properties("a") == "1")
+    assert(cat.loadMeta("web.t2").properties("b") == "2")
+    // one failing requirement rolls back the whole group
+    val bad = req("POST", "/v1/transactions/commit",
+      """{"table-changes":[
+        | {"identifier":"web.t1","updates":[{"action":"set-properties","properties":{"a":"9"}}]},
+        | {"identifier":"web.t2",
+        |  "requirements":[{"type":"assert-current-snapshot-id","snapshot-id":42}],
+        |  "updates":[{"action":"set-properties","properties":{"b":"9"}}]}
+        |]}""".stripMargin)
+    assert(bad.statusCode() == 409)
+    assert(cat.loadMeta("web.t1").properties("a") == "1", "group must not partially apply")
+    assert(cat.loadMeta("web.t2").properties("b") == "2")
+  }
+
+  test("rename and drop over HTTP") {
+    req("POST", "/v1/namespaces/web/tables", """{"name":"old","schema":"id BIGINT"}""")
+    assert(req("POST", "/v1/tables/rename",
+      """{"source":"web.old","destination":"web.new"}""").statusCode() == 204)
+    assert(req("HEAD", "/v1/namespaces/web/tables/new").statusCode() == 204)
+    assert(req("HEAD", "/v1/namespaces/web/tables/old").statusCode() == 404)
+    assert(req("DELETE", "/v1/namespaces/web/tables/new").statusCode() == 204)
+    assert(req("HEAD", "/v1/namespaces/web/tables/new").statusCode() == 404)
+    // metrics endpoint accepts and discards
+    assert(req("POST", "/v1/namespaces/web/tables/hits/metrics",
+      """{"report-type":"scan"}""").statusCode() == 204)
+    assert(req("GET", "/v1/no/such/route").statusCode() == 404)
+  }
+}
