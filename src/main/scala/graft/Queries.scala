@@ -192,6 +192,7 @@ object Queries {
     "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
     "s7_multiprobe_ann" -> ((s: SparkSession, d: String) => Similarity.multiprobeLshAnn(s, d)),
     "s3_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
+    "s8_ivfpq_ann" -> ((s: SparkSession, d: String) => Similarity.ivfPqAnn(s, d)),
     "s5_quantize" -> (Similarity.quantize _),
     "s6_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
     "d7_decontaminate" -> (Dedup.decontaminate _),

@@ -155,6 +155,52 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Plain-L2 Lloyd over a subvector column (NOT the spherical variant IVF
+    * uses — PQ centroids must stay unnormalized means or reconstruction
+    * error suffers). Distributed shape as [[kmeansCentroids]]: assignment
+    * is k codegen'd dot products per row, update one partial-agg mean;
+    * centroid state is k×subDims on the driver.
+    */
+  private def lloydL2(data: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    var cs = data.orderBy(col("vec_id")).limit(k)
+      .select(col("vn")).collect().map(_.getSeq[Double](0).toArray)
+    def assign(c: Array[Array[Double]]): Column = {
+      val scores = array(c.map(cc =>
+        lit(cc.map(x => x * x).sum / 2) - dot(col("vn"), typedLit(cc.toSeq))): _*)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    for (_ <- 0 until iters) {
+      val means = data
+        .select(assign(cs).as("c"), posexplode(col("vn")).as(Seq("pos", "x")))
+        .groupBy(col("c"), col("pos")).agg(avg(col("x")).as("mu"))
+        .collect()
+      val next = Array.tabulate(k)(i => cs(i).clone())
+      means.foreach(r => next(r.getAs[Int]("c"))(r.getAs[Int]("pos")) = r.getAs[Double]("mu"))
+      cs = next
+    }
+    cs
+  }
+
+  /** One PQ codebook per subspace, each trained on its slice of `vec`. */
+  private def trainCodebooks(
+      data: DataFrame, vec: Column, m: Int, k: Int, subDims: Int): Seq[Array[Array[Double]]] =
+    (0 until m).map { j =>
+      lloydL2(data.select(col("vec_id"), slice(vec, j * subDims + 1, subDims).as("vn")),
+        k, iters = 2)
+    }
+
+  /** L2 argmin code for subspace `j`: |x-c|² ranks as |c|²/2 - x·c (|x|²
+    * constant per row) — k codegen'd dot products against literal centroids.
+    */
+  private def pqCodeCol(
+      vec: Column, j: Int, subDims: Int, codebook: Array[Array[Double]]): Column = {
+    val sub = slice(vec, j * subDims + 1, subDims)
+    val scores = array(codebook.map { c =>
+      lit(c.map(x => x * x).sum / 2) - dot(sub, typedLit(c.toSeq))
+    }: _*)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
   /** s6: product quantization — the billion-scale ANN compression: the
     * vector splits into `m` subvectors, each quantized against its own
     * k-centroid codebook (k-means per subspace), so a 64-dim float64
@@ -177,41 +223,8 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
-    // one codebook per subspace, trained on the subvector slice with
-    // plain L2 Lloyd (NOT the spherical variant IVF uses — PQ centroids
-    // must stay unnormalized means or reconstruction error suffers)
-    def lloydL2(data: DataFrame, iters: Int): Array[Array[Double]] = {
-      var cs = data.orderBy(col("vec_id")).limit(k)
-        .select(col("vn")).collect().map(_.getSeq[Double](0).toArray)
-      def assign(c: Array[Array[Double]]): Column = {
-        val scores = array(c.map(cc =>
-          lit(cc.map(x => x * x).sum / 2) - dot(col("vn"), typedLit(cc.toSeq))): _*)
-        (array_position(scores, array_min(scores)) - 1).cast("int")
-      }
-      for (_ <- 0 until iters) {
-        val means = data
-          .select(assign(cs).as("c"), posexplode(col("vn")).as(Seq("pos", "x")))
-          .groupBy(col("c"), col("pos")).agg(avg(col("x")).as("mu"))
-          .collect()
-        val next = Array.tabulate(k)(i => cs(i).clone())
-        means.foreach(r => next(r.getAs[Int]("c"))(r.getAs[Int]("pos")) = r.getAs[Double]("mu"))
-        cs = next
-      }
-      cs
-    }
-    val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { j =>
-      val sub = e.select(col("vec_id"), slice(col("v"), j * subDims + 1, subDims).as("vn"))
-      lloydL2(sub, iters = 2)
-    }
-    // L2 argmin per subspace: |x-c|² ranks as |c|²/2 - x·c (|x|² constant
-    // per row) — k codegen'd dot products against literal centroids
-    def codeCol(j: Int): Column = {
-      val sub = slice(col("v"), j * subDims + 1, subDims)
-      val scores = array(codebooks(j).map { c =>
-        lit(c.map(x => x * x).sum / 2) - dot(sub, typedLit(c.toSeq))
-      }: _*)
-      (array_position(scores, array_min(scores)) - 1).cast("int")
-    }
+    val codebooks = trainCodebooks(e, col("v"), m, k, subDims)
+    def codeCol(j: Int): Column = pqCodeCol(col("v"), j, subDims, codebooks(j))
     def decodedCol(j: Int): Column = {
       // decoded subvector via element lookup in the literal codebook matrix
       val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
@@ -295,5 +308,79 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(probes).as("cell"))
     topK(assigned, queries, Seq("cell"), k)
+  }
+
+  /** s8: IVF+PQ — the billion-scale ANN *serving* composition (FAISS
+    * IVFADC; Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the IVF coarse quantizer restricts each query
+    * to `nprobe` cells, and inside them candidates are scored from their
+    * PQ codes alone, so the index side of the candidate join carries
+    * (cell, vec_id, m small codes) — here m=8 byte-sized codes vs 64
+    * float64s, a 64× smaller shuffle/broadcast payload, THE constraint
+    * at 100 TB where full vectors cannot sit in executor memory per cell.
+    *
+    * Ranking is asymmetric (query side exact, candidate side decoded from
+    * literal codebooks); the approximate top-`shortlist` per query is then
+    * re-ranked EXACTLY by fetching full vectors for just those ids — a
+    * bounded queries×shortlist equi-join — so recall at equal nprobe
+    * matches IVF-only while the bulk scoring never touches a full vector.
+    */
+  def ivfPqAnn(
+      spark: SparkSession, dir: String,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4, dims: Int = 64,
+      m: Int = 8, codebookSize: Int = 16, shortlist: Int = 100): DataFrame = {
+    require(dims % m == 0, "m must divide dims")
+    val subDims = dims / m
+    val e = unitVectors(spark, dir)
+    val candidates = e.filter(col("vec_id") >= 5).persist()
+    val centroids = kmeansCentroids(candidates, nlist, dims)
+    // PQ codebooks trained on the unit vectors (cosine == dot on units,
+    // so the ADC partial dots below sum to an approximate cosine)
+    val codebooks = trainCodebooks(candidates, col("vn"), m, codebookSize, subDims)
+    // the compact index: everything the bulk scorer ever shuffles
+    val index = candidates
+      .withColumn("cell", argminAssign(centroids))
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map(j => pqCodeCol(col("vn"), j, subDims, codebooks(j))): _*)
+          .as("codes"))
+    // query probe list: nprobe nearest cells (as in s3)
+    val d = centroidDists(centroids)
+    val probes = transform(
+      slice(array_sort(transform(sequence(lit(0), lit(nlist - 1)),
+        i => struct(element_at(d, i + 1).as("dist"), i.as("idx")))), 1, nprobe),
+      s => s.getField("idx"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"), explode(probes).as("cell"))
+    // asymmetric distance: per subspace, dot(query slice, decoded centroid
+    // of the candidate's code) — codebooks are literals, so this is m
+    // codegen'd subDims-dot-products per pair over the CODES-ONLY join
+    def adc(j: Int): Column = {
+      val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
+      dot(slice(col("qvn"), j * subDims + 1, subDims),
+        element_at(cb, element_at(col("codes"), j + 1) + 1))
+    }
+    val ascore = (0 until m).map(adc).reduce(_ + _)
+    val aw = Window.partitionBy(col("q_id"))
+      .orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val short = index.join(broadcast(queries), Seq("cell"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), ascore.as("ascore"))
+      .withColumn("arank", row_number().over(aw))
+      .where(col("arank") <= shortlist)
+    // exact re-rank of the bounded shortlist: fetch full vectors for just
+    // queries×shortlist ids (broadcast the tiny shortlist side)
+    val full = candidates.select(
+      col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    val qfull = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cos = dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    full.join(broadcast(short.select(col("q_id"), col("neighbor_id"))), Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"), cos.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"),
+        (round(col("score"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rank"))
   }
 }

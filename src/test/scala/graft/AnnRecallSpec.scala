@@ -84,4 +84,19 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doubling subspaces (code bytes) must not make reconstruction worse
     assert(m8k16 <= m4k16 * 1.05, s"m8k16=$m8k16 vs m4k16=$m4k16")
   }
+
+  test("s8 IVF+PQ matches IVF-only recall at equal nprobe on a 64x smaller payload") {
+    Seq(4, 8).foreach { np =>
+      val ivf = Similarity.ivfAnn(spark, dir, k = 10, nlist = 16, nprobe = np)
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+      val ivfpq = Similarity.ivfPqAnn(spark, dir, k = 10, nlist = 16, nprobe = np)
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+      info(f"nprobe=$np ivf=${recall(ivf)}%.3f ivf+pq=${recall(ivfpq)}%.3f")
+      // same probed cells + exact re-rank of the ADC shortlist: the PQ
+      // path must not lose recall vs scoring full vectors everywhere
+      // (tiny slack for shortlist-boundary ties)
+      assert(recall(ivfpq) >= recall(ivf) - 0.02,
+        s"nprobe=$np ivf+pq ${recall(ivfpq)} vs ivf ${recall(ivf)}")
+    }
+  }
 }
