@@ -155,14 +155,24 @@ object IceCatalog {
   }
 
   /** Manifest segment caches: segment files are immutable once written
-    * (fresh uuid name per write), so entries cache forever — hydrating a
-    * table's snapshot history re-reads each unique segment once, and
-    * snapshots sharing segments share the cached instances.
+    * (fresh uuid name per write), so entries stay valid forever — hydrating
+    * a table's snapshot history re-reads each unique segment once, and
+    * snapshots sharing segments share the cached instances. SIZE-bounded by
+    * the same wholesale clear as metaCache: a long streaming-append driver
+    * writes (and merges away) segments without end, and merged-away or
+    * expired segments are otherwise never evicted.
     */
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Seq[DataFileMeta]]()
   private val srcSegCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Seq[String]]()
+  private val SegCacheMax = 4096
+  private[graft] def segCachePut[V](
+      cache: java.util.concurrent.ConcurrentHashMap[(String, String, String), V],
+      key: (String, String, String), v: V): Unit = {
+    if (cache.size > SegCacheMax) cache.clear()
+    cache.put(key, v)
+  }
   /** Count of actual segment-file parses — observability for cache specs. */
   private[graft] val segmentParses = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -360,7 +370,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
 
   private def writeSegment(ident: String, files: Seq[DataFileMeta]): ManifestRef = {
     val name = writeManifestJson(ident, "seg", mapper.writeValueAsString(files))
-    IceCatalog.segCache.put((root, ident, name), files)
+    IceCatalog.segCachePut(IceCatalog.segCache, (root, ident, name), files)
     ManifestRef(name, files.length, files.map(_.rowCount).sum, files.map(_.bytes).sum)
   }
 
@@ -371,13 +381,13 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     IceCatalog.segmentParses.incrementAndGet()
     val fs = mapper.readValue(
       manifestsDir(ident).resolve(name).toFile, classOf[Array[DataFileMeta]]).toSeq
-    IceCatalog.segCache.put(key, fs)
+    IceCatalog.segCachePut(IceCatalog.segCache, key, fs)
     fs
   }
 
   private def writeSourceSegment(ident: String, sources: Seq[String]): String = {
     val name = writeManifestJson(ident, "src", mapper.writeValueAsString(sources))
-    IceCatalog.srcSegCache.put((root, ident, name), sources)
+    IceCatalog.segCachePut(IceCatalog.srcSegCache, (root, ident, name), sources)
     name
   }
 
@@ -387,7 +397,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     if (cached != null) return cached
     val ss = mapper.readValue(
       manifestsDir(ident).resolve(name).toFile, classOf[Array[String]]).toSeq
-    IceCatalog.srcSegCache.put(key, ss)
+    IceCatalog.segCachePut(IceCatalog.srcSegCache, key, ss)
     ss
   }
 
@@ -684,9 +694,13 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       else {
         // displaced a live holder — restore; if a third party created a new
         // lock meanwhile, theirs stands (release stays token-checked, and
-        // version publish remains the create-new correctness backstop)
+        // version publish remains the create-new correctness backstop).
+        // On a failed restore the grave is LEFT IN PLACE, never deleted:
+        // it holds a live lease, and deleting it would silently destroy
+        // evidence of the displaced holder (orphaned graves are harmless
+        // uniquely-named files, collected by maintenance later)
         try Files.move(grave, lock)
-        catch { case _: Exception => Files.deleteIfExists(grave) }
+        catch { case _: Exception => () }
       }
     } catch { case _: Exception => } // lost the steal race — loop and retry
   }
@@ -1046,7 +1060,8 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       ident: String,
       paths: Seq[String],
       forceOutsideLocation: Boolean = false,
-      options: InsertOptions = InsertOptions()): TableMeta = {
+      options: InsertOptions = InsertOptions(),
+      basedOn: Option[Long] = None): TableMeta = {
     val meta = loadMeta(ident)
     val tblDir = tableDir(ident).toAbsolutePath.normalize
     val norm = paths.map(p => Paths.get(p).toAbsolutePath.normalize)
@@ -1094,7 +1109,8 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     }
     if (options.noCommit) return meta
     val added = toAdd.map(_.toUri.toString)
-    commitSnap(ident)(_ => SnapDelta("append", add = newFiles, addSources = added))
+    commitSnap(ident, basedOn = basedOn)(_ =>
+      SnapDelta("append", add = newFiles, addSources = added))
   }
 
   /** Replace the table's entire contents with `df` in ONE snapshot commit
@@ -1813,31 +1829,46 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       Paths.get(new java.net.URI(f.path).getPath).normalize.toString)).toSet
     val dataDir = tableDir(ident).resolve("data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
-    // age gate (OrphanCleanup.java:126-133): a just-written file may belong
-    // to an insert that hasn't committed yet — only files older than the
-    // retention window are orphan candidates
+    // age gate (OrphanCleanup.java:126-133): with olderThanMillis > 0 only
+    // files older than the retention window are orphan candidates — pass a
+    // window (the Maintenance runner does, via orphan.retention-days) when
+    // cleanup may run CONCURRENTLY with inserts, whose freshly written
+    // files are not yet referenced. The 0 default deletes immediately and
+    // is only safe when no insert is in flight.
     val ageCutoff =
       if (olderThanMillis > 0) System.currentTimeMillis() - olderThanMillis
       else Long.MaxValue
-    val orphans = Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .filter(p => Files.getLastModifiedTime(p).toMillis < ageCutoff)
-      .map(_.normalize.toString)
-      .filterNot(referenced.contains)
-      .toSeq
+    val walk = Files.walk(dataDir)
+    val orphans =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < ageCutoff)
+        .map(_.normalize.toString)
+        .filterNot(referenced.contains)
+        .toSeq
+      finally walk.close()
     if (!dryRun) {
       orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
       val mDir = manifestsDir(ident)
-      if (Files.isDirectory(mDir)) {
+      // manifest GC is only sound when EVERY snapshot carries its manifest
+      // refs: a crashed-rename repair (repairRenamed) nulls them in memory
+      // until the next commit persists the repaired form, and the on-disk
+      // version file still references the old segments — GC'ing from the
+      // repaired view would delete every live manifest and brick the table
+      val refsComplete = meta.snapshots.nonEmpty &&
+        meta.snapshots.forall(s => s.manifestList != null && s.manifests != null)
+      if (Files.isDirectory(mDir) && refsComplete) {
         val live = meta.snapshots.flatMap(s =>
           Option(s.manifestList).toSeq ++
             Option(s.manifests).map(_.map(_.name)).getOrElse(Seq.empty) ++
             Option(s.sourceSegments).getOrElse(Seq.empty)).toSet
         val cutoff = System.currentTimeMillis() - manifestGraceMs
-        Files.list(mDir).iterator().asScala
+        val list = Files.list(mDir)
+        try list.iterator().asScala
           .filter(p => !live.contains(p.getFileName.toString) &&
             Files.getLastModifiedTime(p).toMillis < cutoff)
           .foreach(Files.deleteIfExists(_))
+        finally list.close()
       }
     }
     orphans

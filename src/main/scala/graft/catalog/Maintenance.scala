@@ -120,21 +120,30 @@ object Maintenance {
       case JobDataCompaction =>
         // trigger only when enough sub-target files accumulated
         // (DataCompaction.java minInputFiles); the rewrite itself is the
-        // catalog's distributed compact()
+        // catalog's distributed compact(). Dry-run reports the decision it
+        // WOULD take, not "skipped" — that's dry-run's whole purpose.
         val small = cat.files(ident).count(_.bytes < (p.targetFileMB.toLong << 20))
-        if (small >= p.minInputFiles && !p.dryRun) {
+        if (small < p.minInputFiles)
+          Report(ident, job, s"skipped smallFiles=$small need=${p.minInputFiles}")
+        else if (p.dryRun)
+          Report(ident, job, s"would-compact smallFiles=$small")
+        else {
           val before = cat.files(ident).length
           cat.compact(ident, p.targetFileMB)
           Report(ident, job, s"files=$before->${cat.files(ident).length}")
-        } else Report(ident, job, s"skipped smallFiles=$small need=${p.minInputFiles}")
+        }
       case JobManifestCompaction =>
         def segCount: Int = cat.loadMeta(ident).current
           .flatMap(s => Option(s.manifests)).map(_.length).getOrElse(0)
         val before = segCount
-        if (before > p.maxManifestSegments && !p.dryRun) {
+        if (before <= p.maxManifestSegments)
+          Report(ident, job, s"skipped segments=$before max=${p.maxManifestSegments}")
+        else if (p.dryRun)
+          Report(ident, job, s"would-merge segments=$before->${p.maxManifestSegments}")
+        else {
           cat.compactManifests(ident, p.maxManifestSegments)
           Report(ident, job, s"segments=$before->$segCount")
-        } else Report(ident, job, s"skipped segments=$before max=${p.maxManifestSegments}")
+        }
       case JobOrphanCleanup =>
         val removed = cat.cleanOrphans(ident, dryRun = p.dryRun,
           olderThanMillis = p.orphanRetentionDays.toLong * 24 * 3600 * 1000)

@@ -101,6 +101,9 @@ object RestServer {
       } catch {
         case e: NoSuchElementException =>
           sendError(ex, 404, "NoSuchObjectException", e.getMessage)
+        case e: java.util.ConcurrentModificationException =>
+          // a basedOn requirement failed INSIDE the lease-locked commit
+          sendError(ex, 409, "CommitFailedException", e.getMessage)
         case e: IllegalStateException =>
           // optimistic-commit conflicts surface as 409 so clients retry
           sendError(ex, 409, "CommitFailedException", e.getMessage)
@@ -182,28 +185,40 @@ object RestServer {
 
     // ---- commit handling -------------------------------------------------
 
-    /** Single-table commit: verify requirements, then apply updates through
-      * the catalog's lease-locked protocol. `append-files` registers
-      * already-written parquet in place (the external-committer path: write
-      * data, then commit metadata); `set-properties` mutates properties.
+    /** Single-table commit — ONE catalog commit, with the requirement
+      * enforced INSIDE the lease-locked protocol (passing it as `basedOn`),
+      * so `assert-current-snapshot-id` is a real CAS, not a
+      * check-then-commit race. `append-files` registers already-written
+      * parquet in place (the external-committer path: write data, then
+      * commit metadata); `set-properties` lands all keys in one metadata
+      * commit. The two kinds cannot mix in one request: each is one
+      * atomic commit, and a mixed request could half-apply.
       */
     private def commitTable(ident: String, req: JsonNode): Unit = {
-      checkRequirements(ident, req)
-      arr(req, "updates").foreach { u =>
-        textOr(u, "action", "") match {
-          case "append-files" =>
-            val paths = u.path("paths").elements().asScala.map(_.asText()).toSeq
-            require(paths.nonEmpty, "append-files needs paths")
-            cat.addFiles(ident, paths,
-              forceOutsideLocation = u.path("force-outside-location").asBoolean(false))
-          case "set-properties" =>
-            val props = u.path("properties")
-            require(props.isObject, "set-properties needs properties")
-            props.properties().asScala.foreach(e =>
-              cat.setProperty(ident, e.getKey, e.getValue.asText()))
-          case other =>
-            throw new IllegalArgumentException(s"unsupported update action: $other")
-        }
+      val basedOn = requiredSnapshot(req)
+      val us = arr(req, "updates")
+      val (appends, rest) = us.partition(u => textOr(u, "action", "") == "append-files")
+      val (propSets, unknown) = rest.partition(u => textOr(u, "action", "") == "set-properties")
+      unknown.foreach(u => throw new IllegalArgumentException(
+        s"unsupported update action: ${textOr(u, "action", "(none)")}"))
+      require(appends.isEmpty || propSets.isEmpty,
+        "append-files and set-properties cannot mix in one commit " +
+          "(each is one atomic commit; a mixed request could half-apply)")
+      if (appends.nonEmpty) {
+        val paths = appends.flatMap(_.path("paths").elements().asScala.map(_.asText()))
+        require(paths.nonEmpty, "append-files needs paths")
+        cat.addFiles(ident, paths,
+          forceOutsideLocation =
+            appends.exists(_.path("force-outside-location").asBoolean(false)),
+          basedOn = basedOn)
+      }
+      if (propSets.nonEmpty) {
+        val props = propSets.flatMap { u =>
+          val p = u.path("properties")
+          require(p.isObject, "set-properties needs properties")
+          p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
+        }.toMap
+        cat.commit(ident, m => m.copy(properties = m.properties ++ props), basedOn)
       }
     }
 
@@ -217,7 +232,7 @@ object RestServer {
       val ops: Seq[(String, TableMeta => TableMeta)] = changes.map { ch =>
         val ident = text(ch, "identifier")
         requireTable(ident)
-        checkRequirements(ident, ch)
+        val basedOn = requiredSnapshot(ch)
         val props: Map[String, String] = arr(ch, "updates").flatMap { u =>
           textOr(u, "action", "") match {
             case "set-properties" =>
@@ -228,27 +243,34 @@ object RestServer {
               s"transactions support set-properties only, got: $other")
           }
         }.toMap
-        ident -> ((m: TableMeta) => m.copy(properties = m.properties ++ props))
+        // requirement evaluated inside the lambda, which commitGroup runs
+        // UNDER the group's locks (phase 1) — not before them
+        ident -> ((m: TableMeta) => {
+          basedOn.filter(_ != m.currentSnapshotId).foreach(id =>
+            throw new java.util.ConcurrentModificationException(
+              s"requirement failed: $ident current snapshot " +
+                s"${m.currentSnapshotId} != $id"))
+          m.copy(properties = m.properties ++ props)
+        })
       }
       cat.commitGroup(ops)
     }
 
-    /** `assert-current-snapshot-id` requirement: reject (409) a commit
-      * planned against a superseded snapshot, like UpdateTableRequest's
-      * requirement list.
+    /** `assert-current-snapshot-id` requirement → the `basedOn` snapshot id
+      * the catalog enforces ATOMICALLY inside its lease-locked commit
+      * (UpdateTableRequest requirement semantics; 409 on mismatch).
       */
-    private def checkRequirements(ident: String, req: JsonNode): Unit =
-      arr(req, "requirements").foreach { r =>
+    private def requiredSnapshot(req: JsonNode): Option[Long] = {
+      val reqs = arr(req, "requirements")
+      reqs.foreach { r =>
         text(r, "type") match {
-          case "assert-current-snapshot-id" =>
-            val expected = r.path("snapshot-id").asLong()
-            val actual = cat.loadMeta(ident).currentSnapshotId
-            if (actual != expected) throw new IllegalStateException(
-              s"requirement failed: current snapshot id $actual != $expected")
+          case "assert-current-snapshot-id" => ()
           case other =>
             throw new IllegalArgumentException(s"unsupported requirement: $other")
         }
       }
+      reqs.map(_.path("snapshot-id").asLong()).lastOption
+    }
 
     // ---- responses -------------------------------------------------------
 
@@ -282,12 +304,19 @@ object RestServer {
       else mapper.readTree(bytes)
     }
 
+    /** Namespaces are SINGLE-LEVEL (the catalog's identifiers are
+      * `ns.table`): a multi-part namespace array is rejected up front —
+      * accepting it would create a namespace no table call can address.
+      */
     private def nsOf(req: JsonNode): String = {
       val n = req.path("namespace")
-      if (n.isArray && n.size() > 0)
-        n.elements().asScala.map(_.asText()).mkString(".")
-      else if (n.isTextual && n.asText().nonEmpty) n.asText()
-      else throw new IllegalArgumentException("namespace required")
+      if (n.isArray && n.size() == 1) n.get(0).asText()
+      else if (n.isArray)
+        throw new IllegalArgumentException(
+          s"namespaces are single-level, got ${n.size()} parts")
+      else if (n.isTextual && n.asText().nonEmpty && !n.asText().contains('.'))
+        n.asText()
+      else throw new IllegalArgumentException("namespace required (single-level)")
     }
 
     private def str(req: JsonNode, key: String): String = {

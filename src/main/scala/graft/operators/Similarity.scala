@@ -155,39 +155,39 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Plain-L2 Lloyd over a subvector column (NOT the spherical variant IVF
-    * uses — PQ centroids must stay unnormalized means or reconstruction
-    * error suffers). Distributed shape as [[kmeansCentroids]]: assignment
-    * is k codegen'd dot products per row, update one partial-agg mean;
-    * centroid state is k×subDims on the driver.
+  /** One PQ codebook per subspace, each trained on its slice of `vec` with
+    * plain-L2 Lloyd (NOT the spherical variant IVF uses — PQ centroids must
+    * stay unnormalized means or reconstruction error suffers) — all m
+    * subspaces per iteration in ONE distributed pass: each row emits its m
+    * codes once, the posexplode'd elements regroup by (subspace, code,
+    * position) for the mean update. Numerically the same per-subspace Lloyd
+    * as training each codebook alone (same seeds, same assignments, same
+    * means), but 2 jobs total instead of 2·m — PQ training cost stops
+    * scaling with the subspace count.
     */
-  private def lloydL2(data: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    var cs = data.orderBy(col("vec_id")).limit(k)
-      .select(col("vn")).collect().map(_.getSeq[Double](0).toArray)
-    def assign(c: Array[Array[Double]]): Column = {
-      val scores = array(c.map(cc =>
-        lit(cc.map(x => x * x).sum / 2) - dot(col("vn"), typedLit(cc.toSeq))): _*)
-      (array_position(scores, array_min(scores)) - 1).cast("int")
-    }
-    for (_ <- 0 until iters) {
-      val means = data
-        .select(assign(cs).as("c"), posexplode(col("vn")).as(Seq("pos", "x")))
-        .groupBy(col("c"), col("pos")).agg(avg(col("x")).as("mu"))
-        .collect()
-      val next = Array.tabulate(k)(i => cs(i).clone())
-      means.foreach(r => next(r.getAs[Int]("c"))(r.getAs[Int]("pos")) = r.getAs[Double]("mu"))
-      cs = next
-    }
-    cs
-  }
-
-  /** One PQ codebook per subspace, each trained on its slice of `vec`. */
   private def trainCodebooks(
-      data: DataFrame, vec: Column, m: Int, k: Int, subDims: Int): Seq[Array[Array[Double]]] =
-    (0 until m).map { j =>
-      lloydL2(data.select(col("vec_id"), slice(vec, j * subDims + 1, subDims).as("vn")),
-        k, iters = 2)
+      data: DataFrame, vec: Column, m: Int, k: Int, subDims: Int): Seq[Array[Array[Double]]] = {
+    val d = data.select(col("vec_id"), vec.as("fv"))
+    val init = d.orderBy(col("vec_id")).limit(k)
+      .select(col("fv")).collect().map(_.getSeq[Double](0).toArray)
+    var cbs: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      Array.tabulate(k)(i => init(i).slice(j * subDims, (j + 1) * subDims)))
+    for (_ <- 0 until 2) {
+      val codes = array((0 until m).map(j => pqCodeCol(col("fv"), j, subDims, cbs(j))): _*)
+      val means = d
+        .select(codes.as("cs"), posexplode(col("fv")).as(Seq("pos", "x")))
+        .select((col("pos") / subDims).cast("int").as("j"),
+          (col("pos") % subDims).cast("int").as("p"), col("x"), col("cs"))
+        .select(col("j"), element_at(col("cs"), col("j") + 1).as("c"), col("p"), col("x"))
+        .groupBy("j", "c", "p").agg(avg(col("x")).as("mu"))
+        .collect()
+      val next = cbs.map(_.map(_.clone()))
+      means.foreach(r => next(r.getAs[Int]("j"))(r.getAs[Int]("c"))(r.getAs[Int]("p")) =
+        r.getAs[Double]("mu"))
+      cbs = next
     }
+    (0 until m).map(cbs(_))
+  }
 
   /** L2 argmin code for subspace `j`: |x-c|² ranks as |c|²/2 - x·c (|x|²
     * constant per row) — k codegen'd dot products against literal centroids.
@@ -293,10 +293,12 @@ object Similarity {
       spark: SparkSession, dir: String,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
     val e = unitVectors(spark, dir)
-    // cached: k-means makes iters+1 passes and the final assignment one
-    // more — without this every pass re-reads and re-normalizes the corpus
+    // cached for the k-means passes (iters collects); unpersisted right
+    // after so repeated calls don't pin corpus copies in executor storage
     val candidates = e.filter(col("vec_id") >= 5).persist()
-    val centroids = kmeansCentroids(candidates, nlist, dims)
+    val centroids =
+      try kmeansCentroids(candidates, nlist, dims)
+      finally candidates.unpersist()
     val assigned = candidates.withColumn("cell", argminAssign(centroids))
     // query probe list: nprobe nearest cells by (dist, idx) struct sort
     val d = centroidDists(centroids)
@@ -332,11 +334,16 @@ object Similarity {
     require(dims % m == 0, "m must divide dims")
     val subDims = dims / m
     val e = unitVectors(spark, dir)
+    // cached across the IVF + PQ training collects, then unpersisted so
+    // repeated calls don't accumulate pinned corpus copies
     val candidates = e.filter(col("vec_id") >= 5).persist()
-    val centroids = kmeansCentroids(candidates, nlist, dims)
-    // PQ codebooks trained on the unit vectors (cosine == dot on units,
-    // so the ADC partial dots below sum to an approximate cosine)
-    val codebooks = trainCodebooks(candidates, col("vn"), m, codebookSize, subDims)
+    val (centroids, codebooks) =
+      try {
+        val cents = kmeansCentroids(candidates, nlist, dims)
+        // PQ codebooks trained on the unit vectors (cosine == dot on
+        // units, so the ADC partial dots below sum to an approx cosine)
+        (cents, trainCodebooks(candidates, col("vn"), m, codebookSize, subDims))
+      } finally candidates.unpersist()
     // the compact index: everything the bulk scorer ever shuffles
     val index = candidates
       .withColumn("cell", argminAssign(centroids))
