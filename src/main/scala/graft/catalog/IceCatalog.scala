@@ -690,7 +690,10 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       val content = try Files.readString(grave).trim catch { case _: Exception => "" }
       val expired = content.split(':')(0).toLongOption
         .forall(_ < System.currentTimeMillis()) // unparseable/corrupt counts as expired
-      if (expired) Files.deleteIfExists(grave)
+      if (expired) {
+        Metrics.inc("graft_catalog_lock_steals_total")
+        Files.deleteIfExists(grave)
+      }
       else {
         // displaced a live holder — restore; if a third party created a new
         // lock meanwhile, theirs stands (release stays token-checked, and
@@ -757,12 +760,14 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       val updated = f(meta)
       try {
         writeVersion(dir, v + 1, updated)
+        Metrics.inc("graft_catalog_commits_total")
         // re-load the published form: fresh snapshots now carry their
         // manifest-list link (and the hydrated view), and the parse warms
         // the (table, version) cache for every subsequent reader
         return loadMeta(ident)
       } catch {
         case e: IllegalStateException if attempt < retries =>
+          Metrics.inc("graft_catalog_commit_retries_total")
           attempt += 1
           // linear backoff de-synchronizes racing committers; the commit
           // lambda itself is cheap to recompute (metadata-only)
@@ -1866,6 +1871,18 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
         val list = Files.list(mDir)
         try list.iterator().asScala
           .filter(p => !live.contains(p.getFileName.toString) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+          .foreach(Files.deleteIfExists(_))
+        finally list.close()
+      }
+      // grave files from failed lock-steal restores: any lease inside has
+      // long expired once the grace window has passed
+      val metaDir = tableDir(ident).resolve("metadata")
+      if (Files.isDirectory(metaDir)) {
+        val cutoff = System.currentTimeMillis() - manifestGraceMs
+        val list = Files.list(metaDir)
+        try list.iterator().asScala
+          .filter(p => p.getFileName.toString.contains(".grave.") &&
             Files.getLastModifiedTime(p).toMillis < cutoff)
           .foreach(Files.deleteIfExists(_))
         finally list.close()

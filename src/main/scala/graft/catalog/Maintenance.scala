@@ -107,9 +107,15 @@ object Maintenance {
       // the preceding jobs unreferenced
       Seq(JobSnapshotCleanup, JobDataCompaction, JobManifestCompaction, JobOrphanCleanup)
         .filter(policy.jobs.contains)
-        .map(job =>
-          try perform(ident, job, policy)
-          catch { case e: Exception => Report(ident, job, "", Some(e.toString)) })
+        .map { job =>
+          val r =
+            try perform(ident, job, policy)
+            catch { case e: Exception => Report(ident, job, "", Some(e.toString)) }
+          Metrics.inc(
+            if (r.error.isEmpty) s"graft_maintenance_${job}_total"
+            else s"graft_maintenance_${job}_errors_total")
+          r
+        }
     }
 
     private def perform(ident: String, job: String, p: Policy): Report = job match {
@@ -177,9 +183,10 @@ object Maintenance {
             try {
               lastReports.set(runner.run())
               runsCompleted.incrementAndGet()
+              Metrics.inc("graft_maintenance_runs_total")
             } catch { case _: Exception => () } // next tick retries
             finally inFlight.set(false)
-          },
+          } else Metrics.inc("graft_maintenance_skipped_total"),
         intervalMs, intervalMs, TimeUnit.MILLISECONDS)
     }
 

@@ -1,0 +1,48 @@
+package graft.catalog
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import scala.jdk.CollectionConverters._
+
+/** Process-wide operational counters with Prometheus text exposition —
+  * the reference's metrics surface (ice-rest-catalog/internal/metrics/
+  * CatalogMetrics.java, MaintenanceMetrics.java, HttpMetrics.java,
+  * PrometheusMetricsReporter.java) without the client-library dependency:
+  * monotonic counters accumulate in LongAdders and `GET /metrics` on the
+  * REST server renders the standard `# TYPE`/value text format, with the
+  * catalog-size gauges computed at scrape time.
+  *
+  * Instrumented: catalog commits + optimistic retries + lock steals +
+  * metadata/segment parse counts, maintenance runs/skips and per-job
+  * outcomes, HTTP requests and response codes.
+  */
+object Metrics {
+
+  private val counters = new ConcurrentHashMap[String, LongAdder]()
+
+  def inc(name: String, delta: Long = 1): Unit =
+    counters.computeIfAbsent(name, _ => new LongAdder()).add(delta)
+
+  def value(name: String): Long =
+    Option(counters.get(name)).map(_.sum()).getOrElse(0L)
+
+  def snapshot(): Map[String, Long] =
+    counters.asScala.map { case (k, v) => k -> v.sum() }.toMap
+
+  private[graft] def reset(): Unit = counters.clear() // test isolation
+
+  /** Prometheus text format: registered counters plus caller-supplied
+    * gauges (scrape-time values like table/namespace counts).
+    */
+  def prometheus(gauges: Map[String, Long] = Map.empty): String = {
+    val sb = new StringBuilder
+    snapshot().toSeq.sortBy(_._1).foreach { case (name, v) =>
+      sb.append(s"# TYPE $name counter\n$name $v\n")
+    }
+    gauges.toSeq.sortBy(_._1).foreach { case (name, v) =>
+      sb.append(s"# TYPE $name gauge\n$name $v\n")
+    }
+    sb.toString
+  }
+}

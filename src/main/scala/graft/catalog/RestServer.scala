@@ -30,6 +30,7 @@ import graft.catalog.IceCatalog._
   *   POST   /v1/namespaces/{ns}/tables/{t}/metrics   accepted, discarded
   *   POST   /v1/tables/rename                  {"source","destination"}
   *   POST   /v1/transactions/commit            multi-table group commit
+  *   GET    /metrics                           Prometheus text exposition
   *
   * Commits route through the catalog's lease-locked optimistic protocol, so
   * concurrent external committers serialize exactly like local ones; the
@@ -89,6 +90,7 @@ object RestServer {
 
     private def handle(ex: HttpExchange): Unit =
       try {
+        Metrics.inc("graft_http_requests_total")
         val method = ex.getRequestMethod.toUpperCase
         authenticate(ex) match {
           case None =>
@@ -117,6 +119,15 @@ object RestServer {
       (method, path) match {
         case ("GET", List("v1", "config")) =>
           sendJson(ex, 200, Map("defaults" -> Map.empty, "overrides" -> Map.empty))
+
+        case ("GET", List("metrics")) =>
+          // Prometheus text exposition (PrometheusMetricsReporter.java):
+          // accumulated counters + scrape-time catalog-size gauges
+          val namespaces = cat.listNamespaces()
+          val body = Metrics.prometheus(Map(
+            "graft_catalog_namespaces" -> namespaces.length.toLong,
+            "graft_catalog_tables" -> namespaces.map(cat.listTables(_).length.toLong).sum))
+          send(ex, 200, body.getBytes(StandardCharsets.UTF_8))
 
         case ("GET", List("v1", "namespaces")) =>
           sendJson(ex, 200, Map("namespaces" -> cat.listNamespaces().map(Seq(_))))
@@ -359,6 +370,7 @@ object RestServer {
 
     private def send(
         ex: HttpExchange, code: Int, bytes: Array[Byte], json: Boolean = false): Unit = {
+      Metrics.inc(s"graft_http_responses_${code}_total")
       if (json) ex.getResponseHeaders.set("Content-Type", "application/json")
       // HEAD/204 responses carry no body (sendResponseHeaders contract)
       if (bytes.isEmpty || ex.getRequestMethod.equalsIgnoreCase("HEAD") || code == 204) {

@@ -158,6 +158,30 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.loadMeta("web.t2").properties("b") == "2")
   }
 
+  test("mixed append-files + set-properties commit is rejected up front") {
+    val mixed = req("POST", "/v1/namespaces/web/tables/hits",
+      """{"updates":[
+        | {"action":"append-files","paths":["/tmp/nope.parquet"],"force-outside-location":true},
+        | {"action":"set-properties","properties":{"x":"1"}}
+        |]}""".stripMargin)
+    assert(mixed.statusCode() == 400, "a mixed request could half-apply")
+    // multi-part namespaces are unaddressable by table routes: reject
+    assert(req("POST", "/v1/namespaces",
+      """{"namespace":["a","b"]}""").statusCode() == 400)
+  }
+
+  test("metrics endpoint exposes commit/http counters and catalog gauges") {
+    val m = req("GET", "/metrics", token = "ro-secret")
+    assert(m.statusCode() == 200)
+    val body = m.body
+    assert(body.contains("# TYPE graft_catalog_commits_total counter"))
+    assert(body.contains("graft_http_requests_total"))
+    assert(body.contains("# TYPE graft_catalog_tables gauge"))
+    val commits = body.linesIterator
+      .find(_.startsWith("graft_catalog_commits_total ")).get.split(' ')(1).toLong
+    assert(commits >= 2, s"commits through REST must be counted, saw $commits")
+  }
+
   test("rename and drop over HTTP") {
     req("POST", "/v1/namespaces/web/tables", """{"name":"old","schema":"id BIGINT"}""")
     assert(req("POST", "/v1/tables/rename",
