@@ -249,6 +249,22 @@ object Similarity {
     vectors(spark, dir).withColumn("vn", normalize(col("v")))
   }
 
+  /** One persisted normalized-corpus copy per (session, dir), shared by
+    * every IVF/PQ call: k-means and codebook training make several passes
+    * and the final candidate scans a couple more — re-reading and
+    * re-normalizing per call would pay parquet+normalize each time, while
+    * per-call persists (the old shape) accumulated one pinned copy per
+    * invocation. Bounded by live (session, dir) pairs; entries of stopped
+    * sessions are dropped on access.
+    */
+  private val corpusCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def cachedUnitVectors(spark: SparkSession, dir: String): DataFrame = {
+    corpusCache.keySet().removeIf(_._1.sparkContext.isStopped)
+    corpusCache.computeIfAbsent((spark, dir), _ => unitVectors(spark, dir).persist())
+  }
+
   /** -cosine distances to each centroid as an array column. */
   private def centroidDists(centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
     array(centroids.map(c => -dot(col("vn"), typedLit(c.toSeq))): _*)
@@ -292,13 +308,9 @@ object Similarity {
   def ivfAnn(
       spark: SparkSession, dir: String,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
-    val e = unitVectors(spark, dir)
-    // cached for the k-means passes (iters collects); unpersisted right
-    // after so repeated calls don't pin corpus copies in executor storage
-    val candidates = e.filter(col("vec_id") >= 5).persist()
-    val centroids =
-      try kmeansCentroids(candidates, nlist, dims)
-      finally candidates.unpersist()
+    val e = cachedUnitVectors(spark, dir)
+    val candidates = e.filter(col("vec_id") >= 5)
+    val centroids = kmeansCentroids(candidates, nlist, dims)
     val assigned = candidates.withColumn("cell", argminAssign(centroids))
     // query probe list: nprobe nearest cells by (dist, idx) struct sort
     val d = centroidDists(centroids)
@@ -333,17 +345,12 @@ object Similarity {
       m: Int = 8, codebookSize: Int = 16, shortlist: Int = 100): DataFrame = {
     require(dims % m == 0, "m must divide dims")
     val subDims = dims / m
-    val e = unitVectors(spark, dir)
-    // cached across the IVF + PQ training collects, then unpersisted so
-    // repeated calls don't accumulate pinned corpus copies
-    val candidates = e.filter(col("vec_id") >= 5).persist()
-    val (centroids, codebooks) =
-      try {
-        val cents = kmeansCentroids(candidates, nlist, dims)
-        // PQ codebooks trained on the unit vectors (cosine == dot on
-        // units, so the ADC partial dots below sum to an approx cosine)
-        (cents, trainCodebooks(candidates, col("vn"), m, codebookSize, subDims))
-      } finally candidates.unpersist()
+    val e = cachedUnitVectors(spark, dir)
+    val candidates = e.filter(col("vec_id") >= 5)
+    val centroids = kmeansCentroids(candidates, nlist, dims)
+    // PQ codebooks trained on the unit vectors (cosine == dot on units,
+    // so the ADC partial dots below sum to an approximate cosine)
+    val codebooks = trainCodebooks(candidates, col("vn"), m, codebookSize, subDims)
     // the compact index: everything the bulk scorer ever shuffles
     val index = candidates
       .withColumn("cell", argminAssign(centroids))
