@@ -220,8 +220,9 @@ object Similarity {
       m: Int = 4, k: Int = 16, dims: Int = 64): DataFrame = {
     require(dims % m == 0, "m must divide dims")
     val subDims = dims / m
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // raw (unnormalized) vectors, served from the shared persisted corpus:
+    // codebook training makes 3 passes that would otherwise re-read parquet
+    val e = cachedUnitVectors(spark, dir).select(col("vec_id"), col("v"))
 
     val codebooks = trainCodebooks(e, col("v"), m, k, subDims)
     def codeCol(j: Int): Column = pqCodeCol(col("v"), j, subDims, codebooks(j))

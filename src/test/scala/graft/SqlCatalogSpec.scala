@@ -148,6 +148,16 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     spark.sql("ALTER TABLE graft.ns4.a SET TBLPROPERTIES ('retention.hours' = '168')")
     assert(cat.loadMeta("ns4.a").properties("retention.hours") == "168")
+    // SQL-set properties drive the maintenance runner: the whole policy
+    // surface is reachable from plain DDL, no API call needed
+    spark.sql("""ALTER TABLE graft.ns4.a SET TBLPROPERTIES (
+      'maintenance.jobs' = 'snapshot_cleanup',
+      'maintenance.expire.ttl-hours' = '0',
+      'maintenance.expire.min-snapshots' = '1')""")
+    val nSnaps = cat.listSnapshots("ns4.a").length
+    val rep = new graft.catalog.Maintenance.Runner(cat).runTable("ns4.a")
+    assert(rep.exists(r => r.job == "snapshot_cleanup" && r.error.isEmpty))
+    assert(cat.listSnapshots("ns4.a").length == math.min(nSnaps, 1))
 
     // mixed-schema scan: both pre- and post-evolution files in one query
     val all = spark.sql("SELECT id, payload FROM graft.ns4.a ORDER BY id")
