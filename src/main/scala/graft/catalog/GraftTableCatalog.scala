@@ -214,7 +214,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     ice.listTables(namespace(0)).map(Identifier.of(namespace, _)).toArray
   }
 
-  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+  override def loadTable(ident: Identifier): Table = {
+    // `ns.table.<meta>` resolves to a metadata table (files / snapshots /
+    // partitions / history / manifests) — Iceberg's metadata-table UX
+    val ns = ident.namespace()
+    if (ns.length == 2 && MetadataTables.Names.contains(ident.name()) &&
+        ice.tableExists(s"${ns(0)}.${ns(1)}"))
+      MetadataTables(ice, s"${ns(0)}.${ns(1)}", ident.name())
+    else tableAt(ident, None)
+  }
 
   /** SQL `VERSION AS OF <snapshot-id>` time travel. */
   override def loadTable(ident: Identifier, version: String): Table =

@@ -1,0 +1,111 @@
+package graft.catalog
+
+import java.util.Collections
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.IceCatalog._
+
+/** SQL metadata tables — `SELECT * FROM graft.ns.t.files` etc., the
+  * Iceberg-UX way to query a table's own metadata (the reference CLI's
+  * `files` / `list-snapshots` / `list-partitions` / `describe` output,
+  * queryable and joinable instead of printed). Resolved by
+  * [[GraftTableCatalog.loadTable]] when the identifier has the shape
+  * `ns.table.<meta>`; rows come straight from the manifest (O(files)
+  * driver-side metadata, zero data scan) and execute as a LocalScan.
+  *
+  *   files       current data files: path, partition, rows, bytes, schema id
+  *   snapshots   id, parent, commit time, operation, file/row counts
+  *   partitions  partition value → row/file counts
+  *   history     commit timeline with is_current flag
+  *   manifests   current snapshot's manifest segments
+  */
+object MetadataTables {
+
+  val Names: Set[String] = Set("files", "snapshots", "partitions", "history", "manifests")
+
+  def apply(ice: IceCatalog, baseIdent: String, metaName: String): Table = {
+    val meta = ice.loadMeta(baseIdent)
+    val (schema, rows) = metaName match {
+      case "files" =>
+        val s = StructType(Seq(
+          StructField("path", StringType),
+          StructField("partition", MapType(StringType, StringType)),
+          StructField("row_count", LongType),
+          StructField("bytes", LongType),
+          StructField("schema_id", IntegerType),
+          StructField("has_field_ids", BooleanType)))
+        val fs = meta.current.map(_.files).getOrElse(Seq.empty)
+        (s, fs.map(f =>
+          Row(f.path, f.partition, f.rowCount, f.bytes, f.schemaId, f.hasFieldIds)))
+      case "snapshots" =>
+        val s = StructType(Seq(
+          StructField("snapshot_id", LongType),
+          StructField("parent_id", LongType),
+          StructField("committed_at", TimestampType),
+          StructField("operation", StringType),
+          StructField("file_count", IntegerType),
+          StructField("row_count", LongType)))
+        (s, meta.snapshots.map(sn =>
+          Row(sn.id, sn.parentId, new java.sql.Timestamp(sn.timestampMs), sn.operation,
+            Option(sn.files).map(_.length).getOrElse(0),
+            Option(sn.files).map(_.map(_.rowCount).sum).getOrElse(0L))))
+      case "partitions" =>
+        val s = StructType(Seq(
+          StructField("partition", MapType(StringType, StringType)),
+          StructField("row_count", LongType),
+          StructField("file_count", IntegerType)))
+        (s, ice.listPartitions(baseIdent).map { case (p, rc, fc) => Row(p, rc, fc) })
+      case "history" =>
+        val s = StructType(Seq(
+          StructField("committed_at", TimestampType),
+          StructField("snapshot_id", LongType),
+          StructField("parent_id", LongType),
+          StructField("is_current", BooleanType)))
+        (s, meta.snapshots.sortBy(_.timestampMs).map(sn =>
+          Row(new java.sql.Timestamp(sn.timestampMs), sn.id, sn.parentId,
+            sn.id == meta.currentSnapshotId)))
+      case "manifests" =>
+        val s = StructType(Seq(
+          StructField("name", StringType),
+          StructField("file_count", LongType),
+          StructField("row_count", LongType),
+          StructField("bytes", LongType)))
+        val refs = meta.current.flatMap(sn => Option(sn.manifests)).getOrElse(Seq.empty)
+        (s, refs.map(r => Row(r.name, r.fileCount, r.rowCount, r.bytes)))
+      case other =>
+        throw new IllegalArgumentException(s"unknown metadata table: $other")
+    }
+    new LocalRowsTable(s"$baseIdent.$metaName", schema, rows)
+  }
+
+  /** Driver-local rows as a read-only V2 table (executes as LocalScan →
+    * LocalTableScanExec; the rows are already in memory, nothing ships to
+    * executors).
+    */
+  private final class LocalRowsTable(
+      tableName: String, tableSchema: StructType, rows: Seq[Row])
+      extends Table with SupportsRead {
+
+    override def name(): String = tableName
+    override def schema(): StructType = tableSchema
+    override def capabilities(): java.util.Set[TableCapability] =
+      Collections.singleton(TableCapability.BATCH_READ)
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def readSchema(): StructType = tableSchema
+          override def rows(): Array[InternalRow] = {
+            val conv = CatalystTypeConverters.createToCatalystConverter(tableSchema)
+            LocalRowsTable.this.rows.map(r => conv(r).asInstanceOf[InternalRow]).toArray
+          }
+        }
+      }
+  }
+}

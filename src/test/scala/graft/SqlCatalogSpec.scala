@@ -307,4 +307,36 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.ns4.r2").as[Long].head() == 1L)
     intercept[Exception] { spark.sql("SELECT * FROM graft.ns4.r1").collect() }
   }
+
+  test("metadata tables: files/snapshots/partitions/history/manifests via SQL") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("""CREATE TABLE graft.ns8.m (id BIGINT, v STRING)
+                 PARTITIONED BY (bucket(2, id))""")
+    (1 to 2).foreach(i =>
+      cat.insert("ns8.m", Seq((i.toLong, s"v$i")).toDF("id", "v"),
+        InsertOptions(forceDuplicates = true)))
+
+    val files = spark.sql("SELECT path, row_count FROM graft.ns8.m.files")
+    assert(files.count() == cat.files("ns8.m").length)
+    assert(files.agg(sum("row_count")).as[Long].head() == 2L)
+
+    val snaps = spark.sql(
+      "SELECT snapshot_id, operation FROM graft.ns8.m.snapshots ORDER BY snapshot_id")
+    assert(snaps.count() == 2 &&
+      snaps.select("operation").as[String].collect().forall(_ == "append"))
+
+    // metadata tables are real relations: joinable, filterable
+    val parts = spark.sql(
+      """SELECT p.partition['p_bucket'] AS b, p.row_count
+        |FROM graft.ns8.m.partitions p WHERE p.row_count > 0""".stripMargin)
+    assert(parts.as[(String, Long)].collect().map(_._2).sum == 2L)
+
+    val hist = spark.sql(
+      "SELECT snapshot_id FROM graft.ns8.m.history WHERE is_current").as[Long].collect()
+    assert(hist.toSeq == Seq(cat.loadMeta("ns8.m").currentSnapshotId))
+
+    assert(spark.sql("SELECT sum(file_count) FROM graft.ns8.m.manifests")
+      .as[Long].head() == cat.files("ns8.m").length.toLong)
+  }
 }
