@@ -82,6 +82,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("bucket"), "join must key on the LSH bucket")
   }
 
+  test("s8 IVF+PQ joins candidates on the cell key with codes, not vectors") {
+    val p = plan("s8_ivfpq_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      "query probes and the shortlist must broadcast; the corpus never does")
+    assert(p.contains("[cell]") || p.contains("cell#"),
+      "bulk candidate join must be an equi-join on the IVF cell id")
+    assert(p.contains("codes"),
+      "the candidate side of the ADC join must carry PQ codes")
+  }
+
   test("d1 exact dedup is one shuffle on the content hash") {
     val p = plan("d1_exact_dedup")
     // formatted output lists each node twice (tree + detail): count ids.
