@@ -266,6 +266,22 @@ object Similarity {
     corpusCache.computeIfAbsent((spark, dir), _ => unitVectors(spark, dir).persist())
   }
 
+  /** IVF coarse quantizers are deterministic per (corpus, nlist, dims)
+    * seed and shared by s3 and s8 — train once per session, not per
+    * query. nlist×dims driver-side doubles per entry.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int),
+      Array[Array[Double]]]()
+
+  private def cachedCentroids(
+      spark: SparkSession, dir: String, candidates: DataFrame,
+      nlist: Int, dims: Int): Array[Array[Double]] = {
+    centroidCache.keySet().removeIf(_._1.sparkContext.isStopped)
+    centroidCache.computeIfAbsent((spark, dir, nlist, dims),
+      _ => kmeansCentroids(candidates, nlist, dims))
+  }
+
   /** -cosine distances to each centroid as an array column. */
   private def centroidDists(centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
     array(centroids.map(c => -dot(col("vn"), typedLit(c.toSeq))): _*)
@@ -311,7 +327,7 @@ object Similarity {
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
     val e = cachedUnitVectors(spark, dir)
     val candidates = e.filter(col("vec_id") >= 5)
-    val centroids = kmeansCentroids(candidates, nlist, dims)
+    val centroids = cachedCentroids(spark, dir, candidates, nlist, dims)
     val assigned = candidates.withColumn("cell", argminAssign(centroids))
     // query probe list: nprobe nearest cells by (dist, idx) struct sort
     val d = centroidDists(centroids)
@@ -348,7 +364,7 @@ object Similarity {
     val subDims = dims / m
     val e = cachedUnitVectors(spark, dir)
     val candidates = e.filter(col("vec_id") >= 5)
-    val centroids = kmeansCentroids(candidates, nlist, dims)
+    val centroids = cachedCentroids(spark, dir, candidates, nlist, dims)
     // PQ codebooks trained on the unit vectors (cosine == dot on units,
     // so the ADC partial dots below sum to an approximate cosine)
     val codebooks = trainCodebooks(candidates, col("vn"), m, codebookSize, subDims)
