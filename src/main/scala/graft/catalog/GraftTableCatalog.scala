@@ -216,12 +216,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     // `ns.table.<meta>` resolves to a metadata table (files / snapshots /
-    // partitions / history / manifests) — Iceberg's metadata-table UX
+    // partitions / history / manifests) — Iceberg's metadata-table UX.
+    // Case-insensitive (Spark passes identifiers through unlowered); any
+    // other 3-part identifier is NoSuchTable, not identString's arity error
     val ns = ident.namespace()
-    if (ns.length == 2 && MetadataTables.Names.contains(ident.name()) &&
-        ice.tableExists(s"${ns(0)}.${ns(1)}"))
-      MetadataTables(ice, s"${ns(0)}.${ns(1)}", ident.name())
-    else tableAt(ident, None)
+    if (ns.length == 2) {
+      val base = s"${ns(0)}.${ns(1)}"
+      val metaName = ident.name().toLowerCase
+      if (ice.tableExists(base) && MetadataTables.Names.contains(metaName))
+        MetadataTables(ice, base, metaName)
+      else throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ns.toSeq :+ ident.name())
+    } else tableAt(ident, None)
   }
 
   /** SQL `VERSION AS OF <snapshot-id>` time travel. */

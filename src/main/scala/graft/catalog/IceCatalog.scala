@@ -1876,10 +1876,14 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
         finally list.close()
       }
       // grave files from failed lock-steal restores: any lease inside has
-      // long expired once the grace window has passed
+      // long expired once the grace window has passed. Floor the window at
+      // one minute regardless of manifestGraceMs: stealStaleLock re-reads
+      // the grave moments after creating it, and deleting it in that
+      // window would read as empty = "expired", letting a fresh lease be
+      // stolen (two holders)
       val metaDir = tableDir(ident).resolve("metadata")
       if (Files.isDirectory(metaDir)) {
-        val cutoff = System.currentTimeMillis() - manifestGraceMs
+        val cutoff = System.currentTimeMillis() - math.max(manifestGraceMs, 60000L)
         val list = Files.list(metaDir)
         try list.iterator().asScala
           .filter(p => p.getFileName.toString.contains(".grave.") &&

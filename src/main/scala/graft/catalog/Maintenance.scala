@@ -157,15 +157,18 @@ object Maintenance {
     }
   }
 
-  /** Fixed-interval scheduler (MaintenanceScheduler.java): one daemon
-    * thread, at most one run in flight — a run that overlaps the next
-    * tick is skipped, not queued (isMaintenanceMode semantics at
-    * MaintenanceScheduler.java:86-90). `lastReports` exposes the most
-    * recent run's outcome for observability.
+  /** Fixed-delay scheduler (MaintenanceScheduler.java semantics with
+    * simpler concurrency: the reference schedules absolute next-run times
+    * and SKIPS a tick when a run is still in flight; a single-thread
+    * fixed-DELAY schedule cannot overlap by construction — the next run
+    * starts intervalMs after the previous one completes, so a long run
+    * delays the schedule instead of stacking. When a run overruns the
+    * interval, `graft_maintenance_overrun_total` records what the
+    * reference would have counted as a skipped tick.) `lastReports`
+    * exposes the most recent run's outcome for observability.
     */
   class Scheduler(runner: Runner, intervalMs: Long) {
     private val running = new AtomicBoolean(false)
-    private val inFlight = new AtomicBoolean(false)
     val lastReports = new AtomicReference[Seq[Report]](Seq.empty)
     val runsCompleted = new java.util.concurrent.atomic.AtomicLong(0)
     private val executor = Executors.newSingleThreadScheduledExecutor { r =>
@@ -178,15 +181,16 @@ object Maintenance {
     def start(): Unit = synchronized {
       if (!running.compareAndSet(false, true)) return
       task = executor.scheduleWithFixedDelay(
-        () =>
-          if (inFlight.compareAndSet(false, true)) {
-            try {
-              lastReports.set(runner.run())
-              runsCompleted.incrementAndGet()
-              Metrics.inc("graft_maintenance_runs_total")
-            } catch { case _: Exception => () } // next tick retries
-            finally inFlight.set(false)
-          } else Metrics.inc("graft_maintenance_skipped_total"),
+        () => {
+          val t0 = System.currentTimeMillis()
+          try {
+            lastReports.set(runner.run())
+            runsCompleted.incrementAndGet()
+            Metrics.inc("graft_maintenance_runs_total")
+          } catch { case _: Exception => () } // next tick retries
+          if (System.currentTimeMillis() - t0 > intervalMs)
+            Metrics.inc("graft_maintenance_overrun_total")
+        },
         intervalMs, intervalMs, TimeUnit.MILLISECONDS)
     }
 

@@ -32,12 +32,16 @@ object Metrics {
 
   private[graft] def reset(): Unit = counters.clear() // test isolation
 
-  /** Prometheus text format: registered counters plus caller-supplied
-    * gauges (scrape-time values like table/namespace counts).
+  /** Prometheus text format: registered counters, caller-supplied
+    * scrape-time counters (monotonic values owned elsewhere, like the
+    * catalog's parse counts), and scrape-time gauges (table/namespace
+    * counts).
     */
-  def prometheus(gauges: Map[String, Long] = Map.empty): String = {
+  def prometheus(
+      gauges: Map[String, Long] = Map.empty,
+      extraCounters: Map[String, Long] = Map.empty): String = {
     val sb = new StringBuilder
-    snapshot().toSeq.sortBy(_._1).foreach { case (name, v) =>
+    (snapshot() ++ extraCounters).toSeq.sortBy(_._1).foreach { case (name, v) =>
       sb.append(s"# TYPE $name counter\n$name $v\n")
     }
     gauges.toSeq.sortBy(_._1).foreach { case (name, v) =>

@@ -122,11 +122,17 @@ object RestServer {
 
         case ("GET", List("metrics")) =>
           // Prometheus text exposition (PrometheusMetricsReporter.java):
-          // accumulated counters + scrape-time catalog-size gauges
+          // accumulated counters + the catalog's own parse counts +
+          // scrape-time catalog-size gauges
           val namespaces = cat.listNamespaces()
-          val body = Metrics.prometheus(Map(
-            "graft_catalog_namespaces" -> namespaces.length.toLong,
-            "graft_catalog_tables" -> namespaces.map(cat.listTables(_).length.toLong).sum))
+          val body = Metrics.prometheus(
+            gauges = Map(
+              "graft_catalog_namespaces" -> namespaces.length.toLong,
+              "graft_catalog_tables" -> namespaces.map(cat.listTables(_).length.toLong).sum),
+            extraCounters = Map(
+              "graft_catalog_meta_parses_total" -> IceCatalog.metaParses.get(),
+              "graft_catalog_segment_parses_total" -> IceCatalog.segmentParses.get()))
+          ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
           send(ex, 200, body.getBytes(StandardCharsets.UTF_8))
 
         case ("GET", List("v1", "namespaces")) =>

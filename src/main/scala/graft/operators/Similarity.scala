@@ -250,35 +250,56 @@ object Similarity {
     vectors(spark, dir).withColumn("vn", normalize(col("v")))
   }
 
-  /** One persisted normalized-corpus copy per (session, dir), shared by
-    * every IVF/PQ call: k-means and codebook training make several passes
-    * and the final candidate scans a couple more — re-reading and
-    * re-normalizing per call would pay parquet+normalize each time, while
-    * per-call persists (the old shape) accumulated one pinned copy per
-    * invocation. Bounded by live (session, dir) pairs; entries of stopped
-    * sessions are dropped on access.
+  /** Source fingerprint (path, mtime, size) of the embeddings file: cache
+    * keys carry it so a rewritten/appended corpus naturally misses and
+    * retrains instead of silently serving results frozen at first call.
+    */
+  private def corpusFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val (mt, sz) =
+      try (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+        java.nio.file.Files.size(p))
+      catch { case _: Exception => (0L, 0L) } // multi-file/remote dir: no attrs
+    s"$dir@$mt:$sz"
+  }
+
+  /** One persisted normalized-corpus copy per (session, corpus version),
+    * shared by every IVF/PQ call: k-means and codebook training make
+    * several passes and the final candidate scans a couple more —
+    * re-reading and re-normalizing per call would pay parquet+normalize
+    * each time, while per-call persists (the old shape) accumulated one
+    * pinned copy per invocation. A changed corpus fingerprint unpersists
+    * the superseded entry; entries of stopped sessions drop on access.
     */
   private val corpusCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
 
   private def cachedUnitVectors(spark: SparkSession, dir: String): DataFrame = {
     corpusCache.keySet().removeIf(_._1.sparkContext.isStopped)
-    corpusCache.computeIfAbsent((spark, dir), _ => unitVectors(spark, dir).persist())
+    val fp = corpusFingerprint(dir)
+    corpusCache.compute((spark, dir), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else {
+        if (cur != null) cur._2.unpersist()
+        (fp, unitVectors(spark, dir).persist())
+      })._2
   }
 
-  /** IVF coarse quantizers are deterministic per (corpus, nlist, dims)
-    * seed and shared by s3 and s8 — train once per session, not per
-    * query. nlist×dims driver-side doubles per entry.
+  /** IVF coarse quantizers are deterministic per (corpus version, candidate
+    * subset, nlist, dims) seed and shared by s3 and s8 — train once per
+    * session, not per query. The candidate subset is part of the key: two
+    * callers with different filters must not share centroids. nlist×dims
+    * driver-side doubles per entry.
     */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int),
-      Array[Array[Double]]]()
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, Int, Int), Array[Array[Double]]]()
 
   private def cachedCentroids(
-      spark: SparkSession, dir: String, candidates: DataFrame,
+      spark: SparkSession, dir: String, candidates: DataFrame, subsetKey: String,
       nlist: Int, dims: Int): Array[Array[Double]] = {
     centroidCache.keySet().removeIf(_._1.sparkContext.isStopped)
-    centroidCache.computeIfAbsent((spark, dir, nlist, dims),
+    centroidCache.computeIfAbsent(
+      (spark, corpusFingerprint(dir), subsetKey, nlist, dims),
       _ => kmeansCentroids(candidates, nlist, dims))
   }
 
@@ -327,7 +348,7 @@ object Similarity {
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
     val e = cachedUnitVectors(spark, dir)
     val candidates = e.filter(col("vec_id") >= 5)
-    val centroids = cachedCentroids(spark, dir, candidates, nlist, dims)
+    val centroids = cachedCentroids(spark, dir, candidates, "vec_id>=5", nlist, dims)
     val assigned = candidates.withColumn("cell", argminAssign(centroids))
     // query probe list: nprobe nearest cells by (dist, idx) struct sort
     val d = centroidDists(centroids)
@@ -364,7 +385,7 @@ object Similarity {
     val subDims = dims / m
     val e = cachedUnitVectors(spark, dir)
     val candidates = e.filter(col("vec_id") >= 5)
-    val centroids = cachedCentroids(spark, dir, candidates, nlist, dims)
+    val centroids = cachedCentroids(spark, dir, candidates, "vec_id>=5", nlist, dims)
     // PQ codebooks trained on the unit vectors (cosine == dot on units,
     // so the ADC partial dots below sum to an approximate cosine)
     val codebooks = trainCodebooks(candidates, col("vn"), m, codebookSize, subDims)

@@ -326,11 +326,23 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snaps.count() == 2 &&
       snaps.select("operation").as[String].collect().forall(_ == "append"))
 
-    // metadata tables are real relations: joinable, filterable
+    // metadata tables are real relations: joinable, filterable — and the
+    // partition map carries real values under the spec's field name
     val parts = spark.sql(
-      """SELECT p.partition['p_bucket'] AS b, p.row_count
+      """SELECT p.partition['p_bucket_id'] AS b, p.row_count
         |FROM graft.ns8.m.partitions p WHERE p.row_count > 0""".stripMargin)
-    assert(parts.as[(String, Long)].collect().map(_._2).sum == 2L)
+      .as[(String, Long)].collect()
+    assert(parts.map(_._2).sum == 2L)
+    assert(parts.forall(_._1 != null), "partition values must round-trip")
+    // case-insensitive resolution; unknown names are NoSuchTable, not an
+    // identifier-arity error
+    assert(spark.sql("SELECT count(*) FROM graft.ns8.m.FILES").as[Long].head() ==
+      cat.files("ns8.m").length.toLong)
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.ns8.m.nope").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cannot be found") ||
+      err.getMessage.toLowerCase.contains("table"), err.getMessage)
 
     val hist = spark.sql(
       "SELECT snapshot_id FROM graft.ns8.m.history WHERE is_current").as[Long].collect()
