@@ -193,6 +193,7 @@ object Queries {
     "s7_multiprobe_ann" -> ((s: SparkSession, d: String) => Similarity.multiprobeLshAnn(s, d)),
     "s3_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
     "s8_ivfpq_ann" -> ((s: SparkSession, d: String) => Similarity.ivfPqAnn(s, d)),
+    "d9_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "s5_quantize" -> (Similarity.quantize _),
     "s6_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
     "d7_decontaminate" -> (Dedup.decontaminate _),

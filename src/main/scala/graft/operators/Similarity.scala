@@ -362,6 +362,48 @@ object Similarity {
     topK(assigned, queries, Seq("cell"), k)
   }
 
+  /** d9: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus with the IVF coarse quantizer,
+    * then inside each cluster drop every vector that has a near-duplicate
+    * (cosine > threshold) ranked ahead of it. Retention follows the paper:
+    * of a near-duplicate pair the member with LOWER cosine to its cluster
+    * centroid survives (keep the most diverse representative; ties break
+    * by id). Output: one row per vector with its keep flag — the kept set
+    * is an independent set under within-cluster near-duplication (no two
+    * kept members of a cell exceed the threshold).
+    *
+    * Scale shape: the only join is the within-cell pair join —
+    * O(Σ|cell|²) candidate pairs, the SemDeDup cost model, tuned by
+    * nlist — on unit vectors with the codegen'd dot; no global pairwise
+    * pass, no shuffle beyond the cell equi-join.
+    */
+  def semanticDedup(
+      spark: SparkSession, dir: String,
+      nlist: Int = 16, threshold: Double = 0.30, dims: Int = 64): DataFrame = {
+    val e = cachedUnitVectors(spark, dir)
+    val centroids = cachedCentroids(spark, dir, e, "all", nlist, dims)
+    val centroidMat = typedLit(centroids.map(_.toSeq).toSeq)
+    val cell = argminAssign(centroids)
+    val assigned = e
+      .withColumn("cell", cell)
+      .withColumn("csim", dot(col("vn"), element_at(centroidMat, col("cell") + 1)))
+      .select(col("vec_id"), col("vn"), col("cell"), col("csim"))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val dominates = col("a.csim") < col("b.csim") ||
+      (col("a.csim") === col("b.csim") && col("a.vec_id") < col("b.vec_id"))
+    val dropped = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id") &&
+          dominates && dot(col("a.vn"), col("b.vn")) > threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("is_dropped"), lit(true)).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** s8: IVF+PQ — the billion-scale ANN *serving* composition (FAISS
     * IVFADC; Jégou et al., "Product Quantization for Nearest Neighbor
     * Search", TPAMI 2011): the IVF coarse quantizer restricts each query

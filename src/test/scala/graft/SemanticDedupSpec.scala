@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** d9 is rows-only in the oracle gate (k-means seeding), so its SemDeDup
+  * semantics are pinned here as properties over the actual cosine graph.
+  */
+class SemanticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-semdedup", cpus = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def corpusSize: Long =
+    spark.read.parquet(s"$dir/embeddings.parquet").count()
+
+  test("one verdict per vector; threshold above 1 keeps everything") {
+    val all = Similarity.semanticDedup(spark, dir, threshold = 1.01)
+    assert(all.count() == corpusSize)
+    assert(all.select("vec_id").distinct().count() == corpusSize)
+    assert(all.filter(!col("keep")).count() == 0,
+      "cosine cannot exceed 1: nothing may be dropped")
+  }
+
+  test("kept set is an independent set; every dropped vector has a dominator") {
+    val th = 0.15 // low threshold on the near-uniform synthetic corpus -> real drops
+    val verdicts = Similarity.semanticDedup(spark, dir, threshold = th)
+    val dropped = verdicts.filter(!col("keep"))
+    assert(dropped.count() > 0, "threshold 0.15 must produce drops on sf0.001")
+
+    // rebuild the within-cell cosine graph from the verdict's own cells
+    import graft.functions.VectorFunctions.{asDouble, normalize}
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), normalize(asDouble(col("embedding"))).as("vn"))
+      .join(verdicts, Seq("vec_id"))
+    val a = vecs.as("a")
+    val b = vecs.as("b")
+    val cos = graft.functions.VectorFunctions.dot(col("a.vn"), col("b.vn"))
+    val nearPairs = a.join(b,
+      col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id")).where(cos > th)
+
+    // (1) no two KEPT members of a cell are near-duplicates of each other
+    assert(nearPairs.where(col("a.keep") && col("b.keep")).count() == 0,
+      "kept set must be independent under within-cell near-duplication")
+    // (2) every dropped vector participates in at least one near-pair
+    // (its dominator — possibly itself dropped by a third vector)
+    val inPair = nearPairs.select(col("a.vec_id").as("vec_id"))
+      .union(nearPairs.select(col("b.vec_id").as("vec_id"))).distinct()
+    val orphanDrops = dropped.join(inPair, Seq("vec_id"), "left_anti").count()
+    assert(orphanDrops == 0, s"$orphanDrops drops have no near-duplicate at all")
+  }
+}
