@@ -307,8 +307,11 @@ object Similarity {
   private def centroidDists(centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
     array(centroids.map(c => -dot(col("vn"), typedLit(c.toSeq))): _*)
 
-  /** Nearest-centroid id (0-based argmin; deterministic first-min tie). */
-  private def argminAssign(centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
+  /** Nearest-centroid id (0-based argmin; deterministic first-min tie).
+    * Operates on the unit-vector column `vn`; also the map-side cell
+    * assignment for the streaming semantic-dedup screen.
+    */
+  private[graft] def argminAssign(centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
     val d = centroidDists(centroids)
     (array_position(d, array_min(d)) - 1).cast("int")
   }
@@ -360,6 +363,19 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(probes).as("cell"))
     topK(assigned, queries, Seq("cell"), k)
+  }
+
+  /** The reference corpus indexed for the streaming semantic screen:
+    * trained IVF centroids plus every reference vector as (vec_id, vn,
+    * cell) — the static side of [[graft.streaming.Streams.semanticDedupStream]].
+    */
+  def indexedCorpus(
+      spark: SparkSession, dir: String,
+      nlist: Int = 16, dims: Int = 64): (Array[Array[Double]], DataFrame) = {
+    val e = cachedUnitVectors(spark, dir)
+    val centroids = cachedCentroids(spark, dir, e, "all", nlist, dims)
+    (centroids,
+      e.select(col("vec_id"), col("vn")).withColumn("cell", argminAssign(centroids)))
   }
 
   /** d9: SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -186,6 +186,35 @@ object Streams {
       .drop((0 until Dedup.NumHashes).map(k => s"sig_$k"): _*)
   }
 
+  /** Streaming SEMANTIC near-dup screen — the online twin of d9
+    * (SemDeDup): each incoming embedding is assigned to its IVF cell
+    * map-side (nlist codegen'd dots against literal centroids) and checked
+    * against the STATIC reference corpus by a stream-static ANTI-join on
+    * the cell — a new example passes through only when no reference member
+    * of its cell has cosine > threshold. Per-row cost is nlist dots plus
+    * one cell's members (never the whole reference); no streaming state at
+    * all, since the reference side is static (train centroids + index with
+    * [[graft.operators.Similarity.indexedCorpus]]).
+    */
+  def semanticDedupStream(
+      stream: DataFrame,
+      centroids: Array[Array[Double]],
+      reference: DataFrame,
+      threshold: Double = 0.30): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, dot, normalize}
+    // argminAssign reads the unit vector from column "vn" by contract
+    val assigned = stream
+      .withColumn("vn", normalize(asDouble(col("embedding"))))
+      .withColumn("cell", graft.operators.Similarity.argminAssign(centroids))
+    val ref = reference.select(col("vn").as("__ref_vn"), col("cell").as("__ref_cell"))
+    assigned
+      .join(ref,
+        col("cell") === col("__ref_cell") &&
+          dot(col("vn"), col("__ref_vn")) > threshold,
+        "left_anti")
+      .drop("vn", "cell")
+  }
+
   /** Streaming exact dedup: one output row per content key, with state
     * bounded by the watermark horizon (the streaming twin of
     * Dedup.exactDedup for continuous ingestion). The event-time column is

@@ -191,6 +191,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming semantic screen drops near-dups of the reference corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two orthogonal reference vectors, one per cell; centroids = the
+    // axes themselves, so cell assignment is exact
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0))
+    val reference = Seq(
+      (100L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (101L, Seq(0.0, 1.0, 0.0, 0.0), 1)
+    ).toDF("vec_id", "vn", "cell")
+    val mem = MemoryStream[(Timestamp, Long, Seq[Double])]
+    val stream = mem.toDF().toDF("ts", "vec_id", "embedding")
+    val q = Streams.semanticDedupStream(stream, centroids, reference, threshold = 0.9)
+      .select("vec_id")
+      .writeStream.format("memory").queryName("semscreen").outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData(
+      (t0, 1L, Seq(0.99, 0.1, 0.0, 0.0)),  // near-dup of ref 100 -> dropped
+      (t0, 2L, Seq(0.05, 0.98, 0.0, 0.0)), // near-dup of ref 101 -> dropped
+      (t0, 3L, Seq(0.7, 0.0, 0.7, 0.1)))   // lands in cell 0, cos ~ 0.70 -> kept
+    q.processAllAvailable()
+    val kept = spark.table("semscreen").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L), s"expected only the novel vector to pass, got $kept")
+    q.stop()
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
