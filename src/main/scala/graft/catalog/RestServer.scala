@@ -92,6 +92,14 @@ object RestServer {
       try {
         Metrics.inc("graft_http_requests_total")
         val method = ex.getRequestMethod.toUpperCase
+        // liveness probe (cmd/Check.java: a catalog listing that must not
+        // throw), unauthenticated like standard health endpoints and
+        // revealing nothing but up-ness
+        if (method == "GET" && ex.getRequestURI.getPath == "/healthz") {
+          cat.listNamespaces()
+          sendJson(ex, 200, Map("status" -> "ok"))
+          return
+        }
         authenticate(ex) match {
           case None =>
             sendError(ex, 401, "NotAuthorizedException", "Unauthorized")

@@ -170,6 +170,10 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"namespace":["a","b"]}""").statusCode() == 400)
   }
 
+  test("healthz liveness probe answers without auth") {
+    assert(req("GET", "/healthz", token = null).statusCode() == 200)
+  }
+
   test("metrics endpoint exposes commit/http counters and catalog gauges") {
     val m = req("GET", "/metrics", token = "ro-secret")
     assert(m.statusCode() == 200)
