@@ -94,10 +94,17 @@ object RestServer {
         val method = ex.getRequestMethod.toUpperCase
         // liveness probe (cmd/Check.java: a catalog listing that must not
         // throw), unauthenticated like standard health endpoints and
-        // revealing nothing but up-ness
-        if (method == "GET" && ex.getRequestURI.getPath == "/healthz") {
-          cat.listNamespaces()
-          sendJson(ex, 200, Map("status" -> "ok"))
+        // revealing nothing but up-ness — including on failure, where the
+        // generic handler's exception detail must NOT leak to callers
+        // that never presented a token. GET and HEAD both probe.
+        if ((method == "GET" || method == "HEAD") &&
+            ex.getRequestURI.getPath == "/healthz") {
+          try {
+            cat.listNamespaces()
+            sendJson(ex, 200, Map("status" -> "ok"))
+          } catch {
+            case _: Exception => sendJson(ex, 503, Map("status" -> "unavailable"))
+          }
           return
         }
         authenticate(ex) match {

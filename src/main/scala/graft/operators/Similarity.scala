@@ -307,14 +307,20 @@ object Similarity {
   private def centroidDists(centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
     array(centroids.map(c => -dot(col("vn"), typedLit(c.toSeq))): _*)
 
-  /** Nearest-centroid id (0-based argmin; deterministic first-min tie).
-    * Operates on the unit-vector column `vn`; also the map-side cell
-    * assignment for the streaming semantic-dedup screen.
+  /** Nearest-centroid id (0-based argmin; deterministic first-min tie)
+    * over an arbitrary unit-vector column — the map-side cell assignment,
+    * also used by the streaming semantic-dedup screen on its own
+    * collision-safe column name.
     */
-  private[graft] def argminAssign(centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
-    val d = centroidDists(centroids)
+  private[graft] def argminAssignOf(
+      v: Column, centroids: Array[Array[Double]]): Column = {
+    val d = array(centroids.map(c => -dot(v, typedLit(c.toSeq))): _*)
     (array_position(d, array_min(d)) - 1).cast("int")
   }
+
+  /** [[argminAssignOf]] bound to this object's `vn` column contract. */
+  private[graft] def argminAssign(centroids: Array[Array[Double]]): Column =
+    argminAssignOf(col("vn"), centroids)
 
   /** Distributed Lloyd iterations: assignment is `nlist` codegen'd dots per
     * row (broadcast literal centroids); the update is one explode +
@@ -368,14 +374,27 @@ object Similarity {
   /** The reference corpus indexed for the streaming semantic screen:
     * trained IVF centroids plus every reference vector as (vec_id, vn,
     * cell) — the static side of [[graft.streaming.Streams.semanticDedupStream]].
+    * The ASSIGNED projection is persisted (and cached per corpus version):
+    * a stream-static join re-executes the static plan every micro-batch,
+    * and without the cache each batch would recompute nlist dot products
+    * for the entire reference before the anti-join.
     */
+  private val indexedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), (Array[Array[Double]], DataFrame)]()
+
   def indexedCorpus(
       spark: SparkSession, dir: String,
       nlist: Int = 16, dims: Int = 64): (Array[Array[Double]], DataFrame) = {
-    val e = cachedUnitVectors(spark, dir)
-    val centroids = cachedCentroids(spark, dir, e, "all", nlist, dims)
-    (centroids,
-      e.select(col("vec_id"), col("vn")).withColumn("cell", argminAssign(centroids)))
+    indexedCache.keySet().removeIf(_._1.sparkContext.isStopped)
+    indexedCache.computeIfAbsent(
+      (spark, corpusFingerprint(dir), nlist, dims),
+      _ => {
+        val e = cachedUnitVectors(spark, dir)
+        val centroids = cachedCentroids(spark, dir, e, "all", nlist, dims)
+        (centroids,
+          e.select(col("vec_id"), col("vn"))
+            .withColumn("cell", argminAssign(centroids)).persist())
+      })
   }
 
   /** d9: SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -202,17 +202,19 @@ object Streams {
       reference: DataFrame,
       threshold: Double = 0.30): DataFrame = {
     import graft.functions.VectorFunctions.{asDouble, dot, normalize}
-    // argminAssign reads the unit vector from column "vn" by contract
+    // collision-safe internal names: the caller's stream may legitimately
+    // carry columns named vn/cell, which must survive the screen intact
     val assigned = stream
-      .withColumn("vn", normalize(asDouble(col("embedding"))))
-      .withColumn("cell", graft.operators.Similarity.argminAssign(centroids))
+      .withColumn("__vn", normalize(asDouble(col("embedding"))))
+      .withColumn("__cell",
+        graft.operators.Similarity.argminAssignOf(col("__vn"), centroids))
     val ref = reference.select(col("vn").as("__ref_vn"), col("cell").as("__ref_cell"))
     assigned
       .join(ref,
-        col("cell") === col("__ref_cell") &&
-          dot(col("vn"), col("__ref_vn")) > threshold,
+        col("__cell") === col("__ref_cell") &&
+          dot(col("__vn"), col("__ref_vn")) > threshold,
         "left_anti")
-      .drop("vn", "cell")
+      .drop("__vn", "__cell")
   }
 
   /** Streaming exact dedup: one output row per content key, with state

@@ -219,6 +219,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("semantic screen preserves caller columns named vn/cell") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val reference = Seq((100L, Seq(1.0, 0.0), 0)).toDF("vec_id", "vn", "cell")
+    val mem = MemoryStream[(Timestamp, Long, Seq[Double], String)]
+    // the caller's own 'cell' column (e.g. a shard id) must survive
+    val stream = mem.toDF().toDF("ts", "vec_id", "embedding", "cell")
+    val q = Streams.semanticDedupStream(stream, centroids, reference, threshold = 0.9)
+      .select("vec_id", "cell")
+      .writeStream.format("memory").queryName("semcols").outputMode("append").start()
+    mem.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 7L, Seq(0.0, 1.0), "shard-3"))
+    q.processAllAvailable()
+    val out = spark.table("semcols").as[(Long, String)].collect().toSeq
+    assert(out == Seq((7L, "shard-3")), s"caller's cell column must round-trip, got $out")
+    q.stop()
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
