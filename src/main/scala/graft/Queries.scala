@@ -575,7 +575,8 @@ object Queries {
     "t7_files" -> (CatalogOps.filesQuery _),
     "t8_time_travel" -> (CatalogOps.timeTravelQuery _),
     "t9_merge_upsert" -> (CatalogOps.mergeUpsertQuery _),
-    "t10_rowgroups" -> (graft.sources.ParquetMeta.rowGroupsQuery _)
+    "t10_rowgroups" -> (graft.sources.ParquetMeta.rowGroupsQuery _),
+    "t11_profile" -> (TableMeta.profile _)
   )
 
   val tableMetaOracle: Map[String, String] = Map(
@@ -633,7 +634,17 @@ object Queries {
         | num_values, stats_null_count, total_compressed_size,
         | total_uncompressed_size
         |FROM parquet_metadata('__SF_DIR__/lineitem.parquet')
-        |ORDER BY row_group_id, column_id""".stripMargin
+        |ORDER BY row_group_id, column_id""".stripMargin,
+    "t11_profile" -> Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      .map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           | count(*) - count($c) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | round(CAST(min($c) AS DOUBLE), 2) AS min_v,
+           | round(CAST(max($c) AS DOUBLE), 2) AS max_v
+           |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   )
 
   val streaming: Map[String, Q] = Map(

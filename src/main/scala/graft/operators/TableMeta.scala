@@ -91,4 +91,28 @@ object TableMeta {
         col("l_quantity"))
       .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
       .limit(100)
+
+  /** t11: data profile — per-column row/null/exact-distinct counts and
+    * value range, the standard quality sweep a warehouse runs before
+    * trusting a table (Describe.java prints the footer's version of this;
+    * here it's computed exactly over the data). Each column profiles in
+    * its own aggregate over a ONE-COLUMN pruned scan — at 100 TB this is
+    * C cheap columnar passes, never a row-wide Expand — unioned into one
+    * tidy (column, stats) relation.
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    cols.map { c =>
+      li.select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          round(min(col(c)).cast("double"), 2).as("min_v"),
+          round(max(col(c)).cast("double"), 2).as("max_v"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    }.reduce(_.unionAll(_)).orderBy(col("column"))
+  }
 }
