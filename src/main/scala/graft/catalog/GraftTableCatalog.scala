@@ -77,7 +77,7 @@ private class GraftSnapshotTable(
             (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
               // the analyzer already reordered/cast the query output to the
               // table schema positionally; re-label to the table's names
-              val aligned = data.toDF(ice.loadMeta(ident).schema.fieldNames: _*)
+              val aligned = data.toDF(ice.loadMeta(ident).schema.fieldNames.toSeq: _*)
               if (overwrite) ice.overwrite(ident, aligned)
               // SQL INSERT appends rows regardless of their source files
               // (self-inserts are legal), so duplicate-source detection —

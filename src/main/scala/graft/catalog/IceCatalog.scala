@@ -1125,7 +1125,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     */
   def overwrite(ident: String, df: DataFrame): TableMeta = {
     val meta = loadMeta(ident)
-    val files = writeArranged(ident, df.select(meta.schema.fieldNames.map(col): _*), meta)
+    val files = writeArranged(ident, df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
       SnapDelta("overwrite", add = files, replaceAll = true))
   }
@@ -1156,7 +1156,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       else Some(readFiles(meta, rewrite)
         .join(broadcast(keys), keyCols, "left_anti"))
     val rewritten = survivors.map(writeArranged(ident, _, meta)).getOrElse(Seq.empty)
-    val appended = writeArranged(ident, df.select(meta.schema.fieldNames.map(col): _*), meta)
+    val appended = writeArranged(ident, df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
       SnapDelta("overwrite", drop = affected, add = rewritten ++ appended))
   }
@@ -1366,7 +1366,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     // handles files written under earlier schema versions.
     val base = readFiles(meta, files)
     val filtered = filters.foldLeft(base)((d, f) => d.filter(filterToColumn(d, f, meta)))
-      .select(meta.schema.fieldNames.map(col): _*)
+      .select(meta.schema.fieldNames.toSeq.map(col): _*)
     // Scan.java:44-66 limit semantics; Spark plans CollectLimit, stopping
     // the scan early rather than materializing everything first
     limit.map(filtered.limit).getOrElse(filtered)
@@ -1733,8 +1733,8 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       require(!m.sortOrder.exists(_.column == name), s"column $name is a sort column")
       val keep = s.fields.zip(m.fieldIds).filterNot(_._1.name == name)
       val ns = StructType(keep.map(_._1))
-      m.copy(schemaJson = ns.json, fieldIds = keep.map(_._2),
-        schemaLog = m.schemaLog :+ SchemaVersion(ns.json, keep.map(_._2)))
+      m.copy(schemaJson = ns.json, fieldIds = keep.map(_._2).toSeq,
+        schemaLog = m.schemaLog :+ SchemaVersion(ns.json, keep.map(_._2).toSeq))
     })
 
   /** Widen a column's type (AlterTable.AlterColumn): int→long/double/float,

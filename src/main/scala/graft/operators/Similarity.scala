@@ -195,7 +195,7 @@ object Similarity {
   private def pqCodeCol(
       vec: Column, j: Int, subDims: Int, codebook: Array[Array[Double]]): Column = {
     val sub = slice(vec, j * subDims + 1, subDims)
-    val scores = array(codebook.map { c =>
+    val scores = array(codebook.toSeq.map { c =>
       lit(c.map(x => x * x).sum / 2) - dot(sub, typedLit(c.toSeq))
     }: _*)
     (array_position(scores, array_min(scores)) - 1).cast("int")
@@ -305,7 +305,7 @@ object Similarity {
 
   /** -cosine distances to each centroid as an array column. */
   private def centroidDists(centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
-    array(centroids.map(c => -dot(col("vn"), typedLit(c.toSeq))): _*)
+    array(centroids.toSeq.map(c => -dot(col("vn"), typedLit(c.toSeq))): _*)
 
   /** Nearest-centroid id (0-based argmin; deterministic first-min tie)
     * over an arbitrary unit-vector column — the map-side cell assignment,
@@ -314,7 +314,7 @@ object Similarity {
     */
   private[graft] def argminAssignOf(
       v: Column, centroids: Array[Array[Double]]): Column = {
-    val d = array(centroids.map(c => -dot(v, typedLit(c.toSeq))): _*)
+    val d = array(centroids.toSeq.map(c => -dot(v, typedLit(c.toSeq))): _*)
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
