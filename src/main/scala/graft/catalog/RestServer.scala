@@ -27,6 +27,9 @@ import graft.catalog.IceCatalog._
   *   POST   /v1/namespaces/{ns}/tables         create {"name","schema",...}
   *   GET/HEAD/DELETE /v1/namespaces/{ns}/tables/{t}
   *   POST   /v1/namespaces/{ns}/tables/{t}     commit {requirements,updates}
+  *                                             (append-files | set-properties
+  *                                             | rollback)
+  *   POST   /v1/namespaces/{ns}/tables/{t}/maintenance  run the table's policy
   *   POST   /v1/namespaces/{ns}/tables/{t}/metrics   accepted, discarded
   *   POST   /v1/tables/rename                  {"source","destination"}
   *   POST   /v1/transactions/commit            multi-table group commit
@@ -200,6 +203,15 @@ object RestServer {
         case ("POST", List("v1", "namespaces", ns, "tables", t, "metrics")) =>
           requireTable(s"$ns.$t")
           send(ex, 204, Array.empty) // accepted and discarded, like the reference
+        case ("POST", List("v1", "namespaces", ns, "tables", t, "maintenance")) =>
+          // on-demand maintenance: apply the table's own maintenance.*
+          // policy now (the scheduled Runner's per-table pass, triggered
+          // over the wire) and report each job's outcome
+          requireTable(s"$ns.$t")
+          val reports = new Maintenance.Runner(cat).runTable(s"$ns.$t")
+          sendJson(ex, 200, Map("reports" -> reports.map(r => Map(
+            "job" -> r.job, "detail" -> r.detail,
+            "error" -> r.error.orNull))))
         case ("POST", List("v1", "tables", "rename")) =>
           val req = body(ex)
           val src = str(req, "source")
@@ -229,6 +241,17 @@ object RestServer {
     private def commitTable(ident: String, req: JsonNode): Unit = {
       val basedOn = requiredSnapshot(req)
       val us = arr(req, "updates")
+      // rollback is its own whole commit (it adopts a past snapshot's
+      // segments by reference) and carries its own superseded-snapshot
+      // protection inside the catalog — it cannot mix with anything
+      us.filter(u => textOr(u, "action", "") == "rollback") match {
+        case Seq(rb) if us.length == 1 =>
+          cat.rollbackTo(ident, rb.path("snapshot-id").asLong())
+          return
+        case Seq(_, _*) =>
+          throw new IllegalArgumentException("rollback must be the only update")
+        case _ => ()
+      }
       val (appends, rest) = us.partition(u => textOr(u, "action", "") == "append-files")
       val (propSets, unknown) = rest.partition(u => textOr(u, "action", "") == "set-properties")
       unknown.foreach(u => throw new IllegalArgumentException(

@@ -186,6 +186,42 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(commits >= 2, s"commits through REST must be counted, saw $commits")
   }
 
+  test("rollback commit restores a previous snapshot over HTTP") {
+    import spark.implicits._
+    req("POST", "/v1/namespaces/web/tables", """{"name":"rb","schema":"id BIGINT"}""")
+    cat.insert("web.rb", Seq(1L).toDF("id"))
+    cat.insert("web.rb", Seq(2L).toDF("id"), graft.catalog.IceCatalog.InsertOptions(
+      forceDuplicates = true))
+    assert(cat.scan("web.rb").count() == 2)
+    val rb = req("POST", "/v1/namespaces/web/tables/rb",
+      """{"updates":[{"action":"rollback","snapshot-id":1}]}""")
+    assert(rb.statusCode() == 200)
+    assert(cat.scan("web.rb").count() == 1, "rollback must restore snapshot 1's rows")
+    // rollback cannot mix with other updates
+    assert(req("POST", "/v1/namespaces/web/tables/rb",
+      """{"updates":[{"action":"rollback","snapshot-id":1},
+        | {"action":"set-properties","properties":{"x":"1"}}]}""".stripMargin)
+      .statusCode() == 400)
+  }
+
+  test("on-demand maintenance over HTTP applies the table's policy") {
+    import spark.implicits._
+    req("POST", "/v1/namespaces/web/tables", """{"name":"mt","schema":"id BIGINT"}""")
+    (1 to 3).foreach(i => cat.insert("web.mt", Seq(i.toLong).toDF("id"),
+      graft.catalog.IceCatalog.InsertOptions(forceDuplicates = true)))
+    req("POST", "/v1/namespaces/web/tables/mt",
+      """{"updates":[{"action":"set-properties","properties":{
+        | "maintenance.jobs":"snapshot_cleanup",
+        | "maintenance.expire.ttl-hours":"0",
+        | "maintenance.expire.min-snapshots":"1"}}]}""".stripMargin)
+    val r = req("POST", "/v1/namespaces/web/tables/mt/maintenance")
+    assert(r.statusCode() == 200)
+    val rep = json(r).path("reports").get(0)
+    assert(rep.path("job").asText() == "snapshot_cleanup")
+    assert(cat.listSnapshots("web.mt").length == 1,
+      "the wire-triggered runner must apply the table's TTL policy")
+  }
+
   test("rename and drop over HTTP") {
     req("POST", "/v1/namespaces/web/tables", """{"name":"old","schema":"id BIGINT"}""")
     assert(req("POST", "/v1/tables/rename",
