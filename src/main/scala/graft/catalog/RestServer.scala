@@ -33,6 +33,8 @@ import graft.catalog.IceCatalog._
   *   POST   /v1/namespaces/{ns}/tables/{t}/metrics   accepted, discarded
   *   POST   /v1/tables/rename                  {"source","destination"}
   *   POST   /v1/transactions/commit            multi-table group commit
+  *   GET    /v1/catalog/export                 whole-catalog metadata blob
+  *   POST   /v1/catalog/import                 recreate tables from a blob
   *   GET    /metrics                           Prometheus text exposition
   *
   * Commits route through the catalog's lease-locked optimistic protocol, so
@@ -221,6 +223,18 @@ object RestServer {
 
         case ("POST", List("v1", "transactions", "commit")) =>
           commitTransaction(body(ex))
+          send(ex, 204, Array.empty)
+
+        // whole-catalog state transfer (cmd/CatalogExport.java /
+        // CatalogImport.java over the wire): export is the self-contained
+        // snapshot-inlined JSON blob, import recreates missing tables
+        case ("GET", List("v1", "catalog", "export")) =>
+          send(ex, 200, cat.exportCatalog().getBytes(StandardCharsets.UTF_8),
+            json = true)
+        case ("POST", List("v1", "catalog", "import")) =>
+          val bytes = ex.getRequestBody.readAllBytes()
+          require(bytes.nonEmpty, "import needs an export blob body")
+          cat.importCatalog(new String(bytes, StandardCharsets.UTF_8))
           send(ex, 204, Array.empty)
 
         case _ =>

@@ -222,6 +222,29 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the wire-triggered runner must apply the table's TTL policy")
   }
 
+  test("catalog export/import round-trips over HTTP") {
+    import spark.implicits._
+    req("POST", "/v1/namespaces/web/tables", """{"name":"exp","schema":"id BIGINT"}""")
+    cat.insert("web.exp", Seq(1L, 2L).toDF("id"))
+    val blob = req("GET", "/v1/catalog/export")
+    assert(blob.statusCode() == 200 && blob.body.contains("web.exp"))
+    // import into a FRESH catalog behind a second server
+    val root2 = Files.createTempDirectory("restcat2").toString
+    val cat2 = new graft.catalog.IceCatalog(spark, root2)
+    val server2 = new RestServer.Server(cat2, tokens = Seq(Token("rw-secret"))).start()
+    try {
+      val imp = client.send(
+        HttpRequest.newBuilder(URI.create(s"${server2.url}/v1/catalog/import"))
+          .header("Authorization", "Bearer rw-secret")
+          .POST(HttpRequest.BodyPublishers.ofString(blob.body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(imp.statusCode() == 204)
+      assert(cat2.tableExists("web.exp"))
+      assert(cat2.scan("web.exp").count() == 2,
+        "imported table must reference the original data files in place")
+    } finally server2.stop()
+  }
+
   test("rename and drop over HTTP") {
     req("POST", "/v1/namespaces/web/tables", """{"name":"old","schema":"id BIGINT"}""")
     assert(req("POST", "/v1/tables/rename",
