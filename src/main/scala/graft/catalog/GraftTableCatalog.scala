@@ -256,6 +256,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       case None => meta.current
     }
     val files = snap.map(_.files).getOrElse(Seq.empty)
+    // the SQL path serves raw parquet through Spark's native V2 scan and
+    // cannot splice in the merge-on-read anti-join — refuse loudly rather
+    // than silently resurrect deleted rows
+    if (snap.exists(s => Option(s.deletes).exists(_.nonEmpty)))
+      throw new UnsupportedOperationException(
+        s"$id has pending merge-on-read deletes; SQL reads would include " +
+          "deleted rows. Materialize them first (IceCatalog.compact) or " +
+          "read through IceCatalog.scan")
     // If any file predates the current schema version, serve an id-annotated
     // read schema: Spark's parquet reader then resolves columns by field id
     // (renames/widenings read correctly). Identical-schema snapshots keep

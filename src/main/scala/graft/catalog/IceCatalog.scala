@@ -52,7 +52,20 @@ object IceCatalog {
       // under their registration schema (id-based resolution would return
       // nulls/errors for them). Default true matches pre-flag manifests,
       // whose files were overwhelmingly catalog-written.
-      hasFieldIds: Boolean = true)
+      hasFieldIds: Boolean = true,
+      // data sequence number = the snapshot id that ADDED this file
+      // (Iceberg's sequence-number model): an equality delete applies to a
+      // row only when the row's file is STRICTLY OLDER than the delete, so
+      // a merge-on-read upsert's own batch is never masked by the delete
+      // it ships with. Pre-MOR manifests deserialize 0 = older than every
+      // delete, which is exactly right.
+      seq: Long = 0)
+  /** One equality-delete file (Iceberg merge-on-read): a small parquet of
+    * key tuples; at scan time rows of OLDER data files (file.seq < seq)
+    * whose keys appear here are anti-joined away instead of rewritten.
+    */
+  case class DeleteFileMeta(
+      path: String, keyCols: Seq[String], rowCount: Long, bytes: Long, seq: Long)
   /** Pointer to one immutable manifest segment file plus its summary —
     * enough for snapshot-level accounting without opening the segment.
     */
@@ -61,7 +74,13 @@ object IceCatalog {
     * making up the snapshot's file set, plus the cumulative chain of
     * source-file segments (duplicate-ingest detection).
     */
-  case class ManifestList(manifests: Seq[ManifestRef], sourceSegments: Seq[String])
+  case class ManifestList(
+      manifests: Seq[ManifestRef],
+      sourceSegments: Seq[String],
+      // pending equality-delete files. Inline in the list (not segmented):
+      // the set is small and BOUNDED — compaction materializes and clears
+      // it — so each new list copies parent deletes + any new one.
+      deletes: Seq[DeleteFileMeta] = null)
   /** A snapshot. ON DISK (r4+ format) it carries only `manifestList` — the
     * name of an immutable ml-*.json under metadata/manifests holding
     * segment refs — so a commit writes O(delta) manifest bytes, never the
@@ -81,7 +100,9 @@ object IceCatalog {
       sourceFiles: Seq[String] = null,
       manifests: Seq[ManifestRef] = null,
       sourceSegments: Seq[String] = null,
-      manifestList: String = null)
+      manifestList: String = null,
+      // pending merge-on-read equality deletes visible to THIS snapshot
+      deletes: Seq[DeleteFileMeta] = null)
   /** One historical schema: its Spark JSON plus one stable field id per
     * field (parallel seq). Ids never change across rename/retype; new
     * columns get fresh ids; dropped ids are never reused — exactly
@@ -423,7 +444,8 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
           files = ml.manifests.flatMap(r => readSegment(ident, r.name)),
           sourceFiles = ml.sourceSegments.flatMap(n => readSourceSegment(ident, n)),
           manifests = ml.manifests,
-          sourceSegments = ml.sourceSegments)
+          sourceSegments = ml.sourceSegments,
+          deletes = ml.deletes)
       }
     })
   }
@@ -437,24 +459,23 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     */
   private def dehydrate(meta: TableMeta): TableMeta = {
     val ident = meta.name
+    def strip(s: Snapshot, ml: String): Snapshot =
+      s.copy(files = null, sourceFiles = null, manifests = null, sourceSegments = null,
+        deletes = null, manifestList = ml)
     meta.copy(snapshots = meta.snapshots.map { s =>
-      if (s.manifestList != null)
-        s.copy(files = null, sourceFiles = null, manifests = null, sourceSegments = null)
-      else if (s.manifests != null) {
-        val ml = writeManifestListFile(ident,
-          ManifestList(s.manifests, Option(s.sourceSegments).getOrElse(Seq.empty)))
-        s.copy(files = null, sourceFiles = null, manifests = null, sourceSegments = null,
-          manifestList = ml)
-      } else if (s.files != null) {
+      if (s.manifestList != null) strip(s, s.manifestList)
+      else if (s.manifests != null)
+        strip(s, writeManifestListFile(ident,
+          ManifestList(s.manifests, Option(s.sourceSegments).getOrElse(Seq.empty),
+            s.deletes)))
+      else if (s.files != null) {
         val refs =
           if (s.files.isEmpty) Seq.empty else Seq(writeSegment(ident, s.files))
         val srcs = Option(s.sourceFiles).getOrElse(Seq.empty) match {
           case Seq() => Seq.empty
           case src => Seq(writeSourceSegment(ident, src))
         }
-        val ml = writeManifestListFile(ident, ManifestList(refs, srcs))
-        s.copy(files = null, sourceFiles = null, manifests = null, sourceSegments = null,
-          manifestList = ml)
+        strip(s, writeManifestListFile(ident, ManifestList(refs, srcs, s.deletes)))
       } else s
     })
   }
@@ -837,7 +858,14 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       add: Seq[DataFileMeta] = Seq.empty,
       addSources: Seq[String] = Seq.empty,
       replaceAll: Boolean = false,
-      reuseRefs: Seq[ManifestRef] = null)
+      reuseRefs: Seq[ManifestRef] = null,
+      // merge-on-read: equality-delete files added by this commit; a
+      // replaceAll commit (compaction/overwrite — it rewrote or discarded
+      // every masked row) clears the pending set instead of carrying it.
+      // reuseDeletes overrides carry-over entirely (rollback adopts the
+      // target snapshot's pending set).
+      addDeletes: Seq[DeleteFileMeta] = Seq.empty,
+      reuseDeletes: Seq[DeleteFileMeta] = null)
 
   /** Snapshot-appending commit, delta-expressed — the only way file lists
     * change. Write cost per commit: one segment holding (touched-segment
@@ -848,9 +876,21 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       mkDelta: TableMeta => SnapDelta): TableMeta =
     commit(ident, m => appendSnapshot(m, mkDelta(m)), basedOn)
 
-  private def appendSnapshot(m: TableMeta, d: SnapDelta): TableMeta = {
+  private def appendSnapshot(m: TableMeta, d0: SnapDelta): TableMeta = {
     val ident = m.name
     val parent = m.current
+    val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    // Stamp sequence numbers: NEW data files and delete files carry this
+    // snapshot's id, so deletes apply to STRICTLY OLDER files only. A
+    // re-add of a path already in the parent set is a metadata correction
+    // (e.g. backfillFieldIdFlags), not new data — its stored seq is kept,
+    // so pending deletes keep applying to its unchanged rows.
+    val parentPaths: Set[String] =
+      parent.map(_.files.map(f => fsPath(f.path)).toSet).getOrElse(Set.empty)
+    val d = d0.copy(
+      add = d0.add.map(f =>
+        if (f.seq != 0 || parentPaths(fsPath(f.path))) f else f.copy(seq = snapId)),
+      addDeletes = d0.addDeletes.map(_.copy(seq = snapId)))
     // Split the parent's segments against the drop set: untouched segments
     // carry over by REFERENCE; survivors of touched segments re-segment
     // together with the added files. A legacy (inline) parent re-segments
@@ -891,11 +931,19 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val srcSegs =
       if (newSrc.isEmpty) parentSrcSegs
       else parentSrcSegs :+ writeSourceSegment(ident, newSrc)
-    val snapId = m.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    val deletes =
+      if (d.reuseDeletes != null) d.reuseDeletes
+      else if (d.replaceAll) (if (d.addDeletes.nonEmpty) d.addDeletes else null)
+      else {
+        val carriedDel = parent.flatMap(p => Option(p.deletes)).getOrElse(Seq.empty)
+        val all = carriedDel ++ d.addDeletes
+        if (all.nonEmpty) all else null
+      }
     val snap = Snapshot(snapId, m.currentSnapshotId, System.currentTimeMillis(), d.op,
       files = refs.flatMap(r => readSegment(ident, r.name)),
       sourceFiles = srcSegs.flatMap(n => readSourceSegment(ident, n)),
-      manifests = refs, sourceSegments = srcSegs)
+      manifests = refs, sourceSegments = srcSegs,
+      deletes = deletes)
     m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
   }
 
@@ -1151,14 +1199,76 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       .join(broadcast(keys), keyCols, "left_semi")
       .select(col("__file")).distinct().collect().map(r => fsPath(r.getString(0))).toSet
     val (rewrite, _) = cur.files.partition(f => affected.contains(fsPath(f.path)))
+    // rewrite through the MERGED view: rows masked by pending MOR deletes
+    // must not resurrect in the rewritten (fresh-sequence) files
     val survivors =
       if (rewrite.isEmpty) None
-      else Some(readFiles(meta, rewrite)
+      else Some(readFilesMerged(meta, cur, rewrite)
         .join(broadcast(keys), keyCols, "left_anti"))
     val rewritten = survivors.map(writeArranged(ident, _, meta)).getOrElse(Seq.empty)
     val appended = writeArranged(ident, df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
       SnapDelta("overwrite", drop = affected, add = rewritten ++ appended))
+  }
+
+  /** Write one equality-delete file: the distinct key tuples, one small
+    * parquet under the table's data dir (so snapshot-expiry orphan GC
+    * covers it like any data file).
+    */
+  private def writeDeleteFile(
+      ident: String, keys: DataFrame, keyCols: Seq[String]): DeleteFileMeta = {
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val dir = tableDir(ident).resolve("data").resolve(s"delete-$commitId")
+    keys.select(keyCols.map(col): _*).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(dir.toString)
+    val file = Files.list(dir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"delete write produced no file in $dir"))
+    val footer = readFooter(file)
+    DeleteFileMeta(file.toUri.toString, keyCols,
+      rowCount = footer.getBlocks.asScala.map(_.getRowCount).sum,
+      bytes = Files.size(file), seq = 0) // seq stamped at commit
+  }
+
+  /** MERGE-ON-READ upsert (Iceberg equality-delete semantics): instead of
+    * rewriting every file containing a matched key — the copy-on-write
+    * [[upsert]], whose cost is the size of the TOUCHED FILES — this writes
+    * the new batch plus ONE tiny delete file of the batch's keys, total
+    * work O(batch). Readers anti-join the pending deletes against older
+    * files ([[readFilesMerged]]); the batch's own rows are never masked
+    * (sequence numbers are strict). The streaming-CDC shape at 100 TB:
+    * per-batch cost stays proportional to the batch, and the read-side
+    * debt is bounded by [[compact]], which materializes and clears it.
+    */
+  def upsertMergeOnRead(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    val meta = loadMeta(ident)
+    if (meta.current.isEmpty) return insert(ident, df)
+    val del = writeDeleteFile(ident, df, keyCols)
+    val appended = writeArranged(ident,
+      df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("mor-upsert", add = appended, addDeletes = Seq(del)))
+  }
+
+  /** MERGE-ON-READ row delete: record the matching rows' key tuples in an
+    * equality-delete file — O(matched keys) written, ZERO data files
+    * rewritten. `keyCols` must uniquely identify rows (same contract as
+    * [[upsert]]); rows matching the predicate are masked from every
+    * snapshot that carries the delete.
+    */
+  def deleteWhereMergeOnRead(
+      ident: String, predicate: Column, keyCols: Seq[String]): TableMeta = {
+    require(keyCols.nonEmpty, "merge-on-read delete needs key columns")
+    val meta = loadMeta(ident)
+    val cur = meta.current.getOrElse(return meta)
+    val keys = readFilesMerged(meta, cur, cur.files)
+      .filter(coalesce(predicate, lit(false)))
+      .select(keyCols.map(col): _*).distinct()
+    if (keys.isEmpty) return meta
+    val del = writeDeleteFile(ident, keys, keyCols)
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("mor-delete", addDeletes = Seq(del)))
   }
 
   /** Manifest entries for freshly written files, read from the parquet
@@ -1339,6 +1449,28 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     parts.reduce(_ union _)
   }
 
+  /** Rows of `files` with the snapshot's PENDING EQUALITY DELETES applied
+    * (Iceberg merge-on-read): data files group into sequence-number epochs
+    * — one scan per epoch, epoch count bounded by MOR commits since the
+    * last compaction — and each delete-key set anti-joins away matching
+    * rows of STRICTLY OLDER epochs. Delete files are tiny (key tuples) and
+    * broadcast; the base data is never rewritten or shuffled.
+    */
+  private def readFilesMerged(
+      meta: TableMeta, snap: Snapshot, files: Seq[DataFileMeta]): DataFrame = {
+    val dels = Option(snap.deletes).getOrElse(Seq.empty)
+    if (dels.isEmpty || files.isEmpty) return readFiles(meta, files)
+    files.groupBy(_.seq).toSeq.sortBy(_._1).map { case (fseq, fs) =>
+      val applicable = dels.filter(_.seq > fseq)
+      applicable.groupBy(_.keyCols).foldLeft(readFiles(meta, fs)) {
+        case (df, (keys, dfiles)) =>
+          val delKeys = spark.read.parquet(dfiles.map(_.path): _*)
+            .select(keys.map(col): _*).distinct()
+          df.join(broadcast(delKeys), keys, "left_anti")
+      }
+    }.reduce(_ union _)
+  }
+
   private def matches(file: DataFileMeta, f: PartitionFilter, meta: TableMeta): Boolean =
     IceCatalog.fileMatches(file, f, meta)
 
@@ -1364,7 +1496,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     // written under derived __p_* dir names, see partDirName), so explicit
     // leaf-path reads need no hive partition discovery. Field-id resolution
     // handles files written under earlier schema versions.
-    val base = readFiles(meta, files)
+    val base = readFilesMerged(meta, snap, files)
     val filtered = filters.foldLeft(base)((d, f) => d.filter(filterToColumn(d, f, meta)))
       .select(meta.schema.fieldNames.toSeq.map(col): _*)
     // Scan.java:44-66 limit semantics; Spark plans CollectLimit, stopping
@@ -1428,8 +1560,9 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val (rewrite, _) = cur.files.partition(f => affected.contains(fsPath(f.path)))
     // SQL DELETE semantics: only rows where the predicate is TRUE go; rows
     // where it evaluates to NULL (e.g. a null in a predicate column) stay.
-    // A bare .filter(!predicate) would silently drop them.
-    val survivors = readFiles(meta, rewrite)
+    // A bare .filter(!predicate) would silently drop them. Read MERGED so
+    // rows masked by pending MOR deletes don't resurrect in the rewrite.
+    val survivors = readFilesMerged(meta, cur, rewrite)
       .filter(not(coalesce(predicate, lit(false))))
     val newFiles = writeArranged(ident, survivors, meta)
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
@@ -1456,10 +1589,14 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     require(meta.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId")
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId)) { m =>
       val target = m.snapshot(snapshotId).get
-      // adopt the target's segments by reference (zero manifest rewrite);
-      // a legacy inline target re-segments its list once
-      if (target.manifests != null) SnapDelta("rollback", reuseRefs = target.manifests)
-      else SnapDelta("rollback", add = target.files, replaceAll = true)
+      // adopt the target's segments AND its pending delete set by
+      // reference (zero manifest rewrite); a legacy inline target
+      // re-segments its list once
+      if (target.manifests != null)
+        SnapDelta("rollback", reuseRefs = target.manifests,
+          reuseDeletes = Option(target.deletes).getOrElse(Seq.empty))
+      else SnapDelta("rollback", add = target.files, replaceAll = true,
+        reuseDeletes = Option(target.deletes).getOrElse(Seq.empty))
     }
   }
 
@@ -1520,6 +1657,10 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
         throw new IllegalArgumentException(s"no snapshot $id"))
       case None => meta.current.getOrElse(return 0L)
     }
+    // pending MOR deletes make manifest row counts an overcount; answer
+    // exactly from the merged scan instead of returning a wrong number
+    if (Option(snap.deletes).exists(_.nonEmpty))
+      return scan(ident, filters, asOfSnapshot).count()
     snap.files.filter(f => filters.forall(matches(f, _, meta))).map(_.rowCount).sum
   }
 
@@ -1586,7 +1727,9 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     if (cur.files.isEmpty) return meta
     val totalBytes = cur.files.map(_.bytes).sum.max(1L)
     val nOut = math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt)
-    val df = readFiles(meta, cur.files)
+    // compaction MATERIALIZES pending MOR deletes: the rewrite reads the
+    // merged view and the replaceAll commit clears the delete set
+    val df = readFilesMerged(meta, cur, cur.files)
     val files = writeArranged(ident, df, meta, coalesceTo = Some(nOut))
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
       SnapDelta("replace", add = files, replaceAll = true))
@@ -1613,7 +1756,9 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val cur = meta.current.getOrElse(return meta)
     if (cur.files.isEmpty) return meta
     zorderBy.foreach(c => require(meta.schema.fieldNames.contains(c), s"no column $c"))
-    val df = readFiles(meta, cur.files)
+    // like compact: read merged, so the replaceAll commit materializes
+    // and clears any pending MOR deletes
+    val df = readFilesMerged(meta, cur, cur.files)
 
     // numeric view of a z column (dates/timestamps via their epoch value)
     def asNum(c: String): Column = meta.schema(c).dataType.typeName match {
@@ -1830,8 +1975,9 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       manifestGraceMs: Long = 3600 * 1000L,
       olderThanMillis: Long = 0): Seq[String] = {
     val meta = loadMeta(ident)
-    val referenced = meta.snapshots.flatMap(_.files.map(f =>
-      Paths.get(new java.net.URI(f.path).getPath).normalize.toString)).toSet
+    val referenced = meta.snapshots.flatMap(s =>
+      s.files.map(_.path) ++ Option(s.deletes).getOrElse(Seq.empty).map(_.path))
+      .map(p => Paths.get(new java.net.URI(p).getPath).normalize.toString).toSet
     val dataDir = tableDir(ident).resolve("data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
     // age gate (OrphanCleanup.java:126-133): with olderThanMillis > 0 only

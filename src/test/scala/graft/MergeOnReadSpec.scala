@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IceCatalog
+import graft.catalog.IceCatalog._
+
+/** Merge-on-read equality deletes: O(batch) upserts/deletes that rewrite
+  * NOTHING, masked at read time by sequence-scoped anti-joins, and
+  * materialized (cleared) by compaction.
+  */
+class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-mor-test", cpus = 4)
+  lazy val root: String = Files.createTempDirectory("morcat").toString
+  lazy val cat = new IceCatalog(spark, root)
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+
+  private def dataPaths(ident: String): Set[String] = cat.files(ident).map(_.path).toSet
+  private def pendingDeletes(ident: String): Seq[DeleteFileMeta] =
+    cat.loadMeta(ident).current.flatMap(s => Option(s.deletes)).getOrElse(Seq.empty)
+
+  test("MOR upsert rewrites no data file and masks only older versions of its keys") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    cat.createTable("mor.t1", df.schema)
+    cat.insert("mor.t1", df)
+    val before = dataPaths("mor.t1")
+
+    cat.upsertMergeOnRead("mor.t1", Seq((3L, "V3"), (11L, "V11")).toDF("k", "v"), Seq("k"))
+
+    // every original data file is still present untouched; only new files
+    // and one delete file were added
+    assert(before.subsetOf(dataPaths("mor.t1")), "MOR upsert must not rewrite files")
+    assert(pendingDeletes("mor.t1").map(_.keyCols) == Seq(Seq("k")))
+
+    val out = cat.scan("mor.t1").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out.length == 11, s"10 originals - 1 replaced + 2 batch = 11, got ${out.length}")
+    assert(out.find(_._1 == 3L).map(_._2).contains("V3"), "key 3 must show the new version")
+    assert(out.find(_._1 == 11L).map(_._2).contains("V11"), "new key must appear")
+    assert(out.find(_._1 == 4L).map(_._2).contains("v4"), "untouched keys intact")
+  }
+
+  test("sequence numbers protect the upsert's own batch and stack across upserts") {
+    import spark.implicits._
+    // a second upsert re-replacing key 3: the new delete must mask the
+    // FIRST upsert's V3 (an older file now) but not its own batch
+    cat.upsertMergeOnRead("mor.t1", Seq((3L, "V3b")).toDF("k", "v"), Seq("k"))
+    val out = cat.scan("mor.t1").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out.length == 11)
+    assert(out.find(_._1 == 3L).map(_._2).contains("V3b"))
+    assert(pendingDeletes("mor.t1").length == 2, "delete files accumulate until compaction")
+  }
+
+  test("MOR delete masks rows without touching files; countRows stays exact") {
+    import spark.implicits._
+    cat.deleteWhereMergeOnRead("mor.t1", col("k") >= 9L, Seq("k"))
+    val keys = cat.scan("mor.t1").select("k").as[Long].collect().sorted.toSeq
+    assert(keys == (1L to 8L), s"keys 9/10/11 must be masked, got $keys")
+    // metadata-only count would overcount; the guard answers exactly
+    assert(cat.countRows("mor.t1") == 8L)
+  }
+
+  test("time travel ignores deletes that arrived after the snapshot") {
+    import spark.implicits._
+    val snaps = cat.listSnapshots("mor.t1").map(_.id).sorted
+    // snapshot 1 = initial insert: no deletes existed yet
+    assert(cat.scan("mor.t1", asOfSnapshot = Some(snaps.head)).count() == 10)
+  }
+
+  test("SQL reads refuse a table with pending deletes instead of resurrecting rows") {
+    val e = intercept[UnsupportedOperationException] {
+      val s2 = GraftSession.builder("graft-mor-sql", cpus = 4)
+        .config("spark.sql.catalog.morsql", "graft.catalog.GraftTableCatalog")
+        .config("spark.sql.catalog.morsql.root", root)
+        .getOrCreate()
+      try s2.sql("SELECT * FROM morsql.mor.t1").collect()
+      finally ()
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+  }
+
+  test("compaction materializes the deletes and clears the pending set") {
+    import spark.implicits._
+    val rowsBefore = cat.scan("mor.t1").orderBy("k").as[(Long, String)].collect().toSeq
+    cat.compact("mor.t1")
+    assert(pendingDeletes("mor.t1").isEmpty, "replaceAll commit must clear deletes")
+    val rowsAfter = cat.scan("mor.t1").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(rowsAfter == rowsBefore, "materialization must not change the result")
+    // metadata-only counting works again
+    assert(cat.countRows("mor.t1") == 8L)
+    // SQL reads work again too (same session as the guard test)
+    assert(spark.sql(s"SELECT count(*) FROM morsql.mor.t1").head().getLong(0) == 8L)
+  }
+
+  test("copy-on-write ops on a MOR table do not resurrect masked rows") {
+    import spark.implicits._
+    val df = (1L to 6L).map(i => (i, s"w$i")).toDF("k", "v")
+    cat.createTable("mor.t2", df.schema)
+    cat.insert("mor.t2", df)
+    cat.deleteWhereMergeOnRead("mor.t2", col("k") === 2L, Seq("k"))
+    // CoW upsert of key 1 rewrites the file containing keys 1..6 — the
+    // masked key 2 must stay gone in the rewritten (fresh-seq) file
+    cat.upsert("mor.t2", Seq((1L, "W1")).toDF("k", "v"), Seq("k"))
+    val keys = cat.scan("mor.t2").select("k").as[Long].collect().sorted.toSeq
+    assert(keys == Seq(1L, 3L, 4L, 5L, 6L), s"masked key must not resurrect, got $keys")
+    cat.dropTable("mor.t2")
+  }
+
+  test("orphan cleanup never collects a referenced delete file") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    cat.createTable("mor.t3", df.schema)
+    cat.insert("mor.t3", df)
+    cat.deleteWhereMergeOnRead("mor.t3", col("k") === 1L, Seq("k"))
+    val delPath = pendingDeletes("mor.t3").head.path
+    cat.cleanOrphans("mor.t3")
+    assert(Files.exists(java.nio.file.Paths.get(new java.net.URI(delPath).getPath)),
+      "a live delete file is referenced metadata, not an orphan")
+    assert(cat.scan("mor.t3").count() == 1)
+    cat.dropTable("mor.t3")
+  }
+}
