@@ -576,7 +576,8 @@ object Queries {
     "t8_time_travel" -> (CatalogOps.timeTravelQuery _),
     "t9_merge_upsert" -> (CatalogOps.mergeUpsertQuery _),
     "t10_rowgroups" -> (graft.sources.ParquetMeta.rowGroupsQuery _),
-    "t11_profile" -> (TableMeta.profile _)
+    "t11_profile" -> (TableMeta.profile _),
+    "t12_mor_upsert" -> (CatalogOps.morUpsertQuery _)
   )
 
   val tableMetaOracle: Map[String, String] = Map(
@@ -627,6 +628,12 @@ object Queries {
         |   THEN o_totalprice * 2 ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
         |   AS total_cents
         |FROM orders""".stripMargin,
+    "t12_mor_upsert" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(round(CASE WHEN o_orderkey % 8 = 0
+        |   THEN o_totalprice * 2 ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+        |   AS total_cents
+        |FROM orders WHERE o_orderkey % 16 <> 4""".stripMargin,
     // __SF_DIR__ is substituted with the actual data dir by Verify at dump
     // time — parquet_metadata() needs a literal path, not a view.
     "t10_rowgroups" ->

@@ -75,6 +75,37 @@ object CatalogOps {
     Seq((out.getLong(0), out.getLong(1))).toDF("n_rows", "total_cents")
   }
 
+  /** t12: MERGE-ON-READ upsert + delete end-to-end — the same logical
+    * result as t9's copy-on-write merge, produced WITHOUT rewriting any
+    * seeded file: the update/insert batch lands as new files plus one
+    * equality-delete file, a second MOR delete masks o_orderkey % 16 == 4
+    * rows, and the scanned (sequence-scoped anti-join) result must equal
+    * the oracle's direct computation over raw orders. Exercises delete
+    * files, sequence numbers, stacked pending deletes, and the merged
+    * reader — the streaming-CDC path at scale.
+    */
+  def morUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val root = Files.createTempDirectory("graft_t12").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("v")
+    cat.createTable("v.ord", orders.schema, sortOrder = Seq(SortField("o_orderkey")))
+    cat.insert("v.ord", orders.filter(col("o_orderkey") % 4 =!= 3))
+    val updates = orders.filter(col("o_orderkey") % 8 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = orders.filter(col("o_orderkey") % 4 === 3)
+    cat.upsertMergeOnRead("v.ord", updates.unionByName(inserts), Seq("o_orderkey"))
+    cat.deleteWhereMergeOnRead("v.ord", col("o_orderkey") % 16 === 4, Seq("o_orderkey"))
+    // exact integer-cents total: immune to float summation-order differences
+    val out = cat.scan("v.ord")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .collect()(0)
+    cleanup(cat, "v.ord")
+    import spark.implicits._
+    Seq((out.getLong(0), out.getLong(1))).toDF("n_rows", "total_cents")
+  }
+
   /** t8: snapshot isolation — row counts at the pre-delete snapshot vs
     * after a partition delete, answered via time travel.
     */
