@@ -68,7 +68,13 @@ object Streams {
       keyCols: Seq[String],
       versionCol: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      // merge-on-read: each batch lands as new files + one equality-delete
+      // file (O(batch) per trigger — the CDC shape at scale: a small batch
+      // against a 100 TB table must not rewrite every touched file); the
+      // read-side debt is bounded by maintenance compaction. Default stays
+      // copy-on-write for read-optimized tables.
+      mergeOnRead: Boolean = false): StreamingQuery = {
     val schema = cat.loadMeta(ident).schema
     spark.readStream
       .schema(schema)
@@ -83,7 +89,9 @@ object Streams {
         val latest = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        cat.upsert(ident, latest, keyCols): Unit
+        if (mergeOnRead) cat.upsertMergeOnRead(ident, latest, keyCols)
+        else cat.upsert(ident, latest, keyCols)
+        (): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

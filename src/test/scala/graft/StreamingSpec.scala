@@ -70,6 +70,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.scan("s.m").count() == 3)
   }
 
+  test("watchAndMerge in merge-on-read mode rewrites nothing per batch") {
+    import spark.implicits._
+    val watch = Files.createTempDirectory("watchmor").toString
+    val ckpt = Files.createTempDirectory("ckptmor").toString
+    val root = Files.createTempDirectory("catmor").toString
+    val cat = new IceCatalog(spark, root)
+    val seed = Seq((1L, 1L, "v1"), (2L, 1L, "orig")).toDF("id", "ver", "val")
+    cat.createNamespace("s")
+    cat.createTable("s.mor", seed.schema)
+    cat.insert("s.mor", seed)
+    val seededFiles = cat.files("s.mor").map(_.path).toSet
+
+    Seq((2L, 2L, "new"), (3L, 1L, "ins"))
+      .toDF("id", "ver", "val").coalesce(1).write.parquet(s"$watch/c1")
+    Streams.watchAndMerge(spark, cat, "s.mor", s"$watch/*/", ckpt,
+      keyCols = Seq("id"), versionCol = "ver", mergeOnRead = true).awaitTermination()
+
+    assert(seededFiles.subsetOf(cat.files("s.mor").map(_.path).toSet),
+      "MOR CDC must not rewrite seeded files")
+    assert(cat.loadMeta("s.mor").current.flatMap(s => Option(s.deletes))
+      .exists(_.nonEmpty), "the batch must land one equality-delete file")
+    val state = cat.scan("s.mor").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(state == Seq((1L, 1L, "v1"), (2L, 2L, "new"), (3L, 1L, "ins")))
+  }
+
   test("windowed counts over a memory stream honor event-time windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
