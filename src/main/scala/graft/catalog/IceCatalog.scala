@@ -1180,8 +1180,13 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
 
   /** Keyed upsert (MERGE semantics): rows in `df` replace existing rows
     * with the same key; unmatched rows append. Copy-on-write: only files
-    * containing a matching key are rewritten (anti-join against the
-    * broadcast key set), everything else carries over; one snapshot commit.
+    * containing a matching key are rewritten (anti-join against the merge
+    * batch's key set), everything else carries over; one snapshot commit.
+    * The key-set joins carry NO broadcast hint: the batch is
+    * data-dependent and unbounded (a CDC trickle one call, a month-long
+    * backfill the next), so AQE picks broadcast when the keys measure
+    * small and falls back to a shuffle join when they don't — the same
+    * rule PlanAuditSpec enforces for the fact-side query joins.
     */
   def upsert(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta = {
     require(keyCols.nonEmpty, "upsert needs key columns")
@@ -1196,7 +1201,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val existing = readFiles(meta, cur.files)
       .withColumn("__file", input_file_name())
     val affected = existing
-      .join(broadcast(keys), keyCols, "left_semi")
+      .join(keys, keyCols, "left_semi")
       .select(col("__file")).distinct().collect().map(r => fsPath(r.getString(0))).toSet
     val (rewrite, _) = cur.files.partition(f => affected.contains(fsPath(f.path)))
     // rewrite through the MERGED view: rows masked by pending MOR deletes
@@ -1204,7 +1209,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val survivors =
       if (rewrite.isEmpty) None
       else Some(readFilesMerged(meta, cur, rewrite)
-        .join(broadcast(keys), keyCols, "left_anti"))
+        .join(keys, keyCols, "left_anti"))
     val rewritten = survivors.map(writeArranged(ident, _, meta)).getOrElse(Seq.empty)
     val appended = writeArranged(ident, df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
@@ -1453,8 +1458,11 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     * (Iceberg merge-on-read): data files group into sequence-number epochs
     * — one scan per epoch, epoch count bounded by MOR commits since the
     * last compaction — and each delete-key set anti-joins away matching
-    * rows of STRICTLY OLDER epochs. Delete files are tiny (key tuples) and
-    * broadcast; the base data is never rewritten or shuffled.
+    * rows of STRICTLY OLDER epochs. Delete-key sets are file-backed with
+    * known sizes, so size-based planning broadcasts them exactly when they
+    * are small (typical: key tuples only) without a pinned hint — a
+    * backfill-sized delete file degrades to a shuffle join instead of a
+    * driver OOM; the base data is never rewritten.
     */
   private def readFilesMerged(
       meta: TableMeta, snap: Snapshot, files: Seq[DataFileMeta]): DataFrame = {
@@ -1466,7 +1474,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
         case (df, (keys, dfiles)) =>
           val delKeys = spark.read.parquet(dfiles.map(_.path): _*)
             .select(keys.map(col): _*).distinct()
-          df.join(broadcast(delKeys), keys, "left_anti")
+          df.join(delKeys, keys, "left_anti")
       }
     }.reduce(_ union _)
   }
@@ -1584,10 +1592,13 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     * committed whose file list equals the target's (history is preserved,
     * like Iceberg's rollback — not a destructive rewind).
     */
-  def rollbackTo(ident: String, snapshotId: Long): TableMeta = {
+  def rollbackTo(
+      ident: String, snapshotId: Long, basedOn: Option[Long] = None): TableMeta = {
     val meta = loadMeta(ident)
     require(meta.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId")
-    commitSnap(ident, basedOn = Some(meta.currentSnapshotId)) { m =>
+    // callers may pin the rollback to a snapshot they observed (REST
+    // assert-current-snapshot-id); otherwise CAS against the current one
+    commitSnap(ident, basedOn = basedOn.orElse(Some(meta.currentSnapshotId))) { m =>
       val target = m.snapshot(snapshotId).get
       // adopt the target's segments AND its pending delete set by
       // reference (zero manifest rewrite); a legacy inline target

@@ -24,10 +24,18 @@ import graft.catalog.IceCatalog._
   *   partitions  partition value → row/file counts
   *   history     commit timeline with is_current flag
   *   manifests   current snapshot's manifest segments
+  *   deletes     current snapshot's PENDING equality-delete files
+  *
+  * Row counts here are PHYSICAL (per-file manifest counts, pre-merge):
+  * with pending merge-on-read deletes they overcount the logical table,
+  * whose exact answer is `countRows` / a merged scan. The `deletes` table
+  * and the snapshots' `delete_row_count` column expose that pending debt
+  * so consumers can tell physical from logical.
   */
 object MetadataTables {
 
-  val Names: Set[String] = Set("files", "snapshots", "partitions", "history", "manifests")
+  val Names: Set[String] =
+    Set("files", "snapshots", "partitions", "history", "manifests", "deletes")
 
   def apply(ice: IceCatalog, baseIdent: String, metaName: String): Table = {
     val meta = ice.loadMeta(baseIdent)
@@ -50,11 +58,16 @@ object MetadataTables {
           StructField("committed_at", TimestampType),
           StructField("operation", StringType),
           StructField("file_count", IntegerType),
-          StructField("row_count", LongType)))
-        (s, meta.snapshots.map(sn =>
+          StructField("row_count", LongType), // physical (pre-merge)
+          StructField("delete_file_count", IntegerType),
+          StructField("delete_row_count", LongType)))
+        (s, meta.snapshots.map { sn =>
+          val dels = Option(sn.deletes).getOrElse(Seq.empty)
           Row(sn.id, sn.parentId, new java.sql.Timestamp(sn.timestampMs), sn.operation,
             Option(sn.files).map(_.length).getOrElse(0),
-            Option(sn.files).map(_.map(_.rowCount).sum).getOrElse(0L))))
+            Option(sn.files).map(_.map(_.rowCount).sum).getOrElse(0L),
+            dels.length, dels.map(_.rowCount).sum)
+        })
       case "partitions" =>
         val s = StructType(Seq(
           StructField("partition", MapType(StringType, StringType)),
@@ -78,6 +91,15 @@ object MetadataTables {
           StructField("bytes", LongType)))
         val refs = meta.current.flatMap(sn => Option(sn.manifests)).getOrElse(Seq.empty)
         (s, refs.map(r => Row(r.name, r.fileCount, r.rowCount, r.bytes)))
+      case "deletes" =>
+        val s = StructType(Seq(
+          StructField("path", StringType),
+          StructField("key_columns", ArrayType(StringType)),
+          StructField("row_count", LongType),
+          StructField("bytes", LongType),
+          StructField("sequence_number", LongType)))
+        val dels = meta.current.flatMap(sn => Option(sn.deletes)).getOrElse(Seq.empty)
+        (s, dels.map(d => Row(d.path, d.keyCols, d.rowCount, d.bytes, d.seq)))
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table: $other")
     }

@@ -64,15 +64,16 @@ object RestServer {
     private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
     private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // small pool: handlers do driver-side metadata IO only
-    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
       val t = new Thread(r, "graft-rest")
       t.setDaemon(true)
       t
-    }))
+    })
+    http.setExecutor(pool)
     http.createContext("/", (ex: HttpExchange) => handle(ex))
 
     def start(): Server = { http.start(); this }
-    def stop(): Unit = http.stop(0)
+    def stop(): Unit = { http.stop(0); pool.shutdown() }
     def boundPort: Int = http.getAddress.getPort
     def url: String = s"http://127.0.0.1:$boundPort"
 
@@ -260,7 +261,9 @@ object RestServer {
       // protection inside the catalog — it cannot mix with anything
       us.filter(u => textOr(u, "action", "") == "rollback") match {
         case Seq(rb) if us.length == 1 =>
-          cat.rollbackTo(ident, rb.path("snapshot-id").asLong())
+          // the client's stated precondition rides into the CAS: a stale
+          // assert-current-snapshot-id 409s instead of silently rolling back
+          cat.rollbackTo(ident, rb.path("snapshot-id").asLong(), basedOn)
           return
         case Seq(_, _*) =>
           throw new IllegalArgumentException("rollback must be the only update")
@@ -288,6 +291,13 @@ object RestServer {
           p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
         }.toMap
         cat.commit(ident, m => m.copy(properties = m.properties ++ props), basedOn)
+      }
+      // a requirement with nothing to commit is still a contract: evaluate
+      // it against the live snapshot so a stale client hears 409, not 200
+      if (appends.isEmpty && propSets.isEmpty) basedOn.foreach { id =>
+        val cur = cat.loadMeta(ident).currentSnapshotId
+        if (cur != id) throw new java.util.ConcurrentModificationException(
+          s"requirement failed: $ident current snapshot $cur != $id")
       }
     }
 
@@ -362,7 +372,11 @@ object RestServer {
             "timestamp-ms" -> s.timestampMs,
             "operation" -> s.operation,
             "file-count" -> Option(s.files).map(_.length).getOrElse(0),
-            "row-count" -> Option(s.files).map(_.map(_.rowCount).sum).getOrElse(0L)))))
+            // physical (pre-merge) count; pending MOR debt reported beside it
+            "row-count" -> Option(s.files).map(_.map(_.rowCount).sum).getOrElse(0L),
+            "delete-file-count" -> Option(s.deletes).map(_.length).getOrElse(0),
+            "delete-row-count" ->
+              Option(s.deletes).map(_.map(_.rowCount).sum).getOrElse(0L)))))
     }
 
     // ---- plumbing --------------------------------------------------------

@@ -224,7 +224,7 @@ object Similarity {
     // codebook training makes 3 passes that would otherwise re-read parquet
     val e = cachedUnitVectors(spark, dir).select(col("vec_id"), col("v"))
 
-    val codebooks = trainCodebooks(e, col("v"), m, k, subDims)
+    val codebooks = cachedCodebooks(spark, dir, e, col("v"), "v/all", m, k, subDims)
     def codeCol(j: Int): Column = pqCodeCol(col("v"), j, subDims, codebooks(j))
     def decodedCol(j: Int): Column = {
       // decoded subvector via element lookup in the literal codebook matrix
@@ -285,22 +285,76 @@ object Similarity {
       })._2
   }
 
+  /** Corpus row count, cached per (session, corpus version) — the input to
+    * [[autoNlist]]; counting the persisted corpus once per version costs a
+    * single pass it was about to make anyway.
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Long)]()
+
+  private def cachedCorpusCount(spark: SparkSession, dir: String): Long = {
+    countCache.keySet().removeIf(_._1.sparkContext.isStopped)
+    val fp = corpusFingerprint(dir)
+    countCache.compute((spark, dir), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else (fp, cachedUnitVectors(spark, dir).count()))._2
+  }
+
+  /** `nlist = Auto` on the IVF entry points resolves to this. */
+  val Auto: Int = 0
+
+  /** Scale-aware cell count: nlist ≈ √n (floored at 8, capped at 4096).
+    * Keeps the within-cell work of d9's Σ|cell|² pair join and the
+    * per-cell probe cost of s3/s8 at O(n·√n) / O(√n) as the corpus grows —
+    * the FAISS guideline — instead of cells growing linearly at a fixed
+    * nlist. The cap bounds the driver-side centroid matrix (4096×dims
+    * doubles) and the per-row assignment cost; past it, raise nlist
+    * explicitly alongside nprobe.
+    */
+  def autoNlist(n: Long): Int =
+    math.max(8, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
+  private def resolveNlist(spark: SparkSession, dir: String, nlist: Int): Int =
+    if (nlist > 0) nlist else autoNlist(cachedCorpusCount(spark, dir))
+
   /** IVF coarse quantizers are deterministic per (corpus version, candidate
     * subset, nlist, dims) seed and shared by s3 and s8 — train once per
     * session, not per query. The candidate subset is part of the key: two
     * callers with different filters must not share centroids. nlist×dims
-    * driver-side doubles per entry.
+    * driver-side doubles per entry. The corpus fingerprint rides in the
+    * VALUE, not the key, so a rewritten corpus replaces its superseded
+    * entry instead of stranding it.
     */
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String, Int, Int), Array[Array[Double]]]()
+    (SparkSession, String, String, Int, Int), (String, Array[Array[Double]])]()
 
   private def cachedCentroids(
       spark: SparkSession, dir: String, candidates: DataFrame, subsetKey: String,
       nlist: Int, dims: Int): Array[Array[Double]] = {
     centroidCache.keySet().removeIf(_._1.sparkContext.isStopped)
-    centroidCache.computeIfAbsent(
-      (spark, corpusFingerprint(dir), subsetKey, nlist, dims),
-      _ => kmeansCentroids(candidates, nlist, dims))
+    val fp = corpusFingerprint(dir)
+    centroidCache.compute((spark, dir, subsetKey, nlist, dims), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else (fp, kmeansCentroids(candidates, nlist, dims)))._2
+  }
+
+  /** PQ codebooks are deterministic per (corpus version, subset, vector
+    * column, m, k) exactly like the coarse quantizer — train once per
+    * session and serve every later call (s6 re-encodes, s8's ADC scoring)
+    * from the cached m×k×subDims driver-side matrices. Same
+    * fingerprint-in-value eviction as [[centroidCache]].
+    */
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, Int, Int, Int), (String, Seq[Array[Array[Double]]])]()
+
+  private def cachedCodebooks(
+      spark: SparkSession, dir: String, data: DataFrame, vec: Column, vecKey: String,
+      m: Int, k: Int, subDims: Int): Seq[Array[Array[Double]]] = {
+    codebookCache.keySet().removeIf(_._1.sparkContext.isStopped)
+    val fp = corpusFingerprint(dir)
+    codebookCache.compute((spark, dir, vecKey, m, k, subDims), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else (fp, trainCodebooks(data, vec, m, k, subDims)))._2
   }
 
   /** -cosine distances to each centroid as an array column. */
@@ -354,15 +408,16 @@ object Similarity {
     */
   def ivfAnn(
       spark: SparkSession, dir: String,
-      k: Int = 10, nlist: Int = 16, nprobe: Int = 4, dims: Int = 64): DataFrame = {
+      k: Int = 10, nlist: Int = Auto, nprobe: Int = 4, dims: Int = 64): DataFrame = {
+    val nl = resolveNlist(spark, dir, nlist)
     val e = cachedUnitVectors(spark, dir)
     val candidates = e.filter(col("vec_id") >= 5)
-    val centroids = cachedCentroids(spark, dir, candidates, "vec_id>=5", nlist, dims)
+    val centroids = cachedCentroids(spark, dir, candidates, "vec_id>=5", nl, dims)
     val assigned = candidates.withColumn("cell", argminAssign(centroids))
     // query probe list: nprobe nearest cells by (dist, idx) struct sort
     val d = centroidDists(centroids)
     val probes = transform(
-      slice(array_sort(transform(sequence(lit(0), lit(nlist - 1)),
+      slice(array_sort(transform(sequence(lit(0), lit(nl - 1)),
         i => struct(element_at(d, i + 1).as("dist"), i.as("idx")))), 1, nprobe),
       s => s.getField("idx"))
     val queries = e.filter(col("vec_id") < 5)
@@ -380,21 +435,25 @@ object Similarity {
     * for the entire reference before the anti-join.
     */
   private val indexedCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), (Array[Array[Double]], DataFrame)]()
+    (SparkSession, String, Int, Int), (String, (Array[Array[Double]], DataFrame))]()
 
   def indexedCorpus(
       spark: SparkSession, dir: String,
-      nlist: Int = 16, dims: Int = 64): (Array[Array[Double]], DataFrame) = {
+      nlist: Int = Auto, dims: Int = 64): (Array[Array[Double]], DataFrame) = {
     indexedCache.keySet().removeIf(_._1.sparkContext.isStopped)
-    indexedCache.computeIfAbsent(
-      (spark, corpusFingerprint(dir), nlist, dims),
-      _ => {
+    val nl = resolveNlist(spark, dir, nlist)
+    val fp = corpusFingerprint(dir)
+    indexedCache.compute((spark, dir, nl, dims), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else {
+        // superseded corpus version: release the pinned assigned projection
+        if (cur != null) cur._2._2.unpersist()
         val e = cachedUnitVectors(spark, dir)
-        val centroids = cachedCentroids(spark, dir, e, "all", nlist, dims)
-        (centroids,
+        val centroids = cachedCentroids(spark, dir, e, "all", nl, dims)
+        (fp, (centroids,
           e.select(col("vec_id"), col("vn"))
-            .withColumn("cell", argminAssign(centroids)).persist())
-      })
+            .withColumn("cell", argminAssign(centroids)).persist()))
+      })._2
   }
 
   /** d9: SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -415,9 +474,10 @@ object Similarity {
     */
   def semanticDedup(
       spark: SparkSession, dir: String,
-      nlist: Int = 16, threshold: Double = 0.30, dims: Int = 64): DataFrame = {
+      nlist: Int = Auto, threshold: Double = 0.30, dims: Int = 64): DataFrame = {
+    val nl = resolveNlist(spark, dir, nlist)
     val e = cachedUnitVectors(spark, dir)
-    val centroids = cachedCentroids(spark, dir, e, "all", nlist, dims)
+    val centroids = cachedCentroids(spark, dir, e, "all", nl, dims)
     val centroidMat = typedLit(centroids.map(_.toSeq).toSeq)
     val cell = argminAssign(centroids)
     val assigned = e
@@ -456,16 +516,21 @@ object Similarity {
     */
   def ivfPqAnn(
       spark: SparkSession, dir: String,
-      k: Int = 10, nlist: Int = 16, nprobe: Int = 4, dims: Int = 64,
+      k: Int = 10, nlist: Int = Auto, nprobe: Int = 4, dims: Int = 64,
       m: Int = 8, codebookSize: Int = 16, shortlist: Int = 100): DataFrame = {
     require(dims % m == 0, "m must divide dims")
     val subDims = dims / m
+    val nl = resolveNlist(spark, dir, nlist)
     val e = cachedUnitVectors(spark, dir)
     val candidates = e.filter(col("vec_id") >= 5)
-    val centroids = cachedCentroids(spark, dir, candidates, "vec_id>=5", nlist, dims)
+    val centroids = cachedCentroids(spark, dir, candidates, "vec_id>=5", nl, dims)
     // PQ codebooks trained on the unit vectors (cosine == dot on units,
-    // so the ADC partial dots below sum to an approximate cosine)
-    val codebooks = trainCodebooks(candidates, col("vn"), m, codebookSize, subDims)
+    // so the ADC partial dots below sum to an approximate cosine) —
+    // session-cached like the coarse quantizer: the second call in a
+    // session runs zero training jobs
+    val codebooks =
+      cachedCodebooks(spark, dir, candidates, col("vn"), "vn/vec_id>=5",
+        m, codebookSize, subDims)
     // the compact index: everything the bulk scorer ever shuffles
     val index = candidates
       .withColumn("cell", argminAssign(centroids))
@@ -475,7 +540,7 @@ object Similarity {
     // query probe list: nprobe nearest cells (as in s3)
     val d = centroidDists(centroids)
     val probes = transform(
-      slice(array_sort(transform(sequence(lit(0), lit(nlist - 1)),
+      slice(array_sort(transform(sequence(lit(0), lit(nl - 1)),
         i => struct(element_at(d, i + 1).as("dist"), i.as("idx")))), 1, nprobe),
       s => s.getField("idx"))
     val queries = e.filter(col("vec_id") < 5)

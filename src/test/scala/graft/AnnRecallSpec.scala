@@ -99,4 +99,43 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"nprobe=$np ivf+pq ${recall(ivfpq)} vs ivf ${recall(ivf)}")
     }
   }
+
+  test("auto nlist ≈ √n: resolved value and recall at sf0.01") {
+    val n = Similarity.cosineTopK(spark, dir, k = 1).count() // touches corpus
+    val auto = Similarity.autoNlist(500) // sf0.01 corpus size
+    assert(auto == 22, s"autoNlist(500) = $auto") // √500 ≈ 22.4
+    assert(Similarity.autoNlist(100L * 1000 * 1000 * 1000) == 4096, "cap holds")
+    assert(Similarity.autoNlist(10) == 8, "floor holds")
+    // defaults (nlist = Auto) resolve to the √n cell count; measured at
+    // sf0.01: nprobe=4 → 0.52, nprobe=8 → 0.74 — matching nlist=16 within
+    // noise while each probe touches ~n/22 instead of ~n/16 vectors, the
+    // per-query saving that compounds with corpus size. SURVEY §6
+    // publishes this table.
+    Seq(4 -> 0.35, 8 -> 0.55).foreach { case (np, floor) =>
+      val r = recall(Similarity.ivfAnn(spark, dir, k = 10, nprobe = np)
+        .collect().map(x => (x.getLong(0), x.getLong(1))))
+      info(f"auto nlist=$auto nprobe=$np recall=$r%.3f")
+      assert(r >= floor, s"auto-nlist nprobe=$np recall $r < $floor")
+    }
+  }
+
+  test("s8 second call in a session trains nothing: zero eager jobs") {
+    // first call trains coarse quantizer + PQ codebooks (several collect()
+    // jobs); the second must serve BOTH from the session caches — building
+    // the DataFrame plan runs zero Spark jobs until the caller executes it
+    Similarity.ivfPqAnn(spark, dir, k = 10, nprobe = 4).collect() // warm
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.ivfPqAnn(spark, dir, k = 10, nprobe = 4) // plan only
+      Thread.sleep(1500) // listener bus is async; zero events expected
+      assert(jobs.get() == 0,
+        s"second ivfPqAnn call ran ${jobs.get()} eager (training) jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -109,6 +109,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti") || p.contains("left_anti"))
   }
 
+  test("catalog write/read path pins no broadcast hint on data-dependent sets") {
+    // the CoW upsert's merge-key set and the MOR delete-key sets are
+    // data-dependent and unbounded (CDC trickle vs month-long backfill),
+    // so the catalog must leave join-strategy choice to size-based
+    // planning/AQE — the same rule q3/q4/p1 enforce for query plans. The
+    // catalog executes its joins eagerly inside write methods, so this
+    // audits the source directly: any `broadcast(` reappearing in the
+    // catalog layer is a pinned plan and fails here.
+    import scala.jdk.CollectionConverters._
+    val catalogDir = java.nio.file.Paths.get("src/main/scala/graft/catalog")
+    assert(java.nio.file.Files.isDirectory(catalogDir), s"missing $catalogDir")
+    val offenders = java.nio.file.Files.list(catalogDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .contains("broadcast("))
+      .map(_.getFileName.toString).toSeq
+    assert(offenders.isEmpty,
+      s"pinned broadcast hint in catalog layer: $offenders — " +
+        "key sets there are data-dependent; let AQE choose")
+  }
+
   test("q14 salted skew agg plans two aggregation stages keyed on (key, salt)") {
     val p = plan("q14_skew_agg")
     // stage 1 groups by (skew_key, __salt), stage 2 by skew_key; each stage
