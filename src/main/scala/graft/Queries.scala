@@ -554,8 +554,15 @@ object Queries {
          |  SELECT * FROM (
          |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM quality)
          |  WHERE doc_id = keeper),
+         |ts AS (SELECT doc_id, list_distinct(t) AS t FROM tok),
+         |verified AS (
+         |  SELECT p.doc_a, p.doc_b FROM pairs p
+         |  JOIN ts a ON a.doc_id = p.doc_a
+         |  JOIN ts b ON b.doc_id = p.doc_b
+         |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.6),
          |dropped AS (
-         |  SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+         |  SELECT DISTINCT p.doc_b AS doc_id FROM verified p
          |  WHERE p.doc_a IN (SELECT doc_id FROM keepers)),
          |cleaned AS (
          |  SELECT * FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM dropped))

@@ -248,56 +248,130 @@ object Dedup {
     members.union(roots)
   }
 
-  /** d5: n-gram Jaccard verification on blocked candidate pairs (blocking
-    * key = source). |A∩B| / |A∪B| over distinct unigram sets.
+  /** Per-document distinct unigram sets, pre-hashed to sorted 60-bit longs
+    * via the codegen'd explode→md5→collect_set path: the pairwise kernel
+    * then merges longs, not strings. Set sizes (and so Jaccard) are
+    * integer-identical to the oracle's string-set computation barring
+    * ~2⁻⁶⁰ hash collisions.
     */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
-    // Token sets pre-hashed to sorted 60-bit longs via the codegen'd
-    // explode→md5→collect_set path: the pairwise kernel then merges longs,
-    // not strings. Set sizes (and so Jaccard) are integer-identical to the
-    // oracle's string-set computation barring ~2⁻⁶⁰ hash collisions.
-    val tok = Tables.documents(spark, dir)
+  private def tokenSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), col("source"),
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sort_array(collect_set(col("h"))).as("t"))
-    val a = tok.as("a")
-    val b = tok.as("b")
+
+  /** Jaccard scoring kernel over a pair frame that already carries both
+    * token sets as `a.t` / `b.t`. The size bound is lossless — J(A,B) ≤
+    * min/max, so pairs failing min ≥ threshold·max can't pass — and is
+    * applied BEFORE the O(|A|+|B|) set-merge kernel runs.
+    */
+  private def jaccardScore(pairs: DataFrame, threshold: Double): DataFrame = {
     val jac = graft.functions.SetFunctions.jaccardSimLong(col("a.t"), col("b.t"))
-    // lossless size bound: J(A,B) ≤ min/max, so pairs failing
-    // min ≥ threshold·max can't pass — pruned BEFORE the O(|A|+|B|)
-    // set-merge kernel runs (results identical, oracle unchanged)
     val sizeBound =
       least(size(col("a.t")), size(col("b.t"))).cast("double") >=
         lit(threshold) * greatest(size(col("a.t")), size(col("b.t"))).cast("double")
-    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
-        sizeBound)
-      .where(jac >= threshold)
+    pairs.where(sizeBound).where(jac >= threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(jac, 4).as("jaccard"))
+  }
+
+  /** n-gram Jaccard VERIFICATION of candidate pairs — the primary entry
+    * point and the 100 TB shape: `pairs` is whatever a blocking stage
+    * proposed (MinHash-LSH buckets, SimHash collisions, a manual block),
+    * and cost is O(candidate pairs), never O(corpus²). Two id equi-joins
+    * attach the token sets; the Jaccard kernel scores each pair once.
+    * Columns: pairs(doc_a, doc_b) → (doc_a, doc_b, jaccard ≥ threshold).
+    */
+  def ngramJaccardOn(
+      spark: SparkSession, dir: String, pairs: DataFrame,
+      threshold: Double = 0.6): DataFrame = {
+    val tok = tokenSets(spark, dir)
+    val withSides = pairs.select(col("doc_a"), col("doc_b"))
+      .join(tok.select(col("doc_id").as("__id_a"), col("t").as("__t_a")),
+        col("doc_a") === col("__id_a"))
+      .join(tok.select(col("doc_id").as("__id_b"), col("t").as("__t_b")),
+        col("doc_b") === col("__id_b"))
+      .select(struct(col("doc_a").as("doc_id"), col("__t_a").as("t")).as("a"),
+        struct(col("doc_b").as("doc_id"), col("__t_b").as("t")).as("b"))
+    jaccardScore(withSides, threshold)
+  }
+
+  /** d5: n-gram Jaccard on SOURCE-BLOCKED pairs — a convenience wrapper
+    * for corpora where blocks are known small (one self-join, sets carried
+    * inline). WARNING — O(|block|²): a blocking key that grows with the
+    * corpus (one crawl source can be most of 100 TB) makes this quadratic;
+    * at scale, propose candidates with LSH/SimHash and verify them with
+    * [[ngramJaccardOn]] — the composition p1 runs.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val tok = tokenSets(spark, dir)
+    val a = tok.as("a")
+    val b = tok.as("b")
+    jaccardScore(
+      a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")),
+      threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** d6: embedding-cosine near-dup pairs within a blocking key (label).
-    *
-    * Norms are precomputed map-side (once per vector, not once per pair) and
-    * the pairwise dot product is the codegen'd [[graft.functions.DotProduct]]
-    * expression — the arithmetic (dot / (na*nb), sequential sums) matches the
-    * DuckDB oracle bit-for-bit.
+  /** Cosine scoring kernel over a pair frame carrying both vectors and
+    * precomputed norms as `a.v`/`a.nrm`/`b.v`/`b.nrm`. Norms are computed
+    * map-side (once per vector, not once per pair) and the pairwise dot
+    * product is the codegen'd [[graft.functions.DotProduct]] expression —
+    * the arithmetic (dot / (na*nb), sequential sums) matches the DuckDB
+    * oracle bit-for-bit.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    import graft.functions.VectorFunctions.{asDouble, dot, norm}
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val a = e.as("a")
-    val b = e.as("b")
+  private def cosineScore(pairs: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.dot
     val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .where(cos >= threshold)
+    pairs.where(cos >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cos, 4).as("cos_sim"))
+  }
+
+  private def normedVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, norm}
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+  }
+
+  /** Embedding-cosine VERIFICATION of candidate pairs — the primary entry
+    * point, same contract as [[ngramJaccardOn]]: `pairs(vec_a, vec_b)`
+    * from any blocking stage (LSH buckets, IVF cells), cost O(candidate
+    * pairs). Two id equi-joins attach vectors+norms; each pair pays one
+    * codegen'd dot product.
+    */
+  def cosineOn(
+      spark: SparkSession, dir: String, pairs: DataFrame,
+      threshold: Double = 0.35): DataFrame = {
+    val e = normedVectors(spark, dir)
+    val withSides = pairs.select(col("vec_a"), col("vec_b"))
+      .join(e.select(col("vec_id"), col("v"), col("nrm")).as("sa"),
+        col("vec_a") === col("sa.vec_id"))
+      .join(e.select(col("vec_id"), col("v"), col("nrm")).as("sb"),
+        col("vec_b") === col("sb.vec_id"))
+      .select(
+        struct(col("sa.vec_id").as("vec_id"), col("sa.v").as("v"),
+          col("sa.nrm").as("nrm")).as("a"),
+        struct(col("sb.vec_id").as("vec_id"), col("sb.v").as("v"),
+          col("sb.nrm").as("nrm")).as("b"))
+    cosineScore(withSides, threshold)
+  }
+
+  /** d6: embedding-cosine near-dup pairs within a LABEL block — the
+    * small-block convenience form. WARNING — O(|block|²), same hazard as
+    * [[ngramJaccard]]: at scale, propose with s2/s3's buckets or cells and
+    * verify with [[cosineOn]].
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val e = normedVectors(spark, dir)
+    val a = e.as("a")
+    val b = e.as("b")
+    cosineScore(
+      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id")),
+      threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -7,18 +7,23 @@ import graft.functions.TextFunctions._
 import graft.sources.Tables
 
 /** The flagship composition: a full corpus-curation pass in one declarative
-  * plan — quality gate → exact dedup → MinHash-LSH near-dedup → per-source
-  * stats. This is the chain an LLM training-data pipeline runs over 100 TB;
-  * every stage is one of the already-verified operators, fused by Catalyst
-  * into scan → map-side signatures → two compact-key shuffles.
+  * plan — quality gate → exact dedup → LSH-propose + Jaccard-verify
+  * near-dedup → per-source stats. This is the chain an LLM training-data
+  * pipeline runs over 100 TB; every stage is one of the already-verified
+  * operators, fused by Catalyst into scan → map-side signatures → compact
+  * equi-key shuffles.
   */
 object Pipeline {
 
   /** p1: surviving-corpus statistics after the three-stage cleaning.
     *
-    * Near-dedup survivor rule (deterministic, no connected components): a
-    * doc is dropped iff it is the larger id of any LSH candidate pair whose
-    * smaller id also survived the earlier stages.
+    * Near-dedup is propose-then-verify — the scale shape: MinHash-LSH
+    * proposes candidate pairs (bucket equi-join, O(collisions)), and
+    * [[Dedup.ngramJaccardOn]] confirms each with true n-gram Jaccard
+    * (O(candidates), two id equi-joins — never a block self-join). The
+    * survivor rule stays deterministic (no connected components): a doc is
+    * dropped iff it is the larger id of a VERIFIED pair whose smaller id
+    * also survived the earlier stages.
     */
   def curate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -39,8 +44,11 @@ object Pipeline {
       .filter(col("keep"))
       .drop("h", "keep")
 
-    // stage 3: near-dedup — drop the larger side of every candidate pair
-    val pairs = Dedup.minhashLshPairs(spark, dir)
+    // stage 3: near-dedup — LSH proposes, n-gram Jaccard verifies; drop
+    // the larger side of every VERIFIED pair
+    val candidates = Dedup.minhashLshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val pairs = Dedup.ngramJaccardOn(spark, dir, candidates, threshold = 0.6)
       .select(col("doc_a"), col("doc_b"))
     val survivorsA = keepers.select(col("doc_id")).as("ka")
     // NO broadcast hint on the drop list: it is data-dependent (scales with
