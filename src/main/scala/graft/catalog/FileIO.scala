@@ -1,0 +1,132 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+/** The catalog's storage seam: every driver-side path operation
+  * [[IceCatalog]] performs — metadata JSON, manifest segments, commit
+  * locks, version files, parquet footer reads, orphan walks — goes through
+  * this interface, so an object store (S3/GCS) becomes a backend drop-in
+  * instead of a rewrite. Distributed data reads/writes stay with Spark's
+  * own Hadoop FileSystem layer; this seam covers the DRIVER-side metadata
+  * plane only, which is exactly the part the reference re-implements per
+  * cloud (ice/src/main/java/com/altinity/ice/cli/internal/s3/S3.java,
+  * rest/catalog/internal/aws/CredentialsProvider.java).
+  *
+  * Contract notes for remote implementations:
+  *  - [[writeStringIfAbsent]] and [[publishLink]] are the ATOMIC
+  *    create-new primitives the optimistic-commit protocol rests on. On
+  *    S3, map both to `If-None-Match: *` conditional PUTs; on an
+  *    etcd/DynamoDB-backed store, to a transactional create. Both throw
+  *    `java.nio.file.FileAlreadyExistsException` on conflict — remote
+  *    impls must translate their 412/conflict into the same type.
+  *  - [[move]] must be atomic within the store (rename(2) locally;
+  *    Iceberg-on-S3 semantics: copy+delete is acceptable ONLY for the
+  *    lock-steal grave protocol, which is idempotent under partial moves,
+  *    never for version-file publication — that is why publication uses
+  *    [[publishLink]] instead).
+  *  - [[parquetFooter]] is part of the seam so remote stores can serve
+  *    footers from ranged reads (the reference's server-side-copy /
+  *    anonymous-read paths, Insert.java:329, :523-531) instead of full
+  *    downloads.
+  *  - Missing files throw `java.nio.file.NoSuchFileException` from the
+  *    read/delete/stat operations, as callers key recovery off that type.
+  */
+trait FileIO {
+  def exists(p: Path): Boolean
+  def isDirectory(p: Path): Boolean
+  def isRegularFile(p: Path): Boolean
+  def createDirectories(p: Path): Unit
+
+  /** Immediate children (any depth-1 entries), unsorted. Empty for a
+    * missing directory.
+    */
+  def list(p: Path): Seq[Path]
+
+  /** Recursive walk including `p` itself, parents before children. Empty
+    * for a missing root.
+    */
+  def walk(p: Path): Seq[Path]
+
+  def readString(p: Path): String
+
+  /** Write (replacing) — must FAIL when the parent directory is missing
+    * (NoSuchFileException locally); the group-commit rollback path keys
+    * off that. Directory creation is always an explicit, separate call.
+    */
+  def writeString(p: Path, s: String): Unit
+
+  /** Atomic create-new write: fails with FileAlreadyExistsException when
+    * `p` exists — of N concurrent writers exactly one succeeds.
+    */
+  def writeStringIfAbsent(p: Path, s: String): Unit
+
+  /** Atomically publish the content at `src` under `target`, failing with
+    * FileAlreadyExistsException if `target` exists; `src` is left in
+    * place (callers delete it). Locally link(2) — NOT rename, which
+    * silently replaces and would let two committers win the same version.
+    */
+  def publishLink(target: Path, src: Path): Unit
+
+  def move(from: Path, to: Path): Unit
+  def delete(p: Path): Unit
+  def deleteIfExists(p: Path): Boolean
+  def size(p: Path): Long
+  def lastModifiedMillis(p: Path): Long
+
+  /** One parquet footer, driver-side — O(footer) IO, no scan. */
+  def parquetFooter(
+      p: Path,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.parquet.hadoop.metadata.ParquetMetadata
+}
+
+/** POSIX-filesystem implementation — the default backend; also the
+  * substrate test doubles wrap (see FileIOSpec's path-mangling store).
+  */
+object LocalFileIO extends FileIO {
+  def exists(p: Path): Boolean = Files.exists(p)
+  def isDirectory(p: Path): Boolean = Files.isDirectory(p)
+  def isRegularFile(p: Path): Boolean = Files.isRegularFile(p)
+  def createDirectories(p: Path): Unit = Files.createDirectories(p)
+
+  def list(p: Path): Seq[Path] = {
+    if (!Files.isDirectory(p)) return Seq.empty
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  def walk(p: Path): Seq[Path] = {
+    if (!Files.exists(p)) return Seq.empty
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  def readString(p: Path): String = Files.readString(p)
+
+  // deliberately does NOT create parents: a write into a vanished
+  // directory must FAIL (the group-commit rollback path relies on it) —
+  // callers create directories explicitly where creation is intended
+  def writeString(p: Path, s: String): Unit = Files.writeString(p, s)
+
+  def writeStringIfAbsent(p: Path, s: String): Unit =
+    Files.write(p, s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+
+  def publishLink(target: Path, src: Path): Unit = Files.createLink(target, src)
+
+  def move(from: Path, to: Path): Unit = Files.move(from, to)
+  def delete(p: Path): Unit = Files.delete(p)
+  def deleteIfExists(p: Path): Boolean = Files.deleteIfExists(p)
+  def size(p: Path): Long = Files.size(p)
+  def lastModifiedMillis(p: Path): Long = Files.getLastModifiedTime(p).toMillis
+
+  def parquetFooter(
+      p: Path,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf))
+    try reader.getFooter finally reader.close()
+  }
+}

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -328,7 +328,10 @@ object IceCatalog {
   }
 }
 
-class IceCatalog(private[graft] val spark: SparkSession, root: String) {
+class IceCatalog(
+    private[graft] val spark: SparkSession,
+    root: String,
+    private[graft] val io: FileIO = LocalFileIO) {
   import IceCatalog._
 
   /** Run `body` with session confs set, restoring prior values after: the
@@ -384,8 +387,8 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
   private def writeManifestJson(ident: String, prefix: String, json: String): String = {
     val name = freshName(prefix)
     val p = manifestsDir(ident).resolve(name)
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, json)
+    io.createDirectories(p.getParent)
+    io.writeString(p, json)
     name
   }
 
@@ -401,7 +404,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     if (cached != null) return cached
     IceCatalog.segmentParses.incrementAndGet()
     val fs = mapper.readValue(
-      manifestsDir(ident).resolve(name).toFile, classOf[Array[DataFileMeta]]).toSeq
+      io.readString(manifestsDir(ident).resolve(name)), classOf[Array[DataFileMeta]]).toSeq
     IceCatalog.segCachePut(IceCatalog.segCache, key, fs)
     fs
   }
@@ -417,7 +420,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val cached = IceCatalog.srcSegCache.get(key)
     if (cached != null) return cached
     val ss = mapper.readValue(
-      manifestsDir(ident).resolve(name).toFile, classOf[Array[String]]).toSeq
+      io.readString(manifestsDir(ident).resolve(name)), classOf[Array[String]]).toSeq
     IceCatalog.segCachePut(IceCatalog.srcSegCache, key, ss)
     ss
   }
@@ -426,7 +429,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     writeManifestJson(ident, "ml", mapper.writeValueAsString(ml))
 
   private def readManifestListFile(ident: String, name: String): ManifestList =
-    mapper.readValue(manifestsDir(ident).resolve(name).toFile, classOf[ManifestList])
+    mapper.readValue(io.readString(manifestsDir(ident).resolve(name)), classOf[ManifestList])
 
   /** In-memory view: resolve every segment-form snapshot's manifest list
     * and fill the flat `files` / `sourceFiles` the rest of the engine
@@ -482,17 +485,17 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
 
   // ---- namespaces -------------------------------------------------------
 
-  def createNamespace(ns: String): Unit = Files.createDirectories(rootPath.resolve(ns))
+  def createNamespace(ns: String): Unit = io.createDirectories(rootPath.resolve(ns))
 
   def listNamespaces(): Seq[String] =
-    if (!Files.isDirectory(rootPath)) Seq.empty
-    else Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_))
+    if (!io.isDirectory(rootPath)) Seq.empty
+    else io.list(rootPath).filter(io.isDirectory(_))
       .map(_.getFileName.toString).toSeq.sorted
 
   def dropNamespace(ns: String): Unit = {
     val p = rootPath.resolve(ns)
     require(listTables(ns).isEmpty, s"namespace $ns is not empty")
-    if (Files.isDirectory(p)) Files.delete(p)
+    if (io.isDirectory(p)) io.delete(p)
   }
 
   // ---- tables -----------------------------------------------------------
@@ -505,14 +508,14 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
 
   def listTables(ns: String): Seq[String] = {
     val p = rootPath.resolve(ns)
-    if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .filter(d => Files.isDirectory(d.resolve("metadata")))
+    if (!io.isDirectory(p)) Seq.empty
+    else io.list(p)
+      .filter(d => io.isDirectory(d.resolve("metadata")))
       .map(_.getFileName.toString).toSeq.sorted
   }
 
   def tableExists(ident: String): Boolean =
-    Files.isDirectory(tableDir(ident).resolve("metadata"))
+    io.isDirectory(tableDir(ident).resolve("metadata"))
 
   def createTable(
       ident: String,
@@ -521,8 +524,8 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       sortOrder: Seq[SortField] = Seq.empty): Unit = {
     require(!tableExists(ident), s"table $ident already exists")
     val dir = tableDir(ident)
-    Files.createDirectories(dir.resolve("metadata"))
-    Files.createDirectories(dir.resolve("data"))
+    io.createDirectories(dir.resolve("metadata"))
+    io.createDirectories(dir.resolve("data"))
     val ids = schema.fields.indices.toSeq
     val meta = TableMeta(ident, schema.json, partitionSpec, sortOrder,
       snapshots = Seq.empty, currentSnapshotId = -1L,
@@ -534,8 +537,8 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
 
   def dropTable(ident: String, purge: Boolean = true): Unit = {
     val dir = tableDir(ident)
-    if (Files.isDirectory(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    if (io.isDirectory(dir)) {
+      io.walk(dir).reverse.foreach(io.deleteIfExists(_))
     }
     // a later table of the same name restarts at v1 — stale entries would
     // serve the dropped table's metadata
@@ -553,7 +556,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     if (cached != null) return cached
     IceCatalog.metaParses.incrementAndGet()
     val parsed = hydrate(ident, normalize(mapper.readValue(
-      dir.resolve("metadata").resolve(s"v$v.json").toFile, classOf[TableMeta])))
+      io.readString(dir.resolve("metadata").resolve(s"v$v.json")), classOf[TableMeta])))
     // Rename crash-recovery: if the directory was moved (renameTable) but
     // the path-rewrite commit never landed, the metadata still speaks the
     // OLD directory's name and file URIs — a broken table. Detect via the
@@ -611,9 +614,9 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
   private def probeTop(dir: Path): Int = {
     val metaDir = dir.resolve("metadata")
     val hint = metaDir.resolve("version-hint.txt")
-    var v = if (Files.exists(hint)) Files.readString(hint).trim.toInt else 0
-    while (Files.exists(metaDir.resolve(s"v${v + 1}.json")) ||
-      Files.exists(burnMarker(metaDir, v + 1))) v += 1
+    var v = if (io.exists(hint)) io.readString(hint).trim.toInt else 0
+    while (io.exists(metaDir.resolve(s"v${v + 1}.json")) ||
+      io.exists(burnMarker(metaDir, v + 1))) v += 1
     v
   }
 
@@ -627,7 +630,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
   private def currentVersion(dir: Path): Int = {
     val metaDir = dir.resolve("metadata")
     var v = probeTop(dir)
-    while (v > 0 && !Files.exists(metaDir.resolve(s"v$v.json"))) v -= 1
+    while (v > 0 && !io.exists(metaDir.resolve(s"v$v.json"))) v -= 1
     v
   }
 
@@ -639,20 +642,20 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     // tmp consumed by the winner) instead of a clean conflict
     val tmp = dir.resolve("metadata").resolve(
       s".v$version.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
-    // Atomic create-new via link(2): the optimistic lock. Files.move is
+    io.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    // Atomic create-new via link(2): the optimistic lock. io.move is
     // NOT safe here — it stats the target and then rename(2)s, and rename
     // silently REPLACES an existing file, so two racing committers could
     // both "win" the same version (silent lost update). link() fails
     // atomically if the target exists.
     try {
-      Files.createLink(target, tmp)
-      Files.delete(tmp)
+      io.publishLink(target, tmp)
+      io.delete(tmp)
     } catch { case e: java.nio.file.FileAlreadyExistsException =>
-      Files.delete(tmp)
+      io.delete(tmp)
       throw new IllegalStateException(s"commit conflict on v$version", e)
     }
-    Files.writeString(dir.resolve("metadata").resolve("version-hint.txt"), version.toString)
+    io.writeString(dir.resolve("metadata").resolve("version-hint.txt"), version.toString)
   }
 
   // ---- commit lock (ice-rest-catalog's etcd CommitLock semantics,
@@ -673,13 +676,13 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (true) {
       try {
-        Files.write(lock, s"${System.currentTimeMillis() + leaseMs}:$token".getBytes,
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+        io.writeStringIfAbsent(lock,
+          s"${System.currentTimeMillis() + leaseMs}:$token")
         return token
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val stale =
-            try Files.readString(lock).trim.split(':')(0).toLongOption
+            try io.readString(lock).trim.split(':')(0).toLongOption
               .exists(_ < System.currentTimeMillis())
             catch {
               case _: java.nio.file.NoSuchFileException => false // vanished: retry create
@@ -707,13 +710,13 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val grave = lock.resolveSibling(
       s"${lock.getFileName}.grave.${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      Files.move(lock, grave)
-      val content = try Files.readString(grave).trim catch { case _: Exception => "" }
+      io.move(lock, grave)
+      val content = try io.readString(grave).trim catch { case _: Exception => "" }
       val expired = content.split(':')(0).toLongOption
         .forall(_ < System.currentTimeMillis()) // unparseable/corrupt counts as expired
       if (expired) {
         Metrics.inc("graft_catalog_lock_steals_total")
-        Files.deleteIfExists(grave)
+        io.deleteIfExists(grave)
       }
       else {
         // displaced a live holder — restore; if a third party created a new
@@ -723,7 +726,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
         // it holds a live lease, and deleting it would silently destroy
         // evidence of the displaced holder (orphaned graves are harmless
         // uniquely-named files, collected by maintenance later)
-        try Files.move(grave, lock)
+        try io.move(grave, lock)
         catch { case _: Exception => () }
       }
     } catch { case _: Exception => } // lost the steal race — loop and retry
@@ -732,7 +735,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
   private def releaseLock(dir: Path, token: String): Unit = {
     val lock = lockFile(dir)
     try {
-      if (Files.readString(lock).trim.endsWith(s":$token")) Files.deleteIfExists(lock)
+      if (io.readString(lock).trim.endsWith(s":$token")) io.deleteIfExists(lock)
     } catch { case _: Exception => } // already stolen/cleaned — nothing to release
   }
 
@@ -833,9 +836,9 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
             // reused (probeTop skips it), so a reader that cached the
             // rolled-back v{N+1} mid-group can never be served a DIFFERENT
             // v{N+1} later — version files stay immutable once published.
-            Files.writeString(burnMarker(metaDir, prevV + 1), "rolled-back")
-            Files.deleteIfExists(metaDir.resolve(s"v${prevV + 1}.json"))
-            Files.writeString(metaDir.resolve("version-hint.txt"), prevV.toString)
+            io.writeString(burnMarker(metaDir, prevV + 1), "rolled-back")
+            io.deleteIfExists(metaDir.resolve(s"v${prevV + 1}.json"))
+            io.writeString(metaDir.resolve("version-hint.txt"), prevV.toString)
             // a concurrent reader may have cached the now-unlinked version
             IceCatalog.cacheInvalidate(root, ident)
           }
@@ -1119,7 +1122,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val tblDir = tableDir(ident).toAbsolutePath.normalize
     val norm = paths.map(p => Paths.get(p).toAbsolutePath.normalize)
     norm.foreach { p =>
-      require(Files.isRegularFile(p), s"no such file: $p")
+      require(io.isRegularFile(p), s"no such file: $p")
       require(forceOutsideLocation || p.startsWith(tblDir),
         s"$p: cannot be added without copy (file is outside the table location " +
           "and forceOutsideLocation isn't set)")
@@ -1226,13 +1229,13 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val dir = tableDir(ident).resolve("data").resolve(s"delete-$commitId")
     keys.select(keyCols.map(col): _*).distinct().coalesce(1)
       .write.mode("overwrite").parquet(dir.toString)
-    val file = Files.list(dir).iterator().asScala
+    val file = io.list(dir)
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"delete write produced no file in $dir"))
     val footer = readFooter(file)
     DeleteFileMeta(file.toUri.toString, keyCols,
       rowCount = footer.getBlocks.asScala.map(_.getRowCount).sum,
-      bytes = Files.size(file), seq = 0) // seq stamped at commit
+      bytes = io.size(file), seq = 0) // seq stamped at commit
   }
 
   /** MERGE-ON-READ upsert (Iceberg equality-delete semantics): instead of
@@ -1289,9 +1292,9 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       dataDir: String, schema: StructType, spec: Seq[PartitionField],
       schemaId: Int): Seq[DataFileMeta] = {
     val base = Paths.get(dataDir)
-    if (!Files.isDirectory(base)) return Seq.empty // rewrite that deleted every row
-    val parquetFiles = Files.walk(base).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    if (!io.isDirectory(base)) return Seq.empty // rewrite that deleted every row
+    val parquetFiles = io.walk(base)
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
     // footer reads are independent and storage-latency bound — a fresh
     // commit's manifest build shouldn't serialize on file count
     inParallel(parquetFiles)(p =>
@@ -1303,13 +1306,8 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     */
   /** One parquet footer, driver-side — O(1) IO, no scan. */
   private[graft] def readFooter(
-      p: Path): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p.toUri),
-        spark.sessionState.newHadoopConf()))
-    try reader.getFooter finally reader.close()
-  }
+      p: Path): org.apache.parquet.hadoop.metadata.ParquetMetadata =
+    io.parquetFooter(p, spark.sessionState.newHadoopConf())
 
   /** Whether every column of a footer's schema carries a field id. */
   private def footerHasFieldIds(
@@ -1330,7 +1328,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val stats = chunksByCol.flatMap { case (name, chunks) =>
       sparkType.get(name).flatMap(t => mergeFooterStats(t, chunks)).map(name -> _)
     }
-    DataFileMeta(p.toUri.toString, rowCount, Files.size(p), partition, stats, schemaId,
+    DataFileMeta(p.toUri.toString, rowCount, io.size(p), partition, stats, schemaId,
       hasFieldIds = footerHasFieldIds(footer))
   }
 
@@ -1548,7 +1546,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
       SnapDelta("delete", drop = dropPaths))
     if (purge) drop.foreach(f =>
-      try Files.deleteIfExists(Paths.get(new java.net.URI(f.path).getPath))
+      try io.deleteIfExists(Paths.get(new java.net.URI(f.path).getPath))
       catch { case _: Exception => })
     drop.map(_.path)
   }
@@ -1937,8 +1935,8 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     require(!tableExists(newIdent), s"table $newIdent already exists")
     val from = tableDir(ident)
     val to = tableDir(newIdent)
-    Files.createDirectories(to.getParent)
-    Files.move(from, to)
+    io.createDirectories(to.getParent)
+    io.move(from, to)
     // a later table reusing the old name restarts at v1 — drop its entries
     IceCatalog.cacheInvalidate(root, ident)
     // loadMeta already serves the repaired (renamed) metadata; persist it
@@ -1990,7 +1988,7 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       s.files.map(_.path) ++ Option(s.deletes).getOrElse(Seq.empty).map(_.path))
       .map(p => Paths.get(new java.net.URI(p).getPath).normalize.toString).toSet
     val dataDir = tableDir(ident).resolve("data")
-    if (!Files.isDirectory(dataDir)) return Seq.empty
+    if (!io.isDirectory(dataDir)) return Seq.empty
     // age gate (OrphanCleanup.java:126-133): with olderThanMillis > 0 only
     // files older than the retention window are orphan candidates — pass a
     // window (the Maintenance runner does, via orphan.retention-days) when
@@ -2000,17 +1998,13 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
     val ageCutoff =
       if (olderThanMillis > 0) System.currentTimeMillis() - olderThanMillis
       else Long.MaxValue
-    val walk = Files.walk(dataDir)
-    val orphans =
-      try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-        .filter(p => Files.getLastModifiedTime(p).toMillis < ageCutoff)
-        .map(_.normalize.toString)
-        .filterNot(referenced.contains)
-        .toSeq
-      finally walk.close()
+    val orphans = io.walk(dataDir)
+      .filter(p => io.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => io.lastModifiedMillis(p) < ageCutoff)
+      .map(_.normalize.toString)
+      .filterNot(referenced.contains)
     if (!dryRun) {
-      orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      orphans.foreach(p => io.deleteIfExists(Paths.get(p)))
       val mDir = manifestsDir(ident)
       // manifest GC is only sound when EVERY snapshot carries its manifest
       // refs: a crashed-rename repair (repairRenamed) nulls them in memory
@@ -2019,18 +2013,16 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       // repaired view would delete every live manifest and brick the table
       val refsComplete = meta.snapshots.nonEmpty &&
         meta.snapshots.forall(s => s.manifestList != null && s.manifests != null)
-      if (Files.isDirectory(mDir) && refsComplete) {
+      if (io.isDirectory(mDir) && refsComplete) {
         val live = meta.snapshots.flatMap(s =>
           Option(s.manifestList).toSeq ++
             Option(s.manifests).map(_.map(_.name)).getOrElse(Seq.empty) ++
             Option(s.sourceSegments).getOrElse(Seq.empty)).toSet
         val cutoff = System.currentTimeMillis() - manifestGraceMs
-        val list = Files.list(mDir)
-        try list.iterator().asScala
+        io.list(mDir)
           .filter(p => !live.contains(p.getFileName.toString) &&
-            Files.getLastModifiedTime(p).toMillis < cutoff)
-          .foreach(Files.deleteIfExists(_))
-        finally list.close()
+            io.lastModifiedMillis(p) < cutoff)
+          .foreach(io.deleteIfExists(_))
       }
       // grave files from failed lock-steal restores: any lease inside has
       // long expired once the grace window has passed. Floor the window at
@@ -2039,14 +2031,12 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       // window would read as empty = "expired", letting a fresh lease be
       // stolen (two holders)
       val metaDir = tableDir(ident).resolve("metadata")
-      if (Files.isDirectory(metaDir)) {
+      if (io.isDirectory(metaDir)) {
         val cutoff = System.currentTimeMillis() - math.max(manifestGraceMs, 60000L)
-        val list = Files.list(metaDir)
-        try list.iterator().asScala
+        io.list(metaDir)
           .filter(p => p.getFileName.toString.contains(".grave.") &&
-            Files.getLastModifiedTime(p).toMillis < cutoff)
-          .foreach(Files.deleteIfExists(_))
-        finally list.close()
+            io.lastModifiedMillis(p) < cutoff)
+          .foreach(io.deleteIfExists(_))
       }
     }
     orphans
@@ -2129,8 +2119,8 @@ class IceCatalog(private[graft] val spark: SparkSession, root: String) {
       createNamespace(ns)
       if (!tableExists(m.name)) {
         val dir = tableDir(m.name)
-        Files.createDirectories(dir.resolve("metadata"))
-        Files.createDirectories(dir.resolve("data"))
+        io.createDirectories(dir.resolve("metadata"))
+        io.createDirectories(dir.resolve("data"))
         writeVersion(dir, 1, m)
       }
     }

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{FileIO, IceCatalog, LocalFileIO}
+import graft.catalog.IceCatalog._
+
+/** Proves the catalog's storage seam: the FULL metadata lifecycle —
+  * create, no-copy registration (footer reads included), snapshot
+  * commits, optimistic-conflict detection, property commits, rollback,
+  * time travel, drop — runs against a deliberately path-mangling
+  * [[FileIO]] that physically stores every catalog path somewhere else
+  * (under a root whose name contains spaces and unicode). Any path
+  * operation that bypassed the seam would hit the untouched visible root
+  * and fail loudly: the spec asserts that root NEVER materializes on the
+  * real filesystem.
+  */
+class FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  /** Redirects everything under `visible` into `shadow` (hostile name:
+    * spaces + unicode), passes external paths through untouched, and
+    * un-mangles listings so callers only ever see visible-rooted paths —
+    * the shape of an object-store FileIO, where the catalog's notion of
+    * a path is a key, not a filesystem location.
+    */
+  final class ManglingFileIO(visible: Path, shadow: Path) extends FileIO {
+    private val vis = visible.toAbsolutePath.normalize
+    private val sh = shadow.toAbsolutePath.normalize
+
+    private def m(p: Path): Path = {
+      val n = p.toAbsolutePath.normalize
+      if (n.startsWith(vis)) sh.resolve(vis.relativize(n).toString) else n
+    }
+
+    private def un(p: Path): Path = {
+      val n = p.toAbsolutePath.normalize
+      if (n.startsWith(sh)) vis.resolve(sh.relativize(n).toString) else n
+    }
+
+    def exists(p: Path): Boolean = LocalFileIO.exists(m(p))
+    def isDirectory(p: Path): Boolean = LocalFileIO.isDirectory(m(p))
+    def isRegularFile(p: Path): Boolean = LocalFileIO.isRegularFile(m(p))
+    def createDirectories(p: Path): Unit = LocalFileIO.createDirectories(m(p))
+    def list(p: Path): Seq[Path] = LocalFileIO.list(m(p)).map(un)
+    def walk(p: Path): Seq[Path] = LocalFileIO.walk(m(p)).map(un)
+    def readString(p: Path): String = LocalFileIO.readString(m(p))
+    def writeString(p: Path, s: String): Unit = LocalFileIO.writeString(m(p), s)
+    def writeStringIfAbsent(p: Path, s: String): Unit =
+      LocalFileIO.writeStringIfAbsent(m(p), s)
+    def publishLink(target: Path, src: Path): Unit =
+      LocalFileIO.publishLink(m(target), m(src))
+    def move(from: Path, to: Path): Unit = LocalFileIO.move(m(from), m(to))
+    def delete(p: Path): Unit = LocalFileIO.delete(m(p))
+    def deleteIfExists(p: Path): Boolean = LocalFileIO.deleteIfExists(m(p))
+    def size(p: Path): Long = LocalFileIO.size(m(p))
+    def lastModifiedMillis(p: Path): Long = LocalFileIO.lastModifiedMillis(m(p))
+    def parquetFooter(p: Path, conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.metadata.ParquetMetadata =
+      LocalFileIO.parquetFooter(m(p), conf)
+  }
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-fileio-test", cpus = 4)
+
+  // visible root deliberately NOT created; shadow root has a hostile
+  // (space-laden) name
+  lazy val visibleRoot: Path =
+    Files.createTempDirectory("fio-parent").resolve("never-materialized")
+  lazy val shadowRoot: Path = {
+    // hostile-but-encodable name: spaces + dots (the JVM's sun.jnu
+    // encoding in this container rejects non-ASCII dir names)
+    val base = Files.createTempDirectory("fio shadow .store. ")
+    base.resolve("store")
+  }
+  lazy val cat =
+    new IceCatalog(spark, visibleRoot.toString,
+      new ManglingFileIO(visibleRoot, shadowRoot))
+
+  // external (pass-through) data files, written once by Spark
+  lazy val externalData: Path = {
+    val d = Files.createTempDirectory("fio-data")
+    spark.read.parquet(s"$dir/region.parquet")
+      .repartition(2).write.mode("overwrite").parquet(d.resolve("region").toString)
+    d.resolve("region")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def externalFiles: Seq[String] =
+    LocalFileIO.walk(externalData)
+      .filter(_.getFileName.toString.endsWith(".parquet")).map(_.toString).sorted
+
+  test("metadata lifecycle never touches the visible root") {
+    cat.createNamespace("ns")
+    cat.createTable("ns.r", spark.read.parquet(s"$dir/region.parquet").schema)
+    assert(cat.listNamespaces() == Seq("ns") && cat.listTables("ns") == Seq("r"))
+    // the real filesystem never saw the visible root: every op went
+    // through the seam into the shadow store
+    assert(!Files.exists(visibleRoot), s"seam bypassed: $visibleRoot exists")
+    assert(Files.isDirectory(shadowRoot.resolve("ns/r/metadata")),
+      "metadata did not land in the shadow store")
+  }
+
+  test("no-copy registration reads footers through the seam; scan serves data") {
+    val expected = spark.read.parquet(s"$dir/region.parquet").count()
+    cat.addFiles("ns.r", externalFiles, forceOutsideLocation = true)
+    val snap = cat.loadMeta("ns.r").current.get
+    assert(snap.files.map(_.rowCount).sum == expected, "footer row counts wrong")
+    assert(snap.files.forall(_.stats.nonEmpty), "footer stats missing")
+    assert(cat.scan("ns.r").count() == expected)
+    assert(!Files.exists(visibleRoot))
+  }
+
+  test("commit protocol (CAS, properties, rollback, time travel) over the seam") {
+    val v1 = cat.loadMeta("ns.r").currentSnapshotId
+    cat.commit("ns.r", m => m.copy(properties = m.properties + ("k" -> "v")))
+    assert(cat.loadMeta("ns.r").properties("k") == "v")
+    // a stale basedOn must still conflict — the atomic create-new publish
+    // works through the mangled store
+    intercept[java.util.ConcurrentModificationException] {
+      cat.commit("ns.r", identity, basedOn = Some(v1 - 999))
+    }
+    // second registration forces a snapshot chain; rollback + time travel
+    cat.commit("ns.r", m => m.copy(properties = m.properties + ("k2" -> "v2")))
+    val metaNow = cat.loadMeta("ns.r")
+    assert(metaNow.snapshots.nonEmpty)
+    cat.rollbackTo("ns.r", metaNow.currentSnapshotId)
+    assert(cat.scan("ns.r").count() ==
+      spark.read.parquet(s"$dir/region.parquet").count())
+    assert(!Files.exists(visibleRoot))
+  }
+
+  test("drop removes the table from the shadow store only") {
+    cat.dropTable("ns.r")
+    assert(cat.listTables("ns") == Seq.empty)
+    assert(!Files.exists(shadowRoot.resolve("ns/r")))
+    assert(!Files.exists(visibleRoot))
+    // external data files are untouched by a metadata-only drop
+    assert(externalFiles.nonEmpty)
+  }
+}
