@@ -531,8 +531,34 @@ class IceCatalog(
       snapshots = Seq.empty, currentSnapshotId = -1L,
       fieldIds = ids, lastFieldId = ids.foldLeft(0)(math.max),
       schemaLog = Seq(SchemaVersion(schema.json, ids)),
-      properties = Map.empty)
+      // stable identity (Iceberg's table-uuid): minted once at creation,
+      // carried through renames/commits — the REST facade serves it in
+      // TableMetadata
+      properties = Map("graft.uuid" -> java.util.UUID.randomUUID().toString))
     writeVersion(dir, 1, meta)
+  }
+
+  /** The table's base location URI (Iceberg TableMetadata `location`). */
+  def tableLocation(ident: String): String = tableDir(ident).toUri.toString
+
+  /** URI of the current PUBLISHED metadata version file — the
+    * LoadTableResponse `metadata-location`, usable for metadata-file time
+    * travel exactly like Iceberg's.
+    */
+  def metadataLocation(ident: String): String = {
+    val dir = tableDir(ident)
+    val v = currentVersion(dir)
+    require(v > 0, s"table $ident does not exist")
+    dir.resolve("metadata").resolve(s"v$v.json").toUri.toString
+  }
+
+  /** Stable table uuid: minted at creation; legacy tables (pre-uuid
+    * metadata) get a deterministic name-derived one.
+    */
+  def tableUuid(ident: String): String = {
+    val m = loadMeta(ident)
+    Option(m.properties).flatMap(_.get("graft.uuid")).getOrElse(
+      java.util.UUID.nameUUIDFromBytes(m.name.getBytes("UTF-8")).toString)
   }
 
   def dropTable(ident: String, purge: Boolean = true): Unit = {

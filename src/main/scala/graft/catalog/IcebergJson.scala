@@ -1,0 +1,234 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.types._
+
+import graft.catalog.IceCatalog._
+
+/** Iceberg-SPEC JSON shapes (the Apache Iceberg table-spec "Appendix C:
+  * JSON serialization" and the REST catalog OpenAPI spec) for the wire
+  * facade: schemas, partition specs, sort orders, snapshots, and the full
+  * TableMetadata object of a LoadTableResponse. This is what lets a stock
+  * Iceberg REST client parse graft's responses — the reference serves the
+  * same shapes via the Iceberg SDK
+  * (ice-rest-catalog/internal/rest/RESTCatalogAdapter.java:96-210); graft
+  * produces them natively from its own metadata model.
+  *
+  * Type mapping (Spark ↔ Iceberg): long/int/short/byte → long/int/int/int,
+  * string, double, float, boolean, date, timestamp → timestamptz,
+  * timestamp_ntz → timestamp, binary, decimal(p,s), and the three nested
+  * shapes (struct/list/map). Top-level field ids are the catalog's own
+  * evolution-stable ids; nested ids are allocated deterministically past
+  * `lastFieldId` (the catalog tracks evolution at top level — documented
+  * in SchemaVersion's scaladoc).
+  */
+object IcebergJson {
+
+  private val bucketRe = "bucket\\[(\\d+)\\]".r
+  private val truncRe = "truncate\\[(\\d+)\\]".r
+
+  /** graft transform name → Iceberg JSON transform string. */
+  def toIcebergTransform(t: String): String = t.toLowerCase match {
+    case "" => "identity"
+    case bucketRe(n) => s"bucket[$n]"
+    case truncRe(w) => s"truncate[$w]"
+    case other => other // identity / year / month / day / hour
+  }
+
+  // ---- schema -----------------------------------------------------------
+
+  def toIcebergType(dt: DataType, nextId: () => Int): Any = dt match {
+    case LongType => "long"
+    case IntegerType | ShortType | ByteType => "int"
+    case StringType => "string"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case s: StructType =>
+      // allocate ids parent-first so the layout is deterministic
+      val ids = s.fields.map(_ => nextId())
+      Map("type" -> "struct",
+        "fields" -> s.fields.zip(ids).map { case (f, id) =>
+          Map("id" -> id, "name" -> f.name, "required" -> !f.nullable,
+            "type" -> toIcebergType(f.dataType, nextId))
+        }.toSeq)
+    case a: ArrayType =>
+      val eid = nextId()
+      Map("type" -> "list", "element-id" -> eid,
+        "element" -> toIcebergType(a.elementType, nextId),
+        "element-required" -> !a.containsNull)
+    case m: MapType =>
+      val (kid, vid) = (nextId(), nextId())
+      Map("type" -> "map",
+        "key-id" -> kid, "key" -> toIcebergType(m.keyType, nextId),
+        "value-id" -> vid, "value" -> toIcebergType(m.valueType, nextId),
+        "value-required" -> !m.valueContainsNull)
+    case other =>
+      throw new IllegalArgumentException(s"no Iceberg mapping for $other")
+  }
+
+  /** One schema as the spec `{"type":"struct","schema-id":N,"fields":[…]}`
+    * object, top-level ids from the catalog's field-id model.
+    */
+  def toIcebergSchema(
+      schema: StructType, fieldIds: Seq[Int], schemaId: Int,
+      lastFieldId: Int): Map[String, Any] = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(lastFieldId)
+    val nextId = () => counter.incrementAndGet()
+    Map(
+      "type" -> "struct",
+      "schema-id" -> schemaId,
+      "fields" -> schema.fields.zip(fieldIds).map { case (f, id) =>
+        Map("id" -> id, "name" -> f.name, "required" -> !f.nullable,
+          "type" -> toIcebergType(f.dataType, nextId))
+      }.toSeq)
+  }
+
+  /** Iceberg type JSON node → Spark type (for CreateTableRequest). */
+  def fromIcebergType(n: JsonNode): DataType =
+    if (n.isTextual) n.asText() match {
+      case "long" => LongType
+      case "int" => IntegerType
+      case "string" => StringType
+      case "double" => DoubleType
+      case "float" => FloatType
+      case "boolean" => BooleanType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" => TimestampNTZType
+      case "binary" => BinaryType
+      case "uuid" => StringType
+      case t if t.startsWith("decimal") =>
+        val Array(p, s) = t.stripPrefix("decimal").stripPrefix("(").stripSuffix(")")
+          .split(',').map(_.trim.toInt)
+        DecimalType(p, s)
+      case other => throw new IllegalArgumentException(s"unsupported type: $other")
+    } else n.path("type").asText() match {
+      case "struct" => structFromIceberg(n)
+      case "list" =>
+        ArrayType(fromIcebergType(n.path("element")),
+          containsNull = !n.path("element-required").asBoolean(false))
+      case "map" =>
+        MapType(fromIcebergType(n.path("key")), fromIcebergType(n.path("value")),
+          valueContainsNull = !n.path("value-required").asBoolean(false))
+      case other => throw new IllegalArgumentException(s"unsupported type: $other")
+    }
+
+  private def structFromIceberg(n: JsonNode): StructType =
+    StructType(n.path("fields").elements().asScala.map { f =>
+      StructField(f.path("name").asText(), fromIcebergType(f.path("type")),
+        nullable = !f.path("required").asBoolean(false))
+    }.toSeq)
+
+  /** Spec schema object → Spark StructType. The catalog assigns its own
+    * authoritative field ids at create time (servers may reassign ids per
+    * the REST spec); the response carries the assigned ones.
+    */
+  def schemaFromIceberg(n: JsonNode): StructType = structFromIceberg(n)
+
+  // ---- partition spec / sort order --------------------------------------
+
+  private def sourceId(meta: TableMeta, column: String): Int = {
+    val idx = meta.schema.fieldNames.indexOf(column)
+    if (idx >= 0 && meta.fieldIds != null && idx < meta.fieldIds.length)
+      meta.fieldIds(idx)
+    else idx
+  }
+
+  def toIcebergSpec(meta: TableMeta): Map[String, Any] = Map(
+    "spec-id" -> 0,
+    "fields" -> meta.partitionSpec.zipWithIndex.map { case (f, i) =>
+      Map("name" -> f.name,
+        "transform" -> toIcebergTransform(f.transform),
+        "source-id" -> sourceId(meta, f.column),
+        "field-id" -> (1000 + i)) // spec: partition field ids start at 1000
+    })
+
+  def toIcebergSortOrder(meta: TableMeta): Map[String, Any] = Map(
+    "order-id" -> (if (meta.sortOrder.isEmpty) 0 else 1),
+    "fields" -> meta.sortOrder.map(f => Map(
+      "transform" -> "identity",
+      "source-id" -> sourceId(meta, f.column),
+      "direction" -> (if (f.desc) "desc" else "asc"),
+      "null-order" -> (if (f.nullsFirst) "nulls-first" else "nulls-last"))))
+
+  // ---- table metadata (LoadTableResponse body) ---------------------------
+
+  /** The spec TableMetadata object: format-version 2, the full schema log
+    * with ids, partition specs, sort orders, snapshots with sequence
+    * numbers and summaries, snapshot-log. Counts in snapshot summaries are
+    * PHYSICAL (pre-merge) manifest counts; pending equality-delete debt is
+    * reported beside them (total-delete-files / total-delete-records, the
+    * spec's names for the same idea).
+    */
+  def tableMetadata(
+      meta: TableMeta, tableUuid: String, location: String,
+      snapshotFor: Long => Option[Snapshot]): Map[String, Any] = {
+    val schemas = Option(meta.schemaLog).getOrElse(Seq.empty).zipWithIndex.map {
+      case (sv, i) =>
+        toIcebergSchema(
+          org.apache.spark.sql.types.DataType.fromJson(sv.schemaJson)
+            .asInstanceOf[StructType],
+          sv.fieldIds, i, meta.lastFieldId)
+    } match {
+      case Seq() => Seq(toIcebergSchema(meta.schema,
+        Option(meta.fieldIds).getOrElse(meta.schema.fields.indices.toSeq), 0,
+        meta.lastFieldId))
+      case s => s
+    }
+    val currentSchemaId = schemas.length - 1
+    val seqOf: Snapshot => Long = s =>
+      meta.snapshots.indexWhere(_.id == s.id).toLong + 1
+    Map(
+      "format-version" -> 2,
+      "table-uuid" -> tableUuid,
+      "location" -> location,
+      "last-sequence-number" -> meta.snapshots.length.toLong,
+      "last-updated-ms" ->
+        meta.snapshots.lastOption.map(_.timestampMs).getOrElse(0L),
+      "last-column-id" -> meta.lastFieldId,
+      "current-schema-id" -> currentSchemaId,
+      "schemas" -> schemas,
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(toIcebergSpec(meta)),
+      "last-partition-id" -> (999 + meta.partitionSpec.length),
+      "default-sort-order-id" -> (if (meta.sortOrder.isEmpty) 0 else 1),
+      "sort-orders" -> Seq(toIcebergSortOrder(meta)),
+      "properties" -> Option(meta.properties).getOrElse(Map.empty),
+      "current-snapshot-id" -> meta.currentSnapshotId,
+      "snapshots" -> meta.snapshots.map { s =>
+        val dels = Option(s.deletes).getOrElse(Seq.empty)
+        val base = Map(
+          "snapshot-id" -> s.id,
+          "sequence-number" -> seqOf(s),
+          "timestamp-ms" -> s.timestampMs,
+          "manifest-list" -> Option(s.manifestList).getOrElse(""),
+          "schema-id" -> currentSchemaId,
+          "summary" -> Map(
+            "operation" -> (s.operation match {
+              // spec vocabulary: append / replace / overwrite / delete
+              case "append" | "overwrite" | "delete" | "replace" => s.operation
+              case "rollback" => "replace"
+              case _ => "overwrite" // mor-upsert, mor-delete, merge…
+            }),
+            "graft-operation" -> s.operation,
+            "total-data-files" ->
+              Option(s.files).map(_.length).getOrElse(0).toString,
+            "total-records" ->
+              Option(s.files).map(_.map(_.rowCount).sum).getOrElse(0L).toString,
+            "total-delete-files" -> dels.length.toString,
+            "total-equality-deletes" -> dels.map(_.rowCount).sum.toString))
+        if (s.parentId >= 0) base + ("parent-snapshot-id" -> s.parentId) else base
+      },
+      "snapshot-log" -> meta.snapshots.map(s =>
+        Map("snapshot-id" -> s.id, "timestamp-ms" -> s.timestampMs)),
+      "metadata-log" -> Seq.empty)
+  }
+}

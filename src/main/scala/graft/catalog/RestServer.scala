@@ -19,6 +19,7 @@ import graft.catalog.IceCatalog._
   * re-expressed over the Spark-native commit protocol. Routes follow the
   * Iceberg REST layout so the wire surface is familiar:
   *
+  *   POST   /v1/oauth/tokens                   client-credentials grant
   *   GET    /v1/config
   *   GET    /v1/namespaces                     list
   *   POST   /v1/namespaces                     create {"namespace":["ns"]}
@@ -49,9 +50,13 @@ import graft.catalog.IceCatalog._
 object RestServer {
 
   /** One bearer credential (config/Config.Token semantics): `readOnly`
-    * restricts the session to GET/HEAD.
+    * restricts the session to GET/HEAD. `clientId`/`clientSecret`, when
+    * set, let the `/v1/oauth/tokens` client-credentials grant exchange
+    * that pair for this bearer token (RESTCatalogAdapter.java:382-400).
     */
-  case class Token(value: String, name: String = "", readOnly: Boolean = false)
+  case class Token(
+      value: String, name: String = "", readOnly: Boolean = false,
+      clientId: String = "", clientSecret: String = "")
 
   private case class Session(name: String, readOnly: Boolean)
 
@@ -113,6 +118,12 @@ object RestServer {
           }
           return
         }
+        // the token endpoint is, by construction, PRE-auth (clients call it
+        // to obtain the bearer they will authenticate with)
+        if (method == "POST" && ex.getRequestURI.getPath == "/v1/oauth/tokens") {
+          handleOAuth(ex)
+          return
+        }
         authenticate(ex) match {
           case None =>
             sendError(ex, 401, "NotAuthorizedException", "Unauthorized")
@@ -123,7 +134,12 @@ object RestServer {
         }
       } catch {
         case e: NoSuchElementException =>
-          sendError(ex, 404, "NoSuchObjectException", e.getMessage)
+          // spec error types, so clients map 404s to the right exception
+          val tpe =
+            if (Option(e.getMessage).exists(_.contains("namespace")))
+              "NoSuchNamespaceException"
+            else "NoSuchTableException"
+          sendError(ex, 404, tpe, e.getMessage)
         case e: java.util.ConcurrentModificationException =>
           // a basedOn requirement failed INSIDE the lease-locked commit
           sendError(ex, 409, "CommitFailedException", e.getMessage)
@@ -136,10 +152,72 @@ object RestServer {
           sendError(ex, 500, "InternalServerError", e.toString)
       } finally ex.close()
 
+    /** `/v1/oauth/tokens` client-credentials grant (the OAuth2 stub the
+      * Iceberg REST spec carries and RESTCatalogAdapter.java:382-400
+      * implements): a form-encoded or JSON body with
+      * `grant_type=client_credentials` plus client id/secret exchanges a
+      * CONFIGURED credential pair for its bearer token. Unlike the
+      * reference's echo-the-client-id fixture, unknown credentials are
+      * refused — the minted token must pass this server's own auth.
+      */
+    private def handleOAuth(ex: HttpExchange): Unit = {
+      val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val params: Map[String, String] =
+        if (raw.trim.startsWith("{")) {
+          val n = mapper.readTree(raw)
+          n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        } else raw.split('&').filter(_.contains('=')).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      if (params.getOrElse("grant_type", "") != "client_credentials") {
+        // spec OAuth error body, not the catalog error envelope
+        sendJson(ex, 400, Map("error" -> "unsupported_grant_type",
+          "error_description" ->
+            s"unsupported grant_type: ${params.getOrElse("grant_type", "(none)")}"))
+        return
+      }
+      val id = params.getOrElse("client_id", "")
+      val secret = params.getOrElse("client_secret", "")
+      tokens.find(t => t.clientId.nonEmpty && t.clientId == id &&
+          java.security.MessageDigest.isEqual(
+            t.clientSecret.getBytes(StandardCharsets.UTF_8),
+            secret.getBytes(StandardCharsets.UTF_8))) match {
+        case Some(t) =>
+          sendJson(ex, 200, Map(
+            "access_token" -> t.value,
+            "token_type" -> "bearer",
+            "expires_in" -> 3600,
+            "issued_token_type" -> "urn:ietf:params:oauth:token-type:access_token"))
+        case None =>
+          sendJson(ex, 401, Map("error" -> "invalid_client",
+            "error_description" -> "unknown client credentials"))
+      }
+    }
+
     private def route(ex: HttpExchange, method: String, path: List[String]): Unit =
       (method, path) match {
         case ("GET", List("v1", "config")) =>
-          sendJson(ex, 200, Map("defaults" -> Map.empty, "overrides" -> Map.empty))
+          // ConfigResponse with the endpoint list (newer REST spec), so
+          // clients can discover which routes this server implements
+          val eps = Seq(
+            "POST /v1/oauth/tokens",
+            "GET /v1/namespaces", "POST /v1/namespaces",
+            "GET /v1/namespaces/{namespace}", "HEAD /v1/namespaces/{namespace}",
+            "DELETE /v1/namespaces/{namespace}",
+            "GET /v1/namespaces/{namespace}/tables",
+            "POST /v1/namespaces/{namespace}/tables",
+            "GET /v1/namespaces/{namespace}/tables/{table}",
+            "HEAD /v1/namespaces/{namespace}/tables/{table}",
+            "DELETE /v1/namespaces/{namespace}/tables/{table}",
+            "POST /v1/namespaces/{namespace}/tables/{table}",
+            "POST /v1/namespaces/{namespace}/tables/{table}/metrics",
+            "POST /v1/tables/rename",
+            "POST /v1/transactions/commit")
+          sendJson(ex, 200, Map(
+            "defaults" -> Map.empty, "overrides" -> Map.empty,
+            "endpoints" -> eps))
 
         case ("GET", List("metrics")) =>
           // Prometheus text exposition (PrometheusMetricsReporter.java):
@@ -180,13 +258,7 @@ object RestServer {
           requireNs(ns)
           val req = body(ex)
           val name = str(req, "name")
-          val schema = parseSchema(str(req, "schema"))
-          val pspec = arr(req, "partition-spec").map(f =>
-            PartitionField(text(f, "column"), textOr(f, "transform", "identity"),
-              textOr(f, "name", text(f, "column"))))
-          val sort = arr(req, "sort-order").map(f =>
-            SortField(text(f, "column"), f.path("desc").asBoolean(false)))
-          cat.createTable(s"$ns.$name", schema, pspec, sort)
+          createFromRequest(s"$ns.$name", req)
           sendJson(ex, 200, tableResponse(s"$ns.$name"))
 
         case ("HEAD", List("v1", "namespaces", ns, "tables", t)) =>
@@ -242,6 +314,56 @@ object RestServer {
           sendError(ex, 404, "NoSuchRouteException", s"$method /${path.mkString("/")}")
       }
 
+    // ---- create-table request parsing ------------------------------------
+
+    /** Spec CreateTableRequest (Iceberg schema object, partition-spec with
+      * source-ids, write-order) OR the legacy compact form (Spark DDL/JSON
+      * schema string, column-named spec fields). Field ids in a spec
+      * request resolve source-ids to columns; the catalog then assigns its
+      * own authoritative ids (the REST spec allows servers to reassign).
+      */
+    private def createFromRequest(ident: String, req: JsonNode): Unit = {
+      val schemaNode = req.path("schema")
+      if (schemaNode.isObject) {
+        val schema = IcebergJson.schemaFromIceberg(schemaNode)
+        // request-side id → column name, for source-id resolution
+        val idToCol: Map[Int, String] =
+          schemaNode.path("fields").elements().asScala.zipWithIndex.map {
+            case (f, i) => f.path("id").asInt(i + 1) -> f.path("name").asText()
+          }.toMap
+        def colOf(n: JsonNode): String = {
+          val sid = n.path("source-id").asInt(-1)
+          idToCol.getOrElse(sid, throw new IllegalArgumentException(
+            s"unknown source-id $sid"))
+        }
+        val pspec = req.path("partition-spec").path("fields")
+          .elements().asScala.map { f =>
+            val c = colOf(f)
+            PartitionField(c, textOr(f, "transform", "identity"),
+              textOr(f, "name", c))
+          }.toSeq
+        val sort = req.path("write-order").path("fields")
+          .elements().asScala.map { f =>
+            SortField(colOf(f),
+              desc = textOr(f, "direction", "asc") == "desc",
+              nullsFirst = textOr(f, "null-order", "nulls-last") == "nulls-first")
+          }.toSeq
+        cat.createTable(ident, schema, pspec, sort)
+        val props = req.path("properties")
+        if (props.isObject && props.size() > 0)
+          cat.commit(ident, m => m.copy(properties = m.properties ++
+            props.properties().asScala.map(e => e.getKey -> e.getValue.asText())))
+      } else {
+        val schema = parseSchema(str(req, "schema"))
+        val pspec = arr(req, "partition-spec").map(f =>
+          PartitionField(text(f, "column"), textOr(f, "transform", "identity"),
+            textOr(f, "name", text(f, "column"))))
+        val sort = arr(req, "sort-order").map(f =>
+          SortField(text(f, "column"), f.path("desc").asBoolean(false)))
+        cat.createTable(ident, schema, pspec, sort)
+      }
+    }
+
     // ---- commit handling -------------------------------------------------
 
     /** Single-table commit — ONE catalog commit, with the requirement
@@ -254,7 +376,7 @@ object RestServer {
       * atomic commit, and a mixed request could half-apply.
       */
     private def commitTable(ident: String, req: JsonNode): Unit = {
-      val basedOn = requiredSnapshot(req)
+      val basedOn = requiredSnapshot(ident, req)
       val us = arr(req, "updates")
       // rollback is its own whole commit (it adopts a past snapshot's
       // segments by reference) and carries its own superseded-snapshot
@@ -270,11 +392,12 @@ object RestServer {
         case _ => ()
       }
       val (appends, rest) = us.partition(u => textOr(u, "action", "") == "append-files")
-      val (propSets, unknown) = rest.partition(u => textOr(u, "action", "") == "set-properties")
+      val (propOps, unknown) = rest.partition(u =>
+        Set("set-properties", "remove-properties")(textOr(u, "action", "")))
       unknown.foreach(u => throw new IllegalArgumentException(
         s"unsupported update action: ${textOr(u, "action", "(none)")}"))
-      require(appends.isEmpty || propSets.isEmpty,
-        "append-files and set-properties cannot mix in one commit " +
+      require(appends.isEmpty || propOps.isEmpty,
+        "append-files and property updates cannot mix in one commit " +
           "(each is one atomic commit; a mixed request could half-apply)")
       if (appends.nonEmpty) {
         val paths = appends.flatMap(_.path("paths").elements().asScala.map(_.asText()))
@@ -284,17 +407,25 @@ object RestServer {
             appends.exists(_.path("force-outside-location").asBoolean(false)),
           basedOn = basedOn)
       }
-      if (propSets.nonEmpty) {
-        val props = propSets.flatMap { u =>
-          val p = u.path("properties")
-          require(p.isObject, "set-properties needs properties")
-          p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
-        }.toMap
-        cat.commit(ident, m => m.copy(properties = m.properties ++ props), basedOn)
+      if (propOps.nonEmpty) {
+        // spec set-properties carries the map under "updates"
+        // (UpdateTableRequest); the legacy compact form used "properties" —
+        // both accepted. remove-properties lists keys under "removals".
+        val sets = propOps.filter(u => textOr(u, "action", "") == "set-properties")
+          .flatMap { u =>
+            val p = if (u.path("updates").isObject) u.path("updates")
+              else u.path("properties")
+            require(p.isObject, "set-properties needs updates/properties")
+            p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
+          }.toMap
+        val removals = propOps.filter(u => textOr(u, "action", "") == "remove-properties")
+          .flatMap(_.path("removals").elements().asScala.map(_.asText()))
+        cat.commit(ident,
+          m => m.copy(properties = m.properties ++ sets -- removals), basedOn)
       }
       // a requirement with nothing to commit is still a contract: evaluate
       // it against the live snapshot so a stale client hears 409, not 200
-      if (appends.isEmpty && propSets.isEmpty) basedOn.foreach { id =>
+      if (appends.isEmpty && propOps.isEmpty) basedOn.foreach { id =>
         val cur = cat.loadMeta(ident).currentSnapshotId
         if (cur != id) throw new java.util.ConcurrentModificationException(
           s"requirement failed: $ident current snapshot $cur != $id")
@@ -311,7 +442,7 @@ object RestServer {
       val ops: Seq[(String, TableMeta => TableMeta)] = changes.map { ch =>
         val ident = text(ch, "identifier")
         requireTable(ident)
-        val basedOn = requiredSnapshot(ch)
+        val basedOn = requiredSnapshot(ident, ch)
         val props: Map[String, String] = arr(ch, "updates").flatMap { u =>
           textOr(u, "action", "") match {
             case "set-properties" =>
@@ -335,48 +466,47 @@ object RestServer {
       cat.commitGroup(ops)
     }
 
-    /** `assert-current-snapshot-id` requirement → the `basedOn` snapshot id
-      * the catalog enforces ATOMICALLY inside its lease-locked commit
-      * (UpdateTableRequest requirement semantics; 409 on mismatch).
+    /** UpdateTableRequest requirements. `assert-current-snapshot-id`
+      * becomes the `basedOn` snapshot id the catalog enforces ATOMICALLY
+      * inside its lease-locked commit; `assert-table-uuid` is verified
+      * here (a table's uuid cannot change mid-commit, so check-then-commit
+      * is race-free for it). Both 409 on mismatch per the spec.
       */
-    private def requiredSnapshot(req: JsonNode): Option[Long] = {
+    private def requiredSnapshot(ident: String, req: JsonNode): Option[Long] = {
       val reqs = arr(req, "requirements")
       reqs.foreach { r =>
         text(r, "type") match {
           case "assert-current-snapshot-id" => ()
+          case "assert-table-uuid" =>
+            val want = r.path("uuid").asText("")
+            val have = cat.tableUuid(ident)
+            if (want != have) throw new java.util.ConcurrentModificationException(
+              s"requirement failed: $ident uuid $have != $want")
           case other =>
             throw new IllegalArgumentException(s"unsupported requirement: $other")
         }
       }
-      reqs.map(_.path("snapshot-id").asLong()).lastOption
+      reqs.filter(r => text(r, "type") == "assert-current-snapshot-id")
+        .map(_.path("snapshot-id").asLong()).lastOption
     }
 
     // ---- responses -------------------------------------------------------
 
-    /** LoadTableResponse shape: metadata summary, not raw internals. */
+    /** Spec LoadTableResponse: `metadata-location` (the published version
+      * file), the full Iceberg-format `metadata` object (schemas with
+      * field ids, partition-specs, sort-orders, snapshots with sequence
+      * numbers and summaries — see [[IcebergJson.tableMetadata]]), and an
+      * empty `config`. This is the shape a stock Iceberg REST client
+      * parses; the reference serves it via the SDK's LoadTableResponse
+      * (RESTCatalogAdapter.java:96-210).
+      */
     private def tableResponse(ident: String): Map[String, Any] = {
       val m = cat.loadMeta(ident)
       Map(
-        "metadata" -> Map(
-          "table" -> m.name,
-          "schema" -> m.schema.json,
-          "partition-spec" -> m.partitionSpec.map(f =>
-            Map("column" -> f.column, "transform" -> f.transform, "name" -> f.name)),
-          "sort-order" -> m.sortOrder.map(f =>
-            Map("column" -> f.column, "desc" -> f.desc)),
-          "properties" -> m.properties,
-          "current-snapshot-id" -> m.currentSnapshotId,
-          "snapshots" -> m.snapshots.map(s => Map(
-            "snapshot-id" -> s.id,
-            "parent-snapshot-id" -> s.parentId,
-            "timestamp-ms" -> s.timestampMs,
-            "operation" -> s.operation,
-            "file-count" -> Option(s.files).map(_.length).getOrElse(0),
-            // physical (pre-merge) count; pending MOR debt reported beside it
-            "row-count" -> Option(s.files).map(_.map(_.rowCount).sum).getOrElse(0L),
-            "delete-file-count" -> Option(s.deletes).map(_.length).getOrElse(0),
-            "delete-row-count" ->
-              Option(s.deletes).map(_.map(_.rowCount).sum).getOrElse(0L)))))
+        "metadata-location" -> cat.metadataLocation(ident),
+        "metadata" -> IcebergJson.tableMetadata(
+          m, cat.tableUuid(ident), cat.tableLocation(ident), m.snapshot),
+        "config" -> Map.empty)
     }
 
     // ---- plumbing --------------------------------------------------------

@@ -1,0 +1,280 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{IceCatalog, RestServer}
+import graft.catalog.RestServer.Token
+
+/** Iceberg REST WIRE conformance — golden spec-payload fixtures (the
+  * Iceberg SDK is not available offline, so this drives the exact JSON a
+  * stock RESTCatalog client sends and asserts the exact shapes it parses):
+  * the OAuth client-credentials grant, spec CreateTableRequest (Iceberg
+  * schema JSON with field ids, partition-spec with source-ids, write-order),
+  * spec LoadTableResponse (metadata-location + full TableMetadata with
+  * schemas/specs/snapshots/summaries), UpdateTableRequest property actions
+  * under their spec keys, assert-table-uuid, spec error types, and the
+  * nested-type round trip. Mirrors what the reference serves through the
+  * SDK (RESTCatalogAdapter.java:96-210, :382-400).
+  */
+class RestConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-rest-conf", cpus = 4)
+  lazy val root: String = Files.createTempDirectory("confcat").toString
+  lazy val cat = new IceCatalog(spark, root)
+  lazy val server = new RestServer.Server(cat,
+    tokens = Seq(
+      Token("conf-bearer", "svc", clientId = "svc-id", clientSecret = "svc-secret"))
+  ).start()
+
+  private val client = HttpClient.newHttpClient()
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def afterAll(): Unit = {
+    server.stop()
+    spark.stop()
+  }
+
+  private def req(
+      method: String, path: String, body: String = null,
+      token: String = "conf-bearer",
+      contentType: String = "application/json"): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"${server.url}$path"))
+      .header("Content-Type", contentType)
+    if (token != null) b.header("Authorization", s"Bearer $token")
+    val withBody = method match {
+      case "GET" => b.GET()
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case "DELETE" => b.DELETE()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(
+        Option(body).getOrElse("{}")))
+    }
+    client.send(withBody.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def json(r: HttpResponse[String]) = om.readTree(r.body)
+
+  test("oauth client-credentials grant mints the configured bearer") {
+    // form-encoded, exactly what the SDK's OAuth2Util posts
+    val ok = req("POST", "/v1/oauth/tokens",
+      "grant_type=client_credentials&client_id=svc-id&client_secret=svc-secret",
+      token = null, contentType = "application/x-www-form-urlencoded")
+    assert(ok.statusCode() == 200)
+    val tok = json(ok)
+    assert(tok.path("access_token").asText() == "conf-bearer")
+    assert(tok.path("token_type").asText().equalsIgnoreCase("bearer"))
+    assert(tok.path("expires_in").asInt() > 0)
+    // the minted token authenticates
+    assert(req("GET", "/v1/config", token = tok.path("access_token").asText())
+      .statusCode() == 200)
+    // unknown client → OAuth error body, 401
+    val bad = req("POST", "/v1/oauth/tokens",
+      "grant_type=client_credentials&client_id=svc-id&client_secret=wrong",
+      token = null, contentType = "application/x-www-form-urlencoded")
+    assert(bad.statusCode() == 401)
+    assert(json(bad).path("error").asText() == "invalid_client")
+    // unsupported grant
+    val grant = req("POST", "/v1/oauth/tokens",
+      "grant_type=password&username=u", token = null,
+      contentType = "application/x-www-form-urlencoded")
+    assert(grant.statusCode() == 400)
+    assert(json(grant).path("error").asText() == "unsupported_grant_type")
+  }
+
+  test("spec CreateTableRequest → spec LoadTableResponse, golden-checked") {
+    req("POST", "/v1/namespaces", """{"namespace":["conf"]}""")
+    val create = req("POST", "/v1/namespaces/conf/tables",
+      """{
+        |  "name": "events",
+        |  "schema": {
+        |    "type": "struct", "schema-id": 0,
+        |    "fields": [
+        |      {"id": 1, "name": "event_id", "required": true, "type": "long"},
+        |      {"id": 2, "name": "ts", "required": false, "type": "timestamptz"},
+        |      {"id": 3, "name": "kind", "required": false, "type": "string"},
+        |      {"id": 4, "name": "score", "required": false, "type": "double"}
+        |    ]
+        |  },
+        |  "partition-spec": {
+        |    "spec-id": 0,
+        |    "fields": [
+        |      {"name": "kind_bucket", "transform": "bucket[4]", "source-id": 3, "field-id": 1000}
+        |    ]
+        |  },
+        |  "write-order": {
+        |    "order-id": 1,
+        |    "fields": [
+        |      {"transform": "identity", "source-id": 1, "direction": "desc", "null-order": "nulls-last"}
+        |    ]
+        |  },
+        |  "properties": {"owner": "conformance"}
+        |}""".stripMargin)
+    assert(create.statusCode() == 200, create.body())
+    val resp = json(create)
+
+    // metadata-location points at the PUBLISHED version file
+    val loc = resp.path("metadata-location").asText()
+    assert(loc.endsWith(".json") && loc.contains("/metadata/v"), loc)
+
+    val md = resp.path("metadata")
+    assert(md.path("format-version").asInt() == 2)
+    assert(md.path("table-uuid").asText().matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(md.path("location").asText().nonEmpty)
+    assert(md.path("current-snapshot-id").asLong() == -1L)
+
+    // schema: struct with per-field ids, required flags, spec type names
+    val schema = md.path("schemas").get(md.path("current-schema-id").asInt())
+    assert(schema.path("type").asText() == "struct")
+    val fields = schema.path("fields").elements().asScala.toSeq
+    assert(fields.map(_.path("name").asText()) ==
+      Seq("event_id", "ts", "kind", "score"))
+    assert(fields.map(_.path("type").asText()) ==
+      Seq("long", "timestamptz", "string", "double"))
+    assert(fields.head.path("required").asBoolean())
+    assert(fields.map(_.path("id").asInt()).distinct.length == 4,
+      "field ids must be distinct")
+
+    // partition spec: transform string + resolved source-id + 1000-base id
+    val pf = md.path("partition-specs").get(0).path("fields").get(0)
+    assert(pf.path("transform").asText() == "bucket[4]")
+    assert(pf.path("name").asText() == "kind_bucket")
+    assert(pf.path("field-id").asInt() == 1000)
+    val kindId = fields.find(_.path("name").asText() == "kind").get.path("id").asInt()
+    assert(pf.path("source-id").asInt() == kindId)
+
+    // sort order
+    val so = md.path("sort-orders").get(0)
+    assert(so.path("order-id").asInt() == 1)
+    val sf = so.path("fields").get(0)
+    assert(sf.path("direction").asText() == "desc" &&
+      sf.path("null-order").asText() == "nulls-last" &&
+      sf.path("transform").asText() == "identity")
+
+    assert(md.path("properties").path("owner").asText() == "conformance")
+  }
+
+  test("snapshots serialize with sequence numbers and spec summaries") {
+    import spark.implicits._
+    req("POST", "/v1/namespaces/conf/tables",
+      """{"name":"plain","schema":{"type":"struct","fields":[
+        |  {"id":1,"name":"id","required":false,"type":"long"},
+        |  {"id":2,"name":"v","required":false,"type":"string"}]}}""".stripMargin)
+    val staging = Files.createTempDirectory("conf-staging")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$staging/b1")
+    val file = Files.list(java.nio.file.Paths.get(s"$staging/b1"))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    val commit = req("POST", "/v1/namespaces/conf/tables/plain",
+      s"""{"updates":[{"action":"append-files","paths":["$file"],
+          | "force-outside-location":true}]}""".stripMargin)
+    assert(commit.statusCode() == 200, commit.body())
+    val md = json(commit).path("metadata")
+    val snap = md.path("snapshots").get(0)
+    assert(snap.path("snapshot-id").asLong() == md.path("current-snapshot-id").asLong())
+    assert(snap.path("sequence-number").asLong() == 1L)
+    assert(snap.path("timestamp-ms").asLong() > 0L)
+    assert(snap.path("summary").path("operation").asText() == "append")
+    assert(snap.path("summary").path("total-records").asText() == "3")
+    assert(snap.path("manifest-list").asText().nonEmpty)
+    assert(md.path("last-sequence-number").asLong() == 1L)
+    val log = md.path("snapshot-log").get(0)
+    assert(log.path("snapshot-id").asLong() == snap.path("snapshot-id").asLong())
+  }
+
+  test("UpdateTableRequest property actions use spec keys; uuid requirement checks") {
+    // set-properties carries the map under "updates" (the spec key)
+    val set = req("POST", "/v1/namespaces/conf/tables/plain",
+      """{"updates":[{"action":"set-properties","updates":{"a":"1","b":"2"}}]}""")
+    assert(set.statusCode() == 200, set.body())
+    assert(json(set).path("metadata").path("properties").path("a").asText() == "1")
+    // remove-properties
+    val rm = req("POST", "/v1/namespaces/conf/tables/plain",
+      """{"updates":[{"action":"remove-properties","removals":["a"]}]}""")
+    assert(rm.statusCode() == 200)
+    assert(json(rm).path("metadata").path("properties").path("a").isMissingNode)
+    assert(json(rm).path("metadata").path("properties").path("b").asText() == "2")
+    // assert-table-uuid: wrong uuid → 409, right one → 200
+    val uuid = cat.tableUuid("conf.plain")
+    val badUuid = req("POST", "/v1/namespaces/conf/tables/plain",
+      """{"requirements":[{"type":"assert-table-uuid","uuid":"00000000-0000-0000-0000-000000000000"}],
+        | "updates":[{"action":"set-properties","updates":{"c":"3"}}]}""".stripMargin)
+    assert(badUuid.statusCode() == 409)
+    assert(json(badUuid).path("error").path("type").asText() == "CommitFailedException")
+    val okUuid = req("POST", "/v1/namespaces/conf/tables/plain",
+      s"""{"requirements":[{"type":"assert-table-uuid","uuid":"$uuid"}],
+         | "updates":[{"action":"set-properties","updates":{"c":"3"}}]}""".stripMargin)
+    assert(okUuid.statusCode() == 200, okUuid.body())
+  }
+
+  test("spec error envelopes and exception types") {
+    val noTable = req("GET", "/v1/namespaces/conf/tables/nope")
+    assert(noTable.statusCode() == 404)
+    val e1 = json(noTable).path("error")
+    assert(e1.path("type").asText() == "NoSuchTableException" &&
+      e1.path("code").asInt() == 404 && e1.path("message").asText().nonEmpty)
+    val noNs = req("GET", "/v1/namespaces/ghost/tables")
+    assert(json(noNs).path("error").path("type").asText() == "NoSuchNamespaceException")
+    val stale = req("POST", "/v1/namespaces/conf/tables/plain",
+      """{"requirements":[{"type":"assert-current-snapshot-id","snapshot-id":424242}],
+        | "updates":[{"action":"set-properties","updates":{"x":"y"}}]}""".stripMargin)
+    assert(stale.statusCode() == 409)
+    assert(json(stale).path("error").path("type").asText() == "CommitFailedException")
+  }
+
+  test("nested types (struct/list/map) round-trip through spec schema JSON") {
+    val create = req("POST", "/v1/namespaces/conf/tables",
+      """{"name":"nested","schema":{"type":"struct","fields":[
+        |  {"id":1,"name":"id","required":true,"type":"long"},
+        |  {"id":2,"name":"tags","required":false,"type":
+        |    {"type":"list","element-id":10,"element":"string","element-required":false}},
+        |  {"id":3,"name":"attrs","required":false,"type":
+        |    {"type":"map","key-id":11,"key":"string","value-id":12,"value":"double","value-required":false}},
+        |  {"id":4,"name":"loc","required":false,"type":
+        |    {"type":"struct","fields":[
+        |      {"id":13,"name":"lat","required":false,"type":"double"},
+        |      {"id":14,"name":"lon","required":false,"type":"double"}]}}
+        |]}}""".stripMargin)
+    assert(create.statusCode() == 200, create.body())
+    val fields = json(create).path("metadata").path("schemas").get(0)
+      .path("fields").elements().asScala.toSeq
+    assert(fields.map(_.path("name").asText()) == Seq("id", "tags", "attrs", "loc"))
+    val tags = fields(1).path("type")
+    assert(tags.path("type").asText() == "list" &&
+      tags.path("element").asText() == "string" &&
+      tags.path("element-id").isInt)
+    val attrs = fields(2).path("type")
+    assert(attrs.path("type").asText() == "map" &&
+      attrs.path("key").asText() == "string" &&
+      attrs.path("value").asText() == "double")
+    val loc = fields(3).path("type")
+    assert(loc.path("type").asText() == "struct" &&
+      loc.path("fields").size() == 2)
+    // nested ids are distinct from every top-level id
+    val topIds = fields.map(_.path("id").asInt()).toSet
+    val nestedIds = Seq(tags.path("element-id").asInt(),
+      attrs.path("key-id").asInt(), attrs.path("value-id").asInt()) ++
+      loc.path("fields").elements().asScala.map(_.path("id").asInt())
+    assert(nestedIds.toSet.intersect(topIds).isEmpty && nestedIds.distinct == nestedIds)
+    // and the Spark-side schema landed with the right nested types
+    val sparkSchema = cat.loadMeta("conf.nested").schema
+    assert(sparkSchema("tags").dataType.typeName == "array")
+    assert(sparkSchema("attrs").dataType.typeName == "map")
+    assert(sparkSchema("loc").dataType.typeName == "struct")
+  }
+
+  test("config response advertises the endpoint list") {
+    val cfg = json(req("GET", "/v1/config"))
+    assert(cfg.path("defaults").isObject && cfg.path("overrides").isObject)
+    val eps = cfg.path("endpoints").elements().asScala.map(_.asText()).toSeq
+    assert(eps.contains("POST /v1/oauth/tokens"))
+    assert(eps.exists(_.contains("/v1/namespaces/{namespace}/tables/{table}")))
+  }
+}

@@ -82,7 +82,9 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(commit.statusCode() == 200)
     val meta = json(commit).path("metadata")
     assert(meta.path("current-snapshot-id").asLong() == 1L)
-    assert(meta.path("snapshots").get(0).path("row-count").asLong() == 2L)
+    // spec snapshot shape: counts live in the summary map, as strings
+    assert(meta.path("snapshots").get(0)
+      .path("summary").path("total-records").asText() == "2")
     // the committed data is readable through the catalog scan path
     assert(cat.scan("web.hits").count() == 2)
   }

@@ -105,7 +105,9 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.setProperty("ev.p", "retention.hours", "168")
     cat.setProperty("ev.p", "owner", "ice")
     val props = cat.loadMeta("ev.p").properties
-    assert(props == Map("owner" -> "ice", "retention.hours" -> "168"))
+    // graft.uuid is the system-minted table identity (Iceberg table-uuid)
+    assert(props.contains("graft.uuid"))
+    assert(props - "graft.uuid" == Map("owner" -> "ice", "retention.hours" -> "168"))
   }
 
   test("drop partition field: spec evolves, old files keep their layout") {
@@ -286,7 +288,8 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(summary("schema-versions") == "2")
     assert(sec("schema").map(_._2).toSeq == Seq("0:id", "1:payload"))
     assert(sec("snapshots").length == 1)
-    assert(sec("properties").toSeq == Seq(("properties", "pipeline", "curation")))
+    assert(sec("properties").filterNot(_._2 == "graft.uuid").toSeq ==
+      Seq(("properties", "pipeline", "curation")))
   }
 
   test("no-copy addFiles enforces one partition value per file") {
