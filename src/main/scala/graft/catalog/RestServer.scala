@@ -78,7 +78,12 @@ object RestServer {
     http.createContext("/", (ex: HttpExchange) => handle(ex))
 
     def start(): Server = { http.start(); this }
-    def stop(): Unit = { http.stop(0); pool.shutdown() }
+    def stop(): Unit = { http.stop(0); pool.shutdown(); stopped.countDown() }
+
+    private val stopped = new java.util.concurrent.CountDownLatch(1)
+
+    /** Block until [[stop]] — the CLI `serve` foreground mode. */
+    def awaitForever(): Unit = stopped.await()
     def boundPort: Int = http.getAddress.getPort
     def url: String = s"http://127.0.0.1:$boundPort"
 

@@ -1,0 +1,226 @@
+package graft.tools
+
+import java.io.PrintStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.GraftSession
+import graft.catalog.{IceCatalog, Maintenance, RestServer}
+import graft.catalog.IceCatalog._
+
+/** `graft` — the shell entry point, mapping the reference CLI's command set
+  * (ice/src/main/java/com/altinity/ice/cli/Main.java:121-958: check,
+  * describe, files, describe-parquet, describe-metadata, create-table,
+  * insert, scan, list-partitions, delete-table, create-namespace,
+  * delete-namespace, list-namespaces, list-tables, delete — plus the REST
+  * server and catalog export/import from ice-rest-catalog) onto the
+  * catalog API. Thin by design: every command is one call into
+  * [[IceCatalog]] / [[Maintenance]] / [[RestServer]] plus printing.
+  *
+  * Usage:
+  *   graft --root /path/to/catalog <command> [args...]
+  *
+  *   check
+  *   create-namespace <ns>         list-namespaces
+  *   delete-namespace <ns>         list-tables <ns>
+  *   create-table <ns.t> --schema "id BIGINT, v STRING"
+  *                [--partition col:transform[:name]]... [--sort col[:desc]]...
+  *   insert <ns.t> <parquet-path>... [--no-copy] [--force-outside-location]
+  *                [--skip-duplicates]
+  *   scan <ns.t> [--limit N]       count <ns.t>
+  *   files <ns.t>                  list-partitions <ns.t>
+  *   describe <ns.t> | describe-metadata <ns.t>
+  *   describe-parquet <file.parquet>
+  *   set-property <ns.t> <key> <value>
+  *   delete <ns.t> --partition name=value [--dry-run]
+  *   delete-table <ns.t>
+  *   maintain <ns.t>
+  *   export [file]                 import <file>
+  *   serve [--port N] [--token value[:ro]]... [--allow-anonymous]
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate("graft-cli", cpus = 8)
+    val code =
+      try run(args.toSeq, spark, Console.out)
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Testable core: parses and executes one command, returns the exit
+    * code. `serve` returns the running server via `onServe` instead of
+    * blocking, so specs (and embedders) can drive it.
+    */
+  def run(
+      args: Seq[String], spark: SparkSession, out: PrintStream,
+      onServe: RestServer.Server => Unit = s => s.awaitForever()): Int =
+    try {
+      val (flags, pos) = parse(args)
+      val root = flags.getOrElse("root",
+        sys.env.getOrElse("GRAFT_CATALOG_ROOT",
+          fail("missing --root (or GRAFT_CATALOG_ROOT)")))
+      val cat = new IceCatalog(spark, root)
+      pos match {
+        case Seq("check") =>
+          cat.listNamespaces() // must not throw — reference cmd/Check.java
+          out.println("ok")
+
+        case Seq("create-namespace", ns) =>
+          cat.createNamespace(ns); out.println(s"created namespace $ns")
+        case Seq("delete-namespace", ns) =>
+          cat.dropNamespace(ns); out.println(s"deleted namespace $ns")
+        case Seq("list-namespaces") =>
+          cat.listNamespaces().foreach(out.println)
+        case Seq("list-tables", ns) =>
+          cat.listTables(ns).foreach(out.println)
+
+        case Seq("create-table", ident) =>
+          val schema = StructType.fromDDL(flags.getOrElse("schema",
+            fail("create-table needs --schema \"<DDL>\"")))
+          val pspec = flags.get("partition").toSeq.flatMap(_.split(',')).map { s =>
+            s.split(':') match {
+              case Array(c) => PartitionField(c, "identity", c)
+              case Array(c, t) => PartitionField(c, t, c)
+              case Array(c, t, n) => PartitionField(c, t, n)
+              case _ => fail(s"bad --partition: $s")
+            }
+          }
+          val sort = flags.get("sort").toSeq.flatMap(_.split(',')).map { s =>
+            s.split(':') match {
+              case Array(c) => SortField(c)
+              case Array(c, "desc") => SortField(c, desc = true)
+              case Array(c, "asc") => SortField(c)
+              case _ => fail(s"bad --sort: $s")
+            }
+          }
+          cat.createTable(ident, schema, pspec, sort)
+          out.println(s"created $ident")
+
+        case "insert" +: ident +: paths if paths.nonEmpty =>
+          val opts = InsertOptions(skipDuplicates = flags.contains("skip-duplicates"))
+          if (flags.contains("no-copy")) {
+            cat.addFiles(ident, paths,
+              forceOutsideLocation = flags.contains("force-outside-location"),
+              options = opts)
+            out.println(s"registered ${paths.length} file(s) into $ident (no-copy)")
+          } else {
+            val df = spark.read.parquet(paths: _*)
+            cat.insert(ident, df, opts)
+            out.println(s"inserted ${paths.length} path(s) into $ident")
+          }
+
+        case Seq("scan", ident) =>
+          val df = cat.scan(ident)
+          val limited = flags.get("limit").map(n => df.limit(n.toInt)).getOrElse(df)
+          printDf(out, limited)
+        case Seq("count", ident) =>
+          out.println(cat.countRows(ident))
+
+        case Seq("files", ident) =>
+          // reference `ice files`: path + rows + bytes per current file
+          cat.files(ident).foreach(f =>
+            out.println(s"${f.path}\t${f.rowCount}\t${f.bytes}"))
+        case Seq("list-partitions", ident) =>
+          cat.listPartitions(ident).foreach { case (p, rows, fc) =>
+            val label = if (p.isEmpty) "(unpartitioned)"
+              else p.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/")
+            out.println(s"$label\t$rows\t$fc")
+          }
+
+        case Seq("describe", ident) => printDf(out, cat.describeMetadata(ident))
+        case Seq("describe-metadata", ident) =>
+          printDf(out, cat.describeMetadata(ident))
+        case Seq("describe-parquet", file) =>
+          printDf(out, graft.sources.ParquetMeta.rowGroups(spark, file))
+
+        case Seq("set-property", ident, k, v) =>
+          cat.setProperty(ident, k, v); out.println(s"set $k on $ident")
+
+        case Seq("delete", ident) =>
+          val filters = flags.get("partition").toSeq.flatMap(_.split(',')).map { s =>
+            s.split("=", 2) match {
+              case Array(k, v) => PartitionFilter(k, Op.Eq, Seq(v))
+              case _ => fail(s"bad --partition: $s (want name=value)")
+            }
+          }
+          if (filters.isEmpty) fail("delete needs --partition name=value")
+          val dropped = cat.delete(ident, filters, dryRun = flags.contains("dry-run"))
+          out.println(s"${if (flags.contains("dry-run")) "would drop" else "dropped"} " +
+            s"${dropped.length} file(s)")
+        case Seq("delete-table", ident) =>
+          cat.dropTable(ident); out.println(s"deleted $ident")
+
+        case Seq("maintain", ident) =>
+          new Maintenance.Runner(cat).runTable(ident).foreach(r =>
+            out.println(s"${r.job}\t${r.detail}${r.error.fold("")(e => s"\tERROR $e")}"))
+
+        case Seq("export") => out.println(cat.exportCatalog())
+        case Seq("export", file) =>
+          graft.catalog.LocalFileIO.writeString(
+            java.nio.file.Paths.get(file), cat.exportCatalog())
+          out.println(s"exported catalog to $file")
+        case Seq("import", file) =>
+          cat.importCatalog(graft.catalog.LocalFileIO.readString(
+            java.nio.file.Paths.get(file)))
+          out.println("imported")
+
+        case Seq("serve") =>
+          val tokens = flags.get("token").toSeq.flatMap(_.split(',')).map { t =>
+            t.split(':') match {
+              case Array(v) => RestServer.Token(v)
+              case Array(v, "ro") => RestServer.Token(v, readOnly = true)
+              case _ => fail(s"bad --token: $t")
+            }
+          }
+          val server = new RestServer.Server(cat,
+            port = flags.get("port").map(_.toInt).getOrElse(8181),
+            tokens = tokens,
+            allowAnonymous = flags.contains("allow-anonymous")).start()
+          out.println(s"serving Iceberg REST catalog at ${server.url}")
+          onServe(server)
+
+        case other =>
+          fail(s"unknown command: ${other.mkString(" ")}")
+      }
+      0
+    } catch {
+      case e: Exception =>
+        out.println(s"error: ${e.getMessage}")
+        1
+    }
+
+  /** `--key value` / `--flag` style options (repeatable keys join with
+    * ','), everything else positional, order preserved.
+    */
+  private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
+    val boolFlags = Set("no-copy", "force-outside-location", "skip-duplicates",
+      "dry-run", "allow-anonymous")
+    var flags = Map.empty[String, String]
+    val pos = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val k = a.stripPrefix("--")
+        if (boolFlags(k) || i + 1 >= args.length) { flags += k -> "true"; i += 1 }
+        else {
+          val v = args(i + 1)
+          flags += k -> flags.get(k).map(_ + "," + v).getOrElse(v)
+          i += 2
+        }
+      } else { pos += a; i += 1 }
+    }
+    (flags, pos.result())
+  }
+
+  private def printDf(out: PrintStream, df: DataFrame): Unit = {
+    out.println(df.columns.mkString("\t"))
+    df.collect().foreach(r =>
+      out.println(r.toSeq.map(v => if (v == null) "null" else v.toString)
+        .mkString("\t")))
+  }
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.Cli
+
+/** Drives the `graft` CLI end-to-end against a temp catalog — the
+  * reference's primary UX (`ice create-table` / `insert` / `scan` /
+  * `describe`, Main.java's command surface) exercised through the real
+  * command loop: parse → catalog call → printed output → exit code.
+  */
+class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-cli-test", cpus = 4)
+  lazy val root: String = Files.createTempDirectory("clicat").toString
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Run one command; returns (exit code, printed lines). */
+  private def cli(args: String*): (Int, Seq[String]) = {
+    val buf = new ByteArrayOutputStream()
+    val code = Cli.run(Seq("--root", root) ++ args, spark, new PrintStream(buf, true))
+    (code, buf.toString.linesIterator.toSeq)
+  }
+
+  test("check + namespace lifecycle") {
+    assert(cli("check") == (0, Seq("ok")))
+    assert(cli("create-namespace", "ns")._1 == 0)
+    assert(cli("list-namespaces") == (0, Seq("ns")))
+  }
+
+  test("create-table → insert → count/scan/files/describe round-trip") {
+    import spark.implicits._
+    val (c0, _) = cli("create-table", "ns.ev",
+      "--schema", "id BIGINT, kind STRING, score DOUBLE",
+      "--partition", "kind:identity:p_kind", "--sort", "id")
+    assert(c0 == 0)
+    assert(cli("list-tables", "ns") == (0, Seq("ev")))
+
+    val staging = Files.createTempDirectory("cli-staging")
+    Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, "a", 2.5))
+      .toDF("id", "kind", "score").coalesce(1)
+      .write.parquet(staging.resolve("b1").toString)
+    val (c1, out1) = cli("insert", "ns.ev", staging.resolve("b1").toString)
+    assert(c1 == 0 && out1.exists(_.contains("inserted")))
+
+    assert(cli("count", "ns.ev") == (0, Seq("3")))
+    val (c2, scan) = cli("scan", "ns.ev", "--limit", "2")
+    assert(c2 == 0 && scan.head.split('\t').toSeq == Seq("id", "kind", "score"))
+    assert(scan.length == 3) // header + 2 rows
+
+    val (c3, files) = cli("files", "ns.ev")
+    assert(c3 == 0 && files.nonEmpty &&
+      files.forall(_.split('\t').length == 3))
+
+    val (c4, parts) = cli("list-partitions", "ns.ev")
+    assert(c4 == 0 && parts.exists(_.startsWith("p_kind=a\t2")))
+
+    val (c5, desc) = cli("describe", "ns.ev")
+    assert(c5 == 0)
+    assert(desc.exists(l => l.contains("total-rows") && l.contains("3")))
+
+    // describe-parquet over one of the table's own files
+    val firstFile = files.head.split('\t')(0)
+    val (c6, dp) = cli("describe-parquet",
+      java.nio.file.Paths.get(new java.net.URI(firstFile)).toString)
+    assert(c6 == 0 && dp.length >= 2, dp.mkString("|"))
+  }
+
+  test("delete by partition, then delete-table") {
+    val (c1, out1) = cli("delete", "ns.ev", "--partition", "p_kind=b", "--dry-run")
+    assert(c1 == 0 && out1.exists(_.contains("would drop 1")))
+    val (c2, out2) = cli("delete", "ns.ev", "--partition", "p_kind=b")
+    assert(c2 == 0 && out2.exists(_.contains("dropped 1")))
+    assert(cli("count", "ns.ev") == (0, Seq("2")))
+    assert(cli("delete-table", "ns.ev")._1 == 0)
+    assert(cli("list-tables", "ns") == (0, Seq.empty))
+  }
+
+  test("export / import round-trip through files") {
+    import spark.implicits._
+    cli("create-table", "ns.t2", "--schema", "id BIGINT")
+    val blob = Files.createTempDirectory("cli-exp").resolve("cat.json").toString
+    assert(cli("export", blob)._1 == 0)
+    // wipe and re-import into a fresh root
+    val root2 = Files.createTempDirectory("clicat2").toString
+    val buf = new ByteArrayOutputStream()
+    assert(Cli.run(Seq("--root", root2, "import", blob),
+      spark, new PrintStream(buf, true)) == 0)
+    val buf2 = new ByteArrayOutputStream()
+    Cli.run(Seq("--root", root2, "list-tables", "ns"), spark,
+      new PrintStream(buf2, true))
+    assert(buf2.toString.trim == "t2")
+  }
+
+  test("serve starts a working REST endpoint") {
+    var served: graft.catalog.RestServer.Server = null
+    val (code, out) = {
+      val buf = new ByteArrayOutputStream()
+      val c = Cli.run(Seq("--root", root, "serve", "--port", "0",
+        "--token", "cli-tok"), spark, new PrintStream(buf, true),
+        onServe = s => served = s)
+      (c, buf.toString)
+    }
+    assert(code == 0 && served != null && out.contains("serving"))
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${served.url}/v1/namespaces"))
+          .header("Authorization", "Bearer cli-tok").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200 && resp.body().contains("ns"))
+    } finally served.stop()
+  }
+
+  test("errors: unknown command and missing args exit 1 with a message") {
+    val (c1, out1) = cli("frobnicate")
+    assert(c1 == 1 && out1.exists(_.startsWith("error:")))
+    val (c2, out2) = cli("create-table", "ns.bad")
+    assert(c2 == 1 && out2.exists(_.contains("--schema")))
+    val (c3, _) = cli("scan", "ns.nope")
+    assert(c3 == 1)
+  }
+}
