@@ -66,12 +66,84 @@ case class DotProduct(left: Expression, right: Expression)
   }
 }
 
+/** Negated dot products of one vector column against a WHOLE centroid
+  * matrix in a single codegen'd expression: `output[i] = -dot(v, c_i)`.
+  * The matrix rides as a codegen reference object (one copy per task
+  * binary, ~nlist×dims doubles), so the generated code is CONSTANT-size
+  * in the centroid count — the previous formulation unrolled nlist
+  * separate DotProduct-against-literal expressions, whose whole-stage
+  * code and compile time grew linearly with nlist and dominated query
+  * startup once the scale-aware nlist ≈ √n passed a few dozen cells.
+  * Elements must be non-null; each dot runs over min(len(v), dims).
+  */
+case class CentroidDists(child: Expression, matrix: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"centroid_dists requires array<double> input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](matrix.length)
+    var i = 0
+    while (i < matrix.length) {
+      val c = matrix(i)
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += v.getDouble(j) * c(j); j += 1 }
+      out(i) = -acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("centroidMatrix", matrix, "double[][]")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c")
+      s"""
+         |double[] $out = new double[$m.length];
+         |for (int $i = 0; $i < $m.length; $i++) {
+         |  double[] $c = $m[$i];
+         |  int $n = java.lang.Math.min($v.numElements(), $c.length);
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += $v.getDouble($j) * $c[$j];
+         |  }
+         |  $out[$i] = -$acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level vector math for embedding similarity at scale. */
 object VectorFunctions {
 
   /** Codegen'd dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** All-centroid negated dots as one constant-code-size expression. */
+  def centroidDists(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(CentroidDists(ColumnBridge.expression(v), centroids))
 
   /** Cast any numeric array to array<double>. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))

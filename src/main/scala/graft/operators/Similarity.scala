@@ -357,9 +357,14 @@ object Similarity {
       else (fp, trainCodebooks(data, vec, m, k, subDims)))._2
   }
 
-  /** -cosine distances to each centroid as an array column. */
+  /** -cosine distances to each centroid as an array column — ONE
+    * constant-code-size codegen'd expression ([[graft.functions.CentroidDists]]),
+    * not nlist unrolled dot-against-literal expressions: with the
+    * scale-aware nlist ≈ √n, unrolling made whole-stage code (and its
+    * compile time) grow linearly with the cell count.
+    */
   private def centroidDists(centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
-    array(centroids.toSeq.map(c => -dot(col("vn"), typedLit(c.toSeq))): _*)
+    graft.functions.VectorFunctions.centroidDists(col("vn"), centroids)
 
   /** Nearest-centroid id (0-based argmin; deterministic first-min tie)
     * over an arbitrary unit-vector column — the map-side cell assignment,
@@ -368,7 +373,7 @@ object Similarity {
     */
   private[graft] def argminAssignOf(
       v: Column, centroids: Array[Array[Double]]): Column = {
-    val d = array(centroids.toSeq.map(c => -dot(v, typedLit(c.toSeq))): _*)
+    val d = graft.functions.VectorFunctions.centroidDists(v, centroids)
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
@@ -478,11 +483,13 @@ object Similarity {
     val nl = resolveNlist(spark, dir, nlist)
     val e = cachedUnitVectors(spark, dir)
     val centroids = cachedCentroids(spark, dir, e, "all", nl, dims)
-    val centroidMat = typedLit(centroids.map(_.toSeq).toSeq)
-    val cell = argminAssign(centroids)
+    // csim (cosine to the OWN cell's centroid) falls out of the same
+    // dists array as the assignment: cell = argmin, csim = -min — one
+    // centroid pass per row, no second lookup against a literal matrix
+    val dists = centroidDists(centroids)
     val assigned = e
-      .withColumn("cell", cell)
-      .withColumn("csim", dot(col("vn"), element_at(centroidMat, col("cell") + 1)))
+      .withColumn("cell", (array_position(dists, array_min(dists)) - 1).cast("int"))
+      .withColumn("csim", -array_min(dists))
       .select(col("vec_id"), col("vn"), col("cell"), col("csim"))
     val a = assigned.as("a")
     val b = assigned.as("b")
