@@ -1,0 +1,194 @@
+package graft.catalog
+
+import java.nio.file.{DirectoryNotEmptyException, FileAlreadyExistsException, NoSuchFileException, Path}
+
+import scala.jdk.CollectionConverters._
+
+/** Key-value-store [[FileIO]] — the reference's etcd catalog backend
+  * (ice-rest-catalog docs/etcd-backend-schema.md, internal/etcd/)
+  * re-expressed on the storage seam: every metadata path becomes a key,
+  * the commit protocol's atomic create-new becomes `putIfAbsent` (an
+  * etcd `txn(create-revision == 0)`), rename becomes a delete+put
+  * transaction, and directory listings become range scans. The catalog's
+  * whole protocol — version publication, lease locks, grave-steal,
+  * incremental manifests — runs unchanged on these primitives, which is
+  * the point: a real etcd/DynamoDB client is a transport swap behind
+  * this class's method bodies, not a catalog rewrite.
+  *
+  * Deployment split this models (the reference's): the KV store carries
+  * the METADATA plane only; data files live in a shared object store and
+  * enter tables by no-copy registration (`addFiles`), so
+  * [[parquetFooter]] and data-file stats delegate to the real
+  * filesystem/object-store IO. Spark executors never touch the KV store.
+  *
+  * This in-memory implementation (ConcurrentHashMap standing in for the
+  * KV client) is also the multi-node test double: several [[IceCatalog]]
+  * instances sharing one KvFileIO behave like several REST servers
+  * sharing one etcd — see KvCatalogSpec.
+  */
+final class KvFileIO(metadataRoot: String) extends FileIO {
+
+  private case class Entry(bytes: Array[Byte], mtime: Long, dir: Boolean)
+
+  private val store = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  private val rootKey =
+    java.nio.file.Paths.get(metadataRoot).toAbsolutePath.normalize.toString
+
+  private def key(p: Path): String = p.toAbsolutePath.normalize.toString
+
+  /** Paths under the catalog root are KV keys; everything else (external
+    * no-copy data files, staging dirs) passes through to the real
+    * filesystem — the metadata/data plane split.
+    */
+  private def inKv(p: Path): Boolean = {
+    val k = key(p)
+    k == rootKey || k.startsWith(rootKey + "/")
+  }
+
+  private def now(): Long = System.currentTimeMillis()
+
+  /** All mutations that must be atomic across >1 key run under this lock
+    * — the stand-in for an etcd transaction.
+    */
+  private val txn = new Object
+
+  def exists(p: Path): Boolean =
+    if (!inKv(p)) LocalFileIO.exists(p) else store.containsKey(key(p))
+  def isDirectory(p: Path): Boolean =
+    if (!inKv(p)) LocalFileIO.isDirectory(p)
+    else Option(store.get(key(p))).exists(_.dir)
+  def isRegularFile(p: Path): Boolean =
+    if (!inKv(p)) LocalFileIO.isRegularFile(p)
+    else Option(store.get(key(p))).exists(!_.dir)
+
+  def createDirectories(p: Path): Unit = {
+    if (!inKv(p)) { LocalFileIO.createDirectories(p); return }
+    var k = p.toAbsolutePath.normalize
+    while (k != null) {
+      store.putIfAbsent(k.toString, Entry(null, now(), dir = true))
+      k = k.getParent
+    }
+  }
+
+  def list(p: Path): Seq[Path] = {
+    if (!inKv(p)) return LocalFileIO.list(p)
+    val parent = p.toAbsolutePath.normalize
+    store.keySet().asScala.toSeq
+      .map(java.nio.file.Paths.get(_))
+      .filter(k => Option(k.getParent).contains(parent))
+  }
+
+  def walk(p: Path): Seq[Path] = {
+    if (!inKv(p)) return LocalFileIO.walk(p)
+    val base = key(p)
+    if (!store.containsKey(base)) return Seq.empty
+    val prefix = base + "/"
+    // lexicographic order puts parents before children (etcd range scan)
+    java.nio.file.Paths.get(base) +:
+      store.keySet().asScala.toSeq.filter(_.startsWith(prefix)).sorted
+        .map(java.nio.file.Paths.get(_))
+  }
+
+  def readString(p: Path): String = {
+    if (!inKv(p)) return LocalFileIO.readString(p)
+    val e = store.get(key(p))
+    if (e == null || e.dir) throw new NoSuchFileException(key(p))
+    new String(e.bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def requireParentDir(p: Path): Unit = {
+    val parent = Option(p.toAbsolutePath.normalize.getParent)
+      .map(_.toString).getOrElse(throw new NoSuchFileException(key(p)))
+    val e = store.get(parent)
+    // a write into a vanished directory must fail (FileIO contract: the
+    // group-commit rollback path keys off it)
+    if (e == null || !e.dir) throw new NoSuchFileException(parent)
+  }
+
+  def writeString(p: Path, s: String): Unit = {
+    if (!inKv(p)) { LocalFileIO.writeString(p, s); return }
+    requireParentDir(p)
+    store.put(key(p),
+      Entry(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), now(), dir = false))
+  }
+
+  def writeStringIfAbsent(p: Path, s: String): Unit = {
+    if (!inKv(p)) { LocalFileIO.writeStringIfAbsent(p, s); return }
+    requireParentDir(p)
+    val prev = store.putIfAbsent(key(p),
+      Entry(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), now(), dir = false))
+    if (prev != null) throw new FileAlreadyExistsException(key(p))
+  }
+
+  def publishLink(target: Path, src: Path): Unit = {
+    if (!inKv(target)) { LocalFileIO.publishLink(target, src); return }
+    val e = store.get(key(src))
+    if (e == null || e.dir) throw new NoSuchFileException(key(src))
+    // putIfAbsent IS the atomic create-new publish (etcd create-revision
+    // txn): of N committers racing the same version key, exactly one wins
+    if (store.putIfAbsent(key(target), e.copy(mtime = now())) != null)
+      throw new FileAlreadyExistsException(key(target))
+  }
+
+  def move(from: Path, to: Path): Unit = txn.synchronized {
+    if (!inKv(from)) { LocalFileIO.move(from, to); return }
+    val fk = key(from)
+    val tk = key(to)
+    val e = store.get(fk)
+    if (e == null) throw new NoSuchFileException(fk)
+    if (e.dir) {
+      // directory rename = one transaction over the key range
+      val prefix = fk + "/"
+      val children = store.keySet().asScala.toSeq.filter(_.startsWith(prefix))
+      if (store.containsKey(tk)) throw new FileAlreadyExistsException(tk)
+      store.put(tk, e)
+      children.foreach { ck =>
+        store.put(tk + ck.stripPrefix(fk), store.get(ck))
+        store.remove(ck)
+      }
+      store.remove(fk)
+    } else {
+      if (store.putIfAbsent(tk, e) != null) throw new FileAlreadyExistsException(tk)
+      store.remove(fk)
+    }
+  }
+
+  def delete(p: Path): Unit =
+    if (!deleteIfExists(p)) throw new NoSuchFileException(key(p))
+
+  def deleteIfExists(p: Path): Boolean = txn.synchronized {
+    if (!inKv(p)) return LocalFileIO.deleteIfExists(p)
+    val k = key(p)
+    val e = store.get(k)
+    if (e == null) return false
+    if (e.dir && store.keySet().asScala.exists(_.startsWith(k + "/")))
+      throw new DirectoryNotEmptyException(k)
+    store.remove(k) != null
+  }
+
+  def size(p: Path): Long = {
+    if (!inKv(p)) return LocalFileIO.size(p)
+    val e = store.get(key(p))
+    if (e == null || e.dir) throw new NoSuchFileException(key(p))
+    e.bytes.length.toLong
+  }
+
+  def lastModifiedMillis(p: Path): Long = {
+    if (!inKv(p)) return LocalFileIO.lastModifiedMillis(p)
+    val e = store.get(key(p))
+    if (e == null) throw new NoSuchFileException(key(p))
+    e.mtime
+  }
+
+  /** Data files are NOT in the KV store (metadata plane only): footer
+    * reads go to the real filesystem/object store the data lives on.
+    */
+  def parquetFooter(
+      p: Path,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.parquet.hadoop.metadata.ParquetMetadata =
+    LocalFileIO.parquetFooter(p, conf)
+
+  /** Test/observability hook: number of keys currently stored. */
+  def keyCount: Int = store.size()
+}

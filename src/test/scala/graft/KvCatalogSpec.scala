@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{IceCatalog, KvFileIO, LocalFileIO}
+
+/** The etcd-backend shape: several catalog instances (≈ several REST
+  * server nodes) share ONE key-value store carrying the metadata plane,
+  * while data files live externally and enter by no-copy registration —
+  * the reference's etcd + S3 split (docs/etcd-backend-schema.md). Proves
+  * the commit protocol (atomic version publish, lease locks) serializes
+  * correctly on pure KV primitives, with nothing on the local filesystem
+  * under the catalog root.
+  */
+class KvCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-kv-test", cpus = 4)
+
+  // a root that never exists on disk; all metadata lives in the shared KV
+  val root = "/graft-kv-root/never-on-disk"
+  lazy val kv = new KvFileIO(root)
+  lazy val node1 = new IceCatalog(spark, root, kv)
+  lazy val node2 = new IceCatalog(spark, root, kv)
+
+  lazy val externalData: Seq[String] = {
+    val d = Files.createTempDirectory("kv-data")
+    spark.read.parquet(s"$dir/nation.parquet")
+      .repartition(2).write.mode("overwrite").parquet(d.resolve("n").toString)
+    LocalFileIO.walk(d.resolve("n"))
+      .filter(_.getFileName.toString.endsWith(".parquet")).map(_.toString).sorted
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("node1 creates + registers; node2 reads the same shared state") {
+    node1.createNamespace("kv")
+    node1.createTable("kv.n", spark.read.parquet(s"$dir/nation.parquet").schema)
+    node1.addFiles("kv.n", externalData, forceOutsideLocation = true)
+    // the second instance shares the store, not the first's memory
+    assert(node2.listNamespaces() == Seq("kv"))
+    assert(node2.listTables("kv") == Seq("n"))
+    val expected = spark.read.parquet(s"$dir/nation.parquet").count()
+    assert(node2.scan("kv.n").count() == expected)
+    assert(node2.countRows("kv.n") == expected)
+    // metadata never touched the local filesystem
+    assert(!Files.exists(java.nio.file.Paths.get(root)))
+    assert(kv.keyCount > 0)
+  }
+
+  test("concurrent committers on DIFFERENT nodes serialize through the KV protocol") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perNode = 8
+    val futures = (0 until perNode).flatMap(i => Seq(
+      Future(node1.setProperty("kv.n", s"n1-$i", "x")),
+      Future(node2.setProperty("kv.n", s"n2-$i", "x"))))
+    Await.result(Future.sequence(futures), 120.seconds)
+    val props = node2.loadMeta("kv.n").properties
+    // every commit landed: the putIfAbsent version publish is a real CAS
+    (0 until perNode).foreach { i =>
+      assert(props.contains(s"n1-$i") && props.contains(s"n2-$i"))
+    }
+  }
+
+  test("stale basedOn conflicts; rollback and time travel work over KV") {
+    val meta = node1.loadMeta("kv.n")
+    intercept[java.util.ConcurrentModificationException] {
+      node2.commit("kv.n", identity, basedOn = Some(meta.currentSnapshotId - 999))
+    }
+    node1.rollbackTo("kv.n", meta.currentSnapshotId)
+    assert(node2.loadMeta("kv.n").current.get.operation == "rollback")
+  }
+
+  test("rename moves the whole key range atomically; drop clears it") {
+    node1.renameTable("kv.n", "kv.m")
+    assert(node2.listTables("kv") == Seq("m"))
+    assert(node2.scan("kv.m").count() ==
+      spark.read.parquet(s"$dir/nation.parquet").count())
+    node2.dropTable("kv.m")
+    assert(node1.listTables("kv") == Seq.empty)
+  }
+}
