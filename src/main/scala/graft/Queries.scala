@@ -188,6 +188,7 @@ object Queries {
     "d4_simhash" -> (Dedup.simhash _),
     "d5_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d6_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    "d10_lsh_cosine_verify" -> ((s: SparkSession, d: String) => Dedup.lshCosineVerify(s, d)),
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
     "s7_multiprobe_ann" -> ((s: SparkSession, d: String) => Similarity.multiprobeLshAnn(s, d)),
@@ -233,6 +234,31 @@ object Queries {
        |  FROM documents),
        |hs AS (SELECT doc_id, list_transform(t, w -> $hex15) AS hs FROM tok)
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash60 FROM hs ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB SQL for d10 (LSH-propose + cosine-verify): the same 6-plane
+    * bucket computation as s2's oracle, the within-bucket pair join, then
+    * the exact-cosine verification — mirroring `Dedup.lshCosineVerify`
+    * stage for stage.
+    */
+  private def lshCosineVerifyOracle: String = {
+    val planes = (0 until 6).map(b => Similarity.hyperplane(b, 64))
+    val bucketExpr = planes.zipWithIndex.map { case (p, b) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS av, b.v AS bv
+       |      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
+       | round(list_dot_product(av, bv)
+       |   / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 4) AS cos_sim
+       |FROM p
+       |WHERE list_dot_product(av, bv)
+       |   / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))) >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   /** DuckDB SQL for s2: the same md5-derived hyperplanes are embedded as
@@ -457,6 +483,7 @@ object Queries {
         |WHERE list_dot_product(a.v, b.v)
         |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "d10_lsh_cosine_verify" -> lshCosineVerifyOracle,
     "s1_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

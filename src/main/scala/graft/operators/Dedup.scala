@@ -360,10 +360,31 @@ object Dedup {
     cosineScore(withSides, threshold)
   }
 
+  /** d10: embedding near-dup discovery END TO END at the scale shape —
+    * random-hyperplane LSH buckets PROPOSE candidate pairs (one bucket
+    * equi-join, O(collisions), never O(corpus²)) and [[cosineOn]]
+    * VERIFIES each with the exact cosine. This is the embedding twin of
+    * p1's LSH→Jaccard stage and the composition d6's Scaladoc points to:
+    * the only corpus-scaling join keys on the bucket id, and the verify
+    * cost is O(candidate pairs).
+    */
+  def lshCosineVerify(
+      spark: SparkSession, dir: String,
+      nBits: Int = 6, threshold: Double = 0.35): DataFrame = {
+    val bucketed = Similarity.lshBucket(spark, dir, nBits)
+    val pairs = bucketed.select(col("vec_id").as("vec_a"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("vec_b"), col("bucket")), Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      // one bucket per vector ⇒ a pair collides at most once: no dedup
+      .select(col("vec_a"), col("vec_b"))
+    cosineOn(spark, dir, pairs, threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** d6: embedding-cosine near-dup pairs within a LABEL block — the
     * small-block convenience form. WARNING — O(|block|²), same hazard as
     * [[ngramJaccard]]: at scale, propose with s2/s3's buckets or cells and
-    * verify with [[cosineOn]].
+    * verify with [[cosineOn]] (the composition [[lshCosineVerify]] runs).
     */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val e = normedVectors(spark, dir)
