@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import graft.functions.Transforms
 
@@ -487,6 +487,31 @@ class IceCatalog(
 
   def createNamespace(ns: String): Unit = io.createDirectories(rootPath.resolve(ns))
 
+  private def nsPropsFile(ns: String): Path = rootPath.resolve(ns).resolve(".nsprops.json")
+
+  /** Namespace-level properties (Iceberg LoadNamespaceResponse /
+    * UpdateNamespacePropertiesRequest): one small JSON file per namespace.
+    */
+  def namespaceProperties(ns: String): Map[String, String] = {
+    require(listNamespaces().contains(ns), s"no such namespace: $ns")
+    val f = nsPropsFile(ns)
+    if (!io.exists(f)) Map.empty
+    else mapper.readValue(io.readString(f), classOf[Map[String, String]])
+  }
+
+  /** Apply updates + removals; returns (updated, removed, missing) key
+    * lists — the spec UpdateNamespacePropertiesResponse triple.
+    */
+  def updateNamespaceProperties(
+      ns: String, updates: Map[String, String], removals: Seq[String])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val cur = namespaceProperties(ns)
+    val (removed, missing) = removals.partition(cur.contains)
+    val next = cur ++ updates -- removals
+    io.writeString(nsPropsFile(ns), mapper.writeValueAsString(next))
+    (updates.keys.toSeq.sorted, removed, missing)
+  }
+
   def listNamespaces(): Seq[String] =
     if (!io.isDirectory(rootPath)) Seq.empty
     else io.list(rootPath).filter(io.isDirectory(_))
@@ -495,6 +520,7 @@ class IceCatalog(
   def dropNamespace(ns: String): Unit = {
     val p = rootPath.resolve(ns)
     require(listTables(ns).isEmpty, s"namespace $ns is not empty")
+    io.deleteIfExists(nsPropsFile(ns)) // tables gone; props go with the ns
     if (io.isDirectory(p)) io.delete(p)
   }
 
@@ -1934,6 +1960,68 @@ class IceCatalog(
       val fields = s.fields.updated(idx, s.fields(idx).copy(dataType = newType))
       (StructType(fields), ids, last)
     }
+
+  /** Apply a WHOLE-schema update in one commit — the Iceberg REST
+    * `add-schema` action, where a client ships the complete target schema
+    * and the server reconciles it against the current one BY FIELD ID:
+    * a matching id with a new name is a rename, a matching id with a
+    * widened type is a type promotion, an unknown id is a new column
+    * (assigned a fresh authoritative id — servers may reassign, per the
+    * spec), and a current id absent from the target is a drop. All of it
+    * lands as ONE schema-log entry / one metadata commit, so a
+    * multi-change client request is atomic, unlike chaining the
+    * single-column ALTER calls.
+    *
+    * `wanted`: (field id from the request if any, name, type, nullable),
+    * in target order.
+    */
+  def evolveSchemaTo(
+      ident: String,
+      wanted: Seq[(Option[Int], String, DataType, Boolean)],
+      basedOn: Option[Long] = None): TableMeta = {
+    require(wanted.nonEmpty, "schema update needs at least one field")
+    require(wanted.map(_._2).distinct.length == wanted.length,
+      "duplicate column names in schema update")
+    commit(ident, m => {
+      val byId = m.fieldIds.zip(m.schema.fields).toMap
+      var last = m.lastFieldId
+      val widen = Set(
+        ("integer", "long"), ("integer", "double"), ("integer", "float"),
+        ("long", "double"), ("float", "double"), ("date", "timestamp"))
+      val renames = scala.collection.mutable.Map[String, String]()
+      val resolved = wanted.map { case (idOpt, name, dt, nullable) =>
+        idOpt.flatMap(byId.get) match {
+          case Some(old) =>
+            if (old.name != name) renames(old.name) = name
+            require(old.dataType == dt ||
+                widen((old.dataType.typeName, dt.typeName)),
+              s"cannot alter $name: ${old.dataType.typeName} -> " +
+                s"${dt.typeName} is not a widening")
+            // nullability can only relax: required -> optional, never back
+            (StructField(name, dt, old.nullable || nullable), idOpt.get)
+          case None =>
+            last += 1
+            (StructField(name, dt, nullable = true), last)
+        }
+      }
+      val keptIds = wanted.flatMap(_._1).toSet
+      m.fieldIds.zip(m.schema.fields).filterNot(c => keptIds(c._1)).foreach {
+        case (_, f) =>
+          require(!m.partitionSpec.exists(_.column == f.name),
+            s"column ${f.name} is a partition source")
+          require(!m.sortOrder.exists(_.column == f.name),
+            s"column ${f.name} is a sort column")
+      }
+      val ns = StructType(resolved.map(_._1))
+      val ids = resolved.map(_._2)
+      m.copy(schemaJson = ns.json, fieldIds = ids, lastFieldId = last,
+        schemaLog = m.schemaLog :+ SchemaVersion(ns.json, ids),
+        partitionSpec = m.partitionSpec.map(p =>
+          renames.get(p.column).map(n => p.copy(column = n)).getOrElse(p)),
+        sortOrder = m.sortOrder.map(so =>
+          renames.get(so.column).map(n => so.copy(column = n)).getOrElse(so)))
+    }, basedOn)
+  }
 
   /** Set/overwrite a table property (AlterTable.SetTblProperty). */
   def setProperty(ident: String, key: String, value: String): TableMeta =

@@ -211,6 +211,7 @@ object RestServer {
             "GET /v1/namespaces", "POST /v1/namespaces",
             "GET /v1/namespaces/{namespace}", "HEAD /v1/namespaces/{namespace}",
             "DELETE /v1/namespaces/{namespace}",
+            "POST /v1/namespaces/{namespace}/properties",
             "GET /v1/namespaces/{namespace}/tables",
             "POST /v1/namespaces/{namespace}/tables",
             "GET /v1/namespaces/{namespace}/tables/{table}",
@@ -240,16 +241,42 @@ object RestServer {
           send(ex, 200, body.getBytes(StandardCharsets.UTF_8))
 
         case ("GET", List("v1", "namespaces")) =>
-          sendJson(ex, 200, Map("namespaces" -> cat.listNamespaces().map(Seq(_))))
+          val (page, next) = paginate(ex, cat.listNamespaces())
+          sendJson(ex, 200,
+            Map("namespaces" -> page.map(Seq(_))) ++
+              next.map("next-page-token" -> _))
         case ("POST", List("v1", "namespaces")) =>
-          val ns = nsOf(body(ex))
+          val req = body(ex)
+          val ns = nsOf(req)
           cat.createNamespace(ns)
-          sendJson(ex, 200, Map("namespace" -> Seq(ns), "properties" -> Map.empty))
+          val props = req.path("properties")
+          if (props.isObject && props.size() > 0)
+            cat.updateNamespaceProperties(ns,
+              props.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
+              Seq.empty)
+          sendJson(ex, 200,
+            Map("namespace" -> Seq(ns), "properties" -> cat.namespaceProperties(ns)))
         case ("HEAD", List("v1", "namespaces", ns)) =>
           send(ex, if (cat.listNamespaces().contains(ns)) 204 else 404, Array.empty)
         case ("GET", List("v1", "namespaces", ns)) =>
           requireNs(ns)
-          sendJson(ex, 200, Map("namespace" -> Seq(ns), "properties" -> Map.empty))
+          sendJson(ex, 200,
+            Map("namespace" -> Seq(ns), "properties" -> cat.namespaceProperties(ns)))
+        case ("POST", List("v1", "namespaces", ns, "properties")) =>
+          // spec UpdateNamespacePropertiesRequest → {updated, removed, missing}
+          requireNs(ns)
+          val req = body(ex)
+          val updates = {
+            val u = req.path("updates")
+            if (u.isObject)
+              u.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+            else Map.empty[String, String]
+          }
+          val removals = arr(req, "removals").map(_.asText())
+          val (updated, removed, missing) =
+            cat.updateNamespaceProperties(ns, updates, removals)
+          sendJson(ex, 200, Map(
+            "updated" -> updated, "removed" -> removed, "missing" -> missing))
         case ("DELETE", List("v1", "namespaces", ns)) =>
           requireNs(ns)
           cat.dropNamespace(ns)
@@ -257,8 +284,11 @@ object RestServer {
 
         case ("GET", List("v1", "namespaces", ns, "tables")) =>
           requireNs(ns)
-          sendJson(ex, 200, Map("identifiers" -> cat.listTables(ns).map(t =>
-            Map("namespace" -> Seq(ns), "name" -> t))))
+          val (page, next) = paginate(ex, cat.listTables(ns))
+          sendJson(ex, 200,
+            Map("identifiers" -> page.map(t =>
+              Map("namespace" -> Seq(ns), "name" -> t))) ++
+              next.map("next-page-token" -> _))
         case ("POST", List("v1", "namespaces", ns, "tables")) =>
           requireNs(ns)
           val req = body(ex)
@@ -397,13 +427,38 @@ object RestServer {
         case _ => ()
       }
       val (appends, rest) = us.partition(u => textOr(u, "action", "") == "append-files")
-      val (propOps, unknown) = rest.partition(u =>
+      val (schemaOps, rest2) = rest.partition(u =>
+        Set("add-schema", "set-current-schema")(textOr(u, "action", "")))
+      val (propOps, unknown) = rest2.partition(u =>
         Set("set-properties", "remove-properties")(textOr(u, "action", "")))
       unknown.foreach(u => throw new IllegalArgumentException(
         s"unsupported update action: ${textOr(u, "action", "(none)")}"))
-      require(appends.isEmpty || propOps.isEmpty,
-        "append-files and property updates cannot mix in one commit " +
-          "(each is one atomic commit; a mixed request could half-apply)")
+      require(Seq(appends, schemaOps, propOps).count(_.nonEmpty) <= 1,
+        "append-files, schema updates, and property updates cannot mix in " +
+          "one commit (each is one atomic commit; a mixed request could " +
+          "half-apply)")
+      if (schemaOps.nonEmpty) {
+        // spec schema evolution: `add-schema` ships the full target schema
+        // (diffed by field id in IceCatalog.evolveSchemaTo — one atomic
+        // commit); `set-current-schema` must point at it (-1 = "the last
+        // added", the shape stock clients send)
+        val adds = schemaOps.filter(u => textOr(u, "action", "") == "add-schema")
+        require(adds.length == 1, "exactly one add-schema per commit")
+        schemaOps.filter(u => textOr(u, "action", "") == "set-current-schema")
+          .foreach { u =>
+            val sid = u.path("schema-id").asInt(-1)
+            require(sid == -1, s"set-current-schema must target the added " +
+              s"schema (-1), got $sid")
+          }
+        val wanted = adds.head.path("schema").path("fields")
+          .elements().asScala.map { f =>
+            (if (f.path("id").isInt) Some(f.path("id").asInt()) else None,
+              f.path("name").asText(),
+              IcebergJson.fromIcebergType(f.path("type")),
+              !f.path("required").asBoolean(false))
+          }.toSeq
+        cat.evolveSchemaTo(ident, wanted, basedOn)
+      }
       if (appends.nonEmpty) {
         val paths = appends.flatMap(_.path("paths").elements().asScala.map(_.asText()))
         require(paths.nonEmpty, "append-files needs paths")
@@ -430,7 +485,7 @@ object RestServer {
       }
       // a requirement with nothing to commit is still a contract: evaluate
       // it against the live snapshot so a stale client hears 409, not 200
-      if (appends.isEmpty && propOps.isEmpty) basedOn.foreach { id =>
+      if (appends.isEmpty && propOps.isEmpty && schemaOps.isEmpty) basedOn.foreach { id =>
         val cur = cat.loadMeta(ident).currentSnapshotId
         if (cur != id) throw new java.util.ConcurrentModificationException(
           s"requirement failed: $ident current snapshot $cur != $id")
@@ -553,6 +608,28 @@ object RestServer {
     private def arr(n: JsonNode, key: String): Seq[JsonNode] = {
       val a = n.path(key)
       if (a.isArray) a.elements().asScala.toSeq else Seq.empty
+    }
+
+    /** Spec list pagination: `pageToken` is the last name of the previous
+      * page (opaque to clients), `pageSize` caps the page;
+      * `next-page-token` is returned iff more remain.
+      */
+    private def paginate(
+        ex: HttpExchange, all: Seq[String]): (Seq[String], Option[String]) = {
+      val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split('&').filter(_.contains('=')).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      val sorted = all.sorted
+      val after = params.get("pageToken")
+        .map(t => sorted.dropWhile(_ <= t)).getOrElse(sorted)
+      params.get("pageSize").map(_.toInt) match {
+        case Some(n) if n > 0 && after.length > n =>
+          (after.take(n), Some(after(n - 1)))
+        case _ => (after, None)
+      }
     }
 
     /** Schema as Spark JSON (leading '{') or DDL ("id BIGINT, v STRING"). */

@@ -214,6 +214,51 @@ class RestConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(okUuid.statusCode() == 200, okUuid.body())
   }
 
+  test("add-schema commit evolves by field id: rename + widen + add in one atomic commit") {
+    val before = json(req("GET", "/v1/namespaces/conf/tables/plain")).path("metadata")
+    val fields = before.path("schemas").get(before.path("current-schema-id").asInt())
+      .path("fields").elements().asScala.toSeq
+    val idId = fields.find(_.path("name").asText() == "id").get.path("id").asInt()
+    val vId = fields.find(_.path("name").asText() == "v").get.path("id").asInt()
+    // the stock-client shape: full target schema + set-current-schema(-1).
+    // id keeps its id but widens long->double; v renames to payload; score
+    // is new (server assigns the authoritative id)
+    val commit = req("POST", "/v1/namespaces/conf/tables/plain",
+      s"""{"updates":[
+         |  {"action":"add-schema","schema":{"type":"struct","fields":[
+         |    {"id":$idId,"name":"id","required":false,"type":"double"},
+         |    {"id":$vId,"name":"payload","required":false,"type":"string"},
+         |    {"name":"score","required":false,"type":"double"}]}},
+         |  {"action":"set-current-schema","schema-id":-1}
+         |]}""".stripMargin)
+    assert(commit.statusCode() == 200, commit.body())
+    val md = json(commit).path("metadata")
+    assert(md.path("current-schema-id").asInt() ==
+      before.path("current-schema-id").asInt() + 1, "one new schema version")
+    val after = md.path("schemas").get(md.path("current-schema-id").asInt())
+      .path("fields").elements().asScala.toSeq
+    assert(after.map(_.path("name").asText()) == Seq("id", "payload", "score"))
+    assert(after.map(_.path("type").asText()) == Seq("double", "string", "double"))
+    // renamed/widened columns KEEP their ids; the new column gets a fresh one
+    assert(after(0).path("id").asInt() == idId)
+    assert(after(1).path("id").asInt() == vId)
+    assert(!Seq(idId, vId).contains(after(2).path("id").asInt()))
+    // data written under the old schema still reads: id casts up, payload
+    // resolves by field id, score is null
+    val rows = cat.scan("conf.plain").orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows.head.getAs[Double]("id") == 1.0)
+    assert(rows.head.getAs[String]("payload") == "a")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("score")))
+    // mixing schema and property updates must be refused up front
+    val mixed = req("POST", "/v1/namespaces/conf/tables/plain",
+      s"""{"updates":[
+         |  {"action":"add-schema","schema":{"type":"struct","fields":[
+         |    {"id":$idId,"name":"id","required":false,"type":"double"}]}},
+         |  {"action":"set-properties","updates":{"z":"1"}}]}""".stripMargin)
+    assert(mixed.statusCode() == 400)
+  }
+
   test("spec error envelopes and exception types") {
     val noTable = req("GET", "/v1/namespaces/conf/tables/nope")
     assert(noTable.statusCode() == 404)
@@ -268,6 +313,50 @@ class RestConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sparkSchema("tags").dataType.typeName == "array")
     assert(sparkSchema("attrs").dataType.typeName == "map")
     assert(sparkSchema("loc").dataType.typeName == "struct")
+  }
+
+  test("namespace properties: create-with, load, spec update response") {
+    val create = req("POST", "/v1/namespaces",
+      """{"namespace":["props"],"properties":{"owner":"conf","tier":"gold"}}""")
+    assert(create.statusCode() == 200)
+    assert(json(create).path("properties").path("owner").asText() == "conf")
+    val load = json(req("GET", "/v1/namespaces/props"))
+    assert(load.path("properties").path("tier").asText() == "gold")
+    // spec UpdateNamespacePropertiesRequest → {updated, removed, missing}
+    val up = req("POST", "/v1/namespaces/props/properties",
+      """{"updates":{"tier":"silver","region":"eu"},"removals":["owner","ghost"]}""")
+    assert(up.statusCode() == 200, up.body())
+    val r = json(up)
+    assert(r.path("updated").elements().asScala.map(_.asText()).toSet ==
+      Set("region", "tier"))
+    assert(r.path("removed").get(0).asText() == "owner")
+    assert(r.path("missing").get(0).asText() == "ghost")
+    val after = json(req("GET", "/v1/namespaces/props")).path("properties")
+    assert(after.path("tier").asText() == "silver" &&
+      after.path("region").asText() == "eu" && after.path("owner").isMissingNode)
+    assert(req("DELETE", "/v1/namespaces/props").statusCode() == 204)
+  }
+
+  test("list pagination: pageSize caps pages, pageToken resumes, token ends") {
+    req("POST", "/v1/namespaces", """{"namespace":["pg"]}""")
+    Seq("t1", "t2", "t3", "t4", "t5").foreach(t =>
+      req("POST", "/v1/namespaces/pg/tables",
+        s"""{"name":"$t","schema":{"type":"struct","fields":[
+           |  {"id":1,"name":"id","required":false,"type":"long"}]}}""".stripMargin))
+    val p1 = json(req("GET", "/v1/namespaces/pg/tables?pageSize=2"))
+    assert(p1.path("identifiers").size() == 2)
+    val tok1 = p1.path("next-page-token").asText()
+    assert(tok1.nonEmpty)
+    val p2 = json(req("GET", s"/v1/namespaces/pg/tables?pageSize=2&pageToken=$tok1"))
+    assert(p2.path("identifiers").size() == 2)
+    val tok2 = p2.path("next-page-token").asText()
+    val p3 = json(req("GET", s"/v1/namespaces/pg/tables?pageSize=2&pageToken=$tok2"))
+    assert(p3.path("identifiers").size() == 1)
+    assert(p3.path("next-page-token").isMissingNode, "final page carries no token")
+    val names = (p1.path("identifiers").elements().asScala ++
+      p2.path("identifiers").elements().asScala ++
+      p3.path("identifiers").elements().asScala).map(_.path("name").asText()).toSeq
+    assert(names == Seq("t1", "t2", "t3", "t4", "t5"), names)
   }
 
   test("config response advertises the endpoint list") {
