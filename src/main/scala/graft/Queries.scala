@@ -197,6 +197,7 @@ object Queries {
     "d9_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "s5_quantize" -> (Similarity.quantize _),
     "s6_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
+    "s9_opq_codes" -> ((s: SparkSession, d: String) => Similarity.opqPqCodes(s, d)),
     "d7_decontaminate" -> (Dedup.decontaminate _),
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "x6_scrub" -> (TextAnalysis.scrubQuery _),

@@ -145,6 +145,13 @@ object VectorFunctions {
   def centroidDists(v: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(CentroidDists(ColumnBridge.expression(v), centroids))
 
+  /** Matrix-vector product `out[j] = dot(v, rows(j))` — the negated
+    * [[centroidDists]] kernel; code size constant in the row count. Used
+    * to apply a learned rotation (rows = Rᵀ) map-side.
+    */
+  def matVec(v: Column, rows: Array[Array[Double]]): Column =
+    transform(centroidDists(v, rows), x => -x)
+
   /** Cast any numeric array to array<double>. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 

@@ -242,6 +242,140 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ---- OPQ (Optimized Product Quantization) -----------------------------
+
+  /** OPQ rotation (Ge et al., "Optimized Product Quantization for
+    * Approximate Nearest Neighbor Search", CVPR 2013 — the non-parametric
+    * variant): learn an orthonormal R minimizing PQ reconstruction error
+    * by alternating (a) PQ-encode the rotated sample, (b) orthogonal
+    * Procrustes R = U·Vᵀ from SVD(Xᵀ·X̂). Trained on a BOUNDED sample
+    * collected to the driver — the deployed shape (FAISS trains OPQ on a
+    * ~10⁵-vector sample in memory) — while rotation APPLICATION and the
+    * final corpus-scale codebook training stay distributed. Returns Rᵀ as
+    * rows, ready for the map-side [[graft.functions.VectorFunctions.matVec]].
+    * Cached per (session, corpus version, m, k) like the codebooks.
+    */
+  private val rotationCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), (String, Array[Array[Double]])]()
+
+  def opqRotation(
+      spark: SparkSession, dir: String,
+      m: Int = 4, k: Int = 16, dims: Int = 64,
+      sampleN: Int = 2048, iters: Int = 4): Array[Array[Double]] = {
+    rotationCache.keySet().removeIf(_._1.sparkContext.isStopped)
+    val fp = corpusFingerprint(dir)
+    rotationCache.compute((spark, dir, m, k), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else (fp, trainOpqRotation(
+        cachedUnitVectors(spark, dir).select(col("vec_id"), col("v"))
+          .orderBy(col("vec_id")).limit(sampleN)
+          .collect().map(_.getSeq[Double](1).toArray),
+        m, k, dims, iters)))._2
+  }
+
+  /** Driver-side OPQ-NP iterations over the collected sample. */
+  private def trainOpqRotation(
+      sample: Array[Array[Double]], m: Int, k: Int, dims: Int,
+      iters: Int): Array[Array[Double]] = {
+    import breeze.linalg.{svd, DenseMatrix}
+    require(dims % m == 0, "m must divide dims")
+    val subDims = dims / m
+    val n = sample.length
+    val x = DenseMatrix.tabulate(n, dims)((i, j) =>
+      if (j < sample(i).length) sample(i)(j) else 0.0)
+    var r = DenseMatrix.eye[Double](dims)
+    for (_ <- 0 until iters) {
+      val y = x * r
+      // per-subspace Lloyd on the rotated sample (deterministic first-k
+      // seeds, 3 iterations) → decoded ŷ
+      val yHat = DenseMatrix.zeros[Double](n, dims)
+      for (j <- 0 until m) {
+        val off = j * subDims
+        val pts = Array.tabulate(n)(i =>
+          Array.tabulate(subDims)(d => y(i, off + d)))
+        var cents = Array.tabulate(math.min(k, n))(i => pts(i).clone())
+        for (_ <- 0 until 3) {
+          val sums = Array.fill(cents.length)(new Array[Double](subDims))
+          val counts = new Array[Int](cents.length)
+          var i = 0
+          while (i < n) {
+            val c = nearestL2(pts(i), cents)
+            var d = 0
+            while (d < subDims) { sums(c)(d) += pts(i)(d); d += 1 }
+            counts(c) += 1
+            i += 1
+          }
+          cents = Array.tabulate(cents.length)(c =>
+            if (counts(c) == 0) cents(c)
+            else Array.tabulate(subDims)(d => sums(c)(d) / counts(c)))
+        }
+        var i = 0
+        while (i < n) {
+          val c = cents(nearestL2(pts(i), cents))
+          var d = 0
+          while (d < subDims) { yHat(i, off + d) = c(d); d += 1 }
+          i += 1
+        }
+      }
+      // orthogonal Procrustes: R = U·Vᵀ of SVD(Xᵀ·X̂)
+      val s = svd(x.t * yHat)
+      r = s.leftVectors * s.rightVectors
+    }
+    // Rᵀ rows: rotated(j) = dot(v, Rᵀrow_j)
+    Array.tabulate(dims)(j => Array.tabulate(dims)(i => r(i, j)))
+  }
+
+  private def nearestL2(p: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var i = 0
+      while (i < p.length) {
+        val diff = p(i) - cents(c)(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** s9: OPQ codes — [[pqCodes]] with the learned rotation applied
+    * map-side first. R is orthonormal, so reconstruction MSE is measured
+    * in the SAME metric as s6's (rotations preserve L2) and the two are
+    * directly comparable; OPQ's promise is MSE ≤ plain PQ's at equal
+    * (m, k) budget. Scale shape identical to s6: rotation is one
+    * constant-size matVec per row, codebooks train distributed on the
+    * rotated corpus (session-cached), encoding is map-only.
+    */
+  def opqPqCodes(
+      spark: SparkSession, dir: String,
+      m: Int = 4, k: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, "m must divide dims")
+    val subDims = dims / m
+    val rT = opqRotation(spark, dir, m, k, dims)
+    val e = cachedUnitVectors(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.matVec(col("v"), rT).as("v"))
+    val codebooks = cachedCodebooks(spark, dir, e, col("v"), s"opq-$m-$k/v/all",
+      m, k, subDims)
+    def codeCol(j: Int): Column = pqCodeCol(col("v"), j, subDims, codebooks(j))
+    def decodedCol(j: Int): Column = {
+      val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
+      element_at(cb, codeCol(j) + 1)
+    }
+    val decoded = flatten(array((0 until m).map(decodedCol): _*))
+    val mse = aggregate(
+      zip_with(col("v"), decoded, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x) / size(col("v")).cast("double")
+    e.select(
+      col("vec_id") +:
+        (0 until m).map(j => codeCol(j).as(s"pq_$j")) :+
+        round(mse, 9).as("mse"): _*)
+      .orderBy(col("vec_id"))
+  }
+
   // ---- IVF (coarse-quantized) ANN --------------------------------------
 
   /** Unit-normalized view (cosine distance == -dot on unit vectors). */

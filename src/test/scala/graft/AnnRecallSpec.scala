@@ -119,6 +119,27 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s9 OPQ: rotation is orthonormal; reconstruction never worse than plain PQ") {
+    import spark.implicits._
+    val rT = Similarity.opqRotation(spark, dir, m = 4, k = 16)
+    // orthonormality: Rᵀ·R = I (rotations preserve the L2 metric, which is
+    // what makes the MSE comparison below a like-for-like one)
+    val dims = rT.length
+    for (a <- 0 until dims; b <- a until dims) {
+      val d = (0 until dims).map(i => rT(a)(i) * rT(b)(i)).sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-9,
+        s"RᵀR[$a][$b] = $d")
+    }
+    def meanMse(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("mse"))).as[Double].head()
+    val plain = meanMse(Similarity.pqCodes(spark, dir, m = 4, k = 16))
+    val opq = meanMse(Similarity.opqPqCodes(spark, dir, m = 4, k = 16))
+    info(f"plain PQ MSE=$plain%.5f  OPQ MSE=$opq%.5f")
+    // OPQ's contract at equal (m, k) budget; small slack for the nearly
+    // isotropic synthetic embeddings (little variance for R to move)
+    assert(opq <= plain * 1.02, s"OPQ MSE $opq vs plain $plain")
+  }
+
   test("s8 second call in a session trains nothing: zero eager jobs") {
     // first call trains coarse quantizer + PQ codebooks (several collect()
     // jobs); the second must serve BOTH from the session caches — building
