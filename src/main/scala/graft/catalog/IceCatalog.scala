@@ -578,6 +578,20 @@ class IceCatalog(
     dir.resolve("metadata").resolve(s"v$v.json").toUri.toString
   }
 
+  /** Published metadata version files, ascending: (version, uri,
+    * modified-ms). Burned slots are absent (never published); the last
+    * entry is the current metadata location. Feeds the spec
+    * `metadata-log` (previous metadata files, i.e. all but the last).
+    */
+  def metadataLog(ident: String): Seq[(Int, String, Long)] = {
+    val metaDir = tableDir(ident).resolve("metadata")
+    io.list(metaDir)
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .map(p => (p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt,
+        p.toUri.toString, io.lastModifiedMillis(p)))
+      .sortBy(_._1)
+  }
+
   /** Stable table uuid: minted at creation; legacy tables (pre-uuid
     * metadata) get a deterministic name-derived one.
     */

@@ -170,7 +170,8 @@ object IcebergJson {
     */
   def tableMetadata(
       meta: TableMeta, tableUuid: String, location: String,
-      snapshotFor: Long => Option[Snapshot]): Map[String, Any] = {
+      snapshotFor: Long => Option[Snapshot],
+      metadataLog: Seq[(Int, String, Long)] = Seq.empty): Map[String, Any] = {
     val schemas = Option(meta.schemaLog).getOrElse(Seq.empty).zipWithIndex.map {
       case (sv, i) =>
         toIcebergSchema(
@@ -229,6 +230,9 @@ object IcebergJson {
       },
       "snapshot-log" -> meta.snapshots.map(s =>
         Map("snapshot-id" -> s.id, "timestamp-ms" -> s.timestampMs)),
-      "metadata-log" -> Seq.empty)
+      // spec: PREVIOUS metadata files (the current one is metadata-location)
+      "metadata-log" -> metadataLog.dropRight(1).map { case (_, uri, ms) =>
+        Map("timestamp-ms" -> ms, "metadata-file" -> uri)
+      })
   }
 }

@@ -565,7 +565,8 @@ object RestServer {
       Map(
         "metadata-location" -> cat.metadataLocation(ident),
         "metadata" -> IcebergJson.tableMetadata(
-          m, cat.tableUuid(ident), cat.tableLocation(ident), m.snapshot),
+          m, cat.tableUuid(ident), cat.tableLocation(ident), m.snapshot,
+          cat.metadataLog(ident)),
         "config" -> Map.empty)
     }
 

@@ -337,6 +337,21 @@ class RestConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(req("DELETE", "/v1/namespaces/props").statusCode() == 204)
   }
 
+  test("metadata-log lists previous metadata files, newest last") {
+    // "plain" has accumulated several commits by now
+    val md = json(req("GET", "/v1/namespaces/conf/tables/plain")).path("metadata")
+    val log = md.path("metadata-log").elements().asScala.toSeq
+    assert(log.nonEmpty, "multiple commits must leave previous metadata files")
+    log.foreach { e =>
+      assert(e.path("metadata-file").asText().contains("/metadata/v"))
+      assert(e.path("timestamp-ms").asLong() > 0L)
+    }
+    // the current location is NOT in the log (spec: previous files only)
+    val loc = json(req("GET", "/v1/namespaces/conf/tables/plain"))
+      .path("metadata-location").asText()
+    assert(!log.exists(_.path("metadata-file").asText() == loc))
+  }
+
   test("list pagination: pageSize caps pages, pageToken resumes, token ends") {
     req("POST", "/v1/namespaces", """{"namespace":["pg"]}""")
     Seq("t1", "t2", "t3", "t4", "t5").foreach(t =>
