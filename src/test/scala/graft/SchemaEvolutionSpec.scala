@@ -329,4 +329,38 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.scan("ev.nc2", Seq(PartitionFilter("p_src", Op.Eq, Seq("a"))))
       .count() == 1)
   }
+
+  test("evolveSchemaTo: rename+widen+add+drop land as ONE schema-log entry") {
+    import spark.implicits._
+    cat.createTable("ev.bulk", Seq((1L, "a", 3)).toDF("id", "v", "n").schema)
+    cat.insert("ev.bulk", Seq((1L, "a", 3), (2L, "b", 4)).toDF("id", "v", "n"))
+    val before = cat.loadMeta("ev.bulk")
+    val Seq(idId, vId, _) = before.fieldIds
+    // target: id widens long→double, v renames to payload, n is DROPPED,
+    // score is new — the REST add-schema reconcile, applied atomically
+    cat.evolveSchemaTo("ev.bulk", Seq(
+      (Some(idId), "id", DoubleType, true),
+      (Some(vId), "payload", StringType, true),
+      (None, "score", DoubleType, true)))
+    val after = cat.loadMeta("ev.bulk")
+    assert(after.schemaLog.length == before.schemaLog.length + 1,
+      "exactly one new schema version for the whole change set")
+    assert(after.schema.fieldNames.toSeq == Seq("id", "payload", "score"))
+    assert(after.fieldIds.take(2) == Seq(idId, vId), "kept columns keep ids")
+    assert(after.fieldIds(2) > before.lastFieldId, "new column gets a fresh id")
+    // old data reads through the new schema: widened, renamed, nulled, gone
+    val rows = cat.scan("ev.bulk").orderBy("id").collect()
+    assert(rows.map(_.getAs[Double]("id")).toSeq == Seq(1.0, 2.0))
+    assert(rows.map(_.getAs[String]("payload")).toSeq == Seq("a", "b"))
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("score"))))
+    assert(!rows.head.schema.fieldNames.contains("n"))
+    // a non-widening change is refused whole (nothing half-applies)
+    intercept[IllegalArgumentException] {
+      cat.evolveSchemaTo("ev.bulk", Seq((Some(idId), "id", StringType, true)))
+    }
+    assert(cat.loadMeta("ev.bulk").schemaLog.length == after.schemaLog.length)
+    // dropping a retired id's column again (absent target id) is the same
+    // as never listing it; dropping a partition source is refused — covered
+    // by the single-column API tests above, same validation path
+  }
 }
