@@ -30,6 +30,7 @@ import graft.catalog.IceCatalog._
   *                [--skip-duplicates]
   *   scan <ns.t> [--limit N]       count <ns.t>
   *   files <ns.t>                  list-partitions <ns.t>
+  *   list-snapshots <ns.t>
   *   describe <ns.t> | describe-metadata <ns.t>
   *   describe-parquet <file.parquet>
   *   set-property <ns.t> <key> <value>
@@ -122,6 +123,11 @@ object Cli {
           // reference `ice files`: path + rows + bytes per current file
           cat.files(ident).foreach(f =>
             out.println(s"${f.path}\t${f.rowCount}\t${f.bytes}"))
+        case Seq("list-snapshots", ident) =>
+          // reference `ice list-snapshots`: id, operation, time, file count
+          cat.listSnapshots(ident).foreach(s =>
+            out.println(s"${s.id}\t${s.operation}\t${s.timestampMs}\t" +
+              s"${Option(s.files).map(_.length).getOrElse(0)}"))
         case Seq("list-partitions", ident) =>
           cat.listPartitions(ident).foreach { case (p, rows, fc) =>
             val label = if (p.isEmpty) "(unpartitioned)"

@@ -61,6 +61,9 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (c4, parts) = cli("list-partitions", "ns.ev")
     assert(c4 == 0 && parts.exists(_.startsWith("p_kind=a\t2")))
 
+    val (c4b, snaps) = cli("list-snapshots", "ns.ev")
+    assert(c4b == 0 && snaps.length == 1 && snaps.head.contains("append"))
+
     val (c5, desc) = cli("describe", "ns.ev")
     assert(c5 == 0)
     assert(desc.exists(l => l.contains("total-rows") && l.contains("3")))
