@@ -171,7 +171,22 @@ private object PredicateToColumn {
 }
 
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
+
+  /** `CALL graft.system.<proc>(...)` — Iceberg's stored-procedure UX for
+    * maintenance, resolved through [[Procedures]].
+    */
+  override def loadProcedure(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"procedures live in the system namespace, got $ident")
+    Procedures.load(() => ice, ident.name().toLowerCase)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      Procedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   private var catalogName: String = _
   private var root: String = _

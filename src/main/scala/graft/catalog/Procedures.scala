@@ -1,0 +1,150 @@
+package graft.catalog
+
+import java.util.Collections
+
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** SQL stored procedures — Iceberg's `CALL catalog.system.<proc>(...)` UX
+  * (SparkProcedures in Iceberg's Spark integration; the reference drives
+  * the same maintenance over its CLI and REST), mapped onto the catalog
+  * API through Spark 4's DSv2 ProcedureCatalog:
+  *
+  *   CALL graft.system.expire_snapshots(table => 'ns.t', max_age_hours => 24)
+  *   CALL graft.system.rewrite_data_files('ns.t')
+  *   CALL graft.system.rewrite_manifests('ns.t')
+  *   CALL graft.system.remove_orphan_files('ns.t', dry_run => true)
+  *   CALL graft.system.rollback_to_snapshot('ns.t', 3)
+  *   CALL graft.system.zorder('ns.t', 'c1,c2')
+  *   CALL graft.system.maintain('ns.t')
+  *
+  * Each procedure executes eagerly inside `call` (through the same
+  * lease-locked commit protocol as the API) and returns its report as a
+  * driver-local result set (LocalScan — nothing ships to executors).
+  */
+object Procedures {
+
+  /** One procedure: declared parameters (with optional SQL-literal
+    * defaults) and an executor returning (result schema, rows).
+    */
+  private case class Spec(
+      name: String,
+      description: String,
+      params: Seq[(String, DataType, Option[String])],
+      run: (IceCatalog, Seq[Any]) => (StructType, Seq[Seq[Any]]))
+
+  private def one(schema: (String, DataType)*)(values: Any*): (StructType, Seq[Seq[Any]]) =
+    (StructType(schema.map { case (n, t) => StructField(n, t) }), Seq(values))
+
+  private val specs: Seq[Spec] = Seq(
+    Spec("expire_snapshots",
+      "Drop snapshots older than max_age_hours, retaining retain_last",
+      Seq(("table", StringType, None), ("max_age_hours", LongType, Some("0")),
+        ("retain_last", IntegerType, Some("1")), ("dry_run", BooleanType, Some("false"))),
+      (cat, args) => {
+        val expired = cat.expireSnapshots(str(args(0)),
+          maxAgeHours = args(1).asInstanceOf[Long],
+          retainLast = args(2).asInstanceOf[Int],
+          dryRun = args(3).asInstanceOf[Boolean])
+        one("expired_snapshot_count" -> IntegerType,
+          "expired_snapshot_ids" -> StringType)(
+          expired.length, expired.mkString(","))
+      }),
+    Spec("rewrite_data_files",
+      "Compact the current snapshot's data files toward target_file_mb",
+      Seq(("table", StringType, None), ("target_file_mb", IntegerType, Some("512"))),
+      (cat, args) => {
+        val before = cat.files(str(args(0))).length
+        cat.compact(str(args(0)), args(1).asInstanceOf[Int])
+        one("rewritten_files" -> IntegerType, "result_files" -> IntegerType)(
+          before, cat.files(str(args(0))).length)
+      }),
+    Spec("rewrite_manifests",
+      "Merge manifest segments down to max_segments (metadata-only)",
+      Seq(("table", StringType, None), ("max_segments", IntegerType, Some("1"))),
+      (cat, args) => {
+        cat.compactManifests(str(args(0)), args(1).asInstanceOf[Int])
+        val m = cat.loadMeta(str(args(0)))
+        one("manifest_count" -> IntegerType)(
+          m.current.flatMap(s => Option(s.manifests)).map(_.length).getOrElse(0))
+      }),
+    Spec("remove_orphan_files",
+      "Delete unreferenced data files older than older_than_hours",
+      Seq(("table", StringType, None), ("older_than_hours", LongType, Some("24")),
+        ("dry_run", BooleanType, Some("false"))),
+      (cat, args) => {
+        val orphans = cat.cleanOrphans(str(args(0)),
+          dryRun = args(2).asInstanceOf[Boolean],
+          olderThanMillis = args(1).asInstanceOf[Long] * 3600 * 1000L)
+        one("orphan_file_count" -> IntegerType, "dry_run" -> BooleanType)(
+          orphans.length, args(2).asInstanceOf[Boolean])
+      }),
+    Spec("rollback_to_snapshot",
+      "Adopt a past snapshot's file set as a new commit (history preserved)",
+      Seq(("table", StringType, None), ("snapshot_id", LongType, None)),
+      (cat, args) => {
+        val m = cat.rollbackTo(str(args(0)), args(1).asInstanceOf[Long])
+        one("current_snapshot_id" -> LongType)(m.currentSnapshotId)
+      }),
+    Spec("zorder",
+      "Z-order-cluster the table on the given comma-separated columns",
+      Seq(("table", StringType, None), ("columns", StringType, None),
+        ("target_file_mb", IntegerType, Some("512"))),
+      (cat, args) => {
+        val cols = str(args(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        cat.zorderCompact(str(args(0)), cols, args(2).asInstanceOf[Int])
+        one("zordered_by" -> StringType, "result_files" -> IntegerType)(
+          cols.mkString(","), cat.files(str(args(0))).length)
+      }),
+    Spec("maintain",
+      "Run the table's own maintenance.* policy now, reporting each job",
+      Seq(("table", StringType, None)),
+      (cat, args) => {
+        val reports = new Maintenance.Runner(cat).runTable(str(args(0)))
+        (StructType(Seq(StructField("job", StringType),
+          StructField("detail", StringType), StructField("error", StringType))),
+          reports.map(r => Seq(r.job, r.detail, r.error.orNull)))
+      }))
+
+  private def str(v: Any): String = v.asInstanceOf[String]
+
+  val names: Seq[String] = specs.map(_.name)
+
+  /** Resolve `system.<name>`; throws NoSuchElementException otherwise. */
+  def load(catalogOf: () => IceCatalog, name: String): UnboundProcedure = {
+    val spec = specs.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"no such procedure: system.$name"))
+    new UnboundProcedure {
+      override def name(): String = spec.name
+      override def description(): String = spec.description
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = spec.name
+        override def description(): String = spec.description
+        override def isDeterministic: Boolean = false // commits mutate state
+        override def parameters(): Array[ProcedureParameter] =
+          spec.params.map { case (n, t, dflt) =>
+            val b = ProcedureParameter.in(n, t)
+            dflt.foreach(b.defaultValue)
+            b.build()
+          }.toArray
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          // args arrive coerced to the declared parameter types
+          val args = spec.params.zipWithIndex.map { case ((_, t, _), i) =>
+            CatalystTypeConverters.createToScalaConverter(t)(input.get(i, t))
+          }
+          val (schema, outRows) = spec.run(catalogOf(), args)
+          val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+          val result: Scan = new LocalScan {
+            override def readSchema(): StructType = schema
+            override def rows(): Array[InternalRow] = outRows.map(r =>
+              conv(org.apache.spark.sql.Row.fromSeq(r))
+                .asInstanceOf[InternalRow]).toArray
+          }
+          Collections.singletonList(result).iterator()
+        }
+      }
+    }
+  }
+}

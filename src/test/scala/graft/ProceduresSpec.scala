@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IceCatalog
+
+/** SQL stored procedures — `CALL graft.system.<proc>(...)`, the Iceberg
+  * maintenance UX, driven through real Spark SQL end to end: each CALL
+  * executes through the commit protocol and returns its report as a
+  * result set.
+  */
+class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val root: String = Files.createTempDirectory("proccat").toString
+  lazy val spark: SparkSession = GraftSession.builder("graft-proc-test", cpus = 4)
+    .config("spark.sql.catalog.graft", "graft.catalog.GraftTableCatalog")
+    .config("spark.sql.catalog.graft.root", root)
+    .getOrCreate()
+  lazy val cat = new IceCatalog(spark, root)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def setup(): Unit = {
+    import spark.implicits._
+    if (!cat.listNamespaces().contains("p")) {
+      cat.createNamespace("p")
+      cat.createTable("p.t", Seq((1L, "a")).toDF("id", "v").schema)
+      // several small commits → several snapshots and files to maintain
+      (1 to 4).foreach(i => cat.insert("p.t", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    }
+  }
+
+  test("rewrite_data_files compacts through CALL and reports counts") {
+    setup()
+    val before = cat.files("p.t").length
+    assert(before == 4)
+    val r = spark.sql("CALL graft.system.rewrite_data_files('p.t')").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Int]("rewritten_files") == 4)
+    assert(r.head.getAs[Int]("result_files") < 4)
+    assert(cat.scan("p.t").count() == 4, "compaction preserves rows")
+  }
+
+  test("named arguments and defaults: expire_snapshots retains the current snapshot") {
+    setup()
+    val r = spark.sql(
+      "CALL graft.system.expire_snapshots(table => 'p.t', retain_last => 1)").collect()
+    assert(r.head.getAs[Int]("expired_snapshot_count") > 0)
+    assert(cat.loadMeta("p.t").snapshots.nonEmpty)
+    assert(cat.scan("p.t").count() == 4)
+  }
+
+  test("rollback_to_snapshot via CALL") {
+    setup()
+    val cur = cat.loadMeta("p.t").currentSnapshotId
+    val r = spark.sql(
+      s"CALL graft.system.rollback_to_snapshot('p.t', $cur)").collect()
+    assert(r.head.getAs[Long]("current_snapshot_id") != cur,
+      "rollback commits a NEW snapshot adopting the target's files")
+    assert(cat.scan("p.t").count() == 4)
+  }
+
+  test("maintain runs the table policy and reports per-job rows") {
+    setup()
+    cat.setProperty("p.t", "maintenance.jobs", "snapshot_cleanup")
+    cat.setProperty("p.t", "maintenance.expire.min-snapshots", "1")
+    val r = spark.sql("CALL graft.system.maintain('p.t')").collect()
+    assert(r.nonEmpty && r.head.getAs[String]("job") == "snapshot_cleanup")
+  }
+
+  test("unknown procedure fails with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.frobnicate('p.t')").collect()
+    }
+    assert(e.getMessage.contains("frobnicate"))
+  }
+}
