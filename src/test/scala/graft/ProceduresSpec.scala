@@ -72,6 +72,33 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.nonEmpty && r.head.getAs[String]("job") == "snapshot_cleanup")
   }
 
+  test("zorder, rewrite_manifests, and remove_orphan_files via CALL") {
+    import spark.implicits._
+    cat.createTable("p.z", Seq((1L, 2L)).toDF("a", "b").schema)
+    (1 to 3).foreach(i =>
+      cat.insert("p.z", Seq((i.toLong, (10 - i).toLong)).toDF("a", "b")))
+    val z = spark.sql("CALL graft.system.zorder('p.z', 'a,b')").collect()
+    assert(z.head.getAs[String]("zordered_by") == "a,b")
+    assert(cat.scan("p.z").count() == 3)
+    val m = spark.sql("CALL graft.system.rewrite_manifests('p.z', 1)").collect()
+    assert(m.head.getAs[Int]("manifest_count") == 1)
+    // orphan an unreferenced parquet in the data dir, then collect it
+    val dataDir = java.nio.file.Paths.get(root, "p", "z", "data")
+    val orphan = dataDir.resolve("orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val dry = spark.sql(
+      "CALL graft.system.remove_orphan_files('p.z', older_than_hours => 0, dry_run => true)")
+      .collect()
+    assert(dry.head.getAs[Int]("orphan_file_count") == 1 &&
+      dry.head.getAs[Boolean]("dry_run"))
+    assert(java.nio.file.Files.exists(orphan), "dry run must not delete")
+    val real = spark.sql(
+      "CALL graft.system.remove_orphan_files('p.z', older_than_hours => 0)").collect()
+    assert(real.head.getAs[Int]("orphan_file_count") == 1)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(cat.scan("p.z").count() == 3, "live files untouched")
+  }
+
   test("unknown procedure fails with a clear error") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.frobnicate('p.t')").collect()
