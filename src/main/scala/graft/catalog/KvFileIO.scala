@@ -64,10 +64,16 @@ final class KvFileIO(metadataRoot: String) extends FileIO {
 
   def createDirectories(p: Path): Unit = {
     if (!inKv(p)) { LocalFileIO.createDirectories(p); return }
+    // TOP-DOWN, so a FILE at any level blocks creation (POSIX) BEFORE any
+    // deeper key is created — bottom-up would leave orphan dir keys behind
+    // the failure
+    var chain = List.empty[Path]
     var k = p.toAbsolutePath.normalize
-    while (k != null) {
-      store.putIfAbsent(k.toString, Entry(null, now(), dir = true))
-      k = k.getParent
+    while (k != null) { chain = k :: chain; k = k.getParent }
+    chain.foreach { c =>
+      val existing = store.putIfAbsent(c.toString, Entry(null, now(), dir = true))
+      if (existing != null && !existing.dir)
+        throw new FileAlreadyExistsException(c.toString)
     }
   }
 
@@ -109,7 +115,11 @@ final class KvFileIO(metadataRoot: String) extends FileIO {
   def writeString(p: Path, s: String): Unit = {
     if (!inKv(p)) { LocalFileIO.writeString(p, s); return }
     requireParentDir(p)
-    store.put(key(p),
+    val k = key(p)
+    // writing over a DIRECTORY must fail, as on POSIX
+    if (Option(store.get(k)).exists(_.dir))
+      throw new java.nio.file.FileSystemException(k, null, "is a directory")
+    store.put(k,
       Entry(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), now(), dir = false))
   }
 
@@ -125,6 +135,7 @@ final class KvFileIO(metadataRoot: String) extends FileIO {
     if (!inKv(target)) { LocalFileIO.publishLink(target, src); return }
     val e = store.get(key(src))
     if (e == null || e.dir) throw new NoSuchFileException(key(src))
+    requireParentDir(target) // link(2): target's parent must be a directory
     // putIfAbsent IS the atomic create-new publish (etcd create-revision
     // txn): of N committers racing the same version key, exactly one wins
     if (store.putIfAbsent(key(target), e.copy(mtime = now())) != null)
@@ -137,6 +148,16 @@ final class KvFileIO(metadataRoot: String) extends FileIO {
     val tk = key(to)
     val e = store.get(fk)
     if (e == null) throw new NoSuchFileException(fk)
+    if (fk == tk) return // rename onto itself: POSIX success, no-op
+    // POSIX rename constraints: a directory cannot move into its own
+    // subtree, and the target's parent must be an existing directory
+    if (e.dir && tk.startsWith(fk + "/"))
+      throw new java.nio.file.FileSystemException(tk, null,
+        "cannot move a directory into its own subtree")
+    val tparent = Option(java.nio.file.Paths.get(tk).getParent)
+      .map(_.toString).getOrElse(throw new NoSuchFileException(tk))
+    if (!Option(store.get(tparent)).exists(_.dir))
+      throw new NoSuchFileException(tparent)
     if (e.dir) {
       // directory rename = one transaction over the key range
       val prefix = fk + "/"
@@ -161,7 +182,18 @@ final class KvFileIO(metadataRoot: String) extends FileIO {
     if (!inKv(p)) return LocalFileIO.deleteIfExists(p)
     val k = key(p)
     val e = store.get(k)
-    if (e == null) return false
+    if (e == null) {
+      // POSIX: unlink through a FILE path component is ENOTDIR, not false
+      var anc = p.toAbsolutePath.normalize.getParent
+      while (anc != null && inKv(anc)) {
+        val ae = store.get(anc.toString)
+        if (ae != null && !ae.dir)
+          throw new java.nio.file.FileSystemException(anc.toString, null,
+            "not a directory")
+        anc = anc.getParent
+      }
+      return false
+    }
     if (e.dir && store.keySet().asScala.exists(_.startsWith(k + "/")))
       throw new DirectoryNotEmptyException(k)
     store.remove(k) != null

@@ -1,0 +1,93 @@
+package graft
+
+import scala.util.Random
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IcebergJson
+
+/** Property tests for the Iceberg-spec JSON conversion: randomized Spark
+  * schemas (primitives + nested struct/list/map) must survive
+  * toIceberg → fromIceberg up to the documented promotions
+  * (short/byte → int), with every emitted field id distinct and nested
+  * ids allocated past the catalog's last field id.
+  */
+class IcebergJsonSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+    .registerModule(new com.fasterxml.jackson.module.scala.DefaultScalaModule)
+
+  private val primitives: Seq[DataType] = Seq(
+    LongType, IntegerType, ShortType, ByteType, StringType, DoubleType,
+    FloatType, BooleanType, DateType, TimestampType, TimestampNTZType,
+    BinaryType, DecimalType(12, 3), DecimalType(38, 10))
+
+  private def randomType(r: Random, depth: Int): DataType =
+    if (depth <= 0 || r.nextInt(4) > 0) primitives(r.nextInt(primitives.length))
+    else r.nextInt(3) match {
+      case 0 => StructType((1 to 1 + r.nextInt(3)).map(i =>
+        StructField(s"n$i", randomType(r, depth - 1), nullable = r.nextBoolean())))
+      case 1 => ArrayType(randomType(r, depth - 1), containsNull = r.nextBoolean())
+      case _ => MapType(primitives(r.nextInt(primitives.length)),
+        randomType(r, depth - 1), valueContainsNull = r.nextBoolean())
+    }
+
+  private def randomSchema(r: Random): StructType =
+    StructType((1 to 1 + r.nextInt(6)).map(i =>
+      StructField(s"c$i", randomType(r, 2), nullable = r.nextBoolean())))
+
+  /** The documented promotions: Iceberg has no short/byte — they emit as
+    * "int" and come back as IntegerType.
+    */
+  private def promote(dt: DataType): DataType = dt match {
+    case ShortType | ByteType => IntegerType
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = promote(f.dataType))))
+    case a: ArrayType => a.copy(elementType = promote(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = promote(m.keyType), valueType = promote(m.valueType))
+    case other => other
+  }
+
+  private def collectIds(n: JsonNode): Seq[Int] = {
+    val buf = Seq.newBuilder[Int]
+    def walk(node: JsonNode): Unit = {
+      if (node.isObject) {
+        Seq("id", "element-id", "key-id", "value-id").foreach { k =>
+          if (node.path(k).isInt) buf += node.path(k).asInt()
+        }
+        node.properties().forEach(e => walk(e.getValue))
+      } else if (node.isArray) node.elements().forEachRemaining(walk)
+    }
+    walk(n)
+    buf.result()
+  }
+
+  test("200 random schemas round-trip through Iceberg schema JSON") {
+    val r = new Random(42)
+    for (i <- 1 to 200) {
+      val s = randomSchema(r)
+      val ids = s.fields.indices.toSeq
+      val lastId = ids.lastOption.getOrElse(-1)
+      val node = mapper.valueToTree[JsonNode](
+        mapper.readTree(mapper.writeValueAsString(
+          IcebergJson.toIcebergSchema(s, ids, 0, lastId))))
+      val back = IcebergJson.schemaFromIceberg(node)
+      assert(back == promote(s), s"iteration $i: $s")
+      // every id distinct; nested ids strictly past the top-level range
+      val allIds = collectIds(node)
+      assert(allIds.distinct.length == allIds.length, s"iteration $i dup ids")
+      val nested = allIds.filterNot(ids.contains)
+      assert(nested.forall(_ > lastId), s"iteration $i nested ids $nested")
+    }
+  }
+
+  test("transform strings normalize to the spec spelling") {
+    assert(IcebergJson.toIcebergTransform("bucket[16]") == "bucket[16]")
+    assert(IcebergJson.toIcebergTransform("truncate[4]") == "truncate[4]")
+    assert(IcebergJson.toIcebergTransform("") == "identity")
+    assert(IcebergJson.toIcebergTransform("YEAR") == "year")
+  }
+}

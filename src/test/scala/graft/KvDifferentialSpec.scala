@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.util.{Random, Try}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{FileIO, KvFileIO, LocalFileIO}
+
+/** Differential property test: the KV backend must be OBSERVABLY
+  * equivalent to the POSIX one — same success/failure on every operation,
+  * same resulting tree, same contents — under thousands of random op
+  * sequences over a shared path pool. This is what makes "a real etcd
+  * client is a transport swap" trustworthy: the catalog above the seam
+  * cannot tell the two stores apart.
+  */
+class KvDifferentialSpec extends AnyFunSuite {
+
+  /** Canonical observable state: (relative path, isDir, content). */
+  private def state(io: FileIO, root: Path): Seq[(String, Boolean, String)] =
+    io.walk(root).drop(1).map { p =>
+      val rel = root.relativize(p).toString
+      val dir = io.isDirectory(p)
+      (rel, dir, if (dir) "" else io.readString(p))
+    }.sortBy(_._1)
+
+  test("3000 random ops: KvFileIO and LocalFileIO stay observably identical") {
+    val r = new Random(7)
+    val localRoot = Files.createTempDirectory("kvdiff-local")
+    val kvRoot = java.nio.file.Paths.get("/kvdiff-virtual/root")
+    val kv = new KvFileIO("/kvdiff-virtual")
+    kv.createDirectories(kvRoot)
+
+    // a small pool of relative paths (depth ≤ 3) both sides share
+    val names = Seq("a", "b", "c", "d")
+    def randomRel(): String =
+      (0 until 1 + r.nextInt(3)).map(_ => names(r.nextInt(names.length))).mkString("/")
+
+    var ops = 0
+    for (i <- 1 to 3000) {
+      val rel = randomRel()
+      val rel2 = randomRel()
+      val content = s"v$i-${r.nextInt(100)}"
+      val opId = r.nextInt(10)
+      def run(io: FileIO, root: Path): Either[String, String] = {
+        val p = root.resolve(rel)
+        val p2 = root.resolve(rel2)
+        Try(opId match {
+          case 0 => io.createDirectories(p); "mkdir"
+          case 1 => io.writeString(p, content); "write"
+          case 2 => io.writeStringIfAbsent(p, content); "writeNew"
+          case 3 => io.readString(p)
+          case 4 => io.list(p).map(root.relativize(_).toString).sorted.mkString(",")
+          case 5 => io.exists(p).toString + io.isDirectory(p) + io.isRegularFile(p)
+          case 6 => io.deleteIfExists(p).toString
+          case 7 => io.move(p, p2); "move"
+          case 8 => io.publishLink(p2, p); "link"
+          case 9 => if (io.isRegularFile(p)) io.size(p).toString else "skip"
+        }).toEither.left.map(_ => "threw")
+      }
+      val lr = run(LocalFileIO, localRoot)
+      val kr = run(kv, kvRoot)
+      assert(lr == kr,
+        s"op $i (id=$opId rel=$rel rel2=$rel2): local=$lr kv=$kr")
+      ops += 1
+      assert(state(LocalFileIO, localRoot) == state(kv, kvRoot),
+        s"state diverged after op $i (id=$opId rel=$rel rel2=$rel2)")
+    }
+    assert(state(LocalFileIO, localRoot) == state(kv, kvRoot))
+    info(s"$ops ops, final tree ${state(kv, kvRoot).length} entries")
+  }
+}
