@@ -128,15 +128,17 @@ object Maintenance {
         // (DataCompaction.java minInputFiles); the rewrite itself is the
         // catalog's distributed compact(). Dry-run reports the decision it
         // WOULD take, not "skipped" — that's dry-run's whole purpose.
-        val small = cat.files(ident).count(_.bytes < (p.targetFileMB.toLong << 20))
+        // One file listing drives the decision AND the before-count (the
+        // post-compaction count is the one listing that must be fresh).
+        val files = cat.files(ident)
+        val small = files.count(_.bytes < (p.targetFileMB.toLong << 20))
         if (small < p.minInputFiles)
           Report(ident, job, s"skipped smallFiles=$small need=${p.minInputFiles}")
         else if (p.dryRun)
           Report(ident, job, s"would-compact smallFiles=$small")
         else {
-          val before = cat.files(ident).length
           cat.compact(ident, p.targetFileMB)
-          Report(ident, job, s"files=$before->${cat.files(ident).length}")
+          Report(ident, job, s"files=${files.length}->${cat.files(ident).length}")
         }
       case JobManifestCompaction =>
         def segCount: Int = cat.loadMeta(ident).current
