@@ -153,6 +153,9 @@ object RestServer {
           sendError(ex, 409, "CommitFailedException", e.getMessage)
         case e: IllegalArgumentException =>
           sendError(ex, 400, "BadRequestException", e.getMessage)
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          // malformed request JSON is the client's fault, not a 500
+          sendError(ex, 400, "BadRequestException", s"malformed JSON: ${e.getOriginalMessage}")
         case e: Exception =>
           sendError(ex, 500, "InternalServerError", e.toString)
       } finally ex.close()

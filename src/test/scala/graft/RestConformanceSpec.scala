@@ -272,6 +272,10 @@ class RestConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
         | "updates":[{"action":"set-properties","updates":{"x":"y"}}]}""".stripMargin)
     assert(stale.statusCode() == 409)
     assert(json(stale).path("error").path("type").asText() == "CommitFailedException")
+    // malformed JSON is a 400 BadRequestException, not a 500
+    val garbage = req("POST", "/v1/namespaces", """{"namespace": [unclosed""")
+    assert(garbage.statusCode() == 400, garbage.body())
+    assert(json(garbage).path("error").path("type").asText() == "BadRequestException")
   }
 
   test("nested types (struct/list/map) round-trip through spec schema JSON") {
