@@ -1992,11 +1992,22 @@ class IceCatalog(
   def evolveSchemaTo(
       ident: String,
       wanted: Seq[(Option[Int], String, DataType, Boolean)],
-      basedOn: Option[Long] = None): TableMeta = {
+      basedOn: Option[Long] = None,
+      requireLastFieldId: Option[Int] = None): TableMeta = {
     require(wanted.nonEmpty, "schema update needs at least one field")
     require(wanted.map(_._2).distinct.length == wanted.length,
       "duplicate column names in schema update")
     commit(ident, m => {
+      // assert-last-assigned-field-id (Iceberg's requirement for exactly
+      // this race): snapshot-id CAS cannot protect schema commits (they
+      // don't move the snapshot), and a whole-schema replace computed from
+      // a STALE view would silently drop a concurrently added column — the
+      // absent id reads as an intentional drop. Checked HERE, inside the
+      // lease-locked commit, so it is a real CAS on the field-id counter.
+      requireLastFieldId.filter(_ != m.lastFieldId).foreach(seen =>
+        throw new java.util.ConcurrentModificationException(
+          s"requirement failed: $ident last-assigned-field-id " +
+            s"${m.lastFieldId} != $seen (schema moved under the client)"))
       val byId = m.fieldIds.zip(m.schema.fields).toMap
       var last = m.lastFieldId
       val widen = Set(

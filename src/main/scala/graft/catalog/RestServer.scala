@@ -460,7 +460,13 @@ object RestServer {
               IcebergJson.fromIcebergType(f.path("type")),
               !f.path("required").asBoolean(false))
           }.toSeq
-        cat.evolveSchemaTo(ident, wanted, basedOn)
+        // assert-last-assigned-field-id guards the schema race the
+        // snapshot-id requirement can't see (schema commits don't move
+        // the snapshot); enforced INSIDE the lease-locked commit
+        val lastSeen = arr(req, "requirements")
+          .filter(r => textOr(r, "type", "") == "assert-last-assigned-field-id")
+          .map(_.path("last-assigned-field-id").asInt()).lastOption
+        cat.evolveSchemaTo(ident, wanted, basedOn, lastSeen)
       }
       if (appends.nonEmpty) {
         val paths = appends.flatMap(_.path("paths").elements().asScala.map(_.asText()))
@@ -540,6 +546,7 @@ object RestServer {
       reqs.foreach { r =>
         text(r, "type") match {
           case "assert-current-snapshot-id" => ()
+          case "assert-last-assigned-field-id" => () // enforced in the schema commit
           case "assert-table-uuid" =>
             val want = r.path("uuid").asText("")
             val have = cat.tableUuid(ident)

@@ -257,6 +257,29 @@ class RestConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
          |    {"id":$idId,"name":"id","required":false,"type":"double"}]}},
          |  {"action":"set-properties","updates":{"z":"1"}}]}""".stripMargin)
     assert(mixed.statusCode() == 400)
+    // assert-last-assigned-field-id: a client whose schema view went stale
+    // (another writer added a column) must hear 409, not silently drop the
+    // concurrent column via its whole-schema replace
+    val lastId = json(req("GET", "/v1/namespaces/conf/tables/plain"))
+      .path("metadata").path("last-column-id").asInt()
+    val staleEvolve = req("POST", "/v1/namespaces/conf/tables/plain",
+      s"""{"requirements":[
+         |   {"type":"assert-last-assigned-field-id","last-assigned-field-id":${lastId - 1}}],
+         | "updates":[
+         |  {"action":"add-schema","schema":{"type":"struct","fields":[
+         |    {"id":$idId,"name":"id","required":false,"type":"double"}]}}]}""".stripMargin)
+    assert(staleEvolve.statusCode() == 409, staleEvolve.body())
+    assert(json(staleEvolve).path("error").path("type").asText() == "CommitFailedException")
+    val freshEvolve = req("POST", "/v1/namespaces/conf/tables/plain",
+      s"""{"requirements":[
+         |   {"type":"assert-last-assigned-field-id","last-assigned-field-id":$lastId}],
+         | "updates":[
+         |  {"action":"add-schema","schema":{"type":"struct","fields":[
+         |    {"id":$idId,"name":"id","required":false,"type":"double"},
+         |    {"id":${json(req("GET", "/v1/namespaces/conf/tables/plain"))
+             .path("metadata").path("schemas").get(0).path("fields").size() + 100},
+         |     "name":"extra","required":false,"type":"long"}]}}]}""".stripMargin)
+    assert(freshEvolve.statusCode() == 200, freshEvolve.body())
   }
 
   test("spec error envelopes and exception types") {
