@@ -140,6 +140,26 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(opq <= plain * 1.02, s"OPQ MSE $opq vs plain $plain")
   }
 
+  test("corpus replacement evicts superseded cache entries and unpersists them") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("ann-evict")
+    Files.copy(Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      d.resolve("embeddings.parquet"))
+    val (c1, df1) = Similarity.indexedCorpus(spark, d.toString)
+    assert(df1.count() > 0 && df1.storageLevel.useMemory,
+      "indexed corpus must be persisted")
+    // replace the corpus file: different bytes → different fingerprint
+    Files.copy(Paths.get("/root/testdata/sf0.01/embeddings.parquet"),
+      d.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val (c2, df2) = Similarity.indexedCorpus(spark, d.toString)
+    assert(df2 ne df1, "stale entry must be replaced, not served")
+    assert(c2 ne c1, "centroids must retrain on the new corpus version")
+    assert(df1.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "the superseded indexed corpus must be UNPERSISTED, not stranded " +
+        "in executor storage until session end")
+    assert(df2.count() > 0 && df2.storageLevel.useMemory)
+  }
+
   test("s8 second call in a session trains nothing: zero eager jobs") {
     // first call trains coarse quantizer + PQ codebooks (several collect()
     // jobs); the second must serve BOTH from the session caches — building
