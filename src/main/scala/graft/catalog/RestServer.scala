@@ -16,20 +16,24 @@ import graft.catalog.IceCatalog._
 /** HTTP facade over [[IceCatalog]] — the reference's REST catalog server
   * (ice-rest-catalog/internal/rest/RESTCatalogHandler.java routing per
   * Route.java, bearer auth per RESTCatalogAuthorizationHandler.java),
-  * re-expressed over the Spark-native commit protocol. Routes follow the
-  * Iceberg REST layout so the wire surface is familiar:
+  * re-expressed over the Spark-native commit protocol, speaking the
+  * Iceberg REST SPEC wire format (spec payloads, not just the route
+  * layout — see [[IcebergJson]] and RestConformanceSpec):
   *
   *   POST   /v1/oauth/tokens                   client-credentials grant
-  *   GET    /v1/config
-  *   GET    /v1/namespaces                     list
-  *   POST   /v1/namespaces                     create {"namespace":["ns"]}
+  *   GET    /v1/config                         defaults/overrides/endpoints
+  *   GET    /v1/namespaces                     list (paginated)
+  *   POST   /v1/namespaces                     create (+properties)
   *   GET/HEAD/DELETE /v1/namespaces/{ns}
-  *   GET    /v1/namespaces/{ns}/tables         list
-  *   POST   /v1/namespaces/{ns}/tables         create {"name","schema",...}
+  *   POST   /v1/namespaces/{ns}/properties     spec updates/removals
+  *   GET    /v1/namespaces/{ns}/tables         list (paginated)
+  *   POST   /v1/namespaces/{ns}/tables         spec CreateTableRequest
+  *                                             (legacy compact form too)
   *   GET/HEAD/DELETE /v1/namespaces/{ns}/tables/{t}
   *   POST   /v1/namespaces/{ns}/tables/{t}     commit {requirements,updates}
-  *                                             (append-files | set-properties
-  *                                             | rollback)
+  *                                             (append-files | set/remove-
+  *                                             properties | add-schema +
+  *                                             set-current-schema | rollback)
   *   POST   /v1/namespaces/{ns}/tables/{t}/maintenance  run the table's policy
   *   POST   /v1/namespaces/{ns}/tables/{t}/metrics   accepted, discarded
   *   POST   /v1/tables/rename                  {"source","destination"}
@@ -37,6 +41,11 @@ import graft.catalog.IceCatalog._
   *   GET    /v1/catalog/export                 whole-catalog metadata blob
   *   POST   /v1/catalog/import                 recreate tables from a blob
   *   GET    /metrics                           Prometheus text exposition
+  *
+  * Requirements: assert-current-snapshot-id (CAS inside the lease-locked
+  * commit), assert-table-uuid, assert-last-assigned-field-id (the schema
+  * race the snapshot CAS can't see). LoadTableResponse carries
+  * metadata-location plus the full format-v2 TableMetadata.
   *
   * Commits route through the catalog's lease-locked optimistic protocol, so
   * concurrent external committers serialize exactly like local ones; the
