@@ -1997,6 +1997,8 @@ class IceCatalog(
     require(wanted.nonEmpty, "schema update needs at least one field")
     require(wanted.map(_._2).distinct.length == wanted.length,
       "duplicate column names in schema update")
+    require(wanted.flatMap(_._1).distinct.length == wanted.flatMap(_._1).length,
+      "duplicate field ids in schema update")
     commit(ident, m => {
       // assert-last-assigned-field-id (Iceberg's requirement for exactly
       // this race): snapshot-id CAS cannot protect schema commits (they

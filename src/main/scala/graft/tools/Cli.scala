@@ -210,7 +210,8 @@ object Cli {
       val a = args(i)
       if (a.startsWith("--")) {
         val k = a.stripPrefix("--")
-        if (boolFlags(k) || i + 1 >= args.length) { flags += k -> "true"; i += 1 }
+        if (boolFlags(k)) { flags += k -> "true"; i += 1 }
+        else if (i + 1 >= args.length) fail(s"--$k needs a value")
         else {
           val v = args(i + 1)
           flags += k -> flags.get(k).map(_ + "," + v).getOrElse(v)
@@ -221,9 +222,13 @@ object Cli {
     (flags, pos.result())
   }
 
+  /** Streams partitions to the driver one at a time (`toLocalIterator`)
+    * so an unbounded `scan` of a large table prints in bounded memory
+    * instead of materializing every row at once.
+    */
   private def printDf(out: PrintStream, df: DataFrame): Unit = {
     out.println(df.columns.mkString("\t"))
-    df.collect().foreach(r =>
+    df.toLocalIterator().forEachRemaining(r =>
       out.println(r.toSeq.map(v => if (v == null) "null" else v.toString)
         .mkString("\t")))
   }

@@ -129,5 +129,9 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c2 == 1 && out2.exists(_.contains("--schema")))
     val (c3, _) = cli("scan", "ns.nope")
     assert(c3 == 1)
+    // a value-taking flag in last position is a usage error, not a silent
+    // "true" that explodes later as NumberFormatException
+    val (c4, out4) = cli("serve", "--port")
+    assert(c4 == 1 && out4.exists(_.contains("--port needs a value")))
   }
 }

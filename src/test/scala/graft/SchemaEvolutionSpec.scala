@@ -359,6 +359,12 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       cat.evolveSchemaTo("ev.bulk", Seq((Some(idId), "id", StringType, true)))
     }
     assert(cat.loadMeta("ev.bulk").schemaLog.length == after.schemaLog.length)
+    // two fields sharing one id would corrupt by-id resolution — refused
+    intercept[IllegalArgumentException] {
+      cat.evolveSchemaTo("ev.bulk", Seq(
+        (Some(idId), "id", DoubleType, true),
+        (Some(idId), "twin", DoubleType, true)))
+    }
     // dropping a retired id's column again (absent target id) is the same
     // as never listing it; dropping a partition source is refused — covered
     // by the single-column API tests above, same validation path
