@@ -186,8 +186,8 @@ object Queries {
     "d2_minhash_sig" -> (Dedup.minhashSigQuery _),
     "d3_minhash_lsh" -> (Dedup.minhashLshPairs _),
     "d4_simhash" -> (Dedup.simhash _),
-    "d5_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
-    "d6_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    "d5_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.lshJaccardVerify(s, d)),
+    "d6_embed_neardup" -> ((s: SparkSession, d: String) => Dedup.multiprobeCosineVerify(s, d)),
     "d10_lsh_cosine_verify" -> ((s: SparkSession, d: String) => Dedup.lshCosineVerify(s, d)),
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
@@ -287,6 +287,34 @@ object Queries {
        |  score FROM s)
        |SELECT q_id, neighbor_id, rank, round(score, 4) + 0.0 AS score
        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** DuckDB SQL for d6 (multi-probe LSH propose + cosine verify): the d10
+    * oracle's shape at 8 planes, with each vector's bucket expanded to its
+    * Hamming-1 probe set before the pair join — mirroring
+    * `Dedup.multiprobeCosineVerify` stage for stage.
+    */
+  private def multiprobeCosineVerifyOracle: String = {
+    val planes = (0 until 8).map(b => Similarity.hyperplane(b, 64))
+    val bucketExpr = planes.zipWithIndex.map { case (p, b) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val masks = (Seq(0L) ++ (0 until 8).map(b => 1L << b)).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |pr AS (SELECT vec_id AS vec_a, v AS av, xor(bucket, m) AS bucket
+       |       FROM bk, unnest($masks) AS t(m)),
+       |p AS (SELECT pr.vec_a, b.vec_id AS vec_b, pr.av, b.v AS bv
+       |      FROM pr JOIN bk b ON pr.bucket = b.bucket AND pr.vec_a < b.vec_id)
+       |SELECT vec_a, vec_b,
+       | round(list_dot_product(av, bv)
+       |   / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 4) AS cos_sim
+       |FROM p
+       |WHERE list_dot_product(av, bv)
+       |   / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))) >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   /** DuckDB SQL for s7: the s2 pipeline with Hamming-1 probe expansion —
@@ -465,25 +493,17 @@ object Queries {
          |SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n
          |ORDER BY doc_id""".stripMargin,
     "d5_ngram_jaccard" ->
-      s"""WITH $tokCte,
-         |ts AS (SELECT doc_id, source, list_distinct(t) AS t FROM tok)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      s"""WITH $sigCte,
+         |$lshPairsCte,
+         |ts AS (SELECT doc_id, list_distinct(t) AS t FROM tok)
+         |SELECT p.doc_a, p.doc_b,
          | round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
          |   / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 4) AS jaccard
-         |FROM ts a JOIN ts b ON a.source = b.source AND a.doc_id < b.doc_id
+         |FROM pairs p JOIN ts a ON p.doc_a = a.doc_id JOIN ts b ON p.doc_b = b.doc_id
          |WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
          |   / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "d6_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, label,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        | round(list_dot_product(a.v, b.v)
-        |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v)
-        |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
-        |ORDER BY vec_a, vec_b""".stripMargin,
+    "d6_embed_neardup" -> multiprobeCosineVerifyOracle,
     "d10_lsh_cosine_verify" -> lshCosineVerifyOracle,
     "s1_cosine_topk" ->
       """WITH e AS (SELECT vec_id,

@@ -78,7 +78,14 @@ object Dedup {
     sigs.select(col("doc_id"),
       posexplode(array((0 until NumHashes).map(k => col(s"sig_$k")): _*)).as(Seq("band", "sig")))
 
-  private[graft] def minhashLshPairsOf(sigs: DataFrame, maxBucket: Int): DataFrame = {
+  private[graft] def minhashLshPairsOf(sigs: DataFrame, maxBucket: Int): DataFrame =
+    lshCandidatePairs(sigs, maxBucket).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unordered LSH candidate pairs — the PROPOSE stage shared by d3 (which
+    * sorts for presentation) and d5's verify composition (which feeds them
+    * straight into id equi-joins, where a sort would be wasted work).
+    */
+  private[graft] def lshCandidatePairs(sigs: DataFrame, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bands = lshBands(sigs)
     val w = Window.partitionBy(col("band"), col("sig"))
@@ -94,7 +101,6 @@ object Dedup {
       .select(explode(combos).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Observability companion to the cap: the buckets d3 dropped, with
@@ -298,12 +304,29 @@ object Dedup {
     jaccardScore(withSides, threshold)
   }
 
-  /** d5: n-gram Jaccard on SOURCE-BLOCKED pairs — a convenience wrapper
+  /** d5: n-gram Jaccard near-dup at the SCALE shape — MinHash-LSH buckets
+    * PROPOSE candidate pairs (one band equi-shuffle, O(collisions), capped
+    * per bucket) and [[ngramJaccardOn]] VERIFIES each with the exact
+    * Jaccard at O(candidate pairs). The registered gate plan: the only
+    * corpus-scaling join keys on the LSH band, never on a block attribute,
+    * so no single dominant source can send it quadratic.
+    */
+  def lshJaccardVerify(
+      spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
+    ngramJaccardOn(spark, dir,
+      lshCandidatePairs(minhashSignatures(Tables.documents(spark, dir)), MaxLshBucket),
+      threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** n-gram Jaccard on SOURCE-BLOCKED pairs — a convenience wrapper
     * for corpora where blocks are known small (one self-join, sets carried
     * inline). WARNING — O(|block|²): a blocking key that grows with the
     * corpus (one crawl source can be most of 100 TB) makes this quadratic;
     * at scale, propose candidates with LSH/SimHash and verify them with
-    * [[ngramJaccardOn]] — the composition p1 runs.
+    * [[ngramJaccardOn]] — the composition [[lshJaccardVerify]] (the d5
+    * gate entry) and p1 run. Spec-only since round 6: consistency with the
+    * verifier API is pinned in OperatorsSpec, but no gate plan executes
+    * this blocked form.
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
     val tok = tokenSets(spark, dir)
@@ -381,10 +404,36 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** d6: embedding-cosine near-dup pairs within a LABEL block — the
+  /** d6: embedding-cosine near-dup at the SCALE shape — MULTI-PROBE
+    * hyperplane-LSH buckets PROPOSE (each vector probes its own bucket
+    * plus every Hamming-1 neighbor, recovering the pairs a single probe
+    * loses to one unlucky sign bit — the s7 trick applied to pair
+    * generation) and [[cosineOn]] VERIFIES with the exact cosine. Probe
+    * cost is (nBits+1)× rows into one bucket equi-join — O(collisions),
+    * never O(corpus²). Hamming(bucketₐ, bucket_b) ≤ 1 means exactly one
+    * probe mask matches per ordered pair, so no dedup shuffle is needed.
+    */
+  def multiprobeCosineVerify(
+      spark: SparkSession, dir: String,
+      nBits: Int = 8, threshold: Double = 0.35): DataFrame = {
+    val bucketed = Similarity.lshBucket(spark, dir, nBits)
+    val masks = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
+    val probes = bucketed.select(col("vec_id").as("vec_a"),
+      explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val pairs = probes
+      .join(bucketed.select(col("vec_id").as("vec_b"), col("bucket")), Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    cosineOn(spark, dir, pairs, threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs within a LABEL block — the
     * small-block convenience form. WARNING — O(|block|²), same hazard as
     * [[ngramJaccard]]: at scale, propose with s2/s3's buckets or cells and
-    * verify with [[cosineOn]] (the composition [[lshCosineVerify]] runs).
+    * verify with [[cosineOn]] (the compositions [[multiprobeCosineVerify]]
+    * — the d6 gate entry — and [[lshCosineVerify]] run). Spec-only since
+    * round 6, same consistency pin as the Jaccard wrapper.
     */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val e = normedVectors(spark, dir)

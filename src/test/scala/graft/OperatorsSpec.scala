@@ -94,6 +94,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(approxParts - exactParts) / exactParts < 0.05)
   }
 
+  test("blocked dedup wrappers agree with the pair-verifier APIs") {
+    import org.apache.spark.sql.functions._
+    // the spec-only O(block²) wrappers must stay consistent with the
+    // primary propose-then-verify path: feeding the wrapper's own blocked
+    // pair set through the verifier reproduces the wrapper's result.
+    val d = graft.sources.Tables.documents(spark, dir).select("doc_id", "source")
+    val docPairs = d.as("a")
+      .join(d.as("b"), col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    assert(
+      Dedup.ngramJaccardOn(spark, dir, docPairs)
+        .orderBy("doc_a", "doc_b").collect().toSeq ==
+        Dedup.ngramJaccard(spark, dir).collect().toSeq)
+
+    val e = graft.sources.Tables.embeddings(spark, dir).select("vec_id", "label")
+    val vecPairs = e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    assert(
+      Dedup.cosineOn(spark, dir, vecPairs)
+        .orderBy("vec_a", "vec_b").collect().toSeq ==
+        Dedup.embeddingNearDup(spark, dir).collect().toSeq)
+  }
+
   test("minhash lsh candidates include high-shingle-jaccard pairs (recall sanity)") {
     // Recall must be measured in minhash's own similarity space: Jaccard
     // over the 3-word shingle sets it sketches (NOT unigram Jaccard — the

@@ -130,6 +130,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "key sets there are data-dependent; let AQE choose")
   }
 
+  test("gate dedup plans never join on a block key (source/label)") {
+    // the O(block²) hazard: a join keyed on a corpus attribute (source,
+    // label) goes quadratic when one block dominates a 100× corpus. Every
+    // registered dedup plan must propose on LSH band/bucket keys and
+    // verify on id equi-joins — block-keyed joins are spec-only wrappers.
+    for (name <- Seq("d5_ngram_jaccard", "d6_embed_neardup",
+        "d10_lsh_cosine_verify", "p1_pipeline")) {
+      val joins = Queries.all(name)(spark, dir).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.nonEmpty, s"$name: expected a propose/verify join")
+      joins.foreach { j =>
+        val condRefs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name)
+        assert(!condRefs.exists(n => n == "source" || n == "label"),
+          s"$name: join keyed on block column: $condRefs")
+      }
+    }
+  }
+
   test("q14 salted skew agg plans two aggregation stages keyed on (key, salt)") {
     val p = plan("q14_skew_agg")
     // stage 1 groups by (skew_key, __salt), stage 2 by skew_key; each stage
