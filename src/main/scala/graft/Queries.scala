@@ -632,7 +632,8 @@ object Queries {
     "t9_merge_upsert" -> (CatalogOps.mergeUpsertQuery _),
     "t10_rowgroups" -> (graft.sources.ParquetMeta.rowGroupsQuery _),
     "t11_profile" -> (TableMeta.profile _),
-    "t12_mor_upsert" -> (CatalogOps.morUpsertQuery _)
+    "t12_mor_upsert" -> (CatalogOps.morUpsertQuery _),
+    "t13_sql_merge" -> (CatalogOps.sqlMergeQuery _)
   )
 
   val tableMetaOracle: Map[String, String] = Map(
@@ -689,6 +690,18 @@ object Queries {
         |   THEN o_totalprice * 2 ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
         |   AS total_cents
         |FROM orders WHERE o_orderkey % 16 <> 4""".stripMargin,
+    // t13 runs t9's merge through SQL MERGE INTO twice — the copy-on-write
+    // and merge-on-read row-level paths must both land on t9's oracle
+    "t13_sql_merge" ->
+      """WITH m AS (SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(round(CASE WHEN o_orderkey % 8 = 0
+        |   THEN o_totalprice * 2 ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+        |   AS total_cents
+        |FROM orders)
+        |SELECT 'cow' AS mode, n_rows, total_cents FROM m
+        |UNION ALL
+        |SELECT 'mor' AS mode, n_rows, total_cents FROM m
+        |ORDER BY mode""".stripMargin,
     // __SF_DIR__ is substituted with the actual data dir by Verify at dump
     // time — parquet_metadata() needs a literal path, not a view.
     "t10_rowgroups" ->

@@ -47,10 +47,25 @@ private class GraftSnapshotTable(
     ice: IceCatalog, ident: String,
     meta: IceCatalog.TableMeta, files: Seq[IceCatalog.DataFileMeta],
     mkTable: (Seq[String], StructType) => ParquetTable,
-    readSchema: StructType, idResolved: Boolean, timeTraveled: Boolean)
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    readSchema: StructType, idResolved: Boolean, timeTraveled: Boolean,
+    deletes: Seq[IceCatalog.DeleteFileMeta])
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  private def ctx(options: CaseInsensitiveStringMap) =
+    ManifestPrune.Ctx(meta, files, mkTable, options, readSchema, idResolved,
+      deletes = deletes)
   override def name(): String = delegate.name
-  override def schema(): StructType = delegate.schema
+  /** Declared merge keys report non-nullable: they are the row-identity
+    * contract merge-on-read relies on, and Spark's delta-based rewrite
+    * (rightly) refuses nullable row-id attributes.
+    */
+  override def schema(): StructType = {
+    val keys = tableProps.get(RowLevelOps.MergeKeysProp)
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty)
+    if (keys.isEmpty) delegate.schema
+    else StructType(delegate.schema.fields.map(f =>
+      if (keys(f.name)) f.copy(nullable = false) else f))
+  }
   override def partitioning(): Array[Transform] = StoragePartitioning.v2Partitioning(meta)
   override def properties(): util.Map[String, String] = tableProps.asJava
   override def capabilities(): util.Set[TableCapability] =
@@ -58,8 +73,24 @@ private class GraftSnapshotTable(
      else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
        TableCapability.TRUNCATE)).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
-    new ManifestPrunedScanBuilder(
-      ManifestPrune.Ctx(meta, files, mkTable, options, readSchema, idResolved))
+    new ManifestPrunedScanBuilder(ctx(options))
+
+  /** SQL MERGE INTO / UPDATE (and DELETE with predicates the metadata
+    * path can't express) via DSv2 row-level operations. The write
+    * strategy follows Iceberg's table-property UX:
+    * `write.merge.mode` / `write.update.mode` / `write.delete.mode`
+    * (fallback `graft.write.mode`, default `copy-on-write`) select
+    * group-based copy-on-write or — with `merge-on-read`, which requires
+    * `graft.merge-keys` naming the row-identity columns — delta-based
+    * equality-delete commits. See [[RowLevelOps]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!timeTraveled, s"cannot write to a time-traveled snapshot of $ident")
+    () => RowLevelOps.operation(ice, ident, meta,
+      ctx(CaseInsensitiveStringMap.empty()), info)
+  }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -271,14 +302,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       case None => meta.current
     }
     val files = snap.map(_.files).getOrElse(Seq.empty)
-    // the SQL path serves raw parquet through Spark's native V2 scan and
-    // cannot splice in the merge-on-read anti-join — refuse loudly rather
-    // than silently resurrect deleted rows
-    if (snap.exists(s => Option(s.deletes).exists(_.nonEmpty)))
-      throw new UnsupportedOperationException(
-        s"$id has pending merge-on-read deletes; SQL reads would include " +
-          "deleted rows. Materialize them first (IceCatalog.compact) or " +
-          "read through IceCatalog.scan")
+    // pending merge-on-read deletes are applied INSIDE the DSv2 scan
+    // (ManifestPrune.buildMaskedScan) so SQL reads serve the merged view —
+    // the pre-r6 behavior of refusing such reads is gone
+    val deletes = snap.flatMap(s => Option(s.deletes)).getOrElse(Seq.empty)
     // If any file predates the current schema version, serve an id-annotated
     // read schema: Spark's parquet reader then resolves columns by field id
     // (renames/widenings read correctly). Identical-schema snapshots keep
@@ -294,7 +321,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       Some(schema), classOf[ParquetFileFormat])
     new GraftSnapshotTable(mkTable(files.map(_.path).toSeq, readSchema),
       meta.properties, ice, id, meta, files.toSeq, mkTable,
-      readSchema, idResolved = evolved, timeTraveled = asOf.isDefined)
+      readSchema, idResolved = evolved, timeTraveled = asOf.isDefined,
+      deletes = deletes)
   }
 
   override def createTable(
@@ -325,7 +353,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     }
     val id = identString(ident)
     ice.createNamespace(ident.namespace()(0))
-    ice.createTable(id, schema, spec)
+    // TBLPROPERTIES land in the creation commit itself (minus Spark's
+    // injected bookkeeping props, which aren't table content)
+    val props = properties.asScala.toMap -- Seq("owner", "provider", "location")
+    ice.createTable(id, schema, spec, properties = props)
     loadTable(ident)
   }
 

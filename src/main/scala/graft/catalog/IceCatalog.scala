@@ -547,7 +547,8 @@ class IceCatalog(
       ident: String,
       schema: StructType,
       partitionSpec: Seq[PartitionField] = Seq.empty,
-      sortOrder: Seq[SortField] = Seq.empty): Unit = {
+      sortOrder: Seq[SortField] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Unit = {
     require(!tableExists(ident), s"table $ident already exists")
     val dir = tableDir(ident)
     io.createDirectories(dir.resolve("metadata"))
@@ -559,8 +560,10 @@ class IceCatalog(
       schemaLog = Seq(SchemaVersion(schema.json, ids)),
       // stable identity (Iceberg's table-uuid): minted once at creation,
       // carried through renames/commits — the REST facade serves it in
-      // TableMetadata
-      properties = Map("graft.uuid" -> java.util.UUID.randomUUID().toString))
+      // TableMetadata. Caller-supplied initial properties land in this
+      // SAME first metadata write (one commit, no properties-less window).
+      properties = properties +
+        ("graft.uuid" -> java.util.UUID.randomUUID().toString))
     writeVersion(dir, 1, meta)
   }
 
@@ -1343,6 +1346,84 @@ class IceCatalog(
     val del = writeDeleteFile(ident, keys, keyCols)
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
       SnapDelta("mor-delete", addDeletes = Seq(del)))
+  }
+
+  // ---- DSv2 row-level operation commits (SQL MERGE / UPDATE / DELETE;
+  //      see RowLevelOps) ------------------------------------------------
+
+  /** Fresh staging directory for a row-level write's distributed parquet
+    * output — under the table's data dir, so a crash before commit leaves
+    * only GC-able orphans (snapshot-expiry orphan cleanup covers it).
+    */
+  private[catalog] def newStagingDir(ident: String): String =
+    tableDir(ident).resolve("data")
+      .resolve(s"rlw-${java.util.UUID.randomUUID().toString.take(8)}").toString
+
+  private[catalog] def dropStagingDir(dir: String): Unit =
+    io.walk(Paths.get(dir)).reverse.foreach(io.deleteIfExists(_))
+
+  /** Register a row-level write's staged parquet output as table files:
+    * an unpartitioned, unsorted table ADOPTS the staged files in place
+    * (footer-stat them, zero extra IO — they already sit under data/);
+    * a partitioned or sorted table re-arranges through [[writeArranged]]
+    * (one distributed pass over the staged rows — only the affected
+    * groups' rows, never the whole table) and drops the staging dir.
+    */
+  private def registerStaged(
+      ident: String, meta: TableMeta, stagingDir: String): Seq[DataFileMeta] =
+    if (meta.partitionSpec.isEmpty && meta.sortOrder.isEmpty)
+      collectFileMeta(stagingDir, meta.schema, Seq.empty,
+        schemaId = meta.schemaLog.length - 1).filter(_.rowCount > 0)
+    else {
+      val staged = io.walk(Paths.get(stagingDir))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      if (staged.isEmpty) { dropStagingDir(stagingDir); Seq.empty }
+      else {
+        val df = spark.read.schema(meta.schema).parquet(staged.map(_.toString): _*)
+        val fs = writeArranged(ident, df, meta)
+        dropStagingDir(stagingDir)
+        fs
+      }
+    }
+
+  /** Commit of a group-based (copy-on-write) row-level operation: drop the
+    * files the operation's scan covered, add the staged replacement rows —
+    * ONE atomic snapshot commit, CAS'd on the snapshot the operation
+    * started from (serializable isolation: a concurrent commit fails this
+    * one instead of either write being lost).
+    */
+  private[catalog] def commitRowLevelReplace(
+      ident: String, scanned: Seq[DataFileMeta], stagingDir: String,
+      basedOn: Long): TableMeta = {
+    val meta = loadMeta(ident)
+    val added = registerStaged(ident, meta, stagingDir)
+    val drop = scanned.map(f => fsPath(f.path)).toSet
+    if (added.isEmpty && drop.isEmpty) return meta
+    commitSnap(ident, basedOn = Some(basedOn))(_ =>
+      SnapDelta("overwrite", drop = drop, add = added))
+  }
+
+  /** Commit of a delta-based (merge-on-read) row-level operation: staged
+    * insert rows append, deleted row ids land as ONE equality-delete file
+    * — O(batch) total work, the [[upsertMergeOnRead]] shape driven from
+    * SQL. Sequence numbers make the commit's own inserts immune to its
+    * delete file (strictly-older rule).
+    */
+  private[catalog] def commitDeltaMerge(
+      ident: String, stagingDir: String, keySchema: StructType,
+      deletedKeys: Seq[org.apache.spark.sql.Row], basedOn: Long): TableMeta = {
+    val meta = loadMeta(ident)
+    val added = registerStaged(ident, meta, stagingDir)
+    val del =
+      if (deletedKeys.isEmpty) Seq.empty
+      else {
+        val df = spark.createDataFrame(deletedKeys.asJava, keySchema)
+        Seq(writeDeleteFile(ident, df, keySchema.fieldNames.toSeq))
+      }
+    if (added.isEmpty && del.isEmpty) return meta
+    commitSnap(ident, basedOn = Some(basedOn))(_ =>
+      SnapDelta(if (del.isEmpty) "append" else "mor-merge",
+        add = added, addDeletes = del))
   }
 
   /** Manifest entries for freshly written files, read from the parquet

@@ -37,7 +37,11 @@ object ManifestPrune {
       readSchema: StructType,
       // true when files written under OLD schema versions exist, so the
       // default scan resolves columns by field id
-      idResolved: Boolean)
+      idResolved: Boolean,
+      // the snapshot's pending merge-on-read equality deletes: rows of
+      // files with seq < delete.seq whose key tuples appear in the delete
+      // file are masked out by [[DeleteMaskedScan]] instead of served
+      deletes: Seq[DeleteFileMeta] = Seq.empty)
 
   def buildScan(
       ctxAny: Object,
@@ -48,6 +52,8 @@ object ManifestPrune {
       if (filters == null) Seq.empty
       else filters.flatMap(toPartitionFilters)
     val keep = ctx.files.filter(f => pfs.forall(IceCatalog.fileMatches(f, _, ctx.meta)))
+    if (ctx.deletes.nonEmpty && keep.nonEmpty)
+      return buildMaskedScan(ctx, keep, filters, required)
     val rawFiles = keep.filterNot(_.hasFieldIds)
     if (!ctx.idResolved || rawFiles.isEmpty) {
       // fast path: one parquet scan (id-annotated only when needed)
@@ -94,6 +100,84 @@ object ManifestPrune {
     // current-name schema (Spark maps scan output back to the relation's
     // attributes by name), while its inner read schema speaks written names
     new PositionalUnionScan(all, outSchema)
+  }
+
+  /** Merge-on-read SQL reads: serve the MERGED view by masking deleted
+    * rows inside the DSv2 scan (before round 6 such reads were refused
+    * outright). Data files group by sequence-number epoch — each pending
+    * delete applies only to files STRICTLY older than it, so every group
+    * of files sharing an applicable-delete set becomes one inner scan
+    * (built by the normal pruned/grouped path) wrapped in a row-filtering
+    * reader; groups union positionally. Group count is bounded by MOR
+    * commits since the last compaction.
+    *
+    * Delete keys load once on the DRIVER and ship in the reader factory:
+    * the pending set is bounded (compaction materializes and clears it),
+    * which caps driver memory at O(pending keys) — the unbounded-safe
+    * distributed anti-join remains on the API path (`readFilesMerged`).
+    * Masked groups read row-based (the filter inspects each row), so
+    * vectorization is traded for correctness exactly on the files that
+    * carry delete debt, and only until compaction clears it.
+    */
+  private def buildMaskedScan(
+      ctx: Ctx, keep: Seq[DataFileMeta],
+      filters: scala.collection.immutable.Seq[Expression],
+      required: StructType): Scan = {
+    val meta = ctx.meta
+    val outSchema =
+      if (required != null) required
+      else StructType(meta.schema.fields.map(_.copy(nullable = true)))
+    val groups = keep
+      .groupBy(f => ctx.deletes.filter(_.seq > f.seq))
+      .toSeq.sortBy(_._2.head.path)
+    val parts = groups.map { case (applicable, fs) =>
+      val sub = ctx.copy(files = fs, deletes = Seq.empty)
+      if (applicable.isEmpty) buildScan(sub, filters, required)
+      else {
+        val keyCols = applicable.flatMap(_.keyCols).distinct
+        keyCols.foreach(k => require(meta.schema.fieldNames.contains(k),
+          s"merge-on-read delete key column $k no longer exists in ${meta.name}"))
+        // the inner scan must READ the key columns even when the query
+        // pruned them away; the masking reader projects back afterwards
+        val outNames = outSchema.fieldNames.toSeq
+        val readReq = StructType(outSchema.fields ++
+          keyCols.filterNot(outNames.contains).map(k => meta.schema(k).copy(nullable = true)))
+        val inner = buildScan(sub, filters, readReq)
+        val masks = applicable.groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(","))
+          .map { case (cols, dels) =>
+            val ordinals = cols.map(c => readReq.fieldNames.indexOf(c)).toArray
+            val types = cols.map(c => meta.schema(c).dataType).toArray
+            DeleteMask(ordinals, types, loadDeleteKeys(dels, cols, types))
+          }
+        new DeleteMaskedScan(inner, masks,
+          outSchema, readReq,
+          projection = outSchema.fieldNames.map(readReq.fieldNames.indexOf(_)).toArray)
+      }
+    }
+    // a masked part reads row-based; Spark requires every partition of
+    // one scan to agree, so the whole union degrades to row-based reads
+    if (parts.length == 1) parts.head
+    else new PositionalUnionScan(parts, outSchema, forceRowBased = true)
+  }
+
+  /** Driver-side load of one delete-key set, normalized for set-membership
+    * tests against reader-side internal rows. Key tuples containing NULL
+    * can never match (SQL anti-join semantics, same as `readFilesMerged`)
+    * and are dropped here.
+    */
+  private def loadDeleteKeys(
+      dels: Seq[DeleteFileMeta], cols: Seq[String],
+      types: Array[DataType]): java.util.HashSet[Vector[Any]] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.read.parquet(dels.map(_.path): _*)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val set = new java.util.HashSet[Vector[Any]]()
+    df.queryExecution.toRdd.map(_.copy()).collect().foreach { r =>
+      val t = types.indices.map(i =>
+        DeleteMask.normalize(r.get(i, types(i)))).toVector
+      if (!t.contains(null)) set.add(t)
+    }
+    set
   }
 
   /** The current schema viewed through schema-log entry `sid` for
@@ -160,7 +244,7 @@ object ManifestPrune {
     * numbers via toString, dates ISO, timestamps via the shared µs
     * formatter. Unknown types translate to no constraint.
     */
-  private def statStr(l: Literal): Option[String] = {
+  private[catalog] def statStr(l: Literal): Option[String] = {
     if (l.value == null) return None
     l.dataType match {
       case StringType => Some(l.value.toString)
@@ -180,7 +264,8 @@ object ManifestPrune {
   * differ — InternalRow/ColumnarBatch are positional), so concatenating
   * their input partitions yields one scan with the reported schema.
   */
-private class PositionalUnionScan(parts: Seq[Scan], outSchema: StructType)
+private class PositionalUnionScan(
+    parts: Seq[Scan], outSchema: StructType, forceRowBased: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = outSchema
   override def description(): String =
@@ -193,7 +278,102 @@ private class PositionalUnionScan(parts: Seq[Scan], outSchema: StructType)
     }.toArray
   override def planInputPartitions(): Array[InputPartition] = partitions
   override def createReaderFactory(): PartitionReaderFactory =
-    SourceDispatchingReaderFactory(batches.map(_.createReaderFactory()))
+    SourceDispatchingReaderFactory(batches.map(_.createReaderFactory()),
+      forceRowBased)
+}
+
+/** One equality-delete mask: the key columns' ordinals/types in the READ
+  * schema plus the normalized key-tuple set. Serializable — ships to
+  * executors inside the reader factory.
+  */
+private[catalog] case class DeleteMask(
+    ordinals: Array[Int], types: Array[DataType],
+    keys: java.util.HashSet[Vector[Any]]) {
+  def matches(row: InternalRow): Boolean = {
+    val t = Vector.tabulate(ordinals.length)(i =>
+      DeleteMask.normalize(row.get(ordinals(i), types(i))))
+    !t.contains(null) && keys.contains(t)
+  }
+}
+
+private[catalog] object DeleteMask {
+  /** Internal value → hash/equality-stable form shared by the driver-side
+    * key load and the reader-side probe: UTF8String copies to String
+    * (reader buffers are reused), Decimal normalizes scale; primitives
+    * (Long/Int/Double/Boolean — covering timestamps and dates too) are
+    * value types already.
+    */
+  def normalize(v: Any): Any = v match {
+    case null => null
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case d: org.apache.spark.sql.types.Decimal =>
+      d.toJavaBigDecimal.stripTrailingZeros
+    case b: Array[Byte] => b.toVector
+    case other => other
+  }
+}
+
+/** Wraps one scan with equality-delete masking: rows whose key tuple
+  * appears in any mask are dropped; survivors project from the (possibly
+  * key-widened) read schema back to the query's required positions.
+  * Reads are forced row-based — the per-row membership probe has no
+  * columnar form — which is the price of pending delete debt until
+  * compaction clears it.
+  */
+private class DeleteMaskedScan(
+    inner: Scan, masks: Seq[DeleteMask],
+    outSchema: StructType, readReq: StructType,
+    projection: Array[Int])
+    extends Scan with Batch {
+  override def readSchema(): StructType = outSchema
+  override def description(): String =
+    s"delete-masked(${inner.description()}, masks=${masks.length})"
+  override def toBatch: Batch = this
+  private lazy val batch = inner.toBatch
+  override def planInputPartitions(): Array[InputPartition] =
+    batch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    DeleteMaskingReaderFactory(batch.createReaderFactory(), masks,
+      if (projection.zipWithIndex.forall { case (p, i) => p == i } &&
+        projection.length == readReq.length) null
+      else (projection, readReq.fields.map(_.dataType)))
+}
+
+private case class DeleteMaskingReaderFactory(
+    inner: PartitionReaderFactory, masks: Seq[DeleteMask],
+    // null when read schema == out schema; else (out ordinals, read types)
+    project: (Array[Int], Array[DataType]))
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val in = inner.createReader(p)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (in.next()) {
+          val r = in.get()
+          if (!masks.exists(_.matches(r))) {
+            current =
+              if (project == null) r
+              else {
+                val (ords, types) = project
+                val vals = new Array[Any](ords.length)
+                var i = 0
+                while (i < ords.length) {
+                  vals(i) = r.get(ords(i), types(ords(i)))
+                  i += 1
+                }
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+              }
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = in.close()
+    }
+  }
 }
 
 private case class SourceTaggedPartition(src: Int, inner: InputPartition)
@@ -201,7 +381,8 @@ private case class SourceTaggedPartition(src: Int, inner: InputPartition)
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-private case class SourceDispatchingReaderFactory(inners: Seq[PartitionReaderFactory])
+private case class SourceDispatchingReaderFactory(
+    inners: Seq[PartitionReaderFactory], forceRowBased: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case SourceTaggedPartition(i, inner) => inners(i).createReader(inner)
@@ -213,7 +394,8 @@ private case class SourceDispatchingReaderFactory(inners: Seq[PartitionReaderFac
     case other => throw new IllegalStateException(s"unexpected partition $other")
   }
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case SourceTaggedPartition(i, inner) => inners(i).supportColumnarReads(inner)
+    case SourceTaggedPartition(i, inner) =>
+      !forceRowBased && inners(i).supportColumnarReads(inner)
     case other => false
   }
 }

@@ -1,0 +1,320 @@
+package graft.catalog
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.IceCatalog.{DataFileMeta, PartitionFilter, TableMeta}
+
+/** DSv2 row-level operations — the plumbing behind SQL
+  * `MERGE INTO graft.ns.t USING ... / UPDATE / DELETE` on graft tables
+  * (the reference has no SQL surface; the UX matched here is Iceberg's
+  * Spark integration, the same model its users know):
+  *
+  *   - '''copy-on-write''' (default): Spark's group-based rewrite. The
+  *     operation's scan covers the current snapshot's files, the engine
+  *     computes the affected groups' replacement rows, and commit
+  *     atomically swaps scanned files for the staged output. The scan
+  *     deliberately takes NO static pushdown — a statically pruned file
+  *     would silently escape replacement — and instead implements runtime
+  *     group filtering ([[SupportsRuntimeV2Filtering]]): Spark feeds it
+  *     the distinct partition-source values of rows matching the command
+  *     condition, and the file list narrows via conservative manifest
+  *     matching ([[IceCatalog.fileMatches]] — partition values exact,
+  *     column stats as ranges). At scale a MERGE thus rewrites only the
+  *     partitions/files that can contain matches, never the table.
+  *   - '''merge-on-read''' (`write.merge.mode` etc. = `merge-on-read`,
+  *     requires `graft.merge-keys`): delta-based. Matched rows' key
+  *     tuples are collected as deltas and land as ONE equality-delete
+  *     file; inserted/updated replacement rows append as data files —
+  *     O(changed rows) per MERGE, zero data files rewritten. Updates are
+  *     represented as delete+insert (the equality-delete model). Reads
+  *     serve the merged view via the delete-masked scan.
+  *
+  * Both modes stage their distributed parquet output through Spark's own
+  * native V2 parquet write (no driver-side row collection anywhere) and
+  * commit through the catalog's optimistic snapshot protocol, CAS'd on
+  * the snapshot the operation started from.
+  */
+private[catalog] object RowLevelOps {
+
+  private[catalog] val WriteModeProp = "graft.write.mode"
+  private[catalog] val MergeKeysProp = "graft.merge-keys"
+
+  def operation(
+      ice: IceCatalog, ident: String, meta: TableMeta,
+      ctx: ManifestPrune.Ctx, info: RowLevelOperationInfo): RowLevelOperation = {
+    val cmd = info.command
+    val props = Option(meta.properties).getOrElse(Map.empty)
+    val mode = props.get(s"write.${cmd.toString.toLowerCase}.mode")
+      .orElse(props.get(WriteModeProp)).getOrElse("copy-on-write")
+    mode match {
+      case "copy-on-write" => new GraftCowOperation(ice, ident, meta, ctx, cmd)
+      case "merge-on-read" =>
+        val keys = props.get(MergeKeysProp).map(_.split(',').map(_.trim).toSeq)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$ident: merge-on-read row-level writes need the $MergeKeysProp " +
+              "table property naming the row-identity columns"))
+        keys.foreach(k => require(meta.schema.fieldNames.contains(k),
+          s"$ident: merge key $k is not a column"))
+        new GraftDeltaOperation(ice, ident, meta, ctx, cmd, keys)
+      case other => throw new IllegalArgumentException(
+        s"$ident: unsupported write mode $other (copy-on-write | merge-on-read)")
+    }
+  }
+
+  /** Top-level column reference via the public Expressions factory. */
+  private[catalog] def ref(name: String): NamedReference =
+    org.apache.spark.sql.connector.expressions.Expressions.column(name)
+
+  /** The staged distributed parquet write both modes share: Spark's own
+    * V2 parquet `FileWrite` pointed at a fresh staging dir under the
+    * table's data directory. Rows flow executor-side straight into
+    * parquet; the wrapper only redirects commit/abort.
+    */
+  private[catalog] def stagedWrite(
+      stagingDir: String, info: LogicalWriteInfo): Write =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
+      Seq(stagingDir), "parquet", _ => true, info)
+
+  /** Internal (InternalRow) value → external value for the driver-side
+    * delete-key DataFrame. Covers the types a sane merge key can have.
+    */
+  private[catalog] def internalToExternal(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => v.toString
+      case TimestampType => DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long])
+      case DateType => DateTimeUtils.toJavaDate(v.asInstanceOf[Int])
+      case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal
+      case BinaryType => v.asInstanceOf[Array[Byte]].clone()
+      case _ => v // primitives: long/int/short/byte/double/float/boolean
+    }
+
+  /** Runtime group-filter predicates (In / = on partition source columns)
+    * → conservative manifest filters. Shapes we can't translate simply
+    * contribute no constraint — never wrong, just unpruned.
+    */
+  private[catalog] def toManifestFilter(p: Predicate): Option[PartitionFilter] = {
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    def str(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case l: V2Literal[_] => ManifestPrune.statStr(Literal(l.value(), l.dataType()))
+        case _ => None
+      }
+    val kids = p.children()
+    p.name() match {
+      case "IN" =>
+        for {
+          c <- colName(kids(0))
+          vs = kids.drop(1).toSeq.map(str)
+          if vs.nonEmpty && vs.forall(_.isDefined)
+        } yield PartitionFilter(c, IceCatalog.Op.Eq, vs.flatten)
+      case "=" =>
+        for { c <- colName(kids(0)); v <- str(kids(1)) }
+          yield PartitionFilter(c, IceCatalog.Op.Eq, Seq(v))
+      case _ => None
+    }
+  }
+}
+
+/** Group-based copy-on-write operation: scan the (runtime-narrowed)
+  * current files, stage the replacement rows, swap atomically.
+  */
+private class GraftCowOperation(
+    ice: IceCatalog, ident: String, meta: TableMeta,
+    ctx: ManifestPrune.Ctx, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** The file set the operation's scan covers — starts at the full
+    * snapshot, narrowed by runtime group filtering; commit replaces
+    * exactly this set.
+    */
+  @volatile private var scanned: Seq[DataFileMeta] = ctx.files
+  private val basedOn = meta.currentSnapshotId
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft copy-on-write $cmd"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with SupportsRuntimeV2Filtering {
+      override def readSchema(): StructType = ctx.readSchema
+      override def description(): String = s"graft-cow-scan($ident)"
+      // built AFTER runtime filtering has narrowed the file set; no
+      // static filters reach it (see class doc for why that must hold)
+      override def toBatch: Batch =
+        ManifestPrune.buildScan(ctx.copy(files = scanned), null, null).toBatch
+      override def filterAttributes(): Array[NamedReference] =
+        meta.partitionSpec.map(p => RowLevelOps.ref(p.column))
+          .distinct.toArray
+      override def filter(predicates: Array[Predicate]): Unit = {
+        val pfs = predicates.toSeq.flatMap(RowLevelOps.toManifestFilter)
+        scanned = scanned.filter(f =>
+          pfs.forall(IceCatalog.fileMatches(f, _, meta)))
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder { override def build(): Write = new Write {
+      private val staging = ice.newStagingDir(ident)
+      private val inner = RowLevelOps.stagedWrite(staging, info)
+      override def description(): String = s"graft-cow-write($ident)"
+      override def toBatch: BatchWrite = new BatchWrite {
+        private val ib = inner.toBatch
+        // the file commit protocol coordinates its own task commits; a
+        // second DSv2-level coordination round would deny them
+        override def useCommitCoordinator(): Boolean = ib.useCommitCoordinator()
+        override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+          TruncatingWriterFactory(ib.createBatchWriterFactory(p), info.schema())
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          ib.commit(messages)
+          ice.commitRowLevelReplace(ident, scanned, staging, basedOn): Unit
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          ib.abort(messages)
+          ice.dropStagingDir(staging)
+        }
+      }
+    } }
+}
+
+/** Delta-based merge-on-read operation: deltas become one equality-delete
+  * file plus appended data files.
+  */
+private class GraftDeltaOperation(
+    ice: IceCatalog, ident: String, meta: TableMeta,
+    ctx: ManifestPrune.Ctx, cmd: RowLevelOperation.Command, keys: Seq[String])
+    extends SupportsDelta {
+
+  private val basedOn = meta.currentSnapshotId
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft merge-on-read $cmd"
+  override def rowId(): Array[NamedReference] =
+    keys.map(RowLevelOps.ref).toArray
+  // equality deletes model an update as delete(old key) + insert(new row);
+  // sequence numbers keep the insert immune to its own delete
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  // the target read is the table's normal pruned scan WITH delete masking
+  // (row-granularity replacement makes static pushdown safe here, unlike
+  // the group-based scan)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestPrunedScanBuilder(ctx.copy(options = options))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder { override def build(): DeltaWrite = new DeltaWrite {
+      private val staging = ice.newStagingDir(ident)
+      private val inner = RowLevelOps.stagedWrite(staging, info)
+      private val keySchema = info.rowIdSchema().orElseThrow(() =>
+        new IllegalStateException("delta write without a row-id schema"))
+      override def description(): String = s"graft-delta-write($ident)"
+      override def toBatch(): DeltaBatchWrite = new DeltaBatchWrite {
+        private val ib = inner.toBatch
+        override def useCommitCoordinator(): Boolean = ib.useCommitCoordinator()
+        override def createBatchWriterFactory(p: PhysicalWriteInfo): DeltaWriterFactory =
+          GraftDeltaWriterFactory(ib.createBatchWriterFactory(p), keySchema)
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          val ms = messages.map(_.asInstanceOf[GraftDeltaMessage])
+          ib.commit(ms.flatMap(m => Option(m.inner)))
+          val deleted = ms.iterator.flatMap(_.deletedKeys)
+            .map(t => Row(t: _*)).toSeq
+          ice.commitDeltaMerge(ident, staging, keySchema, deleted, basedOn): Unit
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          ib.abort(messages.collect {
+            case m: GraftDeltaMessage if m.inner != null => m.inner
+          })
+          ice.dropStagingDir(staging)
+        }
+      }
+    } }
+}
+
+/** Strips Spark's row-level bookkeeping column(s) before rows reach the
+  * parquet writer. The group-based UPDATE/MERGE rewrites PREPEND an
+  * operation-instruction marker to the ReplaceData query's data columns
+  * and only apply their own row projection when the connector declares
+  * required metadata attributes — with none declared (graft's case) the
+  * raw query rows reach the writer factory. The data columns sit at the
+  * TAIL in write-schema order (verified empirically against Spark 4.1's
+  * rewrites; any drift fails SqlCatalogSpec's content assertions
+  * loudly), so rows wider than the write schema project tail-aligned;
+  * rows already at the write width (DELETE's remaining-rows plan carries
+  * no marker) pass through untouched.
+  */
+private case class TruncatingWriterFactory(
+    inner: DataWriterFactory, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    val width = schema.length
+    new DataWriter[InternalRow] {
+      private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+      override def write(row: InternalRow): Unit =
+        if (row.numFields == width) w.write(row)
+        else {
+          if (proj == null) proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+            schema, (row.numFields - width) until row.numFields)
+          proj.project(row)
+          w.write(proj)
+        }
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
+}
+
+/** Per-task delta message: the inner parquet write's commit message (null
+  * when the task only deleted) plus the task's deleted key tuples in
+  * EXTERNAL form. Delete volume is O(matched rows of this batch) — the
+  * same bound as the equality-delete file itself.
+  */
+private case class GraftDeltaMessage(
+    inner: WriterCommitMessage, deletedKeys: Seq[Seq[Any]])
+    extends WriterCommitMessage
+
+private case class GraftDeltaWriterFactory(
+    inner: DataWriterFactory, keySchema: StructType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      // created lazily so delete-only tasks produce no empty parquet file
+      private var dataWriter: DataWriter[InternalRow] = _
+      private val deleted = ArrayBuffer[Seq[Any]]()
+      private val keyTypes = keySchema.fields.map(_.dataType)
+
+      override def insert(row: InternalRow): Unit = {
+        if (dataWriter == null) dataWriter = inner.createWriter(partitionId, taskId)
+        dataWriter.write(row)
+      }
+      override def delete(metadata: InternalRow, id: InternalRow): Unit =
+        deleted += keyTypes.indices.map(i =>
+          RowLevelOps.internalToExternal(id.get(i, keyTypes(i)), keyTypes(i))).toVector
+      override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        throw new IllegalStateException(
+          "updates are represented as delete+insert") // representUpdateAsDeleteAndInsert
+      override def commit(): WriterCommitMessage =
+        GraftDeltaMessage(
+          if (dataWriter == null) null else dataWriter.commit(),
+          deleted.toSeq)
+      override def abort(): Unit =
+        if (dataWriter != null) dataWriter.abort()
+      override def close(): Unit =
+        if (dataWriter != null) dataWriter.close()
+    }
+}

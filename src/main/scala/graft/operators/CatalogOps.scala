@@ -106,6 +106,56 @@ object CatalogOps {
     Seq((out.getLong(0), out.getLong(1))).toDF("n_rows", "total_cents")
   }
 
+  /** t13: SQL `MERGE INTO` via the DSv2 row-level operation path
+    * (RowLevelOps.scala) — the same logical merge as t9 driven entirely
+    * through `spark.sql`, run TWICE: once against a copy-on-write table
+    * (group-based rewrite: runtime group filtering narrows the scanned
+    * file set, staged parquet swaps atomically) and once against a
+    * merge-on-read table (delta-based: matched keys land as ONE
+    * equality-delete file, replacement rows append — O(batch), zero data
+    * files rewritten). Both modes must produce the oracle's direct CASE
+    * computation over raw orders.
+    */
+  def sqlMergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val root = Files.createTempDirectory("graft_t13").toString
+    // unique catalog name per run: CatalogManager caches plugin instances
+    // by name, so reusing one would pin the first run's root forever
+    val catName = s"t13c${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$catName", "graft.catalog.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catName.root", root)
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("v")
+    val src = orders.filter(col("o_orderkey") % 8 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(orders.filter(col("o_orderkey") % 4 === 3))
+    src.createOrReplaceTempView("t13_src")
+    val modes = Seq(
+      "cow" -> Map.empty[String, String],
+      "mor" -> Map("graft.write.mode" -> "merge-on-read",
+        "graft.merge-keys" -> "o_orderkey"))
+    val results = modes.map { case (mode, props) =>
+      val t = s"v.m_$mode"
+      cat.createTable(t, orders.schema,
+        sortOrder = Seq(SortField("o_orderkey")), properties = props)
+      cat.insert(t, orders.filter(col("o_orderkey") % 4 =!= 3))
+      spark.sql(
+        s"""MERGE INTO $catName.$t t USING t13_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // exact integer-cents total, immune to float summation order
+      val out = cat.scan(t)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+        .collect()(0)
+      cleanup(cat, t)
+      (mode, out.getLong(0), out.getLong(1))
+    }
+    import spark.implicits._
+    results.toDF("mode", "n_rows", "total_cents").orderBy("mode")
+  }
+
   /** t8: snapshot isolation — row counts at the pre-delete snapshot vs
     * after a partition delete, answered via time travel.
     */

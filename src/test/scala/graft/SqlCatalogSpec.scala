@@ -351,4 +351,113 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT sum(file_count) FROM graft.ns8.m.manifests")
       .as[Long].head() == cat.files("ns8.m").length.toLong)
   }
+
+  // ---- DSv2 row-level operations (MERGE INTO / UPDATE / row-level
+  //      DELETE; RowLevelOps.scala) ----
+
+  test("MERGE INTO (copy-on-write) rewrites only partitions that can match") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql(
+      """CREATE TABLE graft.rl.cw (id BIGINT, kind STRING, amt DOUBLE)
+        |PARTITIONED BY (kind)""".stripMargin)
+    Seq((1L, "a", 1.0), (2L, "a", 2.0), (10L, "b", 10.0), (20L, "c", 20.0))
+      .toDF("id", "kind", "amt").createOrReplaceTempView("cw_seed")
+    spark.sql("INSERT INTO graft.rl.cw SELECT * FROM cw_seed")
+    val before = cat.loadMeta("rl.cw").current.get.files
+      .groupBy(_.partition("kind")).view.mapValues(_.map(_.path).toSet).toMap
+
+    Seq((2L, "a", 22.0), (3L, "a", 3.0))
+      .toDF("id", "kind", "amt").createOrReplaceTempView("cw_src")
+    spark.sql(
+      """MERGE INTO graft.rl.cw t USING cw_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET amt = s.amt
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val rows = spark.sql("SELECT id, kind, amt FROM graft.rl.cw ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows == Seq((1L, "a", 1.0), (2L, "a", 22.0), (3L, "a", 3.0),
+      (10L, "b", 10.0), (20L, "c", 20.0)))
+    // runtime group filtering: the b/c partitions can't contain a match
+    // (every source id lives in kind=a files), so their files must carry
+    // over UNREWRITTEN — the 100 TB property this path exists for
+    val after = cat.loadMeta("rl.cw").current.get.files
+      .groupBy(_.partition("kind")).view.mapValues(_.map(_.path).toSet).toMap
+    assert(after("b") == before("b") && after("c") == before("c"),
+      s"unaffected partitions must not be rewritten: $before vs $after")
+    assert(after("a") != before("a"), "the matched partition was rewritten")
+    // the API path sees the same committed state
+    assert(cat.countRows("rl.cw") == 5L)
+  }
+
+  test("UPDATE and row-level DELETE (copy-on-write) through SQL") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.rl.up (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.rl.up VALUES (1,'ab'), (2,'xy'), (3,'ax')")
+
+    spark.sql("UPDATE graft.rl.up SET v = concat(v, '!') WHERE k >= 2")
+    assert(spark.sql("SELECT v FROM graft.rl.up ORDER BY k")
+      .as[String].collect().toSeq == Seq("ab", "xy!", "ax!"))
+
+    // LIKE isn't convertible by the metadata delete path (canDeleteWhere
+    // false) — pre-r6 this errored; now it rewrites rows group-based
+    spark.sql("DELETE FROM graft.rl.up WHERE v LIKE 'a%'")
+    assert(spark.sql("SELECT k FROM graft.rl.up").as[Long].collect().toSeq == Seq(2L))
+    assert(cat.countRows("rl.up") == 1L)
+  }
+
+  test("MERGE INTO (merge-on-read) commits equality deletes; repeat merges work") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql(
+      """CREATE TABLE graft.rl.mor (id BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |               'graft.merge-keys'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.rl.mor VALUES (1,'one'), (2,'two'), (3,'three')")
+    val beforePaths = cat.loadMeta("rl.mor").current.get.files.map(_.path).toSet
+
+    Seq((2L, "TWO"), (4L, "four")).toDF("id", "v").createOrReplaceTempView("mor_src")
+    spark.sql(
+      """MERGE INTO graft.rl.mor t USING mor_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val snap = cat.loadMeta("rl.mor").current.get
+    assert(Option(snap.deletes).exists(_.nonEmpty),
+      "MOR merge must commit an equality-delete file, not rewrite data")
+    assert(beforePaths.subsetOf(snap.files.map(_.path).toSet),
+      "no pre-existing data file may be rewritten by a MOR merge")
+    assert(spark.sql("SELECT id, v FROM graft.rl.mor ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "one"), (2L, "TWO"), (3L, "three"), (4L, "four")))
+
+    // a SECOND merge on the pending-delete table (reads go through the
+    // delete-masked scan, so the ghost of id=2 can't re-match)
+    Seq((2L, "two^2"), (5L, "five")).toDF("id", "v")
+      .createOrReplaceTempView("mor_src2")
+    spark.sql(
+      """MERGE INTO graft.rl.mor t USING mor_src2 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.rl.mor ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "one"), (2L, "two^2"), (3L, "three"), (4L, "four"), (5L, "five")))
+    // the API scan agrees (same merged semantics both paths)
+    assert(cat.scan("rl.mor").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "one"), (2L, "two^2"), (3L, "three"), (4L, "four"), (5L, "five")))
+
+    // MOR UPDATE: delete+insert deltas, still no data-file rewrites
+    val paths2 = cat.loadMeta("rl.mor").current.get.files.map(_.path).toSet
+    spark.sql("UPDATE graft.rl.mor SET v = upper(v) WHERE id <= 2")
+    val fin = cat.loadMeta("rl.mor").current.get
+    assert(paths2.subsetOf(fin.files.map(_.path).toSet))
+    assert(spark.sql("SELECT v FROM graft.rl.mor ORDER BY id")
+      .as[String].collect().toSeq ==
+      Seq("ONE", "TWO^2", "three", "four", "five"))
+    // compaction materializes everything and clears the delete debt
+    cat.compact("rl.mor")
+    assert(Option(cat.loadMeta("rl.mor").current.get.deletes).forall(_.isEmpty))
+    assert(spark.sql("SELECT count(*) FROM graft.rl.mor").head().getLong(0) == 5L)
+  }
 }
