@@ -102,7 +102,11 @@ object IceCatalog {
       sourceSegments: Seq[String] = null,
       manifestList: String = null,
       // pending merge-on-read equality deletes visible to THIS snapshot
-      deletes: Seq[DeleteFileMeta] = null)
+      deletes: Seq[DeleteFileMeta] = null,
+      // index into TableMeta.schemaLog CURRENT at commit time, stamped by
+      // appendSnapshot — the spec's snapshot schema-id. -1 in pre-r6
+      // manifests → serve the current schema id (legacy fallback).
+      schemaId: Int = -1)
   /** One historical schema: its Spark JSON plus one stable field id per
     * field (parallel seq). Ids never change across rename/retype; new
     * columns get fresh ids; dropped ids are never reused — exactly
@@ -1015,7 +1019,8 @@ class IceCatalog(
       files = refs.flatMap(r => readSegment(ident, r.name)),
       sourceFiles = srcSegs.flatMap(n => readSourceSegment(ident, n)),
       manifests = refs, sourceSegments = srcSegs,
-      deletes = deletes)
+      deletes = deletes,
+      schemaId = Option(m.schemaLog).map(_.length - 1).getOrElse(0))
     m.copy(snapshots = m.snapshots :+ snap, currentSnapshotId = snapId)
   }
 

@@ -20,9 +20,15 @@ import graft.catalog.IceCatalog._
   * string, double, float, boolean, date, timestamp → timestamptz,
   * timestamp_ntz → timestamp, binary, decimal(p,s), and the three nested
   * shapes (struct/list/map). Top-level field ids are the catalog's own
-  * evolution-stable ids; nested ids are allocated deterministically past
-  * `lastFieldId` (the catalog tracks evolution at top level — documented
-  * in SchemaVersion's scaladoc).
+  * evolution-stable ids (the catalog tracks evolution at top level —
+  * documented in SchemaVersion's scaladoc); nested ids are derived
+  * DETERMINISTICALLY PER SCHEMA VERSION from [[NestedIdBase]] plus the
+  * cumulative nested-field count of earlier versions, so they are stable
+  * across calls and evolutions (the schema log is append-only), never
+  * collide across schema-log entries, and sit far above any top-level id
+  * the evolution model will mint. The emitted `last-column-id` is raised
+  * to the maximum id actually served, preserving the spec invariant
+  * last-column-id >= every assigned field id.
   */
 object IcebergJson {
 
@@ -74,13 +80,27 @@ object IcebergJson {
       throw new IllegalArgumentException(s"no Iceberg mapping for $other")
   }
 
+  /** Nested field ids allocate from here (top-level evolution ids grow by
+    * one per added column and will never plausibly reach it; guarded in
+    * [[tableMetadata]]).
+    */
+  private[catalog] val NestedIdBase = 1 << 20
+
+  /** Number of nested ids [[toIcebergType]] consumes for one schema. */
+  private[catalog] def nestedIdCount(schema: StructType): Int = {
+    val c = new java.util.concurrent.atomic.AtomicInteger(0)
+    schema.fields.foreach(f => toIcebergType(f.dataType, () => c.incrementAndGet()))
+    c.get()
+  }
+
   /** One schema as the spec `{"type":"struct","schema-id":N,"fields":[…]}`
-    * object, top-level ids from the catalog's field-id model.
+    * object, top-level ids from the catalog's field-id model, nested ids
+    * allocated sequentially from `nestedIdFrom` (exclusive).
     */
   def toIcebergSchema(
       schema: StructType, fieldIds: Seq[Int], schemaId: Int,
-      lastFieldId: Int): Map[String, Any] = {
-    val counter = new java.util.concurrent.atomic.AtomicInteger(lastFieldId)
+      nestedIdFrom: Int): Map[String, Any] = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(nestedIdFrom)
     val nextId = () => counter.incrementAndGet()
     Map(
       "type" -> "struct",
@@ -172,29 +192,40 @@ object IcebergJson {
       meta: TableMeta, tableUuid: String, location: String,
       snapshotFor: Long => Option[Snapshot],
       metadataLog: Seq[(Int, String, Long)] = Seq.empty): Map[String, Any] = {
-    val schemas = Option(meta.schemaLog).getOrElse(Seq.empty).zipWithIndex.map {
-      case (sv, i) =>
-        toIcebergSchema(
-          org.apache.spark.sql.types.DataType.fromJson(sv.schemaJson)
-            .asInstanceOf[StructType],
-          sv.fieldIds, i, meta.lastFieldId)
-    } match {
-      case Seq() => Seq(toIcebergSchema(meta.schema,
-        Option(meta.fieldIds).getOrElse(meta.schema.fields.indices.toSeq), 0,
-        meta.lastFieldId))
+    require(meta.lastFieldId < NestedIdBase,
+      s"top-level field ids reached the nested-id range (${meta.lastFieldId})")
+    // per-version nested-id bases: NestedIdBase plus the cumulative nested
+    // count of EARLIER versions — stable because the schema log is
+    // append-only, so version i's base never moves
+    val versions = Option(meta.schemaLog).getOrElse(Seq.empty) match {
+      case Seq() => Seq(IceCatalog.SchemaVersion(meta.schema.json,
+        Option(meta.fieldIds).getOrElse(meta.schema.fields.indices.toSeq)))
       case s => s
     }
+    val structs = versions.map(sv =>
+      org.apache.spark.sql.types.DataType.fromJson(sv.schemaJson)
+        .asInstanceOf[StructType])
+    val nestedBases = structs.map(nestedIdCount)
+      .scanLeft(NestedIdBase)(_ + _)
+    val schemas = versions.zipWithIndex.map { case (sv, i) =>
+      toIcebergSchema(structs(i), sv.fieldIds, i, nestedBases(i))
+    }
+    val maxServedId = math.max(meta.lastFieldId,
+      if (nestedBases.last == NestedIdBase) meta.lastFieldId else nestedBases.last)
     val currentSchemaId = schemas.length - 1
-    val seqOf: Snapshot => Long = s =>
-      meta.snapshots.indexWhere(_.id == s.id).toLong + 1
+    // sequence numbers ARE snapshot ids: allocated max+1 (monotonic), never
+    // renumbered by expiry, and already the basis of the data-file/delete
+    // sequence model (DataFileMeta.seq) — one consistent numbering
+    val seqOf: Snapshot => Long = _.id
     Map(
       "format-version" -> 2,
       "table-uuid" -> tableUuid,
       "location" -> location,
-      "last-sequence-number" -> meta.snapshots.length.toLong,
+      "last-sequence-number" ->
+        meta.snapshots.map(_.id).foldLeft(0L)(math.max),
       "last-updated-ms" ->
         meta.snapshots.lastOption.map(_.timestampMs).getOrElse(0L),
-      "last-column-id" -> meta.lastFieldId,
+      "last-column-id" -> maxServedId,
       "current-schema-id" -> currentSchemaId,
       "schemas" -> schemas,
       "default-spec-id" -> 0,
@@ -211,7 +242,9 @@ object IcebergJson {
           "sequence-number" -> seqOf(s),
           "timestamp-ms" -> s.timestampMs,
           "manifest-list" -> Option(s.manifestList).getOrElse(""),
-          "schema-id" -> currentSchemaId,
+          // stamped at commit time since r6; legacy snapshots (-1) fall
+          // back to the current schema id
+          "schema-id" -> (if (s.schemaId >= 0) s.schemaId else currentSchemaId),
           "summary" -> Map(
             "operation" -> (s.operation match {
               // spec vocabulary: append / replace / overwrite / delete

@@ -260,6 +260,10 @@ object RestServer {
         case ("POST", List("v1", "namespaces")) =>
           val req = body(ex)
           val ns = nsOf(req)
+          // spec: creating an existing namespace is a 409, not a silent 200
+          if (cat.listNamespaces().contains(ns))
+            return sendError(ex, 409, "AlreadyExistsException",
+              s"namespace already exists: $ns")
           cat.createNamespace(ns)
           val props = req.path("properties")
           if (props.isObject && props.size() > 0)
@@ -395,11 +399,15 @@ object RestServer {
               desc = textOr(f, "direction", "asc") == "desc",
               nullsFirst = textOr(f, "null-order", "nulls-last") == "nulls-first")
           }.toSeq
-        cat.createTable(ident, schema, pspec, sort)
+        // initial properties land IN the creation commit (one metadata
+        // write) — a crash or conflict can't leave a created table
+        // missing its requested properties
         val props = req.path("properties")
-        if (props.isObject && props.size() > 0)
-          cat.commit(ident, m => m.copy(properties = m.properties ++
-            props.properties().asScala.map(e => e.getKey -> e.getValue.asText())))
+        val initProps =
+          if (props.isObject)
+            props.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+          else Map.empty[String, String]
+        cat.createTable(ident, schema, pspec, sort, properties = initProps)
       } else {
         val schema = parseSchema(str(req, "schema"))
         val pspec = arr(req, "partition-spec").map(f =>

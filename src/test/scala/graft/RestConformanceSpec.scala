@@ -159,6 +159,14 @@ class RestConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       sf.path("transform").asText() == "identity")
 
     assert(md.path("properties").path("owner").asText() == "conformance")
+    // the requested properties landed IN the creation commit: exactly one
+    // published metadata version, no properties-less window
+    assert(cat.metadataLog("conf.events").length == 1,
+      "create-with-properties must be a single metadata commit")
+    // creating an existing namespace is a spec 409, not a silent 200
+    val dup = req("POST", "/v1/namespaces", """{"namespace":["conf"]}""")
+    assert(dup.statusCode() == 409, dup.body())
+    assert(json(dup).path("error").path("type").asText() == "AlreadyExistsException")
   }
 
   test("snapshots serialize with sequence numbers and spec summaries") {
@@ -187,6 +195,88 @@ class RestConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(md.path("last-sequence-number").asLong() == 1L)
     val log = md.path("snapshot-log").get(0)
     assert(log.path("snapshot-id").asLong() == snap.path("snapshot-id").asLong())
+  }
+
+  test("sequence numbers survive expiry; snapshot schema-id is commit-time") {
+    import spark.implicits._
+    cat.createTable("conf.seqs",
+      Seq((1L, "a")).toDF("k", "v").schema)
+    cat.insert("conf.seqs", Seq((1L, "a")).toDF("k", "v"))
+    cat.insert("conf.seqs", Seq((2L, "b")).toDF("k", "v"))
+    cat.addColumn("conf.seqs", "extra",
+      org.apache.spark.sql.types.DoubleType)
+    cat.insert("conf.seqs", Seq((3L, "c", 0.5)).toDF("k", "v", "extra"))
+    def snaps() = {
+      val md = json(req("GET", "/v1/namespaces/conf/tables/seqs")).path("metadata")
+      (md, md.path("snapshots").elements().asScala.toSeq)
+    }
+    val (md1, before) = snaps()
+    // monotonic, stable spec sequence numbers (= snapshot ids)
+    val seqs = before.map(_.path("sequence-number").asLong())
+    assert(seqs == seqs.sorted && seqs.distinct == seqs)
+    assert(md1.path("last-sequence-number").asLong() == seqs.max)
+    // schema-id is the schema CURRENT AT COMMIT: the two pre-evolution
+    // snapshots serve 0, the post-evolution one serves 1
+    assert(before.map(_.path("schema-id").asInt()) == Seq(0, 0, 1))
+    // expiring the oldest snapshot must NOT renumber the survivors
+    cat.expireSnapshots("conf.seqs", retainLast = 2)
+    val (md2, after) = snaps()
+    assert(after.map(_.path("sequence-number").asLong()) == seqs.drop(1),
+      "sequence numbers must be stable across expiry, never renumbered")
+    assert(md2.path("last-sequence-number").asLong() == seqs.max)
+  }
+
+  test("nested field ids are stable across calls and below last-column-id") {
+    import org.apache.spark.sql.types._
+    cat.createTable("conf.nested_ids", StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("w", IntegerType), StructField("h", IntegerType)))),
+      StructField("tags", ArrayType(StringType)))))
+    def mdNode() = json(req("GET", "/v1/namespaces/conf/tables/nested_ids"))
+      .path("metadata")
+    def allIds(md: com.fasterxml.jackson.databind.JsonNode): Seq[Int] = {
+      val buf = Seq.newBuilder[Int]
+      def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+        if (n.isObject) {
+          Seq("id", "element-id", "key-id", "value-id").foreach(k =>
+            if (n.path(k).isInt) buf += n.path(k).asInt())
+          n.properties().forEach(e => walk(e.getValue))
+        } else if (n.isArray) n.elements().forEachRemaining(walk)
+      }
+      md.path("schemas").elements().forEachRemaining(walk)
+      buf.result()
+    }
+    val md1 = mdNode()
+    // spec invariant: last-column-id >= every assigned field id
+    val ids1 = allIds(md1)
+    assert(ids1.nonEmpty && ids1.max <= md1.path("last-column-id").asInt(),
+      s"served ids $ids1 vs last-column-id ${md1.path("last-column-id").asInt()}")
+    // evolving the TOP level must not move the nested ids of the old
+    // schema version (a client resolves by id; instability corrupts it)
+    cat.addColumn("conf.nested_ids", "note", StringType)
+    val md2 = mdNode()
+    val v0After = md2.path("schemas").get(0)
+    assert(allIds(com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+        .objectNode().set("schemas",
+          com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+            .arrayNode().add(v0After))) == ids1,
+      "schema version 0's ids must be identical before and after evolution")
+    // nested ids never collide across schema-log entries (each version
+    // draws from its own stable range), and the evolution's fresh
+    // top-level id stays clear of every nested range
+    def idsOf(md: com.fasterxml.jackson.databind.JsonNode, i: Int): Seq[Int] =
+      allIds(com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+        .objectNode().set("schemas",
+          com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+            .arrayNode().add(md.path("schemas").get(i))))
+    val topIds = cat.loadMeta("conf.nested_ids").fieldIds.toSet
+    val nested0 = idsOf(md2, 0).filterNot(topIds).toSet
+    val nested1 = idsOf(md2, 1).filterNot(topIds).toSet
+    assert(nested0.intersect(nested1).isEmpty,
+      s"nested ids must not collide across schema versions: $nested0 / $nested1")
+    assert(topIds.intersect(nested0 ++ nested1).isEmpty)
+    assert(allIds(md2).max <= md2.path("last-column-id").asInt())
   }
 
   test("UpdateTableRequest property actions use spec keys; uuid requirement checks") {
