@@ -1,0 +1,256 @@
+package graft.catalog
+
+import java.nio.file.{DirectoryNotEmptyException, FileAlreadyExistsException, NoSuchFileException, Path}
+
+import scala.jdk.CollectionConverters._
+
+/** Object-store [[FileIO]] with REAL S3 constraints — the conformance
+  * harness proving the commit protocol documented at FileIO.scala:17-32
+  * actually carries on S3 primitives (the sandbox has no S3 endpoint, so
+  * the store is in-process; every operation is restricted to what the S3
+  * API offers):
+  *
+  *  - '''No atomic rename.''' [[move]] is CopyObject + a CONDITIONAL
+  *    DELETE (`If-Match` on the source's ETag — the atomic arbiter: of N
+  *    racers that all copied, exactly one wins the delete, the rest throw
+  *    and leave only their uniquely-named orphan copies). A crash between
+  *    the copy and the delete (injectable via [[failMovesAfterCopy]])
+  *    leaves BOTH objects — which the lock grave-steal protocol is
+  *    explicitly idempotent under, proven in S3FileIOSpec.
+  *  - '''Conditional PUT, not link(2).''' [[writeStringIfAbsent]] is a
+  *    `PUT If-None-Match: *`; [[publishLink]] is GET(src) + conditional
+  *    PUT(target) — a content copy, since S3 has no hard links and
+  *    CopyObject takes no `If-None-Match`. Version-file publication
+  *    stays winner-take-one because the PUT is conditional.
+  *  - '''No directories.''' Directories are zero-byte MARKER objects
+  *    (`key/`-style), created explicitly by [[createDirectories]] — the
+  *    standard S3 practice, and what lets [[writeString]] honor the seam
+  *    contract that a write into a vanished directory FAILS (bare S3
+  *    cannot express that; the marker discipline can). Listings are
+  *    prefix scans; since Dec 2020 S3 list-after-write is strongly
+  *    consistent, which is what [[list]]/[[walk]] model.
+  *  - '''Per-key atomicity only.''' Unlike the KV backend there is NO
+  *    cross-key transaction: each PUT/DELETE is individually atomic,
+  *    sequences are not — exactly S3's concurrency model. The catalog's
+  *    protocol must survive on that, and the differential fuzz +
+  *    steal/publish races in S3FileIOSpec are the evidence.
+  *
+  * Deployment split (same as [[KvFileIO]]): this carries the METADATA
+  * plane; data files live on the shared filesystem/object store Spark
+  * writes to, so paths outside `bucketRoot` and [[parquetFooter]] pass
+  * through to [[LocalFileIO]].
+  */
+final class S3FileIO(bucketRoot: String) extends FileIO {
+
+  /** One stored object. `etag` models S3's per-write entity tag — the
+    * `If-Match` handle conditional deletes key on.
+    */
+  private case class Obj(bytes: Array[Byte], mtime: Long, dir: Boolean,
+      etag: String = java.util.UUID.randomUUID().toString)
+
+  private val store = new java.util.concurrent.ConcurrentHashMap[String, Obj]()
+
+  /** Test hook: the next N [[move]] calls crash AFTER their copy and
+    * BEFORE the conditional delete — the S3 partial-failure mode the
+    * grave-steal protocol must heal from.
+    */
+  val failMovesAfterCopy = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val rootKey =
+    java.nio.file.Paths.get(bucketRoot).toAbsolutePath.normalize.toString
+
+  private def key(p: Path): String = p.toAbsolutePath.normalize.toString
+
+  private def inS3(p: Path): Boolean = {
+    val k = key(p)
+    k == rootKey || k.startsWith(rootKey + "/")
+  }
+
+  private def now(): Long = System.currentTimeMillis()
+
+  def exists(p: Path): Boolean =
+    if (!inS3(p)) LocalFileIO.exists(p) else store.containsKey(key(p))
+  def isDirectory(p: Path): Boolean =
+    if (!inS3(p)) LocalFileIO.isDirectory(p)
+    else Option(store.get(key(p))).exists(_.dir)
+  def isRegularFile(p: Path): Boolean =
+    if (!inS3(p)) LocalFileIO.isRegularFile(p)
+    else Option(store.get(key(p))).exists(!_.dir)
+
+  def createDirectories(p: Path): Unit = {
+    if (!inS3(p)) { LocalFileIO.createDirectories(p); return }
+    // one marker PUT per level, top-down (each individually atomic — the
+    // only guarantee S3 gives a "mkdir -p")
+    var chain = List.empty[Path]
+    var k = p.toAbsolutePath.normalize
+    while (k != null) { chain = k :: chain; k = k.getParent }
+    chain.foreach { c =>
+      val existing = store.putIfAbsent(c.toString, Obj(null, now(), dir = true))
+      if (existing != null && !existing.dir)
+        throw new FileAlreadyExistsException(c.toString)
+    }
+  }
+
+  def list(p: Path): Seq[Path] = {
+    if (!inS3(p)) return LocalFileIO.list(p)
+    // prefix scan with "/" delimiter, depth 1 (S3 ListObjectsV2 shape)
+    val parent = p.toAbsolutePath.normalize
+    store.keySet().asScala.toSeq
+      .map(java.nio.file.Paths.get(_))
+      .filter(k => Option(k.getParent).contains(parent))
+  }
+
+  def walk(p: Path): Seq[Path] = {
+    if (!inS3(p)) return LocalFileIO.walk(p)
+    val base = key(p)
+    if (!store.containsKey(base)) return Seq.empty
+    val prefix = base + "/"
+    // undelimited prefix scan; lexicographic order puts parents first
+    java.nio.file.Paths.get(base) +:
+      store.keySet().asScala.toSeq.filter(_.startsWith(prefix)).sorted
+        .map(java.nio.file.Paths.get(_))
+  }
+
+  def readString(p: Path): String = {
+    if (!inS3(p)) return LocalFileIO.readString(p)
+    val e = store.get(key(p))
+    if (e == null || e.dir) throw new NoSuchFileException(key(p))
+    new String(e.bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The marker discipline behind the seam's vanished-directory rule. */
+  private def requireParentDir(p: Path): Unit = {
+    val parent = Option(p.toAbsolutePath.normalize.getParent)
+      .map(_.toString).getOrElse(throw new NoSuchFileException(key(p)))
+    val e = store.get(parent)
+    if (e == null || !e.dir) throw new NoSuchFileException(parent)
+  }
+
+  def writeString(p: Path, s: String): Unit = {
+    if (!inS3(p)) { LocalFileIO.writeString(p, s); return }
+    requireParentDir(p)
+    val k = key(p)
+    if (Option(store.get(k)).exists(_.dir))
+      throw new java.nio.file.FileSystemException(k, null, "is a directory")
+    store.put(k,
+      Obj(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), now(), dir = false))
+  }
+
+  /** `PUT If-None-Match: *` — S3's atomic create-new. */
+  def writeStringIfAbsent(p: Path, s: String): Unit = {
+    if (!inS3(p)) { LocalFileIO.writeStringIfAbsent(p, s); return }
+    requireParentDir(p)
+    val prev = store.putIfAbsent(key(p),
+      Obj(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), now(), dir = false))
+    if (prev != null) throw new FileAlreadyExistsException(key(p))
+  }
+
+  /** GET(src) + conditional PUT(target): S3 has no link(2) and CopyObject
+    * takes no If-None-Match, so publication copies the (immutable staged)
+    * content under the winner-take-one conditional PUT.
+    */
+  def publishLink(target: Path, src: Path): Unit = {
+    if (!inS3(target)) { LocalFileIO.publishLink(target, src); return }
+    val bytes = (if (inS3(src)) {
+      val e = store.get(key(src))
+      if (e == null || e.dir) throw new NoSuchFileException(key(src))
+      e.bytes
+    } else LocalFileIO.readString(src)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    requireParentDir(target)
+    if (store.putIfAbsent(key(target), Obj(bytes, now(), dir = false)) != null)
+      throw new FileAlreadyExistsException(key(target))
+  }
+
+  /** CopyObject + conditional DELETE (`If-Match` source ETag) — NOT
+    * atomic. The conditional delete is the arbiter: of N racers that all
+    * copied the source, exactly one deletes it; the rest throw
+    * NoSuchFileException with their orphan copies left behind (uniquely
+    * named in every protocol use, collected by maintenance). A crash
+    * between copy and delete ([[failMovesAfterCopy]]) leaves BOTH.
+    */
+  def move(from: Path, to: Path): Unit = {
+    if (!inS3(from)) { LocalFileIO.move(from, to); return }
+    val fk = key(from)
+    val tk = key(to)
+    val e = store.get(fk)
+    if (e == null) throw new NoSuchFileException(fk)
+    if (fk == tk) return
+    if (e.dir && tk.startsWith(fk + "/"))
+      throw new java.nio.file.FileSystemException(tk, null,
+        "cannot move a directory into its own subtree")
+    val tparent = Option(java.nio.file.Paths.get(tk).getParent)
+      .map(_.toString).getOrElse(throw new NoSuchFileException(tk))
+    if (!Option(store.get(tparent)).exists(_.dir))
+      throw new NoSuchFileException(tparent)
+    if (e.dir) {
+      // directory "rename" = per-key copy loop + per-key deletes; each
+      // step atomic, the sequence not (what renameTable costs on S3)
+      val prefix = fk + "/"
+      val children = store.keySet().asScala.toSeq.filter(_.startsWith(prefix)).sorted
+      if (store.putIfAbsent(tk, e) != null) throw new FileAlreadyExistsException(tk)
+      children.foreach { ck =>
+        Option(store.get(ck)).foreach(cv => store.put(tk + ck.stripPrefix(fk), cv))
+      }
+      if (failMovesAfterCopy.getAndUpdate(n => math.max(0, n - 1)) > 0)
+        throw new java.io.IOException(s"simulated crash after copy: $fk -> $tk")
+      children.foreach(store.remove)
+      store.remove(fk)
+    } else {
+      if (store.putIfAbsent(tk, e.copy(mtime = now())) != null)
+        throw new FileAlreadyExistsException(tk)
+      if (failMovesAfterCopy.getAndUpdate(n => math.max(0, n - 1)) > 0)
+        throw new java.io.IOException(s"simulated crash after copy: $fk -> $tk")
+      // If-Match conditional delete: fails (for exactly N-1 of N racers)
+      // when someone else already deleted or replaced the source
+      if (!store.remove(fk, e)) throw new NoSuchFileException(fk)
+    }
+  }
+
+  def delete(p: Path): Unit =
+    if (!deleteIfExists(p)) throw new NoSuchFileException(key(p))
+
+  def deleteIfExists(p: Path): Boolean = {
+    if (!inS3(p)) return LocalFileIO.deleteIfExists(p)
+    val k = key(p)
+    val e = store.get(k)
+    if (e == null) {
+      // POSIX: unlink through a FILE path component is ENOTDIR, not false
+      var anc = p.toAbsolutePath.normalize.getParent
+      while (anc != null && inS3(anc)) {
+        val ae = store.get(anc.toString)
+        if (ae != null && !ae.dir)
+          throw new java.nio.file.FileSystemException(anc.toString, null,
+            "not a directory")
+        anc = anc.getParent
+      }
+      return false
+    }
+    if (e.dir && store.keySet().asScala.exists(_.startsWith(k + "/")))
+      throw new DirectoryNotEmptyException(k)
+    store.remove(k) != null
+  }
+
+  def size(p: Path): Long = {
+    if (!inS3(p)) return LocalFileIO.size(p)
+    val e = store.get(key(p))
+    if (e == null || e.dir) throw new NoSuchFileException(key(p))
+    e.bytes.length.toLong
+  }
+
+  def lastModifiedMillis(p: Path): Long = {
+    if (!inS3(p)) return LocalFileIO.lastModifiedMillis(p)
+    val e = store.get(key(p))
+    if (e == null) throw new NoSuchFileException(key(p))
+    e.mtime
+  }
+
+  /** Data plane: footers come from where the data actually lives. */
+  def parquetFooter(
+      p: Path,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.parquet.hadoop.metadata.ParquetMetadata =
+    LocalFileIO.parquetFooter(p, conf)
+
+  /** Test/observability hook. */
+  def keyCount: Int = store.size()
+}

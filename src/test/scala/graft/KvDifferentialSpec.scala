@@ -55,7 +55,14 @@ class KvDifferentialSpec extends AnyFunSuite {
           case 5 => io.exists(p).toString + io.isDirectory(p) + io.isRegularFile(p)
           case 6 => io.deleteIfExists(p).toString
           case 7 => io.move(p, p2); "move"
-          case 8 => io.publishLink(p2, p); "link"
+          case 8 =>
+            // publication per the protocol's usage contract: a UNIQUE
+            // target (version files are never rewritten) and the staged
+            // source unlinked right after — POSIX hard-link aliasing of a
+            // still-shared inode is deliberately out of contract (a KV
+            // store copies; the catalog never writes through either name)
+            io.publishLink(root.resolve(s"pub-$i"), p)
+            io.deleteIfExists(p); "link"
           case 9 => if (io.isRegularFile(p)) io.size(p).toString else "skip"
         }).toEither.left.map(_ => "threw")
       }
