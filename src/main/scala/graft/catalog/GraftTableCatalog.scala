@@ -249,25 +249,27 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   override def name(): String = catalogName
 
   private def identString(ident: Identifier): String = {
-    require(ident.namespace().length == 1, s"expected ns.table, got $ident")
-    s"${ident.namespace()(0)}.${ident.name()}"
+    require(ident.namespace().length >= 1, s"expected ns.table, got $ident")
+    (ident.namespace() :+ ident.name()).mkString(".")
   }
 
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    require(namespace.length == 1)
-    ice.listTables(namespace(0)).map(Identifier.of(namespace, _)).toArray
+    require(namespace.length >= 1)
+    ice.listTables(namespace.mkString("."))
+      .map(Identifier.of(namespace, _)).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
-    // `ns.table.<meta>` resolves to a metadata table (files / snapshots /
-    // partitions / history / manifests) — Iceberg's metadata-table UX.
-    // Case-insensitive (Spark passes identifiers through unlowered); any
-    // other 3-part identifier is NoSuchTable, not identString's arity error
+    // multi-level namespaces make a ≥3-part identifier ambiguous between a
+    // nested-namespace table (a.b.t) and a metadata table (ns.t.files) —
+    // a REAL table at the full identifier wins; otherwise `ns.table.<meta>`
+    // resolves to a metadata table (files / snapshots / partitions /
+    // history / manifests — Iceberg's metadata-table UX, case-insensitive)
     val ns = ident.namespace()
-    if (ns.length == 2) {
-      val base = s"${ns(0)}.${ns(1)}"
+    if (ns.length >= 2 && !ice.tableExists(identString(ident))) {
+      val base = ns.mkString(".")
       val metaName = ident.name().toLowerCase
       if (ice.tableExists(base) && MetadataTables.Names.contains(metaName))
         MetadataTables(ice, base, metaName)
@@ -294,7 +296,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     val id = identString(ident)
     if (!ice.tableExists(id))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        Seq(ident.namespace()(0), ident.name()))
+        ident.namespace().toSeq :+ ident.name())
     val meta = ice.loadMeta(id)
     val snap = asOf match {
       case Some(v) => meta.snapshot(v).orElse(
@@ -352,7 +354,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     val id = identString(ident)
-    ice.createNamespace(ident.namespace()(0))
+    // implicit namespace creation, one level at a time (multi-level
+    // namespaces require each ancestor to exist)
+    val nsParts = ident.namespace()
+    (1 to nsParts.length).foreach(i =>
+      ice.createNamespace(nsParts.take(i).mkString(".")))
     // TBLPROPERTIES land in the creation commit itself (minus Spark's
     // injected bookkeeping props, which aren't table content)
     val props = properties.asScala.toMap -- Seq("owner", "provider", "location")
@@ -416,32 +422,43 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     ice.listNamespaces().map(ns => Array(ns)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) listNamespaces() else Array.empty
+    if (namespace.isEmpty) listNamespaces()
+    else ice.listNamespaces(namespace.mkString("."))
+      .map(child => namespace :+ child.split('.').last).toArray
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && ice.listNamespaces().contains(namespace(0))
+    namespace.length >= 1 && ice.namespaceExists(namespace.mkString("."))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace.toSeq)
-    Map.empty[String, String].asJava
+    ice.namespaceProperties(namespace.mkString(".")).asJava
   }
 
   override def createNamespace(
       namespace: Array[String], metadata: util.Map[String, String]): Unit = {
-    require(namespace.length == 1)
-    ice.createNamespace(namespace(0))
+    require(namespace.length >= 1)
+    ice.createNamespace(namespace.mkString("."))
   }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("alterNamespace")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    require(namespace.length == 1)
+    require(namespace.length >= 1)
+    val ns = namespace.mkString(".")
     val existed = namespaceExists(namespace)
     if (existed) {
-      if (cascade) ice.listTables(namespace(0)).foreach(t => ice.dropTable(s"${namespace(0)}.$t"))
-      ice.dropNamespace(namespace(0))
+      if (cascade) {
+        // children first: nested namespaces, then this level's tables
+        def clear(n: String): Unit = {
+          ice.listNamespaces(n).foreach(clear)
+          ice.listTables(n).foreach(t => ice.dropTable(s"$n.$t"))
+          if (n != ns) ice.dropNamespace(n)
+        }
+        clear(ns)
+      }
+      ice.dropNamespace(ns)
     }
     existed
   }

@@ -487,17 +487,46 @@ class IceCatalog(
     })
   }
 
-  // ---- namespaces -------------------------------------------------------
+  // ---- namespaces (multi-level since r6: "a.b.c" nests as directories;
+  //      a table directory is distinguished by its metadata/ child) ------
 
-  def createNamespace(ns: String): Unit = io.createDirectories(rootPath.resolve(ns))
+  /** Namespace "a.b.c" → nested directory root/a/b/c. */
+  private def nsDir(ns: String): Path =
+    ns.split('.').foldLeft(rootPath)(_ resolve _)
 
-  private def nsPropsFile(ns: String): Path = rootPath.resolve(ns).resolve(".nsprops.json")
+  /** Create one namespace level. Multi-level creates require every
+    * ancestor to already exist — the reference's parent checks
+    * (EtcdCatalog.java:192-194); a client cannot conjure `a.b.c` without
+    * `a.b`.
+    */
+  def createNamespace(ns: String): Unit = {
+    val parts = ns.split('.')
+    require(parts.forall(_.nonEmpty), s"bad namespace: $ns")
+    if (parts.length > 1) {
+      val parent = parts.init.mkString(".")
+      require(namespaceExists(parent), s"no such namespace: $parent")
+    }
+    io.createDirectories(nsDir(ns))
+  }
+
+  /** Internal: create `ns` and any missing ancestors (import path). */
+  private def createNamespaceChain(ns: String): Unit = {
+    val parts = ns.split('.')
+    (1 to parts.length).foreach(i => createNamespace(parts.take(i).mkString(".")))
+  }
+
+  def namespaceExists(ns: String): Boolean = {
+    val p = nsDir(ns)
+    io.isDirectory(p) && !io.isDirectory(p.resolve("metadata"))
+  }
+
+  private def nsPropsFile(ns: String): Path = nsDir(ns).resolve(".nsprops.json")
 
   /** Namespace-level properties (Iceberg LoadNamespaceResponse /
     * UpdateNamespacePropertiesRequest): one small JSON file per namespace.
     */
   def namespaceProperties(ns: String): Map[String, String] = {
-    require(listNamespaces().contains(ns), s"no such namespace: $ns")
+    require(namespaceExists(ns), s"no such namespace: $ns")
     val f = nsPropsFile(ns)
     if (!io.exists(f)) Map.empty
     else mapper.readValue(io.readString(f), classOf[Map[String, String]])
@@ -516,14 +545,36 @@ class IceCatalog(
     (updates.keys.toSeq.sorted, removed, missing)
   }
 
+  /** Top-level namespaces. */
   def listNamespaces(): Seq[String] =
     if (!io.isDirectory(rootPath)) Seq.empty
     else io.list(rootPath).filter(io.isDirectory(_))
       .map(_.getFileName.toString).toSeq.sorted
 
+  /** DIRECT child namespaces of `parent`, fully qualified ("a.b" → list
+    * of "a.b.x"); empty parent lists the top level. Table directories
+    * are excluded by their metadata/ marker.
+    */
+  def listNamespaces(parent: String): Seq[String] =
+    if (parent.isEmpty) listNamespaces()
+    else {
+      val p = nsDir(parent)
+      if (!io.isDirectory(p)) Seq.empty
+      else io.list(p)
+        .filter(d => io.isDirectory(d) && !io.isDirectory(d.resolve("metadata")))
+        .map(d => s"$parent.${d.getFileName}").toSeq.sorted
+    }
+
+  /** Every namespace at every depth, parents before children. */
+  def allNamespaces(): Seq[String] = {
+    def rec(ns: String): Seq[String] = ns +: listNamespaces(ns).flatMap(rec)
+    listNamespaces().flatMap(rec)
+  }
+
   def dropNamespace(ns: String): Unit = {
-    val p = rootPath.resolve(ns)
+    val p = nsDir(ns)
     require(listTables(ns).isEmpty, s"namespace $ns is not empty")
+    require(listNamespaces(ns).isEmpty, s"namespace $ns has child namespaces")
     io.deleteIfExists(nsPropsFile(ns)) // tables gone; props go with the ns
     if (io.isDirectory(p)) io.delete(p)
   }
@@ -532,12 +583,13 @@ class IceCatalog(
 
   private def tableDir(ident: String): Path = {
     val parts = ident.split('.')
-    require(parts.length == 2, s"table identifier must be ns.table, got $ident")
-    rootPath.resolve(parts(0)).resolve(parts(1))
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"table identifier must be ns(.ns)*.table, got $ident")
+    parts.foldLeft(rootPath)(_ resolve _)
   }
 
   def listTables(ns: String): Seq[String] = {
-    val p = rootPath.resolve(ns)
+    val p = nsDir(ns)
     if (!io.isDirectory(p)) Seq.empty
     else io.list(p)
       .filter(d => io.isDirectory(d.resolve("metadata")))
@@ -2326,7 +2378,7 @@ class IceCatalog(
     */
   def exportCatalog(): String = {
     val tables = for {
-      ns <- listNamespaces(); t <- listTables(ns)
+      ns <- allNamespaces(); t <- listTables(ns)
     } yield {
       val m = loadMeta(s"$ns.$t")
       m.copy(snapshots = m.snapshots.map(_.copy(
@@ -2342,8 +2394,7 @@ class IceCatalog(
   def importCatalog(json: String): Unit = {
     val metas = mapper.readValue(json, classOf[Array[TableMeta]])
     metas.foreach { m =>
-      val Array(ns, _) = m.name.split('.')
-      createNamespace(ns)
+      createNamespaceChain(m.name.split('.').init.mkString("."))
       if (!tableExists(m.name)) {
         val dir = tableDir(m.name)
         io.createDirectories(dir.resolve("metadata"))

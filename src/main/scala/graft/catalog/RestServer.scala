@@ -144,7 +144,13 @@ object RestServer {
           case Some(s) if s.readOnly && method != "GET" && method != "HEAD" =>
             sendError(ex, 403, "NotAuthorizedException", s"$method not allowed")
           case Some(_) =>
-            route(ex, method, ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toList)
+            // multi-level namespaces travel in one path segment joined by
+            // the spec's %1F unit separator (RESTUtil.encodeNamespace;
+            // RESTCatalogAdapter.java:98 parses the same) — URI.getPath
+            // already percent-decoded it, so map the separator to the
+            // catalog's dotted form here, once, for every route
+            route(ex, method, ex.getRequestURI.getPath.split('/')
+              .filter(_.nonEmpty).map(_.replace('\u001f', '.')).toList)
         }
       } catch {
         case e: NoSuchElementException =>
@@ -253,15 +259,19 @@ object RestServer {
           send(ex, 200, body.getBytes(StandardCharsets.UTF_8))
 
         case ("GET", List("v1", "namespaces")) =>
-          val (page, next) = paginate(ex, cat.listNamespaces())
+          // ?parent=a%1Fb lists DIRECT children of a nested namespace
+          val parent = queryParam(ex, "parent")
+            .map(_.replace('\u001f', '.')).getOrElse("")
+          if (parent.nonEmpty) requireNs(parent)
+          val (page, next) = paginate(ex, cat.listNamespaces(parent))
           sendJson(ex, 200,
-            Map("namespaces" -> page.map(Seq(_))) ++
+            Map("namespaces" -> page.map(_.split('.').toSeq)) ++
               next.map("next-page-token" -> _))
         case ("POST", List("v1", "namespaces")) =>
           val req = body(ex)
           val ns = nsOf(req)
           // spec: creating an existing namespace is a 409, not a silent 200
-          if (cat.listNamespaces().contains(ns))
+          if (cat.namespaceExists(ns))
             return sendError(ex, 409, "AlreadyExistsException",
               s"namespace already exists: $ns")
           cat.createNamespace(ns)
@@ -271,13 +281,15 @@ object RestServer {
               props.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap,
               Seq.empty)
           sendJson(ex, 200,
-            Map("namespace" -> Seq(ns), "properties" -> cat.namespaceProperties(ns)))
+            Map("namespace" -> ns.split('.').toSeq,
+              "properties" -> cat.namespaceProperties(ns)))
         case ("HEAD", List("v1", "namespaces", ns)) =>
-          send(ex, if (cat.listNamespaces().contains(ns)) 204 else 404, Array.empty)
+          send(ex, if (cat.namespaceExists(ns)) 204 else 404, Array.empty)
         case ("GET", List("v1", "namespaces", ns)) =>
           requireNs(ns)
           sendJson(ex, 200,
-            Map("namespace" -> Seq(ns), "properties" -> cat.namespaceProperties(ns)))
+            Map("namespace" -> ns.split('.').toSeq,
+              "properties" -> cat.namespaceProperties(ns)))
         case ("POST", List("v1", "namespaces", ns, "properties")) =>
           // spec UpdateNamespacePropertiesRequest → {updated, removed, missing}
           requireNs(ns)
@@ -303,7 +315,7 @@ object RestServer {
           val (page, next) = paginate(ex, cat.listTables(ns))
           sendJson(ex, 200,
             Map("identifiers" -> page.map(t =>
-              Map("namespace" -> Seq(ns), "name" -> t))) ++
+              Map("namespace" -> ns.split('.').toSeq, "name" -> t))) ++
               next.map("next-page-token" -> _))
         case ("POST", List("v1", "namespaces", ns, "tables")) =>
           requireNs(ns)
@@ -605,20 +617,29 @@ object RestServer {
       else mapper.readTree(bytes)
     }
 
-    /** Namespaces are SINGLE-LEVEL (the catalog's identifiers are
-      * `ns.table`): a multi-part namespace array is rejected up front —
-      * accepting it would create a namespace no table call can address.
+    /** Namespace from a request body: the spec's multi-part array
+      * (["a","b","c"] → "a.b.c" internally) or a dotted string. Empty
+      * parts are rejected.
       */
     private def nsOf(req: JsonNode): String = {
       val n = req.path("namespace")
-      if (n.isArray && n.size() == 1) n.get(0).asText()
-      else if (n.isArray)
-        throw new IllegalArgumentException(
-          s"namespaces are single-level, got ${n.size()} parts")
-      else if (n.isTextual && n.asText().nonEmpty && !n.asText().contains('.'))
-        n.asText()
-      else throw new IllegalArgumentException("namespace required (single-level)")
+      val parts =
+        if (n.isArray) n.elements().asScala.map(_.asText()).toSeq
+        else if (n.isTextual) n.asText().split('.').toSeq
+        else Seq.empty
+      if (parts.isEmpty || parts.exists(_.isEmpty))
+        throw new IllegalArgumentException("namespace required")
+      parts.mkString(".")
     }
+
+    /** One decoded query parameter. */
+    private def queryParam(ex: HttpExchange, name: String): Option[String] =
+      Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split('&').filter(_.contains('=')).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap.get(name)
 
     private def str(req: JsonNode, key: String): String = {
       val v = req.path(key).asText("")
@@ -666,7 +687,7 @@ object RestServer {
       else StructType.fromDDL(s)
 
     private def requireNs(ns: String): Unit =
-      if (!cat.listNamespaces().contains(ns))
+      if (!cat.namespaceExists(ns))
         throw new NoSuchElementException(s"no such namespace: $ns")
 
     private def requireTable(ident: String): Unit =

@@ -22,8 +22,9 @@ import graft.catalog.IceCatalog._
   *   graft --root /path/to/catalog <command> [args...]
   *
   *   check
-  *   create-namespace <ns>         list-namespaces
+  *   create-namespace <ns>         list-namespaces [parent]
   *   delete-namespace <ns>         list-tables <ns>
+  *   (namespaces nest: <ns> may be dotted, e.g. a.b.c — parents must exist)
   *   create-table <ns.t> --schema "id BIGINT, v STRING"
   *                [--partition col:transform[:name]]... [--sort col[:desc]]...
   *   insert <ns.t> <parquet-path>... [--no-copy] [--force-outside-location]
@@ -74,6 +75,9 @@ object Cli {
           cat.dropNamespace(ns); out.println(s"deleted namespace $ns")
         case Seq("list-namespaces") =>
           cat.listNamespaces().foreach(out.println)
+        case Seq("list-namespaces", parent) =>
+          // nested namespaces: direct children of a dotted parent
+          cat.listNamespaces(parent).foreach(out.println)
         case Seq("list-tables", ns) =>
           cat.listTables(ns).foreach(out.println)
 

@@ -432,6 +432,61 @@ class RestConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sparkSchema("loc").dataType.typeName == "struct")
   }
 
+  test("nested namespaces: %1F idents, parent checks, full lifecycle") {
+    // create a.b.c level by level — the spec's multi-part namespace arrays
+    assert(req("POST", "/v1/namespaces", """{"namespace":["lvl"]}""")
+      .statusCode() == 200)
+    // a child whose parent doesn't exist is refused (parent checks,
+    // EtcdCatalog.java:192-194)
+    val orphan = req("POST", "/v1/namespaces", """{"namespace":["nope","child"]}""")
+    assert(orphan.statusCode() == 400, orphan.body())
+    val mid = req("POST", "/v1/namespaces", """{"namespace":["lvl","mid"]}""")
+    assert(mid.statusCode() == 200)
+    assert(json(mid).path("namespace").elements().asScala.map(_.asText()).toSeq ==
+      Seq("lvl", "mid"), "responses carry multi-part namespace arrays")
+    assert(req("POST", "/v1/namespaces",
+      """{"namespace":["lvl","mid","leaf"]}""").statusCode() == 200)
+
+    // %1F-joined path segments address the nested namespace (the spec's
+    // RESTUtil.encodeNamespace form)
+    val sep = "%1F"
+    assert(req("HEAD", s"/v1/namespaces/lvl${sep}mid${sep}leaf").statusCode() == 204)
+    val load = req("GET", s"/v1/namespaces/lvl${sep}mid")
+    assert(load.statusCode() == 200)
+    assert(json(load).path("namespace").elements().asScala.map(_.asText()).toSeq ==
+      Seq("lvl", "mid"))
+
+    // ?parent= lists DIRECT children only
+    val kids = json(req("GET", s"/v1/namespaces?parent=lvl"))
+      .path("namespaces").elements().asScala
+      .map(_.elements().asScala.map(_.asText()).mkString(".")).toSeq
+    assert(kids == Seq("lvl.mid"), s"direct children only: $kids")
+    val grandkids = json(req("GET", s"/v1/namespaces?parent=lvl${sep}mid"))
+      .path("namespaces").elements().asScala
+      .map(_.elements().asScala.map(_.asText()).mkString(".")).toSeq
+    assert(grandkids == Seq("lvl.mid.leaf"))
+
+    // a table lives at the nested namespace; list reports the full array
+    val ct = req("POST", s"/v1/namespaces/lvl${sep}mid${sep}leaf/tables",
+      """{"name":"t","schema":{"type":"struct","fields":[
+        |  {"id":1,"name":"id","required":false,"type":"long"}]}}""".stripMargin)
+    assert(ct.statusCode() == 200, ct.body())
+    val ids = json(req("GET", s"/v1/namespaces/lvl${sep}mid${sep}leaf/tables"))
+      .path("identifiers").get(0)
+    assert(ids.path("namespace").elements().asScala.map(_.asText()).toSeq ==
+      Seq("lvl", "mid", "leaf") && ids.path("name").asText() == "t")
+    assert(req("GET", s"/v1/namespaces/lvl${sep}mid${sep}leaf/tables/t")
+      .statusCode() == 200)
+
+    // a non-empty namespace can't drop; empty levels drop child-first
+    assert(req("DELETE", s"/v1/namespaces/lvl${sep}mid").statusCode() == 400)
+    assert(req("DELETE", s"/v1/namespaces/lvl${sep}mid${sep}leaf/tables/t")
+      .statusCode() == 204)
+    assert(req("DELETE", s"/v1/namespaces/lvl${sep}mid${sep}leaf").statusCode() == 204)
+    assert(req("DELETE", s"/v1/namespaces/lvl${sep}mid").statusCode() == 204)
+    assert(req("DELETE", "/v1/namespaces/lvl").statusCode() == 204)
+  }
+
   test("namespace properties: create-with, load, spec update response") {
     val create = req("POST", "/v1/namespaces",
       """{"namespace":["props"],"properties":{"owner":"conf","tier":"gold"}}""")

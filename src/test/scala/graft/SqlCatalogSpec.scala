@@ -352,6 +352,30 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].head() == cat.files("ns8.m").length.toLong)
   }
 
+  test("nested namespaces round-trip through SQL: a.b.c create/use/drop") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE graft.deep")
+    spark.sql("CREATE NAMESPACE graft.deep.er")
+    spark.sql("CREATE NAMESPACE graft.deep.er.est")
+    // SHOW NAMESPACES IN lists direct children
+    assert(spark.sql("SHOW NAMESPACES IN graft.deep").collect()
+      .map(_.getString(0)).toSeq == Seq("deep.er"))
+    spark.sql("CREATE TABLE graft.deep.er.est.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.deep.er.est.t VALUES (1,'x'), (2,'y')")
+    assert(spark.sql("SELECT k FROM graft.deep.er.est.t ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    assert(spark.sql("SHOW TABLES IN graft.deep.er.est").collect()
+      .map(_.getString(1)).toSeq == Seq("t"))
+    // metadata tables still resolve under a nested table identifier
+    assert(spark.sql("SELECT count(*) FROM graft.deep.er.est.t.files")
+      .head().getLong(0) >= 1L)
+    // cascade drop clears the whole subtree
+    spark.sql("DROP NAMESPACE graft.deep CASCADE")
+    assert(!new IceCatalog(spark, root).tableExists("deep.er.est.t"))
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).forall(_ != "deep"))
+  }
+
   // ---- DSv2 row-level operations (MERGE INTO / UPDATE / row-level
   //      DELETE; RowLevelOps.scala) ----
 
