@@ -28,7 +28,12 @@ import graft.catalog.IceCatalog._
   *   create-table <ns.t> --schema "id BIGINT, v STRING"
   *                [--partition col:transform[:name]]... [--sort col[:desc]]...
   *   insert <ns.t> <parquet-path>... [--no-copy] [--force-outside-location]
-  *                [--skip-duplicates]
+  *                [--skip-duplicates] [--commit-retries N]
+  *                [--commit-retry-total-ms M]
+  *   insert <ns.t> <dir> --watch [--checkpoint <dir>] [--watch-fire-once]
+  *   alter-table <ns.t> '<updates-json>'   (reference op vocabulary:
+  *                add_column/alter_column/rename_column/drop_column/
+  *                set_tblproperty/rename_to/drop_partition_field)
   *   scan <ns.t> [--limit N]       count <ns.t>
   *   files <ns.t>                  list-partitions <ns.t>
   *   list-snapshots <ns.t>
@@ -53,11 +58,14 @@ object Cli {
 
   /** Testable core: parses and executes one command, returns the exit
     * code. `serve` returns the running server via `onServe` instead of
-    * blocking, so specs (and embedders) can drive it.
+    * blocking, and `insert --watch` hands its streaming query to
+    * `onWatch`, so specs (and embedders) can drive both.
     */
   def run(
       args: Seq[String], spark: SparkSession, out: PrintStream,
-      onServe: RestServer.Server => Unit = s => s.awaitForever()): Int =
+      onServe: RestServer.Server => Unit = s => s.awaitForever(),
+      onWatch: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _.awaitTermination()): Int =
     try {
       val (flags, pos) = parse(args)
       val root = flags.getOrElse("root",
@@ -103,12 +111,35 @@ object Cli {
           cat.createTable(ident, schema, pspec, sort)
           out.println(s"created $ident")
 
+        case "insert" +: ident +: paths if flags.contains("watch") =>
+          // continuous ingestion (the reference's `ice insert --watch`,
+          // Main.java:546 / InsertWatch.java — its SQS event queue becomes
+          // Structured Streaming's directory watch): every parquet file
+          // that appears under the directory is committed through the
+          // catalog, duplicates skipped, resumable via the checkpoint
+          require(paths.length == 1, "insert --watch takes exactly one directory")
+          val checkpoint = flags.getOrElse("checkpoint",
+            java.nio.file.Files.createTempDirectory("graft-watch-ckpt").toString)
+          val trigger =
+            if (flags.contains("watch-fire-once"))
+              org.apache.spark.sql.streaming.Trigger.AvailableNow()
+            else org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds")
+          val q = graft.streaming.Streams.watchAndIngest(
+            spark, cat, ident, paths.head, checkpoint, trigger)
+          out.println(s"watching ${paths.head} -> $ident")
+          onWatch(q)
+
         case "insert" +: ident +: paths if paths.nonEmpty =>
           val opts = InsertOptions(skipDuplicates = flags.contains("skip-duplicates"))
           if (flags.contains("no-copy")) {
-            cat.addFiles(ident, paths,
+            // --commit-retries/--commit-retry-total-ms: budgeted retry on
+            // external CAS conflicts (reference Insert.java:134-140)
+            cat.addFilesWithRetry(ident, paths,
               forceOutsideLocation = flags.contains("force-outside-location"),
-              options = opts)
+              options = opts,
+              retries = flags.get("commit-retries").map(_.toInt).getOrElse(4),
+              retryTotalMs =
+                flags.get("commit-retry-total-ms").map(_.toLong).getOrElse(60000L))
             out.println(s"registered ${paths.length} file(s) into $ident (no-copy)")
           } else {
             val df = spark.read.parquet(paths: _*)
@@ -147,6 +178,40 @@ object Cli {
 
         case Seq("set-property", ident, k, v) =>
           cat.setProperty(ident, k, v); out.println(s"set $k on $ident")
+
+        case Seq("alter-table", ident, updatesJson) =>
+          // the reference's `ice alter-table <name> <updatesJson>`
+          // (Main.java:394): a JSON array of ops, each a thin mapping onto
+          // the catalog's field-id-based ALTER surface
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val updates = om.readTree(updatesJson)
+          if (!updates.isArray) fail("alter-table needs a JSON array of updates")
+          def typeOf(s: String): org.apache.spark.sql.types.DataType =
+            try graft.catalog.IcebergJson.fromIcebergType(
+              com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.textNode(s))
+            catch { case _: Exception =>
+              org.apache.spark.sql.types.DataType.fromDDL(s) }
+          updates.elements().forEachRemaining { u =>
+            def p(k: String): String = {
+              val v = u.path(k).asText("")
+              if (v.isEmpty) fail(s"${u.path("op").asText()} needs \"$k\"")
+              v
+            }
+            u.path("op").asText() match {
+              case "add_column" => cat.addColumn(ident, p("name"), typeOf(p("type")))
+              case "alter_column" => cat.alterColumn(ident, p("name"), typeOf(p("type")))
+              case "rename_column" => cat.renameColumn(ident, p("name"), p("new_name"))
+              case "drop_column" => cat.dropColumn(ident, p("name"))
+              case "set_tblproperty" =>
+                if (u.path("value").isNull) // null value = remove (reference semantics)
+                  cat.commit(ident, m => m.copy(properties = m.properties - p("key")))
+                else cat.setProperty(ident, p("key"), p("value"))
+              case "rename_to" => cat.renameTable(ident, p("new_name"))
+              case "drop_partition_field" => cat.dropPartitionField(ident, p("name"))
+              case other => fail(s"unknown alter op: $other")
+            }
+          }
+          out.println(s"altered $ident (${updates.size()} update(s))")
 
         case Seq("delete", ident) =>
           val filters = flags.get("partition").toSeq.flatMap(_.split(',')).map { s =>
@@ -206,7 +271,7 @@ object Cli {
     */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val boolFlags = Set("no-copy", "force-outside-location", "skip-duplicates",
-      "dry-run", "allow-anonymous")
+      "dry-run", "allow-anonymous", "watch", "watch-fire-once")
     var flags = Map.empty[String, String]
     val pos = Seq.newBuilder[String]
     var i = 0

@@ -122,6 +122,76 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally served.stop()
   }
 
+  test("alter-table applies the reference's JSON update vocabulary") {
+    import spark.implicits._
+    val (c0, _) = cli("create-table", "ns.alt", "--schema", "id BIGINT, v STRING")
+    assert(c0 == 0)
+    val staging = Files.createTempDirectory("cli-alt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("b").toString)
+    assert(cli("insert", "ns.alt", staging.resolve("b").toString)._1 == 0)
+
+    val (c1, out1) = cli("alter-table", "ns.alt",
+      """[{"op":"add_column","name":"score","type":"double"},
+        |{"op":"rename_column","name":"v","new_name":"label"},
+        |{"op":"alter_column","name":"id","type":"double"},
+        |{"op":"set_tblproperty","key":"tier","value":"gold"}]""".stripMargin)
+    assert(c1 == 0, out1.mkString("\n"))
+    val (_, scan) = cli("scan", "ns.alt")
+    assert(scan.head.split('\t').toSeq == Seq("id", "label", "score"),
+      s"renamed+widened+added schema must serve old data: $scan")
+    // null property value removes (reference set_tblproperty semantics)
+    assert(cli("alter-table", "ns.alt",
+      """[{"op":"set_tblproperty","key":"tier","value":null}]""")._1 == 0)
+    val (_, desc) = cli("describe", "ns.alt")
+    assert(!desc.exists(_.contains("tier")))
+    // drop_column + rename_to round-trip
+    assert(cli("alter-table", "ns.alt",
+      """[{"op":"drop_column","name":"score"},{"op":"rename_to","name":"x","new_name":"ns.alt2"}]""")._1 == 0)
+    assert(cli("list-tables", "ns")._2.contains("alt2"))
+    assert(cli("delete-table", "ns.alt2")._1 == 0)
+    // an unknown op is a usage error
+    val (c2, out2) = cli("alter-table", "ns.ev", """[{"op":"frobnicate"}]""")
+    assert(c2 == 1 && out2.exists(_.contains("unknown alter op")))
+  }
+
+  test("insert --watch picks up files dropped after start") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.w", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val watchDir = Files.createTempDirectory("cli-watch")
+    val feeder = Files.createTempDirectory("cli-watch-src")
+    // one file present BEFORE start
+    Seq((1L, "pre")).toDF("id", "v").coalesce(1)
+      .write.parquet(feeder.resolve("b1").toString)
+    java.nio.file.Files.list(feeder.resolve("b1")).forEach(p =>
+      if (p.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p, watchDir.resolve("pre.parquet")))
+
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    val buf = new ByteArrayOutputStream()
+    val code = Cli.run(
+      Seq("--root", root, "insert", "ns.w", watchDir.toString, "--watch"),
+      spark, new PrintStream(buf, true), onWatch = q => query = q)
+    assert(code == 0 && query != null && buf.toString.contains("watching"))
+    try {
+      val cat = new graft.catalog.IceCatalog(spark, root)
+      def rows() = cat.countRows("ns.w")
+      def await(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (rows() < n && System.currentTimeMillis() < deadline) Thread.sleep(200)
+        assert(rows() == n, s"expected $n rows, got ${rows()}")
+      }
+      await(1) // the pre-existing file ingests
+      // a file dropped AFTER start is picked up by a later micro-batch
+      Seq((2L, "post"), (3L, "post")).toDF("id", "v").coalesce(1)
+        .write.parquet(feeder.resolve("b2").toString)
+      java.nio.file.Files.list(feeder.resolve("b2")).forEach(p =>
+        if (p.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, watchDir.resolve("post.parquet")))
+      await(3)
+    } finally query.stop()
+  }
+
   test("errors: unknown command and missing args exit 1 with a message") {
     val (c1, out1) = cli("frobnicate")
     assert(c1 == 1 && out1.exists(_.startsWith("error:")))
