@@ -1,0 +1,61 @@
+package graft.catalog
+
+/** Budgeted commit retry — the reference's `ice insert`
+  * `--commit-retries` / `--commit-retry-total-ms` loop with post-failure
+  * verification (Insert.java:134-140, :946-1001), generalized over any
+  * catalog commit. The shape REST clients should run against this
+  * server's 409 `CommitFailedException` responses too: re-read fresh
+  * state, re-attempt, bounded by BOTH an attempt count and a wall-clock
+  * budget, with exponential backoff between attempts.
+  *
+  * `verified` is the post-failure check: after a conflict (or an
+  * ambiguous failure) it answers "did my change actually land?" — e.g.
+  * the reference re-lists the table's source files after a failed
+  * append and skips files already registered. Returning Some(t) stops
+  * the loop successfully without another attempt.
+  */
+object CommitRetry {
+
+  /** The conflict shapes the commit protocol emits — exactly what a REST
+    * client sees as 409 CommitFailedException: a failed `basedOn` CAS /
+    * requirement ([[java.util.ConcurrentModificationException]]) or an
+    * optimistic publish collision / lock timeout (IllegalStateException).
+    * Anything else is a real error and is never retried.
+    */
+  def isConflict(e: Throwable): Boolean = e match {
+    case _: java.util.ConcurrentModificationException => true
+    case _: IllegalStateException => true
+    case _ => false
+  }
+
+  /** Run `attempt` (called with the 0-based attempt number; it must
+    * re-read fresh state itself) until it returns, a non-conflict error
+    * propagates, `verified` says the change landed, or the budget —
+    * `retries` re-attempts AND `totalMs` wall-clock — is exhausted.
+    */
+  def run[T](
+      retries: Int = 4,
+      totalMs: Long = 60000,
+      verified: () => Option[T] = () => None)(attempt: Int => T): T = {
+    require(retries >= 0 && totalMs > 0, "retry budget must be positive")
+    val deadline = System.currentTimeMillis() + totalMs
+    var last: Throwable = null
+    var n = 0
+    while (n <= retries && (n == 0 || System.currentTimeMillis() < deadline)) {
+      try return attempt(n)
+      catch {
+        case e if isConflict(e) =>
+          last = e
+          verified() match {
+            case Some(t) => return t // the commit landed despite the error
+            case None => ()
+          }
+          n += 1
+          if (n <= retries)
+            Thread.sleep(math.min(1000L, 25L << math.min(n, 5)))
+      }
+    }
+    throw new IllegalStateException(
+      s"commit retry budget exhausted ($n attempt(s), ${totalMs}ms)", last)
+  }
+}

@@ -1295,6 +1295,37 @@ class IceCatalog(
       SnapDelta("append", add = newFiles, addSources = added))
   }
 
+  /** [[addFiles]] under a budgeted retry loop ([[CommitRetry]]; the
+    * reference's `--commit-retries`/`--commit-retry-total-ms`): every
+    * attempt captures a FRESH `basedOn` CAS against the then-current
+    * snapshot — the external-committer contention shape, where a stale
+    * client must re-read and re-attempt rather than block on this
+    * catalog's lease lock. Post-failure verification treats the append
+    * as landed when every path is already registered (the reference's
+    * post-commit check, Insert.java:946-1001), so an ambiguous failure
+    * after a successful publish is not double-applied — addFiles'
+    * duplicate detection and this check agree.
+    */
+  def addFilesWithRetry(
+      ident: String,
+      paths: Seq[String],
+      forceOutsideLocation: Boolean = false,
+      options: InsertOptions = InsertOptions(),
+      retries: Int = 4,
+      retryTotalMs: Long = 60000): TableMeta = {
+    val norm = paths.map(p => Paths.get(p).toAbsolutePath.normalize.toUri.toString)
+    CommitRetry.run(retries, retryTotalMs,
+      verified = () => {
+        val m = loadMeta(ident)
+        val known = m.current.flatMap(s => Option(s.sourceFiles))
+          .getOrElse(Seq.empty).map(fsPath).toSet
+        if (norm.forall(p => known.contains(fsPath(p)))) Some(m) else None
+      }) { _ =>
+      addFiles(ident, paths, forceOutsideLocation, options,
+        basedOn = Some(loadMeta(ident).currentSnapshotId))
+    }
+  }
+
   /** Replace the table's entire contents with `df` in ONE snapshot commit
     * (SQL `INSERT OVERWRITE` semantics) — unlike truncate-then-insert,
     * readers never observe the empty intermediate state, and a crash

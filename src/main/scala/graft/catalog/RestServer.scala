@@ -50,7 +50,11 @@ import graft.catalog.IceCatalog._
   * Commits route through the catalog's lease-locked optimistic protocol, so
   * concurrent external committers serialize exactly like local ones; the
   * multi-table transaction maps onto [[IceCatalog.commitGroup]] (all tables
-  * publish or none). Auth: `Authorization: Bearer <token>` checked in
+  * publish or none). A 409 CommitFailedException means the client's
+  * requirement lost a race: re-read the table, re-derive the request, and
+  * re-attempt under an attempt + wall-clock budget with post-failure
+  * verification — [[CommitRetry]] is the reference loop (the CLI's
+  * `--commit-retries`/`--commit-retry-total-ms` run it). Auth: `Authorization: Bearer <token>` checked in
   * constant time; read-only tokens may only GET/HEAD (403 otherwise);
   * without a matching token the request is 401 unless anonymous access is
   * enabled. Errors return the REST error envelope
