@@ -1,0 +1,19 @@
+package graft.catalog;
+
+import org.apache.spark.unsafe.types.UTF8String;
+
+/**
+ * Java bridge to Spark's per-task current-input-file thread-local
+ * ({@code org.apache.spark.rdd.InputFileBlockHolder} — the mechanism
+ * behind {@code input_file_name()}, set per file by the DSv2
+ * {@code FilePartitionReader}). It is {@code private[spark]} at the
+ * Scala level but public in bytecode; javac (unlike scalac) can call it
+ * — the same access-check reason as {@code ManifestPrunedScanBuilder}.
+ */
+public final class InputFileHolder {
+  private InputFileHolder() {}
+
+  public static UTF8String currentFile() {
+    return org.apache.spark.rdd.InputFileBlockHolder.getInputFilePath();
+  }
+}

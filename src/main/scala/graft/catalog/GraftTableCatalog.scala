@@ -50,7 +50,23 @@ private class GraftSnapshotTable(
     readSchema: StructType, idResolved: Boolean, timeTraveled: Boolean,
     deletes: Seq[IceCatalog.DeleteFileMeta])
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` (Iceberg's metadata-column spelling): the data file path
+    * serving each row — stamped by the scan (ManifestPrune's
+    * FileStampedScan) at one constant vector per batch, and the
+    * file-granularity key the copy-on-write row-level operations use
+    * for runtime group filtering.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ManifestPrune.FileColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path serving this row"
+    })
   private def ctx(options: CaseInsensitiveStringMap) =
     ManifestPrune.Ctx(meta, files, mkTable, options, readSchema, idResolved,
       deletes = deletes)

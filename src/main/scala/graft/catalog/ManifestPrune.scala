@@ -28,6 +28,14 @@ import graft.catalog.IceCatalog._
   */
 object ManifestPrune {
 
+  /** The `_file` metadata column (Iceberg's spelling): the data file path
+    * serving each row, stamped from the per-file thread-local the DSv2
+    * file reader maintains (the same mechanism behind
+    * `input_file_name()`, so values match it exactly). Costs one
+    * CONSTANT column vector per batch on columnar reads.
+    */
+  val FileColumn = "_file"
+
   final case class Ctx(
       meta: TableMeta,
       files: Seq[DataFileMeta],
@@ -48,6 +56,23 @@ object ManifestPrune {
       filters: scala.collection.immutable.Seq[Expression],
       required: StructType): Scan = {
     val ctx = ctxAny.asInstanceOf[Ctx]
+    if (required != null && required.fieldNames.contains(FileColumn)) {
+      // serve `_file`: prune the file list on any _file equality predicate
+      // (exact-path file skipping), build the DATA scan without the
+      // column, and stamp it back per row/batch at its requested position
+      val dataReq = StructType(required.fields.filterNot(_.name == FileColumn))
+      val dataFilters =
+        if (filters == null) null
+        else filters.filter(_.references.forall(_.name != FileColumn))
+      val pathSet = filePredicatePaths(filters)
+      val sub = pathSet match {
+        case Some(ps) => ctx.copy(files = ctx.files.filter(f => ps(uriPath(f.path))))
+        case None => ctx
+      }
+      val inner = buildScan(sub, dataFilters, dataReq)
+      return new FileStampedScan(inner, required,
+        required.fieldNames.indexOf(FileColumn))
+    }
     val pfs =
       if (filters == null) Seq.empty
       else filters.flatMap(toPartitionFilters)
@@ -209,6 +234,31 @@ object ManifestPrune {
       resolved.collect { case (_, cur, true) => cur }.toSet)
   }
 
+  /** Filesystem path of a URI-or-url-encoded file string, for comparing
+    * manifest entries with `_file`/`input_file_name()` values.
+    */
+  private[catalog] def uriPath(s: String): String =
+    try new java.net.URI(s).getPath catch { case _: Exception => s }
+
+  /** Exact-path constraints from _file predicates: Some(paths) when every
+    * _file reference is an equality/IN we can translate (conjunctive);
+    * None = no constraint.
+    */
+  private def filePredicatePaths(
+      filters: scala.collection.immutable.Seq[Expression]): Option[Set[String]] = {
+    if (filters == null) return None
+    val sets = filters.collect {
+      case EqualTo(a: AttributeReference, Literal(v, StringType)) if a.name == FileColumn =>
+        Set(uriPath(v.toString))
+      case EqualTo(Literal(v, StringType), a: AttributeReference) if a.name == FileColumn =>
+        Set(uriPath(v.toString))
+      case In(a: AttributeReference, vs) if a.name == FileColumn &&
+          vs.forall(v => v.isInstanceOf[Literal] && v.dataType == StringType) =>
+        vs.map(v => uriPath(v.asInstanceOf[Literal].value.toString)).toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
   /** Catalyst → manifest filter translation (conservative subset). */
   private def toPartitionFilters(e: Expression): Seq[PartitionFilter] = e match {
     case EqualTo(a: AttributeReference, l: Literal) =>
@@ -280,6 +330,138 @@ private class PositionalUnionScan(
   override def createReaderFactory(): PartitionReaderFactory =
     SourceDispatchingReaderFactory(batches.map(_.createReaderFactory()),
       forceRowBased)
+}
+
+/** Wraps a data scan to serve the `_file` metadata column: each row or
+  * batch is stamped with the path of the file it came from, read from
+  * the per-file thread-local the DSv2 file reader maintains. Columnar
+  * reads stay columnar — the stamp is one ConstantColumnVector per
+  * batch (a batch never spans files), so vectorization survives.
+  */
+private class FileStampedScan(inner: Scan, outSchema: StructType, fileOrdinal: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = outSchema
+  override def description(): String = s"file-stamped(${inner.description()})"
+  override def toBatch: Batch = this
+  private lazy val batch = inner.toBatch
+  override def planInputPartitions(): Array[InputPartition] =
+    batch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    FileStampingReaderFactory(batch.createReaderFactory(), fileOrdinal,
+      outSchema.fields.map(_.dataType))
+}
+
+private case class FileStampingReaderFactory(
+    inner: PartitionReaderFactory, fileOrdinal: Int,
+    outTypes: Array[org.apache.spark.sql.types.DataType])
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val in = inner.createReader(p)
+    new PartitionReader[InternalRow] {
+      private val stamped = new FileStampedRow(fileOrdinal, outTypes)
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = {
+        stamped.row = in.get()
+        stamped.path = InputFileHolder.currentFile()
+        stamped
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val in = inner.createColumnarReader(p)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = {
+        val has = in.next()
+        if (has) {
+          val b = in.get()
+          val cv = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+            math.max(b.numRows(), 1), org.apache.spark.sql.types.StringType)
+          cv.setUtf8String(InputFileHolder.currentFile())
+          val cols = new Array[org.apache.spark.sql.vectorized.ColumnVector](b.numCols() + 1)
+          var i = 0
+          var j = 0
+          while (j < cols.length) {
+            if (j == fileOrdinal) cols(j) = cv
+            else { cols(j) = b.column(i); i += 1 }
+            j += 1
+          }
+          val nb = new org.apache.spark.sql.vectorized.ColumnarBatch(cols)
+          nb.setNumRows(b.numRows())
+          current = nb
+        }
+        has
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** Mutable view row inserting the file path at `fileOrdinal`; ordinals
+  * past it shift down onto the wrapped data row. `copy()` materializes
+  * through the schema types (rows get buffered by sorts/joins).
+  */
+private class FileStampedRow(
+    fileOrdinal: Int, types: Array[org.apache.spark.sql.types.DataType])
+    extends InternalRow {
+  var row: InternalRow = _
+  var path: org.apache.spark.unsafe.types.UTF8String = _
+
+  private def m(i: Int): Int = if (i < fileOrdinal) i else i - 1
+  override def numFields: Int = types.length
+  override def setNullAt(i: Int): Unit =
+    throw new UnsupportedOperationException("read-only")
+  override def update(i: Int, value: Any): Unit =
+    throw new UnsupportedOperationException("read-only")
+  override def copy(): InternalRow = {
+    val vals = new Array[Any](numFields)
+    var i = 0
+    while (i < numFields) {
+      vals(i) = get(i, types(i)) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case other => other
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+  override def isNullAt(i: Int): Boolean =
+    if (i == fileOrdinal) false else row.isNullAt(m(i))
+  override def getBoolean(i: Int): Boolean = row.getBoolean(m(i))
+  override def getByte(i: Int): Byte = row.getByte(m(i))
+  override def getShort(i: Int): Short = row.getShort(m(i))
+  override def getInt(i: Int): Int = row.getInt(m(i))
+  override def getLong(i: Int): Long = row.getLong(m(i))
+  override def getFloat(i: Int): Float = row.getFloat(m(i))
+  override def getDouble(i: Int): Double = row.getDouble(m(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    row.getDecimal(m(i), precision, scale)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    if (i == fileOrdinal) path else row.getUTF8String(m(i))
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(m(i))
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    row.getInterval(m(i))
+  override def getStruct(i: Int, numFields: Int): InternalRow =
+    row.getStruct(m(i), numFields)
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    row.getArray(m(i))
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    row.getMap(m(i))
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+    row.getVariant(m(i))
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    row.getGeography(m(i))
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    row.getGeometry(m(i))
+  override def get(i: Int, dt: org.apache.spark.sql.types.DataType): AnyRef =
+    if (i == fileOrdinal) path else row.get(m(i), dt)
 }
 
 /** One equality-delete mask: the key columns' ordinals/types in the READ

@@ -76,6 +76,32 @@ private[catalog] object RowLevelOps {
   private[catalog] def ref(name: String): NamedReference =
     org.apache.spark.sql.connector.expressions.Expressions.column(name)
 
+  private[catalog] def uriPath(s: String): String = ManifestPrune.uriPath(s)
+
+  /** Exact paths from `_file` runtime-filter predicates (In / =) —
+    * None when any predicate shape is untranslatable (no constraint).
+    */
+  private[catalog] def filePathsOf(preds: Seq[Predicate]): Option[Set[String]] = {
+    val sets = preds.flatMap { p =>
+      val vals = p.name() match {
+        case "IN" => Some(p.children().drop(1).toSeq)
+        case "=" => Some(p.children().drop(1).toSeq)
+        case _ => None
+      }
+      vals.flatMap { vs =>
+        val strs = vs.map {
+          case l: V2Literal[_] if l.dataType() == StringType =>
+            Option(l.value()).map(v => uriPath(v.toString))
+          case _ => None
+        }
+        if (strs.nonEmpty && strs.forall(_.isDefined)) Some(strs.flatten.toSet)
+        else None
+      }
+    }
+    if (sets.isEmpty || sets.length != preds.length) None
+    else Some(sets.reduce(_ intersect _))
+  }
+
   /** The staged distributed parquet write both modes share: Spark's own
     * V2 parquet `FileWrite` pointed at a fresh staging dir under the
     * table's data directory. Rows flow executor-side straight into
@@ -149,19 +175,47 @@ private class GraftCowOperation(
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft copy-on-write $cmd"
 
+  /** `_file` rides along on the row-level read: it is the
+    * FILE-GRANULARITY runtime group-filter key — Spark collects the
+    * distinct `_file` values of condition-matching rows and this scan
+    * narrows to exactly those files, so a selective MERGE on even an
+    * UNPARTITIONED table rewrites only the files that can contain
+    * matches (Iceberg's SparkCopyOnWriteScan shape). Partition-source
+    * values stay as a second, coarser filter key (useful when the
+    * planner prefers the cheaper build side). Declaring the metadata
+    * attribute also routes the write through Spark's data/metadata
+    * projection split.
+    */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(RowLevelOps.ref(ManifestPrune.FileColumn))
+
+  private val scanSchema = StructType(ctx.readSchema.fields :+
+    StructField(ManifestPrune.FileColumn, StringType, nullable = false))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan with SupportsRuntimeV2Filtering {
-      override def readSchema(): StructType = ctx.readSchema
+      override def readSchema(): StructType = scanSchema
       override def description(): String = s"graft-cow-scan($ident)"
       // built AFTER runtime filtering has narrowed the file set; no
       // static filters reach it (see class doc for why that must hold)
       override def toBatch: Batch =
-        ManifestPrune.buildScan(ctx.copy(files = scanned), null, null).toBatch
+        ManifestPrune.buildScan(ctx.copy(files = scanned), null, scanSchema).toBatch
+      // ONLY _file: multiple filter attributes arrive as one combined
+      // struct-IN predicate (untranslatable to a file set), and the file
+      // key subsumes any partition-granularity narrowing anyway
       override def filterAttributes(): Array[NamedReference] =
-        meta.partitionSpec.map(p => RowLevelOps.ref(p.column))
-          .distinct.toArray
+        Array(RowLevelOps.ref(ManifestPrune.FileColumn))
       override def filter(predicates: Array[Predicate]): Unit = {
-        val pfs = predicates.toSeq.flatMap(RowLevelOps.toManifestFilter)
+        val (filePreds, rest) = predicates.toSeq.partition(p =>
+          p.children().headOption.exists {
+            case r: NamedReference => r.fieldNames().toSeq == Seq(ManifestPrune.FileColumn)
+            case _ => false
+          })
+        // exact file-path narrowing from the _file runtime filter
+        RowLevelOps.filePathsOf(filePreds).foreach { paths =>
+          scanned = scanned.filter(f => paths(RowLevelOps.uriPath(f.path)))
+        }
+        val pfs = rest.flatMap(RowLevelOps.toManifestFilter)
         scanned = scanned.filter(f =>
           pfs.forall(IceCatalog.fileMatches(f, _, meta)))
       }

@@ -431,6 +431,65 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.countRows("rl.up") == 1L)
   }
 
+  test("_file metadata column serves per-row file paths, prunes, stays columnar") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.rl.mf (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.rl.mf VALUES (1,'a'), (2,'b')")
+    spark.sql("INSERT INTO graft.rl.mf VALUES (3,'c')")
+    val files = cat.loadMeta("rl.mf").current.get.files.map(_.path)
+    // per-row _file values are a subset of the manifest's files, and the
+    // two separate commits never share a file
+    val byFile = spark.sql("SELECT k, _file FROM graft.rl.mf")
+      .as[(Long, String)].collect().toMap
+    def norm(s: String) = new java.net.URI(s).getPath
+    assert(byFile.values.map(norm).toSet.subsetOf(files.map(norm).toSet))
+    assert(norm(byFile(1L)) != norm(byFile(3L)),
+      "separate commits write separate files")
+    // filtering on _file answers from that file only (and file-prunes)
+    assert(spark.sql(s"SELECT k FROM graft.rl.mf WHERE _file = '${byFile(3L)}'")
+      .as[Long].collect().toSeq == Seq(3L))
+    // the stamped scan keeps whole-stage/columnar execution on plain reads
+    val plan = spark.sql("SELECT k, _file FROM graft.rl.mf")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow") || plan.contains("WholeStageCodegen"),
+      s"_file must not break vectorized reads:\n$plan")
+  }
+
+  test("MERGE on an UNPARTITIONED table rewrites only files containing matches") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.rl.uf (id BIGINT, amt DOUBLE)")
+    // three separate commits = three files with disjoint id ranges
+    spark.sql("INSERT INTO graft.rl.uf VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO graft.rl.uf VALUES (10, 10.0), (11, 11.0)")
+    spark.sql("INSERT INTO graft.rl.uf VALUES (20, 20.0)")
+    def norm(s: String) = new java.net.URI(s).getPath
+    val before = cat.loadMeta("rl.uf").current.get.files.map(f => norm(f.path)).toSet
+    assert(before.size >= 3)
+    // the files that actually hold the to-be-matched key
+    val matched = spark.sql("SELECT DISTINCT _file FROM graft.rl.uf WHERE id = 2")
+      .as[String].collect().map(norm).toSet
+    assert(matched.size == 1)
+
+    Seq((2L, 22.0), (30L, 30.0)).toDF("id", "amt").createOrReplaceTempView("uf_src")
+    spark.sql(
+      """MERGE INTO graft.rl.uf t USING uf_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET amt = s.amt
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    assert(spark.sql("SELECT id, amt FROM graft.rl.uf ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (2L, 22.0), (10L, 10.0), (11L, 11.0), (20L, 20.0), (30L, 30.0)))
+    // file-granularity runtime group filtering (the _file key): only the
+    // file(s) containing id=2 were rewritten — every other file carries
+    // over — even though the table has NO partitions to prune by
+    val after = cat.loadMeta("rl.uf").current.get.files.map(f => norm(f.path)).toSet
+    assert(before.intersect(after) == before -- matched,
+      s"exactly the unmatched files must survive: before=$before " +
+        s"after=$after matched=$matched")
+  }
+
   test("MERGE INTO (merge-on-read) commits equality deletes; repeat merges work") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
