@@ -272,26 +272,33 @@ private class GraftDeltaOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder { override def build(): DeltaWrite = new DeltaWrite {
       private val staging = ice.newStagingDir(ident)
-      private val inner = RowLevelOps.stagedWrite(staging, info)
+      // a pure DELETE writes only row-id deltas — its data schema is
+      // EMPTY and parquet (rightly) refuses an empty write schema, so
+      // the staged file write exists only when insert rows are possible
+      private val inner =
+        if (info.schema().isEmpty) None
+        else Some(RowLevelOps.stagedWrite(staging, info))
       private val keySchema = info.rowIdSchema().orElseThrow(() =>
         new IllegalStateException("delta write without a row-id schema"))
       override def description(): String = s"graft-delta-write($ident)"
       override def toBatch(): DeltaBatchWrite = new DeltaBatchWrite {
-        private val ib = inner.toBatch
-        override def useCommitCoordinator(): Boolean = ib.useCommitCoordinator()
+        private val ib = inner.map(_.toBatch)
+        override def useCommitCoordinator(): Boolean =
+          ib.forall(_.useCommitCoordinator())
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DeltaWriterFactory =
-          GraftDeltaWriterFactory(ib.createBatchWriterFactory(p), keySchema)
+          GraftDeltaWriterFactory(
+            ib.map(_.createBatchWriterFactory(p)).orNull, keySchema)
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val ms = messages.map(_.asInstanceOf[GraftDeltaMessage])
-          ib.commit(ms.flatMap(m => Option(m.inner)))
+          ib.foreach(_.commit(ms.flatMap(m => Option(m.inner))))
           val deleted = ms.iterator.flatMap(_.deletedKeys)
             .map(t => Row(t: _*)).toSeq
           ice.commitDeltaMerge(ident, staging, keySchema, deleted, basedOn): Unit
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
-          ib.abort(messages.collect {
+          ib.foreach(_.abort(messages.collect {
             case m: GraftDeltaMessage if m.inner != null => m.inner
-          })
+          }))
           ice.dropStagingDir(staging)
         }
       }
@@ -353,6 +360,7 @@ private case class GraftDeltaWriterFactory(
       private val keyTypes = keySchema.fields.map(_.dataType)
 
       override def insert(row: InternalRow): Unit = {
+        require(inner != null, "insert delta in a delete-only write")
         if (dataWriter == null) dataWriter = inner.createWriter(partitionId, taskId)
         dataWriter.write(row)
       }

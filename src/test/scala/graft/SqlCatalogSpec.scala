@@ -490,6 +490,60 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"after=$after matched=$matched")
   }
 
+  test("row-level edges: NOT MATCHED BY SOURCE, MOR DELETE, evolved schema") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    // WHEN NOT MATCHED BY SOURCE — the full three-way MERGE
+    spark.sql("CREATE TABLE graft.rl.nms (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.rl.nms VALUES (1,'keep'), (2,'upd'), (3,'drop')")
+    Seq((2L, "UPD"), (4L, "new")).toDF("id", "v").createOrReplaceTempView("nms_src")
+    spark.sql(
+      """MERGE INTO graft.rl.nms t USING nms_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.id = 3 THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.rl.nms ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "keep"), (2L, "UPD"), (4L, "new")))
+
+    // SQL DELETE on a merge-on-read table: delta path — one equality-delete
+    // file commits, zero data files rewritten
+    spark.sql(
+      """CREATE TABLE graft.rl.md (id BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |               'graft.merge-keys'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.rl.md VALUES (1,'a'), (2,'b'), (3,'c')")
+    val beforePaths = cat.loadMeta("rl.md").current.get.files.map(_.path).toSet
+    // LIKE is not metadata-convertible, so this MUST take the row-level
+    // delta path: one equality-delete file, no data file rewritten
+    spark.sql("DELETE FROM graft.rl.md WHERE v LIKE 'b%'")
+    val snap = cat.loadMeta("rl.md").current.get
+    assert(spark.sql("SELECT id FROM graft.rl.md ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+    assert(Option(snap.deletes).exists(_.nonEmpty),
+      "MOR DELETE must commit an equality-delete file")
+    assert(beforePaths.subsetOf(snap.files.map(_.path).toSet),
+      "MOR delta delete must not rewrite data files")
+
+    // MERGE on a schema-EVOLVED table: old files resolve renamed/added
+    // columns by field id through the row-level scan and rewrite correctly
+    spark.sql("CREATE TABLE graft.rl.ev (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.rl.ev VALUES (1,'one'), (2,'two')")
+    spark.sql("ALTER TABLE graft.rl.ev RENAME COLUMN v TO label")
+    spark.sql("ALTER TABLE graft.rl.ev ADD COLUMN score DOUBLE")
+    Seq((2L, "TWO", 2.0), (3L, "three", 3.0)).toDF("id", "label", "score")
+      .createOrReplaceTempView("ev_src")
+    spark.sql(
+      """MERGE INTO graft.rl.ev t USING ev_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET label = s.label, score = s.score
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(
+      "SELECT id, label, score FROM graft.rl.ev ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "one"), (2L, "TWO"), (3L, "three")))
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 2.0)
+  }
+
   test("MERGE INTO (merge-on-read) commits equality deletes; repeat merges work") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
