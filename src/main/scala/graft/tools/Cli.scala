@@ -31,6 +31,7 @@ import graft.catalog.IceCatalog._
   *                [--skip-duplicates] [--commit-retries N]
   *                [--commit-retry-total-ms M]
   *   insert <ns.t> <dir> --watch [--checkpoint <dir>] [--watch-fire-once]
+  *                [--merge-keys k1,k2 --version-col v [--merge-on-read]]
   *   alter-table <ns.t> '<updates-json>'   (reference op vocabulary:
   *                add_column/alter_column/rename_column/drop_column/
   *                set_tblproperty/rename_to/drop_partition_field)
@@ -124,8 +125,22 @@ object Cli {
             if (flags.contains("watch-fire-once"))
               org.apache.spark.sql.streaming.Trigger.AvailableNow()
             else org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds")
-          val q = graft.streaming.Streams.watchAndIngest(
-            spark, cat, ident, paths.head, checkpoint, trigger)
+          // --merge-keys turns the watch into continuous keyed CDC MERGE
+          // (per-batch upsert, latest --version-col wins per key;
+          // --merge-on-read lands each batch as equality-delete commits)
+          val q = flags.get("merge-keys") match {
+            case Some(keys) =>
+              graft.streaming.Streams.watchAndMerge(
+                spark, cat, ident, paths.head, checkpoint,
+                keyCols = keys.split(',').map(_.trim).toSeq,
+                versionCol = flags.getOrElse("version-col",
+                  fail("--merge-keys needs --version-col")),
+                trigger = trigger,
+                mergeOnRead = flags.contains("merge-on-read"))
+            case None =>
+              graft.streaming.Streams.watchAndIngest(
+                spark, cat, ident, paths.head, checkpoint, trigger)
+          }
           out.println(s"watching ${paths.head} -> $ident")
           onWatch(q)
 
@@ -271,7 +286,7 @@ object Cli {
     */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val boolFlags = Set("no-copy", "force-outside-location", "skip-duplicates",
-      "dry-run", "allow-anonymous", "watch", "watch-fire-once")
+      "dry-run", "allow-anonymous", "watch", "watch-fire-once", "merge-on-read")
     var flags = Map.empty[String, String]
     val pos = Seq.newBuilder[String]
     var i = 0

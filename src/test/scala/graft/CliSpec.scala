@@ -192,6 +192,32 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("insert --watch --merge-keys runs continuous CDC merge (fire-once)") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.cdc", "--schema",
+      "id BIGINT, v STRING, ver BIGINT")._1 == 0)
+    val watchDir = Files.createTempDirectory("cli-cdc")
+    val feeder = Files.createTempDirectory("cli-cdc-src")
+    // seed + a CDC batch where the higher version must win per key
+    Seq((1L, "old", 1L), (1L, "new", 2L), (2L, "only", 1L))
+      .toDF("id", "v", "ver").coalesce(1)
+      .write.parquet(feeder.resolve("b").toString)
+    java.nio.file.Files.list(feeder.resolve("b")).forEach(p =>
+      if (p.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p, watchDir.resolve("b.parquet")))
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    val code = Cli.run(
+      Seq("--root", root, "insert", "ns.cdc", watchDir.toString,
+        "--watch", "--watch-fire-once", "--merge-keys", "id",
+        "--version-col", "ver", "--merge-on-read"),
+      spark, new PrintStream(new ByteArrayOutputStream(), true),
+      onWatch = q => { query = q; q.awaitTermination() })
+    assert(code == 0 && query != null)
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    assert(cat.scan("ns.cdc").orderBy("id").as[(Long, String, Long)]
+      .collect().toSeq == Seq((1L, "new", 2L), (2L, "only", 1L)))
+  }
+
   test("errors: unknown command and missing args exit 1 with a message") {
     val (c1, out1) = cli("frobnicate")
     assert(c1 == 1 && out1.exists(_.startsWith("error:")))

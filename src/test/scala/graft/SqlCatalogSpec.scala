@@ -490,6 +490,24 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"after=$after matched=$matched")
   }
 
+  test("CoW MERGE plans a _file runtime group filter on the target scan") {
+    import spark.implicits._
+    // the plan-shape pin for file-granularity replacement: the row-level
+    // target scan must carry a dynamic-pruning runtime filter (Spark
+    // collects matching rows' _file values and the scan narrows to them)
+    Seq((1L, 1.0)).toDF("id", "amt").createOrReplaceTempView("pp_src")
+    spark.sql("CREATE TABLE graft.rl.pp (id BIGINT, amt DOUBLE)")
+    spark.sql("INSERT INTO graft.rl.pp VALUES (1, 1.0)")
+    val plan = spark.sql(
+      """EXPLAIN MERGE INTO graft.rl.pp t USING pp_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET amt = s.amt
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .collect()(0).getString(0)
+    assert(plan.contains("graft-cow-scan"), s"row-level scan missing:\n$plan")
+    assert(plan.contains("dynamicpruning") && plan.contains("_file"),
+      s"the target scan must carry the _file runtime group filter:\n$plan")
+  }
+
   test("row-level edges: NOT MATCHED BY SOURCE, MOR DELETE, evolved schema") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
