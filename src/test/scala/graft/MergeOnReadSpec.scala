@@ -90,6 +90,12 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     // column pruning that drops the key column still masks correctly
     // (the scan widens its read schema internally and projects back)
     assert(s2.sql("SELECT count(v) FROM morsql.mor.t1").head().getLong(0) == 8L)
+    // _file stamping composes with delete masking: masked rows stay
+    // gone, surviving rows carry real file paths
+    val stamped = s2.sql("SELECT k, _file FROM morsql.mor.t1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(stamped.map(_._1).sorted.toSeq == (1L to 8L))
+    assert(stamped.forall(_._2.endsWith(".parquet")))
   }
 
   test("compaction materializes the deletes and clears the pending set") {

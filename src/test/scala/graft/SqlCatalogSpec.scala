@@ -560,6 +560,17 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "one"), (2L, "TWO"), (3L, "three")))
     assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 2.0)
+
+    // MERGE into an EMPTY table: nothing matches, the scan covers zero
+    // files, and the insert branch still lands atomically
+    spark.sql("CREATE TABLE graft.rl.empty (id BIGINT, v STRING)")
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("empty_src")
+    spark.sql(
+      """MERGE INTO graft.rl.empty t USING empty_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM graft.rl.empty")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
   test("MERGE INTO (merge-on-read) commits equality deletes; repeat merges work") {
