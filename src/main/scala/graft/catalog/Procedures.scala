@@ -19,6 +19,7 @@ import org.apache.spark.sql.types._
   *   CALL graft.system.rollback_to_snapshot('ns.t', 3)
   *   CALL graft.system.zorder('ns.t', 'c1,c2')
   *   CALL graft.system.maintain('ns.t')
+  *   CALL graft.system.add_files(table => 'ns.t', source => '/path/batch')
   *
   * Each procedure executes eagerly inside `call` (through the same
   * lease-locked commit protocol as the API) and returns its report as a
@@ -106,6 +107,29 @@ object Procedures {
         (StructType(Seq(StructField("job", StringType),
           StructField("detail", StringType), StructField("error", StringType))),
           reports.map(r => Seq(r.job, r.detail, r.error.orNull)))
+      }),
+    Spec("add_files",
+      "Register existing parquet (a file or a directory walked for " +
+        "*.parquet) into the table by reference — metadata-only, no copy, " +
+        "under the budgeted commit-retry loop",
+      Seq(("table", StringType, None), ("source", StringType, None),
+        ("force_outside_location", BooleanType, Some("true")),
+        ("skip_duplicates", BooleanType, Some("false"))),
+      (cat, args) => {
+        val src = java.nio.file.Paths.get(str(args(1)))
+        val files =
+          if (LocalFileIO.isDirectory(src))
+            LocalFileIO.walk(src)
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(_.toString).sorted
+          else Seq(src.toString)
+        require(files.nonEmpty, s"no parquet files under ${str(args(1))}")
+        cat.addFilesWithRetry(str(args(0)), files,
+          forceOutsideLocation = args(2).asInstanceOf[Boolean],
+          options = IceCatalog.InsertOptions(
+            skipDuplicates = args(3).asInstanceOf[Boolean]))
+        one("added_files" -> IntegerType, "total_files" -> IntegerType)(
+          files.length, cat.files(str(args(0))).length)
       }))
 
   private def str(v: Any): String = v.asInstanceOf[String]

@@ -99,6 +99,28 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.scan("p.z").count() == 3, "live files untouched")
   }
 
+  test("add_files registers external parquet metadata-only via CALL") {
+    import spark.implicits._
+    setup()
+    cat.createTable("p.ext", Seq((1L, "a")).toDF("id", "v").schema)
+    val d = Files.createTempDirectory("proc-ext")
+    Seq((10L, "x"), (11L, "y")).toDF("id", "v").repartition(2)
+      .write.mode("overwrite").parquet(d.resolve("batch").toString)
+    val row = spark.sql(
+      s"CALL graft.system.add_files(table => 'p.ext', source => '${d.resolve("batch")}')")
+      .collect()(0)
+    assert(row.getInt(0) == 2 && row.getInt(1) == 2,
+      s"2 files registered, 2 total: $row")
+    assert(spark.sql("SELECT id FROM graft.p.ext ORDER BY id")
+      .as[Long].collect().toSeq == Seq(10L, 11L))
+    // duplicate registration honors skip_duplicates
+    val again = spark.sql(
+      s"""CALL graft.system.add_files(table => 'p.ext',
+         | source => '${d.resolve("batch")}', skip_duplicates => true)""".stripMargin)
+      .collect()(0)
+    assert(again.getInt(1) == 2, "no duplicate files registered")
+  }
+
   test("unknown procedure fails with a clear error") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.frobnicate('p.t')").collect()
