@@ -633,7 +633,8 @@ object Queries {
     "t10_rowgroups" -> (graft.sources.ParquetMeta.rowGroupsQuery _),
     "t11_profile" -> (TableMeta.profile _),
     "t12_mor_upsert" -> (CatalogOps.morUpsertQuery _),
-    "t13_sql_merge" -> (CatalogOps.sqlMergeQuery _)
+    "t13_sql_merge" -> (CatalogOps.sqlMergeQuery _),
+    "t14_incremental" -> (CatalogOps.incrementalQuery _)
   )
 
   val tableMetaOracle: Map[String, String] = Map(
@@ -702,6 +703,15 @@ object Queries {
         |UNION ALL
         |SELECT 'mor' AS mode, n_rows, total_cents FROM m
         |ORDER BY mode""".stripMargin,
+    // t14: rows added after the baseline snapshot = the %3==1 append plus
+    // the MOR-upsert batch (%6==0 updated at doubled price, %3==2 new) —
+    // the window's own deletes never touch the baseline's files
+    "t14_incremental" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(round(CASE WHEN o_orderkey % 6 = 0
+        |   THEN o_totalprice * 2 ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+        |   AS total_cents
+        |FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 6 = 0""".stripMargin,
     // __SF_DIR__ is substituted with the actual data dir by Verify at dump
     // time — parquet_metadata() needs a literal path, not a view.
     "t10_rowgroups" ->

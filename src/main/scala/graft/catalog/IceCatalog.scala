@@ -1745,6 +1745,50 @@ class IceCatalog(
     limit.map(filtered.limit).getOrElse(filtered)
   }
 
+  /** Incremental APPEND scan (Iceberg's incremental read): rows ADDED
+    * strictly after snapshot `fromSnapshotId`, up to and including
+    * `toSnapshotId` (default: current) — the change feed a downstream
+    * pipeline tails between runs. Selection is by data sequence number
+    * (files with `from < seq <= to` — sequence numbers ARE snapshot ids,
+    * so this is an O(files) metadata filter, zero extra scan), and the
+    * rows are served as visible AT the `to` snapshot: equality deletes
+    * in the range mask the appended rows they supersede, so a MOR upsert
+    * chain yields each key's LATEST version in the window, never a
+    * resurrected intermediate.
+    *
+    * Snapshots in the range whose operation REPLACES files (overwrite /
+    * compaction / rollback / CoW merge) are refused — a replacement
+    * breaks "these rows are new" semantics, exactly as Iceberg's
+    * incremental append scan errors on replace snapshots. Tail before
+    * compaction, or re-baseline from a full scan.
+    */
+  def changesSince(
+      ident: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val meta = loadMeta(ident)
+    require(fromSnapshotId == 0 || meta.snapshot(fromSnapshotId).isDefined,
+      s"no snapshot $fromSnapshotId in $ident")
+    val to = toSnapshotId match {
+      case Some(id) => meta.snapshot(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id in $ident"))
+      case None => meta.current.getOrElse(return emptyDf(meta.schema))
+    }
+    require(to.id >= fromSnapshotId,
+      s"to-snapshot ${to.id} predates from-snapshot $fromSnapshotId")
+    val appendOps = Set("append", "mor-upsert", "mor-merge", "mor-delete")
+    meta.snapshots
+      .filter(s => s.id > fromSnapshotId && s.id <= to.id)
+      .filterNot(s => appendOps(s.operation))
+      .foreach(s => throw new IllegalArgumentException(
+        s"incremental read blocked: snapshot ${s.id} is a ${s.operation} " +
+          "(file replacement breaks append semantics — re-baseline from a full scan)"))
+    val added = to.files.filter(f => f.seq > fromSnapshotId && f.seq <= to.id)
+    if (added.isEmpty) return emptyDf(meta.schema)
+    readFilesMerged(meta, to, added)
+      .select(meta.schema.fieldNames.toSeq.map(col): _*)
+  }
+
   private def filterToColumn(df: DataFrame, f: PartitionFilter, meta: TableMeta): Column = {
     // Recompute the partition transform over the source column when the
     // filter names a partition field; otherwise filter the raw column.

@@ -156,6 +156,38 @@ object CatalogOps {
     results.toDF("mode", "n_rows", "total_cents").orderBy("mode")
   }
 
+  /** t14: incremental APPEND scan (Iceberg's incremental read) — a table
+    * seeded with one third of orders, then appended and MOR-upserted;
+    * `changesSince(firstSnapshot)` must yield exactly the rows ADDED
+    * after the baseline, with the window's equality deletes applied (a
+    * key updated by the MOR upsert appears once, at its latest version).
+    * File selection is by data sequence number: O(files) metadata, zero
+    * extra scan.
+    */
+  def incrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val root = Files.createTempDirectory("graft_t14").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("v")
+    cat.createTable("v.ord", orders.schema, sortOrder = Seq(SortField("o_orderkey")))
+    cat.insert("v.ord", orders.filter(col("o_orderkey") % 3 === 0))
+    val baseline = cat.loadMeta("v.ord").currentSnapshotId
+    // same source parquet, different row subset — not a duplicate ingest
+    cat.insert("v.ord", orders.filter(col("o_orderkey") % 3 === 1),
+      InsertOptions(forceDuplicates = true))
+    val upserts = orders.filter(col("o_orderkey") % 6 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(orders.filter(col("o_orderkey") % 3 === 2))
+    cat.upsertMergeOnRead("v.ord", upserts, Seq("o_orderkey"))
+    val out = cat.changesSince("v.ord", baseline)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .collect()(0)
+    cleanup(cat, "v.ord")
+    import spark.implicits._
+    Seq((out.getLong(0), out.getLong(1))).toDF("n_rows", "total_cents")
+  }
+
   /** t8: snapshot isolation — row counts at the pre-delete snapshot vs
     * after a partition delete, answered via time travel.
     */

@@ -36,6 +36,7 @@ import graft.catalog.IceCatalog._
   *                add_column/alter_column/rename_column/drop_column/
   *                set_tblproperty/rename_to/drop_partition_field)
   *   scan <ns.t> [--limit N]       count <ns.t>
+  *   changes <ns.t> --from-snapshot N [--to-snapshot M] [--limit N]
   *   files <ns.t>                  list-partitions <ns.t>
   *   list-snapshots <ns.t>
   *   describe <ns.t> | describe-metadata <ns.t>
@@ -168,6 +169,13 @@ object Cli {
           printDf(out, limited)
         case Seq("count", ident) =>
           out.println(cat.countRows(ident))
+        case Seq("changes", ident) =>
+          // incremental append scan: rows added after --from-snapshot
+          val from = flags.get("from-snapshot").map(_.toLong)
+            .getOrElse(fail("changes needs --from-snapshot"))
+          val df = cat.changesSince(ident, from,
+            flags.get("to-snapshot").map(_.toLong))
+          printDf(out, flags.get("limit").map(n => df.limit(n.toInt)).getOrElse(df))
 
         case Seq("files", ident) =>
           // reference `ice files`: path + rows + bytes per current file

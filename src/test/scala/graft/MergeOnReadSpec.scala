@@ -98,6 +98,37 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stamped.forall(_._2.endsWith(".parquet")))
   }
 
+  test("incremental append scan: window deletes mask superseded versions") {
+    import spark.implicits._
+    cat.createTable("mor.inc", Seq((1L, "a")).toDF("k", "v").schema)
+    cat.insert("mor.inc", Seq((1L, "base")).toDF("k", "v"))
+    val s1 = cat.loadMeta("mor.inc").currentSnapshotId
+    cat.insert("mor.inc", Seq((2L, "b1")).toDF("k", "v"))
+    // the upsert SUPERSEDES key 2 (added inside the window) and key 1
+    // (added before it): only the window's own rows re-resolve
+    cat.upsertMergeOnRead("mor.inc",
+      Seq((1L, "upd1"), (2L, "b2")).toDF("k", "v"), Seq("k"))
+    val changed = cat.changesSince("mor.inc", s1)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(changed == Seq((1L, "upd1"), (2L, "b2")),
+      s"latest version per key, once each: $changed")
+    // baseline rows never appear; full scan still resolves everything
+    assert(cat.scan("mor.inc").orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "upd1"), (2L, "b2")))
+    // empty window
+    val cur = cat.loadMeta("mor.inc").currentSnapshotId
+    assert(cat.changesSince("mor.inc", cur).count() == 0)
+    // a replacement snapshot in the window breaks append semantics: refused
+    cat.compact("mor.inc")
+    val e = intercept[IllegalArgumentException] {
+      cat.changesSince("mor.inc", s1).count()
+    }
+    assert(e.getMessage.contains("incremental read blocked"), e.getMessage)
+    // but a window entirely PAST the compaction reads fine
+    assert(cat.changesSince("mor.inc",
+      cat.loadMeta("mor.inc").currentSnapshotId).count() == 0)
+  }
+
   test("compaction materializes the deletes and clears the pending set") {
     import spark.implicits._
     val rowsBefore = cat.scan("mor.t1").orderBy("k").as[(Long, String)].collect().toSeq
