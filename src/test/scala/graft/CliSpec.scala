@@ -101,6 +101,20 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf2.toString.trim == "t2")
   }
 
+  test("export / import carries NESTED namespaces (ancestors recreated)") {
+    assert(cli("create-namespace", "deep")._1 == 0)
+    assert(cli("create-namespace", "deep.er")._1 == 0)
+    assert(cli("create-table", "deep.er.t", "--schema", "id BIGINT")._1 == 0)
+    val blob = Files.createTempDirectory("cli-exp-n").resolve("cat.json").toString
+    assert(cli("export", blob)._1 == 0)
+    val root2 = Files.createTempDirectory("clicat-n").toString
+    assert(Cli.run(Seq("--root", root2, "import", blob),
+      spark, new PrintStream(new ByteArrayOutputStream(), true)) == 0)
+    val cat2 = new graft.catalog.IceCatalog(spark, root2)
+    assert(cat2.listTables("deep.er") == Seq("t"))
+    assert(cat2.namespaceExists("deep") && cat2.namespaceExists("deep.er"))
+  }
+
   test("serve starts a working REST endpoint") {
     var served: graft.catalog.RestServer.Server = null
     val (code, out) = {
