@@ -69,7 +69,10 @@ private class GraftSnapshotTable(
     })
   private def ctx(options: CaseInsensitiveStringMap) =
     ManifestPrune.Ctx(meta, files, mkTable, options, readSchema, idResolved,
-      deletes = deletes)
+      deletes = deletes,
+      // live tables can stream (snapshot-log micro-batches); a frozen
+      // time-travel view cannot grow, so it stays batch-only
+      stream = if (timeTraveled) None else Some((ice, ident)))
   override def name(): String = delegate.name
   /** Declared merge keys report non-nullable: they are the row-identity
     * contract merge-on-read relies on, and Spark's delta-based rewrite
@@ -86,8 +89,8 @@ private class GraftSnapshotTable(
   override def properties(): util.Map[String, String] = tableProps.asJava
   override def capabilities(): util.Set[TableCapability] =
     (if (timeTraveled) Set(TableCapability.BATCH_READ)
-     else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-       TableCapability.TRUNCATE)).asJava
+     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
     new ManifestPrunedScanBuilder(ctx(options))
 

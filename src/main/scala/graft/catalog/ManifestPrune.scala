@@ -49,13 +49,28 @@ object ManifestPrune {
       // the snapshot's pending merge-on-read equality deletes: rows of
       // files with seq < delete.seq whose key tuples appear in the delete
       // file are masked out by [[DeleteMaskedScan]] instead of served
-      deletes: Seq[DeleteFileMeta] = Seq.empty)
+      deletes: Seq[DeleteFileMeta] = Seq.empty,
+      // set for live (non-time-traveled) tables: enables streaming reads
+      // ([[GraftMicroBatchStream]] polls the catalog for new snapshots)
+      stream: Option[(IceCatalog, String)] = None)
 
   def buildScan(
       ctxAny: Object,
       filters: scala.collection.immutable.Seq[Expression],
       required: StructType): Scan = {
     val ctx = ctxAny.asInstanceOf[Ctx]
+    val batch = buildBatchScan(ctx, filters, required)
+    ctx.stream match {
+      case Some((ice, ident)) =>
+        new StreamCapableScan(batch, ctx, ice, ident, filters, required)
+      case None => batch
+    }
+  }
+
+  private[catalog] def buildBatchScan(
+      ctx: Ctx,
+      filters: scala.collection.immutable.Seq[Expression],
+      required: StructType): Scan = {
     if (required != null && required.fieldNames.contains(FileColumn)) {
       // serve `_file`: prune the file list on any _file equality predicate
       // (exact-path file skipping), build the DATA scan without the
@@ -69,7 +84,7 @@ object ManifestPrune {
         case Some(ps) => ctx.copy(files = ctx.files.filter(f => ps(uriPath(f.path))))
         case None => ctx
       }
-      val inner = buildScan(sub, dataFilters, dataReq)
+      val inner = buildBatchScan(sub, dataFilters, dataReq)
       return new FileStampedScan(inner, required,
         required.fieldNames.indexOf(FileColumn))
     }
@@ -157,7 +172,7 @@ object ManifestPrune {
       .toSeq.sortBy(_._2.head.path)
     val parts = groups.map { case (applicable, fs) =>
       val sub = ctx.copy(files = fs, deletes = Seq.empty)
-      if (applicable.isEmpty) buildScan(sub, filters, required)
+      if (applicable.isEmpty) buildBatchScan(sub, filters, required)
       else {
         val keyCols = applicable.flatMap(_.keyCols).distinct
         keyCols.foreach(k => require(meta.schema.fieldNames.contains(k),
@@ -167,7 +182,7 @@ object ManifestPrune {
         val outNames = outSchema.fieldNames.toSeq
         val readReq = StructType(outSchema.fields ++
           keyCols.filterNot(outNames.contains).map(k => meta.schema(k).copy(nullable = true)))
-        val inner = buildScan(sub, filters, readReq)
+        val inner = buildBatchScan(sub, filters, readReq)
         val masks = applicable.groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(","))
           .map { case (cols, dels) =>
             val ordinals = cols.map(c => readReq.fieldNames.indexOf(c)).toArray
@@ -330,6 +345,129 @@ private class PositionalUnionScan(
   override def createReaderFactory(): PartitionReaderFactory =
     SourceDispatchingReaderFactory(batches.map(_.createReaderFactory()),
       forceRowBased)
+}
+
+/** Batch scan plus streaming capability: `toMicroBatchStream` turns the
+  * table into a Structured Streaming source
+  * (`spark.readStream.table("graft.ns.t")`).
+  */
+private[graft] class StreamCapableScan(
+    private[graft] val batch: Scan, ctx: ManifestPrune.Ctx,
+    ice: IceCatalog, ident: String,
+    filters: scala.collection.immutable.Seq[Expression], required: StructType)
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  override def readSchema(): StructType = batch.readSchema()
+  override def description(): String = batch.description()
+  override def toBatch: Batch = batch.toBatch
+  // pass the inner scan's partitioning report through (storage-partitioned
+  // joins); a non-reporting inner stays unknown
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    batch match {
+      case p: org.apache.spark.sql.connector.read.SupportsReportPartitioning =>
+        p.outputPartitioning()
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(ice, ident, ctx, filters, required)
+}
+
+/** Structured Streaming source over the table's SNAPSHOT LOG — the
+  * streaming twin of `IceCatalog.changesSince`: offsets are snapshot
+  * ids, each micro-batch serves the files whose data sequence number
+  * falls in the offset window (O(files) metadata selection, zero extra
+  * scan), masked by the window's own equality deletes so a MOR upsert
+  * chain streams each key's latest version exactly once. Starts from
+  * the CURRENT snapshot by default (only new commits stream); the read
+  * option `starting-snapshot-id` rewinds (0 = full history).
+  *
+  * Replacement snapshots (overwrite / compaction / rollback / CoW
+  * merge) inside a window break append semantics and fail the stream
+  * with a clear error — restart from a fresh checkpoint after
+  * maintenance, the same contract as `changesSince`.
+  */
+private class GraftMicroBatchStream(
+    ice: IceCatalog, ident: String, baseCtx: ManifestPrune.Ctx,
+    filters: scala.collection.immutable.Seq[Expression], required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class SnapOffset(id: Long) extends Offset {
+    override def json(): String = id.toString
+  }
+  private val appendOps = Set("append", "mor-upsert", "mor-merge", "mor-delete")
+
+  override def initialOffset(): Offset = {
+    val opt = Option(baseCtx.options.get("starting-snapshot-id")).map(_.toLong)
+    SnapOffset(opt.getOrElse(
+      math.max(ice.loadMeta(ident).currentSnapshotId, 0L)))
+  }
+  override def latestOffset(): Offset =
+    SnapOffset(math.max(ice.loadMeta(ident).currentSnapshotId, 0L))
+  override def deserializeOffset(json: String): Offset = SnapOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapOffset].id
+    val e = end.asInstanceOf[SnapOffset].id
+    if (e <= s) return Array.empty
+    val meta = ice.loadMeta(ident)
+    val endSnap = meta.snapshot(e).getOrElse(throw new IllegalStateException(
+      s"streaming read: snapshot $e of $ident expired — restart from a fresh checkpoint"))
+    meta.snapshots
+      .filter(x => x.id > s && x.id <= e)
+      .filterNot(x => appendOps(x.operation))
+      .foreach(x => throw new IllegalStateException(
+        s"streaming read blocked: snapshot ${x.id} is a ${x.operation} " +
+          "(file replacement breaks append semantics — restart from a fresh checkpoint)"))
+    val files = endSnap.files.filter(f => f.seq > s && f.seq <= e)
+    if (files.isEmpty) return Array.empty
+    // window deletes (seq in the window) mask superseded window rows;
+    // pre-window deletes can't apply to strictly-newer files by the
+    // sequence rule, so passing the end snapshot's full set is exact
+    val winCtx = baseCtx.copy(files = files,
+      deletes = Option(endSnap.deletes).getOrElse(Seq.empty), stream = None)
+    val scan = ManifestPrune.buildBatchScan(winCtx, filters, required)
+    val b = scan.toBatch
+    val factory = b.createReaderFactory()
+    b.planInputPartitions().map(p =>
+      CarriedFactoryPartition(p, factory): InputPartition)
+  }
+
+  // each window builds its own scan, so partitions CARRY their factory
+  // and this one only dispatches
+  override def createReaderFactory(): PartitionReaderFactory =
+    CarriedFactoryDispatch
+}
+
+/** An input partition bundled with the reader factory of the per-window
+  * scan that planned it (both ship to executors anyway).
+  */
+private case class CarriedFactoryPartition(
+    inner: InputPartition, factory: PartitionReaderFactory)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+private object CarriedFactoryDispatch extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case CarriedFactoryPartition(i, f) => f.createReader(i)
+      case other => throw new IllegalStateException(s"unexpected partition $other")
+    }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
+    case CarriedFactoryPartition(i, f) => f.createColumnarReader(i)
+    case other => throw new IllegalStateException(s"unexpected partition $other")
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case CarriedFactoryPartition(i, f) => f.supportColumnarReads(i)
+    case _ => false
+  }
 }
 
 /** Wraps a data scan to serve the `_file` metadata column: each row or

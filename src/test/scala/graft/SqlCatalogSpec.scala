@@ -213,7 +213,11 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.optimizedPlan.collect {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-          r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+          val inner = r.scan match {
+            case s: graft.catalog.StreamCapableScan => s.batch
+            case s => s
+          }
+          inner.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
             .fileIndex.inputFiles.length
       }.head
 
@@ -374,6 +378,53 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new IceCatalog(spark, root).tableExists("deep.er.est.t"))
     assert(spark.sql("SHOW NAMESPACES IN graft").collect()
       .map(_.getString(0)).forall(_ != "deep"))
+  }
+
+  test("spark.readStream.table streams snapshot windows; MOR supersession applies") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.st.ev (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.st.ev VALUES (0, 'pre')") // before stream start
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.table("graft.st.ev")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.as[(Long, String)].collect().foreach(seen.add): Unit
+      }
+      .start()
+    try {
+      def await(n: Int): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (seen.size < n && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(seen.size == n, s"expected $n streamed rows, got ${seen.size}: $seen")
+      }
+      // default start = current snapshot: the pre-existing row never streams
+      spark.sql("INSERT INTO graft.st.ev VALUES (1, 'a'), (2, 'b')")
+      await(2)
+      // a MOR-style upsert through the catalog API streams the LATEST
+      // version of each key exactly once (window supersession)
+      cat.upsertMergeOnRead("st.ev",
+        Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), Seq("k"))
+      await(4)
+      val rows = seen.iterator().asScala.toSeq.sorted
+      assert(rows == Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c")),
+        s"streamed: $rows")
+    } finally q.stop()
+    // rewinding: starting-snapshot-id 0 streams the full history (merged)
+    val all = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = spark.readStream.option("starting-snapshot-id", "0")
+      .table("graft.st.ev")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.as[(Long, String)].collect().foreach(r => all.add(r._1)): Unit
+      }
+      .start()
+    q2.awaitTermination()
+    assert(all.iterator().asScala.toSeq.sorted == Seq(0L, 1L, 2L, 3L),
+      s"full-history stream serves the merged view once per key: $all")
   }
 
   // ---- DSv2 row-level operations (MERGE INTO / UPDATE / row-level
