@@ -206,6 +206,27 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("changes prints the incremental window after --from-snapshot") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.chg", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val staging = Files.createTempDirectory("cli-chg")
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("b1").toString)
+    Seq((2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("b2").toString)
+    assert(cli("insert", "ns.chg", staging.resolve("b1").toString)._1 == 0)
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    val s1 = cat.loadMeta("ns.chg").currentSnapshotId
+    assert(cli("insert", "ns.chg", staging.resolve("b2").toString)._1 == 0)
+    val (c, out) = cli("changes", "ns.chg", "--from-snapshot", s1.toString)
+    assert(c == 0, out.mkString("\n"))
+    assert(out.length == 2 && out(1).startsWith("2\t"),
+      s"only the post-baseline row streams: $out")
+    // missing --from-snapshot is a usage error
+    val (c2, out2) = cli("changes", "ns.chg")
+    assert(c2 == 1 && out2.exists(_.contains("--from-snapshot")))
+  }
+
   test("insert --watch --merge-keys runs continuous CDC merge (fire-once)") {
     import spark.implicits._
     assert(cli("create-table", "ns.cdc", "--schema",
