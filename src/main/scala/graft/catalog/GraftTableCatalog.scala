@@ -297,9 +297,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     } else tableAt(ident, None)
   }
 
-  /** SQL `VERSION AS OF <snapshot-id>` time travel. */
+  /** SQL `VERSION AS OF <snapshot-id | ref-name>` time travel: a numeric
+    * version is a snapshot id; anything else resolves as a named ref
+    * (tag/branch, Iceberg's `VERSION AS OF 'tag'` UX).
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    tableAt(ident, Some(version.toLong))
+    tableAt(ident, Some(version.toLongOption.getOrElse(
+      ice.refSnapshot(identString(ident), version))))
 
   /** SQL `TIMESTAMP AS OF` — newest snapshot at or before the timestamp. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {

@@ -107,6 +107,12 @@ object IceCatalog {
       // appendSnapshot — the spec's snapshot schema-id. -1 in pre-r6
       // manifests → serve the current schema id (legacy fallback).
       schemaId: Int = -1)
+  /** A named snapshot reference (Iceberg refs): `tag` pins a snapshot
+    * forever (until dropped); `branch` is a movable head. The implicit
+    * `main` branch is the table's currentSnapshotId and is never stored.
+    */
+  case class SnapshotRef(snapshotId: Long, refType: String)
+
   /** One historical schema: its Spark JSON plus one stable field id per
     * field (parallel seq). Ids never change across rename/retype; new
     * columns get fresh ids; dropped ids are never reused — exactly
@@ -124,7 +130,9 @@ object IceCatalog {
       fieldIds: Seq[Int] = null,
       lastFieldId: Int = 0,
       schemaLog: Seq[SchemaVersion] = null,
-      properties: Map[String, String] = null) {
+      properties: Map[String, String] = null,
+      // named snapshot refs (tags/branches); absent in pre-r6 metadata
+      refs: Map[String, SnapshotRef] = null) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def current: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
     def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
@@ -1888,6 +1896,46 @@ class IceCatalog(
     }
   }
 
+  // ---- snapshot refs (Iceberg tags/branches) ----------------------------
+
+  /** All named refs plus the implicit `main` branch (the current
+    * snapshot) — the spec TableMetadata `refs` map.
+    */
+  def listRefs(ident: String): Map[String, SnapshotRef] = {
+    val m = loadMeta(ident)
+    val named = Option(m.refs).getOrElse(Map.empty)
+    if (m.currentSnapshotId >= 0)
+      named + ("main" -> SnapshotRef(m.currentSnapshotId, "branch"))
+    else named
+  }
+
+  /** Create (or move) a named ref. A `tag` pins its snapshot against
+    * [[expireSnapshots]] until dropped; a `branch` is a movable pointer.
+    * `main` is reserved (it IS the current snapshot).
+    */
+  def setRef(
+      ident: String, name: String, snapshotId: Long,
+      refType: String = "tag"): TableMeta = {
+    require(name != "main", "main is the implicit current-snapshot branch")
+    require(Set("tag", "branch")(refType), s"ref type must be tag|branch: $refType")
+    commit(ident, m => {
+      require(m.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId")
+      m.copy(refs = Option(m.refs).getOrElse(Map.empty) +
+        (name -> SnapshotRef(snapshotId, refType)))
+    })
+  }
+
+  def dropRef(ident: String, name: String): TableMeta =
+    commit(ident, m => {
+      require(Option(m.refs).exists(_.contains(name)), s"no ref $name")
+      m.copy(refs = m.refs - name)
+    })
+
+  /** Resolve a ref name to its snapshot id (main = current). */
+  def refSnapshot(ident: String, name: String): Long =
+    listRefs(ident).getOrElse(name,
+      throw new IllegalArgumentException(s"no ref $name in $ident")).snapshotId
+
   /** One-stop metadata report (DescribeMetadata.java options SUMMARY /
     * SCHEMA / SNAPSHOTS / MANIFESTS): section-tagged key/value rows.
     */
@@ -2313,8 +2361,10 @@ class IceCatalog(
       if (maxAgeHours > 0) System.currentTimeMillis() - maxAgeHours * 3600 * 1000L
       else Long.MaxValue
     val byAge = meta.snapshots.sortBy(-_.timestampMs)
+    // ref-pinned snapshots (tags/branches) never expire until dropped
     val protectedIds = (byAge.take(math.max(retainLast, 1)).map(_.id) :+
-      meta.currentSnapshotId).toSet
+      meta.currentSnapshotId).toSet ++
+      Option(meta.refs).getOrElse(Map.empty).values.map(_.snapshotId)
     val expired = meta.snapshots
       .filter(s => !protectedIds.contains(s.id) && s.timestampMs < cutoff)
       .map(_.id)

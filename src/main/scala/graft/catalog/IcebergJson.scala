@@ -235,6 +235,13 @@ object IcebergJson {
       "sort-orders" -> Seq(toIcebergSortOrder(meta)),
       "properties" -> Option(meta.properties).getOrElse(Map.empty),
       "current-snapshot-id" -> meta.currentSnapshotId,
+      // spec refs map: named tags/branches plus the implicit main branch
+      "refs" -> (Option(meta.refs).getOrElse(Map.empty).map { case (n, r) =>
+        n -> Map("snapshot-id" -> r.snapshotId, "type" -> r.refType)
+      } ++ (if (meta.currentSnapshotId >= 0)
+        Map("main" -> Map("snapshot-id" -> meta.currentSnapshotId,
+          "type" -> "branch"))
+      else Map.empty)),
       "snapshots" -> meta.snapshots.map { s =>
         val dels = Option(s.deletes).getOrElse(Seq.empty)
         val base = Map(

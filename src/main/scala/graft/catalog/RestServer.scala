@@ -465,14 +465,16 @@ object RestServer {
       val (appends, rest) = us.partition(u => textOr(u, "action", "") == "append-files")
       val (schemaOps, rest2) = rest.partition(u =>
         Set("add-schema", "set-current-schema")(textOr(u, "action", "")))
-      val (propOps, unknown) = rest2.partition(u =>
+      val (propOps, rest3) = rest2.partition(u =>
         Set("set-properties", "remove-properties")(textOr(u, "action", "")))
+      val (refOps, unknown) = rest3.partition(u =>
+        Set("set-snapshot-ref", "remove-snapshot-ref")(textOr(u, "action", "")))
       unknown.foreach(u => throw new IllegalArgumentException(
         s"unsupported update action: ${textOr(u, "action", "(none)")}"))
-      require(Seq(appends, schemaOps, propOps).count(_.nonEmpty) <= 1,
-        "append-files, schema updates, and property updates cannot mix in " +
-          "one commit (each is one atomic commit; a mixed request could " +
-          "half-apply)")
+      require(Seq(appends, schemaOps, propOps, refOps).count(_.nonEmpty) <= 1,
+        "append-files, schema updates, property updates, and ref updates " +
+          "cannot mix in one commit (each is one atomic commit; a mixed " +
+          "request could half-apply)")
       if (schemaOps.nonEmpty) {
         // spec schema evolution: `add-schema` ships the full target schema
         // (diffed by field id in IceCatalog.evolveSchemaTo — one atomic
@@ -525,9 +527,22 @@ object RestServer {
         cat.commit(ident,
           m => m.copy(properties = m.properties ++ sets -- removals), basedOn)
       }
+      if (refOps.nonEmpty) {
+        // spec snapshot refs: set-snapshot-ref {ref-name, snapshot-id,
+        // type}, remove-snapshot-ref {ref-name} — tags pin snapshots
+        // against expiry, branches are movable pointers
+        refOps.foreach { u =>
+          val name = str(u, "ref-name")
+          if (textOr(u, "action", "") == "set-snapshot-ref")
+            cat.setRef(ident, name, u.path("snapshot-id").asLong(),
+              textOr(u, "type", "tag").toLowerCase)
+          else cat.dropRef(ident, name)
+        }
+      }
       // a requirement with nothing to commit is still a contract: evaluate
       // it against the live snapshot so a stale client hears 409, not 200
-      if (appends.isEmpty && propOps.isEmpty && schemaOps.isEmpty) basedOn.foreach { id =>
+      if (appends.isEmpty && propOps.isEmpty && schemaOps.isEmpty &&
+          refOps.isEmpty) basedOn.foreach { id =>
         val cur = cat.loadMeta(ident).currentSnapshotId
         if (cur != id) throw new java.util.ConcurrentModificationException(
           s"requirement failed: $ident current snapshot $cur != $id")

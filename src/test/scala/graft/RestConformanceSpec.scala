@@ -279,6 +279,28 @@ class RestConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(allIds(md2).max <= md2.path("last-column-id").asInt())
   }
 
+  test("set-snapshot-ref / remove-snapshot-ref actions; refs served in metadata") {
+    import spark.implicits._
+    cat.createTable("conf.refs", Seq((1L, "a")).toDF("k", "v").schema)
+    cat.insert("conf.refs", Seq((1L, "a")).toDF("k", "v"))
+    val s1 = cat.loadMeta("conf.refs").currentSnapshotId
+    cat.insert("conf.refs", Seq((2L, "b")).toDF("k", "v"))
+    val set = req("POST", "/v1/namespaces/conf/tables/refs",
+      s"""{"updates":[{"action":"set-snapshot-ref","ref-name":"rel",
+          | "snapshot-id":$s1,"type":"tag"}]}""".stripMargin)
+    assert(set.statusCode() == 200, set.body())
+    val refs = json(set).path("metadata").path("refs")
+    assert(refs.path("rel").path("snapshot-id").asLong() == s1)
+    assert(refs.path("rel").path("type").asText() == "tag")
+    assert(refs.path("main").path("snapshot-id").asLong() ==
+      cat.loadMeta("conf.refs").currentSnapshotId)
+    assert(refs.path("main").path("type").asText() == "branch")
+    val rm = req("POST", "/v1/namespaces/conf/tables/refs",
+      """{"updates":[{"action":"remove-snapshot-ref","ref-name":"rel"}]}""")
+    assert(rm.statusCode() == 200, rm.body())
+    assert(!json(rm).path("metadata").path("refs").has("rel"))
+  }
+
   test("UpdateTableRequest property actions use spec keys; uuid requirement checks") {
     // set-properties carries the map under "updates" (the spec key)
     val set = req("POST", "/v1/namespaces/conf/tables/plain",

@@ -380,6 +380,39 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0)).forall(_ != "deep"))
   }
 
+  test("snapshot refs: tags pin expiry, VERSION AS OF resolves names") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.rf.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.rf.t VALUES (1, 'v1')")
+    val s1 = cat.loadMeta("rf.t").currentSnapshotId
+    cat.setRef("rf.t", "release-1", s1) // tag
+    spark.sql("INSERT INTO graft.rf.t VALUES (2, 'v2')")
+    spark.sql("INSERT INTO graft.rf.t VALUES (3, 'v3')")
+
+    // VERSION AS OF '<tag>' travels to the pinned snapshot; 'main' is the
+    // implicit current branch
+    assert(spark.sql("SELECT k FROM graft.rf.t VERSION AS OF 'release-1'")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(spark.sql("SELECT count(*) FROM graft.rf.t VERSION AS OF 'main'")
+      .head().getLong(0) == 3L)
+    assert(cat.listRefs("rf.t")("release-1").snapshotId == s1)
+
+    // expiry never collects a tag-pinned snapshot; after drop it can
+    cat.expireSnapshots("rf.t", retainLast = 1)
+    assert(cat.loadMeta("rf.t").snapshot(s1).isDefined,
+      "tag-pinned snapshot must survive expiry")
+    cat.dropRef("rf.t", "release-1")
+    cat.expireSnapshots("rf.t", retainLast = 1)
+    assert(cat.loadMeta("rf.t").snapshot(s1).isEmpty,
+      "dropped ref releases the snapshot to expiry")
+    // unknown ref is a clear error; main is reserved
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.rf.t VERSION AS OF 'nope'").collect()
+    }
+    intercept[IllegalArgumentException] { cat.setRef("rf.t", "main", s1) }
+  }
+
   test("spark.readStream.table streams snapshot windows; MOR supersession applies") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
