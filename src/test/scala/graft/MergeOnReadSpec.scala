@@ -129,6 +129,32 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       cat.loadMeta("mor.inc").currentSnapshotId).count() == 0)
   }
 
+  test("property: full-history change feed equals the table scan (random ops)") {
+    import spark.implicits._
+    // invariant: with no replacement snapshots, changesSince(0) replays
+    // the table exactly — appended rows minus superseded versions ==
+    // the merged scan, under any interleaving of appends and MOR upserts
+    val r = new scala.util.Random(13)
+    cat.createTable("mor.prop", Seq((1L, "a")).toDF("k", "v").schema)
+    var nextRow = 0L
+    for (step <- 1 to 12) {
+      val batch = (0 until 1 + r.nextInt(4)).map { _ =>
+        if (r.nextBoolean() || nextRow == 0) { nextRow += 1; (nextRow, s"s$step") }
+        else (1 + r.nextLong(nextRow), s"s$step") // update an existing key
+      }.toDF("k", "v")
+      if (r.nextBoolean()) cat.upsertMergeOnRead("mor.prop", batch, Seq("k"))
+      else cat.insert("mor.prop", batch.dropDuplicates("k"),
+        graft.catalog.IceCatalog.InsertOptions(forceDuplicates = true))
+    }
+    val replay = cat.changesSince("mor.prop", 0L)
+      .as[(Long, String)].collect().toSeq.sorted
+    val scan = cat.scan("mor.prop").as[(Long, String)].collect().toSeq.sorted
+    // plain inserts may append DUPLICATE keys (no delete file) — the scan
+    // and the replay must agree row for row regardless
+    assert(replay == scan,
+      s"replay (${replay.length}) != scan (${scan.length})\n$replay\n$scan")
+  }
+
   test("compaction materializes the deletes and clears the pending set") {
     import spark.implicits._
     val rowsBefore = cat.scan("mor.t1").orderBy("k").as[(Long, String)].collect().toSeq
