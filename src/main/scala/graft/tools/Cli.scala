@@ -42,6 +42,8 @@ import graft.catalog.IceCatalog._
   *   describe <ns.t> | describe-metadata <ns.t>
   *   describe-parquet <file.parquet>
   *   set-property <ns.t> <key> <value>
+  *   tag <ns.t> <name> [--snapshot N] [--branch]
+  *   untag <ns.t> <name>               list-refs <ns.t>
   *   delete <ns.t> --partition name=value [--dry-run]
   *   delete-table <ns.t>
   *   maintain <ns.t>
@@ -202,6 +204,21 @@ object Cli {
         case Seq("set-property", ident, k, v) =>
           cat.setProperty(ident, k, v); out.println(s"set $k on $ident")
 
+        case Seq("tag", ident, name) =>
+          // pin a snapshot (default: current) against expiry; --branch
+          // makes it a movable pointer instead
+          val snap = flags.get("snapshot").map(_.toLong)
+            .getOrElse(cat.loadMeta(ident).currentSnapshotId)
+          cat.setRef(ident, name,
+            snap, if (flags.contains("branch")) "branch" else "tag")
+          out.println(s"$name -> $snap")
+        case Seq("untag", ident, name) =>
+          cat.dropRef(ident, name); out.println(s"dropped $name")
+        case Seq("list-refs", ident) =>
+          cat.listRefs(ident).toSeq.sortBy(_._1).foreach { case (n, ref) =>
+            out.println(s"$n\t${ref.refType}\t${ref.snapshotId}")
+          }
+
         case Seq("alter-table", ident, updatesJson) =>
           // the reference's `ice alter-table <name> <updatesJson>`
           // (Main.java:394): a JSON array of ops, each a thin mapping onto
@@ -294,7 +311,8 @@ object Cli {
     */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val boolFlags = Set("no-copy", "force-outside-location", "skip-duplicates",
-      "dry-run", "allow-anonymous", "watch", "watch-fire-once", "merge-on-read")
+      "dry-run", "allow-anonymous", "watch", "watch-fire-once", "merge-on-read",
+      "branch")
     var flags = Map.empty[String, String]
     val pos = Seq.newBuilder[String]
     var i = 0

@@ -206,6 +206,20 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("tag / list-refs / untag round-trip") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.tg", "--schema", "id BIGINT")._1 == 0)
+    val staging = Files.createTempDirectory("cli-tg")
+    Seq(1L).toDF("id").coalesce(1).write.parquet(staging.resolve("b").toString)
+    assert(cli("insert", "ns.tg", staging.resolve("b").toString)._1 == 0)
+    assert(cli("tag", "ns.tg", "rel")._1 == 0)
+    val (c, out) = cli("list-refs", "ns.tg")
+    assert(c == 0 && out.exists(_.startsWith("rel\ttag\t")) &&
+      out.exists(_.startsWith("main\tbranch\t")), out.mkString("\n"))
+    assert(cli("untag", "ns.tg", "rel")._1 == 0)
+    assert(!cli("list-refs", "ns.tg")._2.exists(_.startsWith("rel")))
+  }
+
   test("changes prints the incremental window after --from-snapshot") {
     import spark.implicits._
     assert(cli("create-table", "ns.chg", "--schema", "id BIGINT, v STRING")._1 == 0)
