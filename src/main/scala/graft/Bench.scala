@@ -43,7 +43,41 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"timing":"best-of-2"}""")
+
+    // Regression tripwire: per-query ratio vs the repo-pinned BASELINE.md
+    // numbers. A query >2x baseline while ALL noise-tell queries (pure
+    // parquet reads untouched for rounds) sit <1.2x is a code regression
+    // by definition — machine noise moves the tells too. rc=2 settles
+    // environment-vs-code disputes mechanically.
+    val baseline = loadBaseline()
+    val ratios = results.flatMap { case (k, v) =>
+      baseline.get(k).filter(_ > 0).map(b => k -> v / b)
+    }.toMap
+    val noiseTells = Seq("q1_agg", "q2_topk", "x1_langid")
+    val tellsFlat = noiseTells.forall(t => ratios.get(t).exists(_ < 1.2))
+    val breaches = ratios.filter(_._2 > 2.0).keys.toSeq.sorted
+    val fired = tellsFlat && breaches.nonEmpty
+    val rj = ratios.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val bj = breaches.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"timing":"best-of-2","ratios":$rj,"tripwire":{"fired":$fired,"breaches":$bj,"tells_flat":$tellsFlat}}""")
     spark.stop()
+    if (fired) sys.exit(2)
+  }
+
+  /** Pinned per-query seconds from BASELINE.md's markdown table (the
+    * repo-committed round-5 numbers). Empty map when the file is absent
+    * (running outside the repo) — tripwire disabled, bench still reports.
+    */
+  private def loadBaseline(): Map[String, Double] = {
+    val f = new java.io.File("BASELINE.md")
+    if (!f.exists()) return Map.empty
+    val row = """\|\s*([a-z]\w+)\s*\|\s*([0-9.]+)\s*\|""".r
+    // lenient UTF-8 decode: the JVM default charset may reject the md's
+    // typographic dashes
+    val text = new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    text.linesIterator.collect { case row(q, s) => q -> s.toDouble }.toMap
   }
 }

@@ -33,6 +33,9 @@ import graft.functions.Transforms
   */
 object IceCatalog {
 
+  private[catalog] val timingEnabled: Boolean =
+    sys.env.get("GRAFT_TIMING").contains("1")
+
   case class PartitionField(column: String, transform: String, name: String)
   case class SortField(column: String, desc: Boolean = false, nullsFirst: Boolean = false)
   case class ColStats(min: String, max: String, nullCount: Long)
@@ -368,6 +371,16 @@ class IceCatalog(
     */
   private def withWriteConf[T](body: => T): T =
     withConf("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")(body)
+
+  // Env-guarded phase timing (GRAFT_TIMING=1) for write-path profiling.
+  private def timed[T](label: String)(body: => T): T =
+    if (!IceCatalog.timingEnabled) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"GRAFT_TIMING $label%-20s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
 
   private def rootPath: Path = Paths.get(root)
 
@@ -1165,7 +1178,8 @@ class IceCatalog(
 
     val files = writeArranged(ident, toInsert, meta)
     if (options.noCommit) return meta
-    commitSnap(ident)(_ => SnapDelta("append", add = files, addSources = incoming))
+    timed("insert.commit")(
+      commitSnap(ident)(_ => SnapDelta("append", add = files, addSources = incoming)))
   }
 
   /** Hive directory name for one partition field. Identity transforms get a
@@ -1216,6 +1230,15 @@ class IceCatalog(
       if (dirNames.nonEmpty) {
         val re = coalesceTo match {
           case Some(n) => withParts.repartition(n, dirNames.map(col): _*)
+          // Range-partition on (partition dirs, sort keys): parallelism is
+          // the full shuffle width instead of one reducer per partition
+          // VALUE — a hash-on-dirs shuffle serializes each partition's
+          // sort+encode into a single task, the classic write-side skew at
+          // scale. partitionBy still splits each task by dir, so every
+          // file holds one partition value, and range boundaries keep
+          // per-file sort-key min/max disjoint for pruning.
+          case None if sortCols.length > dirNames.length =>
+            withParts.repartitionByRange(sortCols: _*)
           case None => withParts.repartition(dirNames.map(col): _*)
         }
         re.sortWithinPartitions(sortCols: _*)
@@ -1223,13 +1246,16 @@ class IceCatalog(
         val base = coalesceTo.map(withParts.coalesce).getOrElse(withParts)
         if (sortCols.nonEmpty) base.sortWithinPartitions(sortCols: _*) else base
       }
-    withWriteConf {
-      val writer = arranged.write.mode("append")
-      (if (dirNames.nonEmpty) writer.partitionBy(dirNames: _*) else writer)
-        .parquet(dataDir.toString)
+    timed("arranged.write") {
+      withWriteConf {
+        val writer = arranged.write.mode("append")
+        (if (dirNames.nonEmpty) writer.partitionBy(dirNames: _*) else writer)
+          .parquet(dataDir.toString)
+      }
     }
-    collectFileMeta(dataDir.toString, meta.schema, meta.partitionSpec,
-      schemaId = meta.schemaLog.length - 1)
+    timed("collectFileMeta")(
+      collectFileMeta(dataDir.toString, meta.schema, meta.partitionSpec,
+        schemaId = meta.schemaLog.length - 1))
   }
 
   /** No-copy insert (`ice insert --no-copy`, Insert.java:469-524): register

@@ -1,0 +1,52 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.catalog.IceCatalog
+import graft.catalog.IceCatalog._
+import graft.sources.Tables
+
+/** Phase-level timing of the t8 path (insert → delete → metadata counts)
+  * to localize the round-6 write-path regression. Not part of the gate.
+  */
+object ProfileT8 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("profile-t8")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFILE $label%-24s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+    (1 to 5).foreach { round =>
+      println(s"--- round $round ---")
+      val root = Files.createTempDirectory("graft_prof").toString
+      val cat = new IceCatalog(spark, root)
+      val li = time("read.lineitem")(Tables.lineitem(spark, dir))
+      cat.createNamespace("v")
+      time("createTable")(cat.createTable("v.li", li.schema,
+        partitionSpec = Seq(PartitionField("l_shipdate", "year", "p_year")),
+        sortOrder = Seq(SortField("l_orderkey"))))
+      time("insert")(cat.insert("v.li", li))
+      val v1 = cat.loadMeta("v.li").currentSnapshotId
+      time("delete")(cat.delete("v.li", Seq(PartitionFilter("p_year", Op.Eq, Seq("26")))))
+      time("countRows.v1")(cat.countRows("v.li", asOfSnapshot = Some(v1)))
+      time("countRows")(cat.countRows("v.li"))
+      time("drop")(cat.dropTable("v.li"))
+    }
+    spark.stop()
+  }
+}
