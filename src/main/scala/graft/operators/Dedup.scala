@@ -353,6 +353,12 @@ object Dedup {
         round(cos, 4).as("cos_sim"))
   }
 
+  /** One side of a verify-carrying pair join: (vec_id, v, nrm) as a
+    * named struct, the shape [[cosineScore]] consumes.
+    */
+  private def vecSide(name: String) =
+    struct(col("vec_id"), col("v"), col("nrm")).as(name)
+
   private def normedVectors(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{asDouble, norm}
     Tables.embeddings(spark, dir)
@@ -395,12 +401,14 @@ object Dedup {
       spark: SparkSession, dir: String,
       nBits: Int = 6, threshold: Double = 0.35): DataFrame = {
     val bucketed = Similarity.lshBucket(spark, dir, nBits)
-    val pairs = bucketed.select(col("vec_id").as("vec_a"), col("bucket"))
-      .join(bucketed.select(col("vec_id").as("vec_b"), col("bucket")), Seq("bucket"))
-      .where(col("vec_a") < col("vec_b"))
+    // vectors+norms ride THROUGH the bucket join (the propose stage
+    // already has them) — verify costs zero extra joins, vs re-attaching
+    // vectors by id, which would shuffle the candidate-pair table twice
+    val pairs = bucketed.select(vecSide("a"), col("bucket"))
+      .join(bucketed.select(vecSide("b"), col("bucket")), Seq("bucket"))
       // one bucket per vector ⇒ a pair collides at most once: no dedup
-      .select(col("vec_a"), col("vec_b"))
-    cosineOn(spark, dir, pairs, threshold)
+      .where(col("a.vec_id") < col("b.vec_id"))
+    cosineScore(pairs, threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -418,13 +426,15 @@ object Dedup {
       nBits: Int = 8, threshold: Double = 0.35): DataFrame = {
     val bucketed = Similarity.lshBucket(spark, dir, nBits)
     val masks = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
-    val probes = bucketed.select(col("vec_id").as("vec_a"),
+    // the probe side carries its vector+norm through the bucket join
+    // (see lshCosineVerify): one equi-join IS propose+verify, no
+    // candidate-pair re-shuffles to attach vectors afterwards
+    val probes = bucketed.select(vecSide("a"),
       explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
     val pairs = probes
-      .join(bucketed.select(col("vec_id").as("vec_b"), col("bucket")), Seq("bucket"))
-      .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-    cosineOn(spark, dir, pairs, threshold)
+      .join(bucketed.select(vecSide("b"), col("bucket")), Seq("bucket"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+    cosineScore(pairs, threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
