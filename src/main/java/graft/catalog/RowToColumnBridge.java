@@ -1,0 +1,27 @@
+package graft.catalog;
+
+import org.apache.spark.sql.catalyst.InternalRow;
+import org.apache.spark.sql.execution.RowToColumnConverter;
+import org.apache.spark.sql.execution.vectorized.WritableColumnVector;
+import org.apache.spark.sql.types.StructType;
+
+/**
+ * Java bridge to Spark's generic row-to-column-vector converter
+ * ({@code org.apache.spark.sql.execution.RowToColumnConverter}, the
+ * engine of {@code RowToColumnarExec} — full type coverage including
+ * nested arrays/maps/structs). It is {@code private[execution]} at the
+ * Scala level but public in bytecode; javac (unlike scalac) can
+ * construct it — same access-check reason as
+ * {@code ManifestPrunedScanBuilder}.
+ */
+public final class RowToColumnBridge {
+  private final RowToColumnConverter converter;
+
+  public RowToColumnBridge(StructType schema) {
+    this.converter = new RowToColumnConverter(schema);
+  }
+
+  public void convert(InternalRow row, WritableColumnVector[] vectors) {
+    converter.convert(row, vectors);
+  }
+}

@@ -8,19 +8,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import graft.functions._
 
 /** Session extension that registers graft's custom Catalyst expressions as
-  * SQL functions, so `spark.sql("SELECT iceberg_bucket(16, l_orderkey) ...")`
-  * works anywhere a Column does.
+  * SQL functions (so `spark.sql("SELECT iceberg_bucket(16, l_orderkey)")`
+  * works anywhere a Column does) and injects the catalog's optimizer
+  * rules — [[graft.catalog.BoundedMorRead]], which reroutes SQL reads of
+  * tables with heavy merge-on-read delete debt from the driver-bounded
+  * masked scan to the distributed anti-join read.
   *
   * Activate with
-  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
-  * `GraftExtensions.register(spark)` on a live session.
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` at session
+  * build ([[GraftSession.builder]] does). `GraftExtensions.register` on a
+  * live session registers the functions only — optimizer rules cannot be
+  * added post-construction (`experimental.extraOptimizations` runs after
+  * scan pushdown, too late to re-plan a relation).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(graft.catalog.BoundedMorRead(_))
+  }
 }
 
 object GraftExtensions {

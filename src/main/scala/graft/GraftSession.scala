@@ -14,6 +14,9 @@ object GraftSession {
     SparkSession
       .builder()
       .appName(appName)
+      // functions + optimizer rules (BoundedMorRead); build-time because
+      // optimizer rules cannot be injected into a live session
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,57 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Bounds driver memory on merge-on-read SQL reads.
+  *
+  * The delete-masked scan ([[ManifestPrune]]) serves the merged view in
+  * ONE pass by shipping the pending equality-delete keys to every reader —
+  * the right plan while delete debt is small, and a driver OOM waiting to
+  * happen when it is not (a hot CDC stream with lagging compaction can
+  * accumulate billions of pending keys; collecting them into a HashSet on
+  * the driver is the classic scale killer). This rule — injected by
+  * `graft.GraftExtensions` into the operator-optimization batch, BEFORE
+  * V2 scan pushdown plans the masked scan — checks the table's pending
+  * delete row count (manifest metadata, zero IO) against the budget
+  * ([[ManifestPrune.MaxDriverDeleteKeysConf]]) and, above it, substitutes
+  * the relation with the distributed merged read: per sequence epoch, data
+  * files LEFT ANTI JOIN pending delete keys — both sides shuffle on the
+  * key, memory stays executor-partition-sized at any delete volume (the
+  * same plan the catalog API serves via `readFilesMergedAt`).
+  *
+  * Scope: plain batch relations over [[GraftSnapshotTable]] only. The
+  * row-level-operation read (its table is Spark's RowLevelOperationTable
+  * wrapper) and streaming relations never match; metadata-column reads
+  * (`_file`) are left to the masked scan, whose budget guard then refuses
+  * with a compact-first error rather than collecting unbounded state.
+  *
+  * Trade-off, by design: the substituted read serves every snapshot file
+  * (manifest-level partition pruning is bypassed); Catalyst still pushes
+  * filters and pruned columns into its parquet scans. Heavy delete debt
+  * is a transient state — compaction restores the single-scan plan.
+  */
+case class BoundedMorRead(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val budget = ManifestPrune.maxDriverDeleteKeys(spark)
+    plan.transformUpWithSubqueries {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftSnapshotTable
+            if t.pendingDeleteRows > budget &&
+              r.output.forall(a => t.schema().fieldNames.contains(a.name)) =>
+          val merged = t.mergedRead().queryExecution.analyzed
+          val byName = merged.output.map(a => a.name -> a).toMap
+          // keep the relation's attribute ids: every upstream reference
+          // resolves against the substituted subtree unchanged
+          Project(r.output.map(o =>
+            Alias(byName(o.name), o.name)(exprId = o.exprId,
+              qualifier = o.qualifier)), merged)
+        case _ => r
+      }
+    }
+  }
+}

@@ -73,6 +73,22 @@ private class GraftSnapshotTable(
       // live tables can stream (snapshot-log micro-batches); a frozen
       // time-travel view cannot grow, so it stays batch-only
       stream = if (timeTraveled) None else Some((ice, ident)))
+
+  /** Pending merge-on-read delete rows at this table's resolved snapshot,
+    * from manifest metadata alone — what [[BoundedMorRead]] compares
+    * against the driver mask budget.
+    */
+  private[catalog] def pendingDeleteRows: Long = deletes.map(_.rowCount).sum
+
+  /** The distributed merged view of this table's resolved snapshot
+    * (per-epoch anti-join of pending deletes — executor-sized memory at
+    * any delete volume), in current-schema column order. The relation
+    * [[BoundedMorRead]] substitutes when the in-scan mask would exceed
+    * its driver budget.
+    */
+  private[catalog] def mergedRead(): org.apache.spark.sql.DataFrame =
+    ice.readFilesMergedAt(meta, files, deletes)
+      .select(meta.schema.fieldNames.toSeq.map(col): _*)
   override def name(): String = delegate.name
   /** Declared merge keys report non-nullable: they are the row-identity
     * contract merge-on-read relies on, and Spark's delta-based rewrite

@@ -366,11 +366,17 @@ class IceCatalog(
   }
 
   /** Scoped write conf: INT64-µs timestamps carry usable footer min/max
-    * statistics (INT96, the legacy default, does not), which manifest
-    * stats are built from.
+    * statistics (INT96, the legacy default, does not — manifest stats are
+    * built from them); AQE partition coalescing is off because the arranged
+    * write's partition count IS the deliberate layout — coalescing to the
+    * advisory size collapses a range-partitioned sort+encode into one or
+    * two tasks on small tables (serializing the write) and fights the
+    * chosen file sizing on large ones.
     */
   private def withWriteConf[T](body: => T): T =
-    withConf("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")(body)
+    withConf(
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")(body)
 
   // Env-guarded phase timing (GRAFT_TIMING=1) for write-path profiling.
   private def timed[T](label: String)(body: => T): T =
@@ -1485,15 +1491,18 @@ class IceCatalog(
     io.walk(Paths.get(dir)).reverse.foreach(io.deleteIfExists(_))
 
   /** Register a row-level write's staged parquet output as table files:
-    * an unpartitioned, unsorted table ADOPTS the staged files in place
-    * (footer-stat them, zero extra IO — they already sit under data/);
-    * a partitioned or sorted table re-arranges through [[writeArranged]]
-    * (one distributed pass over the staged rows — only the affected
-    * groups' rows, never the whole table) and drops the staging dir.
+    * an unpartitioned table ADOPTS the staged files in place (footer-stat
+    * them, zero extra IO — they already sit under data/, and when the
+    * table is sorted the staged write itself sorted each file via the
+    * write's required ordering, RowLevelOps.stagedOrdering — one data
+    * pass per row-level operation, not two); a partitioned table
+    * re-arranges through [[writeArranged]] (one distributed pass over the
+    * staged rows — only the affected groups' rows, never the whole table,
+    * keeping every file single-partition-value) and drops the staging dir.
     */
   private def registerStaged(
       ident: String, meta: TableMeta, stagingDir: String): Seq[DataFileMeta] =
-    if (meta.partitionSpec.isEmpty && meta.sortOrder.isEmpty)
+    if (meta.partitionSpec.isEmpty)
       collectFileMeta(stagingDir, meta.schema, Seq.empty,
         schemaId = meta.schemaLog.length - 1).filter(_.rowCount > 0)
     else {
@@ -1526,22 +1535,30 @@ class IceCatalog(
   }
 
   /** Commit of a delta-based (merge-on-read) row-level operation: staged
-    * insert rows append, deleted row ids land as ONE equality-delete file
-    * — O(batch) total work, the [[upsertMergeOnRead]] shape driven from
-    * SQL. Sequence numbers make the commit's own inserts immune to its
-    * delete file (strictly-older rule).
+    * insert rows append, and the matched keys — written to equality-delete
+    * parquet BY THE EXECUTORS during the merge (never routed through
+    * driver commit messages, so delete volume is bounded by executor
+    * memory, not driver heap) — are ADOPTED from their staging dir as the
+    * commit's delete files. O(batch) total work, the [[upsertMergeOnRead]]
+    * shape driven from SQL; sequence numbers make the commit's own inserts
+    * immune to its delete files (strictly-older rule).
     */
   private[catalog] def commitDeltaMerge(
-      ident: String, stagingDir: String, keySchema: StructType,
-      deletedKeys: Seq[org.apache.spark.sql.Row], basedOn: Long): TableMeta = {
+      ident: String, stagingDir: String, deleteStagingDir: String,
+      keyCols: Seq[String], basedOn: Long): TableMeta = {
     val meta = loadMeta(ident)
     val added = registerStaged(ident, meta, stagingDir)
-    val del =
-      if (deletedKeys.isEmpty) Seq.empty
-      else {
-        val df = spark.createDataFrame(deletedKeys.asJava, keySchema)
-        Seq(writeDeleteFile(ident, df, keySchema.fieldNames.toSeq))
+    val delDir = Paths.get(deleteStagingDir)
+    val del = (if (io.isDirectory(delDir)) io.walk(delDir) else Seq.empty)
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+      .map { p =>
+        val footer = readFooter(p)
+        DeleteFileMeta(p.toUri.toString, keyCols,
+          rowCount = footer.getBlocks.asScala.map(_.getRowCount).sum,
+          bytes = io.size(p), seq = 0) // seq stamped at commit
       }
+      .filter(_.rowCount > 0)
+    if (del.isEmpty) dropStagingDir(deleteStagingDir)
     if (added.isEmpty && del.isEmpty) return meta
     commitSnap(ident, basedOn = Some(basedOn))(_ =>
       SnapDelta(if (del.isEmpty) "append" else "mor-merge",
@@ -1732,15 +1749,29 @@ class IceCatalog(
     * driver OOM; the base data is never rewritten.
     */
   private def readFilesMerged(
-      meta: TableMeta, snap: Snapshot, files: Seq[DataFileMeta]): DataFrame = {
-    val dels = Option(snap.deletes).getOrElse(Seq.empty)
+      meta: TableMeta, snap: Snapshot, files: Seq[DataFileMeta]): DataFrame =
+    readFilesMergedAt(meta, files, Option(snap.deletes).getOrElse(Seq.empty))
+
+  /** The distributed merged view at an EXPLICIT (files, deletes) set: per
+    * sequence epoch, anti-join the applicable pending equality deletes —
+    * both sides shuffle on the key, so memory is executor-partition-sized
+    * regardless of delete volume. This is the unbounded-safe read the SQL
+    * path falls back to ([[BoundedMorRead]]) when the in-scan delete mask
+    * would exceed its driver budget.
+    */
+  private[catalog] def readFilesMergedAt(
+      meta: TableMeta, files: Seq[DataFileMeta],
+      dels: Seq[DeleteFileMeta]): DataFrame = {
     if (dels.isEmpty || files.isEmpty) return readFiles(meta, files)
     files.groupBy(_.seq).toSeq.sortBy(_._1).map { case (fseq, fs) =>
       val applicable = dels.filter(_.seq > fseq)
       applicable.groupBy(_.keyCols).foldLeft(readFiles(meta, fs)) {
         case (df, (keys, dfiles)) =>
+          // dedup via an explicit Aggregate, not .distinct(): this plan
+          // is also SPLICED into mid-optimization trees (BoundedMorRead),
+          // after the batch that rewrites Deduplicate has already run
           val delKeys = spark.read.parquet(dfiles.map(_.path): _*)
-            .select(keys.map(col): _*).distinct()
+            .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c")).drop("__c")
           df.join(delKeys, keys, "left_anti")
       }
     }.reduce(_ union _)

@@ -28,6 +28,21 @@ import graft.catalog.IceCatalog._
   */
 object ManifestPrune {
 
+  /** Driver budget for the in-scan merge-on-read delete mask, in pending
+    * delete ROWS (known from manifest metadata — no IO to check). Below
+    * it, SQL reads mask deleted rows inside the scan (one pass, no join);
+    * above it, [[BoundedMorRead]] rewrites the relation to the
+    * distributed anti-join read, and the mask path REFUSES rather than
+    * collect an unbounded key set onto the driver.
+    */
+  val MaxDriverDeleteKeysConf = "spark.graft.mor.maxDriverDeleteKeys"
+  val MaxDriverDeleteKeysDefault = 1000000L
+
+  private[catalog] def maxDriverDeleteKeys(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(MaxDriverDeleteKeysConf)
+      .map(_.toLong).getOrElse(MaxDriverDeleteKeysDefault)
+
   /** The `_file` metadata column (Iceberg's spelling): the data file path
     * serving each row, stamped from the per-file thread-local the DSv2
     * file reader maintains (the same mechanism behind
@@ -151,10 +166,12 @@ object ManifestPrune {
     * reader; groups union positionally. Group count is bounded by MOR
     * commits since the last compaction.
     *
-    * Delete keys load once on the DRIVER and ship in the reader factory:
-    * the pending set is bounded (compaction materializes and clears it),
-    * which caps driver memory at O(pending keys) — the unbounded-safe
-    * distributed anti-join remains on the API path (`readFilesMerged`).
+    * Delete keys load once on the DRIVER and ship in the reader factory,
+    * under a hard budget ([[MaxDriverDeleteKeysConf]], checked against
+    * manifest row counts before any IO): above it this path refuses, and
+    * plain SELECTs are instead rewritten by [[BoundedMorRead]] to the
+    * unbounded-safe distributed anti-join (`readFilesMergedAt`, the API
+    * path's shape).
     * Masked groups read row-based (the filter inspects each row), so
     * vectorization is traded for correctness exactly on the files that
     * carry delete debt, and only until compaction clears it.
@@ -164,6 +181,21 @@ object ManifestPrune {
       filters: scala.collection.immutable.Seq[Expression],
       required: StructType): Scan = {
     val meta = ctx.meta
+    // hard driver-memory bound: the mask ships every pending delete key
+    // to the driver (and into each reader factory), so it only serves
+    // BOUNDED debt. Plain SELECTs never reach this above the budget —
+    // BoundedMorRead rewrote them to the distributed anti-join first;
+    // what remains here is _file-projecting reads, row-level-operation
+    // scans, and streaming windows, which genuinely need compaction.
+    val pending = ctx.deletes.map(_.rowCount).sum
+    val budget = maxDriverDeleteKeys(org.apache.spark.sql.SparkSession.active)
+    if (pending > budget) throw new UnsupportedOperationException(
+      s"${meta.name}: ${pending} pending merge-on-read delete rows exceed " +
+        s"the in-scan mask budget ($MaxDriverDeleteKeysConf=$budget). " +
+        "Plain SELECTs fall back to the distributed merged read when " +
+        "graft.GraftExtensions is installed; this read shape (_file / " +
+        "row-level operation / streaming) requires compacting the table " +
+        "first to materialize the pending deletes.")
     val outSchema =
       if (required != null) required
       else StructType(meta.schema.fields.map(_.copy(nullable = true)))
@@ -194,10 +226,11 @@ object ManifestPrune {
           projection = outSchema.fieldNames.map(readReq.fieldNames.indexOf(_)).toArray)
       }
     }
-    // a masked part reads row-based; Spark requires every partition of
-    // one scan to agree, so the whole union degrades to row-based reads
+    // masked parts stay COLUMNAR (the masking reader filters batches),
+    // so clean sibling groups keep their vectorized reads; the union
+    // only drops to row-based if some member genuinely can't do columnar
     if (parts.length == 1) parts.head
-    else new PositionalUnionScan(parts, outSchema, forceRowBased = true)
+    else new PositionalUnionScan(parts, outSchema)
   }
 
   /** Driver-side load of one delete-key set, normalized for set-membership
@@ -330,21 +363,33 @@ object ManifestPrune {
   * their input partitions yields one scan with the reported schema.
   */
 private class PositionalUnionScan(
-    parts: Seq[Scan], outSchema: StructType, forceRowBased: Boolean = false)
+    parts: Seq[Scan], outSchema: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = outSchema
   override def description(): String =
     parts.map(_.description()).mkString("union(", ", ", ")")
   override def toBatch: Batch = this
   private lazy val batches = parts.map(_.toBatch)
+  private lazy val perBatchParts = batches.map(_.planInputPartitions())
+  private lazy val factories = batches.map(_.createReaderFactory())
   private lazy val partitions: Array[InputPartition] =
-    batches.zipWithIndex.flatMap { case (b, i) =>
-      b.planInputPartitions().map(p => SourceTaggedPartition(i, p): InputPartition)
+    perBatchParts.zipWithIndex.flatMap { case (ps, i) =>
+      ps.map(p => SourceTaggedPartition(i, p): InputPartition)
     }.toArray
+  /** Spark requires every partition of one scan to agree on columnar
+    * support: vectorized only when EVERY member scan's every partition
+    * is columnar (delete-masked groups are — the masking reader filters
+    * batches — so one delete-bearing group no longer degrades its clean
+    * siblings); any row-only member drops the whole union to row-based,
+    * the uniform fallback.
+    */
+  private lazy val uniformColumnar: Boolean =
+    perBatchParts.zip(factories).forall { case (ps, f) =>
+      ps.forall(f.supportColumnarReads)
+    }
   override def planInputPartitions(): Array[InputPartition] = partitions
   override def createReaderFactory(): PartitionReaderFactory =
-    SourceDispatchingReaderFactory(batches.map(_.createReaderFactory()),
-      forceRowBased)
+    SourceDispatchingReaderFactory(factories, uniformColumnar)
 }
 
 /** Batch scan plus streaming capability: `toMicroBatchStream` turns the
@@ -559,13 +604,16 @@ private class FileStampedRow(
   override def update(i: Int, value: Any): Unit =
     throw new UnsupportedOperationException("read-only")
   override def copy(): InternalRow = {
+    // deep-copy THROUGH the wrapped row's own copy(): top-level clones of
+    // UTF8String alone would leave nested array/map/struct values aliasing
+    // the reader's reused buffers, corrupting rows buffered by sorts/joins
+    val base = row.copy()
     val vals = new Array[Any](numFields)
     var i = 0
     while (i < numFields) {
-      vals(i) = get(i, types(i)) match {
-        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-        case other => other
-      }
+      vals(i) =
+        if (i == fileOrdinal) { if (path == null) null else path.clone() }
+        else base.get(m(i), types(i))
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -636,9 +684,11 @@ private[catalog] object DeleteMask {
 /** Wraps one scan with equality-delete masking: rows whose key tuple
   * appears in any mask are dropped; survivors project from the (possibly
   * key-widened) read schema back to the query's required positions.
-  * Reads are forced row-based — the per-row membership probe has no
-  * columnar form — which is the price of pending delete debt until
-  * compaction clears it.
+  * Columnar reads STAY columnar — the masking reader consumes the
+  * vectorized batches and copies survivors into fresh vectors (Spark's
+  * own row→column converter, all types) — so a delete-bearing group
+  * costs one batch compaction, not a row-based parquet decode, and the
+  * union's clean groups keep zero-copy vectorized reads.
   */
 private class DeleteMaskedScan(
     inner: Scan, masks: Seq[DeleteMask],
@@ -653,7 +703,7 @@ private class DeleteMaskedScan(
   override def planInputPartitions(): Array[InputPartition] =
     batch.planInputPartitions()
   override def createReaderFactory(): PartitionReaderFactory =
-    DeleteMaskingReaderFactory(batch.createReaderFactory(), masks,
+    DeleteMaskingReaderFactory(batch.createReaderFactory(), masks, outSchema,
       if (projection.zipWithIndex.forall { case (p, i) => p == i } &&
         projection.length == readReq.length) null
       else (projection, readReq.fields.map(_.dataType)))
@@ -661,10 +711,12 @@ private class DeleteMaskedScan(
 
 private case class DeleteMaskingReaderFactory(
     inner: PartitionReaderFactory, masks: Seq[DeleteMask],
+    outSchema: StructType,
     // null when read schema == out schema; else (out ordinals, read types)
     project: (Array[Int], Array[DataType]))
     extends PartitionReaderFactory {
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val in = inner.createReader(p)
     new PartitionReader[InternalRow] {
@@ -694,6 +746,55 @@ private case class DeleteMaskingReaderFactory(
       override def close(): Unit = in.close()
     }
   }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val in = inner.createColumnarReader(p)
+    val converter = new RowToColumnBridge(outSchema)
+    new PartitionReader[ColumnarBatch] {
+      private var out: ColumnarBatch = _
+      // the projecting row view is allocated once and re-pointed per row
+      private val projRow =
+        if (project == null) null
+        else org.apache.spark.sql.catalyst.ProjectingInternalRow(
+          outSchema, project._1.toIndexedSeq)
+      private def release(): Unit =
+        if (out != null) { out.close(); out = null }
+      override def next(): Boolean = {
+        release()
+        while (in.next()) {
+          val b = in.get()
+          val n = b.numRows()
+          val vecs = outSchema.fields.map(f =>
+            new OnHeapColumnVector(math.max(n, 1), f.dataType))
+          val wvecs: Array[WritableColumnVector] =
+            vecs.map(v => v: WritableColumnVector)
+          var kept = 0
+          var i = 0
+          while (i < n) {
+            val r = b.getRow(i)
+            if (!masks.exists(_.matches(r))) {
+              val rr: org.apache.spark.sql.catalyst.InternalRow =
+                if (projRow == null) r else { projRow.project(r); projRow }
+              converter.convert(rr, wvecs)
+              kept += 1
+            }
+            i += 1
+          }
+          if (kept > 0) {
+            out = new ColumnarBatch(vecs.map(_.asInstanceOf[ColumnVector]), kept)
+            return true
+          }
+          vecs.foreach(_.close())
+        }
+        false
+      }
+      override def get(): ColumnarBatch = out
+      override def close(): Unit = { release(); in.close() }
+    }
+  }
 }
 
 private case class SourceTaggedPartition(src: Int, inner: InputPartition)
@@ -702,7 +803,7 @@ private case class SourceTaggedPartition(src: Int, inner: InputPartition)
 }
 
 private case class SourceDispatchingReaderFactory(
-    inners: Seq[PartitionReaderFactory], forceRowBased: Boolean = false)
+    inners: Seq[PartitionReaderFactory], allowColumnar: Boolean)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case SourceTaggedPartition(i, inner) => inners(i).createReader(inner)
@@ -715,7 +816,7 @@ private case class SourceDispatchingReaderFactory(
   }
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case SourceTaggedPartition(i, inner) =>
-      !forceRowBased && inners(i).supportColumnarReads(inner)
+      allowColumnar && inners(i).supportColumnarReads(inner)
     case other => false
   }
 }

@@ -1,11 +1,7 @@
 package graft.catalog
 
-import scala.collection.mutable.ArrayBuffer
-
-import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsRuntimeV2Filtering}
@@ -112,19 +108,51 @@ private[catalog] object RowLevelOps {
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
       Seq(stagingDir), "parquet", _ => true, info)
 
-  /** Internal (InternalRow) value → external value for the driver-side
-    * delete-key DataFrame. Covers the types a sane merge key can have.
+  /** Hadoop configuration for the executor-side delete-key parquet
+    * writers, captured on the DRIVER so session parquet settings ride
+    * along, with the keys [[ParquetWriteSupport.init]] requires set
+    * explicitly (Spark's own write path sets them in `prepareWrite`;
+    * a bare session hadoop conf may lack never-SET ones).
     */
-  private[catalog] def internalToExternal(v: Any, dt: DataType): Any =
-    if (v == null) null
-    else dt match {
-      case StringType => v.toString
-      case TimestampType => DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long])
-      case DateType => DateTimeUtils.toJavaDate(v.asInstanceOf[Int])
-      case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal
-      case BinaryType => v.asInstanceOf[Array[Byte]].clone()
-      case _ => v // primitives: long/int/short/byte/double/float/boolean
-    }
+  private[catalog] def deleteKeyWriteConf(
+      spark: org.apache.spark.sql.SparkSession): SerializableHadoopConf = {
+    val c = spark.sessionState.newHadoopConf()
+    c.set("spark.sql.parquet.writeLegacyFormat",
+      spark.conf.get("spark.sql.parquet.writeLegacyFormat", "false"))
+    c.set("spark.sql.parquet.outputTimestampType",
+      spark.conf.get("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"))
+    // same-engine round-trip: write proleptic-Gregorian, tag the footer
+    c.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.fieldId.write.enabled",
+      spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "true"))
+    c.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      spark.conf.get("spark.sql.parquet.variant.annotateLogicalType.enabled", "false"))
+    new SerializableHadoopConf(c)
+  }
+
+  /** Write-side ordering contract for an UNPARTITIONED sorted table:
+    * Spark sorts each write task's rows by the table sort order BEFORE
+    * they reach the staged parquet writer, so the staged files can be
+    * ADOPTED at commit time (footer-stat only) instead of re-sorted by a
+    * second distributed write — one data pass per row-level operation,
+    * not two. Partitioned tables return no ordering (their staged output
+    * is re-arranged through the partition-pure write path at commit;
+    * pre-sorting it here would be wasted work). Distribution stays
+    * unspecified: an ordered distribution would range-sample the rewrite
+    * plan — executing the MERGE join twice.
+    */
+  private[catalog] def stagedOrdering(
+      meta: TableMeta): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (meta.partitionSpec.nonEmpty) Array.empty
+    else meta.sortOrder.map { s =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(s.column),
+        if (s.desc) org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+        else org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        if (s.nullsFirst) org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
+        else org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST)
+    }.toArray
 
   /** Runtime group-filter predicates (In / = on partition source columns)
     * → conservative manifest filters. Shapes we can't translate simply
@@ -222,9 +250,16 @@ private class GraftCowOperation(
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder { override def build(): Write = new Write {
+    new WriteBuilder { override def build(): Write = new Write
+        with RequiresDistributionAndOrdering {
       private val staging = ice.newStagingDir(ident)
       private val inner = RowLevelOps.stagedWrite(staging, info)
+      override def requiredDistribution():
+          org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      override def requiredOrdering():
+          Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        RowLevelOps.stagedOrdering(meta)
       override def description(): String = s"graft-cow-write($ident)"
       override def toBatch: BatchWrite = new BatchWrite {
         private val ib = inner.toBatch
@@ -270,8 +305,16 @@ private class GraftDeltaOperation(
     new ManifestPrunedScanBuilder(ctx.copy(options = options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new DeltaWriteBuilder { override def build(): DeltaWrite = new DeltaWrite {
+    new DeltaWriteBuilder { override def build(): DeltaWrite = new DeltaWrite
+        with RequiresDistributionAndOrdering {
       private val staging = ice.newStagingDir(ident)
+      private val deleteStaging = ice.newStagingDir(ident)
+      override def requiredDistribution():
+          org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      override def requiredOrdering():
+          Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        RowLevelOps.stagedOrdering(meta)
       // a pure DELETE writes only row-id deltas — its data schema is
       // EMPTY and parquet (rightly) refuses an empty write schema, so
       // the staged file write exists only when insert rows are possible
@@ -287,19 +330,21 @@ private class GraftDeltaOperation(
           ib.forall(_.useCommitCoordinator())
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DeltaWriterFactory =
           GraftDeltaWriterFactory(
-            ib.map(_.createBatchWriterFactory(p)).orNull, keySchema)
+            ib.map(_.createBatchWriterFactory(p)).orNull,
+            deleteStaging, keySchema,
+            RowLevelOps.deleteKeyWriteConf(ice.spark))
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val ms = messages.map(_.asInstanceOf[GraftDeltaMessage])
           ib.foreach(_.commit(ms.flatMap(m => Option(m.inner))))
-          val deleted = ms.iterator.flatMap(_.deletedKeys)
-            .map(t => Row(t: _*)).toSeq
-          ice.commitDeltaMerge(ident, staging, keySchema, deleted, basedOn): Unit
+          ice.commitDeltaMerge(ident, staging, deleteStaging,
+            keySchema.fieldNames.toSeq, basedOn): Unit
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
           ib.foreach(_.abort(messages.collect {
             case m: GraftDeltaMessage if m.inner != null => m.inner
           }))
           ice.dropStagingDir(staging)
+          ice.dropStagingDir(deleteStaging)
         }
       }
     } }
@@ -341,42 +386,104 @@ private case class TruncatingWriterFactory(
 }
 
 /** Per-task delta message: the inner parquet write's commit message (null
-  * when the task only deleted) plus the task's deleted key tuples in
-  * EXTERNAL form. Delete volume is O(matched rows of this batch) — the
-  * same bound as the equality-delete file itself.
+  * when the task only deleted). Deleted keys stay in executor-written
+  * parquet under the delete staging dir — never on the driver.
   */
-private case class GraftDeltaMessage(
-    inner: WriterCommitMessage, deletedKeys: Seq[Seq[Any]])
+private case class GraftDeltaMessage(inner: WriterCommitMessage)
     extends WriterCommitMessage
 
+/** A serializable capsule for a hadoop Configuration (hadoop-Writable,
+  * not java-serializable) so executor-side writers get the driver's
+  * session settings.
+  */
+private[catalog] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Writes each task's data-row deltas through Spark's staged parquet
+  * write, and its delete-key deltas DIRECTLY to one parquet file per
+  * task under `deleteDir` via Spark's own [[ParquetWriteSupport]] —
+  * committer-free on purpose: the OutputCommitCoordinator authorizes one
+  * file commit per (stage, split), so a second coordinated write inside
+  * the same task is structurally denied, and equality-delete keys don't
+  * need single-committer semantics anyway (a speculative duplicate file
+  * just repeats keys the mask/anti-join already drops). Torn files from
+  * dead tasks can't leak: writers target `*.parquet.tmp` and RENAME on
+  * task commit; the commit-time walk only adopts `*.parquet`.
+  */
 private case class GraftDeltaWriterFactory(
-    inner: DataWriterFactory, keySchema: StructType)
+    inner: DataWriterFactory, deleteDir: String, keySchema: StructType,
+    hconf: SerializableHadoopConf)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
-      // created lazily so delete-only tasks produce no empty parquet file
+      // created lazily so delete-only / insert-only tasks produce no
+      // empty parquet files on the other side
       private var dataWriter: DataWriter[InternalRow] = _
-      private val deleted = ArrayBuffer[Seq[Any]]()
-      private val keyTypes = keySchema.fields.map(_.dataType)
+      private var delWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+      // taskId is the task ATTEMPT id — unique across retries, so a
+      // re-attempt never collides with a dead attempt's leftover .tmp
+      private val delTmp = new org.apache.hadoop.fs.Path(
+        deleteDir, s"del-$partitionId-$taskId.parquet.tmp")
+      private val delFinal = new org.apache.hadoop.fs.Path(
+        deleteDir, s"del-$partitionId-$taskId.parquet")
 
       override def insert(row: InternalRow): Unit = {
         require(inner != null, "insert delta in a delete-only write")
         if (dataWriter == null) dataWriter = inner.createWriter(partitionId, taskId)
         dataWriter.write(row)
       }
-      override def delete(metadata: InternalRow, id: InternalRow): Unit =
-        deleted += keyTypes.indices.map(i =>
-          RowLevelOps.internalToExternal(id.get(i, keyTypes(i)), keyTypes(i))).toVector
+      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+        if (delWriter == null) {
+          val c = new org.apache.hadoop.conf.Configuration(hconf.value)
+          org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+            .setSchema(keySchema, c)
+          delWriter = new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
+            delTmp,
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport,
+            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
+            org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+            org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+            org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+            true, false,
+            org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_1_0,
+            c)
+        }
+        // the parquet writer consumes field values immediately, so the
+        // (possibly buffer-reusing) id row needs no defensive copy
+        delWriter.write(id)
+      }
       override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
         throw new IllegalStateException(
           "updates are represented as delete+insert") // representUpdateAsDeleteAndInsert
-      override def commit(): WriterCommitMessage =
-        GraftDeltaMessage(
-          if (dataWriter == null) null else dataWriter.commit(),
-          deleted.toSeq)
-      override def abort(): Unit =
+      override def commit(): WriterCommitMessage = {
+        if (delWriter != null) {
+          delWriter.close(); delWriter = null
+          val fs = delFinal.getFileSystem(hconf.value)
+          if (!fs.rename(delTmp, delFinal)) throw new java.io.IOException(
+            s"could not publish delete-key file $delFinal")
+        }
+        GraftDeltaMessage(if (dataWriter == null) null else dataWriter.commit())
+      }
+      override def abort(): Unit = {
         if (dataWriter != null) dataWriter.abort()
-      override def close(): Unit =
+        if (delWriter != null) {
+          delWriter.close(); delWriter = null
+          delTmp.getFileSystem(hconf.value).delete(delTmp, false): Unit
+        }
+      }
+      override def close(): Unit = {
         if (dataWriter != null) dataWriter.close()
+        if (delWriter != null) { delWriter.close(); delWriter = null }
+      }
     }
 }

@@ -117,6 +117,14 @@ object CatalogOps {
     * computation over raw orders.
     */
   def sqlMergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    def timed[A](label: String)(f: => A): A =
+      if (!sys.env.get("GRAFT_TIMING").contains("1")) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"GRAFT_TIMING t13.$label%-16s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
     val orders = Tables.orders(spark, dir)
     val root = Files.createTempDirectory("graft_t13").toString
     // unique catalog name per run: CatalogManager caches plugin instances
@@ -130,6 +138,16 @@ object CatalogOps {
       .withColumn("o_totalprice", col("o_totalprice") * 2)
       .unionByName(orders.filter(col("o_orderkey") % 4 === 3))
     src.createOrReplaceTempView("t13_src")
+    // Seed ONCE, clone per mode by registering the seed's immutable data
+    // files (addFiles = metadata-only, O(files) footer reads): the gate
+    // entry measures the two MERGE paths, not two table builds. CoW merge
+    // only DEREFERENCES shared files (rewrites land in the clone's dir);
+    // MOR merge only adds delete files — the seed's files are never
+    // mutated, so the clones stay independent.
+    cat.createTable("v.seed", orders.schema, sortOrder = Seq(SortField("o_orderkey")))
+    timed("seed.insert")(cat.insert("v.seed", orders.filter(col("o_orderkey") % 4 =!= 3)))
+    val seedFiles = cat.loadMeta("v.seed").current.get.files
+      .map(f => java.nio.file.Paths.get(new java.net.URI(f.path)).toString)
     val modes = Seq(
       "cow" -> Map.empty[String, String],
       "mor" -> Map("graft.write.mode" -> "merge-on-read",
@@ -138,20 +156,21 @@ object CatalogOps {
       val t = s"v.m_$mode"
       cat.createTable(t, orders.schema,
         sortOrder = Seq(SortField("o_orderkey")), properties = props)
-      cat.insert(t, orders.filter(col("o_orderkey") % 4 =!= 3))
-      spark.sql(
+      timed(s"$mode.clone")(cat.addFiles(t, seedFiles, forceOutsideLocation = true))
+      timed(s"$mode.merge")(spark.sql(
         s"""MERGE INTO $catName.$t t USING t13_src s
            |ON t.o_orderkey = s.o_orderkey
            |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
       // exact integer-cents total, immune to float summation order
-      val out = cat.scan(t)
+      val out = timed(s"$mode.scan")(cat.scan(t)
         .agg(count(lit(1)).as("n_rows"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
-        .collect()(0)
+        .collect()(0))
       cleanup(cat, t)
       (mode, out.getLong(0), out.getLong(1))
     }
+    cleanup(cat, "v.seed")
     import spark.implicits._
     results.toDF("mode", "n_rows", "total_cents").orderBy("mode")
   }

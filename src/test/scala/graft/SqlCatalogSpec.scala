@@ -710,4 +710,135 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Option(cat.loadMeta("rl.mor").current.get.deletes).forall(_.isEmpty))
     assert(spark.sql("SELECT count(*) FROM graft.rl.mor").head().getLong(0) == 5L)
   }
+
+  test("heavy delete debt: SQL reads fall back to the distributed anti-join") {
+    import graft.catalog.ManifestPrune
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql(
+      """CREATE TABLE graft.bd.t (id BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |               'graft.merge-keys'='id')""".stripMargin)
+    (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("bd_seed")
+    spark.sql("INSERT INTO graft.bd.t SELECT * FROM bd_seed")
+    // 60 matched keys → 60 pending equality-delete rows, written by the
+    // EXECUTORS (no keys ride commit messages) and counted in the manifest
+    (1L to 60L).map(i => (i, s"u$i")).toDF("id", "v")
+      .createOrReplaceTempView("bd_src")
+    spark.sql(
+      """MERGE INTO graft.bd.t t USING bd_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val snap = cat.loadMeta("bd.t").current.get
+    assert(Option(snap.deletes).getOrElse(Seq.empty).map(_.rowCount).sum == 60L,
+      "manifest must count the executor-written pending delete rows")
+
+    val budget = ManifestPrune.MaxDriverDeleteKeysConf
+    spark.conf.set(budget, "10") // 60 pending > 10 → over budget
+    try {
+      // plain SELECT: BoundedMorRead swaps the masked scan for the
+      // distributed anti-join — correct merged results, no driver key set
+      val df = spark.sql("SELECT id, v FROM graft.bd.t")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("LeftAnti"),
+        s"over-budget read must plan the distributed anti-join:\n$phys")
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.getClass.getSimpleName
+      }
+      assert(!scans.exists(_.contains("DeleteMask")),
+        s"over-budget read must not ship a driver delete mask: $scans")
+      val rows = df.as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.length == 200)
+      assert(rows.take(3).toSeq == Seq((1L, "u1"), (2L, "u2"), (3L, "u3")))
+      assert(rows.last == ((200L, "v200")))
+
+      // read shapes the rewrite can't serve (here: the _file metadata
+      // column) refuse loudly instead of collecting unbounded state
+      val e = intercept[Exception](
+        spark.sql("SELECT _file, id FROM graft.bd.t").collect())
+      assert(e.getMessage.contains("compact"),
+        s"budget guard should point at compaction, got: ${e.getMessage}")
+
+      // under budget again: the single-pass masked scan returns
+      spark.conf.set(budget, "1000")
+      val masked = spark.sql("SELECT id, v FROM graft.bd.t")
+      assert(!masked.queryExecution.executedPlan.toString.contains("LeftAnti"))
+      assert(masked.count() == 200L)
+    } finally spark.conf.unset(budget)
+  }
+
+  test("delete-bearing groups stay columnar: masked scan reads vectorized") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql(
+      """CREATE TABLE graft.cm.t (id BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |               'graft.merge-keys'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.cm.t VALUES (1,'a'), (2,'b'), (3,'c')")
+    // delete id=2 via MOR merge → pending equality delete over epoch-1 files
+    Seq((2L, "x")).toDF("id", "v").createOrReplaceTempView("cm_src")
+    spark.sql(
+      """MERGE INTO graft.cm.t t USING cm_src s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    // a LATER insert: its files postdate the delete → a CLEAN group
+    spark.sql("INSERT INTO graft.cm.t VALUES (4,'d')")
+    val snap = cat.loadMeta("cm.t").current.get
+    assert(Option(snap.deletes).exists(_.nonEmpty), "debt must be pending")
+
+    val df = spark.sql("SELECT id, v FROM graft.cm.t")
+    // the masked group filters COLUMNAR batches, so the whole union scan
+    // (masked + clean groups) reports vectorized reads — one
+    // delete-bearing file no longer drops its clean siblings to row-based
+    val colSupport = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.supportsColumnar
+    }
+    assert(colSupport.contains(true),
+      s"masked+clean union must read vectorized, got $colSupport")
+    assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (3L, "c"), (4L, "d")))
+  }
+
+  test("row-level writes on a sorted unpartitioned table keep files sorted") {
+    // The staged write declares the table sort order as its required
+    // ordering (RowLevelOps.stagedOrdering) and commit ADOPTS the staged
+    // files without a second arranging pass — so every post-merge data
+    // file must be internally sorted. This pins Spark's application of
+    // RequiresDistributionAndOrdering to BOTH row-level plans (ReplaceData
+    // and WriteDelta); if either stops sorting, this fails loudly.
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    val modes = Seq(
+      "srt_cow" -> Map.empty[String, String],
+      "srt_mor" -> Map("graft.write.mode" -> "merge-on-read",
+        "graft.merge-keys" -> "id"))
+    for ((name, props) <- modes) {
+      val t = s"rl.$name"
+      cat.createNamespace("rl")
+      cat.createTable(t, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))),
+        sortOrder = Seq(SortField("id")), properties = props)
+      cat.insert(t, (1L to 400L).map(i => (i, s"v$i")).toDF("id", "v"))
+      // source hits every other row (update) plus new high keys (insert) —
+      // the rewrite/append output spans a wide, shuffled key range
+      (2L to 500L by 2).map(i => (i, s"u$i")).toDF("id", "v")
+        .orderBy(hash(col("id"))).createOrReplaceTempView(s"${name}_src")
+      spark.sql(
+        s"""MERGE INTO graft.$t t USING ${name}_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val snap = cat.loadMeta(t).current.get
+      for (f <- snap.files) {
+        val ids = spark.read.parquet(new java.net.URI(f.path).getPath)
+          .select("id").as[Long].collect()
+        assert(ids.sameElements(ids.sorted),
+          s"$name: data file ${f.path} is not sorted by the table sort order")
+      }
+      // and the merged result is right
+      assert(spark.sql(s"SELECT sum(id) FROM graft.$t").head().getLong(0) ==
+        (1L to 400L).sum + (402L to 500L by 2).sum)
+    }
+  }
 }
