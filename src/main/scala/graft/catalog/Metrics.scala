@@ -1,7 +1,7 @@
 package graft.catalog
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.LongAdder
+import java.util.concurrent.atomic.{DoubleAdder, LongAdder}
 
 import scala.jdk.CollectionConverters._
 
@@ -20,9 +20,32 @@ import scala.jdk.CollectionConverters._
 object Metrics {
 
   private val counters = new ConcurrentHashMap[String, LongAdder]()
+  private val doubles = new ConcurrentHashMap[String, DoubleAdder]()
 
   def inc(name: String, delta: Long = 1): Unit =
     counters.computeIfAbsent(name, _ => new LongAdder()).add(delta)
+
+  /** Labeled counter series: one LongAdder per full
+    * `family{label="v",...}` series string — the ingested Iceberg
+    * engine-report metrics are per-(catalog, namespace, table[, op]).
+    */
+  def incLabeled(
+      family: String, labels: Seq[(String, String)], delta: Long = 1): Unit =
+    inc(series(family, labels), delta)
+
+  /** Labeled double-valued monotonic series (duration sums in seconds —
+    * the `_sum` half of the Prometheus histogram convention).
+    */
+  def addSeconds(
+      family: String, labels: Seq[(String, String)], seconds: Double): Unit =
+    doubles.computeIfAbsent(series(family, labels), _ => new DoubleAdder())
+      .add(seconds)
+
+  def series(family: String, labels: Seq[(String, String)]): String =
+    if (labels.isEmpty) family
+    else labels.map { case (k, v) =>
+      s"""$k="${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    }.mkString(s"$family{", ",", "}")
 
   def value(name: String): Long =
     Option(counters.get(name)).map(_.sum()).getOrElse(0L)
@@ -30,23 +53,130 @@ object Metrics {
   def snapshot(): Map[String, Long] =
     counters.asScala.map { case (k, v) => k -> v.sum() }.toMap
 
-  private[graft] def reset(): Unit = counters.clear() // test isolation
+  private[graft] def reset(): Unit = { counters.clear(); doubles.clear() }
+
+  private def familyOf(key: String): String = key.takeWhile(_ != '{')
 
   /** Prometheus text format: registered counters, caller-supplied
     * scrape-time counters (monotonic values owned elsewhere, like the
     * catalog's parse counts), and scrape-time gauges (table/namespace
-    * counts).
+    * counts). Labeled series of one family share one `# TYPE` header.
     */
   def prometheus(
       gauges: Map[String, Long] = Map.empty,
       extraCounters: Map[String, Long] = Map.empty): String = {
     val sb = new StringBuilder
-    (snapshot() ++ extraCounters).toSeq.sortBy(_._1).foreach { case (name, v) =>
-      sb.append(s"# TYPE $name counter\n$name $v\n")
+    val longs = (snapshot() ++ extraCounters).view.mapValues(v => v: Any)
+    val all = (longs ++ doubles.asScala.view.mapValues(_.sum(): Any))
+      .toSeq.sortBy(_._1)
+    var lastFamily = ""
+    all.foreach { case (key, v) =>
+      val fam = familyOf(key)
+      if (fam != lastFamily) { sb.append(s"# TYPE $fam counter\n"); lastFamily = fam }
+      sb.append(s"$key $v\n")
     }
     gauges.toSeq.sortBy(_._1).foreach { case (name, v) =>
       sb.append(s"# TYPE $name gauge\n$name $v\n")
     }
     sb.toString
+  }
+}
+
+/** Iceberg engine metrics-report ingestion (`POST .../tables/{t}/metrics`):
+  * parses the REST spec's ReportMetricsRequest — a ScanReport or
+  * CommitReport, counters as `{"unit","value"}`, timers as
+  * `{"count","time-unit","total-duration"}` — into labeled Prometheus
+  * series under the reference's metric names
+  * (PrometheusMetricsReporter.java:348-519, IcebergMetricNames.java):
+  * scan series labeled (catalog, namespace, table), commit series
+  * additionally by operation, durations as `_seconds_sum`/`_seconds_count`
+  * pairs (the histogram aggregate the text format can carry without a
+  * client library). Unknown report types count into
+  * `iceberg_metrics_report_errors_total{type=...}` like the reference's
+  * error path.
+  */
+object IcebergMetricsIngest {
+  import com.fasterxml.jackson.databind.JsonNode
+
+  private val scanCounterNames = Seq(
+    "result-data-files" -> "iceberg_scan_result_data_files_total",
+    "result-delete-files" -> "iceberg_scan_result_delete_files_total",
+    "indexed-delete-files" -> "iceberg_scan_indexed_delete_files_total",
+    "positional-delete-files" -> "iceberg_scan_positional_delete_files_total",
+    "equality-delete-files" -> "iceberg_scan_equality_delete_files_total",
+    "total-data-manifests" -> "iceberg_scan_total_data_manifests",
+    "total-delete-manifests" -> "iceberg_scan_total_delete_manifests",
+    "scanned-data-manifests" -> "iceberg_scan_scanned_data_manifests",
+    "skipped-data-manifests" -> "iceberg_scan_skipped_data_manifests",
+    "total-file-size-in-bytes" -> "iceberg_scan_total_file_size_bytes",
+    "total-delete-file-size-in-bytes" -> "iceberg_scan_total_delete_file_size_bytes")
+
+  private val commitCounterNames = Seq(
+    "added-data-files" -> "iceberg_commit_added_data_files_total",
+    "removed-data-files" -> "iceberg_commit_removed_data_files_total",
+    "added-delete-files" -> "iceberg_commit_added_delete_files_total",
+    "removed-delete-files" -> "iceberg_commit_removed_delete_files_total",
+    "added-records" -> "iceberg_commit_added_records_total",
+    "removed-records" -> "iceberg_commit_removed_records_total",
+    "added-equality-deletes" -> "iceberg_commit_added_equality_deletes_total",
+    "total-files-size-in-bytes" -> "iceberg_commit_total_files_size_bytes")
+
+  /** Timer JSON → seconds; Iceberg serializes total-duration with an
+    * explicit time-unit (nanoseconds from the SDK, but any java TimeUnit
+    * name is legal on the wire).
+    */
+  private def timerSeconds(t: JsonNode): Option[Double] = {
+    if (!t.isObject || !t.has("total-duration")) return None
+    val unit = t.path("time-unit").asText("nanoseconds").toUpperCase
+    val dur = t.path("total-duration").asLong(0L)
+    val nanos = java.util.concurrent.TimeUnit.valueOf(unit).toNanos(dur)
+    Some(nanos / 1e9)
+  }
+
+  private def counterValue(c: JsonNode): Option[Long] =
+    if (c.isObject && c.has("value")) Some(c.path("value").asLong(0L))
+    else None
+
+  def ingest(ident: String, report: JsonNode): Unit = {
+    val (namespace, table) = ident.lastIndexOf('.') match {
+      case -1 => ("default", ident)
+      case i => (ident.take(i), ident.drop(i + 1))
+    }
+    val scanLabels = Seq(
+      "catalog" -> "default", "namespace" -> namespace, "table" -> table)
+    val metrics = report.path("metrics")
+    report.path("report-type").asText("") match {
+      case "scan-report" =>
+        Metrics.incLabeled("iceberg_scans_total", scanLabels)
+        scanCounterNames.foreach { case (key, fam) =>
+          counterValue(metrics.path(key)).foreach(v =>
+            Metrics.incLabeled(fam, scanLabels, v))
+        }
+        // result-data-files also feeds the per-scan distribution
+        counterValue(metrics.path("result-data-files")).foreach { v =>
+          Metrics.addSeconds("iceberg_scan_data_files_per_scan_sum", scanLabels, v.toDouble)
+          Metrics.incLabeled("iceberg_scan_data_files_per_scan_count", scanLabels)
+        }
+        timerSeconds(metrics.path("total-planning-duration")).foreach { s =>
+          Metrics.addSeconds("iceberg_scan_planning_duration_seconds_sum", scanLabels, s)
+          Metrics.incLabeled("iceberg_scan_planning_duration_seconds_count", scanLabels)
+        }
+      case "commit-report" =>
+        val op = report.path("operation").asText("unknown")
+        val commitLabels = scanLabels :+ ("operation" -> op)
+        Metrics.incLabeled("iceberg_commits_total", commitLabels)
+        commitCounterNames.foreach { case (key, fam) =>
+          counterValue(metrics.path(key)).foreach(v =>
+            Metrics.incLabeled(fam, commitLabels, v))
+        }
+        timerSeconds(metrics.path("total-duration")).foreach { s =>
+          Metrics.addSeconds("iceberg_commit_duration_seconds_sum", commitLabels, s)
+          Metrics.incLabeled("iceberg_commit_duration_seconds_count", commitLabels)
+        }
+        Metrics.incLabeled("iceberg_table_snapshots_total", scanLabels)
+      case other =>
+        Metrics.incLabeled("iceberg_metrics_report_errors_total",
+          Seq("type" -> (if (other.isEmpty) "missing" else other)))
+    }
   }
 }

@@ -35,7 +35,8 @@ import graft.catalog.IceCatalog._
   *                                             properties | add-schema +
   *                                             set-current-schema | rollback)
   *   POST   /v1/namespaces/{ns}/tables/{t}/maintenance  run the table's policy
-  *   POST   /v1/namespaces/{ns}/tables/{t}/metrics   accepted, discarded
+  *   POST   /v1/namespaces/{ns}/tables/{t}/metrics   ScanReport/CommitReport
+  *                                             → labeled iceberg_* series
   *   POST   /v1/tables/rename                  {"source","destination"}
   *   POST   /v1/transactions/commit            multi-table group commit
   *   GET    /v1/catalog/export                 whole-catalog metadata blob
@@ -71,13 +72,29 @@ object RestServer {
       value: String, name: String = "", readOnly: Boolean = false,
       clientId: String = "", clientSecret: String = "")
 
-  private case class Session(name: String, readOnly: Boolean)
+  /** `scope=Some(ident)` marks a VENDED table credential: the session may
+    * only read that one table (the reference's per-table credential model
+    * — Session.java:14 carries the per-session assume-role ARN the
+    * middleware vends creds from; with no AWS in range, the scoped secret
+    * here guards the table's own REST surface instead).
+    */
+  private case class Session(
+      name: String, readOnly: Boolean, scope: Option[String] = None)
+
+  private case class Vended(value: String, expiresAtMs: Long)
 
   class Server(
       cat: IceCatalog,
       port: Int = 0,
       tokens: Seq[Token] = Seq.empty,
-      allowAnonymous: Boolean = false) {
+      allowAnonymous: Boolean = false,
+      /** Mint per-table scoped tokens into every LoadTableResponse
+        * `config` (RESTCatalogMiddlewareTableCredentials.java:41-68: the
+        * reference stamps vended AWS credentials + expiry into the same
+        * map; the graft re-expression vends a catalog-scoped secret).
+        */
+      vendTableCredentials: Boolean = false,
+      vendedTokenTtlMs: Long = 3600 * 1000L) {
 
     private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
     private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -102,6 +119,22 @@ object RestServer {
 
     // ---- auth ------------------------------------------------------------
 
+    /** Live vended table tokens, one per table (re-vended until expiry so
+      * repeated load-table calls don't grow the set).
+      */
+    private val vendedTokens =
+      new java.util.concurrent.ConcurrentHashMap[String, Vended]()
+
+    /** Mint-or-reuse the table's scoped token; called from every
+      * LoadTableResponse when vending is on.
+      */
+    private def vendFor(ident: String): Vended =
+      vendedTokens.compute(ident, (_, cur) =>
+        if (cur != null && cur.expiresAtMs > System.currentTimeMillis())
+          cur
+        else Vended(java.util.UUID.randomUUID().toString,
+          System.currentTimeMillis() + vendedTokenTtlMs))
+
     /** Constant-time token match (RESTCatalogAuthorizationHandler.java:49-57). */
     private def authenticate(ex: HttpExchange): Option[Session] = {
       val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
@@ -111,9 +144,31 @@ object RestServer {
           java.security.MessageDigest.isEqual(provided,
             t.value.getBytes(StandardCharsets.UTF_8)))
           .map(t => Session(t.name, t.readOnly))
+          .orElse(vendedTokens.entrySet().asScala.find(e =>
+            java.security.MessageDigest.isEqual(provided,
+              e.getValue.value.getBytes(StandardCharsets.UTF_8)) &&
+              e.getValue.expiresAtMs > System.currentTimeMillis())
+            .map(e => Session(s"vended:${e.getKey}", readOnly = true,
+              scope = Some(e.getKey))))
       } else if (allowAnonymous) Some(Session("anonymous", readOnly = false))
       else None
     }
+
+    /** A table-scoped session may only touch ITS table's routes: the
+      * load/exists calls plus the metrics POST (engines report scan
+      * metrics with the same credential they read with). Everything else
+      * — sibling tables, namespaces, catalog admin — is 403.
+      */
+    private def scopePermits(
+        scope: String, method: String, path: List[String]): Boolean =
+      path match {
+        case List("v1", "namespaces", ns, "tables", t) =>
+          s"$ns.$t" == scope && (method == "GET" || method == "HEAD")
+        case List("v1", "namespaces", ns, "tables", t, "metrics") =>
+          s"$ns.$t" == scope && method == "POST"
+        case List("v1", "config") => method == "GET"
+        case _ => false
+      }
 
     // ---- dispatch --------------------------------------------------------
 
@@ -142,19 +197,25 @@ object RestServer {
           handleOAuth(ex)
           return
         }
+        // multi-level namespaces travel in one path segment joined by
+        // the spec's %1F unit separator (RESTUtil.encodeNamespace;
+        // RESTCatalogAdapter.java:98 parses the same) — URI.getPath
+        // already percent-decoded it, so map the separator to the
+        // catalog's dotted form here, once, for every route
+        val path = ex.getRequestURI.getPath.split('/')
+          .filter(_.nonEmpty).map(_.replace('\u001f', '.')).toList
         authenticate(ex) match {
           case None =>
             sendError(ex, 401, "NotAuthorizedException", "Unauthorized")
+          case Some(s) if s.scope.isDefined =>
+            // vended table credential: its table only, nothing else
+            if (scopePermits(s.scope.get, method, path)) route(ex, method, path)
+            else sendError(ex, 403, "NotAuthorizedException",
+              s"token is scoped to table ${s.scope.get}")
           case Some(s) if s.readOnly && method != "GET" && method != "HEAD" =>
             sendError(ex, 403, "NotAuthorizedException", s"$method not allowed")
           case Some(_) =>
-            // multi-level namespaces travel in one path segment joined by
-            // the spec's %1F unit separator (RESTUtil.encodeNamespace;
-            // RESTCatalogAdapter.java:98 parses the same) — URI.getPath
-            // already percent-decoded it, so map the separator to the
-            // catalog's dotted form here, once, for every route
-            route(ex, method, ex.getRequestURI.getPath.split('/')
-              .filter(_.nonEmpty).map(_.replace('\u001f', '.')).toList)
+            route(ex, method, path)
         }
       } catch {
         case e: NoSuchElementException =>
@@ -343,8 +404,13 @@ object RestServer {
           sendJson(ex, 200, tableResponse(s"$ns.$t"))
 
         case ("POST", List("v1", "namespaces", ns, "tables", t, "metrics")) =>
+          // engine ScanReport/CommitReport ingestion: series appear on
+          // GET /metrics under the reference's iceberg_* names (the
+          // reference's PrometheusMetricsReporter path; its REST layer
+          // historically discarded these)
           requireTable(s"$ns.$t")
-          send(ex, 204, Array.empty) // accepted and discarded, like the reference
+          IcebergMetricsIngest.ingest(s"$ns.$t", body(ex))
+          send(ex, 204, Array.empty)
         case ("POST", List("v1", "namespaces", ns, "tables", t, "maintenance")) =>
           // on-demand maintenance: apply the table's own maintenance.*
           // policy now (the scheduled Runner's per-table pass, triggered
@@ -625,7 +691,17 @@ object RestServer {
         "metadata" -> IcebergJson.tableMetadata(
           m, cat.tableUuid(ident), cat.tableLocation(ident), m.snapshot,
           cat.metadataLog(ident)),
-        "config" -> Map.empty)
+        "config" -> (
+          // the reference stamps vended per-table credentials + expiry
+          // into LoadTableResponse config
+          // (RESTCatalogMiddlewareTableCredentials.java:48-68); graft
+          // vends its catalog-scoped analogue
+          if (!vendTableCredentials) Map.empty
+          else {
+            val v = vendFor(ident)
+            Map("graft.vended-token" -> v.value,
+              "graft.vended-token-expires-at-ms" -> v.expiresAtMs.toString)
+          }))
     }
 
     // ---- plumbing --------------------------------------------------------

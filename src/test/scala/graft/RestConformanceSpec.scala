@@ -575,4 +575,42 @@ class RestConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eps.contains("POST /v1/oauth/tokens"))
     assert(eps.exists(_.contains("/v1/namespaces/{namespace}/tables/{table}")))
   }
+
+  test("vended table credentials ride in LoadTableResponse config (wire shape)") {
+    // the reference's table-credential middleware stamps vended secrets +
+    // expiry into LoadTableResponse `config`
+    // (RESTCatalogMiddlewareTableCredentials.java:48-68, the same map the
+    // SDK hands to FileIO properties); golden-check graft's analogue keys
+    val root2 = Files.createTempDirectory("confvend").toString
+    val cat2 = new IceCatalog(spark, root2)
+    val server2 = new RestServer.Server(cat2,
+      tokens = Seq(Token("conf-bearer", "svc")),
+      vendTableCredentials = true).start()
+    try {
+      def req2(method: String, path: String, body: String = null) = {
+        val b = java.net.http.HttpRequest.newBuilder(
+          URI.create(s"${server2.url}$path"))
+          .header("Authorization", "Bearer conf-bearer")
+          .header("Content-Type", "application/json")
+        client.send(
+          (if (method == "GET") b.GET()
+           else b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+             Option(body).getOrElse("{}")))).build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      req2("POST", "/v1/namespaces", """{"namespace":["vc"]}""")
+      req2("POST", "/v1/namespaces/vc/tables",
+        """{"name":"t","schema":{"type":"struct","fields":[
+          |  {"id":1,"name":"id","required":false,"type":"long"}]}}""".stripMargin)
+      val load = json(req2("GET", "/v1/namespaces/vc/tables/t"))
+      // LoadTableResponse: metadata-location, metadata, config — with the
+      // vended credential pair present and expiry in epoch millis
+      assert(load.path("metadata-location").asText().nonEmpty)
+      assert(load.path("metadata").path("table-uuid").asText().nonEmpty)
+      val cfg = load.path("config")
+      assert(cfg.isObject)
+      assert(cfg.path("graft.vended-token").asText().nonEmpty)
+      assert(cfg.path("graft.vended-token-expires-at-ms").asText().forall(_.isDigit))
+    } finally server2.stop()
+  }
 }

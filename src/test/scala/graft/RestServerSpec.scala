@@ -255,9 +255,93 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(req("HEAD", "/v1/namespaces/web/tables/old").statusCode() == 404)
     assert(req("DELETE", "/v1/namespaces/web/tables/new").statusCode() == 204)
     assert(req("HEAD", "/v1/namespaces/web/tables/new").statusCode() == 404)
-    // metrics endpoint accepts and discards
-    assert(req("POST", "/v1/namespaces/web/tables/hits/metrics",
-      """{"report-type":"scan"}""").statusCode() == 204)
     assert(req("GET", "/v1/no/such/route").statusCode() == 404)
+  }
+
+  test("engine metrics reports land as labeled iceberg_* series on /metrics") {
+    // a spec ScanReport: counters as {unit,value}, timer with time-unit
+    assert(req("POST", "/v1/namespaces/web/tables/hits/metrics",
+      """{"report-type":"scan-report","table-name":"web.hits","snapshot-id":1,
+        | "metrics":{
+        |   "result-data-files":{"unit":"count","value":7},
+        |   "result-delete-files":{"unit":"count","value":2},
+        |   "total-file-size-in-bytes":{"unit":"bytes","value":12345},
+        |   "total-planning-duration":{"count":1,"time-unit":"nanoseconds","total-duration":250000000}
+        | }}""".stripMargin).statusCode() == 204)
+    // and a CommitReport, labeled by operation too
+    assert(req("POST", "/v1/namespaces/web/tables/hits/metrics",
+      """{"report-type":"commit-report","table-name":"web.hits","snapshot-id":2,
+        | "operation":"append",
+        | "metrics":{
+        |   "added-data-files":{"unit":"count","value":3},
+        |   "added-records":{"unit":"count","value":100},
+        |   "total-duration":{"count":1,"time-unit":"milliseconds","total-duration":80}
+        | }}""".stripMargin).statusCode() == 204)
+    val body = req("GET", "/metrics", token = "ro-secret").body
+    val labels = """{catalog="default",namespace="web",table="hits"}"""
+    assert(body.contains(s"""iceberg_scans_total$labels 1"""), body)
+    assert(body.contains(s"""iceberg_scan_result_data_files_total$labels 7"""))
+    assert(body.contains(s"""iceberg_scan_result_delete_files_total$labels 2"""))
+    assert(body.contains(s"""iceberg_scan_total_file_size_bytes$labels 12345"""))
+    assert(body.contains(s"""iceberg_scan_planning_duration_seconds_sum$labels 0.25"""))
+    val opLabels = """{catalog="default",namespace="web",table="hits",operation="append"}"""
+    assert(body.contains(s"""iceberg_commits_total$opLabels 1"""))
+    assert(body.contains(s"""iceberg_commit_added_data_files_total$opLabels 3"""))
+    assert(body.contains(s"""iceberg_commit_added_records_total$opLabels 100"""))
+    assert(body.contains(s"""iceberg_commit_duration_seconds_sum$opLabels 0.08"""))
+    assert(body.contains(s"""iceberg_table_snapshots_total$labels 1"""))
+    // a malformed report type counts as an error, not a 500
+    assert(req("POST", "/v1/namespaces/web/tables/hits/metrics",
+      """{"report-type":"bogus"}""").statusCode() == 204)
+    assert(req("GET", "/metrics", token = "ro-secret").body
+      .contains("""iceberg_metrics_report_errors_total{type="bogus"} 1"""))
+  }
+
+  test("vended per-table credentials: scoped token reads its table, 403s siblings") {
+    val root3 = Files.createTempDirectory("vendcat").toString
+    val cat3 = new graft.catalog.IceCatalog(spark, root3)
+    val server3 = new RestServer.Server(cat3,
+      tokens = Seq(Token("admin-secret", "admin")),
+      vendTableCredentials = true).start()
+    def r3(method: String, path: String, body: String = null,
+        token: String = "admin-secret"): HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(s"${server3.url}$path"))
+      if (token != null) b.header("Authorization", s"Bearer $token")
+      val wb = method match {
+        case "GET" => b.GET()
+        case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(
+          Option(body).getOrElse("{}")))
+        case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      }
+      client.send(wb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      r3("POST", "/v1/namespaces", """{"namespace":["v"]}""")
+      r3("POST", "/v1/namespaces/v/tables", """{"name":"a","schema":"id BIGINT"}""")
+      r3("POST", "/v1/namespaces/v/tables", """{"name":"b","schema":"id BIGINT"}""")
+      // load-table vends the per-table credential in config
+      val load = r3("GET", "/v1/namespaces/v/tables/a")
+      assert(load.statusCode() == 200)
+      val cfg = json(load).path("config")
+      val vended = cfg.path("graft.vended-token").asText("")
+      assert(vended.nonEmpty, "LoadTableResponse config must carry the vended token")
+      assert(cfg.path("graft.vended-token-expires-at-ms").asLong(0L) >
+        System.currentTimeMillis())
+      // a second load re-vends the SAME live token (no unbounded minting)
+      assert(json(r3("GET", "/v1/namespaces/v/tables/a"))
+        .path("config").path("graft.vended-token").asText() == vended)
+      // the vended token reads ITS table and posts its metrics...
+      assert(r3("GET", "/v1/namespaces/v/tables/a", token = vended).statusCode() == 200)
+      assert(r3("HEAD", "/v1/namespaces/v/tables/a", token = vended).statusCode() == 204)
+      assert(r3("POST", "/v1/namespaces/v/tables/a/metrics",
+        """{"report-type":"scan-report","metrics":{}}""", token = vended).statusCode() == 204)
+      // ...and NOTHING else: sibling table, namespace listing, writes
+      assert(r3("GET", "/v1/namespaces/v/tables/b", token = vended).statusCode() == 403)
+      assert(r3("GET", "/v1/namespaces", token = vended).statusCode() == 403)
+      assert(r3("POST", "/v1/namespaces/v/tables/a",
+        """{"updates":[]}""", token = vended).statusCode() == 403)
+      assert(json(r3("GET", "/v1/namespaces/v/tables/b", token = vended))
+        .path("error").path("type").asText() == "NotAuthorizedException")
+    } finally server3.stop()
   }
 }
