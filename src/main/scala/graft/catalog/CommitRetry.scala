@@ -14,17 +14,29 @@ package graft.catalog
   * append and skips files already registered. Returning Some(t) stops
   * the loop successfully without another attempt.
   */
+/** The commit protocol's RETRYABLE conflict: an optimistic publish
+  * collision or a lock-acquisition timeout. A dedicated type — extending
+  * IllegalStateException so generic handlers (the REST 409 mapping, older
+  * callers) keep working — because ISE alone also covers genuinely
+  * terminal errors (duplicate-source refusals, exhausted retry budgets);
+  * a retry loop that matched every ISE would re-run those, and a nested
+  * loop would even retry its own "budget exhausted" failure.
+  */
+class CommitConflictException(message: String, cause: Throwable = null)
+    extends IllegalStateException(message, cause)
+
 object CommitRetry {
 
   /** The conflict shapes the commit protocol emits — exactly what a REST
     * client sees as 409 CommitFailedException: a failed `basedOn` CAS /
-    * requirement ([[java.util.ConcurrentModificationException]]) or an
-    * optimistic publish collision / lock timeout (IllegalStateException).
-    * Anything else is a real error and is never retried.
+    * requirement ([[java.util.ConcurrentModificationException]]) or the
+    * protocol's own [[CommitConflictException]] (publish collision, lock
+    * timeout). Other errors — including every other IllegalStateException
+    * — are real failures and are never retried.
     */
   def isConflict(e: Throwable): Boolean = e match {
     case _: java.util.ConcurrentModificationException => true
-    case _: IllegalStateException => true
+    case _: CommitConflictException => true
     case _ => false
   }
 

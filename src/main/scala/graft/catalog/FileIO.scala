@@ -130,3 +130,65 @@ object LocalFileIO extends FileIO {
     try reader.getFooter finally reader.close()
   }
 }
+
+/** Location-routing [[FileIO]] — the reference's scheme dispatch
+  * (`SchemeFileIO.java:142-155` routes `s3://`/`file://`/`gs://` per
+  * location so ONE catalog spans storage systems): nio paths carry no
+  * scheme, so routing is by MOUNT PREFIX — the longest mounted prefix
+  * containing the path wins, everything else falls to `default`. With
+  * the object-store backends mounted ([[S3FileIO]], [[KvFileIO]]) a
+  * single catalog instance can keep one table's metadata on the KV
+  * plane, another's on S3, and read external data-file footers through
+  * the local/Hadoop plane — per-location, not per-catalog.
+  *
+  * Two-path operations ([[move]], [[publishLink]]) must resolve to ONE
+  * backend: cross-backend renames are not atomic anywhere (the
+  * reference's resolver has the same restriction) and throw rather than
+  * tear.
+  */
+final class SchemeFileIO(
+    mounts: Seq[(String, FileIO)],
+    default: FileIO = LocalFileIO) extends FileIO {
+
+  private val table: Seq[(java.nio.file.Path, FileIO)] = mounts.map {
+    case (prefix, io) =>
+      java.nio.file.Paths.get(prefix).toAbsolutePath.normalize -> io
+  }.sortBy(-_._1.getNameCount) // longest prefix wins
+
+  /** The backend serving `p` (exposed for tests/diagnostics). */
+  def route(p: Path): FileIO = {
+    val n = p.toAbsolutePath.normalize
+    table.collectFirst { case (m, io) if n.startsWith(m) => io }
+      .getOrElse(default)
+  }
+
+  private def samePair(a: Path, b: Path): FileIO = {
+    val (ia, ib) = (route(a), route(b))
+    if (ia ne ib) throw new UnsupportedOperationException(
+      s"cross-backend path pair ($a, $b): moves/publications must stay " +
+        "within one storage backend")
+    ia
+  }
+
+  def exists(p: Path): Boolean = route(p).exists(p)
+  def isDirectory(p: Path): Boolean = route(p).isDirectory(p)
+  def isRegularFile(p: Path): Boolean = route(p).isRegularFile(p)
+  def createDirectories(p: Path): Unit = route(p).createDirectories(p)
+  def list(p: Path): Seq[Path] = route(p).list(p)
+  def walk(p: Path): Seq[Path] = route(p).walk(p)
+  def readString(p: Path): String = route(p).readString(p)
+  def writeString(p: Path, s: String): Unit = route(p).writeString(p, s)
+  def writeStringIfAbsent(p: Path, s: String): Unit =
+    route(p).writeStringIfAbsent(p, s)
+  def publishLink(target: Path, src: Path): Unit =
+    samePair(target, src).publishLink(target, src)
+  def move(from: Path, to: Path): Unit = samePair(from, to).move(from, to)
+  def delete(p: Path): Unit = route(p).delete(p)
+  def deleteIfExists(p: Path): Boolean = route(p).deleteIfExists(p)
+  def size(p: Path): Long = route(p).size(p)
+  def lastModifiedMillis(p: Path): Long = route(p).lastModifiedMillis(p)
+  def parquetFooter(
+      p: Path,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.parquet.hadoop.metadata.ParquetMetadata =
+    route(p).parquetFooter(p, conf)
+}

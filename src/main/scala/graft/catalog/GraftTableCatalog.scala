@@ -92,7 +92,11 @@ private class GraftSnapshotTable(
   override def name(): String = delegate.name
   /** Declared merge keys report non-nullable: they are the row-identity
     * contract merge-on-read relies on, and Spark's delta-based rewrite
-    * (rightly) refuses nullable row-id attributes.
+    * (rightly) refuses nullable row-id attributes. The report is safe to
+    * trust because the catalog ENFORCES it — commits adding data files
+    * to a merge-keys table, and commits declaring merge-keys, prove the
+    * key columns null-free from footer stats and refuse otherwise
+    * (IceCatalog.validateMergeKeyNulls).
     */
   override def schema(): StructType = {
     val keys = tableProps.get(RowLevelOps.MergeKeysProp)

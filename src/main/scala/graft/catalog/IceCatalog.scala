@@ -805,7 +805,7 @@ class IceCatalog(
       io.delete(tmp)
     } catch { case e: java.nio.file.FileAlreadyExistsException =>
       io.delete(tmp)
-      throw new IllegalStateException(s"commit conflict on v$version", e)
+      throw new CommitConflictException(s"commit conflict on v$version", e)
     }
     io.writeString(dir.resolve("metadata").resolve("version-hint.txt"), version.toString)
   }
@@ -842,7 +842,7 @@ class IceCatalog(
             }
           if (stale) stealStaleLock(lock)
           else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(s"commit lock timeout on $lock")
+            throw new CommitConflictException(s"commit lock timeout on $lock")
           else Thread.sleep(5)
       }
     }
@@ -934,6 +934,13 @@ class IceCatalog(
               "during commit; re-read and re-plan the operation")
       }
       val updated = f(meta)
+      // (re)declaring merge keys validates the WHOLE current file set;
+      // ordinary data commits validate only their added files (see
+      // appendSnapshot) — both from manifest stats, zero scan
+      val newKeys = mergeKeysOf(updated)
+      if (newKeys.nonEmpty && newKeys != mergeKeysOf(meta))
+        validateMergeKeyNulls(ident, newKeys,
+          updated.current.map(_.files).getOrElse(Seq.empty))
       try {
         writeVersion(dir, v + 1, updated)
         Metrics.inc("graft_catalog_commits_total")
@@ -942,7 +949,7 @@ class IceCatalog(
         // the (table, version) cache for every subsequent reader
         return loadMeta(ident)
       } catch {
-        case e: IllegalStateException if attempt < retries =>
+        case e: CommitConflictException if attempt < retries =>
           Metrics.inc("graft_catalog_commit_retries_total")
           attempt += 1
           // linear backoff de-synchronizes racing committers; the commit
@@ -1031,6 +1038,34 @@ class IceCatalog(
       mkDelta: TableMeta => SnapDelta): TableMeta =
     commit(ident, m => appendSnapshot(m, mkDelta(m)), basedOn)
 
+  private def mergeKeysOf(m: TableMeta): Seq[String] =
+    m.properties.get(RowLevelOps.MergeKeysProp)
+      .map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)
+
+  /** The merge-keys contract, enforced: declared row-identity columns are
+    * reported NON-NULLABLE to Spark (GraftTableCatalog.schema — the
+    * optimizer and the delta rewrite's rowId both trust it), so the
+    * "no NULLs in key columns" invariant must actually hold on disk. A
+    * commit that adds data files to a merge-keys table proves it from
+    * the new files' footer stats; a commit that (re)declares merge-keys
+    * proves it over every current file — O(files) over in-memory
+    * manifest stats, never a scan. A file whose footer carries no stats
+    * for a key column is refused outright: null-freedom must be
+    * provable, not assumed.
+    */
+  private def validateMergeKeyNulls(
+      ident: String, keys: Seq[String], files: Seq[DataFileMeta]): Unit =
+    for (k <- keys; f <- files if f.rowCount > 0)
+      f.stats.get(k) match {
+        case Some(cs) if cs.nullCount == 0 => ()
+        case Some(cs) => throw new IllegalArgumentException(
+          s"$ident: merge key column $k has ${cs.nullCount} NULL row(s) in " +
+            s"${f.path} — declared row-identity columns must be null-free")
+        case None => throw new IllegalArgumentException(
+          s"$ident: cannot prove merge key column $k null-free in ${f.path} " +
+            "(no footer stats) — merge-keys requires provably null-free keys")
+      }
+
   private def appendSnapshot(m: TableMeta, d0: SnapDelta): TableMeta = {
     val ident = m.name
     val parent = m.current
@@ -1046,6 +1081,12 @@ class IceCatalog(
       add = d0.add.map(f =>
         if (f.seq != 0 || parentPaths(fsPath(f.path))) f else f.copy(seq = snapId)),
       addDeletes = d0.addDeletes.map(_.copy(seq = snapId)))
+    // merge-keys tables: new data files must PROVE their key columns
+    // null-free (footer null counts) before they can join the table
+    val keys = mergeKeysOf(m)
+    if (keys.nonEmpty)
+      validateMergeKeyNulls(ident, keys,
+        d.add.filterNot(f => parentPaths(fsPath(f.path))))
     // Split the parent's segments against the drop set: untouched segments
     // carry over by REFERENCE; survivors of touched segments re-segment
     // together with the added files. A legacy (inline) parent re-segments

@@ -118,4 +118,33 @@ class CommitRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(m == 1)
   }
+
+  test("only the protocol's conflict type retries; generic ISE is terminal") {
+    // the commit protocol throws CommitConflictException for its two
+    // retryable shapes; every OTHER IllegalStateException is a real
+    // failure (duplicate sources, exhausted budgets) and must pass
+    // through on the first attempt — a nested retry loop must not chew
+    // its inner loop's own "budget exhausted" error
+    assert(CommitRetry.isConflict(
+      new graft.catalog.CommitConflictException("publish collision")))
+    assert(!CommitRetry.isConflict(new IllegalStateException("terminal")))
+    var n = 0
+    intercept[IllegalStateException] {
+      CommitRetry.run[Unit](retries = 5, totalMs = 10000) { _ =>
+        n += 1
+        // what an inner exhausted CommitRetry.run throws
+        throw new IllegalStateException("commit retry budget exhausted (…)")
+      }
+    }
+    assert(n == 1, s"generic ISE must not be retried, saw $n attempts")
+    // and the real conflict type still retries
+    var c = 0
+    intercept[IllegalStateException] {
+      CommitRetry.run[Unit](retries = 2, totalMs = 10000) { _ =>
+        c += 1
+        throw new graft.catalog.CommitConflictException("conflict")
+      }
+    }
+    assert(c == 3)
+  }
 }

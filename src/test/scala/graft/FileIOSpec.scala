@@ -142,4 +142,46 @@ class FileIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     // external data files are untouched by a metadata-only drop
     assert(externalFiles.nonEmpty)
   }
+
+  test("scheme dispatch: one catalog spans S3, KV and local backends per location") {
+    import graft.catalog.{KvFileIO, S3FileIO, SchemeFileIO}
+    // mount table: two object-store planes + local default, one dispatcher
+    val s3 = new S3FileIO("/schemes/s3")
+    val kv = new KvFileIO("/schemes/kv")
+    val io = new SchemeFileIO(Seq("/schemes/s3" -> s3, "/schemes/kv" -> kv))
+
+    // routing: longest mounted prefix wins, external paths go local
+    assert(io.route(java.nio.file.Paths.get("/schemes/s3/cat/x")) eq s3)
+    assert(io.route(java.nio.file.Paths.get("/schemes/kv/cat/x")) eq kv)
+    assert(io.route(externalData) eq LocalFileIO)
+
+    // the FULL metadata lifecycle of FileIOSpec, per backend, through the
+    // ONE dispatcher — metadata lands in the mounted store, data-file
+    // footers (external paths) route to the local plane
+    val expected = spark.read.parquet(s"$dir/region.parquet").count()
+    for (root <- Seq("/schemes/s3/cat", "/schemes/kv/cat")) {
+      val c = new IceCatalog(spark, root, io)
+      c.createNamespace("ns")
+      c.createTable("ns.r", spark.read.parquet(s"$dir/region.parquet").schema)
+      c.addFiles("ns.r", externalFiles, forceOutsideLocation = true)
+      assert(c.scan("ns.r").count() == expected)
+      val v1 = c.loadMeta("ns.r").currentSnapshotId
+      c.setProperty("ns.r", "k", "v")
+      intercept[java.util.ConcurrentModificationException] {
+        c.commit("ns.r", identity, basedOn = Some(v1 - 999))
+      }
+      c.rollbackTo("ns.r", v1)
+      assert(c.scan("ns.r").count() == expected)
+      // a second catalog over the same dispatcher sees the same store
+      assert(new IceCatalog(spark, root, io).listTables("ns") == Seq("r"))
+      assert(!Files.exists(java.nio.file.Paths.get(root)),
+        s"dispatch bypassed: $root materialized locally")
+    }
+
+    // cross-backend pairs refuse rather than tear
+    intercept[UnsupportedOperationException] {
+      io.move(java.nio.file.Paths.get("/schemes/s3/cat/a"),
+        java.nio.file.Paths.get("/schemes/kv/cat/a"))
+    }
+  }
 }

@@ -768,6 +768,43 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(budget)
   }
 
+  test("merge-key columns must be provably null-free: inserts and declares refuse NULLs") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql(
+      """CREATE TABLE graft.nn.t (id BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |               'graft.merge-keys'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.nn.t VALUES (1,'a')")
+    // schema() reports the key non-nullable — the ANALYZER already
+    // refuses a SQL insert carrying a NULL key (AssertNotNull on the
+    // reported schema), which is exactly why the report must be true
+    assert(!spark.table("graft.nn.t").schema("id").nullable)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.nn.t VALUES (CAST(NULL AS BIGINT),'x')"))
+    assert(msgs(e).exists(m => m.contains("NOT_NULL") || m.contains("null-free")),
+      msgs(e).mkString(" | "))
+    assert(spark.sql("SELECT count(*) FROM graft.nn.t").head().getLong(0) == 1L)
+    // the catalog API bypasses Spark's analyzer assert — there the commit
+    // itself proves null-freedom from footer stats and refuses
+    val e1 = intercept[IllegalArgumentException](
+      cat.insert("nn.t", Seq((Some(2L), "b"), (None, "x")).toDF("id", "v"),
+        IceCatalog.InsertOptions(forceDuplicates = true)))
+    assert(e1.getMessage.contains("null-free"))
+    assert(spark.sql("SELECT count(*) FROM graft.nn.t").head().getLong(0) == 1L)
+
+    // declaring merge-keys over EXISTING null-bearing data is refused too
+    cat.createTable("nn.u", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    cat.insert("nn.u", Seq((Some(1L), "a"), (None, "b")).toDF("id", "v"))
+    val e2 = intercept[IllegalArgumentException](
+      cat.setProperty("nn.u", "graft.merge-keys", "id"))
+    assert(e2.getMessage.contains("null-free"))
+  }
+
   test("delete-bearing groups stay columnar: masked scan reads vectorized") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
