@@ -30,6 +30,9 @@ import graft.catalog.IceCatalog._
   *   insert <ns.t> <parquet-path>... [--no-copy] [--force-outside-location]
   *                [--skip-duplicates] [--commit-retries N]
   *                [--commit-retry-total-ms M]
+  *                (paths may contain * wildcards — expanded through the
+  *                 catalog's FileIO, so globs work on local dirs and
+  *                 mounted object-store planes alike)
   *   insert <ns.t> <dir> --watch [--checkpoint <dir>] [--watch-fire-once]
   *                [--merge-keys k1,k2 --version-col v [--merge-on-read]]
   *   alter-table <ns.t> '<updates-json>'   (reference op vocabulary:
@@ -147,7 +150,8 @@ object Cli {
           out.println(s"watching ${paths.head} -> $ident")
           onWatch(q)
 
-        case "insert" +: ident +: paths if paths.nonEmpty =>
+        case "insert" +: ident +: paths0 if paths0.nonEmpty =>
+          val paths = expandGlobs(cat.io, paths0)
           val opts = InsertOptions(skipDuplicates = flags.contains("skip-duplicates"))
           if (flags.contains("no-copy")) {
             // --commit-retries/--commit-retry-total-ms: budgeted retry on
@@ -344,4 +348,39 @@ object Cli {
   }
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  /** Wildcard expansion for insert inputs — the reference's `s3://…*`
+    * listing (Insert.java:151-168), generalized over the catalog's
+    * FileIO so one syntax covers local dirs and mounted object-store
+    * planes: `*` matches within a path segment; a wildcard path expands
+    * to the matching regular files under its deepest fixed ancestor,
+    * sorted. Empty expansion and duplicate inputs are refused exactly
+    * like the reference ("No matching files found" / "Input contains
+    * duplicates").
+    */
+  private[graft] def expandGlobs(
+      io: graft.catalog.FileIO, paths: Seq[String]): Seq[String] = {
+    val expanded = paths.flatMap { p =>
+      if (!p.contains('*')) Seq(p)
+      else {
+        val abs = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+        val parts = (0 until abs.getNameCount).map(abs.getName(_).toString)
+        val firstWild = parts.indexWhere(_.contains('*'))
+        val base = parts.take(firstWild)
+          .foldLeft(abs.getRoot)((b, seg) => b.resolve(seg))
+        val regex = parts.map(seg =>
+          seg.split("\\*", -1).map(java.util.regex.Pattern.quote)
+            .mkString("[^/]*")).mkString("/")
+        val re = ("\\Q" + abs.getRoot.toString + "\\E" + regex).r
+        io.walk(base)
+          .filter(io.isRegularFile)
+          .map(_.toString)
+          .filter(s => re.pattern.matcher(s).matches())
+          .sorted
+      }
+    }
+    if (expanded.isEmpty) fail("no matching files found")
+    if (expanded.distinct.length != expanded.length) fail("input contains duplicates")
+    expanded
+  }
 }

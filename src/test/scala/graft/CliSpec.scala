@@ -267,6 +267,24 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSeq == Seq((1L, "new", 2L), (2L, "only", 1L)))
   }
 
+  test("insert expands * wildcards through the FileIO seam") {
+    import spark.implicits._
+    cli("create-table", "ns.gl", "--schema", "id BIGINT, v STRING")
+    val d = Files.createTempDirectory("cli-glob")
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(d.resolve("b1").toString)
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write.parquet(d.resolve("b2").toString)
+    // batch dirs also hold _SUCCESS markers — the glob must select only
+    // the parquet files, like the reference's s3://…*.parquet listing
+    val (c1, out1) = cli("insert", "ns.gl", s"$d/b*/part-*.parquet",
+      "--no-copy", "--force-outside-location")
+    assert(c1 == 0, out1.mkString("|"))
+    assert(out1.exists(_.contains("registered 2 file(s)")), out1.mkString("|"))
+    assert(cli("count", "ns.gl") == (0, Seq("2")))
+    // no match → the reference's refusal, not a silent no-op
+    val (c2, out2) = cli("insert", "ns.gl", s"$d/zzz*/nope-*.parquet")
+    assert(c2 == 1 && out2.exists(_.contains("no matching files")), out2.mkString("|"))
+  }
+
   test("errors: unknown command and missing args exit 1 with a message") {
     val (c1, out1) = cli("frobnicate")
     assert(c1 == 1 && out1.exists(_.startsWith("error:")))
