@@ -25,6 +25,12 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
   *   maintenance.orphan.retention-days   orphan age before delete
   *                                       (default 3; OrphanCleanup age gate)
   *   maintenance.manifest.max-segments   segment-count target (default 8)
+  *   maintenance.mor.max-pending-delete-rows   delete-debt compaction
+  *                                       trigger (default = the read
+  *                                       path's driver mask budget, so
+  *                                       maintenance clears debt BEFORE
+  *                                       SELECTs lose the single-pass
+  *                                       masked plan)
   *   maintenance.dry-run                 report without applying
   *
   * A table with no `maintenance.jobs` property (and no catalog default)
@@ -37,8 +43,10 @@ object Maintenance {
   val JobDataCompaction = "data_compaction"
   val JobOrphanCleanup = "orphan_cleanup"
   val JobManifestCompaction = "manifest_compaction"
+  val JobDeleteDebtCompaction = "delete_debt_compaction"
   val AllJobs: Set[String] =
-    Set(JobSnapshotCleanup, JobDataCompaction, JobOrphanCleanup, JobManifestCompaction)
+    Set(JobSnapshotCleanup, JobDataCompaction, JobOrphanCleanup,
+      JobManifestCompaction, JobDeleteDebtCompaction)
 
   /** Effective thresholds for one table (MaintenanceConfig.java defaults). */
   case class Policy(
@@ -49,6 +57,7 @@ object Maintenance {
       minInputFiles: Int = 5,
       orphanRetentionDays: Int = 3,
       maxManifestSegments: Int = 8,
+      maxPendingDeleteRows: Long = ManifestPrune.MaxDriverDeleteKeysDefault,
       dryRun: Boolean = false)
 
   /** Table properties override catalog defaults key by key. */
@@ -75,6 +84,8 @@ object Maintenance {
         .getOrElse(defaults.orphanRetentionDays),
       maxManifestSegments = str("maintenance.manifest.max-segments").map(_.toInt)
         .getOrElse(defaults.maxManifestSegments),
+      maxPendingDeleteRows = str("maintenance.mor.max-pending-delete-rows")
+        .map(_.toLong).getOrElse(defaults.maxPendingDeleteRows),
       dryRun = str("maintenance.dry-run").map(_.toBoolean).getOrElse(defaults.dryRun))
   }
 
@@ -105,7 +116,8 @@ object Maintenance {
       // fixed job order: expire first (fewer live snapshots for the orphan
       // walk), then data/manifest compaction, then orphan GC of whatever
       // the preceding jobs unreferenced
-      Seq(JobSnapshotCleanup, JobDataCompaction, JobManifestCompaction, JobOrphanCleanup)
+      Seq(JobSnapshotCleanup, JobDeleteDebtCompaction, JobDataCompaction,
+        JobManifestCompaction, JobOrphanCleanup)
         .filter(policy.jobs.contains)
         .map { job =>
           val r =
@@ -151,6 +163,27 @@ object Maintenance {
         else {
           cat.compactManifests(ident, p.maxManifestSegments)
           Report(ident, job, s"segments=$before->$segCount")
+        }
+      case JobDeleteDebtCompaction =>
+        // merge-on-read debt gate: compaction MATERIALIZES pending
+        // equality deletes and clears them, restoring the single-pass
+        // masked read plan; the trigger mirrors the read path's driver
+        // budget so a policy-maintained table never degrades to the
+        // distributed-anti-join fallback in the first place
+        val pending = cat.loadMeta(ident).current
+          .flatMap(s => Option(s.deletes)).map(_.map(_.rowCount).sum)
+          .getOrElse(0L)
+        if (pending == 0 || pending <= p.maxPendingDeleteRows)
+          Report(ident, job,
+            s"skipped pendingDeleteRows=$pending max=${p.maxPendingDeleteRows}")
+        else if (p.dryRun)
+          Report(ident, job, s"would-compact pendingDeleteRows=$pending")
+        else {
+          cat.compact(ident, p.targetFileMB)
+          val after = cat.loadMeta(ident).current
+            .flatMap(s => Option(s.deletes)).map(_.map(_.rowCount).sum)
+            .getOrElse(0L)
+          Report(ident, job, s"pendingDeleteRows=$pending->$after")
         }
       case JobOrphanCleanup =>
         val removed = cat.cleanOrphans(ident, dryRun = p.dryRun,

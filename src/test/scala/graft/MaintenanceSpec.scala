@@ -97,6 +97,31 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.scan("m1.seg").count() == 24, "metadata-only: rows unchanged")
   }
 
+  test("delete-debt compaction clears pending MOR deletes past the threshold") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+    cat.createTable("m1.debt", df.schema)
+    cat.insert("m1.debt", df)
+    // 20 pending equality-delete rows of MOR debt
+    cat.upsertMergeOnRead("m1.debt",
+      (1L to 20L).map(i => (i, s"u$i")).toDF("id", "v"), Seq("id"))
+    cat.setProperty("m1.debt", "maintenance.jobs", "delete_debt_compaction")
+    // above the table's debt: skipped, debt stays
+    cat.setProperty("m1.debt", "maintenance.mor.max-pending-delete-rows", "100")
+    val r1 = runner.runTable("m1.debt")
+    assert(r1.exists(r => r.job == "delete_debt_compaction" &&
+      r.detail.contains("skipped pendingDeleteRows=20")), r1)
+    // threshold below the debt: compaction materializes and clears it
+    cat.setProperty("m1.debt", "maintenance.mor.max-pending-delete-rows", "10")
+    val r2 = runner.runTable("m1.debt")
+    assert(r2.exists(r => r.job == "delete_debt_compaction" &&
+      r.detail.contains("pendingDeleteRows=20->0")), r2)
+    assert(Option(cat.loadMeta("m1.debt").current.get.deletes).forall(_.isEmpty))
+    assert(cat.scan("m1.debt").count() == 50)
+    assert(cat.scan("m1.debt").filter($"v" === "u1").count() == 1,
+      "merged values must survive materialization")
+  }
+
   test("dry-run reports but does not apply") {
     mkTable("m1.dry", inserts = 3)
     cat.setProperty("m1.dry", "maintenance.jobs", "snapshot_cleanup")

@@ -753,6 +753,13 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.take(3).toSeq == Seq((1L, "u1"), (2L, "u2"), (3L, "u3")))
       assert(rows.last == ((200L, "v200")))
 
+      // time travel resolves its own snapshot's (files, deletes) — the
+      // rewrite serves the frozen view with the same distributed plan
+      val snapId = cat.loadMeta("bd.t").currentSnapshotId
+      val tt = spark.sql(s"SELECT id, v FROM graft.bd.t VERSION AS OF $snapId")
+      assert(tt.queryExecution.executedPlan.toString.contains("LeftAnti"))
+      assert(tt.count() == 200L)
+
       // read shapes the rewrite can't serve (here: the _file metadata
       // column) refuse loudly instead of collecting unbounded state
       val e = intercept[Exception](
