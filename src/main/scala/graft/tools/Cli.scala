@@ -32,7 +32,9 @@ import graft.catalog.IceCatalog._
   *                [--commit-retry-total-ms M]
   *                (paths may contain * wildcards — expanded through the
   *                 catalog's FileIO, so globs work on local dirs and
-  *                 mounted object-store planes alike)
+  *                 mounted object-store planes alike; http(s):// inputs
+  *                 download through a content-addressed cache
+  *                 [--http-cache <dir>] before inserting)
   *   insert <ns.t> <dir> --watch [--checkpoint <dir>] [--watch-fire-once]
   *                [--merge-keys k1,k2 --version-col v [--merge-on-read]]
   *   alter-table <ns.t> '<updates-json>'   (reference op vocabulary:
@@ -151,7 +153,9 @@ object Cli {
           onWatch(q)
 
         case "insert" +: ident +: paths0 if paths0.nonEmpty =>
-          val paths = expandGlobs(cat.io, paths0)
+          val paths = expandGlobs(cat.io, fetchHttp(paths0,
+            httpCacheDir = flags.get("http-cache"),
+            noCopy = flags.contains("no-copy")))
           val opts = InsertOptions(skipDuplicates = flags.contains("skip-duplicates"))
           if (flags.contains("no-copy")) {
             // --commit-retries/--commit-retry-total-ms: budgeted retry on
@@ -348,6 +352,55 @@ object Cli {
   }
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  /** http(s) insert inputs — the reference's download-through-cache
+    * (Input.java:81-97): a URL input lands in a content-addressed local
+    * cache (sha256 of the URL, `~`-suffixed tmp then atomic move, reused
+    * while present) and the insert proceeds from the cached file. The
+    * stable cache path doubles as the SOURCE IDENTITY, so re-inserting
+    * the same URL trips the normal duplicate-source handling. `--no-copy`
+    * refuses URLs: registering a cache temp as a table data file would
+    * dangle once the cache is cleaned.
+    */
+  private[graft] def fetchHttp(
+      paths: Seq[String], httpCacheDir: Option[String],
+      noCopy: Boolean): Seq[String] = {
+    val isUrl = (p: String) => p.startsWith("http://") || p.startsWith("https://")
+    if (!paths.exists(isUrl)) return paths
+    if (noCopy) fail("--no-copy cannot register http(s) inputs " +
+      "(the download cache is not table storage) — drop --no-copy")
+    lazy val cache = java.nio.file.Paths.get(httpCacheDir.getOrElse(
+      sys.props("java.io.tmpdir") + "/graft-http-cache"))
+    paths.map { p =>
+      if (!isUrl(p)) p
+      else {
+        require(!p.contains('*'), s"wildcards are not supported on http inputs: $p")
+        val name = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(p.getBytes("UTF-8")).map(b => f"$b%02x").mkString + ".parquet"
+        val dst = cache.resolve(name)
+        if (!java.nio.file.Files.exists(dst)) {
+          java.nio.file.Files.createDirectories(cache)
+          val tmp = cache.resolve(name + "~")
+          val client = java.net.http.HttpClient.newBuilder()
+            .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
+          val resp = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(p))
+              .header("User-Agent", "graft-cli/1.0").GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofFile(tmp,
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+              java.nio.file.StandardOpenOption.WRITE))
+          if (resp.statusCode() != 200) {
+            java.nio.file.Files.deleteIfExists(tmp)
+            fail(s"GET $p returned ${resp.statusCode()}")
+          }
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        dst.toString
+      }
+    }
+  }
 
   /** Wildcard expansion for insert inputs — the reference's `s3://…*`
     * listing (Insert.java:151-168), generalized over the catalog's

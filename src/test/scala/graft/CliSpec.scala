@@ -3,6 +3,8 @@ package graft
 import java.io.{ByteArrayOutputStream, PrintStream}
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -283,6 +285,45 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no match → the reference's refusal, not a silent no-op
     val (c2, out2) = cli("insert", "ns.gl", s"$d/zzz*/nope-*.parquet")
     assert(c2 == 1 && out2.exists(_.contains("no matching files")), out2.mkString("|"))
+  }
+
+  test("insert downloads http(s) inputs through the content-addressed cache") {
+    import spark.implicits._
+    cli("create-table", "ns.ht", "--schema", "id BIGINT, v STRING")
+    val staged = Files.createTempDirectory("cli-http-src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(staged.resolve("p").toString)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Files.list(staged.resolve("p")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/data.parquet", ex => {
+      hits.incrementAndGet()
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    http.start()
+    val cacheDir = Files.createTempDirectory("cli-http-cache").toString
+    try {
+      val url = s"http://127.0.0.1:${http.getAddress.getPort}/data.parquet"
+      val (c1, out1) = cli("insert", "ns.ht", url, "--http-cache", cacheDir)
+      assert(c1 == 0 && out1.exists(_.contains("inserted")), out1.mkString("|"))
+      assert(cli("count", "ns.ht") == (0, Seq("2")))
+      assert(hits.get() == 1)
+      // the stable cache path IS the source identity: re-inserting the
+      // same URL neither re-downloads nor re-ingests
+      val (c2, _) = cli("insert", "ns.ht", url,
+        "--http-cache", cacheDir, "--skip-duplicates")
+      assert(c2 == 0 && hits.get() == 1, s"cache must be reused, hits=${hits.get()}")
+      assert(cli("count", "ns.ht") == (0, Seq("2")))
+      // --no-copy refuses URL inputs (cache is not table storage)
+      val (c3, out3) = cli("insert", "ns.ht", url, "--no-copy",
+        "--http-cache", cacheDir)
+      assert(c3 == 1 && out3.exists(_.contains("no-copy")), out3.mkString("|"))
+    } finally http.stop(0)
   }
 
   test("errors: unknown command and missing args exit 1 with a message") {
