@@ -753,6 +753,16 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.take(3).toSeq == Seq((1L, "u1"), (2L, "u2"), (3L, "u3")))
       assert(rows.last == ((200L, "v200")))
 
+      // Catalyst keeps optimizing the substituted subtree: predicates
+      // push into its parquet scans (manifest pruning is traded away on
+      // this path, but scan-level pushdown is not)
+      val filtered = spark.sql("SELECT id, v FROM graft.bd.t WHERE id >= 100")
+      val fphys = filtered.queryExecution.executedPlan.toString
+      assert(fphys.contains("LeftAnti"))
+      assert(fphys.contains("GreaterThanOrEqual(id,100)"),
+        s"filter must reach the fallback's parquet scans:\n$fphys")
+      assert(filtered.count() == 101)
+
       // time travel resolves its own snapshot's (files, deletes) — the
       // rewrite serves the frozen view with the same distributed plan
       val snapId = cat.loadMeta("bd.t").currentSnapshotId
