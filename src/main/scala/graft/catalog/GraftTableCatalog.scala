@@ -110,7 +110,8 @@ private class GraftSnapshotTable(
   override def capabilities(): util.Set[TableCapability] =
     (if (timeTraveled) Set(TableCapability.BATCH_READ)
      else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)).asJava
+       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+       TableCapability.STREAMING_WRITE)).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
     new ManifestPrunedScanBuilder(ctx(options))
 
@@ -156,6 +157,17 @@ private class GraftSnapshotTable(
                 IceCatalog.InsertOptions(forceDuplicates = true))
               (): Unit
             }
+          /** `df.writeStream.toTable("graft.ns.t")` (append mode): each
+            * epoch stages executor-written parquet and commits atomically
+            * with an epoch watermark — exactly-once under replay. See
+            * [[GraftStreamingWrite]].
+            */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(!overwrite,
+              s"streaming writes to $ident support append mode only")
+            new GraftStreamingWrite(ice, ident, info.queryId(), info.schema())
+          }
         }
     }
   }

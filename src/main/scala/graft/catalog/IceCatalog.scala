@@ -1606,6 +1606,30 @@ class IceCatalog(
         add = added, addDeletes = del))
   }
 
+  /** One streaming epoch's atomic commit ([[GraftStreamingWrite]]): the
+    * epoch's staged files register through the normal adopt-or-arrange
+    * path and land together with the `(queryId → epochId)` watermark
+    * property in ONE snapshot commit — exactly-once under epoch replay:
+    * a re-delivered commit sees its epoch already recorded and no-ops
+    * (the replayed staging output is dropped as orphans by GC).
+    */
+  private[graft] def commitStreamingEpoch(
+      ident: String, queryId: String, epochId: Long,
+      epochDir: String): TableMeta = {
+    val key = s"graft.streaming.epoch.$queryId"
+    val meta = loadMeta(ident)
+    if (meta.properties.get(key).exists(_.toLong >= epochId)) return meta
+    val added = registerStaged(ident, meta, epochDir)
+    if (added.isEmpty) return meta
+    commit(ident, { m =>
+      if (m.properties.get(key).exists(_.toLong >= epochId)) m // lost replay race
+      else {
+        val next = appendSnapshot(m, SnapDelta("append", add = added))
+        next.copy(properties = next.properties + (key -> epochId.toString))
+      }
+    })
+  }
+
   /** Manifest entries for freshly written files, read from the parquet
     * FOOTERS on the driver (row counts + per-column min/max/null stats) —
     * exactly how Iceberg builds manifests. O(files) footer reads, ZERO

@@ -1,0 +1,103 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+/** Native Structured Streaming SINK for graft tables —
+  * `df.writeStream.toTable("graft.ns.t")` — so streaming ingestion goes
+  * through the same manifest/snapshot commit protocol as every other
+  * write (the reference's continuous ingestion is `ice insert --watch`,
+  * InsertWatch.java; this is its engine-level twin, no foreachBatch
+  * driver glue).
+  *
+  * Shape: executors write each epoch's rows straight to parquet under a
+  * per-epoch staging dir (the committer-free tmp+rename writers the
+  * delta operation uses — Spark's OutputCommitCoordinator is not in
+  * play for streaming task retries either, and torn files can't leak
+  * because only renamed `*.parquet` files are adopted); epoch COMMIT
+  * registers the staged files through the normal adopt-or-arrange path
+  * (partitioned/sorted tables get their layout) in ONE atomic snapshot
+  * commit that also records `(queryId, epochId)` in table properties —
+  * the exactly-once guard: a replayed epoch after recovery sees its id
+  * already recorded and becomes a no-op instead of duplicating rows.
+  */
+private[catalog] class GraftStreamingWrite(
+    ice: IceCatalog, ident: String, queryId: String, schema: StructType)
+    extends StreamingWrite {
+
+  private val staging = ice.newStagingDir(ident)
+  private val hconf = RowLevelOps.deleteKeyWriteConf(ice.spark)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftStreamingWriterFactory(staging, schema, hconf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ice.commitStreamingEpoch(ident, queryId, epochId,
+      java.nio.file.Paths.get(staging, s"epoch-$epochId").toString): Unit
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ice.dropStagingDir(
+      java.nio.file.Paths.get(staging, s"epoch-$epochId").toString)
+}
+
+private case class GraftStreamingEpochMessage(files: Int)
+    extends WriterCommitMessage
+
+/** One parquet file per (epoch, partition, task attempt), written with
+  * Spark's own ParquetWriteSupport and published by rename at task
+  * commit — same discipline as the delta operation's delete-key files.
+  */
+private case class GraftStreamingWriterFactory(
+    staging: String, schema: StructType, hconf: SerializableHadoopConf)
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val dir = new org.apache.hadoop.fs.Path(staging, s"epoch-$epochId")
+      // taskId is the task ATTEMPT id — unique across retries
+      private val tmp = new org.apache.hadoop.fs.Path(
+        dir, s"part-$partitionId-$taskId.parquet.tmp")
+      private val fin = new org.apache.hadoop.fs.Path(
+        dir, s"part-$partitionId-$taskId.parquet")
+      private var w: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+
+      override def write(row: InternalRow): Unit = {
+        if (w == null) {
+          val c = new org.apache.hadoop.conf.Configuration(hconf.value)
+          org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+            .setSchema(schema, c)
+          w = new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
+            tmp,
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport,
+            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
+            org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+            org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+            org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+            true, false,
+            org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_1_0,
+            c)
+        }
+        w.write(row)
+      }
+      override def commit(): WriterCommitMessage = {
+        if (w != null) {
+          w.close(); w = null
+          val fs = fin.getFileSystem(hconf.value)
+          if (!fs.rename(tmp, fin)) throw new java.io.IOException(
+            s"could not publish streaming data file $fin")
+          GraftStreamingEpochMessage(1)
+        } else GraftStreamingEpochMessage(0)
+      }
+      override def abort(): Unit =
+        if (w != null) {
+          w.close(); w = null
+          tmp.getFileSystem(hconf.value).delete(tmp, false): Unit
+        }
+      override def close(): Unit =
+        if (w != null) { w.close(); w = null }
+    }
+}

@@ -785,6 +785,51 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(budget)
   }
 
+  test("writeStream.toTable: epochs land through the commit protocol, exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.sw.t (id BIGINT, v STRING)")
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("sw-ckpt").toString
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft.sw.t")
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    // every epoch is a real manifested append snapshot
+    assert(spark.sql("SELECT id, v FROM graft.sw.t ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val meta = cat.loadMeta("sw.t")
+    assert(meta.snapshots.count(_.operation == "append") == 2)
+    assert(cat.countRows("sw.t") == 3) // manifest-answered count agrees
+    // the epoch watermark makes replayed commits no-ops: re-delivering an
+    // already-recorded epoch must not duplicate rows
+    val before = meta.currentSnapshotId
+    val epochKey = meta.properties.keys.find(_.startsWith("graft.streaming.epoch.")).get
+    val recorded = meta.properties(epochKey).toLong
+    val stagedReplay = Files.createTempDirectory("sw-replay").toString
+    cat.commitStreamingEpoch("sw.t", epochKey.stripPrefix("graft.streaming.epoch."),
+      recorded, stagedReplay)
+    assert(cat.loadMeta("sw.t").currentSnapshotId == before,
+      "a replayed epoch must not commit a new snapshot")
+
+    // a RESTARTED query from the same checkpoint continues without
+    // re-ingesting (the engine replays no committed epochs)
+    val q2 = mem.toDF().toDF("id", "v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft.sw.t")
+    mem.addData((4L, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(cat.countRows("sw.t") == 4)
+  }
+
   test("merge-key columns must be provably null-free: inserts and declares refuse NULLs") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
