@@ -830,6 +830,38 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.countRows("sw.t") == 4)
   }
 
+  test("table-to-table streaming pipeline: readStream.table into writeStream.toTable") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.sw.src (id BIGINT, kind STRING)")
+    // partitioned destination: each epoch's commit must run the
+    // arrange path (partition-pure files), not blind adoption
+    spark.sql(
+      """CREATE TABLE graft.sw.dst (id BIGINT, kind STRING)
+        |PARTITIONED BY (kind)""".stripMargin)
+    spark.sql("INSERT INTO graft.sw.src VALUES (1,'a'), (2,'b'), (3,'a')")
+    val ckpt = Files.createTempDirectory("sw-pipe-ckpt").toString
+    val q = spark.readStream.table("graft.sw.src")
+      .filter(col("kind") === "a")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft.sw.dst")
+    try {
+      // the source stream starts at the CURRENT snapshot; only commits
+      // made after start flow — append two more batches
+      spark.sql("INSERT INTO graft.sw.src VALUES (4,'a'), (5,'b')")
+      q.processAllAvailable()
+      spark.sql("INSERT INTO graft.sw.src VALUES (6,'a')")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql("SELECT id FROM graft.sw.dst ORDER BY id")
+      .as[Long].collect().toSeq == Seq(4L, 6L))
+    // destination files are partition-pure under the arrange path
+    val snap = cat.loadMeta("sw.dst").current.get
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(_.partition.get("kind").contains("a")),
+      snap.files.map(f => f.path -> f.partition))
+  }
+
   test("merge-key columns must be provably null-free: inserts and declares refuse NULLs") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
