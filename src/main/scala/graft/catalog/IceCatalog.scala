@@ -1828,18 +1828,24 @@ class IceCatalog(
       meta: TableMeta, files: Seq[DataFileMeta],
       dels: Seq[DeleteFileMeta]): DataFrame = {
     if (dels.isEmpty || files.isEmpty) return readFiles(meta, files)
-    files.groupBy(_.seq).toSeq.sortBy(_._1).map { case (fseq, fs) =>
-      val applicable = dels.filter(_.seq > fseq)
-      applicable.groupBy(_.keyCols).foldLeft(readFiles(meta, fs)) {
-        case (df, (keys, dfiles)) =>
-          // dedup via an explicit Aggregate, not .distinct(): this plan
-          // is also SPLICED into mid-optimization trees (BoundedMorRead),
-          // after the batch that rewrites Deduplicate has already run
-          val delKeys = spark.read.parquet(dfiles.map(_.path): _*)
-            .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c")).drop("__c")
-          df.join(delKeys, keys, "left_anti")
-      }
-    }.reduce(_ union _)
+    // group files by their APPLICABLE delete set, not by raw sequence
+    // number: a long append history shares one branch per delete
+    // BOUNDARY (≤ pending delete commits + 1, the same grouping the
+    // masked scan uses) — grouping by seq would plan one union branch
+    // per COMMIT, a 10k-branch plan for a 10k-append table with one
+    // pending delete
+    files.groupBy(f => dels.filter(_.seq > f.seq))
+      .toSeq.sortBy(_._2.head.path).map { case (applicable, fs) =>
+        applicable.groupBy(_.keyCols).foldLeft(readFiles(meta, fs)) {
+          case (df, (keys, dfiles)) =>
+            // dedup via an explicit Aggregate, not .distinct(): this plan
+            // is also SPLICED into mid-optimization trees (BoundedMorRead),
+            // after the batch that rewrites Deduplicate has already run
+            val delKeys = spark.read.parquet(dfiles.map(_.path): _*)
+              .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c")).drop("__c")
+            df.join(delKeys, keys, "left_anti")
+        }
+      }.reduce(_ union _)
   }
 
   private def matches(file: DataFileMeta, f: PartitionFilter, meta: TableMeta): Boolean =

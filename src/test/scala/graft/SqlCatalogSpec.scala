@@ -846,6 +846,10 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.option("checkpointLocation", ckpt)
       .toTable("graft.sw.dst")
     try {
+      // force source initialization FIRST: the stream's starting offset
+      // is captured asynchronously, and an insert racing it would land
+      // before the offset and be (correctly) excluded from the stream
+      q.processAllAvailable()
       // the source stream starts at the CURRENT snapshot; only commits
       // made after start flow — append two more batches
       spark.sql("INSERT INTO graft.sw.src VALUES (4,'a'), (5,'b')")
