@@ -1,8 +1,8 @@
 package graft.catalog
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -29,29 +29,67 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * (`_file`) are left to the masked scan, whose budget guard then refuses
   * with a compact-first error rather than collecting unbounded state.
   *
-  * Trade-off, by design: the substituted read serves every snapshot file
-  * (manifest-level partition pruning is bypassed); Catalyst still pushes
-  * filters and pruned columns into its parquet scans. Heavy delete debt
-  * is a transient state — compaction restores the single-scan plan.
+  * Partition pruning survives the substitution: predicates sitting
+  * directly above the relation (PushDownPredicates parks them there
+  * within the same fixpoint) translate into conservative manifest
+  * filters that cut the substituted read's file list, exactly like the
+  * masked scan's own pruning; untranslatable shapes contribute no
+  * constraint, and Catalyst still pushes the full predicates into the
+  * resulting parquet scans. Heavy delete debt is a transient state —
+  * compaction restores the single-scan plan.
   */
 case class BoundedMorRead(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def heavy(r: DataSourceV2Relation, budget: Long): Option[GraftSnapshotTable] =
+    r.table match {
+      case t: GraftSnapshotTable
+          if t.pendingDeleteRows > budget &&
+            r.output.forall(a => t.schema().fieldNames.contains(a.name)) =>
+        Some(t)
+      case _ => None
+    }
+
+  /** Build the substituted subtree: the distributed merged read over the
+    * files surviving the conservative manifest translation of `conds`
+    * (partition pruning is kept on this path — untranslatable predicate
+    * shapes just contribute no constraint), projected back onto the
+    * relation's attribute ids so every upstream reference resolves
+    * unchanged.
+    */
+  private def substitute(
+      r: DataSourceV2Relation, t: GraftSnapshotTable,
+      conds: Seq[Expression]): LogicalPlan = {
+    val pfs = conds.flatMap(ManifestPrune.toPartitionFilters)
+    val merged = t.mergedRead(pfs).queryExecution.analyzed
+    val byName = merged.output.map(a => a.name -> a).toMap
+    Project(r.output.map(o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId,
+        qualifier = o.qualifier)), merged)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val budget = ManifestPrune.maxDriverDeleteKeys(spark)
-    plan.transformUpWithSubqueries {
-      case r: DataSourceV2Relation => r.table match {
-        case t: GraftSnapshotTable
-            if t.pendingDeleteRows > budget &&
-              r.output.forall(a => t.schema().fieldNames.contains(a.name)) =>
-          val merged = t.mergedRead().queryExecution.analyzed
-          val byName = merged.output.map(a => a.name -> a).toMap
-          // keep the relation's attribute ids: every upstream reference
-          // resolves against the substituted subtree unchanged
-          Project(r.output.map(o =>
-            Alias(byName(o.name), o.name)(exprId = o.exprId,
-              qualifier = o.qualifier)), merged)
-        case _ => r
-      }
+    // top-down: a Filter directly above the relation contributes manifest
+    // pruning to the substitution before the bare-relation case fires
+    // (PushDownPredicates, earlier in the same fixpoint, parks predicates
+    // right above V2 relations)
+    plan.transformDownWithSubqueries {
+      case f @ Filter(cond, r: DataSourceV2Relation) =>
+        heavy(r, budget) match {
+          case Some(t) => Filter(cond, substitute(r, t, splitConjuncts(cond)))
+          case None => f
+        }
+      case r: DataSourceV2Relation =>
+        heavy(r, budget) match {
+          case Some(t) => substitute(r, t, Seq.empty)
+          case None => r
+        }
     }
   }
 }

@@ -81,14 +81,19 @@ private class GraftSnapshotTable(
   private[catalog] def pendingDeleteRows: Long = deletes.map(_.rowCount).sum
 
   /** The distributed merged view of this table's resolved snapshot
-    * (per-epoch anti-join of pending deletes — executor-sized memory at
-    * any delete volume), in current-schema column order. The relation
-    * [[BoundedMorRead]] substitutes when the in-scan mask would exceed
-    * its driver budget.
+    * (per-delete-boundary anti-join of pending deletes — executor-sized
+    * memory at any delete volume), in current-schema column order, over
+    * the files surviving the given conservative manifest filters (the
+    * partition pruning the substituted scan would otherwise lose). The
+    * relation [[BoundedMorRead]] substitutes when the in-scan mask would
+    * exceed its driver budget.
     */
-  private[catalog] def mergedRead(): org.apache.spark.sql.DataFrame =
-    ice.readFilesMergedAt(meta, files, deletes)
+  private[catalog] def mergedRead(
+      pfs: Seq[IceCatalog.PartitionFilter]): org.apache.spark.sql.DataFrame = {
+    val keep = files.filter(f => pfs.forall(IceCatalog.fileMatches(f, _, meta)))
+    ice.readFilesMergedAt(meta, keep, deletes)
       .select(meta.schema.fieldNames.toSeq.map(col): _*)
+  }
   override def name(): String = delegate.name
   /** Declared merge keys report non-nullable: they are the row-identity
     * contract merge-on-read relies on, and Spark's delta-based rewrite

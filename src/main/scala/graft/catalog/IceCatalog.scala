@@ -766,7 +766,18 @@ class IceCatalog(
   private def probeTop(dir: Path): Int = {
     val metaDir = dir.resolve("metadata")
     val hint = metaDir.resolve("version-hint.txt")
-    var v = if (io.exists(hint)) io.readString(hint).trim.toInt else 0
+    // DEFENSIVE parse: the hint rewrite (truncate + write) is not atomic
+    // on a local filesystem, so a concurrent reader can observe an empty
+    // or partial file — and any partial read of a growing-or-equal number
+    // parses LOWER than truth, which the advisory contract absorbs (probe
+    // forward recovers). A hard parse here killed polling streams.
+    var v =
+      if (!io.exists(hint)) 0
+      else {
+        val s = try io.readString(hint).trim
+          catch { case _: java.nio.file.NoSuchFileException => "" }
+        s.toIntOption.getOrElse(0)
+      }
     while (io.exists(metaDir.resolve(s"v${v + 1}.json")) ||
       io.exists(burnMarker(metaDir, v + 1))) v += 1
     v

@@ -308,7 +308,7 @@ object ManifestPrune {
   }
 
   /** Catalyst → manifest filter translation (conservative subset). */
-  private def toPartitionFilters(e: Expression): Seq[PartitionFilter] = e match {
+  private[catalog] def toPartitionFilters(e: Expression): Seq[PartitionFilter] = e match {
     case EqualTo(a: AttributeReference, l: Literal) =>
       statStr(l).map(s => PartitionFilter(a.name, Op.Eq, Seq(s))).toSeq
     case EqualTo(l: Literal, a: AttributeReference) =>

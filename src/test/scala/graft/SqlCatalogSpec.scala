@@ -770,6 +770,41 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tt.queryExecution.executedPlan.toString.contains("LeftAnti"))
       assert(tt.count() == 200L)
 
+      // partition pruning survives the fallback: a predicate above the
+      // relation translates to manifest filters that cut the substituted
+      // read's FILE LIST (not just parquet row groups)
+      spark.sql(
+        """CREATE TABLE graft.bd.p (id BIGINT, kind STRING, v STRING)
+          |PARTITIONED BY (kind)
+          |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+          |               'graft.merge-keys'='id')""".stripMargin)
+      (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", s"v$i"))
+        .toDF("id", "kind", "v").createOrReplaceTempView("bdp_seed")
+      spark.sql("INSERT INTO graft.bd.p SELECT * FROM bdp_seed")
+      (2L to 80L by 2).map(i => (i, "a", s"u$i")).toDF("id", "kind", "v")
+        .createOrReplaceTempView("bdp_src")
+      spark.sql(
+        """MERGE INTO graft.bd.p t USING bdp_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      val pruned = spark.sql("SELECT id, v FROM graft.bd.p WHERE kind = 'b'")
+      assert(pruned.queryExecution.executedPlan.toString.contains("LeftAnti"))
+      // sparkPlan, not executedPlan: AQE wraps the executed tree and
+      // hides the scans from collect()
+      val scanned = pruned.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.toSeq
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              fs.fileIndex.inputFiles.toSeq
+            case _ => Seq.empty
+          }
+      }.flatten
+      assert(scanned.nonEmpty &&
+        !scanned.exists(_.contains("__p_kind=a")),
+        s"kind=a files must be manifest-pruned from the fallback: $scanned")
+      assert(pruned.count() == 50)
+
       // read shapes the rewrite can't serve (here: the _file metadata
       // column) refuse loudly instead of collecting unbounded state
       val e = intercept[Exception](
@@ -848,8 +883,15 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       // force source initialization FIRST: the stream's starting offset
       // is captured asynchronously, and an insert racing it would land
-      // before the offset and be (correctly) excluded from the stream
+      // before the offset and be (correctly) excluded from the stream.
+      // processAllAvailable alone can return before the first trigger, so
+      // wait for a recorded trigger (progress entries appear even for
+      // empty batches)
       q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      while (q.recentProgress.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(q.recentProgress.nonEmpty, "stream never fired its first trigger")
       // the source stream starts at the CURRENT snapshot; only commits
       // made after start flow — append two more batches
       spark.sql("INSERT INTO graft.sw.src VALUES (4,'a'), (5,'b')")
