@@ -27,6 +27,20 @@ private[catalog] class GraftStreamingWrite(
     ice: IceCatalog, ident: String, queryId: String, schema: StructType)
     extends StreamingWrite {
 
+  // the staged files are adopted carrying the QUERY's schema and read
+  // back by NAME, so column order is free — but a name or type drift
+  // would land as silent NULLs on read; refuse it loudly instead
+  // (Spark's streaming write analysis normally aligns the query to the
+  // table; this guards the paths that don't)
+  {
+    val table = ice.loadMeta(ident).schema
+    require(
+      schema.fields.map(f => (f.name, f.dataType)).toSet ==
+        table.fields.map(f => (f.name, f.dataType)).toSet,
+      s"streaming write schema ${schema.simpleString} does not match " +
+        s"table $ident schema ${table.simpleString}")
+  }
+
   private val staging = ice.newStagingDir(ident)
   private val hconf = RowLevelOps.deleteKeyWriteConf(ice.spark)
 
