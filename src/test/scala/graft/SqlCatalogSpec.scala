@@ -865,6 +865,34 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.countRows("sw.t") == 4)
   }
 
+  test("two streaming queries append to one table; watermarks stay per-query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.sw.multi (id BIGINT, v STRING)")
+    val m1 = MemoryStream[(Long, String)]
+    val m2 = MemoryStream[(Long, String)]
+    val q1 = m1.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("swm1").toString)
+      .toTable("graft.sw.multi")
+    val q2 = m2.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("swm2").toString)
+      .toTable("graft.sw.multi")
+    try {
+      m1.addData((1L, "a")); m2.addData((10L, "x"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      m1.addData((2L, "b"))
+      q1.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    assert(spark.sql("SELECT id FROM graft.sw.multi ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 10L))
+    // each query tracks its OWN epoch watermark: concurrent writers
+    // can't suppress each other's commits
+    val props = cat.loadMeta("sw.multi").properties
+    assert(props.keys.count(_.startsWith("graft.streaming.epoch.")) == 2, props)
+  }
+
   test("table-to-table streaming pipeline: readStream.table into writeStream.toTable") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
