@@ -49,7 +49,7 @@ case class BoundedMorRead(spark: SparkSession) extends Rule[LogicalPlan] {
   private def heavy(r: DataSourceV2Relation, budget: Long): Option[GraftSnapshotTable] =
     r.table match {
       case t: GraftSnapshotTable
-          if t.pendingDeleteRows > budget &&
+          if (t.pendingDeleteRows > budget || t.hasPositionalDeletes) &&
             r.output.forall(a => t.schema().fieldNames.contains(a.name)) =>
         Some(t)
       case _ => None

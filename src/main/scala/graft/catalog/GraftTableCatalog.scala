@@ -80,6 +80,11 @@ private class GraftSnapshotTable(
     */
   private[catalog] def pendingDeleteRows: Long = deletes.map(_.rowCount).sum
 
+  /** Position deletes have no in-scan mask form at any size — their
+    * presence alone routes SQL reads to the distributed merged view.
+    */
+  private[catalog] def hasPositionalDeletes: Boolean = deletes.exists(_.isPositional)
+
   /** The distributed merged view of this table's resolved snapshot
     * (per-delete-boundary anti-join of pending deletes — executor-sized
     * memory at any delete volume), in current-schema column order, over

@@ -67,12 +67,29 @@ object IceCatalog {
     * key tuples; at scan time rows of OLDER data files (file.seq < seq)
     * whose keys appear here are anti-joined away instead of rewritten.
     */
+  /** `positional=Some(true)` marks an Iceberg POSITION delete file
+    * (columns `file_path` STRING, `pos` BIGINT — the delete flavor other
+    * engines commonly write): its rows mask the row at that index of
+    * that data file, applied distributed via `_metadata.row_index`.
+    * Option-typed so manifests written before the field parse as
+    * equality deletes (absent → None).
+    */
   case class DeleteFileMeta(
-      path: String, keyCols: Seq[String], rowCount: Long, bytes: Long, seq: Long)
+      path: String, keyCols: Seq[String], rowCount: Long, bytes: Long, seq: Long,
+      positional: Option[Boolean] = None) {
+    def isPositional: Boolean = positional.contains(true)
+  }
   /** Pointer to one immutable manifest segment file plus its summary —
     * enough for snapshot-level accounting without opening the segment.
     */
   case class ManifestRef(name: String, fileCount: Long, rowCount: Long, bytes: Long)
+
+  /** Internal helper-column names carrying each row's (file, index)
+    * identity through position-delete anti-joins; dropped before rows
+    * leave [[IceCatalog.readFilesMergedAt]].
+    */
+  private[catalog] val PosFileCol = "__graft_pos_file"
+  private[catalog] val PosIdxCol = "__graft_pos_idx"
   /** Content of one per-snapshot manifest-list file: the segment refs
     * making up the snapshot's file set, plus the cumulative chain of
     * source-file segments (duplicate-ingest detection).
@@ -1792,7 +1809,9 @@ class IceCatalog(
     * columns are simply not projected. One parquet relation per historical
     * schema (usually exactly one), unioned by position after projection.
     */
-  private def readFiles(meta: TableMeta, files: Seq[DataFileMeta]): DataFrame = {
+  private def readFiles(
+      meta: TableMeta, files: Seq[DataFileMeta],
+      withPos: Boolean = false): DataFrame = {
     val cur = meta.schema
     if (files.isEmpty) return emptyDf(cur)
     val groups = files.groupBy(f => math.min(f.schemaId, meta.schemaLog.length - 1))
@@ -1809,7 +1828,15 @@ class IceCatalog(
           case None => lit(null).cast(f.dataType).as(f.name)
         }
       }.toSeq
-      base.select(projection: _*)
+      // position-delete application needs each row's (file, index)
+      // identity — Spark's own file-source metadata columns, resolved
+      // against the raw source before any projection drops them
+      val full =
+        if (!withPos) projection
+        else projection ++ Seq(
+          col("_metadata.file_path").as(IceCatalog.PosFileCol),
+          col("_metadata.row_index").as(IceCatalog.PosIdxCol))
+      base.select(full: _*)
     }
     parts.reduce(_ union _)
   }
@@ -1847,7 +1874,9 @@ class IceCatalog(
     // pending delete
     files.groupBy(f => dels.filter(_.seq > f.seq))
       .toSeq.sortBy(_._2.head.path).map { case (applicable, fs) =>
-        applicable.groupBy(_.keyCols).foldLeft(readFiles(meta, fs)) {
+        val (posDels, eqDels) = applicable.partition(_.isPositional)
+        val base = readFiles(meta, fs, withPos = posDels.nonEmpty)
+        val eqMerged = eqDels.groupBy(_.keyCols).foldLeft(base) {
           case (df, (keys, dfiles)) =>
             // dedup via an explicit Aggregate, not .distinct(): this plan
             // is also SPLICED into mid-optimization trees (BoundedMorRead),
@@ -1856,7 +1885,39 @@ class IceCatalog(
               .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c")).drop("__c")
             df.join(delKeys, keys, "left_anti")
         }
+        if (posDels.isEmpty) eqMerged
+        else {
+          // position deletes: anti-join on the row's (file, index)
+          // identity — both sides shuffle, executor-sized at any volume
+          val pk = spark.read.parquet(posDels.map(_.path): _*)
+            .groupBy(col("file_path"), col("pos"))
+            .agg(count(lit(1)).as("__c")).drop("__c")
+          eqMerged.join(pk,
+            eqMerged(IceCatalog.PosFileCol) === pk("file_path") &&
+              eqMerged(IceCatalog.PosIdxCol) === pk("pos"), "left_anti")
+            .select(meta.schema.fieldNames.toSeq.map(col): _*)
+        }
       }.reduce(_ union _)
+  }
+
+  /** Register POSITION deletes (Iceberg position-delete files — the
+    * delete flavor other engines commonly write; the reference reads
+    * them through the Iceberg SDK's merged scans): `df(file_path, pos)`
+    * rows mask the row at that 0-based index of that data file, where
+    * `file_path` values are the `_file` / `input_file_name()` spelling.
+    * O(batch) work — one small delete file, zero data files rewritten;
+    * reads apply it via the distributed merged view, and compaction
+    * materializes and clears it like any other delete debt.
+    */
+  def deletePositions(ident: String, df: DataFrame): TableMeta = {
+    require(df.columns.toSeq == Seq("file_path", "pos"),
+      s"position deletes need columns (file_path, pos), got ${df.columns.toSeq}")
+    val meta = loadMeta(ident)
+    if (meta.current.isEmpty) return meta
+    val del = writeDeleteFile(ident, df, Seq("file_path", "pos"))
+      .copy(positional = Some(true))
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("mor-delete", addDeletes = Seq(del)))
   }
 
   private def matches(file: DataFileMeta, f: PartitionFilter, meta: TableMeta): Boolean =

@@ -170,10 +170,14 @@ object Maintenance {
         // masked read plan; the trigger mirrors the read path's driver
         // budget so a policy-maintained table never degrades to the
         // distributed-anti-join fallback in the first place
-        val pending = cat.loadMeta(ident).current
-          .flatMap(s => Option(s.deletes)).map(_.map(_.rowCount).sum)
-          .getOrElse(0L)
-        if (pending == 0 || pending <= p.maxPendingDeleteRows)
+        val dels = cat.loadMeta(ident).current
+          .flatMap(s => Option(s.deletes)).getOrElse(Seq.empty)
+        val pending = dels.map(_.rowCount).sum
+        // position deletes compact at ANY volume: they have no in-scan
+        // mask, so every SQL read pays the distributed merged view
+        // until compaction clears them
+        val positional = dels.exists(_.isPositional)
+        if (pending == 0 || (pending <= p.maxPendingDeleteRows && !positional))
           Report(ident, job,
             s"skipped pendingDeleteRows=$pending max=${p.maxPendingDeleteRows}")
         else if (p.dryRun)

@@ -187,6 +187,15 @@ object ManifestPrune {
     // BoundedMorRead rewrote them to the distributed anti-join first;
     // what remains here is _file-projecting reads, row-level-operation
     // scans, and streaming windows, which genuinely need compaction.
+    // POSITION deletes have no in-scan mask at all: the probe needs each
+    // row's file index, which only the distributed merged read carries
+    if (ctx.deletes.exists(_.isPositional))
+      throw new UnsupportedOperationException(
+        s"${meta.name}: pending POSITION deletes are served by the " +
+          "distributed merged read (plain SELECTs with " +
+          "graft.GraftExtensions installed, or the catalog scan API); " +
+          "this read shape (_file / row-level operation / streaming) " +
+          "requires compacting the table first.")
     val pending = ctx.deletes.map(_.rowCount).sum
     val budget = maxDriverDeleteKeys(org.apache.spark.sql.SparkSession.active)
     if (pending > budget) throw new UnsupportedOperationException(

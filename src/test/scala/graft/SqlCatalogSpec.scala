@@ -711,6 +711,51 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.rl.mor").head().getLong(0) == 5L)
   }
 
+  test("position deletes: other-engine delete files mask exact rows everywhere") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql("CREATE TABLE graft.pd.t (id BIGINT, v STRING)")
+    (1L to 60L).map(i => (i, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("pd_seed")
+    spark.sql("INSERT INTO graft.pd.t SELECT * FROM pd_seed")
+    // build (file_path, pos) keys for ids 10..19 the way another engine
+    // would: read the data files with Spark's file metadata columns
+    val dataFiles = cat.loadMeta("pd.t").current.get.files
+      .map(f => java.nio.file.Paths.get(new java.net.URI(f.path)).toString)
+    val keys = spark.read.parquet(dataFiles: _*)
+      .select(col("id"), col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .filter(col("id").between(10, 19))
+      .select("file_path", "pos")
+    cat.deletePositions("pd.t", keys)
+
+    // API scan serves the merged view
+    assert(cat.scan("pd.t").count() == 50)
+    assert(cat.scan("pd.t").filter(col("id").between(10, 19)).count() == 0)
+    // plain SQL reroutes through the distributed merged read (position
+    // deletes have no in-scan mask at any volume)
+    val df = spark.sql("SELECT id FROM graft.pd.t")
+    assert(df.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    assert(df.as[Long].collect().sorted.toSeq ==
+      ((1L to 9L) ++ (20L to 60L)))
+    // mask-only shapes refuse with the compact pointer
+    val e = intercept[Exception](
+      spark.sql("SELECT _file, id FROM graft.pd.t").collect())
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    // position + equality debt together: MOR-style upsert on top
+    cat.upsertMergeOnRead("pd.t",
+      Seq((20L, "UP")).toDF("id", "v"), Seq("id"))
+    assert(spark.sql("SELECT v FROM graft.pd.t WHERE id = 20").as[String]
+      .collect().toSeq == Seq("UP"))
+    assert(spark.sql("SELECT count(*) FROM graft.pd.t").head().getLong(0) == 50)
+    // compaction materializes and clears BOTH flavors
+    cat.compact("pd.t")
+    assert(Option(cat.loadMeta("pd.t").current.get.deletes).forall(_.isEmpty))
+    assert(spark.sql("SELECT count(*) FROM graft.pd.t").head().getLong(0) == 50)
+    assert(!spark.sql("SELECT id FROM graft.pd.t")
+      .queryExecution.executedPlan.toString.contains("LeftAnti"))
+  }
+
   test("heavy delete debt: SQL reads fall back to the distributed anti-join") {
     import graft.catalog.ManifestPrune
     import spark.implicits._
