@@ -94,12 +94,16 @@ object MetadataTables {
       case "deletes" =>
         val s = StructType(Seq(
           StructField("path", StringType),
+          // equality | position (Iceberg's two delete-file flavors)
+          StructField("kind", StringType),
           StructField("key_columns", ArrayType(StringType)),
           StructField("row_count", LongType),
           StructField("bytes", LongType),
           StructField("sequence_number", LongType)))
         val dels = meta.current.flatMap(sn => Option(sn.deletes)).getOrElse(Seq.empty)
-        (s, dels.map(d => Row(d.path, d.keyCols, d.rowCount, d.bytes, d.seq)))
+        (s, dels.map(d => Row(d.path,
+          if (d.isPositional) "position" else "equality",
+          d.keyCols, d.rowCount, d.bytes, d.seq)))
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table: $other")
     }

@@ -742,9 +742,14 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](
       spark.sql("SELECT _file, id FROM graft.pd.t").collect())
     assert(e.getMessage.contains("compact"), e.getMessage)
+    // the .deletes metadata table reports the flavor
+    assert(spark.sql("SELECT kind, row_count FROM graft.pd.t.deletes")
+      .as[(String, Long)].collect().toSeq == Seq(("position", 10L)))
     // position + equality debt together: MOR-style upsert on top
     cat.upsertMergeOnRead("pd.t",
       Seq((20L, "UP")).toDF("id", "v"), Seq("id"))
+    assert(spark.sql("SELECT kind FROM graft.pd.t.deletes ORDER BY kind")
+      .as[String].collect().toSeq == Seq("equality", "position"))
     assert(spark.sql("SELECT v FROM graft.pd.t WHERE id = 20").as[String]
       .collect().toSeq == Seq("UP"))
     assert(spark.sql("SELECT count(*) FROM graft.pd.t").head().getLong(0) == 50)
