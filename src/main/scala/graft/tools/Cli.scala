@@ -50,6 +50,7 @@ import graft.catalog.IceCatalog._
   *   tag <ns.t> <name> [--snapshot N] [--branch]
   *   untag <ns.t> <name>               list-refs <ns.t>
   *   delete <ns.t> --partition name=value [--dry-run]
+  *   delete-positions <ns.t> <keys.parquet>   (file_path, pos columns)
   *   delete-table <ns.t>
   *   maintain <ns.t>
   *   export [file]                 import <file>
@@ -260,6 +261,14 @@ object Cli {
             }
           }
           out.println(s"altered $ident (${updates.size()} update(s))")
+
+        case Seq("delete-positions", ident, keysPath) =>
+          // Iceberg position deletes from a (file_path, pos) parquet —
+          // the delete-file flavor other engines hand over; O(batch),
+          // zero data files rewritten
+          val keys = spark.read.parquet(keysPath)
+          cat.deletePositions(ident, keys.select("file_path", "pos"))
+          out.println(s"registered position deletes into $ident")
 
         case Seq("delete", ident) =>
           val filters = flags.get("partition").toSeq.flatMap(_.split(',')).map { s =>

@@ -326,6 +326,30 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally http.stop(0)
   }
 
+  test("delete-positions registers a position-delete file from a keys parquet") {
+    import spark.implicits._
+    cli("create-table", "ns.pd", "--schema", "id BIGINT, v STRING")
+    val staging = Files.createTempDirectory("cli-pd")
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("d").toString)
+    val (c0, _) = cli("insert", "ns.pd", staging.resolve("d").toString)
+    assert(c0 == 0)
+    // keys the way another engine would produce them
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    val dataFiles = cat.loadMeta("ns.pd").current.get.files
+      .map(f => java.nio.file.Paths.get(new java.net.URI(f.path)).toString)
+    spark.read.parquet(dataFiles: _*)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("_metadata.file_path").as("file_path"),
+        org.apache.spark.sql.functions.col("_metadata.row_index").as("pos"))
+      .filter(org.apache.spark.sql.functions.col("id") <= 3)
+      .select("file_path", "pos").coalesce(1)
+      .write.parquet(staging.resolve("keys").toString)
+    val (c1, out1) = cli("delete-positions", "ns.pd", staging.resolve("keys").toString)
+    assert(c1 == 0 && out1.exists(_.contains("position deletes")), out1.mkString("|"))
+    assert(cli("count", "ns.pd") == (0, Seq("7")))
+  }
+
   test("errors: unknown command and missing args exit 1 with a message") {
     val (c1, out1) = cli("frobnicate")
     assert(c1 == 1 && out1.exists(_.startsWith("error:")))
