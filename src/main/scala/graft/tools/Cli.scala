@@ -49,7 +49,8 @@ import graft.catalog.IceCatalog._
   *   set-property <ns.t> <key> <value>
   *   tag <ns.t> <name> [--snapshot N] [--branch]
   *   untag <ns.t> <name>               list-refs <ns.t>
-  *   delete <ns.t> --partition name=value [--dry-run]
+  *   delete <ns.t> --partition 'name<op>value' [--dry-run]
+  *                (op: =, <, >, <=, >= — e.g. --partition 'date<2020-01-01')
   *   delete-positions <ns.t> <keys.parquet>   (file_path, pos columns)
   *   delete-table <ns.t>
   *   maintain <ns.t>
@@ -271,13 +272,12 @@ object Cli {
           out.println(s"registered position deletes into $ident")
 
         case Seq("delete", ident) =>
-          val filters = flags.get("partition").toSeq.flatMap(_.split(',')).map { s =>
-            s.split("=", 2) match {
-              case Array(k, v) => PartitionFilter(k, Op.Eq, Seq(v))
-              case _ => fail(s"bad --partition: $s (want name=value)")
-            }
-          }
-          if (filters.isEmpty) fail("delete needs --partition name=value")
+          // the reference's full predicate vocabulary (=, <, >, <=, >= —
+          // Delete.java:128-134), longest operator first so `<=` is not
+          // read as `<` against a value starting with `=`
+          val filters = flags.get("partition").toSeq.flatMap(_.split(','))
+            .map(parsePartitionPredicate)
+          if (filters.isEmpty) fail("delete needs --partition 'name<op>value'")
           val dropped = cat.delete(ident, filters, dryRun = flags.contains("dry-run"))
           out.println(s"${if (flags.contains("dry-run")) "would drop" else "dropped"} " +
             s"${dropped.length} file(s)")
@@ -361,6 +361,26 @@ object Cli {
   }
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  /** `name<op>value` → [[PartitionFilter]], with the reference's operator
+    * set (Delete.java:128-134). Two-char operators are tried first so
+    * `date<=2020` parses as Le, not Lt-of-"=2020".
+    */
+  private[graft] def parsePartitionPredicate(s: String): PartitionFilter = {
+    val ops = Seq("<=" -> Op.Le, ">=" -> Op.Ge, "=" -> Op.Eq,
+      "<" -> Op.Lt, ">" -> Op.Gt)
+    ops.iterator
+      .map { case (sym, op) => (s.indexOf(sym), sym, op) }
+      .filter { case (i, _, _) => i > 0 } // name must be non-empty
+      .reduceOption((a, b) => if (a._1 <= b._1) a else b) match {
+      case Some((i, sym, op)) =>
+        val v = s.substring(i + sym.length)
+        if (v.isEmpty) fail(s"bad --partition: $s (empty value)")
+        PartitionFilter(s.substring(0, i), op, Seq(v))
+      case None => fail(s"bad --partition: $s (want name<op>value, " +
+        "op one of =, <, >, <=, >=)")
+    }
+  }
 
   /** http(s) insert inputs — the reference's download-through-cache
     * (Input.java:81-97): a URL input lands in a content-addressed local
