@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 import graft.functions.Transforms
 
@@ -83,6 +83,16 @@ object IceCatalog {
     * enough for snapshot-level accounting without opening the segment.
     */
   case class ManifestRef(name: String, fileCount: Long, rowCount: Long, bytes: Long)
+
+  /** Whether delete file `d` applies to data file `f` — per delete
+    * FLAVOR (Iceberg spec): equality deletes hit strictly-older data
+    * (`d.seq > f.seq` — a commit's own inserts are immune to the delete
+    * files it ships with), position deletes hit data at or before their
+    * sequence (`d.seq >= f.seq` — they name explicit (file, pos) rows,
+    * so a writer may land data + its position deletes in ONE commit).
+    */
+  private[graft] def deleteApplies(d: DeleteFileMeta, f: DataFileMeta): Boolean =
+    if (d.isPositional) d.seq >= f.seq else d.seq > f.seq
 
   /** Internal helper-column names carrying each row's (file, index)
     * identity through position-delete anti-joins; dropped before rows
@@ -962,6 +972,11 @@ class IceCatalog(
               "during commit; re-read and re-plan the operation")
       }
       val updated = f(meta)
+      // a closure that returns its input UNCHANGED (same object) is a
+      // declared no-op — e.g. a replayed streaming epoch that lost the
+      // race to a concurrent committer; publishing v+1 here would write
+      // a redundant identical metadata version and count a phantom commit
+      if (updated eq meta) return meta
       // (re)declaring merge keys validates the WHOLE current file set;
       // ordinary data commits validate only their added files (see
       // appendSnapshot) — both from manifest stats, zero scan
@@ -1872,7 +1887,8 @@ class IceCatalog(
     // masked scan uses) — grouping by seq would plan one union branch
     // per COMMIT, a 10k-branch plan for a 10k-append table with one
     // pending delete
-    files.groupBy(f => dels.filter(_.seq > f.seq))
+    // applicability is per delete FLAVOR — see IceCatalog.deleteApplies
+    files.groupBy(f => dels.filter(d => IceCatalog.deleteApplies(d, f)))
       .toSeq.sortBy(_._2.head.path).map { case (applicable, fs) =>
         val (posDels, eqDels) = applicable.partition(_.isPositional)
         val base = readFiles(meta, fs, withPos = posDels.nonEmpty)
@@ -1904,20 +1920,76 @@ class IceCatalog(
     * delete flavor other engines commonly write; the reference reads
     * them through the Iceberg SDK's merged scans): `df(file_path, pos)`
     * rows mask the row at that 0-based index of that data file, where
-    * `file_path` values are the `_file` / `input_file_name()` spelling.
-    * O(batch) work — one small delete file, zero data files rewritten;
-    * reads apply it via the distributed merged view, and compaction
-    * materializes and clears it like any other delete debt.
+    * `file_path` values use the spelling of Spark's
+    * `_metadata.file_path` column — the identity the merged read
+    * anti-joins on. Common alternate spellings of a live data file
+    * (plain path, `file:/` vs `file:///`) are canonicalized at commit
+    * time by re-qualifying through the file system exactly the way
+    * Spark's scan listing does; a path naming NO live data file is
+    * refused loudly — a silently-inapplicable delete is worse than an
+    * error. O(batch) work — one small delete file, zero data files
+    * rewritten; reads apply it via the distributed merged view, and
+    * compaction materializes and clears it like any other delete debt.
     */
   def deletePositions(ident: String, df: DataFrame): TableMeta = {
     require(df.columns.toSeq == Seq("file_path", "pos"),
       s"position deletes need columns (file_path, pos), got ${df.columns.toSeq}")
     val meta = loadMeta(ident)
     if (meta.current.isEmpty) return meta
-    val del = writeDeleteFile(ident, df, Seq("file_path", "pos"))
+    val canonSet = meta.current.get.files
+      .map(f => metadataPathSpelling(f.path)).toSet
+    // O(distinct files) driver work, the Iceberg model; more distinct
+    // incoming spellings than live data files is proof of junk input,
+    // so the collect is bounded by the table's file count
+    val incoming = df.select("file_path").distinct()
+      .limit(canonSet.size + 1).collect().map(_.getString(0)).toSeq
+    if (incoming.size > canonSet.size) throw new IllegalArgumentException(
+      s"position deletes for $ident name more distinct file_path values " +
+        s"(>${canonSet.size}) than the snapshot has data files")
+    val mapping = incoming.map { p =>
+      p -> (if (canonSet.contains(p)) p
+            else scala.util.Try(metadataPathSpelling(p)).getOrElse(p))
+    }
+    val unknown = mapping.collect {
+      case (raw, c) if !canonSet.contains(c) => raw
+    }
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"position deletes for $ident reference unknown data files " +
+        s"(want the _metadata.file_path spelling of a live file): " +
+        unknown.take(5).mkString(", "))
+    // store the canonical spelling so the read-side anti-join matches
+    // exactly, whatever spelling the caller used
+    val keyed =
+      if (mapping.forall { case (raw, c) => raw == c }) df
+      else {
+        val mapDf = spark.createDataFrame(mapping.map { case (raw, c) =>
+          org.apache.spark.sql.Row(raw, c)
+        }.asJava, StructType(Seq(
+          StructField("file_path", StringType), StructField("__canon", StringType))))
+        // no broadcast hint: the mapping is bounded by the table's file
+        // count, which is data-dependent — AQE picks the join strategy
+        df.join(mapDf, "file_path")
+          .select(col("__canon").as("file_path"), col("pos"))
+      }
+    val del = writeDeleteFile(ident, keyed, Seq("file_path", "pos"))
       .copy(positional = Some(true))
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
       SnapDelta("mor-delete", addDeletes = Seq(del)))
+  }
+
+  /** The exact string Spark's `_metadata.file_path` column carries for
+    * `path` — the scan listing's fully-qualified hadoop path rendered as
+    * a URI, computed driver-side with zero scan. This is the join
+    * identity for position deletes; pinned against a real scan by
+    * MergeOnReadSpec.
+    */
+  private[graft] def metadataPathSpelling(path: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    // hadoop Path.toString (e.g. "file:/tmp/x"), NOT toUri.toString
+    // ("file:///tmp/x") — Spark renders the column from the qualified
+    // Path, and the single-slash spelling is what scans carry
+    hp.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(hp).toString
   }
 
   private def matches(file: DataFileMeta, f: PartitionFilter, meta: TableMeta): Boolean =

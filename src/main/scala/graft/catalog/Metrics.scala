@@ -44,7 +44,11 @@ object Metrics {
   def series(family: String, labels: Seq[(String, String)]): String =
     if (labels.isEmpty) family
     else labels.map { case (k, v) =>
-      s"""$k="${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+      // Prometheus text-format label escaping: backslash, quote, AND
+      // newline — an identifier with a line break must not corrupt the
+      // /metrics exposition
+      s"""$k="${v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n")}""""
     }.mkString(s"$family{", ",", "}")
 
   def value(name: String): Long =

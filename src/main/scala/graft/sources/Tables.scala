@@ -25,15 +25,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as long and floor-convert to µs
-    * timestamps — the same truncation DuckDB applies natively.
+  /** events.ts arrives in whatever physical type the generator used —
+    * TIMESTAMP(NANOS) (vanilla Spark rejects it: PARQUET_TYPE_ILLEGAL;
+    * read nanos as long and floor-convert to µs, the same truncation
+    * DuckDB applies natively) or plain TIMESTAMP(MICROS) (read as NTZ).
+    * Both normalize to one shape: session-UTC TimestampType at µs
+    * precision, so every downstream query and its DuckDB oracle see
+    * identical wall-clock values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => // naive µs; session tz is UTC
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

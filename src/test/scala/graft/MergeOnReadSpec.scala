@@ -182,6 +182,80 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("mor.t2")
   }
 
+  test("delete applicability is per flavor: positional >= seq, equality > seq") {
+    // Iceberg spec: a position delete names explicit (file, pos) rows, so
+    // a writer may land data + its position deletes in ONE commit (equal
+    // sequence); an equality delete never masks its own commit's inserts
+    def df(seq: Long) = DataFileMeta("f", 1, 1, Map.empty, Map.empty, seq = seq)
+    def eq(seq: Long) = DeleteFileMeta("d", Seq("k"), 1, 1, seq)
+    def pos(seq: Long) = eq(seq).copy(positional = Some(true))
+    assert(IceCatalog.deleteApplies(pos(5), df(5)), "same-commit positional applies")
+    assert(!IceCatalog.deleteApplies(eq(5), df(5)), "same-commit equality is immune")
+    assert(IceCatalog.deleteApplies(pos(6), df(5)))
+    assert(IceCatalog.deleteApplies(eq(6), df(5)))
+    assert(!IceCatalog.deleteApplies(pos(5), df(6)), "newer data is never masked")
+    assert(!IceCatalog.deleteApplies(eq(5), df(6)))
+  }
+
+  test("deletePositions canonicalizes spellings and refuses unknown files") {
+    import spark.implicits._
+    val df = (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v")
+    cat.createTable("mor.pv", df.schema)
+    cat.insert("mor.pv", df)
+    val meta = cat.loadMeta("mor.pv")
+    val storedPaths = meta.current.get.files.map(_.path)
+    // the join identity is Spark's _metadata.file_path spelling — pin the
+    // driver-side computation against a real scan
+    val scanned = spark.read.parquet(storedPaths.map(p =>
+        java.nio.file.Paths.get(new java.net.URI(p)).toString): _*)
+      .select(col("_metadata.file_path")).distinct()
+      .as[String].collect().toSet
+    assert(storedPaths.map(cat.metadataPathSpelling).toSet == scanned,
+      "metadataPathSpelling must reproduce _metadata.file_path exactly")
+
+    // a caller using the PLAIN filesystem spelling still lands deletes
+    // that actually apply (canonicalized at commit time)
+    val plain = java.nio.file.Paths.get(
+      new java.net.URI(storedPaths.head)).toString
+    val plainKeys = Seq((plain, 0L)).toDF("file_path", "pos")
+    cat.deletePositions("mor.pv", plainKeys)
+    assert(cat.scan("mor.pv").count() == 29,
+      "plain-path spelling must canonicalize and mask exactly one row")
+
+    // a path naming no live data file is refused loudly, not ignored
+    val bogus = Seq(("file:///nope/missing.parquet", 0L)).toDF("file_path", "pos")
+    val e = intercept[IllegalArgumentException](cat.deletePositions("mor.pv", bogus))
+    assert(e.getMessage.contains("unknown data files"), e.getMessage)
+    assert(cat.scan("mor.pv").count() == 29, "refused delete must change nothing")
+    cat.dropTable("mor.pv")
+  }
+
+  test("a no-op commit closure publishes no new metadata version") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    cat.createTable("mor.noop", df.schema)
+    cat.insert("mor.noop", df)
+    val metaDir = java.nio.file.Paths.get(root, "mor", "noop", "metadata")
+    def versionCount: Long = {
+      val s = Files.list(metaDir)
+      try s.iterator().asScala.count(p =>
+        p.getFileName.toString.matches("v\\d+\\.json")).toLong
+      finally s.close()
+    }
+    val before = cat.loadMeta("mor.noop")
+    val vBefore = versionCount
+    val commits = graft.catalog.Metrics.value("graft_catalog_commits_total")
+    // e.g. a replayed streaming epoch that lost the race to a concurrent
+    // committer: the closure declares the no-op by returning its input
+    val out = cat.commit("mor.noop", m => m)
+    assert(out.currentSnapshotId == before.currentSnapshotId)
+    assert(versionCount == vBefore,
+      "no-op commit must not write a redundant metadata version")
+    assert(graft.catalog.Metrics.value("graft_catalog_commits_total") == commits,
+      "no-op commit must not count a phantom commit")
+    cat.dropTable("mor.noop")
+  }
+
   test("orphan cleanup never collects a referenced delete file") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")

@@ -295,6 +295,11 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"report-type":"bogus"}""").statusCode() == 204)
     assert(req("GET", "/metrics", token = "ro-secret").body
       .contains("""iceberg_metrics_report_errors_total{type="bogus"} 1"""))
+    // Prometheus text-format escaping: backslash, quote, AND newline in a
+    // label value — an identifier with a line break must not corrupt the
+    // exposition (each series stays on one physical line)
+    assert(graft.catalog.Metrics.series("m",
+      Seq("t" -> "a\nb\\c\"d")) == """m{t="a\nb\\c\"d"}""")
   }
 
   test("vended per-table credentials: scoped token reads its table, 403s siblings") {
