@@ -87,6 +87,41 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cli("list-tables", "ns") == (0, Seq.empty))
   }
 
+  test("delete by partition RANGE: the canonical retention operation") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.ret",
+      "--schema", "id BIGINT, d DATE",
+      "--partition", "d:identity:p_d")._1 == 0)
+    val staging = Files.createTempDirectory("cli-ret")
+    Seq((1L, "2019-11-03"), (2L, "2019-12-24"), (3L, "2020-01-01"),
+        (4L, "2020-02-14"), (5L, "2020-03-09"))
+      .toDF("id", "ds").selectExpr("id", "cast(ds as date) AS d").coalesce(1)
+      .write.parquet(staging.resolve("b1").toString)
+    assert(cli("insert", "ns.ret", staging.resolve("b1").toString)._1 == 0)
+
+    // dry-run first: two files strictly before 2020-01-01
+    val (c1, out1) = cli("delete", "ns.ret",
+      "--partition", "p_d<2020-01-01", "--dry-run")
+    assert(c1 == 0 && out1.exists(_.contains("would drop 2")), out1.mkString("|"))
+    assert(cli("count", "ns.ret") == (0, Seq("5")), "dry-run must change nothing")
+    // real delete: survivors are exactly the >= 2020-01-01 rows
+    val (c2, out2) = cli("delete", "ns.ret", "--partition", "p_d<2020-01-01")
+    assert(c2 == 0 && out2.exists(_.contains("dropped 2")), out2.mkString("|"))
+    val (c3, scan) = cli("scan", "ns.ret")
+    assert(c3 == 0 && scan.tail.map(_.split('\t')(0)).sorted == Seq("3", "4", "5"))
+
+    // the rest of the operator vocabulary routes too (>=, <=, >)
+    assert(cli("delete", "ns.ret", "--partition", "p_d>=2020-03-01", "--dry-run")
+      ._2.exists(_.contains("would drop 1")))
+    assert(cli("delete", "ns.ret", "--partition", "p_d<=2020-02-14")
+      ._2.exists(_.contains("dropped 2")))
+    assert(cli("count", "ns.ret") == (0, Seq("1")))
+    // an unparseable predicate exits 1 with the vocabulary in the message
+    val (ce, oute) = cli("delete", "ns.ret", "--partition", "p_d!2020")
+    assert(ce == 1 && oute.exists(_.contains("<=")), oute.mkString("|"))
+    assert(cli("delete-table", "ns.ret")._1 == 0)
+  }
+
   test("export / import round-trip through files") {
     import spark.implicits._
     cli("create-table", "ns.t2", "--schema", "id BIGINT")
