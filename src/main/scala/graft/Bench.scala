@@ -34,6 +34,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // locale-proof numeric formatting: a comma-decimal default locale
+    // (e.g. de_DE) would make f"" emit invalid JSON
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
     run("q1_agg") // warm-up: JIT + codegen + parquet footer caches
     // best-of-2 per query: steady-state timing, halves GC/scheduler noise
     val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
@@ -43,7 +48,7 @@ object Bench {
     }
     // millisecond precision: sub-ms digits are pure noise and the shorter
     // line survives the driver's 2000-char artifact tail intact
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -61,12 +66,12 @@ object Bench {
     val breaches = ratios.filter(_._2 > 2.0).keys.toSeq.sorted
     val fired = tellsFlat && breaches.nonEmpty
     val rj = ratios.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
     val bj = breaches.map("\"" + _ + "\"").mkString("[", ",", "]")
     // headline fields LAST: the driver's bench artifact keeps only the
     // final ~2000 chars of this line (BENCH_r07.json lost its total to
     // the cut head), so total/tripwire must sit at the tail end
-    println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","runs":2,"timing":"best-of-2","ratios":$rj,"tripwire":{"fired":$fired,"breaches":$bj,"tells_flat":$tellsFlat},"unit":"sec","total_s":${f"$total%.2f"},"value":${f"$total%.2f"}}""")
+    println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","runs":2,"timing":"best-of-2","ratios":$rj,"tripwire":{"fired":$fired,"breaches":$bj,"tells_flat":$tellsFlat},"unit":"sec","total_s":${num(total, 2)},"value":${num(total, 2)}}""")
     spark.stop()
     if (fired) sys.exit(2)
   }

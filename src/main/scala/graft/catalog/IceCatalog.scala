@@ -1021,13 +1021,20 @@ class IceCatalog(
     val published = scala.collection.mutable.ListBuffer[(String, Path, Int)]()
     try {
       try {
-        val updated = sorted.map { case (ident, f) => (ident, f(loadMeta(ident))) }
-        val byIdent = updated.map { case (ident, meta) =>
-          val dir = tableDir(ident)
-          val v = probeTop(dir)
-          writeVersion(dir, v + 1, meta)
-          published += ((ident, dir, v))
-          ident -> loadMeta(ident)
+        val updated = sorted.map { case (ident, f) =>
+          val meta = loadMeta(ident); (ident, meta, f(meta))
+        }
+        val byIdent = updated.map { case (ident, meta, next) =>
+          // same identity no-op contract as single-table commit: a closure
+          // returning its input unchanged publishes nothing for that table
+          if (next eq meta) ident -> meta
+          else {
+            val dir = tableDir(ident)
+            val v = probeTop(dir)
+            writeVersion(dir, v + 1, next)
+            published += ((ident, dir, v))
+            ident -> loadMeta(ident)
+          }
         }.toMap
         ops.map { case (ident, _) => byIdent(ident) }
       } catch {
@@ -1936,19 +1943,25 @@ class IceCatalog(
       s"position deletes need columns (file_path, pos), got ${df.columns.toSeq}")
     val meta = loadMeta(ident)
     if (meta.current.isEmpty) return meta
+    // one Configuration/FileSystem for the whole batch — newHadoopConf
+    // copies the full session conf, so per-path construction would cost
+    // O(files) conf copies on the driver
+    val hconf = spark.sessionState.newHadoopConf()
     val canonSet = meta.current.get.files
-      .map(f => metadataPathSpelling(f.path)).toSet
-    // O(distinct files) driver work, the Iceberg model; more distinct
-    // incoming spellings than live data files is proof of junk input,
-    // so the collect is bounded by the table's file count
+      .map(f => metadataPathSpelling(f.path, hconf)).toSet
+    // O(distinct files) driver work, the Iceberg model. Alternate valid
+    // spellings of ONE live file (plain path vs file:/ vs file:///) are
+    // legitimate input, so junk is judged on canonical values; the collect
+    // stays bounded by a small multiple of the table's file count
+    val rawBound = canonSet.size * 4
     val incoming = df.select("file_path").distinct()
-      .limit(canonSet.size + 1).collect().map(_.getString(0)).toSeq
-    if (incoming.size > canonSet.size) throw new IllegalArgumentException(
-      s"position deletes for $ident name more distinct file_path values " +
-        s"(>${canonSet.size}) than the snapshot has data files")
+      .limit(rawBound + 1).collect().map(_.getString(0)).toSeq
+    if (incoming.size > rawBound) throw new IllegalArgumentException(
+      s"position deletes for $ident name more distinct file_path " +
+        s"spellings (>$rawBound) than plausible for ${canonSet.size} data files")
     val mapping = incoming.map { p =>
       p -> (if (canonSet.contains(p)) p
-            else scala.util.Try(metadataPathSpelling(p)).getOrElse(p))
+            else scala.util.Try(metadataPathSpelling(p, hconf)).getOrElse(p))
     }
     val unknown = mapping.collect {
       case (raw, c) if !canonSet.contains(c) => raw
@@ -1983,13 +1996,16 @@ class IceCatalog(
     * identity for position deletes; pinned against a real scan by
     * MergeOnReadSpec.
     */
-  private[graft] def metadataPathSpelling(path: String): String = {
+  private[graft] def metadataPathSpelling(path: String): String =
+    metadataPathSpelling(path, spark.sessionState.newHadoopConf())
+
+  private[graft] def metadataPathSpelling(
+      path: String, hconf: org.apache.hadoop.conf.Configuration): String = {
     val hp = new org.apache.hadoop.fs.Path(path)
     // hadoop Path.toString (e.g. "file:/tmp/x"), NOT toUri.toString
     // ("file:///tmp/x") — Spark renders the column from the qualified
     // Path, and the single-slash spelling is what scans carry
-    hp.getFileSystem(spark.sessionState.newHadoopConf())
-      .makeQualified(hp).toString
+    hp.getFileSystem(hconf).makeQualified(hp).toString
   }
 
   private def matches(file: DataFileMeta, f: PartitionFilter, meta: TableMeta): Boolean =

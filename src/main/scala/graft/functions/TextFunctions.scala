@@ -58,9 +58,13 @@ object TextFunctions {
 
   /** Heuristic language ID: CJK density wins outright, else stopword-score
     * argmax with deterministic tie order en > de > es > fr.
+    *
+    * `ts` must be the (pre-projected) distinct token set of `text`. Keep the
+    * tokenizer in its own projection: codegen subexpression elimination does
+    * not hoist work out of conditionally-evaluated CaseWhen branches, so an
+    * inlined tokenSet would re-tokenize once per language score.
     */
-  def langId(text: Column): Column = {
-    val ts = tokenSet(text)
+  def langIdFrom(text: Column, ts: Column): Column = {
     val (en, de, es, fr) = (
       stopwordScore(ts, enStop), stopwordScore(ts, deStop),
       stopwordScore(ts, esStop), stopwordScore(ts, frStop))
@@ -70,6 +74,8 @@ object TextFunctions {
       .when(es >= fr, "es")
       .otherwise("fr")
   }
+
+  def langId(text: Column): Column = langIdFrom(text, tokenSet(text))
 
   /** 64-bit document fingerprint as hex (md5 prefix — portable + uniform). */
   def fingerprint(text: Column): Column = substring(md5(text), 1, 16)

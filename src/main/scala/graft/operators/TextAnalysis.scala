@@ -14,10 +14,16 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  /** x1: heuristic language identification. */
+  /** x1: heuristic language identification. The token set is projected in
+    * its own step so the tokenizer runs once per document, not once per
+    * stopword score (CollapseProject keeps the split: the alias is non-cheap
+    * and referenced four times).
+    */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+      .select(col("doc_id"), col("text"), tokenSet(col("text")).as("_ts"))
+      .select(col("doc_id"),
+        langIdFrom(col("text"), col("_ts")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
   /** x8: Gopher-style repetition signals (MassiveText filtering rules):

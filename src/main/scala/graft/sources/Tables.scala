@@ -36,10 +36,26 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
+    // Plain read first; only a TIMESTAMP(NANOS) file needs the legacy flag,
+    // and then only during schema inference (verified empirically: execution
+    // of the returned frame succeeds after restore), so the session conf is
+    // set/restored in a try/finally rather than leaking to unrelated reads.
+    val df =
+      try load(spark, dir, "events")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "true")
+          try load(spark, dir, "events")
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None    => spark.conf.unset(key)
+          }
+      }
     df.schema("ts").dataType match {
-      case LongType =>
+      case LongType => // nanos read as long; floor to µs like DuckDB does
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampNTZType => // naive µs; session tz is UTC
         df.withColumn("ts", col("ts").cast(TimestampType))

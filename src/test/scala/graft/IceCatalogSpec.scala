@@ -385,6 +385,17 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the tables stay fully usable afterwards (locks released, versions clean)
     cat.insert("ns1.g1", Seq((2L, "b")).toDF("k", "v"))
     assert(cat.scan("ns1.g1").count() == 2)
+    // identity no-op contract inside a group: a closure returning its
+    // input unchanged publishes NOTHING for that table (same contract as
+    // single-table commit), while the other table still advances
+    val hint1 = java.nio.file.Paths.get(root, "ns1", "g1", "metadata", "version-hint.txt")
+    val v1Before = new String(Files.readAllBytes(hint1)).trim
+    cat.commitGroup(Seq(
+      "ns1.g1" -> ((m: TableMeta) => m),
+      "ns1.g2" -> ((m: TableMeta) => m.copy(properties = m.properties + ("y" -> "2")))))
+    assert(new String(Files.readAllBytes(hint1)).trim == v1Before,
+      "identity result in a group must not publish a redundant version")
+    assert(cat.loadMeta("ns1.g2").properties("y") == "2")
     cat.dropTable("ns1.g1"); cat.dropTable("ns1.g2")
   }
 
@@ -435,7 +446,9 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         "ns1.b2" -> ((m: TableMeta) => {
           val d = java.nio.file.Paths.get(root, "ns1", "b2", "metadata")
           Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-          m
+          // must return a CHANGED meta: an identity result is a declared
+          // no-op and would skip the publish this test needs to fail
+          m.copy(properties = m.properties + ("sabotaged" -> "1"))
         })))
     }
     val burned = vBefore + 1

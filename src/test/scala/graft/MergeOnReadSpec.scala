@@ -230,6 +230,25 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("mor.pv")
   }
 
+  test("one file under several valid spellings in one batch is accepted") {
+    import spark.implicits._
+    // 1-file table: distinct RAW spellings (2) exceed the live file count
+    // (1), which the junk guard must tolerate — junk is judged on
+    // CANONICAL values, not raw ones
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+    cat.createTable("mor.sp", df.schema)
+    cat.insert("mor.sp", df)
+    val stored = cat.loadMeta("mor.sp").current.get.files.map(_.path)
+    assert(stored.size == 1)
+    val canon = cat.metadataPathSpelling(stored.head)
+    val plain = java.nio.file.Paths.get(new java.net.URI(canon)).toString
+    val keys = Seq((canon, 0L), (plain, 1L)).toDF("file_path", "pos")
+    cat.deletePositions("mor.sp", keys)
+    assert(cat.scan("mor.sp").count() == 8,
+      "both spellings must canonicalize to the one live file and apply")
+    cat.dropTable("mor.sp")
+  }
+
   test("a no-op commit closure publishes no new metadata version") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("k", "v")

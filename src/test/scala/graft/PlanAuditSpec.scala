@@ -159,6 +159,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("__salt"), "stage 1 must group by the salt column")
   }
 
+  test("x1 tokenizes each document exactly once") {
+    // langId's CaseWhen evaluates stopword scores per-branch, where codegen
+    // subexpression elimination cannot hoist — so the token set must be
+    // materialized in its own projection, leaving ONE array_distinct in the
+    // optimized plan (CollapseProject must not inline it back).
+    val opt = Queries.all("x1_langid")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert("array_distinct".r.findAllIn(opt).length == 1,
+      "tokenizer must run once per doc, not once per stopword score")
+  }
+
   test("whole-stage codegen covers the custom kernels") {
     // executedPlan marks codegen stages with "*(n)" — but only once AQE
     // has finalized the plan, so execute first

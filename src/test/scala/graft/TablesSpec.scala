@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Table-loader behavior, in particular the events ts-normalization: the
+  * legacy nanosAsLong conf must be scoped to the one read that needs it —
+  * an unrelated nanos-typed parquet read in the same session must still
+  * fail loudly (not silently change type), and the session conf must be
+  * untouched after the loader returns.
+  */
+class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-tables", cpus = 2)
+  override def afterAll(): Unit = spark.stop()
+
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Writes an events.parquet whose ts is physical INT64 TIMESTAMP(NANOS) —
+    * the shape the original testdata generator produced, which vanilla
+    * Spark rejects with PARQUET_TYPE_ILLEGAL.
+    */
+  private def writeNanosEvents(dir: String): Unit = {
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS)).named("ts")
+      .required(PrimitiveTypeName.INT64).named("user_id")
+      .named("spark_schema")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter.builder(new Path(s"$dir/events.parquet"))
+      .withConf(conf).build()
+    val gf = new SimpleGroupFactory(schema)
+    (0 until 5).foreach { i =>
+      val g = gf.newGroup()
+      // 2023-11-14T22:13:20Z plus i seconds plus 999 ns (floored away at µs)
+      g.add("ts", 1700000000000000999L + i * 1000000000L)
+      g.add("user_id", i.toLong)
+      w.write(g)
+    }
+    w.close()
+  }
+
+  test("events loader normalizes nanos ts without leaking the legacy conf") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    writeNanosEvents(dir)
+    // getOption returns the registered default ("false") even when unset —
+    // assert on the EFFECTIVE value, which is what unrelated reads consult
+    assert(spark.conf.get(NanosKey) == "false", "precondition: legacy flag off")
+
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val rows = ev.orderBy("user_id").collect()
+    assert(rows.length == 5)
+    // nanos floored to µs: ...000999 ns -> ...000 µs (epoch 1700000000s)
+    assert(rows.head.getTimestamp(0).getTime == 1700000000000L)
+
+    // the loader must have restored the session conf...
+    assert(spark.conf.get(NanosKey) == "false",
+      "events() leaked nanosAsLong into the session")
+    // ...so an unrelated nanos-typed read still fails loudly
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(s"$dir/events.parquet").collect()
+    }
+    assert(e.getMessage.contains("PARQUET_TYPE_ILLEGAL"))
+  }
+
+  test("events loader reads micros testdata without touching the conf") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.limit(1).count() == 1)
+    assert(spark.conf.get(NanosKey) == "false")
+  }
+
+  test("events loader restores a pre-existing conf value") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos2").toString
+    writeNanosEvents(dir)
+    spark.conf.set(NanosKey, "false")
+    try {
+      val ev = Tables.events(spark, dir)
+      assert(ev.count() == 5)
+      assert(spark.conf.get(NanosKey) == "false",
+        "a user-set value must be restored, not unset")
+    } finally spark.conf.unset(NanosKey)
+  }
+}
