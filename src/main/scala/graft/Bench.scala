@@ -16,6 +16,7 @@ object Bench {
     // scale, so more threads cost (local[32] is slower), fewer leave CPU idle
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions) // optimizer + resolution rules
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(graft.catalog.BoundedMorRead(_))
+    // SQL DELETE on merge-on-read tables without merge keys → position
+    // deletes (resolution-batch rewrite, ahead of Spark's row-level
+    // rewrite which would require an equality row identity)
+    ext.injectResolutionRule(graft.catalog.PositionDeleteRewrite(_))
   }
 }
 

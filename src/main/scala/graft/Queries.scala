@@ -634,6 +634,7 @@ object Queries {
     "t11_profile" -> (TableMeta.profile _),
     "t12_mor_upsert" -> (CatalogOps.morUpsertQuery _),
     "t13_sql_merge" -> (CatalogOps.sqlMergeQuery _),
+    "t15_pos_delete" -> (CatalogOps.posDeleteQuery _),
     "t14_incremental" -> (CatalogOps.incrementalQuery _)
   )
 
@@ -703,6 +704,14 @@ object Queries {
         |UNION ALL
         |SELECT 'mor' AS mode, n_rows, total_cents FROM m
         |ORDER BY mode""".stripMargin,
+    // t15: merged view after the SQL position-delete DELETE = raw orders
+    // minus the predicate's matches
+    "t15_pos_delete" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS total_cents
+        |FROM orders
+        |WHERE NOT (o_orderkey % 16 = 4 AND o_totalprice > 1000)""".stripMargin,
     // t14: rows added after the baseline snapshot = the %3==1 append plus
     // the MOR-upsert batch (%6==0 updated at doubled price, %3==2 new) —
     // the window's own deletes never touch the baseline's files

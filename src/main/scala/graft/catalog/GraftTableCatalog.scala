@@ -42,7 +42,7 @@ import graft.catalog.IceCatalog.PartitionField
   * semantics). There is no way for a SQL write to land unmanifested.
   * Time-traveled tables (`VERSION/TIMESTAMP AS OF`) stay read-only.
   */
-private class GraftSnapshotTable(
+private[catalog] class GraftSnapshotTable(
     delegate: ParquetTable, tableProps: Map[String, String],
     ice: IceCatalog, ident: String,
     meta: IceCatalog.TableMeta, files: Seq[IceCatalog.DataFileMeta],
@@ -98,6 +98,52 @@ private class GraftSnapshotTable(
     val keep = files.filter(f => pfs.forall(IceCatalog.fileMatches(f, _, meta)))
     ice.readFilesMergedAt(meta, keep, deletes)
       .select(meta.schema.fieldNames.toSeq.map(col): _*)
+  }
+
+  /** True when a SQL DELETE on this table lands POSITION-delete files:
+    * delete mode merge-on-read but NO `graft.merge-keys` declared — the
+    * exact case Iceberg engines serve with position deletes (equality
+    * deletes need a row identity; positions need none).
+    */
+  private[catalog] def usesPositionDeleteWrites: Boolean = {
+    val mode = tableProps.get("write.delete.mode")
+      .orElse(tableProps.get(RowLevelOps.WriteModeProp))
+    !timeTraveled && mode.contains("merge-on-read") &&
+      !tableProps.contains(RowLevelOps.MergeKeysProp)
+  }
+
+  /** The positions DataFrame a SQL position-delete DELETE commits:
+    * `(file_path, pos)` of merged-view rows matching `cond` — the merged
+    * read retains each surviving row's file/index identity, the resolved
+    * condition's attributes re-bind by name onto that view (`_file` maps
+    * to the identity column), and row indices come from Spark's own
+    * `_metadata.row_index`, correct across row-group splits. Built
+    * lazily: no job runs until the command executes.
+    */
+  private[catalog] def positionsMatching(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val df = ice.readFilesMergedAt(meta, files, deletes, keepPos = true)
+    val remapped = cond.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        val name =
+          if (a.name.equalsIgnoreCase(ManifestPrune.FileColumn)) IceCatalog.PosFileCol
+          else a.name
+        ColumnBridge.expression(df(name))
+    }
+    df.filter(ColumnBridge.column(remapped))
+      .select(col(IceCatalog.PosFileCol).as("file_path"),
+        col(IceCatalog.PosIdxCol).as("pos"))
+  }
+
+  /** Commits the position-delete file for `cond`-matching rows (no-op
+    * when nothing matches — an empty delete file would be pure debt).
+    */
+  private[catalog] def runPositionDelete(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+    val posDf = positionsMatching(cond)
+    if (!posDf.isEmpty) ice.deletePositions(ident, posDf): Unit
   }
   override def name(): String = delegate.name
   /** Declared merge keys report non-nullable: they are the row-identity

@@ -1886,8 +1886,12 @@ class IceCatalog(
     */
   private[catalog] def readFilesMergedAt(
       meta: TableMeta, files: Seq[DataFileMeta],
-      dels: Seq[DeleteFileMeta]): DataFrame = {
-    if (dels.isEmpty || files.isEmpty) return readFiles(meta, files)
+      dels: Seq[DeleteFileMeta], keepPos: Boolean = false): DataFrame = {
+    // keepPos: retain each surviving row's (file, index) identity columns
+    // ([[IceCatalog.PosFileCol]]/[[PosIdxCol]]) — the SQL position-delete
+    // write reads the merged view through this to name the rows it masks
+    if (dels.isEmpty || files.isEmpty)
+      return readFiles(meta, files, withPos = keepPos)
     // group files by their APPLICABLE delete set, not by raw sequence
     // number: a long append history shares one branch per delete
     // BOUNDARY (≤ pending delete commits + 1, the same grouping the
@@ -1898,7 +1902,7 @@ class IceCatalog(
     files.groupBy(f => dels.filter(d => IceCatalog.deleteApplies(d, f)))
       .toSeq.sortBy(_._2.head.path).map { case (applicable, fs) =>
         val (posDels, eqDels) = applicable.partition(_.isPositional)
-        val base = readFiles(meta, fs, withPos = posDels.nonEmpty)
+        val base = readFiles(meta, fs, withPos = posDels.nonEmpty || keepPos)
         val eqMerged = eqDels.groupBy(_.keyCols).foldLeft(base) {
           case (df, (keys, dfiles)) =>
             // dedup via an explicit Aggregate, not .distinct(): this plan
@@ -1915,10 +1919,12 @@ class IceCatalog(
           val pk = spark.read.parquet(posDels.map(_.path): _*)
             .groupBy(col("file_path"), col("pos"))
             .agg(count(lit(1)).as("__c")).drop("__c")
+          val outCols = meta.schema.fieldNames.toSeq ++
+            (if (keepPos) Seq(IceCatalog.PosFileCol, IceCatalog.PosIdxCol) else Nil)
           eqMerged.join(pk,
             eqMerged(IceCatalog.PosFileCol) === pk("file_path") &&
               eqMerged(IceCatalog.PosIdxCol) === pk("pos"), "left_anti")
-            .select(meta.schema.fieldNames.toSeq.map(col): _*)
+            .select(outCols.map(col): _*)
         }
       }.reduce(_ union _)
   }

@@ -1,0 +1,69 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.expressions.{Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** SQL position-delete writes: `DELETE FROM` on a merge-on-read table
+  * WITHOUT declared merge keys lands a POSITION-delete file — matching
+  * Iceberg's `write.delete.mode=merge-on-read` behavior (the reference
+  * inherits it via the Iceberg SDK). Equality deletes need `graft.
+  * merge-keys` (a row identity); positions need none: the matched rows'
+  * `(file, row_index)` identities, taken from Spark's own file-source
+  * metadata on the merged view, become the delete file. O(matched rows)
+  * written, zero data files rewritten; reads serve the merged view and
+  * compaction clears the debt — the same lifecycle as API-written
+  * position deletes ([[IceCatalog.deletePositions]]).
+  *
+  * Injected as a resolution rule ([[graft.GraftExtensions]]): it rewrites
+  * the resolved [[DeleteFromTable]] during the analyzer's Resolution
+  * batch, before Spark's own row-level rewrite (Post-Hoc Resolution)
+  * would demand merge keys from the delta operation. Conditions carrying
+  * subqueries stay on the standard path (and its merge-keys error) — the
+  * condition re-binds by name onto the merged positions view, which an
+  * embedded subquery plan does not survive.
+  */
+case class PositionDeleteRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case d @ DeleteFromTable(target, cond)
+        if d.resolved && !SubqueryExpression.hasSubquery(cond) =>
+      EliminateSubqueryAliases(target) match {
+        case r: DataSourceV2Relation => r.table match {
+          case g: GraftSnapshotTable if g.usesPositionDeleteWrites =>
+            GraftPositionDeleteCommand(r.name, PositionDeleteRun(g, cond))
+          case _ => d
+        }
+        case _ => d
+      }
+  }
+}
+
+/** Opaque capsule for the command's work: not an Expression/LogicalPlan
+  * product element, so the analyzer's leaf-command checks see no loose
+  * attribute references (the condition is already bound to the merged
+  * view inside [[GraftSnapshotTable.positionsMatching]]'s plan).
+  */
+class PositionDeleteRun(table: GraftSnapshotTable, cond: Expression) {
+  def execute(): Unit = table.runPositionDelete(cond)
+  override def toString: String = s"cond=$cond"
+}
+object PositionDeleteRun {
+  def apply(table: GraftSnapshotTable, cond: Expression) =
+    new PositionDeleteRun(table, cond)
+}
+
+/** The eagerly-executed command `DELETE FROM` resolves to on a
+  * position-delete table: one distributed job computes matched
+  * `(file_path, pos)` rows, one metadata commit registers them.
+  */
+case class GraftPositionDeleteCommand(
+    tableName: String, work: PositionDeleteRun) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = { work.execute(); Seq.empty }
+  override def simpleString(maxFields: Int): String =
+    s"GraftPositionDelete $tableName ($work)"
+}

@@ -175,6 +175,44 @@ object CatalogOps {
     results.toDF("mode", "n_rows", "total_cents").orderBy("mode")
   }
 
+  /** t15: SQL `DELETE FROM` via the POSITION-delete write path — the
+    * table declares merge-on-read deletes but NO merge keys, so the
+    * DELETE lands a position-delete file naming the matched rows'
+    * (file, row-index) identities (PositionDeleteWrite.scala), rewrites
+    * zero data files, and the merged scan must equal the oracle's
+    * direct filter over raw orders. The mechanics (delete flavor,
+    * no-rewrite, compaction lifecycle) are pinned by SqlCatalogSpec;
+    * this gate pins the RESULT.
+    */
+  def posDeleteQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val root = Files.createTempDirectory("graft_t15").toString
+    val catName = s"t15c${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$catName", "graft.catalog.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catName.root", root)
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("v")
+    cat.createTable("v.pdel", orders.schema,
+      sortOrder = Seq(SortField("o_orderkey")),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    cat.insert("v.pdel", orders)
+    val before = cat.loadMeta("v.pdel").current.get.files.map(_.path).toSet
+    spark.sql(s"DELETE FROM $catName.v.pdel " +
+      "WHERE o_orderkey % 16 = 4 AND o_totalprice > 1000")
+    val snap = cat.loadMeta("v.pdel").current.get
+    require(snap.files.map(_.path).toSet == before,
+      "t15 must rewrite zero data files")
+    require(Option(snap.deletes).getOrElse(Seq.empty).forall(_.isPositional),
+      "t15 must land position deletes")
+    val out = cat.scan("v.pdel")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .collect()(0)
+    cleanup(cat, "v.pdel")
+    import spark.implicits._
+    Seq((out.getLong(0), out.getLong(1))).toDF("n_rows", "total_cents")
+  }
+
   /** t14: incremental APPEND scan (Iceberg's incremental read) — a table
     * seeded with one third of orders, then appended and MOR-upserted;
     * `changesSince(firstSnapshot)` must yield exactly the rows ADDED

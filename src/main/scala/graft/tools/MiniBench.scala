@@ -12,6 +12,7 @@ object MiniBench {
     val names = if (args.length > 1) args.tail.toSeq else Seq("q1_agg", "t7_files", "t8_time_travel", "t9_merge_upsert")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions) // match Bench's session
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

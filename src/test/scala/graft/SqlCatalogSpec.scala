@@ -761,6 +761,53 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString.contains("LeftAnti"))
   }
 
+  test("SQL DELETE without merge keys writes position deletes (merge-on-read)") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    // delete mode merge-on-read, NO graft.merge-keys: the case Iceberg
+    // engines serve with position-delete files
+    spark.sql(
+      """CREATE TABLE graft.pd.nk (id BIGINT, v STRING)
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("pdnk_seed")
+    spark.sql("INSERT INTO graft.pd.nk SELECT * FROM pdnk_seed")
+    val before = cat.loadMeta("pd.nk").current.get.files.map(_.path).toSet
+
+    spark.sql("DELETE FROM graft.pd.nk WHERE id BETWEEN 5 AND 14 AND v LIKE 'v%'")
+    val snap = cat.loadMeta("pd.nk").current.get
+    assert(snap.files.map(_.path).toSet == before,
+      "position-delete DELETE must rewrite zero data files")
+    val dels = Option(snap.deletes).getOrElse(Seq.empty)
+    assert(dels.nonEmpty && dels.forall(_.isPositional),
+      s"expected pending position deletes, got $dels")
+    assert(dels.map(_.rowCount).sum == 10L)
+    // the .deletes metadata table reports the position flavor
+    assert(spark.sql("SELECT kind, row_count FROM graft.pd.nk.deletes")
+      .as[(String, Long)].collect().toSeq == Seq(("position", 10L)))
+    // scans mask exactly the matched rows
+    assert(spark.sql("SELECT id FROM graft.pd.nk").as[Long].collect().sorted.toSeq ==
+      ((1L to 4L) ++ (15L to 40L)))
+    assert(cat.scan("pd.nk").count() == 30)
+
+    // a second DELETE composes on the merged view
+    spark.sql("DELETE FROM graft.pd.nk WHERE id = 40")
+    assert(spark.sql("SELECT count(*) FROM graft.pd.nk").head().getLong(0) == 29L)
+    // a DELETE matching nothing commits nothing (no empty delete-file debt)
+    val nDels = Option(cat.loadMeta("pd.nk").current.get.deletes)
+      .getOrElse(Seq.empty).size
+    spark.sql("DELETE FROM graft.pd.nk WHERE id = 999")
+    assert(Option(cat.loadMeta("pd.nk").current.get.deletes)
+      .getOrElse(Seq.empty).size == nDels,
+      "no-match DELETE must not add a delete file")
+
+    // compaction materializes the masks and clears the debt
+    cat.compact("pd.nk")
+    assert(Option(cat.loadMeta("pd.nk").current.get.deletes).forall(_.isEmpty))
+    assert(spark.sql("SELECT id FROM graft.pd.nk").as[Long].collect().sorted.toSeq ==
+      ((1L to 4L) ++ (15L to 39L)))
+  }
+
   test("heavy delete debt: SQL reads fall back to the distributed anti-join") {
     import graft.catalog.ManifestPrune
     import spark.implicits._
