@@ -70,7 +70,12 @@ object RestServer {
     */
   case class Token(
       value: String, name: String = "", readOnly: Boolean = false,
-      clientId: String = "", clientSecret: String = "")
+      clientId: String = "", clientSecret: String = "",
+      /** Non-empty = per-table credential (config `accessConfig.table`):
+        * the session gets the vended-token treatment — that one table's
+        * read surface, nothing else.
+        */
+      scope: String = "")
 
   /** `scope=Some(ident)` marks a VENDED table credential: the session may
     * only read that one table (the reference's per-table credential model
@@ -88,6 +93,16 @@ object RestServer {
       port: Int = 0,
       tokens: Seq[Token] = Seq.empty,
       allowAnonymous: Boolean = false,
+      /** Anonymous sessions are read-only when set (the reference's
+        * AnonymousAccess default); the CLI's bare `--allow-anonymous`
+        * keeps the historical read-write behavior.
+        */
+      anonymousReadOnly: Boolean = false,
+      /** Catalog-wide maintenance policy defaults (config `maintenance`)
+        * applied by the on-demand maintenance route; per-table properties
+        * override key by key.
+        */
+      maintenanceDefaults: Maintenance.Policy = Maintenance.Policy(),
       /** Mint per-table scoped tokens into every LoadTableResponse
         * `config` (RESTCatalogMiddlewareTableCredentials.java:41-68: the
         * reference stamps vended AWS credentials + expiry into the same
@@ -143,14 +158,16 @@ object RestServer {
         tokens.find(t =>
           java.security.MessageDigest.isEqual(provided,
             t.value.getBytes(StandardCharsets.UTF_8)))
-          .map(t => Session(t.name, t.readOnly))
+          .map(t => Session(t.name, t.readOnly,
+            scope = Option(t.scope).filter(_.nonEmpty)))
           .orElse(vendedTokens.entrySet().asScala.find(e =>
             java.security.MessageDigest.isEqual(provided,
               e.getValue.value.getBytes(StandardCharsets.UTF_8)) &&
               e.getValue.expiresAtMs > System.currentTimeMillis())
             .map(e => Session(s"vended:${e.getKey}", readOnly = true,
               scope = Some(e.getKey))))
-      } else if (allowAnonymous) Some(Session("anonymous", readOnly = false))
+      } else if (allowAnonymous)
+        Some(Session("anonymous", readOnly = anonymousReadOnly))
       else None
     }
 
@@ -416,7 +433,8 @@ object RestServer {
           // policy now (the scheduled Runner's per-table pass, triggered
           // over the wire) and report each job's outcome
           requireTable(s"$ns.$t")
-          val reports = new Maintenance.Runner(cat).runTable(s"$ns.$t")
+          val reports =
+            new Maintenance.Runner(cat, maintenanceDefaults).runTable(s"$ns.$t")
           sendJson(ex, 200, Map("reports" -> reports.map(r => Map(
             "job" -> r.job, "detail" -> r.detail,
             "error" -> r.error.orNull))))

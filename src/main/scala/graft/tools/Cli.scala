@@ -20,6 +20,10 @@ import graft.catalog.IceCatalog._
   *
   * Usage:
   *   graft --root /path/to/catalog <command> [args...]
+  *   graft --config /path/to/config.yaml <command> [args...]
+  *     (config precedence: --config flag, $GRAFT_CONFIG, ./.graft.yaml;
+  *      supplies root/port/tokens/anonymous/maintenance defaults — see
+  *      [[GraftConfig]]; explicit CLI flags always win)
   *
   *   check
   *   create-namespace <ns>         list-namespaces [parent]
@@ -56,6 +60,8 @@ import graft.catalog.IceCatalog._
   *   maintain <ns.t>
   *   export [file]                 import <file>
   *   serve [--port N] [--token value[:ro]]... [--allow-anonymous]
+  *         (with --config: bearer tokens incl. per-table access, anonymous
+  *          read-only, vended credentials, scheduled maintenance)
   */
 object Cli {
 
@@ -79,9 +85,20 @@ object Cli {
         _.awaitTermination()): Int =
     try {
       val (flags, pos) = parse(args)
-      val root = flags.getOrElse("root",
-        sys.env.getOrElse("GRAFT_CATALOG_ROOT",
-          fail("missing --root (or GRAFT_CATALOG_ROOT)")))
+      // config file (reference `-c config.yaml` UX): explicit flag, then
+      // $GRAFT_CONFIG, then ./.graft.yaml if present; CLI flags override
+      // config values, config outranks ambient env
+      val cfg = flags.get("config").orElse(flags.get("c"))
+        .orElse(sys.env.get("GRAFT_CONFIG"))
+        .map(GraftConfig.load(_))
+        .orElse(
+          Option(".graft.yaml")
+            .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+            .map(GraftConfig.load(_)))
+        .getOrElse(GraftConfig())
+      val root = flags.get("root").orElse(cfg.root)
+        .orElse(sys.env.get("GRAFT_CATALOG_ROOT"))
+        .getOrElse(fail("missing --root (or config root / GRAFT_CATALOG_ROOT)"))
       val cat = new IceCatalog(spark, root)
       pos match {
         case Seq("check") =>
@@ -285,7 +302,7 @@ object Cli {
           cat.dropTable(ident); out.println(s"deleted $ident")
 
         case Seq("maintain", ident) =>
-          new Maintenance.Runner(cat).runTable(ident).foreach(r =>
+          new Maintenance.Runner(cat, cfg.maintenance).runTable(ident).foreach(r =>
             out.println(s"${r.job}\t${r.detail}${r.error.fold("")(e => s"\tERROR $e")}"))
 
         case Seq("export") => out.println(cat.exportCatalog())
@@ -299,19 +316,31 @@ object Cli {
           out.println("imported")
 
         case Seq("serve") =>
-          val tokens = flags.get("token").toSeq.flatMap(_.split(',')).map { t =>
+          val flagTokens = flags.get("token").toSeq.flatMap(_.split(',')).map { t =>
             t.split(':') match {
               case Array(v) => RestServer.Token(v)
               case Array(v, "ro") => RestServer.Token(v, readOnly = true)
               case _ => fail(s"bad --token: $t")
             }
           }
+          // the bare flag keeps its historical read-write anonymous;
+          // config-driven anonymous defaults to read-only (reference UX)
+          val anonFlag = flags.contains("allow-anonymous")
           val server = new RestServer.Server(cat,
-            port = flags.get("port").map(_.toInt).getOrElse(8181),
-            tokens = tokens,
-            allowAnonymous = flags.contains("allow-anonymous")).start()
+            port = flags.get("port").map(_.toInt).orElse(cfg.port).getOrElse(8181),
+            tokens = cfg.tokens ++ flagTokens,
+            allowAnonymous = anonFlag || cfg.anonymousEnabled,
+            anonymousReadOnly = !anonFlag && cfg.anonymousReadOnly,
+            maintenanceDefaults = cfg.maintenance,
+            vendTableCredentials = cfg.vendTableCredentials).start()
+          // config-scheduled maintenance runs for the server's lifetime
+          val sched = cfg.maintenanceIntervalMs.map { ms =>
+            val s = new Maintenance.Scheduler(
+              new Maintenance.Runner(cat, cfg.maintenance), ms)
+            s.start(); s
+          }
           out.println(s"serving Iceberg REST catalog at ${server.url}")
-          onServe(server)
+          try onServe(server) finally sched.foreach(_.stop())
 
         case other =>
           fail(s"unknown command: ${other.mkString(" ")}")

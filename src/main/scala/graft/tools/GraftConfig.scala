@@ -1,0 +1,247 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
+
+import graft.catalog.{Maintenance, RestServer}
+
+/** CLI/server configuration loaded from a YAML (or JSON — YAML is a
+  * superset) file, the reference's operator UX: `ice -c config.yaml` /
+  * `.ice-rest-catalog.yaml` (ice/.../cli/Main.java:93,
+  * ice-rest-catalog/.../config/Config.java:175 `load`). Shape:
+  *
+  * {{{
+  * root: /path/to/catalog          # or warehouse: file:///path (alias)
+  * addr: 127.0.0.1:8181            # or port: 8181
+  * bearerTokens:
+  *   - name: admin
+  *     value: ${ADMIN_TOKEN}       # ${VAR} expands from the environment
+  *   - name: analyst
+  *     value: s3cret
+  *     accessConfig: { readOnly: true }
+  *   - name: feed
+  *     value: t0k3n
+  *     accessConfig: { table: ns.events }   # per-table (implies readOnly)
+  * anonymousAccess:
+  *   enabled: true
+  *   accessConfig: { readOnly: true }
+  * vendTableCredentials: true
+  * maintenanceSchedule: every 15m  # empty/absent = no scheduled runs
+  * maintenance:                    # catalog-wide policy defaults
+  *   jobs: [snapshot_cleanup, data_compaction]
+  *   ttlHours: 48
+  *   targetFileMB: 256
+  * }}}
+  *
+  * Unknown keys fail loudly (the reference's FAIL_ON_UNKNOWN_PROPERTIES),
+  * `${VAR}` referencing an unset variable fails loudly (silently keeping
+  * the literal would ship `${ADMIN_TOKEN}` as a real credential), and
+  * `$$` escapes a literal dollar.
+  */
+final case class GraftConfig(
+    root: Option[String] = None,
+    port: Option[Int] = None,
+    tokens: Seq[RestServer.Token] = Seq.empty,
+    anonymousEnabled: Boolean = false,
+    anonymousReadOnly: Boolean = true,
+    vendTableCredentials: Boolean = false,
+    maintenance: Maintenance.Policy = Maintenance.Policy(),
+    maintenanceIntervalMs: Option[Long] = None)
+
+object GraftConfig {
+
+  def load(path: String, env: String => Option[String] = sys.env.get): GraftConfig = {
+    val raw = Files.readString(Paths.get(path))
+    fromString(raw, env)
+  }
+
+  def fromString(raw: String, env: String => Option[String] = sys.env.get): GraftConfig = {
+    val expanded = expandEnv(raw, env)
+    val yaml = new Yaml(new SafeConstructor(new LoaderOptions()))
+    val parsed = Option(yaml.load[Object](expanded)).getOrElse(
+      new java.util.LinkedHashMap[Object, Object]())
+    build(asMap(parsed, "config"))
+  }
+
+  /** `${VAR}` → env value (error when unset); `$$` → literal `$`. */
+  private[graft] def expandEnv(text: String, env: String => Option[String]): String = {
+    val ref = """\$\$|\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
+    ref.replaceAllIn(text, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (m.matched == "$$") "$"
+        else env(m.group(1)).getOrElse(throw new IllegalArgumentException(
+          s"config references unset environment variable ${m.group(1)}"))))
+  }
+
+  // ---- typed extraction (snakeyaml SafeConstructor output) ----------------
+
+  private def asMap(v: Any, ctx: String): Map[String, Any] = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, value) => k.toString -> (value: Any) }.toMap
+    case other => fail(s"$ctx must be a mapping, got ${typeName(other)}")
+  }
+
+  private def asList(v: Any, ctx: String): Seq[Any] = v match {
+    case l: java.util.List[_] => l.asScala.toSeq
+    case other => fail(s"$ctx must be a list, got ${typeName(other)}")
+  }
+
+  private def str(v: Any, ctx: String): String = v match {
+    case s: String => s
+    case n: java.lang.Number => n.toString // unquoted scalars
+    case other => fail(s"$ctx must be a string, got ${typeName(other)}")
+  }
+
+  private def bool(v: Any, ctx: String): Boolean = v match {
+    case b: java.lang.Boolean => b.booleanValue()
+    case other => fail(s"$ctx must be a boolean, got ${typeName(other)}")
+  }
+
+  private def int(v: Any, ctx: String): Int = v match {
+    case n: java.lang.Number => n.intValue()
+    case other => fail(s"$ctx must be an integer, got ${typeName(other)}")
+  }
+
+  private def long(v: Any, ctx: String): Long = v match {
+    case n: java.lang.Number => n.longValue()
+    case other => fail(s"$ctx must be an integer, got ${typeName(other)}")
+  }
+
+  private def typeName(v: Any): String =
+    if (v == null) "null" else v.getClass.getSimpleName
+
+  private def checkKeys(m: Map[String, Any], allowed: Set[String], ctx: String): Unit = {
+    val unknown = m.keySet -- allowed
+    if (unknown.nonEmpty) fail(
+      s"unknown $ctx key(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+  }
+
+  // ---- sections -----------------------------------------------------------
+
+  private def build(m: Map[String, Any]): GraftConfig = {
+    checkKeys(m, Set("root", "warehouse", "addr", "port", "bearerTokens",
+      "anonymousAccess", "vendTableCredentials", "maintenanceSchedule",
+      "maintenance"), "config")
+    val root = m.get("root").map(str(_, "root"))
+      .orElse(m.get("warehouse").map(w =>
+        // reference spelling: file:///path — a local catalog root
+        str(w, "warehouse").stripPrefix("file://")))
+    val port = m.get("port").map(int(_, "port")).orElse(m.get("addr").map { a =>
+      val s = str(a, "addr")
+      val i = s.lastIndexOf(':')
+      if (i < 0) fail(s"addr must be host:port, got $s")
+      s.substring(i + 1).toIntOption.getOrElse(fail(s"bad addr port in $s"))
+    })
+    val tokens = m.get("bearerTokens").map(asList(_, "bearerTokens")).getOrElse(Seq.empty)
+      .zipWithIndex.map { case (t, i) => token(asMap(t, s"bearerTokens[$i]"), i) }
+    val names = tokens.map(_.name).filter(_.nonEmpty)
+    if (names.distinct.size != names.size)
+      fail("multiple bearer tokens share a name")
+    if (names.contains("anonymous"))
+      fail("token name \"anonymous\" is reserved")
+    val (anonEnabled, anonRO) = m.get("anonymousAccess") match {
+      case None => (false, true)
+      case Some(a) =>
+        val am = asMap(a, "anonymousAccess")
+        checkKeys(am, Set("enabled", "accessConfig"), "anonymousAccess")
+        val ro = am.get("accessConfig").map { ac =>
+          val acm = asMap(ac, "anonymousAccess.accessConfig")
+          checkKeys(acm, Set("readOnly"), "anonymousAccess.accessConfig")
+          acm.get("readOnly").forall(bool(_, "readOnly"))
+        }.getOrElse(true) // reference default: anonymous is read-only
+        (am.get("enabled").exists(bool(_, "enabled")), ro)
+    }
+    val interval = m.get("maintenanceSchedule")
+      .map(s => parseSchedule(str(s, "maintenanceSchedule")))
+    val policy = m.get("maintenance")
+      .map(p => maintenancePolicy(asMap(p, "maintenance")))
+      .getOrElse(Maintenance.Policy())
+    GraftConfig(
+      root = root,
+      port = port,
+      tokens = tokens,
+      anonymousEnabled = anonEnabled,
+      anonymousReadOnly = anonRO,
+      vendTableCredentials =
+        m.get("vendTableCredentials").exists(bool(_, "vendTableCredentials")),
+      maintenance = policy,
+      maintenanceIntervalMs = interval)
+  }
+
+  private def token(tm: Map[String, Any], i: Int): RestServer.Token = {
+    val ctx = s"bearerTokens[$i]"
+    checkKeys(tm, Set("name", "value", "clientId", "clientSecret", "accessConfig"), ctx)
+    val value = str(tm.getOrElse("value", fail(s"$ctx needs value")), s"$ctx.value")
+    val (ro, scope) = tm.get("accessConfig").map { ac =>
+      val acm = asMap(ac, s"$ctx.accessConfig")
+      checkKeys(acm, Set("readOnly", "table"), s"$ctx.accessConfig")
+      val table = acm.get("table").map(str(_, s"$ctx.accessConfig.table"))
+      // a per-table credential is the vended-token model: that table's
+      // read surface only, whatever readOnly says
+      (table.isDefined || acm.get("readOnly").exists(bool(_, "readOnly")),
+        table.getOrElse(""))
+    }.getOrElse((false, ""))
+    RestServer.Token(
+      value = value,
+      name = tm.get("name").map(str(_, s"$ctx.name")).getOrElse(""),
+      readOnly = ro,
+      clientId = tm.get("clientId").map(str(_, s"$ctx.clientId")).getOrElse(""),
+      clientSecret = tm.get("clientSecret").map(str(_, s"$ctx.clientSecret")).getOrElse(""),
+      scope = scope)
+  }
+
+  private def maintenancePolicy(pm: Map[String, Any]): Maintenance.Policy = {
+    checkKeys(pm, Set("jobs", "ttlHours", "minSnapshots", "targetFileMB",
+      "minInputFiles", "orphanRetentionDays", "maxManifestSegments",
+      "maxPendingDeleteRows", "dryRun"), "maintenance")
+    val d = Maintenance.Policy()
+    val jobs = pm.get("jobs").map {
+      case l: java.util.List[_] => l.asScala.map(j => str(j, "maintenance.jobs[]")).toSet
+      case s: String => s.split(',').map(_.trim).filter(_.nonEmpty).toSet
+      case other => fail(s"maintenance.jobs must be a list, got ${typeName(other)}")
+    }.getOrElse(d.jobs)
+    val bad = jobs -- Maintenance.AllJobs
+    if (bad.nonEmpty) fail(s"unknown maintenance job(s): ${bad.toSeq.sorted.mkString(", ")}")
+    Maintenance.Policy(
+      jobs = jobs,
+      ttlHours = pm.get("ttlHours").map(long(_, "ttlHours")).getOrElse(d.ttlHours),
+      minSnapshots = pm.get("minSnapshots").map(int(_, "minSnapshots")).getOrElse(d.minSnapshots),
+      targetFileMB = pm.get("targetFileMB").map(int(_, "targetFileMB")).getOrElse(d.targetFileMB),
+      minInputFiles = pm.get("minInputFiles").map(int(_, "minInputFiles")).getOrElse(d.minInputFiles),
+      orphanRetentionDays =
+        pm.get("orphanRetentionDays").map(int(_, "orphanRetentionDays")).getOrElse(d.orphanRetentionDays),
+      maxManifestSegments =
+        pm.get("maxManifestSegments").map(int(_, "maxManifestSegments")).getOrElse(d.maxManifestSegments),
+      maxPendingDeleteRows =
+        pm.get("maxPendingDeleteRows").map(long(_, "maxPendingDeleteRows")).getOrElse(d.maxPendingDeleteRows),
+      dryRun = pm.get("dryRun").exists(bool(_, "dryRun")))
+  }
+
+  /** `every 15m` / `every 30s` / `every 2h` (the shape of the reference's
+    * skedule strings its examples use), or a bare second count.
+    */
+  private[graft] def parseSchedule(s: String): Long = {
+    val t = s.trim.toLowerCase.stripPrefix("every").trim
+    val m = """(\d+)\s*(ms|s|m|h|d)?""".r
+    t match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case "ms" => 1L
+          case null | "s" => 1000L
+          case "m" => 60 * 1000L
+          case "h" => 3600 * 1000L
+          case "d" => 24 * 3600 * 1000L
+        }
+        n.toLong * mult
+      case _ => fail(s"bad maintenanceSchedule \"$s\" (want e.g. \"every 15m\")")
+    }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"invalid config: $msg")
+}

@@ -173,6 +173,77 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally served.stop()
   }
 
+  test("serve boots from -c config.yaml and enforces its token matrix") {
+    import spark.implicits._
+    // catalog root comes from the CONFIG file, not --root
+    val cfgRoot = Files.createTempDirectory("clicfgcat").toString
+    val cfgCat = new graft.catalog.IceCatalog(spark, cfgRoot)
+    cfgCat.createNamespace("web")
+    cfgCat.createTable("web.ev", Seq((1L, "a")).toDF("id", "v").schema)
+    cfgCat.insert("web.ev", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    cfgCat.createTable("web.other", Seq((1L, "a")).toDF("id", "v").schema)
+    val cfg = Files.createTempFile("graft", ".yaml")
+    Files.writeString(cfg,
+      s"""root: $cfgRoot
+         |port: 0
+         |bearerTokens:
+         |  - name: admin
+         |    value: adm1n
+         |  - name: analyst
+         |    value: r0
+         |    accessConfig: { readOnly: true }
+         |  - name: feed
+         |    value: sc0ped
+         |    accessConfig: { table: web.ev }
+         |maintenance:
+         |  jobs: [snapshot_cleanup]
+         |  ttlHours: 0
+         |""".stripMargin)
+    var served: graft.catalog.RestServer.Server = null
+    val buf = new ByteArrayOutputStream()
+    val code = Cli.run(Seq("--config", cfg.toString, "serve"),
+      spark, new PrintStream(buf, true), onServe = s => served = s)
+    assert(code == 0 && served != null, buf.toString)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def req(method: String, path: String, token: String): java.net.http.HttpResponse[String] = {
+        val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${served.url}$path"))
+        if (token != null) b.header("Authorization", s"Bearer $token")
+        val wb = method match {
+          case "GET" => b.GET()
+          case "POST" => b.POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}"))
+        }
+        client.send(wb.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      // no token: 401 (config declares no anonymous access)
+      assert(req("GET", "/v1/namespaces", null).statusCode() == 401)
+      // admin: read-write
+      assert(req("GET", "/v1/namespaces", "adm1n").statusCode() == 200)
+      assert(req("POST", "/v1/namespaces/web/tables/web2/maintenance", "adm1n")
+        .statusCode() != 401)
+      // analyst: reads ok, writes 403
+      assert(req("GET", "/v1/namespaces", "r0").statusCode() == 200)
+      assert(req("POST", "/v1/namespaces/web/tables/ev/maintenance", "r0")
+        .statusCode() == 403)
+      // per-table token: its table only
+      assert(req("GET", "/v1/namespaces/web/tables/ev", "sc0ped").statusCode() == 200)
+      assert(req("GET", "/v1/namespaces/web/tables/other", "sc0ped").statusCode() == 403)
+      assert(req("GET", "/v1/namespaces", "sc0ped").statusCode() == 403)
+      // config maintenance DEFAULTS drive the on-demand maintenance route:
+      // web.ev declares no maintenance.* properties, yet snapshot_cleanup
+      // (ttlHours 0 = expire all but current) runs from the catalog default
+      val before = cfgCat.loadMeta("web.ev").snapshots.size
+      cfgCat.insert("web.ev", Seq((3L, "c")).toDF("id", "v"))
+      assert(cfgCat.loadMeta("web.ev").snapshots.size == before + 1)
+      val mr = req("POST", "/v1/namespaces/web/tables/ev/maintenance", "adm1n")
+      assert(mr.statusCode() == 200 && mr.body().contains("snapshot_cleanup"),
+        mr.body())
+      assert(cfgCat.loadMeta("web.ev").snapshots.size == 1,
+        "config-default snapshot_cleanup must expire old snapshots")
+    } finally served.stop()
+  }
+
   test("alter-table applies the reference's JSON update vocabulary") {
     import spark.implicits._
     val (c0, _) = cli("create-table", "ns.alt", "--schema", "id BIGINT, v STRING")

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.Maintenance
+import graft.tools.GraftConfig
+
+/** Config-file parsing (reference `-c config.yaml` semantics): strict
+  * keys, env-var expansion, token/access shapes, maintenance defaults.
+  * Pure unit tests — the end-to-end boot is CliSpec/RestServerSpec.
+  */
+class GraftConfigSpec extends AnyFunSuite {
+
+  private def env(pairs: (String, String)*): String => Option[String] =
+    pairs.toMap.get _
+
+  test("full config round-trips") {
+    val c = GraftConfig.fromString(
+      """root: /tmp/cat
+        |addr: 0.0.0.0:9191
+        |bearerTokens:
+        |  - name: admin
+        |    value: ${ADMIN_TOKEN}
+        |  - name: analyst
+        |    value: ro1
+        |    accessConfig: { readOnly: true }
+        |  - name: feed
+        |    value: scoped1
+        |    accessConfig: { table: ns.events }
+        |anonymousAccess:
+        |  enabled: true
+        |  accessConfig: { readOnly: true }
+        |vendTableCredentials: true
+        |maintenanceSchedule: every 15m
+        |maintenance:
+        |  jobs: [snapshot_cleanup, data_compaction]
+        |  ttlHours: 48
+        |  targetFileMB: 256
+        |""".stripMargin, env("ADMIN_TOKEN" -> "sekret"))
+    assert(c.root.contains("/tmp/cat"))
+    assert(c.port.contains(9191))
+    assert(c.tokens.map(t => (t.name, t.value, t.readOnly, t.scope)) == Seq(
+      ("admin", "sekret", false, ""),
+      ("analyst", "ro1", true, ""),
+      ("feed", "scoped1", true, "ns.events"))) // table scope implies readOnly
+    assert(c.anonymousEnabled && c.anonymousReadOnly)
+    assert(c.vendTableCredentials)
+    assert(c.maintenanceIntervalMs.contains(15 * 60 * 1000L))
+    assert(c.maintenance.jobs == Set("snapshot_cleanup", "data_compaction"))
+    assert(c.maintenance.ttlHours == 48 && c.maintenance.targetFileMB == 256)
+    // unset fields keep policy defaults
+    assert(c.maintenance.minSnapshots == Maintenance.Policy().minSnapshots)
+  }
+
+  test("unset env var fails loudly; $$ escapes") {
+    val e = intercept[IllegalArgumentException](
+      GraftConfig.fromString("root: ${NOPE}\n", env()))
+    assert(e.getMessage.contains("NOPE"))
+    val c = GraftConfig.fromString("bearerTokens: [{value: a$$b}]\n", env())
+    assert(c.tokens.head.value == "a$b")
+  }
+
+  test("unknown keys fail at every level") {
+    val top = intercept[IllegalArgumentException](
+      GraftConfig.fromString("warhouse: /x\n", env()))
+    assert(top.getMessage.contains("warhouse"))
+    val tok = intercept[IllegalArgumentException](
+      GraftConfig.fromString("bearerTokens: [{value: v, scope: t}]\n", env()))
+    assert(tok.getMessage.contains("scope"))
+    val m = intercept[IllegalArgumentException](
+      GraftConfig.fromString("maintenance: {ttlDays: 3}\n", env()))
+    assert(m.getMessage.contains("ttlDays"))
+  }
+
+  test("token names must be unique and not 'anonymous'") {
+    assert(intercept[IllegalArgumentException](GraftConfig.fromString(
+      "bearerTokens: [{name: a, value: x}, {name: a, value: y}]\n", env()))
+      .getMessage.contains("share"))
+    assert(intercept[IllegalArgumentException](GraftConfig.fromString(
+      "bearerTokens: [{name: anonymous, value: x}]\n", env()))
+      .getMessage.contains("reserved"))
+  }
+
+  test("warehouse: file:// aliases root; JSON works too (YAML superset)") {
+    val c = GraftConfig.fromString("warehouse: file:///tmp/wh\n", env())
+    assert(c.root.contains("/tmp/wh"))
+    val j = GraftConfig.fromString(
+      """{"root": "/tmp/j", "port": 7070, "anonymousAccess": {"enabled": true}}""", env())
+    assert(j.root.contains("/tmp/j") && j.port.contains(7070) && j.anonymousEnabled)
+  }
+
+  test("schedule grammar") {
+    assert(GraftConfig.parseSchedule("every 30s") == 30000L)
+    assert(GraftConfig.parseSchedule("every 2h") == 7200000L)
+    assert(GraftConfig.parseSchedule("45") == 45000L)
+    assert(intercept[IllegalArgumentException](
+      GraftConfig.parseSchedule("every blue moon")).getMessage.contains("maintenanceSchedule"))
+  }
+
+  test("unknown maintenance job is refused") {
+    assert(intercept[IllegalArgumentException](GraftConfig.fromString(
+      "maintenance: {jobs: [vacuum]}\n", env())).getMessage.contains("vacuum"))
+  }
+}
