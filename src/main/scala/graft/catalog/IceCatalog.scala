@@ -185,7 +185,10 @@ object IceCatalog {
       // union-by-name schema evolution on insert (SchemaEvolution.java):
       // columns new to the table are ADDED (nullable, fresh field id),
       // table columns missing from the input are filled with NULL
-      evolveSchema: Boolean = false)
+      evolveSchema: Boolean = false,
+      // parquet codec for the written data files (`ice insert
+      // --compression`, Main.java:541): None = session default
+      compression: Option[String] = None)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
@@ -1273,7 +1276,8 @@ class IceCatalog(
       } else throw new IllegalStateException(
         s"duplicate source files (use skipDuplicates or forceDuplicates): ${dupes.take(3)}")
 
-    val files = writeArranged(ident, toInsert, meta)
+    val files = writeArranged(ident, toInsert, meta,
+      compression = options.compression)
     if (options.noCommit) return meta
     timed("insert.commit")(
       commitSnap(ident)(_ => SnapDelta("append", add = files, addSources = incoming)))
@@ -1298,7 +1302,8 @@ class IceCatalog(
       ident: String,
       df: DataFrame,
       meta: TableMeta,
-      coalesceTo: Option[Int] = None): Seq[DataFileMeta] = {
+      coalesceTo: Option[Int] = None,
+      compression: Option[String] = None): Seq[DataFileMeta] = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = tableDir(ident).resolve("data").resolve(commitId)
     val dirNames = meta.partitionSpec.map(partDirName)
@@ -1345,7 +1350,8 @@ class IceCatalog(
       }
     timed("arranged.write") {
       withWriteConf {
-        val writer = arranged.write.mode("append")
+        val writer0 = arranged.write.mode("append")
+        val writer = compression.fold(writer0)(writer0.option("compression", _))
         (if (dirNames.nonEmpty) writer.partitionBy(dirNames: _*) else writer)
           .parquet(dataDir.toString)
       }

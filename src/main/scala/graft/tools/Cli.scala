@@ -34,6 +34,9 @@ import graft.catalog.IceCatalog._
   *   insert <ns.t> <parquet-path>... [--no-copy] [--force-outside-location]
   *                [--skip-duplicates] [--commit-retries N]
   *                [--commit-retry-total-ms M]
+  *                [--compression uncompressed|snappy|gzip|zstd|lz4]
+  *                [--data-file-naming-strategy DEFAULT|PRESERVE_ORIGINAL]
+  *                [--retry-list <file> [--retry-list-exit-code N]]
   *                (paths may contain * wildcards — expanded through the
   *                 catalog's FileIO, so globs work on local dirs and
   *                 mounted object-store planes alike; http(s):// inputs
@@ -172,24 +175,72 @@ object Cli {
           onWatch(q)
 
         case "insert" +: ident +: paths0 if paths0.nonEmpty =>
-          val paths = expandGlobs(cat.io, fetchHttp(paths0,
+          val allPaths = expandGlobs(cat.io, fetchHttp(paths0,
             httpCacheDir = flags.get("http-cache"),
             noCopy = flags.contains("no-copy")))
-          val opts = InsertOptions(skipDuplicates = flags.contains("skip-duplicates"))
-          if (flags.contains("no-copy")) {
-            // --commit-retries/--commit-retry-total-ms: budgeted retry on
-            // external CAS conflicts (reference Insert.java:134-140)
-            cat.addFilesWithRetry(ident, paths,
-              forceOutsideLocation = flags.contains("force-outside-location"),
-              options = opts,
-              retries = flags.get("commit-retries").map(_.toInt).getOrElse(4),
-              retryTotalMs =
-                flags.get("commit-retry-total-ms").map(_.toLong).getOrElse(60000L))
-            out.println(s"registered ${paths.length} file(s) into $ident (no-copy)")
-          } else {
-            val df = spark.read.parquet(paths: _*)
-            cat.insert(ident, df, opts)
-            out.println(s"inserted ${paths.length} path(s) into $ident")
+          // --retry-list: unreadable inputs (missing file, corrupt footer)
+          // are set aside instead of failing the whole batch; their paths
+          // land in the retry file and the exit code flags them
+          // (Main.java:497-507 `cat ice.retry | ice insert -` workflow)
+          val retryList = flags.get("retry-list")
+          val (paths, badPaths) = retryList match {
+            case None => (allPaths, Seq.empty[String])
+            case Some(_) => allPaths.partition(p =>
+              // footer probe: schema inference reads the footer(s) and
+              // throws on missing paths and corrupt files alike
+              scala.util.Try(spark.read.parquet(p).schema).isSuccess)
+          }
+          val compression = flags.get("compression").map { c =>
+            val ok = Set("uncompressed", "snappy", "gzip", "zstd", "lz4")
+            if (!ok(c.toLowerCase)) fail(
+              s"unsupported --compression $c (want: ${ok.toSeq.sorted.mkString(", ")})")
+            c.toLowerCase
+          }
+          val naming = flags.getOrElse("data-file-naming-strategy", "DEFAULT")
+          val opts = InsertOptions(
+            skipDuplicates = flags.contains("skip-duplicates"),
+            compression = compression)
+          val retries = flags.get("commit-retries").map(_.toInt).getOrElse(4)
+          val retryTotalMs =
+            flags.get("commit-retry-total-ms").map(_.toLong).getOrElse(60000L)
+          if (paths.nonEmpty) naming match {
+            case _ if flags.contains("no-copy") =>
+              // --commit-retries/--commit-retry-total-ms: budgeted retry on
+              // external CAS conflicts (reference Insert.java:134-140)
+              cat.addFilesWithRetry(ident, paths,
+                forceOutsideLocation = flags.contains("force-outside-location"),
+                options = opts,
+                retries = retries, retryTotalMs = retryTotalMs)
+              out.println(s"registered ${paths.length} file(s) into $ident (no-copy)")
+            case "PRESERVE_ORIGINAL" =>
+              // byte-copy each source file under the table's data dir
+              // keeping its name (and its compression — the reference's
+              // `--compression as-source` copy), then register the copies
+              // through the same validated no-copy path (Insert.java:195
+              // DataFileNamingStrategy.PreserveOriginal)
+              if (compression.isDefined) fail(
+                "--compression does not apply to PRESERVE_ORIGINAL (bytes copy as-source)")
+              val copied = copyPreservingNames(cat, ident, paths)
+              cat.addFilesWithRetry(ident, copied, options = opts,
+                retries = retries, retryTotalMs = retryTotalMs)
+              out.println(s"inserted ${copied.length} file(s) into $ident " +
+                "(names preserved)")
+            case "DEFAULT" =>
+              val df = spark.read.parquet(paths: _*)
+              cat.insert(ident, df, opts)
+              out.println(s"inserted ${paths.length} path(s) into $ident")
+            case other =>
+              fail(s"bad --data-file-naming-strategy $other (DEFAULT | PRESERVE_ORIGINAL)")
+          }
+          retryList.foreach { f =>
+            java.nio.file.Files.write(java.nio.file.Paths.get(f),
+              badPaths.mkString("", "\n", if (badPaths.isEmpty) "" else "\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            if (badPaths.nonEmpty) {
+              out.println(s"${badPaths.length} unreadable file(s) written to $f")
+              // --retry-list-exit-code (default 0, the reference's default)
+              return flags.get("retry-list-exit-code").map(_.toInt).getOrElse(0)
+            }
           }
 
         case Seq("scan", ident) =>
@@ -390,6 +441,30 @@ object Cli {
   }
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  /** PRESERVE_ORIGINAL staging: byte-copy each source parquet under the
+    * table's data dir keeping its file name (collisions refused), so the
+    * subsequent no-copy registration manifests files whose names match
+    * the source — the reference's DataFileNamingStrategy.PreserveOriginal.
+    */
+  private def copyPreservingNames(
+      cat: IceCatalog, ident: String, paths: Seq[String]): Seq[String] = {
+    def local(p: String) =
+      if (p.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(p))
+      else java.nio.file.Paths.get(p)
+    val names = paths.map(p => local(p).getFileName.toString)
+    val dup = names.diff(names.distinct).distinct
+    if (dup.nonEmpty) fail(
+      s"PRESERVE_ORIGINAL file-name collision: ${dup.take(3).mkString(", ")}")
+    val dest = local(cat.tableLocation(ident)).resolve("data")
+      .resolve(s"ingest-${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.createDirectories(dest)
+    paths.zip(names).map { case (src, name) =>
+      val to = dest.resolve(name)
+      java.nio.file.Files.copy(local(src), to)
+      to.toString
+    }
+  }
 
   /** `name<op>value` → [[PartitionFilter]], with the reference's operator
     * set (Delete.java:128-134). Two-char operators are tried first so

@@ -173,6 +173,92 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally served.stop()
   }
 
+  test("insert --compression lands the requested parquet codec") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.cmp", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val staging = Files.createTempDirectory("cli-cmp")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("in").toString)
+    assert(cli("insert", "ns.cmp", staging.resolve("in").toString,
+      "--compression", "zstd")._1 == 0)
+    // verify from the written file's FOOTER, not trust the flag
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    val codecs = cat.files("ns.cmp").flatMap { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.path),
+          new org.apache.hadoop.conf.Configuration()))
+      try rd.getFooter.getBlocks.asScala.flatMap(
+        _.getColumns.asScala.map(_.getCodec.toString)).toSeq
+      finally rd.close()
+    }
+    assert(codecs.nonEmpty && codecs.forall(_ == "ZSTD"), codecs.toString)
+    assert(cli("count", "ns.cmp") == (0, Seq("2")))
+    assert(cli("insert", "ns.cmp", staging.resolve("in").toString,
+      "--compression", "brotli")._2.exists(_.contains("unsupported")))
+  }
+
+  test("insert --data-file-naming-strategy PRESERVE_ORIGINAL keeps source names") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.keep", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val staging = Files.createTempDirectory("cli-keep")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("out").toString)
+    val src = Files.list(staging.resolve("out")).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val named = staging.resolve("events-2026-08-13.parquet")
+    Files.copy(src, named)
+    val (c, out) = cli("insert", "ns.keep", named.toString,
+      "--data-file-naming-strategy", "PRESERVE_ORIGINAL")
+    assert(c == 0 && out.exists(_.contains("names preserved")), out.toString)
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    val manifested = cat.files("ns.keep").map(_.path)
+    assert(manifested.size == 1 &&
+      manifested.head.endsWith("/events-2026-08-13.parquet"),
+      s"manifest must carry the source file name: $manifested")
+    assert(manifested.head.contains("/data/"),
+      "preserved-name copy must live under the table's data dir")
+    assert(cli("count", "ns.keep") == (0, Seq("2")))
+    // two inputs sharing a basename cannot both keep their name: refused
+    // loudly before anything is copied or committed
+    val other = Files.createDirectory(staging.resolve("elsewhere"))
+      .resolve("events-2026-08-13.parquet")
+    Files.copy(src, other)
+    val (c2, out2) = cli("insert", "ns.keep", named.toString, other.toString,
+      "--data-file-naming-strategy", "PRESERVE_ORIGINAL")
+    assert(c2 == 1 && out2.exists(_.contains("collision")), (c2, out2).toString)
+    assert(cli("count", "ns.keep") == (0, Seq("2")), "refused batch must change nothing")
+  }
+
+  test("insert --retry-list isolates unreadable inputs and sets the exit code") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.rt", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val staging = Files.createTempDirectory("cli-rt")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("good").toString)
+    val corrupt = staging.resolve("corrupt.parquet")
+    Files.writeString(corrupt, "this is not parquet")
+    val missing = staging.resolve("missing.parquet").toString
+    val retry = staging.resolve("ice.retry").toString
+    val (code, out) = cli("insert", "ns.rt",
+      staging.resolve("good").toString, corrupt.toString, missing,
+      "--retry-list", retry, "--retry-list-exit-code", "7")
+    assert(code == 7, (code, out).toString)
+    val listed = Files.readString(java.nio.file.Paths.get(retry))
+      .linesIterator.toSeq
+    assert(listed.toSet == Set(corrupt.toString, missing),
+      s"retry list must name exactly the unreadable inputs: $listed")
+    // the good path still landed in the same run
+    assert(cli("count", "ns.rt") == (0, Seq("3")))
+    // a clean batch truncates the list and exits 0
+    Seq((4L, "d")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("good2").toString)
+    assert(cli("insert", "ns.rt", staging.resolve("good2").toString,
+      "--retry-list", retry, "--retry-list-exit-code", "7")._1 == 0)
+    assert(Files.readString(java.nio.file.Paths.get(retry)).isEmpty)
+    assert(cli("count", "ns.rt") == (0, Seq("4")))
+  }
+
   test("serve boots from -c config.yaml and enforces its token matrix") {
     import spark.implicits._
     // catalog root comes from the CONFIG file, not --root
