@@ -51,13 +51,31 @@ object Metrics {
         .replace("\n", "\\n")}""""
     }.mkString(s"$family{", ",", "}")
 
+  /** Registered last-value gauges (watch progress: last epoch, last batch
+    * wall-clock) — rendered with `# TYPE gauge` alongside the scrape-time
+    * gauges the caller computes.
+    */
+  private val gaugeVals =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  def setGauge(name: String, v: Long): Unit =
+    gaugeVals.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong())
+      .set(v)
+
+  def setGaugeLabeled(family: String, labels: Seq[(String, String)], v: Long): Unit =
+    setGauge(series(family, labels), v)
+
+  def gaugeValue(name: String): Option[Long] =
+    Option(gaugeVals.get(name)).map(_.get())
+
   def value(name: String): Long =
     Option(counters.get(name)).map(_.sum()).getOrElse(0L)
 
   def snapshot(): Map[String, Long] =
     counters.asScala.map { case (k, v) => k -> v.sum() }.toMap
 
-  private[graft] def reset(): Unit = { counters.clear(); doubles.clear() }
+  private[graft] def reset(): Unit =
+    { counters.clear(); doubles.clear(); gaugeVals.clear() }
 
   private def familyOf(key: String): String = key.takeWhile(_ != '{')
 
@@ -81,6 +99,14 @@ object Metrics {
     }
     gauges.toSeq.sortBy(_._1).foreach { case (name, v) =>
       sb.append(s"# TYPE $name gauge\n$name $v\n")
+    }
+    val regGauges = gaugeVals.asScala.map { case (k, v) => k -> v.get() }
+      .toSeq.sortBy(_._1)
+    var lastGaugeFam = ""
+    regGauges.foreach { case (key, v) =>
+      val fam = familyOf(key)
+      if (fam != lastGaugeFam) { sb.append(s"# TYPE $fam gauge\n"); lastGaugeFam = fam }
+      sb.append(s"$key $v\n")
     }
     sb.toString
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.catalog.IceCatalog
+import graft.catalog.{IceCatalog, Metrics}
 import graft.catalog.IceCatalog.InsertOptions
 import graft.operators.Dedup
 import graft.sources.Tables
@@ -44,12 +44,49 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(watchDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        cat.insert(ident, batch, InsertOptions(skipDuplicates = true)): Unit
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        watchInstrumented(ident, epoch, batch) {
+          val before = cat.countRows(ident) // manifest counts, zero scan
+          cat.insert(ident, batch, InsertOptions(skipDuplicates = true))
+          Metrics.incLabeled("graft_watch_rows_ingested_total",
+            Seq("table" -> ident), cat.countRows(ident) - before)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
+
+  /** Watch-progress observability (reference InsertWatchMetrics.java,
+    * `--watch-debug-addr`): per-table counters/gauges in the process-wide
+    * [[Metrics]] registry, scraped via the REST server's `GET /metrics` —
+    * files discovered, rows ingested, batches committed/failed, batch
+    * seconds, last completed epoch, and the last-batch wall-clock (lag =
+    * scrape time minus it).
+    */
+  private def watchInstrumented(
+      ident: String, epoch: Long, batch: DataFrame)(body: => Unit): Unit = {
+    val labels = Seq("table" -> ident)
+    // micro-batch frames report no inputFiles from the plan — count the
+    // serving files directly (one scan of just this batch's files; the
+    // reference gets the same number from its SQS event stream)
+    Metrics.incLabeled("graft_watch_files_discovered_total", labels,
+      scala.util.Try(batch.select(input_file_name().as("f"))
+        .filter(col("f") =!= "").distinct().count()).getOrElse(0L))
+    val t0 = System.nanoTime()
+    try {
+      body
+      Metrics.incLabeled("graft_watch_batches_total", labels)
+      Metrics.addSeconds("graft_watch_batch_seconds_total", labels,
+        (System.nanoTime() - t0) / 1e9)
+      Metrics.setGaugeLabeled("graft_watch_last_epoch", labels, epoch)
+      Metrics.setGaugeLabeled("graft_watch_last_batch_timestamp_ms", labels,
+        System.currentTimeMillis())
+    } catch {
+      case e: Throwable =>
+        Metrics.incLabeled("graft_watch_batches_failed_total", labels)
+        throw e
+    }
   }
 
   /** Continuous keyed MERGE (CDC-style ingestion): watch `watchDir` and
@@ -81,17 +118,19 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(watchDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val others = schema.fieldNames.filterNot(n =>
-          keyCols.contains(n) || n == versionCol).map(n => col(n).desc).toSeq
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(versionCol).desc +: others: _*)
-        val latest = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        if (mergeOnRead) cat.upsertMergeOnRead(ident, latest, keyCols)
-        else cat.upsert(ident, latest, keyCols)
-        (): Unit
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        watchInstrumented(ident, epoch, batch) {
+          val others = schema.fieldNames.filterNot(n =>
+            keyCols.contains(n) || n == versionCol).map(n => col(n).desc).toSeq
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col(versionCol).desc +: others: _*)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          if (mergeOnRead) cat.upsertMergeOnRead(ident, latest, keyCols)
+          else cat.upsert(ident, latest, keyCols)
+          (): Unit
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

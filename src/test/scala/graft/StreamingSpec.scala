@@ -41,6 +41,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.listSnapshots("s.t").length == 2)
   }
 
+  test("watch progress is observable through the metrics registry") {
+    import spark.implicits._
+    import graft.catalog.{Metrics, RestServer}
+    val watch = Files.createTempDirectory("watchobs").toString
+    val ckpt = Files.createTempDirectory("ckptobs").toString
+    val root = Files.createTempDirectory("catobs").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("s")
+    cat.createTable("s.obs", Seq((1L, "a")).toDF("id", "v").schema)
+    val labels = Seq("table" -> "s.obs")
+    def counter(fam: String) = Metrics.value(Metrics.series(fam, labels))
+    val batches0 = counter("graft_watch_batches_total")
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$watch/f1")
+    Streams.watchAndIngest(spark, cat, "s.obs", s"$watch/*/", ckpt)
+      .awaitTermination()
+    assert(counter("graft_watch_batches_total") == batches0 + 1)
+    assert(counter("graft_watch_rows_ingested_total") == 2)
+    assert(counter("graft_watch_files_discovered_total") >= 1)
+    assert(counter("graft_watch_batches_failed_total") == 0)
+    val epoch = Metrics.gaugeValue(Metrics.series("graft_watch_last_epoch", labels))
+    assert(epoch.contains(0L), s"first epoch must register: $epoch")
+    val lastTs = Metrics.gaugeValue(
+      Metrics.series("graft_watch_last_batch_timestamp_ms", labels))
+    assert(lastTs.exists(t => System.currentTimeMillis() - t < 120000L),
+      "last-batch wall clock (lag numerator) must be fresh")
+
+    // a second drop advances epoch and accumulates counters
+    Seq((3L, "c")).toDF("id", "v").coalesce(1).write.parquet(s"$watch/f2")
+    Streams.watchAndIngest(spark, cat, "s.obs", s"$watch/*/", ckpt)
+      .awaitTermination()
+    assert(counter("graft_watch_rows_ingested_total") == 3)
+
+    // ...and the REST server exposes the series on GET /metrics
+    val server = new RestServer.Server(cat,
+      tokens = Seq(RestServer.Token("obs-tok"))).start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${server.url}/metrics"))
+          .header("Authorization", "Bearer obs-tok").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      val body = resp.body()
+      assert(body.contains("""graft_watch_rows_ingested_total{table="s.obs"} 3"""),
+        body.linesIterator.filter(_.contains("graft_watch")).mkString("\n"))
+      assert(body.contains("# TYPE graft_watch_last_epoch gauge"))
+      assert(body.contains("""graft_watch_last_epoch{table="s.obs"}"""))
+      assert(body.contains("""graft_watch_batch_seconds_total{table="s.obs"}"""))
+    } finally server.stop()
+  }
+
   test("watchAndMerge upserts CDC batches by key, highest version wins") {
     import spark.implicits._
     val watch = Files.createTempDirectory("watchm").toString
