@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{IceCatalog, RestServer}
+
+/** LIVE Iceberg SDK interop: drive a real `org.apache.iceberg.rest.
+  * RESTCatalog` client against `graft serve`. The sandbox has no
+  * `org.apache.iceberg` artifacts (zero egress, offline coursier cache —
+  * re-verified every round), so this spec AUTO-SKIPS when no SDK jar is
+  * found and RestConformanceSpec's golden wire fixtures stand in as the
+  * conformance evidence. The moment a vendored `iceberg-spark-runtime`
+  * (or `iceberg-core` fat) jar appears in any of the scanned locations,
+  * this runs the genuine client round-trip instead — no code change
+  * needed.
+  */
+class IcebergSdkInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  /** Locations a vendored SDK jar could plausibly land, scanned with a
+    * bounded walk. The spark-runtime bundle is preferred (self-contained,
+    * relocated deps); a bare iceberg-core needs its dep closure and is
+    * only used if nothing bundled is present.
+    */
+  private lazy val sdkJars: Seq[Path] = {
+    val home = sys.props.getOrElse("user.home", "/root")
+    val roots = Seq(
+      "/opt/spark/jars", "/opt/iceberg", s"$home/.cache/coursier",
+      s"$home/.ivy2", "lib").map(Paths.get(_)).filter(Files.isDirectory(_))
+    val pat = """iceberg-(spark-runtime|core)[^/]*\.jar""".r
+    roots.flatMap { r =>
+      Try(Files.walk(r, 12).iterator().asScala
+        .filter(p => pat.pattern.matcher(p.getFileName.toString).matches())
+        .toSeq).getOrElse(Seq.empty)
+    }.sortBy(p => !p.getFileName.toString.contains("spark-runtime"))
+  }
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-sdk-interop", cpus = 2)
+  override def afterAll(): Unit = if (started) spark.stop()
+  private var started = false
+
+  test("a real RESTCatalog client round-trips against graft serve") {
+    assume(sdkJars.nonEmpty,
+      "no org.apache.iceberg jar in /opt/spark/jars, /opt/iceberg, " +
+        "coursier/ivy caches, or ./lib — golden-fixture conformance " +
+        "(RestConformanceSpec) stands in until one is vendored")
+    started = true
+    val root = Files.createTempDirectory("sdkcat").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("sdk")
+    val server = new RestServer.Server(cat,
+      tokens = Seq(RestServer.Token("sdk-secret"))).start()
+    try {
+      val cl = new java.net.URLClassLoader(
+        sdkJars.map(_.toUri.toURL).toArray, getClass.getClassLoader)
+      val rest = cl.loadClass("org.apache.iceberg.rest.RESTCatalog")
+        .getDeclaredConstructor().newInstance()
+      rest.getClass
+        .getMethod("initialize", classOf[String], classOf[java.util.Map[_, _]])
+        .invoke(rest, "graft",
+          Map("uri" -> server.url, "token" -> "sdk-secret").asJava)
+      val nsCls = cl.loadClass("org.apache.iceberg.catalog.Namespace")
+      val ns = nsCls.getMethod("of", classOf[Array[String]])
+        .invoke(null, Array("sdk"))
+      // list via the SupportsNamespaces surface: the served "sdk"
+      // namespace must be visible to the real client
+      val listed = rest.getClass.getMethod("listNamespaces")
+        .invoke(rest).asInstanceOf[java.util.List[_]]
+      assert(listed.asScala.map(_.toString).contains("sdk"), listed.toString)
+      // namespace round-trip: client-created namespace lands in graft
+      val ns2 = nsCls.getMethod("of", classOf[Array[String]])
+        .invoke(null, Array("sdkclient"))
+      rest.getClass.getMethod("createNamespace", nsCls).invoke(rest, ns2)
+      assert(cat.namespaceExists("sdkclient"),
+        "client-created namespace must exist in the catalog")
+      val props = rest.getClass.getMethod("loadNamespaceMetadata", nsCls)
+        .invoke(rest, ns).asInstanceOf[java.util.Map[_, _]]
+      assert(props != null)
+    } finally server.stop()
+  }
+}
