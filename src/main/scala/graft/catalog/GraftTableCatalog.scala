@@ -100,13 +100,14 @@ private[catalog] class GraftSnapshotTable(
       .select(meta.schema.fieldNames.toSeq.map(col): _*)
   }
 
-  /** True when a SQL DELETE on this table lands POSITION-delete files:
-    * delete mode merge-on-read but NO `graft.merge-keys` declared — the
-    * exact case Iceberg engines serve with position deletes (equality
-    * deletes need a row identity; positions need none).
+  /** True when the SQL row-level `cmd` ("delete" | "update") on this
+    * table lands POSITION-delete files: that command's write mode is
+    * merge-on-read but NO `graft.merge-keys` declared — the exact case
+    * Iceberg engines serve with position deletes (equality deletes need
+    * a row identity; positions need none).
     */
-  private[catalog] def usesPositionDeleteWrites: Boolean = {
-    val mode = tableProps.get("write.delete.mode")
+  private[catalog] def usesPositionDeleteWrites(cmd: String): Boolean = {
+    val mode = tableProps.get(s"write.$cmd.mode")
       .orElse(tableProps.get(RowLevelOps.WriteModeProp))
     !timeTraveled && mode.contains("merge-on-read") &&
       !tableProps.contains(RowLevelOps.MergeKeysProp)
@@ -144,6 +145,43 @@ private[catalog] class GraftSnapshotTable(
       cond: org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
     val posDf = positionsMatching(cond)
     if (!posDf.isEmpty) ice.deletePositions(ident, posDf): Unit
+  }
+
+  /** SQL position-delete UPDATE: matched rows are masked by position and
+    * re-appended with the assignments applied, in one commit
+    * ([[IceCatalog.updatePositions]]). `assigns` maps top-level column
+    * name → resolved value expression; both the condition and the values
+    * re-bind by name onto the merged positions view.
+    */
+  private[catalog] def runPositionUpdate(
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      assigns: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
+      : Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val df = ice.readFilesMergedAt(meta, files, deletes, keepPos = true)
+    def bind(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.Column =
+      ColumnBridge.column(e.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          val name =
+            if (a.name.equalsIgnoreCase(ManifestPrune.FileColumn)) IceCatalog.PosFileCol
+            else a.name
+          ColumnBridge.expression(df(name))
+      })
+    val matched = cond.map(c => df.filter(bind(c))).getOrElse(df)
+    val posDf = matched.select(
+      col(IceCatalog.PosFileCol).as("file_path"),
+      col(IceCatalog.PosIdxCol).as("pos"))
+    val byName = assigns.map { case (n, e) => n.toLowerCase -> e }.toMap
+    val newRows = matched.select(delegate.schema.fields.map { f =>
+      byName.get(f.name.toLowerCase) match {
+        // cast defensively: assignment alignment (ANSI store assignment)
+        // runs in a later analyzer batch than this rewrite
+        case Some(e) => bind(e).cast(f.dataType).as(f.name)
+        case None => col(s"`${f.name}`")
+      }
+    }.toSeq: _*)
+    if (!posDf.isEmpty) ice.updatePositions(ident, posDf, newRows): Unit
   }
   override def name(): String = delegate.name
   /** Declared merge keys report non-nullable: they are the row-identity

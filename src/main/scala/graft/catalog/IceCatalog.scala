@@ -1951,10 +1951,45 @@ class IceCatalog(
     * compaction materializes and clears it like any other delete debt.
     */
   def deletePositions(ident: String, df: DataFrame): TableMeta = {
-    require(df.columns.toSeq == Seq("file_path", "pos"),
-      s"position deletes need columns (file_path, pos), got ${df.columns.toSeq}")
     val meta = loadMeta(ident)
     if (meta.current.isEmpty) return meta
+    val keyed = canonicalPositionKeys(ident, meta, df)
+    val del = writeDeleteFile(ident, keyed, Seq("file_path", "pos"))
+      .copy(positional = Some(true))
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("mor-delete", addDeletes = Seq(del)))
+  }
+
+  /** MERGE-ON-READ update without a row identity (Iceberg's
+    * `write.update.mode=merge-on-read` on a table with no equality merge
+    * keys — the SQL position-delete UPDATE path): ONE commit masks the
+    * matched rows by position and appends their replacements as new data
+    * files. O(matched) work, zero data files rewritten; the delete file
+    * names only pre-existing files, so the same-commit appended rows are
+    * never masked (deleteApplies: positional applies at seq <= del.seq,
+    * keyed by file path).
+    */
+  def updatePositions(
+      ident: String, posDf: DataFrame, newRows: DataFrame): TableMeta = {
+    val meta = loadMeta(ident)
+    if (meta.current.isEmpty) return meta
+    val keyed = canonicalPositionKeys(ident, meta, posDf)
+    val del = writeDeleteFile(ident, keyed, Seq("file_path", "pos"))
+      .copy(positional = Some(true))
+    val files = writeArranged(ident, newRows.select(
+      meta.schema.fieldNames.toSeq.map(col): _*), meta)
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("mor-update", add = files, addDeletes = Seq(del)))
+  }
+
+  /** Validated canonical `(file_path, pos)` keys for a position-delete
+    * write: spellings re-qualify to the `_metadata.file_path` identity,
+    * junk input (paths naming no live file) is refused loudly.
+    */
+  private def canonicalPositionKeys(
+      ident: String, meta: TableMeta, df: DataFrame): DataFrame = {
+    require(df.columns.toSeq == Seq("file_path", "pos"),
+      s"position deletes need columns (file_path, pos), got ${df.columns.toSeq}")
     // one Configuration/FileSystem for the whole batch — newHadoopConf
     // copies the full session conf, so per-path construction would cost
     // O(files) conf copies on the driver
@@ -1984,22 +2019,17 @@ class IceCatalog(
         unknown.take(5).mkString(", "))
     // store the canonical spelling so the read-side anti-join matches
     // exactly, whatever spelling the caller used
-    val keyed =
-      if (mapping.forall { case (raw, c) => raw == c }) df
-      else {
-        val mapDf = spark.createDataFrame(mapping.map { case (raw, c) =>
-          org.apache.spark.sql.Row(raw, c)
-        }.asJava, StructType(Seq(
-          StructField("file_path", StringType), StructField("__canon", StringType))))
-        // no broadcast hint: the mapping is bounded by the table's file
-        // count, which is data-dependent — AQE picks the join strategy
-        df.join(mapDf, "file_path")
-          .select(col("__canon").as("file_path"), col("pos"))
-      }
-    val del = writeDeleteFile(ident, keyed, Seq("file_path", "pos"))
-      .copy(positional = Some(true))
-    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
-      SnapDelta("mor-delete", addDeletes = Seq(del)))
+    if (mapping.forall { case (raw, c) => raw == c }) df
+    else {
+      val mapDf = spark.createDataFrame(mapping.map { case (raw, c) =>
+        org.apache.spark.sql.Row(raw, c)
+      }.asJava, StructType(Seq(
+        StructField("file_path", StringType), StructField("__canon", StringType))))
+      // no broadcast hint: the mapping is bounded by the table's file
+      // count, which is data-dependent — AQE picks the join strategy
+      df.join(mapDf, "file_path")
+        .select(col("__canon").as("file_path"), col("pos"))
+    }
   }
 
   /** The exact string Spark's `_metadata.file_path` column carries for

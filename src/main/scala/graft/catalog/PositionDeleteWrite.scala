@@ -2,8 +2,8 @@ package graft.catalog
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -32,15 +32,35 @@ case class PositionDeleteRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case d @ DeleteFromTable(target, cond)
         if d.resolved && !SubqueryExpression.hasSubquery(cond) =>
-      EliminateSubqueryAliases(target) match {
-        case r: DataSourceV2Relation => r.table match {
-          case g: GraftSnapshotTable if g.usesPositionDeleteWrites =>
-            GraftPositionDeleteCommand(r.name, PositionDeleteRun(g, cond))
-          case _ => d
-        }
-        case _ => d
+      positionTable(target, "delete") match {
+        case Some((r, g)) =>
+          GraftPositionDeleteCommand(r.name, PositionDeleteRun(g, cond))
+        case None => d
+      }
+    case u @ UpdateTable(target, assignments, cond)
+        if u.resolved &&
+          cond.forall(!SubqueryExpression.hasSubquery(_)) &&
+          assignments.forall(a => !SubqueryExpression.hasSubquery(a.value)) &&
+          // nested-field assignments stay on the standard path
+          assignments.forall(_.key.isInstanceOf[AttributeReference]) =>
+      positionTable(target, "update") match {
+        case Some((r, g)) =>
+          val assigns = assignments.map(a =>
+            a.key.asInstanceOf[AttributeReference].name -> a.value)
+          GraftPositionDeleteCommand(r.name, PositionUpdateRun(g, cond, assigns))
+        case None => u
       }
   }
+
+  private def positionTable(target: LogicalPlan, cmd: String)
+      : Option[(DataSourceV2Relation, GraftSnapshotTable)] =
+    EliminateSubqueryAliases(target) match {
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftSnapshotTable if g.usesPositionDeleteWrites(cmd) => Some((r, g))
+        case _ => None
+      }
+      case _ => None
+    }
 }
 
 /** Opaque capsule for the command's work: not an Expression/LogicalPlan
@@ -55,6 +75,23 @@ class PositionDeleteRun(table: GraftSnapshotTable, cond: Expression) {
 object PositionDeleteRun {
   def apply(table: GraftSnapshotTable, cond: Expression) =
     new PositionDeleteRun(table, cond)
+}
+
+/** UPDATE variant: mask matched positions + append assigned replacements
+  * in one commit.
+  */
+class PositionUpdateRun(
+    table: GraftSnapshotTable, cond: Option[Expression],
+    assigns: Seq[(String, Expression)])
+    extends PositionDeleteRun(table, null) {
+  override def execute(): Unit = table.runPositionUpdate(cond, assigns)
+  override def toString: String =
+    s"set=${assigns.map(_._1).mkString(",")} cond=$cond"
+}
+object PositionUpdateRun {
+  def apply(table: GraftSnapshotTable, cond: Option[Expression],
+      assigns: Seq[(String, Expression)]) =
+    new PositionUpdateRun(table, cond, assigns)
 }
 
 /** The eagerly-executed command `DELETE FROM` resolves to on a

@@ -808,6 +808,56 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((1L to 4L) ++ (15L to 39L)))
   }
 
+  test("SQL UPDATE without merge keys masks positions and re-appends (merge-on-read)") {
+    import spark.implicits._
+    val cat = new IceCatalog(spark, root)
+    spark.sql(
+      """CREATE TABLE graft.pd.up (id BIGINT, v STRING)
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read',
+        |               'write.delete.mode'='merge-on-read')""".stripMargin)
+    (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("pdup_seed")
+    spark.sql("INSERT INTO graft.pd.up SELECT * FROM pdup_seed")
+    val before = cat.loadMeta("pd.up").current.get.files.map(_.path).toSet
+
+    spark.sql("UPDATE graft.pd.up SET v = upper(v) WHERE id <= 3")
+    val snap = cat.loadMeta("pd.up").current.get
+    assert(before.subsetOf(snap.files.map(_.path).toSet),
+      "UPDATE must not rewrite the seed files")
+    assert(snap.files.size > before.size, "replacement rows must append")
+    val dels = Option(snap.deletes).getOrElse(Seq.empty)
+    assert(dels.nonEmpty && dels.forall(_.isPositional) &&
+      dels.map(_.rowCount).sum == 3L, dels.toString)
+    // merged view: updated rows once, in their new form
+    assert(spark.sql("SELECT v FROM graft.pd.up WHERE id <= 3 ORDER BY id")
+      .as[String].collect().toSeq == Seq("V1", "V2", "V3"))
+    assert(spark.sql("SELECT count(*) FROM graft.pd.up").head().getLong(0) == 20L)
+
+    // a second UPDATE touches rows APPENDED by the first (the new files
+    // are maskable by later deletes under the sequence rule)
+    spark.sql("UPDATE graft.pd.up SET v = concat(v, '!') WHERE id = 2")
+    assert(spark.sql("SELECT v FROM graft.pd.up WHERE id <= 3 ORDER BY id")
+      .as[String].collect().toSeq == Seq("V1", "V2!", "V3"))
+    assert(spark.sql("SELECT count(*) FROM graft.pd.up").head().getLong(0) == 20L)
+
+    // UPDATE matching nothing commits nothing
+    val vBefore = cat.loadMeta("pd.up").currentSnapshotId
+    spark.sql("UPDATE graft.pd.up SET v = 'x' WHERE id = 999")
+    assert(cat.loadMeta("pd.up").currentSnapshotId == vBefore)
+
+    // unconditional UPDATE (no WHERE) also routes through positions
+    spark.sql("UPDATE graft.pd.up SET id = id + 100")
+    assert(spark.sql("SELECT min(id), max(id) FROM graft.pd.up").head() ==
+      org.apache.spark.sql.Row(101L, 120L))
+
+    // compaction materializes everything and clears the debt
+    cat.compact("pd.up")
+    assert(Option(cat.loadMeta("pd.up").current.get.deletes).forall(_.isEmpty))
+    assert(spark.sql("SELECT count(*) FROM graft.pd.up").head().getLong(0) == 20L)
+    assert(spark.sql("SELECT v FROM graft.pd.up WHERE id = 102").as[String]
+      .collect().toSeq == Seq("V2!"))
+  }
+
   test("heavy delete debt: SQL reads fall back to the distributed anti-join") {
     import graft.catalog.ManifestPrune
     import spark.implicits._
