@@ -1,0 +1,394 @@
+package graft.catalog
+
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{DirectoryNotEmptyException, FileAlreadyExistsException, NoSuchFileException, Path}
+
+import scala.jdk.CollectionConverters._
+
+/** [[FileIO]] over the REAL S3 wire protocol: SigV4-signed HTTP requests
+  * (path-style) against any S3-compatible endpoint — in specs the
+  * in-process [[S3WireServer]] (which re-verifies every signature), in
+  * deployment S3/minio/ceph (same protocol; the reference reaches this
+  * layer through the AWS SDK the sandbox lacks). Semantics mirror
+  * [[S3FileIO]] — the in-memory conformance model this client is
+  * differential-fuzzed against — including the marker-object directory
+  * discipline, `PUT If-None-Match: *` create-new, and CopyObject +
+  * `If-Match` conditional-DELETE moves.
+  *
+  * Mapping: nio paths under `mountRoot` become object keys in `bucket`
+  * (abs path minus the leading slash); directories are zero-byte
+  * marker objects with a trailing-slash key (standard S3 practice).
+  * Paths outside the mount pass through to [[LocalFileIO]] (the data
+  * plane), same as the other object-store backends.
+  */
+final class S3HttpFileIO(
+    mountRoot: String,
+    endpoint: String,
+    bucket: String,
+    creds: SigV4.Credentials,
+    region: String = "us-east-1") extends FileIO {
+
+  private val http = HttpClient.newHttpClient()
+  private val rootKey =
+    java.nio.file.Paths.get(mountRoot).toAbsolutePath.normalize.toString
+
+  private def inS3(p: Path): Boolean = {
+    val k = p.toAbsolutePath.normalize.toString
+    k == rootKey || k.startsWith(rootKey + "/")
+  }
+
+  private def objKey(p: Path): String =
+    p.toAbsolutePath.normalize.toString.stripPrefix("/")
+  private def dirKey(p: Path): String = objKey(p) + "/"
+
+  /** Test hook mirroring [[S3FileIO.failMovesAfterCopy]]. */
+  val failMovesAfterCopy = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // ---- signed request plumbing -------------------------------------------
+
+  private def amzNow(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+
+  private val host = endpoint.stripPrefix("http://").stripPrefix("https://")
+
+  private def request(
+      method: String, key: String, query: Seq[(String, String)] = Seq.empty,
+      body: Array[Byte] = null, extraHeaders: Seq[(String, String)] = Seq.empty)
+      : HttpResponse[Array[Byte]] = {
+    val date = amzNow()
+    val payloadHash =
+      if (body == null) SigV4.EmptyPayloadSha256 else SigV4.sha256Hex(body)
+    val path = s"/$bucket/$key"
+    val signHeaders = Seq(
+      "host" -> host, "x-amz-date" -> date,
+      "x-amz-content-sha256" -> payloadHash) ++
+      extraHeaders.map { case (k, v) => k.toLowerCase -> v }
+    val auth = SigV4.authorization(
+      creds, date, region, "s3", method, path, query, signHeaders, payloadHash)
+    val qs =
+      if (query.isEmpty) ""
+      else query.map { case (k, v) =>
+        SigV4.uriEncode(k, keepSlash = false) + "=" + SigV4.uriEncode(v, keepSlash = false)
+      }.mkString("?", "&", "")
+    val b = HttpRequest.newBuilder(java.net.URI.create(
+      endpoint + SigV4.uriEncode(path, keepSlash = true) + qs))
+    b.header("Authorization", auth)
+    b.header("x-amz-date", date)
+    b.header("x-amz-content-sha256", payloadHash)
+    extraHeaders.foreach { case (k, v) => b.header(k, v) }
+    val req = method match {
+      case "GET" => b.GET()
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofByteArray(
+        Option(body).getOrElse(Array.empty)))
+    }
+    http.send(req.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def fail(r: HttpResponse[Array[Byte]], key: String): Nothing = {
+    val body = new String(r.body(), UTF_8)
+    throw new java.io.IOException(s"S3 ${r.statusCode()} for $key: ${body.take(200)}")
+  }
+
+  private def headStatus(key: String): Option[HttpResponse[Array[Byte]]] = {
+    val r = request("HEAD", key)
+    if (r.statusCode() == 200) Some(r)
+    else if (r.statusCode() == 404) None
+    else fail(r, key)
+  }
+
+  // ---- FileIO surface -----------------------------------------------------
+
+  def exists(p: Path): Boolean =
+    if (!inS3(p)) LocalFileIO.exists(p)
+    else headStatus(objKey(p)).isDefined || headStatus(dirKey(p)).isDefined
+
+  def isDirectory(p: Path): Boolean =
+    if (!inS3(p)) LocalFileIO.isDirectory(p)
+    else headStatus(dirKey(p)).isDefined
+
+  def isRegularFile(p: Path): Boolean =
+    if (!inS3(p)) LocalFileIO.isRegularFile(p)
+    else headStatus(objKey(p)).isDefined
+
+  def createDirectories(p: Path): Unit = {
+    if (!inS3(p)) { LocalFileIO.createDirectories(p); return }
+    // markers only for components inside the mount — ancestors above it
+    // are not in the object keyspace (S3FileIO's whole-path keyspace
+    // differs here, unobservably: every seam observation is in-mount)
+    var chain = List.empty[Path]
+    var k = p.toAbsolutePath.normalize
+    while (k != null && inS3(k)) { chain = k :: chain; k = k.getParent }
+    chain.foreach { c =>
+      if (headStatus(objKey(c)).isDefined)
+        throw new FileAlreadyExistsException(c.toString)
+      // marker PUT, one per level top-down; If-None-Match keeps each
+      // level single-writer, an existing marker is fine (412)
+      val r = request("PUT", dirKey(c), body = Array.empty,
+        extraHeaders = Seq("If-None-Match" -> "*"))
+      if (r.statusCode() != 200 && r.statusCode() != 412) fail(r, dirKey(c))
+    }
+  }
+
+  /** One ListObjectsV2 page walk (handles continuation). */
+  private def listKeys(
+      prefix: String, delimiter: Option[String]): (Seq[String], Seq[String]) = {
+    var contents = Vector.empty[String]
+    var prefixes = Vector.empty[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
+        delimiter.map("delimiter" -> _) ++
+        token.map("continuation-token" -> _)
+      val r = request("GET", "", q.sortBy(_._1))
+      if (r.statusCode() != 200) fail(r, prefix)
+      val xml = new String(r.body(), UTF_8)
+      contents ++= extractAll(xml, "Key")
+      prefixes ++= extractAll(xml, "Prefix").filter(_ != prefix).filter(_.nonEmpty)
+      token = extract(xml, "NextContinuationToken")
+      more = extract(xml, "IsTruncated").contains("true") && token.isDefined
+    }
+    (contents, prefixes.distinct)
+  }
+
+  // GET on "/{bucket}" (empty key) is the list route — request("GET", "")
+  // produces path "/bucket/", so strip the trailing slash for signing? No:
+  // both sides sign the same literal path, so the pair stays consistent.
+
+  private def extract(xml: String, tag: String): Option[String] =
+    s"<$tag>([^<]*)</$tag>".r.findFirstMatchIn(xml).map(m => unesc(m.group(1)))
+  private def extractAll(xml: String, tag: String): Seq[String] =
+    s"<$tag>([^<]*)</$tag>".r.findAllMatchIn(xml).map(m => unesc(m.group(1))).toSeq
+  private def unesc(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+  def list(p: Path): Seq[Path] = {
+    if (!inS3(p)) return LocalFileIO.list(p)
+    val (contents, prefixes) = listKeys(dirKey(p), Some("/"))
+    val files = contents.filterNot(_.endsWith("/"))
+    val dirs = prefixes.map(_.stripSuffix("/"))
+    (files ++ dirs).distinct.sorted.map(k => java.nio.file.Paths.get("/" + k))
+  }
+
+  def walk(p: Path): Seq[Path] = {
+    if (!inS3(p)) return LocalFileIO.walk(p)
+    if (!exists(p)) return Seq.empty
+    val (contents, _) = listKeys(dirKey(p), None)
+    val base = p.toAbsolutePath.normalize
+    base +: contents.sorted
+      .map(k => java.nio.file.Paths.get("/" + k.stripSuffix("/")))
+      .filterNot(_ == base)
+  }
+
+  def readString(p: Path): String = {
+    if (!inS3(p)) return LocalFileIO.readString(p)
+    val r = request("GET", objKey(p))
+    if (r.statusCode() == 404) throw new NoSuchFileException(objKey(p))
+    if (r.statusCode() != 200) fail(r, objKey(p))
+    new String(r.body(), UTF_8)
+  }
+
+  private def requireParentDir(p: Path): Unit = {
+    val parent = Option(p.toAbsolutePath.normalize.getParent)
+      .getOrElse(throw new NoSuchFileException(objKey(p)))
+    if (headStatus(dirKey(parent)).isEmpty)
+      throw new NoSuchFileException(parent.toString)
+  }
+
+  def writeString(p: Path, s: String): Unit = {
+    if (!inS3(p)) { LocalFileIO.writeString(p, s); return }
+    requireParentDir(p)
+    if (headStatus(dirKey(p)).isDefined)
+      throw new java.nio.file.FileSystemException(objKey(p), null, "is a directory")
+    val r = request("PUT", objKey(p), body = s.getBytes(UTF_8))
+    if (r.statusCode() != 200) fail(r, objKey(p))
+  }
+
+  def writeStringIfAbsent(p: Path, s: String): Unit = {
+    if (!inS3(p)) { LocalFileIO.writeStringIfAbsent(p, s); return }
+    requireParentDir(p)
+    if (headStatus(dirKey(p)).isDefined)
+      throw new FileAlreadyExistsException(objKey(p))
+    val r = request("PUT", objKey(p), body = s.getBytes(UTF_8),
+      extraHeaders = Seq("If-None-Match" -> "*"))
+    if (r.statusCode() == 412) throw new FileAlreadyExistsException(objKey(p))
+    if (r.statusCode() != 200) fail(r, objKey(p))
+  }
+
+  def publishLink(target: Path, src: Path): Unit = {
+    if (!inS3(target)) { LocalFileIO.publishLink(target, src); return }
+    val bytes =
+      if (inS3(src)) {
+        val r = request("GET", objKey(src))
+        if (r.statusCode() == 404) throw new NoSuchFileException(objKey(src))
+        if (r.statusCode() != 200) fail(r, objKey(src))
+        r.body()
+      } else LocalFileIO.readString(src).getBytes(UTF_8)
+    requireParentDir(target)
+    if (headStatus(dirKey(target)).isDefined)
+      throw new FileAlreadyExistsException(objKey(target))
+    val r = request("PUT", objKey(target), body = bytes,
+      extraHeaders = Seq("If-None-Match" -> "*"))
+    if (r.statusCode() == 412) throw new FileAlreadyExistsException(objKey(target))
+    if (r.statusCode() != 200) fail(r, objKey(target))
+  }
+
+  def move(from: Path, to: Path): Unit = {
+    if (!inS3(from)) { LocalFileIO.move(from, to); return }
+    val (fileHead, dirHead) = (headStatus(objKey(from)), headStatus(dirKey(from)))
+    if (fileHead.isEmpty && dirHead.isEmpty)
+      throw new NoSuchFileException(objKey(from))
+    if (from.toAbsolutePath.normalize == to.toAbsolutePath.normalize) return
+    val isDir = dirHead.isDefined
+    if (isDir && objKey(to).startsWith(objKey(from) + "/"))
+      throw new java.nio.file.FileSystemException(objKey(to), null,
+        "cannot move a directory into its own subtree")
+    requireParentDir(to)
+    if (isDir) {
+      val (children, _) = listKeys(dirKey(from), None)
+      if (headStatus(dirKey(to)).isDefined || headStatus(objKey(to)).isDefined)
+        throw new FileAlreadyExistsException(objKey(to))
+      val mk = request("PUT", dirKey(to), body = Array.empty,
+        extraHeaders = Seq("If-None-Match" -> "*"))
+      if (mk.statusCode() != 200) {
+        if (mk.statusCode() == 412) throw new FileAlreadyExistsException(objKey(to))
+        fail(mk, dirKey(to))
+      }
+      children.foreach { ck =>
+        val r = request("PUT", objKey(to) + "/" + ck.stripPrefix(dirKey(from)),
+          extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/$ck"))
+        if (r.statusCode() != 200) fail(r, ck)
+      }
+      if (failMovesAfterCopy.getAndUpdate(n => math.max(0, n - 1)) > 0)
+        throw new java.io.IOException(
+          s"simulated crash after copy: ${objKey(from)} -> ${objKey(to)}")
+      children.foreach { ck =>
+        val r = request("DELETE", ck); if (r.statusCode() >= 300) fail(r, ck)
+      }
+      val r = request("DELETE", dirKey(from))
+      if (r.statusCode() >= 300) fail(r, dirKey(from))
+    } else {
+      val srcEtag = fileHead.get.headers().firstValue("ETag").orElse("")
+      if (headStatus(objKey(to)).isDefined || headStatus(dirKey(to)).isDefined)
+        throw new FileAlreadyExistsException(objKey(to))
+      val cp = request("PUT", objKey(to),
+        extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/${objKey(from)}"))
+      if (cp.statusCode() == 404) throw new NoSuchFileException(objKey(from))
+      if (cp.statusCode() != 200) fail(cp, objKey(to))
+      if (failMovesAfterCopy.getAndUpdate(n => math.max(0, n - 1)) > 0)
+        throw new java.io.IOException(
+          s"simulated crash after copy: ${objKey(from)} -> ${objKey(to)}")
+      // the conditional delete is the race arbiter (see S3FileIO.move)
+      val del = request("DELETE", objKey(from),
+        extraHeaders = Seq("If-Match" -> srcEtag))
+      if (del.statusCode() == 412) throw new NoSuchFileException(objKey(from))
+      if (del.statusCode() >= 300) fail(del, objKey(from))
+    }
+  }
+
+  def delete(p: Path): Unit =
+    if (!deleteIfExists(p)) throw new NoSuchFileException(objKey(p))
+
+  def deleteIfExists(p: Path): Boolean = {
+    if (!inS3(p)) return LocalFileIO.deleteIfExists(p)
+    headStatus(objKey(p)) match {
+      case Some(_) =>
+        val r = request("DELETE", objKey(p))
+        if (r.statusCode() >= 300) fail(r, objKey(p))
+        true
+      case None if headStatus(dirKey(p)).isDefined =>
+        val (children, prefixes) = listKeys(dirKey(p), Some("/"))
+        if (children.exists(_ != dirKey(p)) || prefixes.nonEmpty)
+          throw new DirectoryNotEmptyException(objKey(p))
+        val r = request("DELETE", dirKey(p))
+        if (r.statusCode() >= 300) fail(r, dirKey(p))
+        true
+      case None =>
+        // POSIX: unlink through a FILE path component is ENOTDIR
+        var anc = p.toAbsolutePath.normalize.getParent
+        while (anc != null && inS3(anc)) {
+          if (headStatus(objKey(anc)).isDefined)
+            throw new java.nio.file.FileSystemException(anc.toString, null,
+              "not a directory")
+          anc = anc.getParent
+        }
+        false
+    }
+  }
+
+  def size(p: Path): Long = {
+    if (!inS3(p)) return LocalFileIO.size(p)
+    headStatus(objKey(p)) match {
+      case Some(r) =>
+        r.headers().firstValue("x-amz-content-length")
+          .or(() => r.headers().firstValue("Content-Length"))
+          .orElse("0").toLong
+      case None => throw new NoSuchFileException(objKey(p))
+    }
+  }
+
+  def lastModifiedMillis(p: Path): Long = {
+    if (!inS3(p)) return LocalFileIO.lastModifiedMillis(p)
+    val r = headStatus(objKey(p)).orElse(headStatus(dirKey(p)))
+      .getOrElse(throw new NoSuchFileException(objKey(p)))
+    r.headers().firstValue("x-amz-meta-mtime-ms").map[Long](_.toLong)
+      .or(() => r.headers().firstValue("Last-Modified").map[Long](lm =>
+        java.time.ZonedDateTime.parse(lm,
+          java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+          .toInstant.toEpochMilli))
+      .orElse(0L)
+  }
+
+  /** Data plane passthrough, same as [[S3FileIO]]. */
+  def parquetFooter(
+      p: Path,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.parquet.hadoop.metadata.ParquetMetadata =
+    LocalFileIO.parquetFooter(p, conf)
+
+  /** Ranged GET — the object-store read shape parquet footer/page reads
+    * use at scale (tail bytes only, never the object).
+    */
+  def readRange(p: Path, offset: Long, len: Int): Array[Byte] = {
+    require(inS3(p), s"ranged reads target the S3 mount: $p")
+    val r = request("GET", objKey(p),
+      extraHeaders = Seq("Range" -> s"bytes=$offset-${offset + len - 1}"))
+    if (r.statusCode() == 404) throw new NoSuchFileException(objKey(p))
+    if (r.statusCode() != 206 && r.statusCode() != 200) fail(r, objKey(p))
+    r.body()
+  }
+
+  /** Multipart upload (the reference's CopyObjectMultipart.java cost
+    * model, upload half): parts of `partSize` bytes uploaded under one
+    * uploadId, completed atomically server-side. Used for payloads past
+    * the single-PUT comfort zone.
+    */
+  def writeBytesMultipart(p: Path, bytes: Array[Byte], partSize: Int): Unit = {
+    require(inS3(p), s"multipart writes target the S3 mount: $p")
+    require(partSize > 0)
+    requireParentDir(p)
+    val key = objKey(p)
+    val init = request("POST", key, query = Seq("uploads" -> ""))
+    if (init.statusCode() != 200) fail(init, key)
+    val id = extract(new String(init.body(), UTF_8), "UploadId")
+      .getOrElse(throw new java.io.IOException("no UploadId"))
+    try {
+      bytes.grouped(partSize).zipWithIndex.foreach { case (part, i) =>
+        val r = request("PUT", key,
+          query = Seq("partNumber" -> (i + 1).toString, "uploadId" -> id),
+          body = part)
+        if (r.statusCode() != 200) fail(r, s"$key part ${i + 1}")
+      }
+      val done = request("POST", key, query = Seq("uploadId" -> id),
+        body = "<CompleteMultipartUpload/>".getBytes(UTF_8))
+      if (done.statusCode() != 200) fail(done, key)
+    } catch {
+      case e: Throwable =>
+        request("DELETE", key, query = Seq("uploadId" -> id))
+        throw e
+    }
+  }
+}

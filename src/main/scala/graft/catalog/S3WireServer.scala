@@ -1,0 +1,318 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** An S3-compatible HTTP endpoint (path-style) over an in-memory object
+  * store — the wire half of the S3 conformance story: [[S3HttpFileIO]]
+  * speaks real SigV4-signed S3 REST to this server in specs, and to any
+  * real S3/minio endpoint in deployment (same protocol; the sandbox has
+  * no egress). Every request's signature is RE-DERIVED server-side from
+  * the raw request and compared constant-time, so the client's signing
+  * is verified on every spec round-trip, not assumed.
+  *
+  * Implemented surface (what the FileIO seam + multipart need):
+  * GET/HEAD/PUT/DELETE object, `Range` GETs, conditional `If-None-Match:
+  * *` PUT and `If-Match` DELETE (S3 conditional writes, 2024 API),
+  * CopyObject (`x-amz-copy-source`), ListObjectsV2 (prefix, delimiter,
+  * max-keys, continuation-token), and multipart upload
+  * (initiate/part/complete/abort — the CopyObjectMultipart.java cost
+  * model's upload half). Errors use S3's XML envelope and codes.
+  */
+final class S3WireServer(
+    creds: SigV4.Credentials,
+    region: String = "us-east-1",
+    port: Int = 0) {
+
+  final case class Obj(bytes: Array[Byte], etag: String, mtime: Long)
+
+  /** key = "bucket/objectKey" */
+  val store = new ConcurrentHashMap[String, Obj]()
+  private val uploads =
+    new ConcurrentHashMap[String, (String, ConcurrentHashMap[Int, Array[Byte]])]()
+
+  private val http = HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "graft-s3-wire"); t.setDaemon(true); t
+  })
+  http.setExecutor(pool)
+  http.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def start(): S3WireServer = { http.start(); this }
+  def stop(): Unit = { http.stop(0); pool.shutdown() }
+  def endpoint: String = s"http://127.0.0.1:${http.getAddress.getPort}"
+
+  /** Requests that failed signature verification (spec observability). */
+  val authFailures = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // ---- request handling ---------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val body = ex.getRequestBody.readAllBytes()
+      if (!verifySignature(ex, body)) {
+        authFailures.incrementAndGet()
+        sendError(ex, 403, "SignatureDoesNotMatch", "signature mismatch")
+      } else route(ex, body)
+    } catch {
+      case e: Exception => sendError(ex, 500, "InternalError", e.toString)
+    } finally ex.close()
+
+  /** Re-derives the SigV4 signature from the raw request. */
+  private def verifySignature(ex: HttpExchange, body: Array[Byte]): Boolean = {
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    SigV4.parseAuthorization(auth) match {
+      case None => false
+      case Some((ak, _, reg, service, signedNames, sig)) =>
+        if (ak != creds.accessKey || reg != region || service != "s3") return false
+        val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date")).getOrElse("")
+        val payloadHash = Option(
+          ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
+          .getOrElse(SigV4.UnsignedPayload)
+        if (payloadHash != SigV4.UnsignedPayload &&
+          payloadHash != SigV4.sha256Hex(body)) return false
+        val headers = signedNames.map { n =>
+          n -> Option(ex.getRequestHeaders.getFirst(n)).getOrElse("")
+        }
+        val cr = SigV4.canonicalRequest(
+          ex.getRequestMethod, ex.getRequestURI.getPath,
+          queryParams(ex), headers, payloadHash)
+        val expect = SigV4.signature(creds, amzDate, region, "s3", cr)
+        java.security.MessageDigest.isEqual(
+          expect.getBytes(UTF_8), sig.getBytes(UTF_8))
+    }
+  }
+
+  private def queryParams(ex: HttpExchange): Seq[(String, String)] =
+    Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty).toSeq
+      .flatMap(_.split('&').toSeq).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => dec(k) -> dec(v)
+          case Array(k) => dec(k) -> ""
+        }
+      }
+
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, UTF_8)
+
+  private def route(ex: HttpExchange, body: Array[Byte]): Unit = {
+    val path = ex.getRequestURI.getPath.stripPrefix("/")
+    val q = queryParams(ex).toMap
+    val method = ex.getRequestMethod
+    val (bucket, key) = path.split("/", 2) match {
+      case Array(b, k) => (b, k)
+      case Array(b) => (b, "")
+    }
+    method match {
+      case "GET" if q.get("list-type").contains("2") => listObjects(ex, bucket, q)
+      case "GET" if key.nonEmpty => getObject(ex, s"$bucket/$key")
+      case "HEAD" if key.nonEmpty => headObject(ex, s"$bucket/$key")
+      case "POST" if q.contains("uploads") => initiateMultipart(ex, s"$bucket/$key")
+      case "POST" if q.contains("uploadId") =>
+        completeMultipart(ex, s"$bucket/$key", q("uploadId"))
+      case "PUT" if q.contains("uploadId") =>
+        uploadPart(ex, q("uploadId"), q("partNumber").toInt, body)
+      case "PUT" if key.nonEmpty => putObject(ex, s"$bucket/$key", body)
+      case "DELETE" if q.contains("uploadId") =>
+        uploads.remove(q("uploadId")); send(ex, 204, Array.empty)
+      case "DELETE" if key.nonEmpty => deleteObject(ex, s"$bucket/$key")
+      case _ => sendError(ex, 400, "InvalidRequest", s"$method /$path")
+    }
+  }
+
+  // ---- object ops ---------------------------------------------------------
+
+  private def etagOf(bytes: Array[Byte]): String =
+    "\"" + SigV4.sha256Hex(bytes).take(32) + "\""
+
+  private def putObject(ex: HttpExchange, sk: String, body: Array[Byte]): Unit = {
+    val hdrs = ex.getRequestHeaders
+    Option(hdrs.getFirst("x-amz-copy-source")) match {
+      case Some(srcRaw) =>
+        val src = dec(srcRaw).stripPrefix("/")
+        val e = store.get(src)
+        if (e == null) { sendError(ex, 404, "NoSuchKey", src); return }
+        val copied = Obj(e.bytes, e.etag, System.currentTimeMillis())
+        store.put(sk, copied)
+        sendXml(ex, 200,
+          s"<CopyObjectResult><ETag>${copied.etag}</ETag></CopyObjectResult>")
+      case None =>
+        val obj = Obj(body, etagOf(body), System.currentTimeMillis())
+        if (Option(hdrs.getFirst("If-None-Match")).contains("*")) {
+          if (store.putIfAbsent(sk, obj) != null) {
+            sendError(ex, 412, "PreconditionFailed", sk); return
+          }
+        } else store.put(sk, obj)
+        ex.getResponseHeaders.set("ETag", obj.etag)
+        send(ex, 200, Array.empty)
+    }
+  }
+
+  private def getObject(ex: HttpExchange, sk: String): Unit = {
+    val e = store.get(sk)
+    if (e == null) { sendError(ex, 404, "NoSuchKey", sk); return }
+    ex.getResponseHeaders.set("ETag", e.etag)
+    Option(ex.getRequestHeaders.getFirst("Range")) match {
+      case Some(r) =>
+        val m = """bytes=(\d+)-(\d*)""".r
+        r match {
+          case m(s, epos) =>
+            val start = s.toLong.toInt
+            val end = (if (epos.isEmpty) e.bytes.length - 1L
+                       else math.min(epos.toLong, e.bytes.length - 1L)).toInt
+            if (start > end) { sendError(ex, 416, "InvalidRange", r); return }
+            ex.getResponseHeaders.set("Content-Range",
+              s"bytes $start-$end/${e.bytes.length}")
+            send(ex, 206, java.util.Arrays.copyOfRange(e.bytes, start, end + 1))
+          case _ => sendError(ex, 416, "InvalidRange", r)
+        }
+      case None => send(ex, 200, e.bytes)
+    }
+  }
+
+  private def headObject(ex: HttpExchange, sk: String): Unit = {
+    val e = store.get(sk)
+    if (e == null) { send(ex, 404, Array.empty, head = true); return }
+    val h = ex.getResponseHeaders
+    h.set("ETag", e.etag)
+    h.set("x-amz-meta-mtime-ms", e.mtime.toString)
+    h.set("Last-Modified",
+      java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+        java.time.Instant.ofEpochMilli(e.mtime).atZone(java.time.ZoneOffset.UTC)))
+    // HEAD: length via header, no body (sendResponseHeaders(-1))
+    h.set("x-amz-content-length", e.bytes.length.toString)
+    ex.sendResponseHeaders(200, -1)
+  }
+
+  private def deleteObject(ex: HttpExchange, sk: String): Unit = {
+    Option(ex.getRequestHeaders.getFirst("If-Match")) match {
+      case Some(etag) =>
+        val e = store.get(sk)
+        if (e == null || e.etag != etag) {
+          sendError(ex, 412, "PreconditionFailed", sk); return
+        }
+        if (!store.remove(sk, e)) { sendError(ex, 412, "PreconditionFailed", sk); return }
+        send(ex, 204, Array.empty)
+      case None =>
+        store.remove(sk) // S3 DELETE is idempotent 204 either way
+        send(ex, 204, Array.empty)
+    }
+  }
+
+  private def listObjects(ex: HttpExchange, bucket: String, q: Map[String, String]): Unit = {
+    val prefix = q.getOrElse("prefix", "")
+    val delim = q.get("delimiter").filter(_.nonEmpty)
+    val maxKeys = q.get("max-keys").map(_.toInt).getOrElse(1000)
+    val after = q.get("continuation-token").map(dec).getOrElse("")
+    val all = store.keySet().asScala.toSeq
+      .filter(_.startsWith(s"$bucket/"))
+      .map(_.stripPrefix(s"$bucket/"))
+      .filter(_.startsWith(prefix))
+      .sorted
+    val (contents, prefixes) = delim match {
+      case None => (all, Seq.empty[String])
+      case Some(d) =>
+        val grouped = all.map { k =>
+          val rest = k.stripPrefix(prefix)
+          val i = rest.indexOf(d)
+          if (i >= 0) Right(prefix + rest.substring(0, i + d.length))
+          else Left(k)
+        }
+        (grouped.collect { case Left(k) => k },
+          grouped.collect { case Right(p) => p }.distinct)
+    }
+    // paginate over the merged, sorted entry list so CommonPrefixes
+    // participate in continuation like real S3
+    val entries = (contents.map(Left(_)) ++ prefixes.map(Right(_)))
+      .sortBy(_.fold(identity, identity))
+      .dropWhile(e => after.nonEmpty && e.fold(identity, identity) <= after)
+    val page = entries.take(maxKeys)
+    val truncated = entries.length > maxKeys
+    val nextTok = if (truncated) page.lastOption.map(_.fold(identity, identity)) else None
+    val xml = new StringBuilder
+    xml.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
+    xml.append(s"<ListBucketResult><Name>${xmlEsc(bucket)}</Name>")
+    xml.append(s"<Prefix>${xmlEsc(prefix)}</Prefix>")
+    xml.append(s"<KeyCount>${page.length}</KeyCount>")
+    xml.append(s"<MaxKeys>$maxKeys</MaxKeys>")
+    xml.append(s"<IsTruncated>$truncated</IsTruncated>")
+    nextTok.foreach(t =>
+      xml.append(s"<NextContinuationToken>${xmlEsc(t)}</NextContinuationToken>"))
+    page.foreach {
+      case Left(k) =>
+        val e = store.get(s"$bucket/$k")
+        if (e != null) {
+          xml.append("<Contents>")
+          xml.append(s"<Key>${xmlEsc(k)}</Key>")
+          xml.append(s"<Size>${e.bytes.length}</Size>")
+          xml.append(s"<ETag>${xmlEsc(e.etag)}</ETag>")
+          xml.append(s"<LastModifiedMs>${e.mtime}</LastModifiedMs>")
+          xml.append("</Contents>")
+        }
+      case Right(p) =>
+        xml.append(s"<CommonPrefixes><Prefix>${xmlEsc(p)}</Prefix></CommonPrefixes>")
+    }
+    xml.append("</ListBucketResult>")
+    sendXml(ex, 200, xml.toString)
+  }
+
+  // ---- multipart ----------------------------------------------------------
+
+  private def initiateMultipart(ex: HttpExchange, sk: String): Unit = {
+    val id = java.util.UUID.randomUUID().toString
+    uploads.put(id, (sk, new ConcurrentHashMap[Int, Array[Byte]]()))
+    sendXml(ex, 200,
+      s"<InitiateMultipartUploadResult><UploadId>$id</UploadId>" +
+        "</InitiateMultipartUploadResult>")
+  }
+
+  private def uploadPart(
+      ex: HttpExchange, id: String, n: Int, body: Array[Byte]): Unit = {
+    val u = uploads.get(id)
+    if (u == null) { sendError(ex, 404, "NoSuchUpload", id); return }
+    u._2.put(n, body)
+    ex.getResponseHeaders.set("ETag", etagOf(body))
+    send(ex, 200, Array.empty)
+  }
+
+  private def completeMultipart(ex: HttpExchange, sk: String, id: String): Unit = {
+    val u = uploads.remove(id)
+    if (u == null || u._1 != sk) { sendError(ex, 404, "NoSuchUpload", id); return }
+    val bytes = u._2.asScala.toSeq.sortBy(_._1).map(_._2)
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    val obj = Obj(bytes, etagOf(bytes) + s"-${u._2.size()}", System.currentTimeMillis())
+    store.put(sk, obj)
+    sendXml(ex, 200,
+      s"<CompleteMultipartUploadResult><ETag>${xmlEsc(obj.etag)}</ETag>" +
+        "</CompleteMultipartUploadResult>")
+  }
+
+  // ---- wire helpers -------------------------------------------------------
+
+  private def xmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def send(
+      ex: HttpExchange, code: Int, body: Array[Byte], head: Boolean = false): Unit = {
+    if (head || ex.getRequestMethod == "HEAD") ex.sendResponseHeaders(code, -1)
+    else if (body.isEmpty) ex.sendResponseHeaders(code, -1)
+    else {
+      ex.sendResponseHeaders(code, body.length)
+      ex.getResponseBody.write(body)
+    }
+  }
+
+  private def sendXml(ex: HttpExchange, code: Int, xml: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/xml")
+    send(ex, code, xml.getBytes(UTF_8))
+  }
+
+  private def sendError(ex: HttpExchange, code: Int, s3code: String, msg: String): Unit =
+    sendXml(ex, code,
+      s"<Error><Code>${xmlEsc(s3code)}</Code><Message>${xmlEsc(msg)}</Message></Error>")
+}

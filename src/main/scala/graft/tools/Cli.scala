@@ -102,7 +102,15 @@ object Cli {
       val root = flags.get("root").orElse(cfg.root)
         .orElse(sys.env.get("GRAFT_CATALOG_ROOT"))
         .getOrElse(fail("missing --root (or config root / GRAFT_CATALOG_ROOT)"))
-      val cat = new IceCatalog(spark, root)
+      // `s3:` config block routes the metadata plane over the real S3
+      // wire client (SigV4 HTTP); default stays the local/shared fs
+      val cat = cfg.s3 match {
+        case Some(s3) => new IceCatalog(spark, root,
+          new graft.catalog.S3HttpFileIO(root, s3.endpoint, s3.bucket,
+            graft.catalog.SigV4.Credentials(s3.accessKeyID, s3.secretAccessKey),
+            s3.region))
+        case None => new IceCatalog(spark, root)
+      }
       pos match {
         case Seq("check") =>
           cat.listNamespaces() // must not throw — reference cmd/Check.java

@@ -50,9 +50,22 @@ final case class GraftConfig(
     anonymousReadOnly: Boolean = true,
     vendTableCredentials: Boolean = false,
     maintenance: Maintenance.Policy = Maintenance.Policy(),
-    maintenanceIntervalMs: Option[Long] = None)
+    maintenanceIntervalMs: Option[Long] = None,
+    /** `s3:` block (reference Config.S3 field names): routes the
+      * catalog's METADATA plane through [[graft.catalog.S3HttpFileIO]]
+      * against the configured endpoint. Data files stay on the storage
+      * Spark writes to (shared fs / hadoop connectors) — the same
+      * metadata/data split the other object-store backends document —
+      * so ingestion over this plane is the no-copy registration path.
+      */
+    s3: Option[GraftConfig.S3] = None)
 
 object GraftConfig {
+
+  final case class S3(
+      endpoint: String, bucket: String,
+      accessKeyID: String, secretAccessKey: String,
+      region: String = "us-east-1")
 
   def load(path: String, env: String => Option[String] = sys.env.get): GraftConfig = {
     val raw = Files.readString(Paths.get(path))
@@ -126,7 +139,7 @@ object GraftConfig {
   private def build(m: Map[String, Any]): GraftConfig = {
     checkKeys(m, Set("root", "warehouse", "addr", "port", "bearerTokens",
       "anonymousAccess", "vendTableCredentials", "maintenanceSchedule",
-      "maintenance"), "config")
+      "maintenance", "s3"), "config")
     val root = m.get("root").map(str(_, "root"))
       .orElse(m.get("warehouse").map(w =>
         // reference spelling: file:///path — a local catalog root
@@ -161,6 +174,17 @@ object GraftConfig {
     val policy = m.get("maintenance")
       .map(p => maintenancePolicy(asMap(p, "maintenance")))
       .getOrElse(Maintenance.Policy())
+    val s3 = m.get("s3").map { raw =>
+      val sm = asMap(raw, "s3")
+      // reference Config.S3 field names; pathStyleAccess accepted (the
+      // wire client is always path-style)
+      checkKeys(sm, Set("endpoint", "bucket", "accessKeyID",
+        "secretAccessKey", "region", "pathStyleAccess"), "s3")
+      def req(k: String) = str(sm.getOrElse(k, fail(s"s3 needs $k")), s"s3.$k")
+      S3(req("endpoint"), req("bucket"), req("accessKeyID"),
+        req("secretAccessKey"),
+        sm.get("region").map(str(_, "s3.region")).getOrElse("us-east-1"))
+    }
     GraftConfig(
       root = root,
       port = port,
@@ -170,7 +194,8 @@ object GraftConfig {
       vendTableCredentials =
         m.get("vendTableCredentials").exists(bool(_, "vendTableCredentials")),
       maintenance = policy,
-      maintenanceIntervalMs = interval)
+      maintenanceIntervalMs = interval,
+      s3 = s3)
   }
 
   private def token(tm: Map[String, Any], i: Int): RestServer.Token = {

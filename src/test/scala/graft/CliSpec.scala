@@ -330,6 +330,52 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally served.stop()
   }
 
+  test("s3 config block routes the CLI metadata plane over the wire client") {
+    import spark.implicits._
+    val creds = graft.catalog.SigV4.Credentials("CLIKEY", "cli-secret")
+    val server = new graft.catalog.S3WireServer(creds).start()
+    try {
+      // a path that never materializes locally: metadata rides the wire
+      val s3Root = s"${Files.createTempDirectory("cli-wire-root")}/virtual/cat"
+      val cfg = Files.createTempFile("graft-s3", ".yaml")
+      Files.writeString(cfg,
+        s"""root: $s3Root
+           |s3:
+           |  endpoint: ${server.endpoint}
+           |  bucket: clib
+           |  accessKeyID: CLIKEY
+           |  secretAccessKey: cli-secret
+           |""".stripMargin)
+      def ccli(args: String*): (Int, Seq[String]) = {
+        val buf = new ByteArrayOutputStream()
+        val code = Cli.run(Seq("--config", cfg.toString) ++ args,
+          spark, new PrintStream(buf, true))
+        (code, buf.toString.linesIterator.toSeq)
+      }
+      assert(ccli("create-namespace", "w")._1 == 0)
+      assert(ccli("create-table", "w.t", "--schema", "id BIGINT, v STRING")._1 == 0)
+      // metadata-plane split (the S3FileIO/KvFileIO deployment model):
+      // data files live where Spark writes them; the wire carries the
+      // catalog, so ingestion is the no-copy registration path
+      val staging = Files.createTempDirectory("cli-wire")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+        .write.parquet(staging.resolve("in").toString)
+      val parquet = Files.list(staging.resolve("in")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      assert(ccli("insert", "w.t", parquet.toString,
+        "--no-copy", "--force-outside-location")._1 == 0)
+      assert(ccli("count", "w.t") == (0, Seq("2")))
+      assert(ccli("scan", "w.t", "--limit", "2")._2.length == 3)
+      // the metadata really rides the wire: server store holds the
+      // version files, local fs never grew the catalog root
+      assert(!Files.exists(java.nio.file.Paths.get(s3Root)))
+      import scala.jdk.CollectionConverters._
+      assert(server.store.keySet().asScala.exists(_.contains("metadata")),
+        server.store.keySet().asScala.take(5).toString)
+      assert(server.authFailures.get() == 0)
+    } finally server.stop()
+  }
+
   test("alter-table applies the reference's JSON update vocabulary") {
     import spark.implicits._
     val (c0, _) = cli("create-table", "ns.alt", "--schema", "id BIGINT, v STRING")

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.util.{Random, Try}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{FileIO, IceCatalog, LocalFileIO, S3HttpFileIO, S3WireServer, SigV4}
+
+/** Wire-level S3 conformance: [[S3HttpFileIO]] speaks SigV4-signed S3
+  * REST over real HTTP to [[S3WireServer]] (which RE-VERIFIES every
+  * signature), and must stay observably identical to POSIX on the same
+  * op sequence — the same differential harness that pins the in-memory
+  * [[graft.catalog.S3FileIO]] model — then carry the full catalog
+  * lifecycle on that wire. This is the protocol evidence the sandbox
+  * can produce without AWS credentials: the client that passes here
+  * speaks the same REST surface minio/S3 serve.
+  */
+class S3WireSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-s3wire-test", cpus = 4)
+
+  private val creds = SigV4.Credentials("GRAFTKEY", "graft-secret-key")
+  lazy val server: S3WireServer = new S3WireServer(creds).start()
+
+  // a root that never exists on disk; metadata rides the wire
+  val root = "/graft-wire-bucket/never-on-disk"
+  lazy val wire = new S3HttpFileIO(root, server.endpoint, "graft", creds)
+  lazy val cat = new IceCatalog(spark, root, wire)
+
+  override def afterAll(): Unit = { server.stop(); spark.stop() }
+
+  private def state(io: FileIO, base: Path): Seq[(String, Boolean, String)] =
+    io.walk(base).drop(1).map { p =>
+      val rel = base.relativize(p).toString
+      val d = io.isDirectory(p)
+      (rel, d, if (d) "" else io.readString(p))
+    }.sortBy(_._1)
+
+  test("600 random ops over the wire stay observably identical to POSIX") {
+    val r = new Random(17)
+    val localRoot = Files.createTempDirectory("wire-local")
+    val s3Root = java.nio.file.Paths.get("/wirediff-virtual/root")
+    val fuzz = new S3HttpFileIO("/wirediff-virtual", server.endpoint, "fuzz", creds)
+    fuzz.createDirectories(s3Root)
+
+    val names = Seq("a", "b", "c")
+    def randomRel(): String =
+      (0 until 1 + r.nextInt(3)).map(_ => names(r.nextInt(names.length))).mkString("/")
+
+    for (i <- 1 to 600) {
+      val rel = randomRel()
+      val rel2 = randomRel()
+      val content = s"v$i-${r.nextInt(100)}"
+      val opId = r.nextInt(10)
+      def run(io: FileIO, base: Path): Either[String, String] = {
+        val p = base.resolve(rel)
+        val p2 = base.resolve(rel2)
+        Try(opId match {
+          case 0 => io.createDirectories(p); "mkdir"
+          case 1 => io.writeString(p, content); "write"
+          case 2 => io.writeStringIfAbsent(p, content); "writeNew"
+          case 3 => io.readString(p)
+          case 4 => io.list(p).map(base.relativize(_).toString).sorted.mkString(",")
+          case 5 => io.exists(p).toString + io.isDirectory(p) + io.isRegularFile(p)
+          case 6 => io.deleteIfExists(p).toString
+          case 7 => io.move(p, p2); "move"
+          case 8 =>
+            io.publishLink(base.resolve(s"pub-$i"), p)
+            io.deleteIfExists(p); "link"
+          case 9 => if (io.isRegularFile(p)) io.size(p).toString else "skip"
+        }).toEither.left.map(_ => "threw")
+      }
+      val lr = run(LocalFileIO, localRoot)
+      val sr = run(fuzz, s3Root)
+      assert(lr == sr, s"op $i (id=$opId rel=$rel rel2=$rel2): local=$lr wire=$sr")
+      if (i % 20 == 0) // state walk is O(keys) HTTP round-trips — sample
+        assert(state(LocalFileIO, localRoot) == state(fuzz, s3Root),
+          s"state diverged by op $i (id=$opId rel=$rel rel2=$rel2)")
+    }
+    assert(state(LocalFileIO, localRoot) == state(fuzz, s3Root))
+  }
+
+  test("full catalog lifecycle over the wire metadata plane") {
+    cat.createNamespace("w")
+    cat.createTable("w.n", spark.read.parquet(s"$dir/nation.parquet").schema)
+    val d = Files.createTempDirectory("wire-data")
+    spark.read.parquet(s"$dir/nation.parquet")
+      .repartition(2).write.mode("overwrite").parquet(d.resolve("n").toString)
+    val files = LocalFileIO.walk(d.resolve("n"))
+      .filter(_.getFileName.toString.endsWith(".parquet")).map(_.toString).sorted
+    cat.addFiles("w.n", files, forceOutsideLocation = true)
+    val expected = spark.read.parquet(s"$dir/nation.parquet").count()
+    assert(cat.scan("w.n").count() == expected)
+    // a second client instance sees the served store; local fs untouched
+    val cat2 = new IceCatalog(spark, root,
+      new S3HttpFileIO(root, server.endpoint, "graft", creds))
+    assert(cat2.listTables("w") == Seq("n"))
+    assert(!Files.exists(java.nio.file.Paths.get(root)))
+    // commit + rollback + rename (per-key copy+delete over the wire)
+    val v1 = cat.loadMeta("w.n").currentSnapshotId
+    cat.setProperty("w.n", "tier", "gold")
+    cat.rollbackTo("w.n", v1)
+    cat.renameTable("w.n", "w.m")
+    assert(cat2.listTables("w") == Seq("m"))
+    assert(cat2.scan("w.m").count() == expected)
+    // every one of those requests carried a VERIFIED SigV4 signature
+    assert(server.authFailures.get() == 0)
+  }
+
+  test("a bad secret is refused by signature verification") {
+    val evil = new S3HttpFileIO(root, server.endpoint, "graft",
+      SigV4.Credentials("GRAFTKEY", "wrong-secret"))
+    val e = intercept[java.io.IOException](
+      evil.readString(java.nio.file.Paths.get(s"$root/anything")))
+    assert(e.getMessage.contains("403"), e.getMessage)
+    assert(server.authFailures.get() > 0)
+  }
+
+  test("grave-steal heals a wire move that crashed between copy and delete") {
+    val base = java.nio.file.Paths.get(s"$root/crash")
+    wire.createDirectories(base)
+    wire.writeString(base.resolve("src"), "payload")
+    wire.failMovesAfterCopy.set(1)
+    intercept[java.io.IOException](
+      wire.move(base.resolve("src"), base.resolve("dst")))
+    // the S3 partial-failure shape: BOTH objects remain
+    assert(wire.isRegularFile(base.resolve("src")))
+    assert(wire.isRegularFile(base.resolve("dst")))
+    // retry is idempotent-safe: the conditional delete arbitrates
+    intercept[java.nio.file.FileAlreadyExistsException](
+      wire.move(base.resolve("src"), base.resolve("dst")))
+    wire.delete(base.resolve("dst"))
+    wire.move(base.resolve("src"), base.resolve("dst"))
+    assert(!wire.exists(base.resolve("src")))
+    assert(wire.readString(base.resolve("dst")) == "payload")
+  }
+
+  test("multipart upload assembles parts and Range GETs read them back") {
+    val base = java.nio.file.Paths.get(s"$root/mp")
+    wire.createDirectories(base)
+    val payload = (1 to 100000).map(i => (i % 251).toByte).toArray
+    wire.writeBytesMultipart(base.resolve("big.bin"), payload, partSize = 8192)
+    assert(wire.size(base.resolve("big.bin")) == payload.length)
+    // ranged read straight off the wire (the scale path for footers)
+    val r = new S3HttpFileIOProbe(wire).range(base.resolve("big.bin"), 1000, 64)
+    assert(r.toSeq == payload.slice(1000, 1064).toSeq)
+  }
+}
+
+/** Tiny test probe for the ranged-GET path. */
+final class S3HttpFileIOProbe(io: S3HttpFileIO) {
+  def range(p: java.nio.file.Path, offset: Long, len: Int): Array[Byte] =
+    io.readRange(p, offset, len)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SigV4
+import graft.catalog.SigV4.Credentials
+
+/** SigV4 pinned against the published AWS `aws-sig-v4-test-suite`
+  * vectors (service "service", region us-east-1, 20150830T123600Z,
+  * the documented example credentials).
+  */
+class SigV4Spec extends AnyFunSuite {
+
+  private val creds = Credentials(
+    "AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+  private val amzDate = "20150830T123600Z"
+  private val hdrs = Seq(
+    "host" -> "example.amazonaws.com", "x-amz-date" -> amzDate)
+
+  test("get-vanilla") {
+    val cr = SigV4.canonicalRequest("GET", "/", Seq.empty, hdrs,
+      SigV4.EmptyPayloadSha256)
+    assert(SigV4.signature(creds, amzDate, "us-east-1", "service", cr) ==
+      "5fa00fa31553b73ebf1942676e86291e8372ff2a2260956d9b8aae1d763fbf31")
+  }
+
+  test("get-vanilla-query-order-key (sorted query canonicalization)") {
+    // request carries Param2 before Param1 — canonical form sorts them
+    val cr = SigV4.canonicalRequest("GET", "/",
+      Seq("Param2" -> "value2", "Param1" -> "value1"), hdrs,
+      SigV4.EmptyPayloadSha256)
+    assert(SigV4.signature(creds, amzDate, "us-east-1", "service", cr) ==
+      "b97d918cfa904a5beff61c982a1b6f458b799221646efd99d3219ec94cdf2500")
+  }
+
+  test("authorization header round-trips through the parser") {
+    val auth = SigV4.authorization(creds, amzDate, "us-east-1", "s3",
+      "PUT", "/bucket/a b/c.txt", Seq("partNumber" -> "1"),
+      hdrs, SigV4.UnsignedPayload)
+    val parsed = SigV4.parseAuthorization(auth)
+    assert(parsed.isDefined)
+    val (ak, date, region, service, signed, sig) = parsed.get
+    assert(ak == "AKIDEXAMPLE" && date == "20150830" &&
+      region == "us-east-1" && service == "s3" &&
+      signed == Seq("host", "x-amz-date") && sig.length == 64)
+  }
+
+  test("uri encoding: S3 path keeps slashes, query encodes everything") {
+    assert(SigV4.uriEncode("/b/k with space/ué", keepSlash = true) ==
+      "/b/k%20with%20space/u%C3%A9")
+    assert(SigV4.uriEncode("a/b&c=d", keepSlash = false) == "a%2Fb%26c%3Dd")
+  }
+}
