@@ -1,0 +1,442 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** An etcd-v3-compatible HTTP endpoint: the public etcd JSON/gRPC-gateway
+  * API (`/v3/kv/range|put|deleterange|txn`, the lease and lock services)
+  * over an in-memory MVCC store — the wire half of the etcd conformance
+  * story, mirroring [[S3WireServer]] for the S3 plane. [[EtcdHttpFileIO]]
+  * speaks this protocol in specs, and to any real etcd ≥3.4 in deployment
+  * (same JSON gateway; the reference reaches the identical KV/lease/lock
+  * semantics through jetcd's gRPC bindings —
+  * ice-rest-catalog/.../etcd/EtcdCatalog.java:83-108, CommitLock.java).
+  *
+  * Semantics implemented faithfully per the public etcd API reference:
+  *  - MVCC bookkeeping: one monotonically-increasing store revision;
+  *    per-key `create_revision` / `mod_revision` / `version`; all writes
+  *    in one txn share one revision; int64 fields serialize as JSON
+  *    strings exactly as grpc-gateway does.
+  *  - Range over `[key, range_end)` with bytewise key order, single-key
+  *    gets (no range_end), prefix scans, `"\0"` range_end = "from key",
+  *    `limit`/`more`, `keys_only`, `count_only`.
+  *  - Txn compares on CREATE / MOD / VERSION / VALUE with
+  *    EQUAL / NOT_EQUAL / GREATER / LESS (absent keys compare as zero
+  *    revisions / empty value, the classic `create_revision == 0`
+  *    create-new guard), then the success or failure op list applied
+  *    atomically, ranges inside a txn observing earlier writes of the
+  *    same txn.
+  *  - Leases: grant (server may adjust TTL), revoke (deletes attached
+  *    keys), timetolive, single-shot keepalive; expiry is enforced
+  *    before every request touches the store, deleting attached keys
+  *    under their own revision.
+  *  - Locks (the reference's CommitLock primitive): `lock` inserts
+  *    `name + "/" + hex(lease)` attached to the lease and blocks until
+  *    that key holds the lowest create_revision under the name prefix —
+  *    so holder crash = lease expiry = automatic handoff; `unlock`
+  *    deletes the key and wakes waiters.
+  */
+final class EtcdWireServer(port: Int = 0) {
+
+  /** One stored key: value bytes + MVCC metadata + owning lease (0 = none). */
+  final case class Kv(
+      value: Array[Byte], createRev: Long, modRev: Long,
+      version: Long, lease: Long)
+
+  private final case class Lease(
+      grantedTtlSec: Long, var deadlineMs: Long)
+
+  // keys as ISO-8859-1 strings: bijective with bytes and String ordering
+  // over chars 0..255 equals unsigned bytewise order — etcd's key order
+  private val store = new java.util.TreeMap[String, Kv]()
+  private val leases = new java.util.HashMap[Long, Lease]()
+  private var revision: Long = 1L // etcd starts at 1; first write → 2
+  private var nextLeaseId: Long = 1000L
+  private val stateLock = new Object
+
+  private val mapper = new ObjectMapper()
+
+  private val http = HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", port), 0)
+  // cached pool: lock waiters block their handler thread
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-etcd-wire"); t.setDaemon(true); t
+  })
+  http.setExecutor(pool)
+  http.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def start(): EtcdWireServer = { http.start(); this }
+  def stop(): Unit = { http.stop(0); pool.shutdown() }
+  def endpoint: String = s"http://127.0.0.1:${http.getAddress.getPort}"
+
+  /** Current store revision (spec observability). */
+  def currentRevision: Long = stateLock.synchronized(revision)
+  /** Number of live keys (spec observability). */
+  def keyCount: Int = stateLock.synchronized { expireLeases(); store.size() }
+
+  // ---- plumbing -----------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val body = ex.getRequestBody.readAllBytes()
+      val req =
+        if (body.isEmpty) mapper.createObjectNode()
+        else mapper.readTree(body)
+      val resp = ex.getRequestURI.getPath match {
+        case "/v3/kv/range" => stateLock.synchronized { expireLeases(); range(req) }
+        case "/v3/kv/put" => stateLock.synchronized { expireLeases(); put(req) }
+        case "/v3/kv/deleterange" =>
+          stateLock.synchronized { expireLeases(); deleteRange(req) }
+        case "/v3/kv/txn" => stateLock.synchronized { expireLeases(); txn(req) }
+        case "/v3/lease/grant" =>
+          stateLock.synchronized { expireLeases(); leaseGrant(req) }
+        case "/v3/lease/revoke" | "/v3/kv/lease/revoke" =>
+          stateLock.synchronized { expireLeases(); leaseRevoke(req) }
+        case "/v3/lease/timetolive" | "/v3/kv/lease/timetolive" =>
+          stateLock.synchronized { expireLeases(); leaseTtl(req) }
+        case "/v3/lease/keepalive" =>
+          stateLock.synchronized { expireLeases(); leaseKeepAlive(req) }
+        case "/v3/lock/lock" => lockAcquire(req) // blocks; takes the lock inside
+        case "/v3/lock/unlock" =>
+          stateLock.synchronized { expireLeases(); lockRelease(req) }
+        case other => err(5, s"etcdserver: unknown route $other")
+      }
+      send(ex, resp)
+    } catch {
+      case e: EtcdError => send(ex, err(e.code, e.getMessage), 400)
+      case e: Exception => send(ex, err(13, e.toString), 500)
+    } finally ex.close()
+
+  private final class EtcdError(val code: Int, msg: String)
+      extends RuntimeException(msg)
+
+  private def err(code: Int, msg: String): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("error", msg); o.put("code", code); o.put("message", msg)
+    o
+  }
+
+  private def send(ex: HttpExchange, node: ObjectNode, status: Int = 200): Unit = {
+    val bytes = mapper.writeValueAsBytes(node)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(
+      if (node.has("error")) (if (status == 200) 400 else status) else status,
+      bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def b64(n: JsonNode, field: String): String =
+    if (n.hasNonNull(field))
+      new String(Base64.getDecoder.decode(n.get(field).asText()), ISO_8859_1)
+    else ""
+
+  private def enc(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(ISO_8859_1))
+  private def enc(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
+
+  private def header(o: ObjectNode): Unit = {
+    val h = o.putObject("header")
+    h.put("cluster_id", "1"); h.put("member_id", "1")
+    h.put("revision", revision.toString); h.put("raft_term", "1")
+  }
+
+  private def kvNode(
+      parent: ObjectNode, key: String, kv: Kv, keysOnly: Boolean): ObjectNode = {
+    val o = parent
+    o.put("key", enc(key))
+    o.put("create_revision", kv.createRev.toString)
+    o.put("mod_revision", kv.modRev.toString)
+    o.put("version", kv.version.toString)
+    if (!keysOnly) o.put("value", enc(kv.value))
+    if (kv.lease != 0) o.put("lease", kv.lease.toString)
+    o
+  }
+
+  /** Keys in `[key, end)`; end semantics per the etcd API: absent/empty =
+    * the single key, `"\0"` = everything ≥ key, else the half-open range.
+    */
+  private def selectKeys(key: String, end: String): Seq[String] = {
+    if (end.isEmpty)
+      return if (store.containsKey(key)) Seq(key) else Seq.empty
+    val m =
+      if (end == "\u0000") store.tailMap(key, true)
+      else store.subMap(key, true, end, false)
+    import scala.jdk.CollectionConverters._
+    m.keySet().asScala.toSeq
+  }
+
+  // ---- KV -----------------------------------------------------------------
+
+  private def range(req: JsonNode): ObjectNode = {
+    val keys = selectKeys(b64(req, "key"), b64(req, "range_end"))
+    val limit = if (req.hasNonNull("limit")) req.get("limit").asLong() else 0L
+    val countOnly = req.path("count_only").asBoolean(false)
+    val keysOnly = req.path("keys_only").asBoolean(false)
+    val o = mapper.createObjectNode()
+    header(o)
+    o.put("count", keys.size.toString)
+    if (!countOnly) {
+      val shown = if (limit > 0) keys.take(limit.toInt) else keys
+      if (limit > 0 && keys.size > shown.size) o.put("more", true)
+      val arr = o.putArray("kvs")
+      shown.foreach(k => kvNode(arr.addObject(), k, store.get(k), keysOnly))
+    }
+    o
+  }
+
+  /** Put under an already-bumped txn revision (shared by all its writes). */
+  private def putAt(key: String, value: Array[Byte], lease: Long, rev: Long)
+      : Option[Kv] = {
+    if (lease != 0 && !leases.containsKey(lease))
+      throw new EtcdError(5, "etcdserver: requested lease not found")
+    val prev = Option(store.get(key))
+    store.put(key, Kv(
+      value,
+      createRev = prev.map(_.createRev).getOrElse(rev),
+      modRev = rev,
+      version = prev.map(_.version + 1).getOrElse(1L),
+      lease = lease))
+    prev
+  }
+
+  private def put(req: JsonNode): ObjectNode = {
+    revision += 1
+    val prev = putAt(
+      b64(req, "key"),
+      b64(req, "value").getBytes(ISO_8859_1),
+      req.path("lease").asLong(0L),
+      revision)
+    val o = mapper.createObjectNode()
+    header(o)
+    if (req.path("prev_kv").asBoolean(false))
+      prev.foreach(p => kvNode(o.putObject("prev_kv"), b64(req, "key"), p, keysOnly = false))
+    stateLock.notifyAll() // lock waiters re-check on any store change
+    o
+  }
+
+  private def deleteAt(key: String, end: String): Seq[(String, Kv)] = {
+    val hit = selectKeys(key, end).map(k => k -> store.get(k))
+    hit.foreach { case (k, _) => store.remove(k) }
+    hit
+  }
+
+  private def deleteRange(req: JsonNode): ObjectNode = {
+    val hit = deleteAt(b64(req, "key"), b64(req, "range_end"))
+    if (hit.nonEmpty) revision += 1
+    val o = mapper.createObjectNode()
+    header(o)
+    o.put("deleted", hit.size.toString)
+    if (req.path("prev_kv").asBoolean(false)) {
+      val arr = o.putArray("prev_kvs")
+      hit.foreach { case (k, kv) => kvNode(arr.addObject(), k, kv, keysOnly = false) }
+    }
+    stateLock.notifyAll()
+    o
+  }
+
+  // ---- txn ----------------------------------------------------------------
+
+  private def compareHolds(c: JsonNode): Boolean = {
+    val key = b64(c, "key")
+    val kv = Option(store.get(key))
+    val target = c.path("target").asText("VERSION")
+    val result = c.path("result").asText("EQUAL")
+    def cmpLongs(actual: Long, want: Long): Int = java.lang.Long.compare(actual, want)
+    val cmp = target match {
+      case "CREATE" => cmpLongs(
+        kv.map(_.createRev).getOrElse(0L), c.path("create_revision").asLong(0L))
+      case "MOD" => cmpLongs(
+        kv.map(_.modRev).getOrElse(0L), c.path("mod_revision").asLong(0L))
+      case "VERSION" => cmpLongs(
+        kv.map(_.version).getOrElse(0L), c.path("version").asLong(0L))
+      case "VALUE" =>
+        val actual = new String(kv.map(_.value).getOrElse(Array.empty[Byte]), ISO_8859_1)
+        actual.compareTo(b64(c, "value"))
+      case "LEASE" => cmpLongs(kv.map(_.lease).getOrElse(0L), c.path("lease").asLong(0L))
+      case other => throw new EtcdError(3, s"bad compare target $other")
+    }
+    result match {
+      case "EQUAL" => cmp == 0
+      case "NOT_EQUAL" => cmp != 0
+      case "GREATER" => cmp > 0
+      case "LESS" => cmp < 0
+      case other => throw new EtcdError(3, s"bad compare result $other")
+    }
+  }
+
+  private def txn(req: JsonNode): ObjectNode = {
+    import scala.jdk.CollectionConverters._
+    val compares = req.path("compare").elements().asScala.toSeq
+    val succeeded = compares.forall(compareHolds)
+    val ops = req.path(if (succeeded) "success" else "failure")
+      .elements().asScala.toSeq
+    // ops share ONE revision, allocated only if some op writes
+    val writes = ops.exists(op =>
+      op.has("request_put") || op.has("request_delete_range"))
+    val rev = if (writes) { revision += 1; revision } else revision
+    var changed = false
+    val results = ops.map { op =>
+      val r = mapper.createObjectNode()
+      if (op.has("request_range")) {
+        r.set[ObjectNode]("response_range", range(op.get("request_range")))
+      } else if (op.has("request_put")) {
+        val p = op.get("request_put")
+        putAt(b64(p, "key"), b64(p, "value").getBytes(ISO_8859_1),
+          p.path("lease").asLong(0L), rev)
+        changed = true
+        val pr = r.putObject("response_put"); header(pr)
+      } else if (op.has("request_delete_range")) {
+        val d = op.get("request_delete_range")
+        val hit = deleteAt(b64(d, "key"), b64(d, "range_end"))
+        if (hit.nonEmpty) changed = true
+        val dr = r.putObject("response_delete_range")
+        header(dr); dr.put("deleted", hit.size.toString)
+      } else throw new EtcdError(3, "txn op must be range/put/delete_range")
+      r
+    }
+    // a txn that allocated a revision but changed nothing gives it back
+    // (etcd: revision moves only when the store changes)
+    if (writes && !changed) revision -= 1
+    val o = mapper.createObjectNode()
+    header(o)
+    o.put("succeeded", succeeded)
+    val arr = o.putArray("responses")
+    results.foreach(arr.add)
+    stateLock.notifyAll()
+    o
+  }
+
+  // ---- leases -------------------------------------------------------------
+
+  private def expireLeases(): Unit = {
+    val now = System.currentTimeMillis()
+    import scala.jdk.CollectionConverters._
+    val due = leases.entrySet().asScala
+      .filter(_.getValue.deadlineMs <= now).map(_.getKey).toSeq
+    due.foreach { id =>
+      leases.remove(id)
+      val owned = store.entrySet().asScala
+        .filter(_.getValue.lease == id).map(_.getKey).toSeq
+      if (owned.nonEmpty) {
+        revision += 1
+        owned.foreach(store.remove)
+      }
+    }
+    if (due.nonEmpty) stateLock.notifyAll()
+  }
+
+  private def leaseGrant(req: JsonNode): ObjectNode = {
+    val ttl = math.max(1L, req.path("TTL").asLong(0L))
+    val id = {
+      val want = req.path("ID").asLong(0L)
+      if (want != 0L) want else { nextLeaseId += 1; nextLeaseId }
+    }
+    if (leases.containsKey(id))
+      throw new EtcdError(5, "etcdserver: lease already exists")
+    leases.put(id, Lease(ttl, System.currentTimeMillis() + ttl * 1000))
+    val o = mapper.createObjectNode()
+    header(o); o.put("ID", id.toString); o.put("TTL", ttl.toString)
+    o
+  }
+
+  private def leaseRevoke(req: JsonNode): ObjectNode = {
+    val id = req.path("ID").asLong(0L)
+    if (leases.remove(id) == null)
+      throw new EtcdError(5, "etcdserver: requested lease not found")
+    import scala.jdk.CollectionConverters._
+    val owned = store.entrySet().asScala
+      .filter(_.getValue.lease == id).map(_.getKey).toSeq
+    if (owned.nonEmpty) { revision += 1; owned.foreach(store.remove) }
+    val o = mapper.createObjectNode(); header(o)
+    stateLock.notifyAll()
+    o
+  }
+
+  private def leaseTtl(req: JsonNode): ObjectNode = {
+    val id = req.path("ID").asLong(0L)
+    val o = mapper.createObjectNode()
+    header(o); o.put("ID", id.toString)
+    Option(leases.get(id)) match {
+      case None => o.put("TTL", "-1") // expired/unknown, per the API
+      case Some(l) =>
+        o.put("TTL", math.max(0L,
+          (l.deadlineMs - System.currentTimeMillis() + 999) / 1000).toString)
+        o.put("grantedTTL", l.grantedTtlSec.toString)
+        if (req.path("keys").asBoolean(false)) {
+          import scala.jdk.CollectionConverters._
+          val arr = o.putArray("keys")
+          store.entrySet().asScala.filter(_.getValue.lease == id)
+            .foreach(e => arr.add(enc(e.getKey)))
+        }
+    }
+    o
+  }
+
+  private def leaseKeepAlive(req: JsonNode): ObjectNode = {
+    val id = req.path("ID").asLong(0L)
+    val o = mapper.createObjectNode()
+    // single-shot refresh (the gateway's streaming endpoint, one frame)
+    val inner = o.putObject("result")
+    header(inner); inner.put("ID", id.toString)
+    Option(leases.get(id)) match {
+      case None => inner.put("TTL", "0") // lease gone: holder must give up
+      case Some(l) =>
+        l.deadlineMs = System.currentTimeMillis() + l.grantedTtlSec * 1000
+        inner.put("TTL", l.grantedTtlSec.toString)
+    }
+    o
+  }
+
+  // ---- locks --------------------------------------------------------------
+
+  private def lockAcquire(req: JsonNode): ObjectNode = {
+    val name = b64(req, "name")
+    val lease = req.path("lease").asLong(0L)
+    val myKey = name + "/" + java.lang.Long.toHexString(lease)
+    stateLock.synchronized {
+      expireLeases()
+      if (!leases.containsKey(lease))
+        throw new EtcdError(5, "etcdserver: requested lease not found")
+      if (!store.containsKey(myKey)) {
+        revision += 1
+        putAt(myKey, Array.empty[Byte], lease, revision)
+      }
+      val deadline = System.currentTimeMillis() + 600000L // server-side cap
+      while (true) {
+        expireLeases()
+        val mine = Option(store.get(myKey)).getOrElse(
+          // our lease expired while waiting
+          throw new EtcdError(5, "etcdserver: requested lease not found"))
+        import scala.jdk.CollectionConverters._
+        val holders = store.subMap(name + "/", true, name + "0", false)
+          .entrySet().asScala.toSeq
+        val lowest = holders.minBy(_.getValue.createRev)
+        if (lowest.getKey == myKey && lowest.getValue.createRev == mine.createRev) {
+          val o = mapper.createObjectNode()
+          header(o); o.put("key", enc(myKey))
+          return o
+        }
+        val waitMs = math.min(200L, math.max(1L, deadline - System.currentTimeMillis()))
+        if (System.currentTimeMillis() >= deadline)
+          throw new EtcdError(4, "etcdserver: lock acquire wait capped")
+        stateLock.wait(waitMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def lockRelease(req: JsonNode): ObjectNode = {
+    val key = b64(req, "key")
+    if (store.containsKey(key)) {
+      revision += 1
+      store.remove(key)
+    }
+    val o = mapper.createObjectNode(); header(o)
+    stateLock.notifyAll()
+    o
+  }
+}

@@ -102,14 +102,20 @@ object Cli {
       val root = flags.get("root").orElse(cfg.root)
         .orElse(sys.env.get("GRAFT_CATALOG_ROOT"))
         .getOrElse(fail("missing --root (or config root / GRAFT_CATALOG_ROOT)"))
-      // `s3:` config block routes the metadata plane over the real S3
-      // wire client (SigV4 HTTP); default stays the local/shared fs
-      val cat = cfg.s3 match {
-        case Some(s3) => new IceCatalog(spark, root,
+      // `s3:` / `uri: etcd:...` config blocks route the metadata plane
+      // over the real S3 (SigV4 HTTP) or etcd (v3 JSON gateway) wire
+      // client; default stays the local/shared fs
+      val cat = (cfg.etcdUri, cfg.s3) match {
+        case (Some(_), Some(_)) =>
+          fail("config declares both an etcd uri and an s3 block — the " +
+            "metadata plane routes through exactly one store")
+        case (Some(uri), None) => new IceCatalog(spark, root,
+          new graft.catalog.EtcdHttpFileIO(root, uri))
+        case (None, Some(s3)) => new IceCatalog(spark, root,
           new graft.catalog.S3HttpFileIO(root, s3.endpoint, s3.bucket,
             graft.catalog.SigV4.Credentials(s3.accessKeyID, s3.secretAccessKey),
             s3.region))
-        case None => new IceCatalog(spark, root)
+        case (None, None) => new IceCatalog(spark, root)
       }
       pos match {
         case Seq("check") =>

@@ -58,7 +58,14 @@ final case class GraftConfig(
       * metadata/data split the other object-store backends document —
       * so ingestion over this plane is the no-copy registration path.
       */
-    s3: Option[GraftConfig.S3] = None)
+    s3: Option[GraftConfig.S3] = None,
+    /** `uri: etcd:http://host:2379` (reference Config.java:44 — "Catalog
+      * storage URI: jdbc:..., etcd:..."): routes the catalog's METADATA
+      * plane through [[graft.catalog.EtcdHttpFileIO]] against the etcd
+      * v3 JSON gateway at the given endpoint. Same metadata/data split
+      * as the `s3:` block.
+      */
+    etcdUri: Option[String] = None)
 
 object GraftConfig {
 
@@ -139,7 +146,7 @@ object GraftConfig {
   private def build(m: Map[String, Any]): GraftConfig = {
     checkKeys(m, Set("root", "warehouse", "addr", "port", "bearerTokens",
       "anonymousAccess", "vendTableCredentials", "maintenanceSchedule",
-      "maintenance", "s3"), "config")
+      "maintenance", "s3", "uri"), "config")
     val root = m.get("root").map(str(_, "root"))
       .orElse(m.get("warehouse").map(w =>
         // reference spelling: file:///path — a local catalog root
@@ -185,6 +192,12 @@ object GraftConfig {
         req("secretAccessKey"),
         sm.get("region").map(str(_, "s3.region")).getOrElse("us-east-1"))
     }
+    val etcdUri = m.get("uri").map(str(_, "uri")).map { u =>
+      // reference Config.java:44 spelling: "etcd:http://host:2379"
+      if (!u.startsWith("etcd:")) fail(
+        s"unsupported storage uri \"$u\" (supported: etcd:http://host:port)")
+      u.stripPrefix("etcd:")
+    }
     GraftConfig(
       root = root,
       port = port,
@@ -195,7 +208,8 @@ object GraftConfig {
         m.get("vendTableCredentials").exists(bool(_, "vendTableCredentials")),
       maintenance = policy,
       maintenanceIntervalMs = interval,
-      s3 = s3)
+      s3 = s3,
+      etcdUri = etcdUri)
   }
 
   private def token(tm: Map[String, Any], i: Int): RestServer.Token = {

@@ -376,6 +376,44 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("etcd uri config routes the CLI metadata plane over the v3 gateway") {
+    import spark.implicits._
+    val server = new graft.catalog.EtcdWireServer().start()
+    try {
+      // a path that never materializes locally: metadata rides the wire
+      val etcdRoot = s"${Files.createTempDirectory("cli-etcd-root")}/virtual/cat"
+      val cfg = Files.createTempFile("graft-etcd", ".yaml")
+      Files.writeString(cfg,
+        s"""root: $etcdRoot
+           |uri: etcd:${server.endpoint}
+           |""".stripMargin)
+      def ecli(args: String*): (Int, Seq[String]) = {
+        val buf = new ByteArrayOutputStream()
+        val code = Cli.run(Seq("--config", cfg.toString) ++ args,
+          spark, new PrintStream(buf, true))
+        (code, buf.toString.linesIterator.toSeq)
+      }
+      assert(ecli("create-namespace", "w")._1 == 0)
+      assert(ecli("create-table", "w.t", "--schema", "id BIGINT, v STRING")._1 == 0)
+      // metadata-plane split (the reference's etcd deployment model):
+      // data files live where Spark writes them; etcd carries the
+      // catalog, so ingestion is the no-copy registration path
+      val staging = Files.createTempDirectory("cli-etcd")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+        .write.parquet(staging.resolve("in").toString)
+      val parquet = Files.list(staging.resolve("in")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      assert(ecli("insert", "w.t", parquet.toString,
+        "--no-copy", "--force-outside-location")._1 == 0)
+      assert(ecli("count", "w.t") == (0, Seq("2")))
+      assert(ecli("scan", "w.t", "--limit", "2")._2.length == 3)
+      // the metadata really rides etcd: keys exist server-side, the
+      // local fs never grew the catalog root
+      assert(!Files.exists(java.nio.file.Paths.get(etcdRoot)))
+      assert(server.keyCount > 0)
+    } finally server.stop()
+  }
+
   test("alter-table applies the reference's JSON update vocabulary") {
     import spark.implicits._
     val (c0, _) = cli("create-table", "ns.alt", "--schema", "id BIGINT, v STRING")

@@ -1,0 +1,233 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.util.{Random, Try}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{EtcdCommitLock, EtcdHttpFileIO, EtcdWireServer, FileIO, IceCatalog, LocalFileIO}
+
+/** Wire-level etcd conformance: [[EtcdHttpFileIO]] speaks the public
+  * etcd v3 JSON gateway over real HTTP to [[EtcdWireServer]] and must
+  * stay observably identical to POSIX under the same differential
+  * harness that pins [[graft.catalog.KvFileIO]], then carry the full
+  * catalog lifecycle on that wire — plus the reference's lease-backed
+  * CommitLock semantics (mutual exclusion, crash handoff by lease
+  * expiry). The client that passes here speaks the same JSON gateway
+  * etcd ≥3.4 serves; the reference reaches the same semantics through
+  * jetcd's gRPC bindings.
+  */
+class EtcdWireSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-etcdwire-test", cpus = 4)
+
+  lazy val server: EtcdWireServer = new EtcdWireServer().start()
+
+  // a root that never exists on disk; metadata rides the wire
+  val root = "/graft-etcd-root/never-on-disk"
+  lazy val wire = new EtcdHttpFileIO(root, server.endpoint)
+  lazy val cat = new IceCatalog(spark, root, wire)
+
+  override def afterAll(): Unit = { server.stop(); spark.stop() }
+
+  private def state(io: FileIO, base: Path): Seq[(String, Boolean, String)] =
+    io.walk(base).drop(1).map { p =>
+      val rel = base.relativize(p).toString
+      val d = io.isDirectory(p)
+      (rel, d, if (d) "" else io.readString(p))
+    }.sortBy(_._1)
+
+  test("800 random ops over the wire stay observably identical to POSIX") {
+    val r = new Random(23)
+    val localRoot = Files.createTempDirectory("etcd-local")
+    val kvRoot = java.nio.file.Paths.get("/etcddiff-virtual/root")
+    val fuzz = new EtcdHttpFileIO("/etcddiff-virtual", server.endpoint)
+    fuzz.createDirectories(kvRoot)
+
+    val names = Seq("a", "b", "c")
+    def randomRel(): String =
+      (0 until 1 + r.nextInt(3)).map(_ => names(r.nextInt(names.length))).mkString("/")
+
+    for (i <- 1 to 800) {
+      val rel = randomRel()
+      val rel2 = randomRel()
+      val content = s"v$i-${r.nextInt(100)}"
+      val opId = r.nextInt(10)
+      def run(io: FileIO, base: Path): Either[String, String] = {
+        val p = base.resolve(rel)
+        val p2 = base.resolve(rel2)
+        Try(opId match {
+          case 0 => io.createDirectories(p); "mkdir"
+          case 1 => io.writeString(p, content); "write"
+          case 2 => io.writeStringIfAbsent(p, content); "writeNew"
+          case 3 => io.readString(p)
+          case 4 => io.list(p).map(base.relativize(_).toString).sorted.mkString(",")
+          case 5 => io.exists(p).toString + io.isDirectory(p) + io.isRegularFile(p)
+          case 6 => io.deleteIfExists(p).toString
+          case 7 => io.move(p, p2); "move"
+          case 8 =>
+            io.publishLink(base.resolve(s"pub-$i"), p)
+            io.deleteIfExists(p); "link"
+          case 9 => if (io.isRegularFile(p)) io.size(p).toString else "skip"
+        }).toEither.left.map(_ => "threw")
+      }
+      val lr = run(LocalFileIO, localRoot)
+      val er = run(fuzz, kvRoot)
+      assert(lr == er, s"op $i (id=$opId rel=$rel rel2=$rel2): local=$lr etcd=$er")
+      if (i % 20 == 0) // state walk is O(keys) HTTP round-trips — sample
+        assert(state(LocalFileIO, localRoot) == state(fuzz, kvRoot),
+          s"state diverged by op $i (id=$opId rel=$rel rel2=$rel2)")
+    }
+    assert(state(LocalFileIO, localRoot) == state(fuzz, kvRoot))
+  }
+
+  test("full catalog lifecycle over the etcd metadata plane") {
+    cat.createNamespace("w")
+    cat.createTable("w.n", spark.read.parquet(s"$dir/nation.parquet").schema)
+    val d = Files.createTempDirectory("etcd-data")
+    spark.read.parquet(s"$dir/nation.parquet")
+      .repartition(2).write.mode("overwrite").parquet(d.resolve("n").toString)
+    val files = LocalFileIO.walk(d.resolve("n"))
+      .filter(_.getFileName.toString.endsWith(".parquet")).map(_.toString).sorted
+    cat.addFiles("w.n", files, forceOutsideLocation = true)
+    val expected = spark.read.parquet(s"$dir/nation.parquet").count()
+    assert(cat.scan("w.n").count() == expected)
+    // a second client instance sees the served store; local fs untouched
+    val cat2 = new IceCatalog(spark, root, new EtcdHttpFileIO(root, server.endpoint))
+    assert(cat2.listTables("w") == Seq("n"))
+    assert(!Files.exists(java.nio.file.Paths.get(root)))
+    // commit + rollback + rename (one multi-key txn per dir swap)
+    val v1 = cat.loadMeta("w.n").currentSnapshotId
+    cat.setProperty("w.n", "tier", "gold")
+    cat.rollbackTo("w.n", v1)
+    cat.renameTable("w.n", "w.m")
+    assert(cat2.listTables("w") == Seq("m"))
+    assert(cat2.scan("w.m").count() == expected)
+  }
+
+  test("racing version publications: the create_revision txn picks one winner") {
+    val base = java.nio.file.Paths.get(s"$root/race")
+    wire.createDirectories(base)
+    wire.writeString(base.resolve("staged-a"), "A")
+    wire.writeString(base.resolve("staged-b"), "B")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val tasks = Seq("staged-a", "staged-b").map { src =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          latch.await()
+          try { wire.publishLink(base.resolve("v2.json"), base.resolve(src)); wins.incrementAndGet() }
+          catch { case _: java.nio.file.FileAlreadyExistsException => losses.incrementAndGet() }
+        }
+      })
+    }
+    latch.countDown()
+    tasks.foreach(_.get())
+    pool.shutdown()
+    assert(wins.get() == 1 && losses.get() == 1)
+    assert(Seq("A", "B").contains(wire.readString(base.resolve("v2.json"))))
+  }
+
+  test("MVCC bookkeeping: revisions move only when the store changes") {
+    val r0 = server.currentRevision
+    val p = java.nio.file.Paths.get(s"$root/mvcc")
+    wire.createDirectories(p)
+    val r1 = server.currentRevision
+    assert(r1 > r0)
+    wire.exists(p.resolve("nope")) // reads don't move the revision
+    wire.deleteIfExists(p.resolve("nope"))
+    assert(server.currentRevision == r1)
+    wire.writeString(p.resolve("f"), "x")
+    val r2 = server.currentRevision
+    assert(r2 == r1 + 1)
+    // a failed create-new txn (guard false, no writes applied) is a no-op
+    intercept[java.nio.file.FileAlreadyExistsException](
+      wire.writeStringIfAbsent(p.resolve("f"), "y"))
+    assert(server.currentRevision == r2)
+    assert(wire.readString(p.resolve("f")) == "x")
+  }
+
+  test("directory move is one multi-key txn, atomic to a racing reader") {
+    val base = java.nio.file.Paths.get(s"$root/dmove")
+    wire.createDirectories(base.resolve("src/deep"))
+    (1 to 20).foreach(i => wire.writeString(base.resolve(s"src/f$i"), s"c$i"))
+    wire.writeString(base.resolve("src/deep/g"), "leaf")
+    val before = server.currentRevision
+    wire.move(base.resolve("src"), base.resolve("dst"))
+    // the whole swap landed as ONE revision (one txn)
+    assert(server.currentRevision == before + 1)
+    assert(!wire.exists(base.resolve("src")))
+    assert(wire.readString(base.resolve("dst/f7")) == "c7")
+    assert(wire.readString(base.resolve("dst/deep/g")) == "leaf")
+  }
+
+  test("commit lock: mutual exclusion between two clients") {
+    val lockA = new EtcdCommitLock(server.endpoint, "cat", leaseTtlSec = 5)
+    val lockB = new EtcdCommitLock(server.endpoint, "cat",
+      leaseTtlSec = 5, acquireTimeoutMs = 500)
+    val h = lockA.acquire("ns.t")
+    // B cannot acquire while A holds
+    intercept[java.util.concurrent.TimeoutException](lockB.acquire("ns.t"))
+    h.close()
+    // released: B acquires immediately
+    val h2 = lockB.acquire("ns.t")
+    h2.close()
+  }
+
+  test("commit lock: a crashed holder hands off by lease expiry") {
+    val crasher = new EtcdCommitLock(server.endpoint, "cat", leaseTtlSec = 1)
+    val h = crasher.acquire("ns.crash")
+    // simulate a crash: stop refreshing WITHOUT unlocking (the reference's
+    // failure mode CommitLock leases exist for)
+    h.abandonForTest()
+    // a second client waits out the lease TTL and acquires
+    val waiter = new EtcdCommitLock(server.endpoint, "cat",
+      leaseTtlSec = 5, acquireTimeoutMs = 10000)
+    val t0 = System.currentTimeMillis()
+    val h2 = waiter.acquire("ns.crash")
+    val waited = System.currentTimeMillis() - t0
+    h2.close()
+    assert(waited < 10000, s"handoff took ${waited}ms")
+  }
+
+  test("withLocks: sorted acquire, reverse release, action result returned") {
+    val lock = new EtcdCommitLock(server.endpoint, "cat")
+    val got = lock.withLocks(Seq("ns.b", "ns.a"))(42)
+    assert(got == 42)
+    // both released
+    val again = new EtcdCommitLock(server.endpoint, "cat", acquireTimeoutMs = 1000)
+    again.withLocks(Seq("ns.a", "ns.b"))(())
+  }
+
+  test("lease TTL survives keepalive, dies without it") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val http = java.net.http.HttpClient.newHttpClient()
+    def call(route: String, body: String): com.fasterxml.jackson.databind.JsonNode = {
+      val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(server.endpoint + route))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      mapper.readTree(http.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+    }
+    val id = call("/v3/lease/grant", """{"TTL":"1"}""").path("ID").asLong()
+    val key = java.util.Base64.getEncoder.encodeToString(
+      "leased-key".getBytes("UTF-8"))
+    val v = java.util.Base64.getEncoder.encodeToString("v".getBytes("UTF-8"))
+    call("/v3/kv/put", s"""{"key":"$key","value":"$v","lease":"$id"}""")
+    assert(call("/v3/kv/range", s"""{"key":"$key"}""").path("count").asLong() == 1)
+    call("/v3/lease/keepalive", s"""{"ID":"$id"}""") // refresh holds it
+    Thread.sleep(1300)
+    // deadline passed without another refresh: key is gone with the lease
+    val after = call("/v3/kv/range", s"""{"key":"$key"}""")
+    assert(after.path("count").asLong(0L) == 0,
+      s"leased key survived expiry: $after")
+    assert(call("/v3/lease/timetolive", s"""{"ID":"$id"}""")
+      .path("TTL").asText() == "-1")
+  }
+}

@@ -89,6 +89,16 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(j.root.contains("/tmp/j") && j.port.contains(7070) && j.anonymousEnabled)
   }
 
+  test("uri: etcd:... parses; other storage uris are refused") {
+    val c = GraftConfig.fromString(
+      "root: /tmp/c\nuri: etcd:http://127.0.0.1:2379\n", env())
+    assert(c.etcdUri.contains("http://127.0.0.1:2379"))
+    assert(GraftConfig.fromString("root: /tmp/c\n", env()).etcdUri.isEmpty)
+    val e = intercept[IllegalArgumentException](
+      GraftConfig.fromString("uri: jdbc:postgres://x\n", env()))
+    assert(e.getMessage.contains("unsupported storage uri"))
+  }
+
   test("schedule grammar") {
     assert(GraftConfig.parseSchedule("every 30s") == 30000L)
     assert(GraftConfig.parseSchedule("every 2h") == 7200000L)
