@@ -422,10 +422,15 @@ class IceCatalog(
 
   /** Filesystem path for comparing manifest entries with
     * `input_file_name()` output — the two render the same file with
-    * different URI spellings (`file:///x` vs `file:/x`).
+    * different URI spellings (`file:///x` vs `file:/x`). Object-store
+    * URIs keep their full spelling: stripping the scheme/authority would
+    * collide same-keyed files across buckets/planes.
     */
   private def fsPath(s: String): String =
-    try new java.net.URI(s).getPath catch { case _: Exception => s }
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme == null || u.getScheme == "file") u.getPath else s
+    } catch { case _: Exception => s }
 
   // ---- manifest segments (incremental metadata) --------------------------
   //
@@ -1383,7 +1388,33 @@ class IceCatalog(
       basedOn: Option[Long] = None): TableMeta = {
     val meta = loadMeta(ident)
     val tblDir = tableDir(ident).toAbsolutePath.normalize
-    val norm = paths.map(p => Paths.get(p).toAbsolutePath.normalize)
+    // object-store URIs (scheme'd, non-file) register through Hadoop's
+    // FileSystem layer — the reference's s3:// no-copy ingestion
+    // (Insert.java:469-524): a petabyte of existing parquet ON OBJECT
+    // STORAGE enters the catalog as an O(files) footer pass, scans read
+    // it over the wire, nothing is copied
+    def isStoreUri(s: String): Boolean =
+      try {
+        val sch = new java.net.URI(s).getScheme
+        sch != null && sch != "file"
+      } catch { case _: Exception => false }
+    val (uriRaw, localRaw) = paths.partition(isStoreUri)
+    lazy val hconf = spark.sessionState.newHadoopConf()
+    // normalize to Spark's own spelling (hadoop Path.toUri), the string
+    // input_file_name()/_metadata.file_path render for these files
+    val uriNorm = uriRaw.map(s => new org.apache.hadoop.fs.Path(s).toUri.toString)
+    uriNorm.foreach { s =>
+      val hp = new org.apache.hadoop.fs.Path(s)
+      val st = try hp.getFileSystem(hconf).getFileStatus(hp) catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(s"no such file: $s")
+      }
+      require(st.isFile, s"no such file: $s")
+      require(forceOutsideLocation,
+        s"$s: object-store files are outside the table location; " +
+          "no-copy registration needs forceOutsideLocation")
+    }
+    val norm = localRaw.map(p => Paths.get(p).toAbsolutePath.normalize)
     norm.foreach { p =>
       require(io.isRegularFile(p), s"no such file: $p")
       require(forceOutsideLocation || p.startsWith(tblDir),
@@ -1392,19 +1423,24 @@ class IceCatalog(
     }
     val known = meta.snapshots.flatMap(_.sourceFiles).map(fsPath).toSet
     val dupes = norm.filter(p => known.contains(fsPath(p.toUri.toString)))
+    val uriDupes = uriNorm.filter(s => known.contains(fsPath(s)))
     val toAdd =
-      if (options.forceDuplicates || dupes.isEmpty) norm
+      if (options.forceDuplicates || (dupes.isEmpty && uriDupes.isEmpty)) norm
       else if (options.skipDuplicates) norm.filterNot(dupes.contains)
       else throw new IllegalStateException(
-        s"duplicate source files (use skipDuplicates or forceDuplicates): ${dupes.take(3)}")
-    if (toAdd.isEmpty) return meta
+        s"duplicate source files (use skipDuplicates or forceDuplicates): ${(dupes ++ uriDupes).take(3)}")
+    val uriToAdd =
+      if (options.forceDuplicates || (dupes.isEmpty && uriDupes.isEmpty)) uriNorm
+      else uriNorm.filterNot(uriDupes.contains)
+    if (toAdd.isEmpty && uriToAdd.isEmpty) return meta
 
     // Partition value per file: one pruned scan of the transform source
     // columns only; a file spanning >1 value is an error (Insert.java:489).
     val partByFile: Map[String, Map[String, String]] =
       if (meta.partitionSpec.isEmpty) Map.empty.withDefaultValue(Map.empty)
       else {
-        val src = spark.read.schema(meta.schema).parquet(toAdd.map(_.toString): _*)
+        val src = spark.read.schema(meta.schema)
+          .parquet(toAdd.map(_.toString) ++ uriToAdd: _*)
         val tCols = meta.partitionSpec.map(f =>
           transformCol(f, meta.schema).cast("string").as(f.name))
         val rows = src.select(input_file_name().as("__file") +: tCols: _*)
@@ -1426,10 +1462,20 @@ class IceCatalog(
       footerMeta(p, meta.schema, meta.schemaLog.length - 1,
         partByFile(fsPath(p.toUri.toString)))
     }
+    // object-store footers ride Hadoop's FileSystem (ranged reads on any
+    // mounted scheme), same O(footer) cost per file
+    val newUriFiles = inParallel(uriToAdd) { s =>
+      val hp = new org.apache.hadoop.fs.Path(s)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, hconf))
+      val footer = try reader.getFooter finally reader.close()
+      footerMetaFrom(s, footer, hp.getFileSystem(hconf).getFileStatus(hp).getLen,
+        meta.schema, meta.schemaLog.length - 1, partByFile(fsPath(s)))
+    }
     if (options.noCommit) return meta
-    val added = toAdd.map(_.toUri.toString)
+    val added = toAdd.map(_.toUri.toString) ++ uriToAdd
     commitSnap(ident, basedOn = basedOn)(_ =>
-      SnapDelta("append", add = newFiles, addSources = added))
+      SnapDelta("append", add = newFiles ++ newUriFiles, addSources = added))
   }
 
   /** [[addFiles]] under a budgeted retry loop ([[CommitRetry]]; the
@@ -1725,9 +1771,22 @@ class IceCatalog(
 
   private def footerMeta(
       p: Path, schema: StructType, schemaId: Int,
+      partition: Map[String, String]): DataFileMeta =
+    footerMetaFrom(p.toUri.toString, readFooter(p), io.size(p),
+      schema, schemaId, partition)
+
+  /** Manifest entry from an already-read footer — shared by the local
+    * (FileIO-seam) and object-store (Hadoop FileSystem) registration
+    * paths; `pathStr` is stored verbatim and must be the spelling the
+    * scan layer reads (nio toUri for local files, hadoop Path.toUri for
+    * store URIs).
+    */
+  private def footerMetaFrom(
+      pathStr: String,
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      byteSize: Long, schema: StructType, schemaId: Int,
       partition: Map[String, String]): DataFileMeta = {
     val sparkType = schema.fields.map(f => f.name -> f.dataType.typeName).toMap
-    val footer = readFooter(p)
     val blocks = footer.getBlocks.asScala.toSeq
     val rowCount = blocks.map(_.getRowCount).sum
     val chunksByCol = blocks.flatMap(_.getColumns.asScala)
@@ -1735,7 +1794,7 @@ class IceCatalog(
     val stats = chunksByCol.flatMap { case (name, chunks) =>
       sparkType.get(name).flatMap(t => mergeFooterStats(t, chunks)).map(name -> _)
     }
-    DataFileMeta(p.toUri.toString, rowCount, io.size(p), partition, stats, schemaId,
+    DataFileMeta(pathStr, rowCount, byteSize, partition, stats, schemaId,
       hasFieldIds = footerHasFieldIds(footer))
   }
 
@@ -2163,8 +2222,14 @@ class IceCatalog(
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
       SnapDelta("delete", drop = dropPaths))
     if (purge) drop.foreach(f =>
-      try io.deleteIfExists(Paths.get(new java.net.URI(f.path).getPath))
-      catch { case _: Exception => })
+      try {
+        val scheme = new java.net.URI(f.path).getScheme
+        if (scheme != null && scheme != "file") {
+          // object-store data file: delete through its Hadoop FileSystem
+          val hp = new org.apache.hadoop.fs.Path(f.path)
+          hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, false)
+        } else io.deleteIfExists(Paths.get(new java.net.URI(f.path).getPath))
+      } catch { case _: Exception => })
     drop.map(_.path)
   }
 
@@ -2814,8 +2879,18 @@ class IceCatalog(
     val meta = loadMeta(ident)
     val cur = meta.current.getOrElse(return 0)
     if (cur.files.isEmpty) return 0
+    val hconf = spark.sessionState.newHadoopConf()
     val flags = inParallel(cur.files) { f =>
-      f.path -> footerHasFieldIds(readFooter(Paths.get(new java.net.URI(f.path).getPath)))
+      val scheme = new java.net.URI(f.path).getScheme
+      val footer =
+        if (scheme != null && scheme != "file") {
+          // object-store data file: footer through its Hadoop FileSystem
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.path), hconf))
+          try reader.getFooter finally reader.close()
+        } else readFooter(Paths.get(new java.net.URI(f.path).getPath))
+      f.path -> footerHasFieldIds(footer)
     }.toMap
     val wrong = cur.files.filter(f => f.hasFieldIds != flags(f.path))
     if (wrong.isEmpty) return 0

@@ -251,7 +251,7 @@ final class S3WireServer(
           xml.append(s"<Key>${xmlEsc(k)}</Key>")
           xml.append(s"<Size>${e.bytes.length}</Size>")
           xml.append(s"<ETag>${xmlEsc(e.etag)}</ETag>")
-          xml.append(s"<LastModifiedMs>${e.mtime}</LastModifiedMs>")
+          xml.append(s"<LastModified>${java.time.Instant.ofEpochMilli(e.mtime)}</LastModified>")
           xml.append("</Contents>")
         }
       case Right(p) =>

@@ -1,0 +1,456 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, FileNotFoundException, IOException}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, FileSystem, Path, PositionedReadable, Seekable}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+import graft.catalog.SigV4
+
+/** Hadoop [[FileSystem]] over the S3 wire protocol (SigV4-signed REST,
+  * path-style) — the DATA-plane half of the S3 story: with this mounted,
+  * Spark's own parquet scans and writes (executor-side, via Hadoop's
+  * FileSystem layer) ride the same wire endpoint the catalog's metadata
+  * plane uses through [[graft.catalog.S3HttpFileIO]]. The reference
+  * reaches this layer through hadoop-aws/the AWS SDK (which the sandbox
+  * lacks); this adapter speaks the identical REST surface
+  * (GET/PUT/DELETE, `Range` GETs for parquet footer/page reads,
+  * CopyObject renames, ListObjectsV2, multipart upload for large
+  * outputs) against [[graft.catalog.S3WireServer]] in specs and any
+  * S3-compatible endpoint in deployment.
+  *
+  * URI shape: `grafts3://bucket/key/parts`. Configuration (per-bucket
+  * values override the globals):
+  * {{{
+  *   fs.grafts3.impl        = graft.sources.GraftS3FileSystem
+  *   fs.grafts3.endpoint    = http://host:port
+  *   fs.grafts3.access.key  = ...
+  *   fs.grafts3.secret.key  = ...
+  *   fs.grafts3.region      = us-east-1        (optional)
+  *   fs.grafts3.readahead   = 262144           (optional, range-GET chunk)
+  *   fs.grafts3.part.size   = 8388608          (optional, multipart part)
+  * }}}
+  *
+  * Object mapping follows the catalog's convention: directories are
+  * zero-byte marker objects with a trailing-slash key (plus implicit
+  * directories from deeper keys, the standard S3 reading); renames are
+  * server-side CopyObject + DELETE per object — what rename costs on
+  * real S3, which is why committers that rename once (v2 / file-per-task
+  * outputs) are the right pairing at scale.
+  */
+final class GraftS3FileSystem extends FileSystem {
+
+  private var fsUri: java.net.URI = _
+  private var bucket: String = _
+  private var endpoint: String = _
+  private var host: String = _
+  private var creds: SigV4.Credentials = _
+  private var region: String = _
+  private var readahead: Int = 262144
+  private var partSize: Int = 8 * 1024 * 1024
+  private var workingDir: Path = _
+  private val http = HttpClient.newHttpClient()
+
+  override def initialize(uri: java.net.URI, conf: Configuration): Unit = {
+    super.initialize(uri, conf)
+    setConf(conf)
+    fsUri = java.net.URI.create(s"${uri.getScheme}://${uri.getAuthority}")
+    bucket = uri.getAuthority
+    def key(name: String): String = {
+      val perBucket = conf.get(s"fs.grafts3.bucket.$bucket.$name")
+      if (perBucket != null) perBucket else conf.get(s"fs.grafts3.$name")
+    }
+    endpoint = Option(key("endpoint")).getOrElse(
+      throw new IOException("fs.grafts3.endpoint not configured"))
+    host = endpoint.stripPrefix("http://").stripPrefix("https://")
+    creds = SigV4.Credentials(
+      Option(key("access.key")).getOrElse(
+        throw new IOException("fs.grafts3.access.key not configured")),
+      Option(key("secret.key")).getOrElse(
+        throw new IOException("fs.grafts3.secret.key not configured")))
+    region = Option(key("region")).getOrElse("us-east-1")
+    readahead = Option(key("readahead")).map(_.toInt).getOrElse(262144)
+    partSize = Option(key("part.size")).map(_.toInt).getOrElse(8 * 1024 * 1024)
+    workingDir = new Path(s"${uri.getScheme}://$bucket/")
+  }
+
+  override def getScheme: String = "grafts3"
+  override def getUri: java.net.URI = fsUri
+  override def getWorkingDirectory: Path = workingDir
+  override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
+
+  // ---- signed request plumbing (the wire client's shape) ------------------
+
+  private def amzNow(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+
+  private def request(
+      method: String, key: String, query: Seq[(String, String)] = Seq.empty,
+      body: Array[Byte] = null, extraHeaders: Seq[(String, String)] = Seq.empty)
+      : HttpResponse[Array[Byte]] = {
+    val date = amzNow()
+    val payloadHash =
+      if (body == null) SigV4.EmptyPayloadSha256 else SigV4.sha256Hex(body)
+    val path = s"/$bucket/$key"
+    val signHeaders = Seq(
+      "host" -> host, "x-amz-date" -> date,
+      "x-amz-content-sha256" -> payloadHash) ++
+      extraHeaders.map { case (k, v) => k.toLowerCase -> v }
+    val auth = SigV4.authorization(
+      creds, date, region, "s3", method, path, query, signHeaders, payloadHash)
+    val qs =
+      if (query.isEmpty) ""
+      else query.map { case (k, v) =>
+        SigV4.uriEncode(k, keepSlash = false) + "=" + SigV4.uriEncode(v, keepSlash = false)
+      }.mkString("?", "&", "")
+    val b = HttpRequest.newBuilder(java.net.URI.create(
+      endpoint + SigV4.uriEncode(path, keepSlash = true) + qs))
+    b.header("Authorization", auth)
+    b.header("x-amz-date", date)
+    b.header("x-amz-content-sha256", payloadHash)
+    extraHeaders.foreach { case (k, v) => b.header(k, v) }
+    val req = method match {
+      case "GET" => b.GET()
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofByteArray(
+        Option(body).getOrElse(Array.empty)))
+    }
+    http.send(req.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def fail(r: HttpResponse[Array[Byte]], key: String): Nothing =
+    throw new IOException(
+      s"S3 ${r.statusCode()} for $key: ${new String(r.body(), UTF_8).take(200)}")
+
+  // ---- key mapping --------------------------------------------------------
+
+  private def objKey(p: Path): String = {
+    val q = p.toUri.getPath.stripPrefix("/")
+    if (q.endsWith("/")) q.stripSuffix("/") else q
+  }
+  private def dirKey(p: Path): String = {
+    val k = objKey(p)
+    if (k.isEmpty) "" else k + "/"
+  }
+
+  private def head(key: String): Option[HttpResponse[Array[Byte]]] = {
+    if (key.isEmpty) return None
+    val r = request("HEAD", key)
+    if (r.statusCode() == 200) Some(r)
+    else if (r.statusCode() == 404) None
+    else fail(r, key)
+  }
+
+  private def contentLength(r: HttpResponse[Array[Byte]]): Long =
+    r.headers().firstValue("x-amz-content-length")
+      .or(() => r.headers().firstValue("Content-Length")).orElse("0").toLong
+
+  private def mtime(r: HttpResponse[Array[Byte]]): Long =
+    r.headers().firstValue("x-amz-meta-mtime-ms").map[Long](_.toLong)
+      .or(() => r.headers().firstValue("Last-Modified").map[Long](lm =>
+        java.time.ZonedDateTime.parse(lm,
+          java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+          .toInstant.toEpochMilli))
+      .orElse(0L)
+
+  /** One ListObjectsV2 walk (handles continuation). */
+  private def listKeys(
+      prefix: String, delimiter: Option[String]): (Seq[(String, Long, Long)], Seq[String]) = {
+    var contents = Vector.empty[(String, Long, Long)]
+    var prefixes = Vector.empty[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
+        delimiter.map("delimiter" -> _) ++
+        token.map("continuation-token" -> _)
+      val r = request("GET", "", q.sortBy(_._1))
+      if (r.statusCode() != 200) fail(r, prefix)
+      val xml = new String(r.body(), UTF_8)
+      // pair keys with sizes positionally from each <Contents> block
+      val blocks = "(?s)<Contents>(.*?)</Contents>".r
+        .findAllMatchIn(xml).map(_.group(1)).toSeq
+      contents ++= blocks.map { blk =>
+        (extract(blk, "Key").getOrElse(""),
+          extract(blk, "Size").map(_.toLong).getOrElse(0L),
+          extract(blk, "LastModified").flatMap(s =>
+            scala.util.Try(java.time.Instant.parse(s).toEpochMilli).toOption)
+            .getOrElse(0L))
+      }
+      // fallback for servers emitting flat Key lists without Contents blocks
+      if (blocks.isEmpty)
+        contents ++= extractAll(xml, "Key").map(k => (k, 0L, 0L))
+      prefixes ++= extractAll(xml, "Prefix").filter(_ != prefix).filter(_.nonEmpty)
+      token = extract(xml, "NextContinuationToken")
+      more = extract(xml, "IsTruncated").contains("true") && token.isDefined
+    }
+    (contents, prefixes.distinct)
+  }
+
+  private def extract(xml: String, tag: String): Option[String] =
+    s"<$tag>([^<]*)</$tag>".r.findFirstMatchIn(xml).map(m => unesc(m.group(1)))
+  private def extractAll(xml: String, tag: String): Seq[String] =
+    s"<$tag>([^<]*)</$tag>".r.findAllMatchIn(xml).map(m => unesc(m.group(1))).toSeq
+  private def unesc(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+  private def qualify(key: String): Path =
+    new Path(s"${fsUri.getScheme}://$bucket/${key.stripSuffix("/")}")
+
+  // ---- status / listing ---------------------------------------------------
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = objKey(f)
+    if (key.isEmpty) // bucket root is always a directory
+      return new FileStatus(0, true, 1, 0, 0, qualify(""))
+    head(key) match {
+      case Some(r) =>
+        new FileStatus(contentLength(r), false, 1, getDefaultBlockSize(f),
+          mtime(r), qualify(key))
+      case None =>
+        if (head(dirKey(f)).isDefined)
+          new FileStatus(0, true, 1, 0, 0, qualify(key))
+        else {
+          // implicit directory: any deeper key makes the prefix a dir
+          val (contents, prefixes) = listKeys(dirKey(f), Some("/"))
+          if (contents.nonEmpty || prefixes.nonEmpty)
+            new FileStatus(0, true, 1, 0, 0, qualify(key))
+          else throw new FileNotFoundException(f.toString)
+        }
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val st = getFileStatus(f) // FileNotFoundException when absent
+    if (!st.isDirectory) return Array(st)
+    val prefix = dirKey(f)
+    val (contents, prefixes) = listKeys(prefix, Some("/"))
+    val files = contents.filter { case (k, _, _) => k != prefix && !k.endsWith("/") }
+      .map { case (k, size, mt) =>
+        new FileStatus(size, false, 1, getDefaultBlockSize(f), mt, qualify(k))
+      }
+    val dirs = (prefixes.map(_.stripSuffix("/")) ++
+      contents.collect { case (k, _, _) if k != prefix && k.endsWith("/") =>
+        k.stripSuffix("/") })
+      .distinct.map(k => new FileStatus(0, true, 1, 0, 0, qualify(k)))
+    (files ++ dirs).toArray
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    var p = f
+    var chain = List.empty[Path]
+    while (p != null && objKey(p).nonEmpty) { chain = p :: chain; p = p.getParent }
+    chain.foreach { c =>
+      if (head(objKey(c)).isDefined)
+        throw new IOException(s"${c} exists as a file")
+      val r = request("PUT", dirKey(c), body = Array.empty)
+      if (r.statusCode() != 200) fail(r, dirKey(c))
+    }
+    true
+  }
+
+  // ---- read path ----------------------------------------------------------
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val key = objKey(f)
+    val h = head(key).getOrElse(throw new FileNotFoundException(f.toString))
+    new FSDataInputStream(new RangedInput(key, contentLength(h)))
+  }
+
+  /** Seekable ranged-GET stream: sequential reads fill a readahead
+    * buffer; positioned reads (parquet footers / page headers) issue one
+    * range request for exactly the span — the object-store read shape.
+    */
+  private final class RangedInput(key: String, len: Long)
+      extends java.io.InputStream with Seekable with PositionedReadable {
+
+    private var pos: Long = 0
+    private var buf: Array[Byte] = Array.empty
+    private var bufStart: Long = 0
+
+    private def fetch(offset: Long, n: Int): Array[Byte] = {
+      if (n <= 0 || offset >= len) return Array.empty
+      val last = math.min(len, offset + n) - 1
+      val r = request("GET", key,
+        extraHeaders = Seq("Range" -> s"bytes=$offset-$last"))
+      if (r.statusCode() == 404) throw new FileNotFoundException(key)
+      if (r.statusCode() != 206 && r.statusCode() != 200) fail(r, key)
+      r.body()
+    }
+
+    override def read(): Int = {
+      val one = new Array[Byte](1)
+      val n = read(one, 0, 1)
+      if (n <= 0) -1 else one(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, n: Int): Int = {
+      if (pos >= len) return -1
+      if (pos < bufStart || pos >= bufStart + buf.length) {
+        buf = fetch(pos, math.max(n, readahead))
+        bufStart = pos
+        if (buf.isEmpty) return -1
+      }
+      val avail = (bufStart + buf.length - pos).toInt
+      val take = math.min(n, avail)
+      System.arraycopy(buf, (pos - bufStart).toInt, b, off, take)
+      pos += take
+      take
+    }
+
+    override def seek(newPos: Long): Unit = {
+      if (newPos < 0 || newPos > len)
+        throw new java.io.EOFException(s"seek $newPos outside [0,$len]")
+      pos = newPos
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+
+    override def read(position: Long, b: Array[Byte], off: Int, n: Int): Int = {
+      if (position >= len) return -1
+      val got = fetch(position, n)
+      System.arraycopy(got, 0, b, off, got.length)
+      got.length
+    }
+    override def readFully(position: Long, b: Array[Byte], off: Int, n: Int): Unit = {
+      var done = 0
+      while (done < n) {
+        val r = read(position + done, b, off + done, n - done)
+        if (r < 0) throw new java.io.EOFException(
+          s"readFully past EOF at ${position + done} of $len")
+        done += r
+      }
+    }
+    override def readFully(position: Long, b: Array[Byte]): Unit =
+      readFully(position, b, 0, b.length)
+  }
+
+  // ---- write path ---------------------------------------------------------
+
+  override def create(
+      f: Path, permission: FsPermission, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long, progress: Progressable): FSDataOutputStream = {
+    val key = objKey(f)
+    if (!overwrite && head(key).isDefined)
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+    // buffer to a local temp file; upload on close (single PUT below the
+    // part threshold, multipart above it — bounded memory either way)
+    val tmp = java.io.File.createTempFile("grafts3-", ".part")
+    tmp.deleteOnExit()
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+    val stream = new java.io.OutputStream {
+      override def write(b: Int): Unit = out.write(b)
+      override def write(b: Array[Byte], off: Int, n: Int): Unit = out.write(b, off, n)
+      override def close(): Unit = {
+        out.close()
+        try upload(key, tmp) finally tmp.delete()
+      }
+    }
+    new FSDataOutputStream(stream, statistics)
+  }
+
+  private def upload(key: String, tmp: java.io.File): Unit = {
+    val size = tmp.length()
+    if (size <= partSize) {
+      val r = request("PUT", key, body = java.nio.file.Files.readAllBytes(tmp.toPath))
+      if (r.statusCode() != 200) fail(r, key)
+      return
+    }
+    val init = request("POST", key, query = Seq("uploads" -> ""))
+    if (init.statusCode() != 200) fail(init, key)
+    val id = extract(new String(init.body(), UTF_8), "UploadId")
+      .getOrElse(throw new IOException("no UploadId"))
+    try {
+      val in = new java.io.FileInputStream(tmp)
+      try {
+        var part = 1
+        var remaining = size
+        while (remaining > 0) {
+          val n = math.min(remaining, partSize.toLong).toInt
+          val bytes = in.readNBytes(n)
+          val r = request("PUT", key,
+            query = Seq("partNumber" -> part.toString, "uploadId" -> id),
+            body = bytes)
+          if (r.statusCode() != 200) fail(r, s"$key part $part")
+          part += 1
+          remaining -= n
+        }
+      } finally in.close()
+      val done = request("POST", key, query = Seq("uploadId" -> id),
+        body = "<CompleteMultipartUpload/>".getBytes(UTF_8))
+      if (done.statusCode() != 200) fail(done, key)
+    } catch {
+      case e: Throwable =>
+        request("DELETE", key, query = Seq("uploadId" -> id))
+        throw e
+    }
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("append is not an object-store operation")
+
+  // ---- rename / delete ----------------------------------------------------
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcStatus =
+      try getFileStatus(src) catch { case _: FileNotFoundException => return false }
+    // Hadoop contract: renaming INTO an existing directory nests by name
+    val target =
+      try {
+        val d = getFileStatus(dst)
+        if (d.isDirectory) new Path(dst, src.getName) else return false
+      } catch { case _: FileNotFoundException => dst }
+    if (objKey(target) == objKey(src)) return true
+    if (srcStatus.isDirectory) {
+      if (objKey(target).startsWith(objKey(src) + "/")) return false
+      val (children, _) = listKeys(dirKey(src), None)
+      val mk = request("PUT", dirKey(target), body = Array.empty)
+      if (mk.statusCode() != 200) fail(mk, dirKey(target))
+      children.foreach { case (ck, _, _) =>
+        if (ck != dirKey(src)) {
+          val tk = dirKey(target) + ck.stripPrefix(dirKey(src))
+          val r = request("PUT", tk,
+            extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/$ck"))
+          if (r.statusCode() != 200) fail(r, ck)
+        }
+      }
+      children.foreach { case (ck, _, _) =>
+        val r = request("DELETE", ck); if (r.statusCode() >= 300) fail(r, ck)
+      }
+      request("DELETE", dirKey(src))
+      true
+    } else {
+      val r = request("PUT", objKey(target),
+        extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/${objKey(src)}"))
+      if (r.statusCode() != 200) fail(r, objKey(target))
+      val d = request("DELETE", objKey(src))
+      if (d.statusCode() >= 300) fail(d, objKey(src))
+      true
+    }
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val st =
+      try getFileStatus(f) catch { case _: FileNotFoundException => return false }
+    if (!st.isDirectory) {
+      val r = request("DELETE", objKey(f))
+      if (r.statusCode() >= 300) fail(r, objKey(f))
+      return true
+    }
+    val (children, _) = listKeys(dirKey(f), None)
+    val real = children.filter(_._1 != dirKey(f))
+    if (real.nonEmpty && !recursive)
+      throw new IOException(s"$f is a non-empty directory (recursive=false)")
+    real.foreach { case (ck, _, _) =>
+      val r = request("DELETE", ck); if (r.statusCode() >= 300) fail(r, ck)
+    }
+    request("DELETE", dirKey(f))
+    true
+  }
+}
