@@ -361,6 +361,58 @@ final class S3HttpFileIO(
     r.body()
   }
 
+  /** Server-side copy past CopyObject's 5 GiB limit — the reference's
+    * CopyObjectMultipart.run (s3/CopyObjectMultipart.java:37-131): HEAD
+    * the source; below `partSize` one plain CopyObject; above it an
+    * UploadPartCopy per `bytes=a-b` range fanned over `threads`, completed
+    * atomically, aborted (upload discarded) on any part failure. No byte
+    * ever rides the client — every part is a server-side range copy.
+    */
+  def copyObjectMultipart(
+      src: Path, dst: Path,
+      partSize: Long = 256L * 1024 * 1024, threads: Int = 4): Unit = {
+    require(inS3(src) && inS3(dst), s"multipart copy targets the S3 mount: $src -> $dst")
+    val size = this.size(src)
+    if (size < partSize) {
+      val cp = request("PUT", objKey(dst),
+        extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/${objKey(src)}"))
+      if (cp.statusCode() == 404) throw new NoSuchFileException(objKey(src))
+      if (cp.statusCode() != 200) fail(cp, objKey(dst))
+      return
+    }
+    val key = objKey(dst)
+    val init = request("POST", key, query = Seq("uploads" -> ""))
+    if (init.statusCode() != 200) fail(init, key)
+    val id = extract(new String(init.body(), UTF_8), "UploadId")
+      .getOrElse(throw new java.io.IOException("no UploadId"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val parts = (0L until size by partSize).zipWithIndex.map {
+        case (start, i) =>
+          val end = math.min(start + partSize - 1, size - 1)
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              val r = request("PUT", key,
+                query = Seq("partNumber" -> (i + 1).toString, "uploadId" -> id),
+                extraHeaders = Seq(
+                  "x-amz-copy-source" -> s"/$bucket/${objKey(src)}",
+                  "x-amz-copy-source-range" -> s"bytes=$start-$end"))
+              if (r.statusCode() != 200) fail(r, s"$key part ${i + 1}")
+            }
+          })
+      }
+      parts.foreach(_.get())
+      val done = request("POST", key, query = Seq("uploadId" -> id),
+        body = "<CompleteMultipartUpload/>".getBytes(UTF_8))
+      if (done.statusCode() != 200) fail(done, key)
+    } catch {
+      case e: Throwable =>
+        // reference cleanup: abort discards the staged upload
+        request("DELETE", key, query = Seq("uploadId" -> id))
+        throw e
+    } finally pool.shutdown()
+  }
+
   /** Multipart upload (the reference's CopyObjectMultipart.java cost
     * model, upload half): parts of `partSize` bytes uploaded under one
     * uploadId, completed atomically server-side. Used for payloads past

@@ -275,9 +275,37 @@ final class S3WireServer(
       ex: HttpExchange, id: String, n: Int, body: Array[Byte]): Unit = {
     val u = uploads.get(id)
     if (u == null) { sendError(ex, 404, "NoSuchUpload", id); return }
-    u._2.put(n, body)
-    ex.getResponseHeaders.set("ETag", etagOf(body))
-    send(ex, 200, Array.empty)
+    Option(ex.getRequestHeaders.getFirst("x-amz-copy-source")) match {
+      case Some(srcRaw) =>
+        // UploadPartCopy: server-side copy of a source byte range into a
+        // part — the past-5GiB copy path (CopyObjectMultipart.java:90-103)
+        val src = dec(srcRaw).stripPrefix("/")
+        val e = store.get(src)
+        if (e == null) { sendError(ex, 404, "NoSuchKey", src); return }
+        val part = Option(
+          ex.getRequestHeaders.getFirst("x-amz-copy-source-range")) match {
+          case Some(r) =>
+            val m = """bytes=(\d+)-(\d+)""".r
+            r match {
+              case m(s, epos) =>
+                val start = s.toLong
+                val end = epos.toLong
+                if (start > end || end >= e.bytes.length) {
+                  sendError(ex, 416, "InvalidRange", r); return
+                }
+                java.util.Arrays.copyOfRange(e.bytes, start.toInt, end.toInt + 1)
+              case _ => sendError(ex, 416, "InvalidRange", r); return
+            }
+          case None => e.bytes
+        }
+        u._2.put(n, part)
+        sendXml(ex, 200,
+          s"<CopyPartResult><ETag>${xmlEsc(etagOf(part))}</ETag></CopyPartResult>")
+      case None =>
+        u._2.put(n, body)
+        ex.getResponseHeaders.set("ETag", etagOf(body))
+        send(ex, 200, Array.empty)
+    }
   }
 
   private def completeMultipart(ex: HttpExchange, sk: String, id: String): Unit = {

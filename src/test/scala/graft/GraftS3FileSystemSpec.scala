@@ -152,6 +152,37 @@ class GraftS3FileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.count() == nation.where(col("n_regionkey") === 2).count())
   }
 
+  test("SQL reads a URI-backed table through the DSv2 catalog over the wire") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("s3fs-sqlcat").toString
+    spark.conf.set("spark.sql.catalog.gsql", "graft.catalog.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gsql.root", root)
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    customer.repartition(2).write.mode("overwrite")
+      .parquet("grafts3://lake/external/customer")
+    val fs = new org.apache.hadoop.fs.Path("grafts3://lake/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val uris = fs.listStatus(
+      new org.apache.hadoop.fs.Path("grafts3://lake/external/customer"))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+    cat.createNamespace("sq")
+    cat.createTable("sq.customer", customer.schema)
+    cat.addFiles("sq.customer", uris, forceOutsideLocation = true)
+    // plain SQL: the DSv2 scan plans the manifest's URI files directly
+    assert(spark.sql("SELECT count(*) FROM gsql.sq.customer")
+      .head.getLong(0) == customer.count())
+    val got = spark.sql(
+      "SELECT c_name FROM gsql.sq.customer WHERE c_custkey = 7").collect()
+    val want = customer.where(col("c_custkey") === 7)
+      .select("c_name").collect()
+    assert(got.map(_.getString(0)).toSeq == want.map(_.getString(0)).toSeq)
+    // the _file metadata column carries the object-store URI spelling
+    val f = spark.sql("SELECT DISTINCT _file FROM gsql.sq.customer").collect()
+      .map(_.getString(0)).sorted
+    assert(f.length == uris.length && f.forall(_.startsWith("grafts3://")), f.toSeq.take(2))
+  }
+
   test("file-system contract corners: status, list, rename-into-dir, delete") {
     val fs = new org.apache.hadoop.fs.Path("grafts3://lake/")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -140,6 +140,30 @@ class S3WireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wire.readString(base.resolve("dst")) == "payload")
   }
 
+  test("multipart server-side copy moves big objects without client bytes") {
+    val base = java.nio.file.Paths.get(s"$root/mpc")
+    wire.createDirectories(base)
+    val payload = (1 to 200000).map(i => (i * 31 % 253).toByte).toArray
+    wire.writeBytesMultipart(base.resolve("src.bin"), payload, partSize = 16384)
+    // above the part threshold: UploadPartCopy range fan-out + complete
+    wire.copyObjectMultipart(
+      base.resolve("src.bin"), base.resolve("big-copy.bin"),
+      partSize = 32768, threads = 3)
+    assert(wire.size(base.resolve("big-copy.bin")) == payload.length)
+    val got = new S3HttpFileIOProbe(wire)
+      .range(base.resolve("big-copy.bin"), 0, payload.length)
+    assert(got.toSeq == payload.toSeq)
+    // below the threshold: degenerates to one plain CopyObject
+    wire.writeString(base.resolve("small.txt"), "tiny")
+    wire.copyObjectMultipart(
+      base.resolve("small.txt"), base.resolve("small-copy.txt"), partSize = 1 << 20)
+    assert(wire.readString(base.resolve("small-copy.txt")) == "tiny")
+    // a missing source aborts with the upload discarded, no destination
+    intercept[java.io.IOException](wire.copyObjectMultipart(
+      base.resolve("ghost.bin"), base.resolve("never.bin"), partSize = 1024))
+    assert(!wire.exists(base.resolve("never.bin")))
+  }
+
   test("multipart upload assembles parts and Range GETs read them back") {
     val base = java.nio.file.Paths.get(s"$root/mp")
     wire.createDirectories(base)
