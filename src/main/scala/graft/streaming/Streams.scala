@@ -37,7 +37,8 @@ object Streams {
       watchDir: String,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      noCopy: Boolean = false): StreamingQuery = {
     val schema = cat.loadMeta(ident).schema
     spark.readStream
       .schema(schema)
@@ -47,7 +48,23 @@ object Streams {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         watchInstrumented(ident, epoch, batch) {
           val before = cat.countRows(ident) // manifest counts, zero scan
-          cat.insert(ident, batch, InsertOptions(skipDuplicates = true))
+          if (noCopy) {
+            // continuous NO-COPY ingestion (the reference's s3-prefix
+            // watch composed with Insert.java's no-copy mode): each
+            // micro-batch registers its newly-discovered files BY
+            // REFERENCE — O(files) footer reads per trigger, zero data
+            // movement. The file list is the batch's own source set,
+            // bounded by maxFilesPerTrigger; duplicates skip so a
+            // replayed epoch is a no-op.
+            import org.apache.spark.sql.functions.input_file_name
+            val files = batch.select(input_file_name()).distinct()
+              .collect().map(_.getString(0)).toSeq.sorted
+            if (files.nonEmpty)
+              cat.addFilesWithRetry(ident, files,
+                forceOutsideLocation = true,
+                options = InsertOptions(skipDuplicates = true))
+          } else
+            cat.insert(ident, batch, InsertOptions(skipDuplicates = true))
           Metrics.incLabeled("graft_watch_rows_ingested_total",
             Seq("table" -> ident), cat.countRows(ident) - before)
         }

@@ -111,10 +111,20 @@ object Cli {
             "metadata plane routes through exactly one store")
         case (Some(uri), None) => new IceCatalog(spark, root,
           new graft.catalog.EtcdHttpFileIO(root, uri))
-        case (None, Some(s3)) => new IceCatalog(spark, root,
-          new graft.catalog.S3HttpFileIO(root, s3.endpoint, s3.bucket,
-            graft.catalog.SigV4.Credentials(s3.accessKeyID, s3.secretAccessKey),
-            s3.region))
+        case (None, Some(s3)) =>
+          // one `s3:` block wires BOTH planes: metadata through the FileIO
+          // seam below, data through the grafts3:// Hadoop FileSystem so
+          // insert/scan/watch accept object-store paths directly
+          val hc = spark.sparkContext.hadoopConfiguration
+          hc.set("fs.grafts3.impl", classOf[graft.sources.GraftS3FileSystem].getName)
+          hc.set("fs.grafts3.endpoint", s3.endpoint)
+          hc.set("fs.grafts3.access.key", s3.accessKeyID)
+          hc.set("fs.grafts3.secret.key", s3.secretAccessKey)
+          hc.set("fs.grafts3.region", s3.region)
+          new IceCatalog(spark, root,
+            new graft.catalog.S3HttpFileIO(root, s3.endpoint, s3.bucket,
+              graft.catalog.SigV4.Credentials(s3.accessKeyID, s3.secretAccessKey),
+              s3.region))
         case (None, None) => new IceCatalog(spark, root)
       }
       pos match {
@@ -182,8 +192,12 @@ object Cli {
                 trigger = trigger,
                 mergeOnRead = flags.contains("merge-on-read"))
             case None =>
+              // --no-copy: continuous registration by reference — each
+              // micro-batch's discovered files enter the table as an
+              // O(files) footer pass (the object-store watch shape)
               graft.streaming.Streams.watchAndIngest(
-                spark, cat, ident, paths.head, checkpoint, trigger)
+                spark, cat, ident, paths.head, checkpoint, trigger,
+                noCopy = flags.contains("no-copy"))
           }
           out.println(s"watching ${paths.head} -> $ident")
           onWatch(q)
@@ -191,7 +205,8 @@ object Cli {
         case "insert" +: ident +: paths0 if paths0.nonEmpty =>
           val allPaths = expandGlobs(cat.io, fetchHttp(paths0,
             httpCacheDir = flags.get("http-cache"),
-            noCopy = flags.contains("no-copy")))
+            noCopy = flags.contains("no-copy")),
+            hconf = spark.sessionState.newHadoopConf())
           // --retry-list: unreadable inputs (missing file, corrupt footer)
           // are set aside instead of failing the whole batch; their paths
           // land in the retry file and the exit code flags them
@@ -559,10 +574,23 @@ object Cli {
     * duplicates").
     */
   private[graft] def expandGlobs(
-      io: graft.catalog.FileIO, paths: Seq[String]): Seq[String] = {
+      io: graft.catalog.FileIO, paths: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration())
+      : Seq[String] = {
+    def isStoreUri(s: String): Boolean =
+      try {
+        val sch = new java.net.URI(s).getScheme
+        sch != null && sch != "file"
+      } catch { case _: Exception => false }
     val expanded = paths.flatMap { p =>
       if (!p.contains('*')) Seq(p)
-      else {
+      else if (isStoreUri(p)) {
+        // scheme'd object-store patterns glob through their mounted
+        // Hadoop FileSystem — the reference's literal s3://…* listing
+        val hp = new org.apache.hadoop.fs.Path(p)
+        Option(hp.getFileSystem(hconf).globStatus(hp)).toSeq.flatten
+          .filter(_.isFile).map(_.getPath.toString).sorted
+      } else {
         val abs = java.nio.file.Paths.get(p).toAbsolutePath.normalize
         val parts = (0 until abs.getNameCount).map(abs.getName(_).toString)
         val firstWild = parts.indexWhere(_.contains('*'))

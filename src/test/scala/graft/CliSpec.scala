@@ -376,6 +376,85 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("s3 config wires the data plane too: wildcard no-copy insert and s3-prefix watch") {
+    import spark.implicits._
+    val creds = graft.catalog.SigV4.Credentials("CLIKEY", "cli-secret")
+    val server = new graft.catalog.S3WireServer(creds).start()
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val s3Root = s"${Files.createTempDirectory("cli-wire2-root")}/virtual/cat"
+      val cfg = Files.createTempFile("graft-s3w", ".yaml")
+      Files.writeString(cfg,
+        s"""root: $s3Root
+           |s3:
+           |  endpoint: ${server.endpoint}
+           |  bucket: clib2
+           |  accessKeyID: CLIKEY
+           |  secretAccessKey: cli-secret
+           |""".stripMargin)
+      def ccli(onW: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())(
+          args: String*): (Int, Seq[String]) = {
+        val buf = new ByteArrayOutputStream()
+        val code = Cli.run(Seq("--config", cfg.toString) ++ args,
+          spark, new PrintStream(buf, true), onWatch = onW)
+        (code, buf.toString.linesIterator.toSeq)
+      }
+      assert(ccli()("create-namespace", "dw")._1 == 0)
+      assert(ccli()("create-table", "dw.t", "--schema", "id BIGINT, v STRING")._1 == 0)
+      // data written straight into the object store (the config's first
+      // command registered the grafts3 filesystem for the session)
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").repartition(2)
+        .write.parquet("grafts3://data/staging/batch1")
+      // the reference's literal s3://…* ingestion: wildcard no-copy over
+      // the object store; nothing is copied, scans read the wire
+      assert(ccli()("insert", "dw.t", "grafts3://data/staging/batch1/*.parquet",
+        "--no-copy", "--force-outside-location")._1 == 0)
+      assert(ccli()("count", "dw.t") == (0, Seq("3")))
+      // s3-prefix WATCH (InsertWatch.java over an object-store prefix):
+      // continuous ingestion of files appearing under grafts3://data/incoming
+      assert(ccli()("create-table", "dw.w", "--schema", "id BIGINT, v STRING")._1 == 0)
+      val fs = new org.apache.hadoop.fs.Path("grafts3://data/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path("grafts3://data/incoming"))
+      // --no-copy watch: files are REGISTERED by reference per batch —
+      // the only ingestion mode that fits a wire-metadata catalog (data
+      // stays in the store; copy-insert would write outside its plane)
+      val (wcode, wout) = ccli(q => query = q)(
+        "insert", "dw.w", "grafts3://data/incoming", "--watch", "--no-copy")
+      assert(wcode == 0 && query != null && wout.exists(_.contains("watching")))
+      val cat = new graft.catalog.IceCatalog(spark, s3Root,
+        new graft.catalog.S3HttpFileIO(s3Root, server.endpoint, "clib2", creds))
+      def rows() = cat.countRows("dw.w")
+      def await(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (rows() < n && System.currentTimeMillis() < deadline) {
+          query.exception.foreach(e => fail(s"stream died: ${e.getMessage}", e))
+          Thread.sleep(200)
+        }
+        assert(rows() == n, s"expected $n rows, got ${rows()}")
+      }
+      // files LANDING IN THE STORE after start are picked up and committed
+      Seq((10L, "x")).toDF("id", "v").coalesce(1)
+        .write.parquet("grafts3://data/staging/w1")
+      fs.listStatus(new org.apache.hadoop.fs.Path("grafts3://data/staging/w1"))
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach(s =>
+          fs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path("grafts3://data/incoming/w1.parquet")))
+      await(1)
+      Seq((11L, "y"), (12L, "z")).toDF("id", "v").coalesce(1)
+        .write.parquet("grafts3://data/staging/w2")
+      fs.listStatus(new org.apache.hadoop.fs.Path("grafts3://data/staging/w2"))
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach(s =>
+          fs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path("grafts3://data/incoming/w2.parquet")))
+      await(3)
+      assert(server.authFailures.get() == 0)
+    } finally {
+      if (query != null) query.stop()
+      server.stop()
+    }
+  }
+
   test("etcd uri config routes the CLI metadata plane over the v3 gateway") {
     import spark.implicits._
     val server = new graft.catalog.EtcdWireServer().start()
