@@ -173,6 +173,70 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally served.stop()
   }
 
+  test("serve over an etcd metadata plane: the reference's deployment shape") {
+    // ice-rest-catalog IS "Iceberg REST catalog backed by etcd" — this is
+    // that exact composition: graft serve with `uri: etcd:...`, catalog
+    // state living ONLY in the etcd store, REST clients none the wiser
+    val etcd = new graft.catalog.EtcdWireServer().start()
+    var served: graft.catalog.RestServer.Server = null
+    try {
+      val etcdRoot = s"${Files.createTempDirectory("serve-etcd")}/virtual/cat"
+      val cfg = Files.createTempFile("graft-serve-etcd", ".yaml")
+      Files.writeString(cfg,
+        s"""root: $etcdRoot
+           |uri: etcd:${etcd.endpoint}
+           |bearerTokens:
+           |  - name: admin
+           |    value: etok
+           |""".stripMargin)
+      val buf = new ByteArrayOutputStream()
+      val code = Cli.run(Seq("--config", cfg.toString, "serve", "--port", "0"),
+        spark, new PrintStream(buf, true), onServe = s => served = s)
+      assert(code == 0 && served != null)
+      val client = java.net.http.HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = null)
+          : java.net.http.HttpResponse[String] = {
+        val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${served.url}$path"))
+          .header("Authorization", "Bearer etok")
+          .header("Content-Type", "application/json")
+        val req = (if (body == null) b.method(method,
+          java.net.http.HttpRequest.BodyPublishers.noBody())
+        else b.method(method,
+          java.net.http.HttpRequest.BodyPublishers.ofString(body))).build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      // REST namespace + table lifecycle, all state riding etcd
+      assert(call("POST", "/v1/namespaces",
+        """{"namespace":["rest"]}""").statusCode() == 200)
+      val create = call("POST", "/v1/namespaces/rest/tables",
+        """{"name":"t","schema":{"type":"struct","schema-id":0,"fields":[
+          {"id":1,"name":"id","required":false,"type":"long"}]}}""")
+      assert(create.statusCode() == 200, create.body().take(200))
+      assert(call("GET", "/v1/namespaces/rest/tables/t").statusCode() == 200)
+      // nothing on the local filesystem; many keys in etcd
+      assert(!Files.exists(java.nio.file.Paths.get(etcdRoot)))
+      assert(etcd.keyCount > 0)
+      // a second server instance over the same etcd sees the same catalog
+      var served2: graft.catalog.RestServer.Server = null
+      val code2 = Cli.run(Seq("--config", cfg.toString, "serve", "--port", "0"),
+        spark, new PrintStream(new ByteArrayOutputStream(), true),
+        onServe = s => served2 = s)
+      assert(code2 == 0)
+      try {
+        val r = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"${served2.url}/v1/namespaces/rest/tables"))
+            .header("Authorization", "Bearer etok").GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 200 && r.body().contains("\"t\""), r.body().take(200))
+      } finally served2.stop()
+    } finally {
+      if (served != null) served.stop()
+      etcd.stop()
+    }
+  }
+
   test("insert --compression lands the requested parquet codec") {
     import spark.implicits._
     assert(cli("create-table", "ns.cmp", "--schema", "id BIGINT, v STRING")._1 == 0)
