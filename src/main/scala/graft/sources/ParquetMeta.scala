@@ -35,17 +35,22 @@ object ParquetMeta {
   private[graft] val footerThreads =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def footer(path: String) = {
+  private def footer(path: String, conf: Configuration) = {
     footerThreads.add(Thread.currentThread().getName)
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(path), new Configuration()))
+      HadoopInputFile.fromPath(new Path(path), conf))
     try reader.getFooter finally reader.close()
   }
 
   /** Footers for many files, read on the shared bounded pool in input
     * order. One slow object-store round-trip per file, 16 in flight.
+    * The SESSION hadoop conf carries mounted object-store filesystems
+    * (fs.grafts3.*), so store URIs introspect like local paths.
     */
-  private def footers(paths: Seq[String]) = IceCatalog.inParallel(paths)(footer)
+  private def footers(spark: SparkSession, paths: Seq[String]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    IceCatalog.inParallel(paths)(footer(_, conf))
+  }
 
   /** Summary per row group. */
   def rowGroups(spark: SparkSession, path: String): DataFrame =
@@ -54,7 +59,7 @@ object ParquetMeta {
   /** Row-group summary over many files (parallel footer reads). */
   def rowGroupsOf(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    paths.zip(footers(paths)).flatMap { case (path, meta) =>
+    paths.zip(footers(spark, paths)).flatMap { case (path, meta) =>
       meta.getBlocks.asScala.zipWithIndex.map { case (b, i) =>
         RowGroupInfo(path, i, b.getRowCount, b.getCompressedSize, b.getTotalByteSize)
       }
@@ -73,7 +78,7 @@ object ParquetMeta {
 
   def rowGroupsQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val meta = footer(s"$dir/lineitem.parquet")
+    val meta = footer(s"$dir/lineitem.parquet", spark.sessionState.newHadoopConf())
     meta.getBlocks.asScala.zipWithIndex.flatMap { case (b, g) =>
       b.getColumns.asScala.zipWithIndex.map { case (c, i) =>
         val st = c.getStatistics
@@ -92,7 +97,7 @@ object ParquetMeta {
   /** Column-chunk detail over many files (parallel footer reads). */
   def columnChunksOf(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    paths.zip(footers(paths)).flatMap { case (path, meta) =>
+    paths.zip(footers(spark, paths)).flatMap { case (path, meta) =>
       meta.getBlocks.asScala.zipWithIndex.flatMap { case (b, i) =>
         b.getColumns.asScala.map { c =>
           val st = c.getStatistics

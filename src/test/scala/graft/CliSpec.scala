@@ -474,6 +474,14 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ccli()("insert", "dw.t", "grafts3://data/staging/batch1/*.parquet",
         "--no-copy", "--force-outside-location")._1 == 0)
       assert(ccli()("count", "dw.t") == (0, Seq("3")))
+      // footer introspection of a store URI (describe-parquet over the
+      // wire: the footer reads are ranged GETs, no data pages)
+      val oneUri = new org.apache.hadoop.fs.Path("grafts3://data/staging/batch1")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(new org.apache.hadoop.fs.Path("grafts3://data/staging/batch1"))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+      val (dpCode, dpOut) = ccli()("describe-parquet", oneUri)
+      assert(dpCode == 0 && dpOut.exists(_.contains("grafts3://")), dpOut.take(3))
       // s3-prefix WATCH (InsertWatch.java over an object-store prefix):
       // continuous ingestion of files appearing under grafts3://data/incoming
       assert(ccli()("create-table", "dw.w", "--schema", "id BIGINT, v STRING")._1 == 0)
