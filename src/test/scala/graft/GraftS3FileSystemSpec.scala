@@ -152,6 +152,41 @@ class GraftS3FileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.count() == nation.where(col("n_regionkey") === 2).count())
   }
 
+  test("row-level ops compose with store-backed tables: CoW delete + MOR upsert") {
+    import org.apache.spark.sql.functions.col
+    val cat = new graft.catalog.IceCatalog(spark,
+      java.nio.file.Files.createTempDirectory("s3fs-rlo").toString)
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    nation.repartition(2).write.mode("overwrite")
+      .parquet("grafts3://lake/external/rlo")
+    val fs = new org.apache.hadoop.fs.Path("grafts3://lake/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val uris = fs.listStatus(
+      new org.apache.hadoop.fs.Path("grafts3://lake/external/rlo"))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+    cat.createNamespace("rlo")
+    cat.createTable("rlo.n", nation.schema)
+    cat.addFiles("rlo.n", uris, forceOutsideLocation = true)
+    // copy-on-write row-level delete: remote files rewrite into the
+    // table's own plane minus matching rows; the store originals are
+    // simply dropped from the manifest (no-copy data isn't ours to purge)
+    cat.deleteWhere("rlo.n", col("n_regionkey") === 2)
+    val after = cat.scan("rlo.n")
+    assert(after.count() == nation.where(col("n_regionkey") =!= 2).count())
+    assert(after.where(col("n_regionkey") === 2).count() == 0)
+    // merge-on-read upsert against the (now mixed local+remote) base:
+    // O(batch) equality-delete commit, zero base rewrites
+    import spark.implicits._
+    val patch = Seq((3, "PATCHED-NATION", 1, "updated over the wire"))
+      .toDF("n_nationkey", "n_name", "n_regionkey", "n_comment")
+      .select(nation.schema.fieldNames.map(col): _*)
+    cat.upsertMergeOnRead("rlo.n", patch, keyCols = Seq("n_nationkey"))
+    val merged = cat.scan("rlo.n")
+    assert(merged.where(col("n_nationkey") === 3)
+      .select("n_name").head.getString(0) == "PATCHED-NATION")
+    assert(merged.count() == nation.where(col("n_regionkey") =!= 2).count())
+  }
+
   test("SQL reads a URI-backed table through the DSv2 catalog over the wire") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("s3fs-sqlcat").toString
