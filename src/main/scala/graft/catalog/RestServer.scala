@@ -68,6 +68,13 @@ object RestServer {
     * set, let the `/v1/oauth/tokens` client-credentials grant exchange
     * that pair for this bearer token (RESTCatalogAdapter.java:382-400).
     */
+  /** Static S3-plane storage credentials for vending into
+    * LoadTableResponse `config` (see `Server.s3VendedStorage`).
+    */
+  case class S3Storage(
+      endpoint: String, accessKeyId: String, secretAccessKey: String,
+      region: String = "us-east-1")
+
   case class Token(
       value: String, name: String = "", readOnly: Boolean = false,
       clientId: String = "", clientSecret: String = "",
@@ -109,7 +116,17 @@ object RestServer {
         * map; the graft re-expression vends a catalog-scoped secret).
         */
       vendTableCredentials: Boolean = false,
-      vendedTokenTtlMs: Long = 3600 * 1000L) {
+      vendedTokenTtlMs: Long = 3600 * 1000L,
+      /** S3-plane storage credentials stamped into every
+        * LoadTableResponse `config` under Iceberg's S3FileIOProperties
+        * keys (`s3.access-key-id`/`s3.secret-access-key`/`s3.endpoint`/
+        * `client.region` + path-style) — exactly what the reference's
+        * credentials middleware does with resolved AWS credentials
+        * (RESTCatalogMiddlewareTableCredentials.java:57-69, static-key
+        * case; minio-style deployments vend static keys the same way),
+        * so a stock client's S3FileIO can reach the data files.
+        */
+      s3VendedStorage: Option[RestServer.S3Storage] = None) {
 
     private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
     private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -709,17 +726,32 @@ object RestServer {
         "metadata" -> IcebergJson.tableMetadata(
           m, cat.tableUuid(ident), cat.tableLocation(ident), m.snapshot,
           cat.metadataLog(ident)),
-        "config" -> (
+        "config" -> {
           // the reference stamps vended per-table credentials + expiry
           // into LoadTableResponse config
           // (RESTCatalogMiddlewareTableCredentials.java:48-68); graft
           // vends its catalog-scoped analogue
-          if (!vendTableCredentials) Map.empty
-          else {
-            val v = vendFor(ident)
-            Map("graft.vended-token" -> v.value,
-              "graft.vended-token-expires-at-ms" -> v.expiresAtMs.toString)
-          }))
+          val tokenCfg: Map[String, String] =
+            if (!vendTableCredentials) Map.empty
+            else {
+              val v = vendFor(ident)
+              Map("graft.vended-token" -> v.value,
+                "graft.vended-token-expires-at-ms" -> v.expiresAtMs.toString)
+            }
+          // storage credentials under Iceberg's S3FileIOProperties keys
+          // (the static-key case of the reference's AWS middleware) so a
+          // stock client's S3FileIO reaches the data plane
+          val storageCfg: Map[String, String] = s3VendedStorage match {
+            case None => Map.empty
+            case Some(s) => Map(
+              "s3.access-key-id" -> s.accessKeyId,
+              "s3.secret-access-key" -> s.secretAccessKey,
+              "s3.endpoint" -> s.endpoint,
+              "s3.path-style-access" -> "true",
+              "client.region" -> s.region)
+          }
+          tokenCfg ++ storageCfg
+        })
     }
 
     // ---- plumbing --------------------------------------------------------

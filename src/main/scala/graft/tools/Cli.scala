@@ -412,7 +412,12 @@ object Cli {
             allowAnonymous = anonFlag || cfg.anonymousEnabled,
             anonymousReadOnly = !anonFlag && cfg.anonymousReadOnly,
             maintenanceDefaults = cfg.maintenance,
-            vendTableCredentials = cfg.vendTableCredentials).start()
+            vendTableCredentials = cfg.vendTableCredentials,
+            // serving on the s3 plane: stamp the storage credentials into
+            // LoadTableResponse config so clients' S3FileIO can reach the
+            // data files (the reference's credentials middleware)
+            s3VendedStorage = cfg.s3.map(s => RestServer.S3Storage(
+              s.endpoint, s.accessKeyID, s.secretAccessKey, s.region))).start()
           // config-scheduled maintenance runs for the server's lifetime
           val sched = cfg.maintenanceIntervalMs.map { ms =>
             val s = new Maintenance.Scheduler(

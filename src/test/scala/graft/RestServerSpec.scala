@@ -307,7 +307,9 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cat3 = new graft.catalog.IceCatalog(spark, root3)
     val server3 = new RestServer.Server(cat3,
       tokens = Seq(Token("admin-secret", "admin")),
-      vendTableCredentials = true).start()
+      vendTableCredentials = true,
+      s3VendedStorage = Some(RestServer.S3Storage(
+        "http://127.0.0.1:9000", "AKSTATIC", "sk-static", "eu-west-1"))).start()
     def r3(method: String, path: String, body: String = null,
         token: String = "admin-secret"): HttpResponse[String] = {
       val b = HttpRequest.newBuilder(URI.create(s"${server3.url}$path"))
@@ -332,6 +334,14 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(vended.nonEmpty, "LoadTableResponse config must carry the vended token")
       assert(cfg.path("graft.vended-token-expires-at-ms").asLong(0L) >
         System.currentTimeMillis())
+      // storage credentials ride the same config under Iceberg's
+      // S3FileIOProperties keys (the reference's credentials middleware,
+      // static-key case) — a stock client's S3FileIO reads these directly
+      assert(cfg.path("s3.access-key-id").asText() == "AKSTATIC")
+      assert(cfg.path("s3.secret-access-key").asText() == "sk-static")
+      assert(cfg.path("s3.endpoint").asText() == "http://127.0.0.1:9000")
+      assert(cfg.path("s3.path-style-access").asText() == "true")
+      assert(cfg.path("client.region").asText() == "eu-west-1")
       // a second load re-vends the SAME live token (no unbounded minting)
       assert(json(r3("GET", "/v1/namespaces/v/tables/a"))
         .path("config").path("graft.vended-token").asText() == vended)
