@@ -339,6 +339,19 @@ final class GraftS3FileSystem extends FileSystem {
     val key = objKey(f)
     if (!overwrite && head(key).isDefined)
       throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+    // the FileSystem contract (S3A does the same check): creating over a
+    // directory — marker or implicit — must refuse, not shadow it
+    if (head(dirKey(f)).isDefined ||
+      (head(key).isEmpty && {
+        val (c, p) = listKeys(dirKey(f), Some("/")); c.nonEmpty || p.nonEmpty
+      }))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"$f is a directory")
+    // materialize parent markers (the create contract: parents exist
+    // after create) — unlike implicit prefixes, marker directories
+    // survive their last file's deletion, matching POSIX observability
+    if (f.getParent != null && objKey(f.getParent).nonEmpty)
+      mkdirs(f.getParent, null)
     // buffer to a local temp file; upload on close (single PUT below the
     // part threshold, multipart above it — bounded memory either way)
     val tmp = java.io.File.createTempFile("grafts3-", ".part")
@@ -407,6 +420,19 @@ final class GraftS3FileSystem extends FileSystem {
         if (d.isDirectory) new Path(dst, src.getName) else return false
       } catch { case _: FileNotFoundException => dst }
     if (objKey(target) == objKey(src)) return true
+    // nested-into-directory targets must not already exist (the
+    // FileSystem contract: no implicit merge/overwrite on rename)
+    if ((target ne dst) &&
+      (try { getFileStatus(target); true }
+      catch { case _: FileNotFoundException => false })) return false
+    // the rename contract: the destination's parent must be an existing
+    // directory (S3A enforces the same; RawLocal returns false too)
+    val tParent = target.getParent
+    if (tParent != null && objKey(tParent).nonEmpty) {
+      val ps = try Some(getFileStatus(tParent))
+        catch { case _: FileNotFoundException => None }
+      if (!ps.exists(_.isDirectory)) return false
+    }
     if (srcStatus.isDirectory) {
       if (objKey(target).startsWith(objKey(src) + "/")) return false
       val (children, _) = listKeys(dirKey(src), None)

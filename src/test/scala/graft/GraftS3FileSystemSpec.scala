@@ -218,6 +218,95 @@ class GraftS3FileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.length == uris.length && f.forall(_.startsWith("grafts3://")), f.toSeq.take(2))
   }
 
+  test("250 random ops: the wire FileSystem tracks RawLocalFileSystem") {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath, RawLocalFileSystem}
+    val r = new scala.util.Random(41)
+    val localRoot = java.nio.file.Files.createTempDirectory("fsfuzz").toString
+    val local = new RawLocalFileSystem()
+    local.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val wire: FileSystem = new HPath("grafts3://fuzz/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    wire.mkdirs(new HPath("grafts3://fuzz/root"))
+    local.mkdirs(new HPath(s"file://$localRoot/root"))
+
+    val names = Seq("a", "b", "c")
+    def randomRel(): String =
+      (0 until 1 + r.nextInt(3)).map(_ => names(r.nextInt(names.length))).mkString("/")
+
+    def state(fs: FileSystem, base: HPath): Seq[(String, Boolean, Long, String)] = {
+      def walk(p: HPath): Seq[(String, Boolean, Long, String)] =
+        fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+          val rel = st.getPath.toString.stripPrefix(base.toString).stripPrefix("/")
+          if (st.isDirectory) (rel, true, 0L, "") +: walk(st.getPath)
+          else {
+            val in = fs.open(st.getPath)
+            val bytes = try in.readAllBytes() finally in.close()
+            Seq((rel, false, st.getLen, new String(bytes, "UTF-8")))
+          }
+        }
+      walk(base).sortBy(_._1)
+    }
+
+    val wb = new HPath("grafts3://fuzz/root")
+    val lb = new HPath(s"file://$localRoot/root")
+    for (i <- 1 to 250) {
+      val rel = randomRel()
+      val rel2 = randomRel()
+      val content = s"v$i-${r.nextInt(100)}"
+      val opId = r.nextInt(9)
+      val recursive = r.nextBoolean() // drawn ONCE, same flag both sides
+      def run(fs: FileSystem, base: HPath): Either[String, String] = {
+        val p = new HPath(base, rel)
+        val p2 = new HPath(base, rel2)
+        scala.util.Try(opId match {
+          case 0 => fs.mkdirs(p).toString
+          case 1 =>
+            val o = fs.create(p, true); o.write(content.getBytes("UTF-8")); o.close(); "write"
+          case 2 =>
+            val o = fs.create(p, false); o.write(content.getBytes("UTF-8")); o.close(); "createNew"
+          case 3 =>
+            val in = fs.open(p); try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          case 4 => fs.listStatus(p).map(_.getPath.getName).sorted.mkString(",")
+          case 5 =>
+            val st = scala.util.Try(fs.getFileStatus(p)).toOption
+            // a directory's length is implementation-defined (ext4: 4096)
+            st.map(s => s"${s.isDirectory}:${if (s.isDirectory) 0 else s.getLen}")
+              .getOrElse("absent")
+          case 6 => fs.delete(p, recursive).toString
+          case 7 =>
+            // two implementation-defined corners across Hadoop
+            // filesystems: failure mode (RawLocal throws where S3A
+            // returns false) folds to one observable, and
+            // existing-FILE targets (POSIX rename overwrites, S3A/HDFS
+            // refuse) are skipped — graft follows the S3A/HDFS contract
+            if (fs.exists(p2) && fs.getFileStatus(p2).isDirectory &&
+              p.getParent == p2)
+              // nesting into one's own parent resolves to a self-rename:
+              // POSIX no-ops true, RawLocal reports false — skip
+              "rename-skip-self"
+            else if (fs.exists(p2) && fs.getFileStatus(p2).isFile) "rename-skip"
+            else if (Option(p2.getParent).exists(pp =>
+              !(fs.exists(pp) && fs.getFileStatus(pp).isDirectory)))
+              // RawLocal's copy fallback CREATES missing target parents
+              // where HDFS/S3A refuse — skip the corner, graft follows
+              // the HDFS/S3A contract
+              "rename-skip-parent"
+            else scala.util.Try(fs.rename(p, p2)).getOrElse(false).toString
+          case 8 => fs.exists(p).toString
+        }).toEither.left.map(_ => "threw")
+      }
+      val lr = run(local, lb)
+      val wr = run(wire, wb)
+      assert(lr == wr, s"op $i (id=$opId rel=$rel rel2=$rel2): local=$lr wire=$wr\n" +
+        s"  localState=${state(local, lb)}\n  wireState=${state(wire, wb)}")
+      if (i % 50 == 0)
+        assert(state(local, lb) == state(wire, wb),
+          s"state diverged by op $i (id=$opId rel=$rel rel2=$rel2)")
+    }
+    assert(state(local, lb) == state(wire, wb))
+  }
+
   test("file-system contract corners: status, list, rename-into-dir, delete") {
     val fs = new org.apache.hadoop.fs.Path("grafts3://lake/")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
