@@ -62,6 +62,7 @@ import graft.catalog.IceCatalog._
   *   delete-table <ns.t>
   *   maintain <ns.t>
   *   export [file]                 import <file>
+  *   shell                         (interactive; tab completion, exit/quit)
   *   serve [--port N] [--token value[:ro]]... [--allow-anonymous]
   *         (with --config: bearer tokens incl. per-table access, anonymous
   *          read-only, vended credentials, scheduled maintenance)
@@ -85,7 +86,8 @@ object Cli {
       args: Seq[String], spark: SparkSession, out: PrintStream,
       onServe: RestServer.Server => Unit = s => s.awaitForever(),
       onWatch: org.apache.spark.sql.streaming.StreamingQuery => Unit =
-        _.awaitTermination()): Int =
+        _.awaitTermination(),
+      shellIn: java.io.InputStream = System.in): Int =
     try {
       val (flags, pos) = parse(args)
       // config file (reference `-c config.yaml` UX): explicit flag, then
@@ -128,6 +130,9 @@ object Cli {
         case (None, None) => new IceCatalog(spark, root)
       }
       pos match {
+        case Seq("shell") =>
+          return runShell(flags, spark, out, onServe, onWatch, shellIn)
+
         case Seq("check") =>
           cat.listNamespaces() // must not throw — reference cmd/Check.java
           out.println("ok")
@@ -440,6 +445,78 @@ object Cli {
   /** `--key value` / `--flag` style options (repeatable keys join with
     * ','), everything else positional, order preserved.
     */
+  /** Interactive shell (the reference's `ice shell`, Main.java:1107-1158:
+    * re-dispatches each line through the normal command machinery with
+    * the outer `--config`/globals re-applied unless the line overrides
+    * them, tab completion over the command vocabulary, `exit`/`quit`/EOF
+    * to leave, nested `shell` refused). jline drives the terminal; specs
+    * feed a byte-stream stdin through the dumb-terminal path.
+    */
+  private def runShell(
+      outerFlags: Map[String, String], spark: SparkSession, out: PrintStream,
+      onServe: RestServer.Server => Unit,
+      onWatch: org.apache.spark.sql.streaming.StreamingQuery => Unit,
+      in: java.io.InputStream): Int = {
+    import scala.jdk.CollectionConverters._
+    val commands = Seq("check", "create-namespace", "delete-namespace",
+      "list-namespaces", "list-tables", "create-table", "alter-table",
+      "delete-table", "insert", "scan", "count", "files", "describe",
+      "describe-metadata", "describe-parquet", "list-partitions",
+      "list-snapshots", "list-refs", "tag", "untag", "changes", "delete",
+      "delete-positions", "set-property", "maintain", "export", "import",
+      "serve", "exit", "quit")
+    val inherited = Seq("config", "c", "root")
+      .flatMap(k => outerFlags.get(k).toSeq.flatMap(v => Seq(s"--$k", v)))
+    val parser = new org.jline.reader.impl.DefaultParser()
+    var done = false
+    def dispatch(line: String): Unit =
+      if (line != null && line.trim.nonEmpty) {
+        val words = parser.parse(line, line.length)
+          .words().asScala.toSeq.filter(_.nonEmpty)
+        words match {
+          case Seq("exit") | Seq("quit") => done = true
+          case "shell" +: _ => out.println("already in shell mode")
+          case ws =>
+            // outer globals apply unless the line carries its own
+            val full =
+              if (ws.exists(w => w == "--config" || w == "--c" || w == "--root")) ws
+              else inherited ++ ws
+            val code =
+              try run(full, spark, out, onServe, onWatch)
+              catch { case e: Exception => out.println(s"error: ${e.getMessage}"); 1 }
+            if (code != 0) out.println(s"exit code $code")
+        }
+      }
+    out.println("graft shell (tab completes commands; exit/quit/EOF leaves)")
+    val interactive = (in eq System.in) && System.console() != null
+    if (interactive) {
+      // a real console: jline line editing + tab completion
+      val terminal = org.jline.terminal.TerminalBuilder.builder().build()
+      val reader = org.jline.reader.LineReaderBuilder.builder()
+        .terminal(terminal)
+        .completer(new org.jline.reader.impl.completer.StringsCompleter(commands: _*))
+        .build()
+      try while (!done) {
+        val line =
+          try reader.readLine("graft> ")
+          catch {
+            case _: org.jline.reader.EndOfFileException => done = true; null
+            case _: org.jline.reader.UserInterruptException => null
+          }
+        dispatch(line)
+      } finally terminal.close()
+    } else {
+      // piped/scripted stdin (and specs): plain line loop, same dispatch
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in))
+      while (!done) {
+        out.print("graft> "); out.flush()
+        val line = reader.readLine()
+        if (line == null) done = true else dispatch(line)
+      }
+    }
+    0
+  }
+
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val boolFlags = Set("no-copy", "force-outside-location", "skip-duplicates",
       "dry-run", "allow-anonymous", "watch", "watch-fire-once", "merge-on-read",

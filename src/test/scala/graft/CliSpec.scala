@@ -777,6 +777,34 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cli("count", "ns.pd") == (0, Seq("7")))
   }
 
+  test("shell re-dispatches lines with inherited globals (reference ice shell)") {
+    val script = Seq(
+      "check",
+      "create-namespace sh",
+      "create-table sh.t --schema \"id BIGINT, v STRING\"",
+      "list-tables sh",
+      "shell",
+      "bogus-command",
+      "exit").mkString("\n") + "\n"
+    val buf = new ByteArrayOutputStream()
+    val code = Cli.run(Seq("--root", root, "shell"), spark,
+      new PrintStream(buf, true),
+      shellIn = new java.io.ByteArrayInputStream(script.getBytes("UTF-8")))
+    val o = buf.toString
+    assert(code == 0, o.takeRight(2000))
+    assert(o.contains("ok"), "TAIL>>>" + o.takeRight(2000)) // check, with inherited --root
+    assert(o.contains("created namespace sh"))
+    assert(o.contains("created table sh.t") || o.contains("created sh.t"), o)
+    assert(o.contains("already in shell mode")) // nested shell refused
+    assert(o.contains("exit code 1")) // bogus command reports, shell survives
+    // EOF (no trailing exit) also leaves cleanly
+    val buf2 = new ByteArrayOutputStream()
+    val code2 = Cli.run(Seq("--root", root, "shell"), spark,
+      new PrintStream(buf2, true),
+      shellIn = new java.io.ByteArrayInputStream("list-namespaces\n".getBytes("UTF-8")))
+    assert(code2 == 0 && buf2.toString.contains("sh"))
+  }
+
   test("errors: unknown command and missing args exit 1 with a message") {
     val (c1, out1) = cli("frobnicate")
     assert(c1 == 1 && out1.exists(_.startsWith("error:")))
