@@ -101,6 +101,9 @@ object Cli {
             .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
             .map(GraftConfig.load(_)))
         .getOrElse(GraftConfig())
+      // reference global --log-level (Main.java:93): adjusts Spark's
+      // log4j level for this process
+      flags.get("log-level").foreach(l => spark.sparkContext.setLogLevel(l.toUpperCase))
       val root = flags.get("root").orElse(cfg.root)
         .orElse(sys.env.get("GRAFT_CATALOG_ROOT"))
         .getOrElse(fail("missing --root (or config root / GRAFT_CATALOG_ROOT)"))
@@ -142,12 +145,18 @@ object Cli {
         case Seq("delete-namespace", ns) =>
           cat.dropNamespace(ns); out.println(s"deleted namespace $ns")
         case Seq("list-namespaces") =>
-          cat.listNamespaces().foreach(out.println)
+          cat.listNamespaces().foreach(n =>
+            if (flags.contains("json")) jsonLine(out, "namespace" -> n)
+            else out.println(n))
         case Seq("list-namespaces", parent) =>
           // nested namespaces: direct children of a dotted parent
-          cat.listNamespaces(parent).foreach(out.println)
+          cat.listNamespaces(parent).foreach(n =>
+            if (flags.contains("json")) jsonLine(out, "namespace" -> n)
+            else out.println(n))
         case Seq("list-tables", ns) =>
-          cat.listTables(ns).foreach(out.println)
+          cat.listTables(ns).foreach(t =>
+            if (flags.contains("json")) jsonLine(out, "table" -> t)
+            else out.println(t))
 
         case Seq("create-table", ident) =>
           val schema = StructType.fromDDL(flags.getOrElse("schema",
@@ -280,7 +289,7 @@ object Cli {
         case Seq("scan", ident) =>
           val df = cat.scan(ident)
           val limited = flags.get("limit").map(n => df.limit(n.toInt)).getOrElse(df)
-          printDf(out, limited)
+          printDf(out, limited, flags.contains("json"))
         case Seq("count", ident) =>
           out.println(cat.countRows(ident))
         case Seq("changes", ident) =>
@@ -289,29 +298,44 @@ object Cli {
             .getOrElse(fail("changes needs --from-snapshot"))
           val df = cat.changesSince(ident, from,
             flags.get("to-snapshot").map(_.toLong))
-          printDf(out, flags.get("limit").map(n => df.limit(n.toInt)).getOrElse(df))
+          printDf(out, flags.get("limit").map(n => df.limit(n.toInt)).getOrElse(df), flags.contains("json"))
 
         case Seq("files", ident) =>
           // reference `ice files`: path + rows + bytes per current file
           cat.files(ident).foreach(f =>
-            out.println(s"${f.path}\t${f.rowCount}\t${f.bytes}"))
+            if (flags.contains("json")) jsonLine(out,
+              "path" -> f.path, "rows" -> f.rowCount, "bytes" -> f.bytes)
+            else out.println(s"${f.path}\t${f.rowCount}\t${f.bytes}"))
         case Seq("list-snapshots", ident) =>
-          // reference `ice list-snapshots`: id, operation, time, file count
-          cat.listSnapshots(ident).foreach(s =>
-            out.println(s"${s.id}\t${s.operation}\t${s.timestampMs}\t" +
+          // reference `ice list-snapshots`: id, operation, time, file
+          // count; --limit N = most recent N (Main.java:770)
+          val snaps0 = cat.listSnapshots(ident)
+          val snaps = flags.get("limit").map(_.toInt).filter(_ > 0)
+            .map(n => snaps0.sortBy(-_.timestampMs).take(n)).getOrElse(snaps0)
+          snaps.foreach(s =>
+            if (flags.contains("json")) jsonLine(out,
+              "id" -> s.id, "operation" -> s.operation,
+              "timestampMs" -> s.timestampMs,
+              "files" -> Option(s.files).map(_.length).getOrElse(0))
+            else out.println(s"${s.id}\t${s.operation}\t${s.timestampMs}\t" +
               s"${Option(s.files).map(_.length).getOrElse(0)}"))
         case Seq("list-partitions", ident) =>
           cat.listPartitions(ident).foreach { case (p, rows, fc) =>
-            val label = if (p.isEmpty) "(unpartitioned)"
-              else p.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/")
-            out.println(s"$label\t$rows\t$fc")
+            if (flags.contains("json"))
+              jsonLine(out, "partition" -> p, "rows" -> rows, "files" -> fc)
+            else {
+              val label = if (p.isEmpty) "(unpartitioned)"
+                else p.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/")
+              out.println(s"$label\t$rows\t$fc")
+            }
           }
 
-        case Seq("describe", ident) => printDf(out, cat.describeMetadata(ident))
+        case Seq("describe", ident) => printDf(out, cat.describeMetadata(ident), flags.contains("json"))
         case Seq("describe-metadata", ident) =>
-          printDf(out, cat.describeMetadata(ident))
+          printDf(out, cat.describeMetadata(ident), flags.contains("json"))
         case Seq("describe-parquet", file) =>
-          printDf(out, graft.sources.ParquetMeta.rowGroups(spark, file))
+          printDf(out, graft.sources.ParquetMeta.rowGroups(spark, file),
+            flags.contains("json"))
 
         case Seq("set-property", ident, k, v) =>
           cat.setProperty(ident, k, v); out.println(s"set $k on $ident")
@@ -520,7 +544,7 @@ object Cli {
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val boolFlags = Set("no-copy", "force-outside-location", "skip-duplicates",
       "dry-run", "allow-anonymous", "watch", "watch-fire-once", "merge-on-read",
-      "branch")
+      "branch", "json")
     var flags = Map.empty[String, String]
     val pos = Seq.newBuilder[String]
     var i = 0
@@ -544,11 +568,32 @@ object Cli {
     * so an unbounded `scan` of a large table prints in bounded memory
     * instead of materializing every row at once.
     */
-  private def printDf(out: PrintStream, df: DataFrame): Unit = {
-    out.println(df.columns.mkString("\t"))
-    df.toLocalIterator().forEachRemaining(r =>
-      out.println(r.toSeq.map(v => if (v == null) "null" else v.toString)
-        .mkString("\t")))
+  private def printDf(
+      out: PrintStream, df: DataFrame, json: Boolean = false): Unit =
+    if (json)
+      // reference --json UX: one JSON object per row (Spark's row codec)
+      df.toJSON.toLocalIterator().forEachRemaining(out.println)
+    else {
+      out.println(df.columns.mkString("\t"))
+      df.toLocalIterator().forEachRemaining(r =>
+        out.println(r.toSeq.map(v => if (v == null) "null" else v.toString)
+          .mkString("\t")))
+    }
+
+  /** One JSON object per line for the hand-rolled listings (--json). */
+  private def jsonLine(out: PrintStream, fields: (String, Any)*): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val o = m.createObjectNode()
+    fields.foreach {
+      case (k, v: Long) => o.put(k, v)
+      case (k, v: Int) => o.put(k, v)
+      case (k, v: Map[_, _]) =>
+        val n = o.putObject(k)
+        v.toSeq.sortBy(_._1.toString).foreach { case (pk, pv) =>
+          n.put(pk.toString, pv.toString) }
+      case (k, v) => o.put(k, String.valueOf(v))
+    }
+    out.println(m.writeValueAsString(o))
   }
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)

@@ -805,6 +805,41 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code2 == 0 && buf2.toString.contains("sh"))
   }
 
+  test("--json emits one object per line; list-snapshots honors --limit") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.j", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val staging = Files.createTempDirectory("cli-json")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("in").toString)
+    assert(cli("insert", "ns.j", staging.resolve("in").toString)._1 == 0)
+    Seq((3L, "c"), (4L, "d")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("in2").toString)
+    assert(cli("insert", "ns.j", staging.resolve("in2").toString)._1 == 0)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // scan --json: Spark row JSON, parseable per line
+    val (c1, scanOut) = cli("scan", "ns.j", "--json", "--limit", "2")
+    assert(c1 == 0 && scanOut.length == 2)
+    scanOut.foreach(l => assert(m.readTree(l).has("id"), l))
+    // listings
+    val (_, nsOut) = cli("list-namespaces", "--json")
+    assert(nsOut.forall(l => m.readTree(l).has("namespace")), nsOut.take(2))
+    val (_, fOut) = cli("files", "ns.j", "--json")
+    assert(fOut.nonEmpty && fOut.forall { l =>
+      val n = m.readTree(l); n.has("path") && n.has("rows") && n.has("bytes")
+    }, fOut.take(2))
+    val (_, pOut) = cli("list-partitions", "ns.j", "--json")
+    assert(pOut.forall(l => m.readTree(l).has("rows")), pOut.take(2))
+    // two inserts = two snapshots; --limit 1 keeps the most recent
+    val (_, sAll) = cli("list-snapshots", "ns.j", "--json")
+    assert(sAll.length == 2 && sAll.forall(l => m.readTree(l).has("id")))
+    val (_, s1) = cli("list-snapshots", "ns.j", "--json", "--limit", "1")
+    assert(s1.length == 1)
+    assert(m.readTree(s1.head).path("timestampMs").asLong() ==
+      sAll.map(l => m.readTree(l).path("timestampMs").asLong()).max)
+    // global --log-level is accepted and the command still works
+    assert(cli("--log-level", "warn", "count", "ns.j") == (0, Seq("4")))
+  }
+
   test("errors: unknown command and missing args exit 1 with a message") {
     val (c1, out1) = cli("frobnicate")
     assert(c1 == 1 && out1.exists(_.startsWith("error:")))
