@@ -143,7 +143,13 @@ object Cli {
         case Seq("create-namespace", ns) =>
           cat.createNamespace(ns); out.println(s"created namespace $ns")
         case Seq("delete-namespace", ns) =>
-          cat.dropNamespace(ns); out.println(s"deleted namespace $ns")
+          // -p: ignore not found (reference Main.java:840); without it a
+          // missing namespace is a loud error like the reference's
+          // NoSuchNamespaceException
+          if (!cat.namespaceExists(ns)) {
+            if (flags.contains("p")) out.println(s"namespace $ns not found (ignored)")
+            else fail(s"namespace $ns not found")
+          } else { cat.dropNamespace(ns); out.println(s"deleted namespace $ns") }
         case Seq("list-namespaces") =>
           cat.listNamespaces().foreach(n =>
             if (flags.contains("json")) jsonLine(out, "namespace" -> n)
@@ -330,7 +336,43 @@ object Cli {
             }
           }
 
-        case Seq("describe", ident) => printDf(out, cat.describeMetadata(ident), flags.contains("json"))
+        case Seq("describe") =>
+          // reference Describe.java: no target = the whole catalog —
+          // every namespace (nested included) with its tables
+          def walk(parent: Option[String]): Seq[String] = {
+            val kids = parent.map(cat.listNamespaces).getOrElse(cat.listNamespaces())
+            kids.flatMap(ns => ns +: walk(Some(ns)))
+          }
+          walk(None).foreach { ns =>
+            val tables = cat.listTables(ns)
+            if (flags.contains("json"))
+              jsonLine(out, "namespace" -> ns, "tables" -> tables.mkString(","))
+            else {
+              out.println(s"namespace $ns")
+              tables.foreach(t => out.println(s"  table $ns.$t"))
+            }
+          }
+        case Seq("describe", ident)
+            if cat.namespaceExists(ident) &&
+              !scala.util.Try(cat.tableExists(ident)).getOrElse(false) =>
+          // namespace target: child namespaces + tables
+          cat.listNamespaces(ident).foreach(n =>
+            if (flags.contains("json")) jsonLine(out, "namespace" -> n)
+            else out.println(s"namespace $n"))
+          cat.listTables(ident).foreach(t =>
+            if (flags.contains("json")) jsonLine(out, "table" -> s"$ident.$t")
+            else out.println(s"table $ident.$t"))
+        case Seq("describe", ident) =>
+          // table target; the reference's section options: default =
+          // summary, -s schema, -p properties, -m metrics/snapshots, -a all
+          val df0 = cat.describeMetadata(ident)
+          val all = flags.contains("a")
+          val keep = Seq("summary") ++
+            (if (all || flags.contains("s")) Seq("schema") else Nil) ++
+            (if (all || flags.contains("p")) Seq("properties") else Nil) ++
+            (if (all || flags.contains("m")) Seq("snapshots") else Nil)
+          printDf(out, df0.filter(df0("section").isin(keep: _*)),
+            flags.contains("json"))
         case Seq("describe-metadata", ident) =>
           printDf(out, cat.describeMetadata(ident), flags.contains("json"))
         case Seq("describe-parquet", file) =>
@@ -550,7 +592,11 @@ object Cli {
     var i = 0
     while (i < args.length) {
       val a = args(i)
-      if (a.startsWith("--")) {
+      if (a.length == 2 && a.startsWith("-") && "spma".contains(a(1))) {
+        // reference single-letter section options (describe -s/-p/-m/-a,
+        // delete-namespace -p)
+        flags += a.stripPrefix("-") -> "true"; i += 1
+      } else if (a.startsWith("--")) {
         val k = a.stripPrefix("--")
         if (boolFlags(k)) { flags += k -> "true"; i += 1 }
         else if (i + 1 >= args.length) fail(s"--$k needs a value")

@@ -586,7 +586,7 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     // null property value removes (reference set_tblproperty semantics)
     assert(cli("alter-table", "ns.alt",
       """[{"op":"set_tblproperty","key":"tier","value":null}]""")._1 == 0)
-    val (_, desc) = cli("describe", "ns.alt")
+    val (_, desc) = cli("describe", "ns.alt", "-p")
     assert(!desc.exists(_.contains("tier")))
     // drop_column + rename_to round-trip
     assert(cli("alter-table", "ns.alt",
@@ -838,6 +838,35 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       sAll.map(l => m.readTree(l).path("timestampMs").asLong()).max)
     // global --log-level is accepted and the command still works
     assert(cli("--log-level", "warn", "count", "ns.j") == (0, Seq("4")))
+  }
+
+  test("describe targets catalog, namespace, and table with section flags") {
+    import spark.implicits._
+    cli("create-namespace", "dsc")
+    assert(cli("create-table", "dsc.t", "--schema", "id BIGINT")._1 == 0)
+    val staging = Files.createTempDirectory("cli-desc")
+    Seq(1L, 2L).toDF("id").coalesce(1)
+      .write.parquet(staging.resolve("in").toString)
+    assert(cli("insert", "dsc.t", staging.resolve("in").toString)._1 == 0)
+    // catalog-wide describe: namespaces with their tables
+    val (c0, all) = cli("describe")
+    assert(c0 == 0 && all.exists(_.startsWith("namespace dsc")), all.take(5))
+    assert(all.exists(_.contains("table dsc.t")), all.take(8))
+    // namespace target
+    val (c1, nsOut) = cli("describe", "dsc")
+    assert(c1 == 0 && nsOut.exists(_.contains("table dsc.t")))
+    // table target: summary only by default, -s adds the schema section
+    val (_, plain) = cli("describe", "dsc.t")
+    assert(plain.exists(_.contains("total-rows")))
+    assert(!plain.exists(_.startsWith("schema")), plain.take(5))
+    val (_, withSchema) = cli("describe", "dsc.t", "-s")
+    assert(withSchema.exists(_.startsWith("schema")), withSchema.take(8))
+    // -a shows everything incl. snapshots
+    val (_, withAll) = cli("describe", "dsc.t", "-a")
+    assert(withAll.exists(_.startsWith("snapshots")))
+    // delete-namespace -p ignores a missing namespace (reference -p)
+    assert(cli("delete-namespace", "ghost-ns", "-p")._1 == 0)
+    assert(cli("delete-namespace", "ghost-ns")._1 == 1)
   }
 
   test("errors: unknown command and missing args exit 1 with a message") {
