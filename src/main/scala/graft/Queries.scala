@@ -205,8 +205,13 @@ object Queries {
     "x7_tfidf" -> (TextAnalysis.tfidfQuery _),
     "r1_sample" -> (Sampling.stratifiedSample _),
     "r2_pack" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
+    "r3_chunk" -> ((s: SparkSession, d: String) => Sampling.chunkDocuments(s, d)),
+    "x9_classifier" -> (TextAnalysis.classifierQuery _),
+    "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
-    "m2_feature_stub" -> (Multimodal.featureQuery _)
+    "m2_feature_stub" -> (Multimodal.featureQuery _),
+    "m3_resize" -> (Multimodal.resizeQuery _),
+    "m4_frame_sample" -> (Multimodal.frameSample _)
   )
 
   private val m1Oracle: (String, String) = "m1_binary_meta" ->
@@ -570,6 +575,56 @@ object Queries {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  < (CASE WHEN source = 'src0' THEN '8' ELSE '4' END)
         |ORDER BY doc_id""".stripMargin,
+    "r3_chunk" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) >= 1),
+        |c AS (SELECT doc_id, t, n,
+        |  unnest(range(0,
+        |    (CASE WHEN n > 64 THEN (n - 64 + 47) // 48 ELSE 0 END) + 1)) AS i
+        |  FROM n)
+        |SELECT doc_id,
+        | CAST(i AS INT) AS chunk_id,
+        | CAST(i * 48 AS INT) AS start_tok,
+        | CAST(least(64, n - i * 48) AS INT) AS n_tok,
+        | substr(md5(array_to_string(
+        |   list_slice(t, i * 48 + 1, i * 48 + least(64, n - i * 48)), ' ')),
+        |   1, 16) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "x9_classifier" -> {
+      // token weight = (first md5 byte - 127.5) / 127.5 — same hex-pair ->
+      // byte replay as m2's decoder stub
+      val w = "((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16" +
+        " + strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1 - 127.5) / 127.5"
+      s"""WITH tok AS (SELECT doc_id,
+         |  list_distinct(list_filter(
+         |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |  list_sum(list_transform(t, x -> $w)) / CAST(len(t) AS DOUBLE) AS score
+         | FROM tok WHERE len(t) >= 1)
+         |SELECT doc_id,
+         | round(score, 4) AS lin_score,
+         | round(1.0 / (1.0 + exp(score * -4)), 4) AS keep_prob,
+         | score > 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "d11_substr_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, ((length(text) - 40) // 10) + 1),
+        |    i -> md5(substr(text, CAST(i * 10 + 1 AS INT), 40)))) AS fp
+        |  FROM documents WHERE length(text) >= 40),
+        |pdf AS (SELECT fp, doc_id, count(*) AS n_win FROM w GROUP BY 1, 2),
+        |fd AS (SELECT fp, count(*) AS n_docs FROM pdf GROUP BY 1)
+        |SELECT doc_id,
+        | CAST(sum(n_win) AS BIGINT) AS n_windows,
+        | CAST(sum(CASE WHEN n_docs >= 2 THEN n_win ELSE 0 END) AS BIGINT)
+        |   AS dup_windows,
+        | round(CAST(sum(CASE WHEN n_docs >= 2 THEN n_win ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(n_win) AS DOUBLE), 4) AS dup_frac
+        |FROM pdf JOIN fd USING (fp)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     m1Oracle,
     // m2's decoder is a deterministic md5-derived stub, so the whole decode
     // path (dims + first two feature floats) replays in pure SQL: hex-pair
@@ -586,6 +641,41 @@ object Queries {
          | round(CAST(${byteAt(3)} AS DOUBLE) / 255.0, 4) AS f1
          |FROM hx ORDER BY doc_id""".stripMargin
     },
+    // m3's resize stub is pure integer math over the same md5-derived dims,
+    // and the resized payload's witness is md5(payload ++ "@WxH") — both
+    // replay exactly in SQL.
+    "m3_resize" -> {
+      def byteAt(i: Int) =
+        s"((strpos('0123456789abcdef', substr(h, ${2 * i + 1}, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substr(h, ${2 * i + 2}, 1)) - 1)"
+      s"""WITH hx AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+         |d AS (SELECT doc_id, text,
+         |  CAST(64 + ${byteAt(0)} % 128 AS INT) AS width,
+         |  CAST(64 + ${byteAt(1)} % 128 AS INT) AS height FROM hx),
+         |o AS (SELECT doc_id, text, width, height,
+         |  CAST((width * 64) // greatest(width, height) AS INT) AS out_w,
+         |  CAST((height * 64) // greatest(width, height) AS INT) AS out_h
+         |  FROM d)
+         |SELECT doc_id, width, height, out_w, out_h,
+         | CAST(out_w AS BIGINT) * out_h * 3 AS out_bytes,
+         | substr(md5(text || '@' || CAST(out_w AS VARCHAR) || 'x'
+         |   || CAST(out_h AS VARCHAR)), 1, 16) AS out_fp
+         |FROM o ORDER BY doc_id""".stripMargin
+    },
+    "m4_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 256.0) AS INT) AS nf
+        |  FROM documents WHERE length(text) >= 1),
+        |s AS (SELECT doc_id, text, unnest(range(0, CAST(nf AS BIGINT), 4))
+        |  AS frame_idx FROM f)
+        |SELECT doc_id,
+        | CAST(frame_idx AS INT) AS frame_idx,
+        | CAST(frame_idx * 256 AS INT) AS frame_off,
+        | CAST(least(256, length(text) - frame_idx * 256) AS INT) AS frame_chars,
+        | substr(md5(substr(text, CAST(frame_idx * 256 + 1 AS INT),
+        |   CAST(least(256, length(text) - frame_idx * 256) AS INT))), 1, 16)
+        |   AS frame_fp
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     "p1_pipeline" ->
       s"""WITH $sigCte,
          |$lshPairsCte,

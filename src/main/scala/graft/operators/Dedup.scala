@@ -497,6 +497,57 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** d11: exact substring-span dedup — the fixed-stride re-expression of
+    * suffix-array duplicate-span removal ("Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022). Every K-char window
+    * at stride S is fingerprinted map-side (md5, codegen'd); a window whose
+    * fingerprint appears in ≥2 distinct documents marks its span as
+    * cross-document duplicated text. Per-doc output: window count,
+    * duplicated-window count, duplicated fraction.
+    *
+    * Scale shape: window volume is O(bytes / stride), embarrassingly
+    * parallel to produce. Two partial-aggregated shuffles — (fp, doc_id)
+    * first, which both deduplicates within-doc repeats of a boilerplate
+    * window AND absorbs hot-fingerprint skew before the per-fp doc count —
+    * then one rollup on doc_id. No all-pairs joins anywhere; at 100 TB this
+    * is the same cost class as exact dedup at window granularity.
+    */
+  val SubstrK = 40
+  val SubstrStride = 10
+
+  def substrDedup(spark: SparkSession, dir: String,
+      k: Int = SubstrK, stride: Int = SubstrStride): DataFrame =
+    substrDedupOf(Tables.documents(spark, dir), k, stride)
+
+  /** d11 over any (doc_id, text) frame — the testable seam. */
+  def substrDedupOf(input: DataFrame,
+      k: Int = SubstrK, stride: Int = SubstrStride): DataFrame = {
+    val docs = input.filter(length(col("text")) >= k)
+    // sequence(0, nWin) is inclusive; nWin = floor((len - k) / stride)
+    val nWin = floor((length(col("text")) - lit(k)).cast("double") / lit(stride))
+      .cast("int")
+    val windows = docs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), nWin),
+        i => md5(col("text").substr(i * lit(stride) + lit(1), lit(k))))).as("fp"))
+    val perDocFp = windows.groupBy(col("fp"), col("doc_id"))
+      .agg(count(lit(1)).as("n_win"))
+    // vocabulary-of-fingerprints sized: grows with the corpus, so this is a
+    // shuffle join on fp (never broadcast) — AQE re-plans from runtime sizes
+    val fpDocs = perDocFp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"))
+    perDocFp.join(fpDocs, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_win")).as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("n_win")).otherwise(0L)).as("dup_windows"))
+      .select(
+        col("doc_id"), col("n_windows"), col("dup_windows"),
+        round(col("dup_windows").cast("double") /
+          col("n_windows").cast("double"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-pairs: hamming distance ≤ maxDist, candidates blocked by
     * 4-way band split of the fingerprint (docs agreeing on any 15-bit band).
     */

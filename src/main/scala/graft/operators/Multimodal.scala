@@ -70,6 +70,85 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, out_w: Int, out_h: Int,
+      out_bytes: Long, out_fp: String)
+
+  /** STUB resize kernel — fit into a `box`×`box` bounding box preserving
+    * aspect (pure integer math, so the SQL oracle replays it exactly). The
+    * "resized" payload stands in as md5(payload ++ "@WxH"); a real codec
+    * swap keeps the schema and the batching.
+    */
+  def stubResize(payload: Array[Byte], box: Int): (Int, Int, Int, Int, String) = {
+    val (w, h, _) = stubDecode(payload)
+    val m = math.max(w, h)
+    val (ow, oh) = (w * box / m, h * box / m)
+    val suffix = s"@${ow}x$oh".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload ++ suffix)
+    val fp = d.take(8).map(b => f"${b & 0xff}%02x").mkString
+    (w, h, ow, oh, fp)
+  }
+
+  /** m3: batched resize over binary media — decode dims, fit to a 64×64
+    * box, emit output dims/size and a fingerprint witnessing the resized
+    * payload. Same partition-parallel mapPartitions shape as m2 (the batch
+    * is where a vectorized image library amortizes setup); no shuffle, so
+    * at 100 TB it runs at scan speed across input splits.
+    */
+  def resize(media: Dataset[MediaRow], box: Int = 64): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, ow, oh, fp) = stubResize(r.media, box)
+          ResizedMedia(r.doc_id, w, h, ow, oh, ow.toLong * oh * 3, fp)
+        }
+      }
+    }
+  }
+
+  /** m3 as a registered query. */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+    resize(media)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"), col("out_bytes"), col("out_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val FrameChars = 256
+  val FrameStride = 4
+
+  /** m4: frame sampling over a video-like payload — the payload is treated
+    * as a run of fixed-size frames (STUB: 256-char windows of the text
+    * payload; a real demuxer swaps in keyframe offsets) and every 4th frame
+    * is sampled with its offset, size and content fingerprint. Column-only
+    * plumbing (sequence + explode + substr): map-only, codegen'd, zero
+    * shuffle — the shape a 100 TB video-corpus frame extractor needs, with
+    * the per-frame fan-out bounded by payload size, never corpus size.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val nFrames = ceil(length(col("text")).cast("double") / lit(FrameChars))
+      .cast("int")
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"), nFrames.as("nf"))
+      .select(col("doc_id"), col("text"), col("nf"),
+        explode(sequence(lit(0), col("nf") - 1, lit(FrameStride)))
+          .as("frame_idx"))
+      .withColumn("frame_off", col("frame_idx") * FrameChars)
+      .withColumn("frame_chars",
+        least(lit(FrameChars), length(col("text")) - col("frame_off")))
+      .select(
+        col("doc_id"), col("frame_idx"), col("frame_off"), col("frame_chars"),
+        substring(md5(col("text").substr(
+          col("frame_off") + 1, col("frame_chars"))), 1, 16).as("frame_fp"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** m2 as a registered query: text bytes as the stand-in payload. */
   def featureQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

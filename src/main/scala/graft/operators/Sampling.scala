@@ -47,4 +47,39 @@ object Sampling {
         (col("before") % windowTokens).as("pack_offset"))
       .orderBy(col("doc_id"))
   }
+
+  /** r3: RAG-style chunking — overlapping token windows (`chunkTokens` wide,
+    * advancing by `chunkTokens - overlap`) per document, each witnessed by a
+    * fingerprint of its re-joined text. Pure map + explode: chunk count and
+    * boundaries are per-row functions of the token count, so at 100 TB this
+    * runs at scan speed with zero shuffle (the presentation sort aside), and
+    * chunk ids are stable across runs and cluster sizes.
+    */
+  def chunkDocuments(
+      spark: SparkSession, dir: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    val step = chunkTokens - overlap
+    val toks = filter(split(col("text"), "\\s+"), x => x =!= "")
+    // extra chunks past the first: ceil((n - chunkTokens) / step) via int math
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= 1)
+      .withColumn("extra",
+        when(col("n") > chunkTokens,
+          floor((col("n") - lit(chunkTokens) + lit(step - 1)).cast("double") /
+            lit(step)).cast("int"))
+          .otherwise(lit(0)))
+    base
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), col("extra"))).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * step)
+      .withColumn("n_tok", least(lit(chunkTokens), col("n") - col("start_tok")))
+      .select(
+        col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+        substring(md5(array_join(
+          slice(col("t"), col("start_tok") + 1, col("n_tok")), " ")), 1, 16)
+          .as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

@@ -175,4 +175,35 @@ object TextAnalysis {
         fingerprint(col("text")).as("fp"),
         fingerprint(substring(col("text"), 1, 64)).as("fp_head"))
       .orderBy(col("doc_id"))
+
+  /** x9: hashed-feature linear classifier scoring — the fastText-style
+    * quality-classifier shape (bag of hashed token features · weight
+    * vector → sigmoid) used to filter web corpora (e.g. GPT-3/CCNet-style
+    * quality filtering). The weight table is a DETERMINISTIC STUB — each
+    * token's weight derives from its md5 (first byte, recentred to
+    * [-1, 1]) — so the whole scoring path replays bit-for-bit in the SQL
+    * oracle; swapping in trained weights keeps the identical plan (a
+    * map-side fold over the token array, zero shuffle, scan speed at
+    * 100 TB).
+    */
+  def classifierQuery(spark: SparkSession, dir: String): DataFrame = {
+    val weights = transform(col("_ts"), t =>
+      (conv(substring(md5(t), 1, 2), 16, 10).cast("double") - lit(127.5)) /
+        lit(127.5))
+    // token set and score each projected ONCE (the x1 lesson: a non-cheap
+    // expression referenced from several output columns re-evaluates unless
+    // it gets its own projection — CollapseProject keeps these splits)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenSet(col("text")).as("_ts"))
+      .filter(size(col("_ts")) >= 1)
+      .select(col("doc_id"),
+        (aggregate(weights, lit(0.0), (acc, x) => acc + x) /
+          size(col("_ts")).cast("double")).as("_score"))
+      .select(
+        col("doc_id"),
+        round(col("_score"), 4).as("lin_score"),
+        round(lit(1.0) / (lit(1.0) + exp(col("_score") * -4)), 4).as("keep_prob"),
+        (col("_score") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

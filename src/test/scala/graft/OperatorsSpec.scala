@@ -203,4 +203,99 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lp == ufComponents(hub))
   }
+
+  test("d11 substring dedup: exact duplicates share every window") {
+    val rows = Dedup.substrDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dup, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n >= 1 && dup >= 0 && dup <= n, s"window counts: $r")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // synthetic: two identical docs share every window; an unrelated doc
+    // shares none; a half-copied doc sits strictly between
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog again and again, " * 4
+    val docs = Seq(
+      (1L, common), (2L, common),
+      (3L, common + ("completely different tail content here to break windows " * 4)),
+      (4L, "nothing in this document matches any other document at all etc " * 4))
+      .toDF("doc_id", "text")
+    val f = Dedup.substrDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(f(1L) == 1.0 && f(2L) == 1.0, s"identical docs fully duplicated: $f")
+    assert(f(3L) > 0.0 && f(3L) < 1.0, s"partial copy strictly between: $f")
+    assert(f(4L) == 0.0, s"unique doc has no duplicated windows: $f")
+  }
+
+  test("r3 chunking tiles every document with the declared overlap") {
+    val chunks = Sampling.chunkDocuments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0, "first chunk starts at token 0")
+      sorted.foreach { case (_, id, start, n) =>
+        assert(start == id * 48 && n >= 1 && n <= 64)
+      }
+      // each later chunk re-reads exactly `overlap` tokens unless the doc
+      // ended first; last chunk reaches the final token
+      val last = sorted.last
+      sorted.zip(sorted.tail).foreach { case ((_, _, s1, n1), (_, _, s2, _)) =>
+        assert(s2 == s1 + 48 && s1 + n1 >= s2, "chunks advance by stride")
+      }
+      assert(last._4 == math.min(64, (last._3 + last._4) - last._3))
+    }
+  }
+
+  test("x9 classifier: score bounded, sigmoid monotone, label consistent") {
+    val rows = TextAnalysis.classifierQuery(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, p, keep) = (r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+      assert(s >= -1.0 && s <= 1.0, s"mean of [-1,1] weights: $s")
+      assert(p > 0.0 && p < 1.0)
+      assert(keep == s > 0)
+    }
+    // lin_score and keep_prob are each rounded to 4 decimals from the same
+    // unrounded score, so cross-ordering can differ by one rounding step
+    val sorted = rows.sortBy(_.getDouble(1))
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(a.getDouble(2) <= b.getDouble(2) + 2e-4, "sigmoid preserves order")
+    }
+  }
+
+  test("m3 resize fits the 64-box preserving aspect ratio") {
+    val rows = Multimodal.resizeQuery(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(math.max(ow, oh) == 64, "long edge lands on the box")
+      assert(ow >= 1 && oh >= 1 && ow <= 64 && oh <= 64)
+      // the exact integer-truncation contract of the fit
+      val m = math.max(w, h)
+      assert(ow == w * 64 / m && oh == h * 64 / m, s"$r")
+      assert(r.getLong(5) == ow.toLong * oh * 3)
+      assert(r.getString(6).length == 16)
+    }
+  }
+
+  test("m4 frame sampling covers the payload at stride 4") {
+    val rows = Multimodal.frameSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, fs) =>
+      val sorted = fs.sortBy(_._2)
+      assert(sorted.head._2 == 0, "frame 0 always sampled")
+      sorted.foreach { case (_, idx, off, n) =>
+        assert(idx % 4 == 0 && off == idx * 256 && n >= 1 && n <= 256)
+      }
+      sorted.zip(sorted.tail).foreach { case ((_, i1, _, n1), (_, i2, _, _)) =>
+        assert(i2 == i1 + 4, "sampled indices advance by the stride")
+        assert(n1 == 256, "only the final frame may be short")
+      }
+    }
+  }
 }

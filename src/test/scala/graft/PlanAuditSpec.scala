@@ -170,6 +170,48 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tokenizer must run once per doc, not once per stopword score")
   }
 
+  test("d11 substring dedup shuffles on the window fingerprint only") {
+    val q = Queries.all("d11_substr_dedup")(spark, dir).queryExecution
+    val joins = q.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "expected the fp-count join")
+    joins.foreach { j =>
+      val refs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name).toSet
+      assert(refs == Set("fp"),
+        s"d11 join must be keyed on the window fingerprint alone, got $refs")
+    }
+    // no pinned broadcast: the fp-count side grows with the corpus — AQE
+    // alone may (correctly) broadcast it at small SF
+    val hints = q.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "d11 must not pin a broadcast hint")
+    // (fp, doc_id) pre-agg -> per-fp count -> per-doc rollup, each
+    // partial+final: >= 6 HashAggregates in the physical plan
+    assert("HashAggregate".r.findAllIn(plan("d11_substr_dedup")).length >= 6,
+      "d11 must pre-aggregate (fp, doc_id) before the per-fp doc count")
+  }
+
+  test("map-only gate queries plan no join and no aggregate") {
+    // r3/x9/m3/m4 are per-row transforms: the only shuffle allowed is the
+    // presentation sort's range exchange
+    for (name <- Seq("r3_chunk", "x9_classifier", "m3_resize",
+        "m4_frame_sample")) {
+      val q = Queries.all(name)(spark, dir).queryExecution
+      val joins = q.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.isEmpty, s"$name: map-only plan must not join")
+      val p = plan(name)
+      assert(!p.contains("HashAggregate"), s"$name: map-only plan must not aggregate")
+      // formatted explain lists each node twice (tree + details); count
+      // tree entries only
+      assert("Exchange \\(".r.findAllIn(p).length <= 1,
+        s"$name: only the presentation sort may shuffle")
+    }
+  }
+
   test("whole-stage codegen covers the custom kernels") {
     // executedPlan marks codegen stages with "*(n)" — but only once AQE
     // has finalized the plan, so execute first
