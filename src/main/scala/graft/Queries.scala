@@ -208,6 +208,7 @@ object Queries {
     "r3_chunk" -> ((s: SparkSession, d: String) => Sampling.chunkDocuments(s, d)),
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
     "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
+    "d12_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
     "m2_feature_stub" -> (Multimodal.featureQuery _),
     "m3_resize" -> (Multimodal.resizeQuery _),
@@ -625,6 +626,37 @@ object Queries {
         |   / CAST(sum(n_win) AS DOUBLE), 4) AS dup_frac
         |FROM pdf JOIN fd USING (fp)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d12_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(i * 10 AS INT) AS s0, CAST(i * 10 + 40 AS INT) AS e0,
+        |    md5(substr(text, CAST(i * 10 + 1 AS INT), 40)) AS fp
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, ((length(text) - 40) // 10) + 1)) AS i
+        |        FROM documents WHERE length(text) >= 40)),
+        |fd AS (SELECT fp FROM
+        |  (SELECT fp, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+        |  WHERE nd >= 2),
+        |d AS (SELECT doc_id, s0, e0 FROM w WHERE fp IN (SELECT fp FROM fd)),
+        |fl AS (SELECT doc_id, s0, e0,
+        |  CASE WHEN s0 > coalesce(max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS flag FROM d),
+        |isl AS (SELECT doc_id, s0, e0,
+        |  sum(flag) OVER (PARTITION BY doc_id ORDER BY s0
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM fl),
+        |sp AS (SELECT doc_id, island, min(s0) AS s, max(e0) AS e
+        |  FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_chars
+        |  FROM sp GROUP BY 1)
+        |SELECT d0.doc_id,
+        | CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        | CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+        | round(CAST(coalesce(dup_chars, 0) AS DOUBLE)
+        |   / CAST(len AS DOUBLE), 4) AS dup_char_frac
+        |FROM (SELECT doc_id, length(text) AS len FROM documents
+        |      WHERE length(text) >= 40) d0
+        |LEFT JOIN agg ON d0.doc_id = agg.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
     m1Oracle,
     // m2's decoder is a deterministic md5-derived stub, so the whole decode
     // path (dims + first two feature floats) replays in pure SQL: hex-pair
@@ -836,7 +868,12 @@ object Queries {
     "e2_sessionize" -> (graft.streaming.Streams.sessionizeBatch _),
     "e3_funnel" -> (graft.streaming.Streams.funnelBatch _),
     "e4_retention" -> (graft.streaming.Streams.retentionBatch _),
-    "e5_rate_anomaly" -> (graft.streaming.Streams.rateAnomaly _)
+    "e5_rate_anomaly" -> (graft.streaming.Streams.rateAnomaly _),
+    // mergeable-sketch rollups: deterministic for a given input set but not
+    // replayable in another engine's sketch impl (and KLL compaction is
+    // randomized) — rows-only gate + SketchesSpec accuracy/merge pins
+    "e6_sketch_rollup" -> (Sketches.sketchRollup _),
+    "e7_theta_overlap" -> (Sketches.thetaOverlap _)
   )
 
   val streamingOracle: Map[String, String] = Map(

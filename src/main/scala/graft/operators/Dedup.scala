@@ -548,6 +548,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d12: duplicated-span extraction — the step after d11 in the Lee et al.
+    * pipeline: duplicated windows are merged into MAXIMAL per-document
+    * character intervals (classic gaps-and-islands over [pos, pos+K) spans,
+    * overlapping because stride < K), yielding per doc the merged span
+    * count, duplicated character total and fraction — exactly what a
+    * span-removal rewrite needs.
+    *
+    * Scale shape: the fingerprint side is d11's (fp, doc_id)-deduped count
+    * feeding a semi-join; the island pass is two window functions over ONE
+    * shuffle keyed on doc_id (partitioned by document, never corpus-wide).
+    */
+  def dupSpans(spark: SparkSession, dir: String,
+      k: Int = SubstrK, stride: Int = SubstrStride): DataFrame =
+    dupSpansOf(Tables.documents(spark, dir), k, stride)
+
+  /** d12 over any (doc_id, text) frame — the testable seam. */
+  def dupSpansOf(input: DataFrame, k: Int = SubstrK,
+      stride: Int = SubstrStride): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = input.filter(length(col("text")) >= k)
+    val nWin = floor((length(col("text")) - lit(k)).cast("double") / lit(stride))
+      .cast("int")
+    val w = base.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), nWin),
+        i => md5(col("text").substr(i * lit(stride) + lit(1), lit(k)))))
+        .as(Seq("i", "fp")))
+      .select(col("doc_id"), (col("i") * stride).as("start"),
+        (col("i") * stride + k).as("end"), col("fp"))
+    val sharedFps = w.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("fp"))
+    val dupW = w.join(sharedFps, Seq("fp"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val prevMaxEnd = max(col("end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dupW
+      .withColumn("flag",
+        when(col("start") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("flag")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_chars"))
+    base.select(col("doc_id"), length(col("text")).as("len"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("len").cast("double"), 4).as("dup_char_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-pairs: hamming distance ≤ maxDist, candidates blocked by
     * 4-way band split of the fingerprint (docs agreeing on any 15-bit band).
     */

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Mergeable-sketch rollups — the pre-aggregation pattern that makes
+  * distinct-count / quantile dashboards affordable at 100 TB: partial
+  * sketch STATES are built once per fine-grained cell (here per event-type
+  * × day, i.e. the rollup table a warehouse would persist), then any
+  * coarser breakdown merges states instead of rescanning raw events.
+  * Spark 4's DataSketches-backed builtins (hll_sketch_agg / hll_union_agg,
+  * kll_sketch_agg_double / kll_merge_agg_double, theta_sketch_agg /
+  * theta_union / theta_intersection) keep the whole path codegen'd with
+  * bounded state — no exact distinct shuffle of user ids anywhere.
+  *
+  * HLL and theta sketches are deterministic for a given input set, but not
+  * reproducible in other engines' sketch implementations, and KLL
+  * compaction is randomized — so these are rows-only gate queries with
+  * accuracy/mergeability pinned by SketchesSpec instead of a SQL oracle.
+  */
+object Sketches {
+
+  /** Per-(event_type, day) partial states — the persistable rollup. */
+  def dailyStates(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        hll_sketch_agg(col("user_id")).as("users_hll"),
+        kll_sketch_agg_double(col("value")).as("value_kll"),
+        count(lit(1)).as("n"))
+
+  /** e6: merge the daily states up to event_type — distinct users (HLL
+    * union) + value quantiles (KLL merge) without touching raw rows.
+    */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame =
+    dailyStates(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        hll_union_agg(col("users_hll")).as("users_hll"),
+        kll_merge_agg_double(col("value_kll")).as("value_kll"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        hll_sketch_estimate(col("users_hll")).as("approx_users"),
+        round(kll_sketch_get_quantile_double(col("value_kll"), lit(0.5)), 4)
+          .as("p50_value"),
+        round(kll_sketch_get_quantile_double(col("value_kll"), lit(0.95)), 4)
+          .as("p95_value"))
+      .orderBy(col("event_type"))
+
+  /** e7: theta-sketch set algebra — per event type, the approximate user
+    * overlap and difference vs the purchase cohort. Theta (unlike HLL)
+    * supports intersection/difference on the STATES, so cohort overlap at
+    * 100 TB is a merge of per-type sketches, not a self-join of events.
+    */
+  def thetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perType = ev.groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("users_theta"))
+    val purchase = perType.filter(col("event_type") === "purchase")
+      .select(col("users_theta").as("purchase_theta"))
+    perType.filter(col("event_type") =!= "purchase")
+      .crossJoin(broadcast(purchase)) // one row: the purchase cohort state
+      .select(
+        col("event_type"),
+        theta_sketch_estimate(col("users_theta")).as("approx_users"),
+        theta_sketch_estimate(
+          theta_intersection(col("users_theta"), col("purchase_theta")))
+          .as("approx_also_purchased"),
+        theta_sketch_estimate(
+          theta_difference(col("users_theta"), col("purchase_theta")))
+          .as("approx_never_purchased"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -228,6 +228,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f(4L) == 0.0, s"unique doc has no duplicated windows: $f")
   }
 
+  test("d12 merges duplicated windows into maximal spans") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog again and again, " * 4
+    val docs = Seq(
+      (1L, common), (2L, common),
+      (3L, common + ("completely different tail content here to break windows " * 4)),
+      (4L, "nothing in this document matches any other document at all etc " * 4))
+      .toDF("doc_id", "text")
+    val rows = Dedup.dupSpansOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // identical docs: ONE maximal span covering every window — i.e. chars
+    // [0, lastStart + K); the tail past the final window is never windowed
+    val covered =
+      (common.length - Dedup.SubstrK) / Dedup.SubstrStride *
+        Dedup.SubstrStride + Dedup.SubstrK
+    assert(rows(1L) == ((1L, covered.toLong,
+      math.rint(covered.toDouble / common.length * 1e4) / 1e4)), s"${rows(1L)}")
+    assert(rows(2L) == rows(1L))
+    // prefix copy: one merged span, covering the shared prefix but not the
+    // unique tail (window quantization can spill at most K+stride chars)
+    val (n3, chars3, frac3) = rows(3L)
+    assert(n3 == 1, s"overlapping windows must merge: $n3 spans")
+    assert(chars3 >= common.length - Dedup.SubstrStride &&
+      chars3 <= common.length + Dedup.SubstrK + Dedup.SubstrStride, s"$chars3")
+    assert(frac3 > 0.0 && frac3 < 1.0)
+    // unique doc: no spans at all
+    assert(rows(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("r3 chunking tiles every document with the declared overlap") {
     val chunks = Sampling.chunkDocuments(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))

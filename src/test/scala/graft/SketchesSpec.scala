@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/** Accuracy + mergeability pins for the sketch rollups (e6/e7) — the
+  * replacement for a SQL oracle, since DataSketches states don't replay in
+  * DuckDB and KLL compaction is randomized.
+  */
+class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.01"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-sketches", cpus = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val exact: Map[String, (Long, Long, Seq[Double])] =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"),
+        sort_array(collect_list(col("value"))).as("vs"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Double](3))))
+      .toMap
+
+  test("e6 HLL distinct-user estimates land within 5% of exact") {
+    val rows = Sketches.sketchRollup(spark, dir).collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val (t, n, approx) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (en, eu, _) = exact(t)
+      assert(n == eu * 0 + en, s"$t: exact row count must be exact")
+      assert(math.abs(approx - eu).toDouble / eu <= 0.05,
+        s"$t: approx=$approx exact=$eu")
+    }
+  }
+
+  test("e6 KLL quantiles land within the sketch's rank error") {
+    val rows = Sketches.sketchRollup(spark, dir).collect()
+    rows.foreach { r =>
+      val vs = exact(r.getString(0))._3
+      def rankOf(v: Double): Double = vs.count(_ <= v).toDouble / vs.size
+      // default k=200 KLL: ~1.65% rank error at 99% confidence; allow 4%
+      assert(math.abs(rankOf(r.getDouble(3)) - 0.5) <= 0.04,
+        s"${r.getString(0)}: p50=${r.getDouble(3)} rank=${rankOf(r.getDouble(3))}")
+      assert(math.abs(rankOf(r.getDouble(4)) - 0.95) <= 0.04,
+        s"${r.getString(0)}: p95=${r.getDouble(4)} rank=${rankOf(r.getDouble(4))}")
+    }
+  }
+
+  test("unioned daily HLL states agree with the direct whole-set sketch") {
+    val merged = Sketches.dailyStates(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("users_hll"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (t, m) =>
+      val d = direct(t)
+      assert(math.abs(m - d).toDouble / math.max(d, 1) <= 0.01,
+        s"$t: merged=$m direct=$d — partial states must merge losslessly")
+    }
+  }
+
+  test("e6 HLL estimates are deterministic across runs") {
+    def hllCols() = Sketches.sketchRollup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hllCols() == hllCols())
+  }
+
+  test("e7 theta set algebra is consistent and within 5% of exact") {
+    val rows = Sketches.thetaOverlap(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val purchasers = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val byType = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getLong(1)).toSet
+      }
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val users = byType(t)
+      val (a, both, diff) =
+        (r.getLong(1).toDouble, r.getLong(2).toDouble, r.getLong(3).toDouble)
+      def close(approx: Double, ex: Int) =
+        math.abs(approx - ex) <= math.max(1.0, 0.05 * ex)
+      assert(close(a, users.size), s"$t users: $a vs ${users.size}")
+      assert(close(both, users.intersect(purchasers).size),
+        s"$t overlap: $both vs ${users.intersect(purchasers).size}")
+      assert(close(diff, users.diff(purchasers).size),
+        s"$t difference: $diff vs ${users.diff(purchasers).size}")
+      // partition property: overlap + difference covers the cohort
+      assert(math.abs((both + diff) - a) <= math.max(1.0, 0.02 * a))
+    }
+  }
+}
