@@ -2041,6 +2041,140 @@ class IceCatalog(
       SnapDelta("mor-update", add = files, addDeletes = Seq(del)))
   }
 
+  /** Relocate the table's DATA pointers: every data / source / delete file
+    * path under `sourcePrefix` is re-rooted at `targetPrefix`, across ALL
+    * snapshots (time travel keeps working after the move), as ONE metadata
+    * commit — the native form of the reference's documented table-copy
+    * migration (docs/rewrite-table-path.md, which delegates to Iceberg's
+    * `rewrite_table_path` Spark procedure). Copying the bytes is the
+    * caller's job (object-store server-side copy / distcp); this call
+    * rewrites METADATA — plus the CONTENTS of position-delete files, whose
+    * `file_path` column embeds data-file paths that a metadata-only swap
+    * would silently orphan (their masks would stop matching).
+    *
+    * Both the raw prefix and its canonical `_metadata.file_path` spelling
+    * are swapped (position-delete contents store the canonical form, while
+    * manifests may carry the plain one). Delete-file `seq` numbers are
+    * preserved — mask ordering semantics survive the move. Snapshots
+    * without any matching path keep their existing manifest segments by
+    * reference; touched snapshots are re-segmented by the next dehydrate.
+    *
+    * Returns counts: data_paths / source_paths / delete_files_moved /
+    * delete_contents_rewritten / snapshots_touched.
+    */
+  def rewriteTablePath(
+      ident: String,
+      sourcePrefix: String,
+      targetPrefix: String,
+      dryRun: Boolean = false): Map[String, Long] = {
+    require(sourcePrefix.nonEmpty && targetPrefix.nonEmpty,
+      "rewrite_table_path needs non-empty source and target prefixes")
+    require(sourcePrefix != targetPrefix, "source and target prefixes are equal")
+    val meta = loadMeta(ident)
+    val hconf = spark.sessionState.newHadoopConf()
+    def canonOf(p: String): String =
+      scala.util.Try(metadataPathSpelling(p, hconf)).getOrElse(p)
+    // hadoop Path.toString collapses spelling variants (file:///x -> file:/x)
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toString
+    val (srcNorm, tgtNorm) = (norm(sourcePrefix), norm(targetPrefix))
+    val (srcCanon, tgtCanon) = (canonOf(sourcePrefix), canonOf(targetPrefix))
+    // match on the NORMALIZED spelling so "file:///a", "file:/a" and "/a"
+    // all relocate; emit the target in the matched form's family
+    def swap(p0: String): String = {
+      val p = norm(p0)
+      if (p.startsWith(srcNorm)) tgtNorm + p.drop(srcNorm.length)
+      else if (p.startsWith(srcCanon)) tgtCanon + p.drop(srcCanon.length)
+      else p0
+    }
+
+    // phase 1 (outside the lock): rewrite position-delete CONTENTS that
+    // reference moved data files. One read per unique positional delete
+    // file — the delete set is compaction-bounded. Done before the commit
+    // so lock hold time stays metadata-sized; basedOn below refuses the
+    // commit if the table advanced meanwhile.
+    val uniqueDeletes = meta.snapshots
+      .flatMap(s => Option(s.deletes).getOrElse(Seq.empty))
+      .distinctBy(_.path)
+    val contentRewrites: Map[String, DeleteFileMeta] =
+      uniqueDeletes.filter(_.isPositional).flatMap { d =>
+        val df = spark.read.parquet(d.path)
+        // contents carry the canonical _metadata spelling; accept the raw
+        // and normalized prefix forms as well
+        val forms = Seq(srcCanon -> tgtCanon, srcNorm -> tgtNorm,
+          sourcePrefix -> targetPrefix).distinctBy(_._1)
+        val hit = forms.map { case (s, _) => col("file_path").startsWith(s) }
+          .reduce(_ || _)
+        if (df.filter(hit).limit(1).count() == 0) None
+        else if (dryRun) Some(d.path -> d)
+        else {
+          def swapped(prefix: String, to: String) =
+            concat(lit(to), col("file_path").substr(
+              lit(prefix.length + 1), length(col("file_path"))))
+          val rewritten = df.withColumn("file_path",
+            forms.foldRight(col("file_path")) { case ((s, t), onMiss) =>
+              when(col("file_path").startsWith(s), swapped(s, t))
+                .otherwise(onMiss)
+            })
+          val dir = tableDir(ident).resolve("data")
+            .resolve(s"delete-relocate-${java.util.UUID.randomUUID().toString.take(8)}")
+          rewritten.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+          val file = io.list(dir)
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"delete content rewrite produced no file in $dir"))
+          Some(d.path -> d.copy(
+            path = file.toUri.toString, bytes = io.size(file)))
+        }
+      }.toMap
+
+    // phase 2: one commit swapping every matching path in every snapshot
+    var counts = Map.empty[String, Long]
+    def applyTo(m: TableMeta): TableMeta = {
+      var (nData, nSrc, nDelMoved) = (0L, 0L, 0L)
+      var touched = 0L
+      val newSnaps = m.snapshots.map { s =>
+        val nf = Option(s.files).map(_.map { f =>
+          val np = swap(f.path)
+          if (np != f.path) nData += 1
+          f.copy(path = np)
+        }).orNull
+        val nsf = Option(s.sourceFiles).map(_.map { p =>
+          val np = swap(p); if (np != p) nSrc += 1; np
+        }).orNull
+        val nd = Option(s.deletes).map(_.map { d =>
+          // location move counted off the ORIGINAL path so dry-run and
+          // real-run report identically (a content rewrite relocates the
+          // file into the table dir, where swap is a no-op)
+          if (swap(d.path) != d.path) nDelMoved += 1
+          val content = contentRewrites.getOrElse(d.path, d)
+          content.copy(path = swap(content.path))
+        }).orNull
+        val contentTouched = s.deletes != null &&
+          s.deletes.exists(d => contentRewrites.contains(d.path))
+        val changed = contentTouched ||
+          (nf != null && nf != s.files) || (nsf != null && nsf != s.sourceFiles) ||
+            (nd != null && nd != s.deletes)
+        if (!changed) s
+        else {
+          touched += 1
+          s.copy(files = nf, sourceFiles = nsf, deletes = nd,
+            manifests = null, sourceSegments = null, manifestList = null)
+        }
+      }
+      counts = Map(
+        "data_paths" -> nData, "source_paths" -> nSrc,
+        "delete_files_moved" -> nDelMoved,
+        "delete_contents_rewritten" -> contentRewrites.size.toLong,
+        "snapshots_touched" -> touched)
+      if (touched == 0) m else m.copy(snapshots = newSnaps)
+    }
+    if (dryRun) { applyTo(meta); counts }
+    else {
+      commit(ident, applyTo, basedOn = Some(meta.currentSnapshotId))
+      counts
+    }
+  }
+
   /** Validated canonical `(file_path, pos)` keys for a position-delete
     * write: spellings re-qualify to the `_metadata.file_path` identity,
     * junk input (paths naming no live file) is refused loudly.

@@ -108,6 +108,24 @@ object Procedures {
           StructField("detail", StringType), StructField("error", StringType))),
           reports.map(r => Seq(r.job, r.detail, r.error.orNull)))
       }),
+    Spec("rewrite_table_path",
+      "Re-root data/source/delete paths from source_prefix to " +
+        "target_prefix across all snapshots (metadata + position-delete " +
+        "contents; copying the bytes is the caller's job)",
+      Seq(("table", StringType, None), ("source_prefix", StringType, None),
+        ("target_prefix", StringType, None),
+        ("dry_run", BooleanType, Some("false"))),
+      (cat, args) => {
+        val r = cat.rewriteTablePath(str(args(0)), str(args(1)), str(args(2)),
+          dryRun = args(3).asInstanceOf[Boolean])
+        one("data_paths" -> LongType, "source_paths" -> LongType,
+          "delete_files_moved" -> LongType,
+          "delete_contents_rewritten" -> LongType,
+          "snapshots_touched" -> LongType, "dry_run" -> BooleanType)(
+          r("data_paths"), r("source_paths"), r("delete_files_moved"),
+          r("delete_contents_rewritten"), r("snapshots_touched"),
+          args(3).asInstanceOf[Boolean])
+      }),
     Spec("add_files",
       "Register existing parquet (a file or a directory walked for " +
         "*.parquet) into the table by reference — metadata-only, no copy, " +

@@ -121,6 +121,38 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.getInt(1) == 2, "no duplicate files registered")
   }
 
+  test("rewrite_table_path relocates external data pointers via CALL") {
+    import spark.implicits._
+    setup()
+    cat.createTable("p.move", Seq((1L, "a")).toDF("id", "v").schema)
+    val src = Files.createTempDirectory("proc-move-src")
+    val tgt = Files.createTempDirectory("proc-move-tgt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(src.resolve("b").toString)
+    spark.sql(
+      s"CALL graft.system.add_files(table => 'p.move', source => '${src.resolve("b")}')")
+    // dry run reports, commits nothing
+    val dry = spark.sql(
+      s"""CALL graft.system.rewrite_table_path(table => 'p.move',
+         | source_prefix => '$src', target_prefix => '$tgt',
+         | dry_run => true)""".stripMargin).collect()(0)
+    assert(dry.getLong(0) >= 1 && dry.getBoolean(5), s"$dry")
+    // copy bytes, then relocate for real; reads serve from the new prefix
+    import scala.jdk.CollectionConverters._
+    Files.walk(src).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      val dest = tgt.resolve(src.relativize(f))
+      Files.createDirectories(dest.getParent); Files.copy(f, dest)
+    }
+    val r = spark.sql(
+      s"""CALL graft.system.rewrite_table_path(table => 'p.move',
+         | source_prefix => '$src', target_prefix => '$tgt')""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == dry.getLong(0) && r.getLong(4) >= 1, s"$r")
+    Files.walk(src).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    assert(spark.sql("SELECT id FROM graft.p.move ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+  }
+
   test("unknown procedure fails with a clear error") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.frobnicate('p.t')").collect()

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IceCatalog
+
+/** Table relocation via rewrite_table_path: data pointers (and
+  * position-delete contents) re-root from one prefix to another in one
+  * commit, across the whole snapshot history — the native form of the
+  * reference's documented table-copy migration (docs/rewrite-table-path.md).
+  */
+class RewriteTablePathSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-rewrite-path", cpus = 4)
+  lazy val root: String = Files.createTempDirectory("rtpcat").toString
+  lazy val cat = new IceCatalog(spark, root)
+  lazy val srcDir: Path = Files.createTempDirectory("rtp-src")
+  lazy val tgtDir: Path = Files.createTempDirectory("rtp-tgt")
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def copyTree(from: Path, to: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(from).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      val dest = to.resolve(from.relativize(f))
+      Files.createDirectories(dest.getParent)
+      Files.copy(f, dest)
+    }
+  }
+
+  test("relocates data, history and position-delete masks to the new prefix") {
+    import spark.implicits._
+    // externally-written parquet registered no-copy: the shape where data
+    // lives OUTSIDE the table dir and a later storage migration moves it
+    (1L to 6L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2).write.parquet(srcDir.resolve("batch1").toString)
+    val files = Files.walk(srcDir).iterator()
+    import scala.jdk.CollectionConverters._
+    val parquets = Files.walk(srcDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+    cat.createTable("rtp.t", (1L to 1L).map(i => (i, "x")).toDF("k", "v").schema)
+    cat.addFilesWithRetry("rtp.t", parquets, forceOutsideLocation = true)
+    val snap1 = cat.loadMeta("rtp.t").currentSnapshotId
+
+    // a position-delete mask naming rows of the external files (contents
+    // carry the canonical spelling of the OLD prefix)
+    val victim = cat.scan("rtp.t").select(
+      col("_metadata.file_path").as("file_path"),
+      col("_metadata.row_index").as("pos"), col("k"))
+      .filter(col("k") === 2L).drop("k")
+    cat.deletePositions("rtp.t", victim)
+    assert(cat.scan("rtp.t").count() == 5, "mask applies before the move")
+
+    // dry run: reports the plan, commits nothing
+    val metaBefore = cat.loadMeta("rtp.t")
+    val dry = cat.rewriteTablePath("rtp.t", srcDir.toString, tgtDir.toString,
+      dryRun = true)
+    assert(dry("data_paths") >= 2 && dry("snapshots_touched") >= 2, s"$dry")
+    assert(dry("delete_contents_rewritten") == 1, s"$dry")
+    assert(cat.loadMeta("rtp.t").currentSnapshotId == metaBefore.currentSnapshotId)
+    // manifests may store URI spellings — compare on the path suffix
+    assert(cat.loadMeta("rtp.t").current.get.files.forall(
+      _.path.contains(srcDir.getFileName.toString)), "dry run must not rewrite")
+
+    // copy the bytes (the caller's half of the contract), then commit
+    copyTree(srcDir, tgtDir)
+    val r = cat.rewriteTablePath("rtp.t", srcDir.toString, tgtDir.toString)
+    assert(r("data_paths") == dry("data_paths"), s"real=$r dry=$dry")
+    assert(r("delete_files_moved") == dry("delete_files_moved"))
+    assert(r("delete_contents_rewritten") == 1)
+
+    // the old prefix can disappear: every pointer now serves from target
+    Files.walk(srcDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val meta = cat.loadMeta("rtp.t")
+    assert(meta.current.get.files.forall(f =>
+      f.path.contains(tgtDir.getFileName.toString) &&
+        !f.path.contains(srcDir.getFileName.toString)),
+      meta.current.get.files.map(_.path).mkString(","))
+    val out = cat.scan("rtp.t").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq(1L, 3L, 4L, 5L, 6L),
+      s"mask must survive the move: $out")
+
+    // history relocated too: time travel to the pre-delete snapshot
+    val travel = cat.scan("rtp.t", asOfSnapshot = Some(snap1)).count()
+    assert(travel == 6, s"time travel after relocation: $travel rows")
+
+    // no-op rerun publishes nothing (commit's identity contract)
+    val v = cat.loadMeta("rtp.t").currentSnapshotId
+    val again = cat.rewriteTablePath("rtp.t", srcDir.toString, tgtDir.toString)
+    assert(again("snapshots_touched") == 0)
+    assert(cat.loadMeta("rtp.t").currentSnapshotId == v)
+  }
+}
