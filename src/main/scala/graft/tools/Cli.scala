@@ -32,7 +32,8 @@ import graft.catalog.IceCatalog._
   *   create-table <ns.t> --schema "id BIGINT, v STRING"
   *                [--partition col:transform[:name]]... [--sort col[:desc]]...
   *   insert <ns.t> <parquet-path>... [--no-copy] [--force-outside-location]
-  *                [--skip-duplicates] [--commit-retries N]
+  *                [--skip-duplicates | --force-duplicates] [--no-commit]
+  *                [--commit-retries N]
   *                [--commit-retry-total-ms M]
   *                [--compression uncompressed|snappy|gzip|zstd|lz4]
   *                [--data-file-naming-strategy DEFAULT|PRESERVE_ORIGINAL]
@@ -248,6 +249,11 @@ object Cli {
           val naming = flags.getOrElse("data-file-naming-strategy", "DEFAULT")
           val opts = InsertOptions(
             skipDuplicates = flags.contains("skip-duplicates"),
+            // --force-duplicates: re-ingest a source file the table already
+            // references; --no-commit: stage data files, publish nothing
+            // (ice insert's preview mode, Insert.java:273,432)
+            forceDuplicates = flags.contains("force-duplicates"),
+            noCommit = flags.contains("no-commit"),
             compression = compression)
           val retries = flags.get("commit-retries").map(_.toInt).getOrElse(4)
           val retryTotalMs =
@@ -585,6 +591,7 @@ object Cli {
 
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val boolFlags = Set("no-copy", "force-outside-location", "skip-duplicates",
+      "force-duplicates", "no-commit",
       "dry-run", "allow-anonymous", "watch", "watch-fire-once", "merge-on-read",
       "branch", "json")
     var flags = Map.empty[String, String]

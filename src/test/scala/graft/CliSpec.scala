@@ -294,6 +294,27 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cli("count", "ns.keep") == (0, Seq("2")), "refused batch must change nothing")
   }
 
+  test("insert --no-commit stages nothing visible; duplicate flags gate re-ingest") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.dup", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val staging = Files.createTempDirectory("cli-dup")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("in").toString)
+    val in = staging.resolve("in").toString
+    // --no-commit: preview mode — nothing published
+    assert(cli("insert", "ns.dup", in, "--no-commit")._1 == 0)
+    assert(cli("count", "ns.dup") == (0, Seq("0")), "no-commit must publish nothing")
+    assert(cli("insert", "ns.dup", in)._1 == 0)
+    assert(cli("count", "ns.dup") == (0, Seq("2")))
+    // duplicate source: default refuses, skip keeps, force re-ingests
+    val (cDup, outDup) = cli("insert", "ns.dup", in)
+    assert(cDup == 1 && outDup.exists(_.contains("duplicate")), (cDup, outDup).toString)
+    assert(cli("insert", "ns.dup", in, "--skip-duplicates")._1 == 0)
+    assert(cli("count", "ns.dup") == (0, Seq("2")))
+    assert(cli("insert", "ns.dup", in, "--force-duplicates")._1 == 0)
+    assert(cli("count", "ns.dup") == (0, Seq("4")), "forced duplicate re-ingests rows")
+  }
+
   test("insert --retry-list isolates unreadable inputs and sets the exit code") {
     import spark.implicits._
     assert(cli("create-table", "ns.rt", "--schema", "id BIGINT, v STRING")._1 == 0)
