@@ -165,6 +165,23 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** Windowed distinct-user ESTIMATES via mergeable HLL states — the
+    * streaming twin of the e6 sketch rollup: exact streaming
+    * countDistinct would hold every user id as state, while the HLL
+    * aggregation buffer is constant-size per (window, type) group, so
+    * state stays O(groups) at any cardinality. The emitted sketch bytes
+    * are themselves mergeable downstream (union across windows/types
+    * without the raw stream).
+    */
+  def distinctUsersSketchStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("users_hll"))
+      .select(col("window"), col("event_type"),
+        hll_sketch_estimate(col("users_hll")).as("approx_users"),
+        col("users_hll"))
+
   /** Gap-based session windows per user (built-in session_window state
     * merging; watermark bounds state).
     */

@@ -171,6 +171,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-01 11:00:00", "view", 1L, 3.0)))
   }
 
+  test("streaming HLL sketch agg estimates distinct users with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val df = mem.toDF().toDF("ts", "event_type", "user_id")
+    val q = Streams.distinctUsersSketchStream(df)
+      .writeStream.format("memory").queryName("hllwin")
+      .outputMode("complete").start()
+    // 3 distinct users for click in hour 10 (one repeated), 1 for view in 11
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1L),
+      (Timestamp.valueOf("2024-01-01 10:15:00"), "click", 2L),
+      (Timestamp.valueOf("2024-01-01 10:25:00"), "click", 2L),
+      (Timestamp.valueOf("2024-01-01 10:35:00"), "click", 3L),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 7L))
+    q.processAllAvailable()
+    val rows = spark.table("hllwin")
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("approx_users"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "click", 3L),
+      ("2024-01-01 11:00:00", "view", 1L)), rows.toString)
+    // the emitted states stay mergeable downstream: union across the
+    // window dimension reproduces the all-hours distinct count
+    val merged = spark.table("hllwin")
+      .agg(hll_sketch_estimate(hll_union_agg(col("users_hll"))).as("u"))
+      .collect()(0).getLong(0)
+    q.stop()
+    assert(merged == 4L, s"3 click + 1 view users merged: $merged")
+  }
+
   test("custom-state sessionizer closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
