@@ -62,6 +62,7 @@ import graft.catalog.IceCatalog._
   *   delete-positions <ns.t> <keys.parquet>   (file_path, pos columns)
   *   delete-table <ns.t>
   *   maintain <ns.t>
+  *   rewrite-table-path <ns.t> <source-prefix> <target-prefix> [--dry-run]
   *   export [file]                 import <file>
   *   shell                         (interactive; tab completion, exit/quit)
   *   serve [--port N] [--token value[:ro]]... [--allow-anonymous]
@@ -462,6 +463,16 @@ object Cli {
           new Maintenance.Runner(cat, cfg.maintenance).runTable(ident).foreach(r =>
             out.println(s"${r.job}\t${r.detail}${r.error.fold("")(e => s"\tERROR $e")}"))
 
+        case Seq("rewrite-table-path", ident, srcPrefix, tgtPrefix) =>
+          // CLI twin of CALL graft.system.rewrite_table_path: relocate
+          // data/source/delete pointers after the bytes were copied
+          val r = cat.rewriteTablePath(ident, srcPrefix, tgtPrefix,
+            dryRun = flags.contains("dry-run"))
+          r.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            if (flags.contains("json")) jsonLine(out, k -> v)
+            else out.println(s"$k\t$v")
+          }
+
         case Seq("export") => out.println(cat.exportCatalog())
         case Seq("export", file) =>
           graft.catalog.LocalFileIO.writeString(
@@ -535,8 +546,8 @@ object Cli {
       "delete-table", "insert", "scan", "count", "files", "describe",
       "describe-metadata", "describe-parquet", "list-partitions",
       "list-snapshots", "list-refs", "tag", "untag", "changes", "delete",
-      "delete-positions", "set-property", "maintain", "export", "import",
-      "serve", "exit", "quit")
+      "delete-positions", "set-property", "maintain", "rewrite-table-path",
+      "export", "import", "serve", "exit", "quit")
     val inherited = Seq("config", "c", "root")
       .flatMap(k => outerFlags.get(k).toSeq.flatMap(v => Seq(s"--$k", v)))
     val parser = new org.jline.reader.impl.DefaultParser()

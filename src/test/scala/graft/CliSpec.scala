@@ -294,6 +294,29 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cli("count", "ns.keep") == (0, Seq("2")), "refused batch must change nothing")
   }
 
+  test("rewrite-table-path relocates no-copy data pointers from the CLI") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.mv", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val src = Files.createTempDirectory("cli-mv-src")
+    val tgt = Files.createTempDirectory("cli-mv-tgt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(src.resolve("b").toString)
+    assert(cli("insert", "ns.mv", s"${src.resolve("b")}/*.parquet",
+      "--no-copy", "--force-outside-location")._1 == 0)
+    val (cDry, outDry) = cli("rewrite-table-path", "ns.mv",
+      src.toString, tgt.toString, "--dry-run")
+    assert(cDry == 0 && outDry.exists(_.startsWith("data_paths\t")), outDry.toString)
+    assert(cli("count", "ns.mv") == (0, Seq("2")))
+    // copy bytes, relocate, drop the old prefix — reads keep serving
+    Files.walk(src).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      val dest = tgt.resolve(src.relativize(f))
+      Files.createDirectories(dest.getParent); Files.copy(f, dest)
+    }
+    assert(cli("rewrite-table-path", "ns.mv", src.toString, tgt.toString)._1 == 0)
+    Files.walk(src).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    assert(cli("count", "ns.mv") == (0, Seq("2")))
+  }
+
   test("insert --no-commit stages nothing visible; duplicate flags gate re-ingest") {
     import spark.implicits._
     assert(cli("create-table", "ns.dup", "--schema", "id BIGINT, v STRING")._1 == 0)
