@@ -212,7 +212,8 @@ object Queries {
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
     "m2_feature_stub" -> (Multimodal.featureQuery _),
     "m3_resize" -> (Multimodal.resizeQuery _),
-    "m4_frame_sample" -> (Multimodal.frameSample _)
+    "m4_frame_sample" -> (Multimodal.frameSample _),
+    "x10_topk_sketch" -> ((s: SparkSession, d: String) => Sketches.topkSketch(s, d))
   )
 
   private val m1Oracle: (String, String) = "m1_binary_meta" ->
@@ -440,6 +441,14 @@ object Queries {
          |u AS (SELECT unnest(list_distinct(t)) AS token FROM tok)
          |SELECT token, count(*) AS df FROM u
          |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
+    // x10's ItemsSketch is EXACT while tracked items >= live vocabulary
+    // (asserted by SketchesSpec), so the gate hash-checks it against the
+    // exact term-frequency top-k
+    "x10_topk_sketch" ->
+      s"""WITH $tokCte,
+         |c AS (SELECT unnest(t) AS token FROM tok)
+         |SELECT token, count(*) AS cnt FROM c
+         |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

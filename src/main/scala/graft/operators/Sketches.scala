@@ -51,6 +51,34 @@ object Sketches {
           .as("p95_value"))
       .orderBy(col("event_type"))
 
+  /** x10: heavy-hitter vocabulary via mergeable frequent-items states
+    * (Spark 4's approx_top_k_accumulate / _combine / _estimate — the
+    * DataSketches ItemsSketch): per-source partial states combine into a
+    * global top-k WITHOUT a corpus-wide (token) shuffle — at 100 TB each
+    * shard tracks a bounded sketch and only sketch bytes move. With
+    * `maxTracked` above the live vocabulary the sketch is exact (the
+    * ItemsSketch guarantee), which is what lets the gate hash-check this
+    * against the exact SQL oracle on the synthetic corpus; estimation
+    * kicks in only past capacity. Estimated at k+10 then re-cut to k by
+    * a deterministic (count desc, token asc) order so boundary ties
+    * cannot flap the output.
+    */
+  def topkSketch(spark: SparkSession, dir: String,
+      k: Int = 20, maxTracked: Int = 4096): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val states = toks.groupBy(col("source"))
+      .agg(expr(s"approx_top_k_accumulate(token, $maxTracked)").as("st"))
+    states
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(st, $maxTracked), " +
+        s"${k + 10})").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** e7: theta-sketch set algebra — per event type, the approximate user
     * overlap and difference vs the purchase cohort. Theta (unlike HLL)
     * supports intersection/difference on the STATES, so cohort overlap at

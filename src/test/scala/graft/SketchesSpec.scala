@@ -76,6 +76,22 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hllCols() == hllCols())
   }
 
+  test("x10 top-k sketch is exact under capacity and matches true counts") {
+    import graft.functions.TextFunctions
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val vocab = toks.select(col("token")).distinct().count()
+    assert(vocab < 4096,
+      s"exactness argument needs vocabulary ($vocab) under the tracked capacity")
+    val exactTop = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sketchTop = Sketches.topkSketch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sketchTop == exactTop,
+      s"under capacity the ItemsSketch is exact\n got=$sketchTop\n want=$exactTop")
+  }
+
   test("e7 theta set algebra is consistent and within 5% of exact") {
     val rows = Sketches.thetaOverlap(spark, dir).collect()
     assert(rows.nonEmpty)
