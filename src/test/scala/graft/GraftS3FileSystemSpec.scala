@@ -334,4 +334,55 @@ class GraftS3FileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fs.delete(P("grafts3://lake/fsx/b"), true))
     assert(!fs.exists(P("grafts3://lake/fsx/b")))
   }
+
+  test("rewrite_table_path relocates a store-backed table across prefixes") {
+    // the full bucket-migration recipe on the wire: no-copy register under
+    // zoneA, server-side copy the objects to zoneB, re-root the pointers,
+    // drop zoneA — reads (and a position-delete mask) keep serving
+    import org.apache.spark.sql.functions.col
+    val cat = new graft.catalog.IceCatalog(spark,
+      java.nio.file.Files.createTempDirectory("s3fs-rtp").toString)
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    nation.repartition(2).write.mode("overwrite")
+      .parquet("grafts3://lake/zoneA/nation")
+    val fs = new org.apache.hadoop.fs.Path("grafts3://lake/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val uris = fs.listStatus(
+      new org.apache.hadoop.fs.Path("grafts3://lake/zoneA/nation"))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+    cat.createNamespace("mv")
+    cat.createTable("mv.n", nation.schema)
+    cat.addFiles("mv.n", uris, forceOutsideLocation = true)
+    // a position-delete mask whose contents name zoneA paths
+    val victim = cat.scan("mv.n").select(
+      col("_metadata.file_path").as("file_path"),
+      col("_metadata.row_index").as("pos"), col("n_nationkey"))
+      .filter(col("n_nationkey") === 7).drop("n_nationkey")
+    cat.deletePositions("mv.n", victim)
+    assert(cat.scan("mv.n").count() == nation.count() - 1)
+    // server-side copy zoneA -> zoneB (CopyObject per key, no bytes local)
+    uris.foreach { u =>
+      val src = new org.apache.hadoop.fs.Path(u)
+      val dst = new org.apache.hadoop.fs.Path(
+        u.replace("/zoneA/", "/zoneB/"))
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    val r = cat.rewriteTablePath("mv.n",
+      "grafts3://lake/zoneA", "grafts3://lake/zoneB")
+    // counts are path ENTRIES across the whole history: 2 files in each
+    // of the register + delete snapshots
+    assert(r("data_paths") == 4 && r("snapshots_touched") == 2 &&
+      r("delete_contents_rewritten") == 1, s"$r")
+    // zoneA disappears; everything still serves over the wire from zoneB
+    assert(fs.delete(new org.apache.hadoop.fs.Path("grafts3://lake/zoneA"), true))
+    val meta = cat.loadMeta("mv.n")
+    assert(meta.current.get.files.forall(_.path.contains("/zoneB/")),
+      meta.current.get.files.map(_.path).mkString(","))
+    val out = cat.scan("mv.n")
+    assert(out.count() == nation.count() - 1, "mask survives the move")
+    assert(out.where(col("n_nationkey") === 7).count() == 0)
+    assert(server.authFailures.get() == 0)
+  }
 }
