@@ -206,6 +206,7 @@ object Queries {
     "r1_sample" -> (Sampling.stratifiedSample _),
     "r2_pack" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "r3_chunk" -> ((s: SparkSession, d: String) => Sampling.chunkDocuments(s, d)),
+    "r4_cap_per_source" -> ((s: SparkSession, d: String) => Sampling.capPerSource(s, d)),
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
     "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
     "d12_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
@@ -585,6 +586,13 @@ object Queries {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  < (CASE WHEN source = 'src0' THEN '8' ELSE '4' END)
         |ORDER BY doc_id""".stripMargin,
+    "r4_cap_per_source" ->
+      """SELECT doc_id, source, rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 100 ORDER BY doc_id""".stripMargin,
     "r3_chunk" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
         |  FROM documents),

@@ -48,6 +48,35 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** r4: per-source cap — keep at most `cap` documents per source, chosen
+    * by the portable md5 order (the balanced-mixture guard of corpus
+    * curation: no source may dominate the training mix). Selection is a
+    * per-group top-N, which naively needs a per-source total order — a
+    * skew cliff when one source holds most of a 100 TB corpus. Because the
+    * order key is a UNIFORM hash, the winners provably live in the
+    * ~cap/n prefix of digest space, so a broadcast of per-source counts
+    * (#sources rows, a true dim) prefilters each group to ~4·cap rows
+    * (missing a winner is ~e^-cap improbable) and the exact rank window
+    * runs on that bounded remainder — per-reducer work O(cap), not
+    * O(group).
+    */
+  def capPerSource(spark: SparkSession, dir: String, cap: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("d"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val prefix32 = conv(substring(col("d"), 1, 8), 16, 10).cast("long")
+    val survivors = docs.join(broadcast(counts), Seq("source"))
+      .filter(col("n") <= cap ||
+        prefix32.cast("double") < lit(4.0 * cap * 4294967296.0) / col("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("d"), col("doc_id"))
+    survivors
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+      .select(col("doc_id"), col("source"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** r3: RAG-style chunking — overlapping token windows (`chunkTokens` wide,
     * advancing by `chunkTokens - overlap`) per document, each witnessed by a
     * fingerprint of its re-joined text. Pure map + explode: chunk count and

@@ -258,6 +258,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("r4 per-source cap keeps exactly the md5-order winners") {
+    import org.apache.spark.sql.functions._
+    val out = Sampling.capPerSource(spark, dir, cap = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySource = out.groupBy(_._2)
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (_, rs) =>
+      assert(rs.length <= 3 && rs.map(_._3).sorted.toSeq == (1 to rs.length))
+    }
+    // the prefiltered two-phase selection must equal the brute-force
+    // per-group top-3 in portable md5 order
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._3, r._1)).take(3).toSeq
+    }.map(r => (r._1, r._2)).toSet
+    assert(out.map(r => (r._1, r._2)).toSet == want)
+  }
+
   test("r3 chunking tiles every document with the declared overlap") {
     val chunks = Sampling.chunkDocuments(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))

@@ -212,6 +212,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d12 island pass shuffles once on doc_id; fp join carries no hint") {
+    val q = Queries.all("d12_dup_spans")(spark, dir).queryExecution
+    val hints = q.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "d12 must not pin a broadcast hint")
+    val p = plan("d12_dup_spans")
+    // every window function runs in the same doc_id partitioning: exactly
+    // one hashpartitioning exchange on doc_id feeds both island windows
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
+      "island windows must partition by doc_id")
+  }
+
+  test("sketch rollups aggregate partial+final with bounded state") {
+    // sketch aggregates are object aggregates: partial sketches build
+    // map-side and MERGE across the exchange — never raw rows
+    for (name <- Seq("e6_sketch_rollup", "e7_theta_overlap", "x10_topk_sketch")) {
+      val p = plan(name)
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"$name: sketch agg must plan partial+final ObjectHashAggregate")
+    }
+  }
+
   test("whole-stage codegen covers the custom kernels") {
     // executedPlan marks codegen stages with "*(n)" — but only once AQE
     // has finalized the plan, so execute first
