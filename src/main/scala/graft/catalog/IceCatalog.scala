@@ -188,7 +188,12 @@ object IceCatalog {
       evolveSchema: Boolean = false,
       // parquet codec for the written data files (`ice insert
       // --compression`, Main.java:541): None = session default
-      compression: Option[String] = None)
+      compression: Option[String] = None,
+      // `ice insert --assume-sorted` (Main.java:520-522): trust the input's
+      // existing arrangement — skip the partition shuffle AND the
+      // in-partition sort. On pre-arranged bulk loads this removes the
+      // whole exchange; checkSorted audits the claim after the fact
+      assumeSorted: Boolean = false)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
@@ -1282,7 +1287,7 @@ class IceCatalog(
         s"duplicate source files (use skipDuplicates or forceDuplicates): ${dupes.take(3)}")
 
     val files = writeArranged(ident, toInsert, meta,
-      compression = options.compression)
+      compression = options.compression, assumeSorted = options.assumeSorted)
     if (options.noCommit) return meta
     timed("insert.commit")(
       commitSnap(ident)(_ => SnapDelta("append", add = files, addSources = incoming)))
@@ -1308,7 +1313,8 @@ class IceCatalog(
       df: DataFrame,
       meta: TableMeta,
       coalesceTo: Option[Int] = None,
-      compression: Option[String] = None): Seq[DataFileMeta] = {
+      compression: Option[String] = None,
+      assumeSorted: Boolean = false): Seq[DataFileMeta] = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = tableDir(ident).resolve("data").resolve(commitId)
     val dirNames = meta.partitionSpec.map(partDirName)
@@ -1334,7 +1340,11 @@ class IceCatalog(
       }
     }
     val arranged =
-      if (dirNames.nonEmpty) {
+      if (assumeSorted)
+        // caller vouches for the arrangement: no exchange, no sort —
+        // partitionBy below still routes rows to one-value-per-file dirs
+        coalesceTo.map(withParts.coalesce).getOrElse(withParts)
+      else if (dirNames.nonEmpty) {
         val re = coalesceTo match {
           case Some(n) => withParts.repartition(n, dirNames.map(col): _*)
           // Range-partition on (partition dirs, sort keys): parallelism is
@@ -2561,8 +2571,14 @@ class IceCatalog(
     require(meta.sortOrder.nonEmpty, s"table $ident has no sort order")
     val cur = meta.current.getOrElse(return 0L)
     import org.apache.spark.sql.expressions.Window
+    // natural order must come from the SCAN (`_metadata.row_index`, the
+    // row's real position in its file) — an inline
+    // monotonically_increasing_id() in the window's own orderBy evaluates
+    // AFTER the window exchange has already sorted the rows, making the
+    // check vacuously pass on unsorted files
     val df = readFiles(meta, cur.files)
-      .withColumn("__file", input_file_name())
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__seq", col("_metadata.row_index"))
     val orderCols = meta.sortOrder.map { s =>
       val c = col(s.column)
       (s.desc, s.nullsFirst) match {
@@ -2574,9 +2590,11 @@ class IceCatalog(
     }
     // A file is sorted iff its row sequence equals the sorted sequence;
     // compare each row's sort key with the lag under the declared order.
-    val w = Window.partitionBy(col("__file")).orderBy(orderCols: _*)
-    val natural = Window.partitionBy(col("__file"))
-      .orderBy(monotonically_increasing_id())
+    // __seq tie-break: rows with equal sort keys rank in file order, so a
+    // correctly sorted file can never flag spuriously on duplicates
+    val w = Window.partitionBy(col("__file"))
+      .orderBy(orderCols :+ col("__seq").asc: _*)
+    val natural = Window.partitionBy(col("__file")).orderBy(col("__seq"))
     val keyed = df.withColumn("__rank", row_number().over(w))
       .withColumn("__pos", row_number().over(natural))
     keyed.filter(col("__rank") =!= col("__pos")).count()

@@ -33,7 +33,7 @@ import graft.catalog.IceCatalog._
   *                [--partition col:transform[:name]]... [--sort col[:desc]]...
   *   insert <ns.t> <parquet-path>... [--no-copy] [--force-outside-location]
   *                [--skip-duplicates | --force-duplicates] [--no-commit]
-  *                [--commit-retries N]
+  *                [--assume-sorted] [--commit-retries N]
   *                [--commit-retry-total-ms M]
   *                [--compression uncompressed|snappy|gzip|zstd|lz4]
   *                [--data-file-naming-strategy DEFAULT|PRESERVE_ORIGINAL]
@@ -255,7 +255,8 @@ object Cli {
             // (ice insert's preview mode, Insert.java:273,432)
             forceDuplicates = flags.contains("force-duplicates"),
             noCommit = flags.contains("no-commit"),
-            compression = compression)
+            compression = compression,
+            assumeSorted = flags.contains("assume-sorted"))
           val retries = flags.get("commit-retries").map(_.toInt).getOrElse(4)
           val retryTotalMs =
             flags.get("commit-retry-total-ms").map(_.toLong).getOrElse(60000L)
@@ -602,7 +603,7 @@ object Cli {
 
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val boolFlags = Set("no-copy", "force-outside-location", "skip-duplicates",
-      "force-duplicates", "no-commit",
+      "force-duplicates", "no-commit", "assume-sorted",
       "dry-run", "allow-anonymous", "watch", "watch-fire-once", "merge-on-read",
       "branch", "json")
     var flags = Map.empty[String, String]

@@ -110,6 +110,26 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.checkSorted("ns1.li") == 0L)
   }
 
+  test("assume-sorted insert skips the arrange; checkSorted audits the claim") {
+    import spark.implicits._
+    val schema = Seq((1L, "x")).toDF("k", "v").schema
+    cat.createTable("ns1.asrt", schema,
+      sortOrder = Seq(IceCatalog.SortField("k")))
+    // honest claim: pre-sorted single-partition input stays sorted
+    val sorted = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+    cat.insert("ns1.asrt", sorted, IceCatalog.InsertOptions(assumeSorted = true))
+    assert(cat.checkSorted("ns1.asrt") == 0L)
+    // false claim: unsorted input lands UNSORTED (proving the sort really
+    // was skipped) and the audit reports the violations
+    val shuffled = (1L to 50L).map(i => ((i * 17) % 53, s"u$i")).toDF("k", "v")
+      .coalesce(1)
+    cat.insert("ns1.asrt", shuffled,
+      IceCatalog.InsertOptions(assumeSorted = true, forceDuplicates = true))
+    assert(cat.checkSorted("ns1.asrt") > 0L,
+      "skipped sort must be visible to the audit")
+    cat.dropTable("ns1.asrt")
+  }
+
   test("compaction rewrites into fewer files, same rows") {
     val rowsBefore = cat.scan("ns1.li").count()
     val filesBefore = cat.files("ns1.li").size
