@@ -208,6 +208,7 @@ object Queries {
     "r3_chunk" -> ((s: SparkSession, d: String) => Sampling.chunkDocuments(s, d)),
     "r4_cap_per_source" -> ((s: SparkSession, d: String) => Sampling.capPerSource(s, d)),
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
+    "x11_unigram_logprob" -> (TextAnalysis.unigramLogprobQuery _),
     "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
     "d12_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
@@ -609,6 +610,17 @@ object Queries {
         |   list_slice(t, i * 48 + 1, i * 48 + least(64, n - i * 48)), ' ')),
         |   1, 16) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "x11_unigram_logprob" ->
+      s"""WITH $tokCte,
+         |tk AS (SELECT doc_id, unnest(t) AS token FROM tok),
+         |c AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+         |n AS (SELECT sum(c) AS n_total FROM c)
+         |SELECT doc_id,
+         | count(*) AS n_tokens,
+         | round(avg(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))), 4)
+         |   AS avg_logprob
+         |FROM tk JOIN c USING (token) CROSS JOIN n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x9_classifier" -> {
       // token weight = (first md5 byte - 127.5) / 127.5 — same hex-pair ->
       // byte replay as m2's decoder stub

@@ -176,6 +176,34 @@ object TextAnalysis {
         fingerprint(substring(col("text"), 1, 64)).as("fp_head"))
       .orderBy(col("doc_id"))
 
+  /** x11: unigram log-probability scoring — the perplexity-filter shape of
+    * CCNet/CC-style curation with the language model reduced to the
+    * corpus's own unigram distribution (exact, so the whole path replays
+    * in SQL; a trained KenLM swaps in behind the same plan). Per doc:
+    * mean over tokens of ln(count(token)/N) — low scores mark
+    * out-of-distribution/gibberish documents.
+    *
+    * Scale shape: one partial-aggregated shuffle builds the
+    * vocabulary-count table, the corpus total N is a one-row aggregate
+    * broadcast as a literal-free cross join, and the scoring join is a
+    * token-keyed equi-join (vocabulary-sized build side — no pinned
+    * broadcast, AQE decides) followed by a doc_id rollup.
+    */
+  def unigramLogprobQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    toks.join(counts, Seq("token"))
+      .crossJoin(total)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") /
+          col("n_total").cast("double"))), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x9: hashed-feature linear classifier scoring — the fastText-style
     * quality-classifier shape (bag of hashed token features · weight
     * vector → sigmoid) used to filter web corpora (e.g. GPT-3/CCNet-style

@@ -317,6 +317,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x11 unigram logprob scores are negative, bounded by the rarest token") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.unigramLogprobQuery(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every unigram prob is in (0, 1], so the mean log must be <= 0 and
+    // bounded below by ln(1/N) for the corpus token total N
+    val n = graft.sources.Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .count()
+    val floor = math.log(1.0 / n) - 1e-9
+    rows.foreach { r =>
+      val (nt, lp) = (r.getLong(1), r.getDouble(2))
+      assert(nt >= 1 && lp <= 0.0 && lp >= floor, s"$r (floor=$floor)")
+    }
+  }
+
   test("m3 resize fits the 64-box preserving aspect ratio") {
     val rows = Multimodal.resizeQuery(spark, dir).collect()
     assert(rows.nonEmpty)
