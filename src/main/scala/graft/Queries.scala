@@ -207,6 +207,7 @@ object Queries {
     "r2_pack" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "r3_chunk" -> ((s: SparkSession, d: String) => Sampling.chunkDocuments(s, d)),
     "r4_cap_per_source" -> ((s: SparkSession, d: String) => Sampling.capPerSource(s, d)),
+    "r5_mix_sources" -> ((s: SparkSession, d: String) => Sampling.mixSources(s, d)),
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
     "x11_unigram_logprob" -> (TextAnalysis.unigramLogprobQuery _),
     "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
@@ -587,6 +588,20 @@ object Queries {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  < (CASE WHEN source = 'src0' THEN '8' ELSE '4' END)
         |ORDER BY doc_id""".stripMargin,
+    "r5_mix_sources" -> {
+      def nib(pos: Int) = s"(strpos('0123456789abcdef', substr(h, $pos, 1)) - 1)"
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CASE WHEN source = 'src0' THEN 2 ELSE 1 END AS w FROM documents),
+         |r AS (SELECT doc_id, source, unnest(range(1, w + 1)) AS replica FROM d),
+         |h AS (SELECT doc_id, source, CAST(replica AS INT) AS replica,
+         |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(replica AS VARCHAR)) AS h
+         |  FROM r),
+         |b AS (SELECT *, CAST(${nib(1)} * 16 + ${nib(2)} AS INT) AS bucket FROM h)
+         |SELECT doc_id, source, replica, bucket,
+         | CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS INT)
+         |   AS pos
+         |FROM b ORDER BY doc_id, replica""".stripMargin
+    },
     "r4_cap_per_source" ->
       """SELECT doc_id, source, rank FROM (
         |  SELECT doc_id, source,

@@ -77,6 +77,38 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** r5: weighted source mixing — the "3 parts web, 1 part code" dataset
+    * recipe: integer up-sampling weights repeat each document w times, and
+    * every (doc, replica) gets a deterministic position in a training
+    * order that is the concatenation of 256 hash buckets. Positions are
+    * pure functions of content (portable md5), so the mix is reproducible
+    * across engines and cluster sizes — and because ordering is per
+    * BUCKET, rank windows parallelize 256-wide instead of serializing on
+    * one global total order (the scale trap of a naive global shuffle
+    * order).
+    */
+  def mixSources(spark: SparkSession, dir: String,
+      weights: Map[String, Int] = Map("src0" -> 2),
+      defaultWeight: Int = 1): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, v)) =>
+      when(col("source") === s, lit(v)).otherwise(acc)
+    }
+    val h = md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("replica").cast("string")))
+    val bucket = conv(substring(col("h"), 1, 2), 16, 10).cast("int")
+    val order = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), w.as("w"))
+      .withColumn("replica", explode(sequence(lit(1), col("w"))))
+      .withColumn("h", h)
+      .withColumn("bucket", bucket)
+      .withColumn("pos", row_number().over(order))
+      .select(col("doc_id"), col("source"), col("replica"),
+        col("bucket"), col("pos"))
+      .orderBy(col("doc_id"), col("replica"))
+  }
+
   /** r3: RAG-style chunking — overlapping token windows (`chunkTokens` wide,
     * advancing by `chunkTokens - overlap`) per document, each witnessed by a
     * fingerprint of its re-joined text. Pure map + explode: chunk count and

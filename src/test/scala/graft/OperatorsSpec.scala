@@ -317,6 +317,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("r5 source mixing: weights replicate, bucket positions tile contiguously") {
+    val rows = Sampling.mixSources(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // integer weights: src0 docs appear exactly twice, everything else once
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((_, src), rs) =>
+      val want = if (src == "src0") 2 else 1
+      assert(rs.length == want && rs.map(_._3).sorted.toSeq == (1 to want))
+    }
+    // per bucket, positions are a contiguous 1..n ranking (a valid
+    // concatenation order with no gaps or collisions)
+    rows.groupBy(_._4).foreach { case (_, rs) =>
+      assert(rs.map(_._5).sorted.toSeq == (1 to rs.length))
+    }
+    val again = Sampling.mixSources(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows.toSeq == again.toSeq, "mix order must be reproducible")
+  }
+
   test("x11 unigram logprob scores are negative, bounded by the rarest token") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.unigramLogprobQuery(spark, dir).collect()
