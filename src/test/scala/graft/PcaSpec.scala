@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Linear-algebra contracts for the s10 PCA projection — the rows-only
+  * gate query's oracle replacement (distributed float-sum order and the
+  * eigensolver make exact bits non-portable).
+  */
+class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.01"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-pca", cpus = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val comps = Similarity.pcaComponents(spark, dir, p = 8)
+
+  test("components form an orthonormal basis with canonical signs") {
+    for (a <- comps.indices; b <- comps.indices) {
+      val d = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-8, s"<w$a, w$b> = $d")
+    }
+    comps.foreach { w =>
+      val pivot = w.indices.maxBy(d => math.abs(w(d)))
+      assert(w(pivot) > 0, "canonical sign: largest-|coeff| entry positive")
+    }
+  }
+
+  test("captured variance is descending and beats any raw dimension") {
+    val out = Similarity.pcaProject(spark, dir, p = 8)
+    val vars = (0 until 8).map { j =>
+      out.agg(var_pop(col(s"pc_$j"))).collect()(0).getDouble(0)
+    }
+    vars.zip(vars.tail).foreach { case (a, b) =>
+      assert(a >= b - 1e-6, s"variance must descend: $vars")
+    }
+    // pc_0 captures at least as much variance as the most-variant raw dim
+    val rawMax = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(var_pop(col("x")).as("v"))
+      .agg(max(col("v"))).collect()(0).getDouble(0)
+    assert(vars.head >= rawMax - 1e-6, s"pc0 ${vars.head} vs raw max $rawMax")
+  }
+
+  test("projection equals X·W for sampled vectors") {
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).limit(5)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val out = Similarity.pcaProject(spark, dir, p = 8)
+      .filter(col("vec_id") < 5).collect()
+    out.foreach { r =>
+      val x = rows(r.getLong(0))
+      (0 until 8).foreach { j =>
+        val want = x.zip(comps(j)).map { case (a, b) => a * b }.sum
+        assert(math.abs(r.getDouble(j + 1) - math.rint(want * 1e4) / 1e4) <= 1e-4,
+          s"vec ${r.getLong(0)} pc_$j: ${r.getDouble(j + 1)} vs $want")
+      }
+    }
+  }
+}
