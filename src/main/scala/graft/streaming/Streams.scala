@@ -182,6 +182,22 @@ object Streams {
         hll_sketch_estimate(col("users_hll")).as("approx_users"),
         col("users_hll"))
 
+  /** Windowed trending-token top-k via mergeable frequent-items states —
+    * the streaming twin of the x10 heavy-hitter sketch: per-window state
+    * is one bounded ItemsSketch buffer (never a token histogram), and the
+    * emitted per-window states remain combinable downstream into
+    * coarser-grained trend reports without replaying the stream.
+    */
+  def trendingTokensStream(docs: DataFrame, k: Int = 5): DataFrame =
+    docs
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("approx_top_k_accumulate(token, 1024)").as("st"))
+      .select(col("window"),
+        expr(s"approx_top_k_estimate(st, $k)").as("top"), col("st"))
+
   /** Gap-based session windows per user (built-in session_window state
     * merging; watermark bounds state).
     */

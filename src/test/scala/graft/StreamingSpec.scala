@@ -203,6 +203,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == 4L, s"3 click + 1 view users merged: $merged")
   }
 
+  test("streaming trending tokens: per-window top-k from bounded sketch state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = Streams.trendingTokensStream(df, k = 2)
+      .writeStream.format("memory").queryName("trend")
+      .outputMode("complete").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "spark spark spark scan scan agg"),
+      (Timestamp.valueOf("2024-01-01 10:25:00"), "spark scan window"),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "merge merge join"))
+    q.processAllAvailable()
+    val rows = spark.table("trend")
+      .select(col("window.start").cast("string"),
+        expr("transform(top, e -> e.item)").as("items"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    q.stop()
+    // hour 10: spark x4 and scan x3 dominate; hour 11: merge x2, join x1
+    assert(rows("2024-01-01 10:00:00") == List("spark", "scan"), rows.toString)
+    assert(rows("2024-01-01 11:00:00") == List("merge", "join"), rows.toString)
+  }
+
   test("custom-state sessionizer closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
