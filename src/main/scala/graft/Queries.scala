@@ -652,7 +652,7 @@ object Queries {
          |  list_sum(list_transform(t, x -> $w)) / CAST(len(t) AS DOUBLE) AS score
          | FROM tok WHERE len(t) >= 1)
          |SELECT doc_id,
-         | round(score, 4) AS lin_score,
+         | round(score, 4) + 0.0 AS lin_score,
          | round(1.0 / (1.0 + exp(score * -4)), 4) AS keep_prob,
          | score > 0 AS keep
          |FROM s ORDER BY doc_id""".stripMargin

@@ -229,7 +229,9 @@ object TextAnalysis {
           size(col("_ts")).cast("double")).as("_score"))
       .select(
         col("doc_id"),
-        round(col("_score"), 4).as("lin_score"),
+        // +0.0: signed-zero normalization (a tiny negative score rounds
+        // to -0.0 in one engine and 0.0 in the other)
+        (round(col("_score"), 4) + lit(0.0)).as("lin_score"),
         round(lit(1.0) / (lit(1.0) + exp(col("_score") * -4)), 4).as("keep_prob"),
         (col("_score") > 0).as("keep"))
       .orderBy(col("doc_id"))
