@@ -143,8 +143,12 @@ private[catalog] class GraftSnapshotTable(
     */
   private[catalog] def runPositionDelete(
       cond: org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
-    val posDf = positionsMatching(cond)
-    if (!posDf.isEmpty) ice.deletePositions(ident, posDf): Unit
+    // persist: the merged-view filter otherwise re-runs for the emptiness
+    // probe AND the delete-file write — 2x the scan on a large table
+    val posDf = positionsMatching(cond).persist()
+    try {
+      if (!posDf.isEmpty) ice.deletePositions(ident, posDf): Unit
+    } finally posDf.unpersist()
   }
 
   /** SQL position-delete UPDATE: matched rows are masked by position and
@@ -168,7 +172,9 @@ private[catalog] class GraftSnapshotTable(
             else a.name
           ColumnBridge.expression(df(name))
       })
-    val matched = cond.map(c => df.filter(bind(c))).getOrElse(df)
+    // persist: the matched view feeds the emptiness probe, the delete
+    // file AND the replacement rows — three jobs over the same filter
+    val matched = cond.map(c => df.filter(bind(c))).getOrElse(df).persist()
     val posDf = matched.select(
       col(IceCatalog.PosFileCol).as("file_path"),
       col(IceCatalog.PosIdxCol).as("pos"))
@@ -181,7 +187,9 @@ private[catalog] class GraftSnapshotTable(
         case None => col(s"`${f.name}`")
       }
     }.toSeq: _*)
-    if (!posDf.isEmpty) ice.updatePositions(ident, posDf, newRows): Unit
+    try {
+      if (!posDf.isEmpty) ice.updatePositions(ident, posDf, newRows): Unit
+    } finally matched.unpersist()
   }
   override def name(): String = delegate.name
   /** Declared merge keys report non-nullable: they are the row-identity

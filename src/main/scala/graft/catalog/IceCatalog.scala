@@ -1408,7 +1408,15 @@ class IceCatalog(
         val sch = new java.net.URI(s).getScheme
         sch != null && sch != "file"
       } catch { case _: Exception => false }
-    val (uriRaw, localRaw) = paths.partition(isStoreUri)
+    // file:-scheme spellings (what input_file_name() renders for local
+    // files — the no-copy WATCH hands exactly those in) are local paths;
+    // Paths.get on the raw URI string would fail the isRegularFile check
+    def stripFileScheme(s: String): String =
+      try {
+        val u = new java.net.URI(s)
+        if (u.getScheme == "file" && u.getPath != null) u.getPath else s
+      } catch { case _: Exception => s }
+    val (uriRaw, localRaw) = paths.map(stripFileScheme).partition(isStoreUri)
     lazy val hconf = spark.sessionState.newHadoopConf()
     // normalize to Spark's own spelling (hadoop Path.toUri), the string
     // input_file_name()/_metadata.file_path render for these files
@@ -1910,7 +1918,17 @@ class IceCatalog(
       meta: TableMeta, files: Seq[DataFileMeta],
       withPos: Boolean = false): DataFrame = {
     val cur = meta.schema
-    if (files.isEmpty) return emptyDf(cur)
+    if (files.isEmpty) {
+      // keepPos callers (SQL position-delete DELETE/UPDATE) select the
+      // identity columns immediately — an empty table must still carry
+      // them or a no-match DELETE on an empty snapshot analyzes to
+      // UNRESOLVED_COLUMN instead of a no-op
+      val empty = emptyDf(cur)
+      return if (!withPos) empty
+      else empty
+        .withColumn(IceCatalog.PosFileCol, lit(null).cast("string"))
+        .withColumn(IceCatalog.PosIdxCol, lit(null).cast("long"))
+    }
     val groups = files.groupBy(f => math.min(f.schemaId, meta.schemaLog.length - 1))
     val parts = groups.toSeq.sortBy(_._1).map { case (sid, fs) =>
       val written = meta.schemaLog(sid)
@@ -2089,11 +2107,18 @@ class IceCatalog(
     val (srcNorm, tgtNorm) = (norm(sourcePrefix), norm(targetPrefix))
     val (srcCanon, tgtCanon) = (canonOf(sourcePrefix), canonOf(targetPrefix))
     // match on the NORMALIZED spelling so "file:///a", "file:/a" and "/a"
-    // all relocate; emit the target in the matched form's family
+    // all relocate; emit the target in the matched form's family. The
+    // match must end on a path-separator boundary — a bare startsWith
+    // would also relocate a SIBLING directory sharing the prefix string
+    // (/data/tbl2 under sourcePrefix=/data/tbl) to a location nobody
+    // copied bytes to
+    def atBoundary(prefix: String, p: String): Boolean =
+      p.startsWith(prefix) && (p.length == prefix.length ||
+        prefix.endsWith("/") || p.charAt(prefix.length) == '/')
     def swap(p0: String): String = {
       val p = norm(p0)
-      if (p.startsWith(srcNorm)) tgtNorm + p.drop(srcNorm.length)
-      else if (p.startsWith(srcCanon)) tgtCanon + p.drop(srcCanon.length)
+      if (atBoundary(srcNorm, p)) tgtNorm + p.drop(srcNorm.length)
+      else if (atBoundary(srcCanon, p)) tgtCanon + p.drop(srcCanon.length)
       else p0
     }
 
@@ -2112,8 +2137,12 @@ class IceCatalog(
         // and normalized prefix forms as well
         val forms = Seq(srcCanon -> tgtCanon, srcNorm -> tgtNorm,
           sourcePrefix -> targetPrefix).distinctBy(_._1)
-        val hit = forms.map { case (s, _) => col("file_path").startsWith(s) }
-          .reduce(_ || _)
+        // same separator-boundary discipline as swap(): match the prefix
+        // exactly or followed by '/'
+        def colAtBoundary(s: String) =
+          if (s.endsWith("/")) col("file_path").startsWith(s)
+          else col("file_path") === s || col("file_path").startsWith(s + "/")
+        val hit = forms.map { case (s, _) => colAtBoundary(s) }.reduce(_ || _)
         if (df.filter(hit).limit(1).count() == 0) None
         else if (dryRun) Some(d.path -> d)
         else {
@@ -2122,8 +2151,7 @@ class IceCatalog(
               lit(prefix.length + 1), length(col("file_path"))))
           val rewritten = df.withColumn("file_path",
             forms.foldRight(col("file_path")) { case ((s, t), onMiss) =>
-              when(col("file_path").startsWith(s), swapped(s, t))
-                .otherwise(onMiss)
+              when(colAtBoundary(s), swapped(s, t)).otherwise(onMiss)
             })
           val dir = tableDir(ident).resolve("data")
             .resolve(s"delete-relocate-${java.util.UUID.randomUUID().toString.take(8)}")

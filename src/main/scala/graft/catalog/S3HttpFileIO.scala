@@ -260,7 +260,7 @@ final class S3HttpFileIO(
       }
       children.foreach { ck =>
         val r = request("PUT", objKey(to) + "/" + ck.stripPrefix(dirKey(from)),
-          extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/$ck"))
+          extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/${SigV4.uriEncode(ck, keepSlash = true)}"))
         if (r.statusCode() != 200) fail(r, ck)
       }
       if (failMovesAfterCopy.getAndUpdate(n => math.max(0, n - 1)) > 0)
@@ -276,7 +276,7 @@ final class S3HttpFileIO(
       if (headStatus(objKey(to)).isDefined || headStatus(dirKey(to)).isDefined)
         throw new FileAlreadyExistsException(objKey(to))
       val cp = request("PUT", objKey(to),
-        extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/${objKey(from)}"))
+        extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/${SigV4.uriEncode(objKey(from), keepSlash = true)}"))
       if (cp.statusCode() == 404) throw new NoSuchFileException(objKey(from))
       if (cp.statusCode() != 200) fail(cp, objKey(to))
       if (failMovesAfterCopy.getAndUpdate(n => math.max(0, n - 1)) > 0)
@@ -368,6 +368,19 @@ final class S3HttpFileIO(
     * atomically, aborted (upload discarded) on any part failure. No byte
     * ever rides the client — every part is a server-side range copy.
     */
+  /** The mandatory CompleteMultipartUpload part manifest — real S3/minio
+    * reject a completion that does not list every (PartNumber, ETag).
+    */
+  private def completeManifest(parts: Seq[(Int, String)]): Array[Byte] =
+    parts.sortBy(_._1).map { case (n, e) =>
+      s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
+    }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+      .getBytes(UTF_8)
+
+  private def headerEtag(r: HttpResponse[Array[Byte]], what: String): String =
+    r.headers().firstValue("ETag")
+      .orElseThrow(() => new java.io.IOException(s"no ETag on $what"))
+
   def copyObjectMultipart(
       src: Path, dst: Path,
       partSize: Long = 256L * 1024 * 1024, threads: Int = 4): Unit = {
@@ -375,7 +388,7 @@ final class S3HttpFileIO(
     val size = this.size(src)
     if (size < partSize) {
       val cp = request("PUT", objKey(dst),
-        extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/${objKey(src)}"))
+        extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/${SigV4.uriEncode(objKey(src), keepSlash = true)}"))
       if (cp.statusCode() == 404) throw new NoSuchFileException(objKey(src))
       if (cp.statusCode() != 200) fail(cp, objKey(dst))
       return
@@ -390,20 +403,23 @@ final class S3HttpFileIO(
       val parts = (0L until size by partSize).zipWithIndex.map {
         case (start, i) =>
           val end = math.min(start + partSize - 1, size - 1)
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = {
+          pool.submit(new java.util.concurrent.Callable[(Int, String)] {
+            def call(): (Int, String) = {
               val r = request("PUT", key,
                 query = Seq("partNumber" -> (i + 1).toString, "uploadId" -> id),
                 extraHeaders = Seq(
-                  "x-amz-copy-source" -> s"/$bucket/${objKey(src)}",
+                  "x-amz-copy-source" -> s"/$bucket/${SigV4.uriEncode(objKey(src), keepSlash = true)}",
                   "x-amz-copy-source-range" -> s"bytes=$start-$end"))
               if (r.statusCode() != 200) fail(r, s"$key part ${i + 1}")
+              // UploadPartCopy returns the part's ETag in the body
+              (i + 1) -> extract(new String(r.body(), UTF_8), "ETag")
+                .getOrElse(throw new java.io.IOException(s"no ETag on part ${i + 1}"))
             }
           })
       }
-      parts.foreach(_.get())
+      val manifest = parts.map(_.get())
       val done = request("POST", key, query = Seq("uploadId" -> id),
-        body = "<CompleteMultipartUpload/>".getBytes(UTF_8))
+        body = completeManifest(manifest))
       if (done.statusCode() != 200) fail(done, key)
     } catch {
       case e: Throwable =>
@@ -428,14 +444,15 @@ final class S3HttpFileIO(
     val id = extract(new String(init.body(), UTF_8), "UploadId")
       .getOrElse(throw new java.io.IOException("no UploadId"))
     try {
-      bytes.grouped(partSize).zipWithIndex.foreach { case (part, i) =>
+      val manifest = bytes.grouped(partSize).zipWithIndex.map { case (part, i) =>
         val r = request("PUT", key,
           query = Seq("partNumber" -> (i + 1).toString, "uploadId" -> id),
           body = part)
         if (r.statusCode() != 200) fail(r, s"$key part ${i + 1}")
-      }
+        (i + 1) -> headerEtag(r, s"$key part ${i + 1}")
+      }.toSeq
       val done = request("POST", key, query = Seq("uploadId" -> id),
-        body = "<CompleteMultipartUpload/>".getBytes(UTF_8))
+        body = completeManifest(manifest))
       if (done.statusCode() != 200) fail(done, key)
     } catch {
       case e: Throwable =>

@@ -114,7 +114,7 @@ final class S3WireServer(
       case "HEAD" if key.nonEmpty => headObject(ex, s"$bucket/$key")
       case "POST" if q.contains("uploads") => initiateMultipart(ex, s"$bucket/$key")
       case "POST" if q.contains("uploadId") =>
-        completeMultipart(ex, s"$bucket/$key", q("uploadId"))
+        completeMultipart(ex, s"$bucket/$key", q("uploadId"), body)
       case "PUT" if q.contains("uploadId") =>
         uploadPart(ex, q("uploadId"), q("partNumber").toInt, body)
       case "PUT" if key.nonEmpty => putObject(ex, s"$bucket/$key", body)
@@ -208,7 +208,9 @@ final class S3WireServer(
     val prefix = q.getOrElse("prefix", "")
     val delim = q.get("delimiter").filter(_.nonEmpty)
     val maxKeys = q.get("max-keys").map(_.toInt).getOrElse(1000)
-    val after = q.get("continuation-token").map(dec).getOrElse("")
+    // queryParams already URL-decoded the value — a second dec() would
+    // corrupt tokens whose key text contains '+' or '%xx'
+    val after = q.getOrElse("continuation-token", "")
     val all = store.keySet().asScala.toSeq
       .filter(_.startsWith(s"$bucket/"))
       .map(_.stripPrefix(s"$bucket/"))
@@ -308,12 +310,36 @@ final class S3WireServer(
     }
   }
 
-  private def completeMultipart(ex: HttpExchange, sk: String, id: String): Unit = {
-    val u = uploads.remove(id)
+  private def completeMultipart(
+      ex: HttpExchange, sk: String, id: String, bodyBytes: Array[Byte]): Unit = {
+    val u = uploads.get(id)
     if (u == null || u._1 != sk) { sendError(ex, 404, "NoSuchUpload", id); return }
-    val bytes = u._2.asScala.toSeq.sortBy(_._1).map(_._2)
+    // real S3 contract: the completion body MUST list every part with its
+    // ETag — an empty manifest is MalformedXML, an unknown part number or
+    // a stale ETag is InvalidPart. Enforcing it here keeps the in-repo
+    // clients honest about what S3/minio/ceph would accept.
+    val body = new String(bodyBytes, UTF_8)
+    val partRe = """(?s)<Part>.*?<PartNumber>(\d+)</PartNumber>.*?<ETag>(.*?)</ETag>.*?</Part>""".r
+    val manifest = partRe.findAllMatchIn(body)
+      .map(m => m.group(1).toInt -> m.group(2)).toSeq
+    if (manifest.isEmpty) {
+      sendError(ex, 400, "MalformedXML",
+        "CompleteMultipartUpload needs a non-empty Part manifest"); return
+    }
+    val unesc = (s: String) =>
+      s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    val bad = manifest.find { case (n, etag) =>
+      val p = u._2.get(n)
+      p == null || unesc(etag) != etagOf(p)
+    }
+    bad match {
+      case Some((n, _)) => sendError(ex, 400, "InvalidPart", s"part $n"); return
+      case None =>
+    }
+    uploads.remove(id)
+    val bytes = manifest.sortBy(_._1).map(p => u._2.get(p._1))
       .foldLeft(Array.empty[Byte])(_ ++ _)
-    val obj = Obj(bytes, etagOf(bytes) + s"-${u._2.size()}", System.currentTimeMillis())
+    val obj = Obj(bytes, etagOf(bytes) + s"-${manifest.size}", System.currentTimeMillis())
     store.put(sk, obj)
     sendXml(ex, 200,
       s"<CompleteMultipartUploadResult><ETag>${xmlEsc(obj.etag)}</ETag>" +

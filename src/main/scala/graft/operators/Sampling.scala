@@ -90,6 +90,8 @@ object Sampling {
   def mixSources(spark: SparkSession, dir: String,
       weights: Map[String, Int] = Map("src0" -> 2),
       defaultWeight: Int = 1): DataFrame = {
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "mix weights must be >= 0 (0 drops the source)")
     val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, v)) =>
       when(col("source") === s, lit(v)).otherwise(acc)
     }
@@ -100,6 +102,9 @@ object Sampling {
       .orderBy(col("h"), col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), w.as("w"))
+      // weight 0 DROPS the source — without the filter, sequence(1, 0)
+      // would default to step -1 and emit replicas [1, 0]
+      .filter(col("w") >= 1)
       .withColumn("replica", explode(sequence(lit(1), col("w"))))
       .withColumn("h", h)
       .withColumn("bucket", bucket)

@@ -380,6 +380,7 @@ final class GraftS3FileSystem extends FileSystem {
     val id = extract(new String(init.body(), UTF_8), "UploadId")
       .getOrElse(throw new IOException("no UploadId"))
     try {
+      val manifest = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
       val in = new java.io.FileInputStream(tmp)
       try {
         var part = 1
@@ -391,12 +392,18 @@ final class GraftS3FileSystem extends FileSystem {
             query = Seq("partNumber" -> part.toString, "uploadId" -> id),
             body = bytes)
           if (r.statusCode() != 200) fail(r, s"$key part $part")
+          manifest += part -> r.headers().firstValue("ETag")
+            .orElseThrow(() => new java.io.IOException(s"no ETag on $key part $part"))
           part += 1
           remaining -= n
         }
       } finally in.close()
+      // real S3 requires the (PartNumber, ETag) manifest on completion
       val done = request("POST", key, query = Seq("uploadId" -> id),
-        body = "<CompleteMultipartUpload/>".getBytes(UTF_8))
+        body = manifest.map { case (n, e) =>
+          s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
+        }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+          .getBytes(UTF_8))
       if (done.statusCode() != 200) fail(done, key)
     } catch {
       case e: Throwable =>
@@ -442,7 +449,7 @@ final class GraftS3FileSystem extends FileSystem {
         if (ck != dirKey(src)) {
           val tk = dirKey(target) + ck.stripPrefix(dirKey(src))
           val r = request("PUT", tk,
-            extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/$ck"))
+            extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/${SigV4.uriEncode(ck, keepSlash = true)}"))
           if (r.statusCode() != 200) fail(r, ck)
         }
       }
@@ -453,7 +460,7 @@ final class GraftS3FileSystem extends FileSystem {
       true
     } else {
       val r = request("PUT", objKey(target),
-        extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/${objKey(src)}"))
+        extraHeaders = Seq("x-amz-copy-source" -> s"/$bucket/${SigV4.uriEncode(objKey(src), keepSlash = true)}"))
       if (r.statusCode() != 200) fail(r, objKey(target))
       val d = request("DELETE", objKey(src))
       if (d.statusCode() >= 300) fail(d, objKey(src))

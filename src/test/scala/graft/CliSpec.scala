@@ -642,6 +642,37 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c2 == 1 && out2.exists(_.contains("unknown alter op")))
   }
 
+  test("insert --watch --no-copy registers LOCAL files by reference") {
+    // regression: the watch hands addFiles the file:///-scheme spellings
+    // input_file_name() renders — they must resolve as local paths
+    import spark.implicits._
+    assert(cli("create-table", "ns.wnc", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val watchDir = Files.createTempDirectory("cli-watch-nc")
+    val staging = Files.createTempDirectory("cli-watch-nc-staged")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.resolve("staged").toString)
+    val f = java.nio.file.Files.list(staging.resolve("staged")).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(f, watchDir.resolve("b1.parquet"))
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    val buf = new ByteArrayOutputStream()
+    val code = Cli.run(
+      Seq("--root", root, "insert", "ns.wnc", watchDir.toString,
+        "--watch", "--no-copy", "--force-outside-location"),
+      spark, new PrintStream(buf, true), onWatch = q => query = q)
+    assert(code == 0 && query != null)
+    try {
+      val cat = new graft.catalog.IceCatalog(spark, root)
+      val deadline = System.currentTimeMillis() + 60000
+      while (cat.countRows("ns.wnc") < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(cat.countRows("ns.wnc") == 2)
+      // registered BY REFERENCE: the manifested path is the watch-dir file
+      assert(cat.files("ns.wnc").forall(_.path.contains("b1.parquet")),
+        cat.files("ns.wnc").map(_.path).mkString(","))
+    } finally query.stop()
+  }
+
   test("insert --watch picks up files dropped after start") {
     import spark.implicits._
     assert(cli("create-table", "ns.w", "--schema", "id BIGINT, v STRING")._1 == 0)

@@ -334,6 +334,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = Sampling.mixSources(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
     assert(rows.toSeq == again.toSeq, "mix order must be reproducible")
+    // weight 0 DROPS a source (regression: sequence(1, 0) yields [1, 0])
+    val dropped = Sampling.mixSources(spark, dir, weights = Map("src0" -> 0))
+      .collect().map(_.getString(1)).toSet
+    assert(!dropped.contains("src0") && dropped.nonEmpty)
+    intercept[IllegalArgumentException](
+      Sampling.mixSources(spark, dir, weights = Map("src0" -> -1)).collect())
   }
 
   test("x11 unigram logprob scores are negative, bounded by the rarest token") {

@@ -95,4 +95,22 @@ class RewriteTablePathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again("snapshots_touched") == 0)
     assert(cat.loadMeta("rtp.t").currentSnapshotId == v)
   }
+
+  test("a sibling directory sharing the prefix string is NOT relocated") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("rtp-bnd")
+    val (a, a2) = (base.resolve("tbl"), base.resolve("tbl2"))
+    Seq((1L, "x")).toDF("k", "v").coalesce(1).write.parquet(a.toString)
+    Seq((2L, "y")).toDF("k", "v").coalesce(1).write.parquet(a2.toString)
+    import scala.jdk.CollectionConverters._
+    def parquets(p: Path) = Files.list(p).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    cat.createTable("rtp.b", Seq((1L, "x")).toDF("k", "v").schema)
+    cat.addFilesWithRetry("rtp.b", parquets(a) ++ parquets(a2),
+      forceOutsideLocation = true)
+    // relocating prefix .../tbl must leave .../tbl2 pointers untouched
+    val r = cat.rewriteTablePath("rtp.b", a.toString, base.resolve("moved").toString,
+      dryRun = true)
+    assert(r("data_paths") == 1, s"boundary: $r")
+  }
 }

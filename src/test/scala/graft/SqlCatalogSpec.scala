@@ -808,6 +808,22 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((1L to 4L) ++ (15L to 39L)))
   }
 
+  test("position-delete DELETE/UPDATE on an EMPTY table is a clean no-op") {
+    // the empty snapshot must still expose the (file, row_index) identity
+    // columns the rewrite selects — regression: UNRESOLVED_COLUMN here
+    spark.sql(
+      """CREATE TABLE graft.pd.empty (id BIGINT, v STRING)
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read',
+        |               'write.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("DELETE FROM graft.pd.empty WHERE id = 1")
+    spark.sql("UPDATE graft.pd.empty SET v = 'x' WHERE id = 1")
+    val cat = new IceCatalog(spark, root)
+    val snap = cat.loadMeta("pd.empty").current
+    assert(snap.forall(s => Option(s.deletes).forall(_.isEmpty)),
+      "no-op writes must add no delete files")
+    assert(spark.sql("SELECT count(*) FROM graft.pd.empty").head().getLong(0) == 0L)
+  }
+
   test("SQL UPDATE without merge keys masks positions and re-appends (merge-on-read)") {
     import spark.implicits._
     val cat = new IceCatalog(spark, root)
