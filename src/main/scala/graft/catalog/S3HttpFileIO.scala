@@ -29,7 +29,8 @@ final class S3HttpFileIO(
     creds: SigV4.Credentials,
     region: String = "us-east-1") extends FileIO {
 
-  private val http = HttpClient.newHttpClient()
+  private val wire = new S3Wire(endpoint, bucket, creds, region)
+  import wire.{request, fail, extract, extractAll}
   private val rootKey =
     java.nio.file.Paths.get(mountRoot).toAbsolutePath.normalize.toString
 
@@ -45,53 +46,8 @@ final class S3HttpFileIO(
   /** Test hook mirroring [[S3FileIO.failMovesAfterCopy]]. */
   val failMovesAfterCopy = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  // ---- signed request plumbing -------------------------------------------
-
-  private def amzNow(): String =
-    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
-      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
-
-  private val host = endpoint.stripPrefix("http://").stripPrefix("https://")
-
-  private def request(
-      method: String, key: String, query: Seq[(String, String)] = Seq.empty,
-      body: Array[Byte] = null, extraHeaders: Seq[(String, String)] = Seq.empty)
-      : HttpResponse[Array[Byte]] = {
-    val date = amzNow()
-    val payloadHash =
-      if (body == null) SigV4.EmptyPayloadSha256 else SigV4.sha256Hex(body)
-    val path = s"/$bucket/$key"
-    val signHeaders = Seq(
-      "host" -> host, "x-amz-date" -> date,
-      "x-amz-content-sha256" -> payloadHash) ++
-      extraHeaders.map { case (k, v) => k.toLowerCase -> v }
-    val auth = SigV4.authorization(
-      creds, date, region, "s3", method, path, query, signHeaders, payloadHash)
-    val qs =
-      if (query.isEmpty) ""
-      else query.map { case (k, v) =>
-        SigV4.uriEncode(k, keepSlash = false) + "=" + SigV4.uriEncode(v, keepSlash = false)
-      }.mkString("?", "&", "")
-    val b = HttpRequest.newBuilder(java.net.URI.create(
-      endpoint + SigV4.uriEncode(path, keepSlash = true) + qs))
-    b.header("Authorization", auth)
-    b.header("x-amz-date", date)
-    b.header("x-amz-content-sha256", payloadHash)
-    extraHeaders.foreach { case (k, v) => b.header(k, v) }
-    val req = method match {
-      case "GET" => b.GET()
-      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
-      case "DELETE" => b.DELETE()
-      case m => b.method(m, HttpRequest.BodyPublishers.ofByteArray(
-        Option(body).getOrElse(Array.empty)))
-    }
-    http.send(req.build(), HttpResponse.BodyHandlers.ofByteArray())
-  }
-
-  private def fail(r: HttpResponse[Array[Byte]], key: String): Nothing = {
-    val body = new String(r.body(), UTF_8)
-    throw new java.io.IOException(s"S3 ${r.statusCode()} for $key: ${body.take(200)}")
-  }
+  // signed-request plumbing, XML helpers and the multipart part
+  // manifest all live in [[S3Wire]], shared with GraftS3FileSystem
 
   private def headStatus(key: String): Option[HttpResponse[Array[Byte]]] = {
     val r = request("HEAD", key)
@@ -136,35 +92,15 @@ final class S3HttpFileIO(
   /** One ListObjectsV2 page walk (handles continuation). */
   private def listKeys(
       prefix: String, delimiter: Option[String]): (Seq[String], Seq[String]) = {
-    var contents = Vector.empty[String]
-    var prefixes = Vector.empty[String]
-    var token: Option[String] = None
-    var more = true
-    while (more) {
-      val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
-        delimiter.map("delimiter" -> _) ++
-        token.map("continuation-token" -> _)
-      val r = request("GET", "", q.sortBy(_._1))
-      if (r.statusCode() != 200) fail(r, prefix)
-      val xml = new String(r.body(), UTF_8)
-      contents ++= extractAll(xml, "Key")
-      prefixes ++= extractAll(xml, "Prefix").filter(_ != prefix).filter(_.nonEmpty)
-      token = extract(xml, "NextContinuationToken")
-      more = extract(xml, "IsTruncated").contains("true") && token.isDefined
-    }
-    (contents, prefixes.distinct)
+    val pages = wire.listPages(prefix, delimiter)
+    (pages.flatMap(extractAll(_, "Key")),
+      pages.flatMap(extractAll(_, "Prefix"))
+        .filter(_ != prefix).filter(_.nonEmpty).distinct)
   }
 
   // GET on "/{bucket}" (empty key) is the list route — request("GET", "")
   // produces path "/bucket/", so strip the trailing slash for signing? No:
   // both sides sign the same literal path, so the pair stays consistent.
-
-  private def extract(xml: String, tag: String): Option[String] =
-    s"<$tag>([^<]*)</$tag>".r.findFirstMatchIn(xml).map(m => unesc(m.group(1)))
-  private def extractAll(xml: String, tag: String): Seq[String] =
-    s"<$tag>([^<]*)</$tag>".r.findAllMatchIn(xml).map(m => unesc(m.group(1))).toSeq
-  private def unesc(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
   def list(p: Path): Seq[Path] = {
     if (!inS3(p)) return LocalFileIO.list(p)
@@ -368,19 +304,6 @@ final class S3HttpFileIO(
     * atomically, aborted (upload discarded) on any part failure. No byte
     * ever rides the client — every part is a server-side range copy.
     */
-  /** The mandatory CompleteMultipartUpload part manifest — real S3/minio
-    * reject a completion that does not list every (PartNumber, ETag).
-    */
-  private def completeManifest(parts: Seq[(Int, String)]): Array[Byte] =
-    parts.sortBy(_._1).map { case (n, e) =>
-      s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
-    }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
-      .getBytes(UTF_8)
-
-  private def headerEtag(r: HttpResponse[Array[Byte]], what: String): String =
-    r.headers().firstValue("ETag")
-      .orElseThrow(() => new java.io.IOException(s"no ETag on $what"))
-
   def copyObjectMultipart(
       src: Path, dst: Path,
       partSize: Long = 256L * 1024 * 1024, threads: Int = 4): Unit = {
@@ -394,10 +317,7 @@ final class S3HttpFileIO(
       return
     }
     val key = objKey(dst)
-    val init = request("POST", key, query = Seq("uploads" -> ""))
-    if (init.statusCode() != 200) fail(init, key)
-    val id = extract(new String(init.body(), UTF_8), "UploadId")
-      .getOrElse(throw new java.io.IOException("no UploadId"))
+    val id = wire.initiateUpload(key)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     try {
       val parts = (0L until size by partSize).zipWithIndex.map {
@@ -417,14 +337,11 @@ final class S3HttpFileIO(
             }
           })
       }
-      val manifest = parts.map(_.get())
-      val done = request("POST", key, query = Seq("uploadId" -> id),
-        body = completeManifest(manifest))
-      if (done.statusCode() != 200) fail(done, key)
+      wire.completeUpload(key, id, parts.map(_.get()))
     } catch {
       case e: Throwable =>
         // reference cleanup: abort discards the staged upload
-        request("DELETE", key, query = Seq("uploadId" -> id))
+        wire.abortUpload(key, id)
         throw e
     } finally pool.shutdown()
   }
@@ -438,26 +355,6 @@ final class S3HttpFileIO(
     require(inS3(p), s"multipart writes target the S3 mount: $p")
     require(partSize > 0)
     requireParentDir(p)
-    val key = objKey(p)
-    val init = request("POST", key, query = Seq("uploads" -> ""))
-    if (init.statusCode() != 200) fail(init, key)
-    val id = extract(new String(init.body(), UTF_8), "UploadId")
-      .getOrElse(throw new java.io.IOException("no UploadId"))
-    try {
-      val manifest = bytes.grouped(partSize).zipWithIndex.map { case (part, i) =>
-        val r = request("PUT", key,
-          query = Seq("partNumber" -> (i + 1).toString, "uploadId" -> id),
-          body = part)
-        if (r.statusCode() != 200) fail(r, s"$key part ${i + 1}")
-        (i + 1) -> headerEtag(r, s"$key part ${i + 1}")
-      }.toSeq
-      val done = request("POST", key, query = Seq("uploadId" -> id),
-        body = completeManifest(manifest))
-      if (done.statusCode() != 200) fail(done, key)
-    } catch {
-      case e: Throwable =>
-        request("DELETE", key, query = Seq("uploadId" -> id))
-        throw e
-    }
+    wire.uploadParts(objKey(p), bytes.grouped(partSize))
   }
 }

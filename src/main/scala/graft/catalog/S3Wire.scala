@@ -1,0 +1,143 @@
+package graft.catalog
+
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Shared SigV4 S3 wire plumbing — ONE signed-request builder, XML
+  * helpers, ListObjectsV2 pagination and multipart upload, used by both
+  * the metadata-plane [[S3HttpFileIO]] and the data-plane
+  * [[graft.sources.GraftS3FileSystem]] so a protocol fix (signing, token
+  * encoding, the CompleteMultipartUpload part manifest, ...) lands once
+  * instead of drifting between two copies.
+  */
+final class S3Wire(
+    val endpoint: String,
+    val bucket: String,
+    creds: SigV4.Credentials,
+    region: String) {
+
+  private val http = HttpClient.newHttpClient()
+  val host: String = endpoint.stripPrefix("http://").stripPrefix("https://")
+
+  def amzNow(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+
+  def request(
+      method: String, key: String, query: Seq[(String, String)] = Seq.empty,
+      body: Array[Byte] = null, extraHeaders: Seq[(String, String)] = Seq.empty)
+      : HttpResponse[Array[Byte]] = {
+    val date = amzNow()
+    val payloadHash =
+      if (body == null) SigV4.EmptyPayloadSha256 else SigV4.sha256Hex(body)
+    val path = s"/$bucket/$key"
+    val signHeaders = Seq(
+      "host" -> host, "x-amz-date" -> date,
+      "x-amz-content-sha256" -> payloadHash) ++
+      extraHeaders.map { case (k, v) => k.toLowerCase -> v }
+    val auth = SigV4.authorization(
+      creds, date, region, "s3", method, path, query, signHeaders, payloadHash)
+    val qs =
+      if (query.isEmpty) ""
+      else query.map { case (k, v) =>
+        SigV4.uriEncode(k, keepSlash = false) + "=" +
+          SigV4.uriEncode(v, keepSlash = false)
+      }.mkString("?", "&", "")
+    val b = HttpRequest.newBuilder(java.net.URI.create(
+      endpoint + SigV4.uriEncode(path, keepSlash = true) + qs))
+    b.header("Authorization", auth)
+    b.header("x-amz-date", date)
+    b.header("x-amz-content-sha256", payloadHash)
+    extraHeaders.foreach { case (k, v) => b.header(k, v) }
+    val req = method match {
+      case "GET" => b.GET()
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofByteArray(
+        Option(body).getOrElse(Array.empty)))
+    }
+    http.send(req.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  def fail(r: HttpResponse[Array[Byte]], key: String): Nothing =
+    throw new java.io.IOException(
+      s"S3 ${r.statusCode()} for $key: ${new String(r.body(), UTF_8).take(200)}")
+
+  // ---- XML helpers --------------------------------------------------------
+
+  def extract(xml: String, tag: String): Option[String] =
+    s"<$tag>([^<]*)</$tag>".r.findFirstMatchIn(xml).map(m => unesc(m.group(1)))
+  def extractAll(xml: String, tag: String): Seq[String] =
+    s"<$tag>([^<]*)</$tag>".r.findAllMatchIn(xml).map(m => unesc(m.group(1))).toSeq
+  def unesc(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+  /** The XML pages of one ListObjectsV2 walk, continuation handled. */
+  def listPages(prefix: String, delimiter: Option[String]): Seq[String] = {
+    var pages = Vector.empty[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
+        delimiter.map("delimiter" -> _) ++
+        token.map("continuation-token" -> _)
+      val r = request("GET", "", q.sortBy(_._1))
+      if (r.statusCode() != 200) fail(r, prefix)
+      val xml = new String(r.body(), UTF_8)
+      pages :+= xml
+      token = extract(xml, "NextContinuationToken")
+      more = extract(xml, "IsTruncated").contains("true") && token.isDefined
+    }
+    pages
+  }
+
+  // ---- multipart ----------------------------------------------------------
+
+  /** The mandatory CompleteMultipartUpload part manifest — real S3/minio
+    * reject a completion that does not list every (PartNumber, ETag).
+    */
+  def completeManifest(parts: Seq[(Int, String)]): Array[Byte] =
+    parts.sortBy(_._1).map { case (n, e) =>
+      s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
+    }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+      .getBytes(UTF_8)
+
+  def headerEtag(r: HttpResponse[Array[Byte]], what: String): String =
+    r.headers().firstValue("ETag")
+      .orElseThrow(() => new java.io.IOException(s"no ETag on $what"))
+
+  def initiateUpload(key: String): String = {
+    val init = request("POST", key, query = Seq("uploads" -> ""))
+    if (init.statusCode() != 200) fail(init, key)
+    extract(new String(init.body(), UTF_8), "UploadId")
+      .getOrElse(throw new java.io.IOException("no UploadId"))
+  }
+
+  def abortUpload(key: String, id: String): Unit =
+    request("DELETE", key, query = Seq("uploadId" -> id)): Unit
+
+  def completeUpload(key: String, id: String, parts: Seq[(Int, String)]): Unit = {
+    val done = request("POST", key, query = Seq("uploadId" -> id),
+      body = completeManifest(parts))
+    if (done.statusCode() != 200) fail(done, key)
+  }
+
+  /** Multipart upload of pre-chunked parts under one uploadId, completed
+    * with the part manifest, aborted (staged upload discarded) on failure.
+    */
+  def uploadParts(key: String, parts: Iterator[Array[Byte]]): Unit = {
+    val id = initiateUpload(key)
+    try {
+      val manifest = parts.zipWithIndex.map { case (part, i) =>
+        val r = request("PUT", key,
+          query = Seq("partNumber" -> (i + 1).toString, "uploadId" -> id),
+          body = part)
+        if (r.statusCode() != 200) fail(r, s"$key part ${i + 1}")
+        (i + 1) -> headerEtag(r, s"$key part ${i + 1}")
+      }.toSeq
+      completeUpload(key, id, manifest)
+    } catch {
+      case e: Throwable => abortUpload(key, id); throw e
+    }
+  }
+}

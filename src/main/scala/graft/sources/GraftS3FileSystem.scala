@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.{ByteArrayInputStream, FileNotFoundException, IOException}
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpResponse
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.conf.Configuration
@@ -46,14 +46,10 @@ final class GraftS3FileSystem extends FileSystem {
 
   private var fsUri: java.net.URI = _
   private var bucket: String = _
-  private var endpoint: String = _
-  private var host: String = _
-  private var creds: SigV4.Credentials = _
-  private var region: String = _
+  private var wire: graft.catalog.S3Wire = _
   private var readahead: Int = 262144
   private var partSize: Int = 8 * 1024 * 1024
   private var workingDir: Path = _
-  private val http = HttpClient.newHttpClient()
 
   override def initialize(uri: java.net.URI, conf: Configuration): Unit = {
     super.initialize(uri, conf)
@@ -64,15 +60,15 @@ final class GraftS3FileSystem extends FileSystem {
       val perBucket = conf.get(s"fs.grafts3.bucket.$bucket.$name")
       if (perBucket != null) perBucket else conf.get(s"fs.grafts3.$name")
     }
-    endpoint = Option(key("endpoint")).getOrElse(
+    val endpoint = Option(key("endpoint")).getOrElse(
       throw new IOException("fs.grafts3.endpoint not configured"))
-    host = endpoint.stripPrefix("http://").stripPrefix("https://")
-    creds = SigV4.Credentials(
+    val creds = SigV4.Credentials(
       Option(key("access.key")).getOrElse(
         throw new IOException("fs.grafts3.access.key not configured")),
       Option(key("secret.key")).getOrElse(
         throw new IOException("fs.grafts3.secret.key not configured")))
-    region = Option(key("region")).getOrElse("us-east-1")
+    wire = new graft.catalog.S3Wire(endpoint, bucket, creds,
+      Option(key("region")).getOrElse("us-east-1"))
     readahead = Option(key("readahead")).map(_.toInt).getOrElse(262144)
     partSize = Option(key("part.size")).map(_.toInt).getOrElse(8 * 1024 * 1024)
     workingDir = new Path(s"${uri.getScheme}://$bucket/")
@@ -83,50 +79,18 @@ final class GraftS3FileSystem extends FileSystem {
   override def getWorkingDirectory: Path = workingDir
   override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
 
-  // ---- signed request plumbing (the wire client's shape) ------------------
-
-  private def amzNow(): String =
-    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
-      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
-
+  // signed requests, XML helpers and multipart plumbing are shared with
+  // the metadata-plane client via [[graft.catalog.S3Wire]]
   private def request(
       method: String, key: String, query: Seq[(String, String)] = Seq.empty,
       body: Array[Byte] = null, extraHeaders: Seq[(String, String)] = Seq.empty)
-      : HttpResponse[Array[Byte]] = {
-    val date = amzNow()
-    val payloadHash =
-      if (body == null) SigV4.EmptyPayloadSha256 else SigV4.sha256Hex(body)
-    val path = s"/$bucket/$key"
-    val signHeaders = Seq(
-      "host" -> host, "x-amz-date" -> date,
-      "x-amz-content-sha256" -> payloadHash) ++
-      extraHeaders.map { case (k, v) => k.toLowerCase -> v }
-    val auth = SigV4.authorization(
-      creds, date, region, "s3", method, path, query, signHeaders, payloadHash)
-    val qs =
-      if (query.isEmpty) ""
-      else query.map { case (k, v) =>
-        SigV4.uriEncode(k, keepSlash = false) + "=" + SigV4.uriEncode(v, keepSlash = false)
-      }.mkString("?", "&", "")
-    val b = HttpRequest.newBuilder(java.net.URI.create(
-      endpoint + SigV4.uriEncode(path, keepSlash = true) + qs))
-    b.header("Authorization", auth)
-    b.header("x-amz-date", date)
-    b.header("x-amz-content-sha256", payloadHash)
-    extraHeaders.foreach { case (k, v) => b.header(k, v) }
-    val req = method match {
-      case "GET" => b.GET()
-      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
-      case "DELETE" => b.DELETE()
-      case m => b.method(m, HttpRequest.BodyPublishers.ofByteArray(
-        Option(body).getOrElse(Array.empty)))
-    }
-    http.send(req.build(), HttpResponse.BodyHandlers.ofByteArray())
-  }
-
+      : HttpResponse[Array[Byte]] = wire.request(method, key, query, body, extraHeaders)
   private def fail(r: HttpResponse[Array[Byte]], key: String): Nothing =
-    throw new IOException(
-      s"S3 ${r.statusCode()} for $key: ${new String(r.body(), UTF_8).take(200)}")
+    wire.fail(r, key)
+  private def extract(xml: String, tag: String): Option[String] =
+    wire.extract(xml, tag)
+  private def extractAll(xml: String, tag: String): Seq[String] =
+    wire.extractAll(xml, tag)
 
   // ---- key mapping --------------------------------------------------------
 
@@ -162,21 +126,12 @@ final class GraftS3FileSystem extends FileSystem {
   /** One ListObjectsV2 walk (handles continuation). */
   private def listKeys(
       prefix: String, delimiter: Option[String]): (Seq[(String, Long, Long)], Seq[String]) = {
-    var contents = Vector.empty[(String, Long, Long)]
-    var prefixes = Vector.empty[String]
-    var token: Option[String] = None
-    var more = true
-    while (more) {
-      val q = Seq("list-type" -> "2", "prefix" -> prefix) ++
-        delimiter.map("delimiter" -> _) ++
-        token.map("continuation-token" -> _)
-      val r = request("GET", "", q.sortBy(_._1))
-      if (r.statusCode() != 200) fail(r, prefix)
-      val xml = new String(r.body(), UTF_8)
+    val pages = wire.listPages(prefix, delimiter)
+    val contents = pages.flatMap { xml =>
       // pair keys with sizes positionally from each <Contents> block
       val blocks = "(?s)<Contents>(.*?)</Contents>".r
         .findAllMatchIn(xml).map(_.group(1)).toSeq
-      contents ++= blocks.map { blk =>
+      if (blocks.nonEmpty) blocks.map { blk =>
         (extract(blk, "Key").getOrElse(""),
           extract(blk, "Size").map(_.toLong).getOrElse(0L),
           extract(blk, "LastModified").flatMap(s =>
@@ -184,21 +139,12 @@ final class GraftS3FileSystem extends FileSystem {
             .getOrElse(0L))
       }
       // fallback for servers emitting flat Key lists without Contents blocks
-      if (blocks.isEmpty)
-        contents ++= extractAll(xml, "Key").map(k => (k, 0L, 0L))
-      prefixes ++= extractAll(xml, "Prefix").filter(_ != prefix).filter(_.nonEmpty)
-      token = extract(xml, "NextContinuationToken")
-      more = extract(xml, "IsTruncated").contains("true") && token.isDefined
+      else extractAll(xml, "Key").map(k => (k, 0L, 0L))
     }
-    (contents, prefixes.distinct)
+    val prefixes = pages.flatMap(extractAll(_, "Prefix"))
+      .filter(_ != prefix).filter(_.nonEmpty).distinct
+    (contents, prefixes)
   }
-
-  private def extract(xml: String, tag: String): Option[String] =
-    s"<$tag>([^<]*)</$tag>".r.findFirstMatchIn(xml).map(m => unesc(m.group(1)))
-  private def extractAll(xml: String, tag: String): Seq[String] =
-    s"<$tag>([^<]*)</$tag>".r.findAllMatchIn(xml).map(m => unesc(m.group(1))).toSeq
-  private def unesc(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
   private def qualify(key: String): Path =
     new Path(s"${fsUri.getScheme}://$bucket/${key.stripSuffix("/")}")
@@ -375,41 +321,16 @@ final class GraftS3FileSystem extends FileSystem {
       if (r.statusCode() != 200) fail(r, key)
       return
     }
-    val init = request("POST", key, query = Seq("uploads" -> ""))
-    if (init.statusCode() != 200) fail(init, key)
-    val id = extract(new String(init.body(), UTF_8), "UploadId")
-      .getOrElse(throw new IOException("no UploadId"))
+    val in = new java.io.FileInputStream(tmp)
     try {
-      val manifest = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-      val in = new java.io.FileInputStream(tmp)
-      try {
-        var part = 1
-        var remaining = size
-        while (remaining > 0) {
-          val n = math.min(remaining, partSize.toLong).toInt
-          val bytes = in.readNBytes(n)
-          val r = request("PUT", key,
-            query = Seq("partNumber" -> part.toString, "uploadId" -> id),
-            body = bytes)
-          if (r.statusCode() != 200) fail(r, s"$key part $part")
-          manifest += part -> r.headers().firstValue("ETag")
-            .orElseThrow(() => new java.io.IOException(s"no ETag on $key part $part"))
-          part += 1
-          remaining -= n
-        }
-      } finally in.close()
-      // real S3 requires the (PartNumber, ETag) manifest on completion
-      val done = request("POST", key, query = Seq("uploadId" -> id),
-        body = manifest.map { case (n, e) =>
-          s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>"
-        }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
-          .getBytes(UTF_8))
-      if (done.statusCode() != 200) fail(done, key)
-    } catch {
-      case e: Throwable =>
-        request("DELETE", key, query = Seq("uploadId" -> id))
-        throw e
-    }
+      val parts = Iterator.continually {
+        val n = math.min(size - in.getChannel.position(), partSize.toLong).toInt
+        if (n <= 0) null else in.readNBytes(n)
+      }.takeWhile(_ != null)
+      // uploadParts sends the mandatory (PartNumber, ETag) manifest and
+      // aborts the staged upload on failure
+      wire.uploadParts(key, parts)
+    } finally in.close()
   }
 
   override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
