@@ -66,11 +66,13 @@ object Bench {
     val tellsFlat = noiseTells.forall(t => ratios.get(t).exists(_ < 1.2))
     // breach = ratio AND absolute materiality: sub-second pins can hit 2x
     // from scheduler/GC jitter alone (q12 at 0.28s pinned has tripped on
-    // +0.33s of noise with every tell flat), while any real regression on
-    // a query that matters clears half a second easily
+    // +0.33s of noise with every tell flat). The floor scales with the pin
+    // (max(0.3s, 0.5*pin)) so fast queries keep absolute-noise protection
+    // without a flat 0.5s cutoff permanently exempting everything pinned
+    // below ~0.5s from the ratio check.
     val times = results.toMap
     val breaches = ratios.filter { case (k, r) =>
-      r > 2.0 && baseline.get(k).exists(b => times(k) - b > 0.5)
+      r > 2.0 && baseline.get(k).exists(b => times(k) - b > math.max(0.3, 0.5 * b))
     }.keys.toSeq.sorted
     val fired = tellsFlat && breaches.nonEmpty
     val rj = ratios.toSeq.sortBy(_._1)

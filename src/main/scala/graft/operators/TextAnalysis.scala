@@ -28,43 +28,36 @@ object TextAnalysis {
 
   /** x8: Gopher-style repetition signals (MassiveText filtering rules):
     * duplicate-word fraction, duplicate-bigram fraction, and the most
-    * frequent bigram with its occurrence fraction. One scan; the only
-    * shuffle carries (doc_id, bigram) counts — at 100 TB the per-doc
-    * bigram histogram is bounded by document length, never corpus size.
+    * frequent bigram with its occurrence fraction. Entirely map-only: the
+    * [[graft.functions.RepetitionStats]] expression computes all per-doc
+    * stats in one JVM pass over the token array, so the only exchange in
+    * the plan is the presentation sort — at 100 TB this runs at scan
+    * speed with per-doc state bounded by document length. (The previous
+    * posexplode + window-lead + groupBy + self-join plan executed the
+    * exploded subtree twice and shuffled on doc_id twice.)
+    *
+    * Docs with <2 tokens have no bigrams and are excluded (the oracle's
+    * inner join against the bigram histogram does the same). The filter is
+    * a cheap standalone regexp — "two alnum runs separated by non-alnum
+    * chars" ⇔ tokens(text) has ≥2 elements — rather than a predicate on
+    * the stats struct, so predicate pushdown can't duplicate the stats
+    * expression into a pre-scan Filter.
     */
   def repetitionQuery(spark: SparkSession, dir: String): DataFrame = {
-    // Explode ONCE and build bigrams with a window lead: a naive
-    // array-lambda formulation (`transform(sequence(...), element_at(t,i))`)
-    // lets Catalyst's projection collapse inline the tokenizer regexp into
-    // every element lookup — O(doc_len) tokenizations per doc, 12× slower.
-    val ex = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-    val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val withG = ex.withColumn("g",
-      concat_ws(" ", col("w"), lead(col("w"), 1).over(wn)))
-      .withColumn("g", when(lead(col("w"), 1).over(wn).isNotNull, col("g")))
-    val perDoc = withG.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_tokens"),
-      countDistinct(col("w")).as("n_dw"),
-      count(col("g")).as("n_bg"),
-      countDistinct(col("g")).as("n_dbg"))
-    val top = withG.filter(col("g").isNotNull)
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("g").as("top_bigram"), col("c").as("top_c"))
-    perDoc.join(top, Seq("doc_id"))
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
-        round(lit(1.0) - col("n_dw").cast("double") /
-          col("n_tokens").cast("double"), 4).as("dup_word_frac"),
-        round(lit(1.0) - col("n_dbg").cast("double") /
-          col("n_bg").cast("double"), 4).as("dup_bigram_frac"),
-        col("top_bigram"),
-        round(col("top_c").cast("double") / col("n_bg").cast("double"), 4)
-          .as("top_bigram_frac"))
+    val st = Tables.documents(spark, dir)
+      .filter(regexp_like(lower(col("text")), lit("[a-z0-9][^a-z0-9]+[a-z0-9]")))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.repetitionStats(tokens(col("text"))).as("st"))
+    st.select(
+      col("doc_id"),
+      col("st.n_tokens").as("n_tokens"),
+      round(lit(1.0) - col("st.n_dw").cast("double") /
+        col("st.n_tokens").cast("double"), 4).as("dup_word_frac"),
+      round(lit(1.0) - col("st.n_dbg").cast("double") /
+        col("st.n_bg").cast("double"), 4).as("dup_bigram_frac"),
+      col("st.top_bigram").as("top_bigram"),
+      round(col("st.top_c").cast("double") / col("st.n_bg").cast("double"), 4)
+        .as("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }
 

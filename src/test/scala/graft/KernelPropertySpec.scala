@@ -70,6 +70,29 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("RepetitionKernel.stats matches naive reference (incl. tie-break)") {
+    import graft.functions.RepetitionKernel
+    (1 to 500).foreach { _ =>
+      // small vocab → heavy duplication, frequent top-bigram ties
+      val vocab = Vector("a", "b", "c", "dd")
+      val n = rnd.nextInt(40)
+      val toks = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val got = RepetitionKernel.stats(utf8Array(toks))
+      if (n < 2) assert(got == null, s"toks=$toks")
+      else {
+        val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val hist = bgs.groupBy(identity).view.mapValues(_.size).toMap
+        val (topG, topC) = hist.toSeq.minBy { case (g, c) => (-c, g) }
+        assert(got.getLong(0) == n.toLong)
+        assert(got.getLong(1) == toks.distinct.size.toLong)
+        assert(got.getLong(2) == (n - 1).toLong)
+        assert(got.getLong(3) == bgs.distinct.size.toLong)
+        assert(got.getUTF8String(4).toString == topG, s"toks=$toks hist=$hist")
+        assert(got.getLong(5) == topC.toLong)
+      }
+    }
+  }
+
   test("SimHash is deterministic, 60-bit bounded, identity on single hash") {
     (1 to 200).foreach { _ =>
       val hs = Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong() & ((1L << 60) - 1))
