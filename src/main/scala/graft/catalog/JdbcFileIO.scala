@@ -1,0 +1,383 @@
+package graft.catalog
+
+import java.nio.file.{DirectoryNotEmptyException, FileAlreadyExistsException, NoSuchFileException, Path}
+import java.sql.{Connection, DriverManager, SQLException}
+
+/** SQL-database [[FileIO]] — the reference's `jdbc:` catalog backend
+  * (ice-rest-catalog Config.java:263-284 dispatches `jdbc:` storage URIs
+  * to a JDBC catalog store; docs/sqlite-backend-schema.md documents the
+  * sqlite deployment) re-expressed on the storage seam: every metadata
+  * path becomes a row keyed by its absolute path, the commit protocol's
+  * atomic create-new becomes an INSERT racing a PRIMARY KEY constraint
+  * (of N committers exactly one insert succeeds — the database's unique
+  * index is the arbiter, valid across threads AND processes), rename is
+  * a transaction over the key range, and directory listings are an
+  * indexed equality scan on a `parent` column.
+  *
+  * Written against ANSI SQL via plain `java.sql` so any registered JDBC
+  * driver works (sqlite, postgres, Derby). Tests run on Apache Derby
+  * embedded — the one JDBC engine on the unmanaged Spark classpath — but
+  * nothing here is Derby-specific: duplicate keys are detected by
+  * SQLState class 23 (integrity violation), the only portable signal.
+  *
+  * Deployment split (same as the KV/etcd backends): this store carries
+  * the METADATA plane only. Data files live on a shared filesystem or
+  * object store and enter tables by no-copy registration; footer reads
+  * and any path outside the catalog root pass through to [[LocalFileIO]].
+  * Spark executors never touch the database — driver-side metadata is
+  * O(files) rows, never O(rows).
+  *
+  * Scale note: directory rename rewrites the subtree's keys in ONE
+  * transaction (O(keys under the renamed table), which for a catalog is
+  * O(manifest segments), not O(data)); all other operations touch O(1)
+  * rows or stream one indexed range.
+  */
+final class JdbcFileIO(metadataRoot: String, jdbcUrl: String) extends FileIO {
+
+  private val rootKey =
+    java.nio.file.Paths.get(metadataRoot).toAbsolutePath.normalize.toString
+
+  private def key(p: Path): String = p.toAbsolutePath.normalize.toString
+
+  private def inDb(p: Path): Boolean = {
+    val k = key(p)
+    k == rootKey || k.startsWith(rootKey + "/")
+  }
+
+  /** One connection per thread: single-row atomics ride the PK
+    * constraint; multi-row operations open explicit transactions.
+    */
+  private val conns = new java.util.concurrent.ConcurrentLinkedQueue[Connection]()
+  private val local = ThreadLocal.withInitial[Connection] { () =>
+    val c = DriverManager.getConnection(jdbcUrl)
+    c.setAutoCommit(true)
+    conns.add(c)
+    c
+  }
+  private def conn: Connection = {
+    val c = local.get()
+    if (c.isClosed) { local.remove(); local.get() } else c
+  }
+
+  // ---- schema bootstrap (idempotent; concurrent creators race benignly)
+  locally {
+    val c = DriverManager.getConnection(jdbcUrl)
+    try {
+      try {
+        val st = c.createStatement()
+        st.executeUpdate(
+          """CREATE TABLE graft_fs (
+            |  k VARCHAR(1024) NOT NULL PRIMARY KEY,
+            |  parent VARCHAR(1024),
+            |  is_dir SMALLINT NOT NULL,
+            |  body BLOB,
+            |  mtime BIGINT NOT NULL
+            |)""".stripMargin)
+        st.executeUpdate("CREATE INDEX graft_fs_parent ON graft_fs (parent)")
+        st.close()
+      } catch {
+        case _: SQLException => // exists (no portable IF NOT EXISTS); verify below
+      }
+      val probe = c.createStatement()
+      probe.executeQuery("SELECT k FROM graft_fs WHERE 1=0").close()
+      probe.close()
+    } finally c.close()
+  }
+
+  private def now(): Long = System.currentTimeMillis()
+
+  private def isDup(e: SQLException): Boolean = {
+    // SQLState class 23 = integrity-constraint violation (ANSI); walk the
+    // chain because some drivers nest the violation
+    var cur: SQLException = e
+    while (cur != null) {
+      val st = cur.getSQLState
+      if (st != null && st.startsWith("23")) return true
+      cur = cur.getNextException
+    }
+    false
+  }
+
+  private case class Row(dir: Boolean, body: Array[Byte], mtime: Long)
+
+  private def lookup(k: String): Option[Row] = {
+    val ps = conn.prepareStatement(
+      "SELECT is_dir, body, mtime FROM graft_fs WHERE k = ?")
+    try {
+      ps.setString(1, k)
+      val rs = ps.executeQuery()
+      val out = if (rs.next())
+        Some(Row(rs.getShort(1) != 0, rs.getBytes(2), rs.getLong(3)))
+      else None
+      rs.close()
+      out
+    } finally ps.close()
+  }
+
+  private def parentOf(k: String): Option[String] =
+    Option(java.nio.file.Paths.get(k).getParent).map(_.toString)
+
+  private def insert(k: String, dir: Boolean, body: Array[Byte]): Unit = {
+    val ps = conn.prepareStatement(
+      "INSERT INTO graft_fs (k, parent, is_dir, body, mtime) VALUES (?, ?, ?, ?, ?)")
+    try {
+      ps.setString(1, k)
+      ps.setString(2, parentOf(k).orNull)
+      ps.setShort(3, if (dir) 1 else 0)
+      ps.setBytes(4, body)
+      ps.setLong(5, now())
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  def exists(p: Path): Boolean =
+    if (!inDb(p)) LocalFileIO.exists(p) else lookup(key(p)).isDefined
+  def isDirectory(p: Path): Boolean =
+    if (!inDb(p)) LocalFileIO.isDirectory(p) else lookup(key(p)).exists(_.dir)
+  def isRegularFile(p: Path): Boolean =
+    if (!inDb(p)) LocalFileIO.isRegularFile(p) else lookup(key(p)).exists(!_.dir)
+
+  def createDirectories(p: Path): Unit = {
+    if (!inDb(p)) { LocalFileIO.createDirectories(p); return }
+    // top-down so a FILE at any level blocks creation before any deeper
+    // key appears (same contract as the KV backend)
+    var chain = List.empty[String]
+    var k = p.toAbsolutePath.normalize
+    while (k != null) { chain = key(k) :: chain; k = k.getParent }
+    chain.foreach { c =>
+      lookup(c) match {
+        case Some(r) if !r.dir => throw new FileAlreadyExistsException(c)
+        case Some(_) => // dir already there
+        case None =>
+          try insert(c, dir = true, body = null)
+          catch {
+            case e: SQLException if isDup(e) =>
+              // concurrent creator won; a file there still blocks
+              if (lookup(c).exists(!_.dir)) throw new FileAlreadyExistsException(c)
+          }
+      }
+    }
+  }
+
+  def list(p: Path): Seq[Path] = {
+    if (!inDb(p)) return LocalFileIO.list(p)
+    val ps = conn.prepareStatement("SELECT k FROM graft_fs WHERE parent = ?")
+    try {
+      ps.setString(1, key(p))
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[Path]
+      while (rs.next()) out += java.nio.file.Paths.get(rs.getString(1))
+      rs.close()
+      out.result()
+    } finally ps.close()
+  }
+
+  def walk(p: Path): Seq[Path] = {
+    if (!inDb(p)) return LocalFileIO.walk(p)
+    val base = key(p)
+    if (lookup(base).isEmpty) return Seq.empty
+    // ordered range scan: '0' = '/' + 1, so [base+'/', base+'0') is
+    // exactly the subtree; lexicographic order puts parents first
+    val ps = conn.prepareStatement(
+      "SELECT k FROM graft_fs WHERE k > ? AND k < ? ORDER BY k")
+    try {
+      ps.setString(1, base + "/")
+      ps.setString(2, base + "0")
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[Path]
+      out += java.nio.file.Paths.get(base)
+      while (rs.next()) out += java.nio.file.Paths.get(rs.getString(1))
+      rs.close()
+      out.result()
+    } finally ps.close()
+  }
+
+  def readString(p: Path): String = {
+    if (!inDb(p)) return LocalFileIO.readString(p)
+    lookup(key(p)) match {
+      case Some(r) if !r.dir =>
+        new String(r.body, java.nio.charset.StandardCharsets.UTF_8)
+      case _ => throw new NoSuchFileException(key(p))
+    }
+  }
+
+  private def requireParentDir(p: Path): Unit = {
+    val parent = parentOf(key(p)).getOrElse(throw new NoSuchFileException(key(p)))
+    if (!lookup(parent).exists(_.dir)) throw new NoSuchFileException(parent)
+  }
+
+  def writeString(p: Path, s: String): Unit = {
+    if (!inDb(p)) { LocalFileIO.writeString(p, s); return }
+    requireParentDir(p)
+    val k = key(p)
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (lookup(k).exists(_.dir))
+      throw new java.nio.file.FileSystemException(k, null, "is a directory")
+    val up = conn.prepareStatement(
+      "UPDATE graft_fs SET body = ?, mtime = ? WHERE k = ? AND is_dir = 0")
+    val updated =
+      try { up.setBytes(1, bytes); up.setLong(2, now()); up.setString(3, k); up.executeUpdate() }
+      finally up.close()
+    if (updated == 0) {
+      try insert(k, dir = false, bytes)
+      catch {
+        case e: SQLException if isDup(e) =>
+          // lost a create race: replace semantics still hold
+          val up2 = conn.prepareStatement(
+            "UPDATE graft_fs SET body = ?, mtime = ? WHERE k = ? AND is_dir = 0")
+          try { up2.setBytes(1, bytes); up2.setLong(2, now()); up2.setString(3, k); up2.executeUpdate() }
+          finally up2.close()
+      }
+    }
+  }
+
+  def writeStringIfAbsent(p: Path, s: String): Unit = {
+    if (!inDb(p)) { LocalFileIO.writeStringIfAbsent(p, s); return }
+    requireParentDir(p)
+    // the INSERT itself is the atomic create-new: the PRIMARY KEY index
+    // arbitrates racing committers, across threads and processes
+    try insert(key(p), dir = false, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: SQLException if isDup(e) => throw new FileAlreadyExistsException(key(p))
+    }
+  }
+
+  def publishLink(target: Path, src: Path): Unit = {
+    if (!inDb(target)) { LocalFileIO.publishLink(target, src); return }
+    val srcRow = lookup(key(src)) match {
+      case Some(r) if !r.dir => r
+      case _ => throw new NoSuchFileException(key(src))
+    }
+    requireParentDir(target)
+    try insert(key(target), dir = false, srcRow.body)
+    catch {
+      case e: SQLException if isDup(e) => throw new FileAlreadyExistsException(key(target))
+    }
+  }
+
+  /** Multi-row mutation under an explicit transaction. */
+  private def inTxn[A](f: => A): A = {
+    val c = conn
+    c.setAutoCommit(false)
+    try { val out = f; c.commit(); out }
+    catch { case t: Throwable => try c.rollback() catch { case _: SQLException => }; throw t }
+    finally c.setAutoCommit(true)
+  }
+
+  def move(from: Path, to: Path): Unit = {
+    if (!inDb(from)) { LocalFileIO.move(from, to); return }
+    val fk = key(from)
+    val tk = key(to)
+    val e = lookup(fk).getOrElse(throw new NoSuchFileException(fk))
+    if (fk == tk) return
+    if (e.dir && tk.startsWith(fk + "/"))
+      throw new java.nio.file.FileSystemException(tk, null,
+        "cannot move a directory into its own subtree")
+    val tparent = parentOf(tk).getOrElse(throw new NoSuchFileException(tk))
+    if (!lookup(tparent).exists(_.dir)) throw new NoSuchFileException(tparent)
+    if (e.dir) inTxn {
+      if (lookup(tk).isDefined) throw new FileAlreadyExistsException(tk)
+      // rewrite the subtree's keys in one transaction — the range is the
+      // table's manifest segments, O(metadata), never O(data)
+      val sel = conn.prepareStatement(
+        "SELECT k FROM graft_fs WHERE k > ? AND k < ? ORDER BY k")
+      sel.setString(1, fk + "/")
+      sel.setString(2, fk + "0")
+      val rs = sel.executeQuery()
+      val children = Seq.newBuilder[String]
+      while (rs.next()) children += rs.getString(1)
+      rs.close(); sel.close()
+      val ren = conn.prepareStatement(
+        "UPDATE graft_fs SET k = ?, parent = ? WHERE k = ?")
+      try {
+        (fk +: children.result()).foreach { ck =>
+          val nk = tk + ck.stripPrefix(fk)
+          ren.setString(1, nk)
+          ren.setString(2, parentOf(nk).orNull)
+          ren.setString(3, ck)
+          ren.executeUpdate()
+        }
+      } finally ren.close()
+    } else inTxn {
+      // file move: create-new at the target + unlink the source, one txn
+      try insert(tk, dir = false, e.body)
+      catch {
+        case ex: SQLException if isDup(ex) => throw new FileAlreadyExistsException(tk)
+      }
+      val del = conn.prepareStatement("DELETE FROM graft_fs WHERE k = ?")
+      try { del.setString(1, fk); del.executeUpdate() } finally del.close()
+    }
+  }
+
+  def delete(p: Path): Unit =
+    if (!deleteIfExists(p)) throw new NoSuchFileException(key(p))
+
+  def deleteIfExists(p: Path): Boolean = {
+    if (!inDb(p)) return LocalFileIO.deleteIfExists(p)
+    val k = key(p)
+    lookup(k) match {
+      case None =>
+        // POSIX: unlink through a FILE path component is ENOTDIR, not false
+        var anc = p.toAbsolutePath.normalize.getParent
+        while (anc != null && inDb(anc)) {
+          if (lookup(key(anc)).exists(!_.dir))
+            throw new java.nio.file.FileSystemException(key(anc), null,
+              "not a directory")
+          anc = anc.getParent
+        }
+        false
+      case Some(r) =>
+        if (r.dir) {
+          val ps = conn.prepareStatement(
+            "SELECT k FROM graft_fs WHERE parent = ?")
+          val nonEmpty =
+            try { ps.setString(1, k); val rs = ps.executeQuery(); val h = rs.next(); rs.close(); h }
+            finally ps.close()
+          if (nonEmpty) throw new DirectoryNotEmptyException(k)
+        }
+        val del = conn.prepareStatement("DELETE FROM graft_fs WHERE k = ?")
+        try { del.setString(1, k); del.executeUpdate() > 0 } finally del.close()
+    }
+  }
+
+  def size(p: Path): Long = {
+    if (!inDb(p)) return LocalFileIO.size(p)
+    lookup(key(p)) match {
+      case Some(r) if !r.dir => r.body.length.toLong
+      case _ => throw new NoSuchFileException(key(p))
+    }
+  }
+
+  def lastModifiedMillis(p: Path): Long = {
+    if (!inDb(p)) return LocalFileIO.lastModifiedMillis(p)
+    lookup(key(p)).getOrElse(throw new NoSuchFileException(key(p))).mtime
+  }
+
+  /** Data files are NOT in the database (metadata plane only): footer
+    * reads go to the real filesystem/object store the data lives on.
+    */
+  def parquetFooter(
+      p: Path,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.parquet.hadoop.metadata.ParquetMetadata =
+    LocalFileIO.parquetFooter(p, conf)
+
+  /** Diagnostic: rows in the store (tests assert the metadata plane
+    * really lives in the database).
+    */
+  def keyCount: Long = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT COUNT(*) FROM graft_fs")
+      rs.next(); val n = rs.getLong(1); rs.close(); n
+    } finally st.close()
+  }
+
+  /** Close every connection this instance opened (tests / CLI shutdown). */
+  def close(): Unit = {
+    var c = conns.poll()
+    while (c != null) {
+      try c.close() catch { case _: SQLException => }
+      c = conns.poll()
+    }
+  }
+}

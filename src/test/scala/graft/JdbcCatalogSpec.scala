@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{IceCatalog, JdbcFileIO, LocalFileIO}
+
+/** The `jdbc:` backend shape (reference Config.java:263-284 — sqlite for
+  * small-team deployments, postgres for shared ones): several catalog
+  * instances share ONE SQL database carrying the metadata plane, while
+  * data files live externally and enter by no-copy registration. Proves
+  * the commit protocol (atomic version publish via the PRIMARY KEY
+  * constraint, lease locks) serializes correctly on SQL primitives, with
+  * nothing on the local filesystem under the catalog root. Runs on Derby
+  * embedded — the sqlite stand-in available offline.
+  */
+class JdbcCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-jdbc-test", cpus = 4)
+
+  // a root that never exists on disk; all metadata lives in the shared DB
+  val root = "/graft-jdbc-root/never-on-disk"
+  lazy val dbUrl = {
+    val d = Files.createTempDirectory("jdbc-cat-derby").resolve("db")
+    s"jdbc:derby:$d;create=true"
+  }
+  lazy val db = new JdbcFileIO(root, dbUrl)
+  lazy val node1 = new IceCatalog(spark, root, db)
+  // second instance opens its OWN connections to the same database — the
+  // sharing is through SQL, not through this process's memory
+  lazy val node2 = new IceCatalog(spark, root, new JdbcFileIO(root, dbUrl))
+
+  lazy val externalData: Seq[String] = {
+    val d = Files.createTempDirectory("jdbc-data")
+    spark.read.parquet(s"$dir/nation.parquet")
+      .repartition(2).write.mode("overwrite").parquet(d.resolve("n").toString)
+    LocalFileIO.walk(d.resolve("n"))
+      .filter(_.getFileName.toString.endsWith(".parquet")).map(_.toString).sorted
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("node1 creates + registers; node2 reads the same shared state") {
+    node1.createNamespace("jd")
+    node1.createTable("jd.n", spark.read.parquet(s"$dir/nation.parquet").schema)
+    node1.addFiles("jd.n", externalData, forceOutsideLocation = true)
+    assert(node2.listNamespaces() == Seq("jd"))
+    assert(node2.listTables("jd") == Seq("n"))
+    val expected = spark.read.parquet(s"$dir/nation.parquet").count()
+    assert(node2.scan("jd.n").count() == expected)
+    assert(node2.countRows("jd.n") == expected)
+    // metadata never touched the local filesystem
+    assert(!Files.exists(java.nio.file.Paths.get(root)))
+    assert(db.keyCount > 0)
+  }
+
+  test("concurrent committers on DIFFERENT nodes serialize through SQL") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perNode = 8
+    val futures = (0 until perNode).flatMap(i => Seq(
+      Future(node1.setProperty("jd.n", s"n1-$i", "x")),
+      Future(node2.setProperty("jd.n", s"n2-$i", "x"))))
+    Await.result(Future.sequence(futures), 120.seconds)
+    val props = node2.loadMeta("jd.n").properties
+    (0 until perNode).foreach { i =>
+      assert(props.contains(s"n1-$i") && props.contains(s"n2-$i"))
+    }
+  }
+
+  test("stale basedOn conflicts; rollback and time travel work over jdbc") {
+    val meta = node1.loadMeta("jd.n")
+    intercept[java.util.ConcurrentModificationException] {
+      node2.commit("jd.n", identity, basedOn = Some(meta.currentSnapshotId - 999))
+    }
+    node1.rollbackTo("jd.n", meta.currentSnapshotId)
+    assert(node2.loadMeta("jd.n").current.get.operation == "rollback")
+  }
+
+  test("rename moves the whole key range atomically; drop clears it") {
+    node1.renameTable("jd.n", "jd.m")
+    assert(node2.listTables("jd") == Seq("m"))
+    assert(node2.scan("jd.m").count() ==
+      spark.read.parquet(s"$dir/nation.parquet").count())
+    node2.dropTable("jd.m")
+    assert(node1.listTables("jd") == Seq.empty)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.util.{Random, Try}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{FileIO, JdbcFileIO, LocalFileIO}
+
+/** Differential property test for the `jdbc:` backend, mirroring
+  * KvDifferentialSpec: the SQL store must be OBSERVABLY equivalent to the
+  * POSIX backend — same success/failure on every operation, same
+  * resulting tree, same contents — under thousands of random op sequences.
+  * Runs on Apache Derby embedded (the JDBC engine on the Spark
+  * classpath); the store itself is driver-agnostic ANSI SQL.
+  */
+class JdbcDifferentialSpec extends AnyFunSuite {
+
+  private def state(io: FileIO, root: Path): Seq[(String, Boolean, String)] =
+    io.walk(root).drop(1).map { p =>
+      val rel = root.relativize(p).toString
+      val dir = io.isDirectory(p)
+      (rel, dir, if (dir) "" else io.readString(p))
+    }.sortBy(_._1)
+
+  test("3000 random ops: JdbcFileIO and LocalFileIO stay observably identical") {
+    val r = new Random(11)
+    val localRoot = Files.createTempDirectory("jdbcdiff-local")
+    val dbDir = Files.createTempDirectory("jdbcdiff-derby").resolve("db")
+    val jdbcRoot = java.nio.file.Paths.get("/jdbcdiff-virtual/root")
+    val jdbc = new JdbcFileIO("/jdbcdiff-virtual", s"jdbc:derby:$dbDir;create=true")
+    jdbc.createDirectories(jdbcRoot)
+
+    val names = Seq("a", "b", "c", "d")
+    def randomRel(): String =
+      (0 until 1 + r.nextInt(3)).map(_ => names(r.nextInt(names.length))).mkString("/")
+
+    var ops = 0
+    for (i <- 1 to 3000) {
+      val rel = randomRel()
+      val rel2 = randomRel()
+      val content = s"v$i-${r.nextInt(100)}"
+      val opId = r.nextInt(10)
+      def run(io: FileIO, root: Path): Either[String, String] = {
+        val p = root.resolve(rel)
+        val p2 = root.resolve(rel2)
+        Try(opId match {
+          case 0 => io.createDirectories(p); "mkdir"
+          case 1 => io.writeString(p, content); "write"
+          case 2 => io.writeStringIfAbsent(p, content); "writeNew"
+          case 3 => io.readString(p)
+          case 4 => io.list(p).map(root.relativize(_).toString).sorted.mkString(",")
+          case 5 => io.exists(p).toString + io.isDirectory(p) + io.isRegularFile(p)
+          case 6 => io.deleteIfExists(p).toString
+          case 7 => io.move(p, p2); "move"
+          case 8 =>
+            io.publishLink(root.resolve(s"pub-$i"), p)
+            io.deleteIfExists(p); "link"
+          case 9 => if (io.isRegularFile(p)) io.size(p).toString else "skip"
+        }).toEither.left.map(_ => "threw")
+      }
+      val lr = run(LocalFileIO, localRoot)
+      val jr = run(jdbc, jdbcRoot)
+      assert(lr == jr,
+        s"op $i (id=$opId rel=$rel rel2=$rel2): local=$lr jdbc=$jr")
+      ops += 1
+      assert(state(LocalFileIO, localRoot) == state(jdbc, jdbcRoot),
+        s"state diverged after op $i (id=$opId rel=$rel rel2=$rel2)")
+    }
+    assert(state(LocalFileIO, localRoot) == state(jdbc, jdbcRoot))
+    info(s"$ops ops, final tree ${state(jdbc, jdbcRoot).length} entries")
+    jdbc.close()
+  }
+
+  test("atomic create-new: of N racing inserters exactly one wins") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dbDir = Files.createTempDirectory("jdbcrace-derby").resolve("db")
+    val io = new JdbcFileIO("/jdbcrace", s"jdbc:derby:$dbDir;create=true")
+    val root = java.nio.file.Paths.get("/jdbcrace/r")
+    io.createDirectories(root)
+    (1 to 5).foreach { round =>
+      val target = root.resolve(s"v$round.json")
+      val results = Await.result(Future.sequence((1 to 8).map(w =>
+        Future(Try(io.writeStringIfAbsent(target, s"writer-$w")).isSuccess))),
+        60.seconds)
+      assert(results.count(identity) == 1,
+        s"round $round: ${results.count(identity)} winners")
+    }
+    io.close()
+  }
+}
