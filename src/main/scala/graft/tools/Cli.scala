@@ -63,7 +63,7 @@ import graft.catalog.IceCatalog._
   *   delete-table <ns.t>
   *   maintain <ns.t>
   *   rewrite-table-path <ns.t> <source-prefix> <target-prefix> [--dry-run]
-  *   export [file]                 import <file>
+  *   export [file] [--namespace ns] import <file> [--dry-run] [--overwrite]
   *   shell                         (interactive; tab completion, exit/quit)
   *   serve [--port N] [--token value[:ro]]... [--allow-anonymous]
   *         (with --config: bearer tokens incl. per-table access, anonymous
@@ -112,12 +112,23 @@ object Cli {
       // `s3:` / `uri: etcd:...` config blocks route the metadata plane
       // over the real S3 (SigV4 HTTP) or etcd (v3 JSON gateway) wire
       // client; default stays the local/shared fs
-      val cat = (cfg.etcdUri, cfg.s3) match {
-        case (Some(_), Some(_)) =>
-          fail("config declares both an etcd uri and an s3 block — the " +
-            "metadata plane routes through exactly one store")
+      if (Seq(cfg.etcdUri.isDefined || cfg.jdbcUri.isDefined,
+        cfg.s3.isDefined, cfg.gcs.isDefined).count(identity) > 1)
+        fail("config declares more than one metadata store (uri/s3/gcs) — " +
+          "the metadata plane routes through exactly one")
+      val cat = (cfg.etcdUri.orElse(cfg.jdbcUri), cfg.s3) match {
+        case (Some(uri), None) if cfg.jdbcUri.isDefined =>
+          // reference Config.java:263-284: `jdbc:` URIs select the SQL
+          // catalog store (sqlite/postgres); the URL goes to DriverManager
+          new IceCatalog(spark, root, new graft.catalog.JdbcFileIO(root, uri))
         case (Some(uri), None) => new IceCatalog(spark, root,
           new graft.catalog.EtcdHttpFileIO(root, uri))
+        case (None, None) if cfg.gcs.isDefined =>
+          // `gcs:` block: metadata over the GCS JSON-API wire client
+          // (reference deployment docs/ice-rest-catalog-gcs.md)
+          val g = cfg.gcs.get
+          new IceCatalog(spark, root,
+            new graft.catalog.GcsHttpFileIO(root, g.endpoint, g.bucket, g.auth))
         case (None, Some(s3)) =>
           // one `s3:` block wires BOTH planes: metadata through the FileIO
           // seam below, data through the grafts3:// Hadoop FileSystem so
@@ -474,15 +485,24 @@ object Cli {
             else out.println(s"$k\t$v")
           }
 
-        case Seq("export") => out.println(cat.exportCatalog())
+        // --namespace: the reference's export filter (that namespace and
+        // its children only, CatalogAdminService.export)
+        case Seq("export") => out.println(cat.exportCatalog(flags.get("namespace")))
         case Seq("export", file) =>
           graft.catalog.LocalFileIO.writeString(
-            java.nio.file.Paths.get(file), cat.exportCatalog())
+            java.nio.file.Paths.get(file), cat.exportCatalog(flags.get("namespace")))
           out.println(s"exported catalog to $file")
+        // --dry-run / --overwrite: reference importSnapshot(dryRun,
+        // overwrite) with per-entry skip reporting
         case Seq("import", file) =>
-          cat.importCatalog(graft.catalog.LocalFileIO.readString(
-            java.nio.file.Paths.get(file)))
-          out.println("imported")
+          val res = cat.importCatalog(
+            graft.catalog.LocalFileIO.readString(java.nio.file.Paths.get(file)),
+            dryRun = flags.contains("dry-run"),
+            overwrite = flags.contains("overwrite"))
+          res.entries.foreach(e => out.println(s"${e.table}\t${e.action}"))
+          out.println(s"import${if (res.dryRun) " (dry-run)" else ""}: " +
+            s"${res.created} created, ${res.skipped} skipped, " +
+            s"${res.overwritten} overwritten")
 
         case Seq("serve") =>
           val flagTokens = flags.get("token").toSeq.flatMap(_.split(',')).map { t =>
@@ -604,8 +624,8 @@ object Cli {
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val boolFlags = Set("no-copy", "force-outside-location", "skip-duplicates",
       "force-duplicates", "no-commit", "assume-sorted",
-      "dry-run", "allow-anonymous", "watch", "watch-fire-once", "merge-on-read",
-      "branch", "json")
+      "dry-run", "overwrite", "allow-anonymous", "watch", "watch-fire-once",
+      "merge-on-read", "branch", "json")
     var flags = Map.empty[String, String]
     val pos = Seq.newBuilder[String]
     var i = 0

@@ -59,13 +59,26 @@ final case class GraftConfig(
       * so ingestion over this plane is the no-copy registration path.
       */
     s3: Option[GraftConfig.S3] = None,
+    /** `gcs:` block: routes the catalog's METADATA plane through
+      * [[graft.catalog.GcsHttpFileIO]] against the configured JSON-API
+      * endpoint (reference deployment: docs/ice-rest-catalog-gcs.md).
+      * Same metadata/data split as the `s3:` block.
+      */
+    gcs: Option[GraftConfig.Gcs] = None,
     /** `uri: etcd:http://host:2379` (reference Config.java:44 — "Catalog
       * storage URI: jdbc:..., etcd:..."): routes the catalog's METADATA
       * plane through [[graft.catalog.EtcdHttpFileIO]] against the etcd
       * v3 JSON gateway at the given endpoint. Same metadata/data split
       * as the `s3:` block.
       */
-    etcdUri: Option[String] = None)
+    etcdUri: Option[String] = None,
+    /** `uri: jdbc:...` (reference Config.java:263-284 — sqlite/postgres
+      * catalog stores): routes the catalog's METADATA plane through
+      * [[graft.catalog.JdbcFileIO]] against the given JDBC URL (passed to
+      * `java.sql.DriverManager` whole). Same metadata/data split as the
+      * other backends.
+      */
+    jdbcUri: Option[String] = None)
 
 object GraftConfig {
 
@@ -73,6 +86,25 @@ object GraftConfig {
       endpoint: String, bucket: String,
       accessKeyID: String, secretAccessKey: String,
       region: String = "us-east-1")
+
+  /** `gcs:` block: either a static bearer `token` or a service account
+    * (`clientEmail` + PKCS#8 `privateKey` [+ `tokenUri`], the RFC 7523
+    * JWT-bearer grant — the flow behind the reference's
+    * GOOGLE_APPLICATION_CREDENTIALS deployment, ice-rest-catalog-gcs.md).
+    */
+  final case class Gcs(
+      endpoint: String, bucket: String,
+      token: Option[String],
+      clientEmail: Option[String], privateKey: Option[String],
+      tokenUri: Option[String]) {
+    def auth: graft.catalog.GcsAuth = (token, clientEmail, privateKey) match {
+      case (Some(t), _, _) => graft.catalog.GcsAuth.Static(t)
+      case (None, Some(e), Some(k)) => new graft.catalog.GcsAuth.ServiceAccount(
+        e, k, tokenUri.getOrElse("https://oauth2.googleapis.com/token"))
+      case _ => throw new IllegalArgumentException(
+        "gcs needs either token or clientEmail+privateKey")
+    }
+  }
 
   def load(path: String, env: String => Option[String] = sys.env.get): GraftConfig = {
     val raw = Files.readString(Paths.get(path))
@@ -146,7 +178,7 @@ object GraftConfig {
   private def build(m: Map[String, Any]): GraftConfig = {
     checkKeys(m, Set("root", "warehouse", "addr", "port", "bearerTokens",
       "anonymousAccess", "vendTableCredentials", "maintenanceSchedule",
-      "maintenance", "s3", "uri"), "config")
+      "maintenance", "s3", "gcs", "uri"), "config")
     val root = m.get("root").map(str(_, "root"))
       .orElse(m.get("warehouse").map(w =>
         // reference spelling: file:///path — a local catalog root
@@ -192,11 +224,29 @@ object GraftConfig {
         req("secretAccessKey"),
         sm.get("region").map(str(_, "s3.region")).getOrElse("us-east-1"))
     }
-    val etcdUri = m.get("uri").map(str(_, "uri")).map { u =>
-      // reference Config.java:44 spelling: "etcd:http://host:2379"
-      if (!u.startsWith("etcd:")) fail(
-        s"unsupported storage uri \"$u\" (supported: etcd:http://host:port)")
-      u.stripPrefix("etcd:")
+    val gcs = m.get("gcs").map { raw =>
+      val gm = asMap(raw, "gcs")
+      checkKeys(gm, Set("endpoint", "bucket", "token", "clientEmail",
+        "privateKey", "tokenUri"), "gcs")
+      def req(k: String) = str(gm.getOrElse(k, fail(s"gcs needs $k")), s"gcs.$k")
+      val g = Gcs(req("endpoint"), req("bucket"),
+        gm.get("token").map(str(_, "gcs.token")),
+        gm.get("clientEmail").map(str(_, "gcs.clientEmail")),
+        gm.get("privateKey").map(str(_, "gcs.privateKey")),
+        gm.get("tokenUri").map(str(_, "gcs.tokenUri")))
+      if (g.token.isEmpty && (g.clientEmail.isEmpty || g.privateKey.isEmpty))
+        fail("gcs needs either token or clientEmail+privateKey")
+      g
+    }
+    // reference Config.java:44 spelling: "Catalog storage URI:
+    // jdbc:..., etcd:..." — etcd routes to the v3 JSON gateway client,
+    // jdbc to the SQL store (the URL is passed to DriverManager whole)
+    val uri = m.get("uri").map(str(_, "uri"))
+    val etcdUri = uri.filter(_.startsWith("etcd:")).map(_.stripPrefix("etcd:"))
+    val jdbcUri = uri.filter(_.startsWith("jdbc:"))
+    uri.foreach { u =>
+      if (etcdUri.isEmpty && jdbcUri.isEmpty) fail(
+        s"unsupported storage uri \"$u\" (supported: etcd:http://host:port, jdbc:...)")
     }
     GraftConfig(
       root = root,
@@ -209,7 +259,9 @@ object GraftConfig {
       maintenance = policy,
       maintenanceIntervalMs = interval,
       s3 = s3,
-      etcdUri = etcdUri)
+      gcs = gcs,
+      etcdUri = etcdUri,
+      jdbcUri = jdbcUri)
   }
 
   private def token(tm: Map[String, Any], i: Int): RestServer.Token = {

@@ -152,6 +152,58 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat2.namespaceExists("deep") && cat2.namespaceExists("deep.er"))
   }
 
+  test("export --namespace filters; import --dry-run/--overwrite matrix") {
+    // two namespaces; the filter keeps exactly one (plus its children)
+    assert(cli("create-namespace", "expa")._1 == 0)
+    assert(cli("create-namespace", "expa.kid")._1 == 0)
+    assert(cli("create-namespace", "expb")._1 == 0)
+    assert(cli("create-table", "expa.t1", "--schema", "id BIGINT")._1 == 0)
+    assert(cli("create-table", "expa.kid.t2", "--schema", "id BIGINT")._1 == 0)
+    assert(cli("create-table", "expb.t3", "--schema", "id BIGINT")._1 == 0)
+    val blob = Files.createTempDirectory("cli-exp-f").resolve("cat.json").toString
+    assert(cli("export", blob, "--namespace", "expa")._1 == 0)
+    val json = Files.readString(java.nio.file.Paths.get(blob))
+    assert(json.contains("expa.t1") && json.contains("expa.kid.t2"))
+    assert(!json.contains("expb.t3"))
+    // `expa` must not greedily match sibling namespaces sharing the prefix
+    assert(cli("create-namespace", "expaz")._1 == 0)
+    assert(cli("create-table", "expaz.t4", "--schema", "id BIGINT")._1 == 0)
+    assert(cli("export", blob, "--namespace", "expa")._1 == 0)
+    assert(!Files.readString(java.nio.file.Paths.get(blob)).contains("expaz.t4"))
+
+    val root2 = Files.createTempDirectory("clicat-f").toString
+    def imp(extra: String*): Seq[String] = {
+      val buf = new ByteArrayOutputStream()
+      assert(Cli.run(Seq("--root", root2, "import", blob) ++ extra,
+        spark, new PrintStream(buf, true)) == 0)
+      buf.toString.linesIterator.toSeq
+    }
+    // dry-run: reports what WOULD be created, changes nothing
+    val dry = imp("--dry-run")
+    assert(dry.contains("expa.t1\tcreated") && dry.contains("expa.kid.t2\tcreated"))
+    assert(dry.last.contains("(dry-run)") && dry.last.contains("2 created"))
+    val cat2 = new graft.catalog.IceCatalog(spark, root2)
+    assert(!cat2.namespaceExists("expa"))
+    // real import creates both
+    assert(imp().last.contains("2 created, 0 skipped, 0 overwritten"))
+    assert(cat2.listTables("expa") == Seq("t1"))
+    // re-import without --overwrite: everything skips, nothing changes
+    val again = imp()
+    assert(again.contains("expa.t1\tskipped"))
+    assert(again.last.contains("0 created, 2 skipped, 0 overwritten"))
+    // with --overwrite: imported metadata publishes as the NEXT version
+    val v1 = cat2.loadMeta("expa.t1")
+    val over = imp("--overwrite")
+    assert(over.contains("expa.t1\toverwritten"))
+    assert(over.last.contains("0 created, 0 skipped, 2 overwritten"))
+    assert(cat2.listTables("expa") == Seq("t1"))
+    // dry-run + overwrite reports overwrites without applying them
+    val dryOver = imp("--dry-run", "--overwrite")
+    assert(dryOver.last.contains("(dry-run)") &&
+      dryOver.last.contains("2 overwritten"))
+    assert(v1.name == "expa.t1")
+  }
+
   test("serve starts a working REST endpoint") {
     var served: graft.catalog.RestServer.Server = null
     val (code, out) = {
@@ -235,6 +287,71 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (served != null) served.stop()
       etcd.stop()
     }
+  }
+
+  test("CLI over a jdbc: metadata plane (reference's sqlite-backend shape)") {
+    // reference Config.java:263-284 dispatches `jdbc:` storage URIs to a
+    // SQL catalog store; graft: `uri: jdbc:...` → JdbcFileIO. Full CLI
+    // lifecycle with catalog state living ONLY in the database.
+    val jdbcRoot = s"${Files.createTempDirectory("cli-jdbc")}/virtual/cat"
+    val db = Files.createTempDirectory("cli-jdbc-derby").resolve("db")
+    val cfg = Files.createTempFile("graft-cli-jdbc", ".yaml")
+    Files.writeString(cfg,
+      s"""root: $jdbcRoot
+         |uri: jdbc:derby:$db;create=true
+         |""".stripMargin)
+    def jcli(args: String*): (Int, Seq[String]) = {
+      val buf = new ByteArrayOutputStream()
+      val code = Cli.run(Seq("--config", cfg.toString) ++ args, spark,
+        new PrintStream(buf, true))
+      (code, buf.toString.linesIterator.toSeq)
+    }
+    import spark.implicits._
+    assert(jcli("create-namespace", "jd")._1 == 0)
+    assert(jcli("create-table", "jd.ev", "--schema", "id BIGINT, kind STRING")._1 == 0)
+    // the SQL store carries the METADATA plane only: data enters by
+    // no-copy registration from shared storage, the same split as the
+    // reference's etcd+S3 deployments
+    val staging = Files.createTempDirectory("cli-jdbc-staging")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "kind").coalesce(1)
+      .write.parquet(staging.resolve("b1").toString)
+    val (ic, iout) = jcli("insert", "jd.ev", s"${staging.resolve("b1")}/*.parquet",
+      "--no-copy", "--force-outside-location")
+    assert(ic == 0, iout.mkString(" | "))
+    assert(jcli("count", "jd.ev") == (0, Seq("3")))
+    val (sc, scan) = jcli("scan", "jd.ev")
+    assert(sc == 0 && scan.length == 4) // header + 3 rows
+    // metadata never touched the local filesystem — it all lives in SQL
+    assert(!Files.exists(java.nio.file.Paths.get(jdbcRoot)))
+    // a second CLI invocation (fresh JdbcFileIO connections) sees the state
+    assert(jcli("list-tables", "jd") == (0, Seq("ev")))
+  }
+
+  test("CLI over a gcs: metadata plane (reference's GCS deployment shape)") {
+    val gcs = new graft.catalog.GcsWireServer(staticToken = Some("cli-gcs-tok")).start()
+    try {
+      val gcsRoot = s"${Files.createTempDirectory("cli-gcs")}/virtual/cat"
+      val cfg = Files.createTempFile("graft-cli-gcs", ".yaml")
+      Files.writeString(cfg,
+        s"""root: $gcsRoot
+           |gcs:
+           |  endpoint: ${gcs.endpoint}
+           |  bucket: warehouse
+           |  token: cli-gcs-tok
+           |""".stripMargin)
+      def gcli(args: String*): (Int, Seq[String]) = {
+        val buf = new ByteArrayOutputStream()
+        val code = Cli.run(Seq("--config", cfg.toString) ++ args, spark,
+          new PrintStream(buf, true))
+        (code, buf.toString.linesIterator.toSeq)
+      }
+      assert(gcli("create-namespace", "gc")._1 == 0)
+      assert(gcli("create-table", "gc.ev", "--schema", "id BIGINT")._1 == 0)
+      assert(gcli("list-tables", "gc") == (0, Seq("ev")))
+      // metadata lives only in the object store
+      assert(!Files.exists(java.nio.file.Paths.get(gcsRoot)))
+      assert(gcs.objectCount > 0)
+    } finally gcs.stop()
   }
 
   test("insert --compression lands the requested parquet codec") {

@@ -89,14 +89,45 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(j.root.contains("/tmp/j") && j.port.contains(7070) && j.anonymousEnabled)
   }
 
-  test("uri: etcd:... parses; other storage uris are refused") {
+  test("uri: etcd:/jdbc: parse; other storage uris are refused") {
     val c = GraftConfig.fromString(
       "root: /tmp/c\nuri: etcd:http://127.0.0.1:2379\n", env())
     assert(c.etcdUri.contains("http://127.0.0.1:2379"))
+    assert(c.jdbcUri.isEmpty)
     assert(GraftConfig.fromString("root: /tmp/c\n", env()).etcdUri.isEmpty)
+    // jdbc: URLs pass through WHOLE (DriverManager needs the prefix)
+    val j = GraftConfig.fromString(
+      "root: /tmp/c\nuri: jdbc:derby:/tmp/db;create=true\n", env())
+    assert(j.jdbcUri.contains("jdbc:derby:/tmp/db;create=true"))
+    assert(j.etcdUri.isEmpty)
     val e = intercept[IllegalArgumentException](
-      GraftConfig.fromString("uri: jdbc:postgres://x\n", env()))
+      GraftConfig.fromString("uri: redis://x\n", env()))
     assert(e.getMessage.contains("unsupported storage uri"))
+  }
+
+  test("gcs block parses: static token or service-account pair required") {
+    val c = GraftConfig.fromString(
+      """root: /tmp/c
+        |gcs:
+        |  endpoint: http://127.0.0.1:4443
+        |  bucket: warehouse
+        |  token: tok123
+        |""".stripMargin, env())
+    assert(c.gcs.exists(g => g.bucket == "warehouse" && g.token.contains("tok123")))
+    assert(c.gcs.get.auth.isInstanceOf[graft.catalog.GcsAuth.Static])
+    val sa = GraftConfig.fromString(
+      """root: /tmp/c
+        |gcs:
+        |  endpoint: http://127.0.0.1:4443
+        |  bucket: wh
+        |  clientEmail: svc@proj.iam.gserviceaccount.com
+        |  privateKey: not-a-real-key
+        |  tokenUri: http://127.0.0.1:4443/token
+        |""".stripMargin, env())
+    assert(sa.gcs.exists(_.clientEmail.contains("svc@proj.iam.gserviceaccount.com")))
+    val e = intercept[IllegalArgumentException](GraftConfig.fromString(
+      "root: /tmp/c\ngcs:\n  endpoint: http://x\n  bucket: b\n", env()))
+    assert(e.getMessage.contains("token or clientEmail"))
   }
 
   test("schedule grammar") {
