@@ -36,6 +36,14 @@ object IceCatalog {
   private[catalog] val timingEnabled: Boolean =
     sys.env.get("GRAFT_TIMING").contains("1")
 
+  /** Per-table outcome of [[IceCatalog.importCatalog]] (the reference's
+    * CatalogImportResult + per-entry skip reporting).
+    */
+  case class ImportEntry(table: String, action: String)
+  case class ImportResult(
+      created: Int, skipped: Int, overwritten: Int,
+      dryRun: Boolean, entries: Seq[ImportEntry])
+
   case class PartitionField(column: String, transform: String, name: String)
   case class SortField(column: String, desc: Boolean = false, nullsFirst: Boolean = false)
   case class ColStats(min: String, max: String, nullCount: Long)
@@ -2208,7 +2216,22 @@ class IceCatalog(
     }
     if (dryRun) { applyTo(meta); counts }
     else {
-      commit(ident, applyTo, basedOn = Some(meta.currentSnapshotId))
+      // phase 1 staged rewritten delete files into delete-relocate-* dirs
+      // BEFORE this commit; if the commit is refused (table advanced) or
+      // throws, remove them — nothing references them yet, and leaving
+      // them would orphan data-dir bytes with no maintenance owner
+      try commit(ident, applyTo, basedOn = Some(meta.currentSnapshotId))
+      catch {
+        case e: Throwable =>
+          contentRewrites.values.foreach { d =>
+            val staged = Paths.get(new java.net.URI(d.path).getPath).getParent
+            try {
+              io.list(staged).foreach(io.deleteIfExists)
+              io.deleteIfExists(staged)
+            } catch { case _: Exception => } // best-effort cleanup
+          }
+          throw e
+      }
       counts
     }
   }
@@ -2603,10 +2626,13 @@ class IceCatalog(
     // row's real position in its file) — an inline
     // monotonically_increasing_id() in the window's own orderBy evaluates
     // AFTER the window exchange has already sorted the rows, making the
-    // check vacuously pass on unsorted files
-    val df = readFiles(meta, cur.files)
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__seq", col("_metadata.row_index"))
+    // check vacuously pass on unsorted files. withPos projects the
+    // metadata columns INSIDE each per-schema branch (metadata-column
+    // resolution through readFiles' Union is version-sensitive in Spark
+    // and breaks on schema-evolved tables).
+    val df = readFiles(meta, cur.files, withPos = true)
+      .withColumn("__file", col(IceCatalog.PosFileCol))
+      .withColumn("__seq", col(IceCatalog.PosIdxCol))
     val orderCols = meta.sortOrder.map { s =>
       val c = col(s.column)
       (s.desc, s.nullsFirst) match {
@@ -3081,14 +3107,22 @@ class IceCatalog(
     wrong.length
   }
 
-  /** Export all table metadata as one JSON blob (CatalogExport.java).
-    * Snapshots are emitted INLINE (manifest refs stripped): the blob is
-    * self-contained and importable into a catalog root that has no
-    * segment files — importCatalog's writeVersion re-segments them there.
+  /** Export table metadata as one JSON blob (CatalogExport.java /
+    * CatalogAdminService.export). Snapshots are emitted INLINE (manifest
+    * refs stripped): the blob is self-contained and importable into a
+    * catalog root that has no segment files — importCatalog's
+    * writeVersion re-segments them there.
+    *
+    * `namespaceFilter` keeps only tables in that namespace or its
+    * children (the reference's `?namespace=` filter,
+    * CatalogAdminService.java:103-115: exact match or `filter + "/"`
+    * prefix — here with graft's dotted nesting).
     */
-  def exportCatalog(): String = {
+  def exportCatalog(namespaceFilter: Option[String] = None): String = {
+    def matches(ns: String): Boolean =
+      namespaceFilter.forall(f => ns == f || ns.startsWith(f + "."))
     val tables = for {
-      ns <- allNamespaces(); t <- listTables(ns)
+      ns <- allNamespaces() if matches(ns); t <- listTables(ns)
     } yield {
       val m = loadMeta(s"$ns.$t")
       m.copy(snapshots = m.snapshots.map(_.copy(
@@ -3098,19 +3132,42 @@ class IceCatalog(
   }
 
   /** Import previously exported metadata into this catalog root
-    * (CatalogImport.java) — tables are recreated at v1 with their snapshot
-    * history; data files are referenced in place.
+    * (CatalogImport.java / CatalogAdminService.importSnapshot) — tables
+    * are recreated at v1 with their snapshot history; data files are
+    * referenced in place. Existing tables are skipped unless `overwrite`,
+    * which publishes the imported metadata as the table's NEXT version
+    * through the normal commit chain (never clobbering history).
+    * `dryRun` reports what WOULD happen without touching the store.
+    * Returns per-entry actions plus counts, the reference's
+    * CatalogImportResult shape.
     */
-  def importCatalog(json: String): Unit = {
+  def importCatalog(
+      json: String,
+      dryRun: Boolean = false,
+      overwrite: Boolean = false): IceCatalog.ImportResult = {
     val metas = mapper.readValue(json, classOf[Array[TableMeta]])
-    metas.foreach { m =>
-      createNamespaceChain(m.name.split('.').init.mkString("."))
-      if (!tableExists(m.name)) {
+    val entries = metas.toSeq.map { m =>
+      val exists = tableExists(m.name)
+      val action =
+        if (!exists) "created" else if (overwrite) "overwritten" else "skipped"
+      if (!dryRun && action != "skipped") {
+        createNamespaceChain(m.name.split('.').init.mkString("."))
         val dir = tableDir(m.name)
-        io.createDirectories(dir.resolve("metadata"))
-        io.createDirectories(dir.resolve("data"))
-        writeVersion(dir, 1, m)
+        if (!exists) {
+          io.createDirectories(dir.resolve("metadata"))
+          io.createDirectories(dir.resolve("data"))
+          writeVersion(dir, 1, m)
+        } else {
+          writeVersion(dir, currentVersion(dir) + 1, m)
+        }
       }
+      IceCatalog.ImportEntry(m.name, action)
     }
+    IceCatalog.ImportResult(
+      created = entries.count(_.action == "created"),
+      skipped = entries.count(_.action == "skipped"),
+      overwritten = entries.count(_.action == "overwritten"),
+      dryRun = dryRun,
+      entries = entries)
   }
 }

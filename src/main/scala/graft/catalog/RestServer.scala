@@ -470,13 +470,30 @@ object RestServer {
         // CatalogImport.java over the wire): export is the self-contained
         // snapshot-inlined JSON blob, import recreates missing tables
         case ("GET", List("v1", "catalog", "export")) =>
-          send(ex, 200, cat.exportCatalog().getBytes(StandardCharsets.UTF_8),
+          // ?namespace= filters to that namespace + children (reference
+          // CatalogAdminServlet.handleExport's request parameter)
+          send(ex, 200,
+            cat.exportCatalog(queryParam(ex, "namespace"))
+              .getBytes(StandardCharsets.UTF_8),
             json = true)
         case ("POST", List("v1", "catalog", "import")) =>
           val bytes = ex.getRequestBody.readAllBytes()
           require(bytes.nonEmpty, "import needs an export blob body")
-          cat.importCatalog(new String(bytes, StandardCharsets.UTF_8))
-          send(ex, 204, Array.empty)
+          // ?dry-run= / ?overwrite= and a JSON result body with per-entry
+          // actions (reference CatalogAdminServlet.handleImport →
+          // CatalogImportResult)
+          val res = cat.importCatalog(
+            new String(bytes, StandardCharsets.UTF_8),
+            dryRun = queryParam(ex, "dry-run").exists(_.toBoolean),
+            overwrite = queryParam(ex, "overwrite").exists(_.toBoolean))
+          val entriesJson = res.entries.map(e =>
+            s"""{"table":"${e.table}","action":"${e.action}"}""")
+            .mkString("[", ",", "]")
+          send(ex, 200,
+            (s"""{"created":${res.created},"skipped":${res.skipped},""" +
+              s""""overwritten":${res.overwritten},"dryRun":${res.dryRun},""" +
+              s""""entries":$entriesJson}""").getBytes(StandardCharsets.UTF_8),
+            json = true)
 
         case _ =>
           sendError(ex, 404, "NoSuchRouteException", s"$method /${path.mkString("/")}")

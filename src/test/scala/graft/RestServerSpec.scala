@@ -240,10 +240,24 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
           .header("Authorization", "Bearer rw-secret")
           .POST(HttpRequest.BodyPublishers.ofString(blob.body)).build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(imp.statusCode() == 204)
+      // reference CatalogAdminServlet returns the import result JSON
+      assert(imp.statusCode() == 200)
+      assert(imp.body().contains("\"skipped\":0") &&
+        imp.body().contains("""{"table":"web.exp","action":"created"}"""))
       assert(cat2.tableExists("web.exp"))
       assert(cat2.scan("web.exp").count() == 2,
         "imported table must reference the original data files in place")
+      // re-import without overwrite: skipped; with ?overwrite=true: next
+      // version published (reference's dry-run/overwrite query params)
+      val again = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"${server2.url}/v1/catalog/import?dry-run=true&overwrite=true"))
+          .header("Authorization", "Bearer rw-secret")
+          .POST(HttpRequest.BodyPublishers.ofString(blob.body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(again.statusCode() == 200 &&
+        again.body().contains("""{"table":"web.exp","action":"overwritten"}""") &&
+        again.body().contains("\"dryRun\":true"))
     } finally server2.stop()
   }
 
