@@ -124,8 +124,16 @@ final class S3Wire(
 
   /** Multipart upload of pre-chunked parts under one uploadId, completed
     * with the part manifest, aborted (staged upload discarded) on failure.
+    * An EMPTY parts iterator falls back to one plain PUT: S3 rejects a
+    * zero-part CompleteMultipartUpload with MalformedXML, but an empty
+    * object is a legal write.
     */
   def uploadParts(key: String, parts: Iterator[Array[Byte]]): Unit = {
+    if (!parts.hasNext) {
+      val r = request("PUT", key, body = Array.empty[Byte])
+      if (r.statusCode() != 200) fail(r, key)
+      return
+    }
     val id = initiateUpload(key)
     try {
       val manifest = parts.zipWithIndex.map { case (part, i) =>

@@ -328,9 +328,13 @@ final class S3WireServer(
     }
     val unesc = (s: String) =>
       s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    // real S3 accepts Part ETags with or without surrounding quotes —
+    // normalize both sides so standards-conformant clients sending
+    // unquoted ETags don't get a spurious InvalidPart
+    val unquote = (s: String) => s.stripPrefix("\"").stripSuffix("\"")
     val bad = manifest.find { case (n, etag) =>
       val p = u._2.get(n)
-      p == null || unesc(etag) != etagOf(p)
+      p == null || unquote(unesc(etag)) != unquote(etagOf(p))
     }
     bad match {
       case Some((n, _)) => sendError(ex, 400, "InvalidPart", s"part $n"); return

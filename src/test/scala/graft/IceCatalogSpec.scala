@@ -130,6 +130,32 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("ns1.asrt")
   }
 
+  test("checkSorted works on a schema-evolved table (files under two schemaIds)") {
+    // readFiles plans one union branch per historical schema; the audit's
+    // (file, row_index) identity must resolve inside each branch, not
+    // against the Union (version-sensitive in Spark)
+    import spark.implicits._
+    val schema = Seq((1L, "x")).toDF("k", "v").schema
+    cat.createTable("ns1.evsort", schema,
+      sortOrder = Seq(IceCatalog.SortField("k")))
+    cat.insert("ns1.evsort",
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      IceCatalog.InsertOptions(assumeSorted = true))
+    cat.addColumn("ns1.evsort", "w", org.apache.spark.sql.types.LongType)
+    cat.insert("ns1.evsort",
+      (1L to 30L).map(i => (i, s"n$i", i * 2)).toDF("k", "v", "w").coalesce(1),
+      IceCatalog.InsertOptions(assumeSorted = true))
+    assert(cat.loadMeta("ns1.evsort").current.get.files.map(_.schemaId).distinct.size == 2,
+      "test must exercise files under two schemaIds")
+    assert(cat.checkSorted("ns1.evsort") == 0L)
+    // unsorted rows under the NEW schema are still caught per-file
+    cat.insert("ns1.evsort",
+      (1L to 30L).map(i => ((i * 17) % 31, s"u$i", i)).toDF("k", "v", "w").coalesce(1),
+      IceCatalog.InsertOptions(assumeSorted = true, forceDuplicates = true))
+    assert(cat.checkSorted("ns1.evsort") > 0L)
+    cat.dropTable("ns1.evsort")
+  }
+
   test("compaction rewrites into fewer files, same rows") {
     val rowsBefore = cat.scan("ns1.li").count()
     val filesBefore = cat.files("ns1.li").size

@@ -96,6 +96,72 @@ class RewriteTablePathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.loadMeta("rtp.t").currentSnapshotId == v)
   }
 
+  test("a refused commit cleans up the staged delete-relocate files") {
+    import spark.implicits._
+    // a FileIO double whose version publish fails while armed — the
+    // observable shape of losing the optimistic commit race
+    class FailNextPublish(inner: graft.catalog.FileIO) extends graft.catalog.FileIO {
+      @volatile var failuresLeft = 0
+      def exists(p: Path) = inner.exists(p)
+      def isDirectory(p: Path) = inner.isDirectory(p)
+      def isRegularFile(p: Path) = inner.isRegularFile(p)
+      def createDirectories(p: Path) = inner.createDirectories(p)
+      def list(p: Path) = inner.list(p)
+      def walk(p: Path) = inner.walk(p)
+      def readString(p: Path) = inner.readString(p)
+      def writeString(p: Path, s: String) = inner.writeString(p, s)
+      def writeStringIfAbsent(p: Path, s: String) = inner.writeStringIfAbsent(p, s)
+      def publishLink(target: Path, src: Path) = {
+        if (failuresLeft > 0 && target.getFileName.toString.matches("v\\d+\\.json")) {
+          failuresLeft -= 1
+          throw new java.nio.file.FileAlreadyExistsException(target.toString)
+        }
+        inner.publishLink(target, src)
+      }
+      def move(from: Path, to: Path) = inner.move(from, to)
+      def delete(p: Path) = inner.delete(p)
+      def deleteIfExists(p: Path) = inner.deleteIfExists(p)
+      def size(p: Path) = inner.size(p)
+      def lastModifiedMillis(p: Path) = inner.lastModifiedMillis(p)
+      def parquetFooter(p: Path, conf: org.apache.hadoop.conf.Configuration) =
+        inner.parquetFooter(p, conf)
+    }
+    val root2 = Files.createTempDirectory("rtp-refuse").toString
+    val io = new FailNextPublish(graft.catalog.LocalFileIO)
+    val cat2 = new IceCatalog(spark, root2, io)
+    val src2 = Files.createTempDirectory("rtp-refuse-src")
+    val tgt2 = Files.createTempDirectory("rtp-refuse-tgt")
+    (1L to 4L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .write.parquet(src2.resolve("b").toString)
+    import scala.jdk.CollectionConverters._
+    val parquets = Files.walk(src2).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq
+    cat2.createTable("rf.t", Seq((1L, "x")).toDF("k", "v").schema)
+    cat2.addFilesWithRetry("rf.t", parquets, forceOutsideLocation = true)
+    val victim = cat2.scan("rf.t").select(
+      col("_metadata.file_path").as("file_path"),
+      col("_metadata.row_index").as("pos"), col("k"))
+      .filter(col("k") === 2L).drop("k")
+    cat2.deletePositions("rf.t", victim)
+    copyTree(src2, tgt2)
+    val dataDir = Paths.get(root2, "rf", "t", "data")
+    def staged() = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("delete-relocate-")).toSeq
+    // more persistent failures than commit's retry budget: the conflict
+    // propagates, the observable shape of a genuinely refused commit
+    io.failuresLeft = 20
+    intercept[Exception](
+      cat2.rewriteTablePath("rf.t", src2.toString, tgt2.toString))
+    assert(staged().isEmpty,
+      s"refused commit must remove staged delete-relocate dirs: ${staged()}")
+    io.failuresLeft = 0
+    // the retry (no interference) succeeds and serves the mask from target
+    val r = cat2.rewriteTablePath("rf.t", src2.toString, tgt2.toString)
+    assert(r("delete_contents_rewritten") == 1, s"$r")
+    Files.walk(src2).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    assert(cat2.scan("rf.t").count() == 3)
+  }
+
   test("a sibling directory sharing the prefix string is NOT relocated") {
     import spark.implicits._
     val base = Files.createTempDirectory("rtp-bnd")

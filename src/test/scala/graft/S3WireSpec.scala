@@ -140,6 +140,16 @@ class S3WireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wire.readString(base.resolve("dst")) == "payload")
   }
 
+  test("multipart write of an EMPTY payload falls back to a plain PUT") {
+    // S3 rejects a zero-part CompleteMultipartUpload with MalformedXML;
+    // the client must degrade to a single empty PUT
+    val base = java.nio.file.Paths.get(s"$root/mpe")
+    wire.createDirectories(base)
+    wire.writeBytesMultipart(base.resolve("empty.bin"), Array.empty[Byte], partSize = 8192)
+    assert(wire.exists(base.resolve("empty.bin")))
+    assert(wire.size(base.resolve("empty.bin")) == 0L)
+  }
+
   test("multipart server-side copy moves big objects without client bytes") {
     val base = java.nio.file.Paths.get(s"$root/mpc")
     wire.createDirectories(base)
