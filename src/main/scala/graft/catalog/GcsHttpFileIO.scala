@@ -1,0 +1,249 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{DirectoryNotEmptyException, FileAlreadyExistsException, NoSuchFileException, Path}
+
+/** [[FileIO]] over the REAL GCS JSON-API wire ([[GcsWire]]) — the
+  * reference's GCS storage plane (docs/ice-rest-catalog-gcs.md, reached
+  * there through Iceberg's GCSFileIO + the GCS SDK) re-expressed as a
+  * metadata-plane drop-in behind the storage seam, exactly parallel to
+  * [[S3HttpFileIO]]. In specs the endpoint is the in-process
+  * [[GcsWireServer]] (which verifies bearer auth and generation
+  * preconditions); in deployment any JSON-API-compatible store.
+  *
+  * Semantics mirror the other object-store backends: nio paths under
+  * `mountRoot` become object names (abs path minus the leading slash),
+  * directories are zero-byte trailing-slash markers, and paths outside
+  * the mount pass through to [[LocalFileIO]] (the data plane).
+  *
+  * The commit protocol's atomic create-new maps to
+  * `ifGenerationMatch=0` — GCS's conditional-write primitive, STRONGER
+  * than S3's `If-None-Match: *` since non-zero generations also gate
+  * replace and delete; move uses a server-side rewrite + a
+  * generation-conditional delete as the race arbiter.
+  */
+final class GcsHttpFileIO(
+    mountRoot: String,
+    endpoint: String,
+    bucket: String,
+    auth: GcsAuth) extends FileIO {
+
+  private val wire = new GcsWire(endpoint, bucket, auth)
+  import wire.fail
+
+  private val rootKey =
+    java.nio.file.Paths.get(mountRoot).toAbsolutePath.normalize.toString
+
+  private def inGcs(p: Path): Boolean = {
+    val k = p.toAbsolutePath.normalize.toString
+    k == rootKey || k.startsWith(rootKey + "/")
+  }
+
+  private def objKey(p: Path): String =
+    p.toAbsolutePath.normalize.toString.stripPrefix("/")
+  private def dirKey(p: Path): String = objKey(p) + "/"
+
+  private def statFile(p: Path): Option[String] = wire.stat(objKey(p))
+  private def statDir(p: Path): Option[String] = wire.stat(dirKey(p))
+
+  // ---- FileIO surface -----------------------------------------------------
+
+  def exists(p: Path): Boolean =
+    if (!inGcs(p)) LocalFileIO.exists(p)
+    else statFile(p).isDefined || statDir(p).isDefined
+
+  def isDirectory(p: Path): Boolean =
+    if (!inGcs(p)) LocalFileIO.isDirectory(p) else statDir(p).isDefined
+
+  def isRegularFile(p: Path): Boolean =
+    if (!inGcs(p)) LocalFileIO.isRegularFile(p) else statFile(p).isDefined
+
+  def createDirectories(p: Path): Unit = {
+    if (!inGcs(p)) { LocalFileIO.createDirectories(p); return }
+    var chain = List.empty[Path]
+    var k = p.toAbsolutePath.normalize
+    while (k != null && inGcs(k)) { chain = k :: chain; k = k.getParent }
+    chain.foreach { c =>
+      if (statFile(c).isDefined)
+        throw new FileAlreadyExistsException(c.toString)
+      // marker create-new per level top-down; 412 = marker already there
+      val r = wire.upload(dirKey(c), Array.empty, ifGenerationMatch = Some(0))
+      if (r.statusCode() != 200 && r.statusCode() != 412) fail(r, dirKey(c))
+    }
+  }
+
+  def list(p: Path): Seq[Path] = {
+    if (!inGcs(p)) return LocalFileIO.list(p)
+    val (items, prefixes) = wire.list(dirKey(p), Some("/"))
+    val files = items.filterNot(_.endsWith("/"))
+    val dirs = prefixes.map(_.stripSuffix("/")).filter(_ != objKey(p))
+    (files ++ dirs).distinct.sorted.map(k => java.nio.file.Paths.get("/" + k))
+  }
+
+  def walk(p: Path): Seq[Path] = {
+    if (!inGcs(p)) return LocalFileIO.walk(p)
+    if (!exists(p)) return Seq.empty
+    val (items, _) = wire.list(dirKey(p), None)
+    val base = p.toAbsolutePath.normalize
+    base +: items.sorted
+      .map(k => java.nio.file.Paths.get("/" + k.stripSuffix("/")))
+      .filterNot(_ == base)
+      .distinct
+  }
+
+  def readString(p: Path): String = {
+    if (!inGcs(p)) return LocalFileIO.readString(p)
+    try new String(wire.download(objKey(p)), UTF_8)
+    catch { case _: NoSuchFileException => throw new NoSuchFileException(objKey(p)) }
+  }
+
+  private def requireParentDir(p: Path): Unit = {
+    val parent = Option(p.toAbsolutePath.normalize.getParent)
+      .getOrElse(throw new NoSuchFileException(objKey(p)))
+    if (wire.stat(dirKey(parent)).isEmpty)
+      throw new NoSuchFileException(parent.toString)
+  }
+
+  def writeString(p: Path, s: String): Unit = {
+    if (!inGcs(p)) { LocalFileIO.writeString(p, s); return }
+    requireParentDir(p)
+    if (statDir(p).isDefined)
+      throw new java.nio.file.FileSystemException(objKey(p), null, "is a directory")
+    val r = wire.upload(objKey(p), s.getBytes(UTF_8))
+    if (r.statusCode() != 200) fail(r, objKey(p))
+  }
+
+  def writeStringIfAbsent(p: Path, s: String): Unit = {
+    if (!inGcs(p)) { LocalFileIO.writeStringIfAbsent(p, s); return }
+    requireParentDir(p)
+    if (statDir(p).isDefined)
+      throw new FileAlreadyExistsException(objKey(p))
+    // ifGenerationMatch=0 IS the atomic create-new: of N racing
+    // committers exactly one sees 200, the rest 412
+    val r = wire.upload(objKey(p), s.getBytes(UTF_8), ifGenerationMatch = Some(0))
+    if (r.statusCode() == 412) throw new FileAlreadyExistsException(objKey(p))
+    if (r.statusCode() != 200) fail(r, objKey(p))
+  }
+
+  def publishLink(target: Path, src: Path): Unit = {
+    if (!inGcs(target)) { LocalFileIO.publishLink(target, src); return }
+    if (inGcs(src) && statFile(src).isEmpty)
+      throw new NoSuchFileException(objKey(src))
+    requireParentDir(target)
+    if (statDir(target).isDefined)
+      throw new FileAlreadyExistsException(objKey(target))
+    if (inGcs(src)) {
+      // server-side copy with the create-new precondition: the staged
+      // bytes never ride the client, and the publish is still atomic
+      val r = wire.rewriteTo(objKey(src), objKey(target), ifGenerationMatch = Some(0))
+      if (r.statusCode() == 412) throw new FileAlreadyExistsException(objKey(target))
+      if (r.statusCode() == 404) throw new NoSuchFileException(objKey(src))
+      if (r.statusCode() != 200) fail(r, objKey(target))
+    } else {
+      val bytes = LocalFileIO.readString(src).getBytes(UTF_8)
+      val r = wire.upload(objKey(target), bytes, ifGenerationMatch = Some(0))
+      if (r.statusCode() == 412) throw new FileAlreadyExistsException(objKey(target))
+      if (r.statusCode() != 200) fail(r, objKey(target))
+    }
+  }
+
+  def move(from: Path, to: Path): Unit = {
+    if (!inGcs(from)) { LocalFileIO.move(from, to); return }
+    val (fileMeta, dirMeta) = (statFile(from), statDir(from))
+    if (fileMeta.isEmpty && dirMeta.isEmpty)
+      throw new NoSuchFileException(objKey(from))
+    if (from.toAbsolutePath.normalize == to.toAbsolutePath.normalize) return
+    val isDir = dirMeta.isDefined
+    if (isDir && objKey(to).startsWith(objKey(from) + "/"))
+      throw new java.nio.file.FileSystemException(objKey(to), null,
+        "cannot move a directory into its own subtree")
+    requireParentDir(to)
+    if (isDir) {
+      val (children, _) = wire.list(dirKey(from), None)
+      if (statDir(to).isDefined || statFile(to).isDefined)
+        throw new FileAlreadyExistsException(objKey(to))
+      val mk = wire.upload(dirKey(to), Array.empty, ifGenerationMatch = Some(0))
+      if (mk.statusCode() == 412) throw new FileAlreadyExistsException(objKey(to))
+      if (mk.statusCode() != 200) fail(mk, dirKey(to))
+      children.foreach { ck =>
+        val r = wire.rewriteTo(ck, objKey(to) + "/" + ck.stripPrefix(dirKey(from)))
+        if (r.statusCode() != 200) fail(r, ck)
+      }
+      children.foreach { ck =>
+        val r = wire.delete(ck); if (r.statusCode() >= 300 && r.statusCode() != 404) fail(r, ck)
+      }
+      val r = wire.delete(dirKey(from))
+      if (r.statusCode() >= 300 && r.statusCode() != 404) fail(r, dirKey(from))
+    } else {
+      val srcGen = GcsWire.long(fileMeta.get, "generation")
+      if (statFile(to).isDefined || statDir(to).isDefined)
+        throw new FileAlreadyExistsException(objKey(to))
+      val cp = wire.rewriteTo(objKey(from), objKey(to))
+      if (cp.statusCode() == 404) throw new NoSuchFileException(objKey(from))
+      if (cp.statusCode() != 200) fail(cp, objKey(to))
+      // delete only the generation observed: a racing writer that
+      // replaced the source after our stat keeps its object (the same
+      // arbiter role as S3's If-Match conditional delete)
+      val del = wire.delete(objKey(from), ifGenerationMatch = srcGen)
+      if (del.statusCode() == 412) throw new NoSuchFileException(objKey(from))
+      if (del.statusCode() >= 300 && del.statusCode() != 404) fail(del, objKey(from))
+    }
+  }
+
+  def delete(p: Path): Unit =
+    if (!deleteIfExists(p)) throw new NoSuchFileException(objKey(p))
+
+  def deleteIfExists(p: Path): Boolean = {
+    if (!inGcs(p)) return LocalFileIO.deleteIfExists(p)
+    if (statFile(p).isDefined) {
+      val r = wire.delete(objKey(p))
+      if (r.statusCode() >= 300 && r.statusCode() != 404) fail(r, objKey(p))
+      true
+    } else if (statDir(p).isDefined) {
+      val (children, prefixes) = wire.list(dirKey(p), Some("/"))
+      if (children.exists(_ != dirKey(p)) || prefixes.nonEmpty)
+        throw new DirectoryNotEmptyException(objKey(p))
+      val r = wire.delete(dirKey(p))
+      if (r.statusCode() >= 300 && r.statusCode() != 404) fail(r, dirKey(p))
+      true
+    } else {
+      // POSIX: unlink through a FILE path component is ENOTDIR
+      var anc = p.toAbsolutePath.normalize.getParent
+      while (anc != null && inGcs(anc)) {
+        if (statFile(anc).isDefined)
+          throw new java.nio.file.FileSystemException(anc.toString, null,
+            "not a directory")
+        anc = anc.getParent
+      }
+      false
+    }
+  }
+
+  def size(p: Path): Long = {
+    if (!inGcs(p)) return LocalFileIO.size(p)
+    GcsWire.long(
+      statFile(p).getOrElse(throw new NoSuchFileException(objKey(p))), "size")
+      .getOrElse(0L)
+  }
+
+  def lastModifiedMillis(p: Path): Long = {
+    if (!inGcs(p)) return LocalFileIO.lastModifiedMillis(p)
+    val meta = statFile(p).orElse(statDir(p))
+      .getOrElse(throw new NoSuchFileException(objKey(p)))
+    GcsWire.string(meta, "updated")
+      .map(java.time.Instant.parse(_).toEpochMilli)
+      .getOrElse(0L)
+  }
+
+  /** Data plane passthrough, same as the other object-store backends. */
+  def parquetFooter(
+      p: Path,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.parquet.hadoop.metadata.ParquetMetadata =
+    LocalFileIO.parquetFooter(p, conf)
+
+  /** Ranged GET — the object-store read shape footer/page reads use. */
+  def readRange(p: Path, offset: Long, len: Int): Array[Byte] = {
+    require(inGcs(p), s"ranged reads target the GCS mount: $p")
+    wire.downloadRange(objKey(p), offset, len)
+  }
+}

@@ -1,0 +1,261 @@
+package graft.catalog
+
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** A GCS-JSON-API-compatible HTTP endpoint over an in-memory object store
+  * — the wire half of the GCS conformance story, mirroring
+  * [[S3WireServer]]: [[GcsHttpFileIO]] speaks the real JSON API to this
+  * server in specs and to any compatible endpoint (fake-gcs-server, a
+  * proxy, GCS itself) in deployment.
+  *
+  * Implemented surface (what the FileIO seam needs): media upload with
+  * `ifGenerationMatch` preconditions (0 = create-new — GCS's conditional-
+  * write primitive, covering create AND replace), metadata GET, media GET
+  * with `Range`, conditional DELETE, `rewriteTo` server-side copy,
+  * listing with prefix/delimiter/pageToken (small page size, so clients
+  * MUST follow continuation tokens), and the OAuth2 token endpoint: the
+  * RFC 7523 JWT-bearer grant is verified against the registered service
+  * account's RSA PUBLIC key (RS256 re-verified server-side on every
+  * grant, the same trust story as S3WireServer re-deriving SigV4), and
+  * every storage request must carry a bearer token this server issued
+  * (or the pre-shared static token).
+  *
+  * Object names in URLs are single percent-encoded path segments
+  * (slashes ride as %2F), decoded from the RAW path — the JSON API's
+  * convention.
+  */
+final class GcsWireServer(
+    staticToken: Option[String] = None,
+    port: Int = 0,
+    pageSize: Int = 7) {
+
+  final case class Obj(bytes: Array[Byte], generation: Long, mtime: Long)
+
+  /** key = "bucket/objectName" */
+  val store = new ConcurrentHashMap[String, Obj]()
+  private val gen = new java.util.concurrent.atomic.AtomicLong(1)
+  private val issuedTokens = ConcurrentHashMap.newKeySet[String]()
+  private val serviceAccounts = new ConcurrentHashMap[String, java.security.PublicKey]()
+
+  /** Requests refused for missing/unknown bearer tokens (observability). */
+  val authFailures = new java.util.concurrent.atomic.AtomicLong(0)
+  /** JWT grants whose RS256 signature failed verification. */
+  val badAssertions = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Tokens granted (specs assert the refresh flow re-grants). */
+  val grants = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def registerServiceAccount(email: String, publicKey: java.security.PublicKey): Unit =
+    serviceAccounts.put(email, publicKey)
+
+  private val http = HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "graft-gcs-wire"); t.setDaemon(true); t
+  })
+  http.setExecutor(pool)
+  http.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def start(): GcsWireServer = { http.start(); this }
+  def stop(): Unit = { http.stop(0); pool.shutdown() }
+  def endpoint: String = s"http://127.0.0.1:${http.getAddress.getPort}"
+  def tokenUri: String = s"$endpoint/token"
+
+  def objectCount: Int = store.size()
+
+  // ---- request handling ---------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val body = ex.getRequestBody.readAllBytes()
+      val rawPath = ex.getRequestURI.getRawPath
+      if (rawPath == "/token") { handleToken(ex, body); return }
+      val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+      val ok = bearer.exists(t =>
+        issuedTokens.contains(t) || staticToken.contains(t))
+      if (!ok) {
+        authFailures.incrementAndGet()
+        sendJson(ex, 401, """{"error":{"code":401,"message":"invalid bearer token"}}""")
+        return
+      }
+      route(ex, rawPath, body)
+    } catch {
+      case e: Exception =>
+        sendJson(ex, 500, s"""{"error":{"code":500,"message":"${e.toString.take(200)}"}}""")
+    } finally ex.close()
+
+  /** RFC 7523 JWT-bearer grant: verify the RS256 assertion against the
+    * registered service account's public key, issue a short-lived token.
+    */
+  private def handleToken(ex: HttpExchange, body: Array[Byte]): Unit = {
+    val form = new String(body, UTF_8).split('&').map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> URLDecoder.decode(v, UTF_8) }.toMap
+    if (!form.get("grant_type").contains("urn:ietf:params:oauth:grant-type:jwt-bearer")) {
+      sendJson(ex, 400, """{"error":"unsupported_grant_type"}"""); return
+    }
+    val assertion = form.getOrElse("assertion", "")
+    val parts = assertion.split('.')
+    def b64(s: String) = java.util.Base64.getUrlDecoder.decode(s)
+    val valid = parts.length == 3 && {
+      val claims = new String(b64(parts(1)), UTF_8)
+      val iss = GcsWire.string(claims, "iss").getOrElse("")
+      Option(serviceAccounts.get(iss)).exists { pub =>
+        val sig = java.security.Signature.getInstance("SHA256withRSA")
+        sig.initVerify(pub)
+        sig.update(s"${parts(0)}.${parts(1)}".getBytes(UTF_8))
+        val sigOk = sig.verify(b64(parts(2)))
+        // expiry window sanity (a real IdP rejects stale assertions)
+        val exp = GcsWire.long(claims, "exp").getOrElse(0L)
+        sigOk && exp > System.currentTimeMillis() / 1000
+      }
+    }
+    if (!valid) {
+      badAssertions.incrementAndGet()
+      sendJson(ex, 401, """{"error":"invalid_grant"}"""); return
+    }
+    val tok = "gcs-" + java.util.UUID.randomUUID().toString
+    issuedTokens.add(tok)
+    grants.incrementAndGet()
+    sendJson(ex, 200,
+      s"""{"access_token":"$tok","token_type":"Bearer","expires_in":3600}""")
+  }
+
+  private def route(ex: HttpExchange, rawPath: String, body: Array[Byte]): Unit = {
+    val method = ex.getRequestMethod
+    val segs = rawPath.split('/').filter(_.nonEmpty).toList
+    val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split('&').filter(_.nonEmpty).map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> URLDecoder.decode(v, UTF_8) }.toMap
+    def dec(s: String) = URLDecoder.decode(s, UTF_8)
+
+    (method, segs) match {
+      // media upload
+      case ("POST", List("upload", "storage", "v1", "b", bucket, "o")) =>
+        val name = query.getOrElse("name", "")
+        if (name.isEmpty) { sendJson(ex, 400, err("name required")); return }
+        putObject(ex, s"$bucket/$name", body, query.get("ifGenerationMatch").map(_.toLong))
+
+      // server-side copy
+      case ("POST", List("storage", "v1", "b", sb, "o", src, "rewriteTo", "b", db, "o", dst)) =>
+        val sk = s"$sb/${dec(src)}"
+        val o = store.get(sk)
+        if (o == null) { sendJson(ex, 404, err("no such object")); return }
+        putObject(ex, s"$db/${dec(dst)}", o.bytes,
+          query.get("ifGenerationMatch").map(_.toLong), rewriteEnvelope = true)
+
+      // metadata or media GET
+      case ("GET", List("storage", "v1", "b", bucket, "o", name)) =>
+        val k = s"$bucket/${dec(name)}"
+        val o = store.get(k)
+        if (o == null) { sendJson(ex, 404, err("no such object")); return }
+        if (query.get("alt").contains("media")) {
+          Option(ex.getRequestHeaders.getFirst("Range")) match {
+            case Some(r) =>
+              val m = "bytes=(\\d+)-(\\d+)".r.findFirstMatchIn(r)
+              m match {
+                case Some(g) =>
+                  val (a, b) = (g.group(1).toLong, g.group(2).toLong)
+                  val hi = math.min(b, o.bytes.length - 1L)
+                  val out = o.bytes.slice(a.toInt, hi.toInt + 1)
+                  send(ex, 206, out, "application/octet-stream")
+                case None => send(ex, 200, o.bytes, "application/octet-stream")
+              }
+            case None => send(ex, 200, o.bytes, "application/octet-stream")
+          }
+        } else sendJson(ex, 200, metaJson(dec(name), o))
+
+      // conditional delete
+      case ("DELETE", List("storage", "v1", "b", bucket, "o", name)) =>
+        val k = s"$bucket/${dec(name)}"
+        val cond = query.get("ifGenerationMatch").map(_.toLong)
+        store.compute(k, (_, cur) => cur) // touch
+        val cur = store.get(k)
+        if (cur == null) { sendJson(ex, 404, err("no such object")); return }
+        if (cond.exists(_ != cur.generation)) {
+          sendJson(ex, 412, err("generation precondition failed")); return
+        }
+        store.remove(k, cur)
+        send(ex, 204, Array.empty, "application/json")
+
+      // listing
+      case ("GET", List("storage", "v1", "b", bucket, "o")) =>
+        val prefix = query.getOrElse("prefix", "")
+        val delim = query.get("delimiter")
+        val from = query.getOrElse("pageToken", "")
+        val all = store.keySet().asScala.toSeq
+          .filter(_.startsWith(s"$bucket/"))
+          .map(_.stripPrefix(s"$bucket/"))
+          .filter(_.startsWith(prefix)).sorted
+        val (items, prefixes) = delim match {
+          case Some(d) =>
+            val (direct, nested) = all.partition(k =>
+              !k.drop(prefix.length).contains(d))
+            (direct,
+              nested.map(k => prefix + k.drop(prefix.length).takeWhile(_.toString != d) + d)
+                .distinct)
+          case None => (all, Seq.empty[String])
+        }
+        // page over items only (prefixes ride every page, like the API's
+        // per-page prefix sets — clients must de-dup)
+        val after = items.filter(_ > from)
+        val page = after.take(pageSize)
+        val token = if (after.length > pageSize)
+          s""","nextPageToken":"${jsonEsc(page.last)}"""" else ""
+        val itemsJson = page.map(n =>
+          metaJson(n, store.get(s"$bucket/$n"))).mkString("[", ",", "]")
+        val prefJson = prefixes.map(p => s""""${jsonEsc(p)}"""").mkString("[", ",", "]")
+        sendJson(ex, 200,
+          s"""{"kind":"storage#objects","items":$itemsJson,"prefixes":$prefJson$token}""")
+
+      case _ =>
+        sendJson(ex, 404, err(s"no route for $method $rawPath"))
+    }
+  }
+
+  private def putObject(
+      ex: HttpExchange, key: String, bytes: Array[Byte],
+      ifGenerationMatch: Option[Long], rewriteEnvelope: Boolean = false): Unit = {
+    val g = gen.incrementAndGet()
+    val obj = Obj(bytes, g, System.currentTimeMillis())
+    val result = ifGenerationMatch match {
+      case Some(0L) => store.putIfAbsent(key, obj) == null
+      case Some(want) =>
+        store.computeIfPresent(key,
+          (_, cur) => if (cur.generation == want) obj else cur)
+        store.get(key) != null && store.get(key).generation == g
+      case None => store.put(key, obj); true
+    }
+    if (!result) { sendJson(ex, 412, err("generation precondition failed")); return }
+    val name = key.split("/", 2)(1)
+    val meta = metaJson(name, obj)
+    sendJson(ex, 200,
+      if (rewriteEnvelope)
+        s"""{"kind":"storage#rewriteResponse","done":true,"resource":$meta}"""
+      else meta)
+  }
+
+  private def metaJson(name: String, o: Obj): String =
+    s"""{"kind":"storage#object","name":"${jsonEsc(name)}","size":"${o.bytes.length}",""" +
+      s""""generation":"${o.generation}","updated":"${java.time.Instant.ofEpochMilli(o.mtime)}"}"""
+
+  private def err(msg: String): String =
+    s"""{"error":{"message":"${jsonEsc(msg)}"}}"""
+
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def send(ex: HttpExchange, code: Int, body: Array[Byte], ct: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", ct)
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+  }
+
+  private def sendJson(ex: HttpExchange, code: Int, body: String): Unit =
+    send(ex, code, body.getBytes(UTF_8), "application/json")
+}

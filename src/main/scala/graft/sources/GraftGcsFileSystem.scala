@@ -1,0 +1,333 @@
+package graft.sources
+
+import java.io.{FileNotFoundException, IOException}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, FileSystem, Path, PositionedReadable, Seekable}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+import graft.catalog.{GcsAuth, GcsWire}
+
+/** Hadoop [[FileSystem]] over the GCS JSON-API wire — the DATA-plane half
+  * of the GCS story, exactly parallel to [[GraftS3FileSystem]]: with this
+  * mounted, Spark's parquet scans and writes (executor-side, through
+  * Hadoop's FileSystem layer) ride the same endpoint the catalog's
+  * metadata plane uses via [[graft.catalog.GcsHttpFileIO]]. The reference
+  * reaches this layer through Iceberg's gcs-connector/GCS SDK
+  * (docs/ice-rest-catalog-gcs.md); this adapter speaks the published
+  * JSON API (media GET with `Range` for parquet footer/page reads,
+  * media upload, `rewriteTo` server-side copies for renames, listing
+  * with prefix/delimiter/pageToken) against [[graft.catalog.GcsWireServer]]
+  * in specs and any compatible endpoint in deployment.
+  *
+  * URI shape: `graftgcs://bucket/key/parts`. Configuration (per-bucket
+  * values override the globals):
+  * {{{
+  *   fs.graftgcs.impl          = graft.sources.GraftGcsFileSystem
+  *   fs.graftgcs.endpoint      = http://host:port
+  *   fs.graftgcs.token         = <static bearer>        (or the SA trio:)
+  *   fs.graftgcs.client.email  = svc@proj.iam.gserviceaccount.com
+  *   fs.graftgcs.private.key   = <PKCS#8 PEM>
+  *   fs.graftgcs.token.uri     = https://oauth2.googleapis.com/token
+  *   fs.graftgcs.readahead     = 262144                 (optional)
+  * }}}
+  *
+  * Object mapping follows the catalog's convention: directories are
+  * zero-byte trailing-slash markers plus implicit directories from
+  * deeper keys; renames are server-side rewriteTo + DELETE per object —
+  * what rename costs on real GCS, which is why one-rename committers
+  * are the right pairing at scale.
+  */
+final class GraftGcsFileSystem extends FileSystem {
+
+  private var fsUri: java.net.URI = _
+  private var bucket: String = _
+  private var wire: GcsWire = _
+  private var readahead: Int = 262144
+  private var workingDir: Path = _
+
+  override def initialize(uri: java.net.URI, conf: Configuration): Unit = {
+    super.initialize(uri, conf)
+    setConf(conf)
+    fsUri = java.net.URI.create(s"${uri.getScheme}://${uri.getAuthority}")
+    bucket = uri.getAuthority
+    def key(name: String): String = {
+      val perBucket = conf.get(s"fs.graftgcs.bucket.$bucket.$name")
+      if (perBucket != null) perBucket else conf.get(s"fs.graftgcs.$name")
+    }
+    val endpoint = Option(key("endpoint")).getOrElse(
+      throw new IOException("fs.graftgcs.endpoint not configured"))
+    val auth: GcsAuth = Option(key("token")) match {
+      case Some(t) => GcsAuth.Static(t)
+      case None =>
+        val email = Option(key("client.email")).getOrElse(
+          throw new IOException("fs.graftgcs needs token or client.email+private.key"))
+        val pem = Option(key("private.key")).getOrElse(
+          throw new IOException("fs.graftgcs.private.key not configured"))
+        new GcsAuth.ServiceAccount(email, pem,
+          Option(key("token.uri")).getOrElse("https://oauth2.googleapis.com/token"))
+    }
+    wire = new GcsWire(endpoint, bucket, auth)
+    readahead = Option(key("readahead")).map(_.toInt).getOrElse(262144)
+    workingDir = new Path(s"${uri.getScheme}://$bucket/")
+  }
+
+  override def getScheme: String = "graftgcs"
+  override def getUri: java.net.URI = fsUri
+  override def getWorkingDirectory: Path = workingDir
+  override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
+
+  // ---- key mapping --------------------------------------------------------
+
+  private def objKey(p: Path): String = {
+    val q = p.toUri.getPath.stripPrefix("/")
+    if (q.endsWith("/")) q.stripSuffix("/") else q
+  }
+  private def dirKey(p: Path): String = {
+    val k = objKey(p)
+    if (k.isEmpty) "" else k + "/"
+  }
+
+  private def qualify(key: String): Path =
+    new Path(s"${fsUri.getScheme}://$bucket/${key.stripSuffix("/")}")
+
+  private def statSize(meta: String): Long =
+    GcsWire.long(meta, "size").getOrElse(0L)
+  private def statMtime(meta: String): Long =
+    GcsWire.string(meta, "updated")
+      .flatMap(u => scala.util.Try(java.time.Instant.parse(u).toEpochMilli).toOption)
+      .getOrElse(0L)
+
+  // ---- status / listing ---------------------------------------------------
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = objKey(f)
+    if (key.isEmpty) // bucket root is always a directory
+      return new FileStatus(0, true, 1, 0, 0, qualify(""))
+    wire.stat(key) match {
+      case Some(meta) =>
+        new FileStatus(statSize(meta), false, 1, getDefaultBlockSize(f),
+          statMtime(meta), qualify(key))
+      case None =>
+        if (wire.stat(dirKey(f)).isDefined)
+          new FileStatus(0, true, 1, 0, 0, qualify(key))
+        else {
+          // implicit directory: any deeper key makes the prefix a dir
+          val (contents, prefixes) = wire.listWithMeta(dirKey(f), Some("/"))
+          if (contents.nonEmpty || prefixes.nonEmpty)
+            new FileStatus(0, true, 1, 0, 0, qualify(key))
+          else throw new FileNotFoundException(f.toString)
+        }
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val st = getFileStatus(f) // FileNotFoundException when absent
+    if (!st.isDirectory) return Array(st)
+    val prefix = dirKey(f)
+    val (contents, prefixes) = wire.listWithMeta(prefix, Some("/"))
+    val files = contents.filter { case (k, _, _) => k != prefix && !k.endsWith("/") }
+      .map { case (k, size, mt) =>
+        new FileStatus(size, false, 1, getDefaultBlockSize(f), mt, qualify(k))
+      }
+    val dirs = (prefixes.map(_.stripSuffix("/")) ++
+      contents.collect { case (k, _, _) if k != prefix && k.endsWith("/") =>
+        k.stripSuffix("/") })
+      .distinct.map(k => new FileStatus(0, true, 1, 0, 0, qualify(k)))
+    (files ++ dirs).toArray
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    var p = f
+    var chain = List.empty[Path]
+    while (p != null && objKey(p).nonEmpty) { chain = p :: chain; p = p.getParent }
+    chain.foreach { c =>
+      if (wire.stat(objKey(c)).isDefined)
+        throw new IOException(s"${c} exists as a file")
+      val r = wire.upload(dirKey(c), Array.empty, ifGenerationMatch = Some(0))
+      if (r.statusCode() != 200 && r.statusCode() != 412) wire.fail(r, dirKey(c))
+    }
+    true
+  }
+
+  // ---- read path ----------------------------------------------------------
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val key = objKey(f)
+    val meta = wire.stat(key).getOrElse(throw new FileNotFoundException(f.toString))
+    new FSDataInputStream(new RangedInput(key, statSize(meta)))
+  }
+
+  /** Seekable ranged-GET stream, identical read shape to
+    * [[GraftS3FileSystem]]'s: sequential reads fill a readahead buffer,
+    * positioned reads (parquet footers / page headers) fetch exactly the
+    * span.
+    */
+  private final class RangedInput(key: String, len: Long)
+      extends java.io.InputStream with Seekable with PositionedReadable {
+
+    private var pos: Long = 0
+    private var buf: Array[Byte] = Array.empty
+    private var bufStart: Long = 0
+
+    private def fetch(offset: Long, n: Int): Array[Byte] = {
+      if (n <= 0 || offset >= len) return Array.empty
+      val want = (math.min(len, offset + n) - offset).toInt
+      wire.downloadRange(key, offset, want)
+    }
+
+    override def read(): Int = {
+      val one = new Array[Byte](1)
+      val n = read(one, 0, 1)
+      if (n <= 0) -1 else one(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, n: Int): Int = {
+      if (pos >= len) return -1
+      if (pos < bufStart || pos >= bufStart + buf.length) {
+        buf = fetch(pos, math.max(n, readahead))
+        bufStart = pos
+        if (buf.isEmpty) return -1
+      }
+      val avail = (bufStart + buf.length - pos).toInt
+      val take = math.min(n, avail)
+      System.arraycopy(buf, (pos - bufStart).toInt, b, off, take)
+      pos += take
+      take
+    }
+
+    override def seek(newPos: Long): Unit = {
+      if (newPos < 0 || newPos > len)
+        throw new java.io.EOFException(s"seek $newPos outside [0,$len]")
+      pos = newPos
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+
+    override def read(position: Long, b: Array[Byte], off: Int, n: Int): Int = {
+      if (position >= len) return -1
+      val got = fetch(position, n)
+      System.arraycopy(got, 0, b, off, got.length)
+      got.length
+    }
+    override def readFully(position: Long, b: Array[Byte], off: Int, n: Int): Unit = {
+      var done = 0
+      while (done < n) {
+        val r = read(position + done, b, off + done, n - done)
+        if (r < 0) throw new java.io.EOFException(
+          s"readFully past EOF at ${position + done} of $len")
+        done += r
+      }
+    }
+    override def readFully(position: Long, b: Array[Byte]): Unit =
+      readFully(position, b, 0, b.length)
+  }
+
+  // ---- write path ---------------------------------------------------------
+
+  override def create(
+      f: Path, permission: FsPermission, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long, progress: Progressable): FSDataOutputStream = {
+    val key = objKey(f)
+    if (!overwrite && wire.stat(key).isDefined)
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+    // FileSystem contract: creating over a directory — marker or
+    // implicit — must refuse, not shadow it
+    if (wire.stat(dirKey(f)).isDefined ||
+      (wire.stat(key).isEmpty && {
+        val (c, p) = wire.listWithMeta(dirKey(f), Some("/")); c.nonEmpty || p.nonEmpty
+      }))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(s"$f is a directory")
+    if (f.getParent != null && objKey(f.getParent).nonEmpty)
+      mkdirs(f.getParent, null)
+    // buffer to a local temp file; one media upload on close (bounded
+    // memory — the JSON API accepts the payload in one streamed POST)
+    val tmp = java.io.File.createTempFile("graftgcs-", ".part")
+    tmp.deleteOnExit()
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+    val stream = new java.io.OutputStream {
+      override def write(b: Int): Unit = out.write(b)
+      override def write(b: Array[Byte], off: Int, n: Int): Unit = out.write(b, off, n)
+      override def close(): Unit = {
+        out.close()
+        try {
+          val r = wire.upload(key, java.nio.file.Files.readAllBytes(tmp.toPath))
+          if (r.statusCode() != 200) wire.fail(r, key)
+        } finally tmp.delete()
+      }
+    }
+    new FSDataOutputStream(stream, statistics)
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("append is not an object-store operation")
+
+  // ---- rename / delete ----------------------------------------------------
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcStatus =
+      try getFileStatus(src) catch { case _: FileNotFoundException => return false }
+    // Hadoop contract: renaming INTO an existing directory nests by name
+    val target =
+      try {
+        val d = getFileStatus(dst)
+        if (d.isDirectory) new Path(dst, src.getName) else return false
+      } catch { case _: FileNotFoundException => dst }
+    if (objKey(target) == objKey(src)) return true
+    if ((target ne dst) &&
+      (try { getFileStatus(target); true }
+      catch { case _: FileNotFoundException => false })) return false
+    val tParent = target.getParent
+    if (tParent != null && objKey(tParent).nonEmpty) {
+      val ps = try Some(getFileStatus(tParent))
+        catch { case _: FileNotFoundException => None }
+      if (!ps.exists(_.isDirectory)) return false
+    }
+    if (srcStatus.isDirectory) {
+      if (objKey(target).startsWith(objKey(src) + "/")) return false
+      val (children, _) = wire.listWithMeta(dirKey(src), None)
+      val mk = wire.upload(dirKey(target), Array.empty)
+      if (mk.statusCode() != 200) wire.fail(mk, dirKey(target))
+      children.foreach { case (ck, _, _) =>
+        if (ck != dirKey(src)) {
+          val tk = dirKey(target) + ck.stripPrefix(dirKey(src))
+          val r = wire.rewriteTo(ck, tk)
+          if (r.statusCode() != 200) wire.fail(r, ck)
+        }
+      }
+      children.foreach { case (ck, _, _) =>
+        val r = wire.delete(ck)
+        if (r.statusCode() >= 300 && r.statusCode() != 404) wire.fail(r, ck)
+      }
+      wire.delete(dirKey(src))
+      true
+    } else {
+      val r = wire.rewriteTo(objKey(src), objKey(target))
+      if (r.statusCode() != 200) wire.fail(r, objKey(target))
+      val d = wire.delete(objKey(src))
+      if (d.statusCode() >= 300 && d.statusCode() != 404) wire.fail(d, objKey(src))
+      true
+    }
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val st =
+      try getFileStatus(f) catch { case _: FileNotFoundException => return false }
+    if (!st.isDirectory) {
+      val r = wire.delete(objKey(f))
+      if (r.statusCode() >= 300 && r.statusCode() != 404) wire.fail(r, objKey(f))
+      return true
+    }
+    val (children, _) = wire.listWithMeta(dirKey(f), None)
+    val real = children.filter(_._1 != dirKey(f))
+    if (real.nonEmpty && !recursive)
+      throw new IOException(s"$f is a non-empty directory (recursive=false)")
+    real.foreach { case (ck, _, _) =>
+      val r = wire.delete(ck)
+      if (r.statusCode() >= 300 && r.statusCode() != 404) wire.fail(r, ck)
+    }
+    wire.delete(dirKey(f))
+    true
+  }
+}
