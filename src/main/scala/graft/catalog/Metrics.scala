@@ -110,6 +110,31 @@ object Metrics {
     }
     sb.toString
   }
+
+  /** Standalone debug endpoint scoped to one process (the reference's
+    * `--watch-debug-addr` DebugServer.java): `/metrics` renders this
+    * registry's Prometheus exposition, `/healthz` `/livez` `/readyz`
+    * answer `OK` — the k8s-probe surface a long-running watch ships
+    * with. Returns the server; callers stop(0) it on shutdown.
+    */
+  def serveDebug(host: String, port: Int): com.sun.net.httpserver.HttpServer = {
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(host, port), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, body: String): Unit =
+      try {
+        val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    http.createContext("/metrics",
+      (ex: com.sun.net.httpserver.HttpExchange) => respond(ex, prometheus()))
+    Seq("/healthz", "/livez", "/readyz").foreach(p =>
+      http.createContext(p,
+        (ex: com.sun.net.httpserver.HttpExchange) => respond(ex, "OK")))
+    http.start()
+    http
+  }
 }
 
 /** Iceberg engine metrics-report ingestion (`POST .../tables/{t}/metrics`):

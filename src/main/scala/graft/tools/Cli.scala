@@ -44,6 +44,7 @@ import graft.catalog.IceCatalog._
   *                 download through a content-addressed cache
   *                 [--http-cache <dir>] before inserting)
   *   insert <ns.t> <dir> --watch [--checkpoint <dir>] [--watch-fire-once]
+  *                [--watch-debug-addr host:port]
   *                [--merge-keys k1,k2 --version-col v [--merge-on-read]]
   *   alter-table <ns.t> '<updates-json>'   (reference op vocabulary:
   *                add_column/alter_column/rename_column/drop_column/
@@ -232,8 +233,23 @@ object Cli {
                 spark, cat, ident, paths.head, checkpoint, trigger,
                 noCopy = flags.contains("no-copy"))
           }
+          // --watch-debug-addr host:port (reference Main.java:558 +
+          // DebugServer.java): a per-watch-process debug endpoint serving
+          // /metrics (this registry's graft_watch_* series included),
+          // /healthz, /livez, /readyz — stopped when the watch ends
+          val debug = flags.get("watch-debug-addr").map { addr =>
+            val i = addr.lastIndexOf(':')
+            if (i < 0) fail(s"--watch-debug-addr must be host:port, got $addr")
+            val server = graft.catalog.Metrics.serveDebug(
+              addr.take(i), addr.drop(i + 1).toIntOption
+                .getOrElse(fail(s"bad --watch-debug-addr port in $addr")))
+            out.println(s"watch debug endpoint on " +
+              s"http://${addr.take(i)}:${server.getAddress.getPort}" +
+              "/{metrics,healthz,livez,readyz}")
+            server
+          }
           out.println(s"watching ${paths.head} -> $ident")
-          onWatch(q)
+          try onWatch(q) finally debug.foreach(_.stop(0))
 
         case "insert" +: ident +: paths0 if paths0.nonEmpty =>
           val allPaths = expandGlobs(cat.io, fetchHttp(paths0,

@@ -790,6 +790,49 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("--watch-debug-addr serves per-watch /metrics + probes, stops with the watch") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.wdbg", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val watchDir = Files.createTempDirectory("cli-watch-dbg")
+    val stagedDbg = Files.createTempDirectory("cli-watch-dbg-staged")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(stagedDbg.resolve("staged").toString)
+    val dbgFile = java.nio.file.Files.list(stagedDbg.resolve("staged")).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(dbgFile, watchDir.resolve("b1.parquet"))
+    val buf = new ByteArrayOutputStream()
+    var debugPort = -1
+    val client = java.net.http.HttpClient.newHttpClient()
+    def get(path: String): java.net.http.HttpResponse[String] =
+      client.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$debugPort$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+    val code = Cli.run(
+      Seq("--root", root, "insert", "ns.wdbg", watchDir.toString,
+        "--watch", "--watch-fire-once", "--watch-debug-addr", "127.0.0.1:0"),
+      spark, new PrintStream(buf, true),
+      onWatch = q => {
+        // the endpoint is up MID-WATCH: parse the bound port and scrape
+        val line = buf.toString.linesIterator
+          .find(_.contains("watch debug endpoint"))
+          .getOrElse(sys.error(s"no debug line in: ${buf.toString}"))
+        debugPort = ":(\\d+)/".r.findFirstMatchIn(line).get.group(1).toInt
+        assert(get("/healthz").body() == "OK")
+        assert(get("/livez").statusCode() == 200)
+        assert(get("/readyz").statusCode() == 200)
+        q.awaitTermination()
+        // after the batch, the watch series are visible on THIS endpoint
+        val metrics = get("/metrics").body()
+        assert(metrics.contains("graft_watch_batches_total"), metrics.take(400))
+        assert(metrics.contains("graft_watch_rows_ingested_total"))
+      })
+    assert(code == 0, buf.toString)
+    // the endpoint dies with the watch
+    intercept[Exception](get("/healthz"))
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    assert(cat.countRows("ns.wdbg") == 2)
+  }
+
   test("insert --watch picks up files dropped after start") {
     import spark.implicits._
     assert(cli("create-table", "ns.w", "--schema", "id BIGINT, v STRING")._1 == 0)
