@@ -81,6 +81,42 @@ final class GcsWire(endpoint: String, bucket: String, auth: GcsAuth) {
       body = bytes)
   }
 
+  /** Resumable upload (the JSON API's large-object protocol): initiate
+    * with `uploadType=resumable` → session URI in the Location header;
+    * stream chunks with `Content-Range: bytes a-b/\*` (server answers 308
+    * Resume Incomplete); finalize with `bytes a-b/total`. Chunks except
+    * the last must be 256 KiB multiples. This is how a multi-GB parquet
+    * output rides the wire with bounded memory — the GCS counterpart of
+    * S3 multipart upload.
+    */
+  def initiateResumable(
+      name: String, ifGenerationMatch: Option[Long] = None): String = {
+    val cond = ifGenerationMatch.map(g => s"&ifGenerationMatch=$g").getOrElse("")
+    val r = request("POST",
+      s"$base/upload/storage/v1/b/$bucket/o?uploadType=resumable&name=${enc(name)}$cond",
+      body = Array.empty)
+    if (r.statusCode() != 200) fail(r, s"initiate resumable $name")
+    r.headers().firstValue("Location")
+      .orElseThrow(() => new java.io.IOException(s"no session URI for $name"))
+  }
+
+  /** One chunk PUT. `total = None` mid-stream (expects 308), `Some(n)`
+    * finalizes (expects 200). Returns the response for status checks.
+    */
+  def putChunk(
+      sessionUri: String, offset: Long, chunk: Array[Byte],
+      total: Option[Long]): HttpResponse[Array[Byte]] = {
+    val end = offset + chunk.length - 1
+    val range =
+      if (chunk.isEmpty) s"bytes */${total.getOrElse(0L)}" // empty object finalize
+      else s"bytes $offset-$end/${total.map(_.toString).getOrElse("*")}"
+    val b = HttpRequest.newBuilder(java.net.URI.create(sessionUri))
+      .header("Authorization", s"Bearer ${auth.token(http)}")
+      .header("Content-Range", range)
+      .method("PUT", HttpRequest.BodyPublishers.ofByteArray(chunk))
+    http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
   /** Object metadata (JSON) or None on 404. */
   def stat(name: String): Option[String] = {
     val r = request("GET", objectUrl(name))

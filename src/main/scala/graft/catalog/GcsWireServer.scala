@@ -40,6 +40,13 @@ final class GcsWireServer(
   /** key = "bucket/objectName" */
   val store = new ConcurrentHashMap[String, Obj]()
   private val gen = new java.util.concurrent.atomic.AtomicLong(1)
+
+  /** Open resumable-upload sessions (cleared on finalize). */
+  private final class Session(
+      val key: String, val ifGenerationMatch: Option[Long]) {
+    val buf = new java.io.ByteArrayOutputStream()
+  }
+  private val sessions = new ConcurrentHashMap[String, Session]()
   private val issuedTokens = ConcurrentHashMap.newKeySet[String]()
   private val serviceAccounts = new ConcurrentHashMap[String, java.security.PublicKey]()
 
@@ -135,6 +142,56 @@ final class GcsWireServer(
     def dec(s: String) = URLDecoder.decode(s, UTF_8)
 
     (method, segs) match {
+      // resumable-upload initiate: session URI in the Location header
+      case ("POST", List("upload", "storage", "v1", "b", bucket, "o"))
+          if query.get("uploadType").contains("resumable") =>
+        val name = query.getOrElse("name", "")
+        if (name.isEmpty) { sendJson(ex, 400, err("name required")); return }
+        val id = java.util.UUID.randomUUID().toString
+        sessions.put(id, new Session(s"$bucket/$name",
+          query.get("ifGenerationMatch").map(_.toLong)))
+        ex.getResponseHeaders.set("Location", s"$endpoint/upload/session/$id")
+        send(ex, 200, Array.empty, "application/json")
+
+      // resumable-upload chunk: Content-Range drives 308-until-final
+      case ("PUT", List("upload", "session", id)) =>
+        val sess = sessions.get(id)
+        if (sess == null) { sendJson(ex, 404, err("no such upload session")); return }
+        val cr = Option(ex.getRequestHeaders.getFirst("Content-Range")).getOrElse("")
+        "bytes (\\d+)-(\\d+)/(\\d+|\\*)".r.findFirstMatchIn(cr) match {
+          case Some(m) =>
+            val (a, b) = (m.group(1).toLong, m.group(2).toLong)
+            sess.synchronized {
+              if (a != sess.buf.size) {
+                sendJson(ex, 400,
+                  err(s"chunk offset $a != received ${sess.buf.size}")); return
+              }
+              if (b - a + 1 != body.length) {
+                sendJson(ex, 400, err("Content-Range span != body length")); return
+              }
+              sess.buf.write(body)
+              if (m.group(3) == "*") {
+                // 308 Resume Incomplete + the received range so far
+                ex.getResponseHeaders.set("Range", s"bytes=0-${sess.buf.size - 1}")
+                send(ex, 308, Array.empty, "application/json")
+              } else if (m.group(3).toLong == sess.buf.size) {
+                sessions.remove(id)
+                putObject(ex, sess.key, sess.buf.toByteArray, sess.ifGenerationMatch)
+              } else {
+                sendJson(ex, 400,
+                  err(s"total ${m.group(3)} != received ${sess.buf.size}"))
+              }
+            }
+          case None if "bytes \\*/(\\d+)".r.findFirstMatchIn(cr).exists(
+            _.group(1).toLong == sess.buf.size) =>
+            // zero-byte (or status-probe) finalize
+            sessions.remove(id)
+            sess.synchronized {
+              putObject(ex, sess.key, sess.buf.toByteArray, sess.ifGenerationMatch)
+            }
+          case None => sendJson(ex, 400, err(s"bad Content-Range: $cr"))
+        }
+
       // media upload
       case ("POST", List("upload", "storage", "v1", "b", bucket, "o")) =>
         val name = query.getOrElse("name", "")

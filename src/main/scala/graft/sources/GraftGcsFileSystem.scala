@@ -31,6 +31,7 @@ import graft.catalog.{GcsAuth, GcsWire}
   *   fs.graftgcs.private.key   = <PKCS#8 PEM>
   *   fs.graftgcs.token.uri     = https://oauth2.googleapis.com/token
   *   fs.graftgcs.readahead     = 262144                 (optional)
+  *   fs.graftgcs.chunk.size    = 8388608                (optional, resumable chunk)
   * }}}
   *
   * Object mapping follows the catalog's convention: directories are
@@ -45,6 +46,7 @@ final class GraftGcsFileSystem extends FileSystem {
   private var bucket: String = _
   private var wire: GcsWire = _
   private var readahead: Int = 262144
+  private var chunkSizeConf: Int = 8 * 1024 * 1024
   private var workingDir: Path = _
 
   override def initialize(uri: java.net.URI, conf: Configuration): Unit = {
@@ -70,6 +72,7 @@ final class GraftGcsFileSystem extends FileSystem {
     }
     wire = new GcsWire(endpoint, bucket, auth)
     readahead = Option(key("readahead")).map(_.toInt).getOrElse(262144)
+    chunkSizeConf = Option(key("chunk.size")).map(_.toInt).getOrElse(8 * 1024 * 1024)
     workingDir = new Path(s"${uri.getScheme}://$bucket/")
   }
 
@@ -241,23 +244,54 @@ final class GraftGcsFileSystem extends FileSystem {
       throw new org.apache.hadoop.fs.FileAlreadyExistsException(s"$f is a directory")
     if (f.getParent != null && objKey(f.getParent).nonEmpty)
       mkdirs(f.getParent, null)
-    // buffer to a local temp file; one media upload on close (bounded
-    // memory — the JSON API accepts the payload in one streamed POST)
-    val tmp = java.io.File.createTempFile("graftgcs-", ".part")
-    tmp.deleteOnExit()
-    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
-    val stream = new java.io.OutputStream {
-      override def write(b: Int): Unit = out.write(b)
-      override def write(b: Array[Byte], off: Int, n: Int): Unit = out.write(b, off, n)
-      override def close(): Unit = {
-        out.close()
-        try {
-          val r = wire.upload(key, java.nio.file.Files.readAllBytes(tmp.toPath))
-          if (r.statusCode() != 200) wire.fail(r, key)
-        } finally tmp.delete()
-      }
+    // the JSON API's RESUMABLE upload: chunks stream as they fill, memory
+    // bounded by one chunk regardless of object size — the GCS
+    // counterpart of the S3 path's multipart upload. The session starts
+    // lazily on the first flush so empty/aborted creates cost nothing.
+    new FSDataOutputStream(new ResumableOutput(key), statistics)
+  }
+
+  /** Streams a create() through the resumable-upload protocol: a chunk
+    * buffer (256 KiB-multiple, as the protocol requires of non-final
+    * chunks) flushes with `Content-Range: bytes a-b/\*` (expect 308), and
+    * close() finalizes the tail with `bytes a-b/total` (expect 200).
+    */
+  private final class ResumableOutput(key: String) extends java.io.OutputStream {
+    // non-final chunks must be 256 KiB multiples (protocol requirement)
+    private val chunkSize = math.max(256 * 1024, chunkSizeConf / (256 * 1024) * (256 * 1024))
+    private val buf = new java.io.ByteArrayOutputStream(chunkSize)
+    private var session: String = _
+    private var sent: Long = 0
+    private var closed = false
+
+    override def write(b: Int): Unit = { buf.write(b); maybeFlush() }
+    override def write(b: Array[Byte], off: Int, n: Int): Unit = {
+      buf.write(b, off, n); maybeFlush()
     }
-    new FSDataOutputStream(stream, statistics)
+
+    private def maybeFlush(): Unit =
+      while (buf.size >= chunkSize) {
+        val bytes = buf.toByteArray
+        buf.reset()
+        if (bytes.length > chunkSize) buf.write(bytes, chunkSize, bytes.length - chunkSize)
+        pushChunk(java.util.Arrays.copyOf(bytes, chunkSize), last = false)
+      }
+
+    private def pushChunk(chunk: Array[Byte], last: Boolean): Unit = {
+      if (session == null) session = wire.initiateResumable(key)
+      val total = if (last) Some(sent + chunk.length) else None
+      val r = wire.putChunk(session, sent, chunk, total)
+      val want = if (last) 200 else 308
+      if (r.statusCode() != want) wire.fail(r, s"$key chunk at $sent")
+      sent += chunk.length
+    }
+
+    override def close(): Unit = {
+      if (closed) return
+      closed = true
+      pushChunk(buf.toByteArray, last = true)
+      buf.reset()
+    }
   }
 
   override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =

@@ -79,6 +79,38 @@ class GraftGcsFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root)))
   }
 
+  test("resumable upload streams chunks past the buffer and reads back intact") {
+    // a payload spanning several 256 KiB-multiple chunks: the write path
+    // must flush mid-stream (308 Resume Incomplete) and finalize the tail
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path("graftgcs://lake/big").getFileSystem(hc)
+    val payload = Array.tabulate[Byte](900 * 1024)(i => (i % 251).toByte)
+    val f = new org.apache.hadoop.fs.Path("graftgcs://lake/big/blob.bin")
+    val out = fs.create(f, true)
+    // dribble in odd-sized writes so chunk boundaries never align
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(77777, payload.length - off)
+      out.write(payload, off, n); off += n
+    }
+    out.close()
+    assert(fs.getFileStatus(f).getLen == payload.length)
+    val in = fs.open(f)
+    val got = new Array[Byte](payload.length)
+    in.readFully(0, got)
+    // positioned read mid-object = one ranged GET
+    val mid = new Array[Byte](64)
+    in.readFully(400000, mid)
+    in.close()
+    assert(got.toSeq == payload.toSeq)
+    assert(mid.toSeq == payload.slice(400000, 400064).toSeq)
+    // empty object: lazy session, single finalize
+    val e = fs.create(new org.apache.hadoop.fs.Path("graftgcs://lake/big/empty.bin"), true)
+    e.close()
+    assert(fs.getFileStatus(
+      new org.apache.hadoop.fs.Path("graftgcs://lake/big/empty.bin")).getLen == 0)
+  }
+
   test("250 random ops: the wire FileSystem tracks RawLocalFileSystem") {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath, RawLocalFileSystem}
     val r = new scala.util.Random(47)
