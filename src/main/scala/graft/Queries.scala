@@ -211,6 +211,8 @@ object Queries {
     "r3_chunk" -> ((s: SparkSession, d: String) => Sampling.chunkDocuments(s, d)),
     "r4_cap_per_source" -> ((s: SparkSession, d: String) => Sampling.capPerSource(s, d)),
     "r5_mix_sources" -> ((s: SparkSession, d: String) => Sampling.mixSources(s, d)),
+    "r6_split" -> ((s: SparkSession, d: String) => Sampling.splitDocuments(s, d)),
+    "x12_code_score" -> (TextAnalysis.codeScoreQuery _),
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
     "x11_unigram_logprob" -> (TextAnalysis.unigramLogprobQuery _),
     "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
@@ -479,6 +481,29 @@ object Queries {
         | CAST(before // 2048 AS BIGINT) AS pack_id,
         | CAST(before % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "r6_split" ->
+      """SELECT doc_id, source,
+        | substr(md5(text), 1, 16) AS content_fp,
+        | CASE substr(md5(text), 1, 1) WHEN '0' THEN 'val' WHEN '1' THEN 'test'
+        |   ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x12_code_score" ->
+      """WITH tok AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  round(CAST(len(regexp_extract_all(text, '[{}\[\]();=<>#]')) AS DOUBLE)
+        |    / CAST(nullif(len(text), 0) AS DOUBLE), 4) AS sym_ratio,
+        |  round(CAST(len(list_filter(t, x -> regexp_matches(x, '[0-9]'))) AS DOUBLE)
+        |    / CAST(nullif(len(t), 0) AS DOUBLE), 4) AS digit_tok_frac,
+        |  CAST(len(list_intersect(list_distinct(t),
+        |    ['def','class','return','import','void','int',
+        |     'function','var','const','struct'])) AS INT) AS kw_hits
+        |  FROM tok)
+        |SELECT doc_id, sym_ratio, digit_tok_frac, kw_hits,
+        | round(10.0 * sym_ratio + digit_tok_frac + 0.5 * kw_hits, 4) AS code_score,
+        | (10.0 * sym_ratio + digit_tok_frac + 0.5 * kw_hits) >= 0.5 AS is_code
+        |FROM s ORDER BY doc_id""".stripMargin,
     "x8_repetition" ->
       s"""WITH tok AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t

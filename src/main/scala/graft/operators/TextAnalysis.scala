@@ -82,6 +82,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** x12: code-likeness routing signals (the StarCoder/RefinedWeb-style
+    * prose-vs-code triage): code-symbol density, digit-bearing token
+    * fraction, and code-keyword hits fold into one score + gate. Pure
+    * map over the scan (the tokenizer projected once, same discipline as
+    * x1) — at 100 TB this routes documents at scan speed with zero
+    * shuffle beyond the presentation sort.
+    */
+  def codeScoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    val kw = Seq("def", "class", "return", "import", "void", "int",
+      "function", "var", "const", "struct")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("_t"))
+    val symRatio = round(
+      regexp_count(col("text"), lit("[{}\\[\\]();=<>#]")).cast("double") /
+        nullif(length(col("text")).cast("double"), lit(0.0)), 4)
+    val digitFrac = round(
+      size(filter(col("_t"), x => x.rlike("[0-9]"))).cast("double") /
+        nullif(size(col("_t")).cast("double"), lit(0.0)), 4)
+    val kwHits = size(array_intersect(
+      array_distinct(col("_t")), array(kw.map(lit): _*)))
+    d.select(
+      col("doc_id"),
+      symRatio.as("sym_ratio"),
+      digitFrac.as("digit_tok_frac"),
+      kwHits.as("kw_hits"),
+      round(lit(10.0) * symRatio + digitFrac + lit(0.5) * kwHits.cast("double"), 4)
+        .as("code_score"),
+      (lit(10.0) * symRatio + digitFrac + lit(0.5) * kwHits.cast("double") >= 0.5)
+        .as("is_code"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x3: token counting — whitespace words + BPE-ish estimate. */
   def tokensQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

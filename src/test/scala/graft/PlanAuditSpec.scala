@@ -194,11 +194,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("map-only gate queries plan no join and no aggregate") {
-    // r3/x9/m3/m4 are per-row transforms, and x8's RepetitionStats kernel
-    // folds the whole bigram histogram per row: the only shuffle allowed is
-    // the presentation sort's range exchange
+    // r3/x9/m3/m4/r6/x12 are per-row transforms, and x8's RepetitionStats
+    // kernel folds the whole bigram histogram per row: the only shuffle
+    // allowed is the presentation sort's range exchange
     for (name <- Seq("r3_chunk", "x9_classifier", "m3_resize",
-        "m4_frame_sample", "x8_repetition")) {
+        "m4_frame_sample", "x8_repetition", "r6_split", "x12_code_score")) {
       val q = Queries.all(name)(spark, dir).queryExecution
       val joins = q.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
