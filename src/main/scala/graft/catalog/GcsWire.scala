@@ -117,6 +117,69 @@ final class GcsWire(endpoint: String, bucket: String, auth: GcsAuth) {
     http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
   }
 
+  /** Session status probe (`Content-Range: bytes *&#47;*`): how many bytes
+    * the server has durably received — the protocol's crash-recovery
+    * primitive. 308 + a `Range: bytes=0-N` header ⇒ N+1 bytes; 308 with
+    * no Range ⇒ zero.
+    */
+  def probeSession(sessionUri: String): Option[Long] = {
+    val b = HttpRequest.newBuilder(java.net.URI.create(sessionUri))
+      .header("Authorization", s"Bearer ${auth.token(http)}")
+      .header("Content-Range", "bytes */*")
+      .method("PUT", HttpRequest.BodyPublishers.noBody())
+    val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    if (r.statusCode() == 200 || r.statusCode() == 201) return None // complete
+    if (r.statusCode() != 308) fail(r, "session status probe")
+    Some(r.headers().firstValue("Range").map[Long] { rg =>
+      "bytes=0-(\\d+)".r.findFirstMatchIn(rg)
+        .map(_.group(1).toLong + 1).getOrElse(0L)
+    }.orElse(0L))
+  }
+
+  /** Chunk PUT with recovery: on a 5xx or transport failure, probe the
+    * session for the durably-received offset — a response lost AFTER the
+    * server applied the chunk must not resend (the probe shows the
+    * offset advanced); bytes lost in flight resend from where the server
+    * actually is. This is what makes a multi-GB upload survive the
+    * transient failures a long transfer WILL see.
+    */
+  def putChunkRecovering(
+      sessionUri: String, offset: Long, chunk: Array[Byte],
+      total: Option[Long], attempts: Int = 4): Unit = {
+    val end = offset + chunk.length
+    val want = if (total.isDefined) 200 else 308
+    var attempt = 0
+    var sent = offset
+    while (attempt < attempts) {
+      attempt += 1
+      val slice =
+        if (sent == offset) chunk
+        else java.util.Arrays.copyOfRange(chunk, (sent - offset).toInt, chunk.length)
+      val r =
+        try putChunk(sessionUri, sent, slice, total)
+        catch {
+          case e: java.io.IOException if attempt < attempts => null // transport loss
+        }
+      if (r != null && r.statusCode() == want) return
+      if (r != null && r.statusCode() < 500)
+        fail(r, s"chunk at $sent") // 4xx: not recoverable by retry
+      if (attempt >= attempts)
+        throw new java.io.IOException(
+          s"chunk at $sent failed after $attempts attempts" +
+            (if (r == null) " (transport)" else s" (HTTP ${r.statusCode()})"))
+      probeSession(sessionUri) match {
+        case None => return // finalize applied; only the response was lost
+        case Some(received) =>
+          if (total.isDefined && received == end) return
+          sent = received
+          if (sent < offset || sent > end)
+            throw new java.io.IOException(
+              s"session offset $sent outside chunk [$offset,$end] — aborting")
+          if (total.isEmpty && sent == end) return // applied; response lost
+      }
+    }
+  }
+
   /** Object metadata (JSON) or None on 404. */
   def stat(name: String): Option[String] = {
     val r = request("GET", objectUrl(name))

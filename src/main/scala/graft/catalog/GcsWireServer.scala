@@ -47,6 +47,35 @@ final class GcsWireServer(
     val buf = new java.io.ByteArrayOutputStream()
   }
   private val sessions = new ConcurrentHashMap[String, Session]()
+  /** id → final object metadata JSON: probing a finished session answers
+    * 200 + metadata so clients recover from a lost finalize response.
+    */
+  private val completedSessions = new ConcurrentHashMap[String, String]()
+
+  /** Fault injection (spec hooks): fail the next N chunk PUTs with 503
+    * BEFORE applying the bytes / AFTER durably applying them (the lost-
+    * response case a resumable client must handle via the status probe).
+    */
+  val failChunkBeforeApply = new java.util.concurrent.atomic.AtomicInteger(0)
+  val failChunkAfterApply = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Commit a finished session's object without writing a response:
+    * metadata JSON on success, null when the initiate-time
+    * ifGenerationMatch precondition fails.
+    */
+  private def finalizeQuiet(sess: Session): String = {
+    val g = gen.incrementAndGet()
+    val obj = Obj(sess.buf.toByteArray, g, System.currentTimeMillis())
+    val ok = sess.ifGenerationMatch match {
+      case Some(0L) => store.putIfAbsent(sess.key, obj) == null
+      case Some(want) =>
+        store.computeIfPresent(sess.key,
+          (_, cur) => if (cur.generation == want) obj else cur)
+        store.get(sess.key) != null && store.get(sess.key).generation == g
+      case None => store.put(sess.key, obj); true
+    }
+    if (!ok) null else metaJson(sess.key.split("/", 2)(1), obj)
+  }
   private val issuedTokens = ConcurrentHashMap.newKeySet[String]()
   private val serviceAccounts = new ConcurrentHashMap[String, java.security.PublicKey]()
 
@@ -153,15 +182,34 @@ final class GcsWireServer(
         ex.getResponseHeaders.set("Location", s"$endpoint/upload/session/$id")
         send(ex, 200, Array.empty, "application/json")
 
-      // resumable-upload chunk: Content-Range drives 308-until-final
+      // resumable-upload chunk: Content-Range drives 308-until-final;
+      // `bytes */*` is the status probe (crash-recovery primitive)
       case ("PUT", List("upload", "session", id)) =>
-        val sess = sessions.get(id)
-        if (sess == null) { sendJson(ex, 404, err("no such upload session")); return }
         val cr = Option(ex.getRequestHeaders.getFirst("Content-Range")).getOrElse("")
+        val sess = sessions.get(id)
+        if (sess == null) {
+          // probing a COMPLETED session answers 200 (real GCS behavior) so
+          // a client whose finalize response was lost learns it succeeded
+          if (cr == "bytes */*" && completedSessions.containsKey(id)) {
+            sendJson(ex, 200, completedSessions.get(id)); return
+          }
+          sendJson(ex, 404, err("no such upload session")); return
+        }
+        if (cr == "bytes */*") {
+          sess.synchronized {
+            if (sess.buf.size > 0)
+              ex.getResponseHeaders.set("Range", s"bytes=0-${sess.buf.size - 1}")
+            send(ex, 308, Array.empty, "application/json")
+          }
+          return
+        }
         "bytes (\\d+)-(\\d+)/(\\d+|\\*)".r.findFirstMatchIn(cr) match {
           case Some(m) =>
             val (a, b) = (m.group(1).toLong, m.group(2).toLong)
             sess.synchronized {
+              if (failChunkBeforeApply.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+                sendJson(ex, 503, err("injected failure before apply")); return
+              }
               if (a != sess.buf.size) {
                 sendJson(ex, 400,
                   err(s"chunk offset $a != received ${sess.buf.size}")); return
@@ -170,13 +218,29 @@ final class GcsWireServer(
                 sendJson(ex, 400, err("Content-Range span != body length")); return
               }
               sess.buf.write(body)
+              if (failChunkAfterApply.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+                // the nasty case: bytes durably received, response lost
+                if (m.group(3) != "*" && m.group(3).toLong == sess.buf.size) {
+                  // even the FINALIZE can lose its response after effect
+                  sessions.remove(id)
+                  val meta = finalizeQuiet(sess)
+                  if (meta != null) completedSessions.put(id, meta)
+                }
+                sendJson(ex, 503, err("injected failure after apply")); return
+              }
               if (m.group(3) == "*") {
                 // 308 Resume Incomplete + the received range so far
                 ex.getResponseHeaders.set("Range", s"bytes=0-${sess.buf.size - 1}")
                 send(ex, 308, Array.empty, "application/json")
               } else if (m.group(3).toLong == sess.buf.size) {
                 sessions.remove(id)
-                putObject(ex, sess.key, sess.buf.toByteArray, sess.ifGenerationMatch)
+                val meta = finalizeQuiet(sess)
+                if (meta == null) {
+                  sendJson(ex, 412, err("generation precondition failed"))
+                } else {
+                  completedSessions.put(id, meta)
+                  sendJson(ex, 200, meta)
+                }
               } else {
                 sendJson(ex, 400,
                   err(s"total ${m.group(3)} != received ${sess.buf.size}"))
@@ -184,10 +248,16 @@ final class GcsWireServer(
             }
           case None if "bytes \\*/(\\d+)".r.findFirstMatchIn(cr).exists(
             _.group(1).toLong == sess.buf.size) =>
-            // zero-byte (or status-probe) finalize
-            sessions.remove(id)
+            // zero-byte (or known-total) finalize
             sess.synchronized {
-              putObject(ex, sess.key, sess.buf.toByteArray, sess.ifGenerationMatch)
+              sessions.remove(id)
+              val meta = finalizeQuiet(sess)
+              if (meta == null) {
+                sendJson(ex, 412, err("generation precondition failed"))
+              } else {
+                completedSessions.put(id, meta)
+                sendJson(ex, 200, meta)
+              }
             }
           case None => sendJson(ex, 400, err(s"bad Content-Range: $cr"))
         }

@@ -280,9 +280,9 @@ final class GraftGcsFileSystem extends FileSystem {
     private def pushChunk(chunk: Array[Byte], last: Boolean): Unit = {
       if (session == null) session = wire.initiateResumable(key)
       val total = if (last) Some(sent + chunk.length) else None
-      val r = wire.putChunk(session, sent, chunk, total)
-      val want = if (last) 200 else 308
-      if (r.statusCode() != want) wire.fail(r, s"$key chunk at $sent")
+      // recovery-aware: a 5xx or lost response probes the session for the
+      // durably-received offset and resends only the missing suffix
+      wire.putChunkRecovering(session, sent, chunk, total)
       sent += chunk.length
     }
 

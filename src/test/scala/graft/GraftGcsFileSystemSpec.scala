@@ -111,6 +111,42 @@ class GraftGcsFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
       new org.apache.hadoop.fs.Path("graftgcs://lake/big/empty.bin")).getLen == 0)
   }
 
+  test("resumable upload survives injected 503s: before-apply AND lost-response") {
+    // small chunks + uncached instance so the payload spans several PUTs
+    val hc = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    hc.set("fs.graftgcs.chunk.size", "262144")
+    hc.set("fs.graftgcs.impl.disable.cache", "true")
+    val fs = new org.apache.hadoop.fs.Path("graftgcs://lake/rec").getFileSystem(hc)
+    val payload = Array.tabulate[Byte](700 * 1024)(i => ((i * 7) % 251).toByte)
+    def writeAndCheck(name: String): Unit = {
+      val f = new org.apache.hadoop.fs.Path(s"graftgcs://lake/rec/$name")
+      val out = fs.create(f, true)
+      out.write(payload); out.close()
+      val in = fs.open(f)
+      val got = new Array[Byte](payload.length)
+      in.readFully(0, got); in.close()
+      assert(got.toSeq == payload.toSeq, name)
+    }
+    // 503 BEFORE the server applies the bytes: plain retry resends
+    server.failChunkBeforeApply.set(2)
+    writeAndCheck("before.bin")
+    assert(server.failChunkBeforeApply.get() == 0, "injection must have fired")
+    // 503 AFTER the bytes are durably applied (lost response): the client
+    // must probe the session, see the offset advanced, and NOT resend —
+    // a blind resend would 400 on the offset mismatch and fail the write
+    server.failChunkAfterApply.set(2)
+    writeAndCheck("after.bin")
+    assert(server.failChunkAfterApply.get() == 0, "injection must have fired")
+    // the FINALIZE losing its response: probe answers 200 for the
+    // completed session and the client treats the upload as done
+    server.failChunkAfterApply.set(1)
+    val f3 = new org.apache.hadoop.fs.Path("graftgcs://lake/rec/final.bin")
+    val out3 = fs.create(f3, true)
+    out3.write(Array.tabulate[Byte](1000)(_.toByte)); out3.close()
+    assert(fs.getFileStatus(f3).getLen == 1000)
+  }
+
   test("250 random ops: the wire FileSystem tracks RawLocalFileSystem") {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath, RawLocalFileSystem}
     val r = new scala.util.Random(47)
