@@ -354,6 +354,56 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally gcs.stop()
   }
 
+  test("serve over a jdbc metadata plane (the reference's sqlite+REST shape)") {
+    // the reference's documented small-team deployment is LITERALLY this
+    // composition (docs/ice-rest-catalog-gcs.md: `uri: jdbc:sqlite:...` +
+    // a REST server): graft serve with `uri: jdbc:...`, catalog state
+    // living ONLY in the SQL store, REST clients none the wiser
+    var served: graft.catalog.RestServer.Server = null
+    try {
+      val jdbcRoot = s"${Files.createTempDirectory("serve-jdbc")}/virtual/cat"
+      val db = Files.createTempDirectory("serve-jdbc-derby").resolve("db")
+      val cfg = Files.createTempFile("graft-serve-jdbc", ".yaml")
+      Files.writeString(cfg,
+        s"""root: $jdbcRoot
+           |uri: jdbc:derby:$db;create=true
+           |bearerTokens:
+           |  - name: admin
+           |    value: jtok
+           |""".stripMargin)
+      val code = Cli.run(Seq("--config", cfg.toString, "serve", "--port", "0"),
+        spark, new PrintStream(new ByteArrayOutputStream(), true),
+        onServe = s => served = s)
+      assert(code == 0 && served != null)
+      val client = java.net.http.HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = null)
+          : java.net.http.HttpResponse[String] = {
+        val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${served.url}$path"))
+          .header("Authorization", "Bearer jtok")
+          .header("Content-Type", "application/json")
+        val req = (if (body == null) b.method(method,
+          java.net.http.HttpRequest.BodyPublishers.noBody())
+        else b.method(method,
+          java.net.http.HttpRequest.BodyPublishers.ofString(body))).build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      assert(call("POST", "/v1/namespaces",
+        """{"namespace":["rest"]}""").statusCode() == 200)
+      val create = call("POST", "/v1/namespaces/rest/tables",
+        """{"name":"t","schema":{"type":"struct","schema-id":0,"fields":[
+          {"id":1,"name":"id","required":false,"type":"long"}]}}""")
+      assert(create.statusCode() == 200, create.body().take(200))
+      assert(call("GET", "/v1/namespaces/rest/tables/t").statusCode() == 200)
+      // nothing on the local filesystem; rows in the SQL store
+      assert(!Files.exists(java.nio.file.Paths.get(jdbcRoot)))
+      val probe = new graft.catalog.JdbcFileIO(jdbcRoot,
+        s"jdbc:derby:$db")
+      assert(probe.keyCount > 0)
+      probe.close()
+    } finally if (served != null) served.stop()
+  }
+
   test("insert --compression lands the requested parquet codec") {
     import spark.implicits._
     assert(cli("create-table", "ns.cmp", "--schema", "id BIGINT, v STRING")._1 == 0)
