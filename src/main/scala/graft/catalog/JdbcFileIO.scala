@@ -61,6 +61,12 @@ final class JdbcFileIO(metadataRoot: String, jdbcUrl: String) extends FileIO {
 
   // ---- schema bootstrap (idempotent; concurrent creators race benignly)
   locally {
+    // embedded Derby writes derby.log into user.dir unless told otherwise;
+    // route it to tmp when the deployment hasn't configured it
+    if (jdbcUrl.startsWith("jdbc:derby:") &&
+      System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        s"${System.getProperty("java.io.tmpdir")}/graft-derby.log")
     val c = DriverManager.getConnection(jdbcUrl)
     try {
       try {
