@@ -32,9 +32,11 @@ final class GcsWire(endpoint: String, bucket: String, auth: GcsAuth) {
   private val base = endpoint.stripSuffix("/")
 
   /** Object names ride in the URL path percent-encoded INCLUDING '/'
-    * (the JSON API's single-path-segment convention).
+    * (the JSON API's single-path-segment convention). RFC 3986 percent
+    * encoding, NOT URLEncoder: form encoding turns a space into '+',
+    * which in a path position addresses the wrong object.
     */
-  def enc(name: String): String = URLEncoder.encode(name, UTF_8)
+  def enc(name: String): String = GcsWire.pctEncode(name)
 
   def objectUrl(name: String, query: Seq[(String, String)] = Seq.empty): String = {
     val q = query.map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
@@ -170,7 +172,11 @@ final class GcsWire(endpoint: String, bucket: String, auth: GcsAuth) {
       probeSession(sessionUri) match {
         case None => return // finalize applied; only the response was lost
         case Some(received) =>
-          if (total.isDefined && received == end) return
+          // all bytes received but the probe still answers 308: the
+          // session holds the data WITHOUT being committed — loop so the
+          // next attempt sends an empty `bytes */total` finalize (a
+          // return here would report success for an object that does
+          // not exist)
           sent = received
           if (sent < offset || sent > end)
             throw new java.io.IOException(
@@ -216,14 +222,35 @@ final class GcsWire(endpoint: String, bucket: String, auth: GcsAuth) {
     request("DELETE", objectUrl(name, q))
   }
 
-  /** Server-side copy. 412 when `ifGenerationMatch=Some(0)` and dst exists. */
+  /** Server-side copy. 412 when `ifGenerationMatch=Some(0)` and dst
+    * exists. The rewrite protocol is MULTI-ROUND for large or
+    * cross-class objects: a 200 with `done:false` carries a
+    * `rewriteToken` and the copy must be re-posted with it until
+    * `done:true` — treating the first 200 as completion and deleting
+    * the source would destroy the object mid-copy.
+    */
   def rewriteTo(
       src: String, dst: String,
       ifGenerationMatch: Option[Long] = None): HttpResponse[Array[Byte]] = {
-    val cond = ifGenerationMatch.map(g => s"?ifGenerationMatch=$g").getOrElse("")
-    request("POST",
-      s"$base/storage/v1/b/$bucket/o/${enc(src)}/rewriteTo/b/$bucket/o/${enc(dst)}$cond",
-      body = Array.empty)
+    var token: Option[String] = None
+    var rounds = 0
+    while (rounds < 100000) {
+      rounds += 1
+      val q = ifGenerationMatch.map(g => s"ifGenerationMatch=$g").toSeq ++
+        token.map(t => s"rewriteToken=${enc(t)}")
+      val cond = if (q.isEmpty) "" else q.mkString("?", "&", "")
+      val r = request("POST",
+        s"$base/storage/v1/b/$bucket/o/${enc(src)}/rewriteTo/b/$bucket/o/${enc(dst)}$cond",
+        body = Array.empty)
+      if (r.statusCode() != 200) return r
+      val body = new String(r.body(), UTF_8)
+      if (GcsWire.parse(body).path("done").asBoolean(false)) return r
+      token = GcsWire.string(body, "rewriteToken")
+      if (token.isEmpty)
+        throw new java.io.IOException(
+          s"rewrite $src -> $dst: done:false without a rewriteToken")
+    }
+    throw new java.io.IOException(s"rewrite $src -> $dst: no completion after $rounds rounds")
   }
 
   /** One-level or recursive listing: (object names, common prefixes),
@@ -254,16 +281,17 @@ final class GcsWire(endpoint: String, bucket: String, auth: GcsAuth) {
       val r = request("GET", url)
       if (r.statusCode() != 200) fail(r, s"list $prefix")
       val body = new String(r.body(), UTF_8)
-      items ++= "\\{\"kind\":\"storage#object\"[^{}]*\\}".r
-        .findAllIn(body).map { item =>
-          (GcsWire.string(item, "name").getOrElse(""),
-            GcsWire.long(item, "size").getOrElse(0L),
-            GcsWire.string(item, "updated")
-              .flatMap(u => scala.util.Try(
-                java.time.Instant.parse(u).toEpochMilli).toOption)
-              .getOrElse(0L))
-        }
-      prefixes ++= GcsWire.prefixList(body)
+      val root = GcsWire.parse(body)
+      root.path("items").forEach { item =>
+        items += ((item.path("name").asText(""),
+          // int64 fields arrive quoted; asLong handles both forms
+          item.path("size").asText("0").toLongOption.getOrElse(0L),
+          Option(item.path("updated").asText(null))
+            .flatMap(u => scala.util.Try(
+              java.time.Instant.parse(u).toEpochMilli).toOption)
+            .getOrElse(0L)))
+      }
+      root.path("prefixes").forEach(pn => prefixes += pn.asText())
       token = GcsWire.string(body, "nextPageToken")
       pages += 1
       token.isDefined && pages < 10000
@@ -273,30 +301,63 @@ final class GcsWire(endpoint: String, bucket: String, auth: GcsAuth) {
 }
 
 object GcsWire {
-  /** Minimal JSON field readers for the API's flat response shapes (full
-    * JSON parsing rides IcebergJson elsewhere; the listing/stat payloads
-    * used here are flat string/number fields and one string array).
+  /** Real JSON parsing (Jackson, already on the Spark classpath) — a
+    * regex over response bodies breaks the moment an object name
+    * contains a quote, brace or escape, and hand-rolled unescaping
+    * cannot handle \uXXXX. Top-level field readers keep their string
+    * signature so callers stay simple.
     */
-  private[graft] def string(json: String, field: String): Option[String] =
-    ("\"" + field + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-      .findFirstMatchIn(json).map(m => unescape(m.group(1)))
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private[graft] def strings(json: String, field: String): Seq[String] =
-    ("\"" + field + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-      .findAllMatchIn(json).map(m => unescape(m.group(1))).toSeq
+  private[graft] def parse(json: String): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(json)
 
-  private[graft] def long(json: String, field: String): Option[Long] =
-    ("\"" + field + "\"\\s*:\\s*\"?(\\d+)\"?").r
-      .findFirstMatchIn(json).map(_.group(1).toLong)
+  private[graft] def string(json: String, field: String): Option[String] = {
+    val n = parse(json).path(field)
+    if (n.isMissingNode || n.isNull) None else Some(n.asText())
+  }
 
-  private[graft] def prefixList(json: String): Seq[String] =
-    "\"prefixes\"\\s*:\\s*\\[((?:[^\\]])*)\\]".r.findFirstMatchIn(json)
-      .map(m => "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
-        .map(x => unescape(x.group(1))).toSeq)
-      .getOrElse(Seq.empty)
+  private[graft] def long(json: String, field: String): Option[Long] = {
+    val n = parse(json).path(field)
+    // the JSON API quotes int64 fields (size/generation) as strings
+    if (n.isMissingNode || n.isNull) None
+    else if (n.isNumber) Some(n.asLong())
+    else n.asText().toLongOption
+  }
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\/", "/")
+  /** RFC 3986 percent-encoding for URL PATH segments (and safe in query
+    * values): everything but unreserved characters. `URLEncoder` is form
+    * encoding — it turns a space into '+', which in a path position is a
+    * literal plus, so `stat("my file")` would address "my+file" on any
+    * real endpoint.
+    */
+  private[graft] def pctEncode(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~')
+        sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Percent-decode for PATH segments: '+' stays a literal plus
+    * (URLDecoder's form semantics would corrupt names containing it).
+    */
+  private[graft] def pctDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(c); i += 1 }
+    }
+    new String(out.toByteArray, UTF_8)
+  }
 }
 
 /** OAuth2 bearer source for [[GcsWire]]. */

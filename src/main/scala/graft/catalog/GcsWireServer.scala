@@ -59,6 +59,13 @@ final class GcsWireServer(
   val failChunkBeforeApply = new java.util.concurrent.atomic.AtomicInteger(0)
   val failChunkAfterApply = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Per-call rewrite budget: objects larger than this take multiple
+    * rewriteTo rounds (done:false + rewriteToken), GCS's real behavior
+    * for large/cross-class copies. Default: single-round.
+    */
+  val rewriteMaxBytesPerCall = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+  private val rewrites = new ConcurrentHashMap[String, java.lang.Long]()
+
   /** Commit a finished session's object without writing a response:
     * metadata JSON on success, null when the initiate-time
     * ifGenerationMatch precondition fails.
@@ -168,7 +175,9 @@ final class GcsWireServer(
     val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       .split('&').filter(_.nonEmpty).map(_.split("=", 2))
       .collect { case Array(k, v) => k -> URLDecoder.decode(v, UTF_8) }.toMap
-    def dec(s: String) = URLDecoder.decode(s, UTF_8)
+    // PATH segments percent-decode WITHOUT form semantics: a '+' in an
+    // object name is a literal plus, not a space
+    def dec(s: String) = GcsWire.pctDecode(s)
 
     (method, segs) match {
       // resumable-upload initiate: session URI in the Location header
@@ -268,13 +277,34 @@ final class GcsWireServer(
         if (name.isEmpty) { sendJson(ex, 400, err("name required")); return }
         putObject(ex, s"$bucket/$name", body, query.get("ifGenerationMatch").map(_.toLong))
 
-      // server-side copy
+      // server-side copy — multi-round when the object exceeds
+      // rewriteMaxBytesPerCall (GCS's real behavior past ~1 GiB):
+      // done:false + rewriteToken until the final round commits
       case ("POST", List("storage", "v1", "b", sb, "o", src, "rewriteTo", "b", db, "o", dst)) =>
         val sk = s"$sb/${dec(src)}"
         val o = store.get(sk)
         if (o == null) { sendJson(ex, 404, err("no such object")); return }
-        putObject(ex, s"$db/${dec(dst)}", o.bytes,
-          query.get("ifGenerationMatch").map(_.toLong), rewriteEnvelope = true)
+        val perCall = rewriteMaxBytesPerCall.get()
+        val already: Long = query.get("rewriteToken") match {
+          case None => 0L
+          case Some(t) =>
+            val v = rewrites.get(t)
+            if (v == null) { sendJson(ex, 400, err("unknown rewriteToken")); return }
+            v.longValue
+        }
+        val copied = math.min(already + math.max(1L, perCall), o.bytes.length.toLong)
+        if (copied < o.bytes.length) {
+          val tok = java.util.UUID.randomUUID().toString
+          rewrites.put(tok, copied)
+          sendJson(ex, 200,
+            s"""{"kind":"storage#rewriteResponse","done":false,""" +
+              s""""totalBytesRewritten":"$copied","objectSize":"${o.bytes.length}",""" +
+              s""""rewriteToken":"$tok"}""")
+        } else {
+          query.get("rewriteToken").foreach(rewrites.remove(_))
+          putObject(ex, s"$db/${dec(dst)}", o.bytes,
+            query.get("ifGenerationMatch").map(_.toLong), rewriteEnvelope = true)
+        }
 
       // metadata or media GET
       case ("GET", List("storage", "v1", "b", bucket, "o", name)) =>

@@ -3158,7 +3158,11 @@ class IceCatalog(
           io.createDirectories(dir.resolve("data"))
           writeVersion(dir, 1, m)
         } else {
-          writeVersion(dir, currentVersion(dir) + 1, m)
+          // through the NORMAL commit chain (lock + probeTop + retry):
+          // a raw writeVersion at currentVersion+1 could republish a
+          // burned slot from a rolled-back group commit and throws
+          // unretried on a racing committer
+          commit(m.name, _ => m)
         }
       }
       IceCatalog.ImportEntry(m.name, action)

@@ -144,8 +144,15 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     RepetitionKernel.stats(input.asInstanceOf[ArrayData])
 
+  // nullSafeCodeGen, not defineCodeGen: the kernel returns null for <2
+  // tokens, and defineCodeGen would leave isNull=false on a non-null
+  // child — GetStructField on the null struct would then NPE inside
+  // whole-stage codegen
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionKernel.stats($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.RepetitionKernel.stats($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -125,9 +125,18 @@ object Cli {
         case (Some(uri), None) => new IceCatalog(spark, root,
           new graft.catalog.EtcdHttpFileIO(root, uri))
         case (None, None) if cfg.gcs.isDefined =>
-          // `gcs:` block: metadata over the GCS JSON-API wire client
-          // (reference deployment docs/ice-rest-catalog-gcs.md)
+          // one `gcs:` block wires BOTH planes (same split as `s3:`):
+          // metadata over the GCS JSON-API wire client, data through the
+          // graftgcs:// Hadoop FileSystem so insert/scan/watch accept
+          // object-store paths directly (docs/ice-rest-catalog-gcs.md)
           val g = cfg.gcs.get
+          val hc = spark.sparkContext.hadoopConfiguration
+          hc.set("fs.graftgcs.impl", classOf[graft.sources.GraftGcsFileSystem].getName)
+          hc.set("fs.graftgcs.endpoint", g.endpoint)
+          g.token.foreach(hc.set("fs.graftgcs.token", _))
+          g.clientEmail.foreach(hc.set("fs.graftgcs.client.email", _))
+          g.privateKey.foreach(hc.set("fs.graftgcs.private.key", _))
+          g.tokenUri.foreach(hc.set("fs.graftgcs.token.uri", _))
           new IceCatalog(spark, root,
             new graft.catalog.GcsHttpFileIO(root, g.endpoint, g.bucket, g.auth))
         case (None, Some(s3)) =>

@@ -346,11 +346,20 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
         (code, buf.toString.linesIterator.toSeq)
       }
       assert(gcli("create-namespace", "gc")._1 == 0)
-      assert(gcli("create-table", "gc.ev", "--schema", "id BIGINT")._1 == 0)
+      assert(gcli("create-table", "gc.ev", "--schema", "id BIGINT, v STRING")._1 == 0)
       assert(gcli("list-tables", "gc") == (0, Seq("ev")))
       // metadata lives only in the object store
       assert(!Files.exists(java.nio.file.Paths.get(gcsRoot)))
       assert(gcs.objectCount > 0)
+      // the gcs: block wires the DATA plane too (same split as s3:):
+      // Spark writes parquet straight to graftgcs://, and wildcard
+      // no-copy insert registers it from the store
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").repartition(2)
+        .write.parquet("graftgcs://data/staging/b1")
+      assert(gcli("insert", "gc.ev", "graftgcs://data/staging/b1/*.parquet",
+        "--no-copy", "--force-outside-location")._1 == 0)
+      assert(gcli("count", "gc.ev") == (0, Seq("3")))
     } finally gcs.stop()
   }
 

@@ -50,7 +50,10 @@ class GcsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       GcsAuth.Static("gcs-static-tok"))
     fuzz.createDirectories(gcsRoot)
 
-    val names = Seq("a", "b", "c")
+    // names exercise the encoding/parsing edges a regex-and-URLEncoder
+    // implementation gets wrong: spaces ('+' vs %20 in path segments),
+    // literal '+', '%', JSON-hostile braces/quotes
+    val names = Seq("a", "b b", "c+c", "d}d", "e%e", "f\"f")
     def randomRel(): String =
       (0 until 1 + r.nextInt(3)).map(_ => names(r.nextInt(names.length))).mkString("/")
 
@@ -179,6 +182,42 @@ class GcsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
         .exists(base.resolve("a.txt")))
     assert(server.badAssertions.get() > bad,
       "a signature under the wrong key must fail RS256 verification")
+  }
+
+  test("multi-round rewrites: done:false + rewriteToken until completion") {
+    // GCS's real large-object copy behavior: each rewriteTo call copies a
+    // bounded slice and answers done:false with a token; treating the
+    // first 200 as completion (then deleting the source) would destroy
+    // the object mid-copy
+    val base = java.nio.file.Paths.get(s"$root/rw")
+    wire.createDirectories(base)
+    val payload = (1 to 50000).map(i => ('a' + i % 26).toChar).mkString
+    wire.writeString(base.resolve("big.txt"), payload)
+    server.rewriteMaxBytesPerCall.set(8192) // force ~7 rounds
+    try {
+      // publishLink rides rewriteTo with the create-new precondition
+      wire.publishLink(base.resolve("copy.txt"), base.resolve("big.txt"))
+      assert(wire.readString(base.resolve("copy.txt")) == payload)
+      // move = rewriteTo + generation-conditional delete of the source
+      wire.move(base.resolve("big.txt"), base.resolve("moved.txt"))
+      assert(wire.readString(base.resolve("moved.txt")) == payload)
+      assert(!wire.exists(base.resolve("big.txt")))
+    } finally server.rewriteMaxBytesPerCall.set(Long.MaxValue)
+  }
+
+  test("an interrupted FINALIZE is resent, not reported as success") {
+    // 503 BEFORE the finalize applies: the session holds zero committed
+    // object; the client must probe (308 ⇒ not finalized) and resend the
+    // finalize until the object actually exists
+    val base = java.nio.file.Paths.get(s"$root/fin")
+    wire.createDirectories(base)
+    val session = new graft.catalog.GcsWire(server.endpoint, "graft",
+      GcsAuth.Static("gcs-static-tok"))
+    val uri = session.initiateResumable(s"${base.toString.stripPrefix("/")}/one.bin")
+    val bytes = Array.tabulate[Byte](1000)(_.toByte)
+    server.failChunkBeforeApply.set(1)
+    session.putChunkRecovering(uri, 0, bytes, total = Some(1000))
+    assert(wire.size(base.resolve("one.bin")) == 1000)
   }
 
   test("ranged reads serve partial bytes") {

@@ -390,4 +390,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("repetitionStats is null (not an NPE) for <2-token docs under codegen") {
+    // the kernel returns null for 0/1-token inputs; the expression's
+    // codegen must set isNull instead of letting a downstream
+    // GetStructField dereference a null struct
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("one", "", "two words").toDF("text")
+      .select(graft.functions.TextExpressions.repetitionStats(
+        graft.functions.TextFunctions.tokens(col("text"))).as("st"))
+      .select(col("st"), col("st.n_tokens").as("n"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(!rows(2).isNullAt(0) && rows(2).getAs[Long]("n") == 2L)
+  }
 }
