@@ -138,6 +138,20 @@ final class GcsWire(endpoint: String, bucket: String, auth: GcsAuth) {
     }.orElse(0L))
   }
 
+  /** Cancel a resumable session: DELETE on the session URI drops the
+    * buffered bytes so a failed writer never publishes a truncated object
+    * (GCS answers 499 on success; 404 means already gone — both fine).
+    * Best-effort: a cancel that can't reach the server is swallowed, since
+    * an un-finalized session simply expires server-side.
+    */
+  def cancelResumable(sessionUri: String): Unit =
+    try {
+      val b = HttpRequest.newBuilder(java.net.URI.create(sessionUri))
+        .header("Authorization", s"Bearer ${auth.token(http)}")
+        .method("DELETE", HttpRequest.BodyPublishers.noBody())
+      http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    } catch { case _: java.io.IOException | _: InterruptedException => }
+
   /** Chunk PUT with recovery: on a 5xx or transport failure, probe the
     * session for the durably-received offset — a response lost AFTER the
     * server applied the chunk must not resend (the probe shows the
@@ -354,7 +368,12 @@ object GcsWire {
       if (c == '%' && i + 2 < s.length) {
         out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
         i += 3
-      } else { out.write(c); i += 1 }
+      } else {
+        // a raw (unencoded) char may be multibyte — write its UTF-8 bytes,
+        // not the char truncated to one byte
+        out.write(c.toString.getBytes(UTF_8))
+        i += 1
+      }
     }
     new String(out.toByteArray, UTF_8)
   }

@@ -111,6 +111,11 @@ final class GcsWireServer(
 
   def objectCount: Int = store.size()
 
+  /** Diagnostic: resumable sessions not yet finalized or canceled (tests
+    * assert an aborted writer leaves none behind).
+    */
+  def openSessionCount: Int = sessions.size()
+
   // ---- request handling ---------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit =
@@ -130,7 +135,7 @@ final class GcsWireServer(
       route(ex, rawPath, body)
     } catch {
       case e: Exception =>
-        sendJson(ex, 500, s"""{"error":{"code":500,"message":"${e.toString.take(200)}"}}""")
+        sendJson(ex, 500, s"""{"error":{"code":500,"message":"${jsonEsc(e.toString.take(200))}"}}""")
     } finally ex.close()
 
   /** RFC 7523 JWT-bearer grant: verify the RS256 assertion against the
@@ -190,6 +195,13 @@ final class GcsWireServer(
           query.get("ifGenerationMatch").map(_.toLong)))
         ex.getResponseHeaders.set("Location", s"$endpoint/upload/session/$id")
         send(ex, 200, Array.empty, "application/json")
+
+      // resumable-upload cancel: DELETE on the session URI drops the
+      // buffered bytes without ever publishing an object (real GCS answers
+      // 499 Client Closed Request on a successful cancellation)
+      case ("DELETE", List("upload", "session", id)) =>
+        sessions.remove(id)
+        send(ex, 499, Array.empty, "application/json")
 
       // resumable-upload chunk: Content-Range drives 308-until-final;
       // `bytes */*` is the status probe (crash-recovery primitive)

@@ -18,7 +18,10 @@ import java.sql.{Connection, DriverManager, SQLException}
   * driver works (sqlite, postgres, Derby). Tests run on Apache Derby
   * embedded — the one JDBC engine on the unmanaged Spark classpath — but
   * nothing here is Derby-specific: duplicate keys are detected by
-  * SQLState class 23 (integrity violation), the only portable signal.
+  * SQLState class 23 (integrity violation), the only portable signal, and
+  * subtree listing uses an escaped `LIKE 'prefix/%'` with JVM-side binary
+  * ordering rather than a `BETWEEN` range, so engines with linguistic
+  * default collations (PostgreSQL with ICU) can't mis-slice a subtree.
   *
   * Deployment split (same as the KV/etcd backends): this store carries
   * the METADATA plane only. Data files live on a shared filesystem or
@@ -106,6 +109,30 @@ final class JdbcFileIO(metadataRoot: String, jdbcUrl: String) extends FileIO {
 
   private case class Row(dir: Boolean, body: Array[Byte], mtime: Long)
 
+  /** Subtree selection must not depend on the engine's string collation:
+    * on PostgreSQL a linguistic/ICU default collation weights punctuation
+    * differently, so a `k > base+'/' AND k < base+'0'` range can miss
+    * subtree keys or leak neighbors in. An escaped LIKE 'prefix/%' matches
+    * bytes regardless of collation; ordering (parents-first) is then done
+    * JVM-side with Java's binary String order. Subtrees are O(catalog
+    * metadata) rows, so the client-side sort is bounded.
+    */
+  private def likeEscape(s: String): String =
+    s.replace("!", "!!").replace("%", "!%").replace("_", "!_")
+
+  private def selectSubtree(base: String): Seq[String] = {
+    val ps = conn.prepareStatement(
+      "SELECT k FROM graft_fs WHERE k LIKE ? ESCAPE '!'")
+    try {
+      ps.setString(1, likeEscape(base + "/") + "%")
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[String]
+      while (rs.next()) out += rs.getString(1)
+      rs.close()
+      out.result().sorted // Java String order = binary, engine-independent
+    } finally ps.close()
+  }
+
   private def lookup(k: String): Option[Row] = {
     val ps = conn.prepareStatement(
       "SELECT is_dir, body, mtime FROM graft_fs WHERE k = ?")
@@ -182,20 +209,9 @@ final class JdbcFileIO(metadataRoot: String, jdbcUrl: String) extends FileIO {
     if (!inDb(p)) return LocalFileIO.walk(p)
     val base = key(p)
     if (lookup(base).isEmpty) return Seq.empty
-    // ordered range scan: '0' = '/' + 1, so [base+'/', base+'0') is
-    // exactly the subtree; lexicographic order puts parents first
-    val ps = conn.prepareStatement(
-      "SELECT k FROM graft_fs WHERE k > ? AND k < ? ORDER BY k")
-    try {
-      ps.setString(1, base + "/")
-      ps.setString(2, base + "0")
-      val rs = ps.executeQuery()
-      val out = Seq.newBuilder[Path]
-      out += java.nio.file.Paths.get(base)
-      while (rs.next()) out += java.nio.file.Paths.get(rs.getString(1))
-      rs.close()
-      out.result()
-    } finally ps.close()
+    // binary-sorted subtree keys put parents first (a parent is a strict
+    // prefix of its children), independent of the engine's collation
+    (base +: selectSubtree(base)).map(java.nio.file.Paths.get(_))
   }
 
   def readString(p: Path): String = {
@@ -228,11 +244,16 @@ final class JdbcFileIO(metadataRoot: String, jdbcUrl: String) extends FileIO {
       try insert(k, dir = false, bytes)
       catch {
         case e: SQLException if isDup(e) =>
-          // lost a create race: replace semantics still hold
+          // lost a create race: replace semantics still hold — unless the
+          // racing creator was a createDirectories, in which case the
+          // is_dir=0 UPDATE matches nothing and the write must fail loudly
           val up2 = conn.prepareStatement(
             "UPDATE graft_fs SET body = ?, mtime = ? WHERE k = ? AND is_dir = 0")
-          try { up2.setBytes(1, bytes); up2.setLong(2, now()); up2.setString(3, k); up2.executeUpdate() }
-          finally up2.close()
+          val n =
+            try { up2.setBytes(1, bytes); up2.setLong(2, now()); up2.setString(3, k); up2.executeUpdate() }
+            finally up2.close()
+          if (n == 0)
+            throw new java.nio.file.FileSystemException(k, null, "is a directory")
       }
     }
   }
@@ -285,18 +306,11 @@ final class JdbcFileIO(metadataRoot: String, jdbcUrl: String) extends FileIO {
       if (lookup(tk).isDefined) throw new FileAlreadyExistsException(tk)
       // rewrite the subtree's keys in one transaction — the range is the
       // table's manifest segments, O(metadata), never O(data)
-      val sel = conn.prepareStatement(
-        "SELECT k FROM graft_fs WHERE k > ? AND k < ? ORDER BY k")
-      sel.setString(1, fk + "/")
-      sel.setString(2, fk + "0")
-      val rs = sel.executeQuery()
-      val children = Seq.newBuilder[String]
-      while (rs.next()) children += rs.getString(1)
-      rs.close(); sel.close()
+      val children = selectSubtree(fk)
       val ren = conn.prepareStatement(
         "UPDATE graft_fs SET k = ?, parent = ? WHERE k = ?")
       try {
-        (fk +: children.result()).foreach { ck =>
+        (fk +: children).foreach { ck =>
           val nk = tk + ck.stripPrefix(fk)
           ren.setString(1, nk)
           ren.setString(2, parentOf(nk).orNull)

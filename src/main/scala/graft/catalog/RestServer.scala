@@ -487,7 +487,7 @@ object RestServer {
             dryRun = queryParam(ex, "dry-run").exists(_.toBoolean),
             overwrite = queryParam(ex, "overwrite").exists(_.toBoolean))
           val entriesJson = res.entries.map(e =>
-            s"""{"table":"${e.table}","action":"${e.action}"}""")
+            s"""{"table":"${jsonEsc(e.table)}","action":"${jsonEsc(e.action)}"}""")
             .mkString("[", ",", "]")
           send(ex, 200,
             (s"""{"created":${res.created},"skipped":${res.skipped},""" +
@@ -793,6 +793,12 @@ object RestServer {
         throw new IllegalArgumentException("namespace required")
       parts.mkString(".")
     }
+
+    /** Minimal JSON string escape for hand-built response bodies (table
+      * names may carry quotes/backslashes; Jackson handles the rest).
+      */
+    private def jsonEsc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
 
     /** One decoded query parameter. */
     private def queryParam(ex: HttpExchange, name: String): Option[String] =

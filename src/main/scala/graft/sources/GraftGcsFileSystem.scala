@@ -263,6 +263,7 @@ final class GraftGcsFileSystem extends FileSystem {
     private var session: String = _
     private var sent: Long = 0
     private var closed = false
+    private var failed = false
 
     override def write(b: Int): Unit = { buf.write(b); maybeFlush() }
     override def write(b: Array[Byte], off: Int, n: Int): Unit = {
@@ -282,15 +283,30 @@ final class GraftGcsFileSystem extends FileSystem {
       val total = if (last) Some(sent + chunk.length) else None
       // recovery-aware: a 5xx or lost response probes the session for the
       // durably-received offset and resends only the missing suffix
-      wire.putChunkRecovering(session, sent, chunk, total)
+      try wire.putChunkRecovering(session, sent, chunk, total)
+      catch { case t: Throwable => failed = true; throw t }
       sent += chunk.length
     }
 
+    /** A writer that failed mid-stream must NOT finalize on close — a
+      * Spark task's finally-close would otherwise publish a truncated
+      * object at the target key. Cancel the session instead so nothing
+      * ever becomes visible; the task retry starts a fresh session.
+      */
     override def close(): Unit = {
       if (closed) return
       closed = true
-      pushChunk(buf.toByteArray, last = true)
-      buf.reset()
+      if (failed) {
+        if (session != null) wire.cancelResumable(session)
+        buf.reset()
+        return
+      }
+      try pushChunk(buf.toByteArray, last = true)
+      catch {
+        case t: Throwable =>
+          if (session != null) wire.cancelResumable(session)
+          throw t
+      } finally buf.reset()
     }
   }
 

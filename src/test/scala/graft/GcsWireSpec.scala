@@ -228,6 +228,16 @@ class GcsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.charset.StandardCharsets.UTF_8) == "456789")
   }
 
+  test("pctDecode round-trips raw multibyte chars alongside encoded bytes") {
+    import graft.catalog.GcsWire
+    // encoded UTF-8 bytes decode…
+    assert(GcsWire.pctDecode("caf%C3%A9/%E6%97%A5.txt") == "café/日.txt")
+    // …and a RAW (unencoded) multibyte char must pass through intact, not
+    // be truncated to its low byte before the UTF-8 decode
+    assert(GcsWire.pctDecode("café/日.txt") == "café/日.txt")
+    assert(GcsWire.pctDecode("a%2Fb+ç") == "a/b+ç") // '+' stays literal
+  }
+
   test("listing pages: clients follow nextPageToken past the page size") {
     val base = java.nio.file.Paths.get(s"$root/pages")
     wire.createDirectories(base)

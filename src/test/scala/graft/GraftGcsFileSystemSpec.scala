@@ -147,6 +147,30 @@ class GraftGcsFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fs.getFileStatus(f3).getLen == 1000)
   }
 
+  test("a failed writer's close() aborts the session — no truncated object published") {
+    val hc = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    hc.set("fs.graftgcs.chunk.size", "262144")
+    hc.set("fs.graftgcs.impl.disable.cache", "true")
+    val fs = new org.apache.hadoop.fs.Path("graftgcs://lake/abort").getFileSystem(hc)
+    val f = new org.apache.hadoop.fs.Path("graftgcs://lake/abort/doomed.bin")
+    val out = fs.create(f, true)
+    out.write(Array.tabulate[Byte](300 * 1024)(_.toByte)) // first chunk lands
+    // every subsequent PUT 503s until retries exhaust → the write throws
+    server.failChunkBeforeApply.set(1000)
+    val threw = try {
+      out.write(Array.tabulate[Byte](300 * 1024)(_.toByte)); out.close(); false
+    } catch { case _: java.io.IOException => true }
+    server.failChunkBeforeApply.set(0)
+    assert(threw, "exhausted retries must surface as IOException")
+    // the task-side finally: close() after failure must NOT finalize the
+    // partial bytes into a visible truncated object
+    out.close()
+    assertThrows[java.io.FileNotFoundException](fs.getFileStatus(f))
+    assert(server.openSessionCount == 0,
+      "abort must cancel the resumable session server-side")
+  }
+
   test("250 random ops: the wire FileSystem tracks RawLocalFileSystem") {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath, RawLocalFileSystem}
     val r = new scala.util.Random(47)

@@ -32,7 +32,9 @@ class JdbcDifferentialSpec extends AnyFunSuite {
     val jdbc = new JdbcFileIO("/jdbcdiff-virtual", s"jdbc:derby:$dbDir;create=true")
     jdbc.createDirectories(jdbcRoot)
 
-    val names = Seq("a", "b", "c", "d")
+    // '%', '_', '!' exercise the LIKE-escape subtree scan (a naive
+    // `LIKE base || '/%'` would mis-match these)
+    val names = Seq("a", "b", "c", "d", "x%y", "u_v", "e!f")
     def randomRel(): String =
       (0 until 1 + r.nextInt(3)).map(_ => names(r.nextInt(names.length))).mkString("/")
 
