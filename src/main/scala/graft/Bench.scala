@@ -81,7 +81,12 @@ object Bench {
     // headline fields LAST: the driver's bench artifact keeps only the
     // final ~2000 chars of this line (BENCH_r07.json lost its total to
     // the cut head), so total/tripwire must sit at the tail end
-    println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","runs":2,"timing":"best-of-2","ratios":$rj,"tripwire":{"fired":$fired,"breaches":$bj,"tells_flat":$tellsFlat},"unit":"sec","total_s":${num(total, 2)},"value":${num(total, 2)}}""")
+    // session config recorded so future re-pins are protocol-verifiable
+    // (the pin protocol is local[16] + 16 shuffle partitions; a bench run
+    // under a different master must not be compared against these pins)
+    val session = s"""{"master":"local[$cpus]","shuffle_partitions":$cpus,""" +
+      s""""aqe":true,"broadcast_mb":64}"""
+    println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","runs":2,"timing":"best-of-2","session":$session,"ratios":$rj,"tripwire":{"fired":$fired,"breaches":$bj,"tells_flat":$tellsFlat},"unit":"sec","total_s":${num(total, 2)},"value":${num(total, 2)}}""")
     spark.stop()
     if (fired) sys.exit(2)
   }

@@ -1,0 +1,126 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.catalog.IceCatalog._
+
+/** The catalog surface the CLI and streaming ingest code against — the
+  * operations a catalog CLIENT performs, whether the catalog is local
+  * (metadata on a filesystem/object-store plane this process reads and
+  * commits itself — [[IceCatalog]]) or remote (metadata owned by a
+  * `graft serve` REST server this process talks to over the Iceberg REST
+  * wire protocol — [[RestCatalogClient]]).
+  *
+  * This split IS the reference's deployment model: `ice`'s primary mode
+  * builds an Iceberg REST client against `uri: http(s)://…`
+  * (ice/.../internal/iceberg/RESTCatalogFactory.java:38-66), while
+  * `ice-rest-catalog` owns the storage plane. Mutations route through the
+  * catalog owner; reads resolve metadata pointers and then hit shared
+  * storage directly.
+  *
+  * Default arguments live HERE (implementations inherit them — Scala
+  * resolves defaults through the overridden symbol), so call sites typed
+  * against the trait keep the ergonomic signatures.
+  */
+trait CatalogSurface {
+
+  /** The metadata-plane FileIO this client resolves LOCAL paths through
+    * (glob expansion, staging); for a remote catalog this is the client
+    * machine's own view of shared storage.
+    */
+  def io: FileIO
+
+  def spark: SparkSession
+
+  // ---- namespaces ---------------------------------------------------------
+  def listNamespaces(): Seq[String]
+  def listNamespaces(parent: String): Seq[String]
+  def createNamespace(ns: String): Unit
+  def namespaceExists(ns: String): Boolean
+  def dropNamespace(ns: String): Unit
+
+  // ---- tables: DDL --------------------------------------------------------
+  def listTables(ns: String): Seq[String]
+  def tableExists(ident: String): Boolean
+  def createTable(
+      ident: String,
+      schema: StructType,
+      partitionSpec: Seq[PartitionField] = Seq.empty,
+      sortOrder: Seq[SortField] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Unit
+  def dropTable(ident: String, purge: Boolean = true): Unit
+  def renameTable(ident: String, newIdent: String): TableMeta
+
+  // ---- metadata reads -----------------------------------------------------
+  def loadMeta(ident: String): TableMeta
+  def tableLocation(ident: String): String
+  def listSnapshots(ident: String): Seq[Snapshot]
+  def listPartitions(ident: String): Seq[(Map[String, String], Long, Int)]
+  def files(ident: String): Seq[DataFileMeta]
+  def describeMetadata(ident: String): DataFrame
+  def listRefs(ident: String): Map[String, SnapshotRef]
+
+  // ---- data reads ---------------------------------------------------------
+  def scan(
+      ident: String,
+      filters: Seq[PartitionFilter] = Seq.empty,
+      asOfSnapshot: Option[Long] = None,
+      limit: Option[Int] = None): DataFrame
+  def countRows(
+      ident: String,
+      filters: Seq[PartitionFilter] = Seq.empty,
+      asOfSnapshot: Option[Long] = None): Long
+  def changesSince(
+      ident: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame
+
+  // ---- writes -------------------------------------------------------------
+  def insert(
+      ident: String, df0: DataFrame,
+      options: InsertOptions = InsertOptions()): TableMeta
+  def addFilesWithRetry(
+      ident: String,
+      paths: Seq[String],
+      forceOutsideLocation: Boolean = false,
+      options: InsertOptions = InsertOptions(),
+      retries: Int = 4,
+      retryTotalMs: Long = 60000): TableMeta
+  def upsert(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta
+  def upsertMergeOnRead(
+      ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta
+  def delete(
+      ident: String,
+      filters: Seq[PartitionFilter],
+      dryRun: Boolean = false,
+      purge: Boolean = false): Seq[String]
+  def deletePositions(ident: String, df: DataFrame): TableMeta
+
+  // ---- table metadata commits --------------------------------------------
+  def setProperty(ident: String, key: String, value: String): TableMeta
+  def removeProperty(ident: String, key: String): TableMeta
+  def setRef(
+      ident: String, name: String, snapshotId: Long,
+      refType: String = "tag"): TableMeta
+  def dropRef(ident: String, name: String): TableMeta
+  def addColumn(ident: String, name: String, dataType: DataType): TableMeta
+  def alterColumn(ident: String, name: String, newType: DataType): TableMeta
+  def renameColumn(ident: String, from: String, to: String): TableMeta
+  def dropColumn(ident: String, name: String): TableMeta
+  def dropPartitionField(ident: String, name: String): TableMeta
+
+  // ---- admin --------------------------------------------------------------
+  def rewriteTablePath(
+      ident: String,
+      sourcePrefix: String,
+      targetPrefix: String,
+      dryRun: Boolean = false): Map[String, Long]
+  def exportCatalog(namespaceFilter: Option[String] = None): String
+  def importCatalog(
+      json: String,
+      dryRun: Boolean = false,
+      overwrite: Boolean = false): ImportResult
+  def runMaintenance(
+      ident: String, defaults: Maintenance.Policy): Seq[Maintenance.Report]
+}

@@ -138,6 +138,31 @@ final class GcsWire(endpoint: String, bucket: String, auth: GcsAuth) {
     }.orElse(0L))
   }
 
+  /** STS token-exchange (GCS downscoping with a Credential Access
+    * Boundary): trade this client's FULL token for a short-lived token
+    * the server only honors under `prefix` ("bucket/namePrefix") — the
+    * GCS half of vended per-table storage credentials. Returns the
+    * downscoped token and its expiry epoch-millis.
+    */
+  def downscopedToken(
+      prefix: String, expiresInSec: Long = 3600): (String, Long) = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val form =
+      s"grant_type=${enc("urn:ietf:params:oauth:grant-type:token-exchange")}" +
+        s"&subject_token=${enc(auth.token(http))}&prefix=${enc(prefix)}" +
+        s"&expires_in=$expiresInSec"
+    val b = HttpRequest.newBuilder(java.net.URI.create(s"$base/token"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form))
+    val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    if (r.statusCode() != 200) fail(r, "token exchange")
+    val bodyStr = new String(r.body(), UTF_8)
+    val tok = GcsWire.string(bodyStr, "access_token").getOrElse(
+      throw new java.io.IOException("token exchange returned no access_token"))
+    val ttl = GcsWire.long(bodyStr, "expires_in").getOrElse(3600L)
+    (tok, System.currentTimeMillis() + ttl * 1000)
+  }
+
   /** Cancel a resumable session: DELETE on the session URI drops the
     * buffered bytes so a failed writer never publishes a truncated object
     * (GCS answers 499 on success; 404 means already gone — both fine).

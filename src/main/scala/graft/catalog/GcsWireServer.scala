@@ -86,6 +86,16 @@ final class GcsWireServer(
   private val issuedTokens = ConcurrentHashMap.newKeySet[String]()
   private val serviceAccounts = new ConcurrentHashMap[String, java.security.PublicKey]()
 
+  /** Downscoped tokens (GCS's STS token-exchange with a Credential Access
+    * Boundary, re-expressed on the wire): token → ("bucket/namePrefix"
+    * scope, expiry). Honored by the bearer check, confined by the routing
+    * layer — the GCS half of vended per-table storage credentials.
+    */
+  private val scopedTokens = new ConcurrentHashMap[String, (String, Long)]()
+
+  /** Requests a downscoped token made outside its prefix. */
+  val scopeDenials = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Requests refused for missing/unknown bearer tokens (observability). */
   val authFailures = new java.util.concurrent.atomic.AtomicLong(0)
   /** JWT grants whose RS256 signature failed verification. */
@@ -125,14 +135,18 @@ final class GcsWireServer(
       if (rawPath == "/token") { handleToken(ex, body); return }
       val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
         .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
-      val ok = bearer.exists(t =>
+      val full = bearer.exists(t =>
         issuedTokens.contains(t) || staticToken.contains(t))
-      if (!ok) {
+      val scope: Option[String] =
+        if (full) None
+        else bearer.flatMap(t => Option(scopedTokens.get(t)))
+          .filter(_._2 > System.currentTimeMillis()).map(_._1)
+      if (!full && scope.isEmpty) {
         authFailures.incrementAndGet()
         sendJson(ex, 401, """{"error":{"code":401,"message":"invalid bearer token"}}""")
         return
       }
-      route(ex, rawPath, body)
+      route(ex, rawPath, body, scope)
     } catch {
       case e: Exception =>
         sendJson(ex, 500, s"""{"error":{"code":500,"message":"${jsonEsc(e.toString.take(200))}"}}""")
@@ -144,6 +158,30 @@ final class GcsWireServer(
   private def handleToken(ex: HttpExchange, body: Array[Byte]): Unit = {
     val form = new String(body, UTF_8).split('&').map(_.split("=", 2))
       .collect { case Array(k, v) => k -> URLDecoder.decode(v, UTF_8) }.toMap
+    // STS token-exchange (GCS downscoping with a Credential Access
+    // Boundary): a FULL token + a prefix boundary mint a short-lived
+    // token valid only under that prefix. Scoped tokens may NOT
+    // re-exchange (no privilege laundering).
+    if (form.get("grant_type").contains(
+        "urn:ietf:params:oauth:grant-type:token-exchange")) {
+      val subject = form.getOrElse("subject_token", "")
+      val isFull = issuedTokens.contains(subject) || staticToken.contains(subject)
+      if (!isFull) {
+        authFailures.incrementAndGet()
+        sendJson(ex, 401, """{"error":"invalid_grant"}"""); return
+      }
+      val prefix = form.getOrElse("prefix", "")
+      if (prefix.isEmpty) {
+        sendJson(ex, 400, """{"error":"invalid_request","error_description":"prefix required"}""")
+        return
+      }
+      val ttl = form.get("expires_in").flatMap(_.toLongOption).getOrElse(3600L)
+      val tok = "gcsd-" + java.util.UUID.randomUUID().toString
+      scopedTokens.put(tok, (prefix, System.currentTimeMillis() + ttl * 1000))
+      sendJson(ex, 200,
+        s"""{"access_token":"$tok","issued_token_type":"urn:ietf:params:oauth:token-type:access_token","token_type":"Bearer","expires_in":$ttl}""")
+      return
+    }
     if (!form.get("grant_type").contains("urn:ietf:params:oauth:grant-type:jwt-bearer")) {
       sendJson(ex, 400, """{"error":"unsupported_grant_type"}"""); return
     }
@@ -174,12 +212,46 @@ final class GcsWireServer(
       s"""{"access_token":"$tok","token_type":"Bearer","expires_in":3600}""")
   }
 
-  private def route(ex: HttpExchange, rawPath: String, body: Array[Byte]): Unit = {
+  /** Every "bucket/objectName" a request touches, for downscoped-token
+    * confinement: object target, list prefix, rewrite SOURCE and
+    * destination, resumable initiate target. Session-chunk PUTs carry no
+    * name — the scope was enforced at initiate.
+    */
+  private def scopeTargets(
+      segs: List[String], query: Map[String, String]): Seq[String] = {
+    def dec(s: String) = GcsWire.pctDecode(s)
+    segs match {
+      case List("upload", "storage", "v1", "b", bucket, "o") =>
+        Seq(s"$bucket/${query.getOrElse("name", "")}")
+      case List("storage", "v1", "b", sb, "o", sname, "rewriteTo", "b", db, "o", dname) =>
+        Seq(s"$sb/${dec(sname)}", s"$db/${dec(dname)}")
+      case List("storage", "v1", "b", bucket, "o", name) =>
+        Seq(s"$bucket/${dec(name)}")
+      case List("storage", "v1", "b", bucket, "o") =>
+        Seq(s"$bucket/${query.getOrElse("prefix", "")}")
+      case _ => Seq.empty
+    }
+  }
+
+  private def route(
+      ex: HttpExchange, rawPath: String, body: Array[Byte],
+      scope: Option[String] = None): Unit = {
     val method = ex.getRequestMethod
     val segs = rawPath.split('/').filter(_.nonEmpty).toList
     val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       .split('&').filter(_.nonEmpty).map(_.split("=", 2))
       .collect { case Array(k, v) => k -> URLDecoder.decode(v, UTF_8) }.toMap
+    // downscoped token: every touched object must live under its prefix
+    // (segment-safe: "b/tbl" admits "b/tbl" and "b/tbl/…", never "b/tbl2")
+    scope.foreach { sc =>
+      val outside = scopeTargets(segs, query).filterNot(t =>
+        t == sc || t.startsWith(sc.stripSuffix("/") + "/"))
+      if (outside.nonEmpty) {
+        scopeDenials.incrementAndGet()
+        sendJson(ex, 403, err(s"token is scoped to $sc"))
+        return
+      }
+    }
     // PATH segments percent-decode WITHOUT form semantics: a '+' in an
     // object name is a literal plus, not a space
     def dec(s: String) = GcsWire.pctDecode(s)

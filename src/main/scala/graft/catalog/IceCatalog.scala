@@ -387,9 +387,9 @@ object IceCatalog {
 }
 
 class IceCatalog(
-    private[graft] val spark: SparkSession,
+    val spark: SparkSession,
     root: String,
-    private[graft] val io: FileIO = LocalFileIO) {
+    val io: FileIO = LocalFileIO) extends CatalogSurface {
   import IceCatalog._
 
   /** Run `body` with session confs set, restoring prior values after: the
@@ -677,9 +677,9 @@ class IceCatalog(
   def createTable(
       ident: String,
       schema: StructType,
-      partitionSpec: Seq[PartitionField] = Seq.empty,
-      sortOrder: Seq[SortField] = Seq.empty,
-      properties: Map[String, String] = Map.empty): Unit = {
+      partitionSpec: Seq[PartitionField],
+      sortOrder: Seq[SortField],
+      properties: Map[String, String]): Unit = {
     require(!tableExists(ident), s"table $ident already exists")
     val dir = tableDir(ident)
     io.createDirectories(dir.resolve("metadata"))
@@ -735,7 +735,7 @@ class IceCatalog(
       java.util.UUID.nameUUIDFromBytes(m.name.getBytes("UTF-8")).toString)
   }
 
-  def dropTable(ident: String, purge: Boolean = true): Unit = {
+  def dropTable(ident: String, purge: Boolean): Unit = {
     val dir = tableDir(ident)
     if (io.isDirectory(dir)) {
       io.walk(dir).reverse.foreach(io.deleteIfExists(_))
@@ -1265,7 +1265,7 @@ class IceCatalog(
     * already recorded in any snapshot (Insert.java:110-240); noCommit writes
     * data but skips the metadata commit (`--no-commit`).
     */
-  def insert(ident: String, df0: DataFrame, options: InsertOptions = InsertOptions()): TableMeta = {
+  def insert(ident: String, df0: DataFrame, options: InsertOptions): TableMeta = {
     var meta = loadMeta(ident)
     val df =
       if (!options.evolveSchema) df0
@@ -1518,10 +1518,10 @@ class IceCatalog(
   def addFilesWithRetry(
       ident: String,
       paths: Seq[String],
-      forceOutsideLocation: Boolean = false,
-      options: InsertOptions = InsertOptions(),
-      retries: Int = 4,
-      retryTotalMs: Long = 60000): TableMeta = {
+      forceOutsideLocation: Boolean,
+      options: InsertOptions,
+      retries: Int,
+      retryTotalMs: Long): TableMeta = {
     val norm = paths.map(p => Paths.get(p).toAbsolutePath.normalize.toUri.toString)
     CommitRetry.run(retries, retryTotalMs,
       verified = () => {
@@ -2102,7 +2102,7 @@ class IceCatalog(
       ident: String,
       sourcePrefix: String,
       targetPrefix: String,
-      dryRun: Boolean = false): Map[String, Long] = {
+      dryRun: Boolean): Map[String, Long] = {
     require(sourcePrefix.nonEmpty && targetPrefix.nonEmpty,
       "rewrite_table_path needs non-empty source and target prefixes")
     require(sourcePrefix != targetPrefix, "source and target prefixes are equal")
@@ -2314,9 +2314,9 @@ class IceCatalog(
     */
   def scan(
       ident: String,
-      filters: Seq[PartitionFilter] = Seq.empty,
-      asOfSnapshot: Option[Long] = None,
-      limit: Option[Int] = None): DataFrame = {
+      filters: Seq[PartitionFilter],
+      asOfSnapshot: Option[Long],
+      limit: Option[Int]): DataFrame = {
     val meta = loadMeta(ident)
     val snap = asOfSnapshot match {
       case Some(id) => meta.snapshot(id).getOrElse(
@@ -2357,7 +2357,7 @@ class IceCatalog(
   def changesSince(
       ident: String,
       fromSnapshotId: Long,
-      toSnapshotId: Option[Long] = None): DataFrame = {
+      toSnapshotId: Option[Long]): DataFrame = {
     val meta = loadMeta(ident)
     require(fromSnapshotId == 0 || meta.snapshot(fromSnapshotId).isDefined,
       s"no snapshot $fromSnapshotId in $ident")
@@ -2407,8 +2407,8 @@ class IceCatalog(
   def delete(
       ident: String,
       filters: Seq[PartitionFilter],
-      dryRun: Boolean = false,
-      purge: Boolean = false): Seq[String] = {
+      dryRun: Boolean,
+      purge: Boolean): Seq[String] = {
     val meta = loadMeta(ident)
     val cur = meta.current.getOrElse(return Seq.empty)
     val (drop, _) = cur.files.partition(f => filters.forall(matches(f, _, meta)))
@@ -2505,7 +2505,7 @@ class IceCatalog(
     */
   def setRef(
       ident: String, name: String, snapshotId: Long,
-      refType: String = "tag"): TableMeta = {
+      refType: String): TableMeta = {
     require(name != "main", "main is the implicit current-snapshot branch")
     require(Set("tag", "branch")(refType), s"ref type must be tag|branch: $refType")
     commit(ident, m => {
@@ -2572,8 +2572,8 @@ class IceCatalog(
     */
   def countRows(
       ident: String,
-      filters: Seq[PartitionFilter] = Seq.empty,
-      asOfSnapshot: Option[Long] = None): Long = {
+      filters: Seq[PartitionFilter],
+      asOfSnapshot: Option[Long]): Long = {
     val meta = loadMeta(ident)
     filters.foreach(f => require(
       meta.partitionSpec.exists(_.name == f.name),
@@ -2916,6 +2916,17 @@ class IceCatalog(
   def setProperty(ident: String, key: String, value: String): TableMeta =
     commit(ident, m => m.copy(properties = m.properties + (key -> value)))
 
+  def removeProperty(ident: String, key: String): TableMeta =
+    commit(ident, m => m.copy(properties = m.properties - key))
+
+  /** Apply the table's maintenance policy now (the scheduled Runner's
+    * per-table pass); `defaults` supply catalog-wide policy the table's
+    * own properties override key by key.
+    */
+  def runMaintenance(
+      ident: String, defaults: Maintenance.Policy): Seq[Maintenance.Report] =
+    new Maintenance.Runner(this, defaults).runTable(ident)
+
   /** Drop a partition field (AlterTable.DropPartitionField) — future writes
     * stop partitioning on it; existing files keep their layout and manifest
     * partition values (spec evolution, not a rewrite).
@@ -3118,7 +3129,7 @@ class IceCatalog(
     * CatalogAdminService.java:103-115: exact match or `filter + "/"`
     * prefix — here with graft's dotted nesting).
     */
-  def exportCatalog(namespaceFilter: Option[String] = None): String = {
+  def exportCatalog(namespaceFilter: Option[String]): String = {
     def matches(ns: String): Boolean =
       namespaceFilter.forall(f => ns == f || ns.startsWith(f + "."))
     val tables = for {
@@ -3143,8 +3154,8 @@ class IceCatalog(
     */
   def importCatalog(
       json: String,
-      dryRun: Boolean = false,
-      overwrite: Boolean = false): IceCatalog.ImportResult = {
+      dryRun: Boolean,
+      overwrite: Boolean): IceCatalog.ImportResult = {
     val metas = mapper.readValue(json, classOf[Array[TableMeta]])
     val entries = metas.toSeq.map { m =>
       val exists = tableExists(m.name)

@@ -196,17 +196,97 @@ object Maintenance {
     }
   }
 
-  /** Fixed-delay scheduler (MaintenanceScheduler.java semantics with
+  /** When a run should fire — the reference's human schedule strings
+    * (Config.java:56-57, skedule format: its examples are
+    * `"every day 00:00"`; intervals like `"every 15m"` also appear in
+    * deployment docs). Calendar schedules evaluate in the JVM's default
+    * zone, like the reference's local-time skedule evaluation.
+    */
+  sealed trait Schedule {
+    /** Millis from `nowMs` until the next fire time (always > 0). */
+    def nextDelayMs(nowMs: Long): Long
+  }
+
+  object Schedule {
+    /** Fixed interval ("every 15m"). */
+    final case class Every(intervalMs: Long) extends Schedule {
+      require(intervalMs > 0, "interval must be positive")
+      def nextDelayMs(nowMs: Long): Long = intervalMs
+    }
+
+    /** Daily at a wall-clock time ("every day 00:00"). */
+    final case class DailyAt(hour: Int, minute: Int) extends Schedule {
+      require(hour >= 0 && hour < 24 && minute >= 0 && minute < 60,
+        s"bad time $hour:$minute")
+      def nextDelayMs(nowMs: Long): Long = {
+        val zone = java.time.ZoneId.systemDefault()
+        val now = java.time.Instant.ofEpochMilli(nowMs).atZone(zone)
+        val today = now.toLocalDate.atTime(hour, minute).atZone(zone)
+        val next = if (today.toInstant.toEpochMilli > nowMs) today
+          else today.plusDays(1)
+        next.toInstant.toEpochMilli - nowMs
+      }
+    }
+
+    /** Weekly on a day at a wall-clock time ("every monday 09:00"). */
+    final case class WeeklyAt(
+        day: java.time.DayOfWeek, hour: Int, minute: Int) extends Schedule {
+      require(hour >= 0 && hour < 24 && minute >= 0 && minute < 60,
+        s"bad time $hour:$minute")
+      def nextDelayMs(nowMs: Long): Long = {
+        val zone = java.time.ZoneId.systemDefault()
+        val now = java.time.Instant.ofEpochMilli(nowMs).atZone(zone)
+        var cand = now.toLocalDate.atTime(hour, minute).atZone(zone)
+        while (cand.getDayOfWeek != day || cand.toInstant.toEpochMilli <= nowMs)
+          cand = cand.plusDays(1)
+        cand.toInstant.toEpochMilli - nowMs
+      }
+    }
+
+    private val days = java.time.DayOfWeek.values()
+      .map(d => d.toString.toLowerCase -> d).toMap
+
+    /** Parse the schedule grammar:
+      *   `every day HH:MM`      → [[DailyAt]]
+      *   `every monday HH:MM`   → [[WeeklyAt]] (any weekday name)
+      *   `every 15m` / `every 30s` / bare seconds → [[Every]]
+      */
+    def parse(s: String): Schedule = {
+      val t = s.trim.toLowerCase.stripPrefix("every").trim
+      val at = """(day|monday|tuesday|wednesday|thursday|friday|saturday|sunday)\s+(\d{1,2}):(\d{2})""".r
+      val iv = """(\d+)\s*(ms|s|m|h|d)?""".r
+      t match {
+        case at("day", h, mm) => DailyAt(h.toInt, mm.toInt)
+        case at(dow, h, mm) => WeeklyAt(days(dow), h.toInt, mm.toInt)
+        case iv(n, unit) =>
+          val mult = unit match {
+            case "ms" => 1L
+            case null | "s" => 1000L
+            case "m" => 60 * 1000L
+            case "h" => 3600 * 1000L
+            case "d" => 24 * 3600 * 1000L
+          }
+          Every(n.toLong * mult)
+        case _ => throw new IllegalArgumentException(
+          s"""bad schedule "$s" (want e.g. "every 15m" or "every day 00:00")""")
+      }
+    }
+  }
+
+  /** Self-rescheduling daemon (MaintenanceScheduler.java semantics with
     * simpler concurrency: the reference schedules absolute next-run times
     * and SKIPS a tick when a run is still in flight; a single-thread
-    * fixed-DELAY schedule cannot overlap by construction — the next run
-    * starts intervalMs after the previous one completes, so a long run
-    * delays the schedule instead of stacking. When a run overruns the
-    * interval, `graft_maintenance_overrun_total` records what the
+    * run-then-reschedule loop cannot overlap by construction — the next
+    * fire time is computed after the previous run completes, so a long
+    * run delays the schedule instead of stacking. When a run overruns a
+    * fixed interval, `graft_maintenance_overrun_total` records what the
     * reference would have counted as a skipped tick.) `lastReports`
     * exposes the most recent run's outcome for observability.
     */
-  class Scheduler(runner: Runner, intervalMs: Long) {
+  class Scheduler(runner: Runner, schedule: Schedule) {
+    def this(runner: Runner, intervalMs: Long) =
+      this(runner, Schedule.Every(intervalMs))
+
     private val running = new AtomicBoolean(false)
     val lastReports = new AtomicReference[Seq[Report]](Seq.empty)
     val runsCompleted = new java.util.concurrent.atomic.AtomicLong(0)
@@ -215,22 +295,32 @@ object Maintenance {
       t.setDaemon(true)
       t
     }
-    private var task: ScheduledFuture[_] = _
+    @volatile private var task: ScheduledFuture[_] = _
+
+    private def tick(): Unit = {
+      val t0 = System.currentTimeMillis()
+      try {
+        lastReports.set(runner.run())
+        runsCompleted.incrementAndGet()
+        Metrics.inc("graft_maintenance_runs_total")
+      } catch { case _: Exception => () } // next tick retries
+      schedule match {
+        case Schedule.Every(iv) if System.currentTimeMillis() - t0 > iv =>
+          Metrics.inc("graft_maintenance_overrun_total")
+        case _ => ()
+      }
+      arm()
+    }
+
+    private def arm(): Unit = synchronized {
+      if (!running.get()) return
+      task = executor.schedule((() => tick()): Runnable,
+        schedule.nextDelayMs(System.currentTimeMillis()), TimeUnit.MILLISECONDS)
+    }
 
     def start(): Unit = synchronized {
       if (!running.compareAndSet(false, true)) return
-      task = executor.scheduleWithFixedDelay(
-        () => {
-          val t0 = System.currentTimeMillis()
-          try {
-            lastReports.set(runner.run())
-            runsCompleted.incrementAndGet()
-            Metrics.inc("graft_maintenance_runs_total")
-          } catch { case _: Exception => () } // next tick retries
-          if (System.currentTimeMillis() - t0 > intervalMs)
-            Metrics.inc("graft_maintenance_overrun_total")
-        },
-        intervalMs, intervalMs, TimeUnit.MILLISECONDS)
+      arm()
     }
 
     def stop(): Unit = synchronized {

@@ -1,0 +1,504 @@
+package graft.catalog
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.catalog.IceCatalog._
+
+/** Remote-catalog client: the full CLI command surface spoken over the
+  * Iceberg REST wire protocol against a `graft serve` (or any server of
+  * the same routes) — the reference's PRIMARY deployment topology, where
+  * `ice` builds a thin REST client against `uri: http(s)://…` and the
+  * catalog server owns the metadata plane
+  * (ice/.../internal/iceberg/RESTCatalogFactory.java:38-66 +
+  * HTTPClient.java; ice-rest-catalog is the serving half).
+  *
+  * Division of labor, exactly the Iceberg client model:
+  *
+  *  - Every MUTATION is a wire call: namespace/table DDL, property and
+  *    ref commits, schema evolution (`add-schema` +
+  *    `assert-last-assigned-field-id`), predicate delete, rename,
+  *    maintenance, export/import — and INSERT, which follows the
+  *    external-committer contract: the client stages parquet under the
+  *    table's data location (shared storage), then commits the file list
+  *    through `append-files` guarded by `assert-current-snapshot-id`. A
+  *    409 (CommitFailedException — another committer won the CAS) re-reads
+  *    and re-attempts under [[CommitRetry]]'s budget, the same loop local
+  *    committers run.
+  *  - READS resolve the server-reported metadata pointer
+  *    (LoadTableResponse `metadata-location`) and then parse metadata and
+  *    scan data files DIRECTLY from shared storage — a stock Iceberg
+  *    client does exactly this (the REST server hands out pointers, the
+  *    client's FileIO reads manifests and data). The parse/scan machinery
+  *    is [[IceCatalog]]'s own read path, anchored at the storage root the
+  *    server's table locations reveal; no commit ever routes through it.
+  *
+  * At 100 TB this split is what makes the topology scale: the catalog
+  * server handles O(tables) metadata traffic while every executor reads
+  * data files straight from the object store with its own credentials —
+  * the server is never on the data path.
+  *
+  * Unsupported remotely (each fails with a clear message): MERGE upserts
+  * (`upsert`/`upsertMergeOnRead` — row-level merge commits are not in the
+  * wire vocabulary; run them next to the catalog), `deletePositions`,
+  * `rewriteTablePath`, and `dropPartitionField`.
+  */
+final class RestCatalogClient(
+    val spark: SparkSession,
+    baseUrl: String,
+    bearerToken: Option[String] = None,
+    retries: Int = 4,
+    retryTotalMs: Long = 60000,
+    sslContext: Option[javax.net.ssl.SSLContext] = None) extends CatalogSurface {
+
+  private val base = baseUrl.stripSuffix("/")
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+  private val http = {
+    val b = HttpClient.newBuilder()
+    sslContext.foreach(b.sslContext)
+    b.build()
+  }
+
+  /** Local-path resolution (glob expansion, staging) uses the plain
+    * filesystem view — remote mode assumes the shared-storage topology
+    * for the data plane, like the reference's thin client assumes S3
+    * reachability.
+    */
+  val io: FileIO = LocalFileIO
+
+  // ---- wire plumbing ------------------------------------------------------
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  /** Namespace path segment: the spec's %1F unit separator joins levels
+    * (RESTUtil.encodeNamespace) — the server maps it back to dots.
+    */
+  private def nsSeg(ns: String): String = enc(ns.replace('.', '\u001f'))
+
+  private def tableUrl(ident: String): String = {
+    val i = ident.lastIndexOf('.')
+    require(i > 0, s"table identifier must be ns(.ns)*.table, got $ident")
+    s"$base/v1/namespaces/${nsSeg(ident.take(i))}/tables/${enc(ident.drop(i + 1))}"
+  }
+
+  private def request(
+      method: String, url: String, body: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    bearerToken.foreach(t => b.header("Authorization", s"Bearer $t"))
+    body.foreach(_ => b.header("Content-Type", "application/json"))
+    b.method(method, body.map(HttpRequest.BodyPublishers.ofString(_))
+      .getOrElse(HttpRequest.BodyPublishers.noBody()))
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  /** Send and map the REST error envelope onto the exception types the
+    * rest of graft already speaks: 409 → ConcurrentModificationException
+    * (so [[CommitRetry.isConflict]] drives the same retry loop as local
+    * commits), 404 → NoSuchElementException, 400 → IllegalArgument.
+    */
+  private def send(
+      method: String, url: String, body: Option[String] = None): JsonNode = {
+    val r = request(method, url, body)
+    val code = r.statusCode()
+    if (code >= 200 && code < 300) {
+      if (r.body() == null || r.body().isEmpty) mapper.createObjectNode()
+      else mapper.readTree(r.body())
+    } else {
+      val msg = try {
+        val e = mapper.readTree(r.body()).path("error")
+        val t = e.path("type").asText("")
+        val m = e.path("message").asText(r.body())
+        if (t.nonEmpty) s"$t: $m" else m
+      } catch { case _: Exception => s"HTTP $code: ${r.body()}" }
+      code match {
+        case 409 => throw new java.util.ConcurrentModificationException(msg)
+        case 404 => throw new NoSuchElementException(msg)
+        case 400 => throw new IllegalArgumentException(msg)
+        case 401 | 403 => throw new IllegalStateException(s"HTTP $code $msg")
+        case _ => throw new RuntimeException(s"HTTP $code $msg")
+      }
+    }
+  }
+
+  private def jstr(v: Any): String = mapper.writeValueAsString(v)
+
+  // ---- read-side anchor ---------------------------------------------------
+
+  /** Storage root derived from a server-reported table location: the
+    * table dir is `<root>/<ns…>/<table>`, so stripping the identifier's
+    * segments yields the root every read anchors at. Shared-storage
+    * reachability is REQUIRED (and verified loudly) — same contract as a
+    * stock client's FileIO reaching the object store.
+    */
+  @volatile private var readCat: IceCatalog = _
+  @volatile private var readRoot: String = _
+
+  private def reader(ident: String): IceCatalog = {
+    val rc = readCat
+    if (rc != null) return rc
+    synchronized {
+      if (readCat == null) {
+        val resp = send("GET", tableUrl(ident))
+        val loc = resp.path("metadata").path("location").asText("")
+        require(loc.nonEmpty, s"server returned no location for $ident")
+        val dir = java.nio.file.Paths.get(URI.create(loc))
+        require(java.nio.file.Files.isDirectory(dir),
+          s"table location $loc is not reachable from this client — " +
+            "remote mode needs the shared storage plane mounted")
+        val root = ident.split('.').foldLeft(dir)((p, _) => p.getParent)
+        readRoot = root.toString
+        readCat = new IceCatalog(spark, readRoot)
+      }
+    }
+    readCat
+  }
+
+  // ---- namespaces ---------------------------------------------------------
+
+  def listNamespaces(): Seq[String] = listNs(None)
+  def listNamespaces(parent: String): Seq[String] = listNs(Some(parent))
+
+  private def listNs(parent: Option[String]): Seq[String] = {
+    val q = parent.map(p => s"?parent=${nsSeg(p)}").getOrElse("")
+    paged(s"$base/v1/namespaces$q", "namespaces")(n =>
+      n.elements().asScala.map(_.asText()).mkString("."))
+  }
+
+  /** Follow `next-page-token` until exhausted (spec pagination). */
+  private def paged[T](url: String, field: String)(f: JsonNode => T): Seq[T] = {
+    val out = Seq.newBuilder[T]
+    var token: Option[String] = None
+    var continue = true
+    while (continue) {
+      val u = token match {
+        case Some(t) =>
+          url + (if (url.contains('?')) "&" else "?") + s"pageToken=${enc(t)}"
+        case None => url
+      }
+      val r = send("GET", u)
+      r.path(field).elements().asScala.foreach(e => out += f(e))
+      token = Option(r.path("next-page-token").asText(null)).filter(_.nonEmpty)
+      continue = token.isDefined
+    }
+    out.result()
+  }
+
+  def createNamespace(ns: String): Unit =
+    send("POST", s"$base/v1/namespaces",
+      Some(jstr(Map("namespace" -> ns.split('.').toSeq))))
+
+  def namespaceExists(ns: String): Boolean =
+    request("HEAD", s"$base/v1/namespaces/${nsSeg(ns)}").statusCode() == 204
+
+  def dropNamespace(ns: String): Unit =
+    send("DELETE", s"$base/v1/namespaces/${nsSeg(ns)}")
+
+  // ---- tables: DDL --------------------------------------------------------
+
+  def listTables(ns: String): Seq[String] =
+    paged(s"$base/v1/namespaces/${nsSeg(ns)}/tables", "identifiers")(
+      _.path("name").asText())
+
+  def tableExists(ident: String): Boolean =
+    request("HEAD", tableUrl(ident)).statusCode() == 204
+
+  def createTable(
+      ident: String,
+      schema: StructType,
+      partitionSpec: Seq[PartitionField],
+      sortOrder: Seq[SortField],
+      properties: Map[String, String]): Unit = {
+    val i = ident.lastIndexOf('.')
+    require(i > 0, s"table identifier must be ns(.ns)*.table, got $ident")
+    send("POST", s"$base/v1/namespaces/${nsSeg(ident.take(i))}/tables",
+      Some(jstr(Map(
+        "name" -> ident.drop(i + 1),
+        "schema" -> schema.toDDL,
+        "partition-spec" -> partitionSpec.map(p =>
+          Map("column" -> p.column, "transform" -> p.transform, "name" -> p.name)),
+        "sort-order" -> sortOrder.map(s =>
+          Map("column" -> s.column, "desc" -> s.desc))))))
+    if (properties.nonEmpty) commitUpdates(ident,
+      Seq(Map("action" -> "set-properties", "updates" -> properties)),
+      requirement = None)
+  }
+
+  def dropTable(ident: String, purge: Boolean): Unit = {
+    send("DELETE", tableUrl(ident))
+    // a later table of the same name restarts at v1 — drop this JVM's
+    // read-cache entries exactly like a local drop does
+    if (readRoot != null) IceCatalog.cacheInvalidate(readRoot, ident)
+  }
+
+  def renameTable(ident: String, newIdent: String): TableMeta = {
+    send("POST", s"$base/v1/tables/rename",
+      Some(jstr(Map("source" -> ident, "destination" -> newIdent))))
+    if (readRoot != null) IceCatalog.cacheInvalidate(readRoot, ident)
+    loadMeta(newIdent)
+  }
+
+  // ---- metadata reads (shared-storage resolution) -------------------------
+
+  def loadMeta(ident: String): TableMeta = reader(ident).loadMeta(ident)
+  def tableLocation(ident: String): String = reader(ident).tableLocation(ident)
+  def listSnapshots(ident: String): Seq[Snapshot] = reader(ident).listSnapshots(ident)
+  def listPartitions(ident: String): Seq[(Map[String, String], Long, Int)] =
+    reader(ident).listPartitions(ident)
+  def files(ident: String): Seq[DataFileMeta] = reader(ident).files(ident)
+  def describeMetadata(ident: String): DataFrame = reader(ident).describeMetadata(ident)
+  def listRefs(ident: String): Map[String, SnapshotRef] = reader(ident).listRefs(ident)
+
+  // ---- data reads ---------------------------------------------------------
+
+  def scan(
+      ident: String,
+      filters: Seq[PartitionFilter],
+      asOfSnapshot: Option[Long],
+      limit: Option[Int]): DataFrame =
+    reader(ident).scan(ident, filters, asOfSnapshot, limit)
+
+  def countRows(
+      ident: String,
+      filters: Seq[PartitionFilter],
+      asOfSnapshot: Option[Long]): Long =
+    reader(ident).countRows(ident, filters, asOfSnapshot)
+
+  def changesSince(
+      ident: String, fromSnapshotId: Long, toSnapshotId: Option[Long]): DataFrame =
+    reader(ident).changesSince(ident, fromSnapshotId, toSnapshotId)
+
+  // ---- writes -------------------------------------------------------------
+
+  /** External-committer insert: arrange to the table schema, stage
+    * parquet under the table's data location, then `append-files` the
+    * staged paths through the commit protocol. `--no-commit` stages and
+    * publishes nothing, like the local preview mode.
+    */
+  def insert(ident: String, df0: DataFrame, options: InsertOptions): TableMeta = {
+    require(!options.evolveSchema,
+      "schema-evolving insert is not supported against a remote catalog")
+    val meta = loadMeta(ident)
+    val df = df0.select(meta.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    val staging = java.nio.file.Paths.get(URI.create(tableLocation(ident)))
+      .resolve("data").resolve(s"ingest-${java.util.UUID.randomUUID().toString.take(8)}")
+    val w = options.compression.foldLeft(df.write)((w, c) => w.option("compression", c))
+    w.parquet(staging.toString)
+    val parts = LocalFileIO.list(staging)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).sorted
+    require(parts.nonEmpty, "insert produced no data files")
+    if (options.noCommit) meta
+    else appendFiles(ident, parts, forceOutsideLocation = false,
+      retries = retries, retryTotalMs = retryTotalMs)
+  }
+
+  def addFilesWithRetry(
+      ident: String,
+      paths: Seq[String],
+      forceOutsideLocation: Boolean,
+      options: InsertOptions,
+      retries: Int,
+      retryTotalMs: Long): TableMeta = {
+    require(!options.noCommit,
+      "--no-commit does not apply to no-copy registration over the wire")
+    appendFiles(ident, paths, forceOutsideLocation, retries, retryTotalMs)
+  }
+
+  /** One `append-files` commit guarded by `assert-current-snapshot-id`,
+    * re-read + re-attempted on 409 under the same [[CommitRetry]] budget
+    * local commits use. `verified` closes the lost-response window: if
+    * the staged paths are already in the table, the commit landed.
+    */
+  private def appendFiles(
+      ident: String, paths: Seq[String], forceOutsideLocation: Boolean,
+      retries: Int, retryTotalMs: Long): TableMeta = {
+    val norm = paths.map(p =>
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toUri.toString)
+    CommitRetry.run(retries, retryTotalMs,
+      verified = () => {
+        val m = loadMeta(ident)
+        val known = m.current.flatMap(s => Option(s.sourceFiles))
+          .getOrElse(Seq.empty).toSet
+        if (norm.forall(known.contains)) Some(m) else None
+      }) { _ =>
+      val cur = loadMeta(ident).currentSnapshotId
+      send("POST", tableUrl(ident), Some(jstr(Map(
+        "requirements" -> Seq(Map(
+          "type" -> "assert-current-snapshot-id", "snapshot-id" -> cur)),
+        "updates" -> Seq(Map(
+          "action" -> "append-files",
+          "paths" -> paths,
+          "force-outside-location" -> forceOutsideLocation))))))
+      loadMeta(ident)
+    }
+  }
+
+  def upsert(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta =
+    throw new UnsupportedOperationException(
+      "MERGE upserts are not in the REST wire vocabulary — run merge " +
+        "ingestion on the catalog host (local mode)")
+
+  def upsertMergeOnRead(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta =
+    upsert(ident, df, keyCols)
+
+  def delete(
+      ident: String,
+      filters: Seq[PartitionFilter],
+      dryRun: Boolean,
+      purge: Boolean): Seq[String] = {
+    val r = send("POST", s"${tableUrl(ident)}/delete", Some(jstr(Map(
+      "filters" -> filters.map(f => Map(
+        "name" -> f.name, "op" -> opSym(f.op), "values" -> f.values)),
+      "dry-run" -> dryRun))))
+    r.path("dropped").elements().asScala.map(_.asText()).toSeq
+  }
+
+  private def opSym(op: Op): String = op match {
+    case Op.Eq => "="; case Op.Lt => "<"; case Op.Gt => ">"
+    case Op.Le => "<="; case Op.Ge => ">="
+  }
+
+  def deletePositions(ident: String, df: DataFrame): TableMeta =
+    throw new UnsupportedOperationException(
+      "position deletes are not in the REST wire vocabulary — register " +
+        "them on the catalog host (local mode)")
+
+  // ---- table metadata commits --------------------------------------------
+
+  private def commitUpdates(
+      ident: String, updates: Seq[Map[String, Any]],
+      requirement: Option[Map[String, Any]]): TableMeta = {
+    send("POST", tableUrl(ident), Some(jstr(Map(
+      "requirements" -> requirement.toSeq, "updates" -> updates))))
+    loadMeta(ident)
+  }
+
+  def setProperty(ident: String, key: String, value: String): TableMeta =
+    commitUpdates(ident, Seq(Map(
+      "action" -> "set-properties", "updates" -> Map(key -> value))), None)
+
+  def removeProperty(ident: String, key: String): TableMeta =
+    commitUpdates(ident, Seq(Map(
+      "action" -> "remove-properties", "removals" -> Seq(key))), None)
+
+  def setRef(
+      ident: String, name: String, snapshotId: Long, refType: String): TableMeta =
+    commitUpdates(ident, Seq(Map(
+      "action" -> "set-snapshot-ref", "ref-name" -> name,
+      "snapshot-id" -> snapshotId, "type" -> refType)), None)
+
+  def dropRef(ident: String, name: String): TableMeta =
+    commitUpdates(ident, Seq(Map(
+      "action" -> "remove-snapshot-ref", "ref-name" -> name)), None)
+
+  // ---- schema evolution over the wire ------------------------------------
+
+  /** Spec schema evolution: ship the full TARGET schema (`add-schema` +
+    * `set-current-schema: -1`), field ids carried so the server diffs by
+    * id, guarded by `assert-last-assigned-field-id` — the schema race the
+    * snapshot CAS can't see.
+    */
+  private def evolveRemote(ident: String)(
+      f: Seq[(Option[Int], String, DataType)] => Seq[(Option[Int], String, DataType)])
+      : TableMeta = {
+    val m = loadMeta(ident)
+    val cur = m.schema.fields.toSeq.zip(m.fieldIds).map { case (sf, id) =>
+      (Some(id): Option[Int], sf.name, sf.dataType)
+    }
+    var nested = IcebergJson.NestedIdBase * 2 // placeholder ids; server reassigns
+    val nextId = () => { nested += 1; nested }
+    val fields = f(cur).map { case (id, name, dt) =>
+      Map("name" -> name, "type" -> IcebergJson.toIcebergType(dt, nextId),
+        "required" -> false) ++ id.map("id" -> _)
+    }
+    send("POST", tableUrl(ident), Some(jstr(Map(
+      "requirements" -> Seq(Map(
+        "type" -> "assert-last-assigned-field-id",
+        "last-assigned-field-id" -> m.lastFieldId)),
+      "updates" -> Seq(
+        Map("action" -> "add-schema",
+          "schema" -> Map("type" -> "struct", "fields" -> fields)),
+        Map("action" -> "set-current-schema", "schema-id" -> -1))))))
+    loadMeta(ident)
+  }
+
+  def addColumn(ident: String, name: String, dataType: DataType): TableMeta =
+    evolveRemote(ident) { cur =>
+      require(!cur.exists(_._2 == name), s"column $name exists")
+      cur :+ (None, name, dataType)
+    }
+
+  def alterColumn(ident: String, name: String, newType: DataType): TableMeta =
+    evolveRemote(ident) { cur =>
+      require(cur.exists(_._2 == name), s"no column $name")
+      cur.map { case f @ (id, n, _) => if (n == name) (id, n, newType) else f }
+    }
+
+  def renameColumn(ident: String, from: String, to: String): TableMeta =
+    evolveRemote(ident) { cur =>
+      require(cur.exists(_._2 == from), s"no column $from")
+      cur.map { case f @ (id, n, dt) => if (n == from) (id, to, dt) else f }
+    }
+
+  def dropColumn(ident: String, name: String): TableMeta =
+    evolveRemote(ident) { cur =>
+      require(cur.exists(_._2 == name), s"no column $name")
+      cur.filterNot(_._2 == name)
+    }
+
+  def dropPartitionField(ident: String, name: String): TableMeta =
+    throw new UnsupportedOperationException(
+      "drop_partition_field is not in the REST wire vocabulary — run it " +
+        "on the catalog host (local mode)")
+
+  // ---- admin --------------------------------------------------------------
+
+  def rewriteTablePath(
+      ident: String, sourcePrefix: String, targetPrefix: String,
+      dryRun: Boolean): Map[String, Long] =
+    throw new UnsupportedOperationException(
+      "rewrite-table-path is a storage-plane operation — run it on the " +
+        "catalog host (local mode)")
+
+  def exportCatalog(namespaceFilter: Option[String]): String = {
+    val q = namespaceFilter.map(n => s"?namespace=${enc(n)}").getOrElse("")
+    val r = request("GET", s"$base/v1/catalog/export$q")
+    require(r.statusCode() == 200, s"export failed: HTTP ${r.statusCode()} ${r.body()}")
+    r.body()
+  }
+
+  def importCatalog(json: String, dryRun: Boolean, overwrite: Boolean): ImportResult = {
+    val r = send("POST",
+      s"$base/v1/catalog/import?dry-run=$dryRun&overwrite=$overwrite", Some(json))
+    ImportResult(
+      created = r.path("created").asInt(),
+      skipped = r.path("skipped").asInt(),
+      overwritten = r.path("overwritten").asInt(),
+      dryRun = r.path("dryRun").asBoolean(),
+      entries = r.path("entries").elements().asScala.map(e =>
+        ImportEntry(e.path("table").asText(), e.path("action").asText())).toSeq)
+  }
+
+  /** Maintenance runs ON the server (it owns the storage plane); the
+    * defaults are the SERVER's configured policy, so the client's are
+    * intentionally unused.
+    */
+  def runMaintenance(
+      ident: String, defaults: Maintenance.Policy): Seq[Maintenance.Report] = {
+    val r = send("POST", s"${tableUrl(ident)}/maintenance")
+    r.path("reports").elements().asScala.map(n => Maintenance.Report(
+      table = ident,
+      job = n.path("job").asText(),
+      detail = n.path("detail").asText(),
+      error = Option(n.path("error").asText(null)))).toSeq
+  }
+}

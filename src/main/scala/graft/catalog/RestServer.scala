@@ -68,12 +68,58 @@ object RestServer {
     * set, let the `/v1/oauth/tokens` client-credentials grant exchange
     * that pair for this bearer token (RESTCatalogAdapter.java:382-400).
     */
-  /** Static S3-plane storage credentials for vending into
-    * LoadTableResponse `config` (see `Server.s3VendedStorage`).
+  /** S3-plane storage credentials for vending into LoadTableResponse
+    * `config` (see `Server.s3VendedStorage`). With `bucket` set AND
+    * `vendTableCredentials` on, the server mints per-table SCOPED
+    * temporary credentials via the endpoint's STS AssumeRole instead of
+    * stamping these root keys — the reference's per-session assumed role
+    * (VendedCredentialsProvider.java, Session.java:14).
     */
   case class S3Storage(
       endpoint: String, accessKeyId: String, secretAccessKey: String,
-      region: String = "us-east-1")
+      region: String = "us-east-1", bucket: String = "")
+
+  /** GCS-plane storage credentials for vending: with
+    * `vendTableCredentials` on, the server mints per-table DOWNSCOPED
+    * tokens through the endpoint's STS token-exchange (Credential Access
+    * Boundary) and stamps them under Iceberg's GCPProperties keys.
+    */
+  case class GcsStorage(endpoint: String, bucket: String, auth: GcsAuth)
+
+  /** Build the serving SSLContext from PEM material: a certificate chain
+    * and a PKCS#8 (`BEGIN PRIVATE KEY`) private key — the files a
+    * standard issuance (or `keytool`/ACME) hands an operator. Pure JCA,
+    * no extra dependencies.
+    */
+  private[catalog] def serverSslContext(
+      certPem: String, keyPem: String): javax.net.ssl.SSLContext = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val certIn = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(certPem))
+    val chain = try cf.generateCertificates(certIn).toArray(
+      Array.empty[java.security.cert.Certificate]) finally certIn.close()
+    require(chain.nonEmpty, s"no certificates in $certPem")
+    val keyText = java.nio.file.Files.readString(java.nio.file.Paths.get(keyPem))
+    val b64 = keyText.linesIterator
+      .filterNot(l => l.startsWith("-----") || l.isBlank).mkString
+    require(keyText.contains("BEGIN PRIVATE KEY"),
+      s"$keyPem must be an unencrypted PKCS#8 PEM (BEGIN PRIVATE KEY)")
+    val spec = new java.security.spec.PKCS8EncodedKeySpec(
+      java.util.Base64.getDecoder.decode(b64))
+    val key = Seq("RSA", "EC", "EdDSA").view.flatMap { alg =>
+      try Some(java.security.KeyFactory.getInstance(alg).generatePrivate(spec))
+      catch { case _: java.security.spec.InvalidKeySpecException => None }
+    }.headOption.getOrElse(throw new IllegalArgumentException(
+      s"$keyPem: unsupported key algorithm (want RSA/EC/EdDSA PKCS#8)"))
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    ks.load(null, null)
+    ks.setKeyEntry("server", key, Array.empty[Char], chain)
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, Array.empty[Char])
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
 
   case class Token(
       value: String, name: String = "", readOnly: Boolean = false,
@@ -126,10 +172,32 @@ object RestServer {
         * case; minio-style deployments vend static keys the same way),
         * so a stock client's S3FileIO can reach the data files.
         */
-      s3VendedStorage: Option[RestServer.S3Storage] = None) {
+      s3VendedStorage: Option[RestServer.S3Storage] = None,
+      /** GCS-plane storage credentials: per-table downscoped tokens when
+        * `vendTableCredentials` is on (see [[RestServer.GcsStorage]]).
+        */
+      gcsVendedStorage: Option[RestServer.GcsStorage] = None,
+      /** PEM certificate chain + PKCS#8 private key: serve over HTTPS
+        * (the reference's jetty TLS config; clients carry `cacert:` or
+        * `sslVerify: false` — RESTCatalogFactory.java:40-66). Both set =
+        * TLS on; neither = plain HTTP.
+        */
+      tlsCert: Option[String] = None,
+      tlsKey: Option[String] = None) {
+
+    require(tlsCert.isDefined == tlsKey.isDefined,
+      "TLS needs BOTH --tls-cert and --tls-key (or neither)")
 
     private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
-    private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    private val http = (tlsCert, tlsKey) match {
+      case (Some(cert), Some(key)) =>
+        val s = com.sun.net.httpserver.HttpsServer.create(
+          new InetSocketAddress("127.0.0.1", port), 0)
+        s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(
+          RestServer.serverSslContext(cert, key)))
+        s
+      case _ => HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    }
     // small pool: handlers do driver-side metadata IO only
     private val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
       val t = new Thread(r, "graft-rest")
@@ -147,7 +215,8 @@ object RestServer {
     /** Block until [[stop]] — the CLI `serve` foreground mode. */
     def awaitForever(): Unit = stopped.await()
     def boundPort: Int = http.getAddress.getPort
-    def url: String = s"http://127.0.0.1:$boundPort"
+    def url: String =
+      s"${if (tlsCert.isDefined) "https" else "http"}://127.0.0.1:$boundPort"
 
     // ---- auth ------------------------------------------------------------
 
@@ -156,6 +225,48 @@ object RestServer {
       */
     private val vendedTokens =
       new java.util.concurrent.ConcurrentHashMap[String, Vended]()
+
+    /** Live scoped STORAGE credentials, one per table, re-minted through
+      * the storage endpoint's STS as they near expiry.
+      */
+    private val vendedStorage =
+      new java.util.concurrent.ConcurrentHashMap[String, (SigV4.Credentials, Long)]()
+
+    /** Mint-or-reuse a per-table scoped temporary storage credential: the
+      * scope is the table's key prefix under the configured bucket (the
+      * same path↔key mapping the `s3:` metadata plane uses), so the
+      * STORAGE layer refuses this credential on any sibling table.
+      */
+    private def vendStorageFor(ident: String, s: RestServer.S3Storage): SigV4.Credentials =
+      vendedStorage.compute(ident, (_, cur) => {
+        // 60s early refresh so a credential handed out never expires
+        // mid-scan of a short-lived client session
+        if (cur != null && cur._2 > System.currentTimeMillis() + 60000) cur
+        else {
+          val tablePath = java.nio.file.Paths.get(
+            java.net.URI.create(cat.tableLocation(ident))).toString
+          val prefix = s"${s.bucket}${tablePath}"
+          val wire = new S3Wire(s.endpoint, s.bucket,
+            SigV4.Credentials(s.accessKeyId, s.secretAccessKey), s.region)
+          wire.assumeRole(prefix, durationSeconds = (vendedTokenTtlMs / 1000).toInt)
+        }
+      })._1
+
+    /** Live downscoped GCS tokens per table (re-exchanged near expiry). */
+    private val vendedGcs =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+    private def vendGcsFor(ident: String, g: RestServer.GcsStorage): (String, Long) =
+      vendedGcs.compute(ident, (_, cur) => {
+        if (cur != null && cur._2 > System.currentTimeMillis() + 60000) cur
+        else {
+          val tablePath = java.nio.file.Paths.get(
+            java.net.URI.create(cat.tableLocation(ident))).toString
+          val wire = new GcsWire(g.endpoint, g.bucket, g.auth)
+          wire.downscopedToken(s"${g.bucket}$tablePath",
+            expiresInSec = vendedTokenTtlMs / 1000)
+        }
+      })
 
     /** Mint-or-reuse the table's scoped token; called from every
       * LoadTableResponse when vending is on.
@@ -445,6 +556,25 @@ object RestServer {
           requireTable(s"$ns.$t")
           IcebergMetricsIngest.ingest(s"$ns.$t", body(ex))
           send(ex, 204, Array.empty)
+        case ("POST", List("v1", "namespaces", ns, "tables", t, "delete")) =>
+          // graft extension for the thin-client CLI: partition-predicate
+          // delete over the wire ({"filters":[{name,op,values}],"dry-run"})
+          // — the reference's `ice delete` vocabulary (Delete.java:128-134)
+          requireTable(s"$ns.$t")
+          val req = body(ex)
+          val preds = arr(req, "filters").map { f =>
+            val op = text(f, "op") match {
+              case "=" => Op.Eq; case "<" => Op.Lt; case ">" => Op.Gt
+              case "<=" => Op.Le; case ">=" => Op.Ge
+              case other => throw new IllegalArgumentException(s"bad op: $other")
+            }
+            PartitionFilter(text(f, "name"), op,
+              f.path("values").elements().asScala.map(_.asText()).toSeq)
+          }
+          require(preds.nonEmpty, "delete needs filters")
+          val dropped = cat.delete(s"$ns.$t", preds,
+            dryRun = req.path("dry-run").asBoolean(false))
+          sendJson(ex, 200, Map("dropped" -> dropped))
         case ("POST", List("v1", "namespaces", ns, "tables", t, "maintenance")) =>
           // on-demand maintenance: apply the table's own maintenance.*
           // policy now (the scheduled Runner's per-table pass, triggered
@@ -756,10 +886,23 @@ object RestServer {
                 "graft.vended-token-expires-at-ms" -> v.expiresAtMs.toString)
             }
           // storage credentials under Iceberg's S3FileIOProperties keys
-          // (the static-key case of the reference's AWS middleware) so a
-          // stock client's S3FileIO reaches the data plane
+          // so a stock client's S3FileIO reaches the data plane. With
+          // vending on and a bucket configured, these are per-table
+          // SCOPED temporary credentials minted through the storage
+          // endpoint's STS — the storage layer itself then refuses the
+          // credential outside its one table (the reference's
+          // assumed-role session, not just a REST-plane check)
           val storageCfg: Map[String, String] = s3VendedStorage match {
             case None => Map.empty
+            case Some(s) if vendTableCredentials && s.bucket.nonEmpty =>
+              val v = vendStorageFor(ident, s)
+              Map(
+                "s3.access-key-id" -> v.accessKey,
+                "s3.secret-access-key" -> v.secretKey,
+                "s3.session-token" -> v.sessionToken,
+                "s3.endpoint" -> s.endpoint,
+                "s3.path-style-access" -> "true",
+                "client.region" -> s.region)
             case Some(s) => Map(
               "s3.access-key-id" -> s.accessKeyId,
               "s3.secret-access-key" -> s.secretAccessKey,
@@ -767,7 +910,19 @@ object RestServer {
               "s3.path-style-access" -> "true",
               "client.region" -> s.region)
           }
-          tokenCfg ++ storageCfg
+          // GCS plane: a per-table DOWNSCOPED token under Iceberg's
+          // GCPProperties keys — the storage endpoint refuses it outside
+          // the table's prefix
+          val gcsCfg: Map[String, String] = gcsVendedStorage match {
+            case Some(g) if vendTableCredentials =>
+              val (tok, exp) = vendGcsFor(ident, g)
+              Map(
+                "gcs.oauth2.token" -> tok,
+                "gcs.oauth2.token-expires-at" -> exp.toString,
+                "gcs.service.host" -> g.endpoint)
+            case _ => Map.empty
+          }
+          tokenCfg ++ storageCfg ++ gcsCfg
         })
     }
 

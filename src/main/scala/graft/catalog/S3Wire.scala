@@ -34,6 +34,10 @@ final class S3Wire(
     val signHeaders = Seq(
       "host" -> host, "x-amz-date" -> date,
       "x-amz-content-sha256" -> payloadHash) ++
+      // temporary (assumed-role) credentials sign their session token in,
+      // like the AWS SDK does
+      (if (creds.sessionToken.nonEmpty)
+        Seq("x-amz-security-token" -> creds.sessionToken) else Seq.empty) ++
       extraHeaders.map { case (k, v) => k.toLowerCase -> v }
     val auth = SigV4.authorization(
       creds, date, region, "s3", method, path, query, signHeaders, payloadHash)
@@ -48,6 +52,8 @@ final class S3Wire(
     b.header("Authorization", auth)
     b.header("x-amz-date", date)
     b.header("x-amz-content-sha256", payloadHash)
+    if (creds.sessionToken.nonEmpty)
+      b.header("x-amz-security-token", creds.sessionToken)
     extraHeaders.foreach { case (k, v) => b.header(k, v) }
     val req = method match {
       case "GET" => b.GET()
@@ -57,6 +63,47 @@ final class S3Wire(
         Option(body).getOrElse(Array.empty)))
     }
     http.send(req.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  /** STS-style AssumeRole against the same endpoint (minio serves STS on
+    * its S3 port the same way): exchange these ROOT credentials for
+    * short-lived temporary credentials whose signature the storage layer
+    * only honors under `scopePrefix` ("bucket/keyPrefix") — the scoped-
+    * down-policy re-expression of the reference's per-session assumed
+    * role (VendedCredentialsProvider.java). Returns the temp credentials
+    * plus their expiry epoch-millis.
+    */
+  def assumeRole(
+      scopePrefix: String,
+      durationSeconds: Int = 3600): (SigV4.Credentials, Long) = {
+    val query = Seq(
+      "Action" -> "AssumeRole",
+      "Prefix" -> scopePrefix,
+      "DurationSeconds" -> durationSeconds.toString)
+    val date = amzNow()
+    val payloadHash = SigV4.EmptyPayloadSha256
+    val signHeaders = Seq(
+      "host" -> host, "x-amz-date" -> date,
+      "x-amz-content-sha256" -> payloadHash)
+    val auth = SigV4.authorization(
+      creds, date, region, "s3", "POST", "/", query, signHeaders, payloadHash)
+    val qs = query.map { case (k, v) =>
+      SigV4.uriEncode(k, keepSlash = false) + "=" +
+        SigV4.uriEncode(v, keepSlash = false)
+    }.mkString("?", "&", "")
+    val b = HttpRequest.newBuilder(java.net.URI.create(endpoint + "/" + qs))
+      .header("Authorization", auth)
+      .header("x-amz-date", date)
+      .header("x-amz-content-sha256", payloadHash)
+      .method("POST", HttpRequest.BodyPublishers.noBody())
+    val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    if (r.statusCode() != 200) fail(r, "AssumeRole")
+    val xml = new String(r.body(), UTF_8)
+    def req(tag: String): String = extract(xml, tag).getOrElse(
+      throw new java.io.IOException(s"AssumeRole response missing <$tag>"))
+    (SigV4.Credentials(req("AccessKeyId"), req("SecretAccessKey"),
+      req("SessionToken")),
+      java.time.Instant.parse(req("Expiration")).toEpochMilli)
   }
 
   def fail(r: HttpResponse[Array[Byte]], key: String): Nothing =

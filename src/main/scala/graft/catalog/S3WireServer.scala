@@ -50,41 +50,84 @@ final class S3WireServer(
   /** Requests that failed signature verification (spec observability). */
   val authFailures = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Requests a scoped temp credential made OUTSIDE its prefix (spec
+    * observability for the vended-credential story).
+    */
+  val scopeDenials = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** STS-issued temporary credentials: access key → (secret, session
+    * token, "bucket/keyPrefix" scope, expiry). The SIGNATURE layer honors
+    * them (verified with the temp secret + signed session token) and the
+    * routing layer confines them to their prefix — the storage half of
+    * vended per-table credentials (the reference's assumed-role session,
+    * VendedCredentialsProvider.java, re-expressed as minio-style STS on
+    * the S3 endpoint).
+    */
+  private case class TempCred(
+      secret: String, token: String, prefix: String, expiresAtMs: Long)
+  private val tempCreds = new ConcurrentHashMap[String, TempCred]()
+
+  /** The verified identity a request acts under: root (unscoped) or a
+    * temp session confined to `scope`.
+    */
+  private case class AuthCtx(scope: Option[String], isRoot: Boolean)
+
   // ---- request handling ---------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit =
     try {
       val body = ex.getRequestBody.readAllBytes()
-      if (!verifySignature(ex, body)) {
-        authFailures.incrementAndGet()
-        sendError(ex, 403, "SignatureDoesNotMatch", "signature mismatch")
-      } else route(ex, body)
+      verifySignature(ex, body) match {
+        case None =>
+          authFailures.incrementAndGet()
+          sendError(ex, 403, "SignatureDoesNotMatch", "signature mismatch")
+        case Some(ctx) => route(ex, body, ctx)
+      }
     } catch {
       case e: Exception => sendError(ex, 500, "InternalError", e.toString)
     } finally ex.close()
 
-  /** Re-derives the SigV4 signature from the raw request. */
-  private def verifySignature(ex: HttpExchange, body: Array[Byte]): Boolean = {
+  /** Re-derives the SigV4 signature from the raw request, resolving the
+    * access key against the root credentials OR a live STS temp
+    * credential (which must also present its SIGNED session token).
+    */
+  private def verifySignature(
+      ex: HttpExchange, body: Array[Byte]): Option[AuthCtx] = {
     val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
     SigV4.parseAuthorization(auth) match {
-      case None => false
+      case None => None
       case Some((ak, _, reg, service, signedNames, sig)) =>
-        if (ak != creds.accessKey || reg != region || service != "s3") return false
+        if (reg != region || service != "s3") return None
+        val (signingCreds, ctx) =
+          if (ak == creds.accessKey) (creds, AuthCtx(None, isRoot = true))
+          else {
+            val t = tempCreds.get(ak)
+            if (t == null || t.expiresAtMs <= System.currentTimeMillis())
+              return None // unknown or expired session
+            // the session token must be present AND signed (AWS requires
+            // x-amz-security-token in the signed headers for temp creds)
+            val sent = Option(
+              ex.getRequestHeaders.getFirst("x-amz-security-token")).getOrElse("")
+            if (sent != t.token || !signedNames.contains("x-amz-security-token"))
+              return None
+            (SigV4.Credentials(ak, t.secret, t.token),
+              AuthCtx(Some(t.prefix), isRoot = false))
+          }
         val amzDate = Option(ex.getRequestHeaders.getFirst("x-amz-date")).getOrElse("")
         val payloadHash = Option(
           ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
           .getOrElse(SigV4.UnsignedPayload)
         if (payloadHash != SigV4.UnsignedPayload &&
-          payloadHash != SigV4.sha256Hex(body)) return false
+          payloadHash != SigV4.sha256Hex(body)) return None
         val headers = signedNames.map { n =>
           n -> Option(ex.getRequestHeaders.getFirst(n)).getOrElse("")
         }
         val cr = SigV4.canonicalRequest(
           ex.getRequestMethod, ex.getRequestURI.getPath,
           queryParams(ex), headers, payloadHash)
-        val expect = SigV4.signature(creds, amzDate, region, "s3", cr)
-        java.security.MessageDigest.isEqual(
-          expect.getBytes(UTF_8), sig.getBytes(UTF_8))
+        val expect = SigV4.signature(signingCreds, amzDate, region, "s3", cr)
+        if (java.security.MessageDigest.isEqual(
+          expect.getBytes(UTF_8), sig.getBytes(UTF_8))) Some(ctx) else None
     }
   }
 
@@ -100,13 +143,68 @@ final class S3WireServer(
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, UTF_8)
 
-  private def route(ex: HttpExchange, body: Array[Byte]): Unit = {
+  /** minio-style STS on the S3 endpoint: root exchanges its credentials
+    * for a prefix-scoped temporary set. Temp sessions may NOT mint
+    * further credentials (no privilege laundering).
+    */
+  private def assumeRole(ex: HttpExchange, q: Map[String, String], ctx: AuthCtx): Unit = {
+    if (!ctx.isRoot) {
+      scopeDenials.incrementAndGet()
+      sendError(ex, 403, "AccessDenied", "only root credentials may AssumeRole")
+      return
+    }
+    val prefix = q.getOrElse("Prefix", "")
+    if (prefix.isEmpty) {
+      sendError(ex, 400, "InvalidRequest", "AssumeRole needs Prefix")
+      return
+    }
+    val dur = q.get("DurationSeconds").flatMap(_.toIntOption).getOrElse(3600)
+    val ak = "GRAFTTEMP" + java.util.UUID.randomUUID().toString.replace("-", "").take(12).toUpperCase
+    val secret = java.util.UUID.randomUUID().toString
+    val token = java.util.UUID.randomUUID().toString + java.util.UUID.randomUUID().toString
+    val exp = System.currentTimeMillis() + dur * 1000L
+    tempCreds.put(ak, TempCred(secret, token, prefix, exp))
+    sendXml(ex, 200,
+      s"""<AssumeRoleResponse><AssumeRoleResult><Credentials>""" +
+        s"""<AccessKeyId>$ak</AccessKeyId>""" +
+        s"""<SecretAccessKey>$secret</SecretAccessKey>""" +
+        s"""<SessionToken>$token</SessionToken>""" +
+        s"""<Expiration>${java.time.Instant.ofEpochMilli(exp)}</Expiration>""" +
+        s"""</Credentials></AssumeRoleResult></AssumeRoleResponse>""")
+  }
+
+  private def route(ex: HttpExchange, body: Array[Byte], ctx: AuthCtx): Unit = {
     val path = ex.getRequestURI.getPath.stripPrefix("/")
     val q = queryParams(ex).toMap
     val method = ex.getRequestMethod
+    if (method == "POST" && q.get("Action").contains("AssumeRole")) {
+      assumeRole(ex, q, ctx)
+      return
+    }
     val (bucket, key) = path.split("/", 2) match {
       case Array(b, k) => (b, k)
       case Array(b) => (b, "")
+    }
+    // scoped temp session: every touched key — object target, list
+    // prefix, copy SOURCE — must live under the session's prefix
+    ctx.scope.foreach { scope =>
+      val targets = Seq.newBuilder[String]
+      if (q.get("list-type").contains("2"))
+        targets += s"$bucket/${q.getOrElse("prefix", "")}"
+      else if (key.nonEmpty) targets += s"$bucket/$key"
+      else targets += bucket
+      Option(ex.getRequestHeaders.getFirst("x-amz-copy-source"))
+        .foreach(src => targets += dec(src).stripPrefix("/"))
+      // segment-safe containment: "b/tbl" admits "b/tbl" and "b/tbl/…",
+      // never the sibling "b/tbl2"
+      val outside = targets.result().filterNot(t =>
+        t == scope || t.startsWith(scope.stripSuffix("/") + "/"))
+      if (outside.nonEmpty) {
+        scopeDenials.incrementAndGet()
+        sendError(ex, 403, "AccessDenied",
+          s"credential is scoped to $scope")
+        return
+      }
     }
     method match {
       case "GET" if q.get("list-type").contains("2") => listObjects(ex, bucket, q)

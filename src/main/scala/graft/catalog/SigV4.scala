@@ -12,7 +12,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object SigV4 {
 
-  case class Credentials(accessKey: String, secretKey: String)
+  /** `sessionToken` non-empty = STS-style TEMPORARY credentials: requests
+    * carry (and sign) `x-amz-security-token`, exactly as the AWS SDK does
+    * for assumed-role sessions.
+    */
+  case class Credentials(
+      accessKey: String, secretKey: String, sessionToken: String = "")
 
   val EmptyPayloadSha256 =
     "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"

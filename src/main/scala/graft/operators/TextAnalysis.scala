@@ -87,7 +87,10 @@ object TextAnalysis {
     * fraction, and code-keyword hits fold into one score + gate. Pure
     * map over the scan (the tokenizer projected once, same discipline as
     * x1) — at 100 TB this routes documents at scan speed with zero
-    * shuffle beyond the presentation sort.
+    * shuffle beyond the presentation sort. The 10-entry keyword list is
+    * a deterministic stub the oracle replays (same convention as x9's
+    * stub classifier weights): a trained keyword/weight table swaps in
+    * behind the identical plan shape.
     */
   def codeScoreQuery(spark: SparkSession, dir: String): DataFrame = {
     val kw = Seq("def", "class", "return", "import", "void", "int",

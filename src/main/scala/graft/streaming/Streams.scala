@@ -32,7 +32,7 @@ object Streams {
     */
   def watchAndIngest(
       spark: SparkSession,
-      cat: IceCatalog,
+      cat: graft.catalog.CatalogSurface,
       ident: String,
       watchDir: String,
       checkpoint: String,
@@ -115,7 +115,7 @@ object Streams {
     */
   def watchAndMerge(
       spark: SparkSession,
-      cat: IceCatalog,
+      cat: graft.catalog.CatalogSurface,
       ident: String,
       watchDir: String,
       checkpoint: String,

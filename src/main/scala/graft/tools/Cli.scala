@@ -107,6 +107,16 @@ object Cli {
       // reference global --log-level (Main.java:93): adjusts Spark's
       // log4j level for this process
       flags.get("log-level").foreach(l => spark.sparkContext.setLogLevel(l.toUpperCase))
+      // `uri: http(s)://host:port` (or --uri): REMOTE catalog mode — the
+      // reference CLI's primary topology (RESTCatalogFactory.java:38-66):
+      // every command routes through the Iceberg REST wire protocol
+      // against a `graft serve`; no local root is needed
+      val restUri = flags.get("uri")
+        .filter(u => u.startsWith("http://") || u.startsWith("https://"))
+        .orElse(cfg.restUri)
+      if (restUri.isDefined)
+        return runWith(buildRemote(restUri.get, flags, cfg, spark),
+          flags, pos, cfg, spark, out, onServe, onWatch, shellIn)
       val root = flags.get("root").orElse(cfg.root)
         .orElse(sys.env.get("GRAFT_CATALOG_ROOT"))
         .getOrElse(fail("missing --root (or config root / GRAFT_CATALOG_ROOT)"))
@@ -155,6 +165,72 @@ object Cli {
               s3.region))
         case (None, None) => new IceCatalog(spark, root)
       }
+      runWith(cat, flags, pos, cfg, spark, out, onServe, onWatch, shellIn)
+    } catch {
+      case e: Exception =>
+        out.println(s"error: ${e.getMessage}")
+        1
+    }
+
+  /** Remote-mode client: bearer + TLS trust from config (`bearerToken:`,
+    * `cacert:`, `sslVerify:` — reference RESTCatalogFactory.java:40-66).
+    */
+  private def buildRemote(
+      uri: String, flags: Map[String, String], cfg: GraftConfig,
+      spark: SparkSession): graft.catalog.RestCatalogClient = {
+    val ssl: Option[javax.net.ssl.SSLContext] =
+      if (flags.contains("no-ssl-verify") || !cfg.sslVerify)
+        Some(insecureSslContext())
+      else flags.get("cacert").orElse(cfg.cacert).map(pem => caSslContext(pem))
+    new graft.catalog.RestCatalogClient(spark, uri,
+      bearerToken = flags.get("token").orElse(cfg.bearerToken),
+      sslContext = ssl)
+  }
+
+  /** Trust-all context for `sslVerify: false` (self-signed lab servers —
+    * the reference's RESTCatalogFactory.java:46-51 escape hatch).
+    */
+  private def insecureSslContext(): javax.net.ssl.SSLContext = {
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](
+      new javax.net.ssl.X509TrustManager {
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      }), new java.security.SecureRandom())
+    ctx
+  }
+
+  /** Trust exactly the CA bundle at `pem` (reference `cacert` config). */
+  private def caSslContext(pem: String): javax.net.ssl.SSLContext = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(pem))
+    val certs = try cf.generateCertificates(in) finally in.close()
+    val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    val it = certs.iterator()
+    var i = 0
+    while (it.hasNext) { ks.setCertificateEntry(s"ca$i", it.next()); i += 1 }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  /** Command dispatch over the catalog surface — identical for a local
+    * catalog and a remote REST client (the ops a remote cannot express
+    * fail with their own clear messages).
+    */
+  private def runWith(
+      cat: graft.catalog.CatalogSurface,
+      flags: Map[String, String], pos: Seq[String], cfg: GraftConfig,
+      spark: SparkSession, out: PrintStream,
+      onServe: RestServer.Server => Unit,
+      onWatch: org.apache.spark.sql.streaming.StreamingQuery => Unit,
+      shellIn: java.io.InputStream): Int =
+    try {
       pos match {
         case Seq("shell") =>
           return runShell(flags, spark, out, onServe, onWatch, shellIn)
@@ -216,6 +292,9 @@ object Cli {
           // that appears under the directory is committed through the
           // catalog, duplicates skipped, resumable via the checkpoint
           require(paths.length == 1, "insert --watch takes exactly one directory")
+          if (flags.contains("merge-keys") && !cat.isInstanceOf[IceCatalog])
+            fail("--merge-keys watch needs a local catalog (MERGE commits " +
+              "are not in the REST wire vocabulary)")
           val checkpoint = flags.getOrElse("checkpoint",
             java.nio.file.Files.createTempDirectory("graft-watch-ckpt").toString)
           val trigger =
@@ -466,7 +545,7 @@ object Cli {
               case "drop_column" => cat.dropColumn(ident, p("name"))
               case "set_tblproperty" =>
                 if (u.path("value").isNull) // null value = remove (reference semantics)
-                  cat.commit(ident, m => m.copy(properties = m.properties - p("key")))
+                  cat.removeProperty(ident, p("key"))
                 else cat.setProperty(ident, p("key"), p("value"))
               case "rename_to" => cat.renameTable(ident, p("new_name"))
               case "drop_partition_field" => cat.dropPartitionField(ident, p("name"))
@@ -497,7 +576,7 @@ object Cli {
           cat.dropTable(ident); out.println(s"deleted $ident")
 
         case Seq("maintain", ident) =>
-          new Maintenance.Runner(cat, cfg.maintenance).runTable(ident).foreach(r =>
+          cat.runMaintenance(ident, cfg.maintenance).foreach(r =>
             out.println(s"${r.job}\t${r.detail}${r.error.fold("")(e => s"\tERROR $e")}"))
 
         case Seq("rewrite-table-path", ident, srcPrefix, tgtPrefix) =>
@@ -530,6 +609,11 @@ object Cli {
             s"${res.overwritten} overwritten")
 
         case Seq("serve") =>
+          val localCat = cat match {
+            case ic: IceCatalog => ic
+            case _ => fail("serve needs a local catalog — " +
+              "remote uri: http(s):// mode cannot re-serve a served catalog")
+          }
           val flagTokens = flags.get("token").toSeq.flatMap(_.split(',')).map { t =>
             t.split(':') match {
               case Array(v) => RestServer.Token(v)
@@ -540,7 +624,7 @@ object Cli {
           // the bare flag keeps its historical read-write anonymous;
           // config-driven anonymous defaults to read-only (reference UX)
           val anonFlag = flags.contains("allow-anonymous")
-          val server = new RestServer.Server(cat,
+          val server = new RestServer.Server(localCat,
             port = flags.get("port").map(_.toInt).orElse(cfg.port).getOrElse(8181),
             tokens = cfg.tokens ++ flagTokens,
             allowAnonymous = anonFlag || cfg.anonymousEnabled,
@@ -551,11 +635,17 @@ object Cli {
             // LoadTableResponse config so clients' S3FileIO can reach the
             // data files (the reference's credentials middleware)
             s3VendedStorage = cfg.s3.map(s => RestServer.S3Storage(
-              s.endpoint, s.accessKeyID, s.secretAccessKey, s.region))).start()
+              s.endpoint, s.accessKeyID, s.secretAccessKey, s.region,
+              bucket = s.bucket)),
+            gcsVendedStorage = cfg.gcs.map(g => RestServer.GcsStorage(
+              g.endpoint, g.bucket, g.auth)),
+            // --tls-cert/--tls-key (or config tlsCert/tlsKey): serve https
+            tlsCert = flags.get("tls-cert").orElse(cfg.tlsCert),
+            tlsKey = flags.get("tls-key").orElse(cfg.tlsKey)).start()
           // config-scheduled maintenance runs for the server's lifetime
-          val sched = cfg.maintenanceIntervalMs.map { ms =>
+          val sched = cfg.maintenanceSchedule.map { sc =>
             val s = new Maintenance.Scheduler(
-              new Maintenance.Runner(cat, cfg.maintenance), ms)
+              new Maintenance.Runner(localCat, cfg.maintenance), sc)
             s.start(); s
           }
           out.println(s"serving Iceberg REST catalog at ${server.url}")
@@ -594,7 +684,7 @@ object Cli {
       "list-snapshots", "list-refs", "tag", "untag", "changes", "delete",
       "delete-positions", "set-property", "maintain", "rewrite-table-path",
       "export", "import", "serve", "exit", "quit")
-    val inherited = Seq("config", "c", "root")
+    val inherited = Seq("config", "c", "root", "uri")
       .flatMap(k => outerFlags.get(k).toSeq.flatMap(v => Seq(s"--$k", v)))
     val parser = new org.jline.reader.impl.DefaultParser()
     var done = false
@@ -650,7 +740,7 @@ object Cli {
     val boolFlags = Set("no-copy", "force-outside-location", "skip-duplicates",
       "force-duplicates", "no-commit", "assume-sorted",
       "dry-run", "overwrite", "allow-anonymous", "watch", "watch-fire-once",
-      "merge-on-read", "branch", "json")
+      "merge-on-read", "branch", "json", "no-ssl-verify")
     var flags = Map.empty[String, String]
     val pos = Seq.newBuilder[String]
     var i = 0
@@ -714,7 +804,7 @@ object Cli {
     * the source — the reference's DataFileNamingStrategy.PreserveOriginal.
     */
   private def copyPreservingNames(
-      cat: IceCatalog, ident: String, paths: Seq[String]): Seq[String] = {
+      cat: graft.catalog.CatalogSurface, ident: String, paths: Seq[String]): Seq[String] = {
     def local(p: String) =
       if (p.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(p))
       else java.nio.file.Paths.get(p)

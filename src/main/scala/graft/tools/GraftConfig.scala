@@ -50,7 +50,10 @@ final case class GraftConfig(
     anonymousReadOnly: Boolean = true,
     vendTableCredentials: Boolean = false,
     maintenance: Maintenance.Policy = Maintenance.Policy(),
-    maintenanceIntervalMs: Option[Long] = None,
+    /** Parsed `maintenanceSchedule:` (reference Config.java:56-57 skedule
+      * strings — "every day 00:00", "every monday 09:00", "every 15m").
+      */
+    maintenanceSchedule: Option[Maintenance.Schedule] = None,
     /** `s3:` block (reference Config.S3 field names): routes the
       * catalog's METADATA plane through [[graft.catalog.S3HttpFileIO]]
       * against the configured endpoint. Data files stay on the storage
@@ -78,7 +81,31 @@ final case class GraftConfig(
       * `java.sql.DriverManager` whole). Same metadata/data split as the
       * other backends.
       */
-    jdbcUri: Option[String] = None)
+    jdbcUri: Option[String] = None,
+    /** `uri: http(s)://host:port` — REMOTE catalog mode (the reference
+      * CLI's primary deployment: RESTCatalogFactory.java:38-66 builds an
+      * Iceberg REST client against `CatalogProperties.URI`): every CLI
+      * command runs through [[graft.catalog.RestCatalogClient]] against a
+      * `graft serve` at that address instead of a local catalog.
+      */
+    restUri: Option[String] = None,
+    /** Client bearer credential for remote mode (`bearerToken: <value>`,
+      * the reference's `.withToken(...)` — RESTCatalogFactory.java:52).
+      */
+    bearerToken: Option[String] = None,
+    /** Custom CA bundle (PEM) trusted by remote-mode HTTPS (`cacert:`,
+      * reference RESTCatalogFactory.java:40-51 sslConfig).
+      */
+    cacert: Option[String] = None,
+    /** `sslVerify: false` disables certificate verification for remote
+      * mode (reference RESTCatalogFactory.java:46-51).
+      */
+    sslVerify: Boolean = true,
+    /** Server-side TLS material for `serve` (`tlsCert:`/`tlsKey:` — PEM
+      * chain + PKCS#8 key; the reference's jetty TLS configuration).
+      */
+    tlsCert: Option[String] = None,
+    tlsKey: Option[String] = None)
 
 object GraftConfig {
 
@@ -178,7 +205,8 @@ object GraftConfig {
   private def build(m: Map[String, Any]): GraftConfig = {
     checkKeys(m, Set("root", "warehouse", "addr", "port", "bearerTokens",
       "anonymousAccess", "vendTableCredentials", "maintenanceSchedule",
-      "maintenance", "s3", "gcs", "uri"), "config")
+      "maintenance", "s3", "gcs", "uri", "bearerToken", "cacert",
+      "sslVerify", "tlsCert", "tlsKey"), "config")
     val root = m.get("root").map(str(_, "root"))
       .orElse(m.get("warehouse").map(w =>
         // reference spelling: file:///path — a local catalog root
@@ -244,9 +272,14 @@ object GraftConfig {
     val uri = m.get("uri").map(str(_, "uri"))
     val etcdUri = uri.filter(_.startsWith("etcd:")).map(_.stripPrefix("etcd:"))
     val jdbcUri = uri.filter(_.startsWith("jdbc:"))
+    // http(s):// = REMOTE catalog (thin client over the REST wire), the
+    // reference's RESTCatalogFactory dispatch on CatalogProperties.URI
+    val restUri = uri.filter(u =>
+      u.startsWith("http://") || u.startsWith("https://"))
     uri.foreach { u =>
-      if (etcdUri.isEmpty && jdbcUri.isEmpty) fail(
-        s"unsupported storage uri \"$u\" (supported: etcd:http://host:port, jdbc:...)")
+      if (etcdUri.isEmpty && jdbcUri.isEmpty && restUri.isEmpty) fail(
+        s"unsupported catalog uri \"$u\" (supported: etcd:http://host:port, " +
+          "jdbc:..., http(s)://host:port)")
     }
     GraftConfig(
       root = root,
@@ -257,11 +290,17 @@ object GraftConfig {
       vendTableCredentials =
         m.get("vendTableCredentials").exists(bool(_, "vendTableCredentials")),
       maintenance = policy,
-      maintenanceIntervalMs = interval,
+      maintenanceSchedule = interval,
       s3 = s3,
       gcs = gcs,
       etcdUri = etcdUri,
-      jdbcUri = jdbcUri)
+      jdbcUri = jdbcUri,
+      restUri = restUri,
+      bearerToken = m.get("bearerToken").map(str(_, "bearerToken")),
+      cacert = m.get("cacert").map(str(_, "cacert")),
+      sslVerify = m.get("sslVerify").forall(bool(_, "sslVerify")),
+      tlsCert = m.get("tlsCert").map(str(_, "tlsCert")),
+      tlsKey = m.get("tlsKey").map(str(_, "tlsKey")))
   }
 
   private def token(tm: Map[String, Any], i: Int): RestServer.Token = {
@@ -313,25 +352,14 @@ object GraftConfig {
       dryRun = pm.get("dryRun").exists(bool(_, "dryRun")))
   }
 
-  /** `every 15m` / `every 30s` / `every 2h` (the shape of the reference's
-    * skedule strings its examples use), or a bare second count.
+  /** Reference skedule grammar (Config.java:56-57): calendar schedules
+    * ("every day 00:00", "every monday 09:00") and intervals ("every
+    * 15m", bare seconds) — parsed by [[Maintenance.Schedule.parse]].
     */
-  private[graft] def parseSchedule(s: String): Long = {
-    val t = s.trim.toLowerCase.stripPrefix("every").trim
-    val m = """(\d+)\s*(ms|s|m|h|d)?""".r
-    t match {
-      case m(n, unit) =>
-        val mult = unit match {
-          case "ms" => 1L
-          case null | "s" => 1000L
-          case "m" => 60 * 1000L
-          case "h" => 3600 * 1000L
-          case "d" => 24 * 3600 * 1000L
-        }
-        n.toLong * mult
-      case _ => fail(s"bad maintenanceSchedule \"$s\" (want e.g. \"every 15m\")")
-    }
-  }
+  private[graft] def parseSchedule(s: String): Maintenance.Schedule =
+    try Maintenance.Schedule.parse(s)
+    catch { case e: IllegalArgumentException =>
+      fail(s"bad maintenanceSchedule: ${e.getMessage}") }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"invalid config: $msg")

@@ -413,6 +413,202 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally if (served != null) served.stop()
   }
 
+  test("remote uri: mode drives the full command loop over the REST wire") {
+    // the reference CLI's PRIMARY topology (RESTCatalogFactory.java:38-66):
+    // a thin client pointed at `uri: http://…` runs every command through
+    // the Iceberg REST wire protocol; the server owns the metadata plane,
+    // data rides shared storage (external-committer inserts)
+    import spark.implicits._
+    var served: graft.catalog.RestServer.Server = null
+    val remoteRoot = Files.createTempDirectory("remote-cat").toString
+    try {
+      assert(Cli.run(Seq("--root", remoteRoot, "serve", "--port", "0",
+        "--token", "rtok"), spark,
+        new PrintStream(new ByteArrayOutputStream(), true),
+        onServe = s => served = s) == 0 && served != null)
+      val uri = served.url
+      def rcli(args: String*): (Int, Seq[String]) = {
+        val buf = new ByteArrayOutputStream()
+        val code = Cli.run(Seq("--uri", uri, "--token", "rtok") ++ args,
+          spark, new PrintStream(buf, true))
+        (code, buf.toString.linesIterator.toSeq)
+      }
+
+      // namespace + table DDL over the wire
+      assert(rcli("check") == (0, Seq("ok")))
+      assert(rcli("create-namespace", "r")._1 == 0)
+      assert(rcli("list-namespaces") == (0, Seq("r")))
+      assert(rcli("create-table", "r.ev",
+        "--schema", "id BIGINT, kind STRING, score DOUBLE")._1 == 0)
+      assert(rcli("list-tables", "r") == (0, Seq("ev")))
+
+      // external-committer insert: stage under the table location, commit
+      // through append-files + assert-current-snapshot-id
+      val staging = Files.createTempDirectory("rcli-ing")
+      Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, "a", 2.5))
+        .toDF("id", "kind", "score").coalesce(1)
+        .write.parquet(staging.resolve("b1").toString)
+      val (ci, oi) = rcli("insert", "r.ev", staging.resolve("b1").toString)
+      assert(ci == 0 && oi.exists(_.contains("inserted")), oi.mkString("|"))
+      assert(rcli("count", "r.ev") == (0, Seq("3")))
+      val (cs, scanOut) = rcli("scan", "r.ev", "--limit", "2")
+      assert(cs == 0 &&
+        scanOut.head.split('\t').toSeq == Seq("id", "kind", "score"))
+      assert(rcli("files", "r.ev")._2.nonEmpty)
+      assert(rcli("list-snapshots", "r.ev")._2.length == 1)
+      assert(rcli("describe-metadata", "r.ev")._1 == 0)
+
+      // schema evolution over the wire: add-schema diffed by field id
+      // under assert-last-assigned-field-id
+      assert(rcli("alter-table", "r.ev",
+        """[{"op":"add_column","name":"lang","type":"string"},
+           {"op":"rename_column","name":"score","new_name":"quality"}]""")._1 == 0)
+      val (_, scan2) = rcli("scan", "r.ev", "--limit", "1")
+      assert(scan2.head.split('\t').toSeq == Seq("id", "kind", "quality", "lang"),
+        scan2.head)
+
+      // property / ref commits + on-demand maintenance + export
+      assert(rcli("set-property", "r.ev", "owner", "teamA")._1 == 0)
+      assert(rcli("tag", "r.ev", "v1")._1 == 0)
+      assert(rcli("list-refs", "r.ev")._2.exists(_.startsWith("v1")))
+      assert(rcli("untag", "r.ev", "v1")._1 == 0)
+      assert(rcli("maintain", "r.ev")._1 == 0)
+      val (ce, eo) = rcli("export")
+      assert(ce == 0 && eo.mkString.contains("r.ev"))
+
+      // predicate delete over the wire (partition-pure staged files, the
+      // external-committer contract of Insert.java:489)
+      assert(rcli("create-table", "r.part",
+        "--schema", "id BIGINT, day STRING",
+        "--partition", "day:identity:p_day")._1 == 0)
+      Seq((1L, "2020-01-01"), (2L, "2020-01-01")).toDF("id", "day")
+        .coalesce(1).write.parquet(staging.resolve("d1").toString)
+      Seq((3L, "2020-01-02")).toDF("id", "day")
+        .coalesce(1).write.parquet(staging.resolve("d2").toString)
+      assert(rcli("insert", "r.part", staging.resolve("d1").toString)._1 == 0)
+      assert(rcli("insert", "r.part", staging.resolve("d2").toString)._1 == 0)
+      val (cd1, od1) = rcli("delete", "r.part",
+        "--partition", "p_day=2020-01-01", "--dry-run")
+      assert(cd1 == 0 && od1.exists(_.contains("would drop 1")), od1.mkString("|"))
+      val (cd2, od2) = rcli("delete", "r.part", "--partition", "p_day=2020-01-01")
+      assert(cd2 == 0 && od2.exists(_.contains("dropped 1")), od2.mkString("|"))
+      assert(rcli("count", "r.part") == (0, Seq("1")))
+
+      // a STALE commit requirement must 409 with the spec error type
+      val raw = java.net.http.HttpClient.newHttpClient()
+      val stale = raw.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$uri/v1/namespaces/r/tables/ev"))
+        .header("Authorization", "Bearer rtok")
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """{"requirements":[{"type":"assert-current-snapshot-id",
+             "snapshot-id":-999}],"updates":[]}"""))
+        .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(stale.statusCode() == 409 &&
+        stale.body().contains("CommitFailedException"), stale.body())
+
+      // concurrent remote committers: every one must land (the client's
+      // CommitRetry loop re-reads and re-attempts on real 409s)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val before = rcli("count", "r.ev")._2.head.toLong
+      val racers = (1 to 4).map { i =>
+        val dir = staging.resolve(s"race$i")
+        Seq((100L + i, s"k$i", i.toDouble, "en")).toDF("id", "kind", "quality", "lang")
+          .coalesce(1).write.parquet(dir.toString)
+        Future(rcli("insert", "r.ev", dir.toString)._1)
+      }
+      assert(Await.result(Future.sequence(racers), 120.seconds).forall(_ == 0))
+      assert(rcli("count", "r.ev") == (0, Seq((before + 4).toString)))
+
+      // rename over the wire, then drop
+      assert(rcli("alter-table", "r.ev",
+        """[{"op":"rename_to","new_name":"r.events"}]""")._1 == 0)
+      assert(rcli("list-tables", "r")._2.contains("events"))
+      // ops outside the wire vocabulary fail loudly, not silently
+      Seq(("f.parquet", 0L)).toDF("file_path", "pos")
+        .write.parquet(staging.resolve("keys").toString)
+      val (cu, ou) = rcli("delete-positions", "r.events",
+        staging.resolve("keys").toString)
+      assert(cu == 1 && ou.exists(_.contains("not in the REST wire")), ou.mkString("|"))
+      val (cv, ov) = rcli("serve")
+      assert(cv == 1 && ov.exists(_.contains("local catalog")), ov.mkString("|"))
+      assert(rcli("delete-table", "r.events")._1 == 0)
+      assert(rcli("delete-table", "r.part")._1 == 0)
+    } finally if (served != null) served.stop()
+  }
+
+  test("serve --tls-cert/--tls-key: https end-to-end; cacert and sslVerify paths") {
+    // reference parity: the server is TLS-configurable (jetty) and the
+    // client carries a custom CA bundle or sslVerify=false
+    // (RESTCatalogFactory.java:40-66). Key material: a keytool-generated
+    // RSA pair re-emitted as the PEM chain + PKCS#8 key a real issuance
+    // hands an operator.
+    val dir = Files.createTempDirectory("graft-tls")
+    val ksPath = dir.resolve("ks.p12")
+    val pb = new ProcessBuilder("keytool", "-genkeypair", "-alias", "server",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath.toString, "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1", "-validity", "365",
+      "-ext", "san=ip:127.0.0.1")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    assert(proc.waitFor() == 0,
+      new String(proc.getInputStream.readAllBytes()))
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = Files.newInputStream(ksPath)
+    try ks.load(in, "changeit".toCharArray) finally in.close()
+    val key = ks.getKey("server", "changeit".toCharArray)
+    val cert = ks.getCertificate("server")
+    def pem(label: String, der: Array[Byte]): String =
+      s"-----BEGIN $label-----\n" +
+        java.util.Base64.getMimeEncoder(64, "\n".getBytes).encodeToString(der) +
+        s"\n-----END $label-----\n"
+    val certPem = dir.resolve("server.crt")
+    val keyPem = dir.resolve("server.key")
+    Files.writeString(certPem, pem("CERTIFICATE", cert.getEncoded))
+    Files.writeString(keyPem, pem("PRIVATE KEY", key.getEncoded))
+
+    var served: graft.catalog.RestServer.Server = null
+    val tlsRoot = Files.createTempDirectory("tls-cat").toString
+    try {
+      val buf = new ByteArrayOutputStream()
+      assert(Cli.run(Seq("--root", tlsRoot, "serve", "--port", "0",
+        "--token", "stok", "--tls-cert", certPem.toString,
+        "--tls-key", keyPem.toString), spark, new PrintStream(buf, true),
+        onServe = s => served = s) == 0 && served != null)
+      assert(served.url.startsWith("https://"), served.url)
+      def rcli(extra: Seq[String], args: String*): (Int, Seq[String]) = {
+        val b = new ByteArrayOutputStream()
+        val code = Cli.run(Seq("--uri", served.url, "--token", "stok") ++
+          extra ++ args, spark, new PrintStream(b, true))
+        (code, b.toString.linesIterator.toSeq)
+      }
+      // an untrusting client must REFUSE the self-signed cert
+      val (cBad, oBad) = rcli(Seq.empty, "check")
+      assert(cBad == 1, oBad.mkString("|"))
+      // --cacert trusts exactly this server's cert
+      assert(rcli(Seq("--cacert", certPem.toString), "check") == (0, Seq("ok")))
+      assert(rcli(Seq("--cacert", certPem.toString),
+        "create-namespace", "sec")._1 == 0)
+      assert(rcli(Seq("--cacert", certPem.toString),
+        "list-namespaces") == (0, Seq("sec")))
+      // --no-ssl-verify (config sslVerify: false) is the lab escape hatch
+      assert(rcli(Seq("--no-ssl-verify"), "list-namespaces") == (0, Seq("sec")))
+      // the same trust settings load from a config file (cacert:)
+      val cfg = dir.resolve("client.yaml")
+      Files.writeString(cfg,
+        s"""uri: ${served.url}
+           |bearerToken: stok
+           |cacert: $certPem
+           |""".stripMargin)
+      val b2 = new ByteArrayOutputStream()
+      assert(Cli.run(Seq("--config", cfg.toString, "list-namespaces"),
+        spark, new PrintStream(b2, true)) == 0 && b2.toString.contains("sec"))
+    } finally if (served != null) served.stop()
+  }
+
   test("insert --compression lands the requested parquet codec") {
     import spark.implicits._
     assert(cli("create-table", "ns.cmp", "--schema", "id BIGINT, v STRING")._1 == 0)

@@ -45,7 +45,8 @@ class GraftConfigSpec extends AnyFunSuite {
       ("feed", "scoped1", true, "ns.events"))) // table scope implies readOnly
     assert(c.anonymousEnabled && c.anonymousReadOnly)
     assert(c.vendTableCredentials)
-    assert(c.maintenanceIntervalMs.contains(15 * 60 * 1000L))
+    assert(c.maintenanceSchedule.contains(
+      Maintenance.Schedule.Every(15 * 60 * 1000L)))
     assert(c.maintenance.jobs == Set("snapshot_cleanup", "data_compaction"))
     assert(c.maintenance.ttlHours == 48 && c.maintenance.targetFileMB == 256)
     // unset fields keep policy defaults
@@ -102,7 +103,17 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(j.etcdUri.isEmpty)
     val e = intercept[IllegalArgumentException](
       GraftConfig.fromString("uri: redis://x\n", env()))
-    assert(e.getMessage.contains("unsupported storage uri"))
+    assert(e.getMessage.contains("unsupported catalog uri"))
+    // http(s):// = remote REST-catalog mode (thin client), with its own
+    // credential/trust keys
+    val r = GraftConfig.fromString(
+      "uri: https://cat.example:8181\nbearerToken: tok\n" +
+        "cacert: /etc/ssl/ca.pem\n", env())
+    assert(r.restUri.contains("https://cat.example:8181") &&
+      r.bearerToken.contains("tok") && r.cacert.contains("/etc/ssl/ca.pem") &&
+      r.sslVerify)
+    assert(!GraftConfig.fromString(
+      "uri: http://127.0.0.1:1\nsslVerify: false\n", env()).sslVerify)
   }
 
   test("gcs block parses: static token or service-account pair required") {
@@ -131,11 +142,19 @@ class GraftConfigSpec extends AnyFunSuite {
   }
 
   test("schedule grammar") {
-    assert(GraftConfig.parseSchedule("every 30s") == 30000L)
-    assert(GraftConfig.parseSchedule("every 2h") == 7200000L)
-    assert(GraftConfig.parseSchedule("45") == 45000L)
+    import Maintenance.Schedule
+    assert(GraftConfig.parseSchedule("every 30s") == Schedule.Every(30000L))
+    assert(GraftConfig.parseSchedule("every 2h") == Schedule.Every(7200000L))
+    assert(GraftConfig.parseSchedule("45") == Schedule.Every(45000L))
+    // the reference's skedule calendar strings (Config.java:56-57)
+    assert(GraftConfig.parseSchedule("every day 00:00") == Schedule.DailyAt(0, 0))
+    assert(GraftConfig.parseSchedule("Every Day 23:30") == Schedule.DailyAt(23, 30))
+    assert(GraftConfig.parseSchedule("every monday 09:00") ==
+      Schedule.WeeklyAt(java.time.DayOfWeek.MONDAY, 9, 0))
     assert(intercept[IllegalArgumentException](
       GraftConfig.parseSchedule("every blue moon")).getMessage.contains("maintenanceSchedule"))
+    assert(intercept[IllegalArgumentException](
+      GraftConfig.parseSchedule("every day 25:00")).getMessage.contains("maintenanceSchedule"))
   }
 
   test("unknown maintenance job is refused") {

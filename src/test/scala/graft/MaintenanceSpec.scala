@@ -159,4 +159,42 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "TTL applied by the scheduled runner, not a manual call")
     assert(sched.lastReports.get().nonEmpty)
   }
+
+  test("calendar schedules compute next-fire times (reference skedule strings)") {
+    import Maintenance.Schedule
+    val zone = java.time.ZoneId.systemDefault()
+    def at(y: Int, mo: Int, d: Int, h: Int, mi: Int): Long =
+      java.time.LocalDateTime.of(y, mo, d, h, mi)
+        .atZone(zone).toInstant.toEpochMilli
+
+    // "every day 00:00" — the reference Config.java:56-57 example
+    val daily = Schedule.parse("every day 00:00")
+    // from 23:00, next fire is midnight = 1h away
+    assert(daily.nextDelayMs(at(2026, 8, 14, 23, 0)) == 3600 * 1000L)
+    // from exactly 00:00, next fire is TOMORROW's midnight, not now
+    assert(daily.nextDelayMs(at(2026, 8, 14, 0, 0)) == 24 * 3600 * 1000L)
+
+    val afternoon = Schedule.parse("every day 14:30")
+    assert(afternoon.nextDelayMs(at(2026, 8, 14, 14, 0)) == 30 * 60 * 1000L)
+    assert(afternoon.nextDelayMs(at(2026, 8, 14, 15, 0)) == (23 * 60 + 30) * 60 * 1000L)
+
+    // weekly: 2026-08-14 is a Friday; next Monday 09:00 is 2026-08-17
+    val weekly = Schedule.parse("every monday 09:00")
+    assert(weekly.nextDelayMs(at(2026, 8, 14, 9, 0)) ==
+      at(2026, 8, 17, 9, 0) - at(2026, 8, 14, 9, 0))
+    // on Monday at 09:00 sharp, next fire is NEXT week's Monday
+    assert(weekly.nextDelayMs(at(2026, 8, 17, 9, 0)) == 7 * 24 * 3600 * 1000L)
+
+    // a calendar-scheduled Scheduler arms without firing early: a daily
+    // schedule ~1h out must complete zero runs in a short window
+    val sched = new Scheduler(runner, Schedule.DailyAt(
+      java.time.Instant.now().atZone(zone).getHour match {
+        case 23 => 22 // avoid wrap: pick an hour that is NOT within 2 min
+        case h => (h + 23) % 24
+      }, 0))
+    sched.start()
+    Thread.sleep(300)
+    sched.stop()
+    assert(sched.runsCompleted.get() == 0)
+  }
 }

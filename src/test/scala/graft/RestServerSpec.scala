@@ -373,4 +373,153 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         .path("error").path("type").asText() == "NotAuthorizedException")
     } finally server3.stop()
   }
+
+  test("vended per-table STORAGE credentials: scoped temp keys honored at the storage layer") {
+    // the reference injects real per-session AWS credentials into
+    // LoadTableResponse config (RESTCatalogMiddlewareCredentials.java,
+    // Session.java:14, VendedCredentialsProvider.java). Here the FULL
+    // loop runs in-sandbox: the REST server mints prefix-scoped temp
+    // credentials through the storage endpoint's STS AssumeRole, a
+    // client authenticates with ONLY the vended credential, and the
+    // STORAGE layer itself (signature + prefix policy) refuses it on a
+    // sibling table.
+    import graft.catalog.{S3HttpFileIO, S3Wire, S3WireServer, SigV4}
+    val rootCreds = SigV4.Credentials("AKROOT", "sk-root")
+    val s3 = new S3WireServer(rootCreds).start()
+    var server4: RestServer.Server = null
+    try {
+      val root4 = Files.createTempDirectory("vendstore").toString
+      val cat4 = new IceCatalog(spark, root4,
+        new S3HttpFileIO(root4, s3.endpoint, "lake", rootCreds))
+      server4 = new RestServer.Server(cat4,
+        tokens = Seq(Token("admin-secret", "admin")),
+        vendTableCredentials = true,
+        s3VendedStorage = Some(RestServer.S3Storage(
+          s3.endpoint, "AKROOT", "sk-root", bucket = "lake"))).start()
+      def r4(method: String, path: String, body: String = null): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(s"${server4.url}$path"))
+          .header("Authorization", "Bearer admin-secret")
+        val wb = method match {
+          case "GET" => b.GET()
+          case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(
+            Option(body).getOrElse("{}")))
+        }
+        client.send(wb.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(r4("POST", "/v1/namespaces", """{"namespace":["w"]}""").statusCode() == 200)
+      assert(r4("POST", "/v1/namespaces/w/tables",
+        """{"name":"a","schema":"id BIGINT"}""").statusCode() == 200)
+      assert(r4("POST", "/v1/namespaces/w/tables",
+        """{"name":"b","schema":"id BIGINT"}""").statusCode() == 200)
+
+      val cfg = json(r4("GET", "/v1/namespaces/w/tables/a")).path("config")
+      val ak = cfg.path("s3.access-key-id").asText()
+      val sk = cfg.path("s3.secret-access-key").asText()
+      val tok = cfg.path("s3.session-token").asText()
+      assert(ak.startsWith("GRAFTTEMP"), s"expected minted temp key, got $ak")
+      assert(sk.nonEmpty && tok.nonEmpty)
+      // re-load re-vends the same live credential (no unbounded minting)
+      assert(json(r4("GET", "/v1/namespaces/w/tables/a"))
+        .path("config").path("s3.access-key-id").asText() == ak)
+
+      // an executor authenticating with ONLY the vended credential…
+      val vendedWire = new S3Wire(s3.endpoint, "lake",
+        SigV4.Credentials(ak, sk, tok), "us-east-1")
+      val keyA = s"${root4.stripPrefix("/")}/w/a/metadata/v1.json"
+      val keyB = s"${root4.stripPrefix("/")}/w/b/metadata/v1.json"
+      // …reads its OWN table's objects,
+      assert(vendedWire.request("GET", keyA).statusCode() == 200)
+      // lists within its prefix,
+      assert(vendedWire.request("GET", "",
+        Seq("list-type" -> "2",
+          "prefix" -> s"${root4.stripPrefix("/")}/w/a/")).statusCode() == 200)
+      // …and is REFUSED at the storage layer on the sibling table
+      val denied = vendedWire.request("GET", keyB)
+      assert(denied.statusCode() == 403, denied.statusCode().toString)
+      assert(new String(denied.body()).contains("AccessDenied"))
+      // list outside the scope: refused too
+      assert(vendedWire.request("GET", "",
+        Seq("list-type" -> "2",
+          "prefix" -> s"${root4.stripPrefix("/")}/w/")).statusCode() == 403)
+      assert(s3.scopeDenials.get() >= 2)
+      // temp credentials cannot mint further credentials
+      assert(intercept[java.io.IOException](
+        vendedWire.assumeRole("lake/anything")).getMessage.contains("403"))
+      // the signature itself is still enforced: wrong secret → 403
+      val badWire = new S3Wire(s3.endpoint, "lake",
+        SigV4.Credentials(ak, "wrong-secret", tok), "us-east-1")
+      assert(badWire.request("GET", keyA).statusCode() == 403)
+      // a temp key without its session token fails verification
+      val noTok = new S3Wire(s3.endpoint, "lake",
+        SigV4.Credentials(ak, sk), "us-east-1")
+      assert(noTok.request("GET", keyA).statusCode() == 403)
+    } finally {
+      if (server4 != null) server4.stop()
+      s3.stop()
+    }
+  }
+
+  test("vended per-table GCS credentials: downscoped tokens honored at the storage layer") {
+    // same loop on the GCS plane: the REST server exchanges its full
+    // token for a per-table DOWNSCOPED token (STS token-exchange with a
+    // Credential Access Boundary), and the storage endpoint refuses that
+    // token outside the table's prefix
+    import graft.catalog.{GcsAuth, GcsHttpFileIO, GcsWire, GcsWireServer}
+    val gcs = new GcsWireServer(staticToken = Some("gcs-root")).start()
+    var server5: RestServer.Server = null
+    try {
+      val root5 = Files.createTempDirectory("vendgcs").toString
+      val auth = GcsAuth.Static("gcs-root")
+      val cat5 = new IceCatalog(spark, root5,
+        new GcsHttpFileIO(root5, gcs.endpoint, "lake", auth))
+      server5 = new RestServer.Server(cat5,
+        tokens = Seq(Token("admin-secret", "admin")),
+        vendTableCredentials = true,
+        gcsVendedStorage = Some(RestServer.GcsStorage(
+          gcs.endpoint, "lake", auth))).start()
+      def r5(method: String, path: String, body: String = null): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(s"${server5.url}$path"))
+          .header("Authorization", "Bearer admin-secret")
+        val wb = method match {
+          case "GET" => b.GET()
+          case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(
+            Option(body).getOrElse("{}")))
+        }
+        client.send(wb.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(r5("POST", "/v1/namespaces", """{"namespace":["g"]}""").statusCode() == 200)
+      assert(r5("POST", "/v1/namespaces/g/tables",
+        """{"name":"a","schema":"id BIGINT"}""").statusCode() == 200)
+      assert(r5("POST", "/v1/namespaces/g/tables",
+        """{"name":"b","schema":"id BIGINT"}""").statusCode() == 200)
+      val cfg = json(r5("GET", "/v1/namespaces/g/tables/a")).path("config")
+      val tok = cfg.path("gcs.oauth2.token").asText()
+      assert(tok.startsWith("gcsd-"), s"expected downscoped token, got $tok")
+      assert(cfg.path("gcs.oauth2.token-expires-at").asLong(0L) >
+        System.currentTimeMillis())
+      // re-load re-vends the same live token
+      assert(json(r5("GET", "/v1/namespaces/g/tables/a"))
+        .path("config").path("gcs.oauth2.token").asText() == tok)
+      // a client holding ONLY the downscoped token reads its own table…
+      val vendedIo = new GcsHttpFileIO(root5, gcs.endpoint, "lake",
+        GcsAuth.Static(tok))
+      val keyA = java.nio.file.Paths.get(s"$root5/g/a/metadata/v1.json")
+      val keyB = java.nio.file.Paths.get(s"$root5/g/b/metadata/v1.json")
+      assert(vendedIo.readString(keyA).nonEmpty)
+      assert(vendedIo.list(java.nio.file.Paths.get(s"$root5/g/a/metadata"))
+        .nonEmpty)
+      // …and is refused on the sibling at the STORAGE layer
+      val denied = intercept[java.io.IOException](vendedIo.readString(keyB))
+      assert(denied.getMessage.contains("403"), denied.getMessage)
+      assert(gcs.scopeDenials.get() >= 1)
+      // a downscoped token cannot re-exchange for broader scope
+      val laundering = intercept[java.io.IOException](
+        new GcsWire(gcs.endpoint, "lake", GcsAuth.Static(tok))
+          .downscopedToken("lake/"))
+      assert(laundering.getMessage.contains("401"), laundering.getMessage)
+    } finally {
+      if (server5 != null) server5.stop()
+      gcs.stop()
+    }
+  }
 }
