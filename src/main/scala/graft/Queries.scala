@@ -212,6 +212,7 @@ object Queries {
     "r4_cap_per_source" -> ((s: SparkSession, d: String) => Sampling.capPerSource(s, d)),
     "r5_mix_sources" -> ((s: SparkSession, d: String) => Sampling.mixSources(s, d)),
     "r6_split" -> ((s: SparkSession, d: String) => Sampling.splitDocuments(s, d)),
+    "r7_split_safe" -> ((s: SparkSession, d: String) => Sampling.splitDocumentsNearDupSafe(s, d)),
     "x12_code_score" -> (TextAnalysis.codeScoreQuery _),
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
     "x11_unigram_logprob" -> (TextAnalysis.unigramLogprobQuery _),
@@ -487,6 +488,24 @@ object Queries {
         | CASE substr(md5(text), 1, 1) WHEN '0' THEN 'val' WHEN '1' THEN 'test'
         |   ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "r7_split_safe" ->
+      s"""WITH RECURSIVE $sigCte,
+         |$lshPairsCte,
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |r(n, m) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT r.n, e.b FROM r JOIN e ON r.m = e.a),
+         |cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n),
+         |rep AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_rep
+         |        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT rep.doc_id, rep.cluster_rep,
+         | substr(md5(t.text), 1, 16) AS rep_fp,
+         | CASE substr(md5(t.text), 1, 1) WHEN '0' THEN 'val' WHEN '1' THEN 'test'
+         |   ELSE 'train' END AS split
+         |FROM rep JOIN documents t ON rep.cluster_rep = t.doc_id
+         |ORDER BY rep.doc_id""".stripMargin,
     "x12_code_score" ->
       """WITH tok AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t

@@ -171,4 +171,42 @@ object Sampling {
           .otherwise(lit("train")).as("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** r7: NEAR-dup-safe train/val/test split. r6 guards exact-duplicate
+    * leakage only — a near-duplicate pair (boilerplate variants, minor
+    * edits) hashes to different raw fingerprints and can still straddle
+    * train/val, the contamination an eval actually suffers from. Here the
+    * split key is the d8 CLUSTER REPRESENTATIVE's content fingerprint:
+    * every member of a near-dup cluster (LSH connected component,
+    * [[Dedup.dedupClusters]]) inherits its representative's bucket, so no
+    * near-dup pair can straddle splits BY CONSTRUCTION — the same nibble
+    * buckets as r6 ('0' → val, '1' → test, else train), deterministic
+    * across runs and engines. Singletons (no near-dup) key on their own
+    * fingerprint, degenerating to exactly r6.
+    *
+    * Scale shape: the cluster pass is d8's (band/bucket-keyed propose,
+    * min-label propagation); the rest is two id equi-joins (docs ⋈
+    * clusters on doc_id, then ⋈ docs on the representative id) — shuffles
+    * on ids only, no all-pairs anywhere, split assignment itself still
+    * needs no global state.
+    */
+  def splitDocumentsNearDupSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val clusters = Dedup.dedupClusters(spark, dir) // (doc_id, cluster_id)
+    val withRep = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_rep"))
+    withRep
+      .join(docs.select(col("doc_id").as("cluster_rep"), col("fp")),
+        Seq("cluster_rep"))
+      .select(
+        col("doc_id"), col("cluster_rep"),
+        substring(col("fp"), 1, 16).as("rep_fp"),
+        when(substring(col("fp"), 1, 1) === "0", lit("val"))
+          .when(substring(col("fp"), 1, 1) === "1", lit("test"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy(col("doc_id"))
+  }
 }

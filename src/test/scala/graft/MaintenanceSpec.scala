@@ -82,6 +82,23 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.scan("m1.orph").count() == 10, "live data files must survive")
   }
 
+  test("orphan cleanup vacuums a crash-orphaned delete-relocate staging dir") {
+    // rewrite-table-path stages rewritten delete files under
+    // data/delete-relocate-* BEFORE its commit; a crash between staging
+    // and commit leaves them unreferenced. Belt-and-braces beyond the
+    // refused-commit cleanup: the orphan job owns exactly this debris.
+    mkTable("m1.rtp", inserts = 1)
+    cat.setProperty("m1.rtp", "maintenance.jobs", "orphan_cleanup")
+    cat.setProperty("m1.rtp", "maintenance.orphan.retention-days", "0")
+    val staged = Paths.get(root, "m1", "rtp", "data", "delete-relocate-deadbeef")
+    Files.createDirectories(staged)
+    Files.write(staged.resolve("part-00000.parquet"), Array[Byte](9, 9, 9))
+    val rep = runner.run().find(r => r.table == "m1.rtp").get
+    assert(!Files.exists(staged.resolve("part-00000.parquet")),
+      s"staged orphan must be vacuumed (report: ${rep.detail})")
+    assert(cat.scan("m1.rtp").count() == 10)
+  }
+
   test("manifest compaction merges a long append chain's segments") {
     import spark.implicits._
     val df = (1 to 4).map(i => (i.toLong, s"v$i")).toDF("id", "v")

@@ -258,6 +258,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("r7 near-dup-safe split: no verified near-dup pair straddles splits") {
+    import org.apache.spark.sql.functions.col
+    val split = Sampling.splitDocumentsNearDupSafe(spark, dir)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every document is assigned exactly once
+    assert(split.size == graft.sources.Tables.documents(spark, dir).count())
+    // the contamination check the operator exists for: verified near-dup
+    // pairs under the PIPELINE'S near-dup relation (d5's gate output:
+    // shingle-LSH propose + Jaccard verify) must never land in different
+    // splits — r6's raw-fingerprint key does NOT guarantee this. (The
+    // exhaustive within-source verifier is a different, unigram-set
+    // relation and intentionally not the contract here.)
+    val pairs = Dedup.lshJaccardVerify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test corpus must contain verified near-dups")
+    val straddling = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(straddling.isEmpty,
+      s"near-dup pairs straddle splits: ${straddling.take(5).mkString(", ")}")
+    // exact duplicates keep r6's guarantee too (same text → same cluster)
+    val r6 = Sampling.splitDocuments(spark, dir)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // singletons (docs in no cluster) degenerate to exactly r6's bucket
+    val clustered = Dedup.dedupClusters(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    split.keys.filterNot(clustered).foreach(d => assert(split(d) == r6(d)))
+  }
+
   test("r4 per-source cap keeps exactly the md5-order winners") {
     import org.apache.spark.sql.functions._
     val out = Sampling.capPerSource(spark, dir, cap = 3).collect()
