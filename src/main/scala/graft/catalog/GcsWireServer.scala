@@ -212,27 +212,6 @@ final class GcsWireServer(
       s"""{"access_token":"$tok","token_type":"Bearer","expires_in":3600}""")
   }
 
-  /** Every "bucket/objectName" a request touches, for downscoped-token
-    * confinement: object target, list prefix, rewrite SOURCE and
-    * destination, resumable initiate target. Session-chunk PUTs carry no
-    * name — the scope was enforced at initiate.
-    */
-  private def scopeTargets(
-      segs: List[String], query: Map[String, String]): Seq[String] = {
-    def dec(s: String) = GcsWire.pctDecode(s)
-    segs match {
-      case List("upload", "storage", "v1", "b", bucket, "o") =>
-        Seq(s"$bucket/${query.getOrElse("name", "")}")
-      case List("storage", "v1", "b", sb, "o", sname, "rewriteTo", "b", db, "o", dname) =>
-        Seq(s"$sb/${dec(sname)}", s"$db/${dec(dname)}")
-      case List("storage", "v1", "b", bucket, "o", name) =>
-        Seq(s"$bucket/${dec(name)}")
-      case List("storage", "v1", "b", bucket, "o") =>
-        Seq(s"$bucket/${query.getOrElse("prefix", "")}")
-      case _ => Seq.empty
-    }
-  }
-
   private def route(
       ex: HttpExchange, rawPath: String, body: Array[Byte],
       scope: Option[String] = None): Unit = {
@@ -242,19 +221,54 @@ final class GcsWireServer(
       .split('&').filter(_.nonEmpty).map(_.split("=", 2))
       .collect { case Array(k, v) => k -> URLDecoder.decode(v, UTF_8) }.toMap
     // downscoped token: every touched object must live under its prefix
-    // (segment-safe: "b/tbl" admits "b/tbl" and "b/tbl/…", never "b/tbl2")
-    scope.foreach { sc =>
-      val outside = scopeTargets(segs, query).filterNot(t =>
-        t == sc || t.startsWith(sc.stripSuffix("/") + "/"))
-      if (outside.nonEmpty) {
-        scopeDenials.incrementAndGet()
-        sendJson(ex, 403, err(s"token is scoped to $sc"))
-        return
-      }
-    }
     // PATH segments percent-decode WITHOUT form semantics: a '+' in an
     // object name is a literal plus, not a space
     def dec(s: String) = GcsWire.pctDecode(s)
+
+    // Downscoped-token confinement, shaped like the Credential Access
+    // Boundary a Hadoop-style committer can actually operate under
+    // (mirrors the S3 plane's prefix policy): full object ops only
+    // WITHIN the prefix (segment-safe: "b/tbl" admits "b/tbl" and
+    // "b/tbl/…", never "b/tbl2"); metadata-stat GETs and empty
+    // directory-marker uploads on ANCESTORS; ancestor LISTINGS answer
+    // filtered to in-scope keys (implicit-dir checks work, zero sibling
+    // leakage). Session-chunk ops were bound at initiate.
+    var listFilter: String => Boolean = _ => true
+    scope match {
+      case None => ()
+      case Some(sc) =>
+        val scDir = sc.stripSuffix("/") + "/"
+        def within(t: String) = t == sc || t.startsWith(scDir)
+        def ancestorDir(t: String) = scDir.startsWith(t.stripSuffix("/") + "/")
+        def deny(): Boolean = {
+          scopeDenials.incrementAndGet()
+          sendJson(ex, 403, err(s"token is scoped to $sc"))
+          true
+        }
+        val denied = segs match {
+          case List("upload", "storage", "v1", "b", bucket, "o") =>
+            val name = query.getOrElse("name", "")
+            val t = s"$bucket/$name"
+            val markerOk = name.endsWith("/") && body.isEmpty
+            if (within(t) || (ancestorDir(t) && markerOk)) false else deny()
+          case List("upload", "session", _) => false
+          case List("storage", "v1", "b", sb, "o", sname, "rewriteTo", "b", db, "o", dname) =>
+            if (within(s"$sb/${dec(sname)}") && within(s"$db/${dec(dname)}")) false
+            else deny()
+          case List("storage", "v1", "b", bucket, "o", name) =>
+            val t = s"$bucket/${dec(name)}"
+            val statOnly = method == "GET" && !query.get("alt").contains("media")
+            if (within(t) || (ancestorDir(t) && statOnly)) false else deny()
+          case List("storage", "v1", "b", bucket, "o") =>
+            val t = s"$bucket/${query.getOrElse("prefix", "")}"
+            if (within(t) || t == scDir) false
+            else if (ancestorDir(t) || t == s"$bucket/") {
+              listFilter = k => within(s"$bucket/$k"); false
+            } else deny()
+          case _ => false
+        }
+        if (denied) return
+    }
 
     (method, segs) match {
       // resumable-upload initiate: session URI in the Location header
@@ -432,6 +446,7 @@ final class GcsWireServer(
         val all = store.keySet().asScala.toSeq
           .filter(_.startsWith(s"$bucket/"))
           .map(_.stripPrefix(s"$bucket/"))
+          .filter(listFilter) // scoped ancestor listings: in-scope keys only
           .filter(_.startsWith(prefix)).sorted
         val (items, prefixes) = delim match {
           case Some(d) =>

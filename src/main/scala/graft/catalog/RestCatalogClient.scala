@@ -135,31 +135,100 @@ final class RestCatalogClient(
 
   /** Storage root derived from a server-reported table location: the
     * table dir is `<root>/<ns…>/<table>`, so stripping the identifier's
-    * segments yields the root every read anchors at. Shared-storage
-    * reachability is REQUIRED (and verified loudly) — same contract as a
-    * stock client's FileIO reaching the object store.
+    * segments yields the root every read anchors at.
+    *
+    * Two read topologies, exactly the stock Iceberg client's options:
+    *
+    *  - SHARED FILESYSTEM: the location resolves locally → one
+    *    [[IceCatalog]] reader over the mounted root serves every table.
+    *  - OBJECT STORE, ZERO LOCAL STORAGE: the location does NOT resolve,
+    *    but the LoadTableResponse `config` carries vended (or static)
+    *    S3-plane credentials + the catalog bucket → a PER-TABLE reader is
+    *    anchored on an [[S3HttpFileIO]] speaking the wire with EXACTLY
+    *    the vended credential, and the `grafts3://` data plane is
+    *    mounted with the same credential so scans reach the bytes. The
+    *    per-table split is not incidental: a vended credential is scoped
+    *    to its one table, which is the whole point.
+    *
+    * Neither reachable → loud error.
     */
   @volatile private var readCat: IceCatalog = _
   @volatile private var readRoot: String = _
 
+  /** Per-table wire readers + their storage profile (object-store mode). */
+  private case class StorageProfile(
+      endpoint: String, bucket: String, region: String, creds: SigV4.Credentials)
+  private val wireReaders =
+    new java.util.concurrent.ConcurrentHashMap[String, (IceCatalog, StorageProfile)]()
+
+  private def storageProfileOf(cfg: JsonNode): Option[StorageProfile] = {
+    val ak = cfg.path("s3.access-key-id").asText("")
+    val bucket = cfg.path("graft.storage.bucket").asText("")
+    if (ak.isEmpty || bucket.isEmpty) None
+    else Some(StorageProfile(
+      cfg.path("s3.endpoint").asText(""),
+      bucket,
+      cfg.path("client.region").asText("us-east-1"),
+      SigV4.Credentials(ak,
+        cfg.path("s3.secret-access-key").asText(""),
+        cfg.path("s3.session-token").asText(""))))
+  }
+
+  /** Mount the `grafts3://` data plane for `p.bucket` with this profile's
+    * credential (per-bucket keys), so `spark.read.parquet` on the table's
+    * object-store file URIs authenticates as the vended session. One
+    * credential per bucket at a time — the CLI's one-command lifecycle;
+    * long-lived embedders scanning many tables should mount root
+    * credentials themselves.
+    */
+  private def mountDataPlane(p: StorageProfile): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.grafts3.impl", classOf[graft.sources.GraftS3FileSystem].getName)
+    hc.set("fs.grafts3.impl.disable.cache", "true") // creds rotate per table
+    hc.set(s"fs.grafts3.bucket.${p.bucket}.endpoint", p.endpoint)
+    hc.set(s"fs.grafts3.bucket.${p.bucket}.access.key", p.creds.accessKey)
+    hc.set(s"fs.grafts3.bucket.${p.bucket}.secret.key", p.creds.secretKey)
+    hc.set(s"fs.grafts3.bucket.${p.bucket}.session.token", p.creds.sessionToken)
+    hc.set(s"fs.grafts3.bucket.${p.bucket}.region", p.region)
+  }
+
   private def reader(ident: String): IceCatalog = {
     val rc = readCat
     if (rc != null) return rc
+    val wr = wireReaders.get(ident)
+    if (wr != null) return wr._1
     synchronized {
-      if (readCat == null) {
-        val resp = send("GET", tableUrl(ident))
-        val loc = resp.path("metadata").path("location").asText("")
-        require(loc.nonEmpty, s"server returned no location for $ident")
-        val dir = java.nio.file.Paths.get(URI.create(loc))
-        require(java.nio.file.Files.isDirectory(dir),
-          s"table location $loc is not reachable from this client — " +
-            "remote mode needs the shared storage plane mounted")
-        val root = ident.split('.').foldLeft(dir)((p, _) => p.getParent)
-        readRoot = root.toString
+      if (readCat != null) return readCat
+      val again = wireReaders.get(ident)
+      if (again != null) return again._1
+      val resp = send("GET", tableUrl(ident))
+      val loc = resp.path("metadata").path("location").asText("")
+      require(loc.nonEmpty, s"server returned no location for $ident")
+      val dir = java.nio.file.Paths.get(URI.create(loc))
+      val root = ident.split('.').foldLeft(dir)((p, _) => p.getParent).toString
+      if (java.nio.file.Files.isDirectory(dir)) {
+        readRoot = root
         readCat = new IceCatalog(spark, readRoot)
+        readCat
+      } else storageProfileOf(resp.path("config")) match {
+        case Some(p) =>
+          mountDataPlane(p)
+          val cat = new IceCatalog(spark, root,
+            new S3HttpFileIO(root, p.endpoint, p.bucket, p.creds, p.region))
+          wireReaders.put(ident, (cat, p))
+          cat
+        case None => throw new IllegalStateException(
+          s"table location $loc is not reachable from this client and the " +
+            "server vended no storage credentials — mount the shared " +
+            "storage plane or enable vendTableCredentials with an s3 block")
       }
     }
-    readCat
+  }
+
+  /** The object-store profile for `ident`, when reads run in wire mode. */
+  private def wireProfile(ident: String): Option[StorageProfile] = {
+    reader(ident) // ensure resolved
+    Option(wireReaders.get(ident)).map(_._2)
   }
 
   // ---- namespaces ---------------------------------------------------------
@@ -288,16 +357,36 @@ final class RestCatalogClient(
       "schema-evolving insert is not supported against a remote catalog")
     val meta = loadMeta(ident)
     val df = df0.select(meta.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
-    val staging = java.nio.file.Paths.get(URI.create(tableLocation(ident)))
-      .resolve("data").resolve(s"ingest-${java.util.UUID.randomUUID().toString.take(8)}")
+    val stagingName = s"ingest-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tableDir = java.nio.file.Paths.get(URI.create(tableLocation(ident)))
+    // zero-local-storage mode: stage THROUGH the object-store data plane
+    // under the table's key prefix — the vended credential's scope admits
+    // exactly this write
+    val profile = wireProfile(ident)
+    val staging = profile match {
+      case Some(p) =>
+        s"grafts3://${p.bucket}${tableDir}/data/$stagingName"
+      case None =>
+        tableDir.resolve("data").resolve(stagingName).toString
+    }
     val w = options.compression.foldLeft(df.write)((w, c) => w.option("compression", c))
-    w.parquet(staging.toString)
-    val parts = LocalFileIO.list(staging)
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).sorted
+    w.parquet(staging)
+    val parts = profile match {
+      case Some(_) =>
+        val hp = new org.apache.hadoop.fs.Path(s"$staging/*.parquet")
+        Option(hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .globStatus(hp)).toSeq.flatten
+          .filter(_.isFile).map(_.getPath.toString).sorted
+      case None =>
+        LocalFileIO.list(java.nio.file.Paths.get(staging))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString).sorted
+    }
     require(parts.nonEmpty, "insert produced no data files")
     if (options.noCommit) meta
-    else appendFiles(ident, parts, forceOutsideLocation = false,
+    // scheme'd staged paths register as object-store URIs (the server's
+    // no-copy contract requires the explicit force flag for those)
+    else appendFiles(ident, parts, forceOutsideLocation = profile.isDefined,
       retries = retries, retryTotalMs = retryTotalMs)
   }
 
@@ -318,16 +407,28 @@ final class RestCatalogClient(
     * local commits use. `verified` closes the lost-response window: if
     * the staged paths are already in the table, the commit landed.
     */
+  /** Scheme-insensitive path identity for the verified() check (the same
+    * collapse [[IceCatalog]] uses): `file:` URIs and plain paths compare
+    * by bare absolute path; other schemes compare verbatim.
+    */
+  private def fsPath(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme == "file" && u.getPath != null)
+        java.nio.file.Paths.get(u.getPath).toAbsolutePath.normalize.toString
+      else if (u.getScheme != null) s
+      else java.nio.file.Paths.get(s).toAbsolutePath.normalize.toString
+    } catch { case _: Exception => s }
+
   private def appendFiles(
       ident: String, paths: Seq[String], forceOutsideLocation: Boolean,
       retries: Int, retryTotalMs: Long): TableMeta = {
-    val norm = paths.map(p =>
-      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toUri.toString)
+    val norm = paths.map(fsPath)
     CommitRetry.run(retries, retryTotalMs,
       verified = () => {
         val m = loadMeta(ident)
         val known = m.current.flatMap(s => Option(s.sourceFiles))
-          .getOrElse(Seq.empty).toSet
+          .getOrElse(Seq.empty).map(fsPath).toSet
         if (norm.forall(known.contains)) Some(m) else None
       }) { _ =>
       val cur = loadMeta(ident).currentSnapshotId

@@ -902,13 +902,19 @@ object RestServer {
                 "s3.session-token" -> v.sessionToken,
                 "s3.endpoint" -> s.endpoint,
                 "s3.path-style-access" -> "true",
-                "client.region" -> s.region)
+                "client.region" -> s.region,
+                // graft extension: the bucket the catalog's path↔key
+                // mapping lives in, so a storage-only client can anchor
+                // its own metadata/data readers with the vended creds
+                "graft.storage.bucket" -> s.bucket)
             case Some(s) => Map(
               "s3.access-key-id" -> s.accessKeyId,
               "s3.secret-access-key" -> s.secretAccessKey,
               "s3.endpoint" -> s.endpoint,
               "s3.path-style-access" -> "true",
-              "client.region" -> s.region)
+              "client.region" -> s.region) ++
+              (if (s.bucket.nonEmpty) Map("graft.storage.bucket" -> s.bucket)
+              else Map.empty)
           }
           // GCS plane: a per-table DOWNSCOPED token under Iceberg's
           // GCPProperties keys — the storage endpoint refuses it outside

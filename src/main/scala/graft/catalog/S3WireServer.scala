@@ -185,29 +185,55 @@ final class S3WireServer(
       case Array(b, k) => (b, k)
       case Array(b) => (b, "")
     }
-    // scoped temp session: every touched key — object target, list
-    // prefix, copy SOURCE — must live under the session's prefix
-    ctx.scope.foreach { scope =>
-      val targets = Seq.newBuilder[String]
-      if (q.get("list-type").contains("2"))
-        targets += s"$bucket/${q.getOrElse("prefix", "")}"
-      else if (key.nonEmpty) targets += s"$bucket/$key"
-      else targets += bucket
-      Option(ex.getRequestHeaders.getFirst("x-amz-copy-source"))
-        .foreach(src => targets += dec(src).stripPrefix("/"))
-      // segment-safe containment: "b/tbl" admits "b/tbl" and "b/tbl/…",
-      // never the sibling "b/tbl2"
-      val outside = targets.result().filterNot(t =>
-        t == scope || t.startsWith(scope.stripSuffix("/") + "/"))
-      if (outside.nonEmpty) {
-        scopeDenials.incrementAndGet()
-        sendError(ex, 403, "AccessDenied",
-          s"credential is scoped to $scope")
-        return
-      }
+    // Scoped temp session — the wire shape of a prefix IAM policy that a
+    // Hadoop-style committer can actually operate under:
+    //   • full object ops only WITHIN the prefix (segment-safe: "b/tbl"
+    //     admits "b/tbl" and "b/tbl/…", never the sibling "b/tbl2");
+    //     copy SOURCES must be within the prefix too
+    //   • existence probes (HEAD) on ANCESTORS of the prefix — they
+    //     reveal nothing but path existence
+    //   • empty directory-marker PUTs on ancestors (mkdirs walks the
+    //     chain above the table dir)
+    //   • listings at an ancestor prefix answer FILTERED to in-scope
+    //     keys, so implicit-directory checks work with zero sibling
+    //     leakage (delimiter roll-up then shows only the path component
+    //     toward the scope, which the caller already knows)
+    var listFilter: String => Boolean = _ => true
+    ctx.scope match {
+      case None => ()
+      case Some(scope) =>
+        val scopeDir = scope.stripSuffix("/") + "/"
+        def within(t: String) = t == scope || t.startsWith(scopeDir)
+        def ancestorDir(t: String) = {
+          val td = t.stripSuffix("/") + "/"
+          scopeDir.startsWith(td)
+        }
+        def deny(): Unit = {
+          scopeDenials.incrementAndGet()
+          sendError(ex, 403, "AccessDenied", s"credential is scoped to $scope")
+        }
+        val copySrc = Option(ex.getRequestHeaders.getFirst("x-amz-copy-source"))
+          .map(s => dec(s).stripPrefix("/"))
+        if (copySrc.exists(s => !within(s))) { deny(); return }
+        if (method == "GET" && q.get("list-type").contains("2")) {
+          val reqPrefix = s"$bucket/${q.getOrElse("prefix", "")}"
+          if (within(reqPrefix) || reqPrefix == scopeDir) ()
+          else if (ancestorDir(reqPrefix) || reqPrefix == s"$bucket/")
+            listFilter = k => within(s"$bucket/$k")
+          else { deny(); return }
+        } else {
+          val t = if (key.nonEmpty) s"$bucket/$key" else bucket
+          val ok = within(t) ||
+            (ancestorDir(t) && (method == "HEAD" ||
+              (method == "PUT" && key.endsWith("/") && body.isEmpty &&
+                !q.contains("uploadId") &&
+                ex.getRequestHeaders.getFirst("x-amz-copy-source") == null)))
+          if (!ok) { deny(); return }
+        }
     }
     method match {
-      case "GET" if q.get("list-type").contains("2") => listObjects(ex, bucket, q)
+      case "GET" if q.get("list-type").contains("2") =>
+        listObjects(ex, bucket, q, listFilter)
       case "GET" if key.nonEmpty => getObject(ex, s"$bucket/$key")
       case "HEAD" if key.nonEmpty => headObject(ex, s"$bucket/$key")
       case "POST" if q.contains("uploads") => initiateMultipart(ex, s"$bucket/$key")
@@ -302,7 +328,9 @@ final class S3WireServer(
     }
   }
 
-  private def listObjects(ex: HttpExchange, bucket: String, q: Map[String, String]): Unit = {
+  private def listObjects(
+      ex: HttpExchange, bucket: String, q: Map[String, String],
+      keyFilter: String => Boolean = _ => true): Unit = {
     val prefix = q.getOrElse("prefix", "")
     val delim = q.get("delimiter").filter(_.nonEmpty)
     val maxKeys = q.get("max-keys").map(_.toInt).getOrElse(1000)
@@ -313,6 +341,7 @@ final class S3WireServer(
       .filter(_.startsWith(s"$bucket/"))
       .map(_.stripPrefix(s"$bucket/"))
       .filter(_.startsWith(prefix))
+      .filter(keyFilter) // scoped-session ancestor listings see in-scope keys only
       .sorted
     val (contents, prefixes) = delim match {
       case None => (all, Seq.empty[String])

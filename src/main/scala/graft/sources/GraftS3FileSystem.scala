@@ -31,6 +31,7 @@ import graft.catalog.SigV4
   *   fs.grafts3.access.key  = ...
   *   fs.grafts3.secret.key  = ...
   *   fs.grafts3.region      = us-east-1        (optional)
+  *   fs.grafts3.session.token = ...            (optional, STS temp creds)
   *   fs.grafts3.readahead   = 262144           (optional, range-GET chunk)
   *   fs.grafts3.part.size   = 8388608          (optional, multipart part)
   * }}}
@@ -66,7 +67,10 @@ final class GraftS3FileSystem extends FileSystem {
       Option(key("access.key")).getOrElse(
         throw new IOException("fs.grafts3.access.key not configured")),
       Option(key("secret.key")).getOrElse(
-        throw new IOException("fs.grafts3.secret.key not configured")))
+        throw new IOException("fs.grafts3.secret.key not configured")),
+      // STS temporary credentials (e.g. vended per-table): the session
+      // token rides — and is signed into — every request
+      Option(key("session.token")).getOrElse(""))
     wire = new graft.catalog.S3Wire(endpoint, bucket, creds,
       Option(key("region")).getOrElse("us-east-1"))
     readahead = Option(key("readahead")).map(_.toInt).getOrElse(262144)

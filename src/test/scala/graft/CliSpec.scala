@@ -536,7 +536,92 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cv == 1 && ov.exists(_.contains("local catalog")), ov.mkString("|"))
       assert(rcli("delete-table", "r.events")._1 == 0)
       assert(rcli("delete-table", "r.part")._1 == 0)
+
+      // continuous ingestion against the REMOTE catalog — the reference's
+      // primary watch deployment (thin client + SQS/directory watch, all
+      // commits through the REST server): every discovered file registers
+      // by reference via wire append-files commits
+      assert(rcli("create-table", "r.wt", "--schema", "id BIGINT, v STRING")._1 == 0)
+      val watchDir = Files.createTempDirectory("rcli-watch")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+        .write.parquet(staging.resolve("wt1").toString)
+      val part = java.nio.file.Files.list(staging.resolve("wt1")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, watchDir.resolve("b1.parquet"))
+      var query: org.apache.spark.sql.streaming.StreamingQuery = null
+      val wbuf = new ByteArrayOutputStream()
+      val wcode = Cli.run(
+        Seq("--uri", uri, "--token", "rtok", "insert", "r.wt",
+          watchDir.toString, "--watch", "--watch-fire-once",
+          "--no-copy", "--force-outside-location"),
+        spark, new PrintStream(wbuf, true), onWatch = q => q.awaitTermination())
+      assert(wcode == 0, wbuf.toString)
+      assert(rcli("count", "r.wt") == (0, Seq("2")))
+      val (_, wfiles) = rcli("files", "r.wt")
+      assert(wfiles.exists(_.contains("b1.parquet")), wfiles.mkString("|"))
+      assert(rcli("delete-table", "r.wt")._1 == 0)
     } finally if (served != null) served.stop()
+  }
+
+  test("remote uri: ZERO-local-storage — reads and inserts ride the s3 wire with vended creds") {
+    // the full reference deployment: catalog server owns an object-store
+    // plane, thin clients hold NO storage mount and NO storage root
+    // credentials — every byte they touch authenticates with the
+    // per-table credential vended in LoadTableResponse config
+    // (VendedCredentialsProvider.java + RESTCatalogFactory.java composed)
+    import spark.implicits._
+    val s3 = new graft.catalog.S3WireServer(
+      graft.catalog.SigV4.Credentials("AKROOT2", "sk-root2")).start()
+    var served: graft.catalog.RestServer.Server = null
+    try {
+      val virtualRoot = s"/zls-virtual-${System.nanoTime()}/cat"
+      val cfg = Files.createTempFile("graft-zls", ".yaml")
+      Files.writeString(cfg,
+        s"""root: $virtualRoot
+           |vendTableCredentials: true
+           |bearerTokens:
+           |  - name: admin
+           |    value: ztok
+           |s3:
+           |  endpoint: ${s3.endpoint}
+           |  bucket: lake
+           |  accessKeyID: AKROOT2
+           |  secretAccessKey: sk-root2
+           |""".stripMargin)
+      assert(Cli.run(Seq("--config", cfg.toString, "serve", "--port", "0"),
+        spark, new PrintStream(new ByteArrayOutputStream(), true),
+        onServe = s => served = s) == 0 && served != null)
+      def rcli(args: String*): (Int, Seq[String]) = {
+        val buf = new ByteArrayOutputStream()
+        val code = Cli.run(Seq("--uri", served.url, "--token", "ztok") ++ args,
+          spark, new PrintStream(buf, true))
+        (code, buf.toString.linesIterator.toSeq)
+      }
+      assert(rcli("create-namespace", "z")._1 == 0)
+      assert(rcli("create-table", "z.t", "--schema", "id BIGINT, v STRING")._1 == 0)
+      // nothing of the catalog exists on the local filesystem
+      assert(!Files.exists(java.nio.file.Paths.get(virtualRoot)))
+      // insert from client-local parquet: the data is STAGED through the
+      // grafts3:// plane under the table prefix with the vended creds,
+      // then committed via wire append-files
+      val src = Files.createTempDirectory("zls-src")
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)
+        .write.parquet(src.resolve("b1").toString)
+      val (ci, oi) = rcli("insert", "z.t", src.resolve("b1").toString)
+      assert(ci == 0, oi.mkString("|"))
+      assert(rcli("count", "z.t") == (0, Seq("3")))
+      val (cs, scanOut) = rcli("scan", "z.t")
+      assert(cs == 0 && scanOut.length == 4, scanOut.mkString("|"))
+      // the manifested files live ON the object store, under the table key
+      val (_, filesOut) = rcli("files", "z.t")
+      assert(filesOut.forall(_.startsWith("grafts3://lake/")), filesOut.mkString("|"))
+      // still no local bytes
+      assert(!Files.exists(java.nio.file.Paths.get(virtualRoot)))
+      assert(s3.store.size() > 0)
+    } finally {
+      if (served != null) served.stop()
+      s3.stop()
+    }
   }
 
   test("serve --tls-cert/--tls-key: https end-to-end; cacert and sslVerify paths") {

@@ -437,10 +437,17 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       val denied = vendedWire.request("GET", keyB)
       assert(denied.statusCode() == 403, denied.statusCode().toString)
       assert(new String(denied.body()).contains("AccessDenied"))
-      // list outside the scope: refused too
+      // an ANCESTOR listing answers 200 but FILTERED to in-scope keys —
+      // the existence probes a Hadoop committer needs, zero sibling leakage
+      val anc = vendedWire.request("GET", "",
+        Seq("list-type" -> "2", "prefix" -> s"${root4.stripPrefix("/")}/w/"))
+      assert(anc.statusCode() == 200)
+      val ancBody = new String(anc.body())
+      assert(ancBody.contains("/w/a/") && !ancBody.contains("/w/b/"), ancBody.take(400))
+      // a SIBLING-table listing is refused outright
       assert(vendedWire.request("GET", "",
         Seq("list-type" -> "2",
-          "prefix" -> s"${root4.stripPrefix("/")}/w/")).statusCode() == 403)
+          "prefix" -> s"${root4.stripPrefix("/")}/w/b/")).statusCode() == 403)
       assert(s3.scopeDenials.get() >= 2)
       // temp credentials cannot mint further credentials
       assert(intercept[java.io.IOException](
