@@ -48,8 +48,8 @@ import graft.catalog.IceCatalog._
   *
   * Unsupported remotely (each fails with a clear message): MERGE upserts
   * (`upsert`/`upsertMergeOnRead` — row-level merge commits are not in the
-  * wire vocabulary; run them next to the catalog), `deletePositions`,
-  * `rewriteTablePath`, and `dropPartitionField`.
+  * wire vocabulary; run them next to the catalog), `deletePositions`, and
+  * `rewriteTablePath` (a storage-plane admin pass).
   */
 final class RestCatalogClient(
     val spark: SparkSession,
@@ -156,25 +156,33 @@ final class RestCatalogClient(
   @volatile private var readRoot: String = _
 
   /** Per-table wire readers + their storage profile (object-store mode). */
-  private case class StorageProfile(
-      endpoint: String, bucket: String, region: String, creds: SigV4.Credentials)
+  private sealed trait StorageProfile { def bucket: String }
+  private case class S3Profile(
+      endpoint: String, bucket: String, region: String,
+      creds: SigV4.Credentials) extends StorageProfile
+  private case class GcsProfile(
+      endpoint: String, bucket: String, token: String) extends StorageProfile
   private val wireReaders =
     new java.util.concurrent.ConcurrentHashMap[String, (IceCatalog, StorageProfile)]()
 
   private def storageProfileOf(cfg: JsonNode): Option[StorageProfile] = {
-    val ak = cfg.path("s3.access-key-id").asText("")
     val bucket = cfg.path("graft.storage.bucket").asText("")
-    if (ak.isEmpty || bucket.isEmpty) None
-    else Some(StorageProfile(
+    val ak = cfg.path("s3.access-key-id").asText("")
+    val gcsTok = cfg.path("gcs.oauth2.token").asText("")
+    if (bucket.isEmpty) None
+    else if (ak.nonEmpty) Some(S3Profile(
       cfg.path("s3.endpoint").asText(""),
       bucket,
       cfg.path("client.region").asText("us-east-1"),
       SigV4.Credentials(ak,
         cfg.path("s3.secret-access-key").asText(""),
         cfg.path("s3.session-token").asText(""))))
+    else if (gcsTok.nonEmpty) Some(GcsProfile(
+      cfg.path("gcs.service.host").asText(""), bucket, gcsTok))
+    else None
   }
 
-  /** Mount the `grafts3://` data plane for `p.bucket` with this profile's
+  /** Mount the object-store data plane for `p.bucket` with this profile's
     * credential (per-bucket keys), so `spark.read.parquet` on the table's
     * object-store file URIs authenticates as the vended session. One
     * credential per bucket at a time — the CLI's one-command lifecycle;
@@ -183,13 +191,33 @@ final class RestCatalogClient(
     */
   private def mountDataPlane(p: StorageProfile): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
-    hc.set("fs.grafts3.impl", classOf[graft.sources.GraftS3FileSystem].getName)
-    hc.set("fs.grafts3.impl.disable.cache", "true") // creds rotate per table
-    hc.set(s"fs.grafts3.bucket.${p.bucket}.endpoint", p.endpoint)
-    hc.set(s"fs.grafts3.bucket.${p.bucket}.access.key", p.creds.accessKey)
-    hc.set(s"fs.grafts3.bucket.${p.bucket}.secret.key", p.creds.secretKey)
-    hc.set(s"fs.grafts3.bucket.${p.bucket}.session.token", p.creds.sessionToken)
-    hc.set(s"fs.grafts3.bucket.${p.bucket}.region", p.region)
+    p match {
+      case s: S3Profile =>
+        hc.set("fs.grafts3.impl", classOf[graft.sources.GraftS3FileSystem].getName)
+        hc.set("fs.grafts3.impl.disable.cache", "true") // creds rotate per table
+        hc.set(s"fs.grafts3.bucket.${s.bucket}.endpoint", s.endpoint)
+        hc.set(s"fs.grafts3.bucket.${s.bucket}.access.key", s.creds.accessKey)
+        hc.set(s"fs.grafts3.bucket.${s.bucket}.secret.key", s.creds.secretKey)
+        hc.set(s"fs.grafts3.bucket.${s.bucket}.session.token", s.creds.sessionToken)
+        hc.set(s"fs.grafts3.bucket.${s.bucket}.region", s.region)
+      case g: GcsProfile =>
+        hc.set("fs.graftgcs.impl", classOf[graft.sources.GraftGcsFileSystem].getName)
+        hc.set("fs.graftgcs.impl.disable.cache", "true")
+        hc.set(s"fs.graftgcs.bucket.${g.bucket}.endpoint", g.endpoint)
+        hc.set(s"fs.graftgcs.bucket.${g.bucket}.token", g.token)
+    }
+  }
+
+  private def fileIoFor(root: String, p: StorageProfile): FileIO = p match {
+    case s: S3Profile =>
+      new S3HttpFileIO(root, s.endpoint, s.bucket, s.creds, s.region)
+    case g: GcsProfile =>
+      new GcsHttpFileIO(root, g.endpoint, g.bucket, GcsAuth.Static(g.token))
+  }
+
+  private def stagingScheme(p: StorageProfile): String = p match {
+    case _: S3Profile => "grafts3"
+    case _: GcsProfile => "graftgcs"
   }
 
   private def reader(ident: String): IceCatalog = {
@@ -213,8 +241,7 @@ final class RestCatalogClient(
       } else storageProfileOf(resp.path("config")) match {
         case Some(p) =>
           mountDataPlane(p)
-          val cat = new IceCatalog(spark, root,
-            new S3HttpFileIO(root, p.endpoint, p.bucket, p.creds, p.region))
+          val cat = new IceCatalog(spark, root, fileIoFor(root, p))
           wireReaders.put(ident, (cat, p))
           cat
         case None => throw new IllegalStateException(
@@ -365,7 +392,7 @@ final class RestCatalogClient(
     val profile = wireProfile(ident)
     val staging = profile match {
       case Some(p) =>
-        s"grafts3://${p.bucket}${tableDir}/data/$stagingName"
+        s"${stagingScheme(p)}://${p.bucket}${tableDir}/data/$stagingName"
       case None =>
         tableDir.resolve("data").resolve(stagingName).toString
     }
@@ -557,9 +584,8 @@ final class RestCatalogClient(
     }
 
   def dropPartitionField(ident: String, name: String): TableMeta =
-    throw new UnsupportedOperationException(
-      "drop_partition_field is not in the REST wire vocabulary — run it " +
-        "on the catalog host (local mode)")
+    commitUpdates(ident, Seq(Map(
+      "action" -> "remove-partition-field", "name" -> name)), None)
 
   // ---- admin --------------------------------------------------------------
 

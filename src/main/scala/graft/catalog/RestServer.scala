@@ -715,14 +715,16 @@ object RestServer {
         Set("add-schema", "set-current-schema")(textOr(u, "action", "")))
       val (propOps, rest3) = rest2.partition(u =>
         Set("set-properties", "remove-properties")(textOr(u, "action", "")))
-      val (refOps, unknown) = rest3.partition(u =>
+      val (refOps, rest4) = rest3.partition(u =>
         Set("set-snapshot-ref", "remove-snapshot-ref")(textOr(u, "action", "")))
+      val (specOps, unknown) = rest4.partition(u =>
+        textOr(u, "action", "") == "remove-partition-field")
       unknown.foreach(u => throw new IllegalArgumentException(
         s"unsupported update action: ${textOr(u, "action", "(none)")}"))
-      require(Seq(appends, schemaOps, propOps, refOps).count(_.nonEmpty) <= 1,
-        "append-files, schema updates, property updates, and ref updates " +
-          "cannot mix in one commit (each is one atomic commit; a mixed " +
-          "request could half-apply)")
+      require(Seq(appends, schemaOps, propOps, refOps, specOps).count(_.nonEmpty) <= 1,
+        "append-files, schema updates, property updates, ref updates, and " +
+          "partition-spec updates cannot mix in one commit (each is one " +
+          "atomic commit; a mixed request could half-apply)")
       if (schemaOps.nonEmpty) {
         // spec schema evolution: `add-schema` ships the full target schema
         // (diffed by field id in IceCatalog.evolveSchemaTo — one atomic
@@ -775,6 +777,12 @@ object RestServer {
         cat.commit(ident,
           m => m.copy(properties = m.properties ++ sets -- removals), basedOn)
       }
+      if (specOps.nonEmpty) {
+        // spec evolution (drop a partition field by name): future writes
+        // stop partitioning on it, existing files keep their layout —
+        // the reference's AlterTable.DropPartitionField over the wire
+        specOps.foreach(u => cat.dropPartitionField(ident, str(u, "name")))
+      }
       if (refOps.nonEmpty) {
         // spec snapshot refs: set-snapshot-ref {ref-name, snapshot-id,
         // type}, remove-snapshot-ref {ref-name} — tags pin snapshots
@@ -790,7 +798,7 @@ object RestServer {
       // a requirement with nothing to commit is still a contract: evaluate
       // it against the live snapshot so a stale client hears 409, not 200
       if (appends.isEmpty && propOps.isEmpty && schemaOps.isEmpty &&
-          refOps.isEmpty) basedOn.foreach { id =>
+          refOps.isEmpty && specOps.isEmpty) basedOn.foreach { id =>
         val cur = cat.loadMeta(ident).currentSnapshotId
         if (cur != id) throw new java.util.ConcurrentModificationException(
           s"requirement failed: $ident current snapshot $cur != $id")
@@ -925,7 +933,8 @@ object RestServer {
               Map(
                 "gcs.oauth2.token" -> tok,
                 "gcs.oauth2.token-expires-at" -> exp.toString,
-                "gcs.service.host" -> g.endpoint)
+                "gcs.service.host" -> g.endpoint,
+                "graft.storage.bucket" -> g.bucket)
             case _ => Map.empty
           }
           tokenCfg ++ storageCfg ++ gcsCfg

@@ -493,6 +493,11 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (cd2, od2) = rcli("delete", "r.part", "--partition", "p_day=2020-01-01")
       assert(cd2 == 0 && od2.exists(_.contains("dropped 1")), od2.mkString("|"))
       assert(rcli("count", "r.part") == (0, Seq("1")))
+      // partition-spec evolution over the wire (remove-partition-field)
+      assert(rcli("alter-table", "r.part",
+        """[{"op":"drop_partition_field","name":"p_day"}]""")._1 == 0)
+      assert(rcli("list-partitions", "r.part")._1 == 0)
+      assert(rcli("count", "r.part") == (0, Seq("1")))
 
       // a STALE commit requirement must 409 with the spec error type
       val raw = java.net.http.HttpClient.newHttpClient()
@@ -621,6 +626,58 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally {
       if (served != null) served.stop()
       s3.stop()
+    }
+  }
+
+  test("remote uri: ZERO-local-storage on the GCS plane with downscoped tokens") {
+    // same thin-client topology on the GCS plane: per-table DOWNSCOPED
+    // tokens from LoadTableResponse config drive both the metadata reads
+    // (GcsHttpFileIO) and the graftgcs:// data plane; insert stages
+    // through the wire under the table prefix
+    import spark.implicits._
+    val gcs = new graft.catalog.GcsWireServer(
+      staticToken = Some("gcs-zls-root")).start()
+    var served: graft.catalog.RestServer.Server = null
+    try {
+      val virtualRoot = s"/gzls-virtual-${System.nanoTime()}/cat"
+      val cfg = Files.createTempFile("graft-gzls", ".yaml")
+      Files.writeString(cfg,
+        s"""root: $virtualRoot
+           |vendTableCredentials: true
+           |bearerTokens:
+           |  - name: admin
+           |    value: gtok
+           |gcs:
+           |  endpoint: ${gcs.endpoint}
+           |  bucket: lake
+           |  token: gcs-zls-root
+           |""".stripMargin)
+      assert(Cli.run(Seq("--config", cfg.toString, "serve", "--port", "0"),
+        spark, new PrintStream(new ByteArrayOutputStream(), true),
+        onServe = s => served = s) == 0 && served != null)
+      def rcli(args: String*): (Int, Seq[String]) = {
+        val buf = new ByteArrayOutputStream()
+        val code = Cli.run(Seq("--uri", served.url, "--token", "gtok") ++ args,
+          spark, new PrintStream(buf, true))
+        (code, buf.toString.linesIterator.toSeq)
+      }
+      assert(rcli("create-namespace", "g")._1 == 0)
+      assert(rcli("create-table", "g.t", "--schema", "id BIGINT, v STRING")._1 == 0)
+      assert(!Files.exists(java.nio.file.Paths.get(virtualRoot)))
+      val src = Files.createTempDirectory("gzls-src")
+      Seq((10L, "x"), (20L, "y")).toDF("id", "v").coalesce(1)
+        .write.parquet(src.resolve("b1").toString)
+      val (ci, oi) = rcli("insert", "g.t", src.resolve("b1").toString)
+      assert(ci == 0, oi.mkString("|"))
+      assert(rcli("count", "g.t") == (0, Seq("2")))
+      val (cs, scanOut) = rcli("scan", "g.t")
+      assert(cs == 0 && scanOut.length == 3, scanOut.mkString("|"))
+      val (_, filesOut) = rcli("files", "g.t")
+      assert(filesOut.forall(_.startsWith("graftgcs://lake/")), filesOut.mkString("|"))
+      assert(!Files.exists(java.nio.file.Paths.get(virtualRoot)))
+    } finally {
+      if (served != null) served.stop()
+      gcs.stop()
     }
   }
 

@@ -149,6 +149,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("r7 near-dup-safe split joins only on ids and band keys, never a block column") {
+    // r7 = d8's cluster pass (band-keyed propose + min-label rounds) plus
+    // two id equi-joins (doc→cluster, rep→fingerprint). At 100 TB the
+    // only corpus-scaling joins must key on LSH band/sig or doc ids —
+    // a join on a block attribute or a cartesian would go quadratic.
+    val plan = Queries.all("r7_split_safe")(spark, dir).queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "expected the doc→cluster and rep→fp joins")
+    joins.foreach { j =>
+      assert(j.condition.isDefined, "no cartesian joins in the split plan")
+      val condRefs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name)
+      assert(!condRefs.exists(n => n == "source" || n == "label" || n == "text"),
+        s"join keyed on a block/content column: $condRefs")
+    }
+  }
+
   test("q14 salted skew agg plans two aggregation stages keyed on (key, salt)") {
     val p = plan("q14_skew_agg")
     // stage 1 groups by (skew_key, __salt), stage 2 by skew_key; each stage
