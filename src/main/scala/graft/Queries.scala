@@ -217,6 +217,7 @@ object Queries {
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
     "x11_unigram_logprob" -> (TextAnalysis.unigramLogprobQuery _),
     "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
+    "d13_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "d12_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
     "m2_feature_stub" -> (Multimodal.featureQuery _),
@@ -488,6 +489,28 @@ object Queries {
         | CASE substr(md5(text), 1, 1) WHEN '0' THEN 'val' WHEN '1' THEN 'test'
         |   ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d13_incremental_dedup" ->
+      s"""WITH $sigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
+         |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
+         |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
+         |  SELECT doc_id, 3, sig_3 FROM sig),
+         |ex AS (SELECT doc_id AS ex_id, band, sig FROM bands WHERE doc_id % 2 = 0),
+         |inc AS (SELECT doc_id AS new_id, band, sig FROM bands WHERE doc_id % 2 = 1),
+         |bsz AS (SELECT band, sig FROM ex GROUP BY 1, 2
+         |        HAVING count(*) <= ${graft.operators.Dedup.MaxLshBucket}),
+         |cand AS (SELECT DISTINCT i.new_id, e.ex_id
+         |  FROM inc i JOIN bsz USING (band, sig) JOIN ex e USING (band, sig)),
+         |ts AS (SELECT doc_id, list_distinct(t) AS t FROM tok),
+         |ver AS (SELECT c.new_id, c.ex_id FROM cand c
+         |  JOIN ts a ON c.new_id = a.doc_id JOIN ts b ON c.ex_id = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.6),
+         |agg AS (SELECT new_id, min(ex_id) AS dup_of FROM ver GROUP BY 1)
+         |SELECT d.doc_id, (agg.dup_of IS NOT NULL) AS is_dup, agg.dup_of
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.new_id
+         |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
     "r7_split_safe" ->
       s"""WITH RECURSIVE $sigCte,
          |$lshPairsCte,

@@ -176,6 +176,10 @@ final class GcsWireServer(
         return
       }
       val ttl = form.get("expires_in").flatMap(_.toLongOption).getOrElse(3600L)
+      // lazy sweep of expired downscoped tokens (they can never
+      // authenticate again)
+      val now = System.currentTimeMillis()
+      scopedTokens.entrySet().removeIf(e => e.getValue._2 <= now)
       val tok = "gcsd-" + java.util.UUID.randomUUID().toString
       scopedTokens.put(tok, (prefix, System.currentTimeMillis() + ttl * 1000))
       sendJson(ex, 200,

@@ -159,6 +159,10 @@ final class S3WireServer(
       return
     }
     val dur = q.get("DurationSeconds").flatMap(_.toIntOption).getOrElse(3600)
+    // lazy sweep: expired sessions can never authenticate again, so drop
+    // them here rather than letting the map grow with every mint
+    val now = System.currentTimeMillis()
+    tempCreds.entrySet().removeIf(e => e.getValue.expiresAtMs <= now)
     val ak = "GRAFTTEMP" + java.util.UUID.randomUUID().toString.replace("-", "").take(12).toUpperCase
     val secret = java.util.UUID.randomUUID().toString
     val token = java.util.UUID.randomUUID().toString + java.util.UUID.randomUUID().toString

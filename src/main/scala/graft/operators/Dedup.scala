@@ -103,6 +103,52 @@ object Dedup {
       .distinct()
   }
 
+  /** d13: INCREMENTAL dedup — a NEW batch of documents deduped against
+    * the EXISTING corpus's signature index, the shape every continuously
+    * ingesting pipeline actually runs: at 100 TB you cannot re-cluster
+    * the corpus per batch; you keep a materialized (doc_id, band, sig)
+    * MinHash index (O(corpus) rows, appended per ingest) and each new
+    * batch LSH-probes it. The only corpus-scaling join keys on the
+    * (band, sig) index key — an index lookup, O(batch × collisions),
+    * never O(corpus × batch); verification is exact token-set Jaccard at
+    * O(candidate pairs); the decision is a per-new-doc min over verified
+    * matches. Degenerate index buckets past [[MaxLshBucket]] are dropped
+    * like d3 (boilerplate buckets would send the probe quadratic).
+    *
+    * The gate models the split deterministically (even ids = existing
+    * corpus, odd = incoming batch) and recomputes the index only because
+    * the gate runs standalone; the registered plan's shape is identical
+    * with a stored index. Output: one row per INCOMING doc —
+    * (doc_id, is_dup, dup_of = smallest verified existing match).
+    */
+  def incrementalDedup(
+      spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sigs = minhashSignatures(docs)
+    val bands = lshBands(sigs)
+    val exBands = bands.filter(col("doc_id") % 2 === 0)
+      .select(col("band"), col("sig"), col("doc_id").as("ex_id"))
+    val incBands = bands.filter(col("doc_id") % 2 === 1)
+      .select(col("band"), col("sig"), col("doc_id").as("new_id"))
+    // cap on the INDEX bucket size (the stored side a production index
+    // would cap at write time)
+    val bsz = exBands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= MaxLshBucket)
+    val candidates = incBands
+      .join(bsz.select(col("band"), col("sig")), Seq("band", "sig"))
+      .join(exBands, Seq("band", "sig"))
+      .select(col("new_id").as("doc_a"), col("ex_id").as("doc_b"))
+      .distinct()
+    val verified = ngramJaccardOn(spark, dir, candidates, threshold)
+    val decided = verified.groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("dup_of"))
+    docs.select(col("doc_id")).filter(col("doc_id") % 2 === 1)
+      .join(decided, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Observability companion to the cap: the buckets d3 dropped, with
     * their sizes — the number a 100 TB run reports alongside its pair
     * count so capped skew is visible, not silent.

@@ -136,7 +136,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // registered dedup plan must propose on LSH band/bucket keys and
     // verify on id equi-joins — block-keyed joins are spec-only wrappers.
     for (name <- Seq("d5_ngram_jaccard", "d6_embed_neardup",
-        "d10_lsh_cosine_verify", "p1_pipeline")) {
+        "d10_lsh_cosine_verify", "p1_pipeline", "d13_incremental_dedup")) {
       val joins = Queries.all(name)(spark, dir).queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }
