@@ -162,8 +162,16 @@ final class RestCatalogClient(
       creds: SigV4.Credentials) extends StorageProfile
   private case class GcsProfile(
       endpoint: String, bucket: String, token: String) extends StorageProfile
+  /** Wire readers refresh after this age: the server re-vends near
+    * expiry, so a periodic re-GET keeps a long-lived client (a watch)
+    * holding LIVE credentials instead of riding one vend to its death.
+    */
+  private val wireReaderMaxAgeMs = 5 * 60 * 1000L
+
+  private case class WireReader(
+      cat: IceCatalog, profile: StorageProfile, root: String, mintedAtMs: Long)
   private val wireReaders =
-    new java.util.concurrent.ConcurrentHashMap[String, (IceCatalog, StorageProfile)]()
+    new java.util.concurrent.ConcurrentHashMap[String, WireReader]()
 
   private def storageProfileOf(cfg: JsonNode): Option[StorageProfile] = {
     val bucket = cfg.path("graft.storage.bucket").asText("")
@@ -220,15 +228,18 @@ final class RestCatalogClient(
     case _: GcsProfile => "graftgcs"
   }
 
+  private def freshEnough(w: WireReader): Boolean =
+    System.currentTimeMillis() - w.mintedAtMs < wireReaderMaxAgeMs
+
   private def reader(ident: String): IceCatalog = {
     val rc = readCat
     if (rc != null) return rc
     val wr = wireReaders.get(ident)
-    if (wr != null) return wr._1
+    if (wr != null && freshEnough(wr)) return wr.cat
     synchronized {
       if (readCat != null) return readCat
       val again = wireReaders.get(ident)
-      if (again != null) return again._1
+      if (again != null && freshEnough(again)) return again.cat
       val resp = send("GET", tableUrl(ident))
       val loc = resp.path("metadata").path("location").asText("")
       require(loc.nonEmpty, s"server returned no location for $ident")
@@ -242,7 +253,8 @@ final class RestCatalogClient(
         case Some(p) =>
           mountDataPlane(p)
           val cat = new IceCatalog(spark, root, fileIoFor(root, p))
-          wireReaders.put(ident, (cat, p))
+          wireReaders.put(ident,
+            WireReader(cat, p, root, System.currentTimeMillis()))
           cat
         case None => throw new IllegalStateException(
           s"table location $loc is not reachable from this client and the " +
@@ -255,7 +267,17 @@ final class RestCatalogClient(
   /** The object-store profile for `ident`, when reads run in wire mode. */
   private def wireProfile(ident: String): Option[StorageProfile] = {
     reader(ident) // ensure resolved
-    Option(wireReaders.get(ident)).map(_._2)
+    Option(wireReaders.get(ident)).map(_.profile)
+  }
+
+  /** Drop every client-side cache for `ident` — a later table of the
+    * same name restarts at v1, and stale metadata-cache entries would
+    * serve the dropped table's state.
+    */
+  private def invalidate(ident: String): Unit = {
+    if (readRoot != null) IceCatalog.cacheInvalidate(readRoot, ident)
+    val wr = wireReaders.remove(ident)
+    if (wr != null) IceCatalog.cacheInvalidate(wr.root, ident)
   }
 
   // ---- namespaces ---------------------------------------------------------
@@ -330,15 +352,13 @@ final class RestCatalogClient(
 
   def dropTable(ident: String, purge: Boolean): Unit = {
     send("DELETE", tableUrl(ident))
-    // a later table of the same name restarts at v1 — drop this JVM's
-    // read-cache entries exactly like a local drop does
-    if (readRoot != null) IceCatalog.cacheInvalidate(readRoot, ident)
+    invalidate(ident)
   }
 
   def renameTable(ident: String, newIdent: String): TableMeta = {
     send("POST", s"$base/v1/tables/rename",
       Some(jstr(Map("source" -> ident, "destination" -> newIdent))))
-    if (readRoot != null) IceCatalog.cacheInvalidate(readRoot, ident)
+    invalidate(ident)
     loadMeta(newIdent)
   }
 

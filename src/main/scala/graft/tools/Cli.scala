@@ -191,6 +191,11 @@ object Cli {
     * the reference's RESTCatalogFactory.java:46-51 escape hatch).
     */
   private def insecureSslContext(): javax.net.ssl.SSLContext = {
+    // trust-all must also skip hostname verification (a lab server's cert
+    // rarely names the address the client dialed); HttpClient only honors
+    // this via the documented system property, set before client build —
+    // process-global, which is exactly the CLI escape hatch's scope
+    System.setProperty("jdk.internal.httpclient.disableHostnameVerification", "true")
     val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
     ctx.init(null, Array[javax.net.ssl.TrustManager](
       new javax.net.ssl.X509TrustManager {
