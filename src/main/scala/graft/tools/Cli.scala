@@ -24,6 +24,13 @@ import graft.catalog.IceCatalog._
   *     (config precedence: --config flag, $GRAFT_CONFIG, ./.graft.yaml;
   *      supplies root/port/tokens/anonymous/maintenance defaults — see
   *      [[GraftConfig]]; explicit CLI flags always win)
+  *   graft --uri http(s)://host:port [--token v] [--cacert pem |
+  *         --no-ssl-verify] <command> [args...]
+  *     REMOTE mode (or config `uri: http(s)://…` + `bearerToken:` /
+  *     `cacert:` / `sslVerify:`): the same command set through
+  *     [[graft.catalog.RestCatalogClient]] over the Iceberg REST wire
+  *     against a `graft serve` — the reference CLI's primary topology
+  *     (RESTCatalogFactory.java:38-66). No --root needed.
   *
   *   check
   *   create-namespace <ns>         list-namespaces [parent]
@@ -67,8 +74,10 @@ import graft.catalog.IceCatalog._
   *   export [file] [--namespace ns] import <file> [--dry-run] [--overwrite]
   *   shell                         (interactive; tab completion, exit/quit)
   *   serve [--port N] [--token value[:ro]]... [--allow-anonymous]
+  *         [--tls-cert chain.pem --tls-key pkcs8.pem]
   *         (with --config: bearer tokens incl. per-table access, anonymous
-  *          read-only, vended credentials, scheduled maintenance)
+  *          read-only, vended catalog + scoped STORAGE credentials,
+  *          calendar-scheduled maintenance, https)
   */
 object Cli {
 
