@@ -103,6 +103,8 @@ trait CatalogSurface {
   def setRef(
       ident: String, name: String, snapshotId: Long,
       refType: String = "tag"): TableMeta
+  def rollbackTo(
+      ident: String, snapshotId: Long, basedOn: Option[Long] = None): TableMeta
   def dropRef(ident: String, name: String): TableMeta
   def addColumn(ident: String, name: String, dataType: DataType): TableMeta
   def alterColumn(ident: String, name: String, newType: DataType): TableMeta

@@ -2468,7 +2468,7 @@ class IceCatalog(
     * like Iceberg's rollback — not a destructive rewind).
     */
   def rollbackTo(
-      ident: String, snapshotId: Long, basedOn: Option[Long] = None): TableMeta = {
+      ident: String, snapshotId: Long, basedOn: Option[Long]): TableMeta = {
     val meta = loadMeta(ident)
     require(meta.snapshot(snapshotId).isDefined, s"no snapshot $snapshotId")
     // callers may pin the rollback to a snapshot they observed (REST

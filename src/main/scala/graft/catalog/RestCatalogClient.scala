@@ -548,6 +548,18 @@ final class RestCatalogClient(
     commitUpdates(ident, Seq(Map(
       "action" -> "remove-snapshot-ref", "ref-name" -> name)), None)
 
+  /** Wire rollback: the spec rollback action pinned by
+    * `assert-current-snapshot-id`, so a stale client 409s instead of
+    * silently rolling back past someone else's commit.
+    */
+  def rollbackTo(
+      ident: String, snapshotId: Long, basedOn: Option[Long]): TableMeta =
+    commitUpdates(ident,
+      Seq(Map("action" -> "rollback", "snapshot-id" -> snapshotId)),
+      requirement = Some(Map(
+        "type" -> "assert-current-snapshot-id",
+        "snapshot-id" -> basedOn.getOrElse(loadMeta(ident).currentSnapshotId))))
+
   // ---- schema evolution over the wire ------------------------------------
 
   /** Spec schema evolution: ship the full TARGET schema (`add-schema` +

@@ -63,6 +63,7 @@ import graft.catalog.IceCatalog._
   *   describe <ns.t> | describe-metadata <ns.t>
   *   describe-parquet <file.parquet>
   *   set-property <ns.t> <key> <value>
+  *   rollback <ns.t> --snapshot N   (adopt a past snapshot by reference)
   *   tag <ns.t> <name> [--snapshot N] [--branch]
   *   untag <ns.t> <name>               list-refs <ns.t>
   *   delete <ns.t> --partition 'name<op>value' [--dry-run]
@@ -519,6 +520,15 @@ object Cli {
         case Seq("set-property", ident, k, v) =>
           cat.setProperty(ident, k, v); out.println(s"set $k on $ident")
 
+        case Seq("rollback", ident) =>
+          // restore a previous snapshot by reference (zero rewrite); the
+          // CAS pin means a concurrent commit 409s rather than being
+          // silently rolled past — works identically over the wire
+          val snap = flags.get("snapshot").map(_.toLong)
+            .getOrElse(fail("rollback needs --snapshot N"))
+          cat.rollbackTo(ident, snap)
+          out.println(s"rolled back $ident to $snap")
+
         case Seq("tag", ident, name) =>
           // pin a snapshot (default: current) against expiry; --branch
           // makes it a movable pointer instead
@@ -695,7 +705,7 @@ object Cli {
       "list-namespaces", "list-tables", "create-table", "alter-table",
       "delete-table", "insert", "scan", "count", "files", "describe",
       "describe-metadata", "describe-parquet", "list-partitions",
-      "list-snapshots", "list-refs", "tag", "untag", "changes", "delete",
+      "list-snapshots", "list-refs", "tag", "untag", "rollback", "changes", "delete",
       "delete-positions", "set-property", "maintain", "rewrite-table-path",
       "export", "import", "serve", "exit", "quit")
     val inherited = Seq("config", "c", "root", "uri")

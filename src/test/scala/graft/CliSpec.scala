@@ -527,6 +527,15 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Await.result(Future.sequence(racers), 120.seconds).forall(_ == 0))
       assert(rcli("count", "r.ev") == (0, Seq((before + 4).toString)))
 
+      // rollback over the wire: adopt the first snapshot by reference,
+      // pinned by assert-current-snapshot-id
+      val snaps = rcli("list-snapshots", "r.ev")._2
+        .map(_.split('\t')(0).toLong)
+      val (cr, or) = rcli("rollback", "r.ev", "--snapshot", snaps.min.toString)
+      assert(cr == 0, or.mkString("|"))
+      assert(rcli("count", "r.ev") == (0, Seq("3")),
+        "rollback must restore the first snapshot's rows")
+
       // rename over the wire, then drop
       assert(rcli("alter-table", "r.ev",
         """[{"op":"rename_to","new_name":"r.events"}]""")._1 == 0)
@@ -1265,6 +1274,24 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
           java.nio.file.Files.copy(p, watchDir.resolve("post.parquet")))
       await(3)
     } finally query.stop()
+  }
+
+  test("rollback restores a previous snapshot from the CLI") {
+    import spark.implicits._
+    assert(cli("create-table", "ns.rb", "--schema", "id BIGINT")._1 == 0)
+    val staging = Files.createTempDirectory("cli-rb")
+    Seq(1L, 2L).toDF("id").coalesce(1).write.parquet(staging.resolve("b1").toString)
+    Seq(3L).toDF("id").coalesce(1).write.parquet(staging.resolve("b2").toString)
+    assert(cli("insert", "ns.rb", staging.resolve("b1").toString)._1 == 0)
+    assert(cli("insert", "ns.rb", staging.resolve("b2").toString)._1 == 0)
+    assert(cli("count", "ns.rb") == (0, Seq("3")))
+    val first = new graft.catalog.IceCatalog(spark, root)
+      .listSnapshots("ns.rb").map(_.id).min
+    assert(cli("rollback", "ns.rb", "--snapshot", first.toString)._1 == 0)
+    assert(cli("count", "ns.rb") == (0, Seq("2")))
+    // a missing --snapshot fails loudly
+    assert(cli("rollback", "ns.rb")._1 == 1)
+    assert(cli("delete-table", "ns.rb")._1 == 0)
   }
 
   test("tag / list-refs / untag round-trip") {
