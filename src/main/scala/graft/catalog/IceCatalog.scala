@@ -737,9 +737,13 @@ class IceCatalog(
 
   def dropTable(ident: String, purge: Boolean): Unit = {
     val dir = tableDir(ident)
-    if (io.isDirectory(dir)) {
-      io.walk(dir).reverse.foreach(io.deleteIfExists(_))
-    }
+    // loud on a missing table (the reference's NoSuchTableException; the
+    // REST facade already 404s) — a silent no-op here made local and
+    // remote mode observably different, caught by RemoteDifferentialSpec.
+    // Keyed on the DIRECTORY, not loadable metadata, so a half-destroyed
+    // table (crashed create, sabotaged metadata) stays removable.
+    require(io.isDirectory(dir), s"table $ident does not exist")
+    io.walk(dir).reverse.foreach(io.deleteIfExists(_))
     // a later table of the same name restarts at v1 — stale entries would
     // serve the dropped table's metadata
     IceCatalog.cacheInvalidate(root, ident)

@@ -1,0 +1,123 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import scala.util.{Random, Try}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{CatalogSurface, IceCatalog, RestCatalogClient, RestServer}
+import graft.catalog.IceCatalog._
+
+/** Differential property test for REMOTE catalog mode, in the same
+  * spirit as KvDifferentialSpec/JdbcDifferentialSpec: a
+  * [[RestCatalogClient]] driving a `graft serve` over real HTTP must be
+  * OBSERVABLY equivalent to a local [[IceCatalog]] — same success/failure
+  * on every operation, same resulting catalog state (namespaces, tables,
+  * schemas, rows, properties, refs, snapshot counts) — under hundreds of
+  * seeded random operation sequences. Snapshot ids are monotonic per
+  * table and both sides run the identical sequence, so even id-bearing
+  * observations (refs, rollback targets) must agree.
+  */
+class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-remote-diff", cpus = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Observable catalog state, normalized: per-namespace tables, and per
+    * table the schema, sorted rows, user properties (the minted
+    * graft.uuid necessarily differs), refs, and snapshot count.
+    */
+  private def state(cat: CatalogSurface): String = {
+    def walk(parent: Option[String]): Seq[String] = {
+      val kids = parent.map(cat.listNamespaces).getOrElse(cat.listNamespaces())
+      kids.flatMap(ns => ns +: walk(Some(ns)))
+    }
+    val sb = new StringBuilder
+    walk(None).sorted.foreach { ns =>
+      sb.append(s"ns:$ns\n")
+      cat.listTables(ns).sorted.foreach { t =>
+        val ident = s"$ns.$t"
+        val m = cat.loadMeta(ident)
+        sb.append(s"table:$ident\n")
+        sb.append(s"  schema:${m.schema.fieldNames.mkString(",")}\n")
+        sb.append(s"  snapshots:${m.snapshots.length}@${m.currentSnapshotId}\n")
+        sb.append(s"  props:${(m.properties - "graft.uuid").toSeq.sorted.mkString(",")}\n")
+        sb.append(s"  refs:${cat.listRefs(ident).toSeq.sortBy(_._1)
+          .map { case (n, r) => s"$n=${r.snapshotId}:${r.refType}" }.mkString(",")}\n")
+        val rows = Try(cat.scan(ident).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.mkString(";"))
+        sb.append(s"  rows:${rows.getOrElse("ERR")}\n")
+      }
+    }
+    sb.toString
+  }
+
+  test("remote client tracks a local catalog under 120 random catalog ops") {
+    val localRoot = Files.createTempDirectory("rdiff-local").toString
+    val remoteRoot = Files.createTempDirectory("rdiff-remote").toString
+    val local = new IceCatalog(spark, localRoot)
+    val served = new RestServer.Server(new IceCatalog(spark, remoteRoot),
+      tokens = Seq(RestServer.Token("difftok", "admin"))).start()
+    val remote = new RestCatalogClient(spark, served.url, Some("difftok"))
+    try {
+      val r = new Random(17)
+      import spark.implicits._
+      // staged source parquet, shared by both sides (same bytes in)
+      val staging = Files.createTempDirectory("rdiff-src")
+      val batches = (0 until 6).map { i =>
+        val p = staging.resolve(s"b$i").toString
+        (1 to 3).map(j => (i * 10L + j, s"v$i-$j")).toDF("id", "v")
+          .coalesce(1).write.parquet(p)
+        p
+      }
+
+      val namespaces = Seq("da", "db")
+      val tables = Seq("da.t1", "da.t2", "db.t1")
+      namespaces.foreach { ns => local.createNamespace(ns); remote.createNamespace(ns) }
+
+      def run(cat: CatalogSurface, opId: Int, t: String, i: Int): Either[String, String] =
+        Try(opId match {
+          case 0 =>
+            cat.createTable(t, batches.head.length match {
+              case _ => org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+            }); "create"
+          case 1 =>
+            cat.insert(t, spark.read.parquet(batches(i % batches.length))); "insert"
+          case 2 => cat.setProperty(t, s"k${i % 3}", s"val$i"); "setProp"
+          case 3 => cat.removeProperty(t, s"k${i % 3}"); "rmProp"
+          case 4 =>
+            cat.setRef(t, s"tag${i % 2}", cat.loadMeta(t).currentSnapshotId); "tag"
+          case 5 => cat.dropRef(t, s"tag${i % 2}"); "untag"
+          case 6 => cat.addColumn(t, s"c$i", org.apache.spark.sql.types.IntegerType); "addCol"
+          case 7 => cat.renameColumn(t, "v", "w"); "renameCol"
+          case 8 => cat.renameColumn(t, "w", "v"); "renameColBack"
+          case 9 => cat.countRows(t).toString
+          case 10 =>
+            val snaps = cat.loadMeta(t).snapshots.map(_.id)
+            if (snaps.length >= 2) { cat.rollbackTo(t, snaps.min); "rollback" }
+            else "skip"
+          case 11 => cat.dropTable(t); "drop"
+          case 12 => cat.listSnapshots(t).length.toString
+        }).toEither.left.map(_ => "threw")
+
+      var agreed = 0
+      for (i <- 1 to 120) {
+        val opId = r.nextInt(13)
+        val t = tables(r.nextInt(tables.length))
+        val lr = run(local, opId, t, i)
+        val rr = run(remote, opId, t, i)
+        assert(lr == rr, s"op $i (id=$opId table=$t): local=$lr remote=$rr")
+        agreed += 1
+        if (i % 20 == 0)
+          assert(state(local) == state(remote), s"state diverged after op $i (id=$opId $t)")
+      }
+      assert(state(local) == state(remote), "final state must agree")
+      info(s"$agreed ops agreed; final state ${state(local).linesIterator.size} lines")
+    } finally served.stop()
+  }
+}
