@@ -514,8 +514,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     // implicit namespace creation, one level at a time (multi-level
     // namespaces require each ancestor to exist)
     val nsParts = ident.namespace()
-    (1 to nsParts.length).foreach(i =>
-      ice.createNamespace(nsParts.take(i).mkString(".")))
+    (1 to nsParts.length).foreach { i =>
+      val level = nsParts.take(i).mkString(".")
+      if (!ice.namespaceExists(level)) ice.createNamespace(level)
+    }
     // TBLPROPERTIES land in the creation commit itself (minus Spark's
     // injected bookkeeping props, which aren't table content)
     val props = properties.asScala.toMap -- Seq("owner", "provider", "location")
@@ -595,6 +597,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(
       namespace: Array[String], metadata: util.Map[String, String]): Unit = {
     require(namespace.length >= 1)
+    // DSv2 contract: an existing namespace is NamespaceAlreadyExists, not
+    // a generic error (Spark's CREATE NAMESPACE IF NOT EXISTS pre-checks,
+    // but a racing creator must still see the typed exception)
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(namespace)
     ice.createNamespace(namespace.mkString("."))
   }
 

@@ -577,6 +577,10 @@ class IceCatalog(
   def createNamespace(ns: String): Unit = {
     val parts = ns.split('.')
     require(parts.forall(_.nonEmpty), s"bad namespace: $ns")
+    // loud on an existing namespace (the reference/SDK
+    // AlreadyExistsException; the REST facade 409s) — keeps local and
+    // remote mode observably identical (RemoteDifferentialSpec)
+    require(!namespaceExists(ns), s"namespace $ns already exists")
     if (parts.length > 1) {
       val parent = parts.init.mkString(".")
       require(namespaceExists(parent), s"no such namespace: $parent")
@@ -587,7 +591,10 @@ class IceCatalog(
   /** Internal: create `ns` and any missing ancestors (import path). */
   private def createNamespaceChain(ns: String): Unit = {
     val parts = ns.split('.')
-    (1 to parts.length).foreach(i => createNamespace(parts.take(i).mkString(".")))
+    (1 to parts.length).foreach { i =>
+      val level = parts.take(i).mkString(".")
+      if (!namespaceExists(level)) createNamespace(level)
+    }
   }
 
   def namespaceExists(ns: String): Boolean = {
@@ -648,6 +655,9 @@ class IceCatalog(
 
   def dropNamespace(ns: String): Unit = {
     val p = nsDir(ns)
+    // loud on a missing namespace (reference NoSuchNamespaceException; the
+    // REST facade 404s) — keeps local and remote mode observably identical
+    require(namespaceExists(ns), s"namespace $ns does not exist")
     require(listTables(ns).isEmpty, s"namespace $ns is not empty")
     require(listNamespaces(ns).isEmpty, s"namespace $ns has child namespaces")
     io.deleteIfExists(nsPropsFile(ns)) // tables gone; props go with the ns

@@ -103,11 +103,13 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
             else "skip"
           case 11 => cat.dropTable(t); "drop"
           case 12 => cat.listSnapshots(t).length.toString
+          case 13 => cat.createNamespace(s"dx${i % 2}"); "mkns"
+          case 14 => cat.dropNamespace(s"dx${i % 2}"); "rmns"
         }).toEither.left.map(_ => "threw")
 
       var agreed = 0
       for (i <- 1 to 120) {
-        val opId = r.nextInt(13)
+        val opId = r.nextInt(15)
         val t = tables(r.nextInt(tables.length))
         val lr = run(local, opId, t, i)
         val rr = run(remote, opId, t, i)

@@ -1211,7 +1211,7 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         "graft.merge-keys" -> "id"))
     for ((name, props) <- modes) {
       val t = s"rl.$name"
-      cat.createNamespace("rl")
+      if (!cat.namespaceExists("rl")) cat.createNamespace("rl")
       cat.createTable(t, org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))),
