@@ -117,6 +117,21 @@ object Cli {
       // reference global --log-level (Main.java:93): adjusts Spark's
       // log4j level for this process
       flags.get("log-level").foreach(l => spark.sparkContext.setLogLevel(l.toUpperCase))
+      // --uri mirrors the config `uri:` key: http(s):// = remote catalog,
+      // etcd:/jdbc: = metadata-store routing; anything else is refused
+      // loudly instead of being silently dropped
+      flags.get("uri").foreach { u =>
+        if (!Seq("http://", "https://", "etcd:", "jdbc:").exists(u.startsWith))
+          fail(s"unsupported --uri \"$u\" (supported: http(s)://host:port, " +
+            "etcd:http://host:port, jdbc:...)")
+      }
+      val cfg0 = flags.get("uri") match {
+        case Some(u) if u.startsWith("etcd:") =>
+          cfg.copy(etcdUri = Some(u.stripPrefix("etcd:")), jdbcUri = None)
+        case Some(u) if u.startsWith("jdbc:") =>
+          cfg.copy(jdbcUri = Some(u), etcdUri = None)
+        case _ => cfg
+      }
       // `uri: http(s)://host:port` (or --uri): REMOTE catalog mode — the
       // reference CLI's primary topology (RESTCatalogFactory.java:38-66):
       // every command routes through the Iceberg REST wire protocol
@@ -133,23 +148,23 @@ object Cli {
       // `s3:` / `uri: etcd:...` config blocks route the metadata plane
       // over the real S3 (SigV4 HTTP) or etcd (v3 JSON gateway) wire
       // client; default stays the local/shared fs
-      if (Seq(cfg.etcdUri.isDefined || cfg.jdbcUri.isDefined,
-        cfg.s3.isDefined, cfg.gcs.isDefined).count(identity) > 1)
+      if (Seq(cfg0.etcdUri.isDefined || cfg0.jdbcUri.isDefined,
+        cfg0.s3.isDefined, cfg0.gcs.isDefined).count(identity) > 1)
         fail("config declares more than one metadata store (uri/s3/gcs) — " +
           "the metadata plane routes through exactly one")
-      val cat = (cfg.etcdUri.orElse(cfg.jdbcUri), cfg.s3) match {
-        case (Some(uri), None) if cfg.jdbcUri.isDefined =>
+      val cat = (cfg0.etcdUri.orElse(cfg0.jdbcUri), cfg0.s3) match {
+        case (Some(uri), None) if cfg0.jdbcUri.isDefined =>
           // reference Config.java:263-284: `jdbc:` URIs select the SQL
           // catalog store (sqlite/postgres); the URL goes to DriverManager
           new IceCatalog(spark, root, new graft.catalog.JdbcFileIO(root, uri))
         case (Some(uri), None) => new IceCatalog(spark, root,
           new graft.catalog.EtcdHttpFileIO(root, uri))
-        case (None, None) if cfg.gcs.isDefined =>
+        case (None, None) if cfg0.gcs.isDefined =>
           // one `gcs:` block wires BOTH planes (same split as `s3:`):
           // metadata over the GCS JSON-API wire client, data through the
           // graftgcs:// Hadoop FileSystem so insert/scan/watch accept
           // object-store paths directly (docs/ice-rest-catalog-gcs.md)
-          val g = cfg.gcs.get
+          val g = cfg0.gcs.get
           val hc = spark.sparkContext.hadoopConfiguration
           hc.set("fs.graftgcs.impl", classOf[graft.sources.GraftGcsFileSystem].getName)
           hc.set("fs.graftgcs.endpoint", g.endpoint)

@@ -413,6 +413,22 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally if (served != null) served.stop()
   }
 
+  test("--uri flag mirrors the config uri: key (etcd:/jdbc: routing, bad schemes refused)") {
+    // an unsupported scheme fails loudly instead of silently falling back
+    val (cb, ob) = cli("--uri", "redis://x", "check")
+    assert(cb == 1 && ob.exists(_.contains("unsupported --uri")), ob.mkString("|"))
+    // jdbc: via the FLAG routes the metadata plane like config `uri:`
+    val jdbcRoot = s"${Files.createTempDirectory("cliuri-jdbc")}/virtual/cat"
+    val db = Files.createTempDirectory("cliuri-derby").resolve("db")
+    val buf = new ByteArrayOutputStream()
+    val code = Cli.run(Seq("--root", jdbcRoot,
+      "--uri", s"jdbc:derby:$db;create=true", "check"),
+      spark, new PrintStream(buf, true))
+    assert(code == 0 && buf.toString.contains("ok"), buf.toString)
+    assert(!Files.exists(java.nio.file.Paths.get(jdbcRoot)),
+      "metadata must live in the SQL store, not on the local fs")
+  }
+
   test("remote uri: mode drives the full command loop over the REST wire") {
     // the reference CLI's PRIMARY topology (RESTCatalogFactory.java:38-66):
     // a thin client pointed at `uri: http://…` runs every command through
