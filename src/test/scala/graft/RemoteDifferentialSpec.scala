@@ -57,7 +57,8 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     sb.toString
   }
 
-  test("remote client tracks a local catalog under 120 random catalog ops") {
+  for (seed <- Seq(17, 42))
+  test(s"remote client tracks a local catalog under 120 random catalog ops (seed $seed)") {
     val localRoot = Files.createTempDirectory("rdiff-local").toString
     val remoteRoot = Files.createTempDirectory("rdiff-remote").toString
     val local = new IceCatalog(spark, localRoot)
@@ -65,7 +66,7 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       tokens = Seq(RestServer.Token("difftok", "admin"))).start()
     val remote = new RestCatalogClient(spark, served.url, Some("difftok"))
     try {
-      val r = new Random(17)
+      val r = new Random(seed)
       import spark.implicits._
       // staged source parquet, shared by both sides (same bytes in)
       val staging = Files.createTempDirectory("rdiff-src")
