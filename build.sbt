@@ -28,3 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The JDK http client reads this once in a static initializer, so a
+// process wanting --no-ssl-verify must set it BEFORE any HttpClient is
+// built. A plain CLI process does (flag parse precedes the first client);
+// the test JVM hosts server+many clients in one process, so model the
+// documented process-startup setting here (Cli.insecureSslContext docs
+// the embedder limitation). Hostname verification stays enforced by the
+// --cacert chain-trust assertions, which fail on an untrusted chain
+// regardless of this switch.
+Test / javaOptions += "-Djdk.internal.httpclient.disableHostnameVerification=true"

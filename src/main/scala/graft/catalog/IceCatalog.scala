@@ -87,6 +87,12 @@ object IceCatalog {
       positional: Option[Boolean] = None) {
     def isPositional: Boolean = positional.contains(true)
   }
+  /** One externally-staged delete-file group for [[IceCatalog.addStagedDelta]]:
+    * equality deletes name their key columns; position deletes
+    * (`positional = true`) key on `(file_path, pos)`.
+    */
+  case class StagedDeletes(
+      paths: Seq[String], keyCols: Seq[String], positional: Boolean = false)
   /** Pointer to one immutable manifest segment file plus its summary —
     * enough for snapshot-level accounting without opening the segment.
     */
@@ -1419,6 +1425,24 @@ class IceCatalog(
       options: InsertOptions = InsertOptions(),
       basedOn: Option[Long] = None): TableMeta = {
     val meta = loadMeta(ident)
+    val (newFiles, added) =
+      resolveStagedData(ident, meta, paths, forceOutsideLocation, options)
+    if (newFiles.isEmpty || options.noCommit) return meta
+    commitSnap(ident, basedOn = basedOn)(_ =>
+      SnapDelta("append", add = newFiles, addSources = added))
+  }
+
+  /** Resolve, validate, and footer-read externally-staged parquet data
+    * files — the shared front half of [[addFiles]] and
+    * [[addStagedDelta]]. Returns the manifest entries plus the source
+    * strings the duplicate-ingest ledger records; commits nothing.
+    */
+  private def resolveStagedData(
+      ident: String,
+      meta: TableMeta,
+      paths: Seq[String],
+      forceOutsideLocation: Boolean,
+      options: InsertOptions): (Seq[DataFileMeta], Seq[String]) = {
     val tblDir = tableDir(ident).toAbsolutePath.normalize
     // object-store URIs (scheme'd, non-file) register through Hadoop's
     // FileSystem layer — the reference's s3:// no-copy ingestion
@@ -1472,7 +1496,7 @@ class IceCatalog(
     val uriToAdd =
       if (options.forceDuplicates || (dupes.isEmpty && uriDupes.isEmpty)) uriNorm
       else uriNorm.filterNot(uriDupes.contains)
-    if (toAdd.isEmpty && uriToAdd.isEmpty) return meta
+    if (toAdd.isEmpty && uriToAdd.isEmpty) return (Seq.empty, Seq.empty)
 
     // Partition value per file: one pruned scan of the transform source
     // columns only; a file spanning >1 value is an error (Insert.java:489).
@@ -1512,10 +1536,120 @@ class IceCatalog(
       footerMetaFrom(s, footer, hp.getFileSystem(hconf).getFileStatus(hp).getLen,
         meta.schema, meta.schemaLog.length - 1, partByFile(fsPath(s)))
     }
-    if (options.noCommit) return meta
-    val added = toAdd.map(_.toUri.toString) ++ uriToAdd
+    (newFiles ++ newUriFiles, toAdd.map(_.toUri.toString) ++ uriToAdd)
+  }
+
+  /** Register externally-staged DATA files plus equality/position DELETE
+    * files as ONE snapshot commit — the delete-file half of the Iceberg
+    * REST commit model (a thin client stages parquet on shared storage,
+    * then commits the file list; the reference reaches the same shape
+    * through SDK-side commits against ice-rest-catalog's update routes).
+    * Sequence stamping happens at commit like every local MOR path, so
+    * the commit's own appended rows are immune to its delete files
+    * (strictly-older rule), and the merged read applies them with zero
+    * data-file rewrites — the O(batch) CDC shape, now reachable over the
+    * wire.
+    *
+    * Equality specs name their key columns (validated against the staged
+    * footer AND the table schema); position specs carry `(file_path,
+    * pos)` rows, which are re-canonicalized server-side to the
+    * `_metadata.file_path` spelling exactly as [[deletePositions]] does —
+    * a client staging foreign spellings (its own mount's URIs) commits a
+    * rewritten canonical file, and a path naming no live data file is
+    * refused loudly.
+    */
+  def addStagedDelta(
+      ident: String,
+      dataPaths: Seq[String],
+      deletes: Seq[StagedDeletes],
+      forceOutsideLocation: Boolean = false,
+      options: InsertOptions = InsertOptions(),
+      basedOn: Option[Long] = None): TableMeta = {
+    val meta = loadMeta(ident)
+    if (deletes.nonEmpty)
+      require(meta.current.isDefined,
+        s"$ident: delete files cannot be registered against an empty table")
+    val (dataFiles, sources) =
+      if (dataPaths.isEmpty) (Seq.empty[DataFileMeta], Seq.empty[String])
+      else resolveStagedData(ident, meta, dataPaths, forceOutsideLocation, options)
+    val fieldNames = meta.schema.fieldNames.toSet
+    val delMetas: Seq[DeleteFileMeta] = deletes.flatMap { spec =>
+      require(spec.paths.nonEmpty, "delete spec needs paths")
+      if (spec.positional) {
+        require(spec.keyCols == Seq("file_path", "pos"),
+          s"position deletes key on (file_path, pos), got ${spec.keyCols}")
+        val raw = spark.read.parquet(spec.paths: _*).select("file_path", "pos")
+        val keyed = canonicalPositionKeys(ident, meta, raw)
+        if (keyed eq raw)
+          // already canonical: adopt the staged files in place
+          spec.paths.map(p => stagedDeleteMeta(ident, p, spec))
+        else
+          // foreign spellings: commit a rewritten canonical file; the
+          // staged originals become GC-able orphans
+          Seq(writeDeleteFile(ident, keyed, Seq("file_path", "pos"))
+            .copy(positional = Some(true)))
+      } else {
+        require(spec.keyCols.nonEmpty, "equality delete spec needs key columns")
+        spec.keyCols.foreach(k => require(fieldNames.contains(k),
+          s"$ident: equality-delete key column $k is not in the table schema"))
+        spec.paths.map(p => stagedDeleteMeta(ident, p, spec))
+      }
+    }.filter(_.rowCount > 0)
+    if (dataFiles.isEmpty && delMetas.isEmpty) return meta
+    val op =
+      if (delMetas.isEmpty) "append"
+      else if (dataFiles.isEmpty) "mor-delete"
+      else "mor-upsert"
     commitSnap(ident, basedOn = basedOn)(_ =>
-      SnapDelta("append", add = newFiles ++ newUriFiles, addSources = added))
+      SnapDelta(op, add = dataFiles, addSources = sources, addDeletes = delMetas))
+  }
+
+  /** Footer-read one staged delete file (local path or mounted store
+    * URI) into its manifest entry, validating the staged schema actually
+    * carries the spec's key columns — a delete file the merged read
+    * cannot key on must be refused at commit, not at scan.
+    */
+  private def stagedDeleteMeta(
+      ident: String, path: String, spec: StagedDeletes): DeleteFileMeta = {
+    val tblDir = tableDir(ident).toAbsolutePath.normalize
+    def validate(cols: Set[String]): Unit =
+      spec.keyCols.foreach(k => require(cols.contains(k),
+        s"staged delete file $path lacks key column $k (has ${cols.mkString(", ")})"))
+    val uri = try new java.net.URI(path) catch { case _: Exception => null }
+    if (uri != null && uri.getScheme != null && uri.getScheme != "file") {
+      // wire staging writes `scheme://bucket<tableDir>/data/...` — the
+      // object key embeds the table dir, the same containment rule as
+      // local staging
+      require(Option(uri.getPath).exists(_.startsWith(tblDir.toString)),
+        s"$path: delete files must be staged under the table location " +
+          "(they are GC'd with the table's own data)")
+      val hconf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, hconf))
+      val footer = try reader.getFooter finally reader.close()
+      validate(footer.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet)
+      DeleteFileMeta(new org.apache.hadoop.fs.Path(path).toUri.toString,
+        spec.keyCols,
+        rowCount = footer.getBlocks.asScala.map(_.getRowCount).sum,
+        bytes = hp.getFileSystem(hconf).getFileStatus(hp).getLen,
+        seq = 0, // stamped at commit
+        positional = if (spec.positional) Some(true) else None)
+    } else {
+      val p0 = if (uri != null && uri.getScheme == "file" && uri.getPath != null)
+        uri.getPath else path
+      val p = Paths.get(p0).toAbsolutePath.normalize
+      require(io.isRegularFile(p), s"no such delete file: $path")
+      require(p.startsWith(tblDir),
+        s"$path: delete files must be staged under the table location " +
+          "(they are GC'd with the table's own data)")
+      val footer = readFooter(p)
+      validate(footer.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet)
+      DeleteFileMeta(p.toUri.toString, spec.keyCols,
+        rowCount = footer.getBlocks.asScala.map(_.getRowCount).sum,
+        bytes = io.size(p), seq = 0,
+        positional = if (spec.positional) Some(true) else None)
+    }
   }
 
   /** [[addFiles]] under a budgeted retry loop ([[CommitRetry]]; the

@@ -46,10 +46,14 @@ import graft.catalog.IceCatalog._
   * data files straight from the object store with its own credentials —
   * the server is never on the data path.
   *
-  * Unsupported remotely (each fails with a clear message): MERGE upserts
-  * (`upsert`/`upsertMergeOnRead` — row-level merge commits are not in the
-  * wire vocabulary; run them next to the catalog), `deletePositions`, and
-  * `rewriteTablePath` (a storage-plane admin pass).
+  * Row-level writes follow the same external-committer contract:
+  * merge-on-read upserts stage their data files plus one equality-delete
+  * file of the batch's keys, position deletes stage one `(file_path,
+  * pos)` parquet, and both register through `add-delete-files` (+
+  * `append-files`) in ONE CAS-guarded snapshot commit — the delete-file
+  * half of the Iceberg REST commit model. Unsupported remotely (fails
+  * with a clear message): copy-on-write `upsert` (rewrites are a
+  * catalog-host operation; use merge-on-read remotely).
   */
 final class RestCatalogClient(
     val spark: SparkSession,
@@ -162,14 +166,20 @@ final class RestCatalogClient(
       creds: SigV4.Credentials) extends StorageProfile
   private case class GcsProfile(
       endpoint: String, bucket: String, token: String) extends StorageProfile
-  /** Wire readers refresh after this age: the server re-vends near
-    * expiry, so a periodic re-GET keeps a long-lived client (a watch)
-    * holding LIVE credentials instead of riding one vend to its death.
+  /** Fallback refresh age when the server stamps no expiry: the server
+    * re-vends near expiry, so a periodic re-GET keeps a long-lived client
+    * (a watch) holding LIVE credentials instead of riding one vend to its
+    * death. When the LoadTableResponse DOES stamp the vended expiry
+    * (`s3.session-token-expires-at-ms` / `gcs.oauth2.token-expires-at`),
+    * refresh keys off THAT minus a safety margin — a server-configured
+    * short TTL then drives the client's cadence instead of stranding it.
     */
   private val wireReaderMaxAgeMs = 5 * 60 * 1000L
+  private val expiryMarginMs = 60 * 1000L
 
   private case class WireReader(
-      cat: IceCatalog, profile: StorageProfile, root: String, mintedAtMs: Long)
+      cat: IceCatalog, profile: StorageProfile, root: String, mintedAtMs: Long,
+      expiresAtMs: Option[Long] = None)
   private val wireReaders =
     new java.util.concurrent.ConcurrentHashMap[String, WireReader]()
 
@@ -228,8 +238,19 @@ final class RestCatalogClient(
     case _: GcsProfile => "graftgcs"
   }
 
-  private def freshEnough(w: WireReader): Boolean =
-    System.currentTimeMillis() - w.mintedAtMs < wireReaderMaxAgeMs
+  private def freshEnough(w: WireReader): Boolean = {
+    val now = System.currentTimeMillis()
+    w.expiresAtMs match {
+      case Some(e) => now < e - expiryMarginMs
+      case None => now - w.mintedAtMs < wireReaderMaxAgeMs
+    }
+  }
+
+  /** The vended credential's stamped expiry, when the server sent one. */
+  private def vendedExpiryOf(cfg: JsonNode): Option[Long] =
+    Seq("s3.session-token-expires-at-ms", "gcs.oauth2.token-expires-at")
+      .flatMap(k => Option(cfg.path(k).asText(null)))
+      .flatMap(_.toLongOption).headOption
 
   private def reader(ident: String): IceCatalog = {
     val rc = readCat
@@ -254,7 +275,8 @@ final class RestCatalogClient(
           mountDataPlane(p)
           val cat = new IceCatalog(spark, root, fileIoFor(root, p))
           wireReaders.put(ident,
-            WireReader(cat, p, root, System.currentTimeMillis()))
+            WireReader(cat, p, root, System.currentTimeMillis(),
+              expiresAtMs = vendedExpiryOf(resp.path("config"))))
           cat
         case None => throw new IllegalStateException(
           s"table location $loc is not reachable from this client and the " +
@@ -337,6 +359,10 @@ final class RestCatalogClient(
       properties: Map[String, String]): Unit = {
     val i = ident.lastIndexOf('.')
     require(i > 0, s"table identifier must be ns(.ns)*.table, got $ident")
+    // properties ride IN the create request and land in the creation
+    // commit server-side, matching local IceCatalog.createTable — a
+    // failure between two calls can't leave a propertyless table, and
+    // remote table history stays commit-for-commit identical to local
     send("POST", s"$base/v1/namespaces/${nsSeg(ident.take(i))}/tables",
       Some(jstr(Map(
         "name" -> ident.drop(i + 1),
@@ -344,10 +370,8 @@ final class RestCatalogClient(
         "partition-spec" -> partitionSpec.map(p =>
           Map("column" -> p.column, "transform" -> p.transform, "name" -> p.name)),
         "sort-order" -> sortOrder.map(s =>
-          Map("column" -> s.column, "desc" -> s.desc))))))
-    if (properties.nonEmpty) commitUpdates(ident,
-      Seq(Map("action" -> "set-properties", "updates" -> properties)),
-      requirement = None)
+          Map("column" -> s.column, "desc" -> s.desc)),
+        "properties" -> properties))))
   }
 
   def dropTable(ident: String, purge: Boolean): Unit = {
@@ -404,7 +428,25 @@ final class RestCatalogClient(
       "schema-evolving insert is not supported against a remote catalog")
     val meta = loadMeta(ident)
     val df = df0.select(meta.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
-    val stagingName = s"ingest-${java.util.UUID.randomUUID().toString.take(8)}"
+    val (parts, profile) = stageParquet(ident, df, "ingest", options.compression)
+    require(parts.nonEmpty, "insert produced no data files")
+    if (options.noCommit) meta
+    // scheme'd staged paths register as object-store URIs (the server's
+    // no-copy contract requires the explicit force flag for those)
+    else appendFiles(ident, parts, forceOutsideLocation = profile.isDefined,
+      options = options, retries = retries, retryTotalMs = retryTotalMs)
+  }
+
+  /** Stage `df` as parquet on the SHARED storage plane under the table's
+    * data dir — the external-committer write half. Local filesystem when
+    * the table location resolves; the object-store data plane (with the
+    * table's vended credential) in zero-local-storage mode. Returns the
+    * staged part paths plus the storage profile (Some ⇒ wire mode).
+    */
+  private def stageParquet(
+      ident: String, df: DataFrame, prefix: String,
+      compression: Option[String]): (Seq[String], Option[StorageProfile]) = {
+    val stagingName = s"$prefix-${java.util.UUID.randomUUID().toString.take(8)}"
     val tableDir = java.nio.file.Paths.get(URI.create(tableLocation(ident)))
     // zero-local-storage mode: stage THROUGH the object-store data plane
     // under the table's key prefix — the vended credential's scope admits
@@ -416,7 +458,7 @@ final class RestCatalogClient(
       case None =>
         tableDir.resolve("data").resolve(stagingName).toString
     }
-    val w = options.compression.foldLeft(df.write)((w, c) => w.option("compression", c))
+    val w = compression.foldLeft(df.write)((w, c) => w.option("compression", c))
     w.parquet(staging)
     val parts = profile match {
       case Some(_) =>
@@ -429,12 +471,7 @@ final class RestCatalogClient(
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(_.toString).sorted
     }
-    require(parts.nonEmpty, "insert produced no data files")
-    if (options.noCommit) meta
-    // scheme'd staged paths register as object-store URIs (the server's
-    // no-copy contract requires the explicit force flag for those)
-    else appendFiles(ident, parts, forceOutsideLocation = profile.isDefined,
-      retries = retries, retryTotalMs = retryTotalMs)
+    (parts, profile)
   }
 
   def addFilesWithRetry(
@@ -446,7 +483,7 @@ final class RestCatalogClient(
       retryTotalMs: Long): TableMeta = {
     require(!options.noCommit,
       "--no-commit does not apply to no-copy registration over the wire")
-    appendFiles(ident, paths, forceOutsideLocation, retries, retryTotalMs)
+    appendFiles(ident, paths, forceOutsideLocation, options, retries, retryTotalMs)
   }
 
   /** One `append-files` commit guarded by `assert-current-snapshot-id`,
@@ -469,34 +506,96 @@ final class RestCatalogClient(
 
   private def appendFiles(
       ident: String, paths: Seq[String], forceOutsideLocation: Boolean,
+      options: InsertOptions, retries: Int, retryTotalMs: Long): TableMeta =
+    commitDelta(ident, paths, deletes = Seq.empty, forceOutsideLocation,
+      options, retries, retryTotalMs)
+
+  /** One staged delete-file group riding an [[commitDelta]] commit. */
+  private case class WireDeletes(
+      paths: Seq[String], keyCols: Seq[String], positional: Boolean)
+
+  /** ONE snapshot commit registering staged data files and/or staged
+    * delete files — `append-files` + `add-delete-files` guarded by
+    * `assert-current-snapshot-id`, re-read + re-attempted on 409 under
+    * the same [[CommitRetry]] budget local commits use. The duplicate
+    * policy (skip/force) rides the wire; a genuine duplicate surfaces as
+    * 400 and fails FAST instead of burning the retry budget. `verified`
+    * closes the lost-response window: data paths prove themselves via the
+    * source ledger, delete paths via the current snapshot's pending set.
+    */
+  private def commitDelta(
+      ident: String, paths: Seq[String], deletes: Seq[WireDeletes],
+      forceOutsideLocation: Boolean, options: InsertOptions,
       retries: Int, retryTotalMs: Long): TableMeta = {
     val norm = paths.map(fsPath)
+    val normDel = deletes.flatMap(_.paths).map(fsPath)
     CommitRetry.run(retries, retryTotalMs,
       verified = () => {
         val m = loadMeta(ident)
         val known = m.current.flatMap(s => Option(s.sourceFiles))
           .getOrElse(Seq.empty).map(fsPath).toSet
-        if (norm.forall(known.contains)) Some(m) else None
+        val knownDel = m.current.flatMap(s => Option(s.deletes))
+          .getOrElse(Seq.empty).map(d => fsPath(d.path)).toSet
+        if (norm.forall(known.contains) && normDel.forall(knownDel.contains))
+          Some(m)
+        else None
       }) { _ =>
       val cur = loadMeta(ident).currentSnapshotId
+      val appendAction: Seq[Map[String, Any]] =
+        if (paths.isEmpty) Seq.empty
+        else Seq(Map(
+          "action" -> "append-files",
+          "paths" -> paths,
+          "force-outside-location" -> forceOutsideLocation,
+          "skip-duplicates" -> options.skipDuplicates,
+          "force-duplicates" -> options.forceDuplicates))
+      val deleteActions: Seq[Map[String, Any]] = deletes.map(d => Map(
+        "action" -> "add-delete-files",
+        "paths" -> d.paths,
+        "content" -> (if (d.positional) "position" else "equality"),
+        "equality-columns" -> d.keyCols))
       send("POST", tableUrl(ident), Some(jstr(Map(
         "requirements" -> Seq(Map(
           "type" -> "assert-current-snapshot-id", "snapshot-id" -> cur)),
-        "updates" -> Seq(Map(
-          "action" -> "append-files",
-          "paths" -> paths,
-          "force-outside-location" -> forceOutsideLocation))))))
+        "updates" -> (appendAction ++ deleteActions)))))
       loadMeta(ident)
     }
   }
 
   def upsert(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta =
     throw new UnsupportedOperationException(
-      "MERGE upserts are not in the REST wire vocabulary — run merge " +
-        "ingestion on the catalog host (local mode)")
+      "copy-on-write MERGE is not in the REST wire vocabulary — use " +
+        "merge-on-read (upsertMergeOnRead) remotely, or run copy-on-write " +
+        "merges on the catalog host (local mode)")
 
-  def upsertMergeOnRead(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta =
-    upsert(ident, df, keyCols)
+  /** MERGE-ON-READ upsert over the wire — the external-committer form of
+    * [[IceCatalog.upsertMergeOnRead]]: stage the batch's data files AND
+    * one equality-delete file of the batch's keys on shared storage, then
+    * register both in ONE `append-files` + `add-delete-files` commit.
+    * O(batch) work end to end; the server stamps the sequence epoch at
+    * commit so the batch's own rows are immune to its delete file. This is
+    * the delete-file half of the Iceberg REST commit model (the reference
+    * reaches it via SDK commits through RESTCatalogAdapter.java +
+    * HTTPClient.java) — and what lets a thin client run continuous keyed
+    * CDC without sitting next to the catalog.
+    */
+  def upsertMergeOnRead(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    val meta = loadMeta(ident)
+    if (meta.current.isEmpty) return insert(ident, df, InsertOptions())
+    val arranged = df.select(meta.schema.fieldNames.toSeq.map(col): _*)
+    val (dataPaths, profile) = stageParquet(ident, arranged, "ingest", None)
+    require(dataPaths.nonEmpty, "upsert produced no data files")
+    // one small delete file of the batch's distinct keys, like the local
+    // writeDeleteFile
+    val (delPaths, _) = stageParquet(ident,
+      df.select(keyCols.map(col): _*).distinct().coalesce(1), "delete", None)
+    commitDelta(ident, dataPaths,
+      Seq(WireDeletes(delPaths, keyCols, positional = false)),
+      forceOutsideLocation = profile.isDefined, InsertOptions(),
+      retries, retryTotalMs)
+  }
 
   def delete(
       ident: String,
@@ -515,10 +614,26 @@ final class RestCatalogClient(
     case Op.Le => "<="; case Op.Ge => ">="
   }
 
-  def deletePositions(ident: String, df: DataFrame): TableMeta =
-    throw new UnsupportedOperationException(
-      "position deletes are not in the REST wire vocabulary — register " +
-        "them on the catalog host (local mode)")
+  /** POSITION deletes over the wire: stage the `(file_path, pos)` rows as
+    * one small parquet on shared storage, commit it through
+    * `add-delete-files` with `content: position`. The server re-validates
+    * and canonicalizes the file_path spellings against its own live data
+    * files ([[IceCatalog.addStagedDelta]]) — a path naming no live file is
+    * refused loudly, exactly the local contract.
+    */
+  def deletePositions(ident: String, df: DataFrame): TableMeta = {
+    import org.apache.spark.sql.functions.col
+    val meta = loadMeta(ident)
+    if (meta.current.isEmpty) return meta
+    require(df.columns.toSeq == Seq("file_path", "pos"),
+      s"position deletes need columns (file_path, pos), got ${df.columns.toSeq}")
+    val (delPaths, _) = stageParquet(ident,
+      df.select(col("file_path"), col("pos")).distinct().coalesce(1),
+      "delete", None)
+    commitDelta(ident, Seq.empty,
+      Seq(WireDeletes(delPaths, Seq("file_path", "pos"), positional = true)),
+      forceOutsideLocation = false, InsertOptions(), retries, retryTotalMs)
+  }
 
   // ---- table metadata commits --------------------------------------------
 
@@ -621,12 +736,23 @@ final class RestCatalogClient(
 
   // ---- admin --------------------------------------------------------------
 
+  /** Admin-plane table relocation over the wire: the SERVER owns the
+    * storage plane, so the pointer rewrite (data/source/delete paths
+    * across all snapshots, plus position-delete file contents) runs
+    * server-side; this posts the prefixes and reports the per-kind
+    * rewrite counts. Byte copying stays the operator's job, as in the
+    * reference's documented workflow (reference:docs/rewrite-table-path.md).
+    */
   def rewriteTablePath(
       ident: String, sourcePrefix: String, targetPrefix: String,
-      dryRun: Boolean): Map[String, Long] =
-    throw new UnsupportedOperationException(
-      "rewrite-table-path is a storage-plane operation — run it on the " +
-        "catalog host (local mode)")
+      dryRun: Boolean): Map[String, Long] = {
+    val r = send("POST", s"${tableUrl(ident)}/rewrite-path", Some(jstr(Map(
+      "source-prefix" -> sourcePrefix, "target-prefix" -> targetPrefix,
+      "dry-run" -> dryRun))))
+    invalidate(ident) // pointers moved: cached metadata is stale
+    r.path("counts").properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
 
   def exportCatalog(namespaceFilter: Option[String]): String = {
     val q = namespaceFilter.map(n => s"?namespace=${enc(n)}").getOrElse("")

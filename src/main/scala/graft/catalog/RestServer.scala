@@ -237,7 +237,8 @@ object RestServer {
       * same path↔key mapping the `s3:` metadata plane uses), so the
       * STORAGE layer refuses this credential on any sibling table.
       */
-    private def vendStorageFor(ident: String, s: RestServer.S3Storage): SigV4.Credentials =
+    private def vendStorageFor(
+        ident: String, s: RestServer.S3Storage): (SigV4.Credentials, Long) =
       vendedStorage.compute(ident, (_, cur) => {
         // 60s early refresh so a credential handed out never expires
         // mid-scan of a short-lived client session
@@ -250,7 +251,7 @@ object RestServer {
             SigV4.Credentials(s.accessKeyId, s.secretAccessKey), s.region)
           wire.assumeRole(prefix, durationSeconds = (vendedTokenTtlMs / 1000).toInt)
         }
-      })._1
+      })
 
     /** Live downscoped GCS tokens per table (re-exchanged near expiry). */
     private val vendedGcs =
@@ -585,6 +586,19 @@ object RestServer {
           sendJson(ex, 200, Map("reports" -> reports.map(r => Map(
             "job" -> r.job, "detail" -> r.detail,
             "error" -> r.error.orNull))))
+        case ("POST", List("v1", "namespaces", ns, "tables", t, "rewrite-path")) =>
+          // admin-plane table relocation over the wire (the reference
+          // documents this as an operator workflow,
+          // reference:docs/rewrite-table-path.md): the server owns the
+          // storage plane, so the pointer rewrite runs HERE — the caller
+          // copies bytes, then POSTs {source-prefix, target-prefix,
+          // dry-run}; the response reports per-kind rewrite counts
+          requireTable(s"$ns.$t")
+          val req = body(ex)
+          val counts = cat.rewriteTablePath(s"$ns.$t",
+            str(req, "source-prefix"), str(req, "target-prefix"),
+            dryRun = req.path("dry-run").asBoolean(false))
+          sendJson(ex, 200, Map("counts" -> counts))
         case ("POST", List("v1", "tables", "rename")) =>
           val req = body(ex)
           val src = str(req, "source")
@@ -679,7 +693,16 @@ object RestServer {
             textOr(f, "name", text(f, "column"))))
         val sort = arr(req, "sort-order").map(f =>
           SortField(text(f, "column"), f.path("desc").asBoolean(false)))
-        cat.createTable(ident, schema, pspec, sort)
+        // properties land IN the creation commit here too — a crash
+        // between create and a follow-up set-properties must not leave a
+        // propertyless table, and remote table history must match local
+        // (one commit, not two)
+        val props = req.path("properties")
+        val initProps =
+          if (props.isObject)
+            props.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+          else Map.empty[String, String]
+        cat.createTable(ident, schema, pspec, sort, properties = initProps)
       }
     }
 
@@ -710,7 +733,9 @@ object RestServer {
           throw new IllegalArgumentException("rollback must be the only update")
         case _ => ()
       }
-      val (appends, rest) = us.partition(u => textOr(u, "action", "") == "append-files")
+      val (appends, rest0) = us.partition(u => textOr(u, "action", "") == "append-files")
+      val (deleteOps, rest) = rest0.partition(u =>
+        textOr(u, "action", "") == "add-delete-files")
       val (schemaOps, rest2) = rest.partition(u =>
         Set("add-schema", "set-current-schema")(textOr(u, "action", "")))
       val (propOps, rest3) = rest2.partition(u =>
@@ -721,8 +746,13 @@ object RestServer {
         textOr(u, "action", "") == "remove-partition-field")
       unknown.foreach(u => throw new IllegalArgumentException(
         s"unsupported update action: ${textOr(u, "action", "(none)")}"))
-      require(Seq(appends, schemaOps, propOps, refOps, specOps).count(_.nonEmpty) <= 1,
-        "append-files, schema updates, property updates, ref updates, and " +
+      // append-files + add-delete-files ARE one commit kind (the
+      // delta-merge shape: a MOR upsert appends its batch and registers
+      // its key-delete file in ONE snapshot); everything else stays
+      // unmixable
+      require(
+        Seq(appends ++ deleteOps, schemaOps, propOps, refOps, specOps).count(_.nonEmpty) <= 1,
+        "file updates, schema updates, property updates, ref updates, and " +
           "partition-spec updates cannot mix in one commit (each is one " +
           "atomic commit; a mixed request could half-apply)")
       if (schemaOps.nonEmpty) {
@@ -753,13 +783,46 @@ object RestServer {
           .map(_.path("last-assigned-field-id").asInt()).lastOption
         cat.evolveSchemaTo(ident, wanted, basedOn, lastSeen)
       }
-      if (appends.nonEmpty) {
+      if (appends.nonEmpty || deleteOps.nonEmpty) {
         val paths = appends.flatMap(_.path("paths").elements().asScala.map(_.asText()))
-        require(paths.nonEmpty, "append-files needs paths")
-        cat.addFiles(ident, paths,
-          forceOutsideLocation =
-            appends.exists(_.path("force-outside-location").asBoolean(false)),
-          basedOn = basedOn)
+        require(paths.nonEmpty || deleteOps.nonEmpty, "append-files needs paths")
+        val force = appends.exists(_.path("force-outside-location").asBoolean(false))
+        // duplicate policy rides the wire (the client's InsertOptions):
+        // a replayed no-copy epoch must be able to say skip-duplicates,
+        // and a genuine duplicate must fail FAST (400), not retry as a
+        // commit conflict
+        val opts = InsertOptions(
+          skipDuplicates = appends.exists(_.path("skip-duplicates").asBoolean(false)),
+          forceDuplicates = appends.exists(_.path("force-duplicates").asBoolean(false)))
+        val specs = deleteOps.map { u =>
+          val dPaths = u.path("paths").elements().asScala.map(_.asText()).toSeq
+          require(dPaths.nonEmpty, "add-delete-files needs paths")
+          val positional = textOr(u, "content", "equality") match {
+            case "position" => true
+            case "equality" => false
+            case other => throw new IllegalArgumentException(
+              s"add-delete-files content must be equality|position, got $other")
+          }
+          val keyCols =
+            if (positional) Seq("file_path", "pos")
+            else u.path("equality-columns").elements().asScala.map(_.asText()).toSeq
+          IceCatalog.StagedDeletes(dPaths, keyCols, positional)
+        }
+        try {
+          if (specs.isEmpty)
+            cat.addFiles(ident, paths, forceOutsideLocation = force,
+              options = opts, basedOn = basedOn)
+          else
+            cat.addStagedDelta(ident, paths, specs, forceOutsideLocation = force,
+              options = opts, basedOn = basedOn)
+        } catch {
+          // duplicate registration is the CLIENT's mistake, not a
+          // concurrency conflict — surface 400 so the client's retry
+          // budget isn't burned re-sending an unwinnable commit
+          case e: IllegalStateException
+              if Option(e.getMessage).exists(_.startsWith("duplicate source files")) =>
+            throw new IllegalArgumentException(e.getMessage)
+        }
       }
       if (propOps.nonEmpty) {
         // spec set-properties carries the map under "updates"
@@ -797,8 +860,8 @@ object RestServer {
       }
       // a requirement with nothing to commit is still a contract: evaluate
       // it against the live snapshot so a stale client hears 409, not 200
-      if (appends.isEmpty && propOps.isEmpty && schemaOps.isEmpty &&
-          refOps.isEmpty && specOps.isEmpty) basedOn.foreach { id =>
+      if (appends.isEmpty && deleteOps.isEmpty && propOps.isEmpty &&
+          schemaOps.isEmpty && refOps.isEmpty && specOps.isEmpty) basedOn.foreach { id =>
         val cur = cat.loadMeta(ident).currentSnapshotId
         if (cur != id) throw new java.util.ConcurrentModificationException(
           s"requirement failed: $ident current snapshot $cur != $id")
@@ -903,11 +966,16 @@ object RestServer {
           val storageCfg: Map[String, String] = s3VendedStorage match {
             case None => Map.empty
             case Some(s) if vendTableCredentials && s.bucket.nonEmpty =>
-              val v = vendStorageFor(ident, s)
+              val (v, exp) = vendStorageFor(ident, s)
               Map(
                 "s3.access-key-id" -> v.accessKey,
                 "s3.secret-access-key" -> v.secretKey,
                 "s3.session-token" -> v.sessionToken,
+                // Iceberg's own S3FileIOProperties expiry key: clients
+                // refresh from THIS stamp (minus a margin), not a fixed
+                // age — an operator lowering the TTL can't strand a
+                // long-lived client on an expired credential
+                "s3.session-token-expires-at-ms" -> exp.toString,
                 "s3.endpoint" -> s.endpoint,
                 "s3.path-style-access" -> "true",
                 "client.region" -> s.region,

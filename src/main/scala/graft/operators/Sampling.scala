@@ -190,10 +190,22 @@ object Sampling {
     * on ids only, no all-pairs anywhere, split assignment itself still
     * needs no global state.
     */
-  def splitDocumentsNearDupSafe(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("fp"))
-    val clusters = Dedup.dedupClusters(spark, dir) // (doc_id, cluster_id)
+  def splitDocumentsNearDupSafe(spark: SparkSession, dir: String): DataFrame =
+    splitDocumentsNearDupSafeOn(
+      Tables.documents(spark, dir),
+      Dedup.dedupClusters(spark, dir))
+
+  /** [[splitDocumentsNearDupSafe]] on a PRECOMPUTED cluster assignment —
+    * the form a real pipeline calls: it has already run d8 (and likely
+    * materialized the (doc_id, cluster_id) frame); re-clustering inside
+    * the split would repeat the most expensive pass of the pipeline.
+    * `clusters` rows cover near-dup members only; docs absent from it are
+    * singletons and key on their own fingerprint, exactly like the
+    * standalone form.
+    */
+  def splitDocumentsNearDupSafeOn(
+      documents: DataFrame, clusters: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"), md5(col("text")).as("fp"))
     val withRep = docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -214,12 +214,24 @@ object Cli {
 
   /** Trust-all context for `sslVerify: false` (self-signed lab servers —
     * the reference's RESTCatalogFactory.java:46-51 escape hatch).
+    *
+    * LIMITATION (embedders): skipping hostname verification rides the
+    * JDK's `jdk.internal.httpclient.disableHostnameVerification` system
+    * property, which the http client implementation reads ONCE in a
+    * static initializer. A plain CLI process is fine — flag parsing runs
+    * before the first HttpClient is built — but a JVM that constructed
+    * ANY HttpClient earlier (an embedder running serve+client in one
+    * process) has already frozen the setting, and `--no-ssl-verify`
+    * then still enforces hostname checks against certs that don't name
+    * the dialed address. Such processes must set the property at JVM
+    * startup (`-Djdk.internal.httpclient.disableHostnameVerification=
+    * true`), as the test harness does.
     */
   private def insecureSslContext(): javax.net.ssl.SSLContext = {
     // trust-all must also skip hostname verification (a lab server's cert
-    // rarely names the address the client dialed); HttpClient only honors
-    // this via the documented system property, set before client build —
-    // process-global, which is exactly the CLI escape hatch's scope
+    // rarely names the address the client dialed); set before client
+    // build — process-global, which is exactly the CLI escape hatch's
+    // scope (see the static-initializer caveat above)
     System.setProperty("jdk.internal.httpclient.disableHostnameVerification", "true")
     val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
     ctx.init(null, Array[javax.net.ssl.TrustManager](
@@ -322,9 +334,12 @@ object Cli {
           // that appears under the directory is committed through the
           // catalog, duplicates skipped, resumable via the checkpoint
           require(paths.length == 1, "insert --watch takes exactly one directory")
-          if (flags.contains("merge-keys") && !cat.isInstanceOf[IceCatalog])
-            fail("--merge-keys watch needs a local catalog (MERGE commits " +
-              "are not in the REST wire vocabulary)")
+          if (flags.contains("merge-keys") && !cat.isInstanceOf[IceCatalog] &&
+              !flags.contains("merge-on-read"))
+            fail("--merge-keys watch over a remote catalog needs " +
+              "--merge-on-read (merge-on-read batches commit over the wire " +
+              "as append-files + add-delete-files; copy-on-write MERGE " +
+              "stays on the catalog host)")
           val checkpoint = flags.getOrElse("checkpoint",
             java.nio.file.Files.createTempDirectory("graft-watch-ckpt").toString)
           val trigger =
@@ -723,8 +738,15 @@ object Cli {
       "list-snapshots", "list-refs", "tag", "untag", "rollback", "changes", "delete",
       "delete-positions", "set-property", "maintain", "rewrite-table-path",
       "export", "import", "serve", "exit", "quit")
-    val inherited = Seq("config", "c", "root", "uri")
+    // remote mode needs the credential and TLS-trust globals carried into
+    // every inner dispatch too — a `--uri … --token t shell` whose inner
+    // commands 401 or fail the handshake is useless; boolean flags
+    // (no-ssl-verify) inherit bare, without a value
+    val inheritedKv = Seq("config", "c", "root", "uri", "token", "cacert")
       .flatMap(k => outerFlags.get(k).toSeq.flatMap(v => Seq(s"--$k", v)))
+    val inheritedBool = Seq("no-ssl-verify")
+      .filter(outerFlags.contains).map(k => s"--$k")
+    val inherited = inheritedKv ++ inheritedBool
     val parser = new org.jline.reader.impl.DefaultParser()
     var done = false
     def dispatch(line: String): Unit =
@@ -735,9 +757,13 @@ object Cli {
           case Seq("exit") | Seq("quit") => done = true
           case "shell" +: _ => out.println("already in shell mode")
           case ws =>
-            // outer globals apply unless the line carries its own
+            // outer globals apply unless the line carries its own —
+            // including connection/credential overrides (repeatable keys
+            // join with ',', so prepending an inherited --uri to a line's
+            // own --uri would corrupt it)
+            val overrides = Set("--config", "--c", "--root", "--uri", "--token")
             val full =
-              if (ws.exists(w => w == "--config" || w == "--c" || w == "--root")) ws
+              if (ws.exists(overrides.contains)) ws
               else inherited ++ ws
             val code =
               try run(full, spark, out, onServe, onWatch)

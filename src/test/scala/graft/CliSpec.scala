@@ -556,16 +556,79 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rcli("alter-table", "r.ev",
         """[{"op":"rename_to","new_name":"r.events"}]""")._1 == 0)
       assert(rcli("list-tables", "r")._2.contains("events"))
-      // ops outside the wire vocabulary fail loudly, not silently
-      Seq(("f.parquet", 0L)).toDF("file_path", "pos")
-        .write.parquet(staging.resolve("keys").toString)
+
+      // POSITION deletes over the wire: stage (file_path, pos) keys, the
+      // client commits them through add-delete-files, the server
+      // validates them against its live data files
+      import org.apache.spark.sql.functions.col
+      val evFiles = rcli("files", "r.events")._2.map(_.split('\t')(0))
+        .map(p => java.nio.file.Paths.get(new java.net.URI(p)).toString)
+      spark.read.parquet(evFiles: _*)
+        .select(col("id"), col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"))
+        .filter(col("id") === 1L).select("file_path", "pos").coalesce(1)
+        .write.parquet(staging.resolve("pdkeys").toString)
+      val (cpd, opd) = rcli("delete-positions", "r.events",
+        staging.resolve("pdkeys").toString)
+      assert(cpd == 0 && opd.exists(_.contains("position deletes")), opd.mkString("|"))
+      assert(rcli("count", "r.events") == (0, Seq("2")))
+      // a path naming NO live data file is refused loudly (server-side
+      // canonical check), not silently registered as a dead mask
+      Seq(("f.parquet", 0L)).toDF("file_path", "pos").coalesce(1)
+        .write.parquet(staging.resolve("badkeys").toString)
       val (cu, ou) = rcli("delete-positions", "r.events",
-        staging.resolve("keys").toString)
-      assert(cu == 1 && ou.exists(_.contains("not in the REST wire")), ou.mkString("|"))
+        staging.resolve("badkeys").toString)
+      assert(cu == 1 && ou.exists(_.contains("unknown data files")), ou.mkString("|"))
+      // ops outside the wire vocabulary still fail loudly, not silently
       val (cv, ov) = rcli("serve")
       assert(cv == 1 && ov.exists(_.contains("local catalog")), ov.mkString("|"))
       assert(rcli("delete-table", "r.events")._1 == 0)
       assert(rcli("delete-table", "r.part")._1 == 0)
+
+      // continuous keyed CDC MERGE against the REMOTE catalog: each batch
+      // lands as ONE append-files + add-delete-files commit (the
+      // merge-on-read wire shape); copy-on-write --merge-keys without
+      // --merge-on-read stays a loud local-only refusal
+      assert(rcli("create-table", "r.cdc",
+        "--schema", "id BIGINT, v STRING, ver BIGINT")._1 == 0)
+      val cdcDir = Files.createTempDirectory("rcli-cdc")
+      Seq((1L, "old", 1L), (1L, "new", 2L), (2L, "only", 1L))
+        .toDF("id", "v", "ver").coalesce(1)
+        .write.parquet(staging.resolve("cdc1").toString)
+      java.nio.file.Files.list(staging.resolve("cdc1")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(p, cdcDir.resolve("b1.parquet")))
+      val (ccow, ocow) = rcli("insert", "r.cdc", cdcDir.toString,
+        "--watch", "--watch-fire-once", "--merge-keys", "id", "--version-col", "ver")
+      assert(ccow == 1 && ocow.exists(_.contains("--merge-on-read")), ocow.mkString("|"))
+      val cdcBuf = new ByteArrayOutputStream()
+      val cdcCode = Cli.run(
+        Seq("--uri", uri, "--token", "rtok", "insert", "r.cdc", cdcDir.toString,
+          "--watch", "--watch-fire-once", "--merge-keys", "id",
+          "--version-col", "ver", "--merge-on-read"),
+        spark, new PrintStream(cdcBuf, true), onWatch = q => q.awaitTermination())
+      assert(cdcCode == 0, cdcBuf.toString)
+      val (_, cdcScan) = rcli("scan", "r.cdc")
+      assert(cdcScan.tail.sorted == Seq("1\tnew\t2", "2\tonly\t1"), cdcScan.mkString("|"))
+      // a second CDC batch updates key 1 and inserts key 3 — another
+      // O(batch) wire commit on top of the first
+      Seq((1L, "newer", 3L), (3L, "three", 1L)).toDF("id", "v", "ver").coalesce(1)
+        .write.parquet(staging.resolve("cdc2").toString)
+      java.nio.file.Files.list(staging.resolve("cdc2")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(p, cdcDir.resolve("b2.parquet")))
+      val cdcBuf2 = new ByteArrayOutputStream()
+      val cdcCode2 = Cli.run(
+        Seq("--uri", uri, "--token", "rtok", "insert", "r.cdc", cdcDir.toString,
+          "--watch", "--watch-fire-once", "--merge-keys", "id",
+          "--version-col", "ver", "--merge-on-read",
+          "--checkpoint", Files.createTempDirectory("rcli-cdc-ck2").toString),
+        spark, new PrintStream(cdcBuf2, true), onWatch = q => q.awaitTermination())
+      assert(cdcCode2 == 0, cdcBuf2.toString)
+      val (_, cdcScan2) = rcli("scan", "r.cdc")
+      assert(cdcScan2.tail.sorted == Seq("1\tnewer\t3", "2\tonly\t1", "3\tthree\t1"),
+        cdcScan2.mkString("|"))
+      assert(rcli("delete-table", "r.cdc")._1 == 0)
 
       // continuous ingestion against the REMOTE catalog — the reference's
       // primary watch deployment (thin client + SQS/directory watch, all
@@ -774,6 +837,48 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Cli.run(Seq("--config", cfg.toString, "list-namespaces"),
         spark, new PrintStream(b2, true)) == 0 && b2.toString.contains("sec"))
     } finally if (served != null) served.stop()
+
+    // hostname-MISMATCH case: a cert whose SAN does not name the dialed
+    // address (the lab-cert reality --no-ssl-verify exists for). The
+    // trust-all path must still connect; this exercises the hostname
+    // side, not just chain trust (the SAN=ip:127.0.0.1 cert above never
+    // triggers hostname verification at all)
+    val ksPath2 = dir.resolve("ks2.p12")
+    val pb2 = new ProcessBuilder("keytool", "-genkeypair", "-alias", "server",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath2.toString, "-storepass", "changeit",
+      "-dname", "CN=not-this-host", "-validity", "365",
+      "-ext", "san=dns:not-this-host")
+    pb2.redirectErrorStream(true)
+    val proc2 = pb2.start()
+    assert(proc2.waitFor() == 0, new String(proc2.getInputStream.readAllBytes()))
+    val ks2 = java.security.KeyStore.getInstance("PKCS12")
+    val in2 = Files.newInputStream(ksPath2)
+    try ks2.load(in2, "changeit".toCharArray) finally in2.close()
+    def pem2(label: String, der: Array[Byte]): String =
+      s"-----BEGIN $label-----\n" +
+        java.util.Base64.getMimeEncoder(64, "\n".getBytes).encodeToString(der) +
+        s"\n-----END $label-----\n"
+    val certPem2 = dir.resolve("server2.crt")
+    val keyPem2 = dir.resolve("server2.key")
+    Files.writeString(certPem2,
+      pem2("CERTIFICATE", ks2.getCertificate("server").getEncoded))
+    Files.writeString(keyPem2,
+      pem2("PRIVATE KEY", ks2.getKey("server", "changeit".toCharArray).getEncoded))
+    var served2: graft.catalog.RestServer.Server = null
+    val tlsRoot2 = Files.createTempDirectory("tls-cat2").toString
+    try {
+      assert(Cli.run(Seq("--root", tlsRoot2, "serve", "--port", "0",
+        "--token", "stok", "--tls-cert", certPem2.toString,
+        "--tls-key", keyPem2.toString), spark,
+        new PrintStream(new ByteArrayOutputStream(), true),
+        onServe = s => served2 = s) == 0 && served2 != null)
+      val b3 = new ByteArrayOutputStream()
+      assert(Cli.run(Seq("--uri", served2.url, "--token", "stok",
+        "--no-ssl-verify", "check"), spark, new PrintStream(b3, true)) == 0,
+        b3.toString)
+      assert(b3.toString.contains("ok"))
+    } finally if (served2 != null) served2.stop()
   }
 
   test("insert --compression lands the requested parquet codec") {
@@ -1478,6 +1583,37 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       new PrintStream(buf2, true),
       shellIn = new java.io.ByteArrayInputStream("list-namespaces\n".getBytes("UTF-8")))
     assert(code2 == 0 && buf2.toString.contains("sh"))
+  }
+
+  test("shell inherits credentials in remote mode (token rides every inner dispatch)") {
+    // a `--uri … --token t shell` whose inner commands re-dispatch WITHOUT
+    // the bearer token would 401 on every line — the inherited globals
+    // must carry the credential (and TLS-trust flags) too
+    var served: graft.catalog.RestServer.Server = null
+    val remoteRoot = Files.createTempDirectory("shell-remote").toString
+    try {
+      assert(Cli.run(Seq("--root", remoteRoot, "serve", "--port", "0",
+        "--token", "shtok"), spark,
+        new PrintStream(new ByteArrayOutputStream(), true),
+        onServe = s => served = s) == 0 && served != null)
+      val script = Seq(
+        "check",
+        "create-namespace rsh",
+        "create-table rsh.t --schema \"id BIGINT, v STRING\"",
+        "list-tables rsh",
+        "exit").mkString("\n") + "\n"
+      val buf = new ByteArrayOutputStream()
+      val code = Cli.run(
+        Seq("--uri", served.url, "--token", "shtok", "shell"), spark,
+        new PrintStream(buf, true),
+        shellIn = new java.io.ByteArrayInputStream(script.getBytes("UTF-8")))
+      val o = buf.toString
+      assert(code == 0, o.takeRight(2000))
+      assert(o.contains("ok"), "TAIL>>>" + o.takeRight(2000))
+      assert(o.contains("created namespace rsh"), o.takeRight(2000))
+      assert(!o.contains("401") && !o.contains("Unauthorized"), o.takeRight(2000))
+      assert(o.contains("t"), o.takeRight(500))
+    } finally if (served != null) served.stop()
   }
 
   test("--json emits one object per line; list-snapshots honors --limit") {

@@ -287,6 +287,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     split.keys.filterNot(clustered).foreach(d => assert(split(d) == r6(d)))
   }
 
+  test("r7 overload on a PRECOMPUTED cluster frame agrees with the standalone form") {
+    import org.apache.spark.sql.functions.col
+    // a pipeline that already ran d8 must be able to feed its
+    // materialized (doc_id, cluster_id) output instead of re-clustering
+    // inside the split — and get the identical assignment
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val clusters = Dedup.dedupClusters(spark, dir)
+    val viaOverload = Sampling.splitDocumentsNearDupSafeOn(docs, clusters)
+      .select(col("doc_id"), col("cluster_rep"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val standalone = Sampling.splitDocumentsNearDupSafe(spark, dir)
+      .select(col("doc_id"), col("cluster_rep"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(viaOverload == standalone)
+  }
+
   test("r4 per-source cap keeps exactly the md5-order winners") {
     import org.apache.spark.sql.functions._
     val out = Sampling.capPerSource(spark, dir, cap = 3).collect()

@@ -81,12 +81,16 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       val tables = Seq("da.t1", "da.t2", "db.t1")
       namespaces.foreach { ns => local.createNamespace(ns); remote.createNamespace(ns) }
 
+      import org.apache.spark.sql.functions.{col, min}
       def run(cat: CatalogSurface, opId: Int, t: String, i: Int): Either[String, String] =
         Try(opId match {
           case 0 =>
-            cat.createTable(t, batches.head.length match {
-              case _ => org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
-            }); "create"
+            // properties ride IN the creation commit on both sides (the
+            // remote client must not need a second set-properties commit,
+            // or snapshot/property history diverges)
+            cat.createTable(t,
+              org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING"),
+              properties = Map("owner" -> "diff", "created-by" -> s"op$i")); "create"
           case 1 =>
             cat.insert(t, spark.read.parquet(batches(i % batches.length))); "insert"
           case 2 => cat.setProperty(t, s"k${i % 3}", s"val$i"); "setProp"
@@ -106,11 +110,32 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
           case 12 => cat.listSnapshots(t).length.toString
           case 13 => cat.createNamespace(s"dx${i % 2}"); "mkns"
           case 14 => cat.dropNamespace(s"dx${i % 2}"); "rmns"
+          case 15 =>
+            // MERGE-ON-READ upsert: remote commits it as append-files +
+            // add-delete-files over the wire; state (merged rows, snapshot
+            // count) must match the local equality-delete commit exactly
+            cat.upsertMergeOnRead(t,
+              spark.read.parquet(batches(i % batches.length)), Seq("id")); "morUpsert"
+          case 16 =>
+            // POSITION delete: mask every physical occurrence of the
+            // minimum id — a deterministic row pick that names files by
+            // each side's OWN storage paths (they differ; the rows don't)
+            val files = cat.files(t).map(_.path)
+            if (files.isEmpty) "skip"
+            else {
+              val keyed = spark.read.parquet(files: _*)
+                .select(col("_metadata.file_path").as("file_path"),
+                  col("_metadata.row_index").as("pos"), col("id"))
+              val minId = keyed.agg(min("id")).head().getLong(0)
+              cat.deletePositions(t,
+                keyed.filter(col("id") === minId).select("file_path", "pos"))
+              "posDelete"
+            }
         }).toEither.left.map(_ => "threw")
 
       var agreed = 0
       for (i <- 1 to 120) {
-        val opId = r.nextInt(15)
+        val opId = r.nextInt(17)
         val t = tables(r.nextInt(tables.length))
         val lr = run(local, opId, t, i)
         val rr = run(remote, opId, t, i)

@@ -529,4 +529,138 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       gcs.stop()
     }
   }
+
+  test("add-delete-files commits: MOR upsert, position deletes, validation") {
+    import spark.implicits._
+    assert(req("POST", "/v1/namespaces", """{"namespace":["mor"]}""").statusCode() == 200)
+    assert(req("POST", "/v1/namespaces/mor/tables",
+      """{"name":"t","schema":"id BIGINT, v STRING"}""").statusCode() == 200)
+    val tdir = java.nio.file.Paths.get(s"$root/mor/t/data")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.parquet(s"$tdir/$name")
+      Files.list(java.nio.file.Paths.get(s"$tdir/$name")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get.toString
+    }
+    // snapshot 1: plain append of the seed batch
+    val fA = stage("s1", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(req("POST", "/v1/namespaces/mor/tables/t",
+      s"""{"updates":[{"action":"append-files","paths":["$fA"]}]}""")
+      .statusCode() == 200)
+    // snapshot 2: ONE commit = append-files(batch) + add-delete-files(keys)
+    // — the wire MOR upsert; the delete masks id=2's OLD row only
+    // (sequence stamping makes the commit's own rows immune)
+    val fB = stage("s2", Seq((2L, "b2"), (3L, "c")).toDF("id", "v"))
+    val fDel = stage("s2del", Seq(Tuple1(2L)).toDF("id"))
+    val mor = req("POST", "/v1/namespaces/mor/tables/t",
+      s"""{"requirements":[{"type":"assert-current-snapshot-id","snapshot-id":1}],
+          | "updates":[
+          |   {"action":"append-files","paths":["$fB"]},
+          |   {"action":"add-delete-files","paths":["$fDel"],
+          |    "content":"equality","equality-columns":["id"]}]}""".stripMargin)
+    assert(mor.statusCode() == 200, mor.body())
+    assert(json(mor).path("metadata").path("current-snapshot-id").asLong() == 2L)
+    assert(cat.scan("mor.t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // snapshot 3: position-delete-only commit masking fA's row 0 (id=1);
+    // a plain-path spelling is canonicalized server-side
+    val fPos = stage("s3del", Seq((fA, 0L)).toDF("file_path", "pos"))
+    val pos = req("POST", "/v1/namespaces/mor/tables/t",
+      s"""{"updates":[{"action":"add-delete-files","paths":["$fPos"],
+          | "content":"position"}]}""".stripMargin)
+    assert(pos.statusCode() == 200, pos.body())
+    assert(cat.scan("mor.t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "b2"), (3L, "c")))
+    // validation is loud and at COMMIT time: bogus content flavor, key
+    // column missing from the table schema, key column missing from the
+    // staged footer, position keys naming no live file — all 400
+    assert(req("POST", "/v1/namespaces/mor/tables/t",
+      s"""{"updates":[{"action":"add-delete-files","paths":["$fDel"],
+          | "content":"bogus"}]}""".stripMargin).statusCode() == 400)
+    assert(req("POST", "/v1/namespaces/mor/tables/t",
+      s"""{"updates":[{"action":"add-delete-files","paths":["$fDel"],
+          | "content":"equality","equality-columns":["nope"]}]}""".stripMargin)
+      .statusCode() == 400)
+    assert(req("POST", "/v1/namespaces/mor/tables/t",
+      s"""{"updates":[{"action":"add-delete-files","paths":["$fDel"],
+          | "content":"equality","equality-columns":["v"]}]}""".stripMargin)
+      .statusCode() == 400)
+    val fBad = stage("s4del", Seq(("ghost.parquet", 0L)).toDF("file_path", "pos"))
+    val bad = req("POST", "/v1/namespaces/mor/tables/t",
+      s"""{"updates":[{"action":"add-delete-files","paths":["$fBad"],
+          | "content":"position"}]}""".stripMargin)
+    assert(bad.statusCode() == 400 && bad.body().contains("unknown data files"),
+      bad.body())
+    // a delete file staged OUTSIDE the table location is refused (it must
+    // be GC'd with the table's own data)
+    val outside = Files.createTempDirectory("mor-outside")
+    Seq(Tuple1(3L)).toDF("id").coalesce(1).write.parquet(s"$outside/del")
+    val fOut = Files.list(java.nio.file.Paths.get(s"$outside/del")).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get.toString
+    assert(req("POST", "/v1/namespaces/mor/tables/t",
+      s"""{"updates":[{"action":"add-delete-files","paths":["$fOut"],
+          | "content":"equality","equality-columns":["id"]}]}""".stripMargin)
+      .statusCode() == 400)
+  }
+
+  test("duplicate policy rides the append-files wire; genuine duplicates fail fast as 400") {
+    import spark.implicits._
+    assert(req("POST", "/v1/namespaces/mor/tables",
+      """{"name":"dup","schema":"id BIGINT, v STRING"}""").statusCode() == 200)
+    val tdir = java.nio.file.Paths.get(s"$root/mor/dup/data")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.parquet(s"$tdir/$name")
+      Files.list(java.nio.file.Paths.get(s"$tdir/$name")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get.toString
+    }
+    val f1 = stage("d1", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = stage("d2", Seq((2L, "b")).toDF("id", "v"))
+    assert(req("POST", "/v1/namespaces/mor/tables/dup",
+      s"""{"updates":[{"action":"append-files","paths":["$f1"]}]}""")
+      .statusCode() == 200)
+    // a replayed epoch that PARTIALLY overlaps: skip-duplicates registers
+    // only the new file (the no-copy watch's replay contract)
+    val skip = req("POST", "/v1/namespaces/mor/tables/dup",
+      s"""{"updates":[{"action":"append-files","paths":["$f1","$f2"],
+          | "skip-duplicates":true}]}""".stripMargin)
+    assert(skip.statusCode() == 200, skip.body())
+    assert(cat.countRows("mor.dup") == 2)
+    // without a policy, the duplicate is the CLIENT's mistake: 400
+    // BadRequest, NOT 409 — a client retrying this as a commit conflict
+    // would burn its whole budget on an unwinnable request
+    val dup = req("POST", "/v1/namespaces/mor/tables/dup",
+      s"""{"updates":[{"action":"append-files","paths":["$f1"]}]}""")
+    assert(dup.statusCode() == 400 && dup.body().contains("duplicate"), dup.body())
+  }
+
+  test("rewrite-path route relocates pointers over HTTP (dry-run first)") {
+    import spark.implicits._
+    assert(req("POST", "/v1/namespaces/mor/tables",
+      """{"name":"mv","schema":"id BIGINT, v STRING"}""").statusCode() == 200)
+    val tdir = java.nio.file.Paths.get(s"$root/mor/mv/data")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$tdir/in")
+    val f = Files.list(java.nio.file.Paths.get(s"$tdir/in")).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get.toString
+    assert(req("POST", "/v1/namespaces/mor/tables/mv",
+      s"""{"updates":[{"action":"append-files","paths":["$f"]}]}""")
+      .statusCode() == 200)
+    // relocate the staged dir name in METADATA only: dry-run reports the
+    // would-be rewrites and changes nothing, the real call repoints
+    val dry = req("POST", "/v1/namespaces/mor/tables/mv/rewrite-path",
+      s"""{"source-prefix":"$tdir/in","target-prefix":"$tdir/moved","dry-run":true}""")
+    assert(dry.statusCode() == 200, dry.body())
+    assert(json(dry).path("counts").path("data_paths").asLong(-1) >= 1, dry.body())
+    assert(cat.files("mor.mv").exists(_.path.contains("/in/")))
+    // copy the bytes, then the live rewrite
+    val moved = java.nio.file.Paths.get(s"$tdir/moved")
+    Files.createDirectories(moved)
+    Files.list(java.nio.file.Paths.get(s"$tdir/in")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach(p => Files.copy(p, moved.resolve(p.getFileName)))
+    val live = req("POST", "/v1/namespaces/mor/tables/mv/rewrite-path",
+      s"""{"source-prefix":"$tdir/in","target-prefix":"$tdir/moved","dry-run":false}""")
+    assert(live.statusCode() == 200, live.body())
+    assert(cat.files("mor.mv").forall(_.path.contains("/moved/")))
+    assert(cat.scan("mor.mv").count() == 2)
+  }
 }
