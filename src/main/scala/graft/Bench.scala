@@ -12,9 +12,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // local[16] measured fastest at sf0.1: task dispatch dominates at this
-    // scale, so more threads cost (local[32] is slower), fewer leave CPU idle
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // default matches the driver-bench protocol (and the BASELINE.md
+    // pins): local[32], 32 shuffle partitions
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions) // optimizer + resolution rules
       .master(s"local[$cpus]")
@@ -82,8 +82,9 @@ object Bench {
     // final ~2000 chars of this line (BENCH_r07.json lost its total to
     // the cut head), so total/tripwire must sit at the tail end
     // session config recorded so future re-pins are protocol-verifiable
-    // (the pin protocol is local[16] + 16 shuffle partitions; a bench run
-    // under a different master must not be compared against these pins)
+    // (the pin protocol is local[32] + 32 shuffle partitions since the
+    // r12 re-pin; a bench run under a different master must not be
+    // compared against these pins)
     val session = s"""{"master":"local[$cpus]","shuffle_partitions":$cpus,""" +
       s""""aqe":true,"broadcast_mb":64}"""
     println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","runs":2,"timing":"best-of-2","session":$session,"ratios":$rj,"tripwire":{"fired":$fired,"breaches":$bj,"tells_flat":$tellsFlat},"unit":"sec","total_s":${num(total, 2)},"value":${num(total, 2)}}""")

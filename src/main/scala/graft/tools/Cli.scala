@@ -685,6 +685,7 @@ object Cli {
             anonymousReadOnly = !anonFlag && cfg.anonymousReadOnly,
             maintenanceDefaults = cfg.maintenance,
             vendTableCredentials = cfg.vendTableCredentials,
+            vendedTokenTtlMs = cfg.vendedTokenTtlMs.getOrElse(3600 * 1000L),
             // serving on the s3 plane: stamp the storage credentials into
             // LoadTableResponse config so clients' S3FileIO can reach the
             // data files (the reference's credentials middleware)

@@ -49,6 +49,12 @@ final case class GraftConfig(
     anonymousEnabled: Boolean = false,
     anonymousReadOnly: Boolean = true,
     vendTableCredentials: Boolean = false,
+    /** `vendedTokenTtlMs:` — lifetime of vended per-table tokens and
+      * storage credentials (default 1h). Clients refresh off the expiry
+      * stamped in LoadTableResponse config, so lowering this raises the
+      * re-vend cadence rather than stranding long-lived clients.
+      */
+    vendedTokenTtlMs: Option[Long] = None,
     maintenance: Maintenance.Policy = Maintenance.Policy(),
     /** Parsed `maintenanceSchedule:` (reference Config.java:56-57 skedule
       * strings — "every day 00:00", "every monday 09:00", "every 15m").
@@ -204,7 +210,8 @@ object GraftConfig {
 
   private def build(m: Map[String, Any]): GraftConfig = {
     checkKeys(m, Set("root", "warehouse", "addr", "port", "bearerTokens",
-      "anonymousAccess", "vendTableCredentials", "maintenanceSchedule",
+      "anonymousAccess", "vendTableCredentials", "vendedTokenTtlMs",
+      "maintenanceSchedule",
       "maintenance", "s3", "gcs", "uri", "bearerToken", "cacert",
       "sslVerify", "tlsCert", "tlsKey"), "config")
     val root = m.get("root").map(str(_, "root"))
@@ -289,6 +296,8 @@ object GraftConfig {
       anonymousReadOnly = anonRO,
       vendTableCredentials =
         m.get("vendTableCredentials").exists(bool(_, "vendTableCredentials")),
+      vendedTokenTtlMs =
+        m.get("vendedTokenTtlMs").map(v => int(v, "vendedTokenTtlMs").toLong),
       maintenance = policy,
       maintenanceSchedule = interval,
       s3 = s3,

@@ -717,6 +717,66 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("remote uri: vended credentials EXPIRE mid-session and the client recovers") {
+    // an operator lowering vendedTokenTtlMs below the client's old fixed
+    // 5-minute refresh age used to strand long-lived clients on expired
+    // storage credentials; the client now refreshes off the expiry the
+    // server stamps into LoadTableResponse config
+    // (s3.session-token-expires-at-ms), so a short TTL raises the re-vend
+    // cadence instead of failing scans
+    import spark.implicits._
+    val s3 = new graft.catalog.S3WireServer(
+      graft.catalog.SigV4.Credentials("AKROOT3", "sk-root3")).start()
+    var served: graft.catalog.RestServer.Server = null
+    try {
+      val virtualRoot = s"/zls-ttl-${System.nanoTime()}/cat"
+      val cfg = Files.createTempFile("graft-ttl", ".yaml")
+      Files.writeString(cfg,
+        s"""root: $virtualRoot
+           |vendTableCredentials: true
+           |vendedTokenTtlMs: 2000
+           |bearerTokens:
+           |  - name: admin
+           |    value: ttok
+           |s3:
+           |  endpoint: ${s3.endpoint}
+           |  bucket: lake
+           |  accessKeyID: AKROOT3
+           |  secretAccessKey: sk-root3
+           |""".stripMargin)
+      assert(Cli.run(Seq("--config", cfg.toString, "serve", "--port", "0"),
+        spark, new PrintStream(new ByteArrayOutputStream(), true),
+        onServe = s => served = s) == 0 && served != null)
+      // ONE client instance across the whole session (the watch shape) —
+      // per-command CLI processes would re-vend incidentally
+      val remote = new graft.catalog.RestCatalogClient(spark, served.url, Some("ttok"))
+      remote.createNamespace("e")
+      remote.createTable("e.t",
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING"))
+      val src = Files.createTempDirectory("ttl-src")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+        .write.parquet(src.resolve("b1").toString)
+      remote.insert("e.t", spark.read.parquet(src.resolve("b1").toString))
+      assert(remote.countRows("e.t") == 2)
+      // wait past the vended TTL: the credential the first scan used is
+      // now DEAD at the storage layer (S3WireServer expires sessions)
+      Thread.sleep(2500)
+      // the stamped-expiry refresh re-GETs before scanning — recovery,
+      // not a 403
+      assert(remote.countRows("e.t") == 2)
+      assert(remote.scan("e.t").count() == 2)
+      // and writes stage with the re-vended credential too
+      Seq((3L, "c")).toDF("id", "v").coalesce(1)
+        .write.parquet(src.resolve("b2").toString)
+      Thread.sleep(2500)
+      remote.insert("e.t", spark.read.parquet(src.resolve("b2").toString))
+      assert(remote.countRows("e.t") == 3)
+    } finally {
+      if (served != null) served.stop()
+      s3.stop()
+    }
+  }
+
   test("remote uri: ZERO-local-storage on the GCS plane with downscoped tokens") {
     // same thin-client topology on the GCS plane: per-table DOWNSCOPED
     // tokens from LoadTableResponse config drive both the metadata reads

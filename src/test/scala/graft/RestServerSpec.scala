@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.catalog.{IceCatalog, RestServer}
+import graft.catalog.{IceCatalog, RestCatalogClient, RestServer}
 import graft.catalog.RestServer.Token
 
 /** Drives the catalog end-to-end over real HTTP: lifecycle, bearer auth,
@@ -604,6 +604,8 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("duplicate policy rides the append-files wire; genuine duplicates fail fast as 400") {
     import spark.implicits._
+    assert(Set(200, 409)(
+      req("POST", "/v1/namespaces", """{"namespace":["mor"]}""").statusCode()))
     assert(req("POST", "/v1/namespaces/mor/tables",
       """{"name":"dup","schema":"id BIGINT, v STRING"}""").statusCode() == 200)
     val tdir = java.nio.file.Paths.get(s"$root/mor/dup/data")
@@ -632,8 +634,61 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dup.statusCode() == 400 && dup.body().contains("duplicate"), dup.body())
   }
 
+  test("thin-client no-copy replay: partial overlap lands only the new files") {
+    import spark.implicits._
+    // the watch-replay contract over the wire: a re-delivered micro-batch
+    // that PARTIALLY overlaps an earlier commit must register only the
+    // genuinely new files (skipDuplicates rides the append-files action)
+    // — before the policy rode the wire, the server threw the duplicate
+    // error as 409 and the client's CommitRetry burned its whole budget
+    // re-sending an unwinnable request
+    val remote = new graft.catalog.RestCatalogClient(
+      spark, server.url, Some("rw-secret"))
+    // self-sufficient under testOnly -z: namespace may or may not exist
+    assert(Set(200, 409)(
+      req("POST", "/v1/namespaces", """{"namespace":["mor"]}""").statusCode()))
+    assert(req("POST", "/v1/namespaces/mor/tables",
+      """{"name":"replay","schema":"id BIGINT, v STRING"}""").statusCode() == 200)
+    val tdir = java.nio.file.Paths.get(s"$root/mor/replay/data")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.parquet(s"$tdir/$name")
+      Files.list(java.nio.file.Paths.get(s"$tdir/$name")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get.toString
+    }
+    val f1 = stage("e1", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = stage("e2", Seq((2L, "b")).toDF("id", "v"))
+    remote.addFilesWithRetry("mor.replay", Seq(f1),
+      forceOutsideLocation = false,
+      IceCatalog.InsertOptions(skipDuplicates = true), retries = 2,
+      retryTotalMs = 10000)
+    val t0 = System.nanoTime()
+    val m = remote.addFilesWithRetry("mor.replay", Seq(f1, f2),
+      forceOutsideLocation = false,
+      IceCatalog.InsertOptions(skipDuplicates = true), retries = 2,
+      retryTotalMs = 10000)
+    assert(cat.countRows("mor.replay") == 2)
+    assert(m.currentSnapshotId == 2)
+    // a FULL-overlap replay is a no-op commit (server returns unchanged
+    // state), not a failure
+    val m2 = remote.addFilesWithRetry("mor.replay", Seq(f1, f2),
+      forceOutsideLocation = false,
+      IceCatalog.InsertOptions(skipDuplicates = true), retries = 2,
+      retryTotalMs = 10000)
+    assert(m2.currentSnapshotId == 2 && cat.countRows("mor.replay") == 2)
+    // and a NO-policy duplicate fails FAST (400 → IllegalArgument, no
+    // retry loop): well under the 10 s budget
+    val err = intercept[IllegalArgumentException](
+      remote.addFilesWithRetry("mor.replay", Seq(f1),
+        forceOutsideLocation = false,
+        IceCatalog.InsertOptions(), retries = 4, retryTotalMs = 60000))
+    assert(err.getMessage.contains("duplicate"), err.getMessage)
+    assert((System.nanoTime() - t0) / 1e9 < 30, "duplicate must not burn the retry budget")
+  }
+
   test("rewrite-path route relocates pointers over HTTP (dry-run first)") {
     import spark.implicits._
+    assert(Set(200, 409)(
+      req("POST", "/v1/namespaces", """{"namespace":["mor"]}""").statusCode()))
     assert(req("POST", "/v1/namespaces/mor/tables",
       """{"name":"mv","schema":"id BIGINT, v STRING"}""").statusCode() == 200)
     val tdir = java.nio.file.Paths.get(s"$root/mor/mv/data")
