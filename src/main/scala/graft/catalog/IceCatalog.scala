@@ -1604,6 +1604,40 @@ class IceCatalog(
       SnapDelta(op, add = dataFiles, addSources = sources, addDeletes = delMetas))
   }
 
+  /** Register an externally-staged OVERWRITE as one snapshot commit —
+    * the wire's `remove-files` + `append-files` combination (a thin
+    * client's copy-on-write MERGE: it planned the rewrite against a
+    * snapshot, staged the surviving + new rows, and commits the swap
+    * here under a CAS on that snapshot). Every dropped path must be a
+    * CURRENT data file — validated INSIDE the lease-locked commit, so a
+    * plan raced by another committer 409s on the CAS rather than
+    * silently dropping a file that was already rewritten away. Pending
+    * MOR deletes carry over (the client's plan read survivors through
+    * the merged view, exactly like local [[upsert]]).
+    */
+  def replaceStagedFiles(
+      ident: String,
+      dropPaths: Seq[String],
+      dataPaths: Seq[String],
+      forceOutsideLocation: Boolean = false,
+      options: InsertOptions = InsertOptions(),
+      basedOn: Option[Long] = None): TableMeta = {
+    require(dropPaths.nonEmpty, "remove-files needs paths")
+    val meta = loadMeta(ident)
+    val (adds, sources) =
+      if (dataPaths.isEmpty) (Seq.empty[DataFileMeta], Seq.empty[String])
+      else resolveStagedData(ident, meta, dataPaths, forceOutsideLocation, options)
+    val drops = dropPaths.map(fsPath).toSet
+    commitSnap(ident, basedOn = basedOn) { m =>
+      val curPaths = m.current.map(_.files.map(f => fsPath(f.path)).toSet)
+        .getOrElse(Set.empty)
+      val unknown = drops.filterNot(curPaths.contains)
+      require(unknown.isEmpty,
+        s"remove-files: not current data files: ${unknown.take(3).mkString(", ")}")
+      SnapDelta("overwrite", drop = drops, add = adds, addSources = sources)
+    }
+  }
+
   /** Footer-read one staged delete file (local path or mounted store
     * URI) into its manifest entry, validating the staged schema actually
     * carries the spec's key columns — a delete file the merged read
@@ -1708,9 +1742,33 @@ class IceCatalog(
   def upsert(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta = {
     require(keyCols.nonEmpty, "upsert needs key columns")
     val meta = loadMeta(ident)
-    val cur = meta.current.getOrElse {
-      return insert(ident, df)
-    }
+    if (meta.current.isEmpty) return insert(ident, df)
+    val (affectedPaths, survivors) = planCopyOnWriteUpsert(ident, df, keyCols)
+    val rewritten = survivors.map(writeArranged(ident, _, meta)).getOrElse(Seq.empty)
+    val appended = writeArranged(ident, df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("overwrite", drop = affectedPaths.map(fsPath).toSet,
+        add = rewritten ++ appended))
+  }
+
+  /** Copy-on-write MERGE plan — the read half of [[upsert]], exposed so
+    * an EXTERNAL committer (the REST thin client) can plan the rewrite
+    * itself and commit it through the wire's `remove-files` +
+    * `append-files` vocabulary, the way an Iceberg client plans overwrite
+    * snapshots. Returns the current data files containing a matched key
+    * (the files the commit must drop) and, when any exist, their
+    * surviving rows — read through the MERGED view (rows masked by
+    * pending MOR deletes must not resurrect in the rewritten
+    * fresh-sequence files) with the matched keys anti-joined away. The
+    * plan is valid against the snapshot current at call time; commit it
+    * under a CAS on that snapshot and re-plan on conflict.
+    */
+  def planCopyOnWriteUpsert(
+      ident: String, df: DataFrame, keyCols: Seq[String])
+      : (Seq[String], Option[DataFrame]) = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    val meta = loadMeta(ident)
+    val cur = meta.current.getOrElse(return (Seq.empty, None))
     val keys = df.select(keyCols.map(col): _*).distinct()
     // Bind input_file_name() to the table scan BEFORE the join: if `df` is
     // itself file-backed the joined plan has two file sources and Spark
@@ -1721,16 +1779,11 @@ class IceCatalog(
       .join(keys, keyCols, "left_semi")
       .select(col("__file")).distinct().collect().map(r => fsPath(r.getString(0))).toSet
     val (rewrite, _) = cur.files.partition(f => affected.contains(fsPath(f.path)))
-    // rewrite through the MERGED view: rows masked by pending MOR deletes
-    // must not resurrect in the rewritten (fresh-sequence) files
     val survivors =
       if (rewrite.isEmpty) None
       else Some(readFilesMerged(meta, cur, rewrite)
         .join(keys, keyCols, "left_anti"))
-    val rewritten = survivors.map(writeArranged(ident, _, meta)).getOrElse(Seq.empty)
-    val appended = writeArranged(ident, df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
-    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
-      SnapDelta("overwrite", drop = affected, add = rewritten ++ appended))
+    (rewrite.map(_.path), survivors)
   }
 
   /** Write one equality-delete file: the distinct key tuples, one small

@@ -51,9 +51,9 @@ import graft.catalog.IceCatalog._
   * file of the batch's keys, position deletes stage one `(file_path,
   * pos)` parquet, and both register through `add-delete-files` (+
   * `append-files`) in ONE CAS-guarded snapshot commit — the delete-file
-  * half of the Iceberg REST commit model. Unsupported remotely (fails
-  * with a clear message): copy-on-write `upsert` (rewrites are a
-  * catalog-host operation; use merge-on-read remotely).
+  * half of the Iceberg REST commit model. Copy-on-write `upsert` plans
+  * the rewrite client-side and swaps files through `remove-files` +
+  * `append-files`, re-planning on 409 — the overwrite half.
   */
 final class RestCatalogClient(
     val spark: SparkSession,
@@ -562,11 +562,48 @@ final class RestCatalogClient(
     }
   }
 
-  def upsert(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta =
-    throw new UnsupportedOperationException(
-      "copy-on-write MERGE is not in the REST wire vocabulary — use " +
-        "merge-on-read (upsertMergeOnRead) remotely, or run copy-on-write " +
-        "merges on the catalog host (local mode)")
+  /** COPY-ON-WRITE upsert over the wire — the external-committer form of
+    * [[IceCatalog.upsert]], the way an Iceberg client plans overwrite
+    * snapshots: plan the rewrite client-side against the current snapshot
+    * ([[IceCatalog.planCopyOnWriteUpsert]] through this client's own
+    * reader — survivors come from the MERGED view, so MOR-masked rows
+    * don't resurrect), stage the surviving + new rows on shared storage,
+    * then swap them in ONE `remove-files` + `append-files` commit CAS'd
+    * on the planned snapshot. A 409 (another committer moved the table)
+    * re-plans from scratch under the [[CommitRetry]] budget — the rewrite
+    * must not drop files a racing commit already rewrote away, and the
+    * server re-validates the drop set inside its lease-locked commit.
+    */
+  def upsert(ident: String, df: DataFrame, keyCols: Seq[String]): TableMeta = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    if (loadMeta(ident).current.isEmpty) return insert(ident, df, InsertOptions())
+    CommitRetry.run(retries, retryTotalMs, verified = () => None) { _ =>
+      val meta = loadMeta(ident)
+      val basedOn = meta.currentSnapshotId
+      val (affected, survivors) =
+        reader(ident).planCopyOnWriteUpsert(ident, df, keyCols)
+      val arranged = df.select(meta.schema.fieldNames.toSeq.map(col): _*)
+      val toWrite = survivors match {
+        case Some(s) =>
+          s.select(meta.schema.fieldNames.toSeq.map(col): _*).union(arranged)
+        case None => arranged
+      }
+      val (dataPaths, profile) = stageParquet(ident, toWrite, "ingest", None)
+      require(dataPaths.nonEmpty, "upsert produced no data files")
+      val removeAction: Seq[Map[String, Any]] =
+        if (affected.isEmpty) Seq.empty
+        else Seq(Map("action" -> "remove-files", "paths" -> affected))
+      send("POST", tableUrl(ident), Some(jstr(Map(
+        "requirements" -> Seq(Map(
+          "type" -> "assert-current-snapshot-id", "snapshot-id" -> basedOn)),
+        "updates" -> (removeAction :+ Map(
+          "action" -> "append-files",
+          "paths" -> dataPaths,
+          "force-outside-location" -> profile.isDefined))))))
+      loadMeta(ident)
+    }
+  }
 
   /** MERGE-ON-READ upsert over the wire — the external-committer form of
     * [[IceCatalog.upsertMergeOnRead]]: stage the batch's data files AND

@@ -733,7 +733,9 @@ object RestServer {
           throw new IllegalArgumentException("rollback must be the only update")
         case _ => ()
       }
-      val (appends, rest0) = us.partition(u => textOr(u, "action", "") == "append-files")
+      val (appends, rest00) = us.partition(u => textOr(u, "action", "") == "append-files")
+      val (removeOps, rest0) = rest00.partition(u =>
+        textOr(u, "action", "") == "remove-files")
       val (deleteOps, rest) = rest0.partition(u =>
         textOr(u, "action", "") == "add-delete-files")
       val (schemaOps, rest2) = rest.partition(u =>
@@ -748,13 +750,18 @@ object RestServer {
         s"unsupported update action: ${textOr(u, "action", "(none)")}"))
       // append-files + add-delete-files ARE one commit kind (the
       // delta-merge shape: a MOR upsert appends its batch and registers
-      // its key-delete file in ONE snapshot); everything else stays
-      // unmixable
+      // its key-delete file in ONE snapshot), as are append-files +
+      // remove-files (the overwrite shape: a copy-on-write MERGE swaps
+      // rewritten files in one snapshot); everything else stays unmixable
       require(
-        Seq(appends ++ deleteOps, schemaOps, propOps, refOps, specOps).count(_.nonEmpty) <= 1,
+        Seq(appends ++ deleteOps ++ removeOps, schemaOps, propOps, refOps, specOps)
+          .count(_.nonEmpty) <= 1,
         "file updates, schema updates, property updates, ref updates, and " +
           "partition-spec updates cannot mix in one commit (each is one " +
           "atomic commit; a mixed request could half-apply)")
+      require(removeOps.isEmpty || deleteOps.isEmpty,
+        "remove-files (an overwrite) cannot mix with add-delete-files " +
+          "(a delta commit) — one snapshot is either a rewrite or a delta")
       if (schemaOps.nonEmpty) {
         // spec schema evolution: `add-schema` ships the full target schema
         // (diffed by field id in IceCatalog.evolveSchemaTo — one atomic
@@ -783,9 +790,10 @@ object RestServer {
           .map(_.path("last-assigned-field-id").asInt()).lastOption
         cat.evolveSchemaTo(ident, wanted, basedOn, lastSeen)
       }
-      if (appends.nonEmpty || deleteOps.nonEmpty) {
+      if (appends.nonEmpty || deleteOps.nonEmpty || removeOps.nonEmpty) {
         val paths = appends.flatMap(_.path("paths").elements().asScala.map(_.asText()))
-        require(paths.nonEmpty || deleteOps.nonEmpty, "append-files needs paths")
+        require(paths.nonEmpty || deleteOps.nonEmpty || removeOps.nonEmpty,
+          "append-files needs paths")
         val force = appends.exists(_.path("force-outside-location").asBoolean(false))
         // duplicate policy rides the wire (the client's InsertOptions):
         // a replayed no-copy epoch must be able to say skip-duplicates,
@@ -808,8 +816,13 @@ object RestServer {
             else u.path("equality-columns").elements().asScala.map(_.asText()).toSeq
           IceCatalog.StagedDeletes(dPaths, keyCols, positional)
         }
+        val dropPaths = removeOps.flatMap(
+          _.path("paths").elements().asScala.map(_.asText()))
         try {
-          if (specs.isEmpty)
+          if (removeOps.nonEmpty)
+            cat.replaceStagedFiles(ident, dropPaths, paths,
+              forceOutsideLocation = force, options = opts, basedOn = basedOn)
+          else if (specs.isEmpty)
             cat.addFiles(ident, paths, forceOutsideLocation = force,
               options = opts, basedOn = basedOn)
           else
@@ -860,7 +873,8 @@ object RestServer {
       }
       // a requirement with nothing to commit is still a contract: evaluate
       // it against the live snapshot so a stale client hears 409, not 200
-      if (appends.isEmpty && deleteOps.isEmpty && propOps.isEmpty &&
+      if (appends.isEmpty && deleteOps.isEmpty && removeOps.isEmpty &&
+          propOps.isEmpty &&
           schemaOps.isEmpty && refOps.isEmpty && specOps.isEmpty) basedOn.foreach { id =>
         val cur = cat.loadMeta(ident).currentSnapshotId
         if (cur != id) throw new java.util.ConcurrentModificationException(

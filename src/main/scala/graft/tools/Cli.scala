@@ -334,12 +334,6 @@ object Cli {
           // that appears under the directory is committed through the
           // catalog, duplicates skipped, resumable via the checkpoint
           require(paths.length == 1, "insert --watch takes exactly one directory")
-          if (flags.contains("merge-keys") && !cat.isInstanceOf[IceCatalog] &&
-              !flags.contains("merge-on-read"))
-            fail("--merge-keys watch over a remote catalog needs " +
-              "--merge-on-read (merge-on-read batches commit over the wire " +
-              "as append-files + add-delete-files; copy-on-write MERGE " +
-              "stays on the catalog host)")
           val checkpoint = flags.getOrElse("checkpoint",
             java.nio.file.Files.createTempDirectory("graft-watch-ckpt").toString)
           val trigger =

@@ -585,10 +585,11 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rcli("delete-table", "r.events")._1 == 0)
       assert(rcli("delete-table", "r.part")._1 == 0)
 
-      // continuous keyed CDC MERGE against the REMOTE catalog: each batch
-      // lands as ONE append-files + add-delete-files commit (the
-      // merge-on-read wire shape); copy-on-write --merge-keys without
-      // --merge-on-read stays a loud local-only refusal
+      // continuous keyed CDC MERGE against the REMOTE catalog — BOTH
+      // write modes: copy-on-write batches swap files through
+      // remove-files + append-files (client-planned rewrite), and
+      // merge-on-read batches land as ONE append-files + add-delete-files
+      // delta commit
       assert(rcli("create-table", "r.cdc",
         "--schema", "id BIGINT, v STRING, ver BIGINT")._1 == 0)
       val cdcDir = Files.createTempDirectory("rcli-cdc")
@@ -598,14 +599,11 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Files.list(staging.resolve("cdc1")).iterator().asScala
         .filter(_.toString.endsWith(".parquet"))
         .foreach(p => java.nio.file.Files.copy(p, cdcDir.resolve("b1.parquet")))
-      val (ccow, ocow) = rcli("insert", "r.cdc", cdcDir.toString,
-        "--watch", "--watch-fire-once", "--merge-keys", "id", "--version-col", "ver")
-      assert(ccow == 1 && ocow.exists(_.contains("--merge-on-read")), ocow.mkString("|"))
       val cdcBuf = new ByteArrayOutputStream()
       val cdcCode = Cli.run(
         Seq("--uri", uri, "--token", "rtok", "insert", "r.cdc", cdcDir.toString,
           "--watch", "--watch-fire-once", "--merge-keys", "id",
-          "--version-col", "ver", "--merge-on-read"),
+          "--version-col", "ver"), // no --merge-on-read: copy-on-write
         spark, new PrintStream(cdcBuf, true), onWatch = q => q.awaitTermination())
       assert(cdcCode == 0, cdcBuf.toString)
       val (_, cdcScan) = rcli("scan", "r.cdc")

@@ -116,6 +116,12 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
             // count) must match the local equality-delete commit exactly
             cat.upsertMergeOnRead(t,
               spark.read.parquet(batches(i % batches.length)), Seq("id")); "morUpsert"
+          case 17 =>
+            // COPY-ON-WRITE upsert: remote plans the rewrite client-side
+            // and swaps files through remove-files + append-files; rows
+            // and snapshot counts must match the local rewrite exactly
+            cat.upsert(t,
+              spark.read.parquet(batches(i % batches.length)), Seq("id")); "cowUpsert"
           case 16 =>
             // POSITION delete: mask every physical occurrence of the
             // minimum id — a deterministic row pick that names files by
@@ -135,7 +141,7 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       var agreed = 0
       for (i <- 1 to 120) {
-        val opId = r.nextInt(17)
+        val opId = r.nextInt(18)
         val t = tables(r.nextInt(tables.length))
         val lr = run(local, opId, t, i)
         val rr = run(remote, opId, t, i)
