@@ -39,6 +39,7 @@ trait CatalogSurface {
   def createNamespace(ns: String): Unit
   def namespaceExists(ns: String): Boolean
   def dropNamespace(ns: String): Unit
+  def namespaceProperties(ns: String): Map[String, String]
 
   // ---- tables: DDL --------------------------------------------------------
   def listTables(ns: String): Seq[String]
@@ -80,6 +81,7 @@ trait CatalogSurface {
   def insert(
       ident: String, df0: DataFrame,
       options: InsertOptions = InsertOptions()): TableMeta
+  def overwrite(ident: String, df: DataFrame): TableMeta
   def addFilesWithRetry(
       ident: String,
       paths: Seq[String],

@@ -48,10 +48,22 @@ private[catalog] class GraftSnapshotTable(
     meta: IceCatalog.TableMeta, files: Seq[IceCatalog.DataFileMeta],
     mkTable: (Seq[String], StructType) => ParquetTable,
     readSchema: StructType, idResolved: Boolean, timeTraveled: Boolean,
-    deletes: Seq[IceCatalog.DeleteFileMeta])
+    deletes: Seq[IceCatalog.DeleteFileMeta],
+    // the commit plane: the same IceCatalog locally, the REST thin client
+    // in remote-uri mode (INSERT INTO/OVERWRITE route through it; ops the
+    // wire vocabulary can't express fail loudly via localWriter)
+    writer: CatalogSurface)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  private def localWriter(op: String): IceCatalog = writer match {
+    case ic: IceCatalog => ic
+    case _ => throw new UnsupportedOperationException(
+      s"$op on $ident runs on the catalog host — against a remote REST " +
+        "catalog use INSERT INTO / INSERT OVERWRITE, or the thin client's " +
+        "upsert / upsertMergeOnRead / deletePositions")
+  }
 
   /** `_file` (Iceberg's metadata-column spelling): the data file path
     * serving each row — stamped by the scan (ManifestPrune's
@@ -230,8 +242,8 @@ private[catalog] class GraftSnapshotTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(!timeTraveled, s"cannot write to a time-traveled snapshot of $ident")
-    () => RowLevelOps.operation(ice, ident, meta,
-      ctx(CaseInsensitiveStringMap.empty()), info)
+    () => RowLevelOps.operation(localWriter("SQL MERGE/UPDATE/DELETE"),
+      ident, meta, ctx(CaseInsensitiveStringMap.empty()), info)
   }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -250,12 +262,12 @@ private[catalog] class GraftSnapshotTable(
             (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
               // the analyzer already reordered/cast the query output to the
               // table schema positionally; re-label to the table's names
-              val aligned = data.toDF(ice.loadMeta(ident).schema.fieldNames.toSeq: _*)
-              if (overwrite) ice.overwrite(ident, aligned)
+              val aligned = data.toDF(writer.loadMeta(ident).schema.fieldNames.toSeq: _*)
+              if (overwrite) writer.overwrite(ident, aligned)
               // SQL INSERT appends rows regardless of their source files
               // (self-inserts are legal), so duplicate-source detection —
               // an ice-CLI ingestion concept — is bypassed
-              else ice.insert(ident, aligned,
+              else writer.insert(ident, aligned,
                 IceCatalog.InsertOptions(forceDuplicates = true))
               (): Unit
             }
@@ -268,7 +280,8 @@ private[catalog] class GraftSnapshotTable(
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
             require(!overwrite,
               s"streaming writes to $ident support append mode only")
-            new GraftStreamingWrite(ice, ident, info.queryId(), info.schema())
+            new GraftStreamingWrite(localWriter("streaming write"),
+              ident, info.queryId(), info.schema())
           }
         }
     }
@@ -288,11 +301,11 @@ private[catalog] class GraftSnapshotTable(
       throw new UnsupportedOperationException(s"cannot convert predicate $p")))
     // no predicates = delete everything
     val pred = cols.reduceOption(_ && _).getOrElse(lit(true))
-    ice.deleteWhere(ident, pred): Unit
+    localWriter("SQL DELETE").deleteWhere(ident, pred): Unit
   }
 
   override def truncateTable(): Boolean = {
-    ice.deleteWhere(ident, lit(true))
+    localWriter("TRUNCATE").deleteWhere(ident, lit(true))
     true
   }
 }
@@ -364,7 +377,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace().toSeq == Seq("system"),
       s"procedures live in the system namespace, got $ident")
-    Procedures.load(() => ice, ident.name().toLowerCase)
+    Procedures.load(
+      () => localIce("CALL graft.system.* procedures"), ident.name().toLowerCase)
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -374,14 +388,64 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var root: String = _
+  private var uri: String = _
+  private var token: Option[String] = None
+  private var cacert: Option[String] = None
+  private var sslVerify: Boolean = true
 
   private def spark: SparkSession = SparkSession.active
-  private def ice: IceCatalog = new IceCatalog(spark, root)
+
+  /** One REST thin client per session (its per-table readers and vended
+    * credentials cache inside the instance).
+    */
+  private val remoteClients =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, RestCatalogClient]()
+
+  /** The commit-plane catalog: local [[IceCatalog]] under `root`, or the
+    * REST thin client when `uri` is configured — the reference's primary
+    * Spark topology (Spark + Iceberg REST catalog): the server owns the
+    * metadata plane, executors read data files straight from storage.
+    */
+  private def ice: CatalogSurface =
+    if (uri == null) new IceCatalog(spark, root)
+    else {
+      remoteClients.keySet().removeIf(_.sparkContext.isStopped)
+      remoteClients.computeIfAbsent(spark, s => new RestCatalogClient(
+        s, uri, bearerToken = token,
+        sslContext = RestCatalogClient.sslContextFor(cacert, sslVerify)))
+    }
+
+  /** Read-plane [[IceCatalog]] for one table: the local catalog itself,
+    * or the remote client's reader (shared-fs or wire-mounted with the
+    * table's vended credential) — commits never route through it.
+    */
+  private def readIce(id: String): IceCatalog = ice match {
+    case ic: IceCatalog => ic
+    case rc: RestCatalogClient => rc.readDelegate(id)
+  }
+
+  /** Ops that must run next to the catalog (their commits use the local
+    * manifest protocol directly, not the wire vocabulary).
+    */
+  private def localIce(op: String): IceCatalog = ice match {
+    case ic: IceCatalog => ic
+    case _ => throw new UnsupportedOperationException(
+      s"$op runs on the catalog host — the remote REST catalog (uri mode) " +
+        "supports SELECT (merged MOR reads, time travel, metadata tables, " +
+        "streaming reads), INSERT INTO / INSERT OVERWRITE, and DDL")
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    root = Option(options.get("root")).getOrElse(
-      throw new IllegalArgumentException(s"spark.sql.catalog.$name.root is required"))
+    root = options.get("root")
+    uri = Option(options.get("uri"))
+      .filter(u => u.startsWith("http://") || u.startsWith("https://"))
+      .orNull
+    token = Option(options.get("token"))
+    cacert = Option(options.get("cacert"))
+    sslVerify = Option(options.get("ssl-verify")).forall(_.toBoolean)
+    if (root == null && uri == null) throw new IllegalArgumentException(
+      s"spark.sql.catalog.$name.root (local) or .uri (remote REST) is required")
     // Resolve parquet columns by field id WHEN the read schema carries ids
     // (only schemas this catalog annotates do) — Spark's native mechanism
     // for rename/drop-safe reads, the same one Iceberg's Spark integration
@@ -425,7 +489,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       val base = ns.mkString(".")
       val metaName = ident.name().toLowerCase
       if (ice.tableExists(base) && MetadataTables.Names.contains(metaName))
-        MetadataTables(ice, base, metaName)
+        MetadataTables(readIce(base), base, metaName)
       else throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ns.toSeq :+ ident.name())
     } else tableAt(ident, None)
@@ -436,8 +500,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     * (tag/branch, Iceberg's `VERSION AS OF 'tag'` UX).
     */
   override def loadTable(ident: Identifier, version: String): Table =
-    tableAt(ident, Some(version.toLongOption.getOrElse(
-      ice.refSnapshot(identString(ident), version))))
+    tableAt(ident, Some(version.toLongOption.getOrElse {
+      val id = identString(ident)
+      ice.listRefs(id).getOrElse(version,
+        throw new NoSuchElementException(s"no ref $version on $id")).snapshotId
+    }))
 
   /** SQL `TIMESTAMP AS OF` — newest snapshot at or before the timestamp. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
@@ -474,14 +541,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     val evolved = meta.schemaLog.length > 1 && files.exists(f =>
       meta.schemaLog(math.min(f.schemaId, meta.schemaLog.length - 1))
         .schemaJson != meta.schemaJson)
-    val readSchema = if (evolved) ice.idAnnotatedSchema(meta) else meta.schema
+    val readSchema =
+      if (evolved) readIce(id).idAnnotatedSchema(meta) else meta.schema
     val mkTable = (paths: Seq[String], schema: StructType) => ParquetTable(
       id, spark, CaseInsensitiveStringMap.empty(), paths,
       Some(schema), classOf[ParquetFileFormat])
     new GraftSnapshotTable(mkTable(files.map(_.path).toSeq, readSchema),
-      meta.properties, ice, id, meta, files.toSeq, mkTable,
+      meta.properties, readIce(id), id, meta, files.toSeq, mkTable,
       readSchema, idResolved = evolved, timeTraveled = asOf.isDefined,
-      deletes = deletes)
+      deletes = deletes, writer = ice)
   }
 
   override def createTable(

@@ -1336,6 +1336,18 @@ class IceCatalog(
     * commit dir; returns the new files' manifest entries. `coalesceTo`
     * bounds output file count (compaction).
     */
+  /** `df` plus one appended DIR column per partition field (the transform
+    * value, named like the staging dir) — an EXTERNAL committer stages
+    * with `.partitionBy(dirNames)` so every staged file holds exactly one
+    * partition value (the no-copy registration contract,
+    * Insert.java:486-489) while the data columns stay in the files.
+    */
+  private[catalog] def withPartitionDirs(
+      df: DataFrame, meta: TableMeta): (DataFrame, Seq[String]) =
+    (meta.partitionSpec.foldLeft(df)((d, f) =>
+      d.withColumn(partDirName(f), transformCol(f, meta.schema))),
+      meta.partitionSpec.map(partDirName))
+
   private def writeArranged(
       ident: String,
       df: DataFrame,
@@ -1621,20 +1633,28 @@ class IceCatalog(
       dataPaths: Seq[String],
       forceOutsideLocation: Boolean = false,
       options: InsertOptions = InsertOptions(),
-      basedOn: Option[Long] = None): TableMeta = {
-    require(dropPaths.nonEmpty, "remove-files needs paths")
+      basedOn: Option[Long] = None,
+      replaceAll: Boolean = false): TableMeta = {
+    require(replaceAll || dropPaths.nonEmpty, "remove-files needs paths (or all)")
     val meta = loadMeta(ident)
     val (adds, sources) =
       if (dataPaths.isEmpty) (Seq.empty[DataFileMeta], Seq.empty[String])
       else resolveStagedData(ident, meta, dataPaths, forceOutsideLocation, options)
     val drops = dropPaths.map(fsPath).toSet
     commitSnap(ident, basedOn = basedOn) { m =>
-      val curPaths = m.current.map(_.files.map(f => fsPath(f.path)).toSet)
-        .getOrElse(Set.empty)
-      val unknown = drops.filterNot(curPaths.contains)
-      require(unknown.isEmpty,
-        s"remove-files: not current data files: ${unknown.take(3).mkString(", ")}")
-      SnapDelta("overwrite", drop = drops, add = adds, addSources = sources)
+      // replaceAll = the wire INSERT OVERWRITE: drop the whole current
+      // file set AND clear pending MOR deletes (every masked row was
+      // discarded), exactly local [[overwrite]]'s SnapDelta
+      if (replaceAll)
+        SnapDelta("overwrite", add = adds, addSources = sources, replaceAll = true)
+      else {
+        val curPaths = m.current.map(_.files.map(f => fsPath(f.path)).toSet)
+          .getOrElse(Set.empty)
+        val unknown = drops.filterNot(curPaths.contains)
+        require(unknown.isEmpty,
+          s"remove-files: not current data files: ${unknown.take(3).mkString(", ")}")
+        SnapDelta("overwrite", drop = drops, add = adds, addSources = sources)
+      }
     }
   }
 

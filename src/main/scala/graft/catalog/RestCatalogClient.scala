@@ -55,6 +55,54 @@ import graft.catalog.IceCatalog._
   * the rewrite client-side and swaps files through `remove-files` +
   * `append-files`, re-planning on 409 — the overwrite half.
   */
+object RestCatalogClient {
+  /** TLS trust for a client endpoint: `sslVerify = false` → trust-all
+    * (see the CLI's documented hostname-verification caveat); else a
+    * `cacert` PEM bundle → trust exactly those CAs; else None (JVM
+    * default trust).
+    */
+  def sslContextFor(
+      cacert: Option[String], sslVerify: Boolean): Option[javax.net.ssl.SSLContext] =
+    if (!sslVerify) Some(insecureSslContext())
+    else cacert.map(caSslContext)
+
+  /** Trust-all context for `sslVerify: false` (self-signed lab servers).
+    * Skipping hostname verification requires the JDK's
+    * `jdk.internal.httpclient.disableHostnameVerification` property to be
+    * read BEFORE any HttpClient is built in the process — set here for
+    * plain CLI processes; embedders must set it at JVM startup.
+    */
+  def insecureSslContext(): javax.net.ssl.SSLContext = {
+    System.setProperty("jdk.internal.httpclient.disableHostnameVerification", "true")
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](
+      new javax.net.ssl.X509TrustManager {
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      }), new java.security.SecureRandom())
+    ctx
+  }
+
+  /** Trust exactly the CA bundle at `pem` (reference `cacert` config). */
+  def caSslContext(pem: String): javax.net.ssl.SSLContext = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(pem))
+    val certs = try cf.generateCertificates(in) finally in.close()
+    val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    val it = certs.iterator()
+    var i = 0
+    while (it.hasNext) { ks.setCertificateEntry(s"ca$i", it.next()); i += 1 }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+}
+
 final class RestCatalogClient(
     val spark: SparkSession,
     baseUrl: String,
@@ -342,6 +390,18 @@ final class RestCatalogClient(
   def dropNamespace(ns: String): Unit =
     send("DELETE", s"$base/v1/namespaces/${nsSeg(ns)}")
 
+  def namespaceProperties(ns: String): Map[String, String] = {
+    val r = send("GET", s"$base/v1/namespaces/${nsSeg(ns)}")
+    r.path("properties").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  /** The IceCatalog this client READS through for `ident` (shared-fs or
+    * wire-mounted) — the scan half the SQL catalog plugin builds its
+    * manifest-pruned relations on. Commits never route through it.
+    */
+  private[catalog] def readDelegate(ident: String): IceCatalog = reader(ident)
+
   // ---- tables: DDL --------------------------------------------------------
 
   def listTables(ns: String): Seq[String] =
@@ -445,7 +505,10 @@ final class RestCatalogClient(
     */
   private def stageParquet(
       ident: String, df: DataFrame, prefix: String,
-      compression: Option[String]): (Seq[String], Option[StorageProfile]) = {
+      compression: Option[String],
+      // delete-file staging writes KEY frames, not table rows — never
+      // partition-arranged
+      arrange: Boolean = true): (Seq[String], Option[StorageProfile]) = {
     val stagingName = s"$prefix-${java.util.UUID.randomUUID().toString.take(8)}"
     val tableDir = java.nio.file.Paths.get(URI.create(tableLocation(ident)))
     // zero-local-storage mode: stage THROUGH the object-store data plane
@@ -458,16 +521,32 @@ final class RestCatalogClient(
       case None =>
         tableDir.resolve("data").resolve(stagingName).toString
     }
-    val w = compression.foldLeft(df.write)((w, c) => w.option("compression", c))
+    // partitioned tables: stage PARTITION-PURE files (the registration
+    // contract — each file must hold one partition value), by writing
+    // through dir columns the reader derives from the table's spec; the
+    // data columns stay in the files, the dir columns are write routing
+    val meta = loadMeta(ident)
+    val (toWrite, dirNames) =
+      if (!arrange || meta.partitionSpec.isEmpty) (df, Seq.empty[String])
+      else reader(ident).withPartitionDirs(df, meta)
+    val w0 = compression.foldLeft(toWrite.write)((w, c) => w.option("compression", c))
+    val w = if (dirNames.isEmpty) w0 else w0.partitionBy(dirNames: _*)
     w.parquet(staging)
+    // partitionBy nests value dirs — list recursively on both planes
     val parts = profile match {
       case Some(_) =>
-        val hp = new org.apache.hadoop.fs.Path(s"$staging/*.parquet")
-        Option(hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .globStatus(hp)).toSeq.flatten
-          .filter(_.isFile).map(_.getPath.toString).sorted
+        val root = new org.apache.hadoop.fs.Path(staging)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = Seq.newBuilder[String]
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+            out += f.getPath.toString
+        }
+        out.result().sorted
       case None =>
-        LocalFileIO.list(java.nio.file.Paths.get(staging))
+        LocalFileIO.walk(java.nio.file.Paths.get(staging))
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(_.toString).sorted
     }
@@ -605,6 +684,37 @@ final class RestCatalogClient(
     }
   }
 
+  /** INSERT OVERWRITE over the wire: stage the replacement rows, then ONE
+    * commit dropping the ENTIRE current file set (`remove-files` with
+    * `all: true` — which also clears pending MOR deletes server-side,
+    * local [[IceCatalog.overwrite]]'s exact SnapDelta) and appending the
+    * staged files. Readers never observe the empty intermediate state; a
+    * 409 re-reads and re-stages under the [[CommitRetry]] budget.
+    */
+  def overwrite(ident: String, df: DataFrame): TableMeta = {
+    import org.apache.spark.sql.functions.col
+    val schema = loadMeta(ident).schema
+    val arranged = df.select(schema.fieldNames.toSeq.map(col): _*)
+    CommitRetry.run(retries, retryTotalMs, verified = () => None) { _ =>
+      val m = loadMeta(ident)
+      val (dataPaths, profile) = stageParquet(ident, arranged, "ingest", None)
+      require(dataPaths.nonEmpty, "overwrite produced no data files")
+      val removeAction: Seq[Map[String, Any]] =
+        if (m.current.isEmpty) Seq.empty
+        else Seq(Map("action" -> "remove-files", "all" -> true,
+          "paths" -> Seq.empty[String]))
+      send("POST", tableUrl(ident), Some(jstr(Map(
+        "requirements" -> Seq(Map(
+          "type" -> "assert-current-snapshot-id",
+          "snapshot-id" -> m.currentSnapshotId)),
+        "updates" -> (removeAction :+ Map(
+          "action" -> "append-files",
+          "paths" -> dataPaths,
+          "force-outside-location" -> profile.isDefined))))))
+      loadMeta(ident)
+    }
+  }
+
   /** MERGE-ON-READ upsert over the wire — the external-committer form of
     * [[IceCatalog.upsertMergeOnRead]]: stage the batch's data files AND
     * one equality-delete file of the batch's keys on shared storage, then
@@ -627,7 +737,8 @@ final class RestCatalogClient(
     // one small delete file of the batch's distinct keys, like the local
     // writeDeleteFile
     val (delPaths, _) = stageParquet(ident,
-      df.select(keyCols.map(col): _*).distinct().coalesce(1), "delete", None)
+      df.select(keyCols.map(col): _*).distinct().coalesce(1), "delete", None,
+      arrange = false)
     commitDelta(ident, dataPaths,
       Seq(WireDeletes(delPaths, keyCols, positional = false)),
       forceOutsideLocation = profile.isDefined, InsertOptions(),
@@ -666,7 +777,7 @@ final class RestCatalogClient(
       s"position deletes need columns (file_path, pos), got ${df.columns.toSeq}")
     val (delPaths, _) = stageParquet(ident,
       df.select(col("file_path"), col("pos")).distinct().coalesce(1),
-      "delete", None)
+      "delete", None, arrange = false)
     commitDelta(ident, Seq.empty,
       Seq(WireDeletes(delPaths, Seq("file_path", "pos"), positional = true)),
       forceOutsideLocation = false, InsertOptions(), retries, retryTotalMs)

@@ -818,10 +818,14 @@ object RestServer {
         }
         val dropPaths = removeOps.flatMap(
           _.path("paths").elements().asScala.map(_.asText()))
+        // "all": true = the wire INSERT OVERWRITE (drop every current file
+        // and clear pending deletes, local overwrite's exact SnapDelta)
+        val replaceAll = removeOps.exists(_.path("all").asBoolean(false))
         try {
           if (removeOps.nonEmpty)
             cat.replaceStagedFiles(ident, dropPaths, paths,
-              forceOutsideLocation = force, options = opts, basedOn = basedOn)
+              forceOutsideLocation = force, options = opts, basedOn = basedOn,
+              replaceAll = replaceAll)
           else if (specs.isEmpty)
             cat.addFiles(ident, paths, forceOutsideLocation = force,
               options = opts, basedOn = basedOn)

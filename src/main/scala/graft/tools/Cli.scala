@@ -203,63 +203,19 @@ object Cli {
   private def buildRemote(
       uri: String, flags: Map[String, String], cfg: GraftConfig,
       spark: SparkSession): graft.catalog.RestCatalogClient = {
-    val ssl: Option[javax.net.ssl.SSLContext] =
-      if (flags.contains("no-ssl-verify") || !cfg.sslVerify)
-        Some(insecureSslContext())
-      else flags.get("cacert").orElse(cfg.cacert).map(pem => caSslContext(pem))
+    val ssl = graft.catalog.RestCatalogClient.sslContextFor(
+      cacert = flags.get("cacert").orElse(cfg.cacert),
+      sslVerify = !flags.contains("no-ssl-verify") && cfg.sslVerify)
     new graft.catalog.RestCatalogClient(spark, uri,
       bearerToken = flags.get("token").orElse(cfg.bearerToken),
       sslContext = ssl)
   }
 
-  /** Trust-all context for `sslVerify: false` (self-signed lab servers —
-    * the reference's RESTCatalogFactory.java:46-51 escape hatch).
-    *
-    * LIMITATION (embedders): skipping hostname verification rides the
-    * JDK's `jdk.internal.httpclient.disableHostnameVerification` system
-    * property, which the http client implementation reads ONCE in a
-    * static initializer. A plain CLI process is fine — flag parsing runs
-    * before the first HttpClient is built — but a JVM that constructed
-    * ANY HttpClient earlier (an embedder running serve+client in one
-    * process) has already frozen the setting, and `--no-ssl-verify`
-    * then still enforces hostname checks against certs that don't name
-    * the dialed address. Such processes must set the property at JVM
-    * startup (`-Djdk.internal.httpclient.disableHostnameVerification=
-    * true`), as the test harness does.
-    */
-  private def insecureSslContext(): javax.net.ssl.SSLContext = {
-    // trust-all must also skip hostname verification (a lab server's cert
-    // rarely names the address the client dialed); set before client
-    // build — process-global, which is exactly the CLI escape hatch's
-    // scope (see the static-initializer caveat above)
-    System.setProperty("jdk.internal.httpclient.disableHostnameVerification", "true")
-    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-    ctx.init(null, Array[javax.net.ssl.TrustManager](
-      new javax.net.ssl.X509TrustManager {
-        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
-      }), new java.security.SecureRandom())
-    ctx
-  }
-
-  /** Trust exactly the CA bundle at `pem` (reference `cacert` config). */
-  private def caSslContext(pem: String): javax.net.ssl.SSLContext = {
-    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
-    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(pem))
-    val certs = try cf.generateCertificates(in) finally in.close()
-    val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
-    ks.load(null, null)
-    val it = certs.iterator()
-    var i = 0
-    while (it.hasNext) { ks.setCertificateEntry(s"ca$i", it.next()); i += 1 }
-    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
-      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
-    tmf.init(ks)
-    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-    ctx.init(null, tmf.getTrustManagers, null)
-    ctx
-  }
+  // TLS trust contexts (trust-all for `sslVerify: false` — the reference's
+  // RESTCatalogFactory.java:46-51 escape hatch, with its documented
+  // hostname-verification caveat — and `cacert:` CA-bundle trust) live in
+  // [[graft.catalog.RestCatalogClient]]'s companion, shared with the SQL
+  // catalog plugin's remote mode.
 
   /** Command dispatch over the catalog surface — identical for a local
     * catalog and a remote REST client (the ops a remote cannot express

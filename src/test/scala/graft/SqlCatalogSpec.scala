@@ -1237,4 +1237,80 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         (1L to 400L).sum + (402L to 500L by 2).sum)
     }
   }
+
+  test("remote uri mode: Spark SQL against a served REST catalog") {
+    // the reference's primary Spark topology (Spark + Iceberg REST
+    // catalog): the catalog plugin commits through the thin client over
+    // the wire, reads resolve the served metadata pointer and scan
+    // storage directly — a second catalog name registered at runtime
+    import spark.implicits._
+    val remoteRoot = Files.createTempDirectory("sqlcat-remote").toString
+    val served = new graft.catalog.RestServer.Server(
+      new IceCatalog(spark, remoteRoot),
+      tokens = Seq(graft.catalog.RestServer.Token("sqltok", "admin"))).start()
+    try {
+      spark.conf.set("spark.sql.catalog.rgraft", "graft.catalog.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.rgraft.uri", served.url)
+      spark.conf.set("spark.sql.catalog.rgraft.token", "sqltok")
+      spark.sql("CREATE NAMESPACE rgraft.rns")
+      spark.sql(
+        """CREATE TABLE rgraft.rns.t (id BIGINT, v STRING, ts TIMESTAMP)
+          |PARTITIONED BY (years(ts))""".stripMargin)
+      // INSERT INTO commits over the wire; staged files are
+      // partition-pure even though the rows span partition values
+      spark.sql(
+        """INSERT INTO rgraft.rns.t VALUES
+          |(1, 'a', timestamp'2020-01-05 00:00:00'),
+          |(2, 'b', timestamp'2021-06-01 00:00:00')""".stripMargin)
+      assert(spark.sql("SELECT id, v FROM rgraft.rns.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+      // partition pruning still applies on the read path
+      assert(spark.sql(
+        """SELECT count(*) FROM rgraft.rns.t
+          |WHERE ts >= timestamp'2021-01-01 00:00:00'""".stripMargin)
+        .head().getLong(0) == 1)
+      // every commit so far went through the REST server, not local mode
+      val serverCat = new IceCatalog(spark, remoteRoot)
+      assert(serverCat.loadMeta("rns.t").currentSnapshotId == 1)
+
+      // INSERT OVERWRITE = the wire replace-all commit
+      spark.sql(
+        """INSERT OVERWRITE rgraft.rns.t VALUES
+          |(3, 'c', timestamp'2022-03-01 00:00:00')""".stripMargin)
+      assert(spark.sql("SELECT id FROM rgraft.rns.t").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L))
+
+      // DDL over the wire; SHOW surfaces
+      spark.sql("ALTER TABLE rgraft.rns.t ADD COLUMN lang STRING")
+      assert(spark.sql("SELECT * FROM rgraft.rns.t").columns.contains("lang"))
+      assert(spark.sql("SHOW NAMESPACES IN rgraft").collect()
+        .map(_.getString(0)).contains("rns"))
+      assert(spark.sql("SHOW TABLES IN rgraft.rns").collect()
+        .map(_.getString(1)).contains("t"))
+
+      // a MOR upsert through the thin client, then SQL serves the MERGED
+      // view of the pending equality delete
+      val client = new graft.catalog.RestCatalogClient(
+        spark, served.url, Some("sqltok"))
+      client.upsertMergeOnRead("rns.t",
+        Seq((3L, "c2", java.sql.Timestamp.valueOf("2022-03-01 00:00:00"), "en"))
+          .toDF("id", "v", "ts", "lang"),
+        keyCols = Seq("id"))
+      assert(spark.sql("SELECT v, lang FROM rgraft.rns.t WHERE id = 3").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("c2", "en")))
+
+      // metadata tables and time travel resolve through the read plane
+      assert(spark.sql("SELECT * FROM rgraft.rns.t.snapshots").count() >= 3)
+      val firstSnap = serverCat.loadMeta("rns.t").snapshots.map(_.id).min
+      assert(spark.sql(s"SELECT id FROM rgraft.rns.t VERSION AS OF $firstSnap")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+      // ops outside the wire vocabulary fail loudly, naming the remedy
+      val del = intercept[Exception](
+        spark.sql("DELETE FROM rgraft.rns.t WHERE id = 3").collect())
+      assert(del.getMessage.contains("catalog host") ||
+        Option(del.getCause).exists(_.getMessage.contains("catalog host")),
+        del.getMessage)
+    } finally served.stop()
+  }
 }
