@@ -1313,4 +1313,42 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         del.getMessage)
     } finally served.stop()
   }
+
+  test("remote uri mode, ZERO local storage: SQL reads and writes ride the object-store wire") {
+    // Spark SQL against a served catalog whose storage is an object store
+    // the client has NO mount for and NO root credentials to: every byte
+    // authenticates with the per-table credential vended in the load
+    // response — the full thin topology, now through plain spark.sql
+    import spark.implicits._
+    val s3 = new graft.catalog.S3WireServer(
+      graft.catalog.SigV4.Credentials("AKSQL", "sk-sql")).start()
+    var served: graft.catalog.RestServer.Server = null
+    try {
+      val virtualRoot = s"/zls-sql-${System.nanoTime()}/cat"
+      val serverCat = new IceCatalog(spark, virtualRoot,
+        new graft.catalog.S3HttpFileIO(virtualRoot, s3.endpoint, "lake",
+          graft.catalog.SigV4.Credentials("AKSQL", "sk-sql")))
+      served = new graft.catalog.RestServer.Server(serverCat,
+        tokens = Seq(graft.catalog.RestServer.Token("zsql", "admin")),
+        vendTableCredentials = true,
+        s3VendedStorage = Some(graft.catalog.RestServer.S3Storage(
+          s3.endpoint, "AKSQL", "sk-sql", bucket = "lake"))).start()
+      spark.conf.set("spark.sql.catalog.zgraft", "graft.catalog.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.zgraft.uri", served.url)
+      spark.conf.set("spark.sql.catalog.zgraft.token", "zsql")
+      spark.sql("CREATE NAMESPACE zgraft.zns")
+      spark.sql("CREATE TABLE zgraft.zns.t (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO zgraft.zns.t VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql("SELECT id, v FROM zgraft.zns.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+      // nothing of the catalog exists locally; the bytes are on the wire
+      assert(!Files.exists(java.nio.file.Paths.get(virtualRoot)))
+      assert(s3.store.size() > 0)
+      assert(serverCat.files("zns.t").forall(_.path.startsWith("grafts3://lake/")))
+    } finally {
+      if (served != null) served.stop()
+      s3.stop()
+    }
+  }
 }
