@@ -98,6 +98,10 @@ trait CatalogSurface {
       dryRun: Boolean = false,
       purge: Boolean = false): Seq[String]
   def deletePositions(ident: String, df: DataFrame): TableMeta
+  def updatePositions(
+      ident: String, posDf: DataFrame, newRows: DataFrame): TableMeta
+  def deleteWhere(
+      ident: String, predicate: org.apache.spark.sql.Column): TableMeta
 
   // ---- table metadata commits --------------------------------------------
   def setProperty(ident: String, key: String, value: String): TableMeta

@@ -159,7 +159,9 @@ private[catalog] class GraftSnapshotTable(
     // probe AND the delete-file write — 2x the scan on a large table
     val posDf = positionsMatching(cond).persist()
     try {
-      if (!posDf.isEmpty) ice.deletePositions(ident, posDf): Unit
+      // commits route through the WRITER surface (the wire in remote
+      // mode — add-delete-files position commits), never the read plane
+      if (!posDf.isEmpty) writer.deletePositions(ident, posDf): Unit
     } finally posDf.unpersist()
   }
 
@@ -200,7 +202,7 @@ private[catalog] class GraftSnapshotTable(
       }
     }.toSeq: _*)
     try {
-      if (!posDf.isEmpty) ice.updatePositions(ident, posDf, newRows): Unit
+      if (!posDf.isEmpty) writer.updatePositions(ident, posDf, newRows): Unit
     } finally matched.unpersist()
   }
   override def name(): String = delegate.name
@@ -242,7 +244,7 @@ private[catalog] class GraftSnapshotTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(!timeTraveled, s"cannot write to a time-traveled snapshot of $ident")
-    () => RowLevelOps.operation(localWriter("SQL MERGE/UPDATE/DELETE"),
+    () => RowLevelOps.operation(() => localWriter("SQL MERGE/UPDATE/DELETE"),
       ident, meta, ctx(CaseInsensitiveStringMap.empty()), info)
   }
 
@@ -301,11 +303,11 @@ private[catalog] class GraftSnapshotTable(
       throw new UnsupportedOperationException(s"cannot convert predicate $p")))
     // no predicates = delete everything
     val pred = cols.reduceOption(_ && _).getOrElse(lit(true))
-    localWriter("SQL DELETE").deleteWhere(ident, pred): Unit
+    writer.deleteWhere(ident, pred): Unit
   }
 
   override def truncateTable(): Boolean = {
-    localWriter("TRUNCATE").deleteWhere(ident, lit(true))
+    writer.deleteWhere(ident, lit(true))
     true
   }
 }
@@ -432,7 +434,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     case _ => throw new UnsupportedOperationException(
       s"$op runs on the catalog host — the remote REST catalog (uri mode) " +
         "supports SELECT (merged MOR reads, time travel, metadata tables, " +
-        "streaming reads), INSERT INTO / INSERT OVERWRITE, and DDL")
+        "streaming reads), INSERT INTO / INSERT OVERWRITE, DELETE FROM, " +
+        "TRUNCATE, and DDL")
   }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {

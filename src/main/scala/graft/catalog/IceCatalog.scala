@@ -2655,22 +2655,35 @@ class IceCatalog(
     */
   def deleteWhere(ident: String, predicate: Column): TableMeta = {
     val meta = loadMeta(ident)
-    val cur = meta.current.getOrElse(return meta)
+    if (meta.current.isEmpty) return meta
+    val (affectedPaths, survivors) = planCopyOnWriteDelete(ident, predicate)
+    if (affectedPaths.isEmpty) return meta
+    val newFiles = survivors.map(writeArranged(ident, _, meta)).getOrElse(Seq.empty)
+    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
+      SnapDelta("overwrite", drop = affectedPaths.map(fsPath).toSet, add = newFiles))
+  }
+
+  /** Copy-on-write DELETE plan — the read half of [[deleteWhere]],
+    * exposed for external committers (the REST thin client) exactly like
+    * [[planCopyOnWriteUpsert]]. SQL DELETE semantics: only rows where the
+    * predicate is TRUE go; rows where it evaluates to NULL (e.g. a null
+    * in a predicate column) stay — a bare `.filter(!predicate)` would
+    * silently drop them. Survivors come from the MERGED view so rows
+    * masked by pending MOR deletes don't resurrect in the rewrite.
+    */
+  def planCopyOnWriteDelete(
+      ident: String, predicate: Column): (Seq[String], Option[DataFrame]) = {
+    val meta = loadMeta(ident)
+    val cur = meta.current.getOrElse(return (Seq.empty, None))
     val affected = readFiles(meta, cur.files)
       .filter(predicate)
       .select(input_file_name().as("f")).distinct().collect()
       .map(r => fsPath(r.getString(0))).toSet
-    if (affected.isEmpty) return meta
+    if (affected.isEmpty) return (Seq.empty, None)
     val (rewrite, _) = cur.files.partition(f => affected.contains(fsPath(f.path)))
-    // SQL DELETE semantics: only rows where the predicate is TRUE go; rows
-    // where it evaluates to NULL (e.g. a null in a predicate column) stay.
-    // A bare .filter(!predicate) would silently drop them. Read MERGED so
-    // rows masked by pending MOR deletes don't resurrect in the rewrite.
     val survivors = readFilesMerged(meta, cur, rewrite)
       .filter(not(coalesce(predicate, lit(false))))
-    val newFiles = writeArranged(ident, survivors, meta)
-    commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
-      SnapDelta("overwrite", drop = affected, add = newFiles))
+    (rewrite.map(_.path), Some(survivors))
   }
 
   // ---- introspection (Describe*/List*/Files commands) -------------------

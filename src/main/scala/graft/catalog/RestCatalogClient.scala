@@ -762,6 +762,65 @@ final class RestCatalogClient(
     case Op.Le => "<="; case Op.Ge => ">="
   }
 
+  /** Position-masking UPDATE over the wire ([[IceCatalog.updatePositions]]'s
+    * external-committer form): ONE commit registers a staged position
+    * delete file (masking the matched rows) plus the staged replacement
+    * rows — sequence stamping keeps the commit's own appends unmasked.
+    * O(matched) work, zero data files rewritten.
+    */
+  def updatePositions(
+      ident: String, posDf: DataFrame, newRows: DataFrame): TableMeta = {
+    import org.apache.spark.sql.functions.col
+    val meta = loadMeta(ident)
+    if (meta.current.isEmpty) return meta
+    val arranged = newRows.select(meta.schema.fieldNames.toSeq.map(col): _*)
+    val (dataPaths, profile) = stageParquet(ident, arranged, "ingest", None)
+    val (delPaths, _) = stageParquet(ident,
+      posDf.select(col("file_path"), col("pos")).distinct().coalesce(1),
+      "delete", None, arrange = false)
+    commitDelta(ident, dataPaths,
+      Seq(WireDeletes(delPaths, Seq("file_path", "pos"), positional = true)),
+      forceOutsideLocation = profile.isDefined, InsertOptions(),
+      retries, retryTotalMs)
+  }
+
+  /** Row-level COPY-ON-WRITE delete over the wire — [[upsert]]'s shape
+    * with [[IceCatalog.planCopyOnWriteDelete]] as the plan: rewrite only
+    * files containing a TRUE-matching row (NULL-predicate rows stay, SQL
+    * DELETE semantics), survivors read through the merged view, ONE
+    * `remove-files` + `append-files` commit CAS'd on the planned
+    * snapshot, re-planned on 409.
+    */
+  def deleteWhere(
+      ident: String, predicate: org.apache.spark.sql.Column): TableMeta = {
+    import org.apache.spark.sql.functions.col
+    if (loadMeta(ident).current.isEmpty) return loadMeta(ident)
+    CommitRetry.run(retries, retryTotalMs, verified = () => None) { _ =>
+      val meta = loadMeta(ident)
+      val basedOn = meta.currentSnapshotId
+      val (affected, survivors) =
+        reader(ident).planCopyOnWriteDelete(ident, predicate)
+      if (affected.isEmpty) return meta
+      val (dataPaths, profile) = survivors match {
+        case Some(s) => stageParquet(ident,
+          s.select(meta.schema.fieldNames.toSeq.map(col): _*), "ingest", None)
+        case None => (Seq.empty[String], wireProfile(ident))
+      }
+      val appendAction: Seq[Map[String, Any]] =
+        if (dataPaths.isEmpty) Seq.empty
+        else Seq(Map(
+          "action" -> "append-files",
+          "paths" -> dataPaths,
+          "force-outside-location" -> profile.isDefined))
+      send("POST", tableUrl(ident), Some(jstr(Map(
+        "requirements" -> Seq(Map(
+          "type" -> "assert-current-snapshot-id", "snapshot-id" -> basedOn)),
+        "updates" -> (Map(
+          "action" -> "remove-files", "paths" -> affected) +: appendAction)))))
+      loadMeta(ident)
+    }
+  }
+
   /** POSITION deletes over the wire: stage the `(file_path, pos)` rows as
     * one small parquet on shared storage, commit it through
     * `add-delete-files` with `content: position`. The server re-validates

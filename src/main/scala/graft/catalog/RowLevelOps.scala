@@ -46,8 +46,13 @@ private[catalog] object RowLevelOps {
   private[catalog] val WriteModeProp = "graft.write.mode"
   private[catalog] val MergeKeysProp = "graft.merge-keys"
 
+  /** `ice` is BY-THUNK: Spark's analyzer builds the row-level operation
+    * even when the optimizer later replaces the plan with a metadata-only
+    * delete, so a remote catalog's "runs on the catalog host" refusal
+    * must fire when the operation actually WRITES, not at analysis.
+    */
   def operation(
-      ice: IceCatalog, ident: String, meta: TableMeta,
+      ice: () => IceCatalog, ident: String, meta: TableMeta,
       ctx: ManifestPrune.Ctx, info: RowLevelOperationInfo): RowLevelOperation = {
     val cmd = info.command
     val props = Option(meta.properties).getOrElse(Map.empty)
@@ -189,9 +194,11 @@ private[catalog] object RowLevelOps {
   * current files, stage the replacement rows, swap atomically.
   */
 private class GraftCowOperation(
-    ice: IceCatalog, ident: String, meta: TableMeta,
+    ice0: () => IceCatalog, ident: String, meta: TableMeta,
     ctx: ManifestPrune.Ctx, cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
+
+  private lazy val ice: IceCatalog = ice0()
 
   /** The file set the operation's scan covers — starts at the full
     * snapshot, narrowed by runtime group filtering; commit replaces
@@ -284,9 +291,11 @@ private class GraftCowOperation(
   * file plus appended data files.
   */
 private class GraftDeltaOperation(
-    ice: IceCatalog, ident: String, meta: TableMeta,
+    ice0: () => IceCatalog, ident: String, meta: TableMeta,
     ctx: ManifestPrune.Ctx, cmd: RowLevelOperation.Command, keys: Seq[String])
     extends SupportsDelta {
+
+  private lazy val ice: IceCatalog = ice0()
 
   private val basedOn = meta.currentSnapshotId
 

@@ -122,6 +122,10 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
             // and snapshot counts must match the local rewrite exactly
             cat.upsert(t,
               spark.read.parquet(batches(i % batches.length)), Seq("id")); "cowUpsert"
+          case 18 =>
+            // COPY-ON-WRITE row delete (NULL-predicate rows stay): same
+            // remove-files shape, survivors via the merged view
+            cat.deleteWhere(t, col("id") % 3 === 0); "deleteWhere"
           case 16 =>
             // POSITION delete: mask every physical occurrence of the
             // minimum id — a deterministic row pick that names files by
@@ -141,7 +145,7 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       var agreed = 0
       for (i <- 1 to 120) {
-        val opId = r.nextInt(18)
+        val opId = r.nextInt(19)
         val t = tables(r.nextInt(tables.length))
         val lr = run(local, opId, t, i)
         val rr = run(remote, opId, t, i)

@@ -1305,12 +1305,22 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.sql(s"SELECT id FROM rgraft.rns.t VERSION AS OF $firstSnap")
         .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
 
+      // DELETE FROM runs over the wire too: a client-planned copy-on-write
+      // remove-files commit (survivors rewritten through the merged view)
+      spark.sql("INSERT INTO rgraft.rns.t VALUES " +
+        "(4, 'd', timestamp'2022-04-01 00:00:00', 'fr')")
+      spark.sql("DELETE FROM rgraft.rns.t WHERE id = 3")
+      assert(spark.sql("SELECT id FROM rgraft.rns.t").collect()
+        .map(_.getLong(0)).toSeq == Seq(4L))
+
       // ops outside the wire vocabulary fail loudly, naming the remedy
-      val del = intercept[Exception](
-        spark.sql("DELETE FROM rgraft.rns.t WHERE id = 3").collect())
-      assert(del.getMessage.contains("catalog host") ||
-        Option(del.getCause).exists(_.getMessage.contains("catalog host")),
-        del.getMessage)
+      Seq((9L, "z")).toDF("id", "v").createOrReplaceTempView("rmerge_src")
+      val mrg = intercept[Exception](spark.sql(
+        """MERGE INTO rgraft.rns.t t USING rmerge_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin).collect())
+      assert(mrg.getMessage.contains("catalog host") ||
+        Option(mrg.getCause).exists(_.getMessage.contains("catalog host")),
+        mrg.getMessage)
     } finally served.stop()
   }
 
