@@ -103,6 +103,21 @@ trait CatalogSurface {
   def deleteWhere(
       ident: String, predicate: org.apache.spark.sql.Column): TableMeta
 
+  // ---- row-level external-committer hooks (the SQL MERGE/UPDATE/DELETE
+  //      write path, RowLevelOps): executors stage parquet under a
+  //      catalog-issued staging dir, the commit hook registers it as one
+  //      CAS-guarded snapshot — locally through the manifest protocol,
+  //      remotely through the wire's remove-files / add-delete-files
+  //      commit vocabulary ---------------------------------------------
+  def newStagingDir(ident: String): String
+  def dropStagingDir(dir: String): Unit
+  def commitRowLevelReplace(
+      ident: String, scanned: Seq[DataFileMeta], stagingDir: String,
+      basedOn: Long): TableMeta
+  def commitDeltaMerge(
+      ident: String, stagingDir: String, deleteStagingDir: String,
+      keyCols: Seq[String], basedOn: Long): TableMeta
+
   // ---- table metadata commits --------------------------------------------
   def setProperty(ident: String, key: String, value: String): TableMeta
   def removeProperty(ident: String, key: String): TableMeta

@@ -60,9 +60,9 @@ private[catalog] class GraftSnapshotTable(
   private def localWriter(op: String): IceCatalog = writer match {
     case ic: IceCatalog => ic
     case _ => throw new UnsupportedOperationException(
-      s"$op on $ident runs on the catalog host — against a remote REST " +
-        "catalog use INSERT INTO / INSERT OVERWRITE, or the thin client's " +
-        "upsert / upsertMergeOnRead / deletePositions")
+      s"$op on $ident runs on the catalog host — the full batch SQL " +
+        "surface (SELECT, INSERT, DELETE, MERGE, UPDATE, DDL) works " +
+        "against the remote REST catalog; streaming writes do not yet")
   }
 
   /** `_file` (Iceberg's metadata-column spelling): the data file path
@@ -244,7 +244,10 @@ private[catalog] class GraftSnapshotTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(!timeTraveled, s"cannot write to a time-traveled snapshot of $ident")
-    () => RowLevelOps.operation(() => localWriter("SQL MERGE/UPDATE/DELETE"),
+    // remote mode included: the operation stages through shared storage
+    // (or the object-store wire) and commits via the surface's row-level
+    // hooks — remove-files / add-delete-files over the REST vocabulary
+    () => RowLevelOps.operation(() => writer,
       ident, meta, ctx(CaseInsensitiveStringMap.empty()), info)
   }
 
@@ -433,9 +436,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     case ic: IceCatalog => ic
     case _ => throw new UnsupportedOperationException(
       s"$op runs on the catalog host — the remote REST catalog (uri mode) " +
-        "supports SELECT (merged MOR reads, time travel, metadata tables, " +
-        "streaming reads), INSERT INTO / INSERT OVERWRITE, DELETE FROM, " +
-        "TRUNCATE, and DDL")
+        "supports the full batch SQL surface (SELECT incl. merged MOR " +
+        "reads / time travel / metadata tables / streaming reads, INSERT " +
+        "INTO / OVERWRITE, DELETE, MERGE, UPDATE, TRUNCATE, DDL)")
   }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {

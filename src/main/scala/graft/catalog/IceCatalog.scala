@@ -1873,11 +1873,11 @@ class IceCatalog(
     * output — under the table's data dir, so a crash before commit leaves
     * only GC-able orphans (snapshot-expiry orphan cleanup covers it).
     */
-  private[catalog] def newStagingDir(ident: String): String =
+  def newStagingDir(ident: String): String =
     tableDir(ident).resolve("data")
       .resolve(s"rlw-${java.util.UUID.randomUUID().toString.take(8)}").toString
 
-  private[catalog] def dropStagingDir(dir: String): Unit =
+  def dropStagingDir(dir: String): Unit =
     io.walk(Paths.get(dir)).reverse.foreach(io.deleteIfExists(_))
 
   /** Register a row-level write's staged parquet output as table files:
@@ -1913,7 +1913,7 @@ class IceCatalog(
     * started from (serializable isolation: a concurrent commit fails this
     * one instead of either write being lost).
     */
-  private[catalog] def commitRowLevelReplace(
+  def commitRowLevelReplace(
       ident: String, scanned: Seq[DataFileMeta], stagingDir: String,
       basedOn: Long): TableMeta = {
     val meta = loadMeta(ident)
@@ -1933,7 +1933,7 @@ class IceCatalog(
     * shape driven from SQL; sequence numbers make the commit's own inserts
     * immune to its delete files (strictly-older rule).
     */
-  private[catalog] def commitDeltaMerge(
+  def commitDeltaMerge(
       ident: String, stagingDir: String, deleteStagingDir: String,
       keyCols: Seq[String], basedOn: Long): TableMeta = {
     val meta = loadMeta(ident)

@@ -762,6 +762,122 @@ final class RestCatalogClient(
     case Op.Le => "<="; case Op.Ge => ">="
   }
 
+  // ---- row-level external-committer hooks (SQL MERGE/UPDATE/DELETE via
+  //      the catalog plugin's remote mode): executors stage to shared
+  //      storage (or through the object-store wire), the commit hooks
+  //      translate to ONE remove-files / append-files / add-delete-files
+  //      commit CAS'd on the operation's planned snapshot — a conflict
+  //      surfaces to Spark exactly like the local manifest CAS ----------
+
+  def newStagingDir(ident: String): String = {
+    val name = s"rlw-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tableDir = java.nio.file.Paths.get(URI.create(tableLocation(ident)))
+    wireProfile(ident) match {
+      case Some(p) => s"${stagingScheme(p)}://${p.bucket}$tableDir/data/$name"
+      case None => tableDir.resolve("data").resolve(name).toString
+    }
+  }
+
+  def dropStagingDir(dir: String): Unit =
+    if (dir.contains("://")) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    } else {
+      val p = java.nio.file.Paths.get(dir)
+      if (LocalFileIO.isDirectory(p))
+        LocalFileIO.walk(p).reverse.foreach(LocalFileIO.deleteIfExists)
+    }
+
+  /** Staged parquet under `dir` with >0 rows (recursive; both planes) —
+    * one driver-side footer pass, the same empty-part filter the local
+    * adopt path applies.
+    */
+  private def stagedParquet(dir: String): Seq[String] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return Seq.empty
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, hconf))
+        val rows = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally reader.close()
+        if (rows > 0) out += f.getPath.toString
+      }
+    }
+    out.result().sorted
+  }
+
+  /** Adopt staged files in place (unpartitioned), or re-arrange them into
+    * partition-pure staged files (partitioned) — the wire twin of
+    * IceCatalog.registerStaged.
+    */
+  private def adoptOrArrange(ident: String, stagingDir: String): Seq[String] = {
+    val meta = loadMeta(ident)
+    val staged = stagedParquet(stagingDir)
+    if (staged.isEmpty || meta.partitionSpec.isEmpty) staged
+    else {
+      val df = spark.read.schema(meta.schema).parquet(staged: _*)
+      val (paths, _) = stageParquet(ident, df, "rlw-arr", None)
+      dropStagingDir(stagingDir)
+      paths
+    }
+  }
+
+  def commitRowLevelReplace(
+      ident: String, scanned: Seq[IceCatalog.DataFileMeta], stagingDir: String,
+      basedOn: Long): TableMeta = {
+    val dataPaths = adoptOrArrange(ident, stagingDir)
+    val drops = scanned.map(_.path)
+    if (dataPaths.isEmpty && drops.isEmpty) return loadMeta(ident)
+    val removeAction: Seq[Map[String, Any]] =
+      if (drops.isEmpty) Seq.empty
+      else Seq(Map("action" -> "remove-files", "paths" -> drops))
+    val appendAction: Seq[Map[String, Any]] =
+      if (dataPaths.isEmpty) Seq.empty
+      else Seq(Map(
+        "action" -> "append-files",
+        "paths" -> dataPaths,
+        "force-outside-location" -> wireProfile(ident).isDefined))
+    send("POST", tableUrl(ident), Some(jstr(Map(
+      "requirements" -> Seq(Map(
+        "type" -> "assert-current-snapshot-id", "snapshot-id" -> basedOn)),
+      "updates" -> (removeAction ++ appendAction)))))
+    loadMeta(ident)
+  }
+
+  def commitDeltaMerge(
+      ident: String, stagingDir: String, deleteStagingDir: String,
+      keyCols: Seq[String], basedOn: Long): TableMeta = {
+    val dataPaths = adoptOrArrange(ident, stagingDir)
+    val delPaths = stagedParquet(deleteStagingDir)
+    if (delPaths.isEmpty) dropStagingDir(deleteStagingDir)
+    if (dataPaths.isEmpty && delPaths.isEmpty) return loadMeta(ident)
+    val appendAction: Seq[Map[String, Any]] =
+      if (dataPaths.isEmpty) Seq.empty
+      else Seq(Map(
+        "action" -> "append-files",
+        "paths" -> dataPaths,
+        "force-outside-location" -> wireProfile(ident).isDefined))
+    val deleteAction: Seq[Map[String, Any]] =
+      if (delPaths.isEmpty) Seq.empty
+      else Seq(Map(
+        "action" -> "add-delete-files",
+        "paths" -> delPaths,
+        "content" -> "equality",
+        "equality-columns" -> keyCols))
+    send("POST", tableUrl(ident), Some(jstr(Map(
+      "requirements" -> Seq(Map(
+        "type" -> "assert-current-snapshot-id", "snapshot-id" -> basedOn)),
+      "updates" -> (appendAction ++ deleteAction)))))
+    loadMeta(ident)
+  }
+
   /** Position-masking UPDATE over the wire ([[IceCatalog.updatePositions]]'s
     * external-committer form): ONE commit registers a staged position
     * delete file (masking the matched rows) plus the staged replacement

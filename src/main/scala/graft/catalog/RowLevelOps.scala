@@ -52,7 +52,7 @@ private[catalog] object RowLevelOps {
     * must fire when the operation actually WRITES, not at analysis.
     */
   def operation(
-      ice: () => IceCatalog, ident: String, meta: TableMeta,
+      ice: () => CatalogSurface, ident: String, meta: TableMeta,
       ctx: ManifestPrune.Ctx, info: RowLevelOperationInfo): RowLevelOperation = {
     val cmd = info.command
     val props = Option(meta.properties).getOrElse(Map.empty)
@@ -194,11 +194,11 @@ private[catalog] object RowLevelOps {
   * current files, stage the replacement rows, swap atomically.
   */
 private class GraftCowOperation(
-    ice0: () => IceCatalog, ident: String, meta: TableMeta,
+    ice0: () => CatalogSurface, ident: String, meta: TableMeta,
     ctx: ManifestPrune.Ctx, cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
 
-  private lazy val ice: IceCatalog = ice0()
+  private lazy val ice: CatalogSurface = ice0()
 
   /** The file set the operation's scan covers — starts at the full
     * snapshot, narrowed by runtime group filtering; commit replaces
@@ -291,11 +291,11 @@ private class GraftCowOperation(
   * file plus appended data files.
   */
 private class GraftDeltaOperation(
-    ice0: () => IceCatalog, ident: String, meta: TableMeta,
+    ice0: () => CatalogSurface, ident: String, meta: TableMeta,
     ctx: ManifestPrune.Ctx, cmd: RowLevelOperation.Command, keys: Seq[String])
     extends SupportsDelta {
 
-  private lazy val ice: IceCatalog = ice0()
+  private lazy val ice: CatalogSurface = ice0()
 
   private val basedOn = meta.currentSnapshotId
 

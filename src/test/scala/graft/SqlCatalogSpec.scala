@@ -1313,14 +1313,57 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.sql("SELECT id FROM rgraft.rns.t").collect()
         .map(_.getLong(0)).toSeq == Seq(4L))
 
-      // ops outside the wire vocabulary fail loudly, naming the remedy
-      Seq((9L, "z")).toDF("id", "v").createOrReplaceTempView("rmerge_src")
-      val mrg = intercept[Exception](spark.sql(
+      // SQL MERGE over the wire — copy-on-write: the operation stages on
+      // shared storage and commits remove-files + append-files through
+      // the REST vocabulary, CAS'd on the planned snapshot
+      Seq((4L, "d2", java.sql.Timestamp.valueOf("2022-04-01 00:00:00"), "fr"),
+        (5L, "e", java.sql.Timestamp.valueOf("2022-05-01 00:00:00"), "de"))
+        .toDF("id", "v", "ts", "lang").createOrReplaceTempView("rmerge_src")
+      spark.sql(
         """MERGE INTO rgraft.rns.t t USING rmerge_src s ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin).collect())
-      assert(mrg.getMessage.contains("catalog host") ||
-        Option(mrg.getCause).exists(_.getMessage.contains("catalog host")),
-        mrg.getMessage)
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql("SELECT id, v FROM rgraft.rns.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((4L, "d2"), (5L, "e")))
+
+      // …and merge-on-read: each MERGE lands as ONE append-files +
+      // add-delete-files delta commit over the wire
+      spark.sql("ALTER TABLE rgraft.rns.t SET TBLPROPERTIES " +
+        "('graft.write.mode'='merge-on-read','graft.merge-keys'='id')")
+      Seq((5L, "e2", java.sql.Timestamp.valueOf("2022-05-01 00:00:00"), "de"),
+        (6L, "f", java.sql.Timestamp.valueOf("2022-06-01 00:00:00"), "it"))
+        .toDF("id", "v", "ts", "lang").createOrReplaceTempView("rmerge_src2")
+      spark.sql(
+        """MERGE INTO rgraft.rns.t t USING rmerge_src2 s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql("SELECT id, v FROM rgraft.rns.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((4L, "d2"), (5L, "e2"), (6L, "f")))
+      // the MOR MERGE registered a pending equality delete, not a rewrite
+      assert(serverCat.loadMeta("rns.t").current.get.deletes != null)
+
+      // streaming writes remain a loud catalog-host refusal (a batch must
+      // actually fire for the write builder to be built, so feed one file)
+      val stream = intercept[Exception] {
+        val src = Files.createTempDirectory("rsql-stream")
+        Seq((7L, "g", java.sql.Timestamp.valueOf("2022-07-01 00:00:00"), "pt"))
+          .toDF("id", "v", "ts", "lang").coalesce(1).write
+          .mode("append").parquet(src.toString)
+        spark.readStream.schema("id BIGINT, v STRING, ts TIMESTAMP, lang STRING")
+          .parquet(src.toString)
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("rsql-ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("rgraft.rns.t")
+          .awaitTermination()
+      }
+      val chain = Iterator.iterate(stream: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(10)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(chain.exists(_.contains("catalog host")), chain.mkString(" | "))
     } finally served.stop()
   }
 
