@@ -117,6 +117,12 @@ trait CatalogSurface {
   def commitDeltaMerge(
       ident: String, stagingDir: String, deleteStagingDir: String,
       keyCols: Seq[String], basedOn: Long): TableMeta
+  /** One streaming epoch's exactly-once commit (files + watermark
+    * property atomically; a replayed epoch no-ops).
+    */
+  def commitStreamingEpoch(
+      ident: String, queryId: String, epochId: Long,
+      epochDir: String): TableMeta
 
   // ---- table metadata commits --------------------------------------------
   def setProperty(ident: String, key: String, value: String): TableMeta

@@ -50,20 +50,12 @@ private[catalog] class GraftSnapshotTable(
     readSchema: StructType, idResolved: Boolean, timeTraveled: Boolean,
     deletes: Seq[IceCatalog.DeleteFileMeta],
     // the commit plane: the same IceCatalog locally, the REST thin client
-    // in remote-uri mode (INSERT INTO/OVERWRITE route through it; ops the
-    // wire vocabulary can't express fail loudly via localWriter)
+    // in remote-uri mode — every SQL write (INSERT, OVERWRITE, DELETE,
+    // MERGE, UPDATE, streaming epochs) routes through it
     writer: CatalogSurface)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
-
-  private def localWriter(op: String): IceCatalog = writer match {
-    case ic: IceCatalog => ic
-    case _ => throw new UnsupportedOperationException(
-      s"$op on $ident runs on the catalog host — the full batch SQL " +
-        "surface (SELECT, INSERT, DELETE, MERGE, UPDATE, DDL) works " +
-        "against the remote REST catalog; streaming writes do not yet")
-  }
 
   /** `_file` (Iceberg's metadata-column spelling): the data file path
     * serving each row — stamped by the scan (ManifestPrune's
@@ -285,8 +277,10 @@ private[catalog] class GraftSnapshotTable(
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
             require(!overwrite,
               s"streaming writes to $ident support append mode only")
-            new GraftStreamingWrite(localWriter("streaming write"),
-              ident, info.queryId(), info.schema())
+            // remote mode included: epochs stage on shared storage (or
+            // the object-store wire) and commit through the epoch-marked
+            // append-files action — exactly-once under replay either way
+            new GraftStreamingWrite(writer, ident, info.queryId(), info.schema())
           }
         }
     }

@@ -1962,7 +1962,33 @@ class IceCatalog(
     * a re-delivered commit sees its epoch already recorded and no-ops
     * (the replayed staging output is dropped as orphans by GC).
     */
-  private[graft] def commitStreamingEpoch(
+  /** The wire twin of [[commitStreamingEpoch]] for EXTERNALLY-staged
+    * epoch files (the REST thin client's streaming sink): register the
+    * listed paths + the `(queryId → epochId)` watermark property in ONE
+    * commit, idempotent under epoch replay exactly like the local form.
+    * No snapshot CAS: epoch ordering is the idempotency key (the local
+    * epoch commit carries none either), so a concurrent batch committer
+    * interleaves instead of failing the stream.
+    */
+  def addStagedEpoch(
+      ident: String, paths: Seq[String], queryId: String, epochId: Long,
+      forceOutsideLocation: Boolean = false): TableMeta = {
+    val key = s"graft.streaming.epoch.$queryId"
+    val meta = loadMeta(ident)
+    if (meta.properties.get(key).exists(_.toLong >= epochId)) return meta
+    val (adds, _) =
+      resolveStagedData(ident, meta, paths, forceOutsideLocation, InsertOptions())
+    if (adds.isEmpty) return meta
+    commit(ident, { m =>
+      if (m.properties.get(key).exists(_.toLong >= epochId)) m // lost replay race
+      else {
+        val next = appendSnapshot(m, SnapDelta("append", add = adds))
+        next.copy(properties = next.properties + (key -> epochId.toString))
+      }
+    })
+  }
+
+  def commitStreamingEpoch(
       ident: String, queryId: String, epochId: Long,
       epochDir: String): TableMeta = {
     val key = s"graft.streaming.epoch.$queryId"

@@ -878,6 +878,29 @@ final class RestCatalogClient(
     loadMeta(ident)
   }
 
+  /** One streaming epoch's exactly-once commit over the wire: the staged
+    * epoch files ride an `append-files` commit carrying the
+    * `epoch: {query-id, epoch-id}` marker — the server registers them
+    * WITH the watermark property in one snapshot, idempotent under epoch
+    * replay exactly like the local sink. No snapshot CAS (epoch ordering
+    * is the idempotency key), so concurrent batch committers interleave
+    * instead of failing the stream.
+    */
+  def commitStreamingEpoch(
+      ident: String, queryId: String, epochId: Long,
+      epochDir: String): TableMeta = {
+    val dataPaths = adoptOrArrange(ident, epochDir)
+    if (dataPaths.isEmpty) return loadMeta(ident)
+    send("POST", tableUrl(ident), Some(jstr(Map(
+      "requirements" -> Seq.empty[Map[String, Any]],
+      "updates" -> Seq(Map(
+        "action" -> "append-files",
+        "paths" -> dataPaths,
+        "force-outside-location" -> wireProfile(ident).isDefined,
+        "epoch" -> Map("query-id" -> queryId, "epoch-id" -> epochId)))))))
+    loadMeta(ident)
+  }
+
   /** Position-masking UPDATE over the wire ([[IceCatalog.updatePositions]]'s
     * external-committer form): ONE commit registers a staged position
     * delete file (masking the matched rows) plus the staged replacement

@@ -821,8 +821,19 @@ object RestServer {
         // "all": true = the wire INSERT OVERWRITE (drop every current file
         // and clear pending deletes, local overwrite's exact SnapDelta)
         val replaceAll = removeOps.exists(_.path("all").asBoolean(false))
+        // "epoch": {query-id, epoch-id} = a streaming sink's exactly-once
+        // append (idempotent under replay via the watermark property)
+        val epoch = appends.map(_.path("epoch")).find(_.isObject)
         try {
-          if (removeOps.nonEmpty)
+          if (epoch.isDefined) {
+            require(removeOps.isEmpty && deleteOps.isEmpty,
+              "an epoch commit is a plain append")
+            val e = epoch.get
+            cat.addStagedEpoch(ident, paths,
+              queryId = e.path("query-id").asText(""),
+              epochId = e.path("epoch-id").asLong(),
+              forceOutsideLocation = force)
+          } else if (removeOps.nonEmpty)
             cat.replaceStagedFiles(ident, dropPaths, paths,
               forceOutsideLocation = force, options = opts, basedOn = basedOn,
               replaceAll = replaceAll)

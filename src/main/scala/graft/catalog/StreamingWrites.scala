@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.StructType
   * already recorded and becomes a no-op instead of duplicating rows.
   */
 private[catalog] class GraftStreamingWrite(
-    ice: IceCatalog, ident: String, queryId: String, schema: StructType)
+    ice: CatalogSurface, ident: String, queryId: String, schema: StructType)
     extends StreamingWrite {
 
   // the staged files are adopted carrying the QUERY's schema and read
@@ -48,13 +48,14 @@ private[catalog] class GraftStreamingWrite(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftStreamingWriterFactory(staging, schema, hconf)
 
+  // plain string join: the staging root may be a scheme'd object-store
+  // URI in remote wire mode, which Paths.get would mangle
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     ice.commitStreamingEpoch(ident, queryId, epochId,
-      java.nio.file.Paths.get(staging, s"epoch-$epochId").toString): Unit
+      s"$staging/epoch-$epochId"): Unit
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    ice.dropStagingDir(
-      java.nio.file.Paths.get(staging, s"epoch-$epochId").toString)
+    ice.dropStagingDir(s"$staging/epoch-$epochId")
 }
 
 private case class GraftStreamingEpochMessage(files: Int)

@@ -1344,26 +1344,26 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the MOR MERGE registered a pending equality delete, not a rewrite
       assert(serverCat.loadMeta("rns.t").current.get.deletes != null)
 
-      // streaming writes remain a loud catalog-host refusal (a batch must
-      // actually fire for the write builder to be built, so feed one file)
-      val stream = intercept[Exception] {
-        val src = Files.createTempDirectory("rsql-stream")
-        Seq((7L, "g", java.sql.Timestamp.valueOf("2022-07-01 00:00:00"), "pt"))
-          .toDF("id", "v", "ts", "lang").coalesce(1).write
-          .mode("append").parquet(src.toString)
-        spark.readStream.schema("id BIGINT, v STRING, ts TIMESTAMP, lang STRING")
-          .parquet(src.toString)
-          .writeStream
-          .option("checkpointLocation",
-            Files.createTempDirectory("rsql-ck").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .toTable("rgraft.rns.t")
-          .awaitTermination()
-      }
-      val chain = Iterator.iterate(stream: Throwable)(_.getCause)
-        .takeWhile(_ != null).take(10)
-        .map(t => Option(t.getMessage).getOrElse("")).toSeq
-      assert(chain.exists(_.contains("catalog host")), chain.mkString(" | "))
+      // streaming writes too: each epoch stages on shared storage and
+      // commits through the epoch-marked append-files action —
+      // exactly-once under replay, same as the local sink
+      val src = Files.createTempDirectory("rsql-stream")
+      Seq((7L, "g", java.sql.Timestamp.valueOf("2022-07-01 00:00:00"), "pt"))
+        .toDF("id", "v", "ts", "lang").coalesce(1).write
+        .mode("append").parquet(src.toString)
+      spark.readStream.schema("id BIGINT, v STRING, ts TIMESTAMP, lang STRING")
+        .parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("rsql-ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("rgraft.rns.t")
+        .awaitTermination()
+      assert(spark.sql("SELECT v FROM rgraft.rns.t WHERE id = 7").collect()
+        .map(_.getString(0)).toSeq == Seq("g"))
+      // the epoch watermark landed atomically with the files
+      assert(serverCat.loadMeta("rns.t").properties.keys
+        .exists(_.startsWith("graft.streaming.epoch.")))
     } finally served.stop()
   }
 
