@@ -126,6 +126,11 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
             // COPY-ON-WRITE row delete (NULL-predicate rows stay): same
             // remove-files shape, survivors via the merged view
             cat.deleteWhere(t, col("id") % 3 === 0); "deleteWhere"
+          case 19 =>
+            // INSERT OVERWRITE: remote = replace-all remove-files commit
+            // (clears pending deletes exactly like local overwrite)
+            cat.overwrite(t,
+              spark.read.parquet(batches(i % batches.length))); "overwrite"
           case 16 =>
             // POSITION delete: mask every physical occurrence of the
             // minimum id — a deterministic row pick that names files by
@@ -145,7 +150,7 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       var agreed = 0
       for (i <- 1 to 120) {
-        val opId = r.nextInt(19)
+        val opId = r.nextInt(20)
         val t = tables(r.nextInt(tables.length))
         val lr = run(local, opId, t, i)
         val rr = run(remote, opId, t, i)
