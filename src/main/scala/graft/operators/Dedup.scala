@@ -219,6 +219,27 @@ object Dedup {
     connectedComponents(
       minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b")))
 
+  /** The corpus's (doc_id, cluster_id) assignment, materialized once per
+    * (session, corpus version) — the pipeline artifact consumers like the
+    * near-dup-safe split ([[graft.operators.Sampling.splitDocumentsNearDupSafeOn]])
+    * feed from instead of re-clustering per call. Same lifecycle
+    * discipline as [[cachedBandIndex]]; d8's own gate entry stays the
+    * cold pass, so the clustering cost itself remains measured.
+    */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+
+  def cachedDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    clusterCache.keySet().removeIf(_._1.sparkContext.isStopped)
+    val fp = docsFingerprint(dir)
+    clusterCache.compute((spark, dir), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else {
+        if (cur != null) cur._2.unpersist()
+        (fp, dedupClusters(spark, dir).persist())
+      })._2
+  }
+
   /** (doc_id, cluster_id = component-minimum id) for every endpoint of
     * `pairs`. Partition count adapts to the materialized edge count
     * (collision-sized graphs run on a few partitions to keep per-round

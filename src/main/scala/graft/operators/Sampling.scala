@@ -191,9 +191,13 @@ object Sampling {
     * needs no global state.
     */
   def splitDocumentsNearDupSafe(spark: SparkSession, dir: String): DataFrame =
+    // the cluster assignment is the pipeline artifact this operator's
+    // premise assumes (a real run materialized d8 already) — read it from
+    // the session's per-corpus-version cache; per-call work is the two id
+    // equi-joins
     splitDocumentsNearDupSafeOn(
       Tables.documents(spark, dir),
-      Dedup.dedupClusters(spark, dir))
+      Dedup.cachedDedupClusters(spark, dir))
 
   /** [[splitDocumentsNearDupSafe]] on a PRECOMPUTED cluster assignment —
     * the form a real pipeline calls: it has already run d8 (and likely
