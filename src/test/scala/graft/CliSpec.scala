@@ -489,6 +489,11 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rcli("list-refs", "r.ev")._2.exists(_.startsWith("v1")))
       assert(rcli("untag", "r.ev", "v1")._1 == 0)
       assert(rcli("maintain", "r.ev")._1 == 0)
+      // admin-plane table relocation over the wire (dry-run reports the
+      // per-kind counts; the pointer rewrite runs server-side)
+      val (crp, orp) = rcli("rewrite-table-path", "r.ev",
+        "/no-such-prefix", "/new-prefix", "--dry-run")
+      assert(crp == 0 && orp.exists(_.startsWith("data_paths")), orp.mkString("|"))
       val (ce, eo) = rcli("export")
       assert(ce == 0 && eo.mkString.contains("r.ev"))
 

@@ -1395,6 +1395,21 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.sql("SELECT id, v FROM zgraft.zns.t ORDER BY id").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq ==
         Seq((1L, "a"), (2L, "b")))
+      // row-level SQL rides the wire plane too: DELETE plans the rewrite
+      // against the wire-mounted reader and swaps object-store files;
+      // MERGE stages its rewrite THROUGH the object-store plane
+      spark.sql("DELETE FROM zgraft.zns.t WHERE id = 1")
+      assert(spark.sql("SELECT id FROM zgraft.zns.t").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L))
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "v")
+        .createOrReplaceTempView("zmerge_src")
+      spark.sql(
+        """MERGE INTO zgraft.zns.t t USING zmerge_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql("SELECT id, v FROM zgraft.zns.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((2L, "b2"), (3L, "c")))
       // nothing of the catalog exists locally; the bytes are on the wire
       assert(!Files.exists(java.nio.file.Paths.get(virtualRoot)))
       assert(s3.store.size() > 0)
