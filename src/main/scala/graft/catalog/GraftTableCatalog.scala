@@ -376,8 +376,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace().toSeq == Seq("system"),
       s"procedures live in the system namespace, got $ident")
-    Procedures.load(
-      () => localIce("CALL graft.system.* procedures"), ident.name().toLowerCase)
+    // remote mode: the same procedures execute SERVER-side through the
+    // wire procedure route (they are storage-plane maintenance — the
+    // /maintenance model), with the report returned as the result set
+    ice match {
+      case ic: IceCatalog => Procedures.load(() => ic, ident.name().toLowerCase)
+      case rc: RestCatalogClient => Procedures.loadRemote(rc, ident.name().toLowerCase)
+    }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -421,18 +426,6 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   private def readIce(id: String): IceCatalog = ice match {
     case ic: IceCatalog => ic
     case rc: RestCatalogClient => rc.readDelegate(id)
-  }
-
-  /** Ops that must run next to the catalog (their commits use the local
-    * manifest protocol directly, not the wire vocabulary).
-    */
-  private def localIce(op: String): IceCatalog = ice match {
-    case ic: IceCatalog => ic
-    case _ => throw new UnsupportedOperationException(
-      s"$op runs on the catalog host — the remote REST catalog (uri mode) " +
-        "supports the full batch SQL surface (SELECT incl. merged MOR " +
-        "reads / time travel / metadata tables / streaming reads, INSERT " +
-        "INTO / OVERWRITE, DELETE, MERGE, UPDATE, TRUNCATE, DDL)")
   }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {

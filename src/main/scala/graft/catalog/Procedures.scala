@@ -154,10 +154,59 @@ object Procedures {
 
   val names: Seq[String] = specs.map(_.name)
 
+  private def specOf(name: String): Spec =
+    specs.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"no such procedure: system.$name"))
+
+  /** Wire entry: run a named procedure with STRING-form named args (the
+    * REST procedure route's shape) — missing args take the declared
+    * defaults, values coerce per the declared parameter types, unknown
+    * names are refused loudly. Returns (result schema, rows).
+    */
+  def runNamed(
+      cat: IceCatalog, name: String,
+      rawArgs: Map[String, String]): (StructType, Seq[Seq[Any]]) = {
+    val spec = specOf(name)
+    val known = spec.params.map(_._1).toSet
+    val unknown = rawArgs.keySet -- known
+    require(unknown.isEmpty,
+      s"unknown argument(s) for $name: ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(takes: ${spec.params.map(_._1).mkString(", ")})")
+    val args = spec.params.map { case (n, t, dflt) =>
+      val raw = rawArgs.get(n).orElse(dflt).getOrElse(
+        throw new IllegalArgumentException(s"$name needs argument $n"))
+      t match {
+        case StringType => raw
+        case LongType => raw.toLong
+        case IntegerType => raw.toInt
+        case BooleanType => raw.toBoolean
+        case other => throw new IllegalArgumentException(
+          s"$n: unsupported wire parameter type $other")
+      }
+    }
+    spec.run(cat, args)
+  }
+
+  /** Resolve `system.<name>` for SQL CALL against a REMOTE catalog: the
+    * same declared parameters, but execution rides the wire procedure
+    * route — the server owns the storage plane these procedures operate
+    * on, exactly the /maintenance model.
+    */
+  def loadRemote(client: RestCatalogClient, name: String): UnboundProcedure = {
+    val spec = specOf(name)
+    unbound(spec, args => client.runProcedure(spec.name,
+      spec.params.map(_._1).zip(args.map(String.valueOf)).toMap))
+  }
+
   /** Resolve `system.<name>`; throws NoSuchElementException otherwise. */
   def load(catalogOf: () => IceCatalog, name: String): UnboundProcedure = {
-    val spec = specs.find(_.name == name).getOrElse(
-      throw new NoSuchElementException(s"no such procedure: system.$name"))
+    val spec = specOf(name)
+    unbound(spec, args => spec.run(catalogOf(), args))
+  }
+
+  private def unbound(
+      spec: Spec,
+      runWith: Seq[Any] => (StructType, Seq[Seq[Any]])): UnboundProcedure = {
     new UnboundProcedure {
       override def name(): String = spec.name
       override def description(): String = spec.description
@@ -176,7 +225,7 @@ object Procedures {
           val args = spec.params.zipWithIndex.map { case ((_, t, _), i) =>
             CatalystTypeConverters.createToScalaConverter(t)(input.get(i, t))
           }
-          val (schema, outRows) = spec.run(catalogOf(), args)
+          val (schema, outRows) = runWith(args)
           val conv = CatalystTypeConverters.createToCatalystConverter(schema)
           val result: Scan = new LocalScan {
             override def readSchema(): StructType = schema

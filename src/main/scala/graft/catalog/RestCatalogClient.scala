@@ -1119,6 +1119,42 @@ final class RestCatalogClient(
         ImportEntry(e.path("table").asText(), e.path("action").asText())).toSeq)
   }
 
+  /** Run a named stored procedure SERVER-side (the /maintenance model —
+    * procedures are storage-plane maintenance, so the catalog host
+    * executes them) and return its report as (schema, rows) — what
+    * remote-mode SQL `CALL graft.system.<proc>(...)` rides on.
+    */
+  def runProcedure(
+      name: String, args: Map[String, String])
+      : (org.apache.spark.sql.types.StructType, Seq[Seq[Any]]) = {
+    import org.apache.spark.sql.types._
+    val r = send("POST", s"$base/v1/procedures/${enc(name)}",
+      Some(jstr(Map("args" -> args))))
+    val fields = r.path("schema").elements().asScala.map { f =>
+      val dt = f.path("type").asText() match {
+        case "integer" => IntegerType
+        case "long" => LongType
+        case "boolean" => BooleanType
+        case "double" => DoubleType
+        case _ => StringType
+      }
+      StructField(f.path("name").asText(), dt)
+    }.toSeq
+    val rows = r.path("rows").elements().asScala.map { row =>
+      row.elements().asScala.zip(fields.iterator).map { case (v, f) =>
+        if (v.isNull) null
+        else f.dataType match {
+          case IntegerType => v.asInt()
+          case LongType => v.asLong()
+          case BooleanType => v.asBoolean()
+          case DoubleType => v.asDouble()
+          case _ => v.asText()
+        }
+      }.toSeq
+    }.toSeq
+    (StructType(fields), rows)
+  }
+
   /** Maintenance runs ON the server (it owns the storage plane); the
     * defaults are the SERVER's configured policy, so the client's are
     * intentionally unused.

@@ -599,6 +599,24 @@ object RestServer {
             str(req, "source-prefix"), str(req, "target-prefix"),
             dryRun = req.path("dry-run").asBoolean(false))
           sendJson(ex, 200, Map("counts" -> counts))
+        case ("POST", List("v1", "procedures", name)) =>
+          // run a named stored procedure server-side (the /maintenance
+          // model generalized): the server owns the storage plane these
+          // operate on; args arrive as string-form named values coerced
+          // per the declared parameter types, the report returns as
+          // {schema, rows} — what backs remote-mode SQL CALL
+          val req = body(ex)
+          val args: Map[String, String] = {
+            val a = req.path("args")
+            if (a.isObject)
+              a.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+            else Map.empty
+          }
+          val (schema, rows) = Procedures.runNamed(cat, name, args)
+          sendJson(ex, 200, Map(
+            "schema" -> schema.fields.toSeq.map(f =>
+              Map("name" -> f.name, "type" -> f.dataType.typeName)),
+            "rows" -> rows))
         case ("POST", List("v1", "tables", "rename")) =>
           val req = body(ex)
           val src = str(req, "source")

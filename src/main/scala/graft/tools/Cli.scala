@@ -583,6 +583,29 @@ object Cli {
           cat.runMaintenance(ident, cfg.maintenance).foreach(r =>
             out.println(s"${r.job}\t${r.detail}${r.error.fold("")(e => s"\tERROR $e")}"))
 
+        case "call" +: name +: kvs =>
+          // the SQL stored-procedure surface from the shell: named string
+          // args (k=v) coerce per the declared parameter types; against a
+          // remote catalog the procedure executes SERVER-side (it's
+          // storage-plane maintenance) and the report prints as rows
+          val args = kvs.map { kv =>
+            val i = kv.indexOf('=')
+            if (i <= 0) fail(s"call arguments are name=value, got $kv")
+            kv.take(i) -> kv.drop(i + 1)
+          }.toMap
+          val (schema, rows) = cat match {
+            case rc: graft.catalog.RestCatalogClient => rc.runProcedure(name, args)
+            case ic: IceCatalog => graft.catalog.Procedures.runNamed(ic, name, args)
+            case _ => fail(s"call is not supported on this catalog backend")
+          }
+          if (flags.contains("json"))
+            rows.foreach(r => jsonLine(out, schema.fieldNames.zip(
+              r.map(v => if (v == null) null else String.valueOf(v))): _*))
+          else {
+            out.println(schema.fieldNames.mkString("\t"))
+            rows.foreach(r => out.println(r.map(String.valueOf).mkString("\t")))
+          }
+
         case Seq("rewrite-table-path", ident, srcPrefix, tgtPrefix) =>
           // CLI twin of CALL graft.system.rewrite_table_path: relocate
           // data/source/delete pointers after the bytes were copied
@@ -687,8 +710,8 @@ object Cli {
       "delete-table", "insert", "scan", "count", "files", "describe",
       "describe-metadata", "describe-parquet", "list-partitions",
       "list-snapshots", "list-refs", "tag", "untag", "rollback", "changes", "delete",
-      "delete-positions", "set-property", "maintain", "rewrite-table-path",
-      "export", "import", "serve", "exit", "quit")
+      "delete-positions", "set-property", "maintain", "call",
+      "rewrite-table-path", "export", "import", "serve", "exit", "quit")
     // remote mode needs the credential and TLS-trust globals carried into
     // every inner dispatch too — a `--uri … --token t shell` whose inner
     // commands 401 or fail the handshake is useless; boolean flags

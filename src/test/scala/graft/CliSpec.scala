@@ -494,6 +494,12 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (crp, orp) = rcli("rewrite-table-path", "r.ev",
         "/no-such-prefix", "/new-prefix", "--dry-run")
       assert(crp == 0 && orp.exists(_.startsWith("data_paths")), orp.mkString("|"))
+      // named stored procedures execute server-side through the wire
+      // procedure route; the report prints as rows
+      val (cca, oca) = rcli("call", "rewrite_manifests", "table=r.ev")
+      assert(cca == 0 && oca.length == 2, oca.mkString("|"))
+      val (ccb, ocb) = rcli("call", "rewrite_manifests", "table=r.ev", "bogus=1")
+      assert(ccb == 1 && ocb.exists(_.contains("unknown argument")), ocb.mkString("|"))
       val (ce, eo) = rcli("export")
       assert(ce == 0 && eo.mkString.contains("r.ev"))
 

@@ -1364,6 +1364,19 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the epoch watermark landed atomically with the files
       assert(serverCat.loadMeta("rns.t").properties.keys
         .exists(_.startsWith("graft.streaming.epoch.")))
+
+      // CALL procedures execute SERVER-side through the wire procedure
+      // route, reports returned as the result set — so even maintenance
+      // runs from a remote Spark session
+      val before = serverCat.files("rns.t").length
+      val rdf = spark.sql(
+        "CALL rgraft.system.rewrite_data_files('rns.t')").collect()
+      assert(rdf.length == 1 && rdf(0).getInt(0) == before, rdf.mkString)
+      val exp = spark.sql(
+        "CALL rgraft.system.expire_snapshots(table => 'rns.t', retain_last => 1)")
+        .collect()
+      assert(exp.length == 1 && exp(0).getInt(0) >= 1, exp.mkString)
+      assert(serverCat.loadMeta("rns.t").snapshots.length >= 1)
     } finally served.stop()
   }
 
