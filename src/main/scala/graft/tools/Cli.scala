@@ -71,6 +71,8 @@ import graft.catalog.IceCatalog._
   *   delete-positions <ns.t> <keys.parquet>   (file_path, pos columns)
   *   delete-table <ns.t>
   *   maintain <ns.t>
+  *   call <procedure> [name=value ...]   (the SQL stored procedures;
+  *                                        server-side in remote mode)
   *   rewrite-table-path <ns.t> <source-prefix> <target-prefix> [--dry-run]
   *   export [file] [--namespace ns] import <file> [--dry-run] [--overwrite]
   *   shell                         (interactive; tab completion, exit/quit)
