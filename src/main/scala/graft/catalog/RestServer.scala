@@ -449,7 +449,16 @@ object RestServer {
             "POST /v1/namespaces/{namespace}/tables/{table}",
             "POST /v1/namespaces/{namespace}/tables/{table}/metrics",
             "POST /v1/tables/rename",
-            "POST /v1/transactions/commit")
+            "POST /v1/transactions/commit",
+            // graft extension routes (the thin-client CLI / remote-SQL
+            // surface): predicate delete, on-demand maintenance, table
+            // relocation, server-side stored procedures, catalog
+            // export/import
+            "POST /v1/namespaces/{namespace}/tables/{table}/delete",
+            "POST /v1/namespaces/{namespace}/tables/{table}/maintenance",
+            "POST /v1/namespaces/{namespace}/tables/{table}/rewrite-path",
+            "POST /v1/procedures/{procedure}",
+            "GET /v1/catalog/export", "POST /v1/catalog/import")
           sendJson(ex, 200, Map(
             "defaults" -> Map.empty, "overrides" -> Map.empty,
             "endpoints" -> eps))
