@@ -57,7 +57,7 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     sb.toString
   }
 
-  for (seed <- Seq(17, 42))
+  for (seed <- Seq(17, 42, 99))
   test(s"remote client tracks a local catalog under 120 random catalog ops (seed $seed)") {
     val localRoot = Files.createTempDirectory("rdiff-local").toString
     val remoteRoot = Files.createTempDirectory("rdiff-remote").toString

@@ -685,6 +685,36 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((System.nanoTime() - t0) / 1e9 < 30, "duplicate must not burn the retry budget")
   }
 
+  test("racing remote copy-on-write upserts both land (re-plan on 409)") {
+    import spark.implicits._
+    // two thin clients plan rewrites of the SAME seed file (disjoint
+    // keys, one physical file): one wins the CAS, the other's commit
+    // 409s, re-plans against the new snapshot, and must still land —
+    // the external-committer contention loop for row-level writes
+    val remote = new graft.catalog.RestCatalogClient(
+      spark, server.url, Some("rw-secret"))
+    assert(Set(200, 409)(
+      req("POST", "/v1/namespaces", """{"namespace":["mor"]}""").statusCode()))
+    assert(req("POST", "/v1/namespaces/mor/tables",
+      """{"name":"race","schema":"id BIGINT, v STRING"}""").statusCode() == 200)
+    remote.insert("mor.race",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+        .coalesce(1))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = Seq(
+      Future(remote.upsert("mor.race",
+        Seq((1L, "A1"), (2L, "B1")).toDF("id", "v"), Seq("id"))),
+      Future(remote.upsert("mor.race",
+        Seq((3L, "C2"), (5L, "E2")).toDF("id", "v"), Seq("id"))))
+    Await.result(Future.sequence(racers), 120.seconds)
+    assert(cat.scan("mor.race").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "A1"), (2L, "B1"), (3L, "C2"), (4L, "d"), (5L, "E2")))
+    // one insert + two upsert commits — nothing lost, nothing doubled
+    assert(cat.loadMeta("mor.race").currentSnapshotId == 3)
+  }
+
   test("rewrite-path route relocates pointers over HTTP (dry-run first)") {
     import spark.implicits._
     assert(Set(200, 409)(
