@@ -832,6 +832,17 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (_, filesOut) = rcli("files", "g.t")
       assert(filesOut.forall(_.startsWith("graftgcs://lake/")), filesOut.mkString("|"))
       assert(!Files.exists(java.nio.file.Paths.get(virtualRoot)))
+      // row-level writes stage through the graftgcs:// plane too: a MOR
+      // upsert commits wire-staged data + delete files in one snapshot,
+      // and the merged read serves the result — all with downscoped tokens
+      val remote = new graft.catalog.RestCatalogClient(
+        spark, served.url, Some("gtok"))
+      remote.upsertMergeOnRead("g.t",
+        Seq((20L, "y2"), (30L, "z")).toDF("id", "v"), Seq("id"))
+      assert(rcli("count", "g.t") == (0, Seq("3")))
+      val (_, s2) = rcli("scan", "g.t")
+      assert(s2.tail.sorted == Seq("10\tx", "20\ty2", "30\tz"), s2.mkString("|"))
+      assert(!Files.exists(java.nio.file.Paths.get(virtualRoot)))
     } finally {
       if (served != null) served.stop()
       gcs.stop()
