@@ -1343,6 +1343,11 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq((4L, "d2"), (5L, "e2"), (6L, "f")))
       // the MOR MERGE registered a pending equality delete, not a rewrite
       assert(serverCat.loadMeta("rns.t").current.get.deletes != null)
+      // plain SQL UPDATE rides the same delta path (delete old key +
+      // insert replacement, one wire commit)
+      spark.sql("UPDATE rgraft.rns.t SET lang = 'xx' WHERE id = 4")
+      assert(spark.sql("SELECT lang FROM rgraft.rns.t WHERE id = 4").collect()
+        .map(_.getString(0)).toSeq == Seq("xx"))
 
       // streaming writes too: each epoch stages on shared storage and
       // commits through the epoch-marked append-files action —
