@@ -1349,6 +1349,23 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.sql("SELECT lang FROM rgraft.rns.t WHERE id = 4").collect()
         .map(_.getString(0)).toSeq == Seq("xx"))
 
+      // POSITION-delete SQL writes (merge-on-read WITHOUT merge keys):
+      // DELETE masks matched (file, row) identities, UPDATE masks and
+      // re-appends — both as add-delete-files position commits over the
+      // wire, the Iceberg shape for tables with no row identity
+      spark.sql(
+        """CREATE TABLE rgraft.rns.p (id BIGINT, v STRING)
+          |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+      spark.sql("INSERT INTO rgraft.rns.p VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      spark.sql("UPDATE rgraft.rns.p SET v = 'B' WHERE id = 2")
+      spark.sql("DELETE FROM rgraft.rns.p WHERE id = 1")
+      assert(spark.sql("SELECT id, v FROM rgraft.rns.p ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((2L, "B"), (3L, "c")))
+      // both commits registered POSITION delete files, zero rewrites
+      assert(serverCat.loadMeta("rns.p").current.get.deletes
+        .count(_.isPositional) == 2)
+
       // streaming writes too: each epoch stages on shared storage and
       // commits through the epoch-marked append-files action —
       // exactly-once under replay, same as the local sink
