@@ -28,12 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// The JDK http client reads this once in a static initializer, so a
-// process wanting --no-ssl-verify must set it BEFORE any HttpClient is
-// built. A plain CLI process does (flag parse precedes the first client);
-// the test JVM hosts server+many clients in one process, so model the
-// documented process-startup setting here (Cli.insecureSslContext docs
-// the embedder limitation). Hostname verification stays enforced by the
-// --cacert chain-trust assertions, which fail on an untrusted chain
-// regardless of this switch.
-Test / javaOptions += "-Djdk.internal.httpclient.disableHostnameVerification=true"
+// --no-ssl-verify needs NO process-global JDK property: the trust-all
+// context's X509ExtendedTrustManager absorbs the endpoint-identity check
+// per-context (RestCatalogClient.insecureSslContext), so cacert/default
+// contexts in the same JVM keep full hostname verification — pinned by
+// CliSpec's hostname-mismatch matrix.

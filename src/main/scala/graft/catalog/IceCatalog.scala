@@ -1585,6 +1585,7 @@ class IceCatalog(
       if (dataPaths.isEmpty) (Seq.empty[DataFileMeta], Seq.empty[String])
       else resolveStagedData(ident, meta, dataPaths, forceOutsideLocation, options)
     val fieldNames = meta.schema.fieldNames.toSet
+    val delSrcs = Seq.newBuilder[String]
     val delMetas: Seq[DeleteFileMeta] = deletes.flatMap { spec =>
       require(spec.paths.nonEmpty, "delete spec needs paths")
       if (spec.positional) {
@@ -1595,11 +1596,17 @@ class IceCatalog(
         if (keyed eq raw)
           // already canonical: adopt the staged files in place
           spec.paths.map(p => stagedDeleteMeta(ident, p, spec))
-        else
+        else {
           // foreign spellings: commit a rewritten canonical file; the
-          // staged originals become GC-able orphans
+          // staged originals become GC-able orphans, but their paths
+          // enter the SOURCE LEDGER — a thin client whose commit response
+          // was lost re-reads the table and can only prove this commit
+          // landed by finding ITS staged spellings somewhere (the
+          // rewritten file's path would never match them)
+          delSrcs ++= spec.paths
           Seq(writeDeleteFile(ident, keyed, Seq("file_path", "pos"))
             .copy(positional = Some(true)))
+        }
       } else {
         require(spec.keyCols.nonEmpty, "equality delete spec needs key columns")
         spec.keyCols.foreach(k => require(fieldNames.contains(k),
@@ -1613,7 +1620,8 @@ class IceCatalog(
       else if (dataFiles.isEmpty) "mor-delete"
       else "mor-upsert"
     commitSnap(ident, basedOn = basedOn)(_ =>
-      SnapDelta(op, add = dataFiles, addSources = sources, addDeletes = delMetas))
+      SnapDelta(op, add = dataFiles, addSources = sources ++ delSrcs.result(),
+        addDeletes = delMetas))
   }
 
   /** Register an externally-staged OVERWRITE as one snapshot commit —
@@ -1673,8 +1681,11 @@ class IceCatalog(
     if (uri != null && uri.getScheme != null && uri.getScheme != "file") {
       // wire staging writes `scheme://bucket<tableDir>/data/...` — the
       // object key embeds the table dir, the same containment rule as
-      // local staging
-      require(Option(uri.getPath).exists(_.startsWith(tblDir.toString)),
+      // local staging. Component-wise: the prefix must end at a path
+      // separator, else a sibling dir sharing the prefix (/w/ns/t2 vs
+      // /w/ns/t) would pass.
+      require(Option(uri.getPath).exists(p =>
+        p == tblDir.toString || p.startsWith(tblDir.toString + "/")),
         s"$path: delete files must be staged under the table location " +
           "(they are GC'd with the table's own data)")
       val hconf = spark.sessionState.newHadoopConf()

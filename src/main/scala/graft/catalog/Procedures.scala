@@ -194,8 +194,14 @@ object Procedures {
     */
   def loadRemote(client: RestCatalogClient, name: String): UnboundProcedure = {
     val spec = specOf(name)
+    // null args stay OFF the wire map — String.valueOf(null) would ship
+    // the literal "null" and the server's type coercion would choke on
+    // it; omitting lets the server apply the declared default or fail
+    // with its clear needs-argument message
     unbound(spec, args => client.runProcedure(spec.name,
-      spec.params.map(_._1).zip(args.map(String.valueOf)).toMap))
+      spec.params.map(_._1).zip(args).collect {
+        case (n, v) if v != null => n -> String.valueOf(v)
+      }.toMap))
   }
 
   /** Resolve `system.<name>`; throws NoSuchElementException otherwise. */

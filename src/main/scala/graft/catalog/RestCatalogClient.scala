@@ -67,18 +67,30 @@ object RestCatalogClient {
     else cacert.map(caSslContext)
 
   /** Trust-all context for `sslVerify: false` (self-signed lab servers).
-    * Skipping hostname verification requires the JDK's
-    * `jdk.internal.httpclient.disableHostnameVerification` property to be
-    * read BEFORE any HttpClient is built in the process — set here for
-    * plain CLI processes; embedders must set it at JVM startup.
+    *
+    * Hostname verification is bypassed PER-CONTEXT, not process-wide: the
+    * trust manager extends [[javax.net.ssl.X509ExtendedTrustManager]], so
+    * JSSE delegates the endpoint-identity check ("HTTPS" algorithm) to the
+    * no-op `checkServerTrusted(chain, auth, engine)` override instead of
+    * wrapping a plain X509TrustManager with its own identity check. Other
+    * HttpClients in the same JVM (default trust, `cacert` bundles) keep
+    * full hostname verification — no
+    * `jdk.internal.httpclient.disableHostnameVerification` mutation.
     */
   def insecureSslContext(): javax.net.ssl.SSLContext = {
-    System.setProperty("jdk.internal.httpclient.disableHostnameVerification", "true")
     val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
     ctx.init(null, Array[javax.net.ssl.TrustManager](
-      new javax.net.ssl.X509TrustManager {
+      new javax.net.ssl.X509ExtendedTrustManager {
         def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
         def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String,
+            s: java.net.Socket): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String,
+            s: java.net.Socket): Unit = ()
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String,
+            e: javax.net.ssl.SSLEngine): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String,
+            e: javax.net.ssl.SSLEngine): Unit = ()
         def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
       }), new java.security.SecureRandom())
     ctx
@@ -615,7 +627,12 @@ final class RestCatalogClient(
           .getOrElse(Seq.empty).map(fsPath).toSet
         val knownDel = m.current.flatMap(s => Option(s.deletes))
           .getOrElse(Seq.empty).map(d => fsPath(d.path)).toSet
-        if (norm.forall(known.contains) && normDel.forall(knownDel.contains))
+        // delete paths prove themselves either directly (adopted in
+        // place) or via the source ledger — the server rewrites foreign
+        // position spellings into a canonical file whose path never
+        // matches the staged one, but it ledgers the staged origins
+        if (norm.forall(known.contains) &&
+            normDel.forall(p => knownDel.contains(p) || known.contains(p)))
           Some(m)
         else None
       }) { _ =>

@@ -114,22 +114,18 @@ object Dedup {
   private val bandIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
 
-  /** Source fingerprint (path, mtime, size) of the documents file, so a
-    * rewritten corpus misses the cache instead of serving a stale index.
+  /** Source-version fingerprint of the documents corpus
+    * ([[Tables.sourceFingerprint]]: single file → mtime+size; multi-file
+    * or mounted-scheme dir → hashed listing; unreachable → never-repeating
+    * token so the cache misses rather than serving stale results).
     */
-  private def docsFingerprint(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "documents.parquet")
-    val (mt, sz) =
-      try (java.nio.file.Files.getLastModifiedTime(p).toMillis,
-        java.nio.file.Files.size(p))
-      catch { case _: Exception => (0L, 0L) } // multi-file/remote dir: no attrs
-    s"$dir@$mt:$sz"
-  }
+  private def docsFingerprint(spark: SparkSession, dir: String): String =
+    Tables.sourceFingerprint(spark, dir, "documents")
 
   /** The corpus band index, materialized once per corpus version. */
   def cachedBandIndex(spark: SparkSession, dir: String): DataFrame = {
     bandIndexCache.keySet().removeIf(_._1.sparkContext.isStopped)
-    val fp = docsFingerprint(dir)
+    val fp = docsFingerprint(spark, dir)
     bandIndexCache.compute((spark, dir), (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else {
@@ -231,7 +227,7 @@ object Dedup {
 
   def cachedDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     clusterCache.keySet().removeIf(_._1.sparkContext.isStopped)
-    val fp = docsFingerprint(dir)
+    val fp = docsFingerprint(spark, dir)
     clusterCache.compute((spark, dir), (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else {

@@ -336,7 +336,7 @@ object Similarity {
       m: Int = 4, k: Int = 16, dims: Int = 64,
       sampleN: Int = 2048, iters: Int = 4): Array[Array[Double]] = {
     rotationCache.keySet().removeIf(_._1.sparkContext.isStopped)
-    val fp = corpusFingerprint(dir)
+    val fp = corpusFingerprint(spark, dir)
     rotationCache.compute((spark, dir, m, k), (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else (fp, trainOpqRotation(
@@ -457,18 +457,14 @@ object Similarity {
     vectors(spark, dir).withColumn("vn", normalize(col("v")))
   }
 
-  /** Source fingerprint (path, mtime, size) of the embeddings file: cache
-    * keys carry it so a rewritten/appended corpus naturally misses and
-    * retrains instead of silently serving results frozen at first call.
+  /** Source-version fingerprint of the embeddings corpus
+    * ([[Tables.sourceFingerprint]]: single file → mtime+size; multi-file
+    * or mounted-scheme dir → hashed listing; unreachable → never-repeating
+    * token so caches miss rather than serving results frozen at first
+    * call against a since-rewritten corpus).
     */
-  private def corpusFingerprint(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val (mt, sz) =
-      try (java.nio.file.Files.getLastModifiedTime(p).toMillis,
-        java.nio.file.Files.size(p))
-      catch { case _: Exception => (0L, 0L) } // multi-file/remote dir: no attrs
-    s"$dir@$mt:$sz"
-  }
+  private def corpusFingerprint(spark: SparkSession, dir: String): String =
+    Tables.sourceFingerprint(spark, dir, "embeddings")
 
   /** One persisted normalized-corpus copy per (session, corpus version),
     * shared by every IVF/PQ call: k-means and codebook training make
@@ -483,7 +479,7 @@ object Similarity {
 
   private def cachedUnitVectors(spark: SparkSession, dir: String): DataFrame = {
     corpusCache.keySet().removeIf(_._1.sparkContext.isStopped)
-    val fp = corpusFingerprint(dir)
+    val fp = corpusFingerprint(spark, dir)
     corpusCache.compute((spark, dir), (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else {
@@ -501,7 +497,7 @@ object Similarity {
 
   private def cachedCorpusCount(spark: SparkSession, dir: String): Long = {
     countCache.keySet().removeIf(_._1.sparkContext.isStopped)
-    val fp = corpusFingerprint(dir)
+    val fp = corpusFingerprint(spark, dir)
     countCache.compute((spark, dir), (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else (fp, cachedUnitVectors(spark, dir).count()))._2
@@ -539,7 +535,7 @@ object Similarity {
       spark: SparkSession, dir: String, candidates: DataFrame, subsetKey: String,
       nlist: Int, dims: Int): Array[Array[Double]] = {
     centroidCache.keySet().removeIf(_._1.sparkContext.isStopped)
-    val fp = corpusFingerprint(dir)
+    val fp = corpusFingerprint(spark, dir)
     centroidCache.compute((spark, dir, subsetKey, nlist, dims), (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else (fp, kmeansCentroids(candidates, nlist, dims)))._2
@@ -558,7 +554,7 @@ object Similarity {
       spark: SparkSession, dir: String, data: DataFrame, vec: Column, vecKey: String,
       m: Int, k: Int, subDims: Int): Seq[Array[Array[Double]]] = {
     codebookCache.keySet().removeIf(_._1.sparkContext.isStopped)
-    val fp = corpusFingerprint(dir)
+    val fp = corpusFingerprint(spark, dir)
     codebookCache.compute((spark, dir, vecKey, m, k, subDims), (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else (fp, trainCodebooks(data, vec, m, k, subDims)))._2
@@ -654,7 +650,7 @@ object Similarity {
       nlist: Int = Auto, dims: Int = 64): (Array[Array[Double]], DataFrame) = {
     indexedCache.keySet().removeIf(_._1.sparkContext.isStopped)
     val nl = resolveNlist(spark, dir, nlist)
-    val fp = corpusFingerprint(dir)
+    val fp = corpusFingerprint(spark, dir)
     indexedCache.compute((spark, dir, nl, dims), (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else {

@@ -64,4 +64,35 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  private val nofpCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Source-version fingerprint of `dir/<name>.parquet` for session caches
+    * (band index, IVF corpus, cluster assignments): single file →
+    * (mtime, size); directory (multi-file corpus) or any mounted-scheme
+    * URI → the full listing's (name, mtime, size) triples hashed, so an
+    * appended/rewritten part file changes the fingerprint. When no
+    * listing is reachable either, return a NEVER-REPEATING token — the
+    * cache then misses every call (recompute beats silently serving a
+    * stale index for the session's lifetime).
+    */
+  def sourceFingerprint(spark: SparkSession, dir: String, name: String): String = {
+    val target = s"$dir/$name.parquet"
+    try {
+      val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+      if (java.nio.file.Files.isRegularFile(p))
+        return s"$target@${java.nio.file.Files.getLastModifiedTime(p).toMillis}:" +
+          s"${java.nio.file.Files.size(p)}"
+    } catch { case _: Exception => () } // scheme'd URI: Paths.get may throw
+    try {
+      val hp = new org.apache.hadoop.fs.Path(target)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      val entries = fs.listStatus(hp).map(st =>
+        s"${st.getPath.getName}@${st.getModificationTime}:${st.getLen}").sorted
+      s"$target#${entries.mkString("|").hashCode}:${entries.length}"
+    } catch {
+      case _: Exception =>
+        s"$target!nofp:${nofpCounter.incrementAndGet()}"
+    }
+  }
 }

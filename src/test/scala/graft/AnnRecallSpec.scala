@@ -160,6 +160,29 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df2.count() > 0 && df2.storageLevel.useMemory)
   }
 
+  test("MULTI-FILE corpus rewrite evicts the cache (listing fingerprint)") {
+    // a corpus that is a DIRECTORY of part files has no single-file
+    // (mtime, size) — the fingerprint must come from the listing, so an
+    // in-place rewrite still misses instead of serving the stale index
+    // for the session's lifetime
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("ann-multifile")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(3).write.parquet(d.resolve("embeddings.parquet").toString)
+    val (c1, df1) = Similarity.indexedCorpus(spark, d.toString)
+    val n1 = df1.count()
+    assert(n1 > 0)
+    // rewrite the directory with HALF the rows (new part files)
+    val half = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit((n1 / 2).toInt)
+    half.repartition(2).write.mode("overwrite")
+      .parquet(d.resolve("embeddings.parquet").toString)
+    val (c2, df2) = Similarity.indexedCorpus(spark, d.toString)
+    assert(df2 ne df1, "rewritten multi-file corpus must evict, not serve stale")
+    assert(c2 ne c1)
+    assert(df2.count() == n1 / 2, "the fresh index must reflect the new corpus")
+  }
+
   test("s8 second call in a session trains nothing: zero eager jobs") {
     // first call trains coarse quantizer + PQ codebooks (several collect()
     // jobs); the second must serve BOTH from the session caches — building

@@ -958,6 +958,17 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
         "--no-ssl-verify", "check"), spark, new PrintStream(b3, true)) == 0,
         b3.toString)
       assert(b3.toString.contains("ok"))
+      // the bypass is scoped to the trust-all context ONLY: a cacert
+      // client in the SAME JVM dialing the same mismatched-hostname
+      // server must still fail hostname verification (chain is trusted —
+      // the failure is the identity check). Pins the per-context
+      // X509ExtendedTrustManager design over the JVM-global
+      // jdk.internal.httpclient.disableHostnameVerification property.
+      val b4 = new ByteArrayOutputStream()
+      assert(Cli.run(Seq("--uri", served2.url, "--token", "stok",
+        "--cacert", certPem2.toString, "check"), spark,
+        new PrintStream(b4, true)) != 0,
+        s"cacert client must enforce hostname verification: ${b4.toString}")
     } finally if (served2 != null) served2.stop()
   }
 

@@ -385,4 +385,39 @@ class GraftS3FileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.where(col("n_nationkey") === 7).count() == 0)
     assert(server.authFailures.get() == 0)
   }
+
+  test("scheme'd staged-delete containment is component-wise (sibling prefix)") {
+    import spark.implicits._
+    import graft.catalog.IceCatalog
+    val root = java.nio.file.Files.createTempDirectory("sib-wh").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("sib")
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+    cat.createTable("sib.t", schema, Seq.empty, Seq.empty, Map.empty)
+    cat.createTable("sib.t2", schema, Seq.empty, Seq.empty, Map.empty)
+    cat.insert("sib.t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // a delete file staged under the SIBLING table's location, via a
+    // scheme'd URI whose object key shares the ".../sib/t" string prefix
+    // (".../sib/t2") — must be refused: startsWith without a trailing
+    // separator would let it through
+    val sibDir = s"grafts3://lake$root/sib/t2/data/del"
+    Seq(Tuple1(1L)).toDF("id").coalesce(1).write.parquet(sibDir)
+    val fs = new org.apache.hadoop.fs.Path(sibDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def firstParquet(d: String): String =
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+    val e = intercept[IllegalArgumentException] {
+      cat.addStagedDelta("sib.t", Nil,
+        Seq(IceCatalog.StagedDeletes(Seq(firstParquet(sibDir)), Seq("id"))))
+    }
+    assert(e.getMessage.contains("staged under the table location"), e.getMessage)
+    // positive control: the same content staged under t's OWN location
+    // commits, and the merged read applies it over the wire
+    val ownDir = s"grafts3://lake$root/sib/t/data/del"
+    Seq(Tuple1(1L)).toDF("id").coalesce(1).write.parquet(ownDir)
+    cat.addStagedDelta("sib.t", Nil,
+      Seq(IceCatalog.StagedDeletes(Seq(firstParquet(ownDir)), Seq("id"))))
+    assert(cat.scan("sib.t").select("id").as[Long].collect().toSeq == Seq(2L))
+  }
 }

@@ -748,4 +748,73 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.files("mor.mv").forall(_.path.contains("/moved/")))
     assert(cat.scan("mor.mv").count() == 2)
   }
+
+  test("lost-response position-delete commit: verified() proves it landed " +
+      "via the source ledger, no duplicate delete file") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    assert(Set(200, 409)(
+      req("POST", "/v1/namespaces", """{"namespace":["lostr"]}""").statusCode()))
+    val direct = new RestCatalogClient(spark, server.url, Some("rw-secret"))
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    direct.createTable("lostr.t", df.schema, Seq.empty, Seq.empty, Map.empty)
+    direct.insert("lostr.t", df.coalesce(2), graft.catalog.IceCatalog.InsertOptions())
+
+    // relay that forwards verbatim but answers the FIRST successful
+    // add-delete-files commit with a synthetic 409 — the landed-but-
+    // response-lost window. The client's CommitRetry then consults
+    // verified(); because the server REWRITES foreign position spellings
+    // into a canonical delete file, the staged paths can only prove
+    // themselves through the snapshot's source ledger.
+    val lied = new java.util.concurrent.atomic.AtomicInteger(0)
+    val relay = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    relay.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val fb = HttpRequest.newBuilder(
+          URI.create(s"${server.url}${ex.getRequestURI}"))
+        Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .foreach(a => fb.header("Authorization", a))
+        val fwd = ex.getRequestMethod match {
+          case "GET" => fb.GET()
+          case "HEAD" => fb.method("HEAD", HttpRequest.BodyPublishers.noBody())
+          case "DELETE" => fb.DELETE()
+          case m => fb.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val resp = client.send(fwd.build(), HttpResponse.BodyHandlers.ofString())
+        val lose = ex.getRequestMethod == "POST" &&
+          body.contains("add-delete-files") && resp.statusCode() == 200 &&
+          lied.getAndIncrement() == 0
+        val (code, out) =
+          if (lose) (409,
+            """{"error":{"type":"CommitFailedException",
+              |"message":"synthetic lost response"}}""".stripMargin)
+          else (resp.statusCode(), resp.body())
+        val bytes = out.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
+    relay.start()
+    try {
+      val proxied = new RestCatalogClient(spark,
+        s"http://127.0.0.1:${relay.getAddress.getPort}", Some("rw-secret"))
+      // FOREIGN spellings: plain filesystem paths (canonical is the
+      // _metadata.file_path file: URI) → the server rewrites the staged
+      // file, so its committed path never equals the staged one
+      val plain = cat.loadMeta("lostr.t").current.get.files.map(f =>
+        java.nio.file.Paths.get(new java.net.URI(f.path)).toString)
+      val keys = plain.take(2).map(p => (p, 0L)).toDF("file_path", "pos")
+      proxied.deletePositions("lostr.t", keys)
+      assert(lied.get() >= 1, "the relay must have synthesized the 409")
+      val snap = cat.loadMeta("lostr.t").current.get
+      assert(Option(snap.deletes).getOrElse(Seq.empty).size == 1,
+        s"one landed commit + verified() must leave ONE delete file, got " +
+          s"${Option(snap.deletes).getOrElse(Seq.empty).map(_.path)}")
+      assert(cat.scan("lostr.t").count() == 18,
+        "exactly the two masked rows disappear")
+    } finally relay.stop(0)
+  }
 }

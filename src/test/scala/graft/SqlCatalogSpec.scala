@@ -1399,6 +1399,13 @@ class SqlCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect()
       assert(exp.length == 1 && exp(0).getInt(0) >= 1, exp.mkString)
       assert(serverCat.loadMeta("rns.t").snapshots.length >= 1)
+      // an explicit NULL argument stays OFF the wire so the server
+      // applies the declared default — not the literal string "null"
+      // that String.valueOf would ship (server "null".toLong → 400)
+      val expNull = spark.sql(
+        "CALL rgraft.system.expire_snapshots(table => 'rns.t', " +
+          "max_age_hours => NULL, retain_last => 1)").collect()
+      assert(expNull.length == 1 && expNull(0).getInt(0) >= 0, expNull.mkString)
     } finally served.stop()
   }
 
