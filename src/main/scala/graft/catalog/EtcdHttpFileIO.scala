@@ -39,10 +39,73 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *    `count_only` prefix range, then deletes under a `mod_revision`
   *    guard.
   */
+/** One etcd-cluster client seat: POSTs JSON gateway calls against a
+  * COMMA-SEPARATED endpoint list (`http://a:2379,http://b:2379` — the
+  * reference's etcd client takes the same list form,
+  * ice-rest-catalog/.../etcd/EtcdCatalog.java:84
+  * `Client.builder().endpoints(uri.split(","))`, for the documented
+  * 3-node production topology, docs/etcd-cluster-setup.md).
+  *
+  * Failover is health-aware round-robin: requests go to the last-known-
+  * good endpoint; a CONNECTION-level failure (refused, reset mid-stream,
+  * connect timeout) rotates to the next endpoint, and a success pins it
+  * as the new preference. Application-level responses — non-200, etcd
+  * error bodies, and response-wait timeouts such as a blocking lock
+  * acquire expiring — are the caller's semantics and NEVER fail over
+  * (retrying a held-lock wait on another gateway node would just double
+  * the wait). Retrying a possibly-delivered write is safe here for the
+  * same reason it is in jetcd: every non-idempotent catalog write rides
+  * a txn compare (`create_revision == 0` / `mod_revision == seen`), so a
+  * duplicate delivery fails the guard instead of double-applying.
+  */
+private[catalog] final class EtcdGateway(endpointList: String) {
+  private val endpoints = endpointList.split(",")
+    .map(_.trim.stripSuffix("/")).filter(_.nonEmpty).toIndexedSeq
+  require(endpoints.nonEmpty, s"etcd: no endpoints in '$endpointList'")
+  private val http = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+  @volatile private var preferred = 0
+
+  def call(route: String, body: com.fasterxml.jackson.databind.node.ObjectNode,
+      timeoutMs: Long = 0): JsonNode = {
+    var last: Exception = null
+    var i = 0
+    while (i < endpoints.length) {
+      val idx = (preferred + i) % endpoints.length
+      val b = HttpRequest.newBuilder(java.net.URI.create(endpoints(idx) + route))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(mapper.writeValueAsBytes(body)))
+      if (timeoutMs > 0) b.timeout(java.time.Duration.ofMillis(timeoutMs))
+      val r =
+        try http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+        catch {
+          case e: java.net.http.HttpConnectTimeoutException =>
+            last = e; i += 1; null // connect-phase timeout: next endpoint
+          case e: java.net.http.HttpTimeoutException =>
+            throw e // response-wait timeout (e.g. held lock): semantics
+          case e: java.io.IOException =>
+            last = e; i += 1; null // refused / reset: next endpoint
+        }
+      if (r != null) {
+        val node = mapper.readTree(r.body())
+        if (r.statusCode() != 200 || node.has("error"))
+          throw new java.io.IOException(
+            s"etcd ${r.statusCode()} on $route: " +
+              node.path("message").asText(node.toString.take(200)))
+        preferred = idx
+        return node
+      }
+    }
+    throw new java.io.IOException(
+      s"etcd: all ${endpoints.length} endpoint(s) unreachable " +
+        s"(${endpoints.mkString(", ")})", last)
+  }
+}
+
 final class EtcdHttpFileIO(metadataRoot: String, endpoint: String)
     extends FileIO {
 
-  private val http = HttpClient.newHttpClient()
+  private val gateway = new EtcdGateway(endpoint)
   private val mapper = new ObjectMapper()
   private val rootKey =
     java.nio.file.Paths.get(metadataRoot).toAbsolutePath.normalize.toString
@@ -86,18 +149,7 @@ final class EtcdHttpFileIO(metadataRoot: String, endpoint: String)
   private def unb64(s: String): Array[Byte] = Base64.getDecoder.decode(s)
 
   private def call(route: String, body: com.fasterxml.jackson.databind.node.ObjectNode)
-      : JsonNode = {
-    val req = HttpRequest.newBuilder(java.net.URI.create(endpoint + route))
-      .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofByteArray(mapper.writeValueAsBytes(body)))
-      .build()
-    val r = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
-    val node = mapper.readTree(r.body())
-    if (r.statusCode() != 200 || node.has("error"))
-      throw new java.io.IOException(
-        s"etcd ${r.statusCode()} on $route: ${node.path("message").asText(node.toString.take(200))}")
-    node
-  }
+      : JsonNode = gateway.call(route, body)
 
   private def obj() = mapper.createObjectNode()
 
@@ -386,22 +438,11 @@ final class EtcdCommitLock(
     endpoint: String, catalogName: String,
     leaseTtlSec: Long = 10, acquireTimeoutMs: Long = 30000) {
 
-  private val http = HttpClient.newHttpClient()
+  private val gateway = new EtcdGateway(endpoint)
   private val mapper = new ObjectMapper()
 
   private def call(route: String, body: com.fasterxml.jackson.databind.node.ObjectNode,
-      timeoutMs: Long = 0): JsonNode = {
-    val b = HttpRequest.newBuilder(java.net.URI.create(endpoint + route))
-      .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofByteArray(mapper.writeValueAsBytes(body)))
-    if (timeoutMs > 0) b.timeout(java.time.Duration.ofMillis(timeoutMs))
-    val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
-    val node = mapper.readTree(r.body())
-    if (r.statusCode() != 200 || node.has("error"))
-      throw new java.io.IOException(
-        s"etcd ${r.statusCode()} on $route: ${node.path("message").asText("")}")
-    node
-  }
+      timeoutMs: Long = 0): JsonNode = gateway.call(route, body, timeoutMs)
 
   private def obj() = mapper.createObjectNode()
   private def b64(s: String): String =

@@ -40,23 +40,46 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *    so holder crash = lease expiry = automatic handoff; `unlock`
   *    deletes the key and wakes waiters.
   */
-final class EtcdWireServer(port: Int = 0) {
-
+object EtcdWireServer {
   /** One stored key: value bytes + MVCC metadata + owning lease (0 = none). */
   final case class Kv(
       value: Array[Byte], createRev: Long, modRev: Long,
       version: Long, lease: Long)
 
-  private final case class Lease(
+  private[catalog] final case class Lease(
       grantedTtlSec: Long, var deadlineMs: Long)
 
-  // keys as ISO-8859-1 strings: bijective with bytes and String ordering
-  // over chars 0..255 equals unsigned bytewise order — etcd's key order
-  private val store = new java.util.TreeMap[String, Kv]()
-  private val leases = new java.util.HashMap[Long, Lease]()
-  private var revision: Long = 1L // etcd starts at 1; first write → 2
-  private var nextLeaseId: Long = 1000L
-  private val stateLock = new Object
+  /** The replicated state machine shared by every gateway endpoint of one
+    * "cluster": N [[EtcdWireServer]] instances over one State model N
+    * gateway nodes of a raft-replicated etcd — linearizable by
+    * construction (one monitor), which is exactly what etcd guarantees
+    * and exactly enough to test CLIENT endpoint failover without
+    * reimplementing raft.
+    */
+  private[catalog] final class State {
+    // keys as ISO-8859-1 strings: bijective with bytes and String ordering
+    // over chars 0..255 equals unsigned bytewise order — etcd's key order
+    val store = new java.util.TreeMap[String, Kv]()
+    val leases = new java.util.HashMap[Long, Lease]()
+    var revision: Long = 1L // etcd starts at 1; first write → 2
+    var nextLeaseId: Long = 1000L
+  }
+}
+
+final class EtcdWireServer(port: Int = 0, shareStateWith: EtcdWireServer = null) {
+  import EtcdWireServer._
+
+  private[catalog] val state: State =
+    if (shareStateWith != null) shareStateWith.state else new State
+  private def store = state.store
+  private def leases = state.leases
+  private def revision: Long = state.revision
+  private def revision_=(v: Long): Unit = state.revision = v
+  private def nextLeaseId: Long = state.nextLeaseId
+  private def nextLeaseId_=(v: Long): Unit = state.nextLeaseId = v
+  // the State object is the monitor so lock waiters parked on one
+  // endpoint wake on a store change made through another
+  private val stateLock: Object = state
 
   private val mapper = new ObjectMapper()
 

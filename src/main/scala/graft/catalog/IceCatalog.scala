@@ -1604,8 +1604,8 @@ class IceCatalog(
           // landed by finding ITS staged spellings somewhere (the
           // rewritten file's path would never match them)
           delSrcs ++= spec.paths
-          Seq(writeDeleteFile(ident, keyed, Seq("file_path", "pos"))
-            .copy(positional = Some(true)))
+          writeDeleteFiles(ident, keyed, Seq("file_path", "pos"))
+            .map(_.copy(positional = Some(true)))
         }
       } else {
         require(spec.keyCols.nonEmpty, "equality delete spec needs key columns")
@@ -1821,19 +1821,34 @@ class IceCatalog(
     * parquet under the table's data dir (so snapshot-expiry orphan GC
     * covers it like any data file).
     */
-  private def writeDeleteFile(
-      ident: String, keys: DataFrame, keyCols: Seq[String]): DeleteFileMeta = {
+  /** Write a delete-key frame as parquet under the table's data dir and
+    * return one [[DeleteFileMeta]] PER LANDED FILE — all registered in
+    * the same SnapDelta by callers, so the commit stays atomic.
+    *
+    * The write is executor-parallel: the `distinct()` shuffle's post-AQE
+    * partitioning decides the file count, so a CDC-sized batch coalesces
+    * to one small file while a backfill-sized key set fans out across
+    * tasks instead of funneling through a single `coalesce(1)` writer —
+    * plan parity with the SQL MERGE path's per-task executor-written
+    * delete files (RowLevelOps/commitDeltaMerge). Empty task outputs are
+    * dropped (`rowCount > 0`), mirroring commitDeltaMerge.
+    */
+  private def writeDeleteFiles(
+      ident: String, keys: DataFrame, keyCols: Seq[String]): Seq[DeleteFileMeta] = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val dir = tableDir(ident).resolve("data").resolve(s"delete-$commitId")
-    keys.select(keyCols.map(col): _*).distinct().coalesce(1)
+    keys.select(keyCols.map(col): _*).distinct()
       .write.mode("overwrite").parquet(dir.toString)
-    val file = io.list(dir)
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"delete write produced no file in $dir"))
-    val footer = readFooter(file)
-    DeleteFileMeta(file.toUri.toString, keyCols,
-      rowCount = footer.getBlocks.asScala.map(_.getRowCount).sum,
-      bytes = io.size(file), seq = 0) // seq stamped at commit
+    val files = io.list(dir)
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    if (files.isEmpty)
+      throw new IllegalStateException(s"delete write produced no file in $dir")
+    files.map { file =>
+      val footer = readFooter(file)
+      DeleteFileMeta(file.toUri.toString, keyCols,
+        rowCount = footer.getBlocks.asScala.map(_.getRowCount).sum,
+        bytes = io.size(file), seq = 0) // seq stamped at commit
+    }.filter(_.rowCount > 0)
   }
 
   /** MERGE-ON-READ upsert (Iceberg equality-delete semantics): instead of
@@ -1850,11 +1865,11 @@ class IceCatalog(
     require(keyCols.nonEmpty, "upsert needs key columns")
     val meta = loadMeta(ident)
     if (meta.current.isEmpty) return insert(ident, df)
-    val del = writeDeleteFile(ident, df, keyCols)
+    val dels = writeDeleteFiles(ident, df, keyCols)
     val appended = writeArranged(ident,
       df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
-      SnapDelta("mor-upsert", add = appended, addDeletes = Seq(del)))
+      SnapDelta("mor-upsert", add = appended, addDeletes = dels))
   }
 
   /** MERGE-ON-READ row delete: record the matching rows' key tuples in an
@@ -1872,9 +1887,9 @@ class IceCatalog(
       .filter(coalesce(predicate, lit(false)))
       .select(keyCols.map(col): _*).distinct()
     if (keys.isEmpty) return meta
-    val del = writeDeleteFile(ident, keys, keyCols)
+    val dels = writeDeleteFiles(ident, keys, keyCols)
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
-      SnapDelta("mor-delete", addDeletes = Seq(del)))
+      SnapDelta("mor-delete", addDeletes = dels))
   }
 
   // ---- DSv2 row-level operation commits (SQL MERGE / UPDATE / DELETE;
@@ -2307,10 +2322,10 @@ class IceCatalog(
     val meta = loadMeta(ident)
     if (meta.current.isEmpty) return meta
     val keyed = canonicalPositionKeys(ident, meta, df)
-    val del = writeDeleteFile(ident, keyed, Seq("file_path", "pos"))
-      .copy(positional = Some(true))
+    val dels = writeDeleteFiles(ident, keyed, Seq("file_path", "pos"))
+      .map(_.copy(positional = Some(true)))
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
-      SnapDelta("mor-delete", addDeletes = Seq(del)))
+      SnapDelta("mor-delete", addDeletes = dels))
   }
 
   /** MERGE-ON-READ update without a row identity (Iceberg's
@@ -2327,12 +2342,12 @@ class IceCatalog(
     val meta = loadMeta(ident)
     if (meta.current.isEmpty) return meta
     val keyed = canonicalPositionKeys(ident, meta, posDf)
-    val del = writeDeleteFile(ident, keyed, Seq("file_path", "pos"))
-      .copy(positional = Some(true))
+    val dels = writeDeleteFiles(ident, keyed, Seq("file_path", "pos"))
+      .map(_.copy(positional = Some(true)))
     val files = writeArranged(ident, newRows.select(
       meta.schema.fieldNames.toSeq.map(col): _*), meta)
     commitSnap(ident, basedOn = Some(meta.currentSnapshotId))(_ =>
-      SnapDelta("mor-update", add = files, addDeletes = Seq(del)))
+      SnapDelta("mor-update", add = files, addDeletes = dels))
   }
 
   /** Relocate the table's DATA pointers: every data / source / delete file

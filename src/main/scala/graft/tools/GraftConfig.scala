@@ -77,8 +77,13 @@ final case class GraftConfig(
     /** `uri: etcd:http://host:2379` (reference Config.java:44 — "Catalog
       * storage URI: jdbc:..., etcd:..."): routes the catalog's METADATA
       * plane through [[graft.catalog.EtcdHttpFileIO]] against the etcd
-      * v3 JSON gateway at the given endpoint. Same metadata/data split
-      * as the `s3:` block.
+      * v3 JSON gateway. A COMMA-SEPARATED list
+      * (`etcd:http://a:2379,http://b:2379`) names the nodes of one etcd
+      * cluster — health-aware client failover across them
+      * ([[graft.catalog.EtcdGateway]]), matching the reference's
+      * `Client.builder().endpoints(uri.split(","))`
+      * (EtcdCatalog.java:84, docs/etcd-cluster-setup.md). Same
+      * metadata/data split as the `s3:` block.
       */
     etcdUri: Option[String] = None,
     /** `uri: jdbc:...` (reference Config.java:263-284 — sqlite/postgres
@@ -284,8 +289,18 @@ object GraftConfig {
     val restUri = uri.filter(u =>
       u.startsWith("http://") || u.startsWith("https://"))
     uri.foreach { u =>
+      // the reference dispatches arn:aws:s3tables: warehouses to the
+      // AWS-managed S3Tables catalog (Config.java:220,291-296 +
+      // aws/CustomS3TablesCatalog.java) — a thin SDK wrapper over a
+      // service only AWS runs; refuse with a precise pointer instead of
+      // the generic unsupported-uri error (gap documented in SURVEY §2.2)
+      if (u.startsWith("arn:aws:s3tables:")) fail(
+        s"catalog uri \"$u\" requires the AWS-managed S3Tables service, " +
+          "which graft does not bundle; configure an s3:/gcs: storage " +
+          "block or a jdbc:/etcd: metadata uri instead")
       if (etcdUri.isEmpty && jdbcUri.isEmpty && restUri.isEmpty) fail(
-        s"unsupported catalog uri \"$u\" (supported: etcd:http://host:port, " +
+        s"unsupported catalog uri \"$u\" (supported: " +
+          "etcd:http://host:port[,http://host2:port], " +
           "jdbc:..., http(s)://host:port)")
     }
     GraftConfig(

@@ -230,4 +230,53 @@ class EtcdWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(call("/v3/lease/timetolive", s"""{"ID":"$id"}""")
       .path("TTL").asText() == "-1")
   }
+
+  test("multi-endpoint failover: lifecycle survives one gateway node dying mid-sequence") {
+    // two gateway endpoints over ONE replicated state (the etcd cluster
+    // model — docs/etcd-cluster-setup.md's 3-node topology, minus raft);
+    // the client takes the comma-separated list form the reference's
+    // jetcd builder takes (EtcdCatalog.java:84)
+    val nodeA = new EtcdWireServer().start()
+    val nodeB = new EtcdWireServer(shareStateWith = nodeA).start()
+    val clusterRoot = "/etcd-cluster-virtual"
+    val uri = s"${nodeA.endpoint},${nodeB.endpoint}"
+    val ccat = new IceCatalog(spark, clusterRoot,
+      new EtcdHttpFileIO(clusterRoot, uri))
+    try {
+      ccat.createNamespace("ha")
+      ccat.createTable("ha.n", spark.read.parquet(s"$dir/nation.parquet").schema)
+      val d = Files.createTempDirectory("etcd-ha-data")
+      spark.read.parquet(s"$dir/nation.parquet")
+        .repartition(2).write.mode("overwrite").parquet(d.resolve("n").toString)
+      val files = LocalFileIO.walk(d.resolve("n"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).map(_.toString).sorted
+      ccat.addFiles("ha.n", files, forceOutsideLocation = true)
+      val expected = spark.read.parquet(s"$dir/nation.parquet").count()
+      assert(ccat.scan("ha.n").count() == expected)
+      // kill the PREFERRED node mid-lifecycle: everything after this
+      // line only works if the client rotates to nodeB
+      nodeA.stop()
+      val v1 = ccat.loadMeta("ha.n").currentSnapshotId
+      ccat.setProperty("ha.n", "tier", "gold")
+      ccat.rollbackTo("ha.n", v1)
+      ccat.renameTable("ha.n", "ha.m")
+      // a FRESH client over the same list (preferred = dead nodeA) must
+      // also rotate on first contact
+      val cat2 = new IceCatalog(spark, clusterRoot,
+        new EtcdHttpFileIO(clusterRoot, uri))
+      assert(cat2.listTables("ha") == Seq("m"))
+      assert(cat2.scan("ha.m").count() == expected)
+      // commit locks fail over too (lock/lease services on the survivor)
+      val lock = new graft.catalog.EtcdCommitLock(uri, "hacat")
+      val h = lock.acquire("ha.m")
+      h.close()
+      // with BOTH nodes down, the failure names every endpoint
+      nodeB.stop()
+      val e = intercept[java.io.IOException](ccat.listTables("ha"))
+      assert(e.getMessage.contains("unreachable"), e.getMessage)
+    } finally {
+      try nodeA.stop() catch { case _: Exception => () }
+      try nodeB.stop() catch { case _: Exception => () }
+    }
+  }
 }

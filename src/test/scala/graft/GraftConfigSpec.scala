@@ -114,6 +114,19 @@ class GraftConfigSpec extends AnyFunSuite {
       r.sslVerify)
     assert(!GraftConfig.fromString(
       "uri: http://127.0.0.1:1\nsslVerify: false\n", env()).sslVerify)
+    // comma-separated etcd endpoint list = one cluster (reference
+    // EtcdCatalog.java:84 endpoints(uri.split(","))) — passed through
+    // whole; EtcdGateway does the splitting and failover
+    val cl = GraftConfig.fromString(
+      "root: /tmp/c\nuri: etcd:http://a:2379,http://b:2379,http://c:2379\n",
+      env())
+    assert(cl.etcdUri.contains("http://a:2379,http://b:2379,http://c:2379"))
+    // arn:aws:s3tables: is reference surface graft does not bundle —
+    // refused with a precise pointer, not the generic unsupported error
+    val s3t = intercept[IllegalArgumentException](GraftConfig.fromString(
+      "uri: arn:aws:s3tables:us-east-1:123456789012:bucket/b\n", env()))
+    assert(s3t.getMessage.contains("AWS-managed S3Tables") &&
+      s3t.getMessage.contains("jdbc:/etcd:"), s3t.getMessage)
   }
 
   test("gcs block parses: static token or service-account pair required") {

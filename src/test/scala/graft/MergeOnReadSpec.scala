@@ -288,4 +288,50 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.scan("mor.t3").count() == 1)
     cat.dropTable("mor.t3")
   }
+
+  test("backfill-sized MOR upsert lands MULTI-FILE equality deletes that read identically") {
+    // the catalog-API MOR path writes delete keys executor-parallel (the
+    // distinct shuffle's post-AQE partitioning picks the file count) —
+    // plan parity with the SQL MERGE path's per-task delete files. Force
+    // the fan-out with a tiny AQE advisory size and prove the multi-file
+    // commit masks EXACTLY like a single-file one would.
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v")
+    cat.createTable("mor.mf", df.schema)
+    cat.insert("mor.mf", df)
+    val before = dataPaths("mor.mf")
+    // shrink BOTH AQE size knobs: advisory is the target, but
+    // minPartitionSize (default 1MB) is the floor that would re-merge
+    // the small test partitions
+    val knobs = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = knobs.map(k => k -> spark.conf.getOption(k))
+    knobs.foreach(spark.conf.set(_, "1KB"))
+    try cat.upsertMergeOnRead("mor.mf",
+      (1L to 4000L).map(i => (i, s"V$i")).toDF("k", "v"), Seq("k"))
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    val dels = pendingDeletes("mor.mf")
+    assert(dels.size > 1,
+      s"a backfill-sized key set must fan out across delete files, got ${dels.size}")
+    assert(dels.map(_.rowCount).sum == 4000L, dels.map(_.rowCount).toString)
+    assert(dels.forall(!_.isPositional))
+    assert(before.subsetOf(dataPaths("mor.mf")), "MOR upsert must not rewrite files")
+    // the merged view over SEVERAL delete files in one snapshot is
+    // byte-identical to the logical upsert result
+    val out = cat.scan("mor.mf").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out.size == 5000)
+    assert(out.take(4000).forall { case (k, v) => v == s"V$k" },
+      "upserted keys must serve the batch version")
+    assert(out.drop(4000).forall { case (k, v) => v == s"v$k" },
+      "untouched keys intact")
+    // a small CDC-sized batch still coalesces to ONE delete file
+    cat.upsertMergeOnRead("mor.mf", Seq((1L, "Z1")).toDF("k", "v"), Seq("k"))
+    assert(pendingDeletes("mor.mf").size == dels.size + 1,
+      "a one-key batch must add exactly one delete file")
+    cat.dropTable("mor.mf")
+  }
 }
