@@ -134,6 +134,101 @@ case class CentroidDists(child: Expression, matrix: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** ALL-subspace product-quantization code assignment in one
+  * constant-code-size expression: `output[j] = argmin_c (|c|²/2 −
+  * dot(v[j·subDims ..], codebooks[j][c]))` — the L2 argmin (|x|² is
+  * constant per row), ties to the FIRST minimal index. The codebook
+  * tensor and the precomputed half-norms ride as codegen reference
+  * objects, so generated code stays constant-size in m AND k — the
+  * previous formulation unrolled m·k DotProduct-against-literal
+  * expressions whose size fell out of whole-stage codegen and went
+  * interpreted (~30× slower per row at m=8, k=16, and it dominated the
+  * s8 index build once the corpus passed a few thousand vectors).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val subDims = codebooks(0)(0).length
+  // |c|²/2 per (subspace, centroid), computed once driver-side
+  private val halfSq: Array[Array[Double]] =
+    codebooks.map(_.map(c => c.map(x => x * x).sum / 2))
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires array<double> input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](codebooks.length)
+    var j = 0
+    while (j < codebooks.length) {
+      val cbs = codebooks(j); val hs = halfSq(j)
+      val base = j * subDims
+      var best = 0; var bestScore = Double.MaxValue
+      var c = 0
+      while (c < cbs.length) {
+        val cb = cbs(c)
+        val n = math.min(cb.length, math.max(0, v.numElements() - base))
+        var acc = hs(c)
+        var i = 0
+        while (i < n) { acc -= v.getDouble(base + i) * cb(i); i += 1 }
+        if (acc < bestScore) { bestScore = acc; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+      val hsRef = ctx.addReferenceObj("pqHalfSq", halfSq, "double[][]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val base = ctx.freshName("base")
+      val cb = ctx.freshName("cb")
+      s"""
+         |int[] $out = new int[$cbRef.length];
+         |for (int $j = 0; $j < $cbRef.length; $j++) {
+         |  int $base = $j * $subDims;
+         |  int $best = 0;
+         |  double $bestScore = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $cbRef[$j].length; $c++) {
+         |    double[] $cb = $cbRef[$j][$c];
+         |    int $n = java.lang.Math.min($cb.length,
+         |      java.lang.Math.max(0, $v.numElements() - $base));
+         |    double $acc = $hsRef[$j][$c];
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc -= $v.getDouble($base + $i) * $cb[$i];
+         |    }
+         |    if ($acc < $bestScore) { $bestScore = $acc; $best = $c; }
+         |  }
+         |  $out[$j] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level vector math for embedding similarity at scale. */
 object VectorFunctions {
 
@@ -144,6 +239,12 @@ object VectorFunctions {
   /** All-centroid negated dots as one constant-code-size expression. */
   def centroidDists(v: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(CentroidDists(ColumnBridge.expression(v), centroids))
+
+  /** All-subspace PQ codes (array<int>, length m) as one
+    * constant-code-size expression.
+    */
+  def pqEncode(v: Column, codebooks: Seq[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks.toArray))
 
   /** Matrix-vector product `out[j] = dot(v, rows(j))` — the negated
     * [[centroidDists]] kernel; code size constant in the row count. Used

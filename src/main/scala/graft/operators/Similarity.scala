@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{asDouble, dot, norm}
+import graft.functions.VectorFunctions.{asDouble, dot, norm, pqEncode}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the embedding column.
@@ -246,7 +246,7 @@ object Similarity {
     var cbs: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
       Array.tabulate(k)(i => init(i).slice(j * subDims, (j + 1) * subDims)))
     for (_ <- 0 until 2) {
-      val codes = array((0 until m).map(j => pqCodeCol(col("fv"), j, subDims, cbs(j))): _*)
+      val codes = pqEncode(col("fv"), cbs.toSeq)
       val means = d
         .select(codes.as("cs"), posexplode(col("fv")).as(Seq("pos", "x")))
         .select((col("pos") / subDims).cast("int").as("j"),
@@ -262,17 +262,10 @@ object Similarity {
     (0 until m).map(cbs(_))
   }
 
-  /** L2 argmin code for subspace `j`: |x-c|² ranks as |c|²/2 - x·c (|x|²
-    * constant per row) — k codegen'd dot products against literal centroids.
-    */
-  private def pqCodeCol(
-      vec: Column, j: Int, subDims: Int, codebook: Array[Array[Double]]): Column = {
-    val sub = slice(vec, j * subDims + 1, subDims)
-    val scores = array(codebook.toSeq.map { c =>
-      lit(c.map(x => x * x).sum / 2) - dot(sub, typedLit(c.toSeq))
-    }: _*)
-    (array_position(scores, array_min(scores)) - 1).cast("int")
-  }
+  // code assignment is the single constant-code-size
+  // [[graft.functions.PqEncode]] kernel (all m subspaces in one pass) —
+  // the unrolled m·k dot-vs-literal formulation fell out of whole-stage
+  // codegen and went interpreted past a few thousand vectors
 
   /** s6: product quantization — the billion-scale ANN compression: the
     * vector splits into `m` subvectors, each quantized against its own
@@ -298,7 +291,10 @@ object Similarity {
     val e = cachedUnitVectors(spark, dir).select(col("vec_id"), col("v"))
 
     val codebooks = cachedCodebooks(spark, dir, e, col("v"), "v/all", m, k, subDims)
-    def codeCol(j: Int): Column = pqCodeCol(col("v"), j, subDims, codebooks(j))
+    // ALL codes in one kernel pass, materialized as a column so the
+    // per-subspace projections below are O(1) lookups, not re-encodes
+    val withCodes = e.withColumn("cs", pqEncode(col("v"), codebooks))
+    def codeCol(j: Int): Column = element_at(col("cs"), j + 1)
     def decodedCol(j: Int): Column = {
       // decoded subvector via element lookup in the literal codebook matrix
       val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
@@ -308,7 +304,7 @@ object Similarity {
     val mse = aggregate(
       zip_with(col("v"), decoded, (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x) / size(col("v")).cast("double")
-    e.select(
+    withCodes.select(
       col("vec_id") +:
         (0 until m).map(j => codeCol(j).as(s"pq_$j")) :+
         round(mse, 9).as("mse"): _*)
@@ -433,7 +429,8 @@ object Similarity {
         graft.functions.VectorFunctions.matVec(col("v"), rT).as("v"))
     val codebooks = cachedCodebooks(spark, dir, e, col("v"), s"opq-$m-$k/v/all",
       m, k, subDims)
-    def codeCol(j: Int): Column = pqCodeCol(col("v"), j, subDims, codebooks(j))
+    val withCodes = e.withColumn("cs", pqEncode(col("v"), codebooks))
+    def codeCol(j: Int): Column = element_at(col("cs"), j + 1)
     def decodedCol(j: Int): Column = {
       val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
       element_at(cb, codeCol(j) + 1)
@@ -442,7 +439,7 @@ object Similarity {
     val mse = aggregate(
       zip_with(col("v"), decoded, (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x) / size(col("v")).cast("double")
-    e.select(
+    withCodes.select(
       col("vec_id") +:
         (0 until m).map(j => codeCol(j).as(s"pq_$j")) :+
         round(mse, 9).as("mse"): _*)
@@ -745,8 +742,7 @@ object Similarity {
     val index = candidates
       .withColumn("cell", argminAssign(centroids))
       .select(col("vec_id"), col("cell"),
-        array((0 until m).map(j => pqCodeCol(col("vn"), j, subDims, codebooks(j))): _*)
-          .as("codes"))
+        pqEncode(col("vn"), codebooks).as("codes"))
     // query probe list: nprobe nearest cells (as in s3)
     val d = centroidDists(centroids)
     val probes = transform(

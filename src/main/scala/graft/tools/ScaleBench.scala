@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale-curve evidence for the sub-quadratic claims (SURVEY §6): time
+  * the corpus-scaling operators at 1× (a testdata sf dir) and at 10×
+  * (a scratch corpus generated here), and report per-op growth.
+  *
+  * The 10× corpus is DISTRIBUTION-MATCHED, not replicated: documents are
+  * re-sampled from the base corpus's empirical unigram/length/lang/source
+  * distributions (replicating the base 10× would hand every doc ~10
+  * near-identical copies and quadratically inflate every LSH bucket —
+  * measuring an artifact, not the operator); embeddings perturb random
+  * base vectors with small gaussian noise and renormalize, preserving the
+  * label/cluster structure IVF training keys on. Deterministic seeds, so
+  * reruns measure the same corpus.
+  *
+  * Usage: `runMain graft.tools.ScaleBench [baseSfDir] [scratchDir]`
+  * (defaults /root/testdata/sf0.1, /tmp/graft-scale10x). Prints one JSON
+  * line per op: seconds at 1× and 10× (best-of-2, warm caches — the same
+  * serving shape the gate measures) and the wall-clock growth factor.
+  */
+object ScaleBench {
+
+  val Factor = 10
+  /** The operators whose cost scales with the corpus, per SURVEY §6's
+    * complexity claims: LSH propose (d3), propose+verify (d5), iterative
+    * clustering (d8), index probe (d13), IVF probe (s3), IVF+PQ ADC
+    * probe (s8), cluster-safe split (r7).
+    */
+  val Ops = Seq("d3_minhash_lsh", "d5_ngram_jaccard", "d8_dedup_clusters",
+    "d13_incremental_dedup", "s3_ivf_ann", "s8_ivfpq_ann", "r7_split_safe")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scratch = args.lift(1).getOrElse("/tmp/graft-scale10x")
+    val spark = graft.GraftSession.getOrCreate("graft-scalebench",
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$scratch/documents.parquet").exists())
+      generate(spark, baseDir, scratch)
+
+    def rows(dir: String, t: String): Long =
+      spark.read.parquet(s"$dir/$t.parquet").count()
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm: session caches (band index, IVF codebooks) + codegen
+      math.min(once(), once())
+    }
+
+    val docs1 = rows(baseDir, "documents"); val docsN = rows(scratch, "documents")
+    val vecs1 = rows(baseDir, "embeddings"); val vecsN = rows(scratch, "embeddings")
+    println(s"""{"metric":"scale-curve","base":"$baseDir","scaled":"$scratch",""" +
+      s""""docs":[$docs1,$docsN],"embeddings":[$vecs1,$vecsN]}""")
+    Ops.foreach { op =>
+      val a = time(op, baseDir)
+      val b = time(op, scratch)
+      println(s"""{"op":"$op","base_s":${num(a)},"x10_s":${num(b)},""" +
+        s""""growth":${num(b / a)}}""")
+    }
+    spark.stop()
+  }
+
+  /** Build the scratch 10× corpus next to nothing else (NEVER under
+    * /root/testdata — it is read-only by contract).
+    */
+  def generate(spark: SparkSession, baseDir: String, scratch: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    // ---- documents: resample from empirical distributions ----------------
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(-_._2)
+    val langs = docs.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sources = docs.select("source").distinct().as[String].collect().sorted
+    val lenBounds = docs.select(
+      min(size(split(col("text"), " "))), max(size(split(col("text"), " "))))
+      .as[(Int, Int)].head()
+    val nDocs = docs.count() * Factor
+    val bc = spark.sparkContext.broadcast((vocab, langs, sources, lenBounds))
+
+    def cumulative(w: Array[(String, Long)]): (Array[Long], Long) = {
+      val cum = new Array[Long](w.length); var s = 0L
+      var i = 0
+      while (i < w.length) { s += w(i)._2; cum(i) = s; i += 1 }
+      (cum, s)
+    }
+
+    val genDocs = spark.range(0, nDocs, 1, 32).mapPartitions { it =>
+      val (vv, ll, ss, (minLen, maxLen)) = bc.value
+      val (vCum, vTot) = cumulative(vv)
+      val (lCum, lTot) = cumulative(ll)
+      def pick(cum: Array[Long], tot: Long, rnd: java.util.Random): Int = {
+        val x = math.abs(rnd.nextLong()) % tot
+        val i = java.util.Arrays.binarySearch(cum, x + 1)
+        if (i >= 0) i else -i - 1
+      }
+      it.map { id =>
+        // per-DOC seed: deterministic and order-independent
+        val rnd = new java.util.Random(0x5ca1ab1eL ^ id)
+        val len = minLen + rnd.nextInt(math.max(1, maxLen - minLen + 1))
+        val words = Array.fill(len)(vv(pick(vCum, vTot, rnd))._1)
+        val text = words.mkString(" ")
+        (id, text, ll(pick(lCum, lTot, rnd))._1,
+          ss(rnd.nextInt(ss.length)), text.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    genDocs.write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+
+    // ---- embeddings: noise around random base vectors ---------------------
+    val vecs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .select("embedding", "label")
+      .collect().map(r => (r.getSeq[Float](0).toArray, r.getInt(1)))
+    val nVecs = vecs.length.toLong * Factor
+    val bv = spark.sparkContext.broadcast(vecs)
+    val genVecs = spark.range(0, nVecs, 1, 32).mapPartitions { it =>
+      val base = bv.value
+      it.map { id =>
+        val rnd = new java.util.Random(0xf00dfaceL ^ id)
+        val (src, label) = base(rnd.nextInt(base.length))
+        val noisy = src.map(x => x + (rnd.nextGaussian() * 0.08).toFloat)
+        val n = math.sqrt(noisy.map(x => x.toDouble * x).sum).toFloat
+        (id, noisy.map(_ / n), label)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    genVecs.write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+  }
+}
