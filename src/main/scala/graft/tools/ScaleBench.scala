@@ -23,13 +23,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ScaleBench {
 
   val Factor = 10
-  /** The operators whose cost scales with the corpus, per SURVEY §6's
-    * complexity claims: LSH propose (d3), propose+verify (d5), iterative
-    * clustering (d8), index probe (d13), IVF probe (s3), IVF+PQ ADC
-    * probe (s8), cluster-safe split (r7).
+  /** The operators whose cost scales with the corpus, each with the
+    * asymptotic claim its growth column verifies (SURVEY §6). "~n" ops
+    * should land near 10× at 10× rows; probe ops near 1×; d9's SemDeDup
+    * cost model is O(Σ|cell|²) with nlist≈√n ⇒ ~n^1.5 ⇒ ≤ ~31× at 10×
+    * (quadratic would be 100×).
     */
-  val Ops = Seq("d3_minhash_lsh", "d5_ngram_jaccard", "d8_dedup_clusters",
-    "d13_incremental_dedup", "s3_ivf_ann", "s8_ivfpq_ann", "r7_split_safe")
+  val Ops = Seq(
+    "d3_minhash_lsh" -> "~n (LSH propose, O(collisions))",
+    "d5_ngram_jaccard" -> "~n (propose+verify)",
+    "d6_embed_neardup" -> "~n (bucket propose + cosine verify)",
+    "d8_dedup_clusters" -> "~n (O(E*rounds))",
+    "d9_semantic_dedup" -> "~n^1.5 (O(sum cell^2), nlist=sqrt(n))",
+    "d11_substr_dedup" -> "~n (O(bytes/stride), two partial-agg shuffles)",
+    "d13_incremental_dedup" -> "probe (O(batch*collisions))",
+    "s3_ivf_ann" -> "probe (O(q*nprobe*cell))",
+    "s8_ivfpq_ann" -> "probe (ADC + re-rank)",
+    "r7_split_safe" -> "probe (cached-assignment join)")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -61,11 +71,11 @@ object ScaleBench {
     val vecs1 = rows(baseDir, "embeddings"); val vecsN = rows(scratch, "embeddings")
     println(s"""{"metric":"scale-curve","base":"$baseDir","scaled":"$scratch",""" +
       s""""docs":[$docs1,$docsN],"embeddings":[$vecs1,$vecsN]}""")
-    Ops.foreach { op =>
+    Ops.foreach { case (op, expected) =>
       val a = time(op, baseDir)
       val b = time(op, scratch)
       println(s"""{"op":"$op","base_s":${num(a)},"x10_s":${num(b)},""" +
-        s""""growth":${num(b / a)}}""")
+        s""""growth":${num(b / a)},"expected":"$expected"}""")
     }
     spark.stop()
   }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.ScaleBench
+
+/** The scale-curve corpus generator (SURVEY §6's evidence tool): the 10×
+  * scratch corpus must be schema-identical, 10× the rows, DETERMINISTIC
+  * (reruns measure the same corpus), and distribution-matched rather
+  * than replicated (replication would quadratically inflate LSH buckets
+  * and make the growth numbers an artifact).
+  */
+class ScaleBenchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-scalebench-test", cpus = 4)
+  val base = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("generated corpus: schema parity, 10x rows, unit vectors, determinism") {
+    import spark.implicits._
+    val d1 = java.nio.file.Files.createTempDirectory("scale-gen1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("scale-gen2").toString
+    ScaleBench.generate(spark, base, d1)
+    ScaleBench.generate(spark, base, d2)
+
+    val baseDocs = spark.read.parquet(s"$base/documents.parquet")
+    val genDocs = spark.read.parquet(s"$d1/documents.parquet")
+    assert(genDocs.schema.fieldNames.toSet == baseDocs.schema.fieldNames.toSet)
+    assert(genDocs.count() == baseDocs.count() * ScaleBench.Factor)
+    // vocabulary is the base vocabulary — nothing invented
+    val baseVocab = baseDocs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("w"))
+      .distinct().as[String].collect().toSet
+    val genVocab = genDocs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("w"))
+      .distinct().as[String].collect().toSet
+    assert(genVocab.subsetOf(baseVocab), (genVocab -- baseVocab).take(5).toString)
+    // NOT replicated: generated texts are (almost) all absent from base
+    val baseTexts = baseDocs.select("text").as[String].collect().toSet
+    val overlap = genDocs.select("text").as[String].collect()
+      .count(baseTexts.contains)
+    assert(overlap < genDocs.count() / 100,
+      s"generator must resample, not replicate ($overlap base copies)")
+
+    val baseVecs = spark.read.parquet(s"$base/embeddings.parquet")
+    val genVecs = spark.read.parquet(s"$d1/embeddings.parquet")
+    assert(genVecs.schema.fieldNames.toSet == baseVecs.schema.fieldNames.toSet)
+    assert(genVecs.count() == baseVecs.count() * ScaleBench.Factor)
+    // unit-normalized like the base corpus; labels stay in the base set
+    val norms = genVecs.select(
+      org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.transform(
+          $"embedding", x => x.cast("double") * x.cast("double")),
+        org.apache.spark.sql.functions.lit(0.0), (a, x) => a + x))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(math.sqrt(n) - 1.0) < 1e-4))
+    val baseLabels = baseVecs.select("label").distinct().as[Int].collect().toSet
+    val genLabels = genVecs.select("label").distinct().as[Int].collect().toSet
+    assert(genLabels.subsetOf(baseLabels))
+
+    // determinism: two generations are row-identical
+    def docHash(dir: String): Long = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.bit_xor(
+        org.apache.spark.sql.functions.xxhash64($"doc_id", $"text", $"lang", $"source")))
+      .as[Long].head()
+    assert(docHash(d1) == docHash(d2), "generator must be deterministic")
+    def vecHash(dir: String): Long = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.bit_xor(org.apache.spark.sql.functions.xxhash64(
+        $"vec_id", org.apache.spark.sql.functions.to_json($"embedding"), $"label")))
+      .as[Long].head()
+    assert(vecHash(d1) == vecHash(d2), "vector generator must be deterministic")
+  }
+}
