@@ -218,6 +218,7 @@ object Queries {
     "x11_unigram_logprob" -> (TextAnalysis.unigramLogprobQuery _),
     "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
     "d13_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
+    "d14_ingest_dedup" -> (IngestDedup.ingestGateQuery _),
     "d12_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
     "m2_feature_stub" -> (Multimodal.featureQuery _),
@@ -502,6 +503,34 @@ object Queries {
          |        HAVING count(*) <= ${graft.operators.Dedup.MaxLshBucket}),
          |cand AS (SELECT DISTINCT i.new_id, e.ex_id
          |  FROM inc i JOIN bsz USING (band, sig) JOIN ex e USING (band, sig)),
+         |ts AS (SELECT doc_id, list_distinct(t) AS t FROM tok),
+         |ver AS (SELECT c.new_id, c.ex_id FROM cand c
+         |  JOIN ts a ON c.new_id = a.doc_id JOIN ts b ON c.ex_id = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.6),
+         |agg AS (SELECT new_id, min(ex_id) AS dup_of FROM ver GROUP BY 1)
+         |SELECT d.doc_id, (agg.dup_of IS NOT NULL) AS is_dup, agg.dup_of
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.new_id
+         |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
+    "d14_ingest_dedup" ->
+      s"""WITH $sigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
+         |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
+         |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
+         |  SELECT doc_id, 3, sig_3 FROM sig),
+         |ex AS (SELECT doc_id AS ex_id, band, sig FROM bands WHERE doc_id % 2 = 0),
+         |inc AS (SELECT doc_id AS new_id, band, sig FROM bands WHERE doc_id % 2 = 1),
+         |bsz AS (SELECT band, sig FROM ex GROUP BY 1, 2
+         |        HAVING count(*) <= ${graft.operators.Dedup.MaxLshBucket}),
+         |candx AS (SELECT DISTINCT i.new_id, e.ex_id
+         |  FROM inc i JOIN bsz USING (band, sig) JOIN ex e USING (band, sig)),
+         |ibsz AS (SELECT band, sig FROM inc GROUP BY 1, 2
+         |         HAVING count(*) BETWEEN 2 AND ${graft.operators.Dedup.MaxLshBucket}),
+         |candi AS (SELECT DISTINCT hi.new_id, lo.new_id AS ex_id
+         |  FROM inc hi JOIN ibsz USING (band, sig) JOIN inc lo USING (band, sig)
+         |  WHERE lo.new_id < hi.new_id),
+         |cand AS (SELECT * FROM candx UNION SELECT * FROM candi),
          |ts AS (SELECT doc_id, list_distinct(t) AS t FROM tok),
          |ver AS (SELECT c.new_id, c.ex_id FROM cand c
          |  JOIN ts a ON c.new_id = a.doc_id JOIN ts b ON c.ex_id = b.doc_id

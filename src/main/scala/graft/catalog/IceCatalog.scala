@@ -1053,6 +1053,28 @@ class IceCatalog(
     * the versions already created and restoring their hints before the
     * locks release. Returns the updated metadata in the caller's order.
     */
+  /** Atomic multi-table APPEND (the data-carrying form of [[commitGroup]]):
+    * every frame's parquet is STAGED first — staged files are invisible
+    * until their snapshot publishes, so staging outside the locks is safe —
+    * then all snapshots publish in one lock-ordered group. The pipeline
+    * shape this exists for: a docs table and its dedup-index table must
+    * advance TOGETHER (a crash between two separate inserts would leave
+    * documents unindexed, silently breaking every later probe). An empty
+    * frame publishes nothing for that table (identity contract).
+    */
+  def insertGroup(ops: Seq[(String, DataFrame)]): Seq[TableMeta] = {
+    val staged = ops.map { case (ident, df) =>
+      val meta = loadMeta(ident)
+      ident -> writeArranged(ident,
+        df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
+    }
+    commitGroup(staged.map { case (ident, files) =>
+      ident -> ((m: TableMeta) =>
+        if (files.isEmpty) m
+        else appendSnapshot(m, SnapDelta("append", add = files)))
+    })
+  }
+
   def commitGroup(ops: Seq[(String, TableMeta => TableMeta)]): Seq[TableMeta] = {
     require(ops.map(_._1).distinct.length == ops.length, "duplicate table in commit group")
     val sorted = ops.sortBy(_._1)

@@ -74,7 +74,7 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairsOf(minhashSignatures(Tables.documents(spark, dir)), MaxLshBucket)
 
-  private def lshBands(sigs: DataFrame): DataFrame =
+  private[graft] def lshBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
       posexplode(array((0 until NumHashes).map(k => col(s"sig_$k")): _*)).as(Seq("band", "sig")))
 
@@ -368,6 +368,34 @@ object Dedup {
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sort_array(collect_set(col("h"))).as("t"))
+
+  /** Token-hash sets of an arbitrary (doc_id, text, …) frame — the
+    * corpus-file-independent sibling of [[tokenSets]], for verification
+    * against frames that are not the benchmark documents table (an ingest
+    * batch, a catalog-table corpus).
+    */
+  private[graft] def tokenSetsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("t"))
+
+  /** Exact-Jaccard verification of proposed pairs between two document
+    * frames (`doc_a` ids from `a`, `doc_b` ids from `b`) — O(candidate
+    * pairs), the same two-id-equi-join shape as [[ngramJaccardOn]].
+    */
+  private[graft] def verifyPairsBetween(
+      a: DataFrame, b: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val withSides = pairs.select(col("doc_a"), col("doc_b"))
+      .join(tokenSetsOf(a).select(col("doc_id").as("__id_a"), col("t").as("__t_a")),
+        col("doc_a") === col("__id_a"))
+      .join(tokenSetsOf(b).select(col("doc_id").as("__id_b"), col("t").as("__t_b")),
+        col("doc_b") === col("__id_b"))
+      .select(struct(col("doc_a").as("doc_id"), col("__t_a").as("t")).as("a"),
+        struct(col("doc_b").as("doc_id"), col("__t_b").as("t")).as("b"))
+    jaccardScore(withSides, threshold)
+  }
 
   /** Jaccard scoring kernel over a pair frame that already carries both
     * token sets as `a.t` / `b.t`. The size bound is lossless — J(A,B) ≤

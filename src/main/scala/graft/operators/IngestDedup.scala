@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.catalog.IceCatalog
+
+/** Incremental corpus ingestion with near-dup screening against a
+  * MATERIALIZED index TABLE — the 100 TB shape of d13: at scale the
+  * (doc_id, band, sig) MinHash index is a CATALOG TABLE that outlives
+  * sessions and appends per ingest batch, not a session cache. Each batch:
+  *
+  *  1. PROBES the index table — the only corpus-scaling join keys on
+  *     (band, sig), an index lookup at O(batch × collisions), with the
+  *     d3 bucket-size cap applied on the stored side (a production index
+  *     caps degenerate boilerplate buckets at write time);
+  *  2. VERIFIES candidates with exact token-set Jaccard at O(candidates),
+  *     against the docs TABLE's text (cross-batch) and the batch itself
+  *     (within-batch, so two copies arriving together still dedup —
+  *     min-id keeper, the d5 convention: a doc is a dup if it verifies
+  *     against any EXISTING doc or any SMALLER-id batch doc; no
+  *     transitive chase, matching d13's decision rule);
+  *  3. COMMITS the surviving rows to the docs table AND their bands to
+  *     the index table in ONE [[IceCatalog.insertGroup]] — atomic across
+  *     both tables, so neither a crash nor a racing committer can leave
+  *     documents unindexed (the invariant every later probe rests on).
+  *
+  * The reference has no pipeline layer like this; it is the
+  * training-data-pipeline composition of graft's own parts (SURVEY §2.3
+  * d13 + §2.2 commitGroup).
+  */
+object IngestDedup {
+
+  /** (doc_id, band, sig) — band is the signature slot index, sig the
+    * min-hash value for that band (string hex, as [[Dedup.minhashSignatures]]
+    * emits).
+    */
+  val IndexSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("band", IntegerType),
+    StructField("sig", StringType)))
+
+  /** Create the docs + index tables if missing (idempotent). */
+  def ensureTables(
+      cat: IceCatalog, docsIdent: String, indexIdent: String,
+      docsSchema: StructType): Unit = {
+    if (!cat.tableExists(docsIdent)) cat.createTable(docsIdent, docsSchema)
+    if (!cat.tableExists(indexIdent)) cat.createTable(indexIdent, IndexSchema)
+  }
+
+  /** Ingest one batch of (doc_id, text, …) rows. Returns the decision
+    * report — one row per batch doc: (doc_id, is_dup, dup_of) with
+    * dup_of = the smallest verified match (an existing corpus doc or a
+    * smaller-id batch doc, dropped-or-not — the no-transitive-chase d13
+    * rule) — AFTER the survivors and their index
+    * bands have committed atomically. Batch doc_ids must be fresh (the
+    * caller's id allocation contract, same as any append pipeline).
+    */
+  def ingest(
+      cat: IceCatalog, spark: SparkSession,
+      docsIdent: String, indexIdent: String,
+      batch: DataFrame, threshold: Double = 0.6): DataFrame = {
+    // the signature subtree feeds THREE consumers (cross-batch probe,
+    // within-batch propose, survivor-band write) — persist it for the
+    // call's lifetime instead of re-shingling the batch per consumer
+    val sigs = Dedup.minhashSignatures(batch).persist()
+    val newBands = Dedup.lshBands(sigs)
+
+    // ---- propose: cross-batch via the index TABLE, within-batch via the
+    //      batch's own buckets ------------------------------------------------
+    val exBands = cat.scan(indexIdent)
+      .select(col("band"), col("sig"), col("doc_id").as("ex_id"))
+    val keptBuckets = exBands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= Dedup.MaxLshBucket)
+      .select(col("band"), col("sig"))
+    val crossCand = newBands
+      .join(keptBuckets, Seq("band", "sig"))
+      .join(exBands, Seq("band", "sig"))
+      .select(col("doc_id").as("doc_a"), col("ex_id").as("doc_b"))
+      .distinct()
+    val inCand = Dedup.lshCandidatePairs(sigs, Dedup.MaxLshBucket)
+      // lshCandidatePairs emits doc_a < doc_b; the potential dup is the
+      // LARGER id (min-id keeper), so flip: doc_a = candidate dup
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+
+    // ---- verify: exact Jaccard at O(candidates) ---------------------------
+    val exDocs = cat.scan(docsIdent).select(col("doc_id"), col("text"))
+    val crossVerified =
+      Dedup.verifyPairsBetween(batch, exDocs, crossCand, threshold)
+    val inVerified =
+      Dedup.verifyPairsBetween(batch, batch, inCand, threshold)
+
+    // a batch doc survives unless it verified against an existing doc or a
+    // smaller batch doc; dup_of = the smallest such match. PERSISTED for
+    // the call's lifetime: the decision is consumed by both table writes
+    // and the report — without the persist the whole propose+verify
+    // subtree re-executes per consumer. O(batch-dups) rows.
+    val decided = crossVerified.select(col("doc_a"), col("doc_b"))
+      .union(inVerified.select(col("doc_a"), col("doc_b")))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("dup_of"))
+      .persist()
+
+    val survivors = batch.join(decided.select(col("doc_id")), Seq("doc_id"),
+      "left_anti")
+    val survivorBands = newBands
+      .join(survivors.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("band"), col("sig"))
+
+    // ---- commit: docs + index advance together or not at all --------------
+    try cat.insertGroup(Seq(
+      docsIdent -> survivors,
+      indexIdent -> survivorBands))
+    finally sigs.unpersist() // bands are written; the report needs only `decided`
+
+    // the returned report is itself persisted (forced here) so `decided`
+    // can be released NOW instead of leaking a cache entry per ingest;
+    // callers may unpersist the report once consumed — it IS the
+    // operator's O(batch) output
+    val report = batch.select(col("doc_id"))
+      .join(decided, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy(col("doc_id"))
+      .persist()
+    report.count()
+    decided.unpersist()
+    report
+  }
+
+  /** d14 gate: corpus = even-id docs MATERIALIZED as docs + index tables
+    * (the operator's premise — the index exists as a table), batch =
+    * odd-id docs run through the full probe-verify-commit pipeline.
+    * Output = the ingest report; the oracle recomputes the same decision
+    * rule (cross-batch d13 probe ∪ within-batch min-id pairs) in SQL.
+    * Collected before the scratch catalog is dropped — the report plan
+    * reads the pre-ingest snapshots.
+    */
+  def ingestGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_d14").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("pipe")
+    ensureTables(cat, "pipe.docs", "pipe.index", docs.schema)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    cat.insertGroup(Seq(
+      "pipe.docs" -> corpus,
+      "pipe.index" -> Dedup.lshBands(Dedup.minhashSignatures(corpus))))
+    val report = ingest(cat, spark, "pipe.docs", "pipe.index",
+      docs.filter(col("doc_id") % 2 === 1))
+    val rows = report.as[(Long, Boolean, Option[Long])].collect().toSeq
+    report.unpersist() // gate scope ends here; drop the decision cache
+    try { cat.dropTable("pipe.docs"); cat.dropTable("pipe.index") }
+    catch { case _: Exception => () }
+    rows.toDF("doc_id", "is_dup", "dup_of").orderBy(col("doc_id"))
+  }
+}

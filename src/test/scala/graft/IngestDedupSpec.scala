@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IceCatalog
+import graft.operators.{Dedup, IngestDedup}
+
+/** Incremental ingestion with dedup against the MATERIALIZED index table
+  * (IngestDedup): probe-verify-commit per batch, docs + index advancing
+  * atomically, dedup decisions consistent with the session-cache form.
+  */
+class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-ingest-test", cpus = 4)
+  lazy val root: String = Files.createTempDirectory("ingestcat").toString
+  lazy val cat = new IceCatalog(spark, root)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsOf(range: Range): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id").isin(range.map(_.toLong): _*))
+  }
+
+  private def indexDocCount(): Long =
+    cat.scan("pipe.index").select("doc_id").distinct().count()
+
+  test("batch 1 into an empty corpus: everything unique survives, index materializes") {
+    import spark.implicits._
+    val batch = docsOf(0 until 20)
+    IngestDedup.ensureTables(cat, "pipe.docs", "pipe.index", batch.schema)
+    val report = IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index", batch)
+      .as[(Long, Boolean, Option[Long])].collect()
+    assert(report.length == 20)
+    // within-batch near-dups of the synthetic corpus may drop some docs;
+    // survivors + dups partition the batch, and the docs table holds
+    // exactly the survivors
+    val survivors = report.filter(!_._2).map(_._1).toSet
+    assert(survivors.nonEmpty)
+    assert(cat.scan("pipe.docs").select("doc_id").as[Long].collect().toSet == survivors)
+    // the index holds exactly the survivors' bands: NumHashes rows each
+    assert(indexDocCount() == survivors.size)
+    assert(cat.scan("pipe.index").count() == survivors.size.toLong * Dedup.NumHashes)
+    // every reported dup names a smaller id (min-id keeper)
+    report.filter(_._2).foreach { case (id, _, dupOf) =>
+      assert(dupOf.exists(_ < id), s"$id dup_of $dupOf")
+    }
+  }
+
+  test("batch 2: copies of corpus docs drop, fresh docs survive, atomically") {
+    import spark.implicits._
+    val docsBefore = cat.scan("pipe.docs").count()
+    val docsSnaps = cat.loadMeta("pipe.docs").snapshots.length
+    val idxSnaps = cat.loadMeta("pipe.index").snapshots.length
+    // fresh docs 20-29 plus VERBATIM copies of two already-ingested docs
+    // under new ids — the copies must verify against the docs TABLE text
+    val keptIds = cat.scan("pipe.docs").select("doc_id")
+      .as[Long].collect().sorted.take(2)
+    val copies = cat.scan("pipe.docs")
+      .filter(col("doc_id").isin(keptIds: _*))
+      .withColumn("doc_id", col("doc_id") + 1000L)
+    val batch = docsOf(20 until 30).unionByName(copies)
+    val report = IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index", batch)
+      .as[(Long, Boolean, Option[Long])].collect()
+    val copyRows = report.filter(_._1 >= 1000L)
+    assert(copyRows.length == 2 && copyRows.forall(_._2),
+      s"verbatim copies must be dropped: ${copyRows.mkString(",")}")
+    // each copy's dup_of is exactly its source doc
+    copyRows.foreach { case (id, _, dupOf) =>
+      assert(dupOf.contains(id - 1000L), s"$id dup_of $dupOf")
+    }
+    val survivors = report.filter(!_._2).map(_._1).toSet
+    assert(cat.scan("pipe.docs").count() == docsBefore + survivors.size)
+    // docs and index advanced by EXACTLY one snapshot each (one atomic group)
+    assert(cat.loadMeta("pipe.docs").snapshots.length == docsSnaps + 1)
+    assert(cat.loadMeta("pipe.index").snapshots.length == idxSnaps + 1)
+    // invariant the probe rests on: indexed docs == stored docs, always
+    assert(indexDocCount() == cat.scan("pipe.docs").count())
+  }
+
+  test("within-batch duplicates: min id survives, twin reports dup_of=min") {
+    import spark.implicits._
+    val twinText = "graft ingest twin document body with enough words to shingle properly"
+    val batch = Seq(
+      (5000L, twinText, "en", "srcX", twinText.length.toLong),
+      (5001L, twinText, "en", "srcX", twinText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val report = IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index", batch)
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1)
+    assert(report.toSeq.map(r => (r._1, r._2)) == Seq((5000L, false), (5001L, true)))
+    assert(report(1)._3.contains(5000L))
+    assert(cat.scan("pipe.docs").filter(col("doc_id") === 5001L).count() == 0)
+    assert(indexDocCount() == cat.scan("pipe.docs").count())
+  }
+
+  test("re-ingesting a dropped twin later still dedups (the index remembers)") {
+    import spark.implicits._
+    val twinText = "graft ingest twin document body with enough words to shingle properly"
+    val batch = Seq((6000L, twinText, "en", "srcX", twinText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val report = IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index", batch)
+      .as[(Long, Boolean, Option[Long])].collect()
+    assert(report.toSeq == Seq((6000L, true, Some(5000L))),
+      "the SURVIVING twin (5000) is in the index; 6000 must dedup against it")
+    assert(indexDocCount() == cat.scan("pipe.docs").count())
+  }
+}
