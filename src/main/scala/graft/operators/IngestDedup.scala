@@ -66,41 +66,10 @@ object IngestDedup {
     // call's lifetime instead of re-shingling the batch per consumer
     val sigs = Dedup.minhashSignatures(batch).persist()
     val newBands = Dedup.lshBands(sigs)
-
-    // ---- propose: cross-batch via the index TABLE, within-batch via the
-    //      batch's own buckets ------------------------------------------------
-    val exBands = cat.scan(indexIdent)
-      .select(col("band"), col("sig"), col("doc_id").as("ex_id"))
-    val keptBuckets = exBands.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= Dedup.MaxLshBucket)
-      .select(col("band"), col("sig"))
-    val crossCand = newBands
-      .join(keptBuckets, Seq("band", "sig"))
-      .join(exBands, Seq("band", "sig"))
-      .select(col("doc_id").as("doc_a"), col("ex_id").as("doc_b"))
-      .distinct()
-    val inCand = Dedup.lshCandidatePairs(sigs, Dedup.MaxLshBucket)
-      // lshCandidatePairs emits doc_a < doc_b; the potential dup is the
-      // LARGER id (min-id keeper), so flip: doc_a = candidate dup
-      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
-
-    // ---- verify: exact Jaccard at O(candidates) ---------------------------
-    val exDocs = cat.scan(docsIdent).select(col("doc_id"), col("text"))
-    val crossVerified =
-      Dedup.verifyPairsBetween(batch, exDocs, crossCand, threshold)
-    val inVerified =
-      Dedup.verifyPairsBetween(batch, batch, inCand, threshold)
-
-    // a batch doc survives unless it verified against an existing doc or a
-    // smaller batch doc; dup_of = the smallest such match. PERSISTED for
-    // the call's lifetime: the decision is consumed by both table writes
-    // and the report — without the persist the whole propose+verify
-    // subtree re-executes per consumer. O(batch-dups) rows.
-    val decided = crossVerified.select(col("doc_a"), col("doc_b"))
-      .union(inVerified.select(col("doc_a"), col("doc_b")))
-      .groupBy(col("doc_a").as("doc_id"))
-      .agg(min(col("doc_b")).as("dup_of"))
+    // PERSISTED for the call's lifetime: the decision is consumed by both
+    // table writes and the report — without the persist the whole
+    // propose+verify subtree re-executes per consumer. O(batch-dups) rows.
+    val decided = decisionFrame(cat, docsIdent, indexIdent, batch, sigs, threshold)
       .persist()
 
     val survivors = batch.join(decided.select(col("doc_id")), Seq("doc_id"),
@@ -127,6 +96,50 @@ object IngestDedup {
     report.count()
     decided.unpersist()
     report
+  }
+
+  /** The LAZY decision plan — (doc_id, dup_of) for every batch doc that
+    * verified against an existing corpus doc or a smaller-id batch doc —
+    * exposed separately so specs can AUDIT the plan shape before any
+    * commit: the only corpus-scaling joins key on (band, sig) and ids,
+    * never on a block attribute (source/label/text).
+    */
+  private[graft] def decisionFrame(
+      cat: IceCatalog, docsIdent: String, indexIdent: String,
+      batch: DataFrame, sigs: DataFrame, threshold: Double): DataFrame = {
+    val newBands = Dedup.lshBands(sigs)
+
+    // ---- propose: cross-batch via the index TABLE, within-batch via the
+    //      batch's own buckets ----------------------------------------------
+    val exBands = cat.scan(indexIdent)
+      .select(col("band"), col("sig"), col("doc_id").as("ex_id"))
+    val keptBuckets = exBands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= Dedup.MaxLshBucket)
+      .select(col("band"), col("sig"))
+    val crossCand = newBands
+      .join(keptBuckets, Seq("band", "sig"))
+      .join(exBands, Seq("band", "sig"))
+      .select(col("doc_id").as("doc_a"), col("ex_id").as("doc_b"))
+      .distinct()
+    val inCand = Dedup.lshCandidatePairs(sigs, Dedup.MaxLshBucket)
+      // lshCandidatePairs emits doc_a < doc_b; the potential dup is the
+      // LARGER id (min-id keeper), so flip: doc_a = candidate dup
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+
+    // ---- verify: exact Jaccard at O(candidates) ---------------------------
+    val exDocs = cat.scan(docsIdent).select(col("doc_id"), col("text"))
+    val crossVerified =
+      Dedup.verifyPairsBetween(batch, exDocs, crossCand, threshold)
+    val inVerified =
+      Dedup.verifyPairsBetween(batch, batch, inCand, threshold)
+
+    // a batch doc survives unless it verified against an existing doc or a
+    // smaller batch doc; dup_of = the smallest such match
+    crossVerified.select(col("doc_a"), col("doc_b"))
+      .union(inVerified.select(col("doc_a"), col("doc_b")))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("dup_of"))
   }
 
   /** d14 gate: corpus = even-id docs MATERIALIZED as docs + index tables

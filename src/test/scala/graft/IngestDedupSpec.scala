@@ -99,6 +99,26 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(indexDocCount() == cat.scan("pipe.docs").count())
   }
 
+  test("decision plan audit: corpus-scaling joins key on (band, sig) and ids only") {
+    // the O(block²) hazard pinned for d14 like the other dedup gates: the
+    // probe against the index TABLE and both verify joins must never key
+    // on a block attribute (source/label/text) and never go cartesian
+    val batch = docsOf(40 until 45)
+    val sigs = Dedup.minhashSignatures(batch)
+    val decided = graft.operators.IngestDedup.decisionFrame(
+      cat, "pipe.docs", "pipe.index", batch, sigs, 0.6)
+    val joins = decided.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "expected probe/verify joins")
+    joins.foreach { j =>
+      assert(j.condition.isDefined, "no cartesian joins in the ingest plan")
+      val condRefs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name)
+      assert(!condRefs.exists(n => n == "source" || n == "label" || n == "text"),
+        s"ingest join keyed on block column: $condRefs")
+    }
+  }
+
   test("re-ingesting a dropped twin later still dedups (the index remembers)") {
     import spark.implicits._
     val twinText = "graft ingest twin document body with enough words to shingle properly"
