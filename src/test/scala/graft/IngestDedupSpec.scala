@@ -130,4 +130,62 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the SURVIVING twin (5000) is in the index; 6000 must dedup against it")
     assert(indexDocCount() == cat.scan("pipe.docs").count())
   }
+
+  test("replaying an ALREADY-COMMITTED batch is a no-op (streaming foreachBatch safety)") {
+    import spark.implicits._
+    // the property a streaming ingest rests on: a micro-batch redelivered
+    // after a sink failure must not duplicate documents. The committed
+    // docs are IN the index under the same ids, so every replayed doc
+    // self-matches (Jaccard 1.0 against its committed copy) and drops;
+    // insertGroup's atomicity rules out the half-committed middle state.
+    val batch = Seq(
+      (7000L, "replay safety document one with several distinct shingle words here", "en", "srcR", 60L),
+      (7001L, "replay safety document two carrying different body words entirely now", "en", "srcR", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index", batch)
+      .as[(Long, Boolean, Option[Long])].collect()
+    assert(r1.forall(!_._2), "fresh docs must survive the first delivery")
+    val docsAfter1 = cat.scan("pipe.docs").count()
+    val idxAfter1 = cat.scan("pipe.index").count()
+    val r2 = IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index", batch)
+      .as[(Long, Boolean, Option[Long])].collect()
+    assert(r2.forall(_._2), s"replayed docs must self-match and drop: ${r2.mkString(",")}")
+    assert(cat.scan("pipe.docs").count() == docsAfter1, "replay must add no documents")
+    assert(cat.scan("pipe.index").count() == idxAfter1, "replay must add no index rows")
+    assert(cat.scan("pipe.docs").filter(col("doc_id").isin(7000L, 7001L)).count() == 2)
+  }
+
+  test("micro-batch stream ingests through foreachBatch; dedup holds across epochs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val stream = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index", b)
+        r.unpersist()
+        ()
+      }
+      .start()
+    try {
+      val docsBefore = cat.scan("pipe.docs").count()
+      val t1 = "streaming epoch one body with plenty of shingle material to hash"
+      val t2 = "streaming epoch two body made of other words than the first one"
+      in.addData((8000L, t1, "en", "srcS", t1.length.toLong))
+      q.processAllAvailable()
+      // epoch 2: one fresh doc + one near-copy of epoch 1's doc
+      in.addData(
+        (8001L, t2, "en", "srcS", t2.length.toLong),
+        (8002L, t1, "en", "srcS", t1.length.toLong))
+      q.processAllAvailable()
+      val ids = cat.scan("pipe.docs")
+        .filter(col("doc_id") >= 8000L).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(8000L, 8001L),
+        s"cross-epoch dup 8002 must drop against the INDEX TABLE, got $ids")
+      assert(cat.scan("pipe.docs").count() == docsBefore + 2)
+      assert(indexDocCount() == cat.scan("pipe.docs").count())
+    } finally q.stop()
+  }
 }
