@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+import graft.catalog.IceCatalog
+import graft.functions.VectorFunctions.{asDouble, centroidDists, dot, normalize}
+
+/** The IVF ANN index PERSISTED as catalog tables — the serving shape of
+  * s3 at 100 TB, where the index outlives sessions (the session-cache
+  * form, [[Similarity.indexedCorpus]], dies with the JVM): a CENTROIDS
+  * table of O(nlist) rows (the trained coarse quantizer — the part every
+  * query loads to the driver, exactly how FAISS serves IVF) and a
+  * POSTINGS table of (vec_id, cell, vn) rows partition-pruned by cell at
+  * scan time. Ingest assigns new vectors against the STORED centroids —
+  * a map-side kernel, no retraining (the FAISS add() contract; retrain =
+  * [[build]] again) — and appends; both tables advance atomically at
+  * build via [[IceCatalog.insertGroup]].
+  *
+  * Query cost: O(nlist) driver centroid load + per-query nprobe cell
+  * probes over a cell equi-join — identical plan shape to s3, with the
+  * postings scan additionally prunable by the cell partition at scale.
+  */
+object VectorIndex {
+
+  val CentroidSchema: StructType = StructType(Seq(
+    StructField("cell", IntegerType),
+    StructField("centroid", ArrayType(DoubleType))))
+
+  val PostingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("cell", IntegerType),
+    StructField("vn", ArrayType(DoubleType))))
+
+  private def unitized(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+      normalize(asDouble(col("embedding"))).as("vn"))
+
+  /** Train the coarse quantizer on `corpus` (vec_id, embedding) and
+    * materialize BOTH tables in one atomic group. `nlist = 0` → the
+    * scale-aware √n default.
+    */
+  def build(
+      cat: IceCatalog, spark: SparkSession, corpus: DataFrame,
+      centroidsIdent: String, postingsIdent: String,
+      nlist: Int = 0, dims: Int = 64): Unit = {
+    import spark.implicits._
+    val unit = unitized(corpus)
+    val nl = if (nlist > 0) nlist else Similarity.autoNlist(unit.count())
+    val cents = Similarity.kmeansCentroids(unit, nl, dims)
+    if (!cat.tableExists(centroidsIdent)) cat.createTable(centroidsIdent, CentroidSchema)
+    if (!cat.tableExists(postingsIdent)) cat.createTable(postingsIdent, PostingSchema)
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val assigned = unit
+      .select(col("vec_id"), Similarity.argminAssign(cents).as("cell"), col("vn"))
+    cat.insertGroup(Seq(centroidsIdent -> centRows, postingsIdent -> assigned))
+  }
+
+  /** The stored coarse quantizer: O(nlist) rows to the driver — the one
+    * deliberate collect in the serving path (FAISS loads the same).
+    */
+  def loadCentroids(cat: IceCatalog, centroidsIdent: String): Array[Array[Double]] = {
+    val rows = cat.scan(centroidsIdent)
+      .orderBy(col("cell")).select(col("centroid")).collect()
+    require(rows.nonEmpty, s"$centroidsIdent: empty centroid table — build first")
+    rows.map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Append a batch of (vec_id, embedding) rows: map-side cell assignment
+    * against the STORED centroids, one postings append — O(batch), no
+    * retraining, no touch of the centroid table.
+    */
+  def ingest(
+      cat: IceCatalog, spark: SparkSession, batch: DataFrame,
+      centroidsIdent: String, postingsIdent: String): Unit = {
+    val cents = loadCentroids(cat, centroidsIdent)
+    cat.insert(postingsIdent, unitized(batch)
+      .select(col("vec_id"), Similarity.argminAssign(cents).as("cell"), col("vn")))
+  }
+
+  /** Top-k cosine neighbors for `queries` (q_id, embedding) via the
+    * table-backed index: per-query nprobe nearest cells, candidates from
+    * the postings scan's cell equi-join, exact dot re-rank (unit vectors:
+    * cosine IS the dot). Same output contract as s3.
+    */
+  def query(
+      cat: IceCatalog, spark: SparkSession, queries: DataFrame,
+      centroidsIdent: String, postingsIdent: String,
+      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val cents = loadCentroids(cat, centroidsIdent)
+    val nl = cents.length
+    val d = centroidDists(col("qvn"), cents)
+    val probes = transform(
+      slice(array_sort(transform(sequence(lit(0), lit(nl - 1)),
+        i => struct(element_at(d, i + 1).as("dist"), i.as("idx")))), 1, nprobe),
+      s => s.getField("idx"))
+    val q = queries.select(col("vec_id").as("q_id"),
+        normalize(asDouble(col("embedding"))).as("qvn"))
+      .select(col("q_id"), col("qvn"), explode(probes).as("cell"))
+    val postings = cat.scan(postingsIdent)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    postings.join(broadcast(q), Seq("cell"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qvn"), col("vn")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"),
+        (round(col("score"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s11 gate: the full table-backed lifecycle — build both index tables
+    * from the corpus (vec_id ≥ 5), query the standard 5 queries through
+    * them. Rows-only in the oracle gate (k-means-seeded, like s3);
+    * VectorIndexSpec pins the recall floors and the cross-handle
+    * persistence instead. Collected before the scratch catalog drops.
+    */
+  def tableAnnGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_s11").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("vx")
+    build(cat, spark, e.filter(col("vec_id") >= 5), "vx.centroids", "vx.postings")
+    val rows = query(cat, spark, e.filter(col("vec_id") < 5),
+      "vx.centroids", "vx.postings", k = 10, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    try { cat.dropTable("vx.centroids"); cat.dropTable("vx.postings") }
+    catch { case _: Exception => () }
+    rows.toDF("q_id", "neighbor_id", "rank", "score")
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IceCatalog
+import graft.operators.{Similarity, VectorIndex}
+
+/** The IVF index persisted as catalog tables (VectorIndex): recall holds
+  * against brute force, a FRESH catalog handle serves the same index
+  * (cross-session persistence — the property the session-cache form
+  * lacks), and ingest assigns against the stored centroids map-side.
+  */
+class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.01"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-vecidx-test", cpus = 8)
+  lazy val root: String = Files.createTempDirectory("vecidx").toString
+  lazy val cat = new IceCatalog(spark, root)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def embeddings = spark.read.parquet(s"$dir/embeddings.parquet")
+  private def corpus = embeddings.filter(col("vec_id") >= 5)
+  private def queries = embeddings.filter(col("vec_id") < 5)
+
+  private lazy val exact: Set[(Long, Long)] =
+    Similarity.cosineTopK(spark, dir, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recall(df: org.apache.spark.sql.DataFrame): Double =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
+
+  test("build + query: table-backed IVF matches s3's recall at equal nprobe") {
+    cat.createNamespace("vx")
+    VectorIndex.build(cat, spark, corpus, "vx.centroids", "vx.postings", nlist = 16)
+    assert(cat.scan("vx.centroids").count() == 16)
+    assert(cat.scan("vx.postings").count() == corpus.count())
+    val r4 = recall(VectorIndex.query(cat, spark, queries,
+      "vx.centroids", "vx.postings", k = 10, nprobe = 4))
+    val r8 = recall(VectorIndex.query(cat, spark, queries,
+      "vx.centroids", "vx.postings", k = 10, nprobe = 8))
+    info(f"table-backed IVF recall: nprobe=4 $r4%.3f nprobe=8 $r8%.3f")
+    // same floors AnnRecallSpec pins for the session-cache s3 form
+    assert(r4 >= 0.30, s"nprobe=4 recall $r4")
+    assert(r8 >= 0.55, s"nprobe=8 recall $r8")
+    assert(r8 >= r4)
+  }
+
+  test("a FRESH catalog handle serves the same index (outlives the builder)") {
+    val cat2 = new IceCatalog(spark, root)
+    val r = recall(VectorIndex.query(cat2, spark, queries,
+      "vx.centroids", "vx.postings", k = 10, nprobe = 8))
+    assert(r >= 0.55, s"fresh-handle recall $r")
+  }
+
+  test("ingest appends against STORED centroids; new vectors become findable") {
+    import spark.implicits._
+    // new vectors = tiny perturbations of the query vectors, ids +100000:
+    // each query's nearest neighbor must become its perturbed twin
+    val twins = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().map { case (id, v) =>
+        (id + 100000L, v.map(x => x + 1e-4f))
+      }.toSeq.toDF("vec_id", "embedding")
+    val centroidSnaps = cat.loadMeta("vx.centroids").snapshots.length
+    VectorIndex.ingest(cat, spark, twins, "vx.centroids", "vx.postings")
+    assert(cat.loadMeta("vx.centroids").snapshots.length == centroidSnaps,
+      "ingest must not touch the centroid table (no retraining)")
+    val out = VectorIndex.query(cat, spark, queries,
+      "vx.centroids", "vx.postings", k = 1, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 5L).foreach { q =>
+      assert(out.get(q).contains(q + 100000L),
+        s"query $q nearest must be its ingested twin, got ${out.get(q)}")
+    }
+  }
+
+  test("query plan: postings join keys on cell only; query side broadcast") {
+    val plan = VectorIndex.query(cat, spark, queries,
+      "vx.centroids", "vx.postings").queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(j.condition.isDefined, "no cartesian in the probe plan")
+      val refs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name)
+      assert(refs.forall(n => n == "cell"),
+        s"probe must join on cell only, got $refs")
+    }
+  }
+}
