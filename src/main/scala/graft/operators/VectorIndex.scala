@@ -51,7 +51,11 @@ object VectorIndex {
     val nl = if (nlist > 0) nlist else Similarity.autoNlist(unit.count())
     val cents = Similarity.kmeansCentroids(unit, nl, dims)
     if (!cat.tableExists(centroidsIdent)) cat.createTable(centroidsIdent, CentroidSchema)
-    if (!cat.tableExists(postingsIdent)) cat.createTable(postingsIdent, PostingSchema)
+    // postings are identity-partitioned BY CELL: a small query batch's
+    // probe set is known up front, so the serving path scans only the
+    // probed partitions instead of the whole corpus
+    if (!cat.tableExists(postingsIdent)) cat.createTable(postingsIdent, PostingSchema,
+      partitionSpec = Seq(IceCatalog.PartitionField("cell", "identity", "cell")))
     val centRows = cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -86,25 +90,28 @@ object VectorIndex {
     * table-backed index: per-query nprobe nearest cells, candidates from
     * the postings scan's cell equi-join, exact dot re-rank (unit vectors:
     * cosine IS the dot). Same output contract as s3.
+    *
+    * Two scan strategies by batch size:
+    *  - ≤ `pruneScan` queries (the ANN SERVING case): probe cells are
+    *    computed driver-side from the collected query vectors, and the
+    *    postings scan carries a PARTITION FILTER on cell — only the
+    *    probed partitions' files are read, O(nprobe·|cell|) I/O
+    *    regardless of corpus size.
+    *  - larger batches (the batch-analytics case): the probe list rides
+    *    a codegen'd expression and the cell match is an equi-join over
+    *    the full postings scan — no driver-side query collection.
+    * Both paths compute dots in the same IEEE order, so results match.
     */
   def query(
       cat: IceCatalog, spark: SparkSession, queries: DataFrame,
       centroidsIdent: String, postingsIdent: String,
-      k: Int = 10, nprobe: Int = 4): DataFrame = {
+      k: Int = 10, nprobe: Int = 4, pruneScan: Int = 1024): DataFrame = {
     val cents = loadCentroids(cat, centroidsIdent)
     val nl = cents.length
-    val d = centroidDists(col("qvn"), cents)
-    val probes = transform(
-      slice(array_sort(transform(sequence(lit(0), lit(nl - 1)),
-        i => struct(element_at(d, i + 1).as("dist"), i.as("idx")))), 1, nprobe),
-      s => s.getField("idx"))
-    val q = queries.select(col("vec_id").as("q_id"),
-        normalize(asDouble(col("embedding"))).as("qvn"))
-      .select(col("q_id"), col("qvn"), explode(probes).as("cell"))
-    val postings = cat.scan(postingsIdent)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    postings.join(broadcast(q), Seq("cell"))
+
+    def rank(joined: DataFrame): DataFrame = joined
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         dot(col("qvn"), col("vn")).as("score"))
       .withColumn("rank", row_number().over(w))
@@ -112,6 +119,53 @@ object VectorIndex {
       .select(col("q_id"), col("neighbor_id"), col("rank"),
         (round(col("score"), 4) + lit(0.0)).as("score"))
       .orderBy(col("q_id"), col("rank"))
+
+    val probeRows: Array[(Long, Array[Double], Seq[Int])] =
+      if (pruneScan <= 0) Array.empty
+      else {
+        val collected = queries
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .limit(pruneScan + 1).collect()
+        if (collected.length > pruneScan) Array.empty
+        else collected.map { r =>
+          val v = r.getSeq[Double](1).toArray
+          // same accumulation order as the normalize/dot expressions
+          var sq = 0.0; var i = 0
+          while (i < v.length) { sq += v(i) * v(i); i += 1 }
+          val n = math.sqrt(sq)
+          val vn = if (n == 0) v else v.map(_ / n)
+          val dists = cents.map { c =>
+            var acc = 0.0; var j = 0
+            val m = math.min(vn.length, c.length)
+            while (j < m) { acc += vn(j) * c(j); j += 1 }
+            -acc
+          }
+          val cells = dists.zipWithIndex.sortBy(identity).take(nprobe).map(_._2).toSeq
+          (r.getLong(0), vn, cells)
+        }
+      }
+
+    if (probeRows.nonEmpty) {
+      import spark.implicits._
+      val probeCells = probeRows.flatMap(_._3).distinct.sorted
+      val postings = cat.scan(postingsIdent,
+        Seq(IceCatalog.PartitionFilter("cell", IceCatalog.Op.Eq,
+          probeCells.map(_.toString))), None, None)
+      val q = probeRows.toSeq
+        .flatMap { case (id, vn, cells) => cells.map(c => (id, vn.toSeq, c)) }
+        .toDF("q_id", "qvn", "cell")
+      rank(postings.join(broadcast(q), Seq("cell")))
+    } else {
+      val d = centroidDists(col("qvn"), cents)
+      val probes = transform(
+        slice(array_sort(transform(sequence(lit(0), lit(nl - 1)),
+          i => struct(element_at(d, i + 1).as("dist"), i.as("idx")))), 1, nprobe),
+        s => s.getField("idx"))
+      val q = queries.select(col("vec_id").as("q_id"),
+          normalize(asDouble(col("embedding"))).as("qvn"))
+        .select(col("q_id"), col("qvn"), explode(probes).as("cell"))
+      rank(cat.scan(postingsIdent).join(broadcast(q), Seq("cell")))
+    }
   }
 
   /** s11 gate: the full table-backed lifecycle — build both index tables

@@ -80,6 +80,24 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("small-batch queries PRUNE the postings scan to probed cell partitions") {
+    // the serving path: probe cells are known up front, so the scan must
+    // read only their partitions' files — not the whole corpus
+    val pruned = VectorIndex.query(cat, spark, queries,
+      "vx.centroids", "vx.postings", k = 10, nprobe = 2)
+    val full = VectorIndex.query(cat, spark, queries,
+      "vx.centroids", "vx.postings", k = 10, nprobe = 2, pruneScan = 0)
+    val allFiles = cat.files("vx.postings").length
+    val prunedFiles = pruned.inputFiles.count(_.contains("postings"))
+    val fullFiles = full.inputFiles.count(_.contains("postings"))
+    info(s"postings files: total=$allFiles pruned-scan=$prunedFiles full-scan=$fullFiles")
+    assert(prunedFiles < allFiles,
+      s"pruned path must skip unprobed partitions ($prunedFiles vs $allFiles)")
+    assert(fullFiles == allFiles, "pruneScan=0 must fall back to the full scan")
+    // both paths produce IDENTICAL results (same IEEE dot order)
+    assert(pruned.collect().toSeq == full.collect().toSeq)
+  }
+
   test("query plan: postings join keys on cell only; query side broadcast") {
     val plan = VectorIndex.query(cat, spark, queries,
       "vx.centroids", "vx.postings").queryExecution.optimizedPlan
