@@ -146,7 +146,10 @@ object Bench {
     // compared against these pins)
     val session = s"""{"master":"local[$cpus]","shuffle_partitions":$cpus,""" +
       s""""aqe":true,"broadcast_mb":64}"""
-    println(s"""{"metric":"total","queries":${qjson(merged)},"sf":"$sfDir","runs":2,"timing":"best-of-2","session":$session$pass1Json$retryJson,"loadavg":{"start":$loadStart,"after_pass1":$loadPass1},"retried":$suspect,"ratios":$rj,"tripwire":{"fired":$fired,"breaches":$bj,"tells_flat":$tellsFlat},"unit":"sec","total_s":${num(total, 2)},"value":${num(total, 2)}}""")
+    // timing self-describes the sampling: retried queries' merged numbers
+    // are min over TWO best-of-2 passes, not one
+    val timing = if (suspect) "best-of-2, retried queries min-of-4" else "best-of-2"
+    println(s"""{"metric":"total","queries":${qjson(merged)},"sf":"$sfDir","runs":2,"timing":"$timing","session":$session$pass1Json$retryJson,"loadavg":{"start":$loadStart,"after_pass1":$loadPass1},"retried":$suspect,"ratios":$rj,"tripwire":{"fired":$fired,"breaches":$bj,"tells_flat":$tellsFlat},"unit":"sec","total_s":${num(total, 2)},"value":${num(total, 2)}}""")
     spark.stop()
     if (fired) sys.exit(2)
   }

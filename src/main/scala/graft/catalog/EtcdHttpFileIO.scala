@@ -58,16 +58,34 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * a txn compare (`create_revision == 0` / `mod_revision == seen`), so a
   * duplicate delivery fails the guard instead of double-applying.
   */
-private[catalog] final class EtcdGateway(endpointList: String) {
+private[catalog] final class EtcdGateway(
+    endpointList: String,
+    connectTimeoutMs: Long = 5000,
+    defaultRequestTimeoutMs: Long = 30000) {
   private val endpoints = endpointList.split(",")
     .map(_.trim.stripSuffix("/")).filter(_.nonEmpty).toIndexedSeq
   require(endpoints.nonEmpty, s"etcd: no endpoints in '$endpointList'")
-  private val http = HttpClient.newHttpClient()
+  // connectTimeout is what ARMS failover against a hung node: the JDK
+  // only throws HttpConnectTimeoutException when one is configured — a
+  // blackholed endpoint (SYN accepted, nothing after) would otherwise
+  // block send() forever and no rotation could happen
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs)).build()
   private val mapper = new ObjectMapper()
   @volatile private var preferred = 0
 
+  /** `timeoutMs > 0` marks a BLOCKING-WAIT call (a lock acquire): its
+    * response timeout is the caller's semantics — the lock is held, not
+    * the node dead — and must NOT rotate (a second wait on another
+    * gateway node would just double it). Plain KV calls (`timeoutMs = 0`)
+    * get the default request timeout AND rotate on it: etcd answers KV
+    * ops in milliseconds, so a silent 30 s is a dead node, and every
+    * non-idempotent catalog write rides a txn guard, making the retry
+    * safe even if the request was delivered.
+    */
   def call(route: String, body: com.fasterxml.jackson.databind.node.ObjectNode,
       timeoutMs: Long = 0): JsonNode = {
+    val blockingWait = timeoutMs > 0
     var last: Exception = null
     var i = 0
     while (i < endpoints.length) {
@@ -75,16 +93,17 @@ private[catalog] final class EtcdGateway(endpointList: String) {
       val b = HttpRequest.newBuilder(java.net.URI.create(endpoints(idx) + route))
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofByteArray(mapper.writeValueAsBytes(body)))
-      if (timeoutMs > 0) b.timeout(java.time.Duration.ofMillis(timeoutMs))
+        .timeout(java.time.Duration.ofMillis(
+          if (blockingWait) timeoutMs else defaultRequestTimeoutMs))
       val r =
         try http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
         catch {
           case e: java.net.http.HttpConnectTimeoutException =>
             last = e; i += 1; null // connect-phase timeout: next endpoint
-          case e: java.net.http.HttpTimeoutException =>
-            throw e // response-wait timeout (e.g. held lock): semantics
+          case e: java.net.http.HttpTimeoutException if blockingWait =>
+            throw e // lock-wait expiry: semantics, never rotate
           case e: java.io.IOException =>
-            last = e; i += 1; null // refused / reset: next endpoint
+            last = e; i += 1; null // refused / reset / dead-node silence
         }
       if (r != null) {
         val node = mapper.readTree(r.body())

@@ -79,23 +79,28 @@ object IngestDedup {
       .select(col("doc_id"), col("band"), col("sig"))
 
     // ---- commit: docs + index advance together or not at all --------------
-    try cat.insertGroup(Seq(
-      docsIdent -> survivors,
-      indexIdent -> survivorBands))
-    finally sigs.unpersist() // bands are written; the report needs only `decided`
-
-    // the returned report is itself persisted (forced here) so `decided`
-    // can be released NOW instead of leaking a cache entry per ingest;
-    // callers may unpersist the report once consumed — it IS the
-    // operator's O(batch) output
-    val report = batch.select(col("doc_id"))
-      .join(decided, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
-      .orderBy(col("doc_id"))
-      .persist()
-    report.count()
-    decided.unpersist()
-    report
+    // the finally releases BOTH working caches on every path — a failed
+    // commit (racing committer, exhausted locks) must not leak a cache
+    // entry per failed batch
+    try {
+      cat.insertGroup(Seq(
+        docsIdent -> survivors,
+        indexIdent -> survivorBands))
+      // the returned report is itself persisted (forced here) so the
+      // working caches can be released NOW; it is the operator's
+      // O(batch) output — callers should unpersist it once consumed
+      // (streaming foreachBatch: unpersist inside the batch function)
+      val report = batch.select(col("doc_id"))
+        .join(decided, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+        .orderBy(col("doc_id"))
+        .persist()
+      report.count()
+      report
+    } finally {
+      sigs.unpersist()
+      decided.unpersist()
+    }
   }
 
   /** The LAZY decision plan — (doc_id, dup_of) for every batch doc that
@@ -128,7 +133,13 @@ object IngestDedup {
       .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
 
     // ---- verify: exact Jaccard at O(candidates) ---------------------------
+    // the docs-table side is SEMI-JOINED to the candidate ids BEFORE
+    // tokenization — without the prune every batch would tokenize and
+    // aggregate the ENTIRE corpus, breaking the O(candidates) contract
+    // (the aggregate blocks Catalyst from pushing the id join below it)
     val exDocs = cat.scan(docsIdent).select(col("doc_id"), col("text"))
+      .join(crossCand.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
     val crossVerified =
       Dedup.verifyPairsBetween(batch, exDocs, crossCand, threshold)
     val inVerified =

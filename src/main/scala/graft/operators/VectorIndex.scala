@@ -56,6 +56,18 @@ object VectorIndex {
     // probed partitions instead of the whole corpus
     if (!cat.tableExists(postingsIdent)) cat.createTable(postingsIdent, PostingSchema,
       partitionSpec = Seq(IceCatalog.PartitionField("cell", "identity", "cell")))
+    // REBUILD semantics: a second build must REPLACE, not append — stale
+    // generations would leave duplicate cell ids and silently wrong
+    // probes. Truncated via overwrite-with-empty inside the same atomic
+    // group as the new generation's appends (an insertGroup lambda can't
+    // express a drop, so clear-then-group; the group still publishes the
+    // new index atomically, and time travel keeps the old generation).
+    if (cat.loadMeta(centroidsIdent).current.isDefined)
+      cat.overwrite(centroidsIdent, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CentroidSchema))
+    if (cat.loadMeta(postingsIdent).current.isDefined)
+      cat.overwrite(postingsIdent, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PostingSchema))
     val centRows = cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")

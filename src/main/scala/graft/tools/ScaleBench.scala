@@ -48,7 +48,10 @@ object ScaleBench {
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$scratch/documents.parquet").exists())
+    // completeness = BOTH tables present (a run killed between the two
+    // writes must regenerate, not skip and crash on the missing half)
+    if (!new java.io.File(s"$scratch/documents.parquet").exists() ||
+        !new java.io.File(s"$scratch/embeddings.parquet").exists())
       generate(spark, baseDir, scratch)
 
     def rows(dir: String, t: String): Long =

@@ -98,6 +98,23 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.collect().toSeq == full.collect().toSeq)
   }
 
+  test("re-building REPLACES the index: no stale generation, recall intact") {
+    // a second build (retrain) must not append a second generation of
+    // centroids/postings — duplicate cell ids would silently corrupt
+    // every later probe
+    VectorIndex.build(cat, spark, corpus, "vx.centroids", "vx.postings", nlist = 16)
+    assert(cat.scan("vx.centroids").count() == 16,
+      "rebuild must replace, not append, the centroid generation")
+    assert(cat.scan("vx.postings").count() == corpus.count(),
+      "rebuild must replace the postings (ingested extras retrain away)")
+    import org.apache.spark.sql.functions.countDistinct
+    assert(cat.scan("vx.centroids")
+      .agg(countDistinct(col("cell"))).head().getLong(0) == 16)
+    val r = recall(VectorIndex.query(cat, spark, queries,
+      "vx.centroids", "vx.postings", k = 10, nprobe = 8))
+    assert(r >= 0.55, s"post-rebuild recall $r")
+  }
+
   test("query plan: postings join keys on cell only; query side broadcast") {
     val plan = VectorIndex.query(cat, spark, queries,
       "vx.centroids", "vx.postings").queryExecution.optimizedPlan
