@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -394,6 +394,34 @@ object Dedup {
         col("doc_b") === col("__id_b"))
       .select(struct(col("doc_a").as("doc_id"), col("__t_a").as("t")).as("a"),
         struct(col("doc_b").as("doc_id"), col("__t_b").as("t")).as("b"))
+    jaccardScore(withSides, threshold)
+  }
+
+  /** Exact-Jaccard verification with PER-PAIR INLINE token sets: the two
+    * text sides join to the pair ids BEFORE any tokenization, so only
+    * docs actually named by a candidate pair are ever tokenized — the
+    * shape for verifying against a HUGE stored corpus, where
+    * pre-aggregating token sets over the whole table ([[tokenSetsOf]])
+    * costs an O(corpus) tokenize + shuffle per batch regardless of the
+    * candidate count (the aggregate blocks Catalyst from pushing the id
+    * join below it). The inline higher-order-function set build costs
+    * more per ROW than the exploded/partial-agg kernel, but rows here
+    * are O(candidate pairs). Identical set elements and threshold math
+    * to [[tokenSetsOf]] + [[jaccardScore]], so decisions match exactly.
+    */
+  private[graft] def verifyPairsInline(
+      a: DataFrame, b: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    def tokset(c: Column): Column =
+      sort_array(array_distinct(transform(tokens(c),
+        w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))))
+    val withSides = pairs.select(col("doc_a"), col("doc_b"))
+      .join(a.select(col("doc_id").as("__id_a"), col("text").as("__x_a")),
+        col("doc_a") === col("__id_a"))
+      .join(b.select(col("doc_id").as("__id_b"), col("text").as("__x_b")),
+        col("doc_b") === col("__id_b"))
+      .select(
+        struct(col("doc_a").as("doc_id"), tokset(col("__x_a")).as("t")).as("a"),
+        struct(col("doc_b").as("doc_id"), tokset(col("__x_b")).as("t")).as("b"))
     jaccardScore(withSides, threshold)
   }
 

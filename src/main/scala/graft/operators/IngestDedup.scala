@@ -133,15 +133,14 @@ object IngestDedup {
       .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
 
     // ---- verify: exact Jaccard at O(candidates) ---------------------------
-    // the docs-table side is SEMI-JOINED to the candidate ids BEFORE
-    // tokenization — without the prune every batch would tokenize and
-    // aggregate the ENTIRE corpus, breaking the O(candidates) contract
-    // (the aggregate blocks Catalyst from pushing the id join below it)
+    // cross-batch verification tokenizes INLINE per candidate pair, so
+    // the docs table contributes a plain scan + id join — never an
+    // O(corpus) tokenize + aggregate per batch. Within-batch uses the
+    // exploded/partial-agg token kernel (the batch is O(batch) by
+    // contract, and its sets are shared by many pairs).
     val exDocs = cat.scan(docsIdent).select(col("doc_id"), col("text"))
-      .join(crossCand.select(col("doc_b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
     val crossVerified =
-      Dedup.verifyPairsBetween(batch, exDocs, crossCand, threshold)
+      Dedup.verifyPairsInline(batch, exDocs, crossCand, threshold)
     val inVerified =
       Dedup.verifyPairsBetween(batch, batch, inCand, threshold)
 
