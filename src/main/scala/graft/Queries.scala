@@ -520,12 +520,17 @@ object Queries {
          |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
          |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
          |  SELECT doc_id, 3, sig_3 FROM sig),
-         |ex AS (SELECT doc_id AS ex_id, band, sig FROM bands WHERE doc_id % 2 = 0),
+         |-- the stored index caps buckets AT WRITE TIME: slot = 1-based
+         |-- position within (band, sig) ordered by doc_id, rows past the
+         |-- cap never written — so the probe sees the first cap entries
+         |ex AS (SELECT ex_id, band, sig FROM (
+         |  SELECT doc_id AS ex_id, band, sig,
+         |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS slot
+         |  FROM bands WHERE doc_id % 2 = 0)
+         |  WHERE slot <= ${graft.operators.Dedup.MaxLshBucket}),
          |inc AS (SELECT doc_id AS new_id, band, sig FROM bands WHERE doc_id % 2 = 1),
-         |bsz AS (SELECT band, sig FROM ex GROUP BY 1, 2
-         |        HAVING count(*) <= ${graft.operators.Dedup.MaxLshBucket}),
          |candx AS (SELECT DISTINCT i.new_id, e.ex_id
-         |  FROM inc i JOIN bsz USING (band, sig) JOIN ex e USING (band, sig)),
+         |  FROM inc i JOIN ex e USING (band, sig)),
          |ibsz AS (SELECT band, sig FROM inc GROUP BY 1, 2
          |         HAVING count(*) BETWEEN 2 AND ${graft.operators.Dedup.MaxLshBucket}),
          |candi AS (SELECT DISTINCT hi.new_id, lo.new_id AS ex_id

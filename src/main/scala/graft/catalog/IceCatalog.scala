@@ -1075,6 +1075,36 @@ class IceCatalog(
     })
   }
 
+  /** Atomic multi-table OVERWRITE (the replace-everything sibling of
+    * [[insertGroup]]): each frame's parquet is staged (staged files are
+    * invisible until their snapshot publishes), then every table's
+    * snapshot publishes in one lock-ordered group with the parent file
+    * set REPLACED — the index-REBUILD shape, where a new generation
+    * (e.g. re-trained centroids + re-assigned postings) must supersede
+    * all tables together or not at all: a crash mid-group publishes
+    * nothing, and time travel keeps the old generation. `setProperties`
+    * entries are stamped on every table in the SAME commits, so a reader
+    * needing cross-table consistency (cell ids pair centroids to
+    * postings per generation) can match the stamp across tables.
+    */
+  def overwriteGroup(
+      ops: Seq[(String, DataFrame)],
+      setProperties: Map[String, String] = Map.empty): Seq[TableMeta] = {
+    val staged = ops.map { case (ident, df) =>
+      val meta = loadMeta(ident)
+      ident -> writeArranged(ident,
+        df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
+    }
+    commitGroup(staged.map { case (ident, files) =>
+      ident -> ((m: TableMeta) => {
+        val next = appendSnapshot(m,
+          SnapDelta("overwrite", add = files, replaceAll = true))
+        if (setProperties.isEmpty) next
+        else next.copy(properties = next.properties ++ setProperties)
+      })
+    })
+  }
+
   def commitGroup(ops: Seq[(String, TableMeta => TableMeta)]): Seq[TableMeta] = {
     require(ops.map(_._1).distinct.length == ops.length, "duplicate table in commit group")
     val sorted = ops.sortBy(_._1)

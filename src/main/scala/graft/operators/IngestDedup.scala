@@ -12,9 +12,14 @@ import graft.catalog.IceCatalog
   * sessions and appends per ingest batch, not a session cache. Each batch:
   *
   *  1. PROBES the index table — the only corpus-scaling join keys on
-  *     (band, sig), an index lookup at O(batch × collisions), with the
-  *     d3 bucket-size cap applied on the stored side (a production index
-  *     caps degenerate boilerplate buckets at write time);
+  *     (band, sig), an index lookup at O(batch × collisions). The d3
+  *     bucket-size cap is enforced AT WRITE TIME (each index row carries
+  *     its `slot` = 1-based position within its bucket; rows past
+  *     [[Dedup.MaxLshBucket]] are never written), so every stored bucket
+  *     is bounded by construction and the probe needs NO bucket-size
+  *     re-aggregation over the index — the first cap entries act as the
+  *     bucket's representatives (bounded fan-out, and a boilerplate doc
+  *     still verifies against them instead of slipping through);
   *  2. VERIFIES candidates with exact token-set Jaccard at O(candidates),
   *     against the docs TABLE's text (cross-batch) and the batch itself
   *     (within-batch, so two copies arriving together still dedup —
@@ -32,14 +37,45 @@ import graft.catalog.IceCatalog
   */
 object IngestDedup {
 
-  /** (doc_id, band, sig) — band is the signature slot index, sig the
-    * min-hash value for that band (string hex, as [[Dedup.minhashSignatures]]
-    * emits).
+  /** (doc_id, band, sig, slot) — band is the signature slot index, sig
+    * the min-hash value for that band (string hex, as
+    * [[Dedup.minhashSignatures]] emits), slot the row's 1-based position
+    * within its (band, sig) bucket, assigned at write time. Slots make
+    * the bucket cap a WRITE-TIME invariant (slot ≤ [[Dedup.MaxLshBucket]]
+    * for every stored row), so probes never re-aggregate bucket sizes.
     */
   val IndexSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("band", IntegerType),
-    StructField("sig", StringType)))
+    StructField("sig", StringType),
+    StructField("slot", IntegerType)))
+
+  /** Assign write-time slots to `newBands` (doc_id, band, sig),
+    * continuing each bucket's numbering from `existing` (an index-table
+    * scan), and DROP rows past the cap — saturated buckets keep their
+    * first [[Dedup.MaxLshBucket]] entries as representatives. Cost per
+    * batch: one scan of the index equi-joined to the batch's O(batch)
+    * distinct buckets, aggregated over the MATCHED rows only — no
+    * corpus-wide shuffle. (A doc whose every bucket is saturated would be
+    * stored un-indexed; in practice such a doc verifies as a dup of the
+    * bucket representatives and never survives to the write. Slot bases
+    * are computed outside the commit lock, so two racing ingests can
+    * overshoot the cap by one batch's worth — a capacity bound, not an
+    * exactness invariant.)
+    */
+  private[graft] def slottedBands(newBands: DataFrame, existing: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("sig")).orderBy(col("doc_id"))
+    val touched = newBands.select(col("band"), col("sig")).distinct()
+    val base = existing.join(touched, Seq("band", "sig"))
+      .groupBy(col("band"), col("sig")).agg(max(col("slot")).as("base"))
+    newBands
+      .withColumn("rk", row_number().over(w))
+      .join(base, Seq("band", "sig"), "left")
+      .select(col("doc_id"), col("band"), col("sig"),
+        (coalesce(col("base"), lit(0)) + col("rk")).cast("int").as("slot"))
+      .filter(col("slot") <= lit(Dedup.MaxLshBucket))
+  }
 
   /** Create the docs + index tables if missing (idempotent). */
   def ensureTables(
@@ -74,9 +110,12 @@ object IngestDedup {
 
     val survivors = batch.join(decided.select(col("doc_id")), Seq("doc_id"),
       "left_anti")
-    val survivorBands = newBands
-      .join(survivors.select(col("doc_id")), Seq("doc_id"))
-      .select(col("doc_id"), col("band"), col("sig"))
+    // write-time slot assignment: each survivor band continues its
+    // bucket's numbering from the stored index; rows past the cap drop
+    val survivorBands = slottedBands(
+      newBands.join(survivors.select(col("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"), col("band"), col("sig")),
+      cat.scan(indexIdent))
 
     // ---- commit: docs + index advance together or not at all --------------
     // the finally releases BOTH working caches on every path — a failed
@@ -116,14 +155,12 @@ object IngestDedup {
 
     // ---- propose: cross-batch via the index TABLE, within-batch via the
     //      batch's own buckets ----------------------------------------------
+    // every stored bucket is ≤ MaxLshBucket BY CONSTRUCTION (write-time
+    // slots), so the probe is the bare (band, sig) equi-join — no bucket
+    // size re-aggregation over the index, ever
     val exBands = cat.scan(indexIdent)
       .select(col("band"), col("sig"), col("doc_id").as("ex_id"))
-    val keptBuckets = exBands.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= Dedup.MaxLshBucket)
-      .select(col("band"), col("sig"))
     val crossCand = newBands
-      .join(keptBuckets, Seq("band", "sig"))
       .join(exBands, Seq("band", "sig"))
       .select(col("doc_id").as("doc_a"), col("ex_id").as("doc_b"))
       .distinct()
@@ -170,7 +207,8 @@ object IngestDedup {
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     cat.insertGroup(Seq(
       "pipe.docs" -> corpus,
-      "pipe.index" -> Dedup.lshBands(Dedup.minhashSignatures(corpus))))
+      "pipe.index" -> slottedBands(
+        Dedup.lshBands(Dedup.minhashSignatures(corpus)), cat.scan("pipe.index"))))
     val report = ingest(cat, spark, "pipe.docs", "pipe.index",
       docs.filter(col("doc_id") % 2 === 1))
     val rows = report.as[(Long, Boolean, Option[Long])].collect().toSeq

@@ -166,9 +166,14 @@ object TextAnalysis {
   }
 
   /** x7: TF-IDF keyword extraction — top-5 terms per source by
-    * tf(source, term) · ln(N_docs / df(term)). Term and doc frequencies are
-    * two partial-aggregated shuffles on the token; the df side is tiny
-    * (vocabulary-sized) and broadcasts into the scoring join.
+    * tf(source, term) · ln(N_docs / df(term)). Term and doc frequencies
+    * are two partial-aggregated shuffles on the token; the df side is the
+    * corpus VOCABULARY — it grows with the corpus (billions of distinct
+    * tokens on a web crawl), so the scoring join carries NO broadcast
+    * hint: AQE broadcasts it at small SF and falls back to a shuffle join
+    * when it doesn't fit, instead of a hint pinning a driver-OOM plan at
+    * 100 TB (the same rule as x11 and the p1 drop list). Only the one-row
+    * corpus count is hint-broadcast.
     */
   def tfidfQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -182,7 +187,7 @@ object TextAnalysis {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
     val scored = tf
-      .join(broadcast(df), Seq("token"))
+      .join(df, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("tf").cast("double") *
@@ -223,7 +228,7 @@ object TextAnalysis {
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("n_total"))
     toks.join(counts, Seq("token"))
-      .crossJoin(total)
+      .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),

@@ -34,6 +34,15 @@ object VectorIndex {
     StructField("cell", IntegerType),
     StructField("vn", ArrayType(DoubleType))))
 
+  /** Table property pairing the two index tables per build: [[build]]
+    * stamps the same fresh id on centroids AND postings inside its atomic
+    * commit group. Cell ids are reassigned per generation, so a reader
+    * pairing new-generation centroids with old-generation postings would
+    * return silently wrong neighbors — [[consistentMetas]] matches the
+    * stamp before pinning any scan.
+    */
+  val GenerationProp = "graft.vector-index.generation"
+
   private def unitized(vectors: DataFrame): DataFrame =
     vectors.select(col("vec_id"),
       normalize(asDouble(col("embedding"))).as("vn"))
@@ -58,29 +67,56 @@ object VectorIndex {
       partitionSpec = Seq(IceCatalog.PartitionField("cell", "identity", "cell")))
     // REBUILD semantics: a second build must REPLACE, not append — stale
     // generations would leave duplicate cell ids and silently wrong
-    // probes. Truncated via overwrite-with-empty inside the same atomic
-    // group as the new generation's appends (an insertGroup lambda can't
-    // express a drop, so clear-then-group; the group still publishes the
-    // new index atomically, and time travel keeps the old generation).
-    if (cat.loadMeta(centroidsIdent).current.isDefined)
-      cat.overwrite(centroidsIdent, spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CentroidSchema))
-    if (cat.loadMeta(postingsIdent).current.isDefined)
-      cat.overwrite(postingsIdent, spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PostingSchema))
+    // probes. One atomic overwriteGroup stages the new generation's files
+    // and publishes BOTH replace-everything snapshots under the group's
+    // locks: a crash anywhere publishes nothing (no empty-index or
+    // half-replaced window, ever), time travel keeps the old generation,
+    // and the shared generation stamp lets readers pair the tables.
     val centRows = cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
     val assigned = unit
       .select(col("vec_id"), Similarity.argminAssign(cents).as("cell"), col("vn"))
-    cat.insertGroup(Seq(centroidsIdent -> centRows, postingsIdent -> assigned))
+    cat.overwriteGroup(
+      Seq(centroidsIdent -> centRows, postingsIdent -> assigned),
+      Map(GenerationProp -> java.util.UUID.randomUUID().toString))
+  }
+
+  /** A generation-consistent (centroids, postings) metadata pair: the
+    * build group stamps both tables with one [[GenerationProp]], but the
+    * group's version files publish sequentially per table, so an unpinned
+    * reader could land between them — load both metas and retry until the
+    * stamps agree, then pin every scan to the resolved snapshot ids
+    * (later rebuilds can't skew a query that already resolved its pair).
+    * Pre-stamp tables (both unstamped) resolve trivially.
+    */
+  private def consistentMetas(
+      cat: IceCatalog, centroidsIdent: String,
+      postingsIdent: String): (IceCatalog.TableMeta, IceCatalog.TableMeta) = {
+    def gen(m: IceCatalog.TableMeta): Option[String] =
+      Option(m.properties).flatMap(_.get(GenerationProp))
+    var attempt = 0
+    while (true) {
+      val cm = cat.loadMeta(centroidsIdent)
+      val pm = cat.loadMeta(postingsIdent)
+      if (gen(cm) == gen(pm)) return (cm, pm)
+      attempt += 1
+      require(attempt < 50,
+        s"$centroidsIdent/$postingsIdent: generation stamps never converged")
+      Thread.sleep(10L * attempt)
+    }
+    sys.error("unreachable")
   }
 
   /** The stored coarse quantizer: O(nlist) rows to the driver — the one
     * deliberate collect in the serving path (FAISS loads the same).
+    * `asOfSnapshot` pins the read to one generation (how [[query]] keeps
+    * centroids and postings paired).
     */
-  def loadCentroids(cat: IceCatalog, centroidsIdent: String): Array[Array[Double]] = {
-    val rows = cat.scan(centroidsIdent)
+  def loadCentroids(
+      cat: IceCatalog, centroidsIdent: String,
+      asOfSnapshot: Option[Long] = None): Array[Array[Double]] = {
+    val rows = cat.scan(centroidsIdent, Seq.empty, asOfSnapshot, None)
       .orderBy(col("cell")).select(col("centroid")).collect()
     require(rows.nonEmpty, s"$centroidsIdent: empty centroid table — build first")
     rows.map(_.getSeq[Double](0).toArray)
@@ -98,10 +134,13 @@ object VectorIndex {
       .select(col("vec_id"), Similarity.argminAssign(cents).as("cell"), col("vn")))
   }
 
-  /** Top-k cosine neighbors for `queries` (q_id, embedding) via the
+  /** Top-k cosine neighbors for `queries` (vec_id, embedding) via the
     * table-backed index: per-query nprobe nearest cells, candidates from
     * the postings scan's cell equi-join, exact dot re-rank (unit vectors:
-    * cosine IS the dot). Same output contract as s3.
+    * cosine IS the dot). Same output contract as s3. Centroids and
+    * postings resolve to ONE generation ([[consistentMetas]]) and every
+    * scan pins that pair's snapshot ids, so a concurrent rebuild can
+    * never pair new centroids with old postings mid-query.
     *
     * Two scan strategies by batch size:
     *  - ≤ `pruneScan` queries (the ANN SERVING case): probe cells are
@@ -118,7 +157,10 @@ object VectorIndex {
       cat: IceCatalog, spark: SparkSession, queries: DataFrame,
       centroidsIdent: String, postingsIdent: String,
       k: Int = 10, nprobe: Int = 4, pruneScan: Int = 1024): DataFrame = {
-    val cents = loadCentroids(cat, centroidsIdent)
+    val (cm, pm) = consistentMetas(cat, centroidsIdent, postingsIdent)
+    val cSnap = cm.current.map(_.id)
+    val pSnap = pm.current.map(_.id)
+    val cents = loadCentroids(cat, centroidsIdent, cSnap)
     val nl = cents.length
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -162,7 +204,7 @@ object VectorIndex {
       val probeCells = probeRows.flatMap(_._3).distinct.sorted
       val postings = cat.scan(postingsIdent,
         Seq(IceCatalog.PartitionFilter("cell", IceCatalog.Op.Eq,
-          probeCells.map(_.toString))), None, None)
+          probeCells.map(_.toString))), pSnap, None)
       val q = probeRows.toSeq
         .flatMap { case (id, vn, cells) => cells.map(c => (id, vn.toSeq, c)) }
         .toDF("q_id", "qvn", "cell")
@@ -176,7 +218,8 @@ object VectorIndex {
       val q = queries.select(col("vec_id").as("q_id"),
           normalize(asDouble(col("embedding"))).as("qvn"))
         .select(col("q_id"), col("qvn"), explode(probes).as("cell"))
-      rank(cat.scan(postingsIdent).join(broadcast(q), Seq("cell")))
+      rank(cat.scan(postingsIdent, Seq.empty, pSnap, None)
+        .join(broadcast(q), Seq("cell")))
     }
   }
 

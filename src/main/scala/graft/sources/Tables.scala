@@ -89,7 +89,13 @@ object Tables {
       val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
       val entries = fs.listStatus(hp).map(st =>
         s"${st.getPath.getName}@${st.getModificationTime}:${st.getLen}").sorted
-      s"$target#${entries.mkString("|").hashCode}:${entries.length}"
+      // full 128-bit digest of the listing: a 32-bit String.hashCode
+      // collision (or any truncated hash) could silently serve a stale
+      // session cache (band index, IVF codebooks) for a rewritten corpus
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = md.digest(entries.mkString("|").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      s"$target#$digest:${entries.length}"
     } catch {
       case _: Exception =>
         s"$target!nofp:${nofpCounter.incrementAndGet()}"

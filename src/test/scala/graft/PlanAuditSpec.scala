@@ -130,6 +130,44 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "key sets there are data-dependent; let AQE choose")
   }
 
+  test("x7 scoring join carries no hint on the corpus vocabulary") {
+    // the df side is one row per DISTINCT TOKEN — it grows with the
+    // corpus, so a pinned broadcast is a driver-OOM plan at 100 TB. Only
+    // the one-row corpus-count frame may be hinted (bounded by
+    // construction, like x11's total).
+    broadcastHintOutputs("x7_tfidf").foreach { out =>
+      assert(out == Seq("n_docs"),
+        s"x7: only the one-row n_docs frame may be hinted, got $out")
+    }
+  }
+
+  test("d13 verify tokenizes inline — no aggregate below the pair-id text joins") {
+    // the cross-batch verify must join candidate-pair ids to the docs
+    // table's TEXT before tokenizing (verifyPairsInline): an aggregate
+    // (corpus-wide token-set build) between the docs scan and the id join
+    // would cost O(corpus) tokenize+shuffle per probe batch and block
+    // Catalyst from pushing the pair-id join below it
+    val plan = Queries.all("d13_incremental_dedup")(spark, dir)
+      .queryExecution.optimizedPlan
+    val idJoins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.toSeq.flatMap(_.references.toSeq)
+            .exists(_.name.startsWith("__id_")) => j
+    }
+    assert(idJoins.size >= 2, "expected the two inline text-side id joins")
+    idJoins.foreach { j =>
+      Seq(j.left, j.right)
+        .filter(_.output.exists(_.name.startsWith("__id_")))
+        .foreach { textSide =>
+          val aggs = textSide.collect {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          }
+          assert(aggs.isEmpty,
+            "no aggregate may sit between the docs scan and the pair-id join")
+        }
+    }
+  }
+
   test("gate dedup plans never join on a block key (source/label)") {
     // the O(block²) hazard: a join keyed on a corpus attribute (source,
     // label) goes quadratic when one block dominates a 100× corpus. Every
