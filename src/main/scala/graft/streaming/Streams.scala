@@ -74,6 +74,93 @@ object Streams {
       .start()
   }
 
+  /** Event-DRIVEN continuous no-copy ingestion (reference
+    * InsertWatch.java:101-180: `--watch`'s real input is an SQS event
+    * QUEUE of S3 object-created notifications — the watcher consumes
+    * EVENTS naming new objects and registers exactly those, it never
+    * LISTs the data prefix): `eventsDir` is a generic append-only event
+    * FEED — a directory of event-log files, each line either a plain
+    * object path or the reference's S3 notification JSON
+    * (`{"Records":[{"eventName":"ObjectCreated:Put","s3":{"bucket":
+    * {"name":…},"object":{"key":…}}}]}`, non-ObjectCreated events
+    * skipped, keys URL-decoded — InsertWatch.java:280-303). Per trigger
+    * the stream reads only NEW event-log files (checkpointed file-source
+    * offsets = the queue ack), so cost is O(events this trigger) +
+    * O(named files) footer reads — never an O(prefix) LIST of a
+    * 100M-object store. Named files register BY REFERENCE
+    * (`addFilesWithRetry`, skip-duplicates), so a REPLAYED event is a
+    * no-op — the manifest's source-file ledger is the queue's
+    * at-least-once absorber, exactly the reference's
+    * `--skip-duplicates` requirement for watch mode.
+    */
+  def watchEventsAndRegister(
+      spark: SparkSession,
+      cat: graft.catalog.CatalogSurface,
+      ident: String,
+      eventsDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1000,
+      pattern: Option[String] = None): StreamingQuery = {
+    val matcher = pattern.map(p =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .text(eventsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        watchInstrumented(ident, epoch, batch) {
+          val before = cat.countRows(ident) // manifest counts, zero scan
+          val named = eventPaths(batch)
+          val files = matcher match {
+            case Some(m) => named.filter(p =>
+              m.matches(java.nio.file.Paths.get(p)))
+            case None => named
+          }
+          if (files.nonEmpty)
+            cat.addFilesWithRetry(ident, files,
+              forceOutsideLocation = true,
+              options = InsertOptions(skipDuplicates = true))
+          Metrics.incLabeled("graft_watch_rows_ingested_total",
+            Seq("table" -> ident), cat.countRows(ident) - before)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One event batch (`value` lines) → the object paths it names: S3
+    * notification JSON contributes its `ObjectCreated:*` records
+    * (URL-decoded `s3://bucket/key`, other event kinds skipped —
+    * reference InsertWatch.java:280-311); any non-JSON line is a plain
+    * path (blank lines and `#` comments dropped). The collect is the
+    * trigger's EVENT batch — bounded like the reference's 100-message
+    * queue batches, never file data.
+    */
+  private[graft] def eventPaths(batch: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val s3Schema = StructType(Seq(
+      StructField("bucket", StructType(Seq(StructField("name", StringType)))),
+      StructField("object", StructType(Seq(StructField("key", StringType))))))
+    val recSchema = StructType(Seq(
+      StructField("eventName", StringType),
+      StructField("s3", s3Schema)))
+    val evSchema = StructType(Seq(StructField("Records", ArrayType(recSchema))))
+    val parsed = batch
+      .select(col("value"), from_json(col("value"), evSchema).as("j"))
+    val fromS3 = parsed.filter(col("j.Records").isNotNull)
+      .select(explode(col("j.Records")).as("r"))
+      .filter(col("r.eventName").startsWith("ObjectCreated:"))
+      .select(concat(lit("s3://"), col("r.s3.bucket.name"), lit("/"),
+        url_decode(col("r.s3.object.key"))).as("path"))
+    val plain = parsed.filter(col("j.Records").isNull)
+      .select(trim(col("value")).as("path"))
+      .filter(length(col("path")) > 0 && !col("path").startsWith("#"))
+    fromS3.union(plain).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
   /** Watch-progress observability (reference InsertWatchMetrics.java,
     * `--watch-debug-addr`): per-table counters/gauges in the process-wide
     * [[Metrics]] registry, scraped via the REST server's `GET /metrics` —

@@ -53,6 +53,10 @@ import graft.catalog.IceCatalog._
   *   insert <ns.t> <dir> --watch [--checkpoint <dir>] [--watch-fire-once]
   *                [--watch-debug-addr host:port]
   *                [--merge-keys k1,k2 --version-col v [--merge-on-read]]
+  *                [--events [--watch-pattern <glob>]]  (the dir is an
+  *                 append-only EVENT FEED of object-created paths or S3
+  *                 notification JSON — files register no-copy O(events)
+  *                 per trigger, the data prefix is never listed)
   *   alter-table <ns.t> '<updates-json>'   (reference op vocabulary:
   *                add_column/alter_column/rename_column/drop_column/
   *                set_tblproperty/rename_to/drop_partition_field)
@@ -310,6 +314,15 @@ object Cli {
                   fail("--merge-keys needs --version-col")),
                 trigger = trigger,
                 mergeOnRead = flags.contains("merge-on-read"))
+            case None if flags.contains("events") =>
+              // --events: the path is an EVENT FEED (append-only logs of
+              // object-created paths / S3 notification JSON — the
+              // reference's SQS queue shape, InsertWatch.java:101-180),
+              // consumed O(events) per trigger; named files register
+              // no-copy, the data prefix is NEVER listed
+              graft.streaming.Streams.watchEventsAndRegister(
+                spark, cat, ident, paths.head, checkpoint, trigger,
+                pattern = flags.get("watch-pattern"))
             case None =>
               // --no-copy: continuous registration by reference — each
               // micro-batch's discovered files enter the table as an
@@ -781,7 +794,7 @@ object Cli {
     val boolFlags = Set("no-copy", "force-outside-location", "skip-duplicates",
       "force-duplicates", "no-commit", "assume-sorted",
       "dry-run", "overwrite", "allow-anonymous", "watch", "watch-fire-once",
-      "merge-on-read", "branch", "json", "no-ssl-verify")
+      "events", "merge-on-read", "branch", "json", "no-ssl-verify")
     var flags = Map.empty[String, String]
     val pos = Seq.newBuilder[String]
     var i = 0

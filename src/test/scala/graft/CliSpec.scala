@@ -1408,6 +1408,60 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("insert --watch --events ingests exactly the event-named files, never lists the prefix; replay no-ops") {
+    // the reference's EVENT-DRIVEN watch shape (InsertWatch.java:101-180:
+    // an SQS queue of object-created notifications — O(events) per poll,
+    // never an O(prefix) LIST): three files staged in ONE data prefix,
+    // the event feed names only two — a prefix listing would find all
+    // three, so exact-two ingestion proves the prefix is never listed
+    import spark.implicits._
+    assert(cli("create-table", "ns.wev", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val dataDir = Files.createTempDirectory("cli-watch-ev-data")
+    val eventsDir = Files.createTempDirectory("cli-watch-ev-feed")
+    val ckpt = Files.createTempDirectory("cli-watch-ev-ckpt").toString
+    def stage(name: String, rows: Seq[(Long, String)]): java.nio.file.Path = {
+      val tmp = Files.createTempDirectory(s"cli-watch-ev-$name")
+      rows.toDF("id", "v").coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val f = java.nio.file.Files.list(tmp.resolve("p")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f, dataDir.resolve(name))
+      dataDir.resolve(name)
+    }
+    val fa = stage("a.parquet", Seq((1L, "a")))
+    val fb = stage("b.parquet", Seq((2L, "b")))
+    stage("c.parquet", Seq((3L, "c"))) // staged but NEVER named by an event
+    // feed: plain path + S3-JSON created event naming b via a decoded key
+    // is not locally resolvable, so b rides a plain line too; the JSON
+    // lines prove parse/skip behavior (removed-event + comment dropped)
+    java.nio.file.Files.write(eventsDir.resolve("events-1.log"),
+      (s"# object-created feed\n$fa\n$fb\n" +
+        """{"Records":[{"eventName":"ObjectRemoved:Delete","s3":{"bucket":{"name":"b"},"object":{"key":"c.parquet"}}}]}""" +
+        "\n").getBytes("UTF-8"))
+    val buf = new ByteArrayOutputStream()
+    val code = Cli.run(
+      Seq("--root", root, "insert", "ns.wev", eventsDir.toString,
+        "--watch", "--watch-fire-once", "--events", "--checkpoint", ckpt),
+      spark, new PrintStream(buf, true), onWatch = q => q.awaitTermination())
+    assert(code == 0)
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    assert(cat.countRows("ns.wev") == 2, "exactly the two event-named files ingest")
+    val paths = cat.files("ns.wev").map(_.path)
+    assert(paths.exists(_.contains("a.parquet")) && paths.exists(_.contains("b.parquet")))
+    assert(!paths.exists(_.contains("c.parquet")),
+      s"c.parquet was never named by an event — the prefix must not be listed: $paths")
+    // REPLAYED events (the queue redelivery shape): a second feed file
+    // re-naming a.parquet must no-op via the source-file ledger
+    java.nio.file.Files.write(eventsDir.resolve("events-2.log"),
+      s"$fa\n".getBytes("UTF-8"))
+    val code2 = Cli.run(
+      Seq("--root", root, "insert", "ns.wev", eventsDir.toString,
+        "--watch", "--watch-fire-once", "--events", "--checkpoint", ckpt),
+      spark, new PrintStream(buf, true), onWatch = q => q.awaitTermination())
+    assert(code2 == 0)
+    assert(cat.countRows("ns.wev") == 2, "replayed event must be a no-op")
+    assert(cat.files("ns.wev").length == 2)
+  }
+
   test("--watch-debug-addr serves per-watch /metrics + probes, stops with the watch") {
     import spark.implicits._
     assert(cli("create-table", "ns.wdbg", "--schema", "id BIGINT, v STRING")._1 == 0)

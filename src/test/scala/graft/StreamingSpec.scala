@@ -389,4 +389,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(sessions == Seq((7L, 1L), (7L, 2L)))
   }
+
+  test("event-feed parsing: S3 created-events decode, other kinds and comments drop") {
+    // the reference's notification shapes (InsertWatch.java:249-311):
+    // ObjectCreated:* records become s3://bucket/<url-decoded key>, every
+    // other event kind is skipped; non-JSON lines are plain paths, blank
+    // lines and # comments drop
+    import spark.implicits._
+    val lines = Seq(
+      """{"Records":[{"eventName":"ObjectCreated:Put","s3":{"bucket":{"name":"bkt"},"object":{"key":"in/part%201.parquet"}}}]}""",
+      """{"Records":[{"eventName":"ObjectCreated:CompleteMultipartUpload","s3":{"bucket":{"name":"bkt"},"object":{"key":"in/p2.parquet"}}},{"eventName":"ObjectRemoved:Delete","s3":{"bucket":{"name":"bkt"},"object":{"key":"in/gone.parquet"}}}]}""",
+      "# a comment",
+      "",
+      "  /data/plain.parquet  ")
+    val paths = Streams.eventPaths(lines.toDF("value"))
+    assert(paths == Seq(
+      "/data/plain.parquet",
+      "s3://bkt/in/p2.parquet",
+      "s3://bkt/in/part 1.parquet"), paths.mkString(","))
+  }
 }
