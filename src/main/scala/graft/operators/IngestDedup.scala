@@ -170,14 +170,15 @@ object IngestDedup {
       .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
 
     // ---- verify: exact Jaccard at O(candidates) ---------------------------
-    // cross-batch verification tokenizes INLINE per candidate pair, so
-    // the docs table contributes a plain scan + id join — never an
-    // O(corpus) tokenize + aggregate per batch. Within-batch uses the
-    // exploded/partial-agg token kernel (the batch is O(batch) by
-    // contract, and its sets are shared by many pairs).
+    // cross-batch verification SEMI-JOINS the docs table to the pair ids
+    // before tokenizing, so only candidate-named docs tokenize (each
+    // once, codegen'd kernel) — never an O(corpus) tokenize + aggregate
+    // per batch, and never a per-pair token build in a join condition.
+    // Within-batch uses the same kernel over the whole batch (O(batch)
+    // by contract, its sets shared by many pairs).
     val exDocs = cat.scan(docsIdent).select(col("doc_id"), col("text"))
     val crossVerified =
-      Dedup.verifyPairsInline(batch, exDocs, crossCand, threshold)
+      Dedup.verifyPairsSemi(batch, exDocs, crossCand, threshold)
     val inVerified =
       Dedup.verifyPairsBetween(batch, batch, inCand, threshold)
 

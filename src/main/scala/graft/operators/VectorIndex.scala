@@ -149,8 +149,12 @@ object VectorIndex {
     *    probed partitions' files are read, O(nprobe·|cell|) I/O
     *    regardless of corpus size.
     *  - larger batches (the batch-analytics case): the probe list rides
-    *    a codegen'd expression and the cell match is an equi-join over
-    *    the full postings scan — no driver-side query collection.
+    *    a codegen'd expression and the cell match is an equi-join, with
+    *    NO driver-side query collection — but the batch's DISTINCT probe
+    *    cells (bounded by nlist ≤ 4096 regardless of batch size, so safe
+    *    to collect) are still pushed as a partition IN-filter, so even
+    *    the bulk path scans only probed cell partitions. A huge batch
+    *    probing every cell degenerates gracefully to the full scan.
     * Both paths compute dots in the same IEEE order, so results match.
     */
   def query(
@@ -218,8 +222,17 @@ object VectorIndex {
       val q = queries.select(col("vec_id").as("q_id"),
           normalize(asDouble(col("embedding"))).as("qvn"))
         .select(col("q_id"), col("qvn"), explode(probes).as("cell"))
-      rank(cat.scan(postingsIdent, Seq.empty, pSnap, None)
-        .join(broadcast(q), Seq("cell")))
+      // the distinct probe-cell set is O(nlist) ints no matter the batch
+      // size — collect it (one pass over the BATCH, not the corpus) and
+      // push a partition IN-filter so the bulk path prunes like serving
+      val probeCells = q.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val postings =
+        if (probeCells.length >= nl) cat.scan(postingsIdent, Seq.empty, pSnap, None)
+        else cat.scan(postingsIdent,
+          Seq(IceCatalog.PartitionFilter("cell", IceCatalog.Op.Eq,
+            probeCells.map(_.toString).toSeq)), pSnap, None)
+      rank(postings.join(broadcast(q), Seq("cell")))
     }
   }
 

@@ -36,7 +36,9 @@ object ScaleBench {
     "d8_dedup_clusters" -> "~n (O(E*rounds))",
     "d9_semantic_dedup" -> "~n^1.5 (O(sum cell^2), nlist=sqrt(n))",
     "d11_substr_dedup" -> "~n (O(bytes/stride), two partial-agg shuffles)",
-    "d13_incremental_dedup" -> "probe (O(batch*collisions))",
+    // the GATE shape scales its batch with the corpus (odd half), so ~n
+    // here is expected; the fixed-batch row below is the sub-linear proof
+    "d13_incremental_dedup" -> "~n (gate batch grows with corpus; see d13_fixed_batch)",
     "s3_ivf_ann" -> "probe (O(q*nprobe*cell))",
     "s8_ivfpq_ann" -> "probe (ADC + re-rank)",
     "r7_split_safe" -> "probe (cached-assignment join)")
@@ -77,6 +79,79 @@ object ScaleBench {
     Ops.foreach { case (op, expected) =>
       val a = time(op, baseDir)
       val b = time(op, scratch)
+      println(s"""{"op":"$op","base_s":${num(a)},"x10_s":${num(b)},""" +
+        s""""growth":${num(b / a)},"expected":"$expected"}""")
+    }
+
+    // ---- FIXED-BATCH stateful rows ----------------------------------------
+    // the operators with standing 100 TB per-batch claims, measured the way
+    // the claims are stated: the CORPUS/index grows 10x, the batch does NOT
+    // (the gate queries scale their batch with the corpus, so their growth
+    // conflates batch work with corpus work). Seeding/build is the
+    // operator's PREMISE (the index exists) and is untimed.
+    def timeOf(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    Seq[(String, String, String => Double)](
+      ("d13_fixed_batch", "~flat probe+verify at fixed batch (O(batch*collisions))",
+        dir => {
+          def run(): Unit =
+            graft.operators.Dedup.incrementalDedup(spark, dir, batchUpper = 1000L)
+              .write.format("noop").mode("overwrite").save()
+          run() // warm: materializes the corpus band index (the premise)
+          math.min(timeOf(run()), timeOf(run()))
+        }),
+      ("d14_ingest_fixed_batch", "sub-linear ingest at fixed batch (probe scan + O(batch*collisions) verify + O(delta) commit)",
+        dir => {
+          import org.apache.spark.sql.functions._
+          val docs = graft.sources.Tables.documents(spark, dir)
+          val root = java.nio.file.Files.createTempDirectory("graft-scale-d14").toString
+          val cat = new graft.catalog.IceCatalog(spark, root)
+          cat.createNamespace("pipe")
+          graft.operators.IngestDedup.ensureTables(cat, "pipe.docs", "pipe.index", docs.schema)
+          val corpus = docs.filter(col("doc_id") % 2 === 0)
+          cat.insertGroup(Seq(
+            "pipe.docs" -> corpus,
+            "pipe.index" -> graft.operators.IngestDedup.slottedBands(
+              graft.operators.Dedup.lshBands(
+                graft.operators.Dedup.minhashSignatures(corpus)),
+              cat.scan("pipe.index"))))
+          // fresh ids per repetition (the ingest contract); same 500 texts
+          def batch(k: Long) = docs
+            .filter(col("doc_id") % 2 === 1 && col("doc_id") < 1000)
+            .withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+          def run(k: Long): Unit =
+            graft.operators.IngestDedup.ingest(
+              cat, spark, "pipe.docs", "pipe.index", batch(k)).unpersist()
+          run(1) // warm
+          val t = math.min(timeOf(run(2)), timeOf(run(3)))
+          try { cat.dropTable("pipe.docs"); cat.dropTable("pipe.index") }
+          catch { case _: Exception => () }
+          t
+        }),
+      ("s11_serve_fixed_batch", "~sqrt(n) serving probe (|cell|=n/nlist, nlist=sqrt(n); cell-partition-pruned scan)",
+        dir => {
+          import org.apache.spark.sql.functions._
+          val e = graft.sources.Tables.embeddings(spark, dir)
+          val root = java.nio.file.Files.createTempDirectory("graft-scale-s11").toString
+          val cat = new graft.catalog.IceCatalog(spark, root)
+          cat.createNamespace("vx")
+          graft.operators.VectorIndex.build(cat, spark,
+            e.filter(col("vec_id") >= 5), "vx.centroids", "vx.postings")
+          def run(): Unit =
+            graft.operators.VectorIndex.query(cat, spark,
+              e.filter(col("vec_id") < 5), "vx.centroids", "vx.postings",
+              k = 10, nprobe = 4)
+              .write.format("noop").mode("overwrite").save()
+          run() // warm
+          val t = math.min(timeOf(run()), timeOf(run()))
+          try { cat.dropTable("vx.centroids"); cat.dropTable("vx.postings") }
+          catch { case _: Exception => () }
+          t
+        })
+    ).foreach { case (op, expected, f) =>
+      val a = f(baseDir)
+      val b = f(scratch)
       println(s"""{"op":"$op","base_s":${num(a)},"x10_s":${num(b)},""" +
         s""""growth":${num(b / a)},"expected":"$expected"}""")
     }

@@ -445,6 +445,39 @@ class IceCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("ns1.g1"); cat.dropTable("ns1.g2")
   }
 
+  test("overwriteGroup replaces both tables in one atomic generation") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    cat.createTable("ns1.og1", df.schema)
+    cat.createTable("ns1.og2", df.schema)
+    cat.insertGroup(Seq("ns1.og1" -> df, "ns1.og2" -> df))
+    val oldSnap1 = cat.loadMeta("ns1.og1").currentSnapshotId
+    // generation 2: both tables REPLACED in one group, stamped together
+    cat.overwriteGroup(
+      Seq("ns1.og1" -> Seq((10L, "x")).toDF("k", "v"),
+        "ns1.og2" -> Seq((20L, "y"), (21L, "z")).toDF("k", "v")),
+      Map("gen" -> "g2"))
+    assert(cat.scan("ns1.og1").as[(Long, String)].collect().toSet == Set((10L, "x")))
+    assert(cat.scan("ns1.og2").count() == 2)
+    assert(cat.loadMeta("ns1.og1").properties("gen") == "g2")
+    assert(cat.loadMeta("ns1.og2").properties("gen") == "g2")
+    // ONE snapshot per table for the whole replace (no clear-then-insert
+    // empty window), and the old generation stays time-travelable
+    assert(cat.loadMeta("ns1.og1").snapshots.length == 2)
+    assert(cat.scan("ns1.og1", Seq.empty, Some(oldSnap1), None).count() == 2)
+    // a failing group publishes NOTHING on either table
+    val v1 = cat.loadMeta("ns1.og1").currentSnapshotId
+    intercept[Exception] {
+      cat.overwriteGroup(Seq(
+        "ns1.og1" -> Seq((99L, "q")).toDF("k", "v"),
+        "ns1.og2" -> Seq(("bad-schema", 1L)).toDF("wrong", "cols")))
+    }
+    assert(cat.loadMeta("ns1.og1").currentSnapshotId == v1,
+      "failed overwrite group must leave every table untouched")
+    assert(cat.scan("ns1.og1").as[(Long, String)].collect().toSet == Set((10L, "x")))
+    cat.dropTable("ns1.og1"); cat.dropTable("ns1.og2")
+  }
+
   test("append to a many-file table writes O(appended) manifest bytes") {
     import spark.implicits._
     val df = (1 to 4000).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(128)

@@ -141,30 +141,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("d13 verify tokenizes inline — no aggregate below the pair-id text joins") {
-    // the cross-batch verify must join candidate-pair ids to the docs
-    // table's TEXT before tokenizing (verifyPairsInline): an aggregate
-    // (corpus-wide token-set build) between the docs scan and the id join
-    // would cost O(corpus) tokenize+shuffle per probe batch and block
-    // Catalyst from pushing the pair-id join below it
+  test("d13 verify tokenizes only candidate-named docs, each once (semi-restricted)") {
+    // the cross-batch verify's token-set kernels (the collect_set
+    // aggregates) must run over docs SEMI-JOINED to the candidate-pair
+    // ids: a collect_set whose subtree reads the docs scan UNRESTRICTED
+    // is the O(corpus)-tokenize-per-probe-batch shape this forbids (and
+    // the per-pair inline alternative lands the token build in the pair
+    // join's condition — interpreted, once per probed pair)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectSet}
     val plan = Queries.all("d13_incremental_dedup")(spark, dir)
       .queryExecution.optimizedPlan
-    val idJoins = plan.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join
-          if j.condition.toSeq.flatMap(_.references.toSeq)
-            .exists(_.name.startsWith("__id_")) => j
+    val tokAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+          case ae: AggregateExpression =>
+            ae.aggregateFunction.isInstanceOf[CollectSet]
+          case _ => false
+        }) => a
     }
-    assert(idJoins.size >= 2, "expected the two inline text-side id joins")
-    idJoins.foreach { j =>
-      Seq(j.left, j.right)
-        .filter(_.output.exists(_.name.startsWith("__id_")))
-        .foreach { textSide =>
-          val aggs = textSide.collect {
-            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-          }
-          assert(aggs.isEmpty,
-            "no aggregate may sit between the docs scan and the pair-id join")
-        }
+    assert(tokAggs.size >= 2, "expected both sides' token-set kernels")
+    tokAggs.foreach { a =>
+      val semis = a.collect {
+        case j: Join if j.joinType.toString.contains("Semi") => j
+      }
+      assert(semis.nonEmpty,
+        "token-set build must aggregate id-restricted docs (semi join " +
+          "below the collect_set), not the whole corpus")
     }
   }
 

@@ -89,11 +89,15 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vx.centroids", "vx.postings", k = 10, nprobe = 2, pruneScan = 0)
     val allFiles = cat.files("vx.postings").length
     val prunedFiles = pruned.inputFiles.count(_.contains("postings"))
-    val fullFiles = full.inputFiles.count(_.contains("postings"))
-    info(s"postings files: total=$allFiles pruned-scan=$prunedFiles full-scan=$fullFiles")
+    val bulkFiles = full.inputFiles.count(_.contains("postings"))
+    info(s"postings files: total=$allFiles pruned-scan=$prunedFiles bulk-scan=$bulkFiles")
     assert(prunedFiles < allFiles,
       s"pruned path must skip unprobed partitions ($prunedFiles vs $allFiles)")
-    assert(fullFiles == allFiles, "pruneScan=0 must fall back to the full scan")
+    // the BULK path (pruneScan=0) pushes the batch's distinct probe-cell
+    // set — O(nlist) ints regardless of batch size — as a partition
+    // IN-filter, so it prunes too (full scan only when every cell probes)
+    assert(bulkFiles < allFiles,
+      s"bulk path must push the probe-cell IN-filter ($bulkFiles vs $allFiles)")
     // both paths produce IDENTICAL results (same IEEE dot order)
     assert(pruned.collect().toSeq == full.collect().toSeq)
   }
