@@ -77,12 +77,55 @@ object IngestDedup {
       .filter(col("slot") <= lit(Dedup.MaxLshBucket))
   }
 
+  /** Index partition fan-out: the index table is bucket-partitioned on
+    * `sig` so a small batch's probe scans only the partitions its own
+    * signatures hash to — the streaming-ingest case reads O(touched
+    * buckets / [[SigBuckets]]) of the index's files instead of all of
+    * them. A large batch (or a pre-partitioning legacy index) degrades
+    * gracefully to the full scan.
+    */
+  val SigBuckets = 32
+
+  /** Above this many distinct batch signatures, skip the driver-side
+    * bucket computation and full-scan — every partition is probably
+    * touched anyway, and the collect should stay O(small).
+    */
+  private val MaxPruneSigs = 4096
+
   /** Create the docs + index tables if missing (idempotent). */
   def ensureTables(
       cat: IceCatalog, docsIdent: String, indexIdent: String,
       docsSchema: StructType): Unit = {
     if (!cat.tableExists(docsIdent)) cat.createTable(docsIdent, docsSchema)
-    if (!cat.tableExists(indexIdent)) cat.createTable(indexIdent, IndexSchema)
+    if (!cat.tableExists(indexIdent)) cat.createTable(indexIdent, IndexSchema,
+      partitionSpec = Seq(IceCatalog.PartitionField(
+        "sig", s"bucket[$SigBuckets]", "sig_bucket")))
+  }
+
+  /** The index scan restricted to the partitions `newBands`' signatures
+    * can possibly collide in: collect the batch's distinct sigs (bounded
+    * O(batch × NumHashes) strings; above [[MaxPruneSigs]] fall back to
+    * the full scan), murmur3-bucket them EXACTLY like the write-side
+    * partition transform, and push the bucket set as a partition
+    * IN-filter. On an unpartitioned (legacy) index the filter is skipped.
+    */
+  private[graft] def indexScanForBatch(
+      cat: IceCatalog, indexIdent: String, newBands: DataFrame): DataFrame = {
+    val partitioned = cat.loadMeta(indexIdent).partitionSpec
+      .exists(_.name == "sig_bucket")
+    if (!partitioned) return cat.scan(indexIdent)
+    val sigRows = newBands.select(col("sig")).distinct()
+      .limit(MaxPruneSigs + 1).collect()
+    if (sigRows.length > MaxPruneSigs) cat.scan(indexIdent)
+    else {
+      val buckets: Array[Int] = sigRows.map(r =>
+        graft.functions.IcebergHash.bucketString(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+          SigBuckets)).distinct.sorted
+      cat.scan(indexIdent, Seq(IceCatalog.PartitionFilter(
+        "sig_bucket", IceCatalog.Op.Eq, buckets.map(_.toString).toSeq)),
+        None, None)
+    }
   }
 
   /** Ingest one batch of (doc_id, text, …) rows. Returns the decision
@@ -102,11 +145,15 @@ object IngestDedup {
     // call's lifetime instead of re-shingling the batch per consumer
     val sigs = Dedup.minhashSignatures(batch).persist()
     val newBands = Dedup.lshBands(sigs)
+    // ONE bucket-pruned index scan serves both the probe and the slot
+    // bases: every (band, sig) the batch can collide in lives in the
+    // batch signatures' own partitions
+    val exIndex = indexScanForBatch(cat, indexIdent, newBands)
     // PERSISTED for the call's lifetime: the decision is consumed by both
     // table writes and the report — without the persist the whole
     // propose+verify subtree re-executes per consumer. O(batch-dups) rows.
-    val decided = decisionFrame(cat, docsIdent, indexIdent, batch, sigs, threshold)
-      .persist()
+    val decided = decisionFrame(cat, docsIdent, indexIdent, batch, sigs,
+      threshold, Some(exIndex)).persist()
 
     val survivors = batch.join(decided.select(col("doc_id")), Seq("doc_id"),
       "left_anti")
@@ -115,7 +162,7 @@ object IngestDedup {
     val survivorBands = slottedBands(
       newBands.join(survivors.select(col("doc_id")), Seq("doc_id"))
         .select(col("doc_id"), col("band"), col("sig")),
-      cat.scan(indexIdent))
+      exIndex)
 
     // ---- commit: docs + index advance together or not at all --------------
     // the finally releases BOTH working caches on every path — a failed
@@ -150,15 +197,17 @@ object IngestDedup {
     */
   private[graft] def decisionFrame(
       cat: IceCatalog, docsIdent: String, indexIdent: String,
-      batch: DataFrame, sigs: DataFrame, threshold: Double): DataFrame = {
+      batch: DataFrame, sigs: DataFrame, threshold: Double,
+      exIndex: Option[DataFrame] = None): DataFrame = {
     val newBands = Dedup.lshBands(sigs)
 
     // ---- propose: cross-batch via the index TABLE, within-batch via the
     //      batch's own buckets ----------------------------------------------
     // every stored bucket is ≤ MaxLshBucket BY CONSTRUCTION (write-time
     // slots), so the probe is the bare (band, sig) equi-join — no bucket
-    // size re-aggregation over the index, ever
-    val exBands = cat.scan(indexIdent)
+    // size re-aggregation over the index, ever; the scan itself is
+    // restricted to the batch signatures' own partitions
+    val exBands = exIndex.getOrElse(indexScanForBatch(cat, indexIdent, newBands))
       .select(col("band"), col("sig"), col("doc_id").as("ex_id"))
     val crossCand = newBands
       .join(exBands, Seq("band", "sig"))

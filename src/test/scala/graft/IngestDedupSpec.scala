@@ -119,6 +119,28 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("small-batch probe scans only its signatures' bucket partitions") {
+    import spark.implicits._
+    // the index table is bucket-partitioned on sig (SigBuckets): a 1-doc
+    // batch carries NumHashes signatures → at most that many buckets, so
+    // the probe must read a strict subset of the index's files — the
+    // streaming-ingest economics (a tiny batch must not scan a 100 TB
+    // index end to end)
+    val one = Seq((9000L,
+      "a fresh probe pruning document with plenty of distinct words here",
+      "en", "srcP", 60L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sigs = Dedup.minhashSignatures(one)
+    val decided = graft.operators.IngestDedup.decisionFrame(
+      cat, "pipe.docs", "pipe.index", one, sigs, 0.6)
+    decided.collect()
+    val allIdx = cat.files("pipe.index").length
+    val scanned = decided.inputFiles.count(_.contains("index"))
+    info(s"index files: total=$allIdx probed=$scanned")
+    assert(allIdx >= 8, s"need a multi-file index to prove pruning, got $allIdx")
+    assert(scanned < allIdx,
+      s"probe must skip unprobed sig buckets ($scanned vs $allIdx)")
+  }
+
   test("re-ingesting a dropped twin later still dedups (the index remembers)") {
     import spark.implicits._
     val twinText = "graft ingest twin document body with enough words to shingle properly"
