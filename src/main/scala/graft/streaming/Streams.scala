@@ -92,6 +92,15 @@ object Streams {
     * no-op — the manifest's source-file ledger is the queue's
     * at-least-once absorber, exactly the reference's
     * `--skip-duplicates` requirement for watch mode.
+    *
+    * `eventsDir` may also be an `http(s)://` URL of an append-only feed
+    * (the HTTP shape of the same queue): a poller GETs it with a byte
+    * `Range` from the last consumed offset (persisted next to the
+    * checkpoint, so restarts resume mid-feed), spools each poll's NEW
+    * complete lines as an immutable log file (atomic rename; offset-keyed
+    * names make a crash-repeat write the SAME file), and the identical
+    * file stream consumes the spool — per poll cost is O(new bytes),
+    * exactly-once end to end.
     */
   def watchEventsAndRegister(
       spark: SparkSession,
@@ -104,9 +113,20 @@ object Streams {
       pattern: Option[String] = None): StreamingQuery = {
     val matcher = pattern.map(p =>
       java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
-    spark.readStream
+    val isHttp = eventsDir.startsWith("http://") || eventsDir.startsWith("https://")
+    val srcDir =
+      if (!isHttp) eventsDir
+      else {
+        val spool = java.nio.file.Paths.get(checkpoint, "feed-spool")
+        java.nio.file.Files.createDirectories(spool.resolve("logs"))
+        // one synchronous drain up front so a fire-once (AvailableNow)
+        // watch sees everything already published to the feed
+        spoolHttpFeed(eventsDir, spool)
+        spool.resolve("logs").toString
+      }
+    val query = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .text(eventsDir)
+      .text(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         watchInstrumented(ident, epoch, batch) {
@@ -128,6 +148,68 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+    if (isHttp) {
+      // continuous polling for long-running watches: a daemon thread
+      // drains the feed while the query lives (a fire-once query stops
+      // right after its first batch, so the thread exits with it; its
+      // data came from the synchronous drain above)
+      val spool = java.nio.file.Paths.get(checkpoint, "feed-spool")
+      val t = new Thread(() => {
+        while (query.isActive) {
+          try spoolHttpFeed(eventsDir, spool)
+          catch { case _: Exception => () } // transient; next poll retries
+          Thread.sleep(1000)
+        }
+      }, s"graft-feed-poll-$ident")
+      t.setDaemon(true)
+      t.start()
+    }
+    query
+  }
+
+  /** One ranged poll of an append-only HTTP event feed into the spool:
+    * GET with `Range: bytes=<offset>-` (servers without Range support
+    * return 200 + the full body, which is sliced at the offset; 416 =
+    * nothing new), keep only COMPLETE lines (a partial tail line waits
+    * for its newline), write them as ONE immutable spool file named by
+    * the start offset — a crash between the spool write and the offset
+    * update makes the next poll re-produce the SAME file name, which is
+    * skipped, so the file stream never sees duplicate or partial events.
+    */
+  private[graft] def spoolHttpFeed(
+      feedUrl: String, spoolRoot: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val offFile = spoolRoot.resolve("offset")
+    val offset =
+      if (Files.exists(offFile)) new String(Files.readAllBytes(offFile)).trim.toLong
+      else 0L
+    val conn = new java.net.URL(feedUrl).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(10000)
+    conn.setRequestProperty("Range", s"bytes=$offset-")
+    val code = conn.getResponseCode
+    if (code != 200 && code != 206) { conn.disconnect(); return }
+    val body =
+      try conn.getInputStream.readAllBytes()
+      finally conn.disconnect()
+    val fresh =
+      if (code == 206) body
+      else if (body.length <= offset) return
+      else java.util.Arrays.copyOfRange(body, offset.toInt, body.length)
+    if (fresh.isEmpty) return
+    val lastNl = fresh.lastIndexOf('\n'.toByte)
+    if (lastNl < 0) return // no complete line yet
+    val chunk = java.util.Arrays.copyOfRange(fresh, 0, lastNl + 1)
+    val name = f"events-$offset%020d.log"
+    val out = spoolRoot.resolve("logs").resolve(name)
+    if (!Files.exists(out)) {
+      val tmp = spoolRoot.resolve(name + ".tmp") // outside logs/: the
+      // stream must never list a partial file
+      Files.write(tmp, chunk)
+      Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.write(offFile, (offset + chunk.length).toString.getBytes("UTF-8"))
   }
 
   /** One event batch (`value` lines) → the object paths it names: S3

@@ -53,10 +53,12 @@ import graft.catalog.IceCatalog._
   *   insert <ns.t> <dir> --watch [--checkpoint <dir>] [--watch-fire-once]
   *                [--watch-debug-addr host:port]
   *                [--merge-keys k1,k2 --version-col v [--merge-on-read]]
-  *                [--events [--watch-pattern <glob>]]  (the dir is an
-  *                 append-only EVENT FEED of object-created paths or S3
-  *                 notification JSON — files register no-copy O(events)
-  *                 per trigger, the data prefix is never listed)
+  *                [--events [--watch-pattern <glob>]]  (the path is an
+  *                 append-only EVENT FEED — a directory of event logs or
+  *                 an http(s):// feed URL polled with byte Ranges — of
+  *                 object-created paths or S3 notification JSON; files
+  *                 register no-copy O(events) per trigger, the data
+  *                 prefix is never listed)
   *   alter-table <ns.t> '<updates-json>'   (reference op vocabulary:
   *                add_column/alter_column/rename_column/drop_column/
   *                set_tblproperty/rename_to/drop_partition_field)

@@ -1462,6 +1462,67 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.files("ns.wev").length == 2)
   }
 
+  test("insert --watch --events over an HTTP feed: ranged polls, offset resumes, replay no-ops") {
+    // the HTTP shape of the event queue: an append-only feed URL polled
+    // with byte Ranges from the last consumed offset — O(new bytes) per
+    // poll, resumable across watch restarts
+    import spark.implicits._
+    assert(cli("create-table", "ns.whttp", "--schema", "id BIGINT, v STRING")._1 == 0)
+    val dataDir = Files.createTempDirectory("cli-watch-http-data")
+    val ckpt = Files.createTempDirectory("cli-watch-http-ckpt").toString
+    def stage(name: String, rows: Seq[(Long, String)]): java.nio.file.Path = {
+      val tmp = Files.createTempDirectory(s"cli-watch-http-$name")
+      rows.toDF("id", "v").coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val f = java.nio.file.Files.list(tmp.resolve("p")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f, dataDir.resolve(name))
+      dataDir.resolve(name)
+    }
+    val fa = stage("a.parquet", Seq((1L, "a")))
+    val fb = stage("b.parquet", Seq((2L, "b")))
+    // a tiny append-only feed server with byte-Range support
+    val feed = new java.util.concurrent.atomic.AtomicReference[Array[Byte]](Array.empty)
+    val rangeHits = new java.util.concurrent.atomic.AtomicInteger()
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/feed", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = feed.get()
+      val range = Option(ex.getRequestHeaders.getFirst("Range"))
+      val from = range.collect { case r if r.startsWith("bytes=") =>
+        r.stripPrefix("bytes=").takeWhile(_ != '-').toInt }.getOrElse(0)
+      if (range.isDefined) rangeHits.incrementAndGet()
+      if (from >= body.length) {
+        ex.sendResponseHeaders(416, -1); ex.close()
+      } else {
+        val slice = java.util.Arrays.copyOfRange(body, from, body.length)
+        ex.sendResponseHeaders(if (from > 0) 206 else 200, slice.length)
+        ex.getResponseBody.write(slice); ex.close()
+      }
+    })
+    srv.start()
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/feed"
+      feed.set(s"$fa\n".getBytes("UTF-8"))
+      val buf = new ByteArrayOutputStream()
+      assert(Cli.run(
+        Seq("--root", root, "insert", "ns.whttp", url,
+          "--watch", "--watch-fire-once", "--events", "--checkpoint", ckpt),
+        spark, new PrintStream(buf, true), onWatch = q => q.awaitTermination()) == 0)
+      val cat = new graft.catalog.IceCatalog(spark, root)
+      assert(cat.countRows("ns.whttp") == 1)
+      assert(rangeHits.get() > 0, "polls must carry a byte-Range header")
+      // feed grows: a REPLAYED line for a plus a fresh line for b — the
+      // offset resume reads only the appended bytes; the replay no-ops
+      feed.set(feed.get() ++ s"$fa\n$fb\n".getBytes("UTF-8"))
+      assert(Cli.run(
+        Seq("--root", root, "insert", "ns.whttp", url,
+          "--watch", "--watch-fire-once", "--events", "--checkpoint", ckpt),
+        spark, new PrintStream(buf, true), onWatch = q => q.awaitTermination()) == 0)
+      assert(cat.countRows("ns.whttp") == 2, "b ingests once, a's replay no-ops")
+      assert(cat.files("ns.whttp").length == 2)
+    } finally srv.stop(0)
+  }
+
   test("--watch-debug-addr serves per-watch /metrics + probes, stops with the watch") {
     import spark.implicits._
     assert(cli("create-table", "ns.wdbg", "--schema", "id BIGINT, v STRING")._1 == 0)
