@@ -125,13 +125,32 @@ object VectorIndex {
   /** Append a batch of (vec_id, embedding) rows: map-side cell assignment
     * against the STORED centroids, one postings append — O(batch), no
     * retraining, no touch of the centroid table.
+    *
+    * A REBUILD racing this append is detected, not silently absorbed:
+    * cell ids are only meaningful within the generation whose centroids
+    * assigned them, so after the append the postings generation is
+    * re-checked against the one read at assignment time — a mismatch
+    * throws loudly. (Rebuild-published-after-append: replaceAll already
+    * discarded this batch's rows — re-ingest after the rebuild.
+    * Rebuild-published-before-append: the appended rows carry retired
+    * cell ids — rebuild from the full corpus, which replaces them.)
     */
   def ingest(
       cat: IceCatalog, spark: SparkSession, batch: DataFrame,
       centroidsIdent: String, postingsIdent: String): Unit = {
-    val cents = loadCentroids(cat, centroidsIdent)
+    val (cm, _) = consistentMetas(cat, centroidsIdent, postingsIdent)
+    def gen(m: IceCatalog.TableMeta): Option[String] =
+      Option(m.properties).flatMap(_.get(GenerationProp))
+    val cents = loadCentroids(cat, centroidsIdent, cm.current.map(_.id))
     cat.insert(postingsIdent, unitized(batch)
       .select(col("vec_id"), Similarity.argminAssign(cents).as("cell"), col("vn")))
+    val after = gen(cat.loadMeta(postingsIdent))
+    if (after != gen(cm))
+      throw new IllegalStateException(
+        s"$postingsIdent: a rebuild superseded generation ${gen(cm)} during " +
+          "this ingest — the batch was assigned against retired centroids; " +
+          "re-run build() from the full corpus (it replaces both tables) or " +
+          "re-ingest the batch against the new generation")
   }
 
   /** Top-k cosine neighbors for `queries` (vec_id, embedding) via the
