@@ -179,10 +179,30 @@ object Streams {
   private[graft] def spoolHttpFeed(
       feedUrl: String, spoolRoot: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
     val offFile = spoolRoot.resolve("offset")
+    // the offset is RECONSTRUCTIBLE from the spool itself (each file is
+    // named by its start offset and holds `size` bytes), so a corrupt or
+    // missing offset file — crash mid-write — degrades to a recompute,
+    // never to a stuck or double-reading poller
+    def offsetFromSpool(): Long = {
+      val logs = spoolRoot.resolve("logs")
+      if (!Files.isDirectory(logs)) return 0L
+      val s = Files.list(logs)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.matches("events-\\d{20}\\.log"))
+        .map(p => p.getFileName.toString.stripPrefix("events-")
+          .stripSuffix(".log").toLong + Files.size(p))
+        .foldLeft(0L)(math.max)
+      finally s.close()
+    }
     val offset =
-      if (Files.exists(offFile)) new String(Files.readAllBytes(offFile)).trim.toLong
-      else 0L
+      (try {
+        if (Files.exists(offFile))
+          Some(new String(Files.readAllBytes(offFile)).trim.toLong)
+        else None
+      } catch { case _: NumberFormatException => None })
+        .getOrElse(offsetFromSpool())
     val conn = new java.net.URL(feedUrl).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(5000)
@@ -209,7 +229,11 @@ object Streams {
       Files.write(tmp, chunk)
       Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
     }
-    Files.write(offFile, (offset + chunk.length).toString.getBytes("UTF-8"))
+    // atomic offset publish: a torn in-place write could strand the poller
+    val offTmp = spoolRoot.resolve("offset.tmp")
+    Files.write(offTmp, (offset + chunk.length).toString.getBytes("UTF-8"))
+    Files.move(offTmp, offFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** One event batch (`value` lines) → the object paths it names: S3

@@ -390,6 +390,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sessions == Seq((7L, 1L), (7L, 2L)))
   }
 
+  test("HTTP feed spool: ranged resume; a corrupted offset reconstructs from the spool") {
+    // the poller's offset is derivable from the spool itself (files named
+    // by start offset), so a crash-torn offset file degrades to a
+    // recompute — never a stuck poller or a double-read
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val feed = new java.util.concurrent.atomic.AtomicReference[Array[Byte]](Array.empty)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/f", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = feed.get()
+      val from = Option(ex.getRequestHeaders.getFirst("Range"))
+        .collect { case r if r.startsWith("bytes=") =>
+          r.stripPrefix("bytes=").takeWhile(_ != '-').toInt }.getOrElse(0)
+      if (from >= body.length) { ex.sendResponseHeaders(416, -1); ex.close() }
+      else {
+        val slice = java.util.Arrays.copyOfRange(body, from, body.length)
+        ex.sendResponseHeaders(if (from > 0) 206 else 200, slice.length)
+        ex.getResponseBody.write(slice); ex.close()
+      }
+    })
+    srv.start()
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/f"
+      val spool = Files.createTempDirectory("feed-spool-test")
+      Files.createDirectories(spool.resolve("logs"))
+      feed.set("/data/a.parquet\n".getBytes("UTF-8"))
+      Streams.spoolHttpFeed(url, spool)
+      def logNames = {
+        val s = Files.list(spool.resolve("logs"))
+        try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+        finally s.close()
+      }
+      assert(logNames.size == 1)
+      // torn offset file (crash mid-write): poller must self-heal
+      Files.write(spool.resolve("offset"), "1".getBytes) // wrong AND short
+      Files.write(spool.resolve("offset"), "garbage".getBytes)
+      feed.set(feed.get() ++ "/data/b.parquet\n".getBytes("UTF-8"))
+      Streams.spoolHttpFeed(url, spool)
+      val names = logNames
+      assert(names.size == 2, s"resume must spool exactly the appended bytes: $names")
+      val second = spool.resolve("logs").resolve(names.last)
+      assert(new String(Files.readAllBytes(second), "UTF-8") == "/data/b.parquet\n",
+        "reconstructed offset must skip already-spooled bytes")
+      // nothing new: a further poll is a no-op
+      Streams.spoolHttpFeed(url, spool)
+      assert(logNames.size == 2)
+    } finally srv.stop(0)
+  }
+
   test("event-feed parsing: S3 created-events decode, other kinds and comments drop") {
     // the reference's notification shapes (InsertWatch.java:249-311):
     // ObjectCreated:* records become s3://bucket/<url-decoded key>, every
