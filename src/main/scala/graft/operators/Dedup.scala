@@ -401,22 +401,6 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("h"))).as("t"))
 
-  /** Exact-Jaccard verification of proposed pairs between two document
-    * frames (`doc_a` ids from `a`, `doc_b` ids from `b`) — O(candidate
-    * pairs), the same two-id-equi-join shape as [[ngramJaccardOn]].
-    */
-  private[graft] def verifyPairsBetween(
-      a: DataFrame, b: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
-    val withSides = pairs.select(col("doc_a"), col("doc_b"))
-      .join(tokenSetsOf(a).select(col("doc_id").as("__id_a"), col("t").as("__t_a")),
-        col("doc_a") === col("__id_a"))
-      .join(tokenSetsOf(b).select(col("doc_id").as("__id_b"), col("t").as("__t_b")),
-        col("doc_b") === col("__id_b"))
-      .select(struct(col("doc_a").as("doc_id"), col("__t_a").as("t")).as("a"),
-        struct(col("doc_b").as("doc_id"), col("__t_b").as("t")).as("b"))
-    jaccardScore(withSides, threshold)
-  }
-
   /** Exact-Jaccard verification that tokenizes ONLY candidate-named docs,
     * each ONCE: both text sides are SEMI-JOINED to the pair ids first, the
     * codegen'd exploded/partial-agg token-set kernel runs on just the

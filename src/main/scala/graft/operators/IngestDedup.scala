@@ -223,13 +223,14 @@ object IngestDedup {
     // before tokenizing, so only candidate-named docs tokenize (each
     // once, codegen'd kernel) — never an O(corpus) tokenize + aggregate
     // per batch, and never a per-pair token build in a join condition.
-    // Within-batch uses the same kernel over the whole batch (O(batch)
-    // by contract, its sets shared by many pairs).
+    // Within-batch gets the same treatment — only pair-named batch docs
+    // tokenize (the batch is O(batch) by contract anyway, but a
+    // mostly-unique batch then skips most of its own tokenization too).
     val exDocs = cat.scan(docsIdent).select(col("doc_id"), col("text"))
     val crossVerified =
       Dedup.verifyPairsSemi(batch, exDocs, crossCand, threshold)
     val inVerified =
-      Dedup.verifyPairsBetween(batch, batch, inCand, threshold)
+      Dedup.verifyPairsSemi(batch, batch, inCand, threshold)
 
     // a batch doc survives unless it verified against an existing doc or a
     // smaller batch doc; dup_of = the smallest such match
