@@ -81,6 +81,13 @@ trait CatalogSurface {
   def insert(
       ident: String, df0: DataFrame,
       options: InsertOptions = InsertOptions()): TableMeta
+  /** Atomic multi-table APPEND — the pipeline-atomicity contract (a docs
+    * table and its dedup-index table must advance TOGETHER or not at
+    * all): all frames commit in one transaction — locally a lock-ordered
+    * commit group, remotely ONE `/v1/transactions/commit`. An empty
+    * frame publishes nothing for its table (identity contract).
+    */
+  def insertGroup(ops: Seq[(String, DataFrame)]): Seq[TableMeta]
   def overwrite(ident: String, df: DataFrame): TableMeta
   def addFilesWithRetry(
       ident: String,

@@ -192,6 +192,21 @@ object IceCatalog {
   }
   case class PartitionFilter(name: String, op: Op, values: Seq[String])
 
+  /** One table's contribution to an atomic multi-table TRANSACTION (the
+    * REST `/v1/transactions/commit` shape): register externally-staged
+    * data files ([[TxOp.paths]]) and/or set properties, optionally CAS'd
+    * on a required snapshot ([[TxOp.basedOn]] —
+    * `assert-current-snapshot-id`). Defined in the companion so the REST
+    * server and the wire client share the type.
+    */
+  case class TxOp(
+      ident: String,
+      paths: Seq[String] = Seq.empty,
+      forceOutsideLocation: Boolean = false,
+      options: InsertOptions = InsertOptions(),
+      setProperties: Map[String, String] = Map.empty,
+      basedOn: Option[Long] = None)
+
   case class InsertOptions(
       skipDuplicates: Boolean = false,
       forceDuplicates: Boolean = false,
@@ -1101,6 +1116,43 @@ class IceCatalog(
           SnapDelta("overwrite", add = files, replaceAll = true))
         if (setProperties.isEmpty) next
         else next.copy(properties = next.properties ++ setProperties)
+      })
+    })
+  }
+
+  /** Atomic multi-table TRANSACTION over externally-staged files and
+    * property updates (the catalog half of REST
+    * `/v1/transactions/commit`): every op's paths resolve and
+    * footer-read FIRST (commits nothing — staged files are invisible
+    * until their snapshot publishes), then all tables publish in one
+    * lock-ordered commit group. Each op's `basedOn` requirement is
+    * evaluated INSIDE the group's locks, so one stale requirement 409s
+    * the WHOLE transaction and nothing publishes. An op with nothing to
+    * apply (no new files after duplicate policy, no properties) is the
+    * identity and publishes nothing for that table, while its
+    * requirement is still enforced.
+    */
+  def commitTransaction(ops: Seq[IceCatalog.TxOp]): Seq[TableMeta] = {
+    val staged = ops.map { op =>
+      val meta = loadMeta(op.ident)
+      val (files, sources) =
+        if (op.paths.isEmpty) (Seq.empty[DataFileMeta], Seq.empty[String])
+        else resolveStagedData(
+          op.ident, meta, op.paths, op.forceOutsideLocation, op.options)
+      (op, files, sources)
+    }
+    commitGroup(staged.map { case (op, files, sources) =>
+      op.ident -> ((m: TableMeta) => {
+        op.basedOn.filter(_ != m.currentSnapshotId).foreach(id =>
+          throw new java.util.ConcurrentModificationException(
+            s"requirement failed: ${op.ident} current snapshot " +
+              s"${m.currentSnapshotId} != $id"))
+        val appended =
+          if (files.isEmpty) m
+          else appendSnapshot(m,
+            SnapDelta("append", add = files, addSources = sources))
+        if (op.setProperties.isEmpty) appended
+        else appended.copy(properties = appended.properties ++ op.setProperties)
       })
     })
   }

@@ -509,6 +509,61 @@ final class RestCatalogClient(
       options = options, retries = retries, retryTotalMs = retryTotalMs)
   }
 
+  /** Atomic multi-table APPEND over the wire — the pipeline-atomicity
+    * contract (a docs table and its dedup-index table advance TOGETHER)
+    * against a REMOTE catalog: stage every frame on shared storage (or
+    * through the object-store wire with each table's vended credential),
+    * then commit ALL tables in ONE `POST /v1/transactions/commit`, each
+    * table-change guarded by `assert-current-snapshot-id`. A 409
+    * re-reads and re-attempts under the [[CommitRetry]] budget (the
+    * staged files simply re-register); `verified` closes the
+    * lost-response window — the transaction is all-or-nothing, so every
+    * table's source ledger containing its staged paths ⇔ it landed.
+    * Empty frames ride along as requirement-only changes (publish
+    * nothing, still CAS-checked — the local identity contract).
+    */
+  def insertGroup(ops: Seq[(String, DataFrame)]): Seq[TableMeta] = {
+    val staged = ops.map { case (ident, df0) =>
+      val meta = loadMeta(ident)
+      val df = df0.select(
+        meta.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+      if (df.isEmpty) (ident, Seq.empty[String], false)
+      else {
+        val (parts, profile) = stageParquet(ident, df, "ingest", None)
+        (ident, parts, profile.isDefined)
+      }
+    }
+    CommitRetry.run(retries, retryTotalMs,
+      verified = () => {
+        val metas = staged.map(s => loadMeta(s._1))
+        val ok = staged.zip(metas).forall { case ((_, parts, _), m) =>
+          val known = m.current.flatMap(s => Option(s.sourceFiles))
+            .getOrElse(Seq.empty).map(fsPath).toSet
+          parts.map(fsPath).forall(known.contains)
+        }
+        if (ok) Some(metas) else None
+      }) { _ =>
+      val changes = staged.map { case (ident, parts, wire) =>
+        Map(
+          "identifier" -> ident,
+          "requirements" -> Seq(Map(
+            "type" -> "assert-current-snapshot-id",
+            "snapshot-id" -> loadMeta(ident).currentSnapshotId)),
+          "updates" -> (
+            if (parts.isEmpty) Seq.empty
+            else Seq(Map(
+              "action" -> "append-files",
+              "paths" -> parts,
+              "force-outside-location" -> wire,
+              "skip-duplicates" -> false,
+              "force-duplicates" -> false))))
+      }
+      send("POST", s"$base/v1/transactions/commit",
+        Some(jstr(Map("table-changes" -> changes))))
+      staged.map(s => loadMeta(s._1))
+    }
+  }
+
   /** Stage `df` as parquet on the SHARED storage plane under the table's
     * data dir — the external-committer write half. Local filesystem when
     * the table location resolves; the object-store data plane (with the

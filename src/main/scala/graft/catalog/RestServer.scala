@@ -924,38 +924,52 @@ object RestServer {
       }
     }
 
-    /** Multi-table transaction → [[IceCatalog.commitGroup]]: every listed
-      * table's property updates publish atomically (all or none — the
-      * group's lease locks and slot burning do the work).
+    /** Multi-table transaction → [[IceCatalog.commitTransaction]]: every
+      * listed table's updates publish atomically (all or none — the
+      * group's lease locks and slot burning do the work). Each
+      * table-change may carry `append-files` (externally-staged parquet —
+      * the wire form of a pipeline's insertGroup: a docs table and its
+      * dedup-index table advance TOGETHER) and/or `set-properties`;
+      * requirements are evaluated INSIDE the group's locks, so one stale
+      * `assert-current-snapshot-id` 409s the whole transaction.
       */
     private def commitTransaction(req: JsonNode): Unit = {
       val changes = arr(req, "table-changes")
       require(changes.nonEmpty, "transaction needs table-changes")
-      val ops: Seq[(String, TableMeta => TableMeta)] = changes.map { ch =>
+      val ops: Seq[IceCatalog.TxOp] = changes.map { ch =>
         val ident = text(ch, "identifier")
         requireTable(ident)
         val basedOn = requiredSnapshot(ident, ch)
-        val props: Map[String, String] = arr(ch, "updates").flatMap { u =>
+        val us = arr(ch, "updates")
+        val (appends, rest) = us.partition(u =>
+          textOr(u, "action", "") == "append-files")
+        val props: Map[String, String] = rest.flatMap { u =>
           textOr(u, "action", "") match {
             case "set-properties" =>
               val p = u.path("properties")
               require(p.isObject, "set-properties needs properties")
               p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
             case other => throw new IllegalArgumentException(
-              s"transactions support set-properties only, got: $other")
+              s"transactions support append-files and set-properties, got: $other")
           }
         }.toMap
-        // requirement evaluated inside the lambda, which commitGroup runs
-        // UNDER the group's locks (phase 1) — not before them
-        ident -> ((m: TableMeta) => {
-          basedOn.filter(_ != m.currentSnapshotId).foreach(id =>
-            throw new java.util.ConcurrentModificationException(
-              s"requirement failed: $ident current snapshot " +
-                s"${m.currentSnapshotId} != $id"))
-          m.copy(properties = m.properties ++ props)
-        })
+        val paths = appends.flatMap(
+          _.path("paths").elements().asScala.map(_.asText()))
+        require(appends.isEmpty || paths.nonEmpty, "append-files needs paths")
+        IceCatalog.TxOp(
+          ident = ident,
+          paths = paths,
+          forceOutsideLocation =
+            appends.exists(_.path("force-outside-location").asBoolean(false)),
+          options = IceCatalog.InsertOptions(
+            skipDuplicates =
+              appends.exists(_.path("skip-duplicates").asBoolean(false)),
+            forceDuplicates =
+              appends.exists(_.path("force-duplicates").asBoolean(false))),
+          setProperties = props,
+          basedOn = basedOn)
       }
-      cat.commitGroup(ops)
+      cat.commitTransaction(ops)
     }
 
     /** UpdateTableRequest requirements. `assert-current-snapshot-id`

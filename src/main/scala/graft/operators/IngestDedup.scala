@@ -94,7 +94,7 @@ object IngestDedup {
 
   /** Create the docs + index tables if missing (idempotent). */
   def ensureTables(
-      cat: IceCatalog, docsIdent: String, indexIdent: String,
+      cat: graft.catalog.CatalogSurface, docsIdent: String, indexIdent: String,
       docsSchema: StructType): Unit = {
     if (!cat.tableExists(docsIdent)) cat.createTable(docsIdent, docsSchema)
     if (!cat.tableExists(indexIdent)) cat.createTable(indexIdent, IndexSchema,
@@ -110,7 +110,7 @@ object IngestDedup {
     * IN-filter. On an unpartitioned (legacy) index the filter is skipped.
     */
   private[graft] def indexScanForBatch(
-      cat: IceCatalog, indexIdent: String, newBands: DataFrame): DataFrame = {
+      cat: graft.catalog.CatalogSurface, indexIdent: String, newBands: DataFrame): DataFrame = {
     val partitioned = cat.loadMeta(indexIdent).partitionSpec
       .exists(_.name == "sig_bucket")
     if (!partitioned) return cat.scan(indexIdent)
@@ -137,7 +137,7 @@ object IngestDedup {
     * caller's id allocation contract, same as any append pipeline).
     */
   def ingest(
-      cat: IceCatalog, spark: SparkSession,
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
       docsIdent: String, indexIdent: String,
       batch: DataFrame, threshold: Double = 0.6): DataFrame = {
     // the signature subtree feeds THREE consumers (cross-batch probe,
@@ -196,7 +196,7 @@ object IngestDedup {
     * never on a block attribute (source/label/text).
     */
   private[graft] def decisionFrame(
-      cat: IceCatalog, docsIdent: String, indexIdent: String,
+      cat: graft.catalog.CatalogSurface, docsIdent: String, indexIdent: String,
       batch: DataFrame, sigs: DataFrame, threshold: Double,
       exIndex: Option[DataFrame] = None): DataFrame = {
     val newBands = Dedup.lshBands(sigs)

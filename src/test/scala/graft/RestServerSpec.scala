@@ -160,6 +160,47 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.loadMeta("web.t2").properties("b") == "2")
   }
 
+  test("multi-table transaction registers staged files atomically (wire insertGroup)") {
+    // the wire form of the pipeline-atomicity contract: a docs table and
+    // its index table advance together through ONE transactions/commit
+    req("POST", "/v1/namespaces/web/tables",
+      """{"name":"gd","schema":"id BIGINT, url STRING"}""")
+    req("POST", "/v1/namespaces/web/tables",
+      """{"name":"gi","schema":"id BIGINT, url STRING"}""")
+    import spark.implicits._
+    val staging = Files.createTempDirectory("txstage")
+    def part(n: String, rows: Seq[(Long, String)]): java.nio.file.Path = {
+      rows.toDF("id", "url").coalesce(1).write.parquet(s"$staging/$n")
+      Files.list(java.nio.file.Paths.get(s"$staging/$n")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+    }
+    val f1 = part("d", Seq((1L, "a")))
+    val f2 = part("i", Seq((2L, "b")))
+    val ok = req("POST", "/v1/transactions/commit",
+      s"""{"table-changes":[
+         | {"identifier":"web.gd","updates":[{"action":"append-files",
+         |  "paths":["$f1"],"force-outside-location":true}]},
+         | {"identifier":"web.gi","updates":[{"action":"append-files",
+         |  "paths":["$f2"],"force-outside-location":true}]}
+         |]}""".stripMargin)
+    assert(ok.statusCode() == 204)
+    assert(cat.scan("web.gd").count() == 1 && cat.scan("web.gi").count() == 1)
+    assert(cat.listSnapshots("web.gd").length == 1)
+    // one stale requirement rolls back EVERY table's append
+    val f3 = part("d2", Seq((3L, "c")))
+    val bad = req("POST", "/v1/transactions/commit",
+      s"""{"table-changes":[
+         | {"identifier":"web.gd","updates":[{"action":"append-files",
+         |  "paths":["$f3"],"force-outside-location":true}]},
+         | {"identifier":"web.gi",
+         |  "requirements":[{"type":"assert-current-snapshot-id","snapshot-id":42}],
+         |  "updates":[]}
+         |]}""".stripMargin)
+    assert(bad.statusCode() == 409)
+    assert(cat.scan("web.gd").count() == 1, "append must roll back with the group")
+    assert(cat.listSnapshots("web.gd").length == 1)
+  }
+
   test("mixed append-files + set-properties commit is rejected up front") {
     val mixed = req("POST", "/v1/namespaces/web/tables/hits",
       """{"updates":[
