@@ -88,6 +88,17 @@ trait CatalogSurface {
     * frame publishes nothing for its table (identity contract).
     */
   def insertGroup(ops: Seq[(String, DataFrame)]): Seq[TableMeta]
+  /** Atomic multi-table OVERWRITE — the index-REBUILD contract (a new
+    * generation of e.g. centroids + postings supersedes all tables
+    * together or not at all; `setProperties` stamps every table in the
+    * same commits, the cross-table generation pairing): locally one
+    * lock-ordered replace-everything group, remotely ONE
+    * `/v1/transactions/commit` of remove-files{all} + append-files (+
+    * set-properties) per table.
+    */
+  def overwriteGroup(
+      ops: Seq[(String, DataFrame)],
+      setProperties: Map[String, String] = Map.empty): Seq[TableMeta]
   def overwrite(ident: String, df: DataFrame): TableMeta
   def addFilesWithRetry(
       ident: String,

@@ -205,7 +205,11 @@ object IceCatalog {
       forceOutsideLocation: Boolean = false,
       options: InsertOptions = InsertOptions(),
       setProperties: Map[String, String] = Map.empty,
-      basedOn: Option[Long] = None)
+      basedOn: Option[Long] = None,
+      // replace the table's ENTIRE file set with `paths` in this commit
+      // (the index-REBUILD shape over the wire: remove-files{all} +
+      // append-files in one transaction snapshot)
+      replaceAll: Boolean = false)
 
   case class InsertOptions(
       skipDuplicates: Boolean = false,
@@ -1104,7 +1108,7 @@ class IceCatalog(
     */
   def overwriteGroup(
       ops: Seq[(String, DataFrame)],
-      setProperties: Map[String, String] = Map.empty): Seq[TableMeta] = {
+      setProperties: Map[String, String]): Seq[TableMeta] = {
     val staged = ops.map { case (ident, df) =>
       val meta = loadMeta(ident)
       ident -> writeArranged(ident,
@@ -1148,7 +1152,10 @@ class IceCatalog(
             s"requirement failed: ${op.ident} current snapshot " +
               s"${m.currentSnapshotId} != $id"))
         val appended =
-          if (files.isEmpty) m
+          if (op.replaceAll)
+            appendSnapshot(m, SnapDelta("overwrite", add = files,
+              addSources = sources, replaceAll = true))
+          else if (files.isEmpty) m
           else appendSnapshot(m,
             SnapDelta("append", add = files, addSources = sources))
         if (op.setProperties.isEmpty) appended

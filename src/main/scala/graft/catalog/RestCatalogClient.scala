@@ -564,6 +564,59 @@ final class RestCatalogClient(
     }
   }
 
+  /** Atomic multi-table OVERWRITE over the wire — the index-REBUILD
+    * contract against a REMOTE catalog: stage every frame, then commit
+    * ALL tables in ONE `/v1/transactions/commit` where each table-change
+    * is remove-files{all} + append-files (+ `setProperties` stamped on
+    * every table — the cross-table generation pairing), CAS'd per table
+    * on assert-current-snapshot-id. 409 re-reads and re-attempts under
+    * the [[CommitRetry]] budget; `verified` proves a lost response by
+    * the staged paths BEING the current file set (an overwrite replaced
+    * everything) plus the property stamps.
+    */
+  def overwriteGroup(
+      ops: Seq[(String, DataFrame)],
+      setProperties: Map[String, String]): Seq[TableMeta] = {
+    val staged = ops.map { case (ident, df0) =>
+      val meta = loadMeta(ident)
+      val df = df0.select(
+        meta.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+      val (parts, profile) = stageParquet(ident, df, "ingest", None)
+      (ident, parts, profile.isDefined)
+    }
+    CommitRetry.run(retries, retryTotalMs,
+      verified = () => {
+        val metas = staged.map(s => loadMeta(s._1))
+        val filesOk = staged.zip(metas).forall { case ((_, parts, _), m) =>
+          val cur = m.current.map(_.files.map(f => fsPath(f.path)).toSet)
+            .getOrElse(Set.empty)
+          parts.map(fsPath).forall(cur.contains)
+        }
+        val propsOk = metas.forall(m => setProperties.forall { case (k, v) =>
+          Option(m.properties).exists(_.get(k).contains(v)) })
+        if (filesOk && propsOk) Some(metas) else None
+      }) { _ =>
+      val changes = staged.map { case (ident, parts, wire) =>
+        Map(
+          "identifier" -> ident,
+          "requirements" -> Seq(Map(
+            "type" -> "assert-current-snapshot-id",
+            "snapshot-id" -> loadMeta(ident).currentSnapshotId)),
+          "updates" -> (Seq(
+            Map("action" -> "remove-files", "all" -> true),
+            Map("action" -> "append-files", "paths" -> parts,
+              "force-outside-location" -> wire,
+              "skip-duplicates" -> false, "force-duplicates" -> false)) ++
+            (if (setProperties.isEmpty) Seq.empty
+             else Seq(Map("action" -> "set-properties",
+               "properties" -> setProperties)))))
+      }
+      send("POST", s"$base/v1/transactions/commit",
+        Some(jstr(Map("table-changes" -> changes))))
+      staged.map(s => loadMeta(s._1))
+    }
+  }
+
   /** Stage `df` as parquet on the SHARED storage plane under the table's
     * data dir — the external-committer write half. Local filesystem when
     * the table location resolves; the object-store data plane (with the

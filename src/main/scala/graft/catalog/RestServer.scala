@@ -941,8 +941,16 @@ object RestServer {
         requireTable(ident)
         val basedOn = requiredSnapshot(ident, ch)
         val us = arr(ch, "updates")
-        val (appends, rest) = us.partition(u =>
+        val (appends, rest0) = us.partition(u =>
           textOr(u, "action", "") == "append-files")
+        // remove-files in a transaction is the REBUILD shape only:
+        // all:true replaces the table's whole file set with this
+        // change's appends in one snapshot (path-listed removes stay a
+        // single-table commit concern)
+        val (removes, rest) = rest0.partition(u =>
+          textOr(u, "action", "") == "remove-files")
+        removes.foreach(u => require(u.path("all").asBoolean(false),
+          "transactions support remove-files with all:true only"))
         val props: Map[String, String] = rest.flatMap { u =>
           textOr(u, "action", "") match {
             case "set-properties" =>
@@ -950,7 +958,8 @@ object RestServer {
               require(p.isObject, "set-properties needs properties")
               p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
             case other => throw new IllegalArgumentException(
-              s"transactions support append-files and set-properties, got: $other")
+              s"transactions support append-files, remove-files and " +
+                s"set-properties, got: $other")
           }
         }.toMap
         val paths = appends.flatMap(
@@ -967,7 +976,8 @@ object RestServer {
             forceDuplicates =
               appends.exists(_.path("force-duplicates").asBoolean(false))),
           setProperties = props,
-          basedOn = basedOn)
+          basedOn = basedOn,
+          replaceAll = removes.nonEmpty)
       }
       cat.commitTransaction(ops)
     }

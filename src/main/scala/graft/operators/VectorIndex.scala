@@ -52,7 +52,7 @@ object VectorIndex {
     * scale-aware √n default.
     */
   def build(
-      cat: IceCatalog, spark: SparkSession, corpus: DataFrame,
+      cat: graft.catalog.CatalogSurface, spark: SparkSession, corpus: DataFrame,
       centroidsIdent: String, postingsIdent: String,
       nlist: Int = 0, dims: Int = 64): Unit = {
     import spark.implicits._
@@ -91,7 +91,7 @@ object VectorIndex {
     * Pre-stamp tables (both unstamped) resolve trivially.
     */
   private def consistentMetas(
-      cat: IceCatalog, centroidsIdent: String,
+      cat: graft.catalog.CatalogSurface, centroidsIdent: String,
       postingsIdent: String): (IceCatalog.TableMeta, IceCatalog.TableMeta) = {
     def gen(m: IceCatalog.TableMeta): Option[String] =
       Option(m.properties).flatMap(_.get(GenerationProp))
@@ -114,7 +114,7 @@ object VectorIndex {
     * centroids and postings paired).
     */
   def loadCentroids(
-      cat: IceCatalog, centroidsIdent: String,
+      cat: graft.catalog.CatalogSurface, centroidsIdent: String,
       asOfSnapshot: Option[Long] = None): Array[Array[Double]] = {
     val rows = cat.scan(centroidsIdent, Seq.empty, asOfSnapshot, None)
       .orderBy(col("cell")).select(col("centroid")).collect()
@@ -136,7 +136,7 @@ object VectorIndex {
     * cell ids — rebuild from the full corpus, which replaces them.)
     */
   def ingest(
-      cat: IceCatalog, spark: SparkSession, batch: DataFrame,
+      cat: graft.catalog.CatalogSurface, spark: SparkSession, batch: DataFrame,
       centroidsIdent: String, postingsIdent: String): Unit = {
     val (cm, _) = consistentMetas(cat, centroidsIdent, postingsIdent)
     def gen(m: IceCatalog.TableMeta): Option[String] =
@@ -177,7 +177,7 @@ object VectorIndex {
     * Both paths compute dots in the same IEEE order, so results match.
     */
   def query(
-      cat: IceCatalog, spark: SparkSession, queries: DataFrame,
+      cat: graft.catalog.CatalogSurface, spark: SparkSession, queries: DataFrame,
       centroidsIdent: String, postingsIdent: String,
       k: Int = 10, nprobe: Int = 4, pruneScan: Int = 1024): DataFrame = {
     val (cm, pm) = consistentMetas(cat, centroidsIdent, postingsIdent)

@@ -52,6 +52,40 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r8 >= r4)
   }
 
+  test("the SAME index lifecycle runs against a REMOTE catalog (wire rebuild + serve)") {
+    // VectorIndex is typed against CatalogSurface: build/rebuild commit
+    // through ONE /v1/transactions/commit (remove-files{all} +
+    // append-files + the generation stamp per table), queries resolve a
+    // generation-consistent pair over the wire
+    val remoteRoot = Files.createTempDirectory("vecidx-remote").toString
+    val served = new graft.catalog.RestServer.Server(
+      new IceCatalog(spark, remoteRoot),
+      tokens = Seq(graft.catalog.RestServer.Token("vtok", "admin"))).start()
+    val remote = new graft.catalog.RestCatalogClient(spark, served.url, Some("vtok"))
+    try {
+      remote.createNamespace("vx")
+      VectorIndex.build(remote, spark, corpus, "vx.centroids", "vx.postings", nlist = 16)
+      assert(remote.scan("vx.centroids").count() == 16)
+      // both tables share the generation stamp, landed in one transaction
+      val g1 = remote.loadMeta("vx.centroids").properties(VectorIndex.GenerationProp)
+      assert(remote.loadMeta("vx.postings").properties(VectorIndex.GenerationProp) == g1)
+      val r8 = recall(VectorIndex.query(remote, spark, queries,
+        "vx.centroids", "vx.postings", k = 10, nprobe = 8))
+      info(f"remote table-backed IVF recall: nprobe=8 $r8%.3f")
+      assert(r8 >= 0.55, s"remote recall $r8")
+      // REBUILD over the wire replaces (not appends) and re-stamps both
+      VectorIndex.build(remote, spark, corpus, "vx.centroids", "vx.postings", nlist = 8)
+      assert(remote.scan("vx.centroids").count() == 8,
+        "wire rebuild must replace the centroid generation")
+      val g2 = remote.loadMeta("vx.centroids").properties(VectorIndex.GenerationProp)
+      assert(g2 != g1 &&
+        remote.loadMeta("vx.postings").properties(VectorIndex.GenerationProp) == g2)
+      val r8b = recall(VectorIndex.query(remote, spark, queries,
+        "vx.centroids", "vx.postings", k = 10, nprobe = 8))
+      assert(r8b >= 0.55, s"post-rebuild remote recall $r8b")
+    } finally served.stop()
+  }
+
   test("a FRESH catalog handle serves the same index (outlives the builder)") {
     val cat2 = new IceCatalog(spark, root)
     val r = recall(VectorIndex.query(cat2, spark, queries,
