@@ -131,6 +131,26 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
             // (clears pending deletes exactly like local overwrite)
             cat.overwrite(t,
               spark.read.parquet(batches(i % batches.length))); "overwrite"
+          case 20 =>
+            // atomic multi-table APPEND: remote = ONE
+            // /v1/transactions/commit with per-table append-files; rows
+            // and snapshot counts must match the local lock-ordered
+            // group exactly (both sides: one snapshot per table)
+            val t2 = tables((tables.indexOf(t) + 1) % tables.length)
+            cat.insertGroup(Seq(
+              t -> spark.read.parquet(batches(i % batches.length)),
+              t2 -> spark.read.parquet(batches((i + 1) % batches.length))))
+            "insertGroup"
+          case 21 =>
+            // atomic multi-table OVERWRITE + shared stamp: remote = one
+            // transaction of remove-files{all} + append-files +
+            // set-properties per table (the index-rebuild shape)
+            val t2 = tables((tables.indexOf(t) + 1) % tables.length)
+            cat.overwriteGroup(Seq(
+              t -> spark.read.parquet(batches(i % batches.length)),
+              t2 -> spark.read.parquet(batches((i + 1) % batches.length))),
+              Map("gen" -> s"g$i"))
+            "overwriteGroup"
           case 16 =>
             // POSITION delete: mask every physical occurrence of the
             // minimum id — a deterministic row pick that names files by
@@ -150,7 +170,7 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       var agreed = 0
       for (i <- 1 to 120) {
-        val opId = r.nextInt(20)
+        val opId = r.nextInt(22)
         val t = tables(r.nextInt(tables.length))
         val lr = run(local, opId, t, i)
         val rr = run(remote, opId, t, i)
