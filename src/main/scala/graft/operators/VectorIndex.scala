@@ -16,8 +16,10 @@ import graft.functions.VectorFunctions.{asDouble, centroidDists, dot, normalize}
   * POSTINGS table of (vec_id, cell, vn) rows partition-pruned by cell at
   * scan time. Ingest assigns new vectors against the STORED centroids —
   * a map-side kernel, no retraining (the FAISS add() contract; retrain =
-  * [[build]] again) — and appends; both tables advance atomically at
-  * build via [[IceCatalog.insertGroup]].
+  * [[build]] again) — and appends; build/rebuild REPLACES both tables in
+  * one generation-stamped atomic group
+  * ([[graft.catalog.CatalogSurface.overwriteGroup]] — locally a
+  * lock-ordered commit group, remotely one REST transaction).
   *
   * Query cost: O(nlist) driver centroid load + per-query nprobe cell
   * probes over a cell equi-join — identical plan shape to s3, with the
