@@ -581,8 +581,16 @@ final class RestCatalogClient(
       val meta = loadMeta(ident)
       val df = df0.select(
         meta.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
-      val (parts, profile) = stageParquet(ident, df, "ingest", None)
-      (ident, parts, profile.isDefined)
+      // an EMPTY frame truncates its table: stage nothing and commit just
+      // remove-files{all} (+ properties) — an append-files with zero paths
+      // is a protocol error the server rejects, and refusing here would
+      // make remote overwriteGroup unable to empty a group member while
+      // the local form can (a local/remote divergence)
+      if (df.isEmpty) (ident, Seq.empty[String], false)
+      else {
+        val (parts, profile) = stageParquet(ident, df, "ingest", None)
+        (ident, parts, profile.isDefined)
+      }
     }
     CommitRetry.run(retries, retryTotalMs,
       verified = () => {
@@ -603,10 +611,11 @@ final class RestCatalogClient(
             "type" -> "assert-current-snapshot-id",
             "snapshot-id" -> loadMeta(ident).currentSnapshotId)),
           "updates" -> (Seq(
-            Map("action" -> "remove-files", "all" -> true),
-            Map("action" -> "append-files", "paths" -> parts,
-              "force-outside-location" -> wire,
-              "skip-duplicates" -> false, "force-duplicates" -> false)) ++
+            Map("action" -> "remove-files", "all" -> true)) ++
+            (if (parts.isEmpty) Seq.empty
+             else Seq(Map("action" -> "append-files", "paths" -> parts,
+               "force-outside-location" -> wire,
+               "skip-duplicates" -> false, "force-duplicates" -> false))) ++
             (if (setProperties.isEmpty) Seq.empty
              else Seq(Map("action" -> "set-properties",
                "properties" -> setProperties)))))

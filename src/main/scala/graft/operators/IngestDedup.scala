@@ -86,17 +86,35 @@ object IngestDedup {
     */
   val SigBuckets = 32
 
+  /** Docs partition fan-out: the docs table is bucket-partitioned on
+    * `doc_id` so the cross-batch VERIFY fetches candidate texts from only
+    * the partitions the candidate ids hash to. The semi join already
+    * bounded TOKENIZATION to candidate-named docs; this bounds the scan's
+    * I/O the same way — without it every ingest batch READS the entire
+    * docs table to fetch a few hundred candidate texts, the last
+    * O(corpus)-per-batch cost in the pipeline.
+    */
+  val DocBuckets = 32
+
   /** Above this many distinct batch signatures, skip the driver-side
     * bucket computation and full-scan — every partition is probably
     * touched anyway, and the collect should stay O(small).
     */
   private val MaxPruneSigs = 4096
 
+  /** Candidate-id cap for the verify-side docs pruning — candidates are
+    * O(batch × bucket-cap) by construction, so the collect is bounded;
+    * past this the batch touches most partitions anyway.
+    */
+  private val MaxPruneIds = 65536
+
   /** Create the docs + index tables if missing (idempotent). */
   def ensureTables(
       cat: graft.catalog.CatalogSurface, docsIdent: String, indexIdent: String,
       docsSchema: StructType): Unit = {
-    if (!cat.tableExists(docsIdent)) cat.createTable(docsIdent, docsSchema)
+    if (!cat.tableExists(docsIdent)) cat.createTable(docsIdent, docsSchema,
+      partitionSpec = Seq(IceCatalog.PartitionField(
+        "doc_id", s"bucket[$DocBuckets]", "doc_bucket")))
     if (!cat.tableExists(indexIdent)) cat.createTable(indexIdent, IndexSchema,
       partitionSpec = Seq(IceCatalog.PartitionField(
         "sig", s"bucket[$SigBuckets]", "sig_bucket")))
@@ -113,18 +131,77 @@ object IngestDedup {
       cat: graft.catalog.CatalogSurface, indexIdent: String, newBands: DataFrame): DataFrame = {
     val partitioned = cat.loadMeta(indexIdent).partitionSpec
       .exists(_.name == "sig_bucket")
-    if (!partitioned) return cat.scan(indexIdent)
-    val sigRows = newBands.select(col("sig")).distinct()
-      .limit(MaxPruneSigs + 1).collect()
-    if (sigRows.length > MaxPruneSigs) cat.scan(indexIdent)
+    val raw =
+      if (!partitioned) cat.scan(indexIdent)
+      else {
+        val sigRows = newBands.select(col("sig")).distinct()
+          .limit(MaxPruneSigs + 1).collect()
+        if (sigRows.length > MaxPruneSigs) cat.scan(indexIdent)
+        else {
+          val buckets: Array[Int] = sigRows.map(r =>
+            graft.functions.IcebergHash.bucketString(
+              org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+              SigBuckets)).distinct.sorted
+          cat.scan(indexIdent, Seq(IceCatalog.PartitionFilter(
+            "sig_bucket", IceCatalog.Op.Eq, buckets.map(_.toString).toSeq)),
+            None, None)
+        }
+      }
+    normalizedIndex(raw)
+  }
+
+  /** Legacy-schema adapter: a PRE-SLOT index table (created before the
+    * write-time slot column) lacks the by-construction bucket cap, so its
+    * scan gets `slot` SYNTHESIZED (row_number per (band, sig) by doc_id —
+    * the write-time numbering) and the cap RE-IMPOSED as a filter, the old
+    * bucket-size re-aggregation semantics: smallest-id rows act as the
+    * bucket's representatives, saturated legacy buckets never reintroduce
+    * the quadratic probe. Slot-schema tables pass through untouched (their
+    * cap holds by construction; no window, no extra shuffle). Cost on the
+    * legacy path: one window over the already-pruned scan — paid only
+    * until the table is rewritten with slots.
+    */
+  private[graft] def normalizedIndex(scan: DataFrame): DataFrame =
+    if (scan.columns.contains("slot")) scan
     else {
-      val buckets: Array[Int] = sigRows.map(r =>
-        graft.functions.IcebergHash.bucketString(
-          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
-          SigBuckets)).distinct.sorted
-      cat.scan(indexIdent, Seq(IceCatalog.PartitionFilter(
-        "sig_bucket", IceCatalog.Op.Eq, buckets.map(_.toString).toSeq)),
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("sig")).orderBy(col("doc_id"))
+      scan.withColumn("slot", row_number().over(w))
+        .filter(col("slot") <= lit(Dedup.MaxLshBucket))
+    }
+
+  /** The docs scan restricted to the partitions that can hold the
+    * candidate pairs' EXISTING-doc ids: collect the distinct `doc_b` ids
+    * (bounded — O(batch × bucket cap) by the probe's construction; above
+    * [[MaxPruneIds]] fall back to the full scan), murmur3-bucket them
+    * exactly like the write-side partition transform, and push the bucket
+    * set as a partition IN-filter. No candidates → no scan at all. On an
+    * unpartitioned (legacy) docs table the filter is skipped.
+    *
+    * The collect executes the probe join once ahead of the verify's own
+    * execution — O(batch-candidate) work against the PRUNED index with
+    * the batch signatures cached, a second pruned probe traded for never
+    * reading the docs table end to end.
+    */
+  private[graft] def docsScanForPairs(
+      cat: graft.catalog.CatalogSurface, docsIdent: String,
+      pairs: DataFrame): DataFrame = {
+    def full = cat.scan(docsIdent).select(col("doc_id"), col("text"))
+    val partitioned = cat.loadMeta(docsIdent).partitionSpec
+      .exists(_.name == "doc_bucket")
+    if (!partitioned) return full
+    val idRows = pairs.select(col("doc_b")).distinct()
+      .limit(MaxPruneIds + 1).collect()
+    if (idRows.length > MaxPruneIds) full
+    else if (idRows.isEmpty) full.limit(0)
+    else {
+      val buckets: Array[Int] = idRows.map(r =>
+        graft.functions.IcebergHash.bucketLong(r.getLong(0), DocBuckets))
+        .distinct.sorted
+      cat.scan(docsIdent, Seq(IceCatalog.PartitionFilter(
+        "doc_bucket", IceCatalog.Op.Eq, buckets.map(_.toString).toSeq)),
         None, None)
+        .select(col("doc_id"), col("text"))
     }
   }
 
@@ -223,10 +300,14 @@ object IngestDedup {
     // before tokenizing, so only candidate-named docs tokenize (each
     // once, codegen'd kernel) — never an O(corpus) tokenize + aggregate
     // per batch, and never a per-pair token build in a join condition.
-    // Within-batch gets the same treatment — only pair-named batch docs
-    // tokenize (the batch is O(batch) by contract anyway, but a
-    // mostly-unique batch then skips most of its own tokenization too).
-    val exDocs = cat.scan(docsIdent).select(col("doc_id"), col("text"))
+    // The SCAN itself is partition-pruned to the candidate ids' buckets
+    // (a semi join bounds compute, not I/O — without the IN-filter every
+    // batch would still READ the whole docs table to fetch a handful of
+    // candidate texts). Within-batch gets the same treatment — only
+    // pair-named batch docs tokenize (the batch is O(batch) by contract
+    // anyway, but a mostly-unique batch then skips most of its own
+    // tokenization too).
+    val exDocs = docsScanForPairs(cat, docsIdent, crossCand)
     val crossVerified =
       Dedup.verifyPairsSemi(batch, exDocs, crossCand, threshold)
     val inVerified =

@@ -253,7 +253,12 @@ object VectorIndex {
         else cat.scan(postingsIdent,
           Seq(IceCatalog.PartitionFilter("cell", IceCatalog.Op.Eq,
             probeCells.map(_.toString).toSeq)), pSnap, None)
-      rank(postings.join(broadcast(q), Seq("cell")))
+      // NO pinned broadcast here: the bulk path exists precisely for
+      // batches too big to collect, and a data-dependent hint would force
+      // that same batch (×nprobe explode) through a driver-built
+      // broadcast — a driver-OOM plan at scale. AQE broadcasts small
+      // batches on its own; big ones shuffle-join, which is the point.
+      rank(postings.join(q, Seq("cell")))
     }
   }
 

@@ -169,12 +169,16 @@ object Streams {
 
   /** One ranged poll of an append-only HTTP event feed into the spool:
     * GET with `Range: bytes=<offset>-` (servers without Range support
-    * return 200 + the full body, which is sliced at the offset; 416 =
-    * nothing new), keep only COMPLETE lines (a partial tail line waits
-    * for its newline), write them as ONE immutable spool file named by
-    * the start offset — a crash between the spool write and the offset
-    * update makes the next poll re-produce the SAME file name, which is
-    * skipped, so the file stream never sees duplicate or partial events.
+    * return 200 + the full body — the consumed prefix is stream-skipped,
+    * at O(feed) re-download per poll, the cost of a Range-less server;
+    * 416 = nothing new), keep only COMPLETE lines (a partial tail line
+    * waits for its newline), write them as ONE immutable spool file named
+    * by the start offset. The working offset is max(offset file, spool
+    * end): a crash between the spool-file publish and the offset publish
+    * leaves the offset file stale-but-valid, and the spool's own
+    * offset-keyed file names are the recovery record — the next poll
+    * resumes from the spooled end, never re-writing a file and never
+    * advancing past bytes it didn't spool.
     */
   private[graft] def spoolHttpFeed(
       feedUrl: String, spoolRoot: java.nio.file.Path): Unit = {
@@ -196,13 +200,21 @@ object Streams {
         .foldLeft(0L)(math.max)
       finally s.close()
     }
-    val offset =
+    // the TRUE offset is the MAX of the published offset file and the
+    // spool's own end: a crash between the spool-file publish and the
+    // offset publish leaves the offset file stale-but-VALID (it parses,
+    // it's just one poll behind), and trusting it alone would skip the
+    // already-spooled file by name while advancing the offset past bytes
+    // that were never spooled — permanently dropping every event appended
+    // after the crashed poll's fetch. Spool files are immutable and named
+    // by start offset, so their max end is always a safe floor.
+    val offset = math.max(
       (try {
         if (Files.exists(offFile))
           Some(new String(Files.readAllBytes(offFile)).trim.toLong)
         else None
-      } catch { case _: NumberFormatException => None })
-        .getOrElse(offsetFromSpool())
+      } catch { case _: NumberFormatException => None }).getOrElse(0L),
+      offsetFromSpool())
     val conn = new java.net.URL(feedUrl).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(5000)
@@ -210,13 +222,22 @@ object Streams {
     conn.setRequestProperty("Range", s"bytes=$offset-")
     val code = conn.getResponseCode
     if (code != 200 && code != 206) { conn.disconnect(); return }
-    val body =
-      try conn.getInputStream.readAllBytes()
-      finally conn.disconnect()
     val fresh =
-      if (code == 206) body
-      else if (body.length <= offset) return
-      else java.util.Arrays.copyOfRange(body, offset.toInt, body.length)
+      try {
+        val in = conn.getInputStream
+        if (code == 206) in.readAllBytes()
+        else {
+          // Range-less fallback (server ignored the header): the whole
+          // body re-downloads every poll — O(feed) network per poll, the
+          // documented cost of a feed server without Range support — but
+          // the consumed prefix is SKIPPED on the stream (no offset.toInt
+          // slice: a >2 GiB offset must not truncate negative and strand
+          // the poller), so spool contents stay exactly-once either way;
+          // a body shorter than the offset = nothing new (EOF mid-skip)
+          try { in.skipNBytes(offset); in.readAllBytes() }
+          catch { case _: java.io.EOFException => Array.empty[Byte] }
+        }
+      } finally conn.disconnect()
     if (fresh.isEmpty) return
     val lastNl = fresh.lastIndexOf('\n'.toByte)
     if (lastNl < 0) return // no complete line yet

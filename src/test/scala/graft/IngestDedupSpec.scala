@@ -141,6 +141,93 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probe must skip unprobed sig buckets ($scanned vs $allIdx)")
   }
 
+  test("cross-batch verify reads only the candidate ids' docs partitions") {
+    import spark.implicits._
+    // the docs table is bucket-partitioned on doc_id (DocBuckets): a probe
+    // whose candidates name ONE existing doc must fetch that text from the
+    // candidate's own bucket partitions — never a full docs-table read per
+    // batch (the semi join bounds tokenization; the IN-filter bounds I/O,
+    // the 100 TB economics of the verify side)
+    val keep = cat.scan("pipe.docs").select("doc_id").as[Long].collect().min
+    val src = cat.scan("pipe.docs").filter(col("doc_id") === keep)
+      .select("text", "lang", "source", "n_chars").head()
+    // a LOCAL frame (not a docs-table scan) so the batch contributes no
+    // docs files to the plan's input set — the verify's scan stands alone
+    val copy = Seq((9500L, src.getString(0), src.getString(1),
+      src.getString(2), src.getLong(3)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sigs = Dedup.minhashSignatures(copy)
+    val decided = graft.operators.IngestDedup.decisionFrame(
+      cat, "pipe.docs", "pipe.index", copy, sigs, 0.6)
+    val rows = decided.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9500L, keep)),
+      "the verbatim copy must verify against its source doc")
+    val allDocs = cat.files("pipe.docs").length
+    val scanned = decided.inputFiles.count(_.contains("docs"))
+    info(s"docs files: total=$allDocs verified-scan=$scanned")
+    assert(allDocs >= 8, s"need a multi-file docs table to prove pruning, got $allDocs")
+    assert(scanned < allDocs,
+      s"verify must skip un-candidate docs buckets ($scanned vs $allDocs)")
+  }
+
+  test("normalizedIndex synthesizes slots and re-imposes the cap on a legacy scan") {
+    import spark.implicits._
+    // a pre-slot index scan: one saturated bucket (cap + 20 rows) and one
+    // small bucket — the adapter must number rows by doc_id (write-time
+    // semantics: smallest ids are the representatives) and drop past-cap
+    val legacy = ((1 to Dedup.MaxLshBucket + 20).map(i => (i.toLong, 0, "aa")) ++
+      Seq((7L, 1, "bb"), (9L, 1, "bb")))
+      .toDF("doc_id", "band", "sig")
+    val n = graft.operators.IngestDedup.normalizedIndex(legacy)
+    assert(n.columns.contains("slot"))
+    assert(n.count() == Dedup.MaxLshBucket + 2,
+      "saturated bucket keeps exactly cap rows; small bucket keeps all")
+    val kept = n.filter(col("sig") === "aa").agg(max("doc_id")).head().getLong(0)
+    assert(kept == Dedup.MaxLshBucket.toLong,
+      "representatives must be the smallest-id rows")
+    assert(n.filter(col("sig") === "bb").select("slot")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("legacy pre-slot, unpartitioned tables still ingest correctly") {
+    import spark.implicits._
+    // tables created by an older graft: no slot column, no partition
+    // specs. The probe must synthesize slots (no AnalysisException from
+    // max(slot)), both pruned scans must degrade to full scans, and the
+    // index append must drop the in-flight slot column to match the
+    // legacy schema — decisions identical to the slotted form.
+    import org.apache.spark.sql.types._
+    cat.createNamespace("legacy")
+    val corpus = docsOf(0 until 10)
+    cat.createTable("legacy.docs", corpus.schema) // unpartitioned
+    cat.createTable("legacy.index", StructType(Seq( // pre-slot schema
+      StructField("doc_id", LongType),
+      StructField("band", IntegerType),
+      StructField("sig", StringType))))
+    cat.insertGroup(Seq(
+      "legacy.docs" -> corpus,
+      "legacy.index" -> Dedup.lshBands(Dedup.minhashSignatures(corpus))
+        .select(col("doc_id"), col("band"), col("sig"))))
+    val keep = corpus.select("doc_id").as[Long].collect().min
+    val srcText = corpus.filter(col("doc_id") === keep)
+      .select("text").as[String].head()
+    val batch = Seq(
+      (3000L, srcText, "en", "srcL", srcText.length.toLong),
+      (3001L, "a genuinely fresh legacy-path document with its own words",
+        "en", "srcL", 58L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val report = IngestDedup.ingest(cat, spark, "legacy.docs", "legacy.index", batch)
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1)
+    assert(report.toSeq.map(r => (r._1, r._2)) == Seq((3000L, true), (3001L, false)),
+      s"copy drops, fresh survives: ${report.mkString(",")}")
+    assert(report(0)._3.contains(keep))
+    // the survivor's bands landed in the LEGACY schema (3 columns, no slot)
+    assert(cat.scan("legacy.index").columns.toSeq ==
+      Seq("doc_id", "band", "sig"))
+    assert(cat.scan("legacy.index").filter(col("doc_id") === 3001L).count()
+      == Dedup.NumHashes.toLong)
+  }
+
   test("re-ingesting a dropped twin later still dedups (the index remembers)") {
     import spark.implicits._
     val twinText = "graft ingest twin document body with enough words to shingle properly"

@@ -141,6 +141,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s11 bulk query path pins no broadcast on the query batch") {
+    // the bulk path exists precisely for batches too big to collect
+    // (> pruneScan), so a pinned broadcast on that same batch (after the
+    // ×nprobe cell explode, with the unit vectors in tow) is a
+    // driver-OOM plan at scale — the exact hint class the x7/p1/d11
+    // audits forbid. AQE broadcasts genuinely small batches on its own.
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("audit_s11").toString
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    cat.createNamespace("vx")
+    graft.operators.VectorIndex.build(cat, spark,
+      e.filter(col("vec_id") >= 5), "vx.centroids", "vx.postings", nlist = 8)
+    // pruneScan = 0 forces the bulk (no-driver-collect) strategy
+    val res = graft.operators.VectorIndex.query(cat, spark,
+      e.filter(col("vec_id") < 5), "vx.centroids", "vx.postings",
+      k = 5, nprobe = 2, pruneScan = 0)
+    val hints = res.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      "s11 bulk path must not pin a broadcast on the data-dependent query batch")
+    assert(res.count() > 0, "bulk path must still produce ranked neighbors")
+  }
+
   test("d13 verify tokenizes only candidate-named docs, each once (semi-restricted)") {
     // the cross-batch verify's token-set kernels (the collect_set
     // aggregates) must run over docs SEMI-JOINED to the candidate-pair

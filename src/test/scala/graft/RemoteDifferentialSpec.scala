@@ -144,11 +144,16 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
           case 21 =>
             // atomic multi-table OVERWRITE + shared stamp: remote = one
             // transaction of remove-files{all} + append-files +
-            // set-properties per table (the index-rebuild shape)
+            // set-properties per table (the index-rebuild shape). Every
+            // third op TRUNCATES the second member (empty frame): both
+            // sides must leave it empty — remotely that table-change is
+            // remove-files{all}-only (an append-files with zero paths is
+            // a protocol error the server rejects)
             val t2 = tables((tables.indexOf(t) + 1) % tables.length)
+            val second = spark.read.parquet(batches((i + 1) % batches.length))
             cat.overwriteGroup(Seq(
               t -> spark.read.parquet(batches(i % batches.length)),
-              t2 -> spark.read.parquet(batches((i + 1) % batches.length))),
+              t2 -> (if (i % 3 == 0) second.limit(0) else second)),
               Map("gen" -> s"g$i"))
             "overwriteGroup"
           case 16 =>

@@ -440,6 +440,100 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop(0)
   }
 
+  test("HTTP feed spool: a STALE offset file (crash before offset publish) loses no events") {
+    // the exactly-once hole the max(offset-file, spool-end) rule closes: a
+    // crash BETWEEN the spool-file publish and the offset publish leaves
+    // the offset file one poll behind but still parseable — trusting it
+    // alone would skip the existing spool file by name while advancing
+    // the offset past bytes that were never spooled, silently dropping
+    // every event appended after the crashed poll's fetch
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val feed = new java.util.concurrent.atomic.AtomicReference[Array[Byte]](Array.empty)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/f", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = feed.get()
+      val from = Option(ex.getRequestHeaders.getFirst("Range"))
+        .collect { case r if r.startsWith("bytes=") =>
+          r.stripPrefix("bytes=").takeWhile(_ != '-').toInt }.getOrElse(0)
+      if (from >= body.length) { ex.sendResponseHeaders(416, -1); ex.close() }
+      else {
+        val slice = java.util.Arrays.copyOfRange(body, from, body.length)
+        ex.sendResponseHeaders(if (from > 0) 206 else 200, slice.length)
+        ex.getResponseBody.write(slice); ex.close()
+      }
+    })
+    srv.start()
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/f"
+      val spool = Files.createTempDirectory("feed-spool-stale")
+      Files.createDirectories(spool.resolve("logs"))
+      val l1 = "/data/a.parquet\n"
+      feed.set(l1.getBytes("UTF-8"))
+      Streams.spoolHttpFeed(url, spool) // poll 1: offset file now l1.length
+      val l2 = "/data/b.parquet\n"
+      feed.set(feed.get() ++ l2.getBytes("UTF-8"))
+      Streams.spoolHttpFeed(url, spool) // poll 2 spools l2, publishes offset
+      // simulate the crash: poll 2's offset publish never happened — the
+      // offset file reverts to poll 1's (valid!) value while poll 2's
+      // spool file exists; the feed then grows by one more event
+      Files.write(spool.resolve("offset"), l1.length.toString.getBytes("UTF-8"))
+      val l3 = "/data/c.parquet\n"
+      feed.set(feed.get() ++ l3.getBytes("UTF-8"))
+      Streams.spoolHttpFeed(url, spool)
+      val logs = {
+        val s = Files.list(spool.resolve("logs"))
+        try s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+        finally s.close()
+      }
+      val spooled = logs.map(p => new String(Files.readAllBytes(p), "UTF-8")).mkString
+      assert(spooled == l1 + l2 + l3,
+        s"every event must be spooled exactly once, got: $spooled")
+      assert(logs.size == 3, s"no spool file may be re-written or skipped: $logs")
+    } finally srv.stop(0)
+  }
+
+  test("HTTP feed spool: a Range-less (200-only) server still resumes exactly-once") {
+    // servers that ignore the Range header re-send the full body; the
+    // consumed prefix is skipped on the STREAM (no 32-bit offset slice),
+    // so the spool output is byte-identical to the ranged path — at the
+    // documented O(feed) re-download cost per poll
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val feed = new java.util.concurrent.atomic.AtomicReference[Array[Byte]](Array.empty)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/f", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = feed.get() // Range ignored: always 200 + full body
+      ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    })
+    srv.start()
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/f"
+      val spool = Files.createTempDirectory("feed-spool-200")
+      Files.createDirectories(spool.resolve("logs"))
+      val l1 = "/data/a.parquet\n"
+      feed.set(l1.getBytes("UTF-8"))
+      Streams.spoolHttpFeed(url, spool)
+      // no growth: the full-body re-poll must spool nothing new
+      Streams.spoolHttpFeed(url, spool)
+      val l2 = "/data/b.parquet\n"
+      feed.set(feed.get() ++ l2.getBytes("UTF-8"))
+      Streams.spoolHttpFeed(url, spool)
+      val logs = {
+        val s = Files.list(spool.resolve("logs"))
+        try s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+        finally s.close()
+      }
+      val spooled = logs.map(p => new String(Files.readAllBytes(p), "UTF-8")).mkString
+      assert(logs.size == 2 && spooled == l1 + l2,
+        s"200-only fallback must spool exactly the appended bytes: $spooled")
+    } finally srv.stop(0)
+  }
+
   test("event-feed parsing: S3 created-events decode, other kinds and comments drop") {
     // the reference's notification shapes (InsertWatch.java:249-311):
     // ObjectCreated:* records become s3://bucket/<url-decoded key>, every
