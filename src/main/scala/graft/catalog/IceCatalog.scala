@@ -226,7 +226,15 @@ object IceCatalog {
       // existing arrangement — skip the partition shuffle AND the
       // in-partition sort. On pre-arranged bulk loads this removes the
       // whole exchange; checkSorted audits the claim after the fact
-      assumeSorted: Boolean = false)
+      assumeSorted: Boolean = false,
+      // CAS the append on this snapshot id: the commit fails with
+      // ConcurrentModificationException (remotely a 409, surfaced
+      // fail-fast) if the table moved since the caller read it — for
+      // appends whose CONTENT was computed against that snapshot's state
+      // (e.g. cell assignments against a stored quantizer generation),
+      // where publishing after a racing rebuild would poison the new
+      // generation's table
+      basedOn: Option[Long] = None)
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
@@ -1429,7 +1437,8 @@ class IceCatalog(
       compression = options.compression, assumeSorted = options.assumeSorted)
     if (options.noCommit) return meta
     timed("insert.commit")(
-      commitSnap(ident)(_ => SnapDelta("append", add = files, addSources = incoming)))
+      commitSnap(ident, options.basedOn)(_ =>
+        SnapDelta("append", add = files, addSources = incoming)))
   }
 
   /** Hive directory name for one partition field. Identity transforms get a

@@ -48,6 +48,21 @@ object Maintenance {
     Set(JobSnapshotCleanup, JobDataCompaction, JobOrphanCleanup,
       JobManifestCompaction, JobDeleteDebtCompaction)
 
+  /** The policy PIPELINE-OWNED tables stamp at creation (IngestDedup's
+    * docs/index, VectorIndex's centroids/postings): per-batch appends add
+    * O(touched partitions) small files forever, so an unmaintained index
+    * degrades every probe's open cost unboundedly. Opt in to compaction +
+    * snapshot/manifest hygiene; thresholds stay at the catalog defaults
+    * (tunable per table afterwards like any maintenance property).
+    * Compaction rewrites THROUGH the table's partition spec
+    * ([[IceCatalog.compact]] → writeArranged), so partition pruning — the
+    * probes' whole economics — survives the rewrite.
+    */
+  val PipelineTableProps: Map[String, String] = Map(
+    "maintenance.jobs" ->
+      Seq(JobSnapshotCleanup, JobDataCompaction, JobManifestCompaction)
+        .mkString(","))
+
   /** Effective thresholds for one table (MaintenanceConfig.java defaults). */
   case class Policy(
       jobs: Set[String] = Set.empty,

@@ -737,7 +737,12 @@ final class RestCatalogClient(
       retries: Int, retryTotalMs: Long): TableMeta = {
     val norm = paths.map(fsPath)
     val normDel = deletes.flatMap(_.paths).map(fsPath)
-    CommitRetry.run(retries, retryTotalMs,
+    // a caller-pinned basedOn CAS must fail FAST on conflict: re-attempts
+    // would re-send the same stale requirement (the content was computed
+    // against that snapshot — only the caller can re-plan); verified()
+    // still closes the lost-response window on the single attempt
+    val effRetries = if (options.basedOn.isDefined) 0 else retries
+    CommitRetry.run(effRetries, retryTotalMs,
       verified = () => {
         val m = loadMeta(ident)
         val known = m.current.flatMap(s => Option(s.sourceFiles))
@@ -753,7 +758,7 @@ final class RestCatalogClient(
           Some(m)
         else None
       }) { _ =>
-      val cur = loadMeta(ident).currentSnapshotId
+      val cur = options.basedOn.getOrElse(loadMeta(ident).currentSnapshotId)
       val appendAction: Seq[Map[String, Any]] =
         if (paths.isEmpty) Seq.empty
         else Seq(Map(

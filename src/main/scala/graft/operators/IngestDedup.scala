@@ -108,16 +108,23 @@ object IngestDedup {
     */
   private val MaxPruneIds = 65536
 
-  /** Create the docs + index tables if missing (idempotent). */
+  /** Create the docs + index tables if missing (idempotent), stamped with
+    * the pipeline maintenance policy — each batch appends O(touched
+    * partitions) small files, so the tables opt in to compaction at
+    * creation ([[graft.catalog.Maintenance.PipelineTableProps]]; the
+    * rewrite goes through the partition spec, so bucket pruning survives).
+    */
   def ensureTables(
       cat: graft.catalog.CatalogSurface, docsIdent: String, indexIdent: String,
       docsSchema: StructType): Unit = {
     if (!cat.tableExists(docsIdent)) cat.createTable(docsIdent, docsSchema,
       partitionSpec = Seq(IceCatalog.PartitionField(
-        "doc_id", s"bucket[$DocBuckets]", "doc_bucket")))
+        "doc_id", s"bucket[$DocBuckets]", "doc_bucket")),
+      properties = graft.catalog.Maintenance.PipelineTableProps)
     if (!cat.tableExists(indexIdent)) cat.createTable(indexIdent, IndexSchema,
       partitionSpec = Seq(IceCatalog.PartitionField(
-        "sig", s"bucket[$SigBuckets]", "sig_bucket")))
+        "sig", s"bucket[$SigBuckets]", "sig_bucket")),
+      properties = graft.catalog.Maintenance.PipelineTableProps)
   }
 
   /** The index scan restricted to the partitions `newBands`' signatures

@@ -8,11 +8,15 @@ import graft.sources.Tables
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, plus decode/feature-extract plumbing.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (md5-derived features) — but the
-  * Spark-side plumbing is real and tested: binary schema, batched
-  * mapPartitions (the shape a vectorized decoder needs), fixed-size feature
-  * output, and partition-parallel execution with no driver collection.
+  * The decode kernel DISPATCHES on the payload's magic bytes: real
+  * PNG/JPEG payloads decode through `javax.imageio` (public JDK API —
+  * in-process, no native deps) into true dimensions, a luminance
+  * histogram feature vector, and a genuine nearest-neighbor resize;
+  * anything else — synthetic fixtures, codecs the JDK doesn't ship
+  * (audio/video) — falls back to a clearly-marked DETERMINISTIC STUB
+  * (md5-derived features). Both paths share the batched mapPartitions
+  * seam, schema, and fixed-size feature output, so swapping in a
+  * vectorized native decoder changes one function, nothing downstream.
   */
 object Multimodal {
 
@@ -52,6 +56,56 @@ object Multimodal {
     (width, height, feats)
   }
 
+  /** True iff the payload starts with a PNG or JPEG signature. Both are
+    * IMPOSSIBLE at the start of valid UTF-8 text (0x89 is a continuation
+    * byte, 0xFF is not UTF-8 at all), so the text-payload gate queries can
+    * never stray onto the image path — their oracle values are stable by
+    * construction. GIF/BMP magics are ASCII ("GIF8", "BM") and therefore
+    * deliberately NOT sniffed.
+    */
+  def isImagePayload(p: Array[Byte]): Boolean =
+    (p.length >= 8 &&
+      p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+      p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a.toByte && p(7) == 0x0a) ||
+    (p.length >= 3 &&
+      p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte)
+
+  /** Decode a REAL image payload via `javax.imageio`: (buffered image) or
+    * None when the payload only looked like one (truncated/corrupt) — the
+    * caller then falls back to the stub, never throws mid-partition.
+    */
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** The decode dispatcher both operators run: PNG/JPEG → true dims + an
+    * [[FeatureDim]]-bin LUMINANCE HISTOGRAM (mass-normalized — a real
+    * reduced representation with the stub's exact schema); everything
+    * else → [[stubDecode]].
+    */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+    (if (isImagePayload(payload)) readImage(payload) else None) match {
+      case None => stubDecode(payload)
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        val hist = new Array[Long](FeatureDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer Rec.601 luma: deterministic across platforms
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(math.min(lum * FeatureDim / 256, FeatureDim - 1)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        (w, h, hist.map(c => (c.toDouble / n).toFloat))
+    }
+
   /** m2: batched decode/feature-extraction over binary media. Batches of
     * `DecodeBatchSize` mirror how a vectorized decoder amortizes setup; the
     * operator is a pure partition-parallel map — at 100 TB it scales with
@@ -61,9 +115,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(DecodeBatchSize).flatMap { batch =>
-        // one "decoder context" per batch (stub: nothing to init)
+        // one "decoder context" per batch (imageio readers are pooled by
+        // the JDK; a vectorized native decoder would init here)
         batch.iterator.map { r =>
-          val (w, h, f) = stubDecode(r.media)
+          val (w, h, f) = decode(r.media)
           MediaFeatures(r.doc_id, w, h, ok = true, f)
         }
       }
@@ -89,6 +144,39 @@ object Multimodal {
     (w, h, ow, oh, fp)
   }
 
+  /** The resize dispatcher: PNG/JPEG → a REAL nearest-neighbor resample
+    * into the `box` bounding box (hand-rolled grid sampling, not a
+    * Graphics2D pipeline, so the output raster — and its md5 witness — is
+    * bit-deterministic across platforms); everything else →
+    * [[stubResize]]. Same aspect-preserving integer dims math as the stub.
+    */
+  def decodeResize(payload: Array[Byte], box: Int): (Int, Int, Int, Int, String) =
+    (if (isImagePayload(payload)) readImage(payload) else None) match {
+      case None => stubResize(payload, box)
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        val m = math.max(w, h)
+        val (ow, oh) = (math.max(1, w * box / m), math.max(1, h * box / m))
+        val raster = new Array[Byte](ow * oh * 3)
+        var yy = 0
+        while (yy < oh) {
+          val sy = yy * h / oh
+          var xx = 0
+          while (xx < ow) {
+            val rgb = img.getRGB(xx * w / ow, sy)
+            val base = (yy * ow + xx) * 3
+            raster(base) = ((rgb >> 16) & 0xff).toByte
+            raster(base + 1) = ((rgb >> 8) & 0xff).toByte
+            raster(base + 2) = (rgb & 0xff).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        val d = java.security.MessageDigest.getInstance("MD5").digest(raster)
+        val fp = d.take(8).map(b => f"${b & 0xff}%02x").mkString
+        (w, h, ow, oh, fp)
+    }
+
   /** m3: batched resize over binary media — decode dims, fit to a 64×64
     * box, emit output dims/size and a fingerprint witnessing the resized
     * payload. Same partition-parallel mapPartitions shape as m2 (the batch
@@ -100,7 +188,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(DecodeBatchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val (w, h, ow, oh, fp) = stubResize(r.media, box)
+          val (w, h, ow, oh, fp) = decodeResize(r.media, box)
           ResizedMedia(r.doc_id, w, h, ow, oh, ow.toLong * oh * 3, fp)
         }
       }

@@ -61,12 +61,17 @@ object VectorIndex {
     val unit = unitized(corpus)
     val nl = if (nlist > 0) nlist else Similarity.autoNlist(unit.count())
     val cents = Similarity.kmeansCentroids(unit, nl, dims)
-    if (!cat.tableExists(centroidsIdent)) cat.createTable(centroidsIdent, CentroidSchema)
+    // both tables opt in to the pipeline maintenance policy at creation:
+    // ingest() appends per batch forever, and compaction rewrites through
+    // the partition spec so cell pruning survives
+    if (!cat.tableExists(centroidsIdent)) cat.createTable(centroidsIdent, CentroidSchema,
+      properties = graft.catalog.Maintenance.PipelineTableProps)
     // postings are identity-partitioned BY CELL: a small query batch's
     // probe set is known up front, so the serving path scans only the
     // probed partitions instead of the whole corpus
     if (!cat.tableExists(postingsIdent)) cat.createTable(postingsIdent, PostingSchema,
-      partitionSpec = Seq(IceCatalog.PartitionField("cell", "identity", "cell")))
+      partitionSpec = Seq(IceCatalog.PartitionField("cell", "identity", "cell")),
+      properties = graft.catalog.Maintenance.PipelineTableProps)
     // REBUILD semantics: a second build must REPLACE, not append — stale
     // generations would leave duplicate cell ids and silently wrong
     // probes. One atomic overwriteGroup stages the new generation's files
@@ -128,31 +133,55 @@ object VectorIndex {
     * against the STORED centroids, one postings append — O(batch), no
     * retraining, no touch of the centroid table.
     *
-    * A REBUILD racing this append is detected, not silently absorbed:
-    * cell ids are only meaningful within the generation whose centroids
-    * assigned them, so after the append the postings generation is
-    * re-checked against the one read at assignment time — a mismatch
-    * throws loudly. (Rebuild-published-after-append: replaceAll already
-    * discarded this batch's rows — re-ingest after the rebuild.
-    * Rebuild-published-before-append: the appended rows carry retired
-    * cell ids — rebuild from the full corpus, which replaces them.)
+    * A REBUILD racing this append is REJECTED, not merely detected after
+    * the fact: cell ids are only meaningful within the generation whose
+    * centroids assigned them, so the append CASes on the postings
+    * snapshot read at ASSIGNMENT time (`InsertOptions.basedOn` —
+    * locally a commit-lock check, remotely assert-current-snapshot-id).
+    * A rebuild publishing first 409s the append — NOTHING lands, no
+    * mis-bucketed rows ever enter the new generation's table — and the
+    * ingest re-reads: generation changed → loud error naming the remedy;
+    * generation unchanged (another INGEST won the snapshot race — its
+    * rows are valid under the same centroids) → re-CAS on the fresh
+    * snapshot, bounded retries. The append-publishes-first interleave is
+    * safe by construction: the rebuild's replaceAll discards this batch's
+    * rows with the rest of the old generation.
     */
   def ingest(
       cat: graft.catalog.CatalogSurface, spark: SparkSession, batch: DataFrame,
       centroidsIdent: String, postingsIdent: String): Unit = {
-    val (cm, _) = consistentMetas(cat, centroidsIdent, postingsIdent)
     def gen(m: IceCatalog.TableMeta): Option[String] =
       Option(m.properties).flatMap(_.get(GenerationProp))
-    val cents = loadCentroids(cat, centroidsIdent, cm.current.map(_.id))
-    cat.insert(postingsIdent, unitized(batch)
-      .select(col("vec_id"), Similarity.argminAssign(cents).as("cell"), col("vn")))
-    val after = gen(cat.loadMeta(postingsIdent))
-    if (after != gen(cm))
-      throw new IllegalStateException(
-        s"$postingsIdent: a rebuild superseded generation ${gen(cm)} during " +
-          "this ingest — the batch was assigned against retired centroids; " +
-          "re-run build() from the full corpus (it replaces both tables) or " +
-          "re-ingest the batch against the new generation")
+    def isCasConflict(e: Throwable): Boolean =
+      graft.catalog.CommitRetry.isConflict(e) ||
+        Option(e.getCause).exists(graft.catalog.CommitRetry.isConflict)
+    var attempt = 0
+    while (true) {
+      val (cm, pm) = consistentMetas(cat, centroidsIdent, postingsIdent)
+      val cents = loadCentroids(cat, centroidsIdent, cm.current.map(_.id))
+      try {
+        cat.insert(postingsIdent, unitized(batch)
+          .select(col("vec_id"), Similarity.argminAssign(cents).as("cell"),
+            col("vn")),
+          IceCatalog.InsertOptions(basedOn = Some(pm.currentSnapshotId)))
+        return
+      } catch {
+        case e if isCasConflict(e) =>
+          attempt += 1
+          if (gen(cat.loadMeta(postingsIdent)) != gen(cm))
+            throw new IllegalStateException(
+              s"$postingsIdent: a rebuild superseded generation ${gen(cm)} " +
+                "during this ingest — the batch was assigned against retired " +
+                "centroids and the append was REJECTED (nothing published); " +
+                "re-ingest against the new generation (or re-run build() " +
+                "from the full corpus)", e)
+          if (attempt >= 5)
+            throw new IllegalStateException(
+              s"$postingsIdent: append lost the snapshot race $attempt times " +
+                "(concurrent ingests); re-run the ingest", e)
+        // same generation: assignments remain valid — loop re-CASes
+      }
+    }
   }
 
   /** Top-k cosine neighbors for `queries` (vec_id, embedding) via the

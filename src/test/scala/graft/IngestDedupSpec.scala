@@ -309,6 +309,50 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally served.stop()
   }
 
+  test("maintenance compacts the pipeline tables; probe decisions byte-identical") {
+    import spark.implicits._
+    // ensureTables stamped the opt-in policy at creation
+    assert(cat.loadMeta("pipe.index").properties
+      .get("maintenance.jobs").exists(_.contains("data_compaction")))
+    assert(cat.loadMeta("pipe.docs").properties
+      .get("maintenance.jobs").exists(_.contains("data_compaction")))
+    // a probe with a GUARANTEED decision: a verbatim copy of a stored doc
+    val keep = cat.scan("pipe.docs").select("doc_id").as[Long].collect().min
+    val src = cat.scan("pipe.docs").filter(col("doc_id") === keep)
+      .select("text", "lang", "source", "n_chars").head()
+    val probe = Seq((9600L, src.getString(0), src.getString(1),
+      src.getString(2), src.getLong(3)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def decide(): Seq[(Long, Long)] = {
+      val sigs = Dedup.minhashSignatures(probe)
+      graft.operators.IngestDedup.decisionFrame(
+        cat, "pipe.docs", "pipe.index", probe, sigs, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    val before = decide()
+    assert(before.nonEmpty, "the copy must decide as a dup pre-compaction")
+    val idxFiles = cat.files("pipe.index").length
+    val reports =
+      cat.runMaintenance("pipe.index", graft.catalog.Maintenance.Policy()) ++
+        cat.runMaintenance("pipe.docs", graft.catalog.Maintenance.Policy())
+    assert(reports.nonEmpty && reports.forall(_.error.isEmpty),
+      reports.mkString("\n"))
+    assert(cat.files("pipe.index").length < idxFiles,
+      s"compaction must shrink the per-batch small files " +
+        s"(${cat.files("pipe.index").length} vs $idxFiles)")
+    assert(decide() == before,
+      "probe decisions must be byte-identical across compaction")
+    // the compacted rewrite kept partition values: the probe still prunes
+    val sigs = Dedup.minhashSignatures(probe)
+    val decided = graft.operators.IngestDedup.decisionFrame(
+      cat, "pipe.docs", "pipe.index", probe, sigs, 0.6)
+    decided.collect()
+    val total = cat.files("pipe.index").length
+    val scanned = decided.inputFiles.count(_.contains("index"))
+    assert(scanned < total,
+      s"post-compaction probe must still prune ($scanned vs $total)")
+  }
+
   test("micro-batch stream ingests through foreachBatch; dedup holds across epochs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -86,6 +86,69 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.sortBy(_.doc_id).map(_.features.toSeq).toSeq)
   }
 
+  test("real PNG payloads decode + resize through imageio; text stays on the stub") {
+    import spark.implicits._
+    // a genuine 100x40 PNG (solid color), built with the same public JDK
+    // API the decoder uses — decode must report the TRUE dims, features
+    // must be the real luminance histogram, and the resize witness must
+    // equal an INDEPENDENTLY computed md5 of the known solid raster
+    val (pw, ph, rgb) = (100, 40, 0x336699)
+    val img = new java.awt.image.BufferedImage(
+      pw, ph, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until ph; x <- 0 until pw) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    assert(Multimodal.isImagePayload(png))
+    val text = "just a plain text payload, nothing image about it"
+      .getBytes("UTF-8")
+    assert(!Multimodal.isImagePayload(text))
+
+    // through the SPARK operator (mixed batch: image + text in one frame)
+    val media = Seq(
+      Multimodal.MediaRow(1L, png), Multimodal.MediaRow(2L, text)).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats(0).width == pw && feats(0).height == ph,
+      s"true PNG dims, got ${feats(0).width}x${feats(0).height}")
+    // solid color ⇒ the whole histogram mass sits in one luminance bin
+    val lum = (0x33 * 299 + 0x66 * 587 + 0x99 * 114) / 1000
+    val bin = math.min(lum * Multimodal.FeatureDim / 256, Multimodal.FeatureDim - 1)
+    assert(feats(0).features(bin) == 1.0f,
+      s"solid color must fill bin $bin: ${feats(0).features.toSeq}")
+    assert(feats(0).features.sum == 1.0f)
+    // the text row took the stub path: md5-derived dims, not PNG dims
+    assert((feats(1).width, feats(1).height) ==
+      (Multimodal.stubDecode(text)._1, Multimodal.stubDecode(text)._2))
+
+    val resized = Multimodal.resize(media).collect().sortBy(_.doc_id)
+    // box=64, 100x40 ⇒ 64 x (40*64/100)=25, aspect preserved
+    assert((resized(0).out_w, resized(0).out_h) == (64, 25),
+      s"got ${resized(0).out_w}x${resized(0).out_h}")
+    // independent witness: a solid-color NN resample is the same color at
+    // every output pixel — md5 computed here from first principles
+    val raster = Array.fill(64 * 25)(
+      Array(0x33.toByte, 0x66.toByte, 0x99.toByte)).flatten
+    val expectFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(raster).take(8).map(b => f"${b & 0xff}%02x").mkString
+    assert(resized(0).out_fp == expectFp,
+      "resized raster hash must match the independently computed witness")
+    // the text row's resize stayed on the stub path
+    assert(resized(1).out_fp == Multimodal.stubResize(text, 64)._5)
+
+    // a JPEG payload also routes to the real decoder (lossy codec: dims
+    // exact, content assertions stay structural)
+    val jos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jos))
+    val jpg = jos.toByteArray
+    assert(Multimodal.isImagePayload(jpg))
+    val (jw, jh, jf) = Multimodal.decode(jpg)
+    assert(jw == pw && jh == ph && math.abs(jf.sum - 1.0f) < 1e-4)
+    // a payload that only LOOKS like an image (truncated magic) must fall
+    // back to the stub, never throw mid-partition
+    val fake = png.take(16)
+    assert(Multimodal.decode(fake)._1 == Multimodal.stubDecode(fake)._1)
+  }
+
   test("approx sketches land within configured error of exact") {
     val row = Relational.q9Approx(spark, dir).collect()(0)
     val exact = Relational.q6Distinct(spark, dir).collect()(0)

@@ -83,6 +83,26 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       val r8b = recall(VectorIndex.query(remote, spark, queries,
         "vx.centroids", "vx.postings", k = 10, nprobe = 8))
       assert(r8b >= 0.55, s"post-rebuild remote recall $r8b")
+      // the ingest CAS rides the wire too: an append pinned on a STALE
+      // snapshot must 409 fail-FAST (no retry burn — only the caller can
+      // re-plan content computed against the old snapshot) and land nothing
+      import spark.implicits._
+      val stale = remote.loadMeta("vx.postings").currentSnapshotId
+      VectorIndex.ingest(remote, spark,
+        Seq((700000L, Seq.fill(64)(0.4f))).toDF("vec_id", "embedding"),
+        "vx.centroids", "vx.postings") // advances the snapshot
+      val rowsBefore = remote.scan("vx.postings").count()
+      val e = intercept[Exception] {
+        remote.insert("vx.postings",
+          remote.scan("vx.postings").limit(1)
+            .withColumn("vec_id", org.apache.spark.sql.functions.lit(700001L)),
+          IceCatalog.InsertOptions(basedOn = Some(stale)))
+      }
+      assert(graft.catalog.CommitRetry.isConflict(e) ||
+        Option(e.getCause).exists(graft.catalog.CommitRetry.isConflict),
+        s"stale basedOn must surface as a CAS conflict: $e")
+      assert(remote.scan("vx.postings").count() == rowsBefore,
+        "the refused append must publish nothing")
     } finally served.stop()
   }
 
@@ -151,6 +171,104 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = recall(VectorIndex.query(cat, spark, queries,
       "vx.centroids", "vx.postings", k = 10, nprobe = 8))
     assert(r >= 0.55, s"post-rebuild recall $r")
+  }
+
+  test("a rebuild racing an ingest REJECTS the append — no poisoned rows land") {
+    import spark.implicits._
+    // race injection: the FIRST postings append triggers a full rebuild
+    // between assignment (metas read) and the commit. The basedOn CAS
+    // must refuse the append — rows assigned against retired centroids
+    // must NEVER publish into the new generation's table (they'd be
+    // mis-bucketed, silently degrading recall until a manual rebuild)
+    val rroot = Files.createTempDirectory("vecidx-race").toString
+    val racy = new IceCatalog(spark, rroot) {
+      var raced = false
+      override def insert(
+          ident: String, df0: org.apache.spark.sql.DataFrame,
+          options: IceCatalog.InsertOptions): IceCatalog.TableMeta = {
+        if (!raced && ident == "vxr.postings") {
+          raced = true
+          VectorIndex.build(this, spark, corpus, "vxr.centroids", "vxr.postings",
+            nlist = 8)
+        }
+        super.insert(ident, df0, options)
+      }
+    }
+    racy.createNamespace("vxr")
+    VectorIndex.build(racy, spark, corpus, "vxr.centroids", "vxr.postings",
+      nlist = 16)
+    val batch = Seq((900000L, Seq.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      VectorIndex.ingest(racy, spark, batch, "vxr.centroids", "vxr.postings")
+    }
+    assert(e.getMessage.contains("rebuild superseded"), e.getMessage)
+    assert(racy.scan("vxr.postings").filter(col("vec_id") === 900000L).count() == 0,
+      "the rejected append must publish NOTHING into the new generation")
+    // the table still serves: the new generation is intact
+    assert(racy.scan("vxr.centroids").count() == 8)
+  }
+
+  test("an ingest losing the snapshot race to ANOTHER ingest re-CASes and lands") {
+    import spark.implicits._
+    // same-generation conflict: a rival ingest advances the postings
+    // snapshot first — the loser's assignments are still valid (same
+    // centroids), so it must retry with a fresh CAS, not fail
+    val rroot = Files.createTempDirectory("vecidx-race2").toString
+    val rival = Seq((800000L, Seq.fill(64)(0.2f))).toDF("vec_id", "embedding")
+    val racy = new IceCatalog(spark, rroot) {
+      var raced = false
+      override def insert(
+          ident: String, df0: org.apache.spark.sql.DataFrame,
+          options: IceCatalog.InsertOptions): IceCatalog.TableMeta = {
+        if (!raced && ident == "vxr2.postings" && options.basedOn.isDefined) {
+          raced = true
+          VectorIndex.ingest(this, spark, rival, "vxr2.centroids", "vxr2.postings")
+        }
+        super.insert(ident, df0, options)
+      }
+    }
+    racy.createNamespace("vxr2")
+    VectorIndex.build(racy, spark, corpus, "vxr2.centroids", "vxr2.postings",
+      nlist = 8)
+    val batch = Seq((900001L, Seq.fill(64)(0.3f))).toDF("vec_id", "embedding")
+    VectorIndex.ingest(racy, spark, batch, "vxr2.centroids", "vxr2.postings")
+    assert(racy.scan("vxr2.postings")
+      .filter(col("vec_id").isin(800000L, 900001L)).count() == 2,
+      "both the rival's and the retried ingest's rows must land exactly once")
+  }
+
+  test("maintenance compacts per-ingest postings files; query results identical") {
+    import spark.implicits._
+    // build() stamped the opt-in policy at creation
+    assert(cat.loadMeta("vx.postings").properties
+      .get("maintenance.jobs").exists(_.contains("data_compaction")))
+    // several small ingests: each appends O(touched cells) small files
+    for (i <- 0 until 3) {
+      val b = Seq((910000L + i, Seq.tabulate(64)(d => (d * (i + 1)) / 64.0f)))
+        .toDF("vec_id", "embedding")
+      VectorIndex.ingest(cat, spark, b, "vx.centroids", "vx.postings")
+    }
+    val before = VectorIndex.query(cat, spark, queries,
+      "vx.centroids", "vx.postings", k = 10, nprobe = 8).collect().toSeq
+    val files = cat.files("vx.postings").length
+    val reports = cat.runMaintenance(
+      "vx.postings", graft.catalog.Maintenance.Policy())
+    assert(reports.nonEmpty && reports.forall(_.error.isEmpty),
+      reports.mkString("\n"))
+    assert(cat.files("vx.postings").length < files,
+      s"compaction must fold the per-ingest files " +
+        s"(${cat.files("vx.postings").length} vs $files)")
+    assert(VectorIndex.query(cat, spark, queries,
+      "vx.centroids", "vx.postings", k = 10, nprobe = 8).collect().toSeq == before,
+      "serving results must be identical across compaction")
+    // the rewrite kept cell partition values: serving still prunes
+    val pruned = VectorIndex.query(cat, spark, queries,
+      "vx.centroids", "vx.postings", k = 10, nprobe = 2)
+    pruned.collect()
+    val total = cat.files("vx.postings").length
+    val scanned = pruned.inputFiles.count(_.contains("postings"))
+    assert(scanned < total,
+      s"post-compaction serving must still prune ($scanned vs $total)")
   }
 
   test("query plan: postings join keys on cell only; query side broadcast") {
