@@ -236,8 +236,9 @@ object IngestDedup {
     // PERSISTED for the call's lifetime: the decision is consumed by both
     // table writes and the report — without the persist the whole
     // propose+verify subtree re-executes per consumer. O(batch-dups) rows.
-    val decided = decisionFrame(cat, docsIdent, indexIdent, batch, sigs,
-      threshold, Some(exIndex)).persist()
+    val (decision, workCaches) = decisionPlan(cat, docsIdent, indexIdent,
+      batch, sigs, threshold, Some(exIndex))
+    val decided = decision.persist()
 
     val survivors = batch.join(decided.select(col("doc_id")), Seq("doc_id"),
       "left_anti")
@@ -270,19 +271,36 @@ object IngestDedup {
     } finally {
       sigs.unpersist()
       decided.unpersist()
+      workCaches.foreach(_.unpersist())
     }
   }
 
   /** The LAZY decision plan — (doc_id, dup_of) for every batch doc that
     * verified against an existing corpus doc or a smaller-id batch doc —
-    * exposed separately so specs can AUDIT the plan shape before any
-    * commit: the only corpus-scaling joins key on (band, sig) and ids,
-    * never on a block attribute (source/label/text).
+    * the spec-facing wrapper over [[decisionPlan]]: the working cache is
+    * released immediately (audit/collect paths recompute the small probe;
+    * [[ingest]] holds it across the commit instead).
     */
   private[graft] def decisionFrame(
       cat: graft.catalog.CatalogSurface, docsIdent: String, indexIdent: String,
       batch: DataFrame, sigs: DataFrame, threshold: Double,
       exIndex: Option[DataFrame] = None): DataFrame = {
+    val (decision, caches) =
+      decisionPlan(cat, docsIdent, indexIdent, batch, sigs, threshold, exIndex)
+    caches.foreach(_.unpersist())
+    decision
+  }
+
+  /** [[decisionFrame]] plus the live working caches the caller must
+    * unpersist once the decision is consumed. The candidate-pair frame is
+    * PERSISTED because it has two consumers — the docs-pruning collect
+    * (which materializes it) and the verify join — and without the cache
+    * the propose probe would execute twice per batch.
+    */
+  private[graft] def decisionPlan(
+      cat: graft.catalog.CatalogSurface, docsIdent: String, indexIdent: String,
+      batch: DataFrame, sigs: DataFrame, threshold: Double,
+      exIndex: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     val newBands = Dedup.lshBands(sigs)
 
     // ---- propose: cross-batch via the index TABLE, within-batch via the
@@ -293,10 +311,12 @@ object IngestDedup {
     // restricted to the batch signatures' own partitions
     val exBands = exIndex.getOrElse(indexScanForBatch(cat, indexIdent, newBands))
       .select(col("band"), col("sig"), col("doc_id").as("ex_id"))
+    // persisted: consumed by the docs-pruning collect AND the verify join
     val crossCand = newBands
       .join(exBands, Seq("band", "sig"))
       .select(col("doc_id").as("doc_a"), col("ex_id").as("doc_b"))
       .distinct()
+      .persist()
     val inCand = Dedup.lshCandidatePairs(sigs, Dedup.MaxLshBucket)
       // lshCandidatePairs emits doc_a < doc_b; the potential dup is the
       // LARGER id (min-id keeper), so flip: doc_a = candidate dup
@@ -322,10 +342,11 @@ object IngestDedup {
 
     // a batch doc survives unless it verified against an existing doc or a
     // smaller batch doc; dup_of = the smallest such match
-    crossVerified.select(col("doc_a"), col("doc_b"))
+    val decision = crossVerified.select(col("doc_a"), col("doc_b"))
       .union(inVerified.select(col("doc_a"), col("doc_b")))
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min(col("doc_b")).as("dup_of"))
+    (decision, Seq(crossCand))
   }
 
   /** d14 gate: corpus = even-id docs MATERIALIZED as docs + index tables

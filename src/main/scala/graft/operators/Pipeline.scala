@@ -68,4 +68,80 @@ object Pipeline {
         min(col("doc_id")).as("first_doc"))
       .orderBy(col("source"))
   }
+
+  /** p2's trait-typed core — the LAKEHOUSE composition of the pipeline's
+    * parts against ONE catalog (local or behind the REST wire, the same
+    * code): d14 ingest of `batch` (probe-verify-atomic-commit against the
+    * materialized docs + index tables), then the r7 NEAR-DUP-SAFE split
+    * over the POST-INGEST docs table — clusters from the LSH pairs among
+    * the surviving docs (the d8 pass a real pipeline materializes), every
+    * member keyed on its representative's fingerprint so no near-dup pair
+    * straddles train/val. Returns the batch's decision report with each
+    * survivor's split: (doc_id, is_dup, dup_of, split — NULL for dropped
+    * docs, which never reach training). PERSISTED like
+    * [[IngestDedup.ingest]]'s report; callers unpersist once consumed.
+    *
+    * The s11 ANN-serving leg of the composition runs from the same
+    * catalog in PipelineE2ESpec (build + query + recall floor) — its
+    * k-means-seeded output is not DuckDB-replayable, so keeping it out of
+    * this frame keeps the report fully hash-checkable.
+    */
+  def lakehouseIngestSplit(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      docsIdent: String, indexIdent: String, batch: DataFrame): DataFrame = {
+    val report = IngestDedup.ingest(cat, spark, docsIdent, indexIdent, batch)
+    val docs = cat.scan(docsIdent).select(col("doc_id"), col("text"))
+    // the cluster pass over the committed table: band-keyed propose with
+    // the d3 bucket cap, min-label components — shuffles key on
+    // (band, sig) and ids only, never a block attribute
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLshPairsOf(
+        Dedup.minhashSignatures(docs), Dedup.MaxLshBucket)
+        .select(col("doc_a"), col("doc_b")))
+    val split = Sampling.splitDocumentsNearDupSafeOn(docs, clusters)
+    val out = report
+      .join(split.select(col("doc_id"), col("split")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_dup"), col("dup_of"), col("split"))
+      .orderBy(col("doc_id"))
+      .persist()
+    out.count()
+    report.unpersist()
+    out
+  }
+
+  /** p2 gate: the composition OVER THE REST WIRE — an in-process
+    * `graft serve` owns a scratch catalog; the pipeline talks to it as a
+    * remote client (metadata commits through `/v1/transactions/commit`,
+    * reads resolving served metadata pointers), exactly the deployment
+    * where 1000 executors share a catalog server. Corpus = even-id docs
+    * materialized as docs + index tables; batch = odd-id docs through
+    * ingest; split over the post-ingest table. The DuckDB oracle replays
+    * the composed decision rule (d14's probe ∪ within-batch pairs, then
+    * the r7 closure restricted to survivors) — full hash check.
+    */
+  def lakehouseGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_p2").toString
+    val served = new graft.catalog.RestServer.Server(
+      new graft.catalog.IceCatalog(spark, root),
+      tokens = Seq(graft.catalog.RestServer.Token("p2tok", "admin"))).start()
+    try {
+      val cat = new graft.catalog.RestCatalogClient(spark, served.url, Some("p2tok"))
+      cat.createNamespace("pipe")
+      IngestDedup.ensureTables(cat, "pipe.docs", "pipe.index", docs.schema)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      cat.insertGroup(Seq(
+        "pipe.docs" -> corpus,
+        "pipe.index" -> IngestDedup.slottedBands(
+          Dedup.lshBands(Dedup.minhashSignatures(corpus)),
+          cat.scan("pipe.index"))))
+      val out = lakehouseIngestSplit(cat, spark, "pipe.docs", "pipe.index",
+        docs.filter(col("doc_id") % 2 === 1))
+      val rows = out.as[(Long, Boolean, Option[Long], Option[String])]
+        .collect().toSeq
+      out.unpersist()
+      rows.toDF("doc_id", "is_dup", "dup_of", "split").orderBy(col("doc_id"))
+    } finally served.stop()
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{IceCatalog, RestCatalogClient, RestServer}
+import graft.operators.{Dedup, IngestDedup, Pipeline, Similarity, VectorIndex}
+
+/** The END-TO-END lakehouse pipeline (p2's full form): d14 ingest + r7
+  * near-dup-safe split + s11 ANN serving against the SAME catalog behind
+  * the REST wire — the "training-data pipeline over a lakehouse" story in
+  * one lifecycle. Pins: the remote decision report is byte-identical to
+  * the local-catalog run of the identical code (the composed differential
+  * oracle — the absolute rule is DuckDB-hash-checked by the p2 gate),
+  * batch redelivery is a no-op (replay idempotency), and the ANN index
+  * built from the same catalog serves with full recall at nprobe=nlist.
+  */
+class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-p2e2e-test", cpus = 4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def seed(cat: graft.catalog.CatalogSurface): Unit = {
+    cat.createNamespace("pipe")
+    IngestDedup.ensureTables(cat, "pipe.docs", "pipe.index", docs.schema)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    cat.insertGroup(Seq(
+      "pipe.docs" -> corpus,
+      "pipe.index" -> IngestDedup.slottedBands(
+        Dedup.lshBands(Dedup.minhashSignatures(corpus)),
+        cat.scan("pipe.index"))))
+  }
+
+  private def runPipeline(
+      cat: graft.catalog.CatalogSurface): Seq[(Long, Boolean, Option[Long], Option[String])] = {
+    import spark.implicits._
+    val out = Pipeline.lakehouseIngestSplit(cat, spark,
+      "pipe.docs", "pipe.index", docs.filter(col("doc_id") % 2 === 1))
+    val rows = out.as[(Long, Boolean, Option[Long], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    out.unpersist()
+    rows
+  }
+
+  test("ingest → split → ANN serve against ONE remote catalog; replay idempotent") {
+    import spark.implicits._
+    val remoteRoot = Files.createTempDirectory("p2e2e-remote").toString
+    val served = new RestServer.Server(new IceCatalog(spark, remoteRoot),
+      tokens = Seq(RestServer.Token("p2tok", "admin"))).start()
+    val remote = new RestCatalogClient(spark, served.url, Some("p2tok"))
+    try {
+      seed(remote)
+      val remoteReport = runPipeline(remote)
+      assert(remoteReport.nonEmpty && remoteReport.exists(_._2) &&
+        remoteReport.exists(!_._2), "batch must contain both dups and survivors")
+      // dropped docs never reach training: no split; survivors all have one
+      assert(remoteReport.forall(r => r._2 == r._4.isEmpty),
+        "split must be present exactly for surviving docs")
+
+      // composed differential oracle: the identical pipeline code over a
+      // LOCAL catalog must produce the byte-identical decision report
+      // (the absolute decision rule is DuckDB-hash-checked by the p2 gate)
+      val local = new IceCatalog(spark, Files.createTempDirectory("p2e2e-local").toString)
+      seed(local)
+      assert(runPipeline(local) == remoteReport,
+        "remote and local runs of the one pipeline must agree byte-for-byte")
+
+      // REPLAY idempotency: redelivering the SAME batch (the streaming
+      // at-least-once shape) self-matches everything and commits nothing
+      val docsRows = remote.scan("pipe.docs").count()
+      val idxRows = remote.scan("pipe.index").count()
+      val replay = runPipeline(remote)
+      assert(replay.forall(_._2), "every replayed doc must self-match and drop")
+      // a replayed doc whose first delivery SURVIVED self-matches its own
+      // committed copy (dup_of = its own id) and reports that copy's
+      // split; docs dropped the first time stay dropped with no split
+      val survived1 = remoteReport.filter(!_._2).map(_._1).toSet
+      replay.foreach { r =>
+        if (survived1(r._1))
+          assert(r._3.contains(r._1) && r._4.nonEmpty,
+            s"replayed survivor ${r._1} must self-match its committed copy: $r")
+        else assert(r._4.isEmpty, s"twice-dropped doc ${r._1} must carry no split: $r")
+      }
+      assert(remote.scan("pipe.docs").count() == docsRows,
+        "replay must add no documents")
+      assert(remote.scan("pipe.index").count() == idxRows,
+        "replay must add no index rows")
+
+      // the s11 leg from the SAME catalog: build the ANN index next to the
+      // docs tables, serve through the wire; nprobe=nlist probes every
+      // cell, so the served top-k must MATCH brute force (recall 1.0
+      // modulo equal-score tie order — assert ≥ 0.9)
+      VectorIndex.build(remote, spark, embeddings.filter(col("vec_id") >= 5),
+        "pipe.centroids", "pipe.postings", nlist = 8)
+      val exact = Similarity.cosineTopK(spark, dir, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val served10 = VectorIndex.query(remote, spark,
+        embeddings.filter(col("vec_id") < 5),
+        "pipe.centroids", "pipe.postings", k = 10, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val recall = served10.count(exact.contains).toDouble / exact.size
+      info(f"full-probe recall from the shared catalog: $recall%.3f")
+      assert(recall >= 0.9, s"nprobe=nlist serve must match brute force, got $recall")
+      // one catalog owns the whole pipeline's state
+      assert(remote.listTables("pipe").toSet ==
+        Set("docs", "index", "centroids", "postings"))
+    } finally served.stop()
+  }
+}
