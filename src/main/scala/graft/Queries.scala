@@ -584,8 +584,13 @@ object Queries {
          |  WHERE d.doc_id % 2 = 1 AND agg.dup_of IS NULL),
          |sbands AS (SELECT bands.* FROM bands JOIN surv USING (doc_id)),
          |sbsz AS (SELECT band, sig, count(*) AS n FROM sbands GROUP BY 1, 2),
+         |-- the Spark side pairs from the INDEX TABLE read back (no corpus
+         |-- re-shingle); a stored bucket whose max slot hit the write cap
+         |-- was truncated (saturated boilerplate) and is dropped from
+         |-- pairing — equivalent, over full survivor bands, to keeping
+         |-- sizes in [2, cap): stored-count < cap <=> never saturated
          |skept AS (SELECT sbands.* FROM sbands JOIN sbsz USING (band, sig)
-         |          WHERE sbsz.n BETWEEN 2 AND ${graft.operators.Dedup.MaxLshBucket}),
+         |          WHERE sbsz.n BETWEEN 2 AND ${graft.operators.Dedup.MaxLshBucket - 1}),
          |spairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM skept a JOIN skept b
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),

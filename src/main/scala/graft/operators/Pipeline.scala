@@ -91,13 +91,32 @@ object Pipeline {
       docsIdent: String, indexIdent: String, batch: DataFrame): DataFrame = {
     val report = IngestDedup.ingest(cat, spark, docsIdent, indexIdent, batch)
     val docs = cat.scan(docsIdent).select(col("doc_id"), col("text"))
-    // the cluster pass over the committed table: band-keyed propose with
-    // the d3 bucket cap, min-label components — shuffles key on
-    // (band, sig) and ids only, never a block attribute
-    val clusters = Dedup.connectedComponents(
-      Dedup.minhashLshPairsOf(
-        Dedup.minhashSignatures(docs), Dedup.MaxLshBucket)
-        .select(col("doc_a"), col("doc_b")))
+    // the cluster pass READS THE INDEX TABLE BACK as its band source —
+    // the index IS the pipeline's materialized band artifact (indexed
+    // docs == stored docs, the d14 invariant), so the split never
+    // re-shingles the corpus: at 100 TB that re-tokenization is a full
+    // corpus recompute of the most expensive kernel, here it's one index
+    // scan + the band-keyed self-join. Buckets whose stored max slot hit
+    // the write cap were TRUNCATED at write time (saturated boilerplate);
+    // dropping them from pairing reproduces exactly the d3 degenerate-
+    // bucket rule over full bands with size ∈ [2, cap) — provably, since
+    // stored-count < cap ⟺ the bucket never saturated. Min-label
+    // components as in d8; shuffles key on (band, sig) and ids only.
+    val bands = IngestDedup.normalizedIndex(cat.scan(indexIdent))
+      .select(col("doc_id"), col("band"), col("sig"), col("slot"))
+    val pairable = bands
+      .withColumn("mx", max(col("slot"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("sig"))))
+      .filter(col("mx") < lit(Dedup.MaxLshBucket))
+      .select(col("doc_id"), col("band"), col("sig"))
+    val pairs = pairable.as("a")
+      .join(pairable.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val clusters = Dedup.connectedComponents(pairs)
     val split = Sampling.splitDocumentsNearDupSafeOn(docs, clusters)
     val out = report
       .join(split.select(col("doc_id"), col("split")), Seq("doc_id"), "left")

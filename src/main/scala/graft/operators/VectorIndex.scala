@@ -102,17 +102,19 @@ object VectorIndex {
       postingsIdent: String): (IceCatalog.TableMeta, IceCatalog.TableMeta) = {
     def gen(m: IceCatalog.TableMeta): Option[String] =
       Option(m.properties).flatMap(_.get(GenerationProp))
-    var attempt = 0
-    while (true) {
+    // a torn pair is the same transient the commit protocol calls a
+    // conflict — resolve it under the SAME budgeted retry loop
+    // (re-read, backoff, bounded attempts + wall clock) instead of a
+    // bespoke spin
+    graft.catalog.CommitRetry.run(retries = 8, totalMs = 15000) { _ =>
       val cm = cat.loadMeta(centroidsIdent)
       val pm = cat.loadMeta(postingsIdent)
-      if (gen(cm) == gen(pm)) return (cm, pm)
-      attempt += 1
-      require(attempt < 50,
-        s"$centroidsIdent/$postingsIdent: generation stamps never converged")
-      Thread.sleep(10L * attempt)
+      if (gen(cm) != gen(pm))
+        throw new graft.catalog.CommitConflictException(
+          s"$centroidsIdent/$postingsIdent: torn generation pair " +
+            s"(${gen(cm)} vs ${gen(pm)}) — a rebuild group is mid-publish")
+      (cm, pm)
     }
-    sys.error("unreachable")
   }
 
   /** The stored coarse quantizer: O(nlist) rows to the driver — the one
