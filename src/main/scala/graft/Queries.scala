@@ -220,6 +220,7 @@ object Queries {
     "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
     "d13_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "d14_ingest_dedup" -> (IngestDedup.ingestGateQuery _),
+    "d15_cluster_maintain" -> (IncrementalClusters.clustersGateQuery _),
     "p2_lakehouse_pipeline" -> (Pipeline.lakehouseGateQuery _),
     "d12_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
@@ -547,6 +548,62 @@ object Queries {
          |SELECT d.doc_id, (agg.dup_of IS NOT NULL) AS is_dup, agg.dup_of
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.new_id
          |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
+    // d15 = the INCREMENTALLY MAINTAINED cluster table vs a from-scratch
+    // closure: d14's decision rule picks the survivors, then components
+    // over ALL stored-index bucket pairs (rows slot-capped in insertion
+    // order — evens seeded first, then odd survivors; vacuous below
+    // saturation) — the maintained assignment must equal this recompute
+    "d15_cluster_maintain" ->
+      s"""WITH RECURSIVE $sigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
+         |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
+         |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
+         |  SELECT doc_id, 3, sig_3 FROM sig),
+         |ex AS (SELECT ex_id, band, sig FROM (
+         |  SELECT doc_id AS ex_id, band, sig,
+         |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS slot
+         |  FROM bands WHERE doc_id % 2 = 0)
+         |  WHERE slot <= ${graft.operators.Dedup.MaxLshBucket}),
+         |inc AS (SELECT doc_id AS new_id, band, sig FROM bands WHERE doc_id % 2 = 1),
+         |candx AS (SELECT DISTINCT i.new_id, e.ex_id
+         |  FROM inc i JOIN ex e USING (band, sig)),
+         |ibsz AS (SELECT band, sig FROM inc GROUP BY 1, 2
+         |         HAVING count(*) BETWEEN 2 AND ${graft.operators.Dedup.MaxLshBucket}),
+         |candi AS (SELECT DISTINCT hi.new_id, lo.new_id AS ex_id
+         |  FROM inc hi JOIN ibsz USING (band, sig) JOIN inc lo USING (band, sig)
+         |  WHERE lo.new_id < hi.new_id),
+         |cand AS (SELECT * FROM candx UNION SELECT * FROM candi),
+         |ts AS (SELECT doc_id, list_distinct(t) AS t FROM tok),
+         |ver AS (SELECT c.new_id, c.ex_id FROM cand c
+         |  JOIN ts a ON c.new_id = a.doc_id JOIN ts b ON c.ex_id = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.6),
+         |agg AS (SELECT new_id, min(ex_id) AS dup_of FROM ver GROUP BY 1),
+         |surv AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN agg ON d.doc_id = agg.new_id
+         |  WHERE d.doc_id % 2 = 1 AND agg.dup_of IS NULL),
+         |stored AS (SELECT doc_id, band, sig FROM (
+         |  SELECT b.doc_id, b.band, b.sig,
+         |    row_number() OVER (PARTITION BY b.band, b.sig
+         |      ORDER BY b.doc_id % 2, b.doc_id) AS slot
+         |  FROM bands b JOIN surv USING (doc_id))
+         |  WHERE slot <= ${graft.operators.Dedup.MaxLshBucket}),
+         |spairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM stored a JOIN stored b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM spairs
+         |      UNION SELECT doc_b, doc_a FROM spairs),
+         |r(n, m) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT r.n, e.b FROM r JOIN e ON r.m = e.a),
+         |cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n)
+         |SELECT surv.doc_id, coalesce(cl.cluster_id, surv.doc_id) AS cluster_id
+         |FROM surv LEFT JOIN cl ON surv.doc_id = cl.doc_id
+         |ORDER BY surv.doc_id""".stripMargin,
     // p2 = d14's decision rule composed with r7's closure RESTRICTED to
     // the survivors (evens + non-dup odds): the post-ingest docs table is
     // what the split clusters over, so a dropped doc has no split at all

@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.catalog.IceCatalog
+
+/** INCREMENTALLY MAINTAINED near-dup clusters as catalog tables — the
+  * 100 TB form of d8/r7's premise ("a real run materialized the cluster
+  * assignment"): instead of recomputing connected components over the
+  * whole corpus per split (O(corpus · rounds) per call), the assignment
+  * is a TABLE maintained per ingest batch at O(batch) cost, union-find
+  * style with deferred path compression:
+  *
+  *  - `clusters` (doc_id, cluster_id): one row per stored doc, the label
+  *    assigned WHEN THE DOC ARRIVED — bucket-partitioned on doc_id so a
+  *    batch's neighbor-label fetch prunes to the neighbors' own
+  *    partitions (the d14 docs-scan trick);
+  *  - `merges` (loser, winner): label FORWARDING pairs appended when a
+  *    new doc bridges existing clusters. Relabeling a merged cluster's
+  *    rows eagerly would be an unprunable O(members) rewrite per batch;
+  *    forwarding defers it — winners are strictly smaller ids, so chains
+  *    are acyclic and the table stays O(merges since last apply), small
+  *    enough to collect and path-compress driver-side;
+  *  - [[resolved]]: the CURRENT assignment = clusters ⋈ compressed
+  *    forwarding map (what r7's split consumes);
+  *  - [[applyMerges]]: the amortized compaction — rewrite rows through
+  *    the forwarding map and truncate `merges` in ONE atomic
+  *    [[graft.catalog.CatalogSurface.overwriteGroup]] (an empty frame
+  *    truncates — remotely a remove-files{all}-only table-change).
+  *
+  * Labels are the component's MIN doc id (the d8 convention), so the
+  * maintained assignment is BYTE-IDENTICAL to a full recompute over the
+  * stored index's bucket pairs — cluster ids don't depend on arrival
+  * order, only membership does (and membership is the stored index).
+  * Edge semantics: a new doc pairs with EVERY stored member of its
+  * (band, sig) buckets — buckets are ≤ [[Dedup.MaxLshBucket]] rows by
+  * d14's write-time slot invariant, so per-doc edge fan-out is bounded;
+  * an at-cap bucket keeps proposing through its stored representatives
+  * (incremental maintenance cannot retract edges at saturation, so there
+  * is deliberately no d3-style drop-the-bucket rule here).
+  */
+object IncrementalClusters {
+
+  val ClusterSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("cluster_id", LongType)))
+
+  val MergeSchema: StructType = StructType(Seq(
+    StructField("loser", LongType),
+    StructField("winner", LongType)))
+
+  /** Same fan-out as the d14 docs table: neighbor-label fetches push the
+    * neighbor ids' bucket set as a partition IN-filter.
+    */
+  val DocBuckets = 32
+
+  /** Above this many distinct neighbor ids, skip the driver-side bucket
+    * computation and full-scan (bounded like IngestDedup's caps).
+    */
+  private val MaxPruneIds = 65536
+
+  def ensureTables(
+      cat: graft.catalog.CatalogSurface,
+      clustersIdent: String, mergesIdent: String): Unit = {
+    if (!cat.tableExists(clustersIdent)) cat.createTable(clustersIdent,
+      ClusterSchema,
+      partitionSpec = Seq(IceCatalog.PartitionField(
+        "doc_id", s"bucket[$DocBuckets]", "doc_bucket")),
+      properties = graft.catalog.Maintenance.PipelineTableProps)
+    if (!cat.tableExists(mergesIdent)) cat.createTable(mergesIdent, MergeSchema,
+      properties = graft.catalog.Maintenance.PipelineTableProps)
+  }
+
+  /** The path-compressed label-forwarding map: collect the merge pairs
+    * (O(merges since last [[applyMerges]]) — the bounded driver state
+    * this design trades for per-batch relabel rewrites) and chase each
+    * loser to its root. Winners are strictly smaller than losers, so
+    * chains terminate.
+    */
+  def forwarding(
+      cat: graft.catalog.CatalogSurface, mergesIdent: String): Map[Long, Long] = {
+    val pairs = cat.scan(mergesIdent).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def root(x: Long): Long = pairs.get(x) match {
+      case Some(w) => root(w)
+      case None => x
+    }
+    pairs.keys.map(k => k -> root(k)).toMap
+  }
+
+  private def fwdFrame(spark: SparkSession, fwd: Map[Long, Long]): DataFrame = {
+    import spark.implicits._
+    fwd.toSeq.toDF("cluster_id", "root")
+  }
+
+  /** The CURRENT assignment: stored labels forwarded through the
+    * compressed merge map. No pinned broadcast — the map is tiny but
+    * data-dependent; AQE broadcasts it on its own.
+    */
+  def resolved(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      clustersIdent: String, mergesIdent: String): DataFrame = {
+    val base = cat.scan(clustersIdent).select(col("doc_id"), col("cluster_id"))
+    val fwd = forwarding(cat, mergesIdent)
+    if (fwd.isEmpty) base
+    else base.join(fwdFrame(spark, fwd), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+  }
+
+  /** The clusters scan restricted to the partitions that can hold `ids`
+    * (bucket IN-filter; legacy unpartitioned tables and over-cap id sets
+    * degrade to the full scan).
+    */
+  private def clustersScanForIds(
+      cat: graft.catalog.CatalogSurface, clustersIdent: String,
+      ids: DataFrame): DataFrame = {
+    def full = cat.scan(clustersIdent).select(col("doc_id"), col("cluster_id"))
+    val partitioned = cat.loadMeta(clustersIdent).partitionSpec
+      .exists(_.name == "doc_bucket")
+    if (!partitioned) return full
+    val idRows = ids.distinct().limit(MaxPruneIds + 1).collect()
+    if (idRows.length > MaxPruneIds) full
+    else if (idRows.isEmpty) full.limit(0)
+    else {
+      val buckets = idRows.map(r =>
+        graft.functions.IcebergHash.bucketLong(r.getLong(0), DocBuckets))
+        .distinct.sorted
+      cat.scan(clustersIdent, Seq(IceCatalog.PartitionFilter(
+        "doc_bucket", IceCatalog.Op.Eq, buckets.map(_.toString).toSeq)),
+        None, None)
+        .select(col("doc_id"), col("cluster_id"))
+    }
+  }
+
+  /** Plan one batch's maintenance WITHOUT committing: returns the
+    * (clusters rows, merge rows) frames for the caller's atomic commit
+    * group — [[IngestDedup.ingest]] rides them in the SAME transaction as
+    * the docs + index appends, so stored ⟺ indexed ⟺ clustered can never
+    * tear.
+    *
+    * `newIds` = this batch's newly stored doc ids; `edges` = (doc_a = new
+    * id, doc_b = stored neighbor or batch peer) proposal pairs. Cost:
+    * one PRUNED clusters fetch for the neighbors' labels, a
+    * connected-components pass over the CONTRACTED graph (new ids +
+    * touched cluster labels — O(batch + touched), never the corpus), two
+    * bounded collects.
+    */
+  def planUpdate(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      clustersIdent: String, mergesIdent: String,
+      newIds: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val fwd = forwarding(cat, mergesIdent)
+    // neighbors' CURRENT labels: stored rows (pruned fetch) forwarded
+    // through the merge map; a neighbor with no stored row is a batch
+    // peer and contracts to its own id
+    val nbLabels0 = clustersScanForIds(
+      cat, clustersIdent, edges.select(col("doc_b")))
+    val nbLabels =
+      if (fwd.isEmpty) nbLabels0
+      else nbLabels0.join(fwdFrame(spark, fwd), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+    val contracted = edges
+      .join(nbLabels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left")
+      .select(col("doc_a"),
+        coalesce(col("cluster_id"), col("doc_b")).as("nb"))
+    val comp =
+      if (contracted.isEmpty)
+        spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster_id")
+      else Dedup.connectedComponents(
+        contracted.select(col("doc_a"), col("nb")))
+    // every new doc: its component's min, or itself (no edges)
+    val newRows = newIds.toDF("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    // merges: an EXISTING label whose component found a smaller min —
+    // append forwarding pairs instead of rewriting the cluster's rows
+    val oldLabels = nbLabels.select(col("cluster_id").as("doc_id")).distinct()
+    val newMerges = comp.join(oldLabels, Seq("doc_id"))
+      .filter(col("cluster_id") < col("doc_id"))
+      .select(col("doc_id").as("loser"), col("cluster_id").as("winner"))
+    (newRows, newMerges)
+  }
+
+  /** Standalone maintenance commit (seeding/backfill; [[IngestDedup]]
+    * composes [[planUpdate]] into its own group instead).
+    */
+  def update(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      clustersIdent: String, mergesIdent: String,
+      newIds: DataFrame, edges: DataFrame): Unit = {
+    val (rows, merges) = planUpdate(
+      cat, spark, clustersIdent, mergesIdent, newIds, edges)
+    cat.insertGroup(Seq(clustersIdent -> rows, mergesIdent -> merges))
+  }
+
+  /** d15 gate: corpus = even-id docs materialized as docs + index tables
+    * with the cluster assignment SEEDED from the stored corpus pairs (the
+    * backfill shape — one [[update]] over the index self-join), then the
+    * odd-id batch ingested with maintenance ON (labels + merge pairs in
+    * the ingest's own atomic group). Output = the RESOLVED assignment for
+    * every stored doc; the DuckDB oracle recomputes the closure over the
+    * stored index's bucket pairs from scratch — the maintained table must
+    * hash-match a full recompute.
+    */
+  def clustersGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_d15").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("pipe")
+    IngestDedup.ensureTables(cat, "pipe.docs", "pipe.index", docs.schema)
+    ensureTables(cat, "pipe.clusters", "pipe.merges")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    cat.insertGroup(Seq(
+      "pipe.docs" -> corpus,
+      "pipe.index" -> IngestDedup.slottedBands(
+        Dedup.lshBands(Dedup.minhashSignatures(corpus)),
+        cat.scan("pipe.index"))))
+    val bands = IngestDedup.normalizedIndex(cat.scan("pipe.index"))
+      .select(col("doc_id"), col("band"), col("sig"))
+    val seedEdges = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    update(cat, spark, "pipe.clusters", "pipe.merges",
+      corpus.select(col("doc_id")), seedEdges)
+    IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index",
+      docs.filter(col("doc_id") % 2 === 1),
+      clusters = Some(("pipe.clusters", "pipe.merges"))).unpersist()
+    val rows = resolved(cat, spark, "pipe.clusters", "pipe.merges")
+      .orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+    try {
+      Seq("pipe.docs", "pipe.index", "pipe.clusters", "pipe.merges")
+        .foreach(cat.dropTable(_))
+    } catch { case _: Exception => () }
+    rows.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
+  }
+
+  /** The amortized compaction: rewrite every stored label through the
+    * compressed forwarding map and truncate the merge table, in ONE
+    * atomic overwriteGroup — O(table) once per maintenance window, never
+    * per batch. A crash publishes neither; [[resolved]] answers
+    * identically before and after.
+    */
+  def applyMerges(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      clustersIdent: String, mergesIdent: String): Unit = {
+    val fwd = forwarding(cat, mergesIdent)
+    if (fwd.isEmpty) return
+    val rewritten = cat.scan(clustersIdent)
+      .join(fwdFrame(spark, fwd), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+    val emptyMerges = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), MergeSchema)
+    cat.overwriteGroup(Seq(
+      clustersIdent -> rewritten, mergesIdent -> emptyMerges))
+  }
+}

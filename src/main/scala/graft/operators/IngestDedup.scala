@@ -220,10 +220,21 @@ object IngestDedup {
     * bands have committed atomically. Batch doc_ids must be fresh (the
     * caller's id allocation contract, same as any append pipeline).
     */
+  /** With `clusters = Some((clustersIdent, mergesIdent))`, the batch also
+    * maintains the [[IncrementalClusters]] assignment — the survivors'
+    * labels and any merge-forwarding pairs commit IN THE SAME atomic
+    * group as the docs + index appends, so stored ⟺ indexed ⟺ clustered
+    * can never tear (and a replayed batch, having no survivors, publishes
+    * nothing to any of the four tables). Edges are the batch's stored-
+    * bucket proposal pairs: survivor bands against the pruned existing
+    * index (cross-batch) and against each other (within-batch) — all
+    * frames the ingest already has, no extra scan.
+    */
   def ingest(
       cat: graft.catalog.CatalogSurface, spark: SparkSession,
       docsIdent: String, indexIdent: String,
-      batch: DataFrame, threshold: Double = 0.6): DataFrame = {
+      batch: DataFrame, threshold: Double = 0.6,
+      clusters: Option[(String, String)] = None): DataFrame = {
     // the signature subtree feeds THREE consumers (cross-batch probe,
     // within-batch propose, survivor-band write) — persist it for the
     // call's lifetime instead of re-shingling the batch per consumer
@@ -243,20 +254,41 @@ object IngestDedup {
     val survivors = batch.join(decided.select(col("doc_id")), Seq("doc_id"),
       "left_anti")
     // write-time slot assignment: each survivor band continues its
-    // bucket's numbering from the stored index; rows past the cap drop
-    val survivorBands = slottedBands(
+    // bucket's numbering from the stored index; rows past the cap drop.
+    // With cluster maintenance on, the bands feed THREE consumers (index
+    // write, cross-batch edges, peer edges) — persist for the call
+    val survivorBands0 = slottedBands(
       newBands.join(survivors.select(col("doc_id")), Seq("doc_id"))
         .select(col("doc_id"), col("band"), col("sig")),
       exIndex)
+    val survivorBands =
+      if (clusters.isDefined) survivorBands0.persist() else survivorBands0
 
-    // ---- commit: docs + index advance together or not at all --------------
+    // ---- commit: docs + index (+ clusters) advance together or not at all --
     // the finally releases BOTH working caches on every path — a failed
     // commit (racing committer, exhausted locks) must not leak a cache
     // entry per failed batch
     try {
+      val clusterOps = clusters.toSeq.flatMap { case (cid, mid) =>
+        val sb = survivorBands.select(col("doc_id"), col("band"), col("sig"))
+        val exEdges = sb
+          .join(exIndex.select(col("band"), col("sig"),
+            col("doc_id").as("doc_b")), Seq("band", "sig"))
+          .select(col("doc_id").as("doc_a"), col("doc_b"))
+        val peerEdges = sb.as("x")
+          .join(sb.as("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        val (cRows, cMerges) = IncrementalClusters.planUpdate(
+          cat, spark, cid, mid,
+          survivors.select(col("doc_id")),
+          exEdges.union(peerEdges).distinct())
+        Seq(cid -> cRows, mid -> cMerges)
+      }
       cat.insertGroup(Seq(
         docsIdent -> survivors,
-        indexIdent -> survivorBands))
+        indexIdent -> survivorBands) ++ clusterOps)
       // the returned report is itself persisted (forced here) so the
       // working caches can be released NOW; it is the operator's
       // O(batch) output — callers should unpersist it once consumed
@@ -272,6 +304,7 @@ object IngestDedup {
       sigs.unpersist()
       decided.unpersist()
       workCaches.foreach(_.unpersist())
+      if (clusters.isDefined) survivorBands.unpersist()
     }
   }
 

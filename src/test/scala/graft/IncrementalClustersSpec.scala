@@ -1,0 +1,235 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IceCatalog
+import graft.operators.{Dedup, IncrementalClusters, IngestDedup}
+
+/** The incrementally maintained near-dup cluster tables
+  * (IncrementalClusters): per-batch O(batch) maintenance whose RESOLVED
+  * assignment is byte-identical to a full recompute over the stored
+  * index's bucket pairs, merge forwarding instead of per-batch relabels,
+  * amortized applyMerges, and the four-table atomic ingest group.
+  */
+class IncrementalClustersSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-incclusters-test", cpus = 4)
+  lazy val root: String = Files.createTempDirectory("incclust").toString
+  lazy val cat = new IceCatalog(spark, root)
+
+  override def afterAll(): Unit = spark.stop()
+
+  import IncrementalClusters.{applyMerges, ensureTables, resolved, update}
+
+  private def resolvedMap(
+      c: graft.catalog.CatalogSurface = cat,
+      ci: String = "u.clusters", mi: String = "u.merges"): Map[Long, Long] =
+    resolved(c, spark, ci, mi).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("unit updates: singletons, a bridging merge, a forwarding chain, applyMerges") {
+    import spark.implicits._
+    cat.createNamespace("u")
+    ensureTables(cat, "u.clusters", "u.merges")
+    def ids(xs: Long*) = xs.toDF("doc_id")
+    def edges(xs: (Long, Long)*) = xs.toDF("doc_a", "doc_b")
+
+    // two edge-less arrivals: own-label singletons
+    update(cat, spark, "u.clusters", "u.merges", ids(10L), edges())
+    update(cat, spark, "u.clusters", "u.merges", ids(20L), edges())
+    assert(resolvedMap() == Map(10L -> 10L, 20L -> 20L))
+
+    // 5 bridges BOTH: one component, min label 5; stored rows of 10 and
+    // 20 are NOT rewritten — forwarding pairs absorb the merge
+    update(cat, spark, "u.clusters", "u.merges", ids(5L),
+      edges(5L -> 10L, 5L -> 20L))
+    assert(resolvedMap() == Map(5L -> 5L, 10L -> 5L, 20L -> 5L))
+    assert(cat.scan("u.merges").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 5L), (20L, 5L)))
+    assert(cat.scan("u.clusters").filter(col("doc_id") === 10L)
+      .head().getLong(1) == 10L, "merge must not rewrite stored rows eagerly")
+
+    // a NEW smaller doc takes over the whole component: chain 10→5→3
+    update(cat, spark, "u.clusters", "u.merges", ids(3L), edges(3L -> 10L))
+    assert(resolvedMap() == Map(3L -> 3L, 5L -> 3L, 10L -> 3L, 20L -> 3L))
+
+    // applyMerges: rows rewritten through the compressed map, merges
+    // truncated, resolution identical — one atomic overwriteGroup
+    val before = resolvedMap()
+    applyMerges(cat, spark, "u.clusters", "u.merges")
+    assert(cat.scan("u.merges").count() == 0, "apply must truncate the merge table")
+    assert(cat.scan("u.clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == before,
+      "stored rows must now BE the resolved assignment")
+    assert(resolvedMap() == before)
+    // idempotent on an empty merge table
+    applyMerges(cat, spark, "u.clusters", "u.merges")
+    assert(resolvedMap() == before)
+  }
+
+  // ---- ingest-driven maintenance over real documents ----------------------
+
+  private def docsOf(range: Range): org.apache.spark.sql.DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id").isin(range.map(_.toLong): _*))
+
+  /** Full recompute comparator: components over ALL stored-bucket pairs
+    * of the index table — the assignment the incremental table must equal
+    * byte-for-byte after every batch.
+    */
+  private def fullRecompute(): Map[Long, Long] = {
+    val bands = IngestDedup.normalizedIndex(cat.scan("pipe.index"))
+      .select(col("doc_id"), col("band"), col("sig"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // singletons (no pairs) label themselves
+    cat.scan("pipe.docs").select("doc_id").collect()
+      .map(_.getLong(0)).map(id => id -> cc.getOrElse(id, id)).toMap
+  }
+
+  test("ingest maintains clusters: resolved == full recompute after every batch, atomically") {
+    cat.createNamespace("pipe")
+    val b1 = docsOf(0 until 25)
+    IngestDedup.ensureTables(cat, "pipe.docs", "pipe.index", b1.schema)
+    ensureTables(cat, "pipe.clusters", "pipe.merges")
+    val cl = Some(("pipe.clusters", "pipe.merges"))
+
+    IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index", b1, clusters = cl)
+      .unpersist()
+    assert(resolvedMap(cat, "pipe.clusters", "pipe.merges") == fullRecompute())
+    // clustered ⟺ stored (the four-table invariant)
+    assert(cat.scan("pipe.clusters").count() == cat.scan("pipe.docs").count())
+
+    val snaps = Seq("pipe.docs", "pipe.index", "pipe.clusters", "pipe.merges")
+      .map(t => cat.loadMeta(t).snapshots.length)
+    IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index",
+      docsOf(25 until 50), clusters = cl).unpersist()
+    // ONE atomic group advanced all four tables exactly one snapshot
+    Seq("pipe.docs", "pipe.index", "pipe.clusters", "pipe.merges")
+      .zip(snaps).foreach { case (t, n) =>
+        assert(cat.loadMeta(t).snapshots.length == n + 1, s"$t must advance once")
+      }
+    assert(resolvedMap(cat, "pipe.clusters", "pipe.merges") == fullRecompute())
+    assert(cat.scan("pipe.clusters").count() == cat.scan("pipe.docs").count())
+  }
+
+  test("a later bridging doc MERGES existing clusters; split consumption stays exact") {
+    import spark.implicits._
+    val cl = Some(("pipe.clusters", "pipe.merges"))
+    // two disjoint near-dup pairs in separate batches, then a doc sharing
+    // text with BOTH arrives: its buckets bridge the two components
+    val tA = "alpha body with many shared words one two three four five six"
+    val tB = "omega body with other shared words seven eight nine ten eleven"
+    def doc(id: Long, t: String) = (id, t, "en", "srcC", t.length.toLong)
+    IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index",
+      Seq(doc(60000L, tA)).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      clusters = cl).unpersist()
+    IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index",
+      Seq(doc(60001L, tB)).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      clusters = cl).unpersist()
+    val r0 = resolvedMap(cat, "pipe.clusters", "pipe.merges")
+    assert(r0(60000L) == 60000L && r0(60001L) == 60001L,
+      "distinct texts must start as distinct clusters")
+    // the bridge: half A's words + half B's words — shares at least one
+    // minhash band with each side only if a min survives; craft it as an
+    // exact prefix of A and suffix of B so shingle overlap is heavy, but
+    // different enough to SURVIVE the 0.6 Jaccard verify
+    val tC = "alpha body with many shared words one two " +
+      "seven eight nine ten eleven extra unique tail words here now"
+    IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index",
+      Seq(doc(60002L, tC)).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      clusters = cl).unpersist()
+    val full = fullRecompute()
+    val r1 = resolvedMap(cat, "pipe.clusters", "pipe.merges")
+    assert(r1 == full, "maintained assignment must equal the full recompute")
+    if (full(60002L) == 60000L && full(60001L) == 60000L)
+      info("organic merge exercised: 60002 bridged 60000/60001")
+    // r7's split consumes the maintained table exactly like a recompute
+    val docs = cat.scan("pipe.docs").select(col("doc_id"), col("text"))
+    val viaTable = graft.operators.Sampling.splitDocumentsNearDupSafeOn(
+      docs, resolved(cat, spark, "pipe.clusters", "pipe.merges")
+        .withColumnRenamed("cluster_id", "cluster_id")).collect().toSeq
+    val viaRecompute = graft.operators.Sampling.splitDocumentsNearDupSafeOn(
+      docs, spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          full.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2))),
+        IncrementalClusters.ClusterSchema)).collect().toSeq
+    assert(viaTable == viaRecompute)
+  }
+
+  test("replaying a committed batch publishes nothing to any of the four tables") {
+    import spark.implicits._
+    val cl = Some(("pipe.clusters", "pipe.merges"))
+    val batch = Seq(
+      (61000L, "replay cluster maintenance body with several distinct words", "en", "srcR", 58L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index", batch,
+      clusters = cl).unpersist()
+    val counts = Seq("pipe.docs", "pipe.index", "pipe.clusters", "pipe.merges")
+      .map(t => cat.scan(t).count())
+    IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index", batch,
+      clusters = cl).unpersist()
+    assert(Seq("pipe.docs", "pipe.index", "pipe.clusters", "pipe.merges")
+      .map(t => cat.scan(t).count()) == counts,
+      "replay must be a no-op on every pipeline table")
+    assert(resolvedMap(cat, "pipe.clusters", "pipe.merges") == fullRecompute())
+  }
+
+  test("neighbor-label fetch prunes to the neighbors' doc buckets") {
+    import spark.implicits._
+    // a batch with ONE stored neighbor: planUpdate's clusters fetch must
+    // read only that neighbor's bucket partitions — never the whole table
+    val allFiles = cat.files("pipe.clusters").length
+    assert(allFiles >= 8, s"need a multi-file clusters table, got $allFiles")
+    val (rows, _) = IncrementalClusters.planUpdate(
+      cat, spark, "pipe.clusters", "pipe.merges",
+      Seq(70000L).toDF("doc_id"),
+      Seq((70000L, 60000L)).toDF("doc_a", "doc_b"))
+    val got = rows.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got.head._1 == 70000L)
+    val scanned = rows.inputFiles.count(_.contains("clusters"))
+    info(s"clusters files: total=$allFiles fetched=$scanned")
+    assert(scanned < allFiles,
+      s"label fetch must skip un-neighbored buckets ($scanned vs $allFiles)")
+  }
+
+  test("the SAME maintenance runs against a REMOTE catalog (4-table wire transactions)") {
+    import spark.implicits._
+    val remoteRoot = Files.createTempDirectory("incclust-remote").toString
+    val served = new graft.catalog.RestServer.Server(
+      new IceCatalog(spark, remoteRoot),
+      tokens = Seq(graft.catalog.RestServer.Token("ctok", "admin"))).start()
+    val remote = new graft.catalog.RestCatalogClient(spark, served.url, Some("ctok"))
+    try {
+      remote.createNamespace("pipe")
+      val b1 = docsOf(0 until 10)
+      IngestDedup.ensureTables(remote, "pipe.docs", "pipe.index", b1.schema)
+      ensureTables(remote, "pipe.clusters", "pipe.merges")
+      val cl = Some(("pipe.clusters", "pipe.merges"))
+      IngestDedup.ingest(remote, spark, "pipe.docs", "pipe.index", b1,
+        clusters = cl).unpersist()
+      IngestDedup.ingest(remote, spark, "pipe.docs", "pipe.index",
+        docsOf(10 until 20), clusters = cl).unpersist()
+      assert(remote.scan("pipe.clusters").count() == remote.scan("pipe.docs").count())
+      val r = resolved(remote, spark, "pipe.clusters", "pipe.merges")
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(r.nonEmpty && r.forall { case (d, c) => c <= d })
+      // applyMerges over the wire: the truncation table-change is
+      // remove-files{all}-only when the merge table empties
+      applyMerges(remote, spark, "pipe.clusters", "pipe.merges")
+      assert(remote.scan("pipe.merges").count() == 0)
+      assert(resolved(remote, spark, "pipe.clusters", "pipe.merges")
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap == r)
+    } finally served.stop()
+  }
+}
