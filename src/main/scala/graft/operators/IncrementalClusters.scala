@@ -61,6 +61,14 @@ object IncrementalClusters {
     */
   private val MaxPruneIds = 65536
 
+  /** The deferred-compression design collects the merge table per batch,
+    * so its size is a DRIVER budget: past this many pending pairs
+    * (~64 MB of longs), reads fail LOUDLY naming the remedy instead of
+    * silently degrading — [[applyMerges]] (or the maintenance window that
+    * schedules it) resets the table to empty.
+    */
+  val MaxPendingMerges = 4 * 1024 * 1024
+
   def ensureTables(
       cat: graft.catalog.CatalogSurface,
       clustersIdent: String, mergesIdent: String): Unit = {
@@ -81,6 +89,11 @@ object IncrementalClusters {
     */
   def forwarding(
       cat: graft.catalog.CatalogSurface, mergesIdent: String): Map[Long, Long] = {
+    val pending = cat.countRows(mergesIdent)
+    require(pending <= MaxPendingMerges,
+      s"$mergesIdent: $pending pending merge pairs exceed the " +
+        s"$MaxPendingMerges driver budget — run applyMerges() (the " +
+        "amortized label compaction) before further reads")
     val pairs = cat.scan(mergesIdent).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def root(x: Long): Long = pairs.get(x) match {
