@@ -129,6 +129,46 @@ object ScaleBench {
           catch { case _: Exception => () }
           t
         }),
+      ("d15_maintain_fixed_batch", "~flat cluster maintenance at fixed batch (pruned neighbor-label fetch + contracted-graph components + O(batch) atomic 4-table group)",
+        dir => {
+          import org.apache.spark.sql.functions._
+          val docs = graft.sources.Tables.documents(spark, dir)
+          val root = java.nio.file.Files.createTempDirectory("graft-scale-d15").toString
+          val cat = new graft.catalog.IceCatalog(spark, root)
+          cat.createNamespace("pipe")
+          graft.operators.IngestDedup.ensureTables(cat, "pipe.docs", "pipe.index", docs.schema)
+          graft.operators.IncrementalClusters.ensureTables(cat, "pipe.clusters", "pipe.merges")
+          val corpus = docs.filter(col("doc_id") % 2 === 0)
+          cat.insertGroup(Seq(
+            "pipe.docs" -> corpus,
+            "pipe.index" -> graft.operators.IngestDedup.slottedBands(
+              graft.operators.Dedup.lshBands(
+                graft.operators.Dedup.minhashSignatures(corpus)),
+              cat.scan("pipe.index"))))
+          // seed assignment (the backfill — the operator's premise, untimed)
+          val bands = graft.operators.IngestDedup.normalizedIndex(cat.scan("pipe.index"))
+            .select(col("doc_id"), col("band"), col("sig"))
+          graft.operators.IncrementalClusters.update(cat, spark,
+            "pipe.clusters", "pipe.merges", corpus.select(col("doc_id")),
+            bands.as("a").join(bands.as("b"),
+              col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+                col("a.doc_id") < col("b.doc_id"))
+              .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+              .distinct())
+          def batch(k: Long) = docs
+            .filter(col("doc_id") % 2 === 1 && col("doc_id") < 1000)
+            .withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+          def run(k: Long): Unit =
+            graft.operators.IngestDedup.ingest(
+              cat, spark, "pipe.docs", "pipe.index", batch(k),
+              clusters = Some(("pipe.clusters", "pipe.merges"))).unpersist()
+          run(1) // warm
+          val t = math.min(timeOf(run(2)), timeOf(run(3)))
+          try Seq("pipe.docs", "pipe.index", "pipe.clusters", "pipe.merges")
+            .foreach(cat.dropTable(_))
+          catch { case _: Exception => () }
+          t
+        }),
       ("s11_serve_fixed_batch", "~sqrt(n) serving probe (|cell|=n/nlist, nlist=sqrt(n); cell-partition-pruned scan)",
         dir => {
           import org.apache.spark.sql.functions._
