@@ -88,36 +88,50 @@ object Pipeline {
     */
   def lakehouseIngestSplit(
       cat: graft.catalog.CatalogSurface, spark: SparkSession,
-      docsIdent: String, indexIdent: String, batch: DataFrame): DataFrame = {
-    val report = IngestDedup.ingest(cat, spark, docsIdent, indexIdent, batch)
+      docsIdent: String, indexIdent: String, batch: DataFrame,
+      clusters: Option[(String, String)] = None): DataFrame = {
+    val report = IngestDedup.ingest(cat, spark, docsIdent, indexIdent, batch,
+      clusters = clusters)
     val docs = cat.scan(docsIdent).select(col("doc_id"), col("text"))
-    // the cluster pass READS THE INDEX TABLE BACK as its band source —
-    // the index IS the pipeline's materialized band artifact (indexed
-    // docs == stored docs, the d14 invariant), so the split never
-    // re-shingles the corpus: at 100 TB that re-tokenization is a full
-    // corpus recompute of the most expensive kernel, here it's one index
-    // scan + the band-keyed self-join. Buckets whose stored max slot hit
-    // the write cap were TRUNCATED at write time (saturated boilerplate);
-    // dropping them from pairing reproduces exactly the d3 degenerate-
-    // bucket rule over full bands with size ∈ [2, cap) — provably, since
+    // With MAINTAINED clusters (d15), the split consumes the resolved
+    // assignment the ingest just updated — the whole per-batch pipeline
+    // is then O(batch): no component recompute, ever. Without, the
+    // cluster pass READS THE INDEX TABLE BACK as its band source — the
+    // index IS the pipeline's materialized band artifact (indexed docs ==
+    // stored docs, the d14 invariant), so the split never re-shingles the
+    // corpus: at 100 TB that re-tokenization is a full corpus recompute
+    // of the most expensive kernel, here it's one index scan + the
+    // band-keyed self-join. Buckets whose stored max slot hit the write
+    // cap were TRUNCATED at write time (saturated boilerplate); dropping
+    // them from pairing reproduces exactly the d3 degenerate-bucket rule
+    // over full bands with size ∈ [2, cap) — provably, since
     // stored-count < cap ⟺ the bucket never saturated. Min-label
     // components as in d8; shuffles key on (band, sig) and ids only.
-    val bands = IngestDedup.normalizedIndex(cat.scan(indexIdent))
-      .select(col("doc_id"), col("band"), col("sig"), col("slot"))
-    val pairable = bands
-      .withColumn("mx", max(col("slot"))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("sig"))))
-      .filter(col("mx") < lit(Dedup.MaxLshBucket))
-      .select(col("doc_id"), col("band"), col("sig"))
-    val pairs = pairable.as("a")
-      .join(pairable.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val clusters = Dedup.connectedComponents(pairs)
-    val split = Sampling.splitDocumentsNearDupSafeOn(docs, clusters)
+    // (The two paths differ only at SATURATED buckets: the maintained
+    // assignment keeps pairing through an at-cap bucket's stored
+    // representatives — incremental maintenance cannot retract edges —
+    // while the recompute drops the bucket; below saturation they are
+    // identical, spec-pinned.)
+    val clusterAssign = clusters match {
+      case Some((cid, mid)) => IncrementalClusters.resolved(cat, spark, cid, mid)
+      case None =>
+        val bands = IngestDedup.normalizedIndex(cat.scan(indexIdent))
+          .select(col("doc_id"), col("band"), col("sig"), col("slot"))
+        val pairable = bands
+          .withColumn("mx", max(col("slot"))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("sig"))))
+          .filter(col("mx") < lit(Dedup.MaxLshBucket))
+          .select(col("doc_id"), col("band"), col("sig"))
+        val pairs = pairable.as("a")
+          .join(pairable.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        Dedup.connectedComponents(pairs)
+    }
+    val split = Sampling.splitDocumentsNearDupSafeOn(docs, clusterAssign)
     val out = report
       .join(split.select(col("doc_id"), col("split")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_dup"), col("dup_of"), col("split"))

@@ -115,4 +115,42 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
         Set("docs", "index", "centroids", "postings"))
     } finally served.stop()
   }
+
+  test("the MAINTAINED-clusters pipeline form matches the recompute form") {
+    import spark.implicits._
+    // the O(batch)-per-batch composition: ingest maintains the d15
+    // assignment and the split consumes resolved() — its report must be
+    // byte-identical to the recompute form on the same inputs (they can
+    // only diverge at saturated write-cap buckets, none at this scale)
+    val rootA = Files.createTempDirectory("p2e2e-maint").toString
+    val catA = new IceCatalog(spark, rootA)
+    seed(catA)
+    graft.operators.IncrementalClusters.ensureTables(
+      catA, "pipe.clusters", "pipe.merges")
+    // backfill the seeded corpus's assignment (the one-time cost)
+    val bands = graft.operators.IngestDedup.normalizedIndex(
+      catA.scan("pipe.index"))
+      .select(col("doc_id"), col("band"), col("sig"))
+    graft.operators.IncrementalClusters.update(catA, spark,
+      "pipe.clusters", "pipe.merges",
+      catA.scan("pipe.docs").select(col("doc_id")),
+      bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct())
+    val outA = Pipeline.lakehouseIngestSplit(catA, spark,
+      "pipe.docs", "pipe.index", docs.filter(col("doc_id") % 2 === 1),
+      clusters = Some(("pipe.clusters", "pipe.merges")))
+    val viaMaintained = outA.as[(Long, Boolean, Option[Long], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    outA.unpersist()
+    // the recompute form over an identically seeded catalog
+    val catB = new IceCatalog(spark, Files.createTempDirectory("p2e2e-rec").toString)
+    seed(catB)
+    assert(viaMaintained == runPipeline(catB),
+      "maintained-assignment split must equal the recompute split")
+    // and the maintained table covers exactly the stored docs
+    assert(catA.scan("pipe.clusters").count() == catA.scan("pipe.docs").count())
+  }
 }
