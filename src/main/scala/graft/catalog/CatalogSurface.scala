@@ -94,11 +94,21 @@ trait CatalogSurface {
     * same commits, the cross-table generation pairing): locally one
     * lock-ordered replace-everything group, remotely ONE
     * `/v1/transactions/commit` of remove-files{all} + append-files (+
-    * set-properties) per table.
+    * set-properties) per table. An empty frame truncates its table
+    * (remotely a remove-files{all}-only table-change).
+    *
+    * `basedOn` CASes named tables on the snapshot their REPLACEMENT
+    * content was computed from — for read-modify-replace callers (e.g.
+    * [[graft.operators.IncrementalClusters.applyMerges]]'s label
+    * compaction), where a commit racing in between would otherwise be
+    * silently REPLACED AWAY by the staged stale content. Omitted tables
+    * replace unconditionally (the retrain contract: a rebuild
+    * deliberately supersedes racing appends).
     */
   def overwriteGroup(
       ops: Seq[(String, DataFrame)],
-      setProperties: Map[String, String] = Map.empty): Seq[TableMeta]
+      setProperties: Map[String, String] = Map.empty,
+      basedOn: Map[String, Long] = Map.empty): Seq[TableMeta]
   def overwrite(ident: String, df: DataFrame): TableMeta
   def addFilesWithRetry(
       ident: String,

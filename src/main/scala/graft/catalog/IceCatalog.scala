@@ -1116,7 +1116,8 @@ class IceCatalog(
     */
   def overwriteGroup(
       ops: Seq[(String, DataFrame)],
-      setProperties: Map[String, String]): Seq[TableMeta] = {
+      setProperties: Map[String, String],
+      basedOn: Map[String, Long]): Seq[TableMeta] = {
     val staged = ops.map { case (ident, df) =>
       val meta = loadMeta(ident)
       ident -> writeArranged(ident,
@@ -1124,6 +1125,14 @@ class IceCatalog(
     }
     commitGroup(staged.map { case (ident, files) =>
       ident -> ((m: TableMeta) => {
+        // read-modify-replace CAS: the staged content was computed from
+        // the caller's snapshot — a commit that raced in between must
+        // conflict loudly, never be silently replaced away
+        basedOn.get(ident).filter(_ != m.currentSnapshotId).foreach(id =>
+          throw new java.util.ConcurrentModificationException(
+            s"$ident advanced from snapshot $id to ${m.currentSnapshotId} " +
+              "since the replacement content was computed — re-read and " +
+              "re-plan the overwrite"))
         val next = appendSnapshot(m,
           SnapDelta("overwrite", add = files, replaceAll = true))
         if (setProperties.isEmpty) next

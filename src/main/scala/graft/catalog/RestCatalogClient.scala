@@ -576,7 +576,8 @@ final class RestCatalogClient(
     */
   def overwriteGroup(
       ops: Seq[(String, DataFrame)],
-      setProperties: Map[String, String]): Seq[TableMeta] = {
+      setProperties: Map[String, String],
+      basedOn: Map[String, Long]): Seq[TableMeta] = {
     val staged = ops.map { case (ident, df0) =>
       val meta = loadMeta(ident)
       val df = df0.select(
@@ -592,7 +593,10 @@ final class RestCatalogClient(
         (ident, parts, profile.isDefined)
       }
     }
-    CommitRetry.run(retries, retryTotalMs,
+    // a caller-pinned CAS fails FAST: re-attempts would re-send the same
+    // stale requirement — only the caller can re-plan the replacement
+    // content (commitDelta's identical rule)
+    CommitRetry.run(if (basedOn.nonEmpty) 0 else retries, retryTotalMs,
       verified = () => {
         val metas = staged.map(s => loadMeta(s._1))
         val filesOk = staged.zip(metas).forall { case ((_, parts, _), m) =>
@@ -609,7 +613,8 @@ final class RestCatalogClient(
           "identifier" -> ident,
           "requirements" -> Seq(Map(
             "type" -> "assert-current-snapshot-id",
-            "snapshot-id" -> loadMeta(ident).currentSnapshotId)),
+            "snapshot-id" -> basedOn.getOrElse(ident,
+              loadMeta(ident).currentSnapshotId))),
           "updates" -> (Seq(
             Map("action" -> "remove-files", "all" -> true)) ++
             (if (parts.isEmpty) Seq.empty

@@ -34,6 +34,13 @@ import graft.catalog.IceCatalog
   * maintained assignment is BYTE-IDENTICAL to a full recompute over the
   * stored index's bucket pairs — cluster ids don't depend on arrival
   * order, only membership does (and membership is the stored index).
+  * The equivalence assumes SERIALIZED batches (the streaming foreachBatch
+  * shape, serial by construction): two ingests racing each other probe
+  * the pre-commit index, so neither batch's edges can name the other's
+  * docs — the same optimistic-batching caveat d14's dedup probe carries
+  * (two concurrent copies of one doc can both survive). A racing
+  * deployment re-converges with a periodic backfill [[update]] over the
+  * index self-join, which is idempotent on already-correct labels.
   * Edge semantics: a new doc pairs with EVERY stored member of its
   * (band, sig) buckets — buckets are ≤ [[Dedup.MaxLshBucket]] rows by
   * d14's write-time slot invariant, so per-doc edge fan-out is bounded;
@@ -172,6 +179,17 @@ object IncrementalClusters {
     // peer and contracts to its own id
     val nbLabels0 = clustersScanForIds(
       cat, clustersIdent, edges.select(col("doc_b")))
+    // a NON-peer neighbor with no stored label would silently contract to
+    // its own id and diverge from the recompute forever — that's a table
+    // that predates cluster maintenance; fail loudly naming the backfill
+    val unresolved = edges.select(col("doc_b"))
+      .except(newIds.toDF("doc_id").select(col("doc_id").as("doc_b")))
+      .except(nbLabels0.select(col("doc_id").as("doc_b")))
+      .limit(3).collect().map(_.getLong(0))
+    require(unresolved.isEmpty,
+      s"$clustersIdent: stored neighbor(s) ${unresolved.mkString(",")} have " +
+        "no cluster label — the table predates maintenance; backfill once " +
+        "with update(allDocIds, indexSelfJoinPairs) before incremental use")
     val nbLabels =
       if (fwd.isEmpty) nbLabels0
       else nbLabels0.join(fwdFrame(spark, fwd), Seq("cluster_id"), "left")
@@ -265,6 +283,12 @@ object IncrementalClusters {
   def applyMerges(
       cat: graft.catalog.CatalogSurface, spark: SparkSession,
       clustersIdent: String, mergesIdent: String): Unit = {
+    // read-modify-replace: CAS both tables on the snapshots this pass
+    // plans from — an ingest racing in between must 409 the replace (its
+    // labels/merge pairs would otherwise be silently replaced away);
+    // re-run applyMerges to re-plan from the fresh state
+    val cSnap = cat.loadMeta(clustersIdent).currentSnapshotId
+    val mSnap = cat.loadMeta(mergesIdent).currentSnapshotId
     val fwd = forwarding(cat, mergesIdent)
     if (fwd.isEmpty) return
     val rewritten = cat.scan(clustersIdent)
@@ -273,7 +297,8 @@ object IncrementalClusters {
         coalesce(col("root"), col("cluster_id")).as("cluster_id"))
     val emptyMerges = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), MergeSchema)
-    cat.overwriteGroup(Seq(
-      clustersIdent -> rewritten, mergesIdent -> emptyMerges))
+    cat.overwriteGroup(
+      Seq(clustersIdent -> rewritten, mergesIdent -> emptyMerges),
+      basedOn = Map(clustersIdent -> cSnap, mergesIdent -> mSnap))
   }
 }

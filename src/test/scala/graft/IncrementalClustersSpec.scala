@@ -72,6 +72,44 @@ class IncrementalClustersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resolvedMap() == before)
   }
 
+  test("applyMerges CASes on its planning snapshots: a racing commit conflicts, never vanishes") {
+    import spark.implicits._
+    // read-modify-replace protection (the overwriteGroup basedOn CAS):
+    // content staged from a stale snapshot must 409, not silently replace
+    // away a racing ingest's rows
+    val stale = cat.loadMeta("u.clusters").currentSnapshotId
+    update(cat, spark, "u.clusters", "u.merges",
+      Seq(99L).toDF("doc_id"), Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    val rewrittenStale = cat.scan("u.clusters")
+      .select(col("doc_id"), col("cluster_id"))
+    val e = intercept[Exception] {
+      cat.overwriteGroup(Seq("u.clusters" -> rewrittenStale),
+        basedOn = Map("u.clusters" -> stale))
+    }
+    assert(graft.catalog.CommitRetry.isConflict(e) ||
+      Option(e.getCause).exists(graft.catalog.CommitRetry.isConflict),
+      s"stale basedOn must surface as a CAS conflict: $e")
+    assert(cat.scan("u.clusters").filter(col("doc_id") === 99L).count() == 1,
+      "the racing row must survive the refused replace")
+    // a fresh re-run (applyMerges re-reads + re-plans) succeeds
+    applyMerges(cat, spark, "u.clusters", "u.merges")
+  }
+
+  test("a stored neighbor with no cluster label fails LOUDLY naming the backfill") {
+    import spark.implicits._
+    // maintenance enabled on a pre-existing corpus without backfill:
+    // silent own-id contraction would diverge from the recompute forever
+    cat.createNamespace("nolab")
+    ensureTables(cat, "nolab.clusters", "nolab.merges")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalClusters.planUpdate(cat, spark, "nolab.clusters", "nolab.merges",
+        Seq(200L).toDF("doc_id"),
+        // 150 is NOT a batch peer and has NO stored label
+        Seq((200L, 150L)).toDF("doc_a", "doc_b"))
+    }
+    assert(e.getMessage.contains("backfill"), e.getMessage)
+  }
+
   // ---- ingest-driven maintenance over real documents ----------------------
 
   private def docsOf(range: Range): org.apache.spark.sql.DataFrame =
