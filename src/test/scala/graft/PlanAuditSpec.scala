@@ -166,6 +166,44 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.count() > 0, "bulk path must still produce ranked neighbors")
   }
 
+  test("d15 maintenance plans pin no broadcast hint and join on ids only") {
+    // the forwarding map and the neighbor-label frame are data-dependent
+    // (merge count, batch fan-out) — pinning either would be the x7/p1
+    // hint class; and the contraction graph must join on ids, never a
+    // block attribute
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("audit_d15").toString
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    cat.createNamespace("u")
+    graft.operators.IncrementalClusters.ensureTables(cat, "u.clusters", "u.merges")
+    graft.operators.IncrementalClusters.update(cat, spark, "u.clusters", "u.merges",
+      Seq(10L, 20L).toDF("doc_id"), Seq((20L, 10L)).toDF("doc_a", "doc_b"))
+    graft.operators.IncrementalClusters.update(cat, spark, "u.clusters", "u.merges",
+      Seq(5L).toDF("doc_id"), Seq((5L, 10L)).toDF("doc_a", "doc_b"))
+    val res = graft.operators.IncrementalClusters.resolved(
+      cat, spark, "u.clusters", "u.merges")
+    val hints = res.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "resolved() must not pin the forwarding-map join")
+    res.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.foreach { j =>
+      assert(j.condition.isDefined, "no cartesian in the resolve plan")
+      val refs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name)
+      assert(refs.forall(n => n == "cluster_id" || n == "doc_id"),
+        s"resolve must join on label/id columns only, got $refs")
+    }
+    val (rows, _) = graft.operators.IncrementalClusters.planUpdate(
+      cat, spark, "u.clusters", "u.merges",
+      Seq(3L).toDF("doc_id"), Seq((3L, 5L)).toDF("doc_a", "doc_b"))
+    val rowHints = rows.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(rowHints.isEmpty, "planUpdate must not pin data-dependent joins")
+  }
+
   test("d13 verify tokenizes only candidate-named docs, each once (semi-restricted)") {
     // the cross-batch verify's token-set kernels (the collect_set
     // aggregates) must run over docs SEMI-JOINED to the candidate-pair
