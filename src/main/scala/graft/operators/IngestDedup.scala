@@ -219,8 +219,8 @@ object IngestDedup {
     * rule) — AFTER the survivors and their index
     * bands have committed atomically. Batch doc_ids must be fresh (the
     * caller's id allocation contract, same as any append pipeline).
-    */
-  /** With `clusters = Some((clustersIdent, mergesIdent))`, the batch also
+    *
+    * With `clusters = Some((clustersIdent, mergesIdent))`, the batch also
     * maintains the [[IncrementalClusters]] assignment — the survivors'
     * labels and any merge-forwarding pairs commit IN THE SAME atomic
     * group as the docs + index appends, so stored ⟺ indexed ⟺ clustered
