@@ -268,6 +268,24 @@ class IncrementalClustersSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(remote.scan("pipe.merges").count() == 0)
       assert(resolved(remote, spark, "pipe.clusters", "pipe.merges")
         .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap == r)
+      // the read-modify-replace CAS rides the wire FAIL-FAST: a replace
+      // pinned on a stale snapshot 409s (no retry burn — only the caller
+      // can re-plan) and the racing rows survive
+      val stale = remote.loadMeta("pipe.clusters").currentSnapshotId
+      IngestDedup.ingest(remote, spark, "pipe.docs", "pipe.index",
+        docsOf(20 until 25), clusters = cl).unpersist() // advances clusters
+      val rowsBefore = remote.scan("pipe.clusters").count()
+      val e = intercept[Exception] {
+        remote.overwriteGroup(
+          Seq("pipe.clusters" -> remote.scan("pipe.clusters")
+            .select(col("doc_id"), col("cluster_id"))),
+          basedOn = Map("pipe.clusters" -> stale))
+      }
+      assert(graft.catalog.CommitRetry.isConflict(e) ||
+        Option(e.getCause).exists(graft.catalog.CommitRetry.isConflict),
+        s"remote stale basedOn must surface as a CAS conflict: $e")
+      assert(remote.scan("pipe.clusters").count() == rowsBefore,
+        "the refused replace must publish nothing")
     } finally served.stop()
   }
 }
