@@ -109,6 +109,26 @@ trait CatalogSurface {
       ops: Seq[(String, DataFrame)],
       setProperties: Map[String, String] = Map.empty,
       basedOn: Map[String, Long] = Map.empty): Seq[TableMeta]
+  /** Atomic multi-table PARTIAL replace — the amortized-compaction
+    * contract (e.g. [[graft.operators.IncrementalClusters.applyMerges]]'
+    * file-pruned label rewrite): each op is `(table, dropPaths,
+    * replacementRows)` — the listed files leave the table, the staged
+    * replacement rows join it, and every file OUTSIDE the drop list
+    * carries over BY REFERENCE (O(delta) manifest work, never a full
+    * rewrite) — all tables in one transaction, remotely ONE
+    * `/v1/transactions/commit` of remove-files{paths} + append-files per
+    * table-change. An op may drop a table's whole file set with no
+    * replacement (a truncate) or stage rows with no drops (an append).
+    *
+    * `basedOn` is REQUIRED for every listed table: a partial replace is
+    * read-modify-replace BY CONSTRUCTION (both the drop list and the
+    * replacement rows were planned from that snapshot), so a racing
+    * commit must 409 the group — fail-fast, no blind retry can help;
+    * only the caller can re-plan.
+    */
+  def replaceFilesGroup(
+      ops: Seq[(String, Seq[String], DataFrame)],
+      basedOn: Map[String, Long]): Seq[TableMeta]
   def overwrite(ident: String, df: DataFrame): TableMeta
   def addFilesWithRetry(
       ident: String,

@@ -209,7 +209,12 @@ object IceCatalog {
       // replace the table's ENTIRE file set with `paths` in this commit
       // (the index-REBUILD shape over the wire: remove-files{all} +
       // append-files in one transaction snapshot)
-      replaceAll: Boolean = false)
+      replaceAll: Boolean = false,
+      // drop exactly these current files in this commit (the file-pruned
+      // partial-replace shape over the wire: remove-files{paths} +
+      // append-files in one transaction snapshot); mutually exclusive
+      // with replaceAll
+      removePaths: Seq[String] = Seq.empty)
 
   case class InsertOptions(
       skipDuplicates: Boolean = false,
@@ -1141,6 +1146,45 @@ class IceCatalog(
     })
   }
 
+  /** Atomic multi-table PARTIAL replace (the file-pruned sibling of
+    * [[overwriteGroup]] — see [[CatalogSurface.replaceFilesGroup]]):
+    * each op's replacement rows are staged, then every table publishes
+    * ONE overwrite snapshot dropping exactly its listed paths; untouched
+    * manifest segments carry over by reference ([[appendSnapshot]]'s
+    * drop-split), so commit cost is O(touched files). Every listed table
+    * must be CAS-pinned in `basedOn` — the drop list is only valid
+    * against the snapshot it was planned from.
+    */
+  def replaceFilesGroup(
+      ops: Seq[(String, Seq[String], DataFrame)],
+      basedOn: Map[String, Long]): Seq[TableMeta] = {
+    ops.foreach { case (ident, _, _) => require(basedOn.contains(ident),
+      s"replaceFilesGroup: $ident needs a basedOn snapshot pin — a " +
+        "partial replace is read-modify-replace by construction") }
+    val staged = ops.map { case (ident, dropPaths, df) =>
+      val meta = loadMeta(ident)
+      (ident, dropPaths, writeArranged(ident,
+        df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta))
+    }
+    commitGroup(staged.map { case (ident, dropPaths, files) =>
+      ident -> ((m: TableMeta) => {
+        basedOn.get(ident).filter(_ != m.currentSnapshotId).foreach(id =>
+          throw new java.util.ConcurrentModificationException(
+            s"$ident advanced from snapshot $id to ${m.currentSnapshotId} " +
+              "since the replacement content was planned — re-read and " +
+              "re-plan the replace"))
+        val drops = dropPaths.map(fsPath).toSet
+        val curPaths = m.current.map(_.files.map(f => fsPath(f.path)).toSet)
+          .getOrElse(Set.empty)
+        val unknown = drops.filterNot(curPaths.contains)
+        require(unknown.isEmpty, s"replaceFilesGroup: not current data " +
+          s"files of $ident: ${unknown.take(3).mkString(", ")}")
+        if (drops.isEmpty && files.isEmpty) m
+        else appendSnapshot(m, SnapDelta("overwrite", drop = drops, add = files))
+      })
+    })
+  }
+
   /** Atomic multi-table TRANSACTION over externally-staged files and
     * property updates (the catalog half of REST
     * `/v1/transactions/commit`): every op's paths resolve and
@@ -1172,6 +1216,18 @@ class IceCatalog(
           if (op.replaceAll)
             appendSnapshot(m, SnapDelta("overwrite", add = files,
               addSources = sources, replaceAll = true))
+          else if (op.removePaths.nonEmpty) {
+            // the wire partial replace: dropped paths must be CURRENT
+            // files (same validation as single-table replaceStagedFiles)
+            val drops = op.removePaths.map(fsPath).toSet
+            val curPaths = m.current.map(_.files.map(f => fsPath(f.path)).toSet)
+              .getOrElse(Set.empty)
+            val unknown = drops.filterNot(curPaths.contains)
+            require(unknown.isEmpty, s"remove-files: not current data " +
+              s"files of ${op.ident}: ${unknown.take(3).mkString(", ")}")
+            appendSnapshot(m, SnapDelta("overwrite", drop = drops,
+              add = files, addSources = sources))
+          }
           else if (files.isEmpty) m
           else appendSnapshot(m,
             SnapDelta("append", add = files, addSources = sources))

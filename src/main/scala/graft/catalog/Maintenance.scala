@@ -44,9 +44,16 @@ object Maintenance {
   val JobOrphanCleanup = "orphan_cleanup"
   val JobManifestCompaction = "manifest_compaction"
   val JobDeleteDebtCompaction = "delete_debt_compaction"
+  val JobMergeCompaction = "merge_compaction"
   val AllJobs: Set[String] =
     Set(JobSnapshotCleanup, JobDataCompaction, JobOrphanCleanup,
-      JobManifestCompaction, JobDeleteDebtCompaction)
+      JobManifestCompaction, JobDeleteDebtCompaction, JobMergeCompaction)
+
+  /** On a cluster-maintenance MERGES table: the identifier of its
+    * clusters sibling, so [[JobMergeCompaction]] knows which assignment
+    * [[graft.operators.IncrementalClusters.applyMerges]] compacts.
+    */
+  val MergesClustersProp = "maintenance.merges.clusters-table"
 
   /** The policy PIPELINE-OWNED tables stamp at creation (IngestDedup's
     * docs/index, VectorIndex's centroids/postings): per-batch appends add
@@ -63,6 +70,19 @@ object Maintenance {
       Seq(JobSnapshotCleanup, JobDataCompaction, JobManifestCompaction)
         .mkString(","))
 
+  /** The policy a cluster-maintenance MERGES table stamps at creation
+    * ([[graft.operators.IncrementalClusters.ensureTables]]): the pipeline
+    * hygiene set plus [[JobMergeCompaction]] keyed to the pending-pair
+    * threshold, so the forwarding table's loud 4M-pair driver budget
+    * never fires in a policy-maintained deployment — the same
+    * clear-debt-before-reads-degrade contract as delete-debt compaction.
+    */
+  def mergesTableProps(clustersIdent: String): Map[String, String] = Map(
+    "maintenance.jobs" ->
+      Seq(JobSnapshotCleanup, JobMergeCompaction, JobDataCompaction,
+        JobManifestCompaction).mkString(","),
+    MergesClustersProp -> clustersIdent)
+
   /** Effective thresholds for one table (MaintenanceConfig.java defaults). */
   case class Policy(
       jobs: Set[String] = Set.empty,
@@ -73,6 +93,10 @@ object Maintenance {
       orphanRetentionDays: Int = 3,
       maxManifestSegments: Int = 8,
       maxPendingDeleteRows: Long = ManifestPrune.MaxDriverDeleteKeysDefault,
+      // merge-forwarding debt gate: 1/4 of IncrementalClusters'
+      // MaxPendingMerges loud read budget, so scheduled compaction
+      // clears pairs long before any read can fail on the cap
+      maxPendingMergePairs: Long = 1024 * 1024,
       dryRun: Boolean = false)
 
   /** Table properties override catalog defaults key by key. */
@@ -101,6 +125,8 @@ object Maintenance {
         .getOrElse(defaults.maxManifestSegments),
       maxPendingDeleteRows = str("maintenance.mor.max-pending-delete-rows")
         .map(_.toLong).getOrElse(defaults.maxPendingDeleteRows),
+      maxPendingMergePairs = str("maintenance.merges.max-pending-pairs")
+        .map(_.toLong).getOrElse(defaults.maxPendingMergePairs),
       dryRun = str("maintenance.dry-run").map(_.toBoolean).getOrElse(defaults.dryRun))
   }
 
@@ -129,10 +155,12 @@ object Maintenance {
             return Seq(Report(ident, "resolve", "", Some(e.toString)))
         }
       // fixed job order: expire first (fewer live snapshots for the orphan
-      // walk), then data/manifest compaction, then orphan GC of whatever
+      // walk), then debt compactions (merge forwarding BEFORE data
+      // compaction — applyMerges truncates this table, so compacting its
+      // files first would be wasted work), then orphan GC of whatever
       // the preceding jobs unreferenced
-      Seq(JobSnapshotCleanup, JobDeleteDebtCompaction, JobDataCompaction,
-        JobManifestCompaction, JobOrphanCleanup)
+      Seq(JobSnapshotCleanup, JobMergeCompaction, JobDeleteDebtCompaction,
+        JobDataCompaction, JobManifestCompaction, JobOrphanCleanup)
         .filter(policy.jobs.contains)
         .map { job =>
           val r =
@@ -203,6 +231,29 @@ object Maintenance {
             .flatMap(s => Option(s.deletes)).map(_.map(_.rowCount).sum)
             .getOrElse(0L)
           Report(ident, job, s"pendingDeleteRows=$pending->$after")
+        }
+      case JobMergeCompaction =>
+        // label-forwarding debt gate (IncrementalClusters.merges): past
+        // the pending-pair threshold, run the amortized file-pruned
+        // applyMerges — the clusters sibling comes from the table's own
+        // property. A CAS conflict with a racing ingest surfaces as this
+        // report's error; the next tick re-plans from fresh state.
+        cat.loadMeta(ident).properties.get(MergesClustersProp) match {
+          case None => Report(ident, job, "",
+            Some(s"$MergesClustersProp property missing — cannot locate " +
+              "the clusters table this merges table forwards"))
+          case Some(clustersIdent) =>
+            val pending = cat.countRows(ident)
+            if (pending <= p.maxPendingMergePairs)
+              Report(ident, job,
+                s"skipped pendingPairs=$pending max=${p.maxPendingMergePairs}")
+            else if (p.dryRun)
+              Report(ident, job, s"would-apply pendingPairs=$pending")
+            else {
+              graft.operators.IncrementalClusters.applyMerges(
+                cat, cat.spark, clustersIdent, ident)
+              Report(ident, job, s"pendingPairs=$pending->0")
+            }
         }
       case JobOrphanCleanup =>
         val removed = cat.cleanOrphans(ident, dryRun = p.dryRun,

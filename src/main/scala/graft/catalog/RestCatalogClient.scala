@@ -631,6 +631,64 @@ final class RestCatalogClient(
     }
   }
 
+  /** Atomic multi-table PARTIAL replace over the wire
+    * ([[CatalogSurface.replaceFilesGroup]]): stage each op's replacement
+    * rows, then ONE `/v1/transactions/commit` where each table-change is
+    * remove-files{paths} + append-files, CAS'd on the caller's REQUIRED
+    * `basedOn` pin. Fail-fast on conflict (retries=0): the drop list and
+    * replacement content are only valid against the pinned snapshot —
+    * only the caller can re-plan. `verified` closes the lost-response
+    * window: the staged paths being current AND the dropped paths being
+    * gone ⇔ the replace landed (a truncate-only op verifies by its drops
+    * alone, so a genuine 409 can never be vacuously reported as success).
+    */
+  def replaceFilesGroup(
+      ops: Seq[(String, Seq[String], DataFrame)],
+      basedOn: Map[String, Long]): Seq[TableMeta] = {
+    import org.apache.spark.sql.functions.col
+    ops.foreach { case (ident, _, _) => require(basedOn.contains(ident),
+      s"replaceFilesGroup: $ident needs a basedOn snapshot pin — a " +
+        "partial replace is read-modify-replace by construction") }
+    val staged = ops.map { case (ident, dropPaths, df0) =>
+      val meta = loadMeta(ident)
+      val df = df0.select(meta.schema.fieldNames.toSeq.map(col): _*)
+      if (df.isEmpty) (ident, dropPaths, Seq.empty[String], false)
+      else {
+        val (parts, profile) = stageParquet(ident, df, "ingest", None)
+        (ident, dropPaths, parts, profile.isDefined)
+      }
+    }
+    CommitRetry.run(0, retryTotalMs,
+      verified = () => {
+        val metas = staged.map(s => loadMeta(s._1))
+        val ok = staged.zip(metas).forall { case ((_, drops, parts, _), m) =>
+          val cur = m.current.map(_.files.map(f => fsPath(f.path)).toSet)
+            .getOrElse(Set.empty)
+          parts.map(fsPath).forall(cur.contains) &&
+            drops.map(fsPath).forall(p => !cur.contains(p))
+        }
+        if (ok) Some(metas) else None
+      }) { _ =>
+      val changes = staged.map { case (ident, drops, parts, wire) =>
+        Map(
+          "identifier" -> ident,
+          "requirements" -> Seq(Map(
+            "type" -> "assert-current-snapshot-id",
+            "snapshot-id" -> basedOn(ident))),
+          "updates" -> (
+            (if (drops.isEmpty) Seq.empty
+             else Seq(Map("action" -> "remove-files", "paths" -> drops))) ++
+            (if (parts.isEmpty) Seq.empty
+             else Seq(Map("action" -> "append-files", "paths" -> parts,
+               "force-outside-location" -> wire,
+               "skip-duplicates" -> false, "force-duplicates" -> false)))))
+      }
+      send("POST", s"$base/v1/transactions/commit",
+        Some(jstr(Map("table-changes" -> changes))))
+      staged.map(s => loadMeta(s._1))
+    }
+  }
+
   /** Stage `df` as parquet on the SHARED storage plane under the table's
     * data dir — the external-committer write half. Local filesystem when
     * the table location resolves; the object-store data plane (with the

@@ -943,14 +943,20 @@ object RestServer {
         val us = arr(ch, "updates")
         val (appends, rest0) = us.partition(u =>
           textOr(u, "action", "") == "append-files")
-        // remove-files in a transaction is the REBUILD shape only:
-        // all:true replaces the table's whole file set with this
-        // change's appends in one snapshot (path-listed removes stay a
-        // single-table commit concern)
+        // remove-files in a transaction: all:true is the REBUILD shape
+        // (replace the table's whole file set with this change's appends
+        // in one snapshot); a paths list is the PARTIAL-replace shape
+        // (drop exactly those current files — the file-pruned compaction
+        // over the wire, CatalogSurface.replaceFilesGroup)
         val (removes, rest) = rest0.partition(u =>
           textOr(u, "action", "") == "remove-files")
-        removes.foreach(u => require(u.path("all").asBoolean(false),
-          "transactions support remove-files with all:true only"))
+        val replaceAll = removes.exists(_.path("all").asBoolean(false))
+        val removePaths = removes.flatMap(
+          _.path("paths").elements().asScala.map(_.asText()))
+        require(!(replaceAll && removePaths.nonEmpty),
+          "remove-files: all:true cannot mix with a paths list")
+        require(removes.isEmpty || replaceAll || removePaths.nonEmpty,
+          "remove-files needs paths (or all:true)")
         val props: Map[String, String] = rest.flatMap { u =>
           textOr(u, "action", "") match {
             case "set-properties" =>
@@ -977,7 +983,8 @@ object RestServer {
               appends.exists(_.path("force-duplicates").asBoolean(false))),
           setProperties = props,
           basedOn = basedOn,
-          replaceAll = removes.nonEmpty)
+          replaceAll = replaceAll,
+          removePaths = removePaths)
       }
       cat.commitTransaction(ops)
     }

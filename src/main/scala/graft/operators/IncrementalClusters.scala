@@ -25,10 +25,14 @@ import graft.catalog.IceCatalog
   *    enough to collect and path-compress driver-side;
   *  - [[resolved]]: the CURRENT assignment = clusters ⋈ compressed
   *    forwarding map (what r7's split consumes);
-  *  - [[applyMerges]]: the amortized compaction — rewrite rows through
-  *    the forwarding map and truncate `merges` in ONE atomic
-  *    [[graft.catalog.CatalogSurface.overwriteGroup]] (an empty frame
-  *    truncates — remotely a remove-files{all}-only table-change).
+  *  - [[applyMerges]]: the amortized compaction — rewrite ONLY the
+  *    clusters files whose `cluster_id` manifest min/max range can hold a
+  *    forwarded loser label (everything else carries over BY REFERENCE)
+  *    and truncate `merges`, in ONE atomic CAS'd
+  *    [[graft.catalog.CatalogSurface.replaceFilesGroup]]. The
+  *    [[graft.catalog.Maintenance]] runner schedules it behind the
+  *    merges table's pending-pair threshold, so the [[MaxPendingMerges]]
+  *    loud budget never fires in a policy-maintained deployment.
   *
   * Labels are the component's MIN doc id (the d8 convention), so the
   * maintained assignment is BYTE-IDENTICAL to a full recompute over the
@@ -39,8 +43,11 @@ import graft.catalog.IceCatalog
   * the pre-commit index, so neither batch's edges can name the other's
   * docs — the same optimistic-batching caveat d14's dedup probe carries
   * (two concurrent copies of one doc can both survive). A racing
-  * deployment re-converges with a periodic backfill [[update]] over the
-  * index self-join, which is idempotent on already-correct labels.
+  * deployment re-converges with [[backfill]] over the index self-join —
+  * a REPLACE of the whole assignment (CAS'd overwriteGroup + merges
+  * truncate), idempotent by construction; the append-path [[update]]
+  * refuses already-labeled ids loudly instead of silently duplicating
+  * their rows.
   * Edge semantics: a new doc pairs with EVERY stored member of its
   * (band, sig) buckets — buckets are ≤ [[Dedup.MaxLshBucket]] rows by
   * d14's write-time slot invariant, so per-doc edge fan-out is bounded;
@@ -69,10 +76,12 @@ object IncrementalClusters {
   private val MaxPruneIds = 65536
 
   /** The deferred-compression design collects the merge table per batch,
-    * so its size is a DRIVER budget: past this many pending pairs
-    * (~64 MB of longs), reads fail LOUDLY naming the remedy instead of
-    * silently degrading — [[applyMerges]] (or the maintenance window that
-    * schedules it) resets the table to empty.
+    * so its size is a DRIVER budget: past this many pending pairs (three
+    * primitive long arrays ≈ 96 MB at the cap — [[Forwarding]] never
+    * boxes), reads fail LOUDLY naming the remedy instead of silently
+    * degrading — [[applyMerges]] (scheduled by the merges table's
+    * [[graft.catalog.Maintenance]] `merge_compaction` policy well before
+    * this cap) resets the table to empty.
     */
   val MaxPendingMerges = 4 * 1024 * 1024
 
@@ -84,36 +93,100 @@ object IncrementalClusters {
       partitionSpec = Seq(IceCatalog.PartitionField(
         "doc_id", s"bucket[$DocBuckets]", "doc_bucket")),
       properties = graft.catalog.Maintenance.PipelineTableProps)
+    // the merges table additionally opts into merge_compaction (scheduled
+    // applyMerges behind a pending-pair threshold) and names its clusters
+    // sibling so the runner knows which assignment to compact
     if (!cat.tableExists(mergesIdent)) cat.createTable(mergesIdent, MergeSchema,
-      properties = graft.catalog.Maintenance.PipelineTableProps)
+      properties = graft.catalog.Maintenance.mergesTableProps(clustersIdent))
   }
 
-  /** The path-compressed label-forwarding map: collect the merge pairs
-    * (O(merges since last [[applyMerges]]) — the bounded driver state
-    * this design trades for per-batch relabel rewrites) and chase each
-    * loser to its root. Winners are strictly smaller than losers, so
-    * chains terminate.
+  /** The path-compressed forwarding table in primitive parallel arrays:
+    * `losers` sorted ascending, `roots(i)` = the chain-chased final label
+    * of `losers(i)`. Primitive on purpose — a boxed Map at the 4M-pair
+    * budget costs several hundred MB of driver heap; this is exactly
+    * 2 × 8 bytes per pair.
+    */
+  final class Forwarding private[operators] (
+      val losers: Array[Long], val roots: Array[Long]) {
+    def isEmpty: Boolean = losers.length == 0
+    def size: Int = losers.length
+  }
+
+  private val EmptyForwarding =
+    new Forwarding(Array.emptyLongArray, Array.emptyLongArray)
+
+  /** Collect the merge pairs (O(merges since last [[applyMerges]]) — the
+    * bounded driver state this design trades for per-batch relabel
+    * rewrites) and path-compress every loser to its root in O(pairs)
+    * total: roots are MEMOIZED while chasing, so even a degenerate
+    * single chain at the budget compresses in one linear pass — never
+    * the O(chain²) a naive per-key walk would cost. Winners are strictly
+    * smaller than losers, so chains terminate.
     */
   def forwarding(
-      cat: graft.catalog.CatalogSurface, mergesIdent: String): Map[Long, Long] = {
+      cat: graft.catalog.CatalogSurface, mergesIdent: String): Forwarding = {
     val pending = cat.countRows(mergesIdent)
     require(pending <= MaxPendingMerges,
       s"$mergesIdent: $pending pending merge pairs exceed the " +
         s"$MaxPendingMerges driver budget — run applyMerges() (the " +
         "amortized label compaction) before further reads")
-    val pairs = cat.scan(mergesIdent).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def root(x: Long): Long = pairs.get(x) match {
-      case Some(w) => root(w)
-      case None => x
+    if (pending == 0) return EmptyForwarding
+    // one pass over the scan's local iterator: no driver-side Row array
+    val sorted = cat.scan(mergesIdent).toLocalIterator()
+    val buf = Array.newBuilder[(Long, Long)]
+    while (sorted.hasNext) {
+      val r = sorted.next()
+      buf += ((r.getLong(0), r.getLong(1)))
     }
-    pairs.keys.map(k => k -> root(k)).toMap
+    // sort by loser for binary-search lookups; a duplicated loser (two
+    // racing appends of the same pair) keeps the SMALLER winner — the
+    // min-label convention makes that the converged value
+    val pairs = buf.result().sortBy(p => (p._1, p._2))
+    var n = 0
+    val losers = new Array[Long](pairs.length)
+    val winners = new Array[Long](pairs.length)
+    pairs.foreach { case (l, w) =>
+      if (n > 0 && losers(n - 1) == l) ()
+      else { losers(n) = l; winners(n) = w; n += 1 }
+    }
+    val ls = if (n == losers.length) losers else java.util.Arrays.copyOf(losers, n)
+    val ws = if (n == winners.length) winners else java.util.Arrays.copyOf(winners, n)
+    val roots = new Array[Long](n)
+    val done = new Array[Boolean](n)
+    val stack = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (!done(i)) {
+        // chase i's chain, stacking every undone node; stop at a memoized
+        // node or a terminal winner, then pop-assign the shared root
+        var top = 0
+        var j = i
+        var root = 0L
+        var chasing = true
+        while (chasing) {
+          if (done(j)) { root = roots(j); chasing = false }
+          else {
+            stack(top) = j; top += 1; done(j) = true
+            val k = java.util.Arrays.binarySearch(ls, ws(j))
+            if (k < 0) { root = ws(j); chasing = false } else j = k
+          }
+        }
+        while (top > 0) { top -= 1; roots(stack(top)) = root }
+      }
+      i += 1
+    }
+    new Forwarding(ls, roots)
   }
 
-  private def fwdFrame(spark: SparkSession, fwd: Map[Long, Long]): DataFrame = {
+  private def fwdFrame(spark: SparkSession, fwd: Forwarding): DataFrame = {
     import spark.implicits._
-    fwd.toSeq.toDF("cluster_id", "root")
+    fwd.losers.indices.map(i => (fwd.losers(i), fwd.roots(i)))
+      .toDF("cluster_id", "root")
   }
+
+  private def emptyMerges(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), MergeSchema)
 
   /** The CURRENT assignment: stored labels forwarded through the
     * compressed merge map. No pinned broadcast — the map is tiny but
@@ -179,26 +252,31 @@ object IncrementalClusters {
     // peer and contracts to its own id
     val nbLabels0 = clustersScanForIds(
       cat, clustersIdent, edges.select(col("doc_b")))
-    // a NON-peer neighbor with no stored label would silently contract to
-    // its own id and diverge from the recompute forever — that's a table
-    // that predates cluster maintenance; fail loudly naming the backfill
-    val unresolved = edges.select(col("doc_b"))
-      .except(newIds.toDF("doc_id").select(col("doc_id").as("doc_b")))
-      .except(nbLabels0.select(col("doc_id").as("doc_b")))
-      .limit(3).collect().map(_.getLong(0))
-    require(unresolved.isEmpty,
-      s"$clustersIdent: stored neighbor(s) ${unresolved.mkString(",")} have " +
-        "no cluster label — the table predates maintenance; backfill once " +
-        "with update(allDocIds, indexSelfJoinPairs) before incremental use")
     val nbLabels =
       if (fwd.isEmpty) nbLabels0
       else nbLabels0.join(fwdFrame(spark, fwd), Seq("cluster_id"), "left")
         .select(col("doc_id"),
           coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+    // ONE left join carries both the contraction and the no-label guard:
+    // is_peer marks batch peers, so a row with NULL label AND NULL peer
+    // mark is a stored neighbor the table never labeled — that's a table
+    // that predates cluster maintenance; silently contracting it to its
+    // own id would diverge from the recompute forever. The guard rides
+    // the contraction expression itself (raise_error inside the same
+    // projection — zero extra jobs, zero extra exchanges; it replaced two
+    // per-batch `except`s, each a distinct + its own exchange pair).
     val contracted = edges
       .join(nbLabels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left")
+      .join(newIds.toDF("doc_id").select(col("doc_id").as("doc_b"))
+        .withColumn("is_peer", lit(true)), Seq("doc_b"), "left")
       .select(col("doc_a"),
-        coalesce(col("cluster_id"), col("doc_b")).as("nb"))
+        when(col("cluster_id").isNull && col("is_peer").isNull,
+          raise_error(concat(
+            lit(s"$clustersIdent: stored neighbor "), col("doc_b").cast("string"),
+            lit(" has no cluster label — the table predates maintenance; " +
+              "backfill once with backfill(allDocIds, indexSelfJoinPairs) " +
+              "before incremental use"))))
+          .otherwise(coalesce(col("cluster_id"), col("doc_b"))).as("nb"))
     val comp =
       if (contracted.isEmpty)
         spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster_id")
@@ -218,21 +296,65 @@ object IncrementalClusters {
     (newRows, newMerges)
   }
 
-  /** Standalone maintenance commit (seeding/backfill; [[IngestDedup]]
-    * composes [[planUpdate]] into its own group instead).
+  /** Standalone maintenance commit (seeding; [[IngestDedup]] composes
+    * [[planUpdate]] into its own group instead). APPEND-only: `newIds`
+    * must be UNLABELED — re-running a seed over an already-populated
+    * table would insert a SECOND row per doc ([[resolved]] would then
+    * emit duplicate rows and downstream joins would duplicate
+    * documents), so already-labeled ids are refused loudly naming
+    * [[backfill]], the idempotent replace-everything form.
     */
   def update(
       cat: graft.catalog.CatalogSurface, spark: SparkSession,
       clustersIdent: String, mergesIdent: String,
       newIds: DataFrame, edges: DataFrame): Unit = {
+    if (cat.loadMeta(clustersIdent).current.exists(_.files.nonEmpty)) {
+      val already = clustersScanForIds(cat, clustersIdent, newIds)
+        .join(newIds.toDF("doc_id"), Seq("doc_id"), "left_semi")
+        .limit(3).collect().map(_.getLong(0))
+      require(already.isEmpty,
+        s"$clustersIdent: id(s) ${already.mkString(",")} are already " +
+          "labeled — update() appends and would duplicate their rows; " +
+          "use backfill() (idempotent replace) to re-converge")
+    }
     val (rows, merges) = planUpdate(
       cat, spark, clustersIdent, mergesIdent, newIds, edges)
     cat.insertGroup(Seq(clustersIdent -> rows, mergesIdent -> merges))
   }
 
+  /** IDEMPOTENT full re-convergence — the remedy for a racing
+    * deployment's drift (and the safe way to re-run a seed): recompute
+    * connected components over `edges` (doc-id pairs, e.g. the stored
+    * index's bucket self-join) and REPLACE the whole assignment — the
+    * recomputed labels plus a merges truncate in one CAS'd
+    * [[graft.catalog.CatalogSurface.overwriteGroup]]. Byte-identical
+    * output on already-correct tables; a batch racing the replace 409s
+    * it (re-run to re-plan from the fresh state).
+    */
+  def backfill(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      clustersIdent: String, mergesIdent: String,
+      allIds: DataFrame, edges: DataFrame): Unit = {
+    import spark.implicits._
+    val cSnap = cat.loadMeta(clustersIdent).currentSnapshotId
+    val mSnap = cat.loadMeta(mergesIdent).currentSnapshotId
+    val comp =
+      if (edges.isEmpty)
+        spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster_id")
+      else Dedup.connectedComponents(
+        edges.select(col("doc_a"), col("doc_b")))
+    val rows = allIds.toDF("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    cat.overwriteGroup(
+      Seq(clustersIdent -> rows, mergesIdent -> emptyMerges(spark)),
+      basedOn = Map(clustersIdent -> cSnap, mergesIdent -> mSnap))
+  }
+
   /** d15 gate: corpus = even-id docs materialized as docs + index tables
     * with the cluster assignment SEEDED from the stored corpus pairs (the
-    * backfill shape — one [[update]] over the index self-join), then the
+    * seeding shape — one [[update]] over the index self-join), then the
     * odd-id batch ingested with maintenance ON (labels + merge pairs in
     * the ingest's own atomic group). Output = the RESOLVED assignment for
     * every stored doc; the DuckDB oracle recomputes the closure over the
@@ -274,31 +396,81 @@ object IncrementalClusters {
     rows.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
   }
 
-  /** The amortized compaction: rewrite every stored label through the
-    * compressed forwarding map and truncate the merge table, in ONE
-    * atomic overwriteGroup — O(table) once per maintenance window, never
-    * per batch. A crash publishes neither; [[resolved]] answers
-    * identically before and after.
+  /** True iff any forwarded loser can live inside [lo, hi]. */
+  private def anyLoserInRange(sorted: Array[Long], lo: Long, hi: Long): Boolean = {
+    var i = java.util.Arrays.binarySearch(sorted, lo)
+    if (i < 0) i = -i - 1
+    i < sorted.length && sorted(i) <= hi
+  }
+
+  /** The amortized compaction, FILE-PRUNED: only clusters files whose
+    * `cluster_id` manifest min/max range can hold a forwarded loser are
+    * rewritten through the compressed map — every other file carries over
+    * BY REFERENCE in the same commit (the deleteWhere copy-on-write
+    * shape), so a maintenance window that accumulated a handful of merges
+    * rewrites O(touched files), never O(corpus). The rewrites plus the
+    * merge-table truncate land in ONE atomic
+    * [[graft.catalog.CatalogSurface.replaceFilesGroup]] CAS'd on the
+    * snapshots this pass planned from — an ingest racing in between must
+    * 409 the replace (its labels/merge pairs would otherwise be silently
+    * replaced away); re-run applyMerges to re-plan from the fresh state.
+    * A crash publishes neither; [[resolved]] answers identically before
+    * and after.
+    *
+    * Touched files are re-read DIRECTLY (they are partition-pure parquet
+    * of the table's own schema — the registration contract); a clusters
+    * table carrying pending MOR deletes (not a shape this pipeline
+    * writes) falls back to the full MOR-merged rewrite so masked rows
+    * can't resurrect.
     */
   def applyMerges(
       cat: graft.catalog.CatalogSurface, spark: SparkSession,
       clustersIdent: String, mergesIdent: String): Unit = {
-    // read-modify-replace: CAS both tables on the snapshots this pass
-    // plans from — an ingest racing in between must 409 the replace (its
-    // labels/merge pairs would otherwise be silently replaced away);
-    // re-run applyMerges to re-plan from the fresh state
-    val cSnap = cat.loadMeta(clustersIdent).currentSnapshotId
-    val mSnap = cat.loadMeta(mergesIdent).currentSnapshotId
+    val cMeta = cat.loadMeta(clustersIdent)
+    val mMeta = cat.loadMeta(mergesIdent)
     val fwd = forwarding(cat, mergesIdent)
     if (fwd.isEmpty) return
-    val rewritten = cat.scan(clustersIdent)
-      .join(fwdFrame(spark, fwd), Seq("cluster_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("root"), col("cluster_id")).as("cluster_id"))
-    val emptyMerges = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), MergeSchema)
-    cat.overwriteGroup(
-      Seq(clustersIdent -> rewritten, mergesIdent -> emptyMerges),
-      basedOn = Map(clustersIdent -> cSnap, mergesIdent -> mSnap))
+    val mergeFiles = mMeta.current.map(_.files.map(_.path)).getOrElse(Seq.empty)
+    val pendingDeletes = cMeta.current.exists(s =>
+      Option(s.deletes).exists(_.nonEmpty))
+    if (pendingDeletes) {
+      // MOR fallback: full rewrite through the merged view
+      val rewritten = cat.scan(clustersIdent)
+        .join(fwdFrame(spark, fwd), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+      cat.overwriteGroup(
+        Seq(clustersIdent -> rewritten, mergesIdent -> emptyMerges(spark)),
+        basedOn = Map(clustersIdent -> cMeta.currentSnapshotId,
+          mergesIdent -> mMeta.currentSnapshotId))
+      return
+    }
+    val losers = fwd.losers // already sorted ascending
+    val rewrite = cMeta.current.map(_.files).getOrElse(Seq.empty)
+      .filter(f => f.stats.get("cluster_id") match {
+        case Some(s) =>
+          val range = for {
+            lo <- s.min.toLongOption; hi <- s.max.toLongOption
+          } yield anyLoserInRange(losers, lo, hi)
+          range.getOrElse(true) // unusable stats: rewrite conservatively
+        case None => true
+      })
+    val ops =
+      if (rewrite.isEmpty) Seq((mergesIdent, mergeFiles, emptyMerges(spark)))
+      else {
+        val rewritten = spark.read.schema(cMeta.schema)
+          .parquet(rewrite.map(_.path): _*)
+          .join(fwdFrame(spark, fwd), Seq("cluster_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+        Seq((clustersIdent, rewrite.map(_.path), rewritten),
+          (mergesIdent, mergeFiles, emptyMerges(spark)))
+      }
+    cat.replaceFilesGroup(ops,
+      basedOn = ops.map {
+        case (ident, _, _) if ident == clustersIdent =>
+          ident -> cMeta.currentSnapshotId
+        case (ident, _, _) => ident -> mMeta.currentSnapshotId
+      }.toMap)
   }
 }

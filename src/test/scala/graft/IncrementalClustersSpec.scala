@@ -98,16 +98,104 @@ class IncrementalClustersSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("a stored neighbor with no cluster label fails LOUDLY naming the backfill") {
     import spark.implicits._
     // maintenance enabled on a pre-existing corpus without backfill:
-    // silent own-id contraction would diverge from the recompute forever
+    // silent own-id contraction would diverge from the recompute forever.
+    // The guard rides the contraction projection (raise_error — no
+    // separate guard job), so it surfaces as an execution-time error
+    // whose cause chain names the remedy.
     cat.createNamespace("nolab")
     ensureTables(cat, "nolab.clusters", "nolab.merges")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       IncrementalClusters.planUpdate(cat, spark, "nolab.clusters", "nolab.merges",
         Seq(200L).toDF("doc_id"),
         // 150 is NOT a batch peer and has NO stored label
         Seq((200L, 150L)).toDF("doc_a", "doc_b"))
     }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(messages.contains("backfill") && messages.contains("150"), messages)
+  }
+
+  test("update() refuses already-labeled ids; backfill() is the idempotent replace") {
+    import spark.implicits._
+    cat.createNamespace("idem")
+    ensureTables(cat, "idem.clusters", "idem.merges")
+    def ids(xs: Long*) = xs.toDF("doc_id")
+    def edges(xs: (Long, Long)*) = xs.toDF("doc_a", "doc_b")
+    update(cat, spark, "idem.clusters", "idem.merges",
+      ids(1L, 2L, 3L), edges(2L -> 1L))
+    // re-running the SAME seed must fail loudly, not silently insert a
+    // second (doc_id, cluster_id) row per doc (which would make
+    // resolved() emit duplicates and downstream joins duplicate docs)
+    val e = intercept[IllegalArgumentException] {
+      update(cat, spark, "idem.clusters", "idem.merges",
+        ids(1L, 2L, 3L), edges(2L -> 1L))
+    }
     assert(e.getMessage.contains("backfill"), e.getMessage)
+    assert(cat.scan("idem.clusters").count() == 3, "refused seed publishes nothing")
+    // backfill REPLACES: safe to re-run any number of times, and it
+    // re-converges drifted state (here: a different edge set)
+    IncrementalClusters.backfill(cat, spark, "idem.clusters", "idem.merges",
+      ids(1L, 2L, 3L), edges(2L -> 1L, 3L -> 2L))
+    val once = resolvedMap(cat, "idem.clusters", "idem.merges")
+    assert(once == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    IncrementalClusters.backfill(cat, spark, "idem.clusters", "idem.merges",
+      ids(1L, 2L, 3L), edges(2L -> 1L, 3L -> 2L))
+    assert(resolvedMap(cat, "idem.clusters", "idem.merges") == once)
+    assert(cat.scan("idem.clusters").count() == 3, "backfill must not duplicate rows")
+    assert(cat.scan("idem.merges").count() == 0, "backfill truncates the merge table")
+  }
+
+  test("forwarding path-compresses a degenerate 100k-link chain in O(pairs)") {
+    import spark.implicits._
+    // the ADVICE/verdict case: a loser→winner chain near the driver
+    // budget must compress in one linear pass (memoized roots), never
+    // the O(chain²) a naive per-key walk costs — at 100k links the
+    // quadratic walk is ~10^10 comparisons (minutes); the memoized pass
+    // is bounded by the scan itself
+    cat.createNamespace("chain")
+    ensureTables(cat, "chain.clusters", "chain.merges")
+    val n = 100000
+    val pairs = (1 to n).map(i => (i.toLong, i.toLong - 1))
+    cat.insertGroup(Seq(
+      "chain.clusters" -> Seq((n.toLong, n.toLong)).toDF("doc_id", "cluster_id"),
+      "chain.merges" -> pairs.toDF("loser", "winner")))
+    val t0 = System.nanoTime()
+    val fwd = IncrementalClusters.forwarding(cat, "chain.merges")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(fwd.size == n)
+    assert(fwd.roots.forall(_ == 0L), "every link must chase to the chain root")
+    assert(secs < 10.0, f"compression took $secs%.1f s — not O(pairs)")
+    assert(resolvedMap(cat, "chain.clusters", "chain.merges") == Map(n.toLong -> 0L))
+  }
+
+  test("applyMerges rewrites ONLY files whose cluster_id range holds a loser (carryover by path)") {
+    import spark.implicits._
+    cat.createNamespace("prune")
+    ensureTables(cat, "prune.clusters", "prune.merges")
+    // two widely separated label bands, committed separately so their
+    // rows land in DISTINCT files: the low band [0,100], the high band
+    // [1000000, 1000100] — a merge among LOW labels must leave every
+    // high-band file untouched in the manifest (carried by reference)
+    val low = (0L to 100L).map(i => (i, i)).toDF("doc_id", "cluster_id")
+    val high = (1000000L to 1000100L).map(i => (i, i)).toDF("doc_id", "cluster_id")
+    cat.insertGroup(Seq("prune.clusters" -> low))
+    cat.insertGroup(Seq("prune.clusters" -> high))
+    update(cat, spark, "prune.clusters", "prune.merges",
+      Seq(200L).toDF("doc_id"), Seq((200L, 50L), (200L, 60L)).toDF("doc_a", "doc_b"))
+    assert(cat.scan("prune.merges").count() > 0, "the bridge must forward a label")
+    val before = resolvedMap(cat, "prune.clusters", "prune.merges")
+    val highFiles = cat.files("prune.clusters")
+      .filter(f => f.stats.get("cluster_id").exists(_.min.toLong >= 1000000L))
+      .map(_.path).toSet
+    assert(highFiles.nonEmpty, "need distinct high-band files for the pin")
+    applyMerges(cat, spark, "prune.clusters", "prune.merges")
+    val after = cat.files("prune.clusters").map(_.path).toSet
+    assert(highFiles.subsetOf(after),
+      "files with no forwarded label must carry over BY PATH, not be rewritten")
+    assert(cat.scan("prune.merges").count() == 0)
+    assert(resolvedMap(cat, "prune.clusters", "prune.merges") == before,
+      "resolution must be identical before and after the pruned apply")
   }
 
   // ---- ingest-driven maintenance over real documents ----------------------
@@ -262,8 +350,9 @@ class IncrementalClustersSpec extends AnyFunSuite with BeforeAndAfterAll {
       val r = resolved(remote, spark, "pipe.clusters", "pipe.merges")
         .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
       assert(r.nonEmpty && r.forall { case (d, c) => c <= d })
-      // applyMerges over the wire: the truncation table-change is
-      // remove-files{all}-only when the merge table empties
+      // applyMerges over the wire: ONE transaction of file-pruned
+      // remove-files{paths} + append-files table-changes (the
+      // replaceFilesGroup wire shape)
       applyMerges(remote, spark, "pipe.clusters", "pipe.merges")
       assert(remote.scan("pipe.merges").count() == 0)
       assert(resolved(remote, spark, "pipe.clusters", "pipe.merges")

@@ -139,6 +139,41 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "merged values must survive materialization")
   }
 
+  test("merge compaction applies forwarding debt past the pending-pair threshold") {
+    import spark.implicits._
+    // the IncrementalClusters merges table opts into merge_compaction at
+    // creation (mergesTableProps), so a policy-maintained deployment
+    // never reaches the 4M-pair loud read budget: the runner applies
+    // applyMerges once pending pairs pass the table's threshold
+    graft.operators.IncrementalClusters.ensureTables(
+      cat, "m1.clusters", "m1.merges")
+    graft.operators.IncrementalClusters.update(cat, spark,
+      "m1.clusters", "m1.merges",
+      Seq(10L, 20L, 30L).toDF("doc_id"), Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    // a bridging doc forwards two labels (losers 20 and 30 → winner 5)
+    graft.operators.IncrementalClusters.update(cat, spark,
+      "m1.clusters", "m1.merges",
+      Seq(5L).toDF("doc_id"), Seq((5L, 20L), (5L, 30L)).toDF("doc_a", "doc_b"))
+    assert(cat.countRows("m1.merges") == 2)
+    val resolvedBefore = graft.operators.IncrementalClusters.resolved(
+      cat, spark, "m1.clusters", "m1.merges").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold above the debt: skipped, pairs stay
+    val r1 = runner.runTable("m1.merges")
+    assert(r1.exists(r => r.job == "merge_compaction" &&
+      r.detail.contains("skipped pendingPairs=2")), r1)
+    // threshold below the debt: the runner applies and truncates
+    cat.setProperty("m1.merges", "maintenance.merges.max-pending-pairs", "1")
+    val r2 = runner.runTable("m1.merges")
+    assert(r2.exists(r => r.job == "merge_compaction" &&
+      r.detail.contains("pendingPairs=2->0")), r2)
+    assert(cat.countRows("m1.merges") == 0)
+    assert(graft.operators.IncrementalClusters.resolved(
+      cat, spark, "m1.clusters", "m1.merges").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == resolvedBefore,
+      "maintenance must not change the resolved assignment")
+  }
+
   test("dry-run reports but does not apply") {
     mkTable("m1.dry", inserts = 3)
     cat.setProperty("m1.dry", "maintenance.jobs", "snapshot_cleanup")

@@ -202,6 +202,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
     assert(rowHints.isEmpty, "planUpdate must not pin data-dependent joins")
+    // the no-label guard is FOLDED into the contraction's own left join
+    // (an is-null filter) — a set-difference guard would re-shuffle the
+    // edges twice per batch through Except/anti-join pairs
+    val setOps = rows.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.sql.contains("ANTI") => j
+    }
+    assert(setOps.isEmpty,
+      s"planUpdate's no-label guard must ride the existing join, got $setOps")
   }
 
   test("d13 verify tokenizes only candidate-named docs, each once (semi-restricted)") {
