@@ -593,21 +593,41 @@ final class RestCatalogClient(
         (ident, parts, profile.isDefined)
       }
     }
-    // a caller-pinned CAS fails FAST: re-attempts would re-send the same
-    // stale requirement — only the caller can re-plan the replacement
-    // content (commitDelta's identical rule)
-    CommitRetry.run(if (basedOn.nonEmpty) 0 else retries, retryTotalMs,
-      verified = () => {
-        val metas = staged.map(s => loadMeta(s._1))
-        val filesOk = staged.zip(metas).forall { case ((_, parts, _), m) =>
-          val cur = m.current.map(_.files.map(f => fsPath(f.path)).toSet)
-            .getOrElse(Set.empty)
-          parts.map(fsPath).forall(cur.contains)
-        }
-        val propsOk = metas.forall(m => setProperties.forall { case (k, v) =>
-          Option(m.properties).exists(_.get(k).contains(v)) })
-        if (filesOk && propsOk) Some(metas) else None
-      }) { _ =>
+    // A FULLY caller-pinned group fails FAST: re-attempts would re-send
+    // the same stale requirements — only the caller can re-plan the
+    // replacement content (commitDelta's identical rule). A MIXED group
+    // (some tables pinned, some not) retries: each attempt rebuilds the
+    // UNPINNED members' asserts from fresh loadMeta, so an unpinned
+    // member losing a benign race must not burn the whole transaction —
+    // but a conflict whose failed requirement names a caller-pinned
+    // table still fails fast (the 409 message carries the table
+    // identifier; a substring collision errs toward failing fast, never
+    // toward retrying an unwinnable pin).
+    val pinned = ops.map(_._1).filter(basedOn.contains)
+    val allPinned = pinned.length == ops.length
+    def pinnedConflict(e: Throwable): Boolean =
+      Option(e.getMessage).exists(m => pinned.exists(m.contains))
+    // not a CommitRetry conflict type, so it stops the loop immediately
+    final class PinnedStop(val inner: java.util.ConcurrentModificationException)
+        extends RuntimeException(inner)
+    def landed(): Option[Seq[TableMeta]] = {
+      val metas = staged.map(s => loadMeta(s._1))
+      val filesOk = staged.zip(metas).forall { case ((_, parts, _), m) =>
+        val cur = m.current.map(_.files.map(f => fsPath(f.path)).toSet)
+          .getOrElse(Set.empty)
+        // an EMPTY frame was a truncate: it landed ⇔ the table has no
+        // current files — parts.forall over nothing would otherwise
+        // report a genuine not-applied 409 as success
+        if (parts.isEmpty) cur.isEmpty
+        else parts.map(fsPath).forall(cur.contains)
+      }
+      val propsOk = metas.forall(m => setProperties.forall { case (k, v) =>
+        Option(m.properties).exists(_.get(k).contains(v)) })
+      if (filesOk && propsOk) Some(metas) else None
+    }
+    try CommitRetry.run(
+      if (basedOn.nonEmpty && allPinned) 0 else retries, retryTotalMs,
+      verified = () => landed()) { _ =>
       val changes = staged.map { case (ident, parts, wire) =>
         Map(
           "identifier" -> ident,
@@ -625,9 +645,19 @@ final class RestCatalogClient(
              else Seq(Map("action" -> "set-properties",
                "properties" -> setProperties)))))
       }
-      send("POST", s"$base/v1/transactions/commit",
-        Some(jstr(Map("table-changes" -> changes))))
+      try {
+        send("POST", s"$base/v1/transactions/commit",
+          Some(jstr(Map("table-changes" -> changes))))
+      } catch {
+        case e: java.util.ConcurrentModificationException
+            if basedOn.nonEmpty && !allPinned && pinnedConflict(e) =>
+          throw new PinnedStop(e)
+      }
       staged.map(s => loadMeta(s._1))
+    } catch {
+      // a pinned conflict still gets the lost-response check before it
+      // surfaces (same contract as the fully-pinned retries=0 path)
+      case s: PinnedStop => landed().getOrElse(throw s.inner)
     }
   }
 

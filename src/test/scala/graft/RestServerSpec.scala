@@ -858,4 +858,157 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         "exactly the two masked rows disappear")
     } finally relay.stop(0)
   }
+
+  /** Verbatim-forwarding relay whose `meddle` hook sees (method, body,
+    * forward-thunk) and returns the (status, body) to serve — the
+    * lying-server / lost-response harness for the group-commit tests.
+    */
+  private def withRelay(
+      meddle: (String, String, () => HttpResponse[String]) => (Int, String))(
+      run: String => Unit): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val relay = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    relay.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        def forward(): HttpResponse[String] = {
+          val fb = HttpRequest.newBuilder(
+            URI.create(s"${server.url}${ex.getRequestURI}"))
+          Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .foreach(a => fb.header("Authorization", a))
+          val fwd = ex.getRequestMethod match {
+            case "GET" => fb.GET()
+            case "HEAD" => fb.method("HEAD", HttpRequest.BodyPublishers.noBody())
+            case "DELETE" => fb.DELETE()
+            case m => fb.method(m, HttpRequest.BodyPublishers.ofString(body))
+          }
+          client.send(fwd.build(), HttpResponse.BodyHandlers.ofString())
+        }
+        val (code, out) = meddle(ex.getRequestMethod, body, () => forward())
+        val bytes = out.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
+    relay.start()
+    try run(s"http://127.0.0.1:${relay.getAddress.getPort}")
+    finally relay.stop(0)
+  }
+
+  private def emptyLike(schema: org.apache.spark.sql.types.StructType) =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  test("a genuine 409 on a truncate-only overwriteGroup surfaces — never vacuous success") {
+    import spark.implicits._
+    assert(Set(200, 409)(
+      req("POST", "/v1/namespaces", """{"namespace":["owt"]}""").statusCode()))
+    val direct = new RestCatalogClient(spark, server.url, Some("rw-secret"))
+    val df = (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v")
+    direct.createTable("owt.t", df.schema)
+    direct.insert("owt.t", df)
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the server NEVER applies the commit: every transaction POST is
+    // answered with a synthetic 409 — an empty staged frame must not
+    // make verified() vacuously report the truncate as landed
+    withRelay((m, body, fwd) => {
+      if (m == "POST" && body.contains("table-changes")) {
+        refused.incrementAndGet()
+        (409, """{"error":{"type":"CommitFailedException",
+          |"message":"synthetic conflict — commit NOT applied"}}""".stripMargin)
+      } else { val r = fwd(); (r.statusCode(), r.body()) }
+    }) { url =>
+      val proxied = new RestCatalogClient(spark, url, Some("rw-secret"),
+        retries = 1, retryTotalMs = 5000)
+      val e = intercept[Exception] {
+        proxied.overwriteGroup(Seq("owt.t" -> emptyLike(df.schema)))
+      }
+      assert(graft.catalog.CommitRetry.isConflict(e) ||
+        Option(e.getCause).exists(graft.catalog.CommitRetry.isConflict), s"$e")
+      assert(refused.get() >= 1)
+      assert(cat.scan("owt.t").count() == 8,
+        "a refused truncate must be reported refused — the data survived")
+    }
+  }
+
+  test("a landed-but-lost truncate-only overwriteGroup verifies via the EMPTY file set") {
+    import spark.implicits._
+    assert(Set(200, 409)(
+      req("POST", "/v1/namespaces", """{"namespace":["owt2"]}""").statusCode()))
+    val direct = new RestCatalogClient(spark, server.url, Some("rw-secret"))
+    val df = (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")
+    direct.createTable("owt2.t", df.schema)
+    direct.insert("owt2.t", df)
+    val lied = new java.util.concurrent.atomic.AtomicInteger(0)
+    withRelay((m, body, fwd) => {
+      val r = fwd()
+      // the transactions endpoint answers 204 on success
+      if (m == "POST" && body.contains("table-changes") &&
+          r.statusCode() / 100 == 2 && lied.getAndIncrement() == 0)
+        (409, """{"error":{"type":"CommitFailedException",
+          |"message":"synthetic lost response"}}""".stripMargin)
+      else (r.statusCode(), r.body())
+    }) { url =>
+      val proxied = new RestCatalogClient(spark, url, Some("rw-secret"))
+      proxied.overwriteGroup(Seq("owt2.t" -> emptyLike(df.schema)))
+      assert(lied.get() >= 1, "the relay must have synthesized the 409")
+      assert(cat.scan("owt2.t").count() == 0, "the truncate landed once")
+      assert(cat.listSnapshots("owt2.t").count(_.operation == "overwrite") == 1,
+        "verified() must stop the loop — exactly one truncate snapshot")
+    }
+  }
+
+  test("mixed-pin overwriteGroup retries unpinned conflicts, fails fast on pinned ones") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    assert(Set(200, 409)(
+      req("POST", "/v1/namespaces", """{"namespace":["mx"]}""").statusCode()))
+    val direct = new RestCatalogClient(spark, server.url, Some("rw-secret"))
+    val da = (1L to 4L).map(i => (i, s"a$i")).toDF("id", "v")
+    direct.createTable("mx.a", da.schema); direct.insert("mx.a", da)
+    direct.createTable("mx.b", da.schema); direct.insert("mx.b", da)
+    val pinSnap = direct.loadMeta("mx.a").currentSnapshotId
+    // (1) a conflict naming the UNPINNED member is benign: the next
+    // attempt rebuilds its assert from fresh metadata and lands
+    val lied = new java.util.concurrent.atomic.AtomicInteger(0)
+    withRelay((m, body, fwd) => {
+      if (m == "POST" && body.contains("table-changes") &&
+          lied.getAndIncrement() == 0)
+        (409, """{"error":{"type":"CommitFailedException",
+          |"message":"requirement failed: mx.b current snapshot moved"}}""".stripMargin)
+      else { val r = fwd(); (r.statusCode(), r.body()) }
+    }) { url =>
+      val proxied = new RestCatalogClient(spark, url, Some("rw-secret"))
+      proxied.overwriteGroup(
+        Seq("mx.a" -> da.withColumn("v", lit("ra")),
+          "mx.b" -> da.withColumn("v", lit("rb"))),
+        basedOn = Map("mx.a" -> pinSnap))
+      assert(lied.get() >= 1, "the relay must have synthesized the unpinned 409")
+      assert(cat.scan("mx.a").filter($"v" === "ra").count() == 4)
+      assert(cat.scan("mx.b").filter($"v" === "rb").count() == 4)
+    }
+    // (2) a conflict naming the PINNED table fails FAST: re-attempts
+    // would re-send the same stale pin — exactly ONE wire commit
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withRelay((m, body, fwd) => {
+      if (m == "POST" && body.contains("table-changes")) {
+        commits.incrementAndGet()
+        (409, """{"error":{"type":"CommitFailedException",
+          |"message":"requirement failed: mx.a current snapshot stale"}}""".stripMargin)
+      } else { val r = fwd(); (r.statusCode(), r.body()) }
+    }) { url =>
+      val proxied = new RestCatalogClient(spark, url, Some("rw-secret"))
+      val e = intercept[Exception] {
+        proxied.overwriteGroup(
+          Seq("mx.a" -> da, "mx.b" -> da),
+          basedOn = Map("mx.a" -> direct.loadMeta("mx.a").currentSnapshotId))
+      }
+      assert(graft.catalog.CommitRetry.isConflict(e) ||
+        Option(e.getCause).exists(graft.catalog.CommitRetry.isConflict), s"$e")
+      assert(commits.get() == 1,
+        s"pinned conflict must not retry, sent ${commits.get()} commits")
+    }
+  }
 }
