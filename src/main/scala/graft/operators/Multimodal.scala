@@ -9,14 +9,16 @@ import graft.sources.Tables
   * metadata, plus decode/feature-extract plumbing.
   *
   * The decode kernel DISPATCHES on the payload's magic bytes: real
-  * PNG/JPEG payloads decode through `javax.imageio` (public JDK API —
-  * in-process, no native deps) into true dimensions, a luminance
-  * histogram feature vector, and a genuine nearest-neighbor resize;
-  * anything else — synthetic fixtures, codecs the JDK doesn't ship
-  * (audio/video) — falls back to a clearly-marked DETERMINISTIC STUB
-  * (md5-derived features). Both paths share the batched mapPartitions
-  * seam, schema, and fixed-size feature output, so swapping in a
-  * vectorized native decoder changes one function, nothing downstream.
+  * PNG/JPEG payloads decode through `javax.imageio` and real WAV/AIFF
+  * payloads through `javax.sound.sampled` (both public JDK APIs —
+  * in-process, no native deps) into true dimensions / sample rate +
+  * channels, a luminance / amplitude histogram feature vector, and (for
+  * images) a genuine nearest-neighbor resize; anything else — synthetic
+  * fixtures, codecs the JDK doesn't ship (compressed audio, video) —
+  * falls back to a clearly-marked DETERMINISTIC STUB (md5-derived
+  * features). All paths share the batched mapPartitions seam, schema,
+  * and fixed-size feature output, so swapping in a vectorized native
+  * decoder changes one function, nothing downstream.
   */
 object Multimodal {
 
@@ -78,12 +80,84 @@ object Multimodal {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
 
+  /** True iff the payload starts with a WAV (RIFF…WAVE) or AIFF
+    * (FORM…AIFF/AIFC) container signature. Unlike the PNG/JPEG magics
+    * these are ASCII, so the sniff is only a ROUTING hint — a payload
+    * that merely looks like audio still has to parse through
+    * `javax.sound.sampled`'s header reader, and anything unparseable
+    * falls back to the stub (same never-throw contract as images).
+    */
+  def isAudioPayload(p: Array[Byte]): Boolean =
+    p.length >= 12 && {
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+        p(8) == 'A' && p(9) == 'I' && p(10) == 'F' &&
+        (p(11) == 'F' || p(11) == 'C'))
+    }
+
+  /** Decode a REAL audio payload via `javax.sound.sampled` (WAV/AIFF —
+    * the containers the JDK ships parsers for): (sample rate, channels,
+    * frame count, [[FeatureDim]]-bin mass-normalized AMPLITUDE histogram
+    * over the raw PCM samples — integer bin math, deterministic across
+    * platforms). None when the payload only looked like audio
+    * (truncated/corrupt/non-PCM) — the caller falls back to the stub,
+    * never throws mid-partition. Duration = frames / rate, derivable by
+    * any consumer from the first three fields.
+    */
+  def readAudioFeatures(
+      payload: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        if (!(signed || unsigned) || (bits != 8 && bits != 16)) None
+        else {
+          val bytes = in.readAllBytes()
+          val hist = new Array[Long](FeatureDim)
+          var total = 0L
+          if (bits == 8) {
+            var i = 0
+            while (i < bytes.length) {
+              val v = if (signed) bytes(i).toInt else (bytes(i) & 0xff) - 128
+              hist(math.min(math.abs(v), 127) * FeatureDim / 128) += 1
+              total += 1; i += 1
+            }
+          } else {
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val raw =
+                if (fmt.isBigEndian) ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+                else ((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)
+              val v = if (signed) raw.toShort.toInt else raw - 32768
+              hist(math.min(math.abs(v), 32767) * FeatureDim / 32768) += 1
+              total += 1; i += 2
+            }
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength,
+            hist.map(c => if (total == 0) 0f else (c.toDouble / total).toFloat)))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** The decode dispatcher both operators run: PNG/JPEG → true dims + an
     * [[FeatureDim]]-bin LUMINANCE HISTOGRAM (mass-normalized — a real
-    * reduced representation with the stub's exact schema); everything
-    * else → [[stubDecode]].
+    * reduced representation with the stub's exact schema); WAV/AIFF →
+    * (sample rate, channels) in the dims slots + the AMPLITUDE histogram
+    * ([[readAudioFeatures]] — same fixed shape); everything else →
+    * [[stubDecode]].
     */
-  def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+  def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    if (isAudioPayload(payload))
+      readAudioFeatures(payload) match {
+        case Some((rate, channels, _, hist)) => return (rate, channels, hist)
+        case None => return stubDecode(payload)
+      }
     (if (isImagePayload(payload)) readImage(payload) else None) match {
       case None => stubDecode(payload)
       case Some(img) =>
@@ -105,6 +179,7 @@ object Multimodal {
         val n = w.toLong * h
         (w, h, hist.map(c => (c.toDouble / n).toFloat))
     }
+  }
 
   /** m2: batched decode/feature-extraction over binary media. Batches of
     * `DecodeBatchSize` mirror how a vectorized decoder amortizes setup; the

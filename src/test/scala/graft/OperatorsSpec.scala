@@ -149,6 +149,66 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decode(fake)._1 == Multimodal.stubDecode(fake)._1)
   }
 
+  test("real WAV/AIFF payloads decode through javax.sound.sampled; text stays on the stub") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // a genuine 8 kHz mono 16-bit PCM WAV with KNOWN samples: 400 zeros
+    // then 400 at +20000 — built with the same public JDK API the decoder
+    // uses, so every expected value is computable from first principles
+    val rate = 8000
+    val samples: Array[Short] = Array.fill(400)(0.toShort) ++
+      Array.fill(400)(20000.toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    def container(kind: AudioFileFormat.Type): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length), kind, bos)
+      bos.toByteArray
+    }
+    val wav = container(AudioFileFormat.Type.WAVE)
+    assert(Multimodal.isAudioPayload(wav) && !Multimodal.isImagePayload(wav))
+    val text = "plain text payload, nothing audio about it".getBytes("UTF-8")
+    assert(!Multimodal.isAudioPayload(text))
+
+    // exact expected values: rate, channels, frame count, and the
+    // amplitude histogram — bin = |s| * 8 / 32768, so 0 → bin 0 and
+    // 20000 → bin 4, each holding exactly half the mass
+    val Some((r, ch, frames, hist)) = Multimodal.readAudioFeatures(wav)
+    assert((r, ch, frames) == (rate, 1, samples.length.toLong))
+    assert(hist(0) == 0.5f && hist(4) == 0.5f && hist.sum == 1.0f,
+      s"amplitude histogram: ${hist.toSeq}")
+
+    // through the SPARK operator (mixed batch: audio + text in one frame):
+    // the dims slots carry (sample rate, channels)
+    val media = Seq(
+      Multimodal.MediaRow(1L, wav), Multimodal.MediaRow(2L, text)).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert((feats(0).width, feats(0).height) == (rate, 1))
+    assert(feats(0).features.toSeq == hist.toSeq)
+    assert((feats(1).width, feats(1).height) ==
+      (Multimodal.stubDecode(text)._1, Multimodal.stubDecode(text)._2),
+      "the text row must stay on the stub path")
+
+    // AIFF (big-endian PCM) routes through the same decoder to the SAME
+    // sample values — endianness is the decoder's problem, not the
+    // feature's
+    val aiff = container(AudioFileFormat.Type.AIFF)
+    assert(Multimodal.isAudioPayload(aiff))
+    val Some((ar, ach, aframes, ahist)) = Multimodal.readAudioFeatures(aiff)
+    assert((ar, ach, aframes) == (rate, 1, samples.length.toLong))
+    assert(ahist.toSeq == hist.toSeq, "AIFF must decode to the same histogram")
+
+    // a payload that only LOOKS like audio (RIFF/WAVE magic, garbage
+    // body) must fall back to the stub, never throw mid-partition
+    val fake = wav.take(16)
+    assert(Multimodal.isAudioPayload(fake) ||  fake.length < 12)
+    assert(Multimodal.decode(fake)._1 == Multimodal.stubDecode(fake)._1)
+  }
+
   test("approx sketches land within configured error of exact") {
     val row = Relational.q9Approx(spark, dir).collect()(0)
     val exact = Relational.q6Distinct(spark, dir).collect()(0)
