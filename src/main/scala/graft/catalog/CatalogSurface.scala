@@ -86,8 +86,21 @@ trait CatalogSurface {
     * all): all frames commit in one transaction — locally a lock-ordered
     * commit group, remotely ONE `/v1/transactions/commit`. An empty
     * frame publishes nothing for its table (identity contract).
+    *
+    * `basedOn` CASes named tables on the snapshot the appended CONTENT
+    * was planned from — for appends whose rows are a function of a read
+    * of the same tables (e.g. [[graft.operators.IngestDedup.ingest]]
+    * with cluster maintenance: labels planned against the pre-batch
+    * index/clusters state), where a commit racing in between would
+    * otherwise publish STALE derived rows that never self-heal. Omitted
+    * tables append unconditionally (the plain optimistic-append
+    * contract). A stale pin conflicts even when every frame is empty —
+    * the caller asked "has anything raced my plan?", and a no-op publish
+    * does not answer that question.
     */
-  def insertGroup(ops: Seq[(String, DataFrame)]): Seq[TableMeta]
+  def insertGroup(
+      ops: Seq[(String, DataFrame)],
+      basedOn: Map[String, Long] = Map.empty): Seq[TableMeta]
   /** Atomic multi-table OVERWRITE — the index-REBUILD contract (a new
     * generation of e.g. centroids + postings supersedes all tables
     * together or not at all; `setProperties` stamps every table in the

@@ -1094,16 +1094,27 @@ class IceCatalog(
     * documents unindexed, silently breaking every later probe). An empty
     * frame publishes nothing for that table (identity contract).
     */
-  def insertGroup(ops: Seq[(String, DataFrame)]): Seq[TableMeta] = {
+  def insertGroup(
+      ops: Seq[(String, DataFrame)],
+      basedOn: Map[String, Long] = Map.empty): Seq[TableMeta] = {
     val staged = ops.map { case (ident, df) =>
       val meta = loadMeta(ident)
       ident -> writeArranged(ident,
         df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
     }
     commitGroup(staged.map { case (ident, files) =>
-      ident -> ((m: TableMeta) =>
+      ident -> ((m: TableMeta) => {
+        // derived-append CAS: the appended rows were PLANNED from the
+        // caller's snapshot of this table — a commit racing in between
+        // must conflict loudly, never publish stale derived content
+        basedOn.get(ident).filter(_ != m.currentSnapshotId).foreach(id =>
+          throw new java.util.ConcurrentModificationException(
+            s"$ident advanced from snapshot $id to ${m.currentSnapshotId} " +
+              "since the appended content was planned — re-read and " +
+              "re-plan the batch"))
         if (files.isEmpty) m
-        else appendSnapshot(m, SnapDelta("append", add = files)))
+        else appendSnapshot(m, SnapDelta("append", add = files))
+      })
     })
   }
 

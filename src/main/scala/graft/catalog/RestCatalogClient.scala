@@ -522,7 +522,9 @@ final class RestCatalogClient(
     * Empty frames ride along as requirement-only changes (publish
     * nothing, still CAS-checked — the local identity contract).
     */
-  def insertGroup(ops: Seq[(String, DataFrame)]): Seq[TableMeta] = {
+  def insertGroup(
+      ops: Seq[(String, DataFrame)],
+      basedOn: Map[String, Long] = Map.empty): Seq[TableMeta] = {
     val staged = ops.map { case (ident, df0) =>
       val meta = loadMeta(ident)
       val df = df0.select(
@@ -533,22 +535,43 @@ final class RestCatalogClient(
         (ident, parts, profile.isDefined)
       }
     }
-    CommitRetry.run(retries, retryTotalMs,
-      verified = () => {
-        val metas = staged.map(s => loadMeta(s._1))
-        val ok = staged.zip(metas).forall { case ((_, parts, _), m) =>
-          val known = m.current.flatMap(s => Option(s.sourceFiles))
-            .getOrElse(Seq.empty).map(fsPath).toSet
-          parts.map(fsPath).forall(known.contains)
-        }
-        if (ok) Some(metas) else None
-      }) { _ =>
+    // Pin semantics mirror overwriteGroup's: a FULLY caller-pinned group
+    // fails fast (re-attempts would re-send the same stale requirements);
+    // a MIXED group retries conflicts naming an UNPINNED table (asserts
+    // rebuilt from fresh loadMeta per attempt) and fails fast only on a
+    // pinned table's conflict. A pinned table with an EMPTY frame still
+    // verifies by its pin holding — locally the CAS throws even for a
+    // no-op publish, and the remote must not diverge.
+    val pinned = ops.map(_._1).filter(basedOn.contains)
+    val allPinned = basedOn.nonEmpty && pinned.length == ops.length
+    def pinnedConflict(e: Throwable): Boolean =
+      Option(e.getMessage).exists(m => pinned.exists(m.contains))
+    final class PinnedStop(val inner: java.util.ConcurrentModificationException)
+        extends RuntimeException(inner)
+    def landed(): Option[Seq[TableMeta]] = {
+      val metas = staged.map(s => loadMeta(s._1))
+      val ok = staged.zip(metas).forall { case ((ident, parts, _), m) =>
+        val known = m.current.flatMap(s => Option(s.sourceFiles))
+          .getOrElse(Seq.empty).map(fsPath).toSet
+        val filesOk = parts.map(fsPath).forall(known.contains)
+        // an all-empty pinned table-change proves it landed (vs a genuine
+        // 409) only by its pin still being the current snapshot
+        val pinOk = parts.nonEmpty ||
+          basedOn.get(ident).forall(_ == m.currentSnapshotId)
+        filesOk && pinOk
+      }
+      if (ok) Some(metas) else None
+    }
+    try CommitRetry.run(
+      if (allPinned) 0 else retries, retryTotalMs,
+      verified = () => landed()) { _ =>
       val changes = staged.map { case (ident, parts, wire) =>
         Map(
           "identifier" -> ident,
           "requirements" -> Seq(Map(
             "type" -> "assert-current-snapshot-id",
-            "snapshot-id" -> loadMeta(ident).currentSnapshotId)),
+            "snapshot-id" -> basedOn.getOrElse(ident,
+              loadMeta(ident).currentSnapshotId))),
           "updates" -> (
             if (parts.isEmpty) Seq.empty
             else Seq(Map(
@@ -558,9 +581,17 @@ final class RestCatalogClient(
               "skip-duplicates" -> false,
               "force-duplicates" -> false))))
       }
-      send("POST", s"$base/v1/transactions/commit",
-        Some(jstr(Map("table-changes" -> changes))))
+      try {
+        send("POST", s"$base/v1/transactions/commit",
+          Some(jstr(Map("table-changes" -> changes))))
+      } catch {
+        case e: java.util.ConcurrentModificationException
+            if basedOn.nonEmpty && !allPinned && pinnedConflict(e) =>
+          throw new PinnedStop(e)
+      }
       staged.map(s => loadMeta(s._1))
+    } catch {
+      case s: PinnedStop => landed().getOrElse(throw s.inner)
     }
   }
 

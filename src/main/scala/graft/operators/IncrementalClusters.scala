@@ -38,16 +38,20 @@ import graft.catalog.IceCatalog
   * maintained assignment is BYTE-IDENTICAL to a full recompute over the
   * stored index's bucket pairs — cluster ids don't depend on arrival
   * order, only membership does (and membership is the stored index).
-  * The equivalence assumes SERIALIZED batches (the streaming foreachBatch
-  * shape, serial by construction): two ingests racing each other probe
-  * the pre-commit index, so neither batch's edges can name the other's
-  * docs — the same optimistic-batching caveat d14's dedup probe carries
-  * (two concurrent copies of one doc can both survive). A racing
-  * deployment re-converges with [[backfill]] over the index self-join —
-  * a REPLACE of the whole assignment (CAS'd overwriteGroup + merges
-  * truncate), idempotent by construction; the append-path [[update]]
-  * refuses already-labeled ids loudly instead of silently duplicating
-  * their rows.
+  * The equivalence requires SERIALIZED batches (labels are a function of
+  * the pre-batch state), and the commits ENFORCE that: both [[update]]
+  * and [[IngestDedup.ingest]]-with-maintenance CAS their appends on the
+  * snapshots the plan read from ([[graft.catalog.CatalogSurface
+  * .insertGroup]] `basedOn`), so two racing ingests can't both publish —
+  * the loser 409s with a `ConcurrentModificationException` and re-runs,
+  * re-planning from the winner's committed state (spec-pinned:
+  * IncrementalClustersSpec's race-injection case proves the serialized
+  * re-run hash-matches the recompute). [[backfill]] remains the remedy
+  * for tables that drifted BEFORE maintenance (or under a pre-CAS
+  * deployment) — a REPLACE of the whole assignment (CAS'd overwriteGroup
+  * + merges truncate), idempotent by construction; the append-path
+  * [[update]] refuses already-labeled ids loudly instead of silently
+  * duplicating their rows.
   * Edge semantics: a new doc pairs with EVERY stored member of its
   * (band, sig) buckets — buckets are ≤ [[Dedup.MaxLshBucket]] rows by
   * d14's write-time slot invariant, so per-doc edge fan-out is bounded;
@@ -317,9 +321,17 @@ object IncrementalClusters {
           "labeled — update() appends and would duplicate their rows; " +
           "use backfill() (idempotent replace) to re-converge")
     }
+    // CAS the appends on the snapshots the plan read from: labels are a
+    // function of the pre-batch assignment, so a racing maintenance
+    // commit must 409 this one (re-run to re-plan), never let stale
+    // labels publish and diverge from the recompute forever
+    val pins = Map(
+      clustersIdent -> cat.loadMeta(clustersIdent).currentSnapshotId,
+      mergesIdent -> cat.loadMeta(mergesIdent).currentSnapshotId)
     val (rows, merges) = planUpdate(
       cat, spark, clustersIdent, mergesIdent, newIds, edges)
-    cat.insertGroup(Seq(clustersIdent -> rows, mergesIdent -> merges))
+    cat.insertGroup(Seq(clustersIdent -> rows, mergesIdent -> merges),
+      basedOn = pins)
   }
 
   /** IDEMPOTENT full re-convergence — the remedy for a racing

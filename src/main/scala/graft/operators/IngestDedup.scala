@@ -235,6 +235,21 @@ object IngestDedup {
       docsIdent: String, indexIdent: String,
       batch: DataFrame, threshold: Double = 0.6,
       clusters: Option[(String, String)] = None): DataFrame = {
+    // With cluster maintenance ON, the commit CASes on the snapshots this
+    // plan reads from (docs: verify texts; index: probe + slots + edges;
+    // clusters/merges: neighbor labels) — maintained labels are a function
+    // of the pre-batch state, and the min-label⟺recompute equivalence
+    // assumes SERIALIZED batches, so a racing ingest must 409 here (and
+    // re-run to re-plan from the fresh state), never publish labels that
+    // silently diverge from the recompute forever. Without maintenance the
+    // append stays optimistic (d14's documented duplicate-survival caveat).
+    val planPins: Map[String, Long] =
+      if (clusters.isEmpty) Map.empty
+      else {
+        val (cid, mid) = clusters.get
+        Seq(docsIdent, indexIdent, cid, mid)
+          .map(id => id -> cat.loadMeta(id).currentSnapshotId).toMap
+      }
     // the signature subtree feeds THREE consumers (cross-batch probe,
     // within-batch propose, survivor-band write) — persist it for the
     // call's lifetime instead of re-shingling the batch per consumer
@@ -288,7 +303,7 @@ object IngestDedup {
       }
       cat.insertGroup(Seq(
         docsIdent -> survivors,
-        indexIdent -> survivorBands) ++ clusterOps)
+        indexIdent -> survivorBands) ++ clusterOps, basedOn = planPins)
       // the returned report is itself persisted (forced here) so the
       // working caches can be released NOW; it is the operator's
       // O(batch) output — callers should unpersist it once consumed

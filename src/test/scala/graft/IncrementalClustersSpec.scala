@@ -377,4 +377,75 @@ class IncrementalClustersSpec extends AnyFunSuite with BeforeAndAfterAll {
         "the refused replace must publish nothing")
     } finally served.stop()
   }
+
+  test("a racing ingest 409s the maintained commit; the serialized re-run hash-matches the recompute") {
+    import spark.implicits._
+    // The min-label ⟺ recompute equivalence requires serialized batches,
+    // and the ingest's insertGroup basedOn pins ENFORCE it: inject a
+    // competing ingest between one batch's PLAN and its COMMIT — the
+    // loser must conflict loudly and publish nothing (not silently
+    // publish labels planned against the pre-race state), and re-running
+    // it serialized must restore hash-equality with the full recompute.
+    cat.createNamespace("race")
+    val seed = docsOf(0 until 10)
+    IngestDedup.ensureTables(cat, "race.docs", "race.index", seed.schema)
+    ensureTables(cat, "race.clusters", "race.merges")
+    val cl = Some(("race.clusters", "race.merges"))
+    IngestDedup.ingest(cat, spark, "race.docs", "race.index", seed,
+      clusters = cl).unpersist()
+
+    def recompute(): Map[Long, Long] = {
+      val bands = IngestDedup.normalizedIndex(cat.scan("race.index"))
+        .select(col("doc_id"), col("band"), col("sig"))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val cc = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cat.scan("race.docs").select("doc_id").collect()
+        .map(_.getLong(0)).map(id => id -> cc.getOrElse(id, id)).toMap
+    }
+
+    // the racer: its first group commit is preempted by a COMPETING
+    // ingest committed through the plain catalog — exactly the window
+    // between plan (snapshots captured, frames built) and commit
+    var injected = false
+    val outerSpark = spark
+    val racer = new IceCatalog(outerSpark, root) {
+      override def insertGroup(
+          ops: Seq[(String, org.apache.spark.sql.DataFrame)],
+          basedOn: Map[String, Long]): Seq[IceCatalog.TableMeta] = {
+        if (!injected) {
+          injected = true
+          IngestDedup.ingest(cat, outerSpark, "race.docs", "race.index",
+            docsOf(20 until 30), clusters = cl).unpersist()
+        }
+        super.insertGroup(ops, basedOn)
+      }
+    }
+    val loserIds = docsOf(10 until 20)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      IngestDedup.ingest(racer, spark, "race.docs", "race.index", loserIds,
+        clusters = cl)
+    }
+    assert(e.getMessage.contains("re-plan"), s"unexpected conflict text: $e")
+    assert(injected, "the race must actually have been injected")
+    // the loser published NOTHING to any of the four tables
+    val storedIds = cat.scan("race.docs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(loserIds.select("doc_id").collect().map(_.getLong(0))
+      .forall(!storedIds.contains(_)), "the 409'd batch must not be stored")
+    assert(resolvedMap(cat, "race.clusters", "race.merges") == recompute(),
+      "winner-only state must already equal the recompute")
+
+    // the serialized re-run (fresh plan against the winner's state)
+    // converges: maintained assignment == full recompute, byte for byte
+    IngestDedup.ingest(cat, spark, "race.docs", "race.index", loserIds,
+      clusters = cl).unpersist()
+    assert(resolvedMap(cat, "race.clusters", "race.merges") == recompute(),
+      "serialized re-run must restore hash-equality with the recompute")
+    assert(cat.scan("race.clusters").count() == cat.scan("race.docs").count())
+  }
 }
