@@ -1145,7 +1145,8 @@ object Queries {
     // replayable in another engine's sketch impl (and KLL compaction is
     // randomized) — rows-only gate + SketchesSpec accuracy/merge pins
     "e6_sketch_rollup" -> (Sketches.sketchRollup _),
-    "e7_theta_overlap" -> (Sketches.thetaOverlap _)
+    "e7_theta_overlap" -> (Sketches.thetaOverlap _),
+    "e8_stream_clusters" -> (graft.streaming.Streams.streamClustersGateQuery _)
   )
 
   val streamingOracle: Map[String, String] = Map(
@@ -1207,7 +1208,79 @@ object Queries {
         |a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events)
         |SELECT cohort_day, d - cohort_day AS day_offset, count(*) AS n_users
         |FROM a JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e8 = the STREAMED two-epoch lifecycle recomputed from scratch:
+    // epoch 0 ingests the evens into an EMPTY corpus (within-batch dedup
+    // only — d14's no-transitive-chase rule among even peers), epoch 1
+    // ingests the odds against the even SURVIVORS' slot-capped index,
+    // then the final assignment is the connected-component closure over
+    // the stored index's bucket pairs (survivor bands slot-capped in
+    // arrival order: even survivors first, then odd survivors)
+    "e8_stream_clusters" ->
+      s"""WITH RECURSIVE $sigCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
+         |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
+         |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
+         |  SELECT doc_id, 3, sig_3 FROM sig),
+         |ts AS (SELECT doc_id, list_distinct(t) AS t FROM tok),
+         |eb AS (SELECT doc_id AS new_id, band, sig FROM bands WHERE doc_id % 2 = 0),
+         |eibsz AS (SELECT band, sig FROM eb GROUP BY 1, 2
+         |          HAVING count(*) BETWEEN 2 AND ${graft.operators.Dedup.MaxLshBucket}),
+         |ecand AS (SELECT DISTINCT hi.new_id, lo.new_id AS ex_id
+         |  FROM eb hi JOIN eibsz USING (band, sig) JOIN eb lo USING (band, sig)
+         |  WHERE lo.new_id < hi.new_id),
+         |ever AS (SELECT c.new_id, c.ex_id FROM ecand c
+         |  JOIN ts a ON c.new_id = a.doc_id JOIN ts b ON c.ex_id = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.6),
+         |eagg AS (SELECT new_id, min(ex_id) AS dup_of FROM ever GROUP BY 1),
+         |esurv AS (SELECT d.doc_id FROM documents d
+         |  LEFT JOIN eagg ON d.doc_id = eagg.new_id
+         |  WHERE d.doc_id % 2 = 0 AND eagg.dup_of IS NULL),
+         |ex AS (SELECT ex_id, band, sig FROM (
+         |  SELECT b.doc_id AS ex_id, b.band, b.sig,
+         |    row_number() OVER (PARTITION BY b.band, b.sig ORDER BY b.doc_id) AS slot
+         |  FROM bands b JOIN esurv ON b.doc_id = esurv.doc_id)
+         |  WHERE slot <= ${graft.operators.Dedup.MaxLshBucket}),
+         |inc AS (SELECT doc_id AS new_id, band, sig FROM bands WHERE doc_id % 2 = 1),
+         |candx AS (SELECT DISTINCT i.new_id, e.ex_id
+         |  FROM inc i JOIN ex e USING (band, sig)),
+         |ibsz AS (SELECT band, sig FROM inc GROUP BY 1, 2
+         |         HAVING count(*) BETWEEN 2 AND ${graft.operators.Dedup.MaxLshBucket}),
+         |candi AS (SELECT DISTINCT hi.new_id, lo.new_id AS ex_id
+         |  FROM inc hi JOIN ibsz USING (band, sig) JOIN inc lo USING (band, sig)
+         |  WHERE lo.new_id < hi.new_id),
+         |cand AS (SELECT * FROM candx UNION SELECT * FROM candi),
+         |ver AS (SELECT c.new_id, c.ex_id FROM cand c
+         |  JOIN ts a ON c.new_id = a.doc_id JOIN ts b ON c.ex_id = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.6),
+         |agg AS (SELECT new_id, min(ex_id) AS dup_of FROM ver GROUP BY 1),
+         |surv AS (SELECT doc_id FROM esurv
+         |  UNION ALL
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN agg ON d.doc_id = agg.new_id
+         |  WHERE d.doc_id % 2 = 1 AND agg.dup_of IS NULL),
+         |stored AS (SELECT doc_id, band, sig FROM (
+         |  SELECT b.doc_id, b.band, b.sig,
+         |    row_number() OVER (PARTITION BY b.band, b.sig
+         |      ORDER BY b.doc_id % 2, b.doc_id) AS slot
+         |  FROM bands b JOIN surv USING (doc_id))
+         |  WHERE slot <= ${graft.operators.Dedup.MaxLshBucket}),
+         |spairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM stored a JOIN stored b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM spairs
+         |      UNION SELECT doc_b, doc_a FROM spairs),
+         |r(n, m) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT r.n, e.b FROM r JOIN e ON r.m = e.a),
+         |cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n)
+         |SELECT surv.doc_id, coalesce(cl.cluster_id, surv.doc_id) AS cluster_id
+         |FROM surv LEFT JOIN cl ON surv.doc_id = cl.doc_id
+         |ORDER BY surv.doc_id""".stripMargin
   )
 
   def all: Map[String, Q] = relational ++ llm ++ tableMeta ++ streaming

@@ -74,6 +74,62 @@ object Streams {
       .start()
   }
 
+  /** Continuous DEDUPLICATED ingestion with optional maintained near-dup
+    * clusters — the streaming form of [[graft.operators.IngestDedup]] (+
+    * [[graft.operators.IncrementalClusters]]), the shape a 100 TB
+    * training-data pipeline actually runs: documents land continuously,
+    * each micro-batch LSH-probes the stored index table, drops verified
+    * near-dups, and commits survivors + their index bands (+ cluster
+    * labels and merge-forwarding pairs when `clusters` is set) in ONE
+    * atomic table group. Per-epoch cost is the ingest's O(batch)
+    * contract — partition-pruned probe and verify, never an O(corpus)
+    * scan.
+    *
+    * Exactly-once composes from both ends: the checkpoint replays a
+    * failed epoch, and a REPLAYED batch (its docs already stored) has no
+    * survivors, so it publishes nothing to any pipeline table — the
+    * ingest's replay-idempotency is the sink-side absorber. foreachBatch
+    * serializes epochs, which is exactly the serialized-batch premise the
+    * maintained clusters' min-label ⟺ recompute equivalence needs; a
+    * WRITER OUTSIDE this stream racing a batch 409s the batch's CAS'd
+    * commit (never publishes diverged labels), the stream fails loudly,
+    * and the restart replays the epoch re-planned against the racer's
+    * committed state.
+    */
+  def watchAndIngestDedup(
+      spark: SparkSession,
+      cat: graft.catalog.CatalogSurface,
+      docsIdent: String, indexIdent: String,
+      watchDir: String,
+      checkpoint: String,
+      threshold: Double = 0.6,
+      clusters: Option[(String, String)] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val schema = cat.loadMeta(docsIdent).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(watchDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        watchInstrumented(docsIdent, epoch, batch) {
+          val report = graft.operators.IngestDedup.ingest(
+            cat, spark, docsIdent, indexIdent, batch, threshold, clusters)
+          try {
+            val dups = report.filter(col("is_dup")).count()
+            Metrics.incLabeled("graft_stream_dedup_dropped_total",
+              Seq("table" -> docsIdent), dups)
+            Metrics.incLabeled("graft_watch_rows_ingested_total",
+              Seq("table" -> docsIdent), report.count() - dups)
+          } finally report.unpersist()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Event-DRIVEN continuous no-copy ingestion (reference
     * InsertWatch.java:101-180: `--watch`'s real input is an SQS event
     * QUEUE of S3 object-created notifications — the watcher consumes
@@ -679,5 +735,59 @@ object Streams {
         (max(col("us")) - min(col("us"))).as("duration_us"),
         expr(s"min(us) div $MicrosPerHour").as("start_hour"))
       .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  /** e8 gate: the STREAMED lakehouse dedup+cluster lifecycle — documents
+    * arrive as two watch-dir files (evens first, then odds, arrival order
+    * forced by mtime and consumed one file per trigger), each micro-batch
+    * runs [[watchAndIngestDedup]]'s full pipeline (LSH probe against the
+    * stored index, exact-Jaccard verify, survivors + bands + cluster
+    * labels + merge pairs in one atomic four-table commit). Output = the
+    * final RESOLVED cluster assignment over every stored doc. The DuckDB
+    * oracle recomputes the entire two-epoch lifecycle from scratch —
+    * within-batch dedup of the evens, the odds deduped against the even
+    * survivors' slot-capped index, then the connected-component closure
+    * over the final stored index — so the stream's maintained tables must
+    * hash-match a from-scratch recompute of everything it did.
+    */
+  def streamClustersGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    import graft.operators.{IncrementalClusters, IngestDedup}
+    val docs = Tables.documents(spark, dir)
+    val root = Files.createTempDirectory("graft_e8").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("stream")
+    IngestDedup.ensureTables(cat, "stream.docs", "stream.index", docs.schema)
+    IncrementalClusters.ensureTables(cat, "stream.clusters", "stream.merges")
+    val watch = Files.createDirectory(Paths.get(root, "watch"))
+    // one parquet file per arrival batch; mtimes force the arrival order
+    // (the file source processes oldest-first) and names agree with it
+    def spool(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = Paths.get(root, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = watch.resolve(s"$name.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    spool(docs.filter(col("doc_id") % 2 === 0), "b0", now - 120000)
+    spool(docs.filter(col("doc_id") % 2 === 1), "b1", now - 60000)
+    val q = watchAndIngestDedup(spark, cat, "stream.docs", "stream.index",
+      watch.toString, root + "/ckpt",
+      clusters = Some(("stream.clusters", "stream.merges")),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val rows = IncrementalClusters.resolved(
+      cat, spark, "stream.clusters", "stream.merges")
+      .orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+    try {
+      Seq("stream.docs", "stream.index", "stream.clusters", "stream.merges")
+        .foreach(cat.dropTable(_))
+    } catch { case _: Exception => () }
+    rows.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
   }
 }

@@ -552,4 +552,97 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "s3://bkt/in/p2.parquet",
       "s3://bkt/in/part 1.parquet"), paths.mkString(","))
   }
+
+  test("streaming dedup-ingest maintains clusters across epochs, exactly once, in arrival order") {
+    import spark.implicits._
+    import graft.operators.{Dedup, IncrementalClusters, IngestDedup}
+    val root = Files.createTempDirectory("sdi").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("sd")
+    val allDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    IngestDedup.ensureTables(cat, "sd.docs", "sd.index", allDocs.schema)
+    IncrementalClusters.ensureTables(cat, "sd.clusters", "sd.merges")
+    val cl = Some(("sd.clusters", "sd.merges"))
+    val watch = Files.createTempDirectory("sdwatch")
+    val ckpt = Files.createTempDirectory("sdckpt").toString
+
+    def spool(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val stage = java.nio.file.Paths.get(root, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      var found: java.nio.file.Path = null
+      while (part.hasNext) { val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) found = p }
+      val dest = watch.resolve(s"$name.parquet")
+      java.nio.file.Files.move(found, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    def range(lo: Long, hi: Long) =
+      allDocs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    // an arrival-order sentinel: the LARGER id arrives FIRST (epoch 0),
+    // its near-dup smaller id second (epoch 1) — first-arrival wins, so
+    // 91000 must survive and 90001 must drop (the opposite outcome would
+    // mean the file source broke mtime arrival order)
+    val dupText = "arrival order sentinel body with plenty of shared words " +
+      "one two three four five six seven eight nine ten"
+    def sentinel(id: Long) = Seq((id, dupText, "en", "srcS", dupText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val now = System.currentTimeMillis()
+    spool(range(0, 80).union(sentinel(91000L)), "b0", now - 180000)
+    spool(range(80, 160).union(sentinel(90001L)), "b1", now - 120000)
+    spool(range(160, 250), "b2", now - 60000)
+
+    Streams.watchAndIngestDedup(spark, cat, "sd.docs", "sd.index",
+      watch.toString, ckpt, clusters = cl, maxFilesPerTrigger = 1)
+      .awaitTermination()
+
+    // three epochs = three atomic commits (merges may publish nothing in
+    // an epoch that bridged no clusters — an identity member of the group)
+    val snapCounts = Seq("sd.docs", "sd.index", "sd.clusters", "sd.merges")
+      .map(t => cat.loadMeta(t).snapshots.length)
+    assert(snapCounts.take(3).forall(_ == 3) && snapCounts(3) <= 3,
+      s"one commit per epoch per table: $snapCounts")
+    val stored = cat.scan("sd.docs").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored.contains(91000L) && !stored.contains(90001L),
+      "first-arrival (larger id, earlier mtime) must win the dedup")
+
+    // maintained assignment == full recompute over the stored index
+    def recompute(): Map[Long, Long] = {
+      val bands = IngestDedup.normalizedIndex(cat.scan("sd.index"))
+        .select(col("doc_id"), col("band"), col("sig"))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val cc = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cat.scan("sd.docs").select("doc_id").collect().map(_.getLong(0))
+        .map(id => id -> cc.getOrElse(id, id)).toMap
+    }
+    def resolvedMap(): Map[Long, Long] =
+      IncrementalClusters.resolved(cat, spark, "sd.clusters", "sd.merges")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolvedMap() == recompute())
+    assert(cat.scan("sd.clusters").count() == cat.scan("sd.docs").count(),
+      "clustered <=> stored")
+
+    // exactly-once: re-running the stream over the same checkpoint with no
+    // new files publishes nothing
+    Streams.watchAndIngestDedup(spark, cat, "sd.docs", "sd.index",
+      watch.toString, ckpt, clusters = cl, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    assert(Seq("sd.docs", "sd.index", "sd.clusters", "sd.merges")
+      .map(t => cat.loadMeta(t).snapshots.length) == snapCounts,
+      "a restart with no new files must publish nothing")
+
+    // incremental restart: one NEW file processes as one new epoch
+    spool(range(250, 300), "b3", now - 30000)
+    Streams.watchAndIngestDedup(spark, cat, "sd.docs", "sd.index",
+      watch.toString, ckpt, clusters = cl, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    assert(cat.loadMeta("sd.docs").snapshots.length == 4)
+    assert(resolvedMap() == recompute(),
+      "post-restart epoch must keep maintained == recompute")
+  }
 }
