@@ -9,12 +9,14 @@ import graft.sources.Tables
   * metadata, plus decode/feature-extract plumbing.
   *
   * The decode kernel DISPATCHES on the payload's magic bytes: real
-  * PNG/JPEG payloads decode through `javax.imageio` and real WAV/AIFF
-  * payloads through `javax.sound.sampled` (both public JDK APIs —
-  * in-process, no native deps) into true dimensions / sample rate +
-  * channels, a luminance / amplitude histogram feature vector, and (for
-  * images) a genuine nearest-neighbor resize; anything else — synthetic
-  * fixtures, codecs the JDK doesn't ship (compressed audio, video) —
+  * PNG/JPEG payloads decode through `javax.imageio`, real WAV/AIFF
+  * payloads through `javax.sound.sampled`, and real AVI video payloads
+  * DEMUX through a pure-JVM RIFF walk (MJPEG frames then decode through
+  * the same imageio path) — all public JDK APIs, in-process, no native
+  * deps — into true dimensions / sample rate + channels / per-frame
+  * offsets, histogram feature vectors, and (for images) a genuine
+  * nearest-neighbor resize; anything else — synthetic fixtures, codecs
+  * the JDK doesn't ship (compressed audio, non-MJPEG video essence) —
   * falls back to a clearly-marked DETERMINISTIC STUB (md5-derived
   * features). All paths share the batched mapPartitions seam, schema,
   * and fixed-size feature output, so swapping in a vectorized native
@@ -158,27 +160,55 @@ object Multimodal {
         case Some((rate, channels, _, hist)) => return (rate, channels, hist)
         case None => return stubDecode(payload)
       }
+    if (isVideoPayload(payload)) {
+      // AVI → container dims + the MEAN luminance histogram over every
+      // [[FrameStride]]-th MJPEG frame that decodes (the m2 feature shape
+      // for moving payloads); demux-parse failure or zero decodable
+      // frames falls back to the stub like every other routing hint
+      readAviInfo(payload) match {
+        case Some(info) =>
+          val hists = Range(0, info.frames.length, FrameStride).iterator
+            .flatMap { i =>
+              val (off, sz) = info.frames(i)
+              readImage(java.util.Arrays.copyOfRange(payload, off, off + sz))
+                .map(luminanceHistogram)
+            }.toSeq
+          if (hists.nonEmpty)
+            return (info.width, info.height,
+              Array.tabulate(FeatureDim)(j =>
+                (hists.map(_(j).toDouble).sum / hists.length).toFloat))
+        case None => ()
+      }
+      return stubDecode(payload)
+    }
     (if (isImagePayload(payload)) readImage(payload) else None) match {
       case None => stubDecode(payload)
       case Some(img) =>
-        val w = img.getWidth; val h = img.getHeight
-        val hist = new Array[Long](FeatureDim)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            // integer Rec.601 luma: deterministic across platforms
-            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-            hist(math.min(lum * FeatureDim / 256, FeatureDim - 1)) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toLong * h
-        (w, h, hist.map(c => (c.toDouble / n).toFloat))
+        (img.getWidth, img.getHeight, luminanceHistogram(img))
     }
+  }
+
+  /** Mass-normalized [[FeatureDim]]-bin luminance histogram — integer
+    * Rec.601 luma, deterministic across platforms. Shared by the still
+    * (m2) and per-frame (video) feature paths.
+    */
+  private def luminanceHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val hist = new Array[Long](FeatureDim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(math.min(lum * FeatureDim / 256, FeatureDim - 1)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    hist.map(c => (c.toDouble / n).toFloat)
   }
 
   /** m2: batched decode/feature-extraction over binary media. Batches of
@@ -285,10 +315,126 @@ object Multimodal {
   val FrameChars = 256
   val FrameStride = 4
 
-  /** m4: frame sampling over a video-like payload — the payload is treated
-    * as a run of fixed-size frames (STUB: 256-char windows of the text
-    * payload; a real demuxer swaps in keyframe offsets) and every 4th frame
-    * is sampled with its offset, size and content fingerprint. Column-only
+  /** True iff the payload starts with an AVI container signature
+    * (RIFF…"AVI "). ASCII magic, so — like audio — the sniff is only a
+    * ROUTING hint: the payload still has to parse through the RIFF walk,
+    * and anything unparseable falls back to the stub framing.
+    */
+  def isVideoPayload(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** Demuxed AVI stream info: container dims + frame timing from `avih`,
+    * and every video frame chunk's (offset, size) within the payload.
+    */
+  case class AviInfo(
+      width: Int, height: Int, usPerFrame: Int, frames: Vector[(Int, Int)])
+
+  /** Demux an AVI payload with a pure-JVM RIFF chunk walk (the container
+    * layout is public: RIFF("AVI " LIST("hdrl" avih …) LIST("movi"
+    * ##dc/##db…))): `avih` yields dims + frame timing, the `movi` list's
+    * `##dc`/`##db` chunks are the frame payloads — for MJPEG each one is
+    * a complete JPEG that [[readImage]] decodes. No JDK VIDEO CODEC
+    * exists, but no codec is needed to DEMUX: sampling frames is a
+    * container operation, and MJPEG frames decode through the same
+    * public `javax.imageio` path as m2's stills. None when the payload
+    * only looked like an AVI (truncated/chunk-less) — callers fall back
+    * to the stub framing, never throw mid-partition.
+    */
+  def readAviInfo(p: Array[Byte]): Option[AviInfo] =
+    try {
+      if (!isVideoPayload(p)) return None
+      def u32(i: Int): Long = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+      def cc(i: Int): String =
+        new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val end = math.min(p.length.toLong, 8L + u32(4)).toInt
+      var width = 0; var height = 0; var upf = 0
+      val frames = Vector.newBuilder[(Int, Int)]
+      def walk(start: Int, limit: Int): Unit = {
+        var i = start
+        while (i + 8 <= limit) {
+          val id = cc(i); val sz = u32(i + 4).toInt
+          val body = i + 8
+          if (sz < 0 || body + sz > limit) return // truncated: stop here
+          if (id == "LIST") {
+            val lt = cc(body)
+            if (lt == "hdrl" || lt == "strl" || lt == "movi")
+              walk(body + 4, body + sz)
+          } else if (id == "avih" && sz >= 40) {
+            upf = u32(body).toInt
+            width = u32(body + 32).toInt; height = u32(body + 36).toInt
+          } else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += ((body, sz))
+          }
+          i = body + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, end)
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some(AviInfo(width, height, upf, fs))
+    } catch { case _: Exception => None }
+
+  case class VideoFrame(
+      doc_id: Long, frame_idx: Int, frame_off: Long, n_bytes: Long,
+      width: Int, height: Int, frame_fp: String)
+
+  private def md5fp16(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+
+  /** REAL frame sampling — the demuxer the m4 scaladoc promised: AVI
+    * payloads demux through [[readAviInfo]], every [[FrameStride]]-th
+    * frame CHUNK is sampled with its true in-payload offset/size, its
+    * fingerprint witnesses the RAW chunk bytes (bit-exact for any codec),
+    * and MJPEG frames additionally decode via `javax.imageio` for
+    * per-frame dims (container `avih` dims as the fallback for codecs the
+    * JDK can't decode). Everything else keeps m4's stub framing —
+    * fixed [[FrameChars]]-byte windows, the gate's exact column math — so
+    * a mixed batch always yields frames and never throws. Same
+    * partition-parallel mapPartitions shape as m2/m3: no shuffle,
+    * per-row fan-out bounded by payload size / stride, scan-speed at
+    * 100 TB.
+    */
+  def sampleVideoFrames(
+      media: Dataset[MediaRow], stride: Int = FrameStride): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        readAviInfo(r.media) match {
+          case Some(info) =>
+            Range(0, info.frames.length, stride).iterator.map { idx =>
+              val (off, sz) = info.frames(idx)
+              val slice = java.util.Arrays.copyOfRange(r.media, off, off + sz)
+              val (w, h) = readImage(slice)
+                .map(im => (im.getWidth, im.getHeight))
+                .getOrElse((info.width, info.height))
+              VideoFrame(r.doc_id, idx, off.toLong, sz.toLong, w, h, md5fp16(slice))
+            }
+          case None =>
+            // the m4 gate's stub framing, byte-windowed: identical values
+            // for ASCII text payloads (window bytes == window chars)
+            val n = r.media.length
+            val nf = (n + FrameChars - 1) / FrameChars
+            Range(0, nf, stride).iterator.map { idx =>
+              val off = idx * FrameChars
+              val len = math.min(FrameChars, n - off)
+              val slice = java.util.Arrays.copyOfRange(r.media, off, off + len)
+              VideoFrame(r.doc_id, idx, off.toLong, len.toLong, 0, 0, md5fp16(slice))
+            }
+        }
+      }
+    }
+  }
+
+  /** m4 gate: frame sampling over a video-like payload — the payload is
+    * treated as a run of fixed-size frames (256-char windows of the text
+    * payload — the oracle-stable stub framing; [[sampleVideoFrames]] is
+    * the REAL demuxer twin, which AVI payloads route through) and every
+    * 4th frame is sampled with its offset, size and content fingerprint.
+    * Column-only
     * plumbing (sequence + explode + substr): map-only, codegen'd, zero
     * shuffle — the shape a 100 TB video-corpus frame extractor needs, with
     * the per-frame fan-out bounded by payload size, never corpus size.

@@ -541,6 +541,89 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("real AVI payloads demux through the RIFF walk; MJPEG frames decode; text keeps the stub framing") {
+    import spark.implicits._
+    // hand-write a minimal MJPEG AVI per the public container layout:
+    // RIFF("AVI " LIST("hdrl" avih) LIST("movi" 00dc…)) — the demuxer
+    // must find the avih dims and every movi frame chunk
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ padded
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val (fw, fh) = (24, 16)
+    def jpegFrame(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        fw, fh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until fh; x <- 0 until fw)
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val nFrames = 9
+    val frames = (0 until nFrames).map(i => jpegFrame(40 + 20 * i))
+    val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usPerFrame…
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++        // totalFrames…
+      le32(fw) ++ le32(fh) ++ Array.fill(16)(0.toByte)          // dims
+    val movi = frames.map(f => chunk("00dc", f)).reduce(_ ++ _)
+    val aviBody = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih)) ++ list("movi", movi)
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(aviBody.length) ++ aviBody
+    assert(Multimodal.isVideoPayload(avi))
+
+    // the demuxer finds dims + every frame chunk at its true offset
+    val Some(info) = Multimodal.readAviInfo(avi)
+    assert((info.width, info.height, info.usPerFrame) == (fw, fh, 40000))
+    assert(info.frames.length == nFrames)
+    info.frames.zip(frames).foreach { case ((off, sz), f) =>
+      assert(sz == f.length)
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(avi, off, off + sz), f),
+        "frame chunk bytes must slice out exactly")
+    }
+
+    // through the SPARK operator (mixed batch): every 4th frame sampled,
+    // MJPEG dims decoded for real, fingerprints witness the chunk bytes
+    val text = ("t" * 600).getBytes("UTF-8")
+    val out = Multimodal.sampleVideoFrames(
+      Seq(Multimodal.MediaRow(1L, avi), Multimodal.MediaRow(2L, text)).toDS())
+      .collect().groupBy(_.doc_id)
+    val vf = out(1L).sortBy(_.frame_idx)
+    assert(vf.map(_.frame_idx).toSeq == Seq(0, 4, 8))
+    vf.foreach { f =>
+      assert((f.width, f.height) == (fw, fh), "MJPEG frame dims decode for real")
+      val slice = java.util.Arrays.copyOfRange(
+        avi, f.frame_off.toInt, (f.frame_off + f.n_bytes).toInt)
+      val fp = java.security.MessageDigest.getInstance("MD5").digest(slice)
+        .take(8).map(b => f"${b & 0xff}%02x").mkString
+      assert(f.frame_fp == fp, "fingerprint must witness the raw chunk bytes")
+    }
+    // the text payload keeps the m4 gate's exact stub framing values:
+    // 600 bytes → 3 windows of 256 → only idx 0 sampled at stride 4
+    val tf = out(2L).sortBy(_.frame_idx)
+    assert(tf.map(f => (f.frame_idx, f.frame_off, f.n_bytes)).toSeq ==
+      Seq((0, 0L, 256L)), s"stub framing rows: ${tf.toSeq}")
+
+    // m2's decode routes video too: container dims + the mean luminance
+    // histogram over the sampled frames (uniform gray frames → all mass
+    // in a deterministic set of bins, sums to 1)
+    val (dw, dh, dfeat) = Multimodal.decode(avi)
+    assert((dw, dh) == (fw, fh))
+    assert(math.abs(dfeat.sum - 1.0f) < 1e-4, s"video features: ${dfeat.toSeq}")
+
+    // truncated AVI (magic only) falls back to the stub framing, no throw
+    val fake = avi.take(32)
+    assert(Multimodal.readAviInfo(fake).isEmpty)
+    assert(Multimodal.decode(fake)._1 == Multimodal.stubDecode(fake)._1)
+    val fb = Multimodal.sampleVideoFrames(
+      Seq(Multimodal.MediaRow(3L, fake)).toDS()).collect()
+    assert(fb.length == 1 && fb(0).frame_idx == 0)
+  }
+
   test("m4 frame sampling covers the payload at stride 4") {
     val rows = Multimodal.frameSample(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
