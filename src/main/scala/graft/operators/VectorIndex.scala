@@ -293,6 +293,47 @@ object VectorIndex {
     }
   }
 
+  /** SEMANTIC near-dup SCREEN against the table-backed index — the d9 /
+    * SemDeDup decision served from the PERSISTED index instead of a
+    * session one: a batch row survives only when NO stored posting in
+    * its assigned cell has cosine above `threshold`. The (centroids,
+    * postings) pair resolves to ONE generation and both reads pin its
+    * snapshots ([[consistentMetas]] — a rebuild racing the screen can
+    * never pair new centroids with old postings), cell assignment is the
+    * same map-side argmin kernel as [[ingest]], and the postings scan
+    * pushes the batch's DISTINCT cell set (O(nlist) ints, collected from
+    * the batch, never the corpus) as a partition IN-filter — per-batch
+    * I/O is O(touched cells' files) regardless of corpus size. Anti-join
+    * on (cell, dot > threshold): no top-k ranking work, no driver
+    * collection of the batch. Caller columns pass through untouched
+    * (collision-safe internal names, the [[graft.streaming.Streams
+    * .semanticDedupStream]] contract).
+    */
+  def screen(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession, batch: DataFrame,
+      centroidsIdent: String, postingsIdent: String,
+      threshold: Double = 0.30): DataFrame = {
+    val (cm, pm) = consistentMetas(cat, centroidsIdent, postingsIdent)
+    val cents = loadCentroids(cat, centroidsIdent, cm.current.map(_.id))
+    val assigned = batch
+      .withColumn("__vn", normalize(asDouble(col("embedding"))))
+      .withColumn("__cell", Similarity.argminAssignOf(col("__vn"), cents))
+    val probeCells = assigned.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val postings =
+      if (probeCells.length >= cents.length)
+        cat.scan(postingsIdent, Seq.empty, pm.current.map(_.id), None)
+      else cat.scan(postingsIdent,
+        Seq(IceCatalog.PartitionFilter("cell", IceCatalog.Op.Eq,
+          probeCells.map(_.toString).toSeq)), pm.current.map(_.id), None)
+    assigned
+      .join(postings.select(col("cell").as("__ref_cell"), col("vn").as("__ref_vn")),
+        col("__cell") === col("__ref_cell") &&
+          dot(col("__vn"), col("__ref_vn")) > threshold,
+        "left_anti")
+      .drop("__vn", "__cell")
+  }
+
   /** s11 gate: the full table-backed lifecycle — build both index tables
     * from the corpus (vec_id ≥ 5), query the standard 5 queries through
     * them. Rows-only in the oracle gate (k-means-seeded, like s3);

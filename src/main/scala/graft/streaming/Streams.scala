@@ -130,6 +130,63 @@ object Streams {
       .start()
   }
 
+  /** Continuous SEMANTIC screening against the TABLE-backed ANN index —
+    * the online d9/SemDeDup decision served from the s11 index tables
+    * instead of a session index ([[semanticDedupStream]]'s 100 TB form,
+    * where the reference corpus outlives any session): per micro-batch,
+    * [[graft.operators.VectorIndex.screen]] resolves the (centroids,
+    * postings) pair to ONE generation, assigns the batch map-side, reads
+    * ONLY the touched cells' postings partitions, and anti-joins — rows
+    * with a stored neighbor above `threshold` cosine drop; survivors
+    * MERGE into `outIdent` by `vec_id` (merge-on-read: O(batch)
+    * equality-delete commits, never a corpus rewrite).
+    *
+    * An index REBUILD mid-stream is picked up atomically at the next
+    * batch: each epoch re-resolves the generation, and a rebuild
+    * publishing between epochs can never be read torn
+    * (generation-stamped pair + pinned snapshots). Replay: the keyed
+    * merge makes a replayed epoch idempotent under an unchanged
+    * generation (the crash-recovery window); a rebuild interleaving a
+    * replay can only ADD rows that passed the OLDER generation's screen —
+    * the stream never loses data and never double-counts a key.
+    */
+  def watchAndSemanticScreen(
+      spark: SparkSession,
+      cat: graft.catalog.CatalogSurface,
+      centroidsIdent: String, postingsIdent: String, outIdent: String,
+      watchDir: String,
+      checkpoint: String,
+      threshold: Double = 0.30,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val schema = cat.loadMeta(outIdent).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(watchDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        watchInstrumented(outIdent, epoch, batch) {
+          // persisted: the screen's probe-cell collect and the merge are
+          // two consumers of the same anti-join subtree
+          val survivors = graft.operators.VectorIndex.screen(
+            cat, spark, batch, centroidsIdent, postingsIdent, threshold)
+            .persist()
+          try {
+            val kept = survivors.count()
+            cat.upsertMergeOnRead(outIdent, survivors, Seq("vec_id"))
+            Metrics.incLabeled("graft_stream_screen_dropped_total",
+              Seq("table" -> outIdent), batch.count() - kept)
+            Metrics.incLabeled("graft_watch_rows_ingested_total",
+              Seq("table" -> outIdent), kept)
+          } finally { survivors.unpersist(); () }
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Event-DRIVEN continuous no-copy ingestion (reference
     * InsertWatch.java:101-180: `--watch`'s real input is an SQS event
     * QUEUE of S3 object-created notifications — the watcher consumes

@@ -553,6 +553,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "s3://bkt/in/part 1.parquet"), paths.mkString(","))
   }
 
+  test("streaming semantic screen serves the TABLE-backed index; a mid-stream rebuild is picked up atomically") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    val root = Files.createTempDirectory("vscreen").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("vs")
+    // dims 0-3 = the gen-1 reference subspace; dims 4-7 = novel directions
+    // (orthogonal by construction, so expected cosines are exact 0s/1s)
+    val rnd = new scala.util.Random(7)
+    def lowVec(): Seq[Double] =
+      (Seq.fill(4)(rnd.nextDouble() + 0.1) ++ Seq.fill(4)(0.0))
+    val ref1 = (0L until 20L).map(i => (i, lowVec()))
+    VectorIndex.build(cat, spark, ref1.toDF("vec_id", "embedding"),
+      "vs.cent", "vs.post", nlist = 4, dims = 8)
+    cat.createTable("vs.out",
+      Seq((0L, Seq(0.0))).toDF("vec_id", "embedding").schema)
+    val watch = Files.createTempDirectory("vswatch")
+    val ckpt = Files.createTempDirectory("vsckpt").toString
+    def spool(rows: Seq[(Long, Seq[Double])], name: String): Unit = {
+      val stage = java.nio.file.Paths.get(root, s"stage_$name")
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(stage.toString)
+      val it = java.nio.file.Files.list(stage).iterator()
+      var part: java.nio.file.Path = null
+      while (it.hasNext) { val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) part = p }
+      java.nio.file.Files.move(part, watch.resolve(s"$name.parquet"))
+    }
+    def screened(): Set[Long] =
+      cat.scan("vs.out").select("vec_id").collect().map(_.getLong(0)).toSet
+    def run(): Unit = Streams.watchAndSemanticScreen(spark, cat,
+      "vs.cent", "vs.post", "vs.out", watch.toString, ckpt)
+      .awaitTermination()
+
+    val novelA = Seq(0.0, 0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0)
+    val novelB = Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.7)
+    // epoch 0: an exact dup of a stored reference vector (cosine 1 → must
+    // drop) + two novel orthogonal directions (cosine 0 → must survive)
+    spool(Seq((100L, ref1(3)._2), (101L, novelA), (102L, novelB)), "b0")
+    run()
+    assert(screened() == Set(101L, 102L),
+      s"dup must drop, novels must survive: ${screened()}")
+
+    // REBUILD mid-stream: generation 2's reference now contains novelA's
+    // direction — one atomic overwriteGroup replaces both index tables
+    VectorIndex.build(cat, spark,
+      (ref1 :+ (50L, novelA)).toDF("vec_id", "embedding"),
+      "vs.cent", "vs.post", nlist = 4, dims = 8)
+    // epoch 1: a vector colinear with novelA (cosine 1 under gen 2 —
+    // would have SURVIVED gen 1) + a still-novel direction
+    val novelC = Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+    spool(Seq((200L, novelA.map(_ * 2)), (201L, novelC)), "b1")
+    run()
+    assert(screened() == Set(101L, 102L, 201L),
+      s"the new generation must screen 200: ${screened()}")
+
+    // restart with no new files: content unchanged
+    run()
+    assert(screened() == Set(101L, 102L, 201L))
+  }
+
   test("streaming dedup-ingest maintains clusters across epochs, exactly once, in arrival order") {
     import spark.implicits._
     import graft.operators.{Dedup, IncrementalClusters, IngestDedup}
