@@ -214,6 +214,7 @@ object Queries {
     "r5_mix_sources" -> ((s: SparkSession, d: String) => Sampling.mixSources(s, d)),
     "r6_split" -> ((s: SparkSession, d: String) => Sampling.splitDocuments(s, d)),
     "r7_split_safe" -> ((s: SparkSession, d: String) => Sampling.splitDocumentsNearDupSafe(s, d)),
+    "r8_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudgetMix(s, d)),
     "x12_code_score" -> (TextAnalysis.codeScoreQuery _),
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
     "x11_unigram_logprob" -> (TextAnalysis.unigramLogprobQuery _),
@@ -830,6 +831,27 @@ object Queries {
          |   AS pos
          |FROM b ORDER BY doc_id, replica""".stripMargin
     },
+    // r8 = the straight per-source cumsum form; the Spark side's
+    // bucket-parallel prefix decomposition must equal it EXACTLY (the
+    // hex-prefix buckets are contiguous ranges of the md5 order)
+    "r8_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |  md5(text) AS h,
+        |  CASE WHEN source = 'src0' THEN 3 WHEN source = 'src1' THEN 2
+        |       ELSE 1 END AS w
+        |  FROM documents),
+        |p AS (SELECT * FROM d WHERE w >= 1),
+        |tw AS (SELECT sum(w) AS tot FROM (
+        |  SELECT source, any_value(w) AS w FROM p GROUP BY 1)),
+        |c AS (SELECT doc_id, source, n_tokens, w,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM p)
+        |SELECT c.doc_id, c.source, c.n_tokens,
+        | CAST(c.cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c, tw WHERE c.cum_tokens <= (9200 * c.w) // tw.tot
+        |ORDER BY c.doc_id""".stripMargin,
     "r4_cap_per_source" ->
       """SELECT doc_id, source, rank FROM (
         |  SELECT doc_id, source,

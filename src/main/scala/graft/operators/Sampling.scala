@@ -225,4 +225,70 @@ object Sampling {
           .otherwise(lit("train")).as("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** r8: token-BUDGETED dataset assembly — "build me a B-token mix at
+    * these weights": each source's share is `floor(B · w_s / Σw)` tokens
+    * (Σw over the sources present), and docs fill their source's share in
+    * deterministic content-hash order (portable md5 + doc_id tiebreak,
+    * the r5/r6 convention) — a doc is kept iff its source's running token
+    * total INCLUDING it stays within the share. Weight 0 drops a source.
+    *
+    * SCALE SHAPE: the running total is a per-source cumsum — naively a
+    * per-source TOTAL ORDER, one reducer per source no matter the cluster
+    * (the r5 trap). The md5 order is instead bucket-parallelized on the
+    * hash's OWN first byte: the 256 hex-prefix buckets are contiguous
+    * ranges of the md5 order, so per-(source, bucket) token subtotals — a
+    * bounded aggregate of ≤ 256·|sources| rows, the one deliberate
+    * driver collect — prefix-summed into per-bucket BASE offsets make
+    * within-bucket window cumsums (256-way parallel per source) equal the
+    * straight per-source cumsum exactly. Work O(n), widest window
+    * ~|source|/256, and the base/share frames are driver-built
+    * constant-size local relations (no data-dependent broadcast hints —
+    * AQE picks the join side).
+    */
+  def tokenBudgetMix(spark: SparkSession, dir: String,
+      budget: Long = 9200L,
+      weights: Map[String, Int] = Map("src0" -> 3, "src1" -> 2),
+      defaultWeight: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(budget >= 0 && defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "token budget and mix weights must be >= 0 (weight 0 drops the source)")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, v)) =>
+      when(col("source") === s, lit(v)).otherwise(acc)
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.wsTokenCount(col("text")).as("n_tokens"),
+        md5(col("text")).as("h"), w.as("w"))
+      .filter(col("w") >= 1)
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    // bounded collect #1: per-(source, bucket) token subtotals → prefix
+    // offsets; bounded collect #2 rides along: the distinct sources'
+    // weights → integer shares
+    val sub = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"), first(col("w")).as("w"))
+      .collect()
+    val srcW = sub.map(r => r.getString(0) -> r.getInt(3).toLong).toMap
+    val totW = srcW.values.sum
+    val shares = srcW.map { case (s, sw) =>
+      (s, if (totW == 0) 0L else budget * sw / totW) }.toSeq
+      .toDF("source", "share")
+    val bases = sub.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        var running = 0L
+        rows.sortBy(_._2).map { case (_, b, bt) =>
+          val base = running; running += bt; (src, b, base)
+        }
+      }.toDF("source", "bucket", "base")
+    val win = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("cib", sum(col("n_tokens")).over(win))
+      .join(bases, Seq("source", "bucket"))
+      .join(shares, Seq("source"))
+      .withColumn("cum_tokens", col("base") + col("cib"))
+      .filter(col("cum_tokens") <= col("share"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

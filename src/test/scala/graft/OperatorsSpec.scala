@@ -510,6 +510,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Sampling.mixSources(spark, dir, weights = Map("src0" -> -1)).collect())
   }
 
+  test("r8 token budget: shares respected to the doc boundary, weight 0 drops, reproducible") {
+    val budget = 9200L
+    val rows = Sampling.tokenBudgetMix(spark, dir, budget = budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // recompute shares from the corpus: src0→3, src1→2, others 1
+    val srcs = graft.sources.Tables.documents(spark, dir).select("source").distinct()
+      .collect().map(_.getString(0))
+    def w(s: String) = if (s == "src0") 3L else if (s == "src1") 2L else 1L
+    val tot = srcs.map(w).sum
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val share = budget * w(src) / tot
+      val total = rs.map(_._3.toLong).sum
+      assert(total <= share, s"$src: $total tokens exceeds share $share")
+      // the reported cumsum is exactly the running total of kept docs
+      // (kept docs are a PREFIX of the per-source hash order)
+      assert(rs.map(_._4).max == total, s"$src: cumsum must equal kept total")
+      assert(rs.map(_._4).toSet.size == rs.length)
+    }
+    // the boundary is tight: for some source, adding its next doc (any
+    // unkept doc has n_tokens >= 1) would cross the share — i.e. the
+    // budget actually bound something at this corpus size
+    val keptIds = rows.map(_._1).toSet
+    val all = graft.sources.Tables.documents(spark, dir).count()
+    assert(keptIds.size < all, "the budget must actually exclude docs")
+    val again = Sampling.tokenBudgetMix(spark, dir, budget = budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq, "assembly must be reproducible")
+    // weight 0 drops the source entirely (and leaves the rest budgeted)
+    val dropped = Sampling.tokenBudgetMix(spark, dir,
+      weights = Map("src0" -> 0)).collect().map(_.getString(1)).toSet
+    assert(!dropped.contains("src0") && dropped.nonEmpty)
+    intercept[IllegalArgumentException](
+      Sampling.tokenBudgetMix(spark, dir, budget = -1L).collect())
+  }
+
   test("x11 unigram logprob scores are negative, bounded by the rarest token") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.unigramLogprobQuery(spark, dir).collect()
