@@ -194,6 +194,7 @@ object Queries {
     "s7_multiprobe_ann" -> ((s: SparkSession, d: String) => Similarity.multiprobeLshAnn(s, d)),
     "s3_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
     "s11_table_ann" -> (VectorIndex.tableAnnGateQuery _),
+    "s13_table_ivfpq" -> (VectorIndex.tablePqGateQuery _),
     "s8_ivfpq_ann" -> ((s: SparkSession, d: String) => Similarity.ivfPqAnn(s, d)),
     "d9_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "s5_quantize" -> (Similarity.quantize _),

@@ -238,7 +238,7 @@ object Similarity {
     * means), but 2 jobs total instead of 2·m — PQ training cost stops
     * scaling with the subspace count.
     */
-  private def trainCodebooks(
+  private[operators] def trainCodebooks(
       data: DataFrame, vec: Column, m: Int, k: Int, subDims: Int): Seq[Array[Array[Double]]] = {
     val d = data.select(col("vec_id"), vec.as("fv"))
     val init = d.orderBy(col("vec_id")).limit(k)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
@@ -97,24 +97,30 @@ object VectorIndex {
     * (later rebuilds can't skew a query that already resolved its pair).
     * Pre-stamp tables (both unstamped) resolve trivially.
     */
-  private def consistentMetas(
-      cat: graft.catalog.CatalogSurface, centroidsIdent: String,
-      postingsIdent: String): (IceCatalog.TableMeta, IceCatalog.TableMeta) = {
+  private def consistentMetasN(
+      cat: graft.catalog.CatalogSurface,
+      idents: Seq[String]): Seq[IceCatalog.TableMeta] = {
     def gen(m: IceCatalog.TableMeta): Option[String] =
       Option(m.properties).flatMap(_.get(GenerationProp))
-    // a torn pair is the same transient the commit protocol calls a
+    // a torn group is the same transient the commit protocol calls a
     // conflict — resolve it under the SAME budgeted retry loop
     // (re-read, backoff, bounded attempts + wall clock) instead of a
     // bespoke spin
     graft.catalog.CommitRetry.run(retries = 8, totalMs = 15000) { _ =>
-      val cm = cat.loadMeta(centroidsIdent)
-      val pm = cat.loadMeta(postingsIdent)
-      if (gen(cm) != gen(pm))
+      val ms = idents.map(cat.loadMeta)
+      if (ms.map(gen).distinct.length != 1)
         throw new graft.catalog.CommitConflictException(
-          s"$centroidsIdent/$postingsIdent: torn generation pair " +
-            s"(${gen(cm)} vs ${gen(pm)}) — a rebuild group is mid-publish")
-      (cm, pm)
+          s"${idents.mkString("/")}: torn generation group " +
+            s"(${ms.map(gen).mkString(" vs ")}) — a rebuild group is mid-publish")
+      ms
     }
+  }
+
+  private def consistentMetas(
+      cat: graft.catalog.CatalogSurface, centroidsIdent: String,
+      postingsIdent: String): (IceCatalog.TableMeta, IceCatalog.TableMeta) = {
+    val Seq(cm, pm) = consistentMetasN(cat, Seq(centroidsIdent, postingsIdent))
+    (cm, pm)
   }
 
   /** The stored coarse quantizer: O(nlist) rows to the driver — the one
@@ -332,6 +338,267 @@ object VectorIndex {
           dot(col("__vn"), col("__ref_vn")) > threshold,
         "left_anti")
       .drop("__vn", "__cell")
+  }
+
+  // ---- PQ mode: codes-only postings (the IVFADC serving form) -----------
+
+  val CodebookSchema: StructType = StructType(Seq(
+    StructField("subspace", IntegerType),
+    StructField("code", IntegerType),
+    StructField("centroid", ArrayType(DoubleType))))
+
+  val PqPostingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("cell", IntegerType),
+    StructField("codes", ArrayType(IntegerType))))
+
+  /** s13: the PQ form of the table-backed index — s8's IVFADC composition
+    * (coarse quantizer + per-subspace codebooks + CODES-ONLY postings)
+    * PERSISTED as three catalog tables in one generation-stamped atomic
+    * group. The postings row is (vec_id, cell, m small codes) instead of
+    * (vec_id, cell, dims doubles) — at m=8/dims=64 a ~14× smaller index
+    * table, THE memory/shuffle constraint at 100 TB where full vectors
+    * cannot ride the candidate join. Same rebuild/generation semantics as
+    * [[build]]; the codebooks table joins the group because codes are
+    * only decodable against the codebooks that assigned them.
+    */
+  def buildPq(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession, corpus: DataFrame,
+      centroidsIdent: String, codebooksIdent: String, postingsIdent: String,
+      nlist: Int = 0, dims: Int = 64, m: Int = 8, codebookSize: Int = 16): Unit = {
+    import spark.implicits._
+    require(dims % m == 0, "m must divide dims")
+    val unit = unitized(corpus)
+    val nl = if (nlist > 0) nlist else Similarity.autoNlist(unit.count())
+    val cents = Similarity.kmeansCentroids(unit, nl, dims)
+    // codebooks train on the UNIT vectors: cosine == dot on units, so the
+    // ADC partial dots sum to an approximate cosine (the s8 convention)
+    val cbs = Similarity.trainCodebooks(
+      unit, col("vn"), m, codebookSize, dims / m)
+    if (!cat.tableExists(centroidsIdent)) cat.createTable(centroidsIdent,
+      CentroidSchema, properties = graft.catalog.Maintenance.PipelineTableProps)
+    if (!cat.tableExists(codebooksIdent)) cat.createTable(codebooksIdent,
+      CodebookSchema, properties = graft.catalog.Maintenance.PipelineTableProps)
+    if (!cat.tableExists(postingsIdent)) cat.createTable(postingsIdent,
+      PqPostingSchema,
+      partitionSpec = Seq(IceCatalog.PartitionField("cell", "identity", "cell")),
+      properties = graft.catalog.Maintenance.PipelineTableProps)
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    val cbRows = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toDF("subspace", "code", "centroid")
+    val assigned = unit.select(col("vec_id"),
+      Similarity.argminAssign(cents).as("cell"),
+      graft.functions.VectorFunctions.pqEncode(col("vn"), cbs).as("codes"))
+    cat.overwriteGroup(
+      Seq(centroidsIdent -> centRows, codebooksIdent -> cbRows,
+        postingsIdent -> assigned),
+      Map(GenerationProp -> java.util.UUID.randomUUID().toString))
+  }
+
+  /** The stored codebooks: m × codebookSize × subDims driver-side doubles
+    * (the other constant-size collect of the IVFADC serving path).
+    */
+  def loadCodebooks(
+      cat: graft.catalog.CatalogSurface, codebooksIdent: String,
+      asOfSnapshot: Option[Long] = None): Seq[Array[Array[Double]]] = {
+    val rows = cat.scan(codebooksIdent, Seq.empty, asOfSnapshot, None)
+      .select(col("subspace"), col("code"), col("centroid")).collect()
+    require(rows.nonEmpty, s"$codebooksIdent: empty codebook table — buildPq first")
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    }
+  }
+
+  /** Append a batch in PQ mode: assign + encode against the STORED
+    * centroids/codebooks (no retraining — the FAISS add() contract), CAS
+    * the postings append on the snapshot read at assignment time. Same
+    * rebuild-race semantics as [[ingest]]: a rebuild publishing first
+    * 409s the append and surfaces loudly; a racing same-generation ingest
+    * re-CASes on the fresh snapshot.
+    */
+  def ingestPq(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession, batch: DataFrame,
+      centroidsIdent: String, codebooksIdent: String, postingsIdent: String): Unit = {
+    def gen(m: IceCatalog.TableMeta): Option[String] =
+      Option(m.properties).flatMap(_.get(GenerationProp))
+    def isCasConflict(e: Throwable): Boolean =
+      graft.catalog.CommitRetry.isConflict(e) ||
+        Option(e.getCause).exists(graft.catalog.CommitRetry.isConflict)
+    var attempt = 0
+    while (true) {
+      val Seq(cm, bm, pm) = consistentMetasN(
+        cat, Seq(centroidsIdent, codebooksIdent, postingsIdent))
+      val cents = loadCentroids(cat, centroidsIdent, cm.current.map(_.id))
+      val cbs = loadCodebooks(cat, codebooksIdent, bm.current.map(_.id))
+      try {
+        cat.insert(postingsIdent, unitized(batch)
+          .select(col("vec_id"), Similarity.argminAssign(cents).as("cell"),
+            graft.functions.VectorFunctions.pqEncode(col("vn"), cbs).as("codes")),
+          IceCatalog.InsertOptions(basedOn = Some(pm.currentSnapshotId)))
+        return
+      } catch {
+        case e if isCasConflict(e) =>
+          attempt += 1
+          if (gen(cat.loadMeta(postingsIdent)) != gen(cm))
+            throw new IllegalStateException(
+              s"$postingsIdent: a rebuild superseded generation ${gen(cm)} " +
+                "during this ingest — the batch was encoded against retired " +
+                "centroids/codebooks and the append was REJECTED (nothing " +
+                "published); re-ingest against the new generation", e)
+          if (attempt >= 5)
+            throw new IllegalStateException(
+              s"$postingsIdent: append lost the snapshot race $attempt times " +
+                "(concurrent ingests); re-run the ingest", e)
+      }
+    }
+  }
+
+  /** Top-k via the PQ index: probe cells like [[query]], score candidates
+    * ASYMMETRICALLY from their codes alone (per subspace, dot of the
+    * query slice against the literal-codebook decode — m codegen'd
+    * subDims-dots over the codes-only join, never a full stored vector),
+    * keep an ADC `shortlist` per query, then — when `corpus` is given —
+    * re-rank the bounded shortlist EXACTLY by fetching just those ids'
+    * full vectors (queries × shortlist equi-join; the deployment shape
+    * where raw vectors live in a separate store and only the shortlist
+    * is ever fetched). All three tables resolve to ONE generation with
+    * pinned scans; the postings scan is cell-partition-pruned by the
+    * batch's probe set in both serving and bulk form. No data-dependent
+    * broadcast hints — driver-built local frames broadcast on size,
+    * everything else is AQE's call.
+    */
+  def queryPq(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession, queries: DataFrame,
+      centroidsIdent: String, codebooksIdent: String, postingsIdent: String,
+      corpus: Option[DataFrame] = None,
+      k: Int = 10, nprobe: Int = 4, shortlist: Int = 100,
+      pruneScan: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val Seq(cm, bm, pm) = consistentMetasN(
+      cat, Seq(centroidsIdent, codebooksIdent, postingsIdent))
+    val cents = loadCentroids(cat, centroidsIdent, cm.current.map(_.id))
+    val cbs = loadCodebooks(cat, codebooksIdent, bm.current.map(_.id))
+    val m = cbs.length
+    val subDims = cbs.head.head.length
+    val nl = cents.length
+
+    // (q_id, qvn, cell) + the pruned postings scan — the same two-branch
+    // strategy as [[query]]: serving batches collect driver-side, bulk
+    // batches stay distributed with an IN-filter prune
+    val probeRows: Array[(Long, Array[Double], Seq[Int])] =
+      if (pruneScan <= 0) Array.empty
+      else {
+        val collected = queries
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .limit(pruneScan + 1).collect()
+        if (collected.length > pruneScan) Array.empty
+        else collected.map { r =>
+          val v = r.getSeq[Double](1).toArray
+          var sq = 0.0; var i = 0
+          while (i < v.length) { sq += v(i) * v(i); i += 1 }
+          val n = math.sqrt(sq)
+          val vn = if (n == 0) v else v.map(_ / n)
+          val dists = cents.map { c =>
+            var acc = 0.0; var j = 0
+            val mm = math.min(vn.length, c.length)
+            while (j < mm) { acc += vn(j) * c(j); j += 1 }
+            -acc
+          }
+          val cells = dists.zipWithIndex.sortBy(identity).take(nprobe).map(_._2).toSeq
+          (r.getLong(0), vn, cells)
+        }
+      }
+    val (q, postings) =
+      if (probeRows.nonEmpty) {
+        val probeCells = probeRows.flatMap(_._3).distinct.sorted
+        val p = cat.scan(postingsIdent,
+          Seq(IceCatalog.PartitionFilter("cell", IceCatalog.Op.Eq,
+            probeCells.map(_.toString))), pm.current.map(_.id), None)
+        val qf = broadcast(probeRows.toSeq
+          .flatMap { case (id, vn, cells) => cells.map(c => (id, vn.toSeq, c)) }
+          .toDF("q_id", "qvn", "cell"))
+        (qf, p)
+      } else {
+        val d = centroidDists(col("qvn"), cents)
+        val probes = transform(
+          slice(array_sort(transform(sequence(lit(0), lit(nl - 1)),
+            i => struct(element_at(d, i + 1).as("dist"), i.as("idx")))), 1, nprobe),
+          s => s.getField("idx"))
+        val qf = queries.select(col("vec_id").as("q_id"),
+            normalize(asDouble(col("embedding"))).as("qvn"))
+          .select(col("q_id"), col("qvn"), explode(probes).as("cell"))
+        val probeCells = qf.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        val p =
+          if (probeCells.length >= nl)
+            cat.scan(postingsIdent, Seq.empty, pm.current.map(_.id), None)
+          else cat.scan(postingsIdent,
+            Seq(IceCatalog.PartitionFilter("cell", IceCatalog.Op.Eq,
+              probeCells.map(_.toString).toSeq)), pm.current.map(_.id), None)
+        (qf, p)
+      }
+
+    def adc(j: Int): Column = {
+      val cb = typedLit(cbs(j).map(_.toSeq).toSeq)
+      dot(slice(col("qvn"), j * subDims + 1, subDims),
+        element_at(cb, element_at(col("codes"), j + 1) + 1))
+    }
+    val ascore = (0 until m).map(adc).reduce(_ + _)
+    val aw = Window.partitionBy(col("q_id"))
+      .orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val short = postings.join(q, Seq("cell"))
+      .select(col("q_id"), col("qvn"), col("vec_id").as("neighbor_id"),
+        ascore.as("ascore"))
+      .withColumn("arank", row_number().over(aw))
+      .where(col("arank") <= (if (corpus.isDefined) shortlist else k))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    corpus match {
+      case None =>
+        short
+          .select(col("q_id"), col("neighbor_id"), col("arank").as("rank"),
+            (round(col("ascore"), 4) + lit(0.0)).as("score"))
+          .orderBy(col("q_id"), col("rank"))
+      case Some(c) =>
+        val full = unitized(c).select(col("vec_id").as("neighbor_id"), col("vn"))
+        short.select(col("q_id"), col("qvn"), col("neighbor_id"))
+          .join(full, Seq("neighbor_id"))
+          .select(col("q_id"), col("neighbor_id"),
+            dot(col("qvn"), col("vn")).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
+          .select(col("q_id"), col("neighbor_id"), col("rank"),
+            (round(col("score"), 4) + lit(0.0)).as("score"))
+          .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  /** s13 gate: the PQ-form lifecycle — build the three-table IVFADC index
+    * from the corpus (vec_id ≥ 5), serve the standard 5 queries through
+    * codes-only scoring + exact shortlist re-rank against the corpus.
+    * Rows-only in the oracle gate (k-means-seeded); VectorIndexSpec pins
+    * recall floors, the compression claim, and the generation semantics.
+    */
+  def tablePqGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_s13").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("vx")
+    val corpus = e.filter(col("vec_id") >= 5)
+    buildPq(cat, spark, corpus, "vx.centroids", "vx.codebooks", "vx.postings")
+    val rows = queryPq(cat, spark, e.filter(col("vec_id") < 5),
+      "vx.centroids", "vx.codebooks", "vx.postings",
+      corpus = Some(corpus), k = 10, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    try Seq("vx.centroids", "vx.codebooks", "vx.postings")
+      .foreach(cat.dropTable(_))
+    catch { case _: Exception => () }
+    rows.toDF("q_id", "neighbor_id", "rank", "score")
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** s11 gate: the full table-backed lifecycle — build both index tables

@@ -188,6 +188,26 @@ object ScaleBench {
           try { cat.dropTable("vx.centroids"); cat.dropTable("vx.postings") }
           catch { case _: Exception => () }
           t
+        }),
+      ("s12_screen_fixed_batch", "~sqrt(n) semantic screen at fixed batch (cell-pruned postings anti-join, |cell|=n/nlist)",
+        dir => {
+          import org.apache.spark.sql.functions._
+          val e = graft.sources.Tables.embeddings(spark, dir)
+          val root = java.nio.file.Files.createTempDirectory("graft-scale-s12").toString
+          val cat = new graft.catalog.IceCatalog(spark, root)
+          cat.createNamespace("vx")
+          graft.operators.VectorIndex.build(cat, spark,
+            e.filter(col("vec_id") >= 50), "vx.centroids", "vx.postings")
+          val batch = e.filter(col("vec_id") < 50)
+          def run(): Unit =
+            graft.operators.VectorIndex.screen(cat, spark, batch,
+              "vx.centroids", "vx.postings")
+              .write.format("noop").mode("overwrite").save()
+          run() // warm
+          val t = math.min(timeOf(run()), timeOf(run()))
+          try { cat.dropTable("vx.centroids"); cat.dropTable("vx.postings") }
+          catch { case _: Exception => () }
+          t
         })
     ).foreach { case (op, expected, f) =>
       val a = f(baseDir)

@@ -1011,4 +1011,66 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"pinned conflict must not retry, sent ${commits.get()} commits")
     }
   }
+
+  test("insertGroup basedOn rides the wire: stale pins 409 fail-fast (even all-empty), mixed pins retry unpinned") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    assert(Set(200, 409)(
+      req("POST", "/v1/namespaces", """{"namespace":["ig"]}""").statusCode()))
+    val direct = new RestCatalogClient(spark, server.url, Some("rw-secret"))
+    val da = (1L to 4L).map(i => (i, s"a$i")).toDF("id", "v")
+    direct.createTable("ig.a", da.schema); direct.insert("ig.a", da)
+    direct.createTable("ig.b", da.schema); direct.insert("ig.b", da)
+
+    // (1) a GENUINE stale pin (the table advanced after the plan read it)
+    // 409s the whole group fail-fast and publishes nothing to EITHER table
+    val stale = direct.loadMeta("ig.a").currentSnapshotId
+    direct.insert("ig.a", da.withColumn("id", $"id" + 100)) // advances ig.a
+    val before = Seq("ig.a", "ig.b").map(t => cat.scan(t).count())
+    val e1 = intercept[Exception] {
+      direct.insertGroup(
+        Seq("ig.a" -> da.withColumn("id", $"id" + 200),
+          "ig.b" -> da.withColumn("id", $"id" + 200)),
+        basedOn = Map("ig.a" -> stale,
+          "ig.b" -> direct.loadMeta("ig.b").currentSnapshotId))
+      }
+    assert(graft.catalog.CommitRetry.isConflict(e1) ||
+      Option(e1.getCause).exists(graft.catalog.CommitRetry.isConflict), s"$e1")
+    assert(Seq("ig.a", "ig.b").map(t => cat.scan(t).count()) == before,
+      "a refused pinned append must publish nothing to any member")
+
+    // (2) the vacuous-success trap: an ALL-EMPTY pinned group with a stale
+    // pin must surface the 409 too — landed() proves an empty append only
+    // by its pin still being the current snapshot (local CAS throws here,
+    // and the remote must not diverge)
+    val e2 = intercept[Exception] {
+      direct.insertGroup(
+        Seq("ig.a" -> emptyLike(da.schema), "ig.b" -> emptyLike(da.schema)),
+        basedOn = Map("ig.a" -> stale,
+          "ig.b" -> direct.loadMeta("ig.b").currentSnapshotId))
+    }
+    assert(graft.catalog.CommitRetry.isConflict(e2) ||
+      Option(e2.getCause).exists(graft.catalog.CommitRetry.isConflict),
+      s"all-empty stale-pinned group must surface the conflict: $e2")
+
+    // (3) MIXED pins: a synthesized conflict naming the UNPINNED member is
+    // retried (assert rebuilt from fresh metadata) and the group lands
+    val lied = new java.util.concurrent.atomic.AtomicInteger(0)
+    withRelay((m, body, fwd) => {
+      if (m == "POST" && body.contains("table-changes") &&
+          lied.getAndIncrement() == 0)
+        (409, """{"error":{"type":"CommitFailedException",
+          |"message":"requirement failed: ig.b current snapshot moved"}}""".stripMargin)
+      else { val r = fwd(); (r.statusCode(), r.body()) }
+    }) { url =>
+      val proxied = new RestCatalogClient(spark, url, Some("rw-secret"))
+      proxied.insertGroup(
+        Seq("ig.a" -> da.withColumn("id", $"id" + 300),
+          "ig.b" -> da.withColumn("id", $"id" + 300)),
+        basedOn = Map("ig.a" -> direct.loadMeta("ig.a").currentSnapshotId))
+      assert(lied.get() >= 1, "the relay must have synthesized the unpinned 409")
+      assert(cat.scan("ig.a").filter($"id" > 300).count() == 4)
+      assert(cat.scan("ig.b").filter($"id" > 300).count() == 4)
+    }
+  }
 }

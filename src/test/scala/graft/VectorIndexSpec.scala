@@ -285,4 +285,50 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"probe must join on cell only, got $refs")
     }
   }
+
+  test("PQ mode: codes-only postings compress, ADC+re-rank recalls, rebuild+ingest share the semantics") {
+    cat.createNamespace("pq")
+    VectorIndex.buildPq(cat, spark, corpus,
+      "pq.centroids", "pq.codebooks", "pq.postings", nlist = 16)
+    // the three tables share one generation stamp
+    val gens = Seq("pq.centroids", "pq.codebooks", "pq.postings")
+      .map(t => cat.loadMeta(t).properties(VectorIndex.GenerationProp))
+    assert(gens.distinct.length == 1, s"one generation across the group: $gens")
+    // the compression claim, measured from the manifests: codes-only
+    // postings bytes well under the flat index's vn postings bytes
+    VectorIndex.build(cat, spark, corpus, "pq.flat_c", "pq.flat_p", nlist = 16)
+    def bytes(t: String): Long = cat.files(t).map(_.bytes).sum
+    val (pqB, flatB) = (bytes("pq.postings"), bytes("pq.flat_p"))
+    info(f"postings bytes: pq=$pqB flat=$flatB ratio=${flatB.toDouble / pqB}%.1f")
+    assert(pqB * 3 < flatB, s"codes-only postings must compress: $pqB vs $flatB")
+
+    // ADC + exact shortlist re-rank: recall within the s8 family's floor
+    val rPq = recall(VectorIndex.queryPq(cat, spark, queries,
+      "pq.centroids", "pq.codebooks", "pq.postings",
+      corpus = Some(corpus), k = 10, nprobe = 8))
+    info(f"table-backed IVFPQ recall: nprobe=8 $rPq%.3f")
+    assert(rPq >= 0.50, s"pq recall $rPq")
+    // ADC-only (no corpus fetch) still returns ranked rows for every query
+    val adcOnly = VectorIndex.queryPq(cat, spark, queries,
+      "pq.centroids", "pq.codebooks", "pq.postings", k = 10, nprobe = 8)
+      .collect()
+    assert(adcOnly.map(_.getLong(0)).distinct.length == 5)
+
+    // ingest: encoded against the STORED codebooks, new vector findable
+    import spark.implicits._
+    val probe = corpus.filter(col("vec_id") === 100L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    VectorIndex.ingestPq(cat, spark,
+      Seq((900001L, probe)).toDF("vec_id", "embedding"),
+      "pq.centroids", "pq.codebooks", "pq.postings")
+    val hits = VectorIndex.queryPq(cat, spark,
+      Seq((900000L, probe)).toDF("vec_id", "embedding"),
+      "pq.centroids", "pq.codebooks", "pq.postings",
+      corpus = Some(corpus.select(col("vec_id"), col("embedding")).union(
+        Seq((900001L, probe)).toDF("vec_id", "embedding"))),
+      k = 3, nprobe = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.contains(900001L),
+      s"an ingested duplicate vector must rank in top-3: $hits")
+  }
 }
