@@ -218,6 +218,7 @@ object Queries {
     "r8_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudgetMix(s, d)),
     "x12_code_score" -> (TextAnalysis.codeScoreQuery _),
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
+    "x13_train_classifier" -> (TextAnalysis.trainClassifierGateQuery _),
     "x11_unigram_logprob" -> (TextAnalysis.unigramLogprobQuery _),
     "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
     "d13_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -268,5 +268,139 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(col("_score") * -4)), 4).as("keep_prob"),
         (col("_score") > 0).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---- x13: TRAINING the quality classifier ------------------------------
+
+  /** Hashed-feature dimension: tokens bucket into this many weights (the
+    * fastText trick — vocabulary-free, collision-tolerant, constant model
+    * size no matter the corpus).
+    */
+  val ClassifierDim = 4096
+
+  /** A token's weight bucket: md5-prefix mod dim — the same portable hash
+    * family every other operator uses, so featurization is deterministic
+    * across engines and cluster sizes.
+    */
+  def tokenBucket(t: Column, dim: Int = ClassifierDim): Column =
+    (conv(substring(md5(t), 1, 8), 16, 10) % dim).cast("int")
+
+  /** x13: TRAIN the hashed-feature quality classifier — the op that closes
+    * x9's "a trained keyword/weight table swaps in" seam with an actual
+    * distributed trainer. Full-batch logistic regression over the hashed
+    * bag-of-tokens (feature vector = distinct-token buckets at 1/|tokens|
+    * each — exactly the x9 featurization, so the trained weights plug
+    * straight into x9's scoring plan via [[scoreWithWeights]]):
+    * per iteration, broadcast w, ONE `treeAggregate` pass computes the
+    * exact gradient + log-loss (constant [[ClassifierDim]]-sized partials
+    * — the s10 PCA moment-aggregate shape, O(corpus) work but O(dim)
+    * communication), then a driver-side step. `labeled` = (label: 0/1,
+    * buckets: Seq[Int]); returns (weights, per-iteration loss history).
+    *
+    * 100 TB shape: the featurized corpus is cached once; each iteration is
+    * one map+treeReduce with a dim-sized payload (32 KB at 4096) — no
+    * shuffle, no driver collection of rows, model size independent of
+    * corpus and vocabulary.
+    */
+  def trainQualityClassifier(
+      labeled: DataFrame, dim: Int = ClassifierDim,
+      iterations: Int = 20, learnRate: Double = 4.0): (Array[Double], Array[Double]) = {
+    val spark = labeled.sparkSession
+    val data = labeled
+      .select(col("label").cast("double"), col("buckets"))
+      .filter(size(col("buckets")) >= 1)
+      .rdd.map(r => (r.getDouble(0), r.getSeq[Int](1).toArray))
+      .persist()
+    val n = data.count().toDouble
+    require(n > 0, "x13: no labeled training rows")
+    val w = new Array[Double](dim)
+    val losses = new Array[Double](iterations)
+    var it = 0
+    while (it < iterations) {
+      val bw = spark.sparkContext.broadcast(w)
+      val (grad, loss) = data.treeAggregate((new Array[Double](dim), 0.0))(
+        seqOp = { case ((g, l), (y, idx)) =>
+          val x = 1.0 / idx.length
+          var dotv = 0.0
+          var i = 0
+          while (i < idx.length) { dotv += bw.value(idx(i)) * x; i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-dotv))
+          val err = p - y
+          i = 0
+          while (i < idx.length) { g(idx(i)) += err * x; i += 1 }
+          // clamped log-loss: a saturated sigmoid must not emit -Inf
+          val pc = math.min(math.max(p, 1e-12), 1 - 1e-12)
+          (g, l - (y * math.log(pc) + (1 - y) * math.log(1 - pc)))
+        },
+        combOp = { case ((g1, l1), (g2, l2)) =>
+          var i = 0
+          while (i < g1.length) { g1(i) += g2(i); i += 1 }
+          (g1, l1 + l2)
+        })
+      var i = 0
+      while (i < dim) { w(i) -= learnRate * grad(i) / n; i += 1 }
+      losses(it) = loss / n
+      bw.destroy()
+      it += 1
+    }
+    data.unpersist()
+    (w, losses)
+  }
+
+  /** The x9 scoring plan with TRAINED weights: identical shape (token set
+    * projected once, mean of per-token weights, sigmoid gate) — only the
+    * weight function differs (a literal trained-weight lookup instead of
+    * the md5 stub), which is exactly the swap x9's scaladoc advertises.
+    */
+  def scoreWithWeights(
+      docs: DataFrame, weights: Array[Double]): DataFrame = {
+    val wl = typedLit(weights.toSeq)
+    val perTok = transform(col("_ts"), t =>
+      element_at(wl, tokenBucket(t) + 1))
+    docs
+      .select(col("doc_id"), tokenSet(col("text")).as("_ts"))
+      .filter(size(col("_ts")) >= 1)
+      .select(col("doc_id"),
+        (aggregate(perTok, lit(0.0), (acc, x) => acc + x) /
+          size(col("_ts")).cast("double")).as("_score"))
+      .select(
+        col("doc_id"),
+        (round(col("_score"), 4) + lit(0.0)).as("lin_score"),
+        round(lit(1.0) / (lit(1.0) + exp(col("_score") * -4)), 4).as("keep_prob"),
+        (col("_score") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic WEAK NEGATIVES for the x13 gate: every token reversed
+    * character-wise — same length/shape statistics, disjoint token
+    * identities (palindromes aside), so the hashed-feature space carries
+    * the real-vs-corrupted signal the trainer must find. The CCNet-style
+    * setup (quality classifier trained on good-corpus positives vs
+    * perturbed negatives) with a fully reproducible corruption.
+    */
+  private def corrupted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_join(transform(tokens(col("text")), t => reverse(t)), " ")
+        .as("text"))
+
+  /** x13 gate: train on the EVEN docs (real = keep) against their
+    * corrupted twins (drop), then score every document — real and
+    * corrupted — with the trained weights; the ODD half is a held-out
+    * test set the spec measures accuracy on. Rows-only (floating-point
+    * aggregation order makes the last ulp of the weights run-dependent);
+    * OperatorsSpec pins separation, held-out accuracy, loss descent, and
+    * the plan-shape equivalence with x9.
+    */
+  def trainClassifierGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val featurize = (d: DataFrame, label: Int) => d
+      .select(lit(label).as("label"),
+        transform(tokenSet(col("text")), t => tokenBucket(t)).as("buckets"))
+    val (w, _) = trainQualityClassifier(
+      featurize(even, 1).union(featurize(corrupted(even), 0)))
+    scoreWithWeights(
+      docs.union(corrupted(docs).withColumn("doc_id", col("doc_id") + 1000000L)),
+      w)
   }
 }

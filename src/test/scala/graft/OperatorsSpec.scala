@@ -546,6 +546,51 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Sampling.tokenBudgetMix(spark, dir, budget = -1L).collect())
   }
 
+  test("x13 training separates real from corrupted, loss descends, weights slot into x9's plan") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    def feat(d: org.apache.spark.sql.DataFrame, label: Int) = d
+      .select(lit(label).as("label"),
+        transform(graft.functions.TextFunctions.tokenSet(col("text")),
+          t => TextAnalysis.tokenBucket(t)).as("buckets"))
+    def corrupt(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"),
+        array_join(transform(graft.functions.TextFunctions.tokens(col("text")),
+          t => reverse(t)), " ").as("text"))
+    // train on the EVEN half (real vs corrupted twins)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val (w, losses) = TextAnalysis.trainQualityClassifier(
+      feat(even, 1).union(feat(corrupt(even), 0)))
+    assert(w.length == TextAnalysis.ClassifierDim)
+    // the optimizer optimizes: loss strictly below the ln(2) prior and
+    // descending end-over-start
+    assert(losses.head < 0.6932 + 1e-9)
+    assert(losses.last < losses.head * 0.7,
+      s"loss must descend: ${losses.head} -> ${losses.last}")
+    // HELD-OUT accuracy: the odd half (never seen) + its corrupted twins
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val oddReal = TextAnalysis.scoreWithWeights(odd, w).collect()
+    val oddFake = TextAnalysis.scoreWithWeights(corrupt(odd), w).collect()
+    val acc = (oddReal.count(_.getBoolean(3)) +
+      oddFake.count(!_.getBoolean(3))).toDouble /
+      (oddReal.length + oddFake.length)
+    info(f"x13 held-out accuracy: $acc%.3f over ${oddReal.length + oddFake.length} docs")
+    assert(acc >= 0.95, s"held-out real-vs-corrupted accuracy $acc")
+    // the trained scorer is the x9 PLAN with the weight fn swapped: same
+    // output schema, token set still projected exactly once
+    val x9q = TextAnalysis.classifierQuery(spark, dir)
+    assert(TextAnalysis.scoreWithWeights(docs, w).schema.fieldNames.toSeq ==
+      x9q.schema.fieldNames.toSeq)
+    def distinctCount(df: org.apache.spark.sql.DataFrame): Int =
+      "array_distinct".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+    val (mine, x9cnt) = (
+      distinctCount(TextAnalysis.scoreWithWeights(docs, w)), distinctCount(x9q))
+    info(s"tokenizer occurrences: trained=$mine x9=$x9cnt")
+    assert(mine == x9cnt,
+      s"trained scoring must keep x9's plan shape ($mine vs $x9cnt tokenizers)")
+  }
+
   test("x11 unigram logprob scores are negative, bounded by the rarest token") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.unigramLogprobQuery(spark, dir).collect()
