@@ -1499,7 +1499,14 @@ class IceCatalog(
       }
     val schema = meta.schema
     val known = meta.snapshots.flatMap(_.sourceFiles).toSet
-    val incoming = df.inputFiles.toSeq.sorted
+    // a frame derived from THIS TABLE'S OWN scan (a self-join, an
+    // anti-join replay guard, a read-modify-append) legitimately carries
+    // the table's data files in its lineage — they are self-reads, not
+    // ingestion sources, and must neither trip the duplicate-source guard
+    // nor be recorded in the source ledger
+    val selfData = fsPath(tableDir(ident).resolve("data").toString) + "/"
+    val incoming = df.inputFiles.toSeq
+      .filterNot(p => fsPath(p).startsWith(selfData)).sorted
     val dupes = incoming.filter(known.contains)
     val toInsert =
       if (options.forceDuplicates || dupes.isEmpty) df

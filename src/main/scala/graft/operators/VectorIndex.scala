@@ -137,6 +137,28 @@ object VectorIndex {
     rows.map(_.getSeq[Double](0).toArray)
   }
 
+  /** The streaming replay absorber: anti-join the assigned batch against
+    * the ids already stored in ITS OWN cells — the scan pushes the
+    * batch's distinct cell set (≤ nlist ints) as a partition IN-filter
+    * and pins the caller's resolved snapshot, so the check costs
+    * O(touched cells' files) regardless of corpus size.
+    */
+  private def dropExistingIds(
+      cat: graft.catalog.CatalogSurface, postingsIdent: String,
+      pm: IceCatalog.TableMeta, assigned: DataFrame,
+      enabled: Boolean): DataFrame = {
+    if (!enabled) return assigned
+    // bounded collect: distinct cells only (<= nlist ints), never rows
+    val cells = assigned.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (cells.isEmpty) return assigned
+    val existing = cat.scan(postingsIdent,
+      Seq(IceCatalog.PartitionFilter("cell", IceCatalog.Op.Eq,
+        cells.map(_.toString).toSeq)), pm.current.map(_.id), None)
+      .select(col("vec_id"))
+    assigned.join(existing, Seq("vec_id"), "left_anti")
+  }
+
   /** Append a batch of (vec_id, embedding) rows: map-side cell assignment
     * against the STORED centroids, one postings append — O(batch), no
     * retraining, no touch of the centroid table.
@@ -157,7 +179,14 @@ object VectorIndex {
     */
   def ingest(
       cat: graft.catalog.CatalogSurface, spark: SparkSession, batch: DataFrame,
-      centroidsIdent: String, postingsIdent: String): Unit = {
+      centroidsIdent: String, postingsIdent: String,
+      // streaming replay absorber: drop batch rows whose vec_id is
+      // ALREADY a posting — checked against only the batch's own assigned
+      // cells' partitions (cell-pruned, O(touched cells) I/O, never the
+      // corpus; a replayed vector re-assigns to the same cell under the
+      // same generation, so the pruned check is exhaustive) — a replayed
+      // epoch publishes nothing instead of duplicate postings
+      skipExistingIds: Boolean = false): Unit = {
     def gen(m: IceCatalog.TableMeta): Option[String] =
       Option(m.properties).flatMap(_.get(GenerationProp))
     def isCasConflict(e: Throwable): Boolean =
@@ -168,9 +197,11 @@ object VectorIndex {
       val (cm, pm) = consistentMetas(cat, centroidsIdent, postingsIdent)
       val cents = loadCentroids(cat, centroidsIdent, cm.current.map(_.id))
       try {
-        cat.insert(postingsIdent, unitized(batch)
+        val assigned = unitized(batch)
           .select(col("vec_id"), Similarity.argminAssign(cents).as("cell"),
-            col("vn")),
+            col("vn"))
+        cat.insert(postingsIdent,
+          dropExistingIds(cat, postingsIdent, pm, assigned, skipExistingIds),
           IceCatalog.InsertOptions(basedOn = Some(pm.currentSnapshotId)))
         return
       } catch {
@@ -420,7 +451,8 @@ object VectorIndex {
     */
   def ingestPq(
       cat: graft.catalog.CatalogSurface, spark: SparkSession, batch: DataFrame,
-      centroidsIdent: String, codebooksIdent: String, postingsIdent: String): Unit = {
+      centroidsIdent: String, codebooksIdent: String, postingsIdent: String,
+      skipExistingIds: Boolean = false): Unit = {
     def gen(m: IceCatalog.TableMeta): Option[String] =
       Option(m.properties).flatMap(_.get(GenerationProp))
     def isCasConflict(e: Throwable): Boolean =
@@ -433,9 +465,11 @@ object VectorIndex {
       val cents = loadCentroids(cat, centroidsIdent, cm.current.map(_.id))
       val cbs = loadCodebooks(cat, codebooksIdent, bm.current.map(_.id))
       try {
-        cat.insert(postingsIdent, unitized(batch)
+        val assigned = unitized(batch)
           .select(col("vec_id"), Similarity.argminAssign(cents).as("cell"),
-            graft.functions.VectorFunctions.pqEncode(col("vn"), cbs).as("codes")),
+            graft.functions.VectorFunctions.pqEncode(col("vn"), cbs).as("codes"))
+        cat.insert(postingsIdent,
+          dropExistingIds(cat, postingsIdent, pm, assigned, skipExistingIds),
           IceCatalog.InsertOptions(basedOn = Some(pm.currentSnapshotId)))
         return
       } catch {

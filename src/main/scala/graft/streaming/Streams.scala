@@ -130,6 +130,56 @@ object Streams {
       .start()
   }
 
+  /** Continuous VECTOR ingestion into the table-backed ANN index — the
+    * serving index's write side run as a stream: per micro-batch the new
+    * embeddings assign map-side against the STORED centroids (PQ-encode
+    * too when `codebooksIdent` is set) and append to the postings table,
+    * CAS'd on the assignment-time snapshot — a rebuild racing an epoch
+    * 409s the append loudly ([[graft.operators.VectorIndex.ingest]]'s
+    * rejection contract) and the restarted epoch re-assigns against the
+    * new generation. Exactly-once composes from the checkpoint plus the
+    * ingest's `skipExistingIds` replay absorber: a replayed epoch's
+    * vec_ids are already postings in their own cells (a cell-pruned
+    * existence check — foreachBatch frames expose no inputFiles, so a
+    * source-file ledger can't see them), so it publishes nothing instead
+    * of duplicate postings.
+    */
+  def watchAndVectorIngest(
+      spark: SparkSession,
+      cat: graft.catalog.CatalogSurface,
+      centroidsIdent: String, postingsIdent: String,
+      watchDir: String,
+      checkpoint: String,
+      codebooksIdent: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(watchDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        watchInstrumented(postingsIdent, epoch, batch) {
+          codebooksIdent match {
+            case Some(cb) => graft.operators.VectorIndex.ingestPq(
+              cat, spark, batch, centroidsIdent, cb, postingsIdent,
+              skipExistingIds = true)
+            case None => graft.operators.VectorIndex.ingest(
+              cat, spark, batch, centroidsIdent, postingsIdent,
+              skipExistingIds = true)
+          }
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Continuous SEMANTIC screening against the TABLE-backed ANN index —
     * the online d9/SemDeDup decision served from the s11 index tables
     * instead of a session index ([[semanticDedupStream]]'s 100 TB form,

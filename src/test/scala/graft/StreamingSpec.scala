@@ -613,6 +613,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(screened() == Set(101L, 102L, 201L))
   }
 
+  test("streaming vector ingest appends CAS'd postings; a deleted checkpoint replays as a no-op") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    val root = Files.createTempDirectory("vsing").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("vi")
+    val rnd = new scala.util.Random(11)
+    def v(): Seq[Double] = Seq.fill(8)(rnd.nextDouble() + 0.05)
+    val ref = (0L until 20L).map(i => (i, v()))
+    VectorIndex.build(cat, spark, ref.toDF("vec_id", "embedding"),
+      "vi.cent", "vi.post", nlist = 4, dims = 8)
+    val n0 = cat.scan("vi.post").count()
+    val watch = Files.createTempDirectory("viwatch")
+    val ckpt = Files.createTempDirectory("vickpt").toString
+    def spool(rows: Seq[(Long, Seq[Double])], name: String): Unit = {
+      val stage = java.nio.file.Paths.get(root, s"stage_$name")
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(stage.toString)
+      val it = java.nio.file.Files.list(stage).iterator()
+      var part: java.nio.file.Path = null
+      while (it.hasNext) { val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) part = p }
+      java.nio.file.Files.move(part, watch.resolve(s"$name.parquet"))
+    }
+    def run(): Unit = Streams.watchAndVectorIngest(spark, cat,
+      "vi.cent", "vi.post", watch.toString, ckpt).awaitTermination()
+
+    val twin = ref(7)._2.map(_ * 3) // colinear with ref 7: its nearest twin
+    spool(Seq((500L, twin), (501L, v()), (502L, v())), "b0")
+    run()
+    assert(cat.scan("vi.post").count() == n0 + 3)
+    // the streamed vector serves immediately
+    val hits = VectorIndex.query(cat, spark,
+      Seq((900L, ref(7)._2)).toDF("vec_id", "embedding"),
+      "vi.cent", "vi.post", k = 2, nprobe = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.contains(500L), s"streamed twin must rank top-2: $hits")
+
+    // restart, no new files: nothing publishes
+    val snaps = cat.loadMeta("vi.post").snapshots.length
+    run()
+    assert(cat.loadMeta("vi.post").snapshots.length == snaps)
+
+    // checkpoint LOST (worst-case replay): the file source reprocesses b0,
+    // but the cell-pruned existing-id check absorbs it — no duplicate
+    // postings, still exactly-once end to end
+    def rmr(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        { val it = java.nio.file.Files.list(p).iterator()
+          while (it.hasNext) rmr(it.next()) }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmr(java.nio.file.Paths.get(ckpt))
+    run()
+    assert(cat.scan("vi.post").count() == n0 + 3,
+      "a ledger-absorbed replay must not duplicate postings")
+    assert(cat.scan("vi.post").filter(col("vec_id") === 500L).count() == 1)
+  }
+
   test("streaming dedup-ingest maintains clusters across epochs, exactly once, in arrival order") {
     import spark.implicits._
     import graft.operators.{Dedup, IncrementalClusters, IngestDedup}
