@@ -152,14 +152,19 @@ object Streams {
       checkpoint: String,
       codebooksIdent: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      // the watch files' PHYSICAL schema (the parquet reader requires an
+      // exact match — float embeddings need ArrayType(FloatType) here;
+      // the ingest kernel normalizes either width via asDouble)
+      inputSchema: org.apache.spark.sql.types.StructType =
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))): StreamingQuery = {
     spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)))))
+      .schema(inputSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(watchDir)
       .writeStream
