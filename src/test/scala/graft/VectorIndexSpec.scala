@@ -313,6 +313,14 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pq.centroids", "pq.codebooks", "pq.postings", k = 10, nprobe = 8)
       .collect()
     assert(adcOnly.map(_.getLong(0)).distinct.length == 5)
+    // the BULK path (no driver query collection) returns identical
+    // results — same IEEE accumulation order, different scan strategy
+    val bulk = VectorIndex.queryPq(cat, spark, queries,
+      "pq.centroids", "pq.codebooks", "pq.postings", k = 10, nprobe = 8,
+      pruneScan = 0).collect()
+    assert(adcOnly.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      bulk.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq,
+      "PQ serving and bulk paths must rank identically")
 
     // ingest: encoded against the STORED codebooks, new vector findable
     import spark.implicits._
