@@ -171,11 +171,32 @@ class RemoteDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
                 keyed.filter(col("id") === minId).select("file_path", "pos"))
               "posDelete"
             }
+          case 22 =>
+            // atomic append CAS'd on the caller's plan snapshot
+            // (insertGroup basedOn): a CURRENT pin lands on both sides; a
+            // deliberately STALE pin (the oldest snapshot, when one
+            // exists) must refuse identically — locally a
+            // ConcurrentModificationException, remotely a fail-fast 409 —
+            // and publish nothing (the checkpoint state compare enforces
+            // that). Pins are each side's OWN snapshot ids; the
+            // staleness RELATION is identical because snapshot histories
+            // track each other.
+            val snaps = cat.loadMeta(t).snapshots.map(_.id)
+            if (snaps.isEmpty) "skip"
+            else {
+              val pin =
+                if (i % 2 == 0) cat.loadMeta(t).currentSnapshotId
+                else snaps.min
+              cat.insertGroup(
+                Seq(t -> spark.read.parquet(batches(i % batches.length))),
+                basedOn = Map(t -> pin))
+              "pinnedInsertGroup"
+            }
         }).toEither.left.map(_ => "threw")
 
       var agreed = 0
       for (i <- 1 to 120) {
-        val opId = r.nextInt(22)
+        val opId = r.nextInt(23)
         val t = tables(r.nextInt(tables.length))
         val lr = run(local, opId, t, i)
         val rr = run(remote, opId, t, i)
