@@ -194,7 +194,10 @@ object Streams {
     * ONLY the touched cells' postings partitions, and anti-joins — rows
     * with a stored neighbor above `threshold` cosine drop; survivors
     * MERGE into `outIdent` by `vec_id` (merge-on-read: O(batch)
-    * equality-delete commits, never a corpus rewrite).
+    * equality-delete commits, never a corpus rewrite — create `outIdent`
+    * with [[graft.catalog.Maintenance.PipelineTableProps]] so the
+    * per-epoch delete debt compacts on schedule, the repo's standing
+    * delete-debt remedy).
     *
     * An index REBUILD mid-stream is picked up atomically at the next
     * batch: each epoch re-resolves the generation, and a rebuild
