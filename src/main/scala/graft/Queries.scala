@@ -225,6 +225,7 @@ object Queries {
     "d14_ingest_dedup" -> (IngestDedup.ingestGateQuery _),
     "d15_cluster_maintain" -> (IncrementalClusters.clustersGateQuery _),
     "p2_lakehouse_pipeline" -> (Pipeline.lakehouseGateQuery _),
+    "p3_preprocess" -> (Pipeline.preprocessGateQuery _),
     "d12_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
     "m2_feature_stub" -> (Multimodal.featureQuery _),
@@ -1035,7 +1036,84 @@ object Queries {
          |SELECT source, count(*) AS n_docs,
          | CAST(sum(CAST(ws_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
          | min(doc_id) AS first_doc
-         |FROM cleaned GROUP BY source ORDER BY source""".stripMargin
+         |FROM cleaned GROUP BY source ORDER BY source""".stripMargin,
+    "p3_preprocess" -> {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val url = """https?://[^\s]+"""
+      val num = """\b[0-9]{6,}\b"""
+      // 8-word shingle list of a token-list expression (the d7 oracle's
+      // CASE, parameterized over the token column name)
+      def gram8(t: String) =
+        s"""CASE WHEN len($t) >= 8
+           |  THEN list_transform(range(1, len($t) - 6),
+           |    i -> concat_ws(' ', $t[i], $t[i+1], $t[i+2], $t[i+3],
+           |                        $t[i+4], $t[i+5], $t[i+6], $t[i+7]))
+           |  ELSE [array_to_string($t, ' ')] END""".stripMargin
+      s"""WITH scr AS (
+         |  SELECT doc_id, source, text,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      text, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
+         |      '$num', '<NUM>', 'g'), '\\s+', ' ', 'g')) AS scrubbed
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, source, text, scrubbed,
+         |    substr(md5(scrubbed), 1, 16) AS scrub_fp,
+         |    (len(regexp_extract_all(text, '\\S+')) BETWEEN 5 AND 10000
+         |     AND round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |       / nullif(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 0), 3)
+         |       BETWEEN 2 AND 12) AS q_ok
+         |  FROM scr),
+         |ek AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY md5(scrubbed)) AS keeper
+         |  FROM base WHERE doc_id % 20 <> 0 AND q_ok),
+         |keepers AS (SELECT * FROM ek WHERE doc_id = keeper),
+         |tok AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(scrubbed), '[^a-z0-9]+'), x -> x <> '') AS t
+         |  FROM keepers),
+         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+         |  THEN list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         |  ELSE [array_to_string(t, ' ')] END AS shingles FROM tok),
+         |hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hl FROM sh),
+         |sig AS (SELECT doc_id,
+         |  list_min(hl) AS sig_0,
+         |  list_min(list_transform(hl, h -> substr(h, 9) || substr(h, 1, 8))) AS sig_1,
+         |  list_min(list_transform(hl, h -> substr(h, 17) || substr(h, 1, 16))) AS sig_2,
+         |  list_min(list_transform(hl, h -> substr(h, 25) || substr(h, 1, 24))) AS sig_3
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sig UNION ALL
+         |  SELECT doc_id, 1, sig_1 FROM sig UNION ALL
+         |  SELECT doc_id, 2, sig_2 FROM sig UNION ALL
+         |  SELECT doc_id, 3, sig_3 FROM sig),
+         |bsz AS (SELECT band, sig, count(*) AS n FROM bands GROUP BY 1, 2),
+         |kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, sig)
+         |         WHERE bsz.n BETWEEN 2 AND ${graft.operators.Dedup.MaxLshBucket}),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |ts AS (SELECT doc_id, list_distinct(t) AS t FROM tok),
+         |near_drop AS (SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+         |  JOIN ts a ON a.doc_id = p.doc_a JOIN ts b ON b.doc_id = p.doc_b
+         |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.6),
+         |eg AS (SELECT DISTINCT unnest(${gram8("et")}) AS g
+         |  FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |          x -> x <> '') AS et
+         |        FROM base WHERE doc_id % 20 = 0)),
+         |tg AS (SELECT doc_id, unnest(list_distinct(${gram8("t")})) AS g
+         |  FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+         |contam AS (SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM eg))
+         |SELECT b.doc_id, b.source,
+         |  CASE WHEN b.doc_id % 20 = 0 THEN 'eval'
+         |       WHEN NOT b.q_ok THEN 'quality'
+         |       WHEN b.doc_id IN (SELECT doc_id FROM ek WHERE doc_id <> keeper)
+         |         THEN 'exact_dup'
+         |       WHEN b.doc_id IN (SELECT doc_id FROM near_drop) THEN 'near_dup'
+         |       WHEN b.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+         |       ELSE 'kept' END AS decision,
+         |  b.scrub_fp
+         |FROM base b ORDER BY b.doc_id""".stripMargin
+    }
   )
 
   val tableMeta: Map[String, Q] = Map(

@@ -69,6 +69,100 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** p3: the FULL curation pass as a per-document audit LEDGER — the
+    * composition a production run actually ships alongside its cleaned
+    * corpus (every doc's fate and which stage sealed it). Stages, in
+    * pipeline order, each one of the verified operators:
+    *
+    *  1. the eval slice (doc_id % 20 == 0, the d7 convention) is HELD OUT —
+    *     never filtered, never trained on;
+    *  2. x2's quality gate on the raw text;
+    *  3. x6's PII scrub REWRITES the text — all later stages see the
+    *     scrubbed form (redaction can merge docs that differed only in a
+    *     redacted email/URL; deduping the raw text would miss those);
+    *  4. exact dedup on the scrubbed hash (keep min doc_id);
+    *  5. near-dedup over scrubbed text: LSH proposes (bucket-capped),
+    *     exact n-gram Jaccard verifies at O(candidates) via the semi
+    *     restricted kernel; the larger id of every verified pair drops;
+    *  6. decontamination: survivors sharing any 8-word shingle with the
+    *     eval slice's RAW text drop (the benchmark is matched as
+    *     published, not as scrubbed).
+    *
+    * Output: (doc_id, source, decision, scrub_fp) where decision is the
+    * FIRST stage that sealed the doc's fate (eval | quality | exact_dup |
+    * near_dup | contaminated | kept) and scrub_fp witnesses the actual
+    * rewrite for every doc. Fully deterministic → strict DuckDB hash gate.
+    *
+    * Scale shape: scrub/quality are map-only; exact dedup is one hash
+    * shuffle; the only corpus-scaling join keys on LSH bands (capped
+    * buckets, never a block attribute); verify is O(candidate-named docs)
+    * tokenize + O(pairs) set merges; decontamination is one shingle-hash
+    * semi-join (the eval side has no broadcast hint — an eval SUITE grows
+    * too, AQE broadcasts when it fits). The scrubbed corpus and the drop
+    * lists each feed two consumers, so the gate materializes the ledger
+    * once and unpersists (the d15 gate discipline); a deployment would
+    * checkpoint the ledger as a table instead.
+    */
+  def preprocessLedger(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("scrubbed", TextAnalysis.scrubbedText(col("text")))
+      .withColumn("scrub_fp", fingerprint(col("scrubbed")))
+    val isEval = col("doc_id") % 20 === 0
+    val ws = wsTokenCount(col("text"))
+    val awl = round(
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        nullif(ws.cast("double"), lit(0.0)), 3)
+    val qOk = ws.between(5, 10000) && awl.between(2.0, 12.0)
+
+    val quality = base.filter(!isEval && qOk)
+    val ek = quality.withColumn("keeper",
+      min(col("doc_id")).over(Window.partitionBy(md5(col("scrubbed")))))
+    val exactDrop = ek.filter(col("doc_id") =!= col("keeper")).select(col("doc_id"))
+    val keepers = ek.filter(col("doc_id") === col("keeper")).drop("keeper")
+
+    val scrDocs = keepers.select(col("doc_id"), col("scrubbed").as("text"))
+    val cand = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(scrDocs), Dedup.MaxLshBucket)
+    val nearDrop = Dedup.verifyPairsSemi(scrDocs, scrDocs, cand, 0.6)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    val evalGrams = base.filter(isEval)
+      .select(explode(array_distinct(shingles(tokens(col("text")), 8))).as("g"))
+      .distinct()
+    val contam = keepers.join(nearDrop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("scrubbed")), 8))).as("g"))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+
+    base
+      .join(exactDrop.withColumn("_ed", lit(true)), Seq("doc_id"), "left")
+      .join(nearDrop.withColumn("_nd", lit(true)), Seq("doc_id"), "left")
+      .join(contam.withColumn("_ct", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(isEval, "eval")
+          .when(!qOk, "quality")
+          .when(col("_ed"), "exact_dup")
+          .when(col("_nd"), "near_dup")
+          .when(col("_ct"), "contaminated")
+          .otherwise("kept").as("decision"),
+        col("scrub_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** p3 gate: the ledger materialized once and released (several stages
+    * would otherwise re-derive the scrub + LSH subtrees through the
+    * ledger's fan-out when the driver writes it twice).
+    */
+  def preprocessGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = preprocessLedger(Tables.documents(spark, dir)).persist()
+    val rows = out.as[(Long, String, String, String)].collect().toSeq
+    out.unpersist()
+    rows.toDF("doc_id", "source", "decision", "scrub_fp").orderBy(col("doc_id"))
+  }
+
   /** p2's trait-typed core — the LAKEHOUSE composition of the pipeline's
     * parts against ONE catalog (local or behind the REST wire, the same
     * code): d14 ingest of `batch` (probe-verify-atomic-commit against the

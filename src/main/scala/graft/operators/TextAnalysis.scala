@@ -139,27 +139,40 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token").asc)
       .limit(20)
 
+  /** The x6 PII patterns, shared with the p3 composed pipeline (one
+    * definition so the redaction rule can't drift between the standalone
+    * gate and the composition).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongNumRe = "\\b[0-9]{6,}\\b"
+
+  /** x6's full rewrite as a reusable column: typed redaction placeholders
+    * plus whitespace normalization. Pure map expression — composes into any
+    * plan at scan speed.
+    */
+  def scrubbedText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        LongNumRe, "<NUM>"),
+      "\\s+", " "))
+
   /** x6: PII scrubbing — emails, URLs and long digit runs are redacted to
     * typed placeholder tokens, whitespace is normalized, and per-doc hit
     * counts reported. Map-only (scan-speed at 100 TB); the scrubbed text is
     * witnessed by its fingerprint so the oracle verifies the actual rewrite.
     */
   def scrubQuery(spark: SparkSession, dir: String): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val url = "https?://[^\\s]+"
-    val longNum = "\\b[0-9]{6,}\\b"
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("text"), email, "<EMAIL>"),
-        url, "<URL>"),
-      longNum, "<NUM>")
-    val normalized = trim(regexp_replace(scrubbed, "\\s+", " "))
+    val normalized = scrubbedText(col("text"))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        regexp_count(col("text"), lit(email)).as("n_emails"),
-        regexp_count(col("text"), lit(url)).as("n_urls"),
-        regexp_count(col("text"), lit(longNum)).as("n_longnums"),
+        regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(UrlRe)).as("n_urls"),
+        regexp_count(col("text"), lit(LongNumRe)).as("n_longnums"),
         length(normalized).as("scrub_chars"),
         fingerprint(normalized).as("scrub_fp"))
       .orderBy(col("doc_id"))

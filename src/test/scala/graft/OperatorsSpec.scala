@@ -723,6 +723,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p3 preprocess ledger: stage precedence on a constructed corpus") {
+    import spark.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val body = "the quick brown fox jumps over the lazy dog repeatedly every single day"
+    val body2 = "colorless green ideas sleep furiously while formal grammars generate unbounded novel sentences"
+    val docs = Seq(
+      (0L, "s", evalText), // eval slice: held out even if it would fail gates
+      (21L, "s", "word"), // ws_tokens < 5
+      (22L, "s", s"contact me at bob@example.com $body"),
+      (42L, "s", s"contact me at alice@test.org $body"), // same text POST-scrub
+      (23L, "s", s"$body2 tail one"),
+      (43L, "s", s"$body2 tail two"), // near dup of 23 (Jaccard 14/16)
+      (24L, "s", s"prefix words here $evalText trailing words"), // eval 8-gram
+      (25L, "s", "completely unique content nothing shared with anything else at all today"))
+      .toDF("doc_id", "source", "text")
+    val led = operators.Pipeline.preprocessLedger(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(led(0L) == "eval")
+    assert(led(21L) == "quality")
+    assert(led(22L) == "kept", "min-id side of the scrub-merged pair survives")
+    assert(led(42L) == "exact_dup", "docs differing only in a redacted email merge")
+    assert(led(23L) == "kept")
+    assert(led(43L) == "near_dup", "larger id of the verified pair drops")
+    assert(led(24L) == "contaminated")
+    assert(led(25L) == "kept")
+  }
+
+  test("p3 preprocess ledger partitions the corpus and witnesses x6's scrub") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val led = operators.Pipeline.preprocessLedger(docs).collect()
+    assert(led.length == docs.count(), "exactly one decision per document")
+    val decisions = led.map(_.getString(2)).toSet
+    assert(decisions.subsetOf(Set(
+      "eval", "quality", "exact_dup", "near_dup", "contaminated", "kept")))
+    led.foreach { r =>
+      assert((r.getLong(0) % 20 == 0) == (r.getString(2) == "eval"))
+    }
+    // the ledger's scrub_fp is exactly the standalone x6 gate's fingerprint
+    val x6 = TextAnalysis.scrubQuery(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    led.foreach(r => assert(r.getString(3) == x6(r.getLong(0))))
+  }
+
   test("repetitionStats is null (not an NPE) for <2-token docs under codegen") {
     // the kernel returns null for 0/1-token inputs; the expression's
     // codegen must set isNull instead of letting a downstream
