@@ -195,6 +195,7 @@ object Queries {
     "s3_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
     "s11_table_ann" -> (VectorIndex.tableAnnGateQuery _),
     "s13_table_ivfpq" -> (VectorIndex.tablePqGateQuery _),
+    "s14_filtered_ann" -> (VectorIndex.filteredAnnGateQuery _),
     "s8_ivfpq_ann" -> ((s: SparkSession, d: String) => Similarity.ivfPqAnn(s, d)),
     "d9_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "s5_quantize" -> (Similarity.quantize _),
@@ -755,6 +756,26 @@ object Queries {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d6_embed_neardup" -> multiprobeCosineVerifyOracle,
     "d10_lsh_cosine_verify" -> lshCosineVerifyOracle,
+    // s14 is strict DESPITE the k-means build: the gate probes at full
+    // coverage, where the filtered top-k is independent of the seeding.
+    // The score mirrors the table path bit-for-bit: normalize first
+    // (element/sqrt(dot)), then dot the two unit vectors — NOT the
+    // dot/(|a||b|) form the session-index oracles use.
+    "s14_filtered_ann" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id,
+        |  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+        |q AS (SELECT vec_id AS q_id, vn AS qvn FROM n WHERE vec_id < 5),
+        |c AS (SELECT vec_id, vn FROM n WHERE vec_id >= 5 AND vec_id % 2 = 1),
+        |s AS (SELECT q_id, c.vec_id AS neighbor_id,
+        |  list_dot_product(qvn, vn) AS score
+        | FROM c CROSS JOIN q),
+        |r AS (SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT) AS rank,
+        |  score FROM s)
+        |SELECT q_id, neighbor_id, rank, round(score, 4) + 0.0 AS score
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "s1_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -249,23 +249,22 @@ object VectorIndex {
   def query(
       cat: graft.catalog.CatalogSurface, spark: SparkSession, queries: DataFrame,
       centroidsIdent: String, postingsIdent: String,
-      k: Int = 10, nprobe: Int = 4, pruneScan: Int = 1024): DataFrame = {
+      k: Int = 10, nprobe: Int = 4, pruneScan: Int = 1024,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val (cm, pm) = consistentMetas(cat, centroidsIdent, postingsIdent)
     val cSnap = cm.current.map(_.id)
     val pSnap = pm.current.map(_.id)
     val cents = loadCentroids(cat, centroidsIdent, cSnap)
     val nl = cents.length
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
 
-    def rank(joined: DataFrame): DataFrame = joined
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        dot(col("qvn"), col("vn")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("rank"),
-        (round(col("score"), 4) + lit(0.0)).as("score"))
-      .orderBy(col("q_id"), col("rank"))
+    // the bulk FILTERED form: candidates drop to the allowed id set by
+    // semi-join before ranking (fixed nprobe — a selective filter can
+    // under-fill k; the widening form is [[queryFilteredServe]])
+    def filtered(postings: DataFrame): DataFrame = allowed match {
+      case Some(a) => postings.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      case None => postings
+    }
+    def rank(joined: DataFrame): DataFrame = rankTopK(joined, k)
 
     val probeRows: Array[(Long, Array[Double], Seq[Int])] =
       if (pruneScan <= 0) Array.empty
@@ -301,7 +300,7 @@ object VectorIndex {
       val q = probeRows.toSeq
         .flatMap { case (id, vn, cells) => cells.map(c => (id, vn.toSeq, c)) }
         .toDF("q_id", "qvn", "cell")
-      rank(postings.join(broadcast(q), Seq("cell")))
+      rank(filtered(postings).join(broadcast(q), Seq("cell")))
     } else {
       val d = centroidDists(col("qvn"), cents)
       val probes = transform(
@@ -326,8 +325,150 @@ object VectorIndex {
       // that same batch (×nprobe explode) through a driver-built
       // broadcast — a driver-OOM plan at scale. AQE broadcasts small
       // batches on its own; big ones shuffle-join, which is the point.
-      rank(postings.join(q, Seq("cell")))
+      rank(filtered(postings).join(q, Seq("cell")))
     }
+  }
+
+  /** Top-k candidate ranking shared by [[query]] and
+    * [[queryFilteredServe]]: cosine = dot of the two unit vectors, ties
+    * broken by neighbor id, scores rounded with signed-zero
+    * normalization — one definition so the paths can't drift.
+    */
+  private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    joined
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qvn"), col("vn")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"),
+        (round(col("score"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s14: FILTERED vector search against the table index — top-k among
+    * corpus vectors whose vec_id is in `allowed`, the filter set any
+    * metadata predicate reduces to (lang = 'en', license-clean, a date
+    * range — evaluated upstream over whatever attribute table owns the
+    * metadata, so the index itself stays metadata-agnostic). The naive
+    * post-filter (rank, then drop disallowed) under-fills: a selective
+    * filter can leave fewer than k survivors among the probed cells.
+    * This serve path widens ADAPTIVELY: probe `nprobe` cells, rank only
+    * allowed candidates, and for queries still short of k double the
+    * probe width and re-rank — terminating at full coverage, where the
+    * answer is EXACT filtered brute force. Rounds are bounded by
+    * log2(nlist); each round re-reads its probed partitions (cell
+    * IN-filter, pinned snapshots), so total I/O stays within ~2× the
+    * final width's — the geometric-widening trade that keeps the common
+    * case (filter admits most vectors: one round, nprobe cells) at
+    * serving cost.
+    *
+    * All rounds pin the SAME generation-consistent snapshot pair
+    * resolved up front — widening can never mix a racing rebuild's
+    * cells into a query that already started. Serving contract: ≤
+    * `pruneScan` queries, collected driver-side (the [[query]] serve
+    * discipline); bulk batches use `query(allowed = ...)` — fixed
+    * nprobe, no widening, no driver collection.
+    */
+  def queryFilteredServe(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession, queries: DataFrame,
+      centroidsIdent: String, postingsIdent: String, allowed: DataFrame,
+      k: Int = 10, nprobe: Int = 4, pruneScan: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val (cm, pm) = consistentMetas(cat, centroidsIdent, postingsIdent)
+    val cSnap = cm.current.map(_.id)
+    val pSnap = pm.current.map(_.id)
+    val cents = loadCentroids(cat, centroidsIdent, cSnap)
+    val nl = cents.length
+    val collected = queries
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .limit(pruneScan + 1).collect()
+    require(collected.length <= pruneScan,
+      s"queryFilteredServe is the ≤$pruneScan-query serving path; " +
+        "bulk batches use query(allowed = ...)")
+    // per query: unit vector + ALL cells ranked near→far (same IEEE
+    // accumulation order as the normalize/dot expressions)
+    val qs: Array[(Long, Array[Double], Array[Int])] = collected.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      var sq = 0.0; var i = 0
+      while (i < v.length) { sq += v(i) * v(i); i += 1 }
+      val n = math.sqrt(sq)
+      val vn = if (n == 0) v else v.map(_ / n)
+      val dists = cents.map { c =>
+        var acc = 0.0; var j = 0
+        val m = math.min(vn.length, c.length)
+        while (j < m) { acc += vn(j) * c(j); j += 1 }
+        -acc
+      }
+      (r.getLong(0), vn, dists.zipWithIndex.sortBy(identity).map(_._2))
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+    var active = qs
+    var width = math.max(1, math.min(nprobe, nl))
+    while (active.nonEmpty) {
+      // a wide round over many unsatisfied queries would broadcast
+      // |active|·width probe rows — past ~1M rows skip straight to full
+      // coverage, whose formulation below broadcasts only |active| rows
+      if (active.length.toLong * width > (1L << 20)) width = nl
+      val joined =
+        if (width >= nl) {
+          // full coverage = exact filtered brute force: no per-cell
+          // explode, just every posting against every active query
+          val q = active.toSeq.map { case (id, vn, _) => (id, vn.toSeq) }
+            .toDF("q_id", "qvn")
+          cat.scan(postingsIdent, Seq.empty, pSnap, None)
+            .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .crossJoin(broadcast(q))
+        } else {
+          val probe = active.toSeq
+            .flatMap { case (id, vn, cells) =>
+              cells.take(width).map(c => (id, vn.toSeq, c)) }
+            .toDF("q_id", "qvn", "cell")
+          val cellsNow = active.flatMap(_._3.take(width)).distinct.sorted
+          cat.scan(postingsIdent,
+              Seq(IceCatalog.PartitionFilter("cell", IceCatalog.Op.Eq,
+                cellsNow.map(_.toString).toSeq)), pSnap, None)
+            .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .join(broadcast(probe), Seq("cell"))
+        }
+      val got = rankTopK(joined, k).as[(Long, Long, Int, Double)].collect()
+      val counts = got.groupBy(_._1).view.mapValues(_.length).toMap
+      val (sat, unsat) = active.partition { case (id, _, _) =>
+        width >= nl || counts.getOrElse(id, 0) >= k }
+      val satIds = sat.map(_._1).toSet
+      done ++= got.filter(r => satIds.contains(r._1))
+      active = unsat
+      width = math.min(nl, width * 2)
+    }
+    done.toSeq.toDF("q_id", "neighbor_id", "rank", "score")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s14 gate: the filtered search pushed to FULL coverage (nprobe ≥
+    * nlist) — the one setting where the result is independent of the
+    * k-means seeding (every cell probed ⇒ exact filtered top-k over the
+    * allowed set), so the whole table path — build group, generation
+    * pins, allowed semi-join, the widening loop's full-coverage
+    * terminator — is strict-hash checkable against DuckDB's brute-force
+    * filtered ranking. Partial-probe recall and the widening rounds
+    * themselves are pinned by VectorIndexSpec.
+    */
+  def filteredAnnGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_s14").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("vx")
+    build(cat, spark, e.filter(col("vec_id") >= 5), "vx.centroids", "vx.postings")
+    val allowed = e.filter(col("vec_id") % 2 === 1).select(col("vec_id"))
+    val rows = queryFilteredServe(cat, spark, e.filter(col("vec_id") < 5),
+      "vx.centroids", "vx.postings", allowed, k = 10, nprobe = Int.MaxValue)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    try { cat.dropTable("vx.centroids"); cat.dropTable("vx.postings") }
+    catch { case _: Exception => () }
+    rows.toDF("q_id", "neighbor_id", "rank", "score")
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** SEMANTIC near-dup SCREEN against the table-backed index — the d9 /

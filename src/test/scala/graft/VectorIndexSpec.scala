@@ -52,6 +52,51 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r8 >= r4)
   }
 
+  test("filtered serve: adaptive widening fills k when the filter allows; results stay in-filter") {
+    val allowedIds = corpus.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val nAllowed = allowedIds.count()
+    // nprobe=1 with a ~1/7 filter under-fills the first round by
+    // construction (≈2 allowed per 31-posting cell) — the widening loop
+    // must keep doubling until every query holds min(k, feasible) rows
+    val rows = VectorIndex.queryFilteredServe(cat, spark, queries,
+      "vx.centroids", "vx.postings", allowedIds, k = 10, nprobe = 1).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.values.foreach(rs =>
+      assert(rs.length == math.min(10L, nAllowed).toInt, "widening fills k"))
+    val allow = allowedIds.collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => allow.contains(r.getLong(1))),
+      "every neighbor passes the filter")
+    // an infeasible filter terminates at full coverage with zero rows
+    // (never loops, never errors)
+    val none = VectorIndex.queryFilteredServe(cat, spark, queries,
+      "vx.centroids", "vx.postings",
+      corpus.filter(lit(false)).select(col("vec_id")), k = 10, nprobe = 1)
+    assert(none.collect().isEmpty)
+  }
+
+  test("filtered serve and filtered bulk agree at full coverage; partial probe recalls") {
+    val allowedIds = corpus.filter(col("vec_id") % 2 === 1).select(col("vec_id"))
+    val serve = VectorIndex.queryFilteredServe(cat, spark, queries,
+      "vx.centroids", "vx.postings", allowedIds, k = 10, nprobe = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val bulk = VectorIndex.query(cat, spark, queries,
+      "vx.centroids", "vx.postings", k = 10, nprobe = 16, pruneScan = 0,
+      allowed = Some(allowedIds))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(serve == bulk,
+      "serve full coverage == bulk full probe, row for row (scores included)")
+    val exactIds = serve.map(t => (t._1, t._2)).toSet
+    val part = VectorIndex.queryFilteredServe(cat, spark, queries,
+      "vx.centroids", "vx.postings", allowedIds, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allow = allowedIds.collect().map(_.getLong(0)).toSet
+    assert(part.forall(p => allow.contains(p._2)))
+    val rec = part.count(exactIds.contains).toDouble / exactIds.size
+    info(f"filtered recall at nprobe=4: $rec%.3f")
+    assert(rec >= 0.3, s"filtered recall at nprobe=4: $rec")
+  }
+
   test("the SAME index lifecycle runs against a REMOTE catalog (wire rebuild + serve)") {
     // VectorIndex is typed against CatalogSurface: build/rebuild commit
     // through ONE /v1/transactions/commit (remove-files{all} +
