@@ -217,6 +217,7 @@ object Queries {
     "r6_split" -> ((s: SparkSession, d: String) => Sampling.splitDocuments(s, d)),
     "r7_split_safe" -> ((s: SparkSession, d: String) => Sampling.splitDocumentsNearDupSafe(s, d)),
     "r8_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudgetMix(s, d)),
+    "r9_shard" -> ((s: SparkSession, d: String) => Sampling.shardAssign(s, d)),
     "x12_code_score" -> (TextAnalysis.codeScoreQuery _),
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
     "x13_train_classifier" -> (TextAnalysis.trainClassifierGateQuery _),
@@ -876,6 +877,23 @@ object Queries {
         | CAST(c.cum_tokens AS BIGINT) AS cum_tokens
         |FROM c, tw WHERE c.cum_tokens <= (9200 * c.w) // tw.tot
         |ORDER BY c.doc_id""".stripMargin,
+    // the straight single-window cumsum form — the Spark side computes the
+    // SAME prefix 256-way bucket-parallel; the hash match is the equality
+    // proof (the r8 discipline, corpus-wide)
+    "r9_shard" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  md5(text) AS h FROM documents),
+        |t AS (SELECT sum(n_tokens) AS total FROM d),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS global_pos
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(least(7, ((cum - n_tokens) * 8) // total) AS INT) AS shard,
+        | global_pos
+        |FROM c CROSS JOIN t ORDER BY doc_id""".stripMargin,
     "r4_cap_per_source" ->
       """SELECT doc_id, source, rank FROM (
         |  SELECT doc_id, source,

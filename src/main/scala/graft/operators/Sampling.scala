@@ -291,4 +291,60 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** r9: deterministic token-BALANCED shard assignment — the training-data
+    * writer's tail op ("cut the corpus into N shards of equal token mass,
+    * in a reproducible shuffled order"). Docs are ordered by content-hash
+    * (md5 — the same seedless deterministic shuffle r1/r6 key on: no
+    * stored RNG state, any engine replays it), token counts are
+    * prefix-summed along that order, and a doc lands in shard
+    * floor(start_offset · N / total) — contiguous token ranges, so every
+    * shard's mass is within one document of total/N, and a shard's docs
+    * are a contiguous run of the global order (writers stream shard files
+    * sequentially; `global_pos` is the within-epoch read order).
+    *
+    * Scale shape — the r8 cumsum discipline, corpus-wide this time: NO
+    * global total order. The md5's first byte buckets the hash order into
+    * 256 contiguous ranges; per-bucket token/count subtotals (≤256 rows,
+    * the one bounded collect) prefix into per-bucket BASE offsets
+    * driver-side, and within-bucket window cumsums (256-way parallel)
+    * plus the base equal the straight global cumsum exactly — the strict
+    * oracle hash-match against the single-window SQL form IS the proof.
+    * Shard math is integer (`div`, never a double) so offsets past 2^53
+    * tokens stay exact at 100 TB.
+    */
+  def shardAssign(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(shards >= 1, "r9: shard count must be >= 1")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.wsTokenCount(col("text")).as("n_tokens"),
+        md5(col("text")).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val sub = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"), count(lit(1)).as("bc"))
+      .collect()
+    val total = sub.map(_.getLong(1)).sum
+    require(total > 0, "r9: corpus has no tokens to shard")
+    var tokRun = 0L
+    var cntRun = 0L
+    val bases = sub.sortBy(_.getInt(0)).map { r =>
+      val b = (r.getInt(0), tokRun, cntRun)
+      tokRun += r.getLong(1); cntRun += r.getLong(2); b
+    }.toSeq.toDF("bucket", "tok_base", "cnt_base")
+    val win = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("cib", sum(col("n_tokens")).over(win))
+      .withColumn("rib", row_number().over(win))
+      .join(bases, Seq("bucket"))
+      .withColumn("start", col("tok_base") + col("cib") - col("n_tokens"))
+      .withColumn("shard",
+        least(lit((shards - 1).toLong),
+          expr(s"(start * $shards) div $total")).cast("int"))
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("shard"),
+        (col("cnt_base") + col("rib")).as("global_pos"))
+      .orderBy(col("doc_id"))
+  }
 }

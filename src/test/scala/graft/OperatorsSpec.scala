@@ -767,6 +767,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     led.foreach(r => assert(r.getString(3) == x6(r.getLong(0))))
   }
 
+  test("r9 shard assignment balances token mass as a deterministic contiguous permutation") {
+    val n = 8
+    val out = operators.Sampling.shardAssign(spark, dir, shards = n).collect()
+    // global_pos is a permutation of 1..docs — the reproducible epoch order
+    assert(out.map(_.getLong(4)).sorted.toSeq == (1L to out.length).toSeq)
+    // every shard's token mass within one max-document of the ideal share
+    val total = out.map(_.getLong(2)).sum
+    val maxDoc = out.map(_.getLong(2)).max
+    val byShard = out.groupBy(_.getInt(3)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(byShard.keySet.subsetOf((0 until n).toSet))
+    byShard.values.foreach(s =>
+      assert(s <= total / n + maxDoc, s"shard mass $s vs ideal ${total / n}"))
+    // shards are contiguous runs of the global order (sequential writers)
+    val shardsInOrder = out.sortBy(_.getLong(4)).map(_.getInt(3))
+    assert(shardsInOrder.sameElements(shardsInOrder.sorted))
+    // deterministic end to end
+    val again = operators.Sampling.shardAssign(spark, dir, shards = n).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("repetitionStats is null (not an NPE) for <2-token docs under codegen") {
     // the kernel returns null for 0/1-token inputs; the expression's
     // codegen must set isNull instead of letting a downstream
