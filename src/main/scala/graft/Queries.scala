@@ -221,6 +221,10 @@ object Queries {
     "x12_code_score" -> (TextAnalysis.codeScoreQuery _),
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
     "x13_train_classifier" -> (TextAnalysis.trainClassifierGateQuery _),
+    // x14 is rows-only BY DESIGN: the merge-training loop has no
+    // single-query SQL form; a driver-side reference trainer must produce
+    // the identical merge table (OperatorsSpec differential case)
+    "x14_train_bpe" -> (TextAnalysis.trainBpeGateQuery _),
     "x11_unigram_logprob" -> (TextAnalysis.unigramLogprobQuery _),
     "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
     "d13_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),

@@ -384,6 +384,123 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---- x14: TRAINING a BPE tokenizer --------------------------------------
+
+  /** One BPE merge applied to a segmentation array: every adjacent
+    * (a, b) becomes the single symbol a+b, greedy left-to-right (the
+    * "aaa" + (a,a) case merges the LEFT pair — the standard BPE rule).
+    * Pure column expression, so it folds into vocabulary-sized plans.
+    */
+  private def bpeMergeOnce(seg: Column, a: String, b: String): Column =
+    aggregate(seg, typedLit(Seq.empty[String]), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** A word as its initial character segmentation. */
+  private def charSeg(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => substring(word, i, lit(1)))
+
+  /** The corpus word-frequency table — BPE training's ONE O(corpus) pass
+    * (a single partial-aggregated shuffle); every training round after it
+    * touches only this vocabulary-sized frame.
+    */
+  def corpusWordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** x14: TRAIN a BPE tokenizer's merge table — the op that makes x3's
+    * "BPE-ish estimate" an actual trained tokenizer. Classic
+    * byte-pair-encoding (Sennrich et al. 2016), trained the way a
+    * distributed pipeline must: ONE corpus pass builds the word-frequency
+    * table, then every merge round runs over that VOCABULARY-sized frame
+    * only — per round, adjacent-pair counts are one `zip_with`-explode +
+    * partial-agg shuffle, the winning pair is a single TakeOrdered row to
+    * the driver (count desc, then lexicographic — fully deterministic),
+    * and the segmentation update is a column expression. Driver state is
+    * O(numMerges); lineage is cut every 8 rounds (localCheckpoint) so a
+    * 32k-merge production run can't stack 32k plan layers.
+    *
+    * A new pair created by a merge can never out-count the pair just
+    * merged (each (x, ab) occurrence needs an (x, a, b) occurrence), so
+    * winning frequencies are NON-INCREASING — spec-pinned, and the reason
+    * greedy-by-count is well-defined. Returns (left, right, freq) in
+    * merge-rank order; training stops early when no adjacent pair occurs
+    * twice (freq 1 merges memorize the corpus, not a tokenizer).
+    */
+  def trainBpe(wordFreq: DataFrame, numMerges: Int): Seq[(String, String, Long)] = {
+    var seg = wordFreq.select(col("freq"), charSeg(col("word")).as("seg")).persist()
+    seg.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var rounds = 0
+    var exhausted = false
+    while (rounds < numMerges && !exhausted) {
+      val top = seg.filter(size(col("seg")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("seg"), lit(1), size(col("seg")) - 1),
+          slice(col("seg"), lit(2), size(col("seg")) - 1),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((l, r, c))
+        val next = seg.withColumn("seg", bpeMergeOnce(col("seg"), l, r)).persist()
+        next.count()
+        seg.unpersist()
+        seg = if ((rounds + 1) % 8 == 0) {
+          val cut = next.localCheckpoint(); next.unpersist(); cut
+        } else next
+        rounds += 1
+      }
+    }
+    seg.unpersist()
+    out.toSeq
+  }
+
+  /** Segment a vocabulary with a TRAINED merge table: the ranked merges
+    * fold into one vocabulary-sized plan (each a [[bpeMergeOnce]] layer —
+    * O(vocab · merges) work, never O(corpus)); scoring a corpus is then a
+    * token-keyed join against this frame. Returns (word, n_pieces).
+    */
+  def applyBpeSegments(
+      vocab: DataFrame, merges: Seq[(String, String, Long)]): DataFrame = {
+    val segged = merges.foldLeft(
+      vocab.select(col("word"), charSeg(col("word")).as("seg"))) {
+      case (df, (l, r, _)) => df.withColumn("seg", bpeMergeOnce(col("seg"), l, r))
+    }
+    segged.select(col("word"), size(col("seg")).as("n_pieces"))
+  }
+
+  /** x14 gate: train 24 merges on the EVEN docs' word table, then score
+    * EVERY document with the trained tokenizer — per doc, its character
+    * count alongside its trained-BPE piece count (segmentation computed
+    * once per DISTINCT word, the vocabulary discipline; the corpus only
+    * pays a token-keyed join). Deterministic integers, but the training
+    * loop has no single-query SQL form → rows-only + the differential
+    * spec (a from-scratch driver-side reference trainer must produce the
+    * IDENTICAL merge table).
+    */
+  def trainBpeGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = trainBpe(
+      corpusWordFreq(docs.filter(col("doc_id") % 2 === 0)), numMerges = 24)
+    val wc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val segLen = applyBpeSegments(wc.select(col("word")).distinct(), merges)
+    wc.join(segLen, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt") * length(col("word")).cast("long")).as("char_pieces"),
+        sum(col("cnt") * col("n_pieces").cast("long")).as("bpe_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic WEAK NEGATIVES for the x13 gate: every token reversed
     * character-wise — same length/shape statistics, disjoint token
     * identities (palindromes aside), so the hashed-feature space carries

@@ -787,6 +787,65 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("x14 BPE training matches a from-scratch reference trainer merge for merge") {
+    import org.apache.spark.sql.functions.col
+    // reference implementation: plain Scala greedy BPE over a word-freq
+    // map, same tie order (count desc, then lexicographic pair)
+    def refBpe(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+      def applyMerge(s: Vector[String], a: String, b: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+      var seg = words.toVector.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val acc = Vector.newBuilder[(String, String, Long)]
+      var done = false
+      var round = 0
+      while (round < n && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        seg.foreach { case (s, f) =>
+          s.iterator.zip(s.iterator.drop(1)).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + f
+          }
+        }
+        val eligible = counts.filter(_._2 >= 2)
+        if (eligible.isEmpty) done = true
+        else {
+          val ((l, r), c) = eligible.minBy { case ((l, r), c) => (-c, l, r) }
+          acc += ((l, r, c))
+          seg = seg.map { case (s, f) => (applyMerge(s, l, r), f) }
+          round += 1
+        }
+      }
+      acc.result()
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+    val wf = operators.TextAnalysis.corpusWordFreq(docs)
+    val distributed = operators.TextAnalysis.trainBpe(wf, numMerges = 16)
+    val reference = refBpe(
+      wf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, 16)
+    assert(distributed == reference, "distributed trainer == reference trainer")
+    // winning frequencies never increase (the well-definedness of greedy)
+    distributed.map(_._3).sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ => ()
+    }
+    // the trained segmentation compresses: piece count strictly below the
+    // character count, never below the single-token floor
+    val segs = operators.TextAnalysis.applyBpeSegments(
+      wf.select(col("word")), distributed).collect()
+    val chars = wf.collect().map(r => r.getString(0) -> r.getString(0).length).toMap
+    assert(segs.forall(r => r.getInt(1) >= 1 &&
+      r.getInt(1) <= chars(r.getString(0))))
+    assert(segs.exists(r => r.getInt(1) < chars(r.getString(0))),
+      "at least one word actually merged")
+  }
+
   test("repetitionStats is null (not an NPE) for <2-token docs under codegen") {
     // the kernel returns null for 0/1-token inputs; the expression's
     // codegen must set isNull instead of letting a downstream
