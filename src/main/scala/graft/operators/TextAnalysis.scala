@@ -429,22 +429,13 @@ object TextAnalysis {
     * twice (freq 1 merges memorize the corpus, not a tokenizer).
     */
   def trainBpe(wordFreq: DataFrame, numMerges: Int): Seq[(String, String, Long)] = {
-    var seg = wordFreq.select(col("freq"), charSeg(col("word")).as("seg")).persist()
+    var seg = bpeInitialSeg(wordFreq).persist()
     seg.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var rounds = 0
     var exhausted = false
     while (rounds < numMerges && !exhausted) {
-      val top = seg.filter(size(col("seg")) >= 2)
-        .select(col("freq"), explode(zip_with(
-          slice(col("seg"), lit(1), size(col("seg")) - 1),
-          slice(col("seg"), lit(2), size(col("seg")) - 1),
-          (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-        .filter(col("cnt") >= 2)
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
+      val top = bpeTopPair(seg).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -461,6 +452,29 @@ object TextAnalysis {
     seg.unpersist()
     out.toSeq
   }
+
+  /** One training round's winner: adjacent-pair counts over the
+    * vocabulary-sized segmentation frame (partial-agg shuffle), then the
+    * single argmax row — count desc, lexicographic tie order — via
+    * sort+limit(1), which Spark plans as TakeOrdered (per-partition top-1
+    * merged on the driver, never a global sort). Exposed for the plan
+    * audit; [[trainBpe]] collects exactly this one row per round.
+    */
+  private[graft] def bpeTopPair(seg: DataFrame): DataFrame =
+    seg.filter(size(col("seg")) >= 2)
+      .select(col("freq"), explode(zip_with(
+        slice(col("seg"), lit(1), size(col("seg")) - 1),
+        slice(col("seg"), lit(2), size(col("seg")) - 1),
+        (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+      .limit(1)
+
+  /** The initial (freq, seg) training frame for [[bpeTopPair]] audits. */
+  private[graft] def bpeInitialSeg(wordFreq: DataFrame): DataFrame =
+    wordFreq.select(col("freq"), charSeg(col("word")).as("seg"))
 
   /** Segment a vocabulary with a TRAINED merge table: the ranked merges
     * fold into one vocabulary-sized plan (each a [[bpeMergeOnce]] layer —

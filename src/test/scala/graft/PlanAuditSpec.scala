@@ -307,6 +307,86 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p3 ledger pins no broadcast hints; joins key on ids/bands/grams, never a block column") {
+    // every drop list (exact, near, contaminated) and the eval gram set is
+    // data-dependent — a hint would pin a driver-OOM plan at 100 TB
+    val ledger = operators.Pipeline.preprocessLedger(
+      graft.sources.Tables.documents(spark, dir))
+    val hints = ledger.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "p3 must leave every join strategy to AQE")
+    val joins = ledger.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(j.condition.isDefined, "no cartesian joins in the ledger plan")
+      val condRefs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name)
+      assert(!condRefs.exists(n => n == "source" || n == "text" || n == "scrubbed"),
+        s"p3: join keyed on a block/content column: $condRefs")
+    }
+  }
+
+  test("s14 bulk filtered query keys on cell and semi-joins the filter without a hint") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("plan_s14").toString
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    cat.createNamespace("vx")
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    operators.VectorIndex.build(cat, spark, e.filter(col("vec_id") >= 5),
+      "vx.centroids", "vx.postings", nlist = 8)
+    val q = operators.VectorIndex.query(cat, spark, e.filter(col("vec_id") < 5),
+      "vx.centroids", "vx.postings", k = 5, nprobe = 2, pruneScan = 0,
+      allowed = Some(e.filter(col("vec_id") % 2 === 1).select(col("vec_id"))))
+    val qe = q.queryExecution
+    val hints = qe.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      "bulk filtered path: batch and filter set are both data-dependent — no hints")
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.exists(
+      _.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi),
+      "the allowed set must attach as a semi-join")
+    joins.foreach { j =>
+      val condRefs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name)
+      assert(condRefs.forall(n => n.startsWith("cell") || n.startsWith("vec_id")),
+        s"s14: join keyed off the cell/id keys: $condRefs")
+    }
+    cat.dropTable("vx.centroids"); cat.dropTable("vx.postings")
+  }
+
+  test("r9 cumsum windows partition on the hash bucket — never a global total order") {
+    val q = Queries.all("r9_shard")(spark, dir).queryExecution
+    val windows = q.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "r9 must plan its prefix as windows")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
+      assert(parts.contains("bucket"),
+        s"shard cumsum window must partition on the hash bucket (got $parts) " +
+          "— an unpartitioned window is a one-reducer global order")
+    }
+  }
+
+  test("x14 BPE round plans TakeOrdered for the argmax, never a global sort") {
+    import org.apache.spark.sql.functions.col
+    val wf = operators.TextAnalysis.corpusWordFreq(
+      graft.sources.Tables.documents(spark, dir))
+    val round = operators.TextAnalysis.bpeTopPair(
+      operators.TextAnalysis.bpeInitialSeg(wf))
+    val p = round.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the per-round winner must be a top-1 merge, not a full sort of the pair table")
+    // pair counts partial-aggregate before the shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
   test("x1 tokenizes each document exactly once") {
     // langId's CaseWhen evaluates stopword scores per-branch, where codegen
     // subexpression elimination cannot hoist — so the token set must be
