@@ -205,6 +205,7 @@ object Queries {
     "s6_pq_codes" -> ((s: SparkSession, d: String) => Similarity.pqCodes(s, d)),
     "s9_opq_codes" -> ((s: SparkSession, d: String) => Similarity.opqPqCodes(s, d)),
     "d7_decontaminate" -> (Dedup.decontaminate _),
+    "d16_contamination_index" -> (ContaminationIndex.contaminationGateQuery _),
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "x6_scrub" -> (TextAnalysis.scrubQuery _),
     "x8_repetition" -> (TextAnalysis.repetitionQuery _),
@@ -811,6 +812,21 @@ object Queries {
          | CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS BIGINT)
          |   AS n_clean
          |FROM tok WHERE doc_id % 20 <> 0 GROUP BY source ORDER BY source""".stripMargin,
+    // d16 = d7's decision rule served from a TABLE: the oracle recomputes
+    // the whole lifecycle (suite-gram build + screen) from scratch
+    "d16_contamination_index" ->
+      s"""WITH $tokCte,
+         |sh AS (SELECT doc_id, source, CASE WHEN len(t) >= 8
+         |  THEN list_transform(range(1, len(t) - 6),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))
+         |  ELSE [array_to_string(t, ' ')] END AS gs FROM tok),
+         |g AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM sh),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+         |contam AS (SELECT DISTINCT doc_id FROM g
+         |  WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM bench))
+         |SELECT doc_id, source,
+         |  (doc_id IN (SELECT doc_id FROM contam)) AS contaminated
+         |FROM tok WHERE doc_id % 20 <> 0 ORDER BY doc_id""".stripMargin,
     "x6_scrub" -> {
       val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
       val url = """https?://[^\s]+"""

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.catalog.IceCatalog
+import graft.functions.TextFunctions._
+
+/** d16: the eval-suite n-gram index as a CATALOG TABLE — the incremental
+  * form of d7's batch decontamination. d7 re-shingles the benchmark suite
+  * on every run; at 100 TB with per-batch ingest that is an O(suite)
+  * recompute per batch AND leaves no governed artifact of WHAT the corpus
+  * was screened against. Here the suite's 8-word shingles are materialized
+  * once into a bucket-partitioned table (Iceberg murmur3 bucket transform
+  * on the gram string — reference ice partitioning semantics,
+  * ice/src/main/java/com/altinity/ice/cli/internal/iceberg/Partitioning.java),
+  * and each ingest batch screens against it with a partition-PRUNED
+  * semi-join:
+  *
+  *  - [[build]] REPLACES the stored grams (a new benchmark suite
+  *    supersedes — one atomic overwrite, time travel keeps the old suite);
+  *  - [[ingestSuite]] ACCRETES another benchmark's grams (only genuinely
+  *    new grams append — the existing-gram check is itself pruned to the
+  *    new grams' buckets);
+  *  - [[screen]] returns the batch's contaminated doc ids: the batch's
+  *    distinct gram-BUCKET set (≤ [[GramBuckets]] ints, the one bounded
+  *    collect) pushes a partition IN-filter, so a small batch reads only
+  *    the gram partitions it could possibly hit — the s11 probe-cell
+  *    discipline applied to decontamination. Screening joins on the gram
+  *    string only (never a doc attribute) and carries no broadcast hint:
+  *    an eval SUITE grows too, AQE decides.
+  *
+  * The screen's decision rule is EXACTLY d7's (any shared 8-gram
+  * contaminates; docs shorter than 8 tokens collapse to their whole-text
+  * shingle), so the gate's DuckDB oracle replays it strict.
+  */
+object ContaminationIndex {
+
+  val GramSchema: StructType = StructType(Seq(StructField("gram", StringType)))
+
+  /** Same fan-out as the d14/d15 pipeline tables. */
+  val GramBuckets = 32
+
+  def ensureTable(cat: graft.catalog.CatalogSurface, ident: String): Unit =
+    if (!cat.tableExists(ident)) cat.createTable(ident, GramSchema,
+      partitionSpec = Seq(IceCatalog.PartitionField(
+        "gram", s"bucket[$GramBuckets]", "gram_bucket")),
+      properties = graft.catalog.Maintenance.PipelineTableProps)
+
+  /** A doc frame's distinct 8-word shingles (the d7 gram rule). */
+  def gramsOf(docs: DataFrame): DataFrame =
+    docs.select(explode(array_distinct(shingles(tokens(col("text")), 8))).as("gram"))
+      .distinct()
+
+  /** REPLACE the stored suite with `evalDocs`' grams (atomic overwrite). */
+  def build(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      ident: String, evalDocs: DataFrame): Unit = {
+    ensureTable(cat, ident)
+    cat.overwriteGroup(Seq(ident -> gramsOf(evalDocs)))
+  }
+
+  /** ACCRETE another benchmark's grams: only grams not already stored
+    * append (duplicate grams would not change screening semantics — the
+    * join is a semi — but they'd grow the table per suite forever). The
+    * existing-gram check prunes to the NEW grams' buckets, and the append
+    * CASes on the snapshot the check read ([[graft.catalog.CatalogSurface
+    * .insertGroup]] basedOn) so a racing suite ingest re-runs instead of
+    * double-appending.
+    */
+  def ingestSuite(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      ident: String, evalDocs: DataFrame): Unit = {
+    ensureTable(cat, ident)
+    val pin = cat.loadMeta(ident).currentSnapshotId
+    val fresh = gramsOf(evalDocs)
+    val existing = prunedGramScan(cat, ident, fresh)
+    cat.insertGroup(
+      Seq(ident -> fresh.join(existing, Seq("gram"), "left_anti")),
+      basedOn = Map(ident -> pin))
+  }
+
+  /** The stored-gram scan restricted to the partitions `grams` can hit:
+    * the distinct bucket set is ≤ [[GramBuckets]] ints regardless of
+    * batch size (one bounded collect over the BATCH, never the suite).
+    */
+  private def prunedGramScan(
+      cat: graft.catalog.CatalogSurface, ident: String,
+      grams: DataFrame): DataFrame = {
+    val buckets = grams
+      .select(graft.functions.Transforms.bucketT(col("gram"), GramBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (buckets.length >= GramBuckets) cat.scan(ident).select(col("gram"))
+    else if (buckets.isEmpty) cat.scan(ident).select(col("gram")).limit(0)
+    else cat.scan(ident, Seq(IceCatalog.PartitionFilter(
+        "gram_bucket", IceCatalog.Op.Eq, buckets.map(_.toString).toSeq)),
+      None, None).select(col("gram"))
+  }
+
+  /** The batch's contaminated doc ids — the per-ingest screening call.
+    * Cost: O(batch) shingling + a semi-join against only the gram
+    * partitions the batch can hit.
+    */
+  def screen(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      ident: String, batch: DataFrame): DataFrame = {
+    val bg = batch.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), 8))).as("gram"))
+    bg.join(prunedGramScan(cat, ident, bg.select(col("gram"))),
+        Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** d16 gate: materialize the eval slice's grams as the suite table,
+    * screen the train docs against it, and report every train doc's flag.
+    * The decision rule is d7's, so the oracle recomputes the whole
+    * lifecycle (gram build + screen) from scratch in SQL — strict hash.
+    */
+  def contaminationGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_d16").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("pipe")
+    build(cat, spark, "pipe.evalgrams", docs.filter(col("doc_id") % 20 === 0))
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val flagged = screen(cat, spark, "pipe.evalgrams", train)
+      .withColumn("hit", lit(true))
+    val rows = train.select(col("doc_id"), col("source"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("hit"), lit(false)).as("contaminated"))
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Boolean)].collect().toSeq
+    try cat.dropTable("pipe.evalgrams") catch { case _: Exception => () }
+    rows.toDF("doc_id", "source", "contaminated").orderBy(col("doc_id"))
+  }
+}

@@ -245,6 +245,56 @@ object Streams {
       .start()
   }
 
+  /** e9: STREAMED decontamination — each micro-batch screens against the
+    * d16 contamination-index TABLE ([[graft.operators.ContaminationIndex
+    * .screen]]: the batch's gram-bucket set pushes a partition IN-filter,
+    * so per-epoch I/O is O(touched gram partitions), never the suite) and
+    * only clean docs reach the governed out table. The merge is keyed on
+    * doc_id (merge-on-read upsert), so a checkpoint REPLAY of an epoch
+    * publishes nothing new — exactly-once end to end, the
+    * [[watchAndSemanticScreen]] contract with the reference corpus
+    * swapped for the benchmark suite. A mid-stream suite REBUILD
+    * ([[graft.operators.ContaminationIndex.build]] replace) is picked up
+    * atomically at the next epoch: each epoch's screen reads the gram
+    * table's then-current snapshot.
+    */
+  def watchAndDecontaminate(
+      spark: SparkSession,
+      cat: graft.catalog.CatalogSurface,
+      gramsIdent: String, outIdent: String,
+      watchDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val schema = cat.loadMeta(outIdent).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(watchDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        watchInstrumented(outIdent, epoch, batch) {
+          // persisted: the metrics count and the merge are two consumers
+          // of the same screen anti-join subtree
+          val survivors = batch.join(
+            graft.operators.ContaminationIndex.screen(
+              cat, spark, gramsIdent, batch),
+            Seq("doc_id"), "left_anti").persist()
+          try {
+            val kept = survivors.count()
+            cat.upsertMergeOnRead(outIdent, survivors, Seq("doc_id"))
+            Metrics.incLabeled("graft_stream_decontam_dropped_total",
+              Seq("table" -> outIdent), batch.count() - kept)
+            Metrics.incLabeled("graft_watch_rows_ingested_total",
+              Seq("table" -> outIdent), kept)
+          } finally { survivors.unpersist(); () }
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Event-DRIVEN continuous no-copy ingestion (reference
     * InsertWatch.java:101-180: `--watch`'s real input is an SQS event
     * QUEUE of S3 object-created notifications — the watcher consumes

@@ -208,6 +208,27 @@ object ScaleBench {
           try { cat.dropTable("vx.centroids"); cat.dropTable("vx.postings") }
           catch { case _: Exception => () }
           t
+        }),
+      ("s14_filtered_fixed_batch", "~sqrt(n) filtered serve at fixed batch (cell-pruned scan + allowed semi-join; widening only fires under selective filters)",
+        dir => {
+          import org.apache.spark.sql.functions._
+          val e = graft.sources.Tables.embeddings(spark, dir)
+          val root = java.nio.file.Files.createTempDirectory("graft-scale-s14").toString
+          val cat = new graft.catalog.IceCatalog(spark, root)
+          cat.createNamespace("vx")
+          graft.operators.VectorIndex.build(cat, spark,
+            e.filter(col("vec_id") >= 5), "vx.centroids", "vx.postings")
+          val allowed = e.filter(col("vec_id") % 2 === 1).select(col("vec_id"))
+          def run(): Unit =
+            graft.operators.VectorIndex.queryFilteredServe(cat, spark,
+              e.filter(col("vec_id") < 5), "vx.centroids", "vx.postings",
+              allowed, k = 10, nprobe = 4)
+              .write.format("noop").mode("overwrite").save()
+          run() // warm
+          val t = math.min(timeOf(run()), timeOf(run()))
+          try { cat.dropTable("vx.centroids"); cat.dropTable("vx.postings") }
+          catch { case _: Exception => () }
+          t
         })
     ).foreach { case (op, expected, f) =>
       val a = f(baseDir)

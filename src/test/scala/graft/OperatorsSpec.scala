@@ -846,6 +846,62 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "at least one word actually merged")
   }
 
+  test("d16 contamination index: pruned screen, suite accretion, replace semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("d16spec").toString
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    cat.createNamespace("pipe")
+    val suiteA = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 20 === 0)
+    ContaminationIndex.build(cat, spark, "pipe.grams", suiteA)
+
+    // a ONE-gram batch (7 tokens < 8 → single whole-text shingle) reads
+    // only its gram's bucket partition, not the whole suite table
+    val totalFiles = cat.scan("pipe.grams").inputFiles.length
+    assert(totalFiles > 1, s"suite grams should span partitions ($totalFiles)")
+    val aText = suiteA.select(col("text")).head().getString(0)
+    val tiny = Seq((900001L, aText.split("\\s+").take(7).mkString(" ")))
+      .toDF("doc_id", "text")
+    val decided = ContaminationIndex.screen(cat, spark, "pipe.grams", tiny)
+    val scanned = decided.inputFiles.count(_.contains("grams"))
+    assert(scanned <= 2 && scanned < totalFiles,
+      s"one-gram screen must prune to its bucket ($scanned of $totalFiles files)")
+
+    // screening semantics: a doc carrying a full suite-A 8-gram flags; a
+    // disjoint doc does not
+    val evalTok = aText.split("\\s+")
+    val poisoned = Seq(
+      (900002L, "zq xq yq " + evalTok.take(8).mkString(" ") + " wq vq"),
+      (900003L, "totally disjoint nonce tokens qwa qwb qwc qwd qwe qwf"))
+      .toDF("doc_id", "text")
+    val hits = ContaminationIndex.screen(cat, spark, "pipe.grams", poisoned)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(900002L), s"got $hits")
+
+    // suite ACCRETION: ingest a second benchmark; both suites now flag,
+    // and re-ingesting suite B appends nothing (anti-join idempotency)
+    val suiteB = Seq((800001L, "benchmark beta holdout phrase alpha omega kappa sigma tau"))
+      .toDF("doc_id", "text")
+    ContaminationIndex.ingestSuite(cat, spark, "pipe.grams", suiteB)
+    val afterB = cat.countRows("pipe.grams")
+    ContaminationIndex.ingestSuite(cat, spark, "pipe.grams", suiteB)
+    assert(cat.countRows("pipe.grams") == afterB, "re-ingest appends nothing")
+    val bProbe = Seq((900004L,
+      "prefix benchmark beta holdout phrase alpha omega kappa sigma tau suffix"))
+      .toDF("doc_id", "text")
+    assert(ContaminationIndex.screen(cat, spark, "pipe.grams", bProbe)
+      .count() == 1, "accreted suite flags")
+
+    // REPLACE semantics: build with only suite B → suite-A grams stop
+    // flagging, suite-B grams still do
+    ContaminationIndex.build(cat, spark, "pipe.grams", suiteB)
+    assert(ContaminationIndex.screen(cat, spark, "pipe.grams", poisoned).count() == 0,
+      "replaced suite must not flag the old suite's grams")
+    assert(ContaminationIndex.screen(cat, spark, "pipe.grams", bProbe).count() == 1)
+    cat.dropTable("pipe.grams")
+  }
+
   test("repetitionStats is null (not an NPE) for <2-token docs under codegen") {
     // the kernel returns null for 0/1-token inputs; the expression's
     // codegen must set isNull instead of letting a downstream

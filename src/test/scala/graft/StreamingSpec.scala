@@ -613,6 +613,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(screened() == Set(101L, 102L, 201L))
   }
 
+  test("streaming decontamination screens against the gram TABLE; a suite rebuild is picked up atomically") {
+    import spark.implicits._
+    import graft.operators.ContaminationIndex
+    val root = Files.createTempDirectory("dscreen").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("dc")
+    ContaminationIndex.build(cat, spark, "dc.grams",
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"))
+    cat.createTable("dc.out", Seq((0L, "x")).toDF("doc_id", "text").schema)
+    val watch = Files.createTempDirectory("dcwatch")
+    val ckpt = Files.createTempDirectory("dcckpt").toString
+    def spool(rows: Seq[(Long, String)], name: String): Unit = {
+      val stage = java.nio.file.Paths.get(root, s"stage_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage.toString)
+      val it = java.nio.file.Files.list(stage).iterator()
+      var part: java.nio.file.Path = null
+      while (it.hasNext) { val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) part = p }
+      java.nio.file.Files.move(part, watch.resolve(s"$name.parquet"))
+    }
+    def out(): Set[Long] =
+      cat.scan("dc.out").select("doc_id").collect().map(_.getLong(0)).toSet
+    def run(): Unit = Streams.watchAndDecontaminate(spark, cat,
+      "dc.grams", "dc.out", watch.toString, ckpt).awaitTermination()
+
+    // epoch 0: a doc carrying a full suite-A 8-gram (drop) + a clean doc
+    spool(Seq(
+      (100L, "pre alpha beta gamma delta epsilon zeta eta theta post"),
+      (101L, "clean words entirely disjoint tokens qqa qqb qqc qqd qqe")), "b0")
+    run()
+    assert(out() == Set(101L), s"contaminated doc must drop: ${out()}")
+
+    // suite REBUILD mid-stream: benchmark B atomically replaces A
+    ContaminationIndex.build(cat, spark, "dc.grams",
+      Seq((2L, "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+        .toDF("doc_id", "text"))
+    // epoch 1: the A-gram text is clean under suite B; a B-gram doc drops
+    spool(Seq(
+      (200L, "pre alpha beta gamma delta epsilon zeta eta theta post"),
+      (201L, "x lambda mu nu xi omicron pi rho sigma tau y")), "b1")
+    run()
+    assert(out() == Set(101L, 200L),
+      s"the new suite must govern epoch 1: ${out()}")
+
+    // restart with no new files: replay publishes nothing
+    run()
+    assert(out() == Set(101L, 200L))
+  }
+
   test("streaming vector ingest appends CAS'd postings; a deleted checkpoint replays as a no-op") {
     import spark.implicits._
     import graft.operators.VectorIndex
