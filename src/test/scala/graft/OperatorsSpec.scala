@@ -902,6 +902,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable("pipe.grams")
   }
 
+  test("d16 lifecycle runs against a REMOTE catalog (wire replace + accrete + screen)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val remoteRoot = java.nio.file.Files.createTempDirectory("d16-remote").toString
+    val served = new graft.catalog.RestServer.Server(
+      new graft.catalog.IceCatalog(spark, remoteRoot),
+      tokens = Seq(graft.catalog.RestServer.Token("dtok", "admin"))).start()
+    try {
+      val remote = new graft.catalog.RestCatalogClient(spark, served.url, Some("dtok"))
+      remote.createNamespace("pipe")
+      val suiteA = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text")
+      ContaminationIndex.build(remote, spark, "pipe.grams", suiteA)
+      val probes = Seq(
+        (10L, "pre alpha beta gamma delta epsilon zeta eta theta post"),
+        (11L, "clean words entirely disjoint tokens qqa qqb qqc qqd qqe"))
+        .toDF("doc_id", "text")
+      def hits() = ContaminationIndex.screen(remote, spark, "pipe.grams", probes)
+        .collect().map(_.getLong(0)).toSet
+      assert(hits() == Set(10L), s"wire screen: ${hits()}")
+      // accretion over the wire is CAS'd; re-ingest appends nothing
+      val suiteB = Seq((2L, "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+        .toDF("doc_id", "text")
+      ContaminationIndex.ingestSuite(remote, spark, "pipe.grams", suiteB)
+      val n = remote.countRows("pipe.grams")
+      ContaminationIndex.ingestSuite(remote, spark, "pipe.grams", suiteB)
+      assert(remote.countRows("pipe.grams") == n)
+      // wire replace supersedes: only suite B flags afterwards
+      ContaminationIndex.build(remote, spark, "pipe.grams", suiteB)
+      assert(hits().isEmpty, "replaced suite must not flag suite-A grams")
+      assert(ContaminationIndex.screen(remote, spark, "pipe.grams",
+        Seq((12L, "x lambda mu nu xi omicron pi rho sigma tau y"))
+          .toDF("doc_id", "text")).count() == 1)
+    } finally served.stop()
+  }
+
   test("repetitionStats is null (not an NPE) for <2-token docs under codegen") {
     // the kernel returns null for 0/1-token inputs; the expression's
     // codegen must set isNull instead of letting a downstream
