@@ -233,6 +233,7 @@ object Queries {
     "d15_cluster_maintain" -> (IncrementalClusters.clustersGateQuery _),
     "p2_lakehouse_pipeline" -> (Pipeline.lakehouseGateQuery _),
     "p3_preprocess" -> (Pipeline.preprocessGateQuery _),
+    "p4_release" -> (Pipeline.releaseGateQuery _),
     "d12_dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
     "m1_binary_meta" -> (Multimodal.binaryMeta _),
     "m2_feature_stub" -> (Multimodal.featureQuery _),
@@ -1096,19 +1097,70 @@ object Queries {
          | CAST(sum(CAST(ws_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
          | min(doc_id) AS first_doc
          |FROM cleaned GROUP BY source ORDER BY source""".stripMargin,
-    "p3_preprocess" -> {
-      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-      val url = """https?://[^\s]+"""
-      val num = """\b[0-9]{6,}\b"""
-      // 8-word shingle list of a token-list expression (the d7 oracle's
-      // CASE, parameterized over the token column name)
-      def gram8(t: String) =
-        s"""CASE WHEN len($t) >= 8
-           |  THEN list_transform(range(1, len($t) - 6),
-           |    i -> concat_ws(' ', $t[i], $t[i+1], $t[i+2], $t[i+3],
-           |                        $t[i+4], $t[i+5], $t[i+6], $t[i+7]))
-           |  ELSE [array_to_string($t, ' ')] END""".stripMargin
-      s"""WITH scr AS (
+    "p3_preprocess" ->
+      s"""WITH $p3ChainCtes
+         |SELECT b.doc_id, b.source, $p3DecisionCase AS decision,
+         |  b.scrub_fp
+         |FROM base b ORDER BY b.doc_id""".stripMargin,
+    // p4 = p3's chain + the release tail: scrub-fp hash split over the
+    // kept survivors, then the straight-cumsum token sharding of the
+    // train split (the r9 form at 4 shards, keyed on the scrubbed hash)
+    "p4_release" ->
+      s"""WITH $p3ChainCtes,
+         |ledger AS (SELECT b.doc_id, b.scrubbed, b.scrub_fp,
+         |  $p3DecisionCase AS decision FROM base b),
+         |keptrel AS (SELECT doc_id, scrubbed, scrub_fp,
+         |  CASE substr(scrub_fp, 1, 1) WHEN '0' THEN 'val'
+         |       WHEN '1' THEN 'test' ELSE 'train' END AS split,
+         |  CAST(len(regexp_extract_all(scrubbed, '\\S+')) AS BIGINT) AS n_tokens
+         |  FROM ledger WHERE decision = 'kept'),
+         |tr AS (SELECT doc_id, n_tokens, md5(scrubbed) AS h
+         |  FROM keptrel WHERE split = 'train'),
+         |tt AS (SELECT sum(n_tokens) AS total FROM tr),
+         |cc AS (SELECT doc_id, n_tokens,
+         |  sum(n_tokens) OVER (ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS global_pos
+         |  FROM tr)
+         |SELECT k.doc_id, k.split, k.n_tokens,
+         |  CAST(CASE WHEN cc.doc_id IS NOT NULL
+         |    THEN least(3, ((cc.cum - cc.n_tokens) * 4) // tt.total) END AS INT) AS shard,
+         |  cc.global_pos
+         |FROM keptrel k LEFT JOIN cc ON k.doc_id = cc.doc_id CROSS JOIN tt
+         |ORDER BY k.doc_id""".stripMargin
+  )
+
+  /** 8-word shingle list of a token-list expression (the d7 oracle's
+    * CASE, parameterized over the token column name).
+    */
+  private def gram8(t: String) =
+    s"""CASE WHEN len($t) >= 8
+       |  THEN list_transform(range(1, len($t) - 6),
+       |    i -> concat_ws(' ', $t[i], $t[i+1], $t[i+2], $t[i+3],
+       |                        $t[i+4], $t[i+5], $t[i+6], $t[i+7]))
+       |  ELSE [array_to_string($t, ' ')] END""".stripMargin
+
+  /** The p3 decision CASE over the chain's CTEs (`b` = base). (def, not
+    * val: referenced from map initializers declared above this point.)
+    */
+  private def p3DecisionCase =
+    """CASE WHEN b.doc_id % 20 = 0 THEN 'eval'
+      |       WHEN NOT b.q_ok THEN 'quality'
+      |       WHEN b.doc_id IN (SELECT doc_id FROM ek WHERE doc_id <> keeper)
+      |         THEN 'exact_dup'
+      |       WHEN b.doc_id IN (SELECT doc_id FROM near_drop) THEN 'near_dup'
+      |       WHEN b.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+      |       ELSE 'kept' END""".stripMargin
+
+  /** The shared p3 curation chain (scrub → quality → exact keepers →
+    * scrubbed-text LSH + Jaccard near-drop → raw-eval-vs-scrubbed-train
+    * gram contamination), reused verbatim by the p4 release oracle.
+    */
+  private def p3ChainCtes: String = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val url = """https?://[^\s]+"""
+    val num = """\b[0-9]{6,}\b"""
+    s"""scr AS (
          |  SELECT doc_id, source, text,
          |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
          |      text, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
@@ -1161,19 +1213,8 @@ object Queries {
          |        FROM base WHERE doc_id % 20 = 0)),
          |tg AS (SELECT doc_id, unnest(list_distinct(${gram8("t")})) AS g
          |  FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
-         |contam AS (SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM eg))
-         |SELECT b.doc_id, b.source,
-         |  CASE WHEN b.doc_id % 20 = 0 THEN 'eval'
-         |       WHEN NOT b.q_ok THEN 'quality'
-         |       WHEN b.doc_id IN (SELECT doc_id FROM ek WHERE doc_id <> keeper)
-         |         THEN 'exact_dup'
-         |       WHEN b.doc_id IN (SELECT doc_id FROM near_drop) THEN 'near_dup'
-         |       WHEN b.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
-         |       ELSE 'kept' END AS decision,
-         |  b.scrub_fp
-         |FROM base b ORDER BY b.doc_id""".stripMargin
-    }
-  )
+         |contam AS (SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM eg))""".stripMargin
+  }
 
   val tableMeta: Map[String, Q] = Map(
     "t1_partition_values" -> (TableMeta.partitionValues _),

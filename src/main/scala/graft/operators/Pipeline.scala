@@ -163,6 +163,55 @@ object Pipeline {
     rows.toDF("doc_id", "source", "decision", "scrub_fp").orderBy(col("doc_id"))
   }
 
+  /** p4: the training-data RELEASE manifest — what actually ships after
+    * curation: the p3 ledger's kept survivors, split leakage-safe on the
+    * SCRUBBED fingerprint (the released text IS the scrubbed text, so
+    * the r6 guard keys on what ships — '0' nibble → val, '1' → test,
+    * else train), and the train split cut into token-balanced shards in
+    * r9's deterministic hash order. One row per released doc:
+    * (doc_id, split, n_tokens of the released text, shard + global_pos —
+    * NULL off-train). Fully deterministic → strict DuckDB gate: the
+    * oracle replays ledger + split + straight-cumsum sharding in one CTE
+    * chain.
+    *
+    * Scale shape: p3's (the expensive part); the release tail adds one
+    * scrub-keyed hash split (map-only) and r9's bucket-parallel cumsum
+    * over the train split (no global total order).
+    */
+  def releaseManifest(docs: DataFrame, shards: Int = 4): DataFrame = {
+    val kept = preprocessLedger(docs)
+      .filter(col("decision") === "kept")
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.scrubbedText(col("text")).as("scrubbed")), Seq("doc_id"))
+      .select(col("doc_id"),
+        when(substring(col("scrub_fp"), 1, 1) === "0", "val")
+          .when(substring(col("scrub_fp"), 1, 1) === "1", "test")
+          .otherwise("train").as("split"),
+        wsTokenCount(col("scrubbed")).cast("long").as("n_tokens"),
+        md5(col("scrubbed")).as("h"))
+    val sharded = Sampling.shardAssignOn(
+      kept.filter(col("split") === "train")
+        .select(col("doc_id"), col("n_tokens"), col("h")),
+      shards)
+    kept
+      .join(sharded.select(col("doc_id"), col("shard"), col("global_pos")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("n_tokens"),
+        col("shard"), col("global_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** p4 gate: the manifest materialized once (p3's gate discipline). */
+  def releaseGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = releaseManifest(Tables.documents(spark, dir)).persist()
+    val rows = out.as[(Long, String, Long, Option[Int], Option[Long])]
+      .collect().toSeq
+    out.unpersist()
+    rows.toDF("doc_id", "split", "n_tokens", "shard", "global_pos")
+      .orderBy(col("doc_id"))
+  }
+
   /** p2's trait-typed core — the LAKEHOUSE composition of the pipeline's
     * parts against ONE catalog (local or behind the REST wire, the same
     * code): d14 ingest of `batch` (probe-verify-atomic-commit against the

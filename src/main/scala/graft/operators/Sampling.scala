@@ -313,13 +313,28 @@ object Sampling {
     * Shard math is integer (`div`, never a double) so offsets past 2^53
     * tokens stay exact at 100 TB.
     */
-  def shardAssign(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+  def shardAssign(spark: SparkSession, dir: String, shards: Int = 8): DataFrame =
+    shardAssignOn(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.wsTokenCount(col("text")).as("n_tokens"),
+          md5(col("text")).as("h")),
+      shards)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("shard"), col("global_pos"))
+      .orderBy(col("doc_id"))
+
+  /** [[shardAssign]]'s core on an arbitrary frame — the form a pipeline
+    * composes (p4 shards the RELEASED train split, keyed on the scrubbed
+    * hash). `input` carries (doc_id, n_tokens, h) plus any passthrough
+    * columns; returns them with n_tokens normalized to long plus
+    * (shard, global_pos).
+    */
+  def shardAssignOn(input: DataFrame, shards: Int): DataFrame = {
+    val spark = input.sparkSession
     import spark.implicits._
     require(shards >= 1, "r9: shard count must be >= 1")
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        graft.functions.TextFunctions.wsTokenCount(col("text")).as("n_tokens"),
-        md5(col("text")).as("h"))
+    val docs = input
       .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
     val sub = docs.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bt"), count(lit(1)).as("bc"))
@@ -341,10 +356,8 @@ object Sampling {
       .withColumn("shard",
         least(lit((shards - 1).toLong),
           expr(s"(start * $shards) div $total")).cast("int"))
-      .select(col("doc_id"), col("source"),
-        col("n_tokens").cast("long").as("n_tokens"),
-        col("shard"),
-        (col("cnt_base") + col("rib")).as("global_pos"))
-      .orderBy(col("doc_id"))
+      .withColumn("global_pos", col("cnt_base") + col("rib"))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .drop("bucket", "cib", "rib", "tok_base", "cnt_base", "start", "h")
   }
 }

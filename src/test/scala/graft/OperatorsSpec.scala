@@ -938,6 +938,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally served.stop()
   }
 
+  test("p4 release manifest: exactly the kept survivors, leakage-safe splits, balanced train shards") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val kept = operators.Pipeline.preprocessLedger(docs)
+      .filter(col("decision") === "kept").collect().map(_.getLong(0)).toSet
+    val man = operators.Pipeline.releaseManifest(docs, shards = 4).collect()
+    assert(man.map(_.getLong(0)).toSet == kept,
+      "the manifest covers exactly the ledger's kept docs")
+    man.foreach { r =>
+      val train = r.getString(1) == "train"
+      assert(Set("train", "val", "test")(r.getString(1)))
+      assert(train != r.isNullAt(3), "shard iff train")
+      assert(train != r.isNullAt(4), "global_pos iff train")
+    }
+    // shard token masses within one max-document of the ideal quarter
+    val tr = man.filter(_.getString(1) == "train")
+    if (tr.nonEmpty) {
+      val total = tr.map(_.getLong(2)).sum
+      val maxDoc = tr.map(_.getLong(2)).max
+      tr.groupBy(_.getInt(3)).values.map(_.map(_.getLong(2)).sum)
+        .foreach(s => assert(s <= total / 4 + maxDoc))
+    }
+  }
+
   test("repetitionStats is null (not an NPE) for <2-token docs under codegen") {
     // the kernel returns null for 0/1-token inputs; the expression's
     // codegen must set isNull instead of letting a downstream
