@@ -219,6 +219,7 @@ object Queries {
     "r7_split_safe" -> ((s: SparkSession, d: String) => Sampling.splitDocumentsNearDupSafe(s, d)),
     "r8_token_budget" -> ((s: SparkSession, d: String) => Sampling.tokenBudgetMix(s, d)),
     "r9_shard" -> ((s: SparkSession, d: String) => Sampling.shardAssign(s, d)),
+    "r10_temperature_mix" -> ((s: SparkSession, d: String) => Sampling.temperatureMix(s, d)),
     "x12_code_score" -> (TextAnalysis.codeScoreQuery _),
     "x9_classifier" -> (TextAnalysis.classifierQuery _),
     "x13_train_classifier" -> (TextAnalysis.trainClassifierGateQuery _),
@@ -897,6 +898,26 @@ object Queries {
         |SELECT c.doc_id, c.source, c.n_tokens,
         | CAST(c.cum_tokens AS BIGINT) AS cum_tokens
         |FROM c, tw WHERE c.cum_tokens <= (9200 * c.w) // tw.tot
+        |ORDER BY c.doc_id""".stripMargin,
+    // integerized τ=2 weights (round(sqrt(tokens))) make every share an
+    // exact integer div on both engines — no float boundary can flip a
+    // doc between Spark and the oracle
+    "r10_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  md5(text) AS h FROM documents),
+        |w AS (SELECT source,
+        |  CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM d GROUP BY 1),
+        |tw AS (SELECT sum(w) AS tot FROM w),
+        |sh AS (SELECT source, (9200 * w) // tot AS share FROM w CROSS JOIN tw),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT c.doc_id, c.source, c.n_tokens,
+        | CAST(c.cum AS BIGINT) AS cum_tokens, s.share
+        |FROM c JOIN sh s USING (source) WHERE c.cum <= s.share
         |ORDER BY c.doc_id""".stripMargin,
     // the straight single-window cumsum form — the Spark side computes the
     // SAME prefix 256-way bucket-parallel; the hash match is the equality

@@ -313,6 +313,63 @@ object Sampling {
     * Shard math is integer (`div`, never a double) so offsets past 2^53
     * tokens stay exact at 100 TB.
     */
+  /** r10: temperature-scaled source mixing — the T5/PaLM sampling rule
+    * (rates ∝ size^(1/τ), here τ=2): a huge crawl source stops drowning
+    * the mix, small high-quality sources up-weight, and the budget fills
+    * deterministically in content-hash order (the r8 machinery with the
+    * weights DERIVED from the data instead of caller-supplied). Weights
+    * are INTEGERIZED (w_s = round(sqrt(tokens_s))) so every share is an
+    * exact integer `div` on both engines — no float boundary can flip a
+    * doc in or out of the mix between Spark and the oracle; budget·w must
+    * fit int64, which holds through trillion-token budgets at τ=2.
+    *
+    * Output per selected doc: (doc_id, source, n_tokens, cum_tokens,
+    * share) — cum_tokens ≤ share is the selection rule, witnessed in the
+    * row. Scale shape: one partial-agg pass for per-source totals (the
+    * bounded collect — |sources| rows), then r8's per-(source, bucket)
+    * windows; no per-source total order.
+    */
+  def temperatureMix(
+      spark: SparkSession, dir: String, budget: Long = 9200L): DataFrame = {
+    import spark.implicits._
+    require(budget >= 0, "r10: budget must be >= 0")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.wsTokenCount(col("text"))
+          .cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    // bounded collect: per-(source, bucket) token subtotals serve BOTH the
+    // integerized weights (per-source sums) and the cumsum base offsets
+    val sub = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val srcTokens = sub.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val weights = srcTokens.map { case (s, t) =>
+      s -> math.round(math.sqrt(t.toDouble)) }
+    val totW = weights.values.sum
+    val shares = weights.map { case (s, w) =>
+      (s, if (totW == 0) 0L else budget * w / totW) }.toSeq
+      .toDF("source", "share")
+    val bases = sub.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var running = 0L
+      rows.sortBy(_._2).map { case (_, b, bt) =>
+        val base = running; running += bt; (src, b, base)
+      }
+    }.toDF("source", "bucket", "base")
+    val win = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("cib", sum(col("n_tokens")).over(win))
+      .join(bases, Seq("source", "bucket"))
+      .join(shares, Seq("source"))
+      .withColumn("cum_tokens", col("base") + col("cib"))
+      .filter(col("cum_tokens") <= col("share"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("share"))
+      .orderBy(col("doc_id"))
+  }
+
   def shardAssign(spark: SparkSession, dir: String, shards: Int = 8): DataFrame =
     shardAssignOn(
       Tables.documents(spark, dir)

@@ -962,6 +962,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("r10 temperature mix flattens the source distribution within the budget") {
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    val out = operators.Sampling.temperatureMix(spark, dir, budget = 2000L).collect()
+    assert(out.nonEmpty)
+    // the selection rule is witnessed in-row, and each source stays
+    // within its integer share
+    out.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+    out.groupBy(_.getString(1)).values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sum <= rs.head.getLong(4))
+    }
+    // τ=2 property: relative to proportional sampling, the LARGEST
+    // source's share fraction sits below its token fraction and the
+    // smallest source's above — the whole point of temperature mixing
+    val tok = graft.sources.Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(ssum(graft.functions.TextFunctions.wsTokenCount(col("text"))
+        .cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = tok.values.sum.toDouble
+    val share = out.groupBy(_.getString(1)).view
+      .mapValues(_.head.getLong(4)).toMap
+    val budgetUsed = 2000.0
+    val big = tok.maxBy(_._2)._1
+    val small = tok.minBy(_._2)._1
+    assert(share(big) / budgetUsed < tok(big) / total,
+      s"largest source must be down-weighted: ${share(big)} vs ${tok(big)}")
+    assert(share(small) / budgetUsed > tok(small) / total,
+      s"smallest source must be up-weighted: ${share(small)} vs ${tok(small)}")
+    // deterministic
+    val again = operators.Sampling.temperatureMix(spark, dir, budget = 2000L).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("repetitionStats is null (not an NPE) for <2-token docs under codegen") {
     // the kernel returns null for 0/1-token inputs; the expression's
     // codegen must set isNull instead of letting a downstream

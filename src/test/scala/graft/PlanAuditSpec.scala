@@ -290,20 +290,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("__salt"), "stage 1 must group by the salt column")
   }
 
-  test("r8 cumsum windows partition on (source, bucket) — never a per-source total order") {
+  test("r8/r10 cumsum windows partition on (source, bucket) — never a per-source total order") {
     // the budget's running total must be the bucket-parallel decomposition:
     // every Window in the plan partitions on BOTH source and bucket, so no
     // single reducer ever sees a whole source's rows
-    val q = Queries.all("r8_token_budget")(spark, dir).queryExecution
-    val windows = q.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-    }
-    assert(windows.nonEmpty, "r8 must plan its cumsum as a window")
-    windows.foreach { w =>
-      val parts = w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
-      assert(parts.contains("bucket"),
-        s"cumsum window must include the hash bucket in its partitioning " +
-          s"(got $parts) — source-only partitioning is a per-source total order")
+    for (name <- Seq("r8_token_budget", "r10_temperature_mix")) {
+      val q = Queries.all(name)(spark, dir).queryExecution
+      val windows = q.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty, s"$name must plan its cumsum as a window")
+      windows.foreach { w =>
+        val parts = w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
+        assert(parts.contains("bucket"),
+          s"$name cumsum window must include the hash bucket in its " +
+            s"partitioning (got $parts) — source-only partitioning is a " +
+            "per-source total order")
+      }
     }
   }
 
