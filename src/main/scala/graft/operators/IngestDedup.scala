@@ -405,6 +405,40 @@ object IngestDedup {
     * Collected before the scratch catalog is dropped — the report plan
     * reads the pre-ingest snapshots.
     */
+  /** CURATED ingest: the d16 contamination screen composed AHEAD of the
+    * dedup pipeline — the batch twin of the e9 stream. Contaminated docs
+    * never reach ANY pipeline table (docs/index/clusters — an eval-tainted
+    * doc must not even influence dedup decisions or cluster labels); the
+    * clean half runs the normal [[ingest]] (one atomic group, same CAS
+    * and replay semantics — the screen itself is read-only so atomicity
+    * is untouched). The report covers EVERY batch doc:
+    * (doc_id, is_dup, dup_of, is_contaminated). PERSISTED like
+    * [[ingest]]'s report; callers unpersist once consumed.
+    */
+  def ingestCurated(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      docsIdent: String, indexIdent: String, gramsIdent: String,
+      batch: DataFrame, threshold: Double = 0.6,
+      clusters: Option[(String, String)] = None): DataFrame = {
+    val contamIds = ContaminationIndex.screen(cat, spark, gramsIdent, batch)
+      .persist()
+    try {
+      val clean = batch.join(contamIds, Seq("doc_id"), "left_anti")
+      val report = ingest(cat, spark, docsIdent, indexIdent, clean,
+        threshold, clusters)
+      val out = report.withColumn("is_contaminated", lit(false))
+        .unionByName(contamIds
+          .select(col("doc_id"), lit(false).as("is_dup"),
+            lit(null).cast("long").as("dup_of"),
+            lit(true).as("is_contaminated")))
+        .orderBy(col("doc_id"))
+        .persist()
+      out.count()
+      report.unpersist()
+      out
+    } finally { contamIds.unpersist(); () }
+  }
+
   def ingestGateQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)

@@ -264,6 +264,44 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.scan("pipe.docs").filter(col("doc_id").isin(7000L, 7001L)).count() == 2)
   }
 
+  test("curated ingest: contaminated docs never reach any pipeline table; clean half dedups normally") {
+    import spark.implicits._
+    val croot = Files.createTempDirectory("ingestcur").toString
+    val ccat = new IceCatalog(spark, croot)
+    ccat.createNamespace("pipe")
+    val evalText = "omega psi chi phi upsilon tau sigma rho pi omicron"
+    graft.operators.ContaminationIndex.build(ccat, spark, "pipe.grams",
+      Seq((1L, evalText)).toDF("doc_id", "text"))
+    val base = docsOf(0 until 10).select(col("doc_id"), col("text"))
+    IngestDedup.ensureTables(ccat, "pipe.docs", "pipe.index", base.schema)
+    IngestDedup.ingest(ccat, spark, "pipe.docs", "pipe.index", base).unpersist()
+    // batch: a contaminated doc (full eval 8-gram), an exact near-dup of a
+    // stored doc (id 3's text), and a genuinely new doc
+    val storedText = base.filter(col("doc_id") === 3L)
+      .select(col("text")).head().getString(0)
+    val batch = Seq(
+      (500L, s"lead-in $evalText trail-out extra words here"),
+      (501L, storedText),
+      (502L, "an entirely fresh document with its own unique words qva qvb"))
+      .toDF("doc_id", "text")
+    val report = IngestDedup.ingestCurated(ccat, spark,
+      "pipe.docs", "pipe.index", "pipe.grams", batch)
+    val rows = report.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.isNullAt(2), r.getBoolean(3))))
+      .toMap
+    report.unpersist()
+    assert(rows(500L) == ((false, true, true)), "contaminated, not a dup")
+    assert(rows(501L)._1 && !rows(501L)._3, "clean exact dup still dedups")
+    assert(rows(502L) == ((false, true, false)), "clean novel doc ingests")
+    val stored = ccat.scan("pipe.docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!stored.contains(500L), "contaminated doc must not be stored")
+    assert(!stored.contains(501L) && stored.contains(502L))
+    assert(ccat.scan("pipe.index").filter(col("doc_id") === 500L).count() == 0,
+      "contaminated doc must not even be indexed")
+    Seq("pipe.docs", "pipe.index", "pipe.grams").foreach(ccat.dropTable(_))
+  }
+
   test("the SAME pipeline runs against a REMOTE catalog: one wire transaction per batch") {
     // IngestDedup is typed against CatalogSurface, so the identical
     // probe-verify-commit code runs with the catalog behind the Iceberg
