@@ -196,6 +196,7 @@ object Queries {
     "s11_table_ann" -> (VectorIndex.tableAnnGateQuery _),
     "s13_table_ivfpq" -> (VectorIndex.tablePqGateQuery _),
     "s14_filtered_ann" -> (VectorIndex.filteredAnnGateQuery _),
+    "s15_kcenter_coreset" -> ((s: SparkSession, d: String) => Similarity.kcenterCoreset(s, d)),
     "s8_ivfpq_ann" -> ((s: SparkSession, d: String) => Similarity.ivfPqAnn(s, d)),
     "d9_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "s5_quantize" -> (Similarity.quantize _),
@@ -206,6 +207,7 @@ object Queries {
     "s9_opq_codes" -> ((s: SparkSession, d: String) => Similarity.opqPqCodes(s, d)),
     "d7_decontaminate" -> (Dedup.decontaminate _),
     "d16_contamination_index" -> (ContaminationIndex.contaminationGateQuery _),
+    "d17_span_index" -> (SpanIndex.spanIndexGateQuery _),
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "x6_scrub" -> (TextAnalysis.scrubQuery _),
     "x8_repetition" -> (TextAnalysis.repetitionQuery _),
@@ -228,6 +230,7 @@ object Queries {
     // the identical merge table (OperatorsSpec differential case)
     "x14_train_bpe" -> (TextAnalysis.trainBpeGateQuery _),
     "x11_unigram_logprob" -> (TextAnalysis.unigramLogprobQuery _),
+    "x15_bigram_logprob" -> (TextAnalysis.bigramLogprobQuery _),
     "d11_substr_dedup" -> ((s: SparkSession, d: String) => Dedup.substrDedup(s, d)),
     "d13_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "d14_ingest_dedup" -> (IngestDedup.ingestGateQuery _),
@@ -784,6 +787,43 @@ object Queries {
         |  score FROM s)
         |SELECT q_id, neighbor_id, rank, round(score, 4) + 0.0 AS score
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // the greedy selection's k rounds unroll as a generated CTE chain;
+    // every distance is the same dot-product composition the Spark side
+    // runs — (dv - 2*dot + cd), left-associated — so the iterative argmax
+    // replays bit-for-bit (the s14 strict-despite-iteration discipline)
+    "s15_kcenter_coreset" -> {
+      val mids = (2 to 7).map { t =>
+        val p = s"r${t - 1}"
+        s"""c$t AS (SELECT vec_id AS cid, v AS cv, dv AS cd FROM $p
+           |  ORDER BY md DESC, vec_id LIMIT 1),
+           |r$t AS (SELECT $p.vec_id, $p.v, $p.dv,
+           |  least($p.md, $p.dv - 2*list_dot_product($p.v, c$t.cv) + c$t.cd) AS md
+           | FROM $p CROSS JOIN c$t),""".stripMargin
+      }.mkString("\n")
+      val cent = (1 to 8).map(t => s"SELECT $t AS sel_rank, * FROM c$t")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, list_dot_product(v, v) AS dv FROM e),
+         |c1 AS (SELECT vec_id AS cid, v AS cv, dv AS cd FROM b
+         |  ORDER BY vec_id LIMIT 1),
+         |r1 AS (SELECT b.vec_id, b.v, b.dv,
+         |  b.dv - 2*list_dot_product(b.v, c1.cv) + c1.cd AS md
+         | FROM b CROSS JOIN c1),
+         |$mids
+         |c8 AS (SELECT vec_id AS cid, v AS cv, dv AS cd FROM r7
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |cent AS ($cent),
+         |a AS (SELECT b.vec_id, cent.sel_rank, cent.cid,
+         |  b.dv - 2*list_dot_product(b.v, cent.cv) + cent.cd AS d2
+         | FROM b CROSS JOIN cent),
+         |r AS (SELECT vec_id, cid, sel_rank, d2,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         | FROM a)
+         |SELECT vec_id, cid AS center_id, sel_rank,
+         | round(d2, 4) + 0.0 AS dist2
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
     "s1_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -970,6 +1010,24 @@ object Queries {
          |   AS avg_logprob
          |FROM tk JOIN c USING (token) CROSS JOIN n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram key = space-joined pair (tokens are [a-z0-9]+, so split_part
+    // at the first space recovers the prefix exactly like Spark's
+    // substring_index)
+    "x15_bigram_logprob" ->
+      s"""WITH $tokCte,
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> concat(t[i], ' ', t[i+1]))) AS bg
+         |  FROM tok WHERE len(t) >= 2),
+         |c AS (SELECT bg, count(*) AS c_bi FROM b GROUP BY 1),
+         |p AS (SELECT split_part(bg, ' ', 1) AS pref, sum(c_bi) AS c_pref
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id,
+         | count(*) AS n_bigrams,
+         | round(avg(ln(CAST(c_bi AS DOUBLE) / CAST(c_pref AS DOUBLE))), 4)
+         |   AS avg_logprob
+         |FROM b JOIN c USING (bg)
+         |  JOIN p ON split_part(b.bg, ' ', 1) = p.pref
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x9_classifier" -> {
       // token weight = (first md5 byte - 127.5) / 127.5 — same hex-pair ->
       // byte replay as m2's decoder stub
@@ -1033,6 +1091,49 @@ object Queries {
         |   / CAST(len AS DOUBLE), 4) AS dup_char_frac
         |FROM (SELECT doc_id, length(text) AS len FROM documents
         |      WHERE length(text) >= 40) d0
+        |LEFT JOIN agg ON d0.doc_id = agg.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
+    // the full d17 lifecycle recomputed from scratch: build(even) +
+    // ingestBatch(odd) is EQUIVALENT to d12's batch rule over the
+    // stored ∪ batch union restricted to the batch docs (an fp is
+    // duplicated iff ≥2 distinct docs of the union share it — the
+    // stored-existence and batch-peer halves collapse into one nd ≥ 2)
+    "d17_span_index" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(i * 10 AS INT) AS s0, CAST(i * 10 + 40 AS INT) AS e0,
+        |    md5(substr(text, CAST(i * 10 + 1 AS INT), 40)) AS fp
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, ((length(text) - 40) // 10) + 1)) AS i
+        |        FROM documents WHERE length(text) >= 40)),
+        |fd AS (SELECT fp FROM
+        |  (SELECT fp, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+        |  WHERE nd >= 2),
+        |bw AS (SELECT doc_id, s0, e0, fp FROM w WHERE doc_id % 2 = 1),
+        |d AS (SELECT doc_id, s0, e0 FROM bw WHERE fp IN (SELECT fp FROM fd)),
+        |fl AS (SELECT doc_id, s0, e0,
+        |  CASE WHEN s0 > coalesce(max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS flag FROM d),
+        |isl AS (SELECT doc_id, s0, e0,
+        |  sum(flag) OVER (PARTITION BY doc_id ORDER BY s0
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM fl),
+        |sp AS (SELECT doc_id, island, min(s0) AS s, max(e0) AS e
+        |  FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_chars
+        |  FROM sp GROUP BY 1),
+        |wn AS (SELECT doc_id, count(*) AS n_windows FROM bw GROUP BY 1),
+        |dn AS (SELECT doc_id, count(*) AS dup_windows FROM d GROUP BY 1)
+        |SELECT d0.doc_id,
+        | CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+        | CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows,
+        | CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        | CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+        | round(CAST(coalesce(dup_chars, 0) AS DOUBLE)
+        |   / CAST(len AS DOUBLE), 4) AS dup_char_frac
+        |FROM (SELECT doc_id, length(text) AS len FROM documents
+        |      WHERE length(text) >= 40 AND doc_id % 2 = 1) d0
+        |LEFT JOIN wn ON d0.doc_id = wn.doc_id
+        |LEFT JOIN dn ON d0.doc_id = dn.doc_id
         |LEFT JOIN agg ON d0.doc_id = agg.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
     m1Oracle,

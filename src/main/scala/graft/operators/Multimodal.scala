@@ -9,7 +9,7 @@ import graft.sources.Tables
   * metadata, plus decode/feature-extract plumbing.
   *
   * The decode kernel DISPATCHES on the payload's magic bytes: real
-  * PNG/JPEG payloads decode through `javax.imageio`, real WAV/AIFF
+  * PNG/JPEG/GIF/BMP payloads decode through `javax.imageio`, real WAV/AIFF
   * payloads through `javax.sound.sampled`, and real AVI video payloads
   * DEMUX through a pure-JVM RIFF walk (MJPEG frames then decode through
   * the same imageio path) — all public JDK APIs, in-process, no native
@@ -64,8 +64,7 @@ object Multimodal {
     * IMPOSSIBLE at the start of valid UTF-8 text (0x89 is a continuation
     * byte, 0xFF is not UTF-8 at all), so the text-payload gate queries can
     * never stray onto the image path — their oracle values are stable by
-    * construction. GIF/BMP magics are ASCII ("GIF8", "BM") and therefore
-    * deliberately NOT sniffed.
+    * construction.
     */
   def isImagePayload(p: Array[Byte]): Boolean =
     (p.length >= 8 &&
@@ -73,6 +72,31 @@ object Multimodal {
       p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a.toByte && p(7) == 0x0a) ||
     (p.length >= 3 &&
       p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte)
+
+  /** True iff the payload starts with a GIF ("GIF87a"/"GIF89a") or BMP
+    * signature. Both magics are ASCII, so — like the audio/video sniffs —
+    * this is only a ROUTING hint, and it is deliberately STRICTER than the
+    * format minimum: the full 6-byte GIF version string, and for BMP the
+    * DIB header-size field (little-endian u32 at offset 14) must be one of
+    * the published header sizes — a value no ASCII text can produce (the
+    * smallest, 12, needs three NUL bytes). The payload still has to parse
+    * through `javax.imageio`; anything unparseable falls back to the stub
+    * (the same never-throw contract as every other routing hint).
+    */
+  def isAsciiImagePayload(p: Array[Byte]): Boolean = {
+    val gif = p.length >= 6 &&
+      p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+      (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+    def dibSize: Long = (p(14) & 0xffL) | ((p(15) & 0xffL) << 8) |
+      ((p(16) & 0xffL) << 16) | ((p(17) & 0xffL) << 24)
+    val bmp = p.length >= 18 && p(0) == 'B' && p(1) == 'M' &&
+      Set(12L, 40L, 52L, 56L, 64L, 108L, 124L).contains(dibSize)
+    gif || bmp
+  }
+
+  /** Every still-image container [[readImage]] should be offered. */
+  def isStillImagePayload(p: Array[Byte]): Boolean =
+    isImagePayload(p) || isAsciiImagePayload(p)
 
   /** Decode a REAL image payload via `javax.imageio`: (buffered image) or
     * None when the payload only looked like one (truncated/corrupt) — the
@@ -181,7 +205,7 @@ object Multimodal {
       }
       return stubDecode(payload)
     }
-    (if (isImagePayload(payload)) readImage(payload) else None) match {
+    (if (isStillImagePayload(payload)) readImage(payload) else None) match {
       case None => stubDecode(payload)
       case Some(img) =>
         (img.getWidth, img.getHeight, luminanceHistogram(img))
@@ -249,14 +273,14 @@ object Multimodal {
     (w, h, ow, oh, fp)
   }
 
-  /** The resize dispatcher: PNG/JPEG → a REAL nearest-neighbor resample
-    * into the `box` bounding box (hand-rolled grid sampling, not a
-    * Graphics2D pipeline, so the output raster — and its md5 witness — is
-    * bit-deterministic across platforms); everything else →
+  /** The resize dispatcher: PNG/JPEG/GIF/BMP → a REAL nearest-neighbor
+    * resample into the `box` bounding box (hand-rolled grid sampling, not
+    * a Graphics2D pipeline, so the output raster — and its md5 witness —
+    * is bit-deterministic across platforms); everything else →
     * [[stubResize]]. Same aspect-preserving integer dims math as the stub.
     */
   def decodeResize(payload: Array[Byte], box: Int): (Int, Int, Int, Int, String) =
-    (if (isImagePayload(payload)) readImage(payload) else None) match {
+    (if (isStillImagePayload(payload)) readImage(payload) else None) match {
       case None => stubResize(payload, box)
       case Some(img) =>
         val w = img.getWidth; val h = img.getHeight

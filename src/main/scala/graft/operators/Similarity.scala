@@ -783,4 +783,82 @@ object Similarity {
         (round(col("score"), 4) + lit(0.0)).as("score"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** s15: greedy k-center coreset selection (Gonzalez 1985
+    * farthest-point traversal) — the diversity-selection op a curation
+    * pipeline runs AFTER dedup: pick k embeddings whose max
+    * point-to-nearest-center distance is within 2× optimal (the classic
+    * guarantee, seed-independent), then assign every vector to its
+    * nearest chosen center. Centers over-sample the corpus's FRINGES by
+    * construction — the opposite bias of r1's uniform sampling — so the
+    * selection seeds balanced fine-tuning mixes and the assignment is a
+    * diversity-stratified partition of the corpus.
+    *
+    * Deterministic end to end: seed = smallest vec_id, every argmax tie
+    * breaks to the smallest vec_id, and the distance algebra is the
+    * dot-product composition d² = ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩ with each dot a
+    * left-to-right fold — the exact arithmetic DuckDB's
+    * `list_dot_product` replays, so the gate is STRICT hash despite the
+    * iterative selection (the s14 discipline; the oracle unrolls the k
+    * rounds as a generated CTE chain).
+    *
+    * Scale shape: ⟨v,v⟩ is computed once; each of the k−1 selection
+    * rounds is one map-only `least(mindist, d²-to-newest-center)` update
+    * over the persisted corpus plus ONE TakeOrdered(1) reduction (the
+    * bounded collect — one row per round, never the corpus), so selection
+    * is O(k·scan) with zero shuffles; the final assignment joins the
+    * k-row center frame (AQE broadcasts it) and min-reduces via a
+    * partial-aggregable `min(struct(d², center_id))` — one agg shuffle on
+    * vec_id, no window over the corpus.
+    */
+  def kcenterCoreset(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    kcenterCoresetOf(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")), k)
+
+  /** s15 over any (vec_id, v: array<double>) frame — the testable seam. */
+  def kcenterCoresetOf(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("v"))
+      .withColumn("dv", dot(col("v"), col("v")))
+      .persist()
+    try {
+      // d² to a FIXED center, composed from dots only so both engines run
+      // the identical IEEE ops: (dv - 2⟨v,c⟩) + cd, left-associated
+      def d2To(cv: Array[Double], cd: Double): Column =
+        col("dv") - lit(2.0) * dot(col("v"), typedLit(cv.toSeq)) + lit(cd)
+      def centerOf(row: org.apache.spark.sql.Row): (Long, Array[Double], Double) =
+        (row.getLong(0), row.getSeq[Double](1).toArray, row.getDouble(2))
+      val seed = centerOf(
+        base.select(col("vec_id"), col("v"), col("dv"))
+          .orderBy(col("vec_id")).limit(1).collect()(0))
+      val centers = scala.collection.mutable.ArrayBuffer(seed)
+      var cur = base.withColumn("mindist", d2To(seed._2, seed._3))
+      while (centers.length < k) {
+        val nxt = centerOf(
+          cur.select(col("vec_id"), col("v"), col("dv"))
+            .orderBy(col("mindist").desc, col("vec_id")).limit(1).collect()(0))
+        centers += nxt
+        cur = cur.withColumn("mindist",
+          least(col("mindist"), d2To(nxt._2, nxt._3)))
+      }
+      val centersDf = centers.toSeq.zipWithIndex
+        .map { case ((cid, cv, cd), i) => (i + 1, cid, cv.toSeq, cd) }
+        .toDF("sel_rank", "center_id", "cv", "cd")
+      // nearest-center assignment: min over a k-row frame via a PARTIAL
+      // aggregate (struct min orders by (d², center_id) — the tie rule)
+      val d2 = col("dv") - lit(2.0) * dot(col("v"), col("cv")) + col("cd")
+      base.crossJoin(centersDf)
+        .select(col("vec_id"),
+          struct(d2.as("d2"), col("center_id"), col("sel_rank")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("cand")).as("best"))
+        .select(col("vec_id"),
+          col("best.center_id").as("center_id"),
+          col("best.sel_rank").as("sel_rank"),
+          (round(col("best.d2"), 4) + lit(0.0)).as("dist2"))
+        .orderBy(col("vec_id"))
+    } finally base.unpersist()
+  }
 }

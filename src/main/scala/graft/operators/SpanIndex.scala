@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import graft.catalog.IceCatalog
+
+/** d17: the corpus's substring-WINDOW fingerprints as a CATALOG TABLE —
+  * the incremental form of d11/d12's batch span dedup. The batch ops
+  * re-fingerprint the whole corpus per run (O(corpus) per call, and
+  * all-pairs in spirit: the fp-count join touches every stored window);
+  * at 100 TB with per-batch ingest the right shape is the d16 one —
+  * materialize the stored corpus's window fingerprints ONCE into a
+  * murmur3-bucket-partitioned table, and screen each ingest batch with a
+  * partition-PRUNED existence join:
+  *
+  *  - [[build]] REPLACES the stored fingerprints (one atomic overwrite —
+  *    re-deriving from a re-chunked corpus supersedes, time travel keeps
+  *    the old window set);
+  *  - [[screenSpans]] is the per-batch read: a batch window is DUPLICATED
+  *    iff its fingerprint exists in the stored corpus OR is shared by ≥2
+  *    batch docs (exactly d12's cross-doc rule applied to the stored ∪
+  *    batch union — spec-pinned equal to running [[Dedup.dupSpansOf]]
+  *    over the union and restricting to the batch), and duplicated
+  *    windows merge gaps-and-islands into maximal spans per doc — what a
+  *    span-removal rewrite consumes, now at O(batch) cost;
+  *  - [[ingestBatch]] = screen + ACCRETE: only genuinely-new
+  *    fingerprints append (the existence check is itself pruned to the
+  *    batch's buckets), CAS'd on the screened snapshot so racing batches
+  *    re-run instead of double-appending ([[graft.catalog
+  *    .CatalogSurface.insertGroup]] basedOn — d16's accretion
+  *    semantics).
+  *
+  * Scale shape: the per-batch screen never RE-FINGERPRINTS the corpus
+  * (d11/d12's dominant cost — the windowed md5 over every stored text);
+  * its I/O is an fp-only columnar scan of the stored table pruned to the
+  * batch's distinct fp-BUCKET set (one bounded collect over the BATCH,
+  * never the corpus), so sizing the bucket count to the deployment's
+  * micro-batch width (see [[FpBuckets]]) keeps a small batch reading a
+  * minority of the table's partitions; the islands pass is two window
+  * functions over ONE shuffle keyed on doc_id (batch-sized); joins key
+  * on the fingerprint only, no broadcast hints (a 100 TB corpus's window
+  * table is huge and a batch can be too — AQE decides).
+  */
+object SpanIndex {
+
+  val FpSchema: StructType = StructType(Seq(StructField("fp", StringType)))
+
+  /** Default fan-out (the d14/d15/d16 pipeline-table setting — right for
+    * the gate's corpus). The bucket count SIZES the screen's pruning
+    * granularity: a batch's scan prunes to its distinct fp buckets, so a
+    * deployment whose micro-batches carry ~w windows wants buckets ≫ w
+    * (e.g. 4096 at 100 TB) — set it at [[ensureTable]]/[[build]] time;
+    * every read path learns the count from the table's own partition
+    * spec, never this constant.
+    */
+  val FpBuckets = 32
+
+  def ensureTable(cat: graft.catalog.CatalogSurface, ident: String,
+      buckets: Int = FpBuckets): Unit =
+    if (!cat.tableExists(ident)) cat.createTable(ident, FpSchema,
+      partitionSpec = Seq(IceCatalog.PartitionField(
+        "fp", s"bucket[$buckets]", "fp_bucket")),
+      properties = graft.catalog.Maintenance.PipelineTableProps)
+
+  /** The streamed form's REPORT table: one row per screened doc (the
+    * [[screenSpans]] schema), bucket-partitioned on doc_id so the
+    * replay absorber's existing-id check prunes to the batch's buckets.
+    */
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_windows", LongType),
+    StructField("dup_windows", LongType),
+    StructField("n_spans", LongType),
+    StructField("dup_chars", LongType),
+    StructField("dup_char_frac", DoubleType)))
+
+  /** Same fan-out as the d14 docs table. */
+  val DocBuckets = 32
+
+  /** Above this many distinct ids, skip the driver-side bucket
+    * computation and full-scan (IngestDedup's bounded-cap rule).
+    */
+  private val MaxPruneIds = 65536
+
+  def ensureReportTable(cat: graft.catalog.CatalogSurface, ident: String): Unit =
+    if (!cat.tableExists(ident)) cat.createTable(ident, ReportSchema,
+      partitionSpec = Seq(IceCatalog.PartitionField(
+        "doc_id", s"bucket[$DocBuckets]", "doc_bucket")),
+      properties = graft.catalog.Maintenance.PipelineTableProps)
+
+  /** The report-table doc_ids restricted to the partitions `ids` can hit
+    * (bucket IN-filter) — the replay absorber's bounded read: O(batch
+    * buckets) I/O, never a full report scan per micro-batch.
+    */
+  def reportScanForIds(
+      cat: graft.catalog.CatalogSurface, ident: String,
+      ids: DataFrame): DataFrame = {
+    def full = cat.scan(ident).select(col("doc_id"))
+    val idRows = ids.distinct().limit(MaxPruneIds + 1).collect()
+    if (idRows.length > MaxPruneIds) full
+    else if (idRows.isEmpty) full.limit(0)
+    else {
+      val buckets = idRows.map(r =>
+        graft.functions.IcebergHash.bucketLong(r.getLong(0), DocBuckets))
+        .distinct.sorted
+      if (buckets.length >= DocBuckets) full
+      else cat.scan(ident, Seq(IceCatalog.PartitionFilter(
+          "doc_bucket", IceCatalog.Op.Eq, buckets.map(_.toString).toSeq)),
+        None, None).select(col("doc_id"))
+    }
+  }
+
+  /** A doc frame's windows — (doc_id, start, end, fp), d11's exact window
+    * rule: md5 of each k-char window at stride s; docs shorter than k
+    * have no windows. Map-only, codegen'd.
+    */
+  def windowsOf(docs: DataFrame,
+      k: Int = Dedup.SubstrK, stride: Int = Dedup.SubstrStride): DataFrame = {
+    val base = docs.filter(length(col("text")) >= k)
+    val nWin = floor((length(col("text")) - lit(k)).cast("double") / lit(stride))
+      .cast("int")
+    base.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), nWin),
+        i => md5(col("text").substr(i * lit(stride) + lit(1), lit(k)))))
+        .as(Seq("i", "fp")))
+      .select(col("doc_id"), (col("i") * stride).as("start"),
+        (col("i") * stride + k).as("end"), col("fp"))
+  }
+
+  /** REPLACE the stored corpus fingerprints (atomic overwrite). */
+  def build(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      ident: String, corpus: DataFrame,
+      k: Int = Dedup.SubstrK, stride: Int = Dedup.SubstrStride,
+      buckets: Int = FpBuckets): Unit = {
+    ensureTable(cat, ident, buckets)
+    cat.overwriteGroup(Seq(
+      ident -> windowsOf(corpus, k, stride).select(col("fp")).distinct()))
+  }
+
+  /** The table's fp-bucket fan-out, read from its own partition spec —
+    * None for a legacy/unpartitioned table (reads degrade to full scans).
+    */
+  private def fpBucketsOf(
+      cat: graft.catalog.CatalogSurface, ident: String): Option[Int] =
+    cat.loadMeta(ident).partitionSpec.find(_.name == "fp_bucket")
+      .flatMap(f => "bucket\\[(\\d+)\\]".r.findFirstMatchIn(f.transform)
+        .map(_.group(1).toInt))
+
+  /** The stored-fp scan restricted to the partitions `fps` can hit: the
+    * distinct bucket set is bounded by the table's own bucket count
+    * regardless of batch size (one bounded collect over the BATCH, never
+    * the corpus). Prunes whenever the batch touches a strict minority of
+    * buckets — the micro-batch/small-doc case the bucket count should be
+    * sized for.
+    */
+  private def prunedFpScan(
+      cat: graft.catalog.CatalogSurface, ident: String,
+      fps: DataFrame): DataFrame = {
+    def full = cat.scan(ident).select(col("fp"))
+    fpBucketsOf(cat, ident) match {
+      case None => full
+      case Some(n) =>
+        val buckets = fps
+          .select(graft.functions.Transforms.bucketT(col("fp"), n).as("b"))
+          .distinct().limit(n + 1).collect().map(_.getInt(0)).sorted
+        if (buckets.length >= n) full
+        else if (buckets.isEmpty) full.limit(0)
+        else cat.scan(ident, Seq(IceCatalog.PartitionFilter(
+            "fp_bucket", IceCatalog.Op.Eq, buckets.map(_.toString).toSeq)),
+          None, None).select(col("fp"))
+    }
+  }
+
+  /** The per-batch span report: for every batch doc with ≥1 window,
+    * (n_windows, dup_windows, n_spans, dup_chars, dup_char_frac) where a
+    * window is duplicated iff its fp is stored OR shared by ≥2 batch
+    * docs, and duplicated windows merge into maximal spans (d12's
+    * gaps-and-islands). Read-only — [[ingestBatch]] composes the
+    * accretion on top.
+    */
+  def screenSpans(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      ident: String, batch: DataFrame,
+      k: Int = Dedup.SubstrK, stride: Int = Dedup.SubstrStride): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = windowsOf(batch, k, stride)
+    val stored = prunedFpScan(cat, ident, w.select(col("fp")))
+    // fps shared by ≥2 batch docs — the batch-peer half of d12's rule
+    val shared = w.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp"))
+    val dupFps = stored.union(shared).distinct()
+    val dupW = w.join(dupFps, Seq("fp"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val prevMaxEnd = max(col("end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dupW
+      .withColumn("flag",
+        when(col("start") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("flag")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+    val perDocSpans = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_chars"))
+    val perDocWins = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val perDocDups = dupW.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_windows"))
+    batch.filter(length(col("text")) >= k)
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .join(perDocWins, Seq("doc_id"), "left")
+      .join(perDocDups, Seq("doc_id"), "left")
+      .join(perDocSpans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("len").cast("double"), 4).as("dup_char_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Plan one batch WITHOUT committing: (span report, genuinely-new fps,
+    * the snapshot both were planned against). The report is PERSISTED
+    * (it must materialize against the PRE-batch fingerprint set — and
+    * callers consume it after their commit advances the table); callers
+    * ride `newFps` in their own atomic commit group —
+    * [[graft.streaming.Streams.watchAndSpanScreen]] commits it together
+    * with the report table's append so screened ⟺ indexed can never
+    * tear.
+    */
+  def planIngest(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      ident: String, batch: DataFrame,
+      k: Int = Dedup.SubstrK, stride: Int = Dedup.SubstrStride)
+      : (DataFrame, DataFrame, Long) = {
+    ensureTable(cat, ident)
+    val pin = cat.loadMeta(ident).currentSnapshotId
+    val report = screenSpans(cat, spark, ident, batch, k, stride)
+      .persist()
+    report.count() // materialize BEFORE any append changes what "stored" means
+    val fresh = windowsOf(batch, k, stride).select(col("fp")).distinct()
+    val existing = prunedFpScan(cat, ident, fresh)
+    (report, fresh.join(existing, Seq("fp"), "left_anti"), pin)
+  }
+
+  /** Screen + ACCRETE in one call: the span report computed against the
+    * pre-batch fingerprint set, then only genuinely-new fps appended —
+    * the existence check pruned to the batch's buckets and the append
+    * CAS'd on the screened snapshot (a racing batch 409s and re-runs; a
+    * REPLAYED batch appends nothing — the anti-join absorbs it).
+    * Returns the report.
+    */
+  def ingestBatch(
+      cat: graft.catalog.CatalogSurface, spark: SparkSession,
+      ident: String, batch: DataFrame,
+      k: Int = Dedup.SubstrK, stride: Int = Dedup.SubstrStride): DataFrame = {
+    val (report, newFps, pin) = planIngest(cat, spark, ident, batch, k, stride)
+    cat.insertGroup(Seq(ident -> newFps), basedOn = Map(ident -> pin))
+    report
+  }
+
+  /** d17 gate: even docs build the fingerprint table, the odd-doc batch
+    * ingests against it — the report must equal d12's batch recompute
+    * over the stored ∪ batch union restricted to the batch (the oracle
+    * replays exactly that in SQL — strict hash).
+    */
+  def spanIndexGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_d17").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("pipe")
+    build(cat, spark, "pipe.windex", docs.filter(col("doc_id") % 2 === 0))
+    val report = ingestBatch(cat, spark, "pipe.windex",
+      docs.filter(col("doc_id") % 2 === 1))
+    val rows = report.as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    report.unpersist()
+    try cat.dropTable("pipe.windex") catch { case _: Exception => () }
+    rows.toDF("doc_id", "n_windows", "dup_windows", "n_spans",
+        "dup_chars", "dup_char_frac")
+      .orderBy(col("doc_id"))
+  }
+}

@@ -250,6 +250,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** x15: bigram log-probability scoring — x11's perplexity filter moved
+    * to the 2-gram model (the next KenLM order): per doc, the mean over
+    * its bigrams of ln P(w2 | w1), with the conditional estimated exactly
+    * from the corpus's own bigram counts — P(w2|w1) = c(w1 w2) / c(w1 ·)
+    * where c(w1 ·) sums the bigram counts sharing the prefix, so every
+    * probability is a ratio of integers and the whole path replays in SQL
+    * (a trained KenLM with smoothing swaps in behind the same plan, like
+    * x11's). Low scores mark documents whose token TRANSITIONS are
+    * out-of-distribution — gibberish that unigram frequency alone misses
+    * (every token common, no two ever adjacent elsewhere).
+    *
+    * Scale shape: bigrams are built COLUMN-SIDE (sequence + element_at —
+    * map-only, codegen'd, zero doc-keyed shuffle; the lag-window
+    * formulation would shuffle the corpus on doc_id), one partial-agg
+    * shuffle builds the bigram-count table, prefix counts roll up from the
+    * BIGRAM VOCABULARY (never the corpus), and scoring is two
+    * vocabulary-keyed equi-joins (no pinned broadcast — a 100 TB corpus's
+    * bigram vocabulary is itself huge; AQE decides) and a doc_id rollup.
+    */
+  def bigramLogprobQuery(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprobOf(Tables.documents(spark, dir))
+
+  /** x15 over any (doc_id, text) frame — the testable seam. */
+  def bigramLogprobOf(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    // tokens are [a-z0-9]+ so the space-joined pair is a bijective bigram
+    // key (the first space always splits it back at the prefix)
+    val bgList = transform(sequence(lit(1), size(t) - 1),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+    val bi = docs.filter(size(t) >= 2)
+      .select(col("doc_id"), explode(bgList).as("bg"))
+    val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bi"))
+    val prefCounts = biCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("pref"))
+      .agg(sum(col("c_bi")).as("c_pref"))
+    bi.join(biCounts, Seq("bg"))
+      .withColumn("pref", substring_index(col("bg"), " ", 1))
+      .join(prefCounts, Seq("pref"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c_bi").cast("double") /
+          col("c_pref").cast("double"))), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x9: hashed-feature linear classifier scoring — the fastText-style
     * quality-classifier shape (bag of hashed token features · weight
     * vector → sigmoid) used to filter web corpora (e.g. GPT-3/CCNet-style

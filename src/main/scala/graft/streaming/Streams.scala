@@ -295,6 +295,74 @@ object Streams {
       .start()
   }
 
+  /** Streamed substring-span screening (the e10 form of d17): per
+    * micro-batch the new docs screen against the STORED window-fingerprint
+    * table ([[graft.operators.SpanIndex.planIngest]] — partition-pruned
+    * existence join, O(batch) islands pass), and the per-doc span REPORT
+    * plus the batch's genuinely-new fingerprints land in ONE atomic
+    * two-table commit CAS'd on both plan snapshots — screened ⟺ indexed
+    * can never tear, and a racing writer 409s the epoch (restart re-plans
+    * from the winner's state). Exactly-once composes from the checkpoint
+    * plus a replay absorber: a replayed epoch's doc_ids are already report
+    * rows (a doc_id-bucket-PRUNED existence check — foreachBatch frames
+    * expose no inputFiles, so a source-file ledger can't see them), and
+    * with every replayed doc absorbed the epoch publishes NOTHING — which
+    * also closes the semantic trap that a replay screening against its own
+    * stored fingerprints would report every window duplicated.
+    */
+  def watchAndSpanScreen(
+      spark: SparkSession,
+      cat: graft.catalog.CatalogSurface,
+      windexIdent: String, outIdent: String,
+      watchDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1000,
+      // the watch files' PHYSICAL schema (exact-match parquet reads); the
+      // screen consumes only (doc_id, text)
+      inputSchema: org.apache.spark.sql.types.StructType =
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))): StreamingQuery = {
+    import graft.operators.SpanIndex
+    SpanIndex.ensureTable(cat, windexIdent)
+    SpanIndex.ensureReportTable(cat, outIdent)
+    spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(watchDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        watchInstrumented(outIdent, epoch, batch) {
+          val outPin = cat.loadMeta(outIdent).currentSnapshotId
+          val fresh = batch.join(
+            SpanIndex.reportScanForIds(cat, outIdent, batch.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti").persist()
+          try {
+            val freshCount = fresh.count()
+            Metrics.incLabeled("graft_stream_span_replay_skipped_total",
+              Seq("table" -> outIdent), batch.count() - freshCount)
+            if (freshCount > 0) {
+              val (report, newFps, pin) =
+                SpanIndex.planIngest(cat, spark, windexIdent, fresh)
+              try {
+                cat.insertGroup(
+                  Seq(windexIdent -> newFps, outIdent -> report),
+                  basedOn = Map(windexIdent -> pin, outIdent -> outPin))
+                Metrics.incLabeled("graft_watch_rows_ingested_total",
+                  Seq("table" -> outIdent), report.count())
+              } finally { report.unpersist(); () }
+            }
+          } finally { fresh.unpersist(); () }
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Event-DRIVEN continuous no-copy ingestion (reference
     * InsertWatch.java:101-180: `--watch`'s real input is an SQS event
     * QUEUE of S3 object-created notifications — the watcher consumes

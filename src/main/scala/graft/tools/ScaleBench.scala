@@ -129,6 +129,24 @@ object ScaleBench {
           catch { case _: Exception => () }
           t
         }),
+      ("d17_screen_fixed_batch", "sub-linear span screen at fixed batch (no corpus re-fingerprint — fp-only columnar scan, bucket-pruned when the batch is narrower than the fan-out; islands O(batch))",
+        dir => {
+          import org.apache.spark.sql.functions._
+          val docs = graft.sources.Tables.documents(spark, dir)
+          val root = java.nio.file.Files.createTempDirectory("graft-scale-d17").toString
+          val cat = new graft.catalog.IceCatalog(spark, root)
+          cat.createNamespace("pipe")
+          graft.operators.SpanIndex.build(cat, spark, "pipe.windex",
+            docs.filter(col("doc_id") % 2 === 0))
+          val batch = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 1000)
+          def run(): Unit =
+            graft.operators.SpanIndex.screenSpans(cat, spark, "pipe.windex", batch)
+              .write.format("noop").mode("overwrite").save()
+          run() // warm
+          val t = math.min(timeOf(run()), timeOf(run()))
+          try cat.dropTable("pipe.windex") catch { case _: Exception => () }
+          t
+        }),
       ("d15_maintain_fixed_batch", "~flat cluster maintenance at fixed batch (pruned neighbor-label fetch + contracted-graph components + O(batch) atomic 4-table group)",
         dir => {
           import org.apache.spark.sql.functions._

@@ -149,6 +149,51 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decode(fake)._1 == Multimodal.stubDecode(fake)._1)
   }
 
+  test("real GIF/BMP payloads decode through imageio; ASCII-magic text stays on the stub") {
+    // same solid 100x40 fixture as the PNG case; GIF is palette-based and
+    // BMP is raw RGB, so a solid color survives BOTH codecs exactly and
+    // the luminance-bin witness carries over unchanged
+    val (pw, ph, rgb) = (100, 40, 0x336699)
+    val img = new java.awt.image.BufferedImage(
+      pw, ph, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until ph; x <- 0 until pw) img.setRGB(x, y, rgb)
+    def enc(kind: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, kind, bos))
+      bos.toByteArray
+    }
+    val lum = (0x33 * 299 + 0x66 * 587 + 0x99 * 114) / 1000
+    val bin = math.min(lum * Multimodal.FeatureDim / 256, Multimodal.FeatureDim - 1)
+    for (payload <- Seq(enc("gif"), enc("bmp"))) {
+      assert(Multimodal.isAsciiImagePayload(payload) &&
+        !Multimodal.isImagePayload(payload))
+      val (w, h, feats) = Multimodal.decode(payload)
+      assert((w, h) == (pw, ph), s"true dims, got ${w}x$h")
+      assert(feats(bin) == 1.0f && feats.sum == 1.0f,
+        s"solid color must fill bin $bin: ${feats.toSeq}")
+      // the resize path routes too: 100x40 in a 64-box is 64x25 with the
+      // PNG case's exact solid-raster witness
+      val (_, _, ow, oh, fp) = Multimodal.decodeResize(payload, 64)
+      val raster = Array.fill(64 * 25)(
+        Array(0x33.toByte, 0x66.toByte, 0x99.toByte)).flatten
+      val expectFp = java.security.MessageDigest.getInstance("MD5")
+        .digest(raster).take(8).map(b => f"${b & 0xff}%02x").mkString
+      assert((ow, oh) == (64, 25) && fp == expectFp)
+    }
+    // the ASCII magics are parse-GATED: text that merely starts with the
+    // prefix chars never reaches the decoder ("BM…" fails the DIB
+    // header-size gate — no ASCII tail can produce 12/40/…/124), and a
+    // full "GIF89a" prefix on text ROUTES but fails the parse and falls
+    // back to the stub — the never-throw contract
+    val bmText = "BM is how these payloads start, but this is prose".getBytes("UTF-8")
+    assert(!Multimodal.isAsciiImagePayload(bmText))
+    val gifText = "GIF89a pretender: the magic alone must not be trusted".getBytes("UTF-8")
+    assert(Multimodal.isAsciiImagePayload(gifText))
+    assert(Multimodal.decode(gifText)._1 == Multimodal.stubDecode(gifText)._1)
+    assert(Multimodal.decodeResize(gifText, 64)._5 ==
+      Multimodal.stubResize(gifText, 64)._5)
+  }
+
   test("real WAV/AIFF payloads decode through javax.sound.sampled; text stays on the stub") {
     import spark.implicits._
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
@@ -1008,5 +1053,52 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect()
     assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
     assert(!rows(2).isNullAt(0) && rows(2).getAs[Long]("n") == 2L)
+  }
+
+  test("x15 bigram logprob matches hand-computed conditionals; short docs drop") {
+    import spark.implicits._
+    // corpus bigrams: "a b"×3, "b a"×1, "b c"×1 ⇒ prefix counts a→3, b→2.
+    // doc 1 ("a b a b"): ln(3/3)+ln(1/2)+ln(3/3) over 3 ⇒ ln(.5)/3
+    // doc 2 ("a b c"):   ln(3/3)+ln(1/2)   over 2 ⇒ ln(.5)/2
+    // doc 3 (one token): no bigrams — dropped, not a zero row
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogprobOf(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getLong(1) == 3L && out(1).getLong(1) == 2L)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(2) == r4(math.log(0.5) / 3))
+    assert(out(1).getDouble(2) == r4(math.log(0.5) / 2))
+  }
+
+  test("s15 k-center coreset picks one center per well-separated cluster") {
+    import spark.implicits._
+    // four tight 2-D clusters at the corners of a 10×10 square; greedy
+    // farthest-point with k=4 MUST land exactly one center in each (any
+    // doubled-up corner would leave another corner at distance ≥ 10 while
+    // the doubled pair sits within 0.2 — contradicting the argmax)
+    val pts = for {
+      (cx, cy, b) <- Seq((0.0, 0.0, 0L), (10.0, 0.0, 100L),
+        (0.0, 10.0, 200L), (10.0, 10.0, 300L))
+      i <- 0 until 5
+    } yield (b + i, Seq(cx + i * 0.05, cy - i * 0.05))
+    val emb = pts.toDF("vec_id", "v")
+    val out = Similarity.kcenterCoresetOf(emb, k = 4).collect()
+    assert(out.length == pts.length)
+    val byCorner = out.groupBy(_.getLong(0) / 100)
+    // every point assigns to a center from its own corner
+    assert(byCorner.forall { case (c, rows) =>
+      rows.forall(r => r.getLong(1) / 100 == c)
+    }, s"cross-corner assignment: ${out.mkString(";")}")
+    // the four centers are distinct corners; seed is the smallest vec_id
+    val centers = out.filter(r => r.getLong(0) == r.getLong(1))
+    assert(centers.map(_.getLong(0) / 100).toSet == Set(0L, 1L, 2L, 3L))
+    assert(centers.find(_.getInt(2) == 1).get.getLong(0) == 0L)
+    // a center's own distance is exactly zero (the dot-composition
+    // collapses: dv - 2dv + dv == +0.0 in IEEE)
+    assert(centers.forall(_.getDouble(3) == 0.0))
+    // deterministic end to end
+    val again = Similarity.kcenterCoresetOf(emb, k = 4).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 }

@@ -214,6 +214,59 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"planUpdate's no-label guard must ride the existing join, got $setOps")
   }
 
+  test("x15 builds bigrams map-side — no lag window, no hint on the vocabulary joins") {
+    // the lag-window formulation would shuffle the whole corpus on doc_id
+    // before a single count exists; the column-side build keeps the
+    // bigram explode inside the scan's stage
+    assert(broadcastHintOutputs("x15_bigram_logprob").isEmpty,
+      "bigram/prefix-count joins must stay hint-free (both sides grow)")
+    val p = plan("x15_bigram_logprob")
+    assert(!p.contains("Window"),
+      "bigrams must be built column-side, not via a lag window")
+  }
+
+  test("s15 assignment is a partial aggregate — no corpus window, no hint") {
+    val q = Queries.all("s15_kcenter_coreset")(spark, dir).queryExecution
+    val hints = q.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "the k-row center join must stay hint-free")
+    val p = q.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"),
+      "nearest-center must min-reduce via min(struct(...)), not a window")
+    // partial + final min(struct) = map-side combine before the shuffle
+    assert("Aggregate".r.findAllIn(p).length >= 2,
+      "assignment must aggregate partial+final")
+  }
+
+  test("d17 screen joins on fp/doc_id only, hint-free; islands shuffle once on doc_id") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("audit_d17").toString
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    cat.createNamespace("u")
+    val corpus = Seq((2L, "w" * 80), (4L, "y" * 80)).toDF("doc_id", "text")
+    graft.operators.SpanIndex.build(cat, spark, "u.windex", corpus)
+    val screen = graft.operators.SpanIndex.screenSpans(cat, spark, "u.windex",
+      Seq((1L, "w" * 60 + "z" * 30)).toDF("doc_id", "text"))
+    val hints = screen.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      "the stored-fp and shared-fp joins are data-dependent — no hints")
+    screen.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.foreach { j =>
+      assert(j.condition.isDefined, "no cartesian in the screen plan")
+      val refs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name)
+      assert(refs.forall(n => n == "fp" || n == "doc_id"),
+        s"screen must join on fp/doc_id only, got $refs")
+    }
+    val p = screen.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
+      "island windows must partition by doc_id")
+  }
+
   test("d13 verify tokenizes only candidate-named docs, each once (semi-restricted)") {
     // the cross-batch verify's token-set kernels (the collect_set
     // aggregates) must run over docs SEMI-JOINED to the candidate-pair

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.IceCatalog
+import graft.operators.{Dedup, SpanIndex}
+
+/** d17: the corpus window-fingerprint table — per-batch span screening
+  * equal to d12's batch recompute over the union, partition-pruned reads,
+  * accretion idempotency.
+  */
+class SpanIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.getOrCreate("graft-spanidx-test", cpus = 4)
+  lazy val root: String = Files.createTempDirectory("spanidxcat").toString
+  lazy val cat = new IceCatalog(spark, root)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("screenSpans equals d12's batch recompute over the stored ∪ batch union") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    SpanIndex.build(cat, spark, "pipe.windex", corpus)
+    val got = SpanIndex.screenSpans(cat, spark, "pipe.windex", batch)
+      .collect()
+    assert(got.nonEmpty)
+    // the incremental rule (stored-existence OR ≥2 batch docs) collapses
+    // to d12's union rule (≥2 distinct docs across stored ∪ batch) when
+    // restricted to batch docs — the operator's whole correctness claim
+    val spanExp = Dedup.dupSpansOf(docs).filter(col("doc_id") % 2 === 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val winExp = Dedup.substrDedupOf(docs).filter(col("doc_id") % 2 === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.map(_.getLong(0)).toSet == spanExp.keySet)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2)) == winExp(id),
+        s"doc $id window counts")
+      assert((r.getLong(3), r.getLong(4), r.getDouble(5)) == spanExp(id),
+        s"doc $id span report")
+    }
+    // batch docs with real duplication exist in the synthetic corpus —
+    // the differential isn't vacuously comparing zeros
+    assert(got.exists(_.getLong(2) > 0), "no duplicated windows in the fixture")
+  }
+
+  test("a one-window batch reads only its fingerprint's bucket partitions") {
+    import spark.implicits._
+    // 45 chars ⇒ exactly one 40-char window at stride 10 ⇒ one fp ⇒ one
+    // bucket: the stored scan must be a strict subset of the table's
+    // files (the streaming-ingest economics — a tiny batch must never
+    // scan a 100 TB window table end to end)
+    val one = Seq((9001L, "x" * 45)).toDF("doc_id", "text")
+    val report = SpanIndex.screenSpans(cat, spark, "pipe.windex", one)
+    report.collect()
+    val all = cat.files("pipe.windex").length
+    val scanned = report.inputFiles.count(_.contains("windex"))
+    info(s"windex files: total=$all screened-scan=$scanned")
+    assert(all >= 8, s"need a multi-file table to prove pruning, got $all")
+    assert(scanned < all,
+      s"screen must skip unprobed fp buckets ($scanned vs $all)")
+  }
+
+  test("ingestBatch accretes only new fps; a replay appends nothing") {
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val before = cat.countRows("pipe.windex")
+    val r1 = SpanIndex.ingestBatch(cat, spark, "pipe.windex", batch)
+    r1.unpersist()
+    val mid = cat.countRows("pipe.windex")
+    assert(mid > before, "fresh fingerprints must append")
+    // stored is now corpus ∪ batch: a REPLAYED batch sees every one of
+    // its windows stored (report degenerates to all-dup) and appends
+    // nothing — the anti-join absorbs checkpoint replays
+    val r2 = SpanIndex.ingestBatch(cat, spark, "pipe.windex", batch)
+    val rows = r2.collect()
+    r2.unpersist()
+    assert(cat.countRows("pipe.windex") == mid, "replay must not grow the table")
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1)),
+      "after its own fps are stored, every window of the replay is a dup")
+  }
+}

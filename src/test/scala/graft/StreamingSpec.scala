@@ -663,6 +663,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out() == Set(101L, 200L))
   }
 
+  test("streamed span screen equals the batch op per epoch; a deleted checkpoint replays as a no-op") {
+    import graft.operators.SpanIndex
+    val root = Files.createTempDirectory("sxstream").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("sx")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    SpanIndex.build(cat, spark, "sx.windex", docs.filter(col("doc_id") % 2 === 0))
+    val watch = Files.createTempDirectory("sxwatch")
+    def spool(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Paths.get(root, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val it = java.nio.file.Files.list(stage).iterator()
+      var part: java.nio.file.Path = null
+      while (it.hasNext) { val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) part = p }
+      java.nio.file.Files.move(part, watch.resolve(s"$name.parquet"))
+    }
+    def run(ck: String): Unit = Streams.watchAndSpanScreen(spark, cat,
+      "sx.windex", "sx.out", watch.toString, ck).awaitTermination()
+
+    // two serialized epochs over the odd docs: epoch 1 must screen
+    // against corpus ∪ epoch 0's accreted fingerprints
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val b0 = odd.filter(col("doc_id") < 250)
+    val b1 = odd.filter(col("doc_id") >= 250)
+    val ckpt = Files.createTempDirectory("sxckpt").toString
+    spool(b0, "b0"); run(ckpt)
+    spool(b1, "b1"); run(ckpt)
+
+    // differential: the SAME two batches through the batch op on a twin
+    // catalog must yield identical report rows and fingerprint sets
+    val cat2 = new IceCatalog(spark, Files.createTempDirectory("sxtwin").toString)
+    cat2.createNamespace("sx")
+    SpanIndex.build(cat2, spark, "sx.windex", docs.filter(col("doc_id") % 2 === 0))
+    val expected = Seq(b0, b1).flatMap { b =>
+      val r = SpanIndex.ingestBatch(cat2, spark, "sx.windex", b)
+      val rows = r.collect().map(_.toString)
+      r.unpersist()
+      rows
+    }.toSet
+    val got = cat.scan("sx.out")
+      .orderBy(col("doc_id")).collect().map(_.toString).toSet
+    assert(got == expected, "streamed reports must equal the batch op's")
+    assert(cat.scan("sx.windex").collect().map(_.getString(0)).toSet ==
+      cat2.scan("sx.windex").collect().map(_.getString(0)).toSet)
+
+    // a LOST checkpoint replays both files: every doc_id is already a
+    // report row, so the absorber publishes nothing — no degenerate
+    // all-dup reports, no duplicate fps, no new snapshots' worth of rows
+    val outBefore = cat.scan("sx.out").count()
+    val wxBefore = cat.countRows("sx.windex")
+    run(Files.createTempDirectory("sxckpt2").toString)
+    assert(cat.scan("sx.out").count() == outBefore, "replay must not re-report")
+    assert(cat.countRows("sx.windex") == wxBefore, "replay must not re-accrete")
+  }
+
   test("streaming vector ingest appends CAS'd postings; a deleted checkpoint replays as a no-op") {
     import spark.implicits._
     import graft.operators.VectorIndex
