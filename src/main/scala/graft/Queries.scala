@@ -208,6 +208,7 @@ object Queries {
     "d7_decontaminate" -> (Dedup.decontaminate _),
     "d16_contamination_index" -> (ContaminationIndex.contaminationGateQuery _),
     "d17_span_index" -> (SpanIndex.spanIndexGateQuery _),
+    "d18_suffix_array" -> ((s: SparkSession, d: String) => SuffixArray.suffixArrayGateQuery(s, d)),
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "x6_scrub" -> (TextAnalysis.scrubQuery _),
     "x8_repetition" -> (TextAnalysis.repetitionQuery _),
@@ -1093,6 +1094,18 @@ object Queries {
         |      WHERE length(text) >= 40) d0
         |LEFT JOIN agg ON d0.doc_id = agg.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
+    // the oracle SORTS the materialized suffix strings — O(L²) bytes,
+    // affordable at gate scale only; the Spark side never materializes a
+    // suffix (prefix doubling over ranks, O(L log L)). rank() semantics:
+    // ties = identical token tails. Joined-string order == token-sequence
+    // order because tokens are [a-z0-9]+ (every char above the ' ' joiner)
+    "d18_suffix_array" ->
+      s"""WITH $tokCte,
+         |s AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+         |  array_to_string(list_slice(t, pos + 1, len(t)), ' ') AS suffix
+         | FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM tok))
+         |SELECT doc_id, pos, rank() OVER (ORDER BY suffix) AS sa_rank
+         |FROM s ORDER BY sa_rank, doc_id, pos""".stripMargin,
     // the full d17 lifecycle recomputed from scratch: build(even) +
     // ingestBatch(odd) is EQUIVALENT to d12's batch rule over the
     // stored ∪ batch union restricted to the batch docs (an fp is

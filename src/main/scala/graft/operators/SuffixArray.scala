@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+import graft.functions.TextFunctions.tokens
+
+/** d18: the corpus-wide TOKEN-level suffix array, built by distributed
+  * prefix doubling (Manber–Myers 1990) — the core index of the exact
+  * substring-dedup pipeline (Lee et al. 2021, "Deduplicating Training
+  * Data Makes Language Models Better", which operates at exactly this
+  * token granularity): adjacent suffix-array entries with long common
+  * prefixes ARE the corpus's repeated passages, so the array is what an
+  * exact span-removal pass walks (d11/d12/d17 approximate the same
+  * signal with fixed-width window fingerprints; the suffix array is the
+  * exact, variable-length form).
+  *
+  * Algorithm, shaped for a cluster:
+  *  - round 0 ranks every suffix (doc_id, pos) by its FIRST token;
+  *  - round k re-ranks by the pair (rank(pos), rank(pos+k)) — one
+  *    (doc_id, pos)-keyed equi-join against the k-shifted frame, absent
+  *    neighbor → −1 (the shorter-suffix-first convention) — and doubles
+  *    k; after ⌈log₂(max tokens/doc)⌉ rounds ranks are final. The suffix
+  *    STRINGS are never materialized — total work O(L log L) over L
+  *    corpus tokens, vs the O(L²) a direct sort of suffix texts costs
+  *    (the DuckDB oracle does exactly that, affordable only at gate
+  *    scale — the equivalence proof, not the algorithm).
+  *  - [[rankBy]] is the scale piece: an order-consistent rank with NO
+  *    global-window single-partition collapse — range-repartition on the
+  *    key, sort within partitions (equal keys land in one partition, so
+  *    group boundaries never straddle partitions), then per-partition
+  *    first-row-of-group indices offset by the partition row counts (ONE
+  *    bounded collect of #partitions ints). Rank values are each group's
+  *    first global row index — exactly SQL `rank() − 1`, and prefix
+  *    doubling needs only order-consistency, not density.
+  *
+  * Output ranks carry SQL `rank()` semantics (ties share the rank; two
+  * suffixes tie iff their token tails are IDENTICAL), so the gate's
+  * oracle is one window function over the materialized suffix strings.
+  * Token-sequence order equals joined-string order because tokens()
+  * emits [a-z0-9]+ only — every token char sorts above the ' ' joiner,
+  * so no cross-granularity inversion exists.
+  */
+object SuffixArray {
+
+  private val RankSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("pos", IntegerType),
+    StructField("r", LongType)))
+
+  /** Order-consistent rank of `df`'s rows by `keyCols`: equal keys share
+    * a rank, ranks increase with key order, value = the group's first
+    * global row index. Never a global window — see the object doc. The
+    * returned frame is persisted (each doubling round reads it twice:
+    * as itself and as its own k-shift); [[suffixArrayOf]] unpersists
+    * every round at the end.
+    */
+  private def rankBy(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val np = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val cols = keyCols.map(col)
+    val sorted = df
+      .select((Seq(col("doc_id"), col("pos")) ++ cols): _*)
+      .repartitionByRange(np, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .persist()
+    val keyIdx = 2 until (2 + keyCols.length)
+    // one bounded collect: #partitions ints (the per-partition row counts
+    // that turn local first-of-group indices into global ranks)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = bc.value(pid)
+      var i = 0L
+      var groupRank = 0L
+      var prev: Seq[Any] = null
+      it.map { row =>
+        val key = keyIdx.map(row.get)
+        if (prev == null || key != prev) { groupRank = base + i; prev = key }
+        i += 1
+        Row(row.getLong(0), row.getInt(1), groupRank)
+      }
+    }
+    val out = spark.createDataFrame(ranked, RankSchema)
+    out.persist()
+    out.count() // materialize so the caller may free the sort behind it
+    sorted.unpersist()
+    out
+  }
+
+  /** The suffix array over any (doc_id, text) frame: one row per token
+    * position, `sa_rank` = the suffix's 1-based SQL-rank in the global
+    * suffix order (ties = identical token tails).
+    */
+  def suffixArrayOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val maxLen = docs
+      .select(max(size(tokens(col("text")))).as("m")).head() match {
+        case r if r.isNullAt(0) => 0
+        case r => r.getInt(0)
+      }
+    if (maxLen == 0)
+      return docs.sparkSession.createDataFrame(
+        new java.util.ArrayList[Row](), RankSchema)
+        .select(col("doc_id"), col("pos"), (col("r") + 1L).as("sa_rank"))
+    var cur = rankBy(toks, Seq("token"))
+    var k = 1
+    while (k < maxLen) {
+      val shifted = cur.select(
+        col("doc_id"), (col("pos") - k).as("pos"), col("r").as("r2"))
+      val paired = cur.withColumnRenamed("r", "r1")
+        .join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"),
+          col("r1"), coalesce(col("r2"), lit(-1L)).as("r2"))
+      val next = rankBy(paired, Seq("r1", "r2")) // materialized inside
+      cur.unpersist()
+      cur = next
+      k *= 2
+    }
+    // distributed materialization (never an O(corpus-tokens) driver
+    // collect): localCheckpoint truncates the lineage so the last
+    // round's cache can be released; blocks free with the frame
+    val fin = cur.select(col("doc_id"), col("pos"), (col("r") + 1L).as("sa_rank"))
+      .localCheckpoint(true)
+    cur.unpersist()
+    fin.orderBy(col("sa_rank"), col("doc_id"), col("pos"))
+  }
+
+  /** d18 gate: the full corpus's token-level suffix array; the oracle
+    * sorts the materialized suffix strings (O(L²) — affordable at gate
+    * scale only) and must agree rank-for-rank.
+    */
+  def suffixArrayGateQuery(spark: SparkSession, dir: String): DataFrame =
+    suffixArrayOf(graft.sources.Tables.documents(spark, dir))
+      .orderBy(col("sa_rank"), col("doc_id"), col("pos"))
+}

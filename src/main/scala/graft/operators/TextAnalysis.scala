@@ -276,9 +276,15 @@ object TextAnalysis {
   def bigramLogprobOf(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     // tokens are [a-z0-9]+ so the space-joined pair is a bijective bigram
-    // key (the first space always splits it back at the prefix)
-    val bgList = transform(sequence(lit(1), size(t) - 1),
-      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+    // key (the first space always splits it back at the prefix).
+    // zip_with against the self-shift evaluates the token array ONCE per
+    // row — an element_at(t, i) inside a transform lambda would re-run
+    // the whole split per ELEMENT, O(len²) tokenizations per doc (x14's
+    // adjacent-pair lesson); zip_with pads the shorter side with null,
+    // so the trailing (t[n], null) pair concats to null and filters out
+    val bgList = filter(
+      zip_with(t, slice(t, lit(2), size(t)), (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
     val bi = docs.filter(size(t) >= 2)
       .select(col("doc_id"), explode(bgList).as("bg"))
     val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bi"))

@@ -1071,6 +1071,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getDouble(2) == r4(math.log(0.5) / 2))
   }
 
+  test("d18 suffix array matches a from-scratch driver-side suffix sort, ties included") {
+    import spark.implicits._
+    // fixture with real structure: repeated passages (docs 1/2 share a
+    // tail, 3 duplicates 1 exactly — every suffix of 3 TIES one of 1),
+    // a prefix-of-another suffix case, and an empty doc
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a different start jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the the the"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = operators.SuffixArray.suffixArrayOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // reference: materialize every token suffix, SQL rank() = 1 + count
+    // of strictly-smaller suffixes (token-sequence order)
+    val toks = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "a different start jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the lazy dog",
+      4L -> "the the the",
+      5L -> "").map { case (id, t) =>
+      id -> t.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }
+    val sufs = for {
+      (id, ts) <- toks; p <- ts.indices
+    } yield (id, p, ts.drop(p))
+    import scala.math.Ordering.Implicits._
+    val expected = sufs.map { case (id, p, s) =>
+      (id, p, 1L + sufs.count(_._3 < s))
+    }.sortBy(x => (x._3, x._1, x._2))
+    assert(got.toSeq == expected,
+      s"first divergence: ${got.toSeq.zip(expected).find(x => x._1 != x._2)}")
+    // ties exist by construction (doc 3 == doc 1) and share ranks
+    assert(expected.groupBy(_._3).exists(_._2.length >= 2))
+    // determinism
+    val again = operators.SuffixArray.suffixArrayOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("s15 k-center coreset picks one center per well-separated cluster") {
     import spark.implicits._
     // four tight 2-D clusters at the corners of a 10×10 square; greedy
