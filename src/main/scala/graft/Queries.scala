@@ -209,6 +209,7 @@ object Queries {
     "d16_contamination_index" -> (ContaminationIndex.contaminationGateQuery _),
     "d17_span_index" -> (SpanIndex.spanIndexGateQuery _),
     "d18_suffix_array" -> ((s: SparkSession, d: String) => SuffixArray.suffixArrayGateQuery(s, d)),
+    "d19_repeat_stats" -> (SuffixArray.repeatStatsGateQuery _),
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "x6_scrub" -> (TextAnalysis.scrubQuery _),
     "x8_repetition" -> (TextAnalysis.repetitionQuery _),
@@ -1106,6 +1107,33 @@ object Queries {
          | FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM tok))
          |SELECT doc_id, pos, rank() OVER (ORDER BY suffix) AS sa_rank
          |FROM s ORDER BY sa_rank, doc_id, pos""".stripMargin,
+    // adjacent-suffix LCPs over the materialized suffix order (the Spark
+    // side computes the same values by binary lifting over the doubling
+    // ranks, never touching suffix text); per-suffix repeat length =
+    // max(LCP with the previous SA entry, with the next)
+    "d19_repeat_stats" ->
+      s"""WITH $tokCte,
+         |s AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+         |  list_slice(t, pos + 1, len(t)) AS suf,
+         |  array_to_string(list_slice(t, pos + 1, len(t)), ' ') AS sufs
+         | FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM tok)),
+         |o AS (SELECT doc_id, pos, suf, sufs,
+         |  lead(suf) OVER (ORDER BY sufs, doc_id, pos) AS nsuf
+         | FROM s),
+         |l AS (SELECT doc_id, pos, sufs,
+         |  CASE WHEN nsuf IS NULL THEN NULL ELSE
+         |    coalesce(list_filter(range(1, least(len(suf), len(nsuf)) + 1),
+         |      i -> suf[i] <> nsuf[i])[1] - 1, least(len(suf), len(nsuf)))
+         |  END AS nl
+         | FROM o),
+         |v AS (SELECT doc_id, pos,
+         |  greatest(coalesce(nl, 0), coalesce(lag(nl)
+         |    OVER (ORDER BY sufs, doc_id, pos), 0)) AS lcp
+         | FROM l)
+         |SELECT doc_id, count(*) AS n_suffixes,
+         | CAST(max(lcp) AS BIGINT) AS max_repeat,
+         | round(avg(CAST(lcp AS DOUBLE)), 4) AS avg_lcp
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the full d17 lifecycle recomputed from scratch: build(even) +
     // ingestBatch(odd) is EQUIVALENT to d12's batch rule over the
     // stored ∪ batch union restricted to the batch docs (an fp is

@@ -93,11 +93,13 @@ object SuffixArray {
     out
   }
 
-  /** The suffix array over any (doc_id, text) frame: one row per token
-    * position, `sa_rank` = the suffix's 1-based SQL-rank in the global
-    * suffix order (ties = identical token tails).
+  /** The doubling rounds' rank tables: `levels(ℓ)` ranks every suffix by
+    * its first 2^ℓ tokens — the final entry is the suffix array itself,
+    * and the intermediate levels are exactly what binary-lifting LCP
+    * queries ([[repeatStatsOf]]) walk. Every frame is persisted; callers
+    * unpersist all of them when done.
     */
-  def suffixArrayOf(docs: DataFrame): DataFrame = {
+  private def buildLevels(docs: DataFrame): Seq[DataFrame] = {
     val toks = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
     val maxLen = docs
@@ -105,11 +107,9 @@ object SuffixArray {
         case r if r.isNullAt(0) => 0
         case r => r.getInt(0)
       }
-    if (maxLen == 0)
-      return docs.sparkSession.createDataFrame(
-        new java.util.ArrayList[Row](), RankSchema)
-        .select(col("doc_id"), col("pos"), (col("r") + 1L).as("sa_rank"))
+    if (maxLen == 0) return Seq.empty
     var cur = rankBy(toks, Seq("token"))
+    val levels = scala.collection.mutable.ArrayBuffer(cur)
     var k = 1
     while (k < maxLen) {
       val shifted = cur.select(
@@ -118,17 +118,31 @@ object SuffixArray {
         .join(shifted, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"),
           col("r1"), coalesce(col("r2"), lit(-1L)).as("r2"))
-      val next = rankBy(paired, Seq("r1", "r2")) // materialized inside
-      cur.unpersist()
-      cur = next
+      cur = rankBy(paired, Seq("r1", "r2")) // materialized inside
+      levels += cur
       k *= 2
     }
+    levels.toSeq
+  }
+
+  private def emptySa(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), RankSchema)
+      .select(col("doc_id"), col("pos"), (col("r") + 1L).as("sa_rank"))
+
+  /** The suffix array over any (doc_id, text) frame: one row per token
+    * position, `sa_rank` = the suffix's 1-based SQL-rank in the global
+    * suffix order (ties = identical token tails).
+    */
+  def suffixArrayOf(docs: DataFrame): DataFrame = {
+    val levels = buildLevels(docs)
+    if (levels.isEmpty) return emptySa(docs.sparkSession)
     // distributed materialization (never an O(corpus-tokens) driver
-    // collect): localCheckpoint truncates the lineage so the last
-    // round's cache can be released; blocks free with the frame
-    val fin = cur.select(col("doc_id"), col("pos"), (col("r") + 1L).as("sa_rank"))
+    // collect): localCheckpoint truncates the lineage so the rounds'
+    // caches can be released; blocks free with the frame
+    val fin = levels.last
+      .select(col("doc_id"), col("pos"), (col("r") + 1L).as("sa_rank"))
       .localCheckpoint(true)
-    cur.unpersist()
+    levels.foreach(_.unpersist())
     fin.orderBy(col("sa_rank"), col("doc_id"), col("pos"))
   }
 
@@ -139,4 +153,134 @@ object SuffixArray {
   def suffixArrayGateQuery(spark: SparkSession, dir: String): DataFrame =
     suffixArrayOf(graft.sources.Tables.documents(spark, dir))
       .orderBy(col("sa_rank"), col("doc_id"), col("pos"))
+
+  /** Adjacent pairs of the suffix order (r, doc_id, pos) — (doc1, pos1)
+    * immediately before (doc2, pos2). No global window: range-repartition
+    * + within-partition sliding pairs, with the cross-boundary pairs
+    * stitched from each partition's FIRST row (one bounded #partitions
+    * collect, broadcast back). Result is localCheckpointed (distributed);
+    * the sort behind it is freed before returning.
+    */
+  private def adjacentPairs(sa: DataFrame): DataFrame = {
+    val spark = sa.sparkSession
+    val np = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val ord = Seq(col("r"), col("doc_id"), col("pos"))
+    val sorted = sa.repartitionByRange(np, ord: _*).sortWithinPartitions(ord: _*)
+      .select(col("doc_id"), col("pos")).persist()
+    sorted.count()
+    val firsts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.hasNext) { val r = it.next(); Iterator((pid, (r.getLong(0), r.getInt(1)))) }
+      else Iterator.empty
+    }.collect().toMap
+    val bc = spark.sparkContext.broadcast(firsts)
+    val pairRows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      def nextFirst: Option[(Long, Int)] = {
+        val later = bc.value.keys.filter(_ > pid)
+        if (later.isEmpty) None else bc.value.get(later.min)
+      }
+      var prev: (Long, Int) = null
+      val within = it.flatMap { row =>
+        val cur = (row.getLong(0), row.getInt(1))
+        val out =
+          if (prev == null) Iterator.empty
+          else Iterator(Row(prev._1, prev._2, cur._1, cur._2))
+        prev = cur
+        out
+      }
+      def boundary: Iterator[Row] = (Option(prev), nextFirst) match {
+        case (Some(p), Some(nf)) => Iterator(Row(p._1, p._2, nf._1, nf._2))
+        case _ => Iterator.empty
+      }
+      within ++ boundary
+    }
+    val pairs = spark.createDataFrame(pairRows, StructType(Seq(
+      StructField("doc1", LongType), StructField("pos1", IntegerType),
+      StructField("doc2", LongType), StructField("pos2", IntegerType))))
+      .localCheckpoint(true)
+    sorted.unpersist()
+    pairs
+  }
+
+  /** LCP (in tokens) of every pair by BINARY LIFTING over the doubling
+    * levels — never a suffix-string comparison: for ℓ descending, if both
+    * suffixes' level-ℓ ranks at offset lcp agree (one (doc, pos+lcp)-keyed
+    * equi-join per side), the common prefix extends by 2^ℓ. Rank equality
+    * with an in-window suffix end means the tails are identical there, so
+    * the only overshoot is past the suffix ends — capped once at the end
+    * by the doc lengths.
+    */
+  private def lcpOfPairs(
+      pairs: DataFrame, levels: Seq[DataFrame], lens: DataFrame): DataFrame = {
+    var cur = pairs.withColumn("lcp", lit(0))
+    for (l <- levels.indices.reverse) {
+      val step = 1 << l
+      val ra = levels(l).select(
+        col("doc_id").as("doc1"), col("pos").as("posA"), col("r").as("ra"))
+      val rb = levels(l).select(
+        col("doc_id").as("doc2"), col("pos").as("posB"), col("r").as("rb"))
+      cur = cur
+        .withColumn("posA", col("pos1") + col("lcp"))
+        .withColumn("posB", col("pos2") + col("lcp"))
+        .join(ra, Seq("doc1", "posA"), "left")
+        .join(rb, Seq("doc2", "posB"), "left")
+        .withColumn("lcp", col("lcp") + when(
+          col("ra").isNotNull && col("rb").isNotNull && col("ra") === col("rb"),
+          lit(step)).otherwise(lit(0)))
+        .drop("posA", "posB", "ra", "rb")
+    }
+    cur
+      .join(lens.select(col("doc_id").as("doc1"), col("len").as("len1")), Seq("doc1"))
+      .join(lens.select(col("doc_id").as("doc2"), col("len").as("len2")), Seq("doc2"))
+      .select(col("doc1"), col("pos1"), col("doc2"), col("pos2"),
+        least(col("lcp"), col("len1") - col("pos1"), col("len2") - col("pos2"))
+          .as("lcp"))
+  }
+
+  /** d19: per-doc REPEATED-PASSAGE statistics off the suffix array — for
+    * every suffix, the longest prefix it shares with ANY other corpus
+    * suffix is achieved at an SA-adjacent entry (the classic property),
+    * so per-suffix repeat length = max(LCP with the previous entry, LCP
+    * with the next). Per doc: suffix count, the longest passage occurring
+    * ≥2 times anywhere in the corpus (max_repeat — THE Lee-et-al exact
+    * signal d11/d17 approximate with fixed windows), and the mean repeat
+    * length (avg_lcp — a per-doc redundancy score). O(L log L) end to
+    * end: the array by prefix doubling, adjacency without a global
+    * window, LCPs by binary lifting over the retained level ranks — no
+    * suffix text is ever materialized or compared.
+    */
+  def repeatStatsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val levels = buildLevels(docs)
+    if (levels.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_suffixes", LongType),
+          StructField("max_repeat", LongType),
+          StructField("avg_lcp", org.apache.spark.sql.types.DoubleType))))
+    val sa = levels.last
+    val lens = docs.select(col("doc_id"), size(tokens(col("text"))).as("len"))
+    val lcp = lcpOfPairs(adjacentPairs(sa), levels, lens)
+    val perSuffix = lcp
+      .select(col("doc1").as("doc_id"), col("pos1").as("pos"), col("lcp"))
+      .union(lcp.select(col("doc2").as("doc_id"), col("pos2").as("pos"), col("lcp")))
+      .groupBy(col("doc_id"), col("pos")).agg(max(col("lcp")).as("lcp"))
+    val out = sa.select(col("doc_id"), col("pos"))
+      .join(perSuffix, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), coalesce(col("lcp"), lit(0)).as("lcp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_suffixes"),
+        max(col("lcp")).cast("long").as("max_repeat"),
+        round(avg(col("lcp").cast("double")), 4).as("avg_lcp"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    levels.foreach(_.unpersist())
+    out.orderBy(col("doc_id"))
+  }
+
+  /** d19 gate. */
+  def repeatStatsGateQuery(spark: SparkSession, dir: String): DataFrame =
+    repeatStatsOf(graft.sources.Tables.documents(spark, dir))
 }

@@ -1111,6 +1111,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("d19 repeat stats match a brute-force all-pairs LCP over every suffix") {
+    import spark.implicits._
+    // the brute force compares EVERY suffix pair; the operator only ever
+    // looks at SA-adjacent pairs via binary-lifted ranks — agreement
+    // proves both the adjacency property and the lifting. Fixture: an
+    // exact duplicate (1/3), a shared tail (2), internal repetition (4)
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a different start jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "spam spam spam spam ham"),
+      (5L, "singleton"))
+    val got = operators.SuffixArray.repeatStatsOf(fixture.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val toks = fixture.map { case (id, t) =>
+      id -> t.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq }
+    val sufs = for { (id, ts) <- toks; p <- ts.indices } yield (id, p, ts.drop(p))
+    def lcpOf(a: Seq[String], b: Seq[String]): Int =
+      a.zip(b).takeWhile(x => x._1 == x._2).length
+    val expected = sufs.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, ss) =>
+      val per = ss.map { case (_, p, s) =>
+        sufs.collect { case (oid, op, os) if (oid, op) != (id, p) => lcpOf(s, os) }
+          .foldLeft(0)(math.max)
+      }
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ss.length.toLong, per.max.toLong, r4(per.sum.toDouble / per.length))
+    }
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexp $expected")
+    // the exact duplicate's whole text is a max_repeat (9 tokens); spam
+    // doc self-repeats (internal repetition counts)
+    assert(expected.find(_._1 == 1L).get._3 == 9L)
+    assert(expected.find(_._1 == 4L).get._3 == 3L)
+  }
+
   test("s15 k-center coreset picks one center per well-separated cluster") {
     import spark.implicits._
     // four tight 2-D clusters at the corners of a 10×10 square; greedy
