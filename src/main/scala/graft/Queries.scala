@@ -210,6 +210,7 @@ object Queries {
     "d17_span_index" -> (SpanIndex.spanIndexGateQuery _),
     "d18_suffix_array" -> ((s: SparkSession, d: String) => SuffixArray.suffixArrayGateQuery(s, d)),
     "d19_repeat_stats" -> (SuffixArray.repeatStatsGateQuery _),
+    "d20_span_rewrite" -> ((s: SparkSession, d: String) => Dedup.spanRewrite(s, d)),
     "d8_dedup_clusters" -> (Dedup.dedupClusters _),
     "x6_scrub" -> (TextAnalysis.scrubQuery _),
     "x8_repetition" -> (TextAnalysis.repetitionQuery _),
@@ -1107,6 +1108,47 @@ object Queries {
          | FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM tok))
          |SELECT doc_id, pos, rank() OVER (ORDER BY suffix) AS sa_rank
          |FROM s ORDER BY sa_rank, doc_id, pos""".stripMargin,
+    // the rewrite's keeper rule (min (doc_id, start) per fp) replays as a
+    // per-fp row_number; islands + the ordered piece stitch are d12's
+    // shapes; output covers EVERY doc (no-cut and short docs pass through
+    // byte-identical, so new_fp == md5(text) there)
+    "d20_span_rewrite" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(i * 10 AS INT) AS s0, CAST(i * 10 + 40 AS INT) AS e0,
+        |    md5(substr(text, CAST(i * 10 + 1 AS INT), 40)) AS fp
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, ((length(text) - 40) // 10) + 1)) AS i
+        |        FROM documents WHERE length(text) >= 40)),
+        |m AS (SELECT doc_id, s0, e0 FROM (
+        |    SELECT doc_id, s0, e0,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, s0) AS rn FROM w)
+        |  WHERE rn > 1),
+        |fl AS (SELECT doc_id, s0, e0,
+        |  CASE WHEN s0 > coalesce(max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS flag FROM m),
+        |isl AS (SELECT doc_id, s0, e0,
+        |  sum(flag) OVER (PARTITION BY doc_id ORDER BY s0
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM fl),
+        |sp AS (SELECT doc_id, island, min(s0) AS s, max(e0) AS e
+        |  FROM isl GROUP BY 1, 2),
+        |pc AS (SELECT doc_id, s, e,
+        |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS p_from
+        | FROM sp),
+        |st AS (SELECT pc.doc_id,
+        |  string_agg(substr(text, p_from + 1, s - p_from), '' ORDER BY s) AS head,
+        |  max(e) AS last_e, sum(e - s) AS cut_chars
+        | FROM pc JOIN documents USING (doc_id) GROUP BY pc.doc_id)
+        |SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS orig_len,
+        | CAST(cut_chars AS BIGINT) AS cut_chars,
+        | CAST(length(new_text) AS BIGINT) AS new_len,
+        | md5(new_text) AS new_fp
+        |FROM (SELECT d.doc_id, d.text, coalesce(st.cut_chars, 0) AS cut_chars,
+        |   CASE WHEN last_e IS NULL THEN d.text
+        |        ELSE head || substr(d.text, last_e + 1) END AS new_text
+        |  FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // adjacent-suffix LCPs over the materialized suffix order (the Spark
     // side computes the same values by binary lifting over the doubling
     // ranks, never touching suffix text); per-suffix repeat length =

@@ -771,6 +771,90 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d20: the span-removal REWRITE — the step d11/d12 feed (Lee et al.'s
+    * actual output): every duplicated window keeps its GLOBALLY FIRST
+    * occurrence (min (doc_id, start) over the fp's occurrences — self
+    * repeats within one doc count, their first copy survives) and every
+    * other occurrence is cut; marked windows merge gaps-and-islands into
+    * maximal spans, and each doc's kept pieces stitch back into the
+    * deduplicated text. Output fingerprints the rewritten corpus.
+    *
+    * Scale shape: keeper choice is ONE partial-aggregable
+    * min(struct(doc_id, start)) per fp (no window over the corpus-wide
+    * fp groups), islands + stitching are doc-keyed (two shuffles total:
+    * fp, then doc_id); the stitch itself is an ordered in-group
+    * concat — O(spans per doc), never a per-char loop. Docs shorter than
+    * the window, and docs whose every window is a keeper, pass through
+    * byte-identical (new_fp == md5(text)).
+    */
+  def spanRewrite(spark: SparkSession, dir: String,
+      k: Int = SubstrK, stride: Int = SubstrStride): DataFrame =
+    spanRewriteOf(graft.sources.Tables.documents(spark, dir), k, stride)
+
+  /** d20 over any (doc_id, text) frame — the testable seam. */
+  def spanRewriteOf(input: DataFrame, k: Int = SubstrK,
+      stride: Int = SubstrStride): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = input.filter(length(col("text")) >= k)
+    val nWin = floor((length(col("text")) - lit(k)).cast("double") / lit(stride))
+      .cast("int")
+    val w = base.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), nWin),
+        i => md5(col("text").substr(i * lit(stride) + lit(1), lit(k)))))
+        .as(Seq("i", "fp")))
+      .select(col("doc_id"), (col("i") * stride).as("start"),
+        (col("i") * stride + k).as("end"), col("fp"))
+    // keeper = the fp's first occurrence; an fp with one occurrence has
+    // only its keeper, so no count filter is needed — non-keepers exist
+    // iff the fp repeats
+    val keepers = w.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("keep"))
+    val marked = w.join(keepers, Seq("fp"))
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("start") === col("keep.start")))
+      .select(col("doc_id"), col("start"), col("end"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val prevMaxEnd = max(col("end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = marked
+      .withColumn("flag",
+        when(col("start") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("flag")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+    // stitch: pieces between consecutive spans (+ the tail after the
+    // last), ordered concat per doc — the lag is a window over each
+    // doc's SPANS (bounded by doc length / stride), never the corpus
+    val prevE = lag(col("e"), 1).over(byDoc.orderBy(col("s")))
+    val pieces = spans.join(input.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("p_from", coalesce(prevE, lit(0)))
+      .select(col("doc_id"), col("s"), col("e"),
+        col("text").substr(col("p_from") + 1, col("s") - col("p_from")).as("piece"))
+    val stitched = pieces
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("s"), col("piece")))),
+          x => x.getField("piece"))).as("head"),
+        max(col("e")).as("last_e"),
+        sum(col("e") - col("s")).as("cut_chars"))
+    input.select(col("doc_id"), col("text"))
+      .join(stitched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("orig_len"),
+        coalesce(col("cut_chars"), lit(0L)).cast("long").as("cut_chars"),
+        when(col("last_e").isNull, col("text"))
+          .otherwise(concat(col("head"), col("text").substr(col("last_e") + 1, length(col("text")))))
+          .as("new_text"))
+      .select(col("doc_id"), col("orig_len"), col("cut_chars"),
+        length(col("new_text")).cast("long").as("new_len"),
+        md5(col("new_text")).as("new_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-pairs: hamming distance ≤ maxDist, candidates blocked by
     * 4-way band split of the fingerprint (docs agreeing on any 15-bit band).
     */

@@ -1111,6 +1111,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("d20 span rewrite cuts every non-first occurrence and stitches the rest back") {
+    import spark.implicits._
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val A = (0 until 80).map(i => ('a' + i % 26).toChar).mkString   // no self-period at stride 10
+    val tail40 = (0 until 40).map(i => ('0' + i % 10).toChar).mkString
+    val X = "abcdefghij" * 8                                        // period 10: every window equal
+    val docs = Seq(
+      (1L, A),                 // keeper of every shared window
+      (2L, A),                 // exact copy: fully cut
+      (3L, A.take(60) + tail40), // shared 60-char prefix: cut [0,60), tail kept
+      (4L, "short text"),      // < window: pass-through
+      (5L, X)                  // self-periodic: keeper window [0,40), rest cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRewriteOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == (80L, 0L, 80L, md5(A)), "the keeper doc is untouched")
+    assert(out(2L) == (80L, 80L, 0L, md5("")), "an exact copy rewrites to empty")
+    assert(out(3L) == (100L, 60L, 40L, md5(tail40)),
+      "the shared prefix cuts; the novel tail stitches back")
+    assert(out(4L) == (10L, 0L, 10L, md5("short text")),
+      "sub-window docs pass through byte-identical")
+    // period-10 text: every window's fp equals the first's, so the merged
+    // non-keeper span is [10, 80) — the first period survives
+    assert(out(5L) == (80L, 70L, 10L, md5("abcdefghij")),
+      s"self-repetition keeps its first occurrence: ${out(5L)}")
+    // determinism
+    val again = Dedup.spanRewriteOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out.map { case (k, v) => k -> v._4 } == again)
+  }
+
   test("d19 repeat stats match a brute-force all-pairs LCP over every suffix") {
     import spark.implicits._
     // the brute force compares EVERY suffix pair; the operator only ever
