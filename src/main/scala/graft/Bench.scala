@@ -48,7 +48,7 @@ object Bench {
     "t13_sql_merge", "t14_incremental", "t15_pos_delete",
     "s11_table_ann", "s13_table_ivfpq", "d14_ingest_dedup",
     "p2_lakehouse_pipeline", "d15_cluster_maintain", "e8_stream_clusters",
-    "s14_filtered_ann", "d16_contamination_index")
+    "s14_filtered_ann", "d16_contamination_index", "d17_span_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

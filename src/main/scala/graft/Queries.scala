@@ -1154,7 +1154,9 @@ object Queries {
     // ranks, never touching suffix text); per-suffix repeat length =
     // max(LCP with the previous SA entry, with the next)
     "d19_repeat_stats" ->
-      s"""WITH $tokCte,
+      s"""WITH tok AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id % 2 = 0),
          |s AS (SELECT doc_id, CAST(pos AS INT) AS pos,
          |  list_slice(t, pos + 1, len(t)) AS suf,
          |  array_to_string(list_slice(t, pos + 1, len(t)), ' ') AS sufs

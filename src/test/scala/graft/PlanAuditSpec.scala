@@ -267,6 +267,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "island windows must partition by doc_id")
   }
 
+  test("d20 keeper choice is a partial aggregate; joins key on fp/doc_id, hint-free") {
+    val q = Queries.all("d20_span_rewrite")(spark, dir).queryExecution
+    val hints = q.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "the fp-keeper join is data-dependent — no hints")
+    q.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.foreach { j =>
+      assert(j.condition.isDefined, "no cartesian in the rewrite plan")
+      // the keeper-exclusion filter legitimately folds INTO the join
+      // condition (keep/start refs); what must never appear is a block
+      // column — text joins would be the O(corpus²) shape
+      val refs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name)
+      assert(refs.forall(n =>
+        n == "fp" || n == "doc_id" || n == "keep" || n == "start" || n == "s"),
+        s"rewrite join refs carry a block column: $refs")
+    }
+    // keeper min(struct) aggregates partial+final — never a row_number
+    // window over the corpus-wide fp groups
+    val p = q.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("row_number"),
+      "keeper choice must be min(struct), not a per-fp window")
+  }
+
   test("d13 verify tokenizes only candidate-named docs, each once (semi-restricted)") {
     // the cross-batch verify's token-set kernels (the collect_set
     // aggregates) must run over docs SEMI-JOINED to the candidate-pair
