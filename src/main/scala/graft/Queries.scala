@@ -197,6 +197,7 @@ object Queries {
     "s13_table_ivfpq" -> (VectorIndex.tablePqGateQuery _),
     "s14_filtered_ann" -> (VectorIndex.filteredAnnGateQuery _),
     "s15_kcenter_coreset" -> ((s: SparkSession, d: String) => Similarity.kcenterCoreset(s, d)),
+    "s16_mmr_rerank" -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
     "s8_ivfpq_ann" -> ((s: SparkSession, d: String) => Similarity.ivfPqAnn(s, d)),
     "d9_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "s5_quantize" -> (Similarity.quantize _),
@@ -826,6 +827,42 @@ object Queries {
          |SELECT vec_id, cid AS center_id, sel_rank,
          | round(d2, 4) + 0.0 AS dist2
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+    // MMR's k selection rounds unroll like s15's; every score is
+    // normalized `+ 0.0` before ordering (signed-zero-proof), and the
+    // (1 - 0.7) redundancy weight is written as the same SUBTRACTION the
+    // Spark side computes — a 0.3 literal would differ in the last ulp
+    "s16_mmr_rerank" -> {
+      val rounds = (1 to 5).map { t =>
+        val pr = s"r${t - 1}"
+        s"""p$t AS (SELECT q_id, vec_id AS pid, vn AS pv FROM (
+           |  SELECT q_id, vec_id, vn, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY 0.7*simq - (1 - 0.7)*maxsel + 0.0 DESC, vec_id) AS rn
+           |  FROM $pr WHERE pick IS NULL) WHERE rn = 1),
+           |r$t AS (SELECT r.q_id, r.vec_id, r.vn, r.simq,
+           |  CASE WHEN r.vec_id = p.pid THEN r.maxsel
+           |       ELSE greatest(r.maxsel,
+           |         list_dot_product(r.vn, p.pv) + 0.0) END AS maxsel,
+           |  CASE WHEN r.vec_id = p.pid THEN $t ELSE r.pick END AS pick
+           | FROM $pr r JOIN p$t p USING (q_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id,
+         |  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+         |q AS (SELECT vec_id AS q_id, vn AS qvn FROM n WHERE vec_id < 5),
+         |c AS (SELECT vec_id, vn FROM n WHERE vec_id >= 5),
+         |s0 AS (SELECT q_id, c.vec_id, c.vn,
+         |  list_dot_product(qvn, c.vn) + 0.0 AS simq FROM c CROSS JOIN q),
+         |r0 AS (SELECT q_id, vec_id, vn, simq,
+         |  CAST(-2 AS DOUBLE) AS maxsel, CAST(NULL AS INT) AS pick
+         | FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |     ORDER BY simq DESC, vec_id) AS rk FROM s0)
+         | WHERE rk <= 20),
+         |$rounds
+         |SELECT q_id, pick AS rank, vec_id AS neighbor_id,
+         | round(simq, 4) + 0.0 AS score
+         |FROM r5 WHERE pick IS NOT NULL ORDER BY q_id, rank""".stripMargin
     },
     "s1_cosine_topk" ->
       """WITH e AS (SELECT vec_id,

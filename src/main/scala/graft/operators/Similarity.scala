@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{asDouble, dot, norm, pqEncode}
+import graft.functions.VectorFunctions.{asDouble, dot, norm, normalize, pqEncode}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the embedding column.
@@ -781,6 +781,82 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("rank"),
         (round(col("score"), 4) + lit(0.0)).as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s16: Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the retrieval-side diversity op: from each query's exact
+    * top-N cosine candidates, select k results ITERATIVELY by
+    * `λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` — relevance traded
+    * against redundancy with what's already picked, so near-duplicate
+    * hits stop crowding the result list (the serving-time complement of
+    * the dedup family: d6 removes stored near-dups, MMR suppresses
+    * residual ones per query).
+    *
+    * Deterministic and STRICT despite the iterative argmax (the
+    * s15 discipline): unit-normalize-then-dot sims (the s14 precedent),
+    * per-round scores normalized with `+ 0.0` (signed-zero-proof
+    * ordering), ties to the smallest vec_id, and the oracle unrolls the
+    * k rounds as a generated CTE chain replaying every IEEE op.
+    *
+    * Scale shape: FULLY distributed — zero driver collects (unlike
+    * s15's one-row-per-round reduction): each round's per-query argmax
+    * is a partial-aggregable `min(struct(negscore, vec_id, v))` and the
+    * state update one q_id-keyed join against the k·|queries|-row pick
+    * frame (AQE broadcasts it); the candidate stage is s1's
+    * broadcast-queries top-N window. k rounds stack k joins over an
+    * N·|queries|-row frame — bounded by the serving batch, never the
+    * corpus.
+    */
+  def mmrRerank(spark: SparkSession, dir: String,
+      topN: Int = 20, k: Int = 5, lambda: Double = 0.7): DataFrame =
+    mmrRerankOf(Tables.embeddings(spark, dir), topN, k, lambda)
+
+  /** s16 over any (vec_id, embedding) frame — the testable seam. Queries
+    * are vec_id < 5, candidates the rest (the s1/s14 gate convention).
+    */
+  def mmrRerankOf(emb: DataFrame,
+      topN: Int, k: Int, lambda: Double): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), normalize(asDouble(col("embedding"))).as("vn"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"))
+    val cands = e.filter(col("vec_id") >= 5)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("simq").desc, col("vec_id").asc)
+    var cur = cands.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"), col("vn"),
+        (dot(col("qvn"), col("vn")) + lit(0.0)).as("simq"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN).drop("rk")
+      .withColumn("maxsel", lit(-2.0))
+      .withColumn("pick", lit(null).cast("int"))
+    val score = lit(lambda) * col("simq") - lit(1 - lambda) * col("maxsel") + lit(0.0)
+    for (t <- 1 to k) {
+      val pick = cur.filter(col("pick").isNull)
+        .select(col("q_id"),
+          struct((-score) + lit(0.0), col("vec_id"), col("vn")).as("c"))
+        .groupBy(col("q_id")).agg(min(col("c")).as("best"))
+        .select(col("q_id"),
+          col("best").getField("vec_id").as("pid"),
+          col("best").getField("vn").as("pv"))
+      cur = cur.join(pick, Seq("q_id"))
+        .select(col("q_id"), col("vec_id"), col("vn"), col("simq"),
+          when(col("vec_id") === col("pid"), col("maxsel"))
+            .otherwise(greatest(col("maxsel"),
+              dot(col("vn"), col("pv")) + lit(0.0))).as("maxsel"),
+          when(col("vec_id") === col("pid"), lit(t))
+            .otherwise(col("pick")).as("pick"))
+        // cur feeds BOTH next round's pick subquery and its join — left
+        // un-truncated the plan tree doubles per round (2^k subtree
+        // copies); one distributed materialization per round keeps the
+        // loop linear (the frame is topN·|queries| rows — tiny)
+        .localCheckpoint(true)
+    }
+    cur.filter(col("pick").isNotNull)
+      .select(col("q_id"), col("pick").as("rank"),
+        col("vec_id").as("neighbor_id"),
+        (round(col("simq"), 4) + lit(0.0)).as("score"))
       .orderBy(col("q_id"), col("rank"))
   }
 

@@ -1143,6 +1143,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map { case (k, v) => k -> v._4 } == again)
   }
 
+  test("s16 MMR suppresses near-duplicate hits a plain top-k would stack") {
+    import spark.implicits._
+    // query 0 at e1; candidates: three near-copies hugging e1 (plain
+    // top-3 = all three) and one decent e2-leaning hit. MMR at λ=0.7
+    // must pick ONE of the copies first, then prefer the diverse hit
+    // over the remaining copies.
+    // a CLUSTER of near-copies off to one side of the query (sims
+    // 0.80-0.82 to q, ~1.0 to each other) and an equally-relevant hit on
+    // the OTHER side (sim 0.80 to q but only ~0.31 to the cluster):
+    // plain top-3 stacks the cluster; MMR's round 2 must cross over
+    def v(x: Double, y: Double, z: Double) = Seq(x, y, z)
+    val emb = Seq(
+      (0L, v(1, 0, 0)),           // the query
+      (10L, v(0.82, 0.572, 0)),   // cluster A (best sim ≈ 0.820)
+      (11L, v(0.81, 0.586, 0)),   // cluster B (≈ 0.810)
+      (12L, v(0.80, 0.600, 0)),   // cluster C (= 0.800)
+      (20L, v(0.80, -0.600, 0))   // diverse, equally relevant (= 0.800)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerankOf(emb, topN = 4, k = 3, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val picks = out.sortBy(_._2).map(_._3).toSeq
+    assert(picks == Seq(10L, 20L, 11L),
+      s"argmax, then the diverse side, then back to the cluster: $picks")
+    // determinism
+    val again = Similarity.mmrRerankOf(emb, topN = 4, k = 3, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("d19 repeat stats match a brute-force all-pairs LCP over every suffix") {
     import spark.implicits._
     // the brute force compares EVERY suffix pair; the operator only ever
