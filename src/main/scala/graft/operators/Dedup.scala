@@ -730,34 +730,37 @@ object Dedup {
       k: Int = SubstrK, stride: Int = SubstrStride): DataFrame =
     dupSpansOf(Tables.documents(spark, dir), k, stride)
 
-  /** d12 over any (doc_id, text) frame — the testable seam. */
-  def dupSpansOf(input: DataFrame, k: Int = SubstrK,
-      stride: Int = SubstrStride): DataFrame = {
+  /** Merge duplicated (doc_id, start, end) windows into MAXIMAL per-doc
+    * spans — d12's gaps-and-islands (overlapping because stride < k):
+    * two window functions over ONE doc_id-keyed shuffle. The single
+    * shared copy d12, d17's screen, and d20's rewrite all cut with (the
+    * spec-pinned d12≡d17 and d12-feeds-d20 equivalences depend on this
+    * staying one definition).
+    */
+  private[operators] def mergeIslands(marked: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = input.filter(length(col("text")) >= k)
-    val nWin = floor((length(col("text")) - lit(k)).cast("double") / lit(stride))
-      .cast("int")
-    val w = base.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), nWin),
-        i => md5(col("text").substr(i * lit(stride) + lit(1), lit(k)))))
-        .as(Seq("i", "fp")))
-      .select(col("doc_id"), (col("i") * stride).as("start"),
-        (col("i") * stride + k).as("end"), col("fp"))
-    val sharedFps = w.select(col("fp"), col("doc_id")).distinct()
-      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2).select(col("fp"))
-    val dupW = w.join(sharedFps, Seq("fp"), "left_semi")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     val prevMaxEnd = max(col("end"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = dupW
+    marked
       .withColumn("flag",
         when(col("start") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
       .withColumn("island",
         sum(col("flag")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+  }
+
+  /** d12 over any (doc_id, text) frame — the testable seam. */
+  def dupSpansOf(input: DataFrame, k: Int = SubstrK,
+      stride: Int = SubstrStride): DataFrame = {
+    val base = input.filter(length(col("text")) >= k)
+    val w = SpanIndex.windowsOf(input, k, stride)
+    val sharedFps = w.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("fp"))
+    val dupW = w.join(sharedFps, Seq("fp"), "left_semi")
+    val spans = mergeIslands(dupW.select(col("doc_id"), col("start"), col("end")))
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_chars"))
     base.select(col("doc_id"), length(col("text")).as("len"))
@@ -795,16 +798,7 @@ object Dedup {
   def spanRewriteOf(input: DataFrame, k: Int = SubstrK,
       stride: Int = SubstrStride): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = input.filter(length(col("text")) >= k)
-    val nWin = floor((length(col("text")) - lit(k)).cast("double") / lit(stride))
-      .cast("int")
-    val w = base.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), nWin),
-        i => md5(col("text").substr(i * lit(stride) + lit(1), lit(k)))))
-        .as(Seq("i", "fp")))
-      .select(col("doc_id"), (col("i") * stride).as("start"),
-        (col("i") * stride + k).as("end"), col("fp"))
+    val w = SpanIndex.windowsOf(input, k, stride)
     // keeper = the fp's first occurrence; an fp with one occurrence has
     // only its keeper, so no count filter is needed — non-keepers exist
     // iff the fp repeats
@@ -814,19 +808,11 @@ object Dedup {
       .filter(!(col("doc_id") === col("keep.doc_id") &&
         col("start") === col("keep.start")))
       .select(col("doc_id"), col("start"), col("end"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    val prevMaxEnd = max(col("end"))
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = marked
-      .withColumn("flag",
-        when(col("start") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
-      .withColumn("island",
-        sum(col("flag")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+    val spans = mergeIslands(marked)
     // stitch: pieces between consecutive spans (+ the tail after the
     // last), ordered concat per doc — the lag is a window over each
     // doc's SPANS (bounded by doc length / stride), never the corpus
+    val byDoc = Window.partitionBy(col("doc_id"))
     val prevE = lag(col("e"), 1).over(byDoc.orderBy(col("s")))
     val pieces = spans.join(input.select(col("doc_id"), col("text")), Seq("doc_id"))
       .withColumn("p_from", coalesce(prevE, lit(0)))

@@ -83,14 +83,27 @@ object Multimodal {
     * through `javax.imageio`; anything unparseable falls back to the stub
     * (the same never-throw contract as every other routing hint).
     */
+  /** The published BMP DIB header sizes — hoisted: the sniff runs once
+    * per payload row inside the batched decode kernels.
+    */
+  private val BmpDibSizes = Array(12L, 40L, 52L, 56L, 64L, 108L, 124L)
+
   def isAsciiImagePayload(p: Array[Byte]): Boolean = {
+    // residual class note: unlike BMP, GIF has no structurally
+    // text-impossible header field past the 6-byte version string, so a
+    // text payload beginning "GIF87a"/"GIF89a" whose tail happens to
+    // parse as a complete GIF would decode for real. The gate corpora
+    // cannot produce that prefix (document text is lowercase-token
+    // prose), and arbitrary corpora get the documented parse-gated
+    // best-effort — the stub fallback guarantees never-throw, not
+    // never-decode.
     val gif = p.length >= 6 &&
       p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
       (p(4) == '7' || p(4) == '9') && p(5) == 'a'
     def dibSize: Long = (p(14) & 0xffL) | ((p(15) & 0xffL) << 8) |
       ((p(16) & 0xffL) << 16) | ((p(17) & 0xffL) << 24)
     val bmp = p.length >= 18 && p(0) == 'B' && p(1) == 'M' &&
-      Set(12L, 40L, 52L, 56L, 64L, 108L, 124L).contains(dibSize)
+      BmpDibSizes.contains(dibSize)
     gif || bmp
   }
 

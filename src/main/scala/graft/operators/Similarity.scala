@@ -840,7 +840,12 @@ object Similarity {
         .select(col("q_id"),
           col("best").getField("vec_id").as("pid"),
           col("best").getField("vn").as("pv"))
-      cur = cur.join(pick, Seq("q_id"))
+      // LEFT join: a query whose unpicked pool is exhausted before round
+      // k has no pick row this round — an inner join would erase its
+      // already-selected results; with null pid/pv the maxsel/pick
+      // expressions reduce to identity (greatest ignores the null dot,
+      // the null comparison falls to otherwise), so the query coasts
+      cur = cur.join(pick, Seq("q_id"), "left")
         .select(col("q_id"), col("vec_id"), col("vn"), col("simq"),
           when(col("vec_id") === col("pid"), col("maxsel"))
             .otherwise(greatest(col("maxsel"),
@@ -892,7 +897,11 @@ object Similarity {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")), k)
 
-  /** s15 over any (vec_id, v: array<double>) frame — the testable seam. */
+  /** s15 over any (vec_id, v: array<double>) frame — the testable seam.
+    * Selects min(k, n) centers: fewer vectors than k is a complete (and
+    * valid) coreset, never a duplicated-center one; an empty frame
+    * returns an empty assignment.
+    */
   def kcenterCoresetOf(emb: DataFrame, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -906,12 +915,17 @@ object Similarity {
         col("dv") - lit(2.0) * dot(col("v"), typedLit(cv.toSeq)) + lit(cd)
       def centerOf(row: org.apache.spark.sql.Row): (Long, Array[Double], Double) =
         (row.getLong(0), row.getSeq[Double](1).toArray, row.getDouble(2))
+      val n = base.count()
+      if (n == 0)
+        return spark.emptyDataset[(Long, Long, Int, Double)]
+          .toDF("vec_id", "center_id", "sel_rank", "dist2")
+      val kEff = math.min(k.toLong, n).toInt
       val seed = centerOf(
         base.select(col("vec_id"), col("v"), col("dv"))
           .orderBy(col("vec_id")).limit(1).collect()(0))
       val centers = scala.collection.mutable.ArrayBuffer(seed)
       var cur = base.withColumn("mindist", d2To(seed._2, seed._3))
-      while (centers.length < k) {
+      while (centers.length < kEff) {
         val nxt = centerOf(
           cur.select(col("vec_id"), col("v"), col("dv"))
             .orderBy(col("mindist").desc, col("vec_id")).limit(1).collect()(0))

@@ -186,25 +186,25 @@ object SpanIndex {
       cat: graft.catalog.CatalogSurface, spark: SparkSession,
       ident: String, batch: DataFrame,
       k: Int = Dedup.SubstrK, stride: Int = Dedup.SubstrStride): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = windowsOf(batch, k, stride)
-    val stored = prunedFpScan(cat, ident, w.select(col("fp")))
+    screenWith(batch, w, prunedFpScan(cat, ident, w.select(col("fp"))), k)
+  }
+
+  /** The screen's report plan over a PRE-BUILT windows frame and stored
+    * scan — the seam that lets [[planIngest]] fingerprint the batch and
+    * prune the stored table ONCE for both the report and the accretion's
+    * existence check (the streamed path runs this per epoch).
+    */
+  private def screenWith(
+      batch: DataFrame, w: DataFrame, stored: DataFrame, k: Int): DataFrame = {
     // fps shared by ≥2 batch docs — the batch-peer half of d12's rule
     val shared = w.select(col("fp"), col("doc_id")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("fp"))
     val dupFps = stored.union(shared).distinct()
     val dupW = w.join(dupFps, Seq("fp"), "left_semi")
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    val prevMaxEnd = max(col("end"))
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = dupW
-      .withColumn("flag",
-        when(col("start") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
-      .withColumn("island",
-        sum(col("flag")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+    val spans = Dedup.mergeIslands(
+      dupW.select(col("doc_id"), col("start"), col("end")))
     val perDocSpans = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_chars"))
     val perDocWins = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
@@ -242,12 +242,19 @@ object SpanIndex {
       : (DataFrame, DataFrame, Long) = {
     ensureTable(cat, ident)
     val pin = cat.loadMeta(ident).currentSnapshotId
-    val report = screenSpans(cat, spark, ident, batch, k, stride)
-      .persist()
-    report.count() // materialize BEFORE any append changes what "stored" means
-    val fresh = windowsOf(batch, k, stride).select(col("fp")).distinct()
-    val existing = prunedFpScan(cat, ident, fresh)
-    (report, fresh.join(existing, Seq("fp"), "left_anti"), pin)
+    // ONE windows frame and ONE pruned stored scan feed both the report
+    // and the accretion's existence check — per batch/epoch the text is
+    // fingerprinted once and the bucket set collected once
+    val w = windowsOf(batch, k, stride).persist()
+    try {
+      val fps = w.select(col("fp")).distinct()
+      val stored = prunedFpScan(cat, ident, fps)
+      val report = screenWith(batch, w, stored, k).persist()
+      report.count() // materialize BEFORE any append changes what "stored" means
+      val newFps = fps.join(stored, Seq("fp"), "left_anti")
+        .localCheckpoint(true) // distributed; frees w for the unpersist below
+      (report, newFps, pin)
+    } finally { w.unpersist(); () }
   }
 
   /** Screen + ACCRETE in one call: the span report computed against the

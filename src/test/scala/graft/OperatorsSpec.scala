@@ -1172,6 +1172,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("s16 MMR keeps a query's picks when its candidate pool exhausts before round k") {
+    import spark.implicits._
+    // 2 candidates, k=5: rounds 3..5 have no unpicked rows — the pick
+    // join must not erase the query's first two selections
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (10L, Seq(0.9, 0.1)), (11L, Seq(0.1, 0.9)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerankOf(emb, topN = 5, k = 5, lambda = 0.7)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 10L), (2, 11L)),
+      s"both real picks survive exhaustion: ${out.toSeq}")
+  }
+
+  test("s15 k-center selects min(k, n) centers; an empty corpus yields an empty assignment") {
+    import spark.implicits._
+    val three = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(5.0, 0.0)), (3L, Seq(0.0, 5.0)))
+      .toDF("vec_id", "v")
+    val out = Similarity.kcenterCoresetOf(three, k = 8).collect()
+    assert(out.length == 3)
+    // with k > n every point is its own center, none duplicated
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(out.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3))
+    val empty = Similarity.kcenterCoresetOf(
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v"), k = 4)
+    assert(empty.collect().isEmpty)
+  }
+
   test("d19 repeat stats match a brute-force all-pairs LCP over every suffix") {
     import spark.implicits._
     // the brute force compares EVERY suffix pair; the operator only ever
