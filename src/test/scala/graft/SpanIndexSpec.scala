@@ -86,4 +86,40 @@ class SpanIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getLong(2) == r.getLong(1)),
       "after its own fps are stored, every window of the replay is a dup")
   }
+
+  test("maintenance compacts per-ingest fp files; screens identical; pruning survives") {
+    import spark.implicits._
+    // ensureTable stamped the opt-in pipeline policy at creation
+    assert(cat.loadMeta("pipe.windex").properties
+      .get("maintenance.jobs").exists(_.contains("data_compaction")))
+    // several 1-doc ingests: each appends its own small files
+    for (i <- 0 until 3) {
+      val b = Seq((91000L + i, s"unique-compaction-filler-$i-" * 4))
+        .toDF("doc_id", "text")
+      SpanIndex.ingestBatch(cat, spark, "pipe.windex", b).unpersist()
+    }
+    val probe = docs.filter(col("doc_id") === 4).select(col("doc_id"), col("text"))
+    val before = SpanIndex.screenSpans(cat, spark, "pipe.windex", probe)
+      .collect().toSeq
+    val files = cat.files("pipe.windex").length
+    val reports = cat.runMaintenance(
+      "pipe.windex", graft.catalog.Maintenance.Policy())
+    assert(reports.nonEmpty && reports.forall(_.error.isEmpty),
+      reports.mkString("\n"))
+    assert(cat.files("pipe.windex").length < files,
+      s"compaction must fold the per-ingest files " +
+        s"(${cat.files("pipe.windex").length} vs $files)")
+    assert(SpanIndex.screenSpans(cat, spark, "pipe.windex", probe)
+      .collect().toSeq == before,
+      "screen decisions must be byte-identical across compaction")
+    // the rewrite kept fp_bucket partition values: screening still prunes
+    val one = Seq((9002L, "y" * 45)).toDF("doc_id", "text")
+    val r = SpanIndex.screenSpans(cat, spark, "pipe.windex", one)
+    r.collect()
+    val total = cat.files("pipe.windex").length
+    val scanned = r.inputFiles.count(_.contains("windex"))
+    info(s"windex files post-compaction: total=$total screened-scan=$scanned")
+    assert(scanned < total,
+      s"post-compaction screening must still prune ($scanned vs $total)")
+  }
 }
