@@ -426,7 +426,7 @@ object IceCatalog {
 
 class IceCatalog(
     val spark: SparkSession,
-    root: String,
+    val root: String,
     val io: FileIO = LocalFileIO) extends CatalogSurface {
   import IceCatalog._
 

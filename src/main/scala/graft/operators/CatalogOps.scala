@@ -32,6 +32,17 @@ object CatalogOps {
   private def cleanup(cat: IceCatalog, ident: String): Unit =
     try cat.dropTable(ident) catch { case _: Exception => }
 
+  /** End-of-gate disposal: drop the last table AND delete the scratch
+    * catalog's temp root (cleanup alone leaks the directory across Bench
+    * runs — the round-16 ADVICE SpanIndex finding, fixed suite-wide).
+    * Only safe once no further work touches the catalog — t13 cleans
+    * tables mid-loop and must keep using [[cleanup]] there.
+    */
+  private def dispose(cat: IceCatalog, ident: String): Unit = {
+    cleanup(cat, ident)
+    Scratch.delete(cat.root)
+  }
+
   /** t7: per-partition record counts read from the manifest (Files.java /
     * ListPartitions.java) — zero data scan at answer time; the oracle
     * recomputes from raw rows.
@@ -41,7 +52,7 @@ object CatalogOps {
     val parts = cat.listPartitions(ident).map { case (p, rows, files) =>
       (p("p_year").toInt, rows, files)
     }
-    cleanup(cat, ident)
+    dispose(cat, ident)
     import spark.implicits._
     parts.toDF("p_year", "record_count", "file_count")
       .select(col("p_year"), col("record_count"))
@@ -70,7 +81,7 @@ object CatalogOps {
       .agg(count(lit(1)).as("n_rows"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .collect()(0)
-    cleanup(cat, "v.ord")
+    dispose(cat, "v.ord")
     import spark.implicits._
     Seq((out.getLong(0), out.getLong(1))).toDF("n_rows", "total_cents")
   }
@@ -101,7 +112,7 @@ object CatalogOps {
       .agg(count(lit(1)).as("n_rows"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .collect()(0)
-    cleanup(cat, "v.ord")
+    dispose(cat, "v.ord")
     import spark.implicits._
     Seq((out.getLong(0), out.getLong(1))).toDF("n_rows", "total_cents")
   }
@@ -170,7 +181,7 @@ object CatalogOps {
       cleanup(cat, t)
       (mode, out.getLong(0), out.getLong(1))
     }
-    cleanup(cat, "v.seed")
+    dispose(cat, "v.seed")
     import spark.implicits._
     results.toDF("mode", "n_rows", "total_cents").orderBy("mode")
   }
@@ -208,7 +219,7 @@ object CatalogOps {
       .agg(count(lit(1)).as("n_rows"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .collect()(0)
-    cleanup(cat, "v.pdel")
+    dispose(cat, "v.pdel")
     import spark.implicits._
     Seq((out.getLong(0), out.getLong(1))).toDF("n_rows", "total_cents")
   }
@@ -240,7 +251,7 @@ object CatalogOps {
       .agg(count(lit(1)).as("n_rows"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .collect()(0)
-    cleanup(cat, "v.ord")
+    dispose(cat, "v.ord")
     import spark.implicits._
     Seq((out.getLong(0), out.getLong(1))).toDF("n_rows", "total_cents")
   }
@@ -257,7 +268,7 @@ object CatalogOps {
     // cross-checking manifest row accounting end to end
     val rowsV1 = cat.countRows(ident, asOfSnapshot = Some(v1))
     val rowsAfter = cat.countRows(ident)
-    cleanup(cat, ident)
+    dispose(cat, ident)
     import spark.implicits._
     Seq((rowsV1, rowsAfter)).toDF("rows_v1", "rows_after_delete")
   }

@@ -127,13 +127,15 @@ object ContaminationIndex {
     val train = docs.filter(col("doc_id") % 20 =!= 0)
     val flagged = screen(cat, spark, "pipe.evalgrams", train)
       .withColumn("hit", lit(true))
-    val rows = train.select(col("doc_id"), col("source"))
+    // eager localCheckpoint pins the screen report BEFORE the scratch
+    // table drops; no O(corpus) driver collect (d18 discipline)
+    val res = train.select(col("doc_id"), col("source"))
       .join(flagged, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         coalesce(col("hit"), lit(false)).as("contaminated"))
-      .orderBy(col("doc_id"))
-      .as[(Long, String, Boolean)].collect().toSeq
+      .localCheckpoint(true)
     try cat.dropTable("pipe.evalgrams") catch { case _: Exception => () }
-    rows.toDF("doc_id", "source", "contaminated").orderBy(col("doc_id"))
+    graft.operators.Scratch.delete(root)
+    res.orderBy(col("doc_id"))
   }
 }

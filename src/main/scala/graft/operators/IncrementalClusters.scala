@@ -399,13 +399,16 @@ object IncrementalClusters {
     IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index",
       docs.filter(col("doc_id") % 2 === 1),
       clusters = Some(("pipe.clusters", "pipe.merges"))).unpersist()
-    val rows = resolved(cat, spark, "pipe.clusters", "pipe.merges")
-      .orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+    // eager localCheckpoint pins the resolved assignment BEFORE the
+    // scratch tables drop; no O(corpus) driver collect (d18 discipline)
+    val res = resolved(cat, spark, "pipe.clusters", "pipe.merges")
+      .localCheckpoint(true)
     try {
       Seq("pipe.docs", "pipe.index", "pipe.clusters", "pipe.merges")
         .foreach(cat.dropTable(_))
     } catch { case _: Exception => () }
-    rows.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
+    Scratch.delete(root)
+    res.orderBy(col("doc_id"))
   }
 
   /** True iff any forwarded loser can live inside [lo, hi]. */

@@ -453,10 +453,13 @@ object IngestDedup {
         Dedup.lshBands(Dedup.minhashSignatures(corpus)), cat.scan("pipe.index"))))
     val report = ingest(cat, spark, "pipe.docs", "pipe.index",
       docs.filter(col("doc_id") % 2 === 1))
-    val rows = report.as[(Long, Boolean, Option[Long])].collect().toSeq
+    // eager localCheckpoint pins the report BEFORE the scratch catalog is
+    // deleted; no O(corpus) driver collect (d18 discipline)
+    val res = report.localCheckpoint(true)
     report.unpersist() // gate scope ends here; drop the decision cache
     try { cat.dropTable("pipe.docs"); cat.dropTable("pipe.index") }
     catch { case _: Exception => () }
-    rows.toDF("doc_id", "is_dup", "dup_of").orderBy(col("doc_id"))
+    Scratch.delete(root)
+    res.orderBy(col("doc_id"))
   }
 }

@@ -155,13 +155,12 @@ object Pipeline {
     * would otherwise re-derive the scrub + LSH subtrees through the
     * ledger's fan-out when the driver writes it twice).
     */
-  def preprocessGateQuery(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val out = preprocessLedger(Tables.documents(spark, dir)).persist()
-    val rows = out.as[(Long, String, String, String)].collect().toSeq
-    out.unpersist()
-    rows.toDF("doc_id", "source", "decision", "scrub_fp").orderBy(col("doc_id"))
-  }
+  def preprocessGateQuery(spark: SparkSession, dir: String): DataFrame =
+    // localCheckpoint(true) = materialize ONCE, fully distributed (the
+    // d18 discipline) — survives the driver's double write without an
+    // O(corpus) driver collect
+    preprocessLedger(Tables.documents(spark, dir))
+      .localCheckpoint(true).orderBy(col("doc_id"))
 
   /** p4: the training-data RELEASE manifest — what actually ships after
     * curation: the p3 ledger's kept survivors, split leakage-safe on the
@@ -202,15 +201,9 @@ object Pipeline {
   }
 
   /** p4 gate: the manifest materialized once (p3's gate discipline). */
-  def releaseGateQuery(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val out = releaseManifest(Tables.documents(spark, dir)).persist()
-    val rows = out.as[(Long, String, Long, Option[Int], Option[Long])]
-      .collect().toSeq
-    out.unpersist()
-    rows.toDF("doc_id", "split", "n_tokens", "shard", "global_pos")
-      .orderBy(col("doc_id"))
-  }
+  def releaseGateQuery(spark: SparkSession, dir: String): DataFrame =
+    releaseManifest(Tables.documents(spark, dir))
+      .localCheckpoint(true).orderBy(col("doc_id"))
 
   /** p2's trait-typed core — the LAKEHOUSE composition of the pipeline's
     * parts against ONE catalog (local or behind the REST wire, the same
@@ -314,10 +307,14 @@ object Pipeline {
           cat.scan("pipe.index"))))
       val out = lakehouseIngestSplit(cat, spark, "pipe.docs", "pipe.index",
         docs.filter(col("doc_id") % 2 === 1))
-      val rows = out.as[(Long, Boolean, Option[Long], Option[String])]
-        .collect().toSeq
+      // eager localCheckpoint pins the result before the server stops;
+      // no O(corpus) driver collect (d18 discipline)
+      val res = out.localCheckpoint(true)
       out.unpersist()
-      rows.toDF("doc_id", "is_dup", "dup_of", "split").orderBy(col("doc_id"))
-    } finally served.stop()
+      res.orderBy(col("doc_id"))
+    } finally {
+      served.stop()
+      Scratch.delete(root)
+    }
   }
 }

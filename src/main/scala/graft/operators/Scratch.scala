@@ -1,0 +1,23 @@
+package graft.operators
+
+import java.nio.file.Paths
+import graft.catalog.LocalFileIO
+
+/** Best-effort recursive delete of a gate's scratch-catalog temp root.
+  *
+  * Scratch-catalog gates (t7–t15, d14–d17, p2, e8, s11/s13/s14) create a
+  * fresh temp-dir IceCatalog per invocation; dropping the table alone
+  * leaves the directory, and repeated Bench runs would accumulate leaked
+  * roots (round-16 ADVICE, SpanIndex.scala finding). Call after the
+  * gate's result is pinned (localCheckpoint) and its tables dropped.
+  */
+object Scratch {
+  def delete(root: String): Unit =
+    try {
+      val p = Paths.get(root)
+      if (LocalFileIO.isDirectory(p))
+        LocalFileIO.walk(p).reverse.foreach(LocalFileIO.deleteIfExists)
+      LocalFileIO.deleteIfExists(p)
+      ()
+    } catch { case _: Exception => () }
+}

@@ -279,7 +279,6 @@ object SpanIndex {
     * replays exactly that in SQL — strict hash).
     */
   def spanIndexGateQuery(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_d17").toString
     val cat = new IceCatalog(spark, root)
@@ -287,11 +286,12 @@ object SpanIndex {
     build(cat, spark, "pipe.windex", docs.filter(col("doc_id") % 2 === 0))
     val report = ingestBatch(cat, spark, "pipe.windex",
       docs.filter(col("doc_id") % 2 === 1))
-    val rows = report.as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // eager localCheckpoint pins the report BEFORE the scratch catalog is
+    // deleted; no O(corpus) driver collect (d18 discipline)
+    val res = report.localCheckpoint(true)
     report.unpersist()
     try cat.dropTable("pipe.windex") catch { case _: Exception => () }
-    rows.toDF("doc_id", "n_windows", "dup_windows", "n_spans",
-        "dup_chars", "dup_char_frac")
-      .orderBy(col("doc_id"))
+    Scratch.delete(root)
+    res.orderBy(col("doc_id"))
   }
 }

@@ -467,6 +467,7 @@ object VectorIndex {
       .as[(Long, Long, Int, Double)].collect().toSeq
     try { cat.dropTable("vx.centroids"); cat.dropTable("vx.postings") }
     catch { case _: Exception => () }
+    Scratch.delete(root)
     rows.toDF("q_id", "neighbor_id", "rank", "score")
       .orderBy(col("q_id"), col("rank"))
   }
@@ -772,6 +773,7 @@ object VectorIndex {
     try Seq("vx.centroids", "vx.codebooks", "vx.postings")
       .foreach(cat.dropTable(_))
     catch { case _: Exception => () }
+    Scratch.delete(root)
     rows.toDF("q_id", "neighbor_id", "rank", "score")
       .orderBy(col("q_id"), col("rank"))
   }
@@ -794,6 +796,7 @@ object VectorIndex {
       .as[(Long, Long, Int, Double)].collect().toSeq
     try { cat.dropTable("vx.centroids"); cat.dropTable("vx.postings") }
     catch { case _: Exception => () }
+    Scratch.delete(root)
     rows.toDF("q_id", "neighbor_id", "rank", "score")
       .orderBy(col("q_id"), col("rank"))
   }

@@ -545,6 +545,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stateful gate wrappers stay distributed — localCheckpoint, not a driver collect") {
+    // A gate that must materialize once (the driver writes it twice, or a
+    // scratch catalog drops before the read) pins the result with an
+    // EAGER localCheckpoint — whose plan root is a LogicalRDD — never by
+    // collect()+toDF, whose root is a LocalRelation holding the whole
+    // corpus on the driver (the round-16 "What's wrong #2" pattern).
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Sort, Project}
+    for (name <- Seq("p3_preprocess", "p4_release", "p2_lakehouse_pipeline",
+        "d14_ingest_dedup", "d15_cluster_maintain",
+        "d16_contamination_index", "d17_span_index")) {
+      var root = Queries.all(name)(spark, dir).queryExecution.analyzed
+      while (root.isInstanceOf[Sort] || root.isInstanceOf[Project])
+        root = root.children.head
+      assert(!root.isInstanceOf[LocalRelation],
+        s"$name: gate result is a driver-side LocalRelation — use localCheckpoint(true)")
+      assert(root.getClass.getSimpleName == "LogicalRDD",
+        s"$name: expected a checkpointed LogicalRDD root, got ${root.getClass.getSimpleName}")
+    }
+  }
+
   test("whole-stage codegen covers the custom kernels") {
     // executedPlan marks codegen stages with "*(n)" — but only once AQE
     // has finalized the plan, so execute first
