@@ -56,7 +56,7 @@ object SuffixArray {
     * as itself and as its own k-shift); [[suffixArrayOf]] unpersists
     * every round at the end.
     */
-  private def rankBy(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+  private[graft] def rankBy(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     val np = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -86,7 +86,14 @@ object SuffixArray {
         Row(row.getLong(0), row.getInt(1), groupRank)
       }
     }
+    // persist HASH-PARTITIONED on (doc_id, pos): every consumer join —
+    // the next doubling round's pair join and d19's per-level LCP lifts —
+    // keys on exactly (doc_id, pos), and Spark's alias-aware output
+    // partitioning lets each of those joins skip the rank-table exchange
+    // entirely (the probe side still shuffles; the L-row build side never
+    // does again). One exchange here buys ~2 saved per level downstream.
     val out = spark.createDataFrame(ranked, RankSchema)
+      .repartition(np, col("doc_id"), col("pos"))
     out.persist()
     out.count() // materialize so the caller may free the sort behind it
     sorted.unpersist()
@@ -99,7 +106,7 @@ object SuffixArray {
     * queries ([[repeatStatsOf]]) walk. Every frame is persisted; callers
     * unpersist all of them when done.
     */
-  private def buildLevels(docs: DataFrame): Seq[DataFrame] = {
+  private[graft] def buildLevels(docs: DataFrame): Seq[DataFrame] = {
     val toks = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
     val maxLen = docs
@@ -161,7 +168,7 @@ object SuffixArray {
     * collect, broadcast back). Result is localCheckpointed (distributed);
     * the sort behind it is freed before returning.
     */
-  private def adjacentPairs(sa: DataFrame): DataFrame = {
+  private[graft] def adjacentPairs(sa: DataFrame): DataFrame = {
     val spark = sa.sparkSession
     val np = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -210,18 +217,42 @@ object SuffixArray {
     * the only overshoot is past the suffix ends — capped once at the end
     * by the doc lengths.
     */
-  private def lcpOfPairs(
+  private[graft] def lcpOfPairs(
       pairs: DataFrame, levels: Seq[DataFrame], lens: DataFrame): DataFrame = {
-    var cur = pairs.withColumn("lcp", lit(0))
+    // lens joined ONCE up front (instead of after the loop): carrying
+    // len1/len2 through the lift lets each level probe only the pairs
+    // that can still extend — an extension by 2^ℓ needs a rank at offset
+    // lcp on BOTH sides, so pairs with either position past its suffix
+    // end (where the old left joins produced the null → +0 case) skip the
+    // level's join entirely and ride a union instead. Top levels probe
+    // only the long-doc tail; total join volume drops from 2·L·levels to
+    // Σ_ℓ |pairs extendable at ℓ|.
+    var cur = pairs
+      .join(lens.select(col("doc_id").as("doc1"), col("len").as("len1")), Seq("doc1"))
+      .join(lens.select(col("doc_id").as("doc2"), col("len").as("len2")), Seq("doc2"))
+      .withColumn("lcp", lit(0))
     for (l <- levels.indices.reverse) {
       val step = 1 << l
+      val canExtend =
+        col("pos1") + col("lcp") < col("len1") &&
+          col("pos2") + col("lcp") < col("len2")
       val ra = levels(l).select(
         col("doc_id").as("doc1"), col("pos").as("posA"), col("r").as("ra"))
       val rb = levels(l).select(
         col("doc_id").as("doc2"), col("pos").as("posB"), col("r").as("rb"))
+      // idle pairs (either side past its suffix end — the canExtend
+      // guard) probe with the sentinel pos −1: no rank row has a negative
+      // pos, so they never match and ride the left join through
+      // unchanged. The plan stays LINEAR (a filter+union split would
+      // reference cur twice per level — the s16 2^k-subtree incident —
+      // and measured slower than the fused form at gate scale), and the
+      // sentinel key still distributes across partitions because the
+      // compound key's doc side varies (no null/constant-key skew).
       cur = cur
-        .withColumn("posA", col("pos1") + col("lcp"))
-        .withColumn("posB", col("pos2") + col("lcp"))
+        .withColumn("posA",
+          when(canExtend, col("pos1") + col("lcp")).otherwise(lit(-1)))
+        .withColumn("posB",
+          when(canExtend, col("pos2") + col("lcp")).otherwise(lit(-1)))
         .join(ra, Seq("doc1", "posA"), "left")
         .join(rb, Seq("doc2", "posB"), "left")
         .withColumn("lcp", col("lcp") + when(
@@ -229,12 +260,9 @@ object SuffixArray {
           lit(step)).otherwise(lit(0)))
         .drop("posA", "posB", "ra", "rb")
     }
-    cur
-      .join(lens.select(col("doc_id").as("doc1"), col("len").as("len1")), Seq("doc1"))
-      .join(lens.select(col("doc_id").as("doc2"), col("len").as("len2")), Seq("doc2"))
-      .select(col("doc1"), col("pos1"), col("doc2"), col("pos2"),
-        least(col("lcp"), col("len1") - col("pos1"), col("len2") - col("pos2"))
-          .as("lcp"))
+    cur.select(col("doc1"), col("pos1"), col("doc2"), col("pos2"),
+      least(col("lcp"), col("len1") - col("pos1"), col("len2") - col("pos2"))
+        .as("lcp"))
   }
 
   /** d19: per-doc REPEATED-PASSAGE statistics off the suffix array — for
@@ -280,13 +308,12 @@ object SuffixArray {
     out.orderBy(col("doc_id"))
   }
 
-  /** d19 gate — over the even-doc half: the op is O(L log L) with a
-    * ~9-round × 20-join constant, so the gate bounds its bench cost by
-    * halving L (the oracle recomputes over the same slice; the OPERATOR
-    * takes any frame — d18's gate already exercises the full corpus
-    * through the identical doubling machinery).
+  /** d19 gate — the FULL corpus (un-sliced in round 17): the r16 slice
+    * existed because the LCP lift cost ~28 s; the lift now probes only
+    * pairs that can still extend per level and every rank-table join is
+    * build-side exchange-free ([[rankBy]]'s (doc_id, pos) partitioning),
+    * which brings the full-corpus gate back inside the d18 family band.
     */
   def repeatStatsGateQuery(spark: SparkSession, dir: String): DataFrame =
-    repeatStatsOf(graft.sources.Tables.documents(spark, dir)
-      .filter(col("doc_id") % 2 === 0))
+    repeatStatsOf(graft.sources.Tables.documents(spark, dir))
 }

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.SuffixArray
+import graft.functions.TextFunctions.tokens
+import graft.sources.Tables
+
+/** Phase profiler for the d19 repeat-stats pipeline (full corpus). */
+object ProfileD19 {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[d19] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.getOrCreate("graft-profile-d19",
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    time("warmup")(Tables.documents(spark, dir).count())
+    val docs = Tables.documents(spark, dir)
+    val levels = time("buildLevels")(SuffixArray.buildLevels(docs))
+    println(s"[d19] levels: ${levels.length}")
+    val sa = levels.last
+    val pairs = time("adjacentPairs")(SuffixArray.adjacentPairs(sa))
+    val lens = docs.select(col("doc_id"), size(tokens(col("text"))).as("len"))
+    val lcp = time("lcpOfPairs")(
+      SuffixArray.lcpOfPairs(pairs, levels, lens))
+    time("lcp materialize")(lcp.write.format("noop").mode("overwrite").save())
+    time("full repeatStatsOf")(
+      SuffixArray.repeatStatsOf(docs).write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}
