@@ -126,7 +126,15 @@ object Dedup {
   private def docsFingerprint(spark: SparkSession, dir: String): String =
     Tables.sourceFingerprint(spark, dir, "documents")
 
-  /** The existing-corpus band index, materialized once per corpus version. */
+  /** The existing-corpus band index, materialized once per corpus
+    * version, CAP-FILTERED at build time: buckets larger than
+    * [[MaxLshBucket]] drop HERE, in the untimed premise, so each batch's
+    * probe is the bare (band, sig) equi-join — the d14 write-time-cap
+    * discipline applied to the session-cached form. Before r17 the cap
+    * re-aggregated bucket sizes over the WHOLE index on every batch — an
+    * O(index)-per-batch term that grew with the corpus and drove the d13
+    * fixed-batch scale row's 1.5–2.4× drift.
+    */
   def cachedBandIndex(spark: SparkSession, dir: String): DataFrame = {
     bandIndexCache.keySet().removeIf(_._1.sparkContext.isStopped)
     val fp = docsFingerprint(spark, dir)
@@ -134,8 +142,13 @@ object Dedup {
       if (cur != null && cur._1 == fp) cur
       else {
         if (cur != null) cur._2.unpersist()
-        (fp, lshBands(minhashSignatures(
-          Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0))).persist())
+        val bands = lshBands(minhashSignatures(
+          Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)))
+        val small = bands.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= MaxLshBucket)
+          .select(col("band"), col("sig"))
+        (fp, bands.join(small, Seq("band", "sig"), "left_semi").persist())
       })._2
   }
 
@@ -174,17 +187,14 @@ object Dedup {
     val batch = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < batchUpper)
     // probe the MATERIALIZED corpus band index (cached per corpus
     // version); batch signatures are per-batch work, computed fresh
+    // the cached index is cap-filtered AT BUILD (degenerate buckets never
+    // enter it — [[cachedBandIndex]]), so the probe is the bare index
+    // equi-join: O(batch × collisions) with no per-batch O(index) pass
     val exBands = cachedBandIndex(spark, dir)
       .select(col("band"), col("sig"), col("doc_id").as("ex_id"))
     val incBands = lshBands(minhashSignatures(batch))
       .select(col("band"), col("sig"), col("doc_id").as("new_id"))
-    // cap on the INDEX bucket size (the stored side a production index
-    // would cap at write time — the table-backed form, IngestDedup, does)
-    val bsz = exBands.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= MaxLshBucket)
     val candidates = incBands
-      .join(bsz.select(col("band"), col("sig")), Seq("band", "sig"))
       .join(exBands, Seq("band", "sig"))
       .select(col("new_id").as("doc_a"), col("ex_id").as("doc_b"))
       .distinct()
