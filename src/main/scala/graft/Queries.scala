@@ -192,7 +192,12 @@ object Queries {
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "s2_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
     "s7_multiprobe_ann" -> ((s: SparkSession, d: String) => Similarity.multiprobeLshAnn(s, d)),
-    "s3_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfAnn(s, d)),
+    // FULL coverage (nprobe = every cell): the IVF path's result equals
+    // the exact ranking regardless of k-means seeding, so the gate is
+    // strict-hash checkable (s14's trick, r17 promotion — 13 rows-only →
+    // 12); partial-probe recall stays pinned by AnnRecallSpec
+    "s3_ivf_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfAnn(s, d, nprobe = Int.MaxValue)),
     "s11_table_ann" -> (VectorIndex.tableAnnGateQuery _),
     "s13_table_ivfpq" -> (VectorIndex.tablePqGateQuery _),
     "s14_filtered_ann" -> (VectorIndex.filteredAnnGateQuery _),
@@ -831,7 +836,12 @@ object Queries {
     // MMR's k selection rounds unroll like s15's; every score is
     // normalized `+ 0.0` before ordering (signed-zero-proof), and the
     // (1 - 0.7) redundancy weight is written as the same SUBTRACTION the
-    // Spark side computes — a 0.3 literal would differ in the last ulp
+    // Spark side computes — a 0.3 literal would differ in the last ulp.
+    // Each round LEFT-joins its pick (mirroring the Spark operator): a
+    // query whose unpicked pool exhausts before round k produces no p$t
+    // row, and the null-guarded maxsel/pick updates reduce to identity so
+    // its earlier selections survive (the 's16 MMR keeps a query's picks'
+    // spec case — an INNER join here would silently drop those queries)
     "s16_mmr_rerank" -> {
       val rounds = (1 to 5).map { t =>
         val pr = s"r${t - 1}"
@@ -840,11 +850,12 @@ object Queries {
            |    ORDER BY 0.7*simq - (1 - 0.7)*maxsel + 0.0 DESC, vec_id) AS rn
            |  FROM $pr WHERE pick IS NULL) WHERE rn = 1),
            |r$t AS (SELECT r.q_id, r.vec_id, r.vn, r.simq,
-           |  CASE WHEN r.vec_id = p.pid THEN r.maxsel
+           |  CASE WHEN p.pid IS NULL OR r.vec_id = p.pid THEN r.maxsel
            |       ELSE greatest(r.maxsel,
            |         list_dot_product(r.vn, p.pv) + 0.0) END AS maxsel,
-           |  CASE WHEN r.vec_id = p.pid THEN $t ELSE r.pick END AS pick
-           | FROM $pr r JOIN p$t p USING (q_id))""".stripMargin
+           |  CASE WHEN p.pid IS NOT NULL AND r.vec_id = p.pid
+           |       THEN $t ELSE r.pick END AS pick
+           | FROM $pr r LEFT JOIN p$t p USING (q_id))""".stripMargin
       }.mkString(",\n")
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -865,6 +876,25 @@ object Queries {
          |FROM r5 WHERE pick IS NOT NULL ORDER BY q_id, rank""".stripMargin
     },
     "s1_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT * FROM e WHERE vec_id >= 5),
+        |s AS (SELECT q_id, c.vec_id AS neighbor_id,
+        |  list_dot_product(qv, v)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score
+        | FROM c CROSS JOIN q),
+        |r AS (SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS INT) AS rank,
+        |  score FROM s)
+        |SELECT q_id, neighbor_id, rank, round(score, 4) + 0.0 AS score
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // s3 at FULL coverage = the exact brute-force ranking (every cell
+    // probed ⇒ every candidate scored exactly once), so the oracle is
+    // s1's — what the hash match proves is that the IVF machinery
+    // (training, assignment, probe sort, per-cell re-rank, union) loses
+    // and duplicates nothing
+    "s3_ivf_ann" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
@@ -981,7 +1011,11 @@ object Queries {
         |ORDER BY c.doc_id""".stripMargin,
     // integerized τ=2 weights (round(sqrt(tokens))) make every share an
     // exact integer div on both engines — no float boundary can flip a
-    // doc between Spark and the oracle
+    // doc between Spark and the oracle. The share CAST is load-bearing:
+    // sum(BIGINT) is HUGEINT in DuckDB, and (9200*w)//tot inherits it —
+    // a HUGEINT output column round-trips through pandas as float64
+    // ("486.0" vs Spark's "486"), failing a type-sensitive driver hash
+    // while rows/schema still match (the r16 r10 red cell).
     "r10_temperature_mix" ->
       """WITH d AS (SELECT doc_id, source,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -990,7 +1024,8 @@ object Queries {
         |  CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS w
         |  FROM d GROUP BY 1),
         |tw AS (SELECT sum(w) AS tot FROM w),
-        |sh AS (SELECT source, (9200 * w) // tot AS share FROM w CROSS JOIN tw),
+        |sh AS (SELECT source, CAST((9200 * w) // tot AS BIGINT) AS share
+        |  FROM w CROSS JOIN tw),
         |c AS (SELECT doc_id, source, n_tokens,
         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -1052,7 +1087,17 @@ object Queries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bigram key = space-joined pair (tokens are [a-z0-9]+, so split_part
     // at the first space recovers the prefix exactly like Spark's
-    // substring_index)
+    // substring_index).
+    // SHARED x11/x15 RISK (r16 advisor note): both gates strict-compare
+    // round(avg(<log ratio>), 4), and avg over doubles is summation-order
+    // dependent (Spark partial aggregation vs DuckDB sequential) — a
+    // per-doc mean landing exactly on a 4th-decimal rounding boundary
+    // could flip between engines. Accepted as-is: both gates have been
+    // strict-green at both SFs since they landed (the gate corpora sit
+    // nowhere near a boundary), and weakening to an epsilon compare would
+    // cost the exact-hash signal for every other column. If it ever
+    // flakes, the fix is the documented one — epsilon/last-ulp tolerance
+    // on the avg-of-logs column only.
     "x15_bigram_logprob" ->
       s"""WITH $tokCte,
          |b AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
@@ -1193,7 +1238,7 @@ object Queries {
     "d19_repeat_stats" ->
       s"""WITH tok AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
-         |  FROM documents WHERE doc_id % 2 = 0),
+         |  FROM documents),
          |s AS (SELECT doc_id, CAST(pos AS INT) AS pos,
          |  list_slice(t, pos + 1, len(t)) AS suf,
          |  array_to_string(list_slice(t, pos + 1, len(t)), ' ') AS sufs

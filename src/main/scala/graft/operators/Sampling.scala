@@ -348,14 +348,17 @@ object Sampling {
     val weights = srcTokens.map { case (s, t) =>
       s -> math.round(math.sqrt(t.toDouble)) }
     val totW = weights.values.sum
-    val shares = weights.map { case (s, w) =>
-      (s, if (totW == 0) 0L else budget * w / totW) }.toSeq
+    // built from SORTED sequences so these 1-row-per-source driver frames
+    // are byte-deterministic across runs (no Map-iteration-order path)
+    val shares = weights.toSeq.sortBy(_._1).map { case (s, w) =>
+      (s, if (totW == 0) 0L else budget * w / totW) }
       .toDF("source", "share")
-    val bases = sub.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
-      var running = 0L
-      rows.sortBy(_._2).map { case (_, b, bt) =>
-        val base = running; running += bt; (src, b, base)
-      }
+    val bases = sub.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (src, rows) =>
+        var running = 0L
+        rows.sortBy(_._2).map { case (_, b, bt) =>
+          val base = running; running += bt; (src, b, base)
+        }
     }.toDF("source", "bucket", "base")
     val win = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col("h"), col("doc_id"))

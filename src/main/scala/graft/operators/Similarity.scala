@@ -610,6 +610,14 @@ object Similarity {
     * their `nprobe` nearest cells and re-rank exactly inside them. At scale
     * the candidate join is an equi-join on cell id: work is
     * O(queries × nprobe × cell size), independent of corpus size.
+    *
+    * `nprobe >= nlist` = FULL coverage: every cell is probed, so the
+    * result equals the exact brute-force ranking REGARDLESS of the
+    * k-means seeding — which makes the whole IVF path (training,
+    * assignment, probe-list sort, per-cell re-rank, union) strict-hash
+    * checkable against a DuckDB brute-force oracle (the s14 discipline;
+    * r17 gate promotion). Partial-probe recall stays pinned by
+    * AnnRecallSpec.
     */
   def ivfAnn(
       spark: SparkSession, dir: String,
@@ -623,7 +631,7 @@ object Similarity {
     val d = centroidDists(centroids)
     val probes = transform(
       slice(array_sort(transform(sequence(lit(0), lit(nl - 1)),
-        i => struct(element_at(d, i + 1).as("dist"), i.as("idx")))), 1, nprobe),
+        i => struct(element_at(d, i + 1).as("dist"), i.as("idx")))), 1, math.min(nprobe, nl)),
       s => s.getField("idx"))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),

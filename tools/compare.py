@@ -48,6 +48,17 @@ def main(sf_dir, out_dir):
         try:
             exp_rel = con.sql(oracle[name])
             exp_cols = exp_rel.columns
+            # The driver's hash is type-sensitive: a HUGEINT/DECIMAL oracle
+            # column round-trips through pandas as float64/object and
+            # mismatches Spark's int64 even when fetchall() values are
+            # equal (the r16 r10_temperature_mix red cell). Fail here so
+            # the local gate catches it before the driver does.
+            odd = [(c, str(t)) for c, t in zip(exp_cols, exp_rel.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT")
+                   or str(t).startswith("DECIMAL")]
+            if odd:
+                print(f"{name}: ORACLE TYPE RISK {odd} — CAST the column")
+                n_fail += 1; continue
             exp = canon(exp_rel.fetchall(), exp_cols)
         except Exception as e:
             print(f"{name}: ORACLE ERROR: {e}"); n_fail += 1; continue
