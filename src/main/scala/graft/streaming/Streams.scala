@@ -546,6 +546,98 @@ object Streams {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** One SQS drain into the spool (the reference's production watch input
+    * — InsertWatch.java:101-180 consumes an SQS queue of S3 ObjectCreated
+    * notifications; [[graft.catalog.SqsWire]] speaks the same public wire
+    * our way): ReceiveMessage in ≤10-message pages until the queue runs
+    * visibly dry, spool each message's body as ONE immutable log file
+    * named by the (stable) MessageId, then DeleteMessageBatch the page.
+    *
+    * At-least-once is absorbed in LAYERS: the spool file is named by
+    * MessageId, so a message REDELIVERED after a lapsed visibility
+    * timeout (consumer crashed between spool and delete) re-writes the
+    * SAME file — a no-op — and its delete is simply retried with the
+    * fresh handle; and even a queue that re-mints MessageIds lands on
+    * `addFilesWithRetry(skipDuplicates)`'s source-file ledger, the same
+    * absorber the directory/HTTP feeds rely on. Bodies are spooled with
+    * newlines flattened to spaces (JSON is whitespace-insensitive
+    * outside strings) so each message is exactly one `text`-source line.
+    * Returns the number of NEW messages spooled.
+    */
+  private[graft] def spoolSqsFeed(
+      wire: graft.catalog.SqsWire, spoolRoot: java.nio.file.Path): Int = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val logs = spoolRoot.resolve("logs")
+    Files.createDirectories(logs)
+    var spooled = 0
+    var page = wire.receiveMessage(max = 10)
+    while (page.nonEmpty) {
+      page.foreach { m =>
+        val name =
+          s"msg-${graft.catalog.SigV4.sha256Hex(m.messageId.getBytes("UTF-8")).take(32)}.log"
+        val dest = logs.resolve(name)
+        if (!Files.exists(dest)) {
+          val line = m.body.replace('\n', ' ').replace('\r', ' ') + "\n"
+          val tmp = spoolRoot.resolve(name + ".tmp") // outside logs/: the
+          // stream must never list a partial file
+          Files.write(tmp, line.getBytes("UTF-8"))
+          Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+          spooled += 1
+        }
+      }
+      // delete AFTER the spool publish: a crash in between redelivers the
+      // message, which re-resolves to the same spool file name (no-op)
+      wire.deleteMessageBatch(page.map(m => (m.messageId, m.receiptHandle)))
+      page = wire.receiveMessage(max = 10)
+    }
+    spooled
+  }
+
+  /** SQS-QUEUE-driven continuous no-copy ingestion — the reference
+    * watch's production wire (InsertWatch.java: `--watch <sqsQueueUrl>`,
+    * ReceiveMessage → filter ObjectCreated → insert → DeleteMessageBatch)
+    * carried by the same machinery as the directory/HTTP feeds: each
+    * drain spools message bodies as event-log files and the identical
+    * checkpointed file stream consumes the spool, so queue consumption,
+    * dedup ledger, metrics and replay absorption are ONE code path across
+    * all three feed kinds. The queue URL carries its endpoint, so a
+    * LocalStack-style local queue (the reference's `--watch-endpoint`)
+    * needs no extra knob.
+    */
+  def watchSqsAndRegister(
+      spark: SparkSession,
+      cat: graft.catalog.CatalogSurface,
+      ident: String,
+      queueUrl: String,
+      creds: graft.catalog.SigV4.Credentials,
+      region: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1000,
+      pattern: Option[String] = None): StreamingQuery = {
+    val wire = new graft.catalog.SqsWire(queueUrl, creds, region)
+    val spool = java.nio.file.Paths.get(checkpoint, "sqs-spool")
+    java.nio.file.Files.createDirectories(spool.resolve("logs"))
+    // one synchronous drain up front so a fire-once (AvailableNow) watch
+    // sees everything already queued — the spoolHttpFeed discipline
+    spoolSqsFeed(wire, spool)
+    val query = watchEventsAndRegister(spark, cat, ident,
+      spool.resolve("logs").toString, checkpoint, trigger,
+      maxFilesPerTrigger, pattern)
+    // continuous polling for long-running watches (daemon exits with the
+    // query; a fire-once query's data came from the synchronous drain)
+    val t = new Thread(() => {
+      while (query.isActive) {
+        try { spoolSqsFeed(wire, spool); () }
+        catch { case _: Exception => () } // transient; next poll retries
+        Thread.sleep(1000)
+      }
+    }, s"graft-sqs-poll-$ident")
+    t.setDaemon(true)
+    t.start()
+    query
+  }
+
   /** One event batch (`value` lines) → the object paths it names: S3
     * notification JSON contributes its `ObjectCreated:*` records
     * (URL-decoded `s3://bucket/key`, other event kinds skipped —
@@ -1014,13 +1106,17 @@ object Streams {
       clusters = Some(("stream.clusters", "stream.merges")),
       maxFilesPerTrigger = 1)
     q.awaitTermination()
-    val rows = IncrementalClusters.resolved(
+    // eager localCheckpoint pins the resolved assignment BEFORE the
+    // scratch catalog is deleted; no O(corpus) driver collect (d18
+    // discipline)
+    val res = IncrementalClusters.resolved(
       cat, spark, "stream.clusters", "stream.merges")
-      .orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+      .localCheckpoint(true)
     try {
       Seq("stream.docs", "stream.index", "stream.clusters", "stream.merges")
         .foreach(cat.dropTable(_))
     } catch { case _: Exception => () }
-    rows.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
+    graft.operators.Scratch.delete(root)
+    res.orderBy(col("doc_id"))
   }
 }

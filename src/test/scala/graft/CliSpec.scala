@@ -1306,6 +1306,74 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("insert --watch --watch-queue consumes SQS ObjectCreated events over the signed wire") {
+    // the reference watch's PRODUCTION input (InsertWatch.java: `ice
+    // insert --watch <sqsQueueUrl>` — ReceiveMessage, filter
+    // ObjectCreated:*, insert by reference, DeleteMessageBatch), end to
+    // end through the CLI: staged bucket files + queued S3 notification
+    // JSON → exactly the named files ingest; replays no-op; both wires
+    // (S3 + SQS) verify every signature
+    import spark.implicits._
+    val creds = graft.catalog.SigV4.Credentials("CLIKEY", "cli-secret")
+    val server = new graft.catalog.S3WireServer(creds).start()
+    val sqs = new graft.catalog.SqsWireServer(creds).start()
+    try {
+      val s3Root = s"${Files.createTempDirectory("cli-sqs-root")}/virtual/cat"
+      val cfg = Files.createTempFile("graft-sqsw", ".yaml")
+      Files.writeString(cfg,
+        s"""root: $s3Root
+           |s3:
+           |  endpoint: ${server.endpoint}
+           |  bucket: clib3
+           |  accessKeyID: CLIKEY
+           |  secretAccessKey: cli-secret
+           |""".stripMargin)
+      def ccli(args: String*): (Int, Seq[String]) = {
+        val buf = new ByteArrayOutputStream()
+        val code = Cli.run(Seq("--config", cfg.toString) ++ args,
+          spark, new PrintStream(buf, true))
+        (code, buf.toString.linesIterator.toSeq)
+      }
+      assert(ccli("create-namespace", "q")._1 == 0)
+      assert(ccli("create-table", "q.t", "--schema", "id BIGINT, v STRING")._1 == 0)
+      // stage two parquet objects in the bucket; only ONE gets a
+      // created-event — the other must never ingest (events, not listing)
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+        .write.parquet("grafts3://sqslake/staging/b1")
+      Seq((9L, "z")).toDF("id", "v").coalesce(1)
+        .write.parquet("grafts3://sqslake/staging/never")
+      val fs = new org.apache.hadoop.fs.Path("grafts3://sqslake/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val key = fs.listStatus(new org.apache.hadoop.fs.Path("grafts3://sqslake/staging/b1"))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        .toUri.getPath.stripPrefix("/")
+      val wire = new graft.catalog.SqsWire(sqs.queueUrl("events"), creds, "us-east-1")
+      def created(k: String): String =
+        s"""{"Records":[{"eventName":"ObjectCreated:Put","s3":{"bucket":{"name":"sqslake"},"object":{"key":"$k"}}}]}"""
+      wire.sendMessage(created(key))
+      // a removal event and junk must be skipped, not crash the watch
+      wire.sendMessage(
+        s"""{"Records":[{"eventName":"ObjectRemoved:Delete","s3":{"bucket":{"name":"sqslake"},"object":{"key":"$key"}}}]}""")
+      val ckpt = Files.createTempDirectory("sqs-cli-ckpt").toString
+      def watchOnce(): (Int, Seq[String]) = ccli(
+        "insert", "q.t", "--watch", "--watch-queue", sqs.queueUrl("events"),
+        "--watch-fire-once", "--checkpoint", ckpt)
+      val (wc, wout) = watchOnce()
+      assert(wc == 0 && wout.exists(_.contains("watching")), wout.mkString("|"))
+      assert(ccli("count", "q.t") == (0, Seq("2")))
+      assert(sqs.size("events") == 0, "consumed events must be confirmed")
+      // REPLAY the same notification (at-least-once queue): the source
+      // ledger absorbs it — no new rows, no new files
+      wire.sendMessage(created(key))
+      assert(watchOnce()._1 == 0)
+      assert(ccli("count", "q.t") == (0, Seq("2")))
+      val cat = new graft.catalog.IceCatalog(spark, s3Root,
+        new graft.catalog.S3HttpFileIO(s3Root, server.endpoint, "clib3", creds))
+      assert(cat.files("q.t").size == 1, "replayed event must not re-add the file")
+      assert(sqs.authFailures.get() == 0 && server.authFailures.get() == 0)
+    } finally { sqs.stop(); server.stop() }
+  }
+
   test("etcd uri config routes the CLI metadata plane over the v3 gateway") {
     import spark.implicits._
     val server = new graft.catalog.EtcdWireServer().start()
