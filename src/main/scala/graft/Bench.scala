@@ -103,9 +103,32 @@ object Bench {
       SparkEntry.queries.keys.toSeq.sorted, bestOf2, loadBaseline(),
       () => loadavg(), () => Thread.sleep(backoffMs), sfDir, session)
     println(r.json)
+    writeArtifactFile(r.json)
     spark.stop()
     if (r.fired) sys.exit(2)
   }
+
+  /** The full metric JSON also lands in `target/bench.json` (atomic
+    * rename): the driver's bench artifact keeps only the tail of the
+    * stdout line, so a file copy guarantees per-query data is never lost
+    * to truncation (BENCH_r16.json shipped `parsed:null` with the JSON
+    * only recoverable from the 2000-char tail). Best-effort — a read-only
+    * working dir must not fail the bench itself.
+    */
+  private[graft] def writeArtifactFile(
+      json: String, dir: String = "target"): Option[java.nio.file.Path] =
+    try {
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(d)
+      val tmp = d.resolve("bench.json.tmp")
+      java.nio.file.Files.write(tmp,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = d.resolve("bench.json")
+      java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Some(out)
+    } catch { case _: Exception => None }
 
   private[graft] case class Result(json: String, fired: Boolean, contended: Boolean)
 

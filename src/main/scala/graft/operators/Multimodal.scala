@@ -89,17 +89,22 @@ object Multimodal {
   private val BmpDibSizes = Array(12L, 40L, 52L, 56L, 64L, 108L, 124L)
 
   def isAsciiImagePayload(p: Array[Byte]): Boolean = {
-    // residual class note: unlike BMP, GIF has no structurally
-    // text-impossible header field past the 6-byte version string, so a
-    // text payload beginning "GIF87a"/"GIF89a" whose tail happens to
-    // parse as a complete GIF would decode for real. The gate corpora
-    // cannot produce that prefix (document text is lowercase-token
-    // prose), and arbitrary corpora get the documented parse-gated
-    // best-effort — the stub fallback guarantees never-throw, not
-    // never-decode.
-    val gif = p.length >= 6 &&
+    // GIF gates past the version string on a PLAUSIBLE logical-screen
+    // descriptor (r16 advisor note — the BMP branch's standard): both
+    // canvas dimensions (u16le at offsets 6/8) must be in [1, 8192), so
+    // each HIGH byte is ≤ 0x1f — a control character, which printable
+    // text can't place at offsets 7 and 9. A text payload starting
+    // "GIF87a" therefore no longer pays an imageio parse attempt per
+    // row; real GIFs up to 8191×8191 (far past the gate corpora) route
+    // through. The payload still has to PARSE via javax.imageio;
+    // anything unparseable falls back to the stub (never-throw).
+    def u16le(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    val gif = p.length >= 13 &&
       p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
-      (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+      (p(4) == '7' || p(4) == '9') && p(5) == 'a' && {
+        val w = u16le(6); val h = u16le(8)
+        w >= 1 && w < 8192 && h >= 1 && h < 8192
+      }
     def dibSize: Long = (p(14) & 0xffL) | ((p(15) & 0xffL) << 8) |
       ((p(16) & 0xffL) << 16) | ((p(17) & 0xffL) << 24)
     val bmp = p.length >= 18 && p(0) == 'B' && p(1) == 'M' &&

@@ -70,6 +70,23 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(r2.json.contains(""""breaches":["d3_minhash_lsh"]"""))
   }
 
+  test("the metric JSON also lands in a file, atomically, truncation-proof") {
+    // the driver keeps only the ~2000-char tail of stdout (BENCH_r16.json
+    // shipped parsed:null) — the file copy is the loss-proof artifact
+    val dir = java.nio.file.Files.createTempDirectory("bench-artifact")
+    val json = run(pins).json
+    val out = Bench.writeArtifactFile(json, dir.toString)
+    assert(out.isDefined, "file write must succeed in a writable dir")
+    val body = new String(java.nio.file.Files.readAllBytes(out.get), "UTF-8")
+    assert(body == json + "\n", "file carries the FULL un-truncated JSON")
+    // overwrite (a re-run) replaces, never appends or corrupts
+    val out2 = Bench.writeArtifactFile(json, dir.toString)
+    assert(out2 == out &&
+      new String(java.nio.file.Files.readAllBytes(out.get), "UTF-8") == json + "\n")
+    // a hostile (unwritable) dir degrades to None, never an exception
+    assert(Bench.writeArtifactFile(json, "/proc/nope/deeper").isEmpty)
+  }
+
   test("contention spike on pass 1 only: retry washes it out, raw ratios return") {
     // pass 1 hot (3x), retry clean — min-merge restores the pins
     var first = true

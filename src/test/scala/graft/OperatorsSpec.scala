@@ -181,17 +181,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((ow, oh) == (64, 25) && fp == expectFp)
     }
     // the ASCII magics are parse-GATED: text that merely starts with the
-    // prefix chars never reaches the decoder ("BM…" fails the DIB
-    // header-size gate — no ASCII tail can produce 12/40/…/124), and a
-    // full "GIF89a" prefix on text ROUTES but fails the parse and falls
-    // back to the stub — the never-throw contract
+    // prefix chars never reaches the decoder — "BM…" fails the DIB
+    // header-size gate (no ASCII tail can produce 12/40/…/124), and
+    // "GIF89a" text fails the screen-descriptor gate (printable bytes at
+    // offsets 7/9 put both canvas dims ≥ 8192). A structurally plausible
+    // descriptor with a garbage tail still ROUTES, fails the parse, and
+    // falls back to the stub — the never-throw contract.
     val bmText = "BM is how these payloads start, but this is prose".getBytes("UTF-8")
     assert(!Multimodal.isAsciiImagePayload(bmText))
     val gifText = "GIF89a pretender: the magic alone must not be trusted".getBytes("UTF-8")
-    assert(Multimodal.isAsciiImagePayload(gifText))
+    assert(!Multimodal.isAsciiImagePayload(gifText),
+      "text past the GIF magic must fail the screen-descriptor gate")
     assert(Multimodal.decode(gifText)._1 == Multimodal.stubDecode(gifText)._1)
-    assert(Multimodal.decodeResize(gifText, 64)._5 ==
-      Multimodal.stubResize(gifText, 64)._5)
+    val gifPlausible = "GIF89a".getBytes("UTF-8") ++
+      Array[Byte](100, 0, 40, 0) ++ // 100x40 canvas — plausible dims
+      "but the remainder is not a gif at all".getBytes("UTF-8")
+    assert(Multimodal.isAsciiImagePayload(gifPlausible),
+      "a plausible descriptor routes to the parse attempt")
+    assert(Multimodal.decode(gifPlausible)._1 ==
+      Multimodal.stubDecode(gifPlausible)._1)
+    assert(Multimodal.decodeResize(gifPlausible, 64)._5 ==
+      Multimodal.stubResize(gifPlausible, 64)._5)
   }
 
   test("real WAV/AIFF payloads decode through javax.sound.sampled; text stays on the stub") {
