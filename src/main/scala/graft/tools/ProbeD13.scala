@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** One-off: decompose d13's fixed-batch growth — index rows, candidate
+  * pairs, verify volume at base vs 10× corpus.
+  */
+object ProbeD13 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate("graft-probe-d13", cpus = 32)
+    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/graft-scale10x")) {
+      val docs = Tables.documents(spark, dir)
+      val batch = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 1000)
+      val ex = Dedup.cachedBandIndex(spark, dir)
+      val inc = Dedup.lshBands(Dedup.minhashSignatures(batch))
+      val cand = inc.select(col("band"), col("sig"), col("doc_id").as("a"))
+        .join(ex.select(col("band"), col("sig"), col("doc_id").as("b")),
+          Seq("band", "sig"))
+        .select(col("a"), col("b")).distinct()
+      println(s"[d13probe] $dir index=${ex.count()} batchBands=${inc.count()} " +
+        s"candidates=${cand.count()}")
+    }
+    spark.stop()
+  }
+}

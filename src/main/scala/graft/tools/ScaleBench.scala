@@ -93,7 +93,11 @@ object ScaleBench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
     Seq[(String, String, String => Double)](
-      ("d13_fixed_batch", "~flat probe+verify at fixed batch (O(batch*collisions))",
+      // NOT ~flat: O(batch × collisions) grows with the corpus's stored
+      // dup density — the 10x corpus carries 10x the near-dups per batch
+      // doc (measured r17: candidate pairs 4,115 → 42,696 at fixed
+      // batch), so the honest claim is sub-linearity IN CANDIDATES
+      ("d13_fixed_batch", "~collisions at fixed batch (O(batch*collisions); candidates grow with stored dup density, per-candidate cost flat)",
         dir => {
           def run(): Unit =
             graft.operators.Dedup.incrementalDedup(spark, dir, batchUpper = 1000L)
