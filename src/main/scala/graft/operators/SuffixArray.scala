@@ -55,8 +55,14 @@ object SuffixArray {
     * returned frame is persisted (each doubling round reads it twice:
     * as itself and as its own k-shift); [[suffixArrayOf]] unpersists
     * every round at the end.
+    *
+    * The second return is the Manber–Myers TERMINATION signal: true iff
+    * every rank is a singleton group. Equal keys never straddle range
+    * partitions, so global group count = Σ per-partition group counts —
+    * it rides the SAME bounded #partitions collect as the offsets.
     */
-  private[graft] def rankBy(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+  private[graft] def rankBy(
+      df: DataFrame, keyCols: Seq[String]): (DataFrame, Boolean) = {
     val spark = df.sparkSession
     val np = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -67,11 +73,24 @@ object SuffixArray {
       .sortWithinPartitions(cols: _*)
       .persist()
     val keyIdx = 2 until (2 + keyCols.length)
-    // one bounded collect: #partitions ints (the per-partition row counts
-    // that turn local first-of-group indices into global ranks)
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
+    // one bounded collect: #partitions (rows, groups) pairs — the row
+    // counts turn local first-of-group indices into global ranks; the
+    // group counts decide termination
+    val stats = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var rows = 0L
+        var groups = 0L
+        var prev: Seq[Any] = null
+        it.foreach { row =>
+          val key = keyIdx.map(row.get)
+          if (prev == null || key != prev) { groups += 1; prev = key }
+          rows += 1
+        }
+        Iterator((pid, rows, groups))
+      }
+      .collect().sortBy(_._1)
+    val counts = stats.map(_._2)
+    val allDistinct = stats.map(_._3).sum == counts.sum
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -97,7 +116,7 @@ object SuffixArray {
     out.persist()
     out.count() // materialize so the caller may free the sort behind it
     sorted.unpersist()
-    out
+    (out, allDistinct)
   }
 
   /** The doubling rounds' rank tables: `levels(ℓ)` ranks every suffix by
@@ -115,17 +134,27 @@ object SuffixArray {
         case r => r.getInt(0)
       }
     if (maxLen == 0) return Seq.empty
-    var cur = rankBy(toks, Seq("token"))
+    var (cur, distinct) = rankBy(toks, Seq("token"))
     val levels = scala.collection.mutable.ArrayBuffer(cur)
     var k = 1
-    while (k < maxLen) {
+    // Manber–Myers EARLY TERMINATION: all-singleton ranks at level ℓ mean
+    // no two suffixes share their full 2^ℓ-token window — further rounds
+    // re-rank an already-total order (identity on the VALUES too: with r1
+    // distinct, first-of-group index = row index = r1's rank). Rounds run
+    // O(log maxLCP), not O(log maxLen) — on a 100 TB corpus of long
+    // documents with bounded repeats that is most of the work; d19's lift
+    // is also bounded by the same fact (max LCP < 2^ℓ_top, and the greedy
+    // descending-binary decomposition covers any value below it).
+    while (k < maxLen && !distinct) {
       val shifted = cur.select(
         col("doc_id"), (col("pos") - k).as("pos"), col("r").as("r2"))
       val paired = cur.withColumnRenamed("r", "r1")
         .join(shifted, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"),
           col("r1"), coalesce(col("r2"), lit(-1L)).as("r2"))
-      cur = rankBy(paired, Seq("r1", "r2")) // materialized inside
+      val (next, dist) = rankBy(paired, Seq("r1", "r2")) // materialized inside
+      cur = next
+      distinct = dist
       levels += cur
       k *= 2
     }

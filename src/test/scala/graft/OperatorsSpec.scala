@@ -1121,6 +1121,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("d18/d19 prefix doubling terminates early once ranks are distinct; results identical") {
+    import spark.implicits._
+    // all-distinct tokens, long docs, SHORT max repeat: ranks go
+    // singleton well before 2^rounds reaches maxLen, so Manber–Myers
+    // termination must cut rounds to O(log maxLCP) — and must NOT change
+    // the suffix array or the repeat stats
+    val words = (0 until 64).map(i => s"w$i")
+    val docs = Seq(
+      (1L, (words.take(40) ++ Seq("shared", "tail", "x")).mkString(" ")),
+      (2L, (words.slice(40, 60) ++ Seq("shared", "tail", "y")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val levels = operators.SuffixArray.buildLevels(docs)
+    // maxLen = 43 would force 7 levels (k: 1..64); the longest repeated
+    // passage is "shared tail" (2 tokens), so distinct ranks arrive at
+    // level 2 (4-token windows) and the build must stop there
+    assert(levels.length <= 4,
+      s"expected early termination, got ${levels.length} levels")
+    levels.foreach(_.unpersist())
+    // the terminated array still equals the driver-side suffix sort
+    val got = operators.SuffixArray.suffixArrayOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val toks = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    val sufs = for { (id, ts) <- toks.toSeq; p <- ts.indices }
+      yield (id, p, ts.drop(p))
+    import scala.math.Ordering.Implicits._
+    val expected = sufs.map { case (id, p, s) =>
+      (id, p, 1L + sufs.count(_._3 < s)) }.sortBy(x => (x._3, x._1, x._2))
+    assert(got.toSeq == expected)
+    // and the LIFT over the truncated level set still finds the repeat
+    val stats = operators.SuffixArray.repeatStatsOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(stats == Map(1L -> 2L, 2L -> 2L),
+      s"max_repeat must be the 2-token shared tail: $stats")
+  }
+
   test("d20 span rewrite cuts every non-first occurrence and stitches the rest back") {
     import spark.implicits._
     def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
