@@ -285,7 +285,12 @@ final class SqsWireServer(
       }
     } catch {
       case e: Exception =>
-        respond(ex, 500, s"""{"__type":"InternalFailure","message":"${e.getMessage}"}""")
+        // serialize via the mapper: a raw interpolation would emit invalid
+        // JSON whenever the exception message carries quotes/newlines
+        val n = mapper.createObjectNode()
+        n.put("__type", "InternalFailure")
+        n.put("message", String.valueOf(e.getMessage))
+        respond(ex, 500, mapper.writeValueAsString(n))
     } finally ex.close()
   }
 

@@ -142,13 +142,20 @@ object Dedup {
       if (cur != null && cur._1 == fp) cur
       else {
         if (cur != null) cur._2.unpersist()
+        // bands persists so the minhash/LSH lineage runs ONCE for both its
+        // consumers (the size aggregation and the semi-join probe side);
+        // the capped index materializes eagerly, then the scaffold frees
         val bands = lshBands(minhashSignatures(
           Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)))
+          .persist()
         val small = bands.groupBy(col("band"), col("sig"))
           .agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") <= MaxLshBucket)
           .select(col("band"), col("sig"))
-        (fp, bands.join(small, Seq("band", "sig"), "left_semi").persist())
+        val capped = bands.join(small, Seq("band", "sig"), "left_semi").persist()
+        capped.count()
+        bands.unpersist()
+        (fp, capped)
       })._2
   }
 

@@ -780,9 +780,11 @@ object VectorIndex {
 
   /** s11 gate: the full table-backed lifecycle — build both index tables
     * from the corpus (vec_id ≥ 5), query the standard 5 queries through
-    * them. Rows-only in the oracle gate (k-means-seeded, like s3);
-    * VectorIndexSpec pins the recall floors and the cross-handle
-    * persistence instead. Collected before the scratch catalog drops.
+    * them. Rows-only in the oracle gate (k-means-seeded at PARTIAL probe
+    * — unlike s3's full-coverage gate, a partial probe's result depends
+    * on the seeding); VectorIndexSpec pins the recall floors and the
+    * cross-handle persistence instead. Collected before the scratch
+    * catalog drops.
     */
   def tableAnnGateQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -624,17 +624,25 @@ object Streams {
     val query = watchEventsAndRegister(spark, cat, ident,
       spool.resolve("logs").toString, checkpoint, trigger,
       maxFilesPerTrigger, pattern)
-    // continuous polling for long-running watches (daemon exits with the
-    // query; a fire-once query's data came from the synchronous drain)
-    val t = new Thread(() => {
-      while (query.isActive) {
-        try { spoolSqsFeed(wire, spool); () }
-        catch { case _: Exception => () } // transient; next poll retries
-        Thread.sleep(1000)
-      }
-    }, s"graft-sqs-poll-$ident")
-    t.setDaemon(true)
-    t.start()
+    // continuous polling for LONG-RUNNING watches only (daemon exits with
+    // the query). A fire-once (AvailableNow) query snapshots its file
+    // list at start, so its data comes from the synchronous drain above —
+    // a poll racing it would RECEIVE+DELETE messages the snapshot will
+    // never process, and with an ephemeral checkpoint the spooled copy
+    // dies with the process: SQS deletion is destructive, unlike the
+    // directory/HTTP feeds whose source retains its bytes. Those messages
+    // stay queued for the next drain instead.
+    if (trigger != Trigger.AvailableNow()) {
+      val t = new Thread(() => {
+        while (query.isActive) {
+          try { spoolSqsFeed(wire, spool); () }
+          catch { case _: Exception => () } // transient; next poll retries
+          Thread.sleep(1000)
+        }
+      }, s"graft-sqs-poll-$ident")
+      t.setDaemon(true)
+      t.start()
+    }
     query
   }
 

@@ -333,6 +333,13 @@ object Cli {
               // --watch-endpoint override.
               require(paths.isEmpty,
                 "--watch-queue takes no path — events come from the queue")
+              // the queue feed registers by reference only: refuse flags
+              // that would otherwise be silently ignored (a CDC merge
+              // request appending duplicate rows is worse than an error)
+              require(!flags.contains("merge-keys"),
+                "--watch-queue does not support --merge-keys (queue events register files by reference)")
+              require(!flags.contains("events"),
+                "--watch-queue IS the event feed — drop --events")
               val creds = (sys.env.get("AWS_ACCESS_KEY_ID"),
                 sys.env.get("AWS_SECRET_ACCESS_KEY")) match {
                 case (Some(ak), Some(sk)) => graft.catalog.SigV4.Credentials(

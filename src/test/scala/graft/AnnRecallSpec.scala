@@ -10,7 +10,10 @@ import graft.operators.Similarity
 /** Pins the ANN recall/cost tradeoff table published in SURVEY §6
   * (sf0.01: 5,000 64-d embeddings, 5 queries, k=10). Floors carry margin
   * for the last-ulp nondeterminism of distributed float aggregation in
-  * k-means (the reason s3/s6 are rows-only in the oracle gate).
+  * k-means (the reason s6/s8/s11 stay rows-only in the oracle gate —
+  * s3's GATE escaped it in r17 by probing every cell, which makes the
+  * result seeding-independent; the PARTIAL-probe recalls pinned here are
+  * still the seeding-sensitive surface).
   */
 class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
 
