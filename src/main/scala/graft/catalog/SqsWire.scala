@@ -224,6 +224,20 @@ final class SqsWireServer(
           respond(ex, 200, s"""{"MessageId":"${m.id}"}""")
         case "AmazonSQS.ReceiveMessage" =>
           val max = math.min(math.max(req.path("MaxNumberOfMessages").asInt(1), 1), 10)
+          // long poll (the public WaitTimeSeconds semantics): block until
+          // a message is visible or the wait elapses — capped at 20 s
+          val waitMs = math.min(
+            math.max(req.path("WaitTimeSeconds").asInt(0), 0), 20) * 1000L
+          val deadline = System.currentTimeMillis() + waitMs
+          def anyVisible(): Boolean = q.synchronized {
+            val now = System.currentTimeMillis()
+            val it = q.iterator()
+            var hit = false
+            while (it.hasNext && !hit) hit = it.next().invisibleUntil <= now
+            hit
+          }
+          while (!anyVisible() && System.currentTimeMillis() < deadline)
+            Thread.sleep(25)
           val now = System.currentTimeMillis()
           val out = mapper.createArrayNode()
           q.synchronized {

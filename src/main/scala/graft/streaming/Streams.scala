@@ -565,12 +565,16 @@ object Streams {
     * Returns the number of NEW messages spooled.
     */
   private[graft] def spoolSqsFeed(
-      wire: graft.catalog.SqsWire, spoolRoot: java.nio.file.Path): Int = {
+      wire: graft.catalog.SqsWire, spoolRoot: java.nio.file.Path,
+      waitSeconds: Int = 0): Int = {
     import java.nio.file.{Files, StandardCopyOption}
     val logs = spoolRoot.resolve("logs")
     Files.createDirectories(logs)
     var spooled = 0
-    var page = wire.receiveMessage(max = 10)
+    // the reference's req/tailReq split (InsertWatch.java:104-117): the
+    // FIRST receive may long-poll (cheap idle waiting, fewer empty API
+    // calls against a real queue); tail pages poll at 0 to drain fast
+    var page = wire.receiveMessage(max = 10, waitSeconds = waitSeconds)
     while (page.nonEmpty) {
       page.foreach { m =>
         val name =
@@ -635,9 +639,13 @@ object Streams {
     if (trigger != Trigger.AvailableNow()) {
       val t = new Thread(() => {
         while (query.isActive) {
-          try { spoolSqsFeed(wire, spool); () }
+          // long-poll the idle queue (the reference's 20 s ReceiveMessage
+          // wait, InsertWatch.java:107) — the daemon blocks server-side
+          // instead of hammering empty receives; the short sleep only
+          // paces the error path and back-to-back busy drains
+          try { spoolSqsFeed(wire, spool, waitSeconds = 10); () }
           catch { case _: Exception => () } // transient; next poll retries
-          Thread.sleep(1000)
+          Thread.sleep(250)
         }
       }, s"graft-sqs-poll-$ident")
       t.setDaemon(true)

@@ -36,6 +36,11 @@ object ScaleBench {
     "d8_dedup_clusters" -> "~n (O(E*rounds))",
     "d9_semantic_dedup" -> "~n^1.5 (O(sum cell^2), nlist=sqrt(n))",
     "d11_substr_dedup" -> "~n (O(bytes/stride), two partial-agg shuffles)",
+    // the suffix-array family's shared machinery (d19 = this + the LCP
+    // lift, bounded by the same level count); rounds are O(log maxLCP)
+    // after the r17 Manber-Myers termination, unchanged at 10x here
+    // (the scaled corpus keeps the base's doc-length and dup profile)
+    "d18_suffix_array" -> "~n log n (prefix doubling: log(maxLCP) rounds of range-rank + pair join)",
     // the GATE shape scales its batch with the corpus (odd half), so ~n
     // here is expected; the fixed-batch row below is the sub-linear proof
     "d13_incremental_dedup" -> "~n (gate batch grows with corpus; see d13_fixed_batch)",

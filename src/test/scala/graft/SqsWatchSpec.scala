@@ -71,6 +71,30 @@ class SqsWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("long poll: an empty queue blocks until a message arrives or the wait elapses") {
+    val srv = new SqsWireServer(creds).start()
+    try {
+      val wire = new SqsWire(srv.queueUrl("lp"), creds, "us-east-1")
+      // a producer lands a message 300 ms into a 5 s wait: the receive
+      // must return it well before the full wait (the wakeup half)
+      val t0 = System.nanoTime()
+      new Thread(() => {
+        Thread.sleep(300)
+        new SqsWire(srv.queueUrl("lp"), creds, "us-east-1").sendMessage("late")
+      }).start()
+      val got = wire.receiveMessage(max = 10, waitSeconds = 5)
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(got.map(_.body) == Seq("late"))
+      assert(elapsedMs < 4000, s"long poll must return on arrival: $elapsedMs ms")
+      wire.deleteMessageBatch(got.map(m => (m.messageId, m.receiptHandle)))
+      // empty queue + 1 s wait: comes back empty after ~the wait, not
+      // instantly (the blocking half)
+      val t1 = System.nanoTime()
+      assert(wire.receiveMessage(max = 10, waitSeconds = 1).isEmpty)
+      assert((System.nanoTime() - t1) / 1e6 >= 900)
+    } finally srv.stop()
+  }
+
   test("spoolSqsFeed drains pages, names spool files by MessageId, absorbs redelivery") {
     val srv = new SqsWireServer(creds, visibilityTimeoutMs = 100).start()
     try {
