@@ -21,17 +21,20 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * Only the watch path's verbs exist: ReceiveMessage +
   * DeleteMessageBatch (InsertWatch.java's consumption loop) and
   * SendMessage (the producer half a conformance spec needs). The queue
-  * URL carries its own endpoint (`http(s)://host[:port]/<acct>/<name>`),
-  * so pointing at a LocalStack-style endpoint needs no override — pass
-  * the local queue URL directly, the reference's `--watch-endpoint` use
-  * case.
+  * URL carries its own endpoint (`http(s)://host[:port]/<acct>/<name>`);
+  * `endpointOverride` redirects the HTTP calls (and their signed host)
+  * somewhere else while the LOGICAL queue URL still rides in every
+  * request body — the reference's `--watch-endpoint` LocalStack case
+  * (InsertWatch.buildSqsClient's endpointOverride).
   */
 final class SqsWire(
-    val queueUrl: String, creds: SigV4.Credentials, region: String) {
+    val queueUrl: String, creds: SigV4.Credentials, region: String,
+    endpointOverride: Option[String] = None) {
 
   private val http = HttpClient.newHttpClient()
   private val mapper = new ObjectMapper()
-  private val u = java.net.URI.create(queueUrl)
+  private val u = java.net.URI.create(
+    endpointOverride.getOrElse(queueUrl))
   private val host: String = u.getAuthority
   private val origin: String = s"${u.getScheme}://$host"
 

@@ -618,8 +618,10 @@ object Streams {
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Int = 1000,
-      pattern: Option[String] = None): StreamingQuery = {
-    val wire = new graft.catalog.SqsWire(queueUrl, creds, region)
+      pattern: Option[String] = None,
+      endpointOverride: Option[String] = None): StreamingQuery = {
+    val wire = new graft.catalog.SqsWire(queueUrl, creds, region,
+      endpointOverride)
     val spool = java.nio.file.Paths.get(checkpoint, "sqs-spool")
     java.nio.file.Files.createDirectories(spool.resolve("logs"))
     // one synchronous drain up front so a fire-once (AvailableNow) watch

@@ -60,7 +60,8 @@ import graft.catalog.IceCatalog._
   *                 register no-copy O(events) per trigger, the data
   *                 prefix is never listed)
   *   insert <ns.t> --watch --watch-queue <sqsQueueUrl>
-  *                [--watch-pattern <glob>] [--checkpoint <dir>]
+  *                [--watch-endpoint <url>] [--watch-pattern <glob>]
+  *                [--checkpoint <dir>]
   *                [--watch-fire-once]      (the reference's production
   *                 watch input: an SQS queue of S3 ObjectCreated
   *                 notifications, consumed over graft's SigV4-signed
@@ -353,7 +354,11 @@ object Cli {
                 .orElse(cfg.s3.map(_.region)).getOrElse("us-east-1")
               graft.streaming.Streams.watchSqsAndRegister(
                 spark, cat, ident, queueUrl, creds, region, checkpoint,
-                trigger, pattern = flags.get("watch-pattern"))
+                trigger, pattern = flags.get("watch-pattern"),
+                // --watch-endpoint (reference Main.java:550-553): route
+                // the SQS HTTP calls at a custom endpoint (LocalStack)
+                // while the logical queue URL rides in the request bodies
+                endpointOverride = flags.get("watch-endpoint"))
             case None => flags.get("merge-keys") match {
             case Some(keys) =>
               graft.streaming.Streams.watchAndMerge(

@@ -71,6 +71,27 @@ class SqsWatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("endpoint override: calls route to the override host, the logical queue URL rides in bodies") {
+    // the reference's --watch-endpoint (LocalStack): the queue URL names
+    // an unreachable logical host; only the override endpoint is live
+    val srv = new SqsWireServer(creds).start()
+    try {
+      val logical = "https://sqs.us-east-1.amazonaws.com/000000000000/prod-q"
+      val wire = new SqsWire(logical, creds, "us-east-1",
+        endpointOverride = Some(srv.endpoint))
+      val id = wire.sendMessage("via-override")
+      val got = wire.receiveMessage()
+      assert(got.map(_.body) == Seq("via-override"))
+      val (ok, bad) = wire.deleteMessageBatch(Seq((id, got.head.receiptHandle)))
+      assert(ok == Seq(id) && bad.isEmpty)
+      // the server keyed the queue by the LOGICAL URL's path — the body
+      // carried the queue URL, the wire carried the override host
+      assert(srv.size("prod-q") == 0)
+      assert(srv.authFailures.get() == 0,
+        "signatures must verify against the override host")
+    } finally srv.stop()
+  }
+
   test("long poll: an empty queue blocks until a message arrives or the wait elapses") {
     val srv = new SqsWireServer(creds).start()
     try {
