@@ -103,7 +103,18 @@ object Pipeline {
     * once and unpersists (the d15 gate discipline); a deployment would
     * checkpoint the ledger as a table instead.
     */
-  def preprocessLedger(docs: DataFrame): DataFrame = {
+  def preprocessLedger(docs: DataFrame): DataFrame =
+    preprocessLedgerRows(docs)
+      .select(col("doc_id"), col("source"), col("decision"), col("scrub_fp"))
+      .orderBy(col("doc_id"))
+
+  /** [[preprocessLedger]] WITHOUT the presentation sort and WITH the
+    * scrubbed text still attached — the form [[releaseManifest]] consumes:
+    * the release tail needs the kept docs' scrubbed text (token counts,
+    * split hash), and re-deriving it through a docs re-join would re-run
+    * the scrub over the whole corpus a second time.
+    */
+  private[operators] def preprocessLedgerRows(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"), col("source"), col("text"))
       .withColumn("scrubbed", TextAnalysis.scrubbedText(col("text")))
@@ -147,8 +158,7 @@ object Pipeline {
           .when(col("_nd"), "near_dup")
           .when(col("_ct"), "contaminated")
           .otherwise("kept").as("decision"),
-        col("scrub_fp"))
-      .orderBy(col("doc_id"))
+        col("scrub_fp"), col("scrubbed"))
   }
 
   /** p3 gate: the ledger materialized once and released (several stages
@@ -178,16 +188,23 @@ object Pipeline {
     * over the train split (no global total order).
     */
   def releaseManifest(docs: DataFrame, shards: Int = 4): DataFrame = {
-    val kept = preprocessLedger(docs)
+    // ONE p3-chain execution (r18): `kept` feeds two consumers (the shard
+    // pass and the final join), so without this materialization the whole
+    // six-stage ledger — scrub, LSH propose, Jaccard verify, decontam —
+    // planned and EXECUTED twice inside p4 (measured: p4 ≈ 2x p3's cost).
+    // The frame is O(survivors) x 4 skinny columns; the scrubbed text is
+    // consumed here (token count + split hash) off the ledger's own rows
+    // instead of the old docs re-join, which re-ran the corpus scrub a
+    // second time.
+    val kept = preprocessLedgerRows(docs)
       .filter(col("decision") === "kept")
-      .join(docs.select(col("doc_id"),
-        TextAnalysis.scrubbedText(col("text")).as("scrubbed")), Seq("doc_id"))
       .select(col("doc_id"),
         when(substring(col("scrub_fp"), 1, 1) === "0", "val")
           .when(substring(col("scrub_fp"), 1, 1) === "1", "test")
           .otherwise("train").as("split"),
         wsTokenCount(col("scrubbed")).cast("long").as("n_tokens"),
         md5(col("scrubbed")).as("h"))
+      .localCheckpoint(true)
     val sharded = Sampling.shardAssignOn(
       kept.filter(col("split") === "train")
         .select(col("doc_id"), col("n_tokens"), col("h")),

@@ -52,17 +52,20 @@ object SuffixArray {
   /** Order-consistent rank of `df`'s rows by `keyCols`: equal keys share
     * a rank, ranks increase with key order, value = the group's first
     * global row index. Never a global window — see the object doc. The
-    * returned frame is persisted (each doubling round reads it twice:
-    * as itself and as its own k-shift); [[suffixArrayOf]] unpersists
-    * every round at the end.
+    * returned frame is persisted and eagerly materialized (each doubling
+    * round reads it twice: as itself and as its own k-shift — see the
+    * in-body note on why lazy caching here measured 2x slower).
     *
     * The second return is the Manber–Myers TERMINATION signal: true iff
     * every rank is a singleton group. Equal keys never straddle range
     * partitions, so global group count = Σ per-partition group counts —
-    * it rides the SAME bounded #partitions collect as the offsets.
+    * it rides the SAME bounded #partitions collect as the offsets. The
+    * third is max(pos) over all rows (−1 when empty): the first round's
+    * stats double as the corpus max-doc-length probe, retiring the
+    * separate full-corpus tokenize scan buildLevels used to pay for it.
     */
   private[graft] def rankBy(
-      df: DataFrame, keyCols: Seq[String]): (DataFrame, Boolean) = {
+      df: DataFrame, keyCols: Seq[String]): (DataFrame, Boolean, Int) = {
     val spark = df.sparkSession
     val np = math.max(1,
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -73,24 +76,28 @@ object SuffixArray {
       .sortWithinPartitions(cols: _*)
       .persist()
     val keyIdx = 2 until (2 + keyCols.length)
-    // one bounded collect: #partitions (rows, groups) pairs — the row
-    // counts turn local first-of-group indices into global ranks; the
-    // group counts decide termination
+    // one bounded collect: #partitions (rows, groups, maxPos) tuples —
+    // row counts turn local first-of-group indices into global ranks;
+    // group counts decide termination; maxPos feeds the round bound
     val stats = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var rows = 0L
         var groups = 0L
+        var maxPos = -1
         var prev: Seq[Any] = null
         it.foreach { row =>
           val key = keyIdx.map(row.get)
           if (prev == null || key != prev) { groups += 1; prev = key }
+          val p = row.getInt(1)
+          if (p > maxPos) maxPos = p
           rows += 1
         }
-        Iterator((pid, rows, groups))
+        Iterator((pid, rows, groups, maxPos))
       }
       .collect().sortBy(_._1)
     val counts = stats.map(_._2)
     val allDistinct = stats.map(_._3).sum == counts.sum
+    val maxPos = if (stats.isEmpty) -1 else stats.map(_._4).max
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -114,9 +121,14 @@ object SuffixArray {
     val out = spark.createDataFrame(ranked, RankSchema)
       .repartition(np, col("doc_id"), col("pos"))
     out.persist()
-    out.count() // materialize so the caller may free the sort behind it
+    // EAGER materialization, deliberately: a lazy cache here is read by
+    // TWO consumers of the next round's pair join (the frame and its own
+    // k-shift), which fill the cache racily (double compute), and its
+    // unknown size blocks AQE's join sizing — measured r18: removing this
+    // count() made d18 2x SLOWER (9.5 s → 18.9 s at sf0.1/local[32]).
+    out.count()
     sorted.unpersist()
-    (out, allDistinct)
+    (out, allDistinct, maxPos)
   }
 
   /** The doubling rounds' rank tables: `levels(ℓ)` ranks every suffix by
@@ -128,13 +140,12 @@ object SuffixArray {
   private[graft] def buildLevels(docs: DataFrame): Seq[DataFrame] = {
     val toks = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
-    val maxLen = docs
-      .select(max(size(tokens(col("text")))).as("m")).head() match {
-        case r if r.isNullAt(0) => 0
-        case r => r.getInt(0)
-      }
+    // round 0's stats collect carries maxLen out as max(pos)+1 — the
+    // separate full-corpus `max(size(tokens))` scan this used to pay is
+    // one whole tokenize pass, retired in r18
+    var (cur, distinct, maxPos) = rankBy(toks, Seq("token"))
+    val maxLen = maxPos + 1
     if (maxLen == 0) return Seq.empty
-    var (cur, distinct) = rankBy(toks, Seq("token"))
     val levels = scala.collection.mutable.ArrayBuffer(cur)
     var k = 1
     // Manber–Myers EARLY TERMINATION: all-singleton ranks at level ℓ mean
@@ -152,7 +163,7 @@ object SuffixArray {
         .join(shifted, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"),
           col("r1"), coalesce(col("r2"), lit(-1L)).as("r2"))
-      val (next, dist) = rankBy(paired, Seq("r1", "r2")) // materialized inside
+      val (next, dist, _) = rankBy(paired, Seq("r1", "r2")) // materialized inside
       cur = next
       distinct = dist
       levels += cur
@@ -204,7 +215,7 @@ object SuffixArray {
     val ord = Seq(col("r"), col("doc_id"), col("pos"))
     val sorted = sa.repartitionByRange(np, ord: _*).sortWithinPartitions(ord: _*)
       .select(col("doc_id"), col("pos")).persist()
-    sorted.count()
+    // no eager count: the firsts collect below is the materializing action
     val firsts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.hasNext) { val r = it.next(); Iterator((pid, (r.getLong(0), r.getInt(1)))) }
       else Iterator.empty
@@ -318,7 +329,12 @@ object SuffixArray {
           StructField("avg_lcp", org.apache.spark.sql.types.DoubleType))))
     val sa = levels.last
     val lens = docs.select(col("doc_id"), size(tokens(col("text"))).as("len"))
-    val lcp = lcpOfPairs(adjacentPairs(sa), levels, lens)
+    // materialize the lift ONCE (r18): `lcp` feeds the per-suffix union
+    // TWICE (as itself and flipped), so without this checkpoint the whole
+    // ~2-joins-per-level lift subtree executed twice — measured ~4.4 s per
+    // execution at sf0.1/local[32]; the checkpoint also truncates the
+    // multi-level join lineage out of the final aggregation's plan
+    val lcp = lcpOfPairs(adjacentPairs(sa), levels, lens).localCheckpoint(true)
     val perSuffix = lcp
       .select(col("doc1").as("doc_id"), col("pos1").as("pos"), col("lcp"))
       .union(lcp.select(col("doc2").as("doc_id"), col("pos2").as("pos"), col("lcp")))

@@ -378,12 +378,19 @@ object TextAnalysis {
       .persist()
     val n = data.count().toDouble
     require(n > 0, "x13: no labeled training rows")
+    // r18 negative result, kept out: coalescing the iteration RDD to
+    // ~50k rows/task (32 near-empty tasks looked like pure dispatch
+    // overhead across 20 iterations) measured consistently SLOWER at the
+    // driver protocol (1.9 s → 2.9-4.2 s across two quiet windows) — the
+    // single merged task serializes work the near-empty tasks overlapped.
+    // The scan-inherited partitioning stays.
+    val iterData = data
     val w = new Array[Double](dim)
     val losses = new Array[Double](iterations)
     var it = 0
     while (it < iterations) {
       val bw = spark.sparkContext.broadcast(w)
-      val (grad, loss) = data.treeAggregate((new Array[Double](dim), 0.0))(
+      val (grad, loss) = iterData.treeAggregate((new Array[Double](dim), 0.0))(
         seqOp = { case ((g, l), (y, idx)) =>
           val x = 1.0 / idx.length
           var dotv = 0.0
@@ -481,8 +488,20 @@ object TextAnalysis {
     * twice (freq 1 merges memorize the corpus, not a tokenizer).
     */
   def trainBpe(wordFreq: DataFrame, numMerges: Int): Seq[(String, String, Long)] = {
-    var seg = bpeInitialSeg(wordFreq).persist()
-    seg.count()
+    // ONE Spark job per merge round (r18): the round's winning pair is
+    // collected off the MATERIALIZED base frame plus up to CutEvery
+    // pending merge layers applied lazily — cheap column expressions over
+    // a vocabulary-sized cache, so re-deriving them inside the next
+    // round's top-pair job costs far less than the old per-round
+    // persist+count materialization job did (2 jobs/round → 1). Every
+    // CutEvery rounds a localCheckpoint materializes the pending layers
+    // and truncates the expression tree, bounding both recompute depth
+    // and Catalyst planning time (a 32k-merge production run still can't
+    // stack 32k plan layers).
+    val CutEvery = 4
+    var base = bpeInitialSeg(wordFreq).persist()
+    var seg = base
+    var pending = 0
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var rounds = 0
     var exhausted = false
@@ -492,16 +511,19 @@ object TextAnalysis {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((l, r, c))
-        val next = seg.withColumn("seg", bpeMergeOnce(col("seg"), l, r)).persist()
-        next.count()
-        seg.unpersist()
-        seg = if ((rounds + 1) % 8 == 0) {
-          val cut = next.localCheckpoint(); next.unpersist(); cut
-        } else next
+        seg = seg.withColumn("seg", bpeMergeOnce(col("seg"), l, r))
+        pending += 1
         rounds += 1
+        if (pending == CutEvery) {
+          val cut = seg.localCheckpoint() // eager: materializes the layers once
+          base.unpersist()
+          base = cut
+          seg = cut
+          pending = 0
+        }
       }
     }
-    seg.unpersist()
+    base.unpersist()
     out.toSeq
   }
 

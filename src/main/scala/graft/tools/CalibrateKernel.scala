@@ -1,0 +1,17 @@
+package graft.tools
+
+/** Prints the compute-tell kernel's seconds on this box — run on a QUIET
+  * box to (re)pin `cpu_kernel` in BASELINE.md. Several samples print so a
+  * contended calibration window is visible instead of silently absorbed.
+  */
+object CalibrateKernel {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(5)
+    val load = () => scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0)).getOrElse("?")
+    (1 to n).foreach { i =>
+      val s = graft.Bench.cpuKernelSeconds()
+      println(f"KERNEL sample=$i sec=$s%.4f load1=${load()}")
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Phase profiler for the e8 streamed dedup+cluster lifecycle: runs the
+  * same steps as streamClustersGateQuery with per-phase wall times, so the
+  * gate's cost decomposes into spool / stream (2 ingest epochs) / resolve.
+  */
+object ProfileE8 {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[e8] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.getOrCreate("graft-profile-e8",
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    import graft.operators.{IncrementalClusters, IngestDedup}
+    val docs = graft.sources.Tables.documents(spark, dir)
+    time("warmup")(docs.count())
+    val root = Files.createTempDirectory("graft_e8prof").toString
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    cat.createNamespace("stream")
+    time("ensureTables") {
+      IngestDedup.ensureTables(cat, "stream.docs", "stream.index", docs.schema)
+      IncrementalClusters.ensureTables(cat, "stream.clusters", "stream.merges")
+    }
+    val watch = Files.createDirectory(Paths.get(root, "watch"))
+    def spool(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val stage = Paths.get(root, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = watch.resolve(s"$name.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    time("spool evens")(spool(docs.filter(col("doc_id") % 2 === 0), "b0", now - 120000))
+    time("spool odds")(spool(docs.filter(col("doc_id") % 2 === 1), "b1", now - 60000))
+    time("stream (2 ingest epochs)") {
+      val q = graft.streaming.Streams.watchAndIngestDedup(
+        spark, cat, "stream.docs", "stream.index",
+        watch.toString, root + "/ckpt",
+        clusters = Some(("stream.clusters", "stream.merges")),
+        maxFilesPerTrigger = 1)
+      q.awaitTermination()
+    }
+    val res = time("resolve + checkpoint")(
+      IncrementalClusters.resolved(cat, spark, "stream.clusters", "stream.merges")
+        .localCheckpoint(true))
+    time("final orderBy noop")(
+      res.orderBy(col("doc_id")).write.format("noop").mode("overwrite").save())
+    graft.operators.Scratch.delete(root)
+    spark.stop()
+  }
+}

@@ -87,6 +87,91 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(Bench.writeArtifactFile(json, "/proc/nope/deeper").isEmpty)
   }
 
+  test("r17 scenario: CPU co-tenant, scan tells flat — kernel tell labels " +
+      "contended instead of firing") {
+    // the r17 driver box: compute-bound queries 3x their pins through BOTH
+    // passes while the scan-shaped tells stay flat (pure scans barely feel
+    // CPU pressure). Without the kernel tell this fired 8 phantom breaches
+    // into the round's artifact of record; with it the run must refuse to
+    // fire and self-label contended.
+    val hot = pins.map { case (k, v) =>
+      k -> (if (Bench.NoiseTells.contains(k)) v else v * 3.0)
+    }
+    var quietCalls = 0
+    val r = Bench.artifact(names, hot(_), pins, () => "[8.8,7.0,5.0]", () => (),
+      "sfX", """{"master":"test"}""",
+      kernel = () => 0.90, kernelPin = 0.30, // 3x the pin: CPU pressured
+      awaitQuiet = () => { quietCalls += 1; """{"quiet":false}""" })
+    assert(!r.fired, s"compute contention must not fire: ${r.json}")
+    assert(r.contended, "sustained kernel pressure must label contended")
+    assert(r.json.contains(""""contended":true"""))
+    assert(r.json.contains(""""ratios_basis":"tell-normalized""""))
+    // the kernel's 3x is the machine estimate (scan tells read ~1.0)
+    assert(r.json.contains(""""tell_factor":3.00"""), r.json)
+    assert(r.json.contains(""""pass1_hot":true"""))
+    assert(r.json.contains(""""retry_hot":true"""))
+    // the quiet gate ran before BOTH timed passes
+    assert(quietCalls == 2, s"quiet gate must guard every pass, saw $quietCalls")
+  }
+
+  test("CPU spike on pass 1 only: quiet-gated retry washes it out") {
+    // kernel hot around pass 1, clean after the retry (the co-tenant
+    // left during the backoff): full-suite retry, min-merge restores the
+    // pins, raw ratios return, nothing fires
+    var kCalls = 0
+    val kernel = () => { kCalls += 1; if (kCalls <= 2) 0.90 else 0.30 }
+    var first = true
+    val seen = scala.collection.mutable.Set[String]()
+    val runner = (n: String) => {
+      val hot = !seen.contains(n); seen += n
+      pins(n) * (if (hot) 3.0 else 1.0)
+    }
+    val r = Bench.artifact(names, runner, pins, () => "[0,0,0]", () => (),
+      "sfX", """{"master":"test"}""",
+      kernel = kernel, kernelPin = 0.30)
+    assert(!r.contended && !r.fired, r.json)
+    assert(r.json.contains(""""ratios_basis":"raw""""))
+    assert(r.json.contains(""""breaches":[]"""))
+    assert(r.json.contains(""""retried":true"""))
+    assert(r.json.contains(""""pass1_hot":true"""))
+    assert(r.json.contains(""""retry_hot":false"""))
+  }
+
+  test("a real regression still fires with the kernel tell flat") {
+    val r = Bench.artifact(names, (pins + ("p1_pipeline" -> 8.0))(_), pins,
+      () => "[0,0,0]", () => (), "sfX", """{"master":"test"}""",
+      kernel = () => 0.30, kernelPin = 0.30)
+    assert(!r.contended && r.fired)
+    assert(r.json.contains(""""breaches":["p1_pipeline"]"""))
+  }
+
+  test("awaitQuietBox waits for a hot box to clear and is bounded") {
+    // injected signals: load 20 for the first 3 polls, then 1.0 — the
+    // gate must wait through the hot window and proceed when it clears
+    var polls = 0
+    var slept = 0L
+    val ev = Bench.awaitQuietBox(maxWaitMs = 60000, ncpus = 32, pollMs = 5,
+      load1 = () => { polls += 1; if (polls <= 3) 20.0 else 1.0 },
+      psi10 = () => 0.0, sleep = ms => slept += ms)
+    assert(ev.contains(""""quiet":true"""), ev)
+    assert(polls >= 4 && slept > 0)
+    // sustained heat: bounded by maxWaitMs, reports quiet:false honestly
+    val t0 = System.currentTimeMillis()
+    val ev2 = Bench.awaitQuietBox(maxWaitMs = 30, ncpus = 32, pollMs = 5,
+      load1 = () => 20.0, psi10 = () => 99.0, sleep = ms => ())
+    assert(ev2.contains(""""quiet":false"""), ev2)
+    assert(System.currentTimeMillis() - t0 < 5000)
+  }
+
+  test("the compute kernel measures and is steady on this box") {
+    val a = Bench.cpuKernelSeconds(reps = 2)
+    val b = Bench.cpuKernelSeconds(reps = 2)
+    assert(a > 0 && b > 0, "kernel must time a real computation")
+    // same JVM back-to-back: within 3x of each other (JIT already warm;
+    // this is a smoke bound, not a contention assertion)
+    assert(math.max(a, b) / math.min(a, b) < 3.0, s"a=$a b=$b")
+  }
+
   test("contention spike on pass 1 only: retry washes it out, raw ratios return") {
     // pass 1 hot (3x), retry clean — min-merge restores the pins
     var first = true

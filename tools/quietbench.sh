@@ -1,0 +1,27 @@
+#!/bin/bash
+# Bracketed MiniBench: wait for a quiet box, run, and only accept the
+# numbers if the box was also quiet AFTER the run (minus our own decay).
+# Usage: quietbench.sh <out.log> <query...>
+OUT=$1; shift
+for attempt in 1 2 3 4 5; do
+  # wait for quiet (load1 < 2.5), up to 15 min
+  for i in $(seq 1 30); do
+    L=$(cut -d' ' -f1 /proc/loadavg)
+    awk -v l=$L 'BEGIN{exit !(l<2.5)}' && break
+    sleep 30
+  done
+  PRE=$(cut -d' ' -f1 /proc/loadavg)
+  SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.MiniBench /root/testdata/sf0.1 $*" 2>&1 | grep MINIBENCH > "$OUT.try"
+  # let our own load decay ~60s, then check for co-tenant heat
+  sleep 75
+  POST=$(cut -d' ' -f1 /proc/loadavg)
+  echo "attempt $attempt pre=$PRE post=$POST" >> "$OUT.meta"
+  if awk -v l=$POST 'BEGIN{exit !(l<4.0)}'; then
+    cp "$OUT.try" "$OUT"
+    echo "accepted attempt $attempt pre=$PRE post=$POST" >> "$OUT.meta"
+    exit 0
+  fi
+done
+cp "$OUT.try" "$OUT"
+echo "UNVERIFIED: no quiet-bracketed window found" >> "$OUT.meta"
+exit 1
