@@ -273,21 +273,77 @@ object Dedup {
       })._2
   }
 
+  /** Edge count at or below which components run as a DRIVER-side
+    * union-find instead of iterative Spark rounds (r18): each distributed
+    * round costs 2+ jobs of almost pure dispatch/planning overhead on a
+    * collision-sized graph — measured 3.6-9.8 s per clustered-ingest call
+    * for graphs of a few hundred nodes at sf0.1/local[32], vs
+    * milliseconds locally. The collect is BOUNDED: ≤ 2 longs x 512k edges
+    * ≈ 8 MB, far under any driver budget, and the output (min-id labels)
+    * is identical by construction — min-over-component is
+    * order-independent. Bigger graphs (a 100 TB corpus's LSH pairs, a
+    * backfill seed) take the distributed paths exactly as before.
+    */
+  private[graft] val DriverCcMaxEdges = 512 * 1024L
+
   /** (doc_id, cluster_id = component-minimum id) for every endpoint of
-    * `pairs`. Partition count adapts to the materialized edge count
-    * (collision-sized graphs run on a few partitions to keep per-round
-    * dispatch flat; big graphs spread out), and the algorithm switches to
-    * star contraction past [[StarThreshold]] edges.
+    * `pairs`. Collision-sized graphs (≤ [[DriverCcMaxEdges]] edges, a
+    * bounded ~8 MB collect) resolve driver-side in one pass; past that,
+    * partition count adapts to the materialized edge count and the
+    * algorithm switches from min-label propagation to star contraction
+    * past [[StarThreshold]] edges.
     */
   def connectedComponents(pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.toDF("doc_a", "doc_b").localCheckpoint()
     val nEdges = pairs.count()
+    if (nEdges <= DriverCcMaxEdges) return driverComponents(pairs)
     val nPart = math.max(1,
       ((2 * nEdges + EdgesPerPartition - 1) / EdgesPerPartition).toInt)
     val labels =
       if (nEdges > StarThreshold) starComponents(pairs, nPart)
       else labelPropagation(pairs, nPart)
     labels.orderBy(col("doc_id"))
+  }
+
+  /** Union-find over a bounded, already-checkpointed edge list: collect,
+    * union with path-halving, then label every endpoint with its
+    * component's MINIMUM id (computed per root in a second pass, so the
+    * result is independent of union order — byte-identical to the
+    * distributed min-label algorithms).
+    */
+  private[graft] def driverComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // min id per root, then every endpoint labeled with its root's min
+    val minOf = new java.util.HashMap[Long, Long]()
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    edges.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    nodes.forEach { n =>
+      val r = find(n)
+      val cur = minOf.getOrDefault(r, Long.MaxValue)
+      if (n < cur) minOf.put(r, n)
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+    nodes.forEach { n => rows += ((n, minOf.get(find(n)))) }
+    rows.toSeq.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
   }
 
   /** Iterative min-label propagation: every doc's label starts as its own

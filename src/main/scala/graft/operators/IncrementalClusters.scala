@@ -245,17 +245,36 @@ object IncrementalClusters {
     * touched cluster labels — O(batch + touched), never the corpus), two
     * bounded collects.
     */
+  /** Env-gated phase timer (GRAFT_PROFILE_INGEST=1), the IngestDedup one. */
+  private val profilePlan = sys.env.contains("GRAFT_PROFILE_INGEST")
+  private def phase[T](name: String)(f: => T): T =
+    if (!profilePlan) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[planUpdate] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   def planUpdate(
       cat: graft.catalog.CatalogSurface, spark: SparkSession,
       clustersIdent: String, mergesIdent: String,
       newIds: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val fwd = forwarding(cat, mergesIdent)
+    val fwd = phase("forwarding")(forwarding(cat, mergesIdent))
+    // materialize the edge proposal ONCE (r18): the frame feeds three
+    // executions otherwise — the pruning collect below, the contraction's
+    // emptiness probe, and the components pass — and the subtree behind
+    // it (survivor bands joined against the pruned index + the bands
+    // self-join, union, distinct) re-executed for each. Measured: the
+    // whole planUpdate phase was 12-23 s of a 25-30 s clustered ingest at
+    // sf0.1/local[32]. O(batch x bounded bucket fan-out) rows.
+    val edg = phase("edges checkpoint")(edges.localCheckpoint(true))
     // neighbors' CURRENT labels: stored rows (pruned fetch) forwarded
     // through the merge map; a neighbor with no stored row is a batch
     // peer and contracts to its own id
-    val nbLabels0 = clustersScanForIds(
-      cat, clustersIdent, edges.select(col("doc_b")))
+    val nbLabels0 = phase("label scan prune")(clustersScanForIds(
+      cat, clustersIdent, edg.select(col("doc_b"))))
     val nbLabels =
       if (fwd.isEmpty) nbLabels0
       else nbLabels0.join(fwdFrame(spark, fwd), Seq("cluster_id"), "left")
@@ -269,7 +288,10 @@ object IncrementalClusters {
     // the contraction expression itself (raise_error inside the same
     // projection — zero extra jobs, zero extra exchanges; it replaced two
     // per-batch `except`s, each a distinct + its own exchange pair).
-    val contracted = edges
+    // checkpointed for the same reason as `edg`: the emptiness probe and
+    // the components pass were two full executions of the contraction
+    // (including the pruned label scan behind it)
+    val contracted = edg
       .join(nbLabels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left")
       .join(newIds.toDF("doc_id").select(col("doc_id").as("doc_b"))
         .withColumn("is_peer", lit(true)), Seq("doc_b"), "left")
@@ -281,11 +303,13 @@ object IncrementalClusters {
               "backfill once with backfill(allDocIds, indexSelfJoinPairs) " +
               "before incremental use"))))
           .otherwise(coalesce(col("cluster_id"), col("doc_b"))).as("nb"))
-    val comp =
-      if (contracted.isEmpty)
+    val contractedM = phase("contraction checkpoint")(
+      contracted.localCheckpoint(true))
+    val comp = phase("connected components")(
+      if (contractedM.isEmpty)
         spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster_id")
       else Dedup.connectedComponents(
-        contracted.select(col("doc_a"), col("nb")))
+        contractedM.select(col("doc_a"), col("nb"))))
     // every new doc: its component's min, or itself (no edges)
     val newRows = newIds.toDF("doc_id")
       .join(comp, Seq("doc_id"), "left")

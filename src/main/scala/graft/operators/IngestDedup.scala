@@ -230,6 +230,20 @@ object IngestDedup {
     * index (cross-batch) and against each other (within-batch) — all
     * frames the ingest already has, no extra scan.
     */
+  /** Env-gated phase timer (GRAFT_PROFILE_INGEST=1): prints where an
+    * ingest call's wall time goes — planning collects, cluster planning,
+    * the atomic commit, the report. Zero cost when unset.
+    */
+  private val profileIngest = sys.env.contains("GRAFT_PROFILE_INGEST")
+  private def phase[T](name: String)(f: => T): T =
+    if (!profileIngest) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ingest] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   def ingest(
       cat: graft.catalog.CatalogSurface, spark: SparkSession,
       docsIdent: String, indexIdent: String,
@@ -258,12 +272,14 @@ object IngestDedup {
     // ONE bucket-pruned index scan serves both the probe and the slot
     // bases: every (band, sig) the batch can collide in lives in the
     // batch signatures' own partitions
-    val exIndex = indexScanForBatch(cat, indexIdent, newBands)
+    val exIndex = phase("index scan prune")(
+      indexScanForBatch(cat, indexIdent, newBands))
     // PERSISTED for the call's lifetime: the decision is consumed by both
     // table writes and the report — without the persist the whole
     // propose+verify subtree re-executes per consumer. O(batch-dups) rows.
-    val (decision, workCaches) = decisionPlan(cat, docsIdent, indexIdent,
-      batch, sigs, threshold, Some(exIndex))
+    val (decision, workCaches) = phase("decision plan (propose collects)")(
+      decisionPlan(cat, docsIdent, indexIdent,
+        batch, sigs, threshold, Some(exIndex)))
     val decided = decision.persist()
 
     val survivors = batch.join(decided.select(col("doc_id")), Seq("doc_id"),
@@ -284,26 +300,29 @@ object IngestDedup {
     // commit (racing committer, exhausted locks) must not leak a cache
     // entry per failed batch
     try {
-      val clusterOps = clusters.toSeq.flatMap { case (cid, mid) =>
-        val sb = survivorBands.select(col("doc_id"), col("band"), col("sig"))
-        val exEdges = sb
-          .join(exIndex.select(col("band"), col("sig"),
-            col("doc_id").as("doc_b")), Seq("band", "sig"))
-          .select(col("doc_id").as("doc_a"), col("doc_b"))
-        val peerEdges = sb.as("x")
-          .join(sb.as("y"),
-            col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        val (cRows, cMerges) = IncrementalClusters.planUpdate(
-          cat, spark, cid, mid,
-          survivors.select(col("doc_id")),
-          exEdges.union(peerEdges).distinct())
-        Seq(cid -> cRows, mid -> cMerges)
+      val clusterOps = phase("cluster planUpdate") {
+        clusters.toSeq.flatMap { case (cid, mid) =>
+          val sb = survivorBands.select(col("doc_id"), col("band"), col("sig"))
+          val exEdges = sb
+            .join(exIndex.select(col("band"), col("sig"),
+              col("doc_id").as("doc_b")), Seq("band", "sig"))
+            .select(col("doc_id").as("doc_a"), col("doc_b"))
+          val peerEdges = sb.as("x")
+            .join(sb.as("y"),
+              col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          val (cRows, cMerges) = IncrementalClusters.planUpdate(
+            cat, spark, cid, mid,
+            survivors.select(col("doc_id")),
+            exEdges.union(peerEdges).distinct())
+          Seq(cid -> cRows, mid -> cMerges)
+        }
       }
-      cat.insertGroup(Seq(
-        docsIdent -> survivors,
-        indexIdent -> survivorBands) ++ clusterOps, basedOn = planPins)
+      phase("insertGroup (atomic commit)")(
+        cat.insertGroup(Seq(
+          docsIdent -> survivors,
+          indexIdent -> survivorBands) ++ clusterOps, basedOn = planPins))
       // the returned report is itself persisted (forced here) so the
       // working caches can be released NOW; it is the operator's
       // O(batch) output — callers should unpersist it once consumed
@@ -313,7 +332,7 @@ object IngestDedup {
         .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
         .orderBy(col("doc_id"))
         .persist()
-      report.count()
+      phase("report materialize")(report.count())
       report
     } finally {
       sigs.unpersist()

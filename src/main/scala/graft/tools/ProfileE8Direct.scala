@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** The e8 epochs WITHOUT the streaming layer: same tables, same two
+  * batches in the same order, IngestDedup.ingest called directly — isolates
+  * the streaming machinery's share of the gate cost.
+  */
+object ProfileE8Direct {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[e8d] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    import java.nio.file.Files
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.getOrCreate("graft-profile-e8d",
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    import graft.operators.{IncrementalClusters, IngestDedup}
+    val docs = graft.sources.Tables.documents(spark, dir)
+    time("warmup")(docs.count())
+    val root = Files.createTempDirectory("graft_e8direct").toString
+    val cat = new graft.catalog.IceCatalog(spark, root)
+    cat.createNamespace("stream")
+    IngestDedup.ensureTables(cat, "stream.docs", "stream.index", docs.schema)
+    IncrementalClusters.ensureTables(cat, "stream.clusters", "stream.merges")
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    time("epoch 1: ingest evens (clusters on)") {
+      IngestDedup.ingest(cat, spark, "stream.docs", "stream.index", evens,
+        clusters = Some(("stream.clusters", "stream.merges"))).unpersist()
+    }
+    time("epoch 2: ingest odds (clusters on)") {
+      IngestDedup.ingest(cat, spark, "stream.docs", "stream.index", odds,
+        clusters = Some(("stream.clusters", "stream.merges"))).unpersist()
+    }
+    time("resolve + checkpoint")(
+      IncrementalClusters.resolved(cat, spark, "stream.clusters", "stream.merges")
+        .localCheckpoint(true))
+    graft.operators.Scratch.delete(root)
+    spark.stop()
+  }
+}
