@@ -18,14 +18,15 @@ import graft.functions.TextFunctions.tokens
   *
   * Algorithm, shaped for a cluster:
   *  - round 0 ranks every suffix (doc_id, pos) by its FIRST token;
-  *  - round k re-ranks by the pair (rank(pos), rank(pos+k)) — one
-  *    (doc_id, pos)-keyed equi-join against the k-shifted frame, absent
-  *    neighbor → −1 (the shorter-suffix-first convention) — and doubles
-  *    k; after ⌈log₂(max tokens/doc)⌉ rounds ranks are final. The suffix
-  *    STRINGS are never materialized — total work O(L log L) over L
-  *    corpus tokens, vs the O(L²) a direct sort of suffix texts costs
-  *    (the DuckDB oracle does exactly that, affordable only at gate
-  *    scale — the equivalence proof, not the algorithm).
+  *  - round k re-ranks by the tuple (rank(pos), rank(pos+k),
+  *    rank(pos+2k), rank(pos+3k)) — base-4 prefix doubling, the shifts
+  *    computed as LEAD windows over the dense per-doc positions (absent
+  *    neighbor → −1, the shorter-suffix-first convention) — and
+  *    QUADRUPLES k; after ⌈log₄(max tokens/doc)⌉ rounds ranks are final.
+  *    The suffix STRINGS are never materialized — total work O(L log L)
+  *    over L corpus tokens, vs the O(L²) a direct sort of suffix texts
+  *    costs (the DuckDB oracle does exactly that, affordable only at
+  *    gate scale — the equivalence proof, not the algorithm).
   *  - [[rankBy]] is the scale piece: an order-consistent rank with NO
   *    global-window single-partition collapse — range-repartition on the
   *    key, sort within partitions (equal keys land in one partition, so
@@ -132,8 +133,8 @@ object SuffixArray {
   }
 
   /** The doubling rounds' rank tables: `levels(ℓ)` ranks every suffix by
-    * its first 2^ℓ tokens — the final entry is the suffix array itself,
-    * and the intermediate levels are exactly what binary-lifting LCP
+    * its first 4^ℓ tokens — the final entry is the suffix array itself,
+    * and the intermediate levels are exactly what the base-4 lifting LCP
     * queries ([[repeatStatsOf]]) walk. Every frame is persisted; callers
     * unpersist all of them when done.
     */
@@ -148,26 +149,37 @@ object SuffixArray {
     if (maxLen == 0) return Seq.empty
     val levels = scala.collection.mutable.ArrayBuffer(cur)
     var k = 1
-    // Manber–Myers EARLY TERMINATION: all-singleton ranks at level ℓ mean
-    // no two suffixes share their full 2^ℓ-token window — further rounds
-    // re-rank an already-total order (identity on the VALUES too: with r1
-    // distinct, first-of-group index = row index = r1's rank). Rounds run
-    // O(log maxLCP), not O(log maxLen) — on a 100 TB corpus of long
-    // documents with bounded repeats that is most of the work; d19's lift
-    // is also bounded by the same fact (max LCP < 2^ℓ_top, and the greedy
-    // descending-binary decomposition covers any value below it).
+    // Prefix QUADRUPLING (r18; Manber–Myers with base 4): round ℓ ranks
+    // by the tuple (r(pos), r(pos+k), r(pos+2k), r(pos+3k)) — the rank of
+    // the first 4k tokens — so the expensive order-consistent rank pass
+    // runs ⌈log₄⌉ times instead of ⌈log₂⌉. The shifts are LEAD windows,
+    // not self-joins: every level keeps one row per (doc, pos) with pos
+    // DENSE per doc, so rank(pos + j·k) is exactly lead(r, j·k) over
+    // (partition doc_id, order pos) — three shifts ride ONE window pass
+    // (one exchange + one local sort), where the old k-shift self-join
+    // paid an exchange and a join per round for a single shift. Absent
+    // lead → −1, the shorter-suffix-first convention, identical to the
+    // old left-join null case.
+    //
+    // EARLY TERMINATION: all-singleton ranks at a level mean no two
+    // suffixes share that level's full window — further rounds re-rank an
+    // already-total order. Rounds run O(log maxLCP), not O(log maxLen);
+    // d19's lift is bounded by the same fact (max LCP < top block, and
+    // the greedy base-4 digit decomposition — ≤3 uses per level — covers
+    // any value below it).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     while (k < maxLen && !distinct) {
-      val shifted = cur.select(
-        col("doc_id"), (col("pos") - k).as("pos"), col("r").as("r2"))
-      val paired = cur.withColumnRenamed("r", "r1")
-        .join(shifted, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"),
-          col("r1"), coalesce(col("r2"), lit(-1L)).as("r2"))
-      val (next, dist, _) = rankBy(paired, Seq("r1", "r2")) // materialized inside
+      val paired = cur.select(col("doc_id"), col("pos"), col("r").as("r1"),
+        coalesce(lead(col("r"), k).over(w), lit(-1L)).as("r2"),
+        coalesce(lead(col("r"), 2 * k).over(w), lit(-1L)).as("r3"),
+        coalesce(lead(col("r"), 3 * k).over(w), lit(-1L)).as("r4"))
+      val (next, dist, _) =
+        rankBy(paired, Seq("r1", "r2", "r3", "r4")) // materialized inside
       cur = next
       distinct = dist
       levels += cur
-      k *= 2
+      k *= 4
     }
     levels.toSeq
   }
@@ -249,13 +261,14 @@ object SuffixArray {
     pairs
   }
 
-  /** LCP (in tokens) of every pair by BINARY LIFTING over the doubling
-    * levels — never a suffix-string comparison: for ℓ descending, if both
-    * suffixes' level-ℓ ranks at offset lcp agree (one (doc, pos+lcp)-keyed
-    * equi-join per side), the common prefix extends by 2^ℓ. Rank equality
-    * with an in-window suffix end means the tails are identical there, so
-    * the only overshoot is past the suffix ends — capped once at the end
-    * by the doc lengths.
+  /** LCP (in tokens) of every pair by BASE-4 LIFTING over the doubling
+    * levels — never a suffix-string comparison: for ℓ descending, while
+    * both suffixes' level-ℓ ranks at offset lcp agree (one
+    * (doc, pos+lcp)-keyed equi-join per side, up to 3 extensions per
+    * level — the base-4 digit), the common prefix extends by 4^ℓ. Rank
+    * equality with an in-window suffix end means the tails are identical
+    * there, so the only overshoot is past the suffix ends — capped once
+    * at the end by the doc lengths.
     */
   private[graft] def lcpOfPairs(
       pairs: DataFrame, levels: Seq[DataFrame], lens: DataFrame): DataFrame = {
@@ -272,33 +285,45 @@ object SuffixArray {
       .join(lens.select(col("doc_id").as("doc2"), col("len").as("len2")), Seq("doc2"))
       .withColumn("lcp", lit(0))
     for (l <- levels.indices.reverse) {
-      val step = 1 << l
-      val canExtend =
-        col("pos1") + col("lcp") < col("len1") &&
-          col("pos2") + col("lcp") < col("len2")
+      val step = 1 << (2 * l) // level ℓ ranks 4^ℓ-token blocks (base-4 build)
       val ra = levels(l).select(
         col("doc_id").as("doc1"), col("pos").as("posA"), col("r").as("ra"))
       val rb = levels(l).select(
         col("doc_id").as("doc2"), col("pos").as("posB"), col("r").as("rb"))
-      // idle pairs (either side past its suffix end — the canExtend
-      // guard) probe with the sentinel pos −1: no rank row has a negative
-      // pos, so they never match and ride the left join through
-      // unchanged. The plan stays LINEAR (a filter+union split would
-      // reference cur twice per level — the s16 2^k-subtree incident —
-      // and measured slower than the fused form at gate scale), and the
-      // sentinel key still distributes across partitions because the
-      // compound key's doc side varies (no null/constant-key skew).
-      cur = cur
-        .withColumn("posA",
-          when(canExtend, col("pos1") + col("lcp")).otherwise(lit(-1)))
-        .withColumn("posB",
-          when(canExtend, col("pos2") + col("lcp")).otherwise(lit(-1)))
-        .join(ra, Seq("doc1", "posA"), "left")
-        .join(rb, Seq("doc2", "posB"), "left")
-        .withColumn("lcp", col("lcp") + when(
-          col("ra").isNotNull && col("rb").isNotNull && col("ra") === col("rb"),
-          lit(step)).otherwise(lit(0)))
-        .drop("posA", "posB", "ra", "rb")
+      // base-4 greedy: each level's block may extend the prefix up to
+      // THREE times (digits 0..3 — Σ 3·4^ℓ covers any LCP below the top
+      // block, exactly as ≤1 use per level did in base 2). `lvl_ok`
+      // gates the 2nd/3rd probes: a failed extension at this block size
+      // cannot succeed at the same size, so blocked pairs ride the
+      // remaining sub-steps as sentinel-key idle pairs.
+      // Idle pairs (blocked, or either side past its suffix end — the
+      // canExtend guard) probe with the sentinel pos −1: no rank row has
+      // a negative pos, so they never match and ride the left join
+      // through unchanged. The plan stays LINEAR (a filter+union split
+      // would reference cur twice per level — the s16 2^k-subtree
+      // incident — and measured slower than the fused form at gate
+      // scale), and the sentinel key still distributes across partitions
+      // because the compound key's doc side varies (no constant-key skew).
+      cur = cur.withColumn("lvl_ok", lit(true))
+      for (_ <- 0 until 3) {
+        val canExtend = col("lvl_ok") &&
+          col("pos1") + col("lcp") < col("len1") &&
+          col("pos2") + col("lcp") < col("len2")
+        cur = cur
+          .withColumn("posA",
+            when(canExtend, col("pos1") + col("lcp")).otherwise(lit(-1)))
+          .withColumn("posB",
+            when(canExtend, col("pos2") + col("lcp")).otherwise(lit(-1)))
+          .join(ra, Seq("doc1", "posA"), "left")
+          .join(rb, Seq("doc2", "posB"), "left")
+          .withColumn("ext",
+            col("ra").isNotNull && col("rb").isNotNull && col("ra") === col("rb"))
+          .withColumn("lcp",
+            col("lcp") + when(col("ext"), lit(step)).otherwise(lit(0)))
+          .withColumn("lvl_ok", col("ext"))
+          .drop("posA", "posB", "ra", "rb", "ext")
+      }
+      cur = cur.drop("lvl_ok")
     }
     cur.select(col("doc1"), col("pos1"), col("doc2"), col("pos2"),
       least(col("lcp"), col("len1") - col("pos1"), col("len2") - col("pos2"))

@@ -1,0 +1,75 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Writes the r18 plan-evidence files under plans/r18/: the touched
+  * queries' formatted physical plans plus the INTERNAL frames the round's
+  * claims are about — the heavy gates checkpoint eagerly (their top-level
+  * explain is a LogicalRDD root by design, PlanAuditSpec pins it), so the
+  * honest plan evidence for "executed once vs twice" claims is the
+  * internal frame ahead of its checkpoint.
+  */
+object DumpPlansR18 {
+  private def write(name: String, text: String): Unit = {
+    val dir = Paths.get("plans/r18")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(name), text.getBytes("UTF-8"))
+    println(s"[plans] wrote $name (${text.length} chars)")
+  }
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args.tail.toSet else Set("after")
+    val spark = GraftSession.getOrCreate("graft-plans-r18",
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val suffix = if (which("before")) "_before.txt" else "_after.txt"
+
+    // p4: the release manifest (the claim: the p3 ledger chain appears
+    // ONCE behind a checkpoint after r18; before, the whole chain planned
+    // twice — once under the shard pass, once under the final join — plus
+    // a third scrub under the docs re-join)
+    write("p4_release" + suffix,
+      formatted(graft.operators.Pipeline.releaseManifest(docs)))
+
+    // p3: unchanged semantics, thin wrapper — pinned to show no plan drift
+    write("p3_preprocess" + suffix,
+      formatted(graft.operators.Pipeline.preprocessLedger(docs)))
+
+    // d18/d19: gates checkpoint eagerly; the claims are about level count
+    // (8 -> 5 at sf0.1), the lead-window pair step (no per-round shift
+    // join), and the lift executing once — dump the internal frames
+    val levels = graft.operators.SuffixArray.buildLevels(docs)
+    write("d18_levels" + suffix,
+      s"levels built: ${levels.length}\n\n" +
+        "=== final level (suffix array ranks) ===\n" +
+        formatted(levels.last))
+    val lens = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).as("len"))
+    val lift = graft.operators.SuffixArray.lcpOfPairs(
+      graft.operators.SuffixArray.adjacentPairs(levels.last), levels, lens)
+    write("d19_lift" + suffix, formatted(lift))
+    write("d19_repeat_stats" + suffix,
+      formatted(graft.operators.SuffixArray.repeatStatsOf(docs)))
+    levels.foreach(_.unpersist())
+
+    // x14: the per-round top-pair job (the claim: merge layers apply
+    // lazily inside this one job; no per-round materialization job)
+    val seg = graft.operators.TextAnalysis.bpeInitialSeg(
+      graft.operators.TextAnalysis.corpusWordFreq(
+        docs.filter(col("doc_id") % 2 === 0)))
+    write("x14_top_pair" + suffix,
+      formatted(graft.operators.TextAnalysis.bpeTopPair(seg)))
+
+    spark.stop()
+  }
+}
