@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as the metric JSON; two
+// sbt behaviors have kept every driver bench artifact unparseable since
+// round 12: (1) the "[success] Total time ..." banner printed AFTER the
+// JSON line, and (2) the forked run's output being routed through sbt's
+// logger, which prefixes every program line with "[info] ". Suppress the
+// banner and pass the forked JVM's stdout/stderr straight through so the
+// bench's one-line JSON is the final, unprefixed thing on stdout.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+// showSuccess is consumed by sbt's command engine, not a task — exempt it
+// from the unused-key lint so load output stays clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

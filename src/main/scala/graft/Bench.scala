@@ -211,9 +211,15 @@ object Bench {
       kernel = () => cpuKernelSeconds(),
       kernelPin = baseline.getOrElse("cpu_kernel", 0.0),
       awaitQuiet = () => awaitQuietBox(quietWaitMs, cpus.toInt))
-    println(r.json)
     writeArtifactFile(r.json)
     spark.stop()
+    // The metric JSON must be the LAST line on stdout: the driver's parser
+    // reads the final stdout line, and anything after it (Spark shutdown
+    // chatter, sbt's success banner — suppressed in build.sbt) has left
+    // BENCH artifacts unparseable (`parsed: null`) since round 12. Print
+    // after spark.stop() and flush so nothing can follow it.
+    println(r.json)
+    System.out.flush()
     if (r.fired) sys.exit(2)
   }
 

@@ -243,9 +243,16 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     VectorIndex.build(racy, spark, corpus, "vxr.centroids", "vxr.postings",
       nlist = 16)
     val batch = Seq((900000L, Seq.fill(64)(0.1f))).toDF("vec_id", "embedding")
-    val e = intercept[IllegalStateException] {
+    // Spark's task machinery sometimes wraps the rejection in a
+    // SparkException; walk the cause chain to the IllegalStateException
+    // instead of asserting on the wrapper class (flaky otherwise).
+    val thrown = intercept[Exception] {
       VectorIndex.ingest(racy, spark, batch, "vxr.centroids", "vxr.postings")
     }
+    val e = Iterator.iterate(thrown: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .collectFirst { case ise: IllegalStateException => ise }
+      .getOrElse(fail(s"expected IllegalStateException in cause chain, got $thrown"))
     assert(e.getMessage.contains("rebuild superseded"), e.getMessage)
     assert(racy.scan("vxr.postings").filter(col("vec_id") === 900000L).count() == 0,
       "the rejected append must publish NOTHING into the new generation")
