@@ -1094,10 +1094,39 @@ class IceCatalog(
     * documents unindexed, silently breaking every later probe). An empty
     * frame publishes nothing for that table (identity contract).
     */
+  /** Stage every op's parquet CONCURRENTLY: the staged writes are
+    * independent Spark jobs over disjoint commit dirs (staged files are
+    * invisible until their snapshot publishes), so submitting them from a
+    * small thread pool lets the scheduler back-fill one table's write
+    * tail with the next table's tasks (guide §2.6) — a group's staging
+    * wall drops from the sum of its writes toward the max. Shared cached
+    * upstream frames are safe (block-level locks compute each cached
+    * partition once); the scoped write conf is idempotent across threads
+    * (every writer sets the same two values). Results return in op order.
+    */
+  private def stageGroup[A](ops: Seq[A])(stage: A => (String, Seq[DataFileMeta]))
+      : Seq[(String, Seq[DataFileMeta])] =
+    if (ops.lengthCompare(2) < 0) ops.map(stage)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(ops.length, 4))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[(String, Seq[DataFileMeta])]] =
+          ops.map(op => (() => stage(op)): java.util.concurrent.Callable[(String, Seq[DataFileMeta])])
+        try pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+        catch {
+          // callers match on the staged frames' own exception types (the
+          // serial behavior) — strip the executor's wrapper
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      } finally pool.shutdown()
+    }
+
   def insertGroup(
       ops: Seq[(String, DataFrame)],
       basedOn: Map[String, Long] = Map.empty): Seq[TableMeta] = {
-    val staged = ops.map { case (ident, df) =>
+    val staged = stageGroup(ops) { case (ident, df) =>
       val meta = loadMeta(ident)
       ident -> writeArranged(ident,
         df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)
@@ -1134,7 +1163,7 @@ class IceCatalog(
       ops: Seq[(String, DataFrame)],
       setProperties: Map[String, String],
       basedOn: Map[String, Long]): Seq[TableMeta] = {
-    val staged = ops.map { case (ident, df) =>
+    val staged = stageGroup(ops) { case (ident, df) =>
       val meta = loadMeta(ident)
       ident -> writeArranged(ident,
         df.select(meta.schema.fieldNames.toSeq.map(col): _*), meta)

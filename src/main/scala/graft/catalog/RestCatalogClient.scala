@@ -490,6 +490,28 @@ final class RestCatalogClient(
 
   // ---- writes -------------------------------------------------------------
 
+  /** Run one staging closure per group op on a small thread pool — the
+    * write jobs are independent and latency-bound, so overlapping them
+    * collapses a multi-table group's staging wall toward its slowest
+    * member. Results keep op order; a failed op's own exception type is
+    * rethrown (callers match on it).
+    */
+  private def stageConcurrently[A, B](ops: Seq[A])(stage: A => B): Seq[B] =
+    if (ops.lengthCompare(2) < 0) ops.map(stage)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(ops.length, 4))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[B]] =
+          ops.map(op => (() => stage(op)): java.util.concurrent.Callable[B])
+        try pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      } finally pool.shutdown()
+    }
+
   /** External-committer insert: arrange to the table schema, stage
     * parquet under the table's data location, then `append-files` the
     * staged paths through the commit protocol. `--no-commit` stages and
@@ -525,14 +547,28 @@ final class RestCatalogClient(
   def insertGroup(
       ops: Seq[(String, DataFrame)],
       basedOn: Map[String, Long] = Map.empty): Seq[TableMeta] = {
-    val staged = ops.map { case (ident, df0) =>
+    // staging is CONCURRENT across the group (guide §2.6): each table's
+    // emptiness probe + parquet staging is an independent Spark job over
+    // a disjoint staging dir (staged files are invisible until the one
+    // transaction commits), so the group's staging wall drops from the
+    // sum of its writes toward the max. The single transactions/commit
+    // below is unchanged.
+    val staged = stageConcurrently(ops) { case (ident, df0) =>
       val meta = loadMeta(ident)
       val df = df0.select(
         meta.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
-      if (df.isEmpty) (ident, Seq.empty[String], false)
+      // PARTITIONED tables skip the separate emptiness probe: a dynamic
+      // partitionBy write of an all-empty frame stages ZERO part files
+      // (files are created on first row per partition value), so the
+      // staged write itself answers the question — the probe was a full
+      // extra execution of the frame per table per commit. Unpartitioned
+      // tables keep the probe (their empty write stages one 0-row file,
+      // which would wrongly publish a snapshot).
+      if (meta.partitionSpec.isEmpty && df.isEmpty)
+        (ident, Seq.empty[String], false)
       else {
         val (parts, profile) = stageParquet(ident, df, "ingest", None)
-        (ident, parts, profile.isDefined)
+        (ident, parts, profile.isDefined && parts.nonEmpty)
       }
     }
     // Pin semantics mirror overwriteGroup's: a FULLY caller-pinned group
@@ -609,7 +645,7 @@ final class RestCatalogClient(
       ops: Seq[(String, DataFrame)],
       setProperties: Map[String, String],
       basedOn: Map[String, Long]): Seq[TableMeta] = {
-    val staged = ops.map { case (ident, df0) =>
+    val staged = stageConcurrently(ops) { case (ident, df0) =>
       val meta = loadMeta(ident)
       val df = df0.select(
         meta.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
@@ -617,11 +653,15 @@ final class RestCatalogClient(
       // remove-files{all} (+ properties) — an append-files with zero paths
       // is a protocol error the server rejects, and refusing here would
       // make remote overwriteGroup unable to empty a group member while
-      // the local form can (a local/remote divergence)
-      if (df.isEmpty) (ident, Seq.empty[String], false)
+      // the local form can (a local/remote divergence). Partitioned
+      // tables skip the probe: an all-empty dynamic partitionBy write
+      // stages zero part files, answering it for free (insertGroup's
+      // rationale).
+      if (meta.partitionSpec.isEmpty && df.isEmpty)
+        (ident, Seq.empty[String], false)
       else {
         val (parts, profile) = stageParquet(ident, df, "ingest", None)
-        (ident, parts, profile.isDefined)
+        (ident, parts, profile.isDefined && parts.nonEmpty)
       }
     }
     // A FULLY caller-pinned group fails FAST: re-attempts would re-send

@@ -220,10 +220,32 @@ object IncrementalClusters {
     if (!partitioned) return full
     val idRows = ids.distinct().limit(MaxPruneIds + 1).collect()
     if (idRows.length > MaxPruneIds) full
-    else if (idRows.isEmpty) full.limit(0)
+    else clustersScanForIdArray(cat, clustersIdent, idRows.map(_.getLong(0)))
+  }
+
+  /** [[clustersScanForIds]] over an ALREADY-collected id array — the
+    * caller (IngestDedup's clustered path) collected the candidate ids
+    * once for its own docs-scan prune; re-collecting them from the edge
+    * frame would re-execute the whole proposal subtree.
+    */
+  private def clustersScanForKnownIds(
+      cat: graft.catalog.CatalogSurface, clustersIdent: String,
+      ids: Array[Long]): DataFrame = {
+    val partitioned = cat.loadMeta(clustersIdent).partitionSpec
+      .exists(_.name == "doc_bucket")
+    if (!partitioned || ids.length > MaxPruneIds)
+      cat.scan(clustersIdent).select(col("doc_id"), col("cluster_id"))
+    else clustersScanForIdArray(cat, clustersIdent, ids)
+  }
+
+  private def clustersScanForIdArray(
+      cat: graft.catalog.CatalogSurface, clustersIdent: String,
+      ids: Array[Long]): DataFrame = {
+    def full = cat.scan(clustersIdent).select(col("doc_id"), col("cluster_id"))
+    if (ids.isEmpty) full.limit(0)
     else {
-      val buckets = idRows.map(r =>
-        graft.functions.IcebergHash.bucketLong(r.getLong(0), DocBuckets))
+      val buckets = ids.map(
+        graft.functions.IcebergHash.bucketLong(_, DocBuckets))
         .distinct.sorted
       cat.scan(clustersIdent, Seq(IceCatalog.PartitionFilter(
         "doc_bucket", IceCatalog.Op.Eq, buckets.map(_.toString).toSeq)),
@@ -259,22 +281,35 @@ object IncrementalClusters {
   def planUpdate(
       cat: graft.catalog.CatalogSurface, spark: SparkSession,
       clustersIdent: String, mergesIdent: String,
-      newIds: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
+      newIds: DataFrame, edges: DataFrame,
+      // the caller's ALREADY-COLLECTED candidate stored-neighbor ids
+      // (IngestDedup's docs-prune collect — stored cluster neighbors are
+      // index hits, a subset of those ids): when present the label-scan
+      // prune needs no collect of its own, and `edges` needs no separate
+      // checkpoint (its only consumer left is the contraction, which is
+      // checkpointed itself) — the whole propose-verify-slot-contract
+      // subtree materializes in ONE job instead of three (r19).
+      neighborIds: Option[Array[Long]] = None): (DataFrame, DataFrame) = {
     import spark.implicits._
     val fwd = phase("forwarding")(forwarding(cat, mergesIdent))
-    // materialize the edge proposal ONCE (r18): the frame feeds three
-    // executions otherwise — the pruning collect below, the contraction's
-    // emptiness probe, and the components pass — and the subtree behind
-    // it (survivor bands joined against the pruned index + the bands
-    // self-join, union, distinct) re-executed for each. Measured: the
-    // whole planUpdate phase was 12-23 s of a 25-30 s clustered ingest at
-    // sf0.1/local[32]. O(batch x bounded bucket fan-out) rows.
-    val edg = phase("edges checkpoint")(edges.localCheckpoint(true))
+    // materialize the edge proposal ONCE (r18): without a checkpoint the
+    // frame would feed two executions — the pruning collect below and the
+    // contraction — re-running the subtree behind it (survivor bands
+    // joined against the pruned index + the bands self-join, union,
+    // distinct) for each. With caller-provided neighborIds there is no
+    // pruning collect, the contraction is the SINGLE consumer, and its
+    // own checkpoint covers the subtree — skip this one.
+    val edg = neighborIds match {
+      case Some(_) => edges
+      case None => phase("edges checkpoint")(edges.localCheckpoint(true))
+    }
     // neighbors' CURRENT labels: stored rows (pruned fetch) forwarded
     // through the merge map; a neighbor with no stored row is a batch
     // peer and contracts to its own id
-    val nbLabels0 = phase("label scan prune")(clustersScanForIds(
-      cat, clustersIdent, edg.select(col("doc_b"))))
+    val nbLabels0 = phase("label scan prune")(neighborIds match {
+      case Some(ids) => clustersScanForKnownIds(cat, clustersIdent, ids)
+      case None => clustersScanForIds(cat, clustersIdent, edg.select(col("doc_b")))
+    })
     val nbLabels =
       if (fwd.isEmpty) nbLabels0
       else nbLabels0.join(fwdFrame(spark, fwd), Seq("cluster_id"), "left")
@@ -288,9 +323,10 @@ object IncrementalClusters {
     // the contraction expression itself (raise_error inside the same
     // projection — zero extra jobs, zero extra exchanges; it replaced two
     // per-batch `except`s, each a distinct + its own exchange pair).
-    // checkpointed for the same reason as `edg`: the emptiness probe and
-    // the components pass were two full executions of the contraction
-    // (including the pruned label scan behind it)
+    // checkpointed because the components pass and the merge derivation
+    // both read it. `exlab` (the stored neighbor's forwarded label, NULL
+    // for peers) rides the checkpoint so the merge pairs derive from the
+    // materialized rows instead of re-running the pruned label scan.
     val contracted = edg
       .join(nbLabels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left")
       .join(newIds.toDF("doc_id").select(col("doc_id").as("doc_b"))
@@ -302,22 +338,39 @@ object IncrementalClusters {
             lit(" has no cluster label — the table predates maintenance; " +
               "backfill once with backfill(allDocIds, indexSelfJoinPairs) " +
               "before incremental use"))))
-          .otherwise(coalesce(col("cluster_id"), col("doc_b"))).as("nb"))
+          .otherwise(coalesce(col("cluster_id"), col("doc_b"))).as("nb"),
+        col("cluster_id").as("exlab"))
     val contractedM = phase("contraction checkpoint")(
       contracted.localCheckpoint(true))
-    val comp = phase("connected components")(
-      if (contractedM.isEmpty)
+    // the edge count is known-bounded here (O(batch × bucket cap)), and
+    // the rows are already materialized — route small graphs straight to
+    // the driver-side union-find instead of connectedComponents' own
+    // re-checkpoint + count jobs (one count replaces isEmpty + checkpoint
+    // + count: three dispatches per epoch become one)
+    val comp = phase("connected components") {
+      val nEdges = contractedM.count()
+      if (nEdges == 0)
         spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster_id")
+      else if (nEdges <= Dedup.DriverCcMaxEdges)
+        Dedup.driverComponents(contractedM.select(col("doc_a"), col("nb")))
       else Dedup.connectedComponents(
-        contractedM.select(col("doc_a"), col("nb"))))
+        contractedM.select(col("doc_a"), col("nb")))
+    }
     // every new doc: its component's min, or itself (no edges)
     val newRows = newIds.toDF("doc_id")
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     // merges: an EXISTING label whose component found a smaller min —
-    // append forwarding pairs instead of rewriting the cluster's rows
-    val oldLabels = nbLabels.select(col("cluster_id").as("doc_id")).distinct()
+    // append forwarding pairs instead of rewriting the cluster's rows.
+    // Labels come off the checkpointed contraction (exlab), not a second
+    // execution of the pruned label scan. The bucket-pruned scan was a
+    // SUPERSET of the actual neighbors (co-residents of the same
+    // partitions); the intersection with `comp` is identical either way:
+    // comp's members are batch ids (fresh, never stored — cannot be an
+    // existing label) and actual neighbor labels.
+    val oldLabels = contractedM.filter(col("exlab").isNotNull)
+      .select(col("exlab").as("doc_id")).distinct()
     val newMerges = comp.join(oldLabels, Seq("doc_id"))
       .filter(col("cluster_id") < col("doc_id"))
       .select(col("doc_id").as("loser"), col("cluster_id").as("winner"))

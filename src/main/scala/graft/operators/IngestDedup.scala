@@ -192,23 +192,42 @@ object IngestDedup {
     */
   private[graft] def docsScanForPairs(
       cat: graft.catalog.CatalogSurface, docsIdent: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame): DataFrame =
+    docsScanForCollectedIds(cat, docsIdent, collectPairIds(pairs))
+
+  /** The candidate existing-doc ids, collected ONCE per batch (bounded —
+    * O(batch × bucket cap) by the probe's construction): the array feeds
+    * BOTH the docs-scan partition prune here and the cluster
+    * maintenance's label-scan prune ([[IncrementalClusters.planUpdate]]
+    * `neighborIds` — stored cluster neighbors are exactly index hits, a
+    * subset of these ids), so the clustered path pays one planning
+    * collect where it paid two. None = over [[MaxPruneIds]], callers
+    * fall back to full scans.
+    */
+  private[graft] def collectPairIds(pairs: DataFrame): Option[Array[Long]] = {
+    val idRows = pairs.select(col("doc_b")).distinct()
+      .limit(MaxPruneIds + 1).collect()
+    if (idRows.length > MaxPruneIds) None else Some(idRows.map(_.getLong(0)))
+  }
+
+  private def docsScanForCollectedIds(
+      cat: graft.catalog.CatalogSurface, docsIdent: String,
+      ids: Option[Array[Long]]): DataFrame = {
     def full = cat.scan(docsIdent).select(col("doc_id"), col("text"))
     val partitioned = cat.loadMeta(docsIdent).partitionSpec
       .exists(_.name == "doc_bucket")
     if (!partitioned) return full
-    val idRows = pairs.select(col("doc_b")).distinct()
-      .limit(MaxPruneIds + 1).collect()
-    if (idRows.length > MaxPruneIds) full
-    else if (idRows.isEmpty) full.limit(0)
-    else {
-      val buckets: Array[Int] = idRows.map(r =>
-        graft.functions.IcebergHash.bucketLong(r.getLong(0), DocBuckets))
-        .distinct.sorted
-      cat.scan(docsIdent, Seq(IceCatalog.PartitionFilter(
-        "doc_bucket", IceCatalog.Op.Eq, buckets.map(_.toString).toSeq)),
-        None, None)
-        .select(col("doc_id"), col("text"))
+    ids match {
+      case None => full
+      case Some(arr) if arr.isEmpty => full.limit(0)
+      case Some(arr) =>
+        val buckets: Array[Int] = arr.map(
+          graft.functions.IcebergHash.bucketLong(_, DocBuckets))
+          .distinct.sorted
+        cat.scan(docsIdent, Seq(IceCatalog.PartitionFilter(
+          "doc_bucket", IceCatalog.Op.Eq, buckets.map(_.toString).toSeq)),
+          None, None)
+          .select(col("doc_id"), col("text"))
     }
   }
 
@@ -277,23 +296,30 @@ object IngestDedup {
     // PERSISTED for the call's lifetime: the decision is consumed by both
     // table writes and the report — without the persist the whole
     // propose+verify subtree re-executes per consumer. O(batch-dups) rows.
-    val (decision, workCaches) = phase("decision plan (propose collects)")(
-      decisionPlan(cat, docsIdent, indexIdent,
-        batch, sigs, threshold, Some(exIndex)))
+    val (decision, workCaches, pairIds) =
+      phase("decision plan (propose collects)")(
+        decisionPlan(cat, docsIdent, indexIdent,
+          batch, sigs, threshold, Some(exIndex)))
     val decided = decision.persist()
 
+    // PERSISTED: survivors feed the docs write, the band slotting, and
+    // (with maintenance on) the cluster plan's newIds — three executions
+    // of the batch-scan + anti-join otherwise. O(batch) rows; populated
+    // by whichever consumer runs first, released in the finally.
     val survivors = batch.join(decided.select(col("doc_id")), Seq("doc_id"),
-      "left_anti")
+      "left_anti").persist()
     // write-time slot assignment: each survivor band continues its
     // bucket's numbering from the stored index; rows past the cap drop.
     // With cluster maintenance on, the bands feed THREE consumers (index
     // write, cross-batch edges, peer edges) — persist for the call
-    val survivorBands0 = slottedBands(
+    // persisted UNCONDITIONALLY (r19): even without cluster maintenance
+    // the frame has two executions on the REST-wire path (the staging
+    // emptiness probe + the staged write); with maintenance it feeds
+    // three consumers (index write, cross-batch edges, peer edges)
+    val survivorBands = slottedBands(
       newBands.join(survivors.select(col("doc_id")), Seq("doc_id"))
         .select(col("doc_id"), col("band"), col("sig")),
-      exIndex)
-    val survivorBands =
-      if (clusters.isDefined) survivorBands0.persist() else survivorBands0
+      exIndex).persist()
 
     // ---- commit: docs + index (+ clusters) advance together or not at all --
     // the finally releases BOTH working caches on every path — a failed
@@ -312,10 +338,16 @@ object IngestDedup {
               col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
                 col("x.doc_id") < col("y.doc_id"))
             .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          // the label-scan prune reuses the decision plan's collected
+          // candidate ids (stored cluster neighbors are index hits, a
+          // subset of them), so planUpdate skips both its own pruning
+          // collect and the separate edge-frame checkpoint — the whole
+          // propose-verify-slot-contract subtree materializes in ONE job
           val (cRows, cMerges) = IncrementalClusters.planUpdate(
             cat, spark, cid, mid,
             survivors.select(col("doc_id")),
-            exEdges.union(peerEdges).distinct())
+            exEdges.union(peerEdges).distinct(),
+            neighborIds = pairIds)
           Seq(cid -> cRows, mid -> cMerges)
         }
       }
@@ -327,18 +359,21 @@ object IngestDedup {
       // working caches can be released NOW; it is the operator's
       // O(batch) output — callers should unpersist it once consumed
       // (streaming foreachBatch: unpersist inside the batch function)
+      // no presentation sort here: every consumer (the gates, p2's join,
+      // the specs) orders or sets-up the report itself, so the per-epoch
+      // range exchange + sort bought nothing
       val report = batch.select(col("doc_id"))
         .join(decided, Seq("doc_id"), "left")
         .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
-        .orderBy(col("doc_id"))
         .persist()
       phase("report materialize")(report.count())
       report
     } finally {
       sigs.unpersist()
       decided.unpersist()
+      survivors.unpersist()
       workCaches.foreach(_.unpersist())
-      if (clusters.isDefined) survivorBands.unpersist()
+      survivorBands.unpersist()
     }
   }
 
@@ -352,7 +387,7 @@ object IngestDedup {
       cat: graft.catalog.CatalogSurface, docsIdent: String, indexIdent: String,
       batch: DataFrame, sigs: DataFrame, threshold: Double,
       exIndex: Option[DataFrame] = None): DataFrame = {
-    val (decision, caches) =
+    val (decision, caches, _) =
       decisionPlan(cat, docsIdent, indexIdent, batch, sigs, threshold, exIndex)
     caches.foreach(_.unpersist())
     decision
@@ -364,10 +399,15 @@ object IngestDedup {
     * (which materializes it) and the verify join — and without the cache
     * the propose probe would execute twice per batch.
     */
+  /** Third return: the collected candidate-id array ([[collectPairIds]])
+    * so the clustered path can reuse it for its label-scan prune instead
+    * of paying a second planning collect.
+    */
   private[graft] def decisionPlan(
       cat: graft.catalog.CatalogSurface, docsIdent: String, indexIdent: String,
       batch: DataFrame, sigs: DataFrame, threshold: Double,
-      exIndex: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
+      exIndex: Option[DataFrame] = None)
+      : (DataFrame, Seq[DataFrame], Option[Array[Long]]) = {
     val newBands = Dedup.lshBands(sigs)
 
     // ---- propose: cross-batch via the index TABLE, within-batch via the
@@ -401,7 +441,8 @@ object IngestDedup {
     // pair-named batch docs tokenize (the batch is O(batch) by contract
     // anyway, but a mostly-unique batch then skips most of its own
     // tokenization too).
-    val exDocs = docsScanForPairs(cat, docsIdent, crossCand)
+    val pairIds = collectPairIds(crossCand)
+    val exDocs = docsScanForCollectedIds(cat, docsIdent, pairIds)
     val crossVerified =
       Dedup.verifyPairsSemi(batch, exDocs, crossCand, threshold)
     val inVerified =
@@ -413,7 +454,7 @@ object IngestDedup {
       .union(inVerified.select(col("doc_a"), col("doc_b")))
       .groupBy(col("doc_a").as("doc_id"))
       .agg(min(col("doc_b")).as("dup_of"))
-    (decision, Seq(crossCand))
+    (decision, Seq(crossCand), pairIds)
   }
 
   /** d14 gate: corpus = even-id docs MATERIALIZED as docs + index tables
