@@ -248,11 +248,14 @@ object SpanIndex {
     val w = windowsOf(batch, k, stride).persist()
     try {
       val fps = w.select(col("fp")).distinct()
-      val stored = prunedFpScan(cat, ident, fps)
+      val stored = phase("screen: fp-bucket prune collect")(
+        prunedFpScan(cat, ident, fps))
       val report = screenWith(batch, w, stored, k).persist()
-      report.count() // materialize BEFORE any append changes what "stored" means
-      val newFps = fps.join(stored, Seq("fp"), "left_anti")
-        .localCheckpoint(true) // distributed; frees w for the unpersist below
+      // materialize BEFORE any append changes what "stored" means
+      phase("screen: report materialize")(report.count())
+      val newFps = phase("accrete: new-fp checkpoint")(
+        fps.join(stored, Seq("fp"), "left_anti")
+          .localCheckpoint(true)) // distributed; frees w for the unpersist below
       (report, newFps, pin)
     } finally { w.unpersist(); () }
   }
@@ -269,7 +272,8 @@ object SpanIndex {
       ident: String, batch: DataFrame,
       k: Int = Dedup.SubstrK, stride: Int = Dedup.SubstrStride): DataFrame = {
     val (report, newFps, pin) = planIngest(cat, spark, ident, batch, k, stride)
-    cat.insertGroup(Seq(ident -> newFps), basedOn = Map(ident -> pin))
+    phase("accrete: commit")(
+      cat.insertGroup(Seq(ident -> newFps), basedOn = Map(ident -> pin)))
     report
   }
 
@@ -278,17 +282,33 @@ object SpanIndex {
     * over the stored ∪ batch union restricted to the batch (the oracle
     * replays exactly that in SQL — strict hash).
     */
+  /** Env-gated phase timer (GRAFT_PROFILE_SPAN=1): where a d17 gate run's
+    * wall time goes — the corpus build, the batch screen+accrete, the
+    * report pin. Zero cost when unset.
+    */
+  private val profileSpan = sys.env.contains("GRAFT_PROFILE_SPAN")
+  private def phase[T](name: String)(f: => T): T =
+    if (!profileSpan) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[d17] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   def spanIndexGateQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_d17").toString
     val cat = new IceCatalog(spark, root)
     cat.createNamespace("pipe")
-    build(cat, spark, "pipe.windex", docs.filter(col("doc_id") % 2 === 0))
-    val report = ingestBatch(cat, spark, "pipe.windex",
-      docs.filter(col("doc_id") % 2 === 1))
+    phase("build (corpus fingerprints)")(
+      build(cat, spark, "pipe.windex", docs.filter(col("doc_id") % 2 === 0)))
+    val report = phase("ingestBatch (screen + accrete)")(
+      ingestBatch(cat, spark, "pipe.windex",
+        docs.filter(col("doc_id") % 2 === 1)))
     // eager localCheckpoint pins the report BEFORE the scratch catalog is
     // deleted; no O(corpus) driver collect (d18 discipline)
-    val res = report.localCheckpoint(true)
+    val res = phase("report pin (localCheckpoint)")(report.localCheckpoint(true))
     report.unpersist()
     try cat.dropTable("pipe.windex") catch { case _: Exception => () }
     Scratch.delete(root)

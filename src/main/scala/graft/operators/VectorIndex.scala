@@ -58,7 +58,11 @@ object VectorIndex {
       centroidsIdent: String, postingsIdent: String,
       nlist: Int = 0, dims: Int = 64): Unit = {
     import spark.implicits._
-    val unit = unitized(corpus)
+    // persisted for the BUILD's scope: the unit frame feeds the count,
+    // the k-means seed + every Lloyd pass, and the assignment write —
+    // five executions of the parquet read + normalize otherwise
+    val unit = unitized(corpus).persist()
+    try {
     val nl = if (nlist > 0) nlist else Similarity.autoNlist(unit.count())
     val cents = Similarity.kmeansCentroids(unit, nl, dims)
     // both tables opt in to the pipeline maintenance policy at creation:
@@ -87,6 +91,7 @@ object VectorIndex {
     cat.overwriteGroup(
       Seq(centroidsIdent -> centRows, postingsIdent -> assigned),
       Map(GenerationProp -> java.util.UUID.randomUUID().toString))
+    } finally { unit.unpersist(); () }
   }
 
   /** A generation-consistent (centroids, postings) metadata pair: the
@@ -541,13 +546,27 @@ object VectorIndex {
       nlist: Int = 0, dims: Int = 64, m: Int = 8, codebookSize: Int = 16): Unit = {
     import spark.implicits._
     require(dims % m == 0, "m must divide dims")
-    val unit = unitized(corpus)
+    // persisted for the BUILD's scope: the unit frame feeds the count,
+    // both training loops (8 executions of the parquet read + normalize
+    // between them otherwise), and the final encode+assign write
+    val unit = unitized(corpus).persist()
+    try {
     val nl = if (nlist > 0) nlist else Similarity.autoNlist(unit.count())
-    val cents = Similarity.kmeansCentroids(unit, nl, dims)
-    // codebooks train on the UNIT vectors: cosine == dot on units, so the
-    // ADC partial dots sum to an approximate cosine (the s8 convention)
+    // the coarse quantizer and the PQ codebooks train on the SAME unit
+    // vectors but are INDEPENDENT of each other — run the two Lloyd loops
+    // concurrently (guide §2.6: overlap independent jobs) so each loop's
+    // collect latencies back-fill the other's idle cores. Codebooks train
+    // on the UNIT vectors: cosine == dot on units, so the ADC partial
+    // dots sum to an approximate cosine (the s8 convention).
+    val centsF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+      Similarity.kmeansCentroids(unit, nl, dims))
     val cbs = Similarity.trainCodebooks(
       unit, col("vn"), m, codebookSize, dims / m)
+    val cents =
+      try centsF.get()
+      catch { // callers see the training failure's own type
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
     if (!cat.tableExists(centroidsIdent)) cat.createTable(centroidsIdent,
       CentroidSchema, properties = graft.catalog.Maintenance.PipelineTableProps)
     if (!cat.tableExists(codebooksIdent)) cat.createTable(codebooksIdent,
@@ -568,6 +587,7 @@ object VectorIndex {
       Seq(centroidsIdent -> centRows, codebooksIdent -> cbRows,
         postingsIdent -> assigned),
       Map(GenerationProp -> java.util.UUID.randomUUID().toString))
+    } finally { unit.unpersist(); () }
   }
 
   /** The stored codebooks: m × codebookSize × subDims driver-side doubles
