@@ -292,24 +292,31 @@ object IncrementalClusters {
       neighborIds: Option[Array[Long]] = None): (DataFrame, DataFrame) = {
     import spark.implicits._
     val fwd = phase("forwarding")(forwarding(cat, mergesIdent))
+    // an UNSEEDED clusters table (no data files — the seeding update's
+    // own case) has no labels to fetch: skip the pruning collect AND the
+    // edge checkpoint outright; every neighbor is a batch peer
+    val unseeded = !cat.loadMeta(clustersIdent).current.exists(_.files.nonEmpty)
     // materialize the edge proposal ONCE (r18): without a checkpoint the
     // frame would feed two executions — the pruning collect below and the
     // contraction — re-running the subtree behind it (survivor bands
     // joined against the pruned index + the bands self-join, union,
-    // distinct) for each. With caller-provided neighborIds there is no
-    // pruning collect, the contraction is the SINGLE consumer, and its
-    // own checkpoint covers the subtree — skip this one.
-    val edg = neighborIds match {
-      case Some(_) => edges
-      case None => phase("edges checkpoint")(edges.localCheckpoint(true))
-    }
+    // distinct) for each. With caller-provided neighborIds (or an
+    // unseeded table) there is no pruning collect, the contraction is the
+    // SINGLE consumer, and its own checkpoint covers the subtree — skip
+    // this one.
+    val edg =
+      if (neighborIds.isDefined || unseeded) edges
+      else phase("edges checkpoint")(edges.localCheckpoint(true))
     // neighbors' CURRENT labels: stored rows (pruned fetch) forwarded
     // through the merge map; a neighbor with no stored row is a batch
     // peer and contracts to its own id
-    val nbLabels0 = phase("label scan prune")(neighborIds match {
-      case Some(ids) => clustersScanForKnownIds(cat, clustersIdent, ids)
-      case None => clustersScanForIds(cat, clustersIdent, edg.select(col("doc_b")))
-    })
+    val nbLabels0 = phase("label scan prune")(
+      if (unseeded)
+        cat.scan(clustersIdent).select(col("doc_id"), col("cluster_id")).limit(0)
+      else neighborIds match {
+        case Some(ids) => clustersScanForKnownIds(cat, clustersIdent, ids)
+        case None => clustersScanForIds(cat, clustersIdent, edg.select(col("doc_b")))
+      })
     val nbLabels =
       if (fwd.isEmpty) nbLabels0
       else nbLabels0.join(fwdFrame(spark, fwd), Seq("cluster_id"), "left")

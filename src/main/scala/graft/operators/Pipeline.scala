@@ -290,7 +290,7 @@ object Pipeline {
       .select(col("doc_id"), col("is_dup"), col("dup_of"), col("split"))
       .orderBy(col("doc_id"))
       .persist()
-    out.count()
+    phase("split materialize")(out.count())
     report.unpersist()
     out
   }
@@ -305,6 +305,20 @@ object Pipeline {
     * the composed decision rule (d14's probe ∪ within-batch pairs, then
     * the r7 closure restricted to survivors) — full hash check.
     */
+  /** Env-gated phase timer (GRAFT_PROFILE_INGEST=1), the IngestDedup one:
+    * splits the p2 gate's wall between the REST-wire seed commit, the
+    * ingest, and the split legs.
+    */
+  private val profileGate = sys.env.contains("GRAFT_PROFILE_INGEST")
+  private def phase[T](name: String)(f: => T): T =
+    if (!profileGate) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[p2] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   def lakehouseGateQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -317,13 +331,14 @@ object Pipeline {
       cat.createNamespace("pipe")
       IngestDedup.ensureTables(cat, "pipe.docs", "pipe.index", docs.schema)
       val corpus = docs.filter(col("doc_id") % 2 === 0)
-      cat.insertGroup(Seq(
+      phase("seed commit (wire)")(cat.insertGroup(Seq(
         "pipe.docs" -> corpus,
         "pipe.index" -> IngestDedup.slottedBands(
           Dedup.lshBands(Dedup.minhashSignatures(corpus)),
-          cat.scan("pipe.index"))))
-      val out = lakehouseIngestSplit(cat, spark, "pipe.docs", "pipe.index",
-        docs.filter(col("doc_id") % 2 === 1))
+          cat.scan("pipe.index")))))
+      val out = phase("ingest + split")(
+        lakehouseIngestSplit(cat, spark, "pipe.docs", "pipe.index",
+          docs.filter(col("doc_id") % 2 === 1)))
       // eager localCheckpoint pins the result before the server stops;
       // no O(corpus) driver collect (d18 discipline)
       val res = out.localCheckpoint(true)

@@ -246,10 +246,13 @@ object SpanIndex {
     // and the accretion's existence check — per batch/epoch the text is
     // fingerprinted once and the bucket set collected once
     val w = windowsOf(batch, k, stride).persist()
+    // the pruned stored scan feeds BOTH the report (dup-fp union) and the
+    // accretion's anti-join — persist so the second consumer reads the
+    // cached partitions instead of re-running the scan (r19)
+    val stored = phase("screen: fp-bucket prune collect")(
+      prunedFpScan(cat, ident, w.select(col("fp"))).persist())
     try {
       val fps = w.select(col("fp")).distinct()
-      val stored = phase("screen: fp-bucket prune collect")(
-        prunedFpScan(cat, ident, fps))
       val report = screenWith(batch, w, stored, k).persist()
       // materialize BEFORE any append changes what "stored" means
       phase("screen: report materialize")(report.count())
@@ -257,7 +260,7 @@ object SpanIndex {
         fps.join(stored, Seq("fp"), "left_anti")
           .localCheckpoint(true)) // distributed; frees w for the unpersist below
       (report, newFps, pin)
-    } finally { w.unpersist(); () }
+    } finally { w.unpersist(); stored.unpersist(); () }
   }
 
   /** Screen + ACCRETE in one call: the span report computed against the

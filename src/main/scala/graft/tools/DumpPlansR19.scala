@@ -1,0 +1,110 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.catalog.IceCatalog
+import graft.operators.{Dedup, IncrementalClusters, IngestDedup, SpanIndex}
+
+/** Writes the r19 plan-evidence files under plans/r19/: the INTERNAL
+  * frames this round's claims are about (the heavy gates checkpoint
+  * eagerly, so their top-level explain is a LogicalRDD root by design —
+  * PlanAuditSpec pins that; the honest evidence sits ahead of the
+  * checkpoints). Run with `before` as the second arg from the stashed
+  * (round-18) tree to produce the `_before` files — every API called here
+  * exists in both trees.
+  */
+object DumpPlansR19 {
+  private def write(name: String, text: String): Unit = {
+    val dir = Paths.get("plans/r19")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(name), text.getBytes("UTF-8"))
+    println(s"[plans] wrote $name (${text.length} chars)")
+  }
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args.tail.toSet else Set("after")
+    val suffix = if (which("before")) "_before.txt" else "_after.txt"
+    val spark = GraftSession.getOrCreate("graft-plans-r19",
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+
+    // ---- clustered ingest: the claims are (a) ONE planning
+    // materialization per batch (edge checkpoint gone — its subtree rides
+    // the contraction's own checkpoint), and (b) the merge pairs deriving
+    // from the checkpointed contraction instead of a SECOND execution of
+    // the pruned label scan. Build the d15 shape on a scratch catalog and
+    // dump the newMerges plan: before, it contains the clusters-table
+    // scan + forwarding join; after, its label source is the checkpoint's
+    // LogicalRDD.
+    val root = Files.createTempDirectory("graft_plans_r19").toString
+    val cat = new IceCatalog(spark, root)
+    cat.createNamespace("pipe")
+    IngestDedup.ensureTables(cat, "pipe.docs", "pipe.index", docs.schema)
+    IncrementalClusters.ensureTables(cat, "pipe.clusters", "pipe.merges")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    cat.insertGroup(Seq(
+      "pipe.docs" -> corpus,
+      "pipe.index" -> IngestDedup.slottedBands(
+        Dedup.lshBands(Dedup.minhashSignatures(corpus)),
+        cat.scan("pipe.index"))))
+    val bands = IngestDedup.normalizedIndex(cat.scan("pipe.index"))
+      .select(col("doc_id"), col("band"), col("sig"))
+    val seedEdges = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    IncrementalClusters.update(cat, spark, "pipe.clusters", "pipe.merges",
+      corpus.select(col("doc_id")), seedEdges)
+    // one small batch's plan frames (no commit — planUpdate is pure)
+    val batch = docs.filter(col("doc_id") % 2 === 1).limit(50)
+    val newIds = batch.select(col("doc_id"))
+    val edges = Dedup.lshBands(Dedup.minhashSignatures(batch))
+      .join(IngestDedup.normalizedIndex(cat.scan("pipe.index"))
+        .select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val (rows, merges) = IncrementalClusters.planUpdate(
+      cat, spark, "pipe.clusters", "pipe.merges", newIds, edges)
+    write("d15_newrows" + suffix, formatted(rows))
+    write("d15_newmerges" + suffix, formatted(merges))
+
+    // ---- d14 report: the claim is the per-epoch presentation sort is
+    // gone (consumers order themselves) and the survivor frame is served
+    // from a cache. Run one real ingest and dump the returned report's
+    // plan.
+    val report = IngestDedup.ingest(cat, spark, "pipe.docs", "pipe.index",
+      docs.filter(col("doc_id") % 2 === 1))
+    write("d14_report" + suffix, formatted(report))
+    report.unpersist()
+
+    // ---- d17 screen: the claim is the pruned stored-fp scan feeding
+    // both the report and the accretion anti-join from ONE cache. Dump
+    // the ingest-planned report (it carries the stored scan as its dup-fp
+    // source; after r19 that source is an InMemoryRelation).
+    SpanIndex.build(cat, spark, "pipe.windex",
+      docs.filter(col("doc_id") % 2 === 0))
+    val (spanReport, _, _) = SpanIndex.planIngest(cat, spark, "pipe.windex",
+      docs.filter(col("doc_id") % 2 === 1))
+    write("d17_screen" + suffix, formatted(spanReport))
+    spanReport.unpersist()
+
+    try {
+      Seq("pipe.docs", "pipe.index", "pipe.clusters", "pipe.merges",
+        "pipe.windex").foreach(cat.dropTable(_))
+    } catch { case _: Exception => () }
+    graft.operators.Scratch.delete(root)
+    spark.stop()
+  }
+}
