@@ -1104,16 +1104,15 @@ class IceCatalog(
     * partition once); the scoped write conf is idempotent across threads
     * (every writer sets the same two values). Results return in op order.
     */
-  private def stageGroup[A](ops: Seq[A])(stage: A => (String, Seq[DataFileMeta]))
-      : Seq[(String, Seq[DataFileMeta])] =
+  private def stageGroup[A, B](ops: Seq[A])(stage: A => B): Seq[B] =
     if (ops.lengthCompare(2) < 0) ops.map(stage)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(ops.length, 4))
       try {
         import scala.jdk.CollectionConverters._
-        val tasks: Seq[java.util.concurrent.Callable[(String, Seq[DataFileMeta])]] =
-          ops.map(op => (() => stage(op)): java.util.concurrent.Callable[(String, Seq[DataFileMeta])])
+        val tasks: Seq[java.util.concurrent.Callable[B]] =
+          ops.map(op => (() => stage(op)): java.util.concurrent.Callable[B])
         try pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
         catch {
           // callers match on the staged frames' own exception types (the
@@ -1238,7 +1237,11 @@ class IceCatalog(
     * requirement is still enforced.
     */
   def commitTransaction(ops: Seq[IceCatalog.TxOp]): Seq[TableMeta] = {
-    val staged = ops.map { op =>
+    // staged-file resolution (partition-purity scan + footer reads) is
+    // read-only over immutable staged files and runs BEFORE the locks —
+    // resolve the group's tables concurrently so a multi-table
+    // transaction's validation wall is its slowest member, not the sum
+    val staged = stageGroup(ops) { op =>
       val meta = loadMeta(op.ident)
       val (files, sources) =
         if (op.paths.isEmpty) (Seq.empty[DataFileMeta], Seq.empty[String])

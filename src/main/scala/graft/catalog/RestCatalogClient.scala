@@ -496,6 +496,20 @@ final class RestCatalogClient(
     * member. Results keep op order; a failed op's own exception type is
     * rethrown (callers match on it).
     */
+  /** Env-gated wire-phase timer (GRAFT_PROFILE_INGEST=1, the IngestDedup
+    * one): splits a wire commit's wall between client staging and the
+    * transaction POST.
+    */
+  private val profileWire = sys.env.contains("GRAFT_PROFILE_INGEST")
+  private def wirePhase[T](name: String)(f: => T): T =
+    if (!profileWire) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[wire] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   private def stageConcurrently[A, B](ops: Seq[A])(stage: A => B): Seq[B] =
     if (ops.lengthCompare(2) < 0) ops.map(stage)
     else {
@@ -553,24 +567,25 @@ final class RestCatalogClient(
     // transaction commits), so the group's staging wall drops from the
     // sum of its writes toward the max. The single transactions/commit
     // below is unchanged.
-    val staged = stageConcurrently(ops) { case (ident, df0) =>
-      val meta = loadMeta(ident)
-      val df = df0.select(
-        meta.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
-      // PARTITIONED tables skip the separate emptiness probe: a dynamic
-      // partitionBy write of an all-empty frame stages ZERO part files
-      // (files are created on first row per partition value), so the
-      // staged write itself answers the question — the probe was a full
-      // extra execution of the frame per table per commit. Unpartitioned
-      // tables keep the probe (their empty write stages one 0-row file,
-      // which would wrongly publish a snapshot).
-      if (meta.partitionSpec.isEmpty && df.isEmpty)
-        (ident, Seq.empty[String], false)
-      else {
-        val (parts, profile) = stageParquet(ident, df, "ingest", None)
-        (ident, parts, profile.isDefined && parts.nonEmpty)
-      }
-    }
+    val staged = wirePhase("insertGroup staging")(stageConcurrently(ops) {
+      case (ident, df0) =>
+        val meta = loadMeta(ident)
+        val df = df0.select(
+          meta.schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+        // PARTITIONED tables skip the separate emptiness probe: a dynamic
+        // partitionBy write of an all-empty frame stages ZERO part files
+        // (files are created on first row per partition value), so the
+        // staged write itself answers the question — the probe was a full
+        // extra execution of the frame per table per commit. Unpartitioned
+        // tables keep the probe (their empty write stages one 0-row file,
+        // which would wrongly publish a snapshot).
+        if (meta.partitionSpec.isEmpty && df.isEmpty)
+          (ident, Seq.empty[String], false)
+        else {
+          val (parts, profile) = stageParquet(ident, df, "ingest", None)
+          (ident, parts, profile.isDefined && parts.nonEmpty)
+        }
+    })
     // Pin semantics mirror overwriteGroup's: a FULLY caller-pinned group
     // fails fast (re-attempts would re-send the same stale requirements);
     // a MIXED group retries conflicts naming an UNPINNED table (asserts
@@ -618,8 +633,9 @@ final class RestCatalogClient(
               "force-duplicates" -> false))))
       }
       try {
-        send("POST", s"$base/v1/transactions/commit",
-          Some(jstr(Map("table-changes" -> changes))))
+        wirePhase("insertGroup transaction POST")(
+          send("POST", s"$base/v1/transactions/commit",
+            Some(jstr(Map("table-changes" -> changes)))))
       } catch {
         case e: java.util.ConcurrentModificationException
             if basedOn.nonEmpty && !allPinned && pinnedConflict(e) =>
@@ -819,9 +835,17 @@ final class RestCatalogClient(
     // through dir columns the reader derives from the table's spec; the
     // data columns stay in the files, the dir columns are write routing
     val meta = loadMeta(ident)
-    val (toWrite, dirNames) =
+    val (toWrite0, dirNames) =
       if (!arrange || meta.partitionSpec.isEmpty) (df, Seq.empty[String])
       else reader(ident).withPartitionDirs(df, meta)
+    // co-locate each partition value's rows BEFORE the dynamic partitionBy
+    // (the local writeArranged layout): without this every task writes one
+    // file per partition value it happens to hold — an N-task × V-value
+    // batch stages up to N·V tiny files, and the server then pays footer
+    // reads + a partition-purity scan over all of them at commit time
+    val toWrite =
+      if (dirNames.isEmpty) toWrite0
+      else toWrite0.repartition(dirNames.map(org.apache.spark.sql.functions.col): _*)
     val w0 = compression.foldLeft(toWrite.write)((w, c) => w.option("compression", c))
     val w = if (dirNames.isEmpty) w0 else w0.partitionBy(dirNames: _*)
     w.parquet(staging)
