@@ -1106,7 +1106,17 @@ class IceCatalog(
     */
   private def stageGroup[A, B](ops: Seq[A])(stage: A => B): Seq[B] =
     if (ops.lengthCompare(2) < 0) ops.map(stage)
-    else {
+    else withWriteConf {
+      // The write conf is applied ONCE around the whole parallel block:
+      // each thread's writeArranged still runs its own scoped withConf,
+      // but with the outer scope holding the target values every inner
+      // capture-and-restore is idempotent. Without this, two interleaved
+      // scopes race — thread B captures thread A's already-set value as
+      // its "prior" and the session is left with AQE partition
+      // coalescing PERMANENTLY off after the group commit (observed:
+      // every later query in the session ran uncoalesced, and x10's
+      // ApproxTopKCombine hit Spark 4.1's empty-partition serialize
+      // MatchError).
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(ops.length, 4))
       try {
