@@ -1,0 +1,43 @@
+package graft.tools
+
+/** The r19 core-count scaling probe (VERDICT item 9): sf0.1 is
+  * fixed-overhead-bound (an 8-core run beats 32 cores on the whole
+  * suite), so per-query parallelism claims cannot be demonstrated there.
+  * This probe times the top pipeline gates on ScaleBench's 10×
+  * distribution-matched corpus at the CALLER's core count — run it twice
+  * (SPARK_GRAFT_CPUS=8 and =32) and compare: at 10× the data, more cores
+  * should win on the corpus-scaling gates.
+  *
+  * Usage: `runMain graft.tools.CoreScaleProbe [scratchDir] [query...]`
+  * (corpus generated on first use, deterministic seeds — identical
+  * between the two runs).
+  */
+object CoreScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val scratch = args.headOption.getOrElse("/tmp/graft-scale10x")
+    val names =
+      if (args.length > 1) args.tail.toSeq
+      else Seq("d14_ingest_dedup", "d15_cluster_maintain",
+        "e8_stream_clusters", "p2_lakehouse_pipeline", "d19_repeat_stats")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.getOrCreate("graft-corescale", cpus = cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$scratch/documents.parquet").exists() ||
+        !new java.io.File(s"$scratch/embeddings.parquet").exists())
+      ScaleBench.generate(spark, "/root/testdata/sf0.1", scratch)
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, scratch)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // JVM/codegen warm-up on the scaled corpus — a documents-only query
+    // (the scratch dir carries documents + embeddings, not the TPC tables)
+    once("d1_exact_dedup")
+    names.foreach { n =>
+      val a = once(n); val b = once(n)
+      println(f"CORESCALE cpus=$cpus $n%-24s a=$a%.2f b=$b%.2f best=${math.min(a, b)}%.2f")
+    }
+    spark.stop()
+  }
+}
